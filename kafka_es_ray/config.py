@@ -1,0 +1,63 @@
+"""Engine configuration.
+
+The reference exposes 19 throughput-shaping knobs on the connector config
+(reference ElasticsearchSinkConnector.kt:46-217: bulk.size, bulk.delay.ms,
+max.in.flight.requests, queue.size, retry.interval, ...).  In a Ray Data
+engine those map onto batch sizes, actor-pool concurrency and partition
+counts; retry/backoff knobs map onto Ray task retries plus the segment
+writer's in-actor retry loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    # --- batching (reference: bulk.size=100, ElasticsearchSinkConnector.kt:53-54).
+    # Our unit of work is an Arrow batch, far larger than an ES bulk because
+    # the per-batch overhead is a Python call, not an HTTP round trip.
+    batch_size: int = 4096
+    # Parallelism of stateful stages (reference: max.in.flight.requests,
+    # ElasticsearchSinkConnector.kt:61-62 — default 1 writer; we default to
+    # "let Ray size the pool" unless pinned).
+    extract_concurrency: int | None = None
+    query_concurrency: int | None = None
+
+    # --- index layout
+    # Number of doc partitions ("shards").  Each partition owns a doc_id
+    # range, is deduped / doc_id-assigned / segment-built independently, and
+    # becomes exactly one segment.  At 100 TB this is O(100k); partition
+    # content must fit in one worker's heap.
+    num_partitions: int = 16
+    # doc_id = part_id * PART_STRIDE + local_rank.  2^36 docs per partition
+    # x 2^27 partitions fits int64 — deterministic ids with NO global
+    # barrier (no prefix-sum pass over partition counts).
+    part_stride: int = 1 << 36
+    # Posting-list block length for block-max metadata + skip pointers.
+    block_size: int = 128
+
+    # --- BM25 (reference target: Okapi BM25 k1=1.2 b=0.75 — SURVEY §2 E4,
+    # BASELINE.json north_star)
+    k1: float = 1.2
+    b: float = 0.75
+
+    # --- analyzer chain version (frozen; bump = reindex; SURVEY §7.4)
+    analyzer_version: str = "v1"
+
+    # --- segment writer retry loop (reference: retry.interval=30s doubling
+    # to max.retry.interval=300s, Actors.kt:236-259).  Local FS writes fail
+    # rarely; keep short.
+    write_retries: int = 3
+    write_retry_delay_s: float = 0.1
+
+    # --- tag filter (reference: value.converter.tag, BaseConverter.kt:52-61)
+    tag: str | None = None
+    # --- default index name + per-topic map (reference: index /
+    # topic.index.map, ElasticsearchSinkTask.kt:301-310)
+    index: str | None = None
+    topic_index_map: dict[str, str] = field(default_factory=dict)
+
+
+DEFAULT = EngineConfig()
