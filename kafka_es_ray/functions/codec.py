@@ -25,23 +25,34 @@ import numpy as np
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """Vectorized LEB128 encode of a uint64/int64 array (values >= 0)."""
+def varint_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized LEB128 encode; also returns per-element byte offsets
+    (length n+1) so callers can slice out contiguous sub-ranges — used to
+    encode ALL postings of a segment in one vectorized pass and then slice
+    per-term byte strings (no per-term encode loop)."""
     v = np.ascontiguousarray(values).astype(np.uint64, copy=False)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     nbytes = np.ones(v.shape, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += v >= t
-    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    out = np.zeros(int(starts[-1] + nbytes[-1]), dtype=np.uint8)
+    offsets = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offsets[1:])
+    starts = offsets[:-1]
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
     max_nb = int(nbytes.max())
     for b in range(max_nb):
         mask = nbytes > b
         byte = (v[mask] >> np.uint64(7 * b)) & np.uint64(0x7F)
         more = (nbytes[mask] - 1) > b
         out[starts[mask] + b] = byte.astype(np.uint8) | (more.astype(np.uint8) << 7)
-    return out.tobytes()
+    return out.tobytes(), offsets
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64/int64 array (values >= 0)."""
+    buf, _ = varint_encode_with_offsets(values)
+    return buf
 
 
 def varint_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:

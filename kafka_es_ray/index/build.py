@@ -1,0 +1,355 @@
+"""Index build — the Ray-Data-first pipeline (SURVEY §7.1 M1-M3, §7.3).
+
+    read_parquet(corpus)
+      -> map_batches(ExtractStage, actor pool)        # html->text, project, route
+      -> groupby(part_id).map_groups(build_segment)   # THE one shuffle
+      -> small manifest rows -> driver -> manifest.json
+
+Design notes (scale):
+  * ONE all-to-all exchange total.  The corpus is hash-partitioned by
+    routing key (routing ?? url — the reference router precedence,
+    ElasticsearchSinkTask.kt:209-212); everything downstream (LWW dedup,
+    doc_id assignment, tokenize, postings build, segment write) is
+    partition-local.  There is NO global groupby(term): each partition
+    owns a doc_id range and builds its own complete term dictionary, the
+    ES shard model.  Head-term skew therefore cannot produce a hot
+    reducer — a frequent term's postings are split evenly across all
+    partitions by construction (doc-partitioned postings ARE the salted
+    term groups of SURVEY §7.3, with salt == doc partition and the final
+    concat implicit in per-segment query + merge).
+  * `html` (potentially MBs per row) is dropped in the extract stage
+    BEFORE the shuffle (SURVEY §7.4 wide-binary rule).
+  * doc_id = part_id * PART_STRIDE + local_rank: deterministic under any
+    parallelism and any resume point, with no global prefix-sum barrier.
+  * Each partition writes its files atomically and its own manifest last;
+    a resumed build skips partitions whose manifest verifies (the
+    offset-commit checkpoint analog, ElasticsearchSinkTask.kt:312-332).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from kafka_es_ray.config import DEFAULT, EngineConfig
+from kafka_es_ray.functions.codec import varint_encode_with_offsets
+from kafka_es_ray.functions.hashing import route_partition, stable_hash64
+from kafka_es_ray.functions.textproc import fill_text_from_html
+from kafka_es_ray.functions.tokenizer import ANALYZER_VERSION, get_analyzer
+from kafka_es_ray.index import segment as seg
+
+
+class ExtractStage:
+    """Stateful extract/validate/route stage (actor pool).
+
+    Reference analogs: converter + preprocess chain run per record before
+    routing (JsonConverter.kt:42-76, ElasticsearchSinkTask.kt:282-299);
+    stateful setup done once per worker like the reflectively-loaded proto
+    parser (ProtobufSerde.kt:26-73)."""
+
+    def __init__(
+        self,
+        num_partitions: int,
+        key_col: str,
+        text_col: str,
+        html_col: str | None,
+        routing_col: str | None,
+        keep_cols: tuple[str, ...],
+    ):
+        self.num_partitions = num_partitions
+        self.key_col = key_col
+        self.text_col = text_col
+        self.html_col = html_col
+        self.routing_col = routing_col
+        self.keep_cols = keep_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, pa.Array | np.ndarray] = {}
+        text = batch.column(self.text_col).to_numpy(zero_copy_only=False)
+        if self.html_col is not None and self.html_col in batch.schema.names:
+            html = batch.column(self.html_col).to_numpy(zero_copy_only=False)
+            text = fill_text_from_html(text, html)
+        cols[self.text_col] = pa.array(text, type=pa.string())
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
+        # router key precedence: routing ?? key (ElasticsearchSinkTask.kt:209-212)
+        route_keys = keys
+        if self.routing_col is not None and self.routing_col in batch.schema.names:
+            routing = batch.column(self.routing_col).to_numpy(zero_copy_only=False)
+            route_keys = np.where([r is not None for r in routing], routing, keys)
+        for c in self.keep_cols:
+            if c != self.text_col and c in batch.schema.names:
+                cols[c] = batch.column(c)
+        cols["part_id"] = pa.array(
+            route_partition(route_keys, self.num_partitions), type=pa.int32()
+        )
+        return pa.table(cols)
+
+
+def _postings_from_tokens(
+    token_lists: pd.Series, doc_ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized (term, doc_id, tf) construction for one partition.
+
+    Returns (uniq_terms asc, term_code_sorted, posting_doc_ids, posting_tfs,
+    doc_len) where postings are sorted by (term, doc_id).  ``doc_ids`` must
+    be ascending (callers sort the partition first)."""
+    lens = np.array([len(t) for t in token_lists], dtype=np.int64)
+    n_docs = doc_ids.size
+    if lens.sum() == 0:
+        return (
+            np.array([], dtype=object),
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            lens,
+        )
+    all_tokens = np.concatenate([np.asarray(t, dtype=object) for t in token_lists if t])
+    all_doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    uniq_terms, inv = np.unique(all_tokens, return_inverse=True)
+    # (term, doc) pair counting in one pass; term-major key so the result
+    # comes out sorted by (term_code, doc_idx) == (term, doc_id)
+    key = inv.astype(np.int64) * n_docs + all_doc_idx
+    uk, tf = np.unique(key, return_counts=True)
+    term_code = uk // n_docs
+    doc_idx = uk % n_docs
+    return uniq_terms, term_code, doc_ids[doc_idx], tf.astype(np.int64), lens
+
+
+def _large_binary_from_slices(buf: bytes, byte_offsets: np.ndarray) -> pa.Array:
+    """Zero-copy pa.large_binary column from one contiguous buffer + int64
+    offsets — avoids materializing per-term Python bytes objects."""
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        byte_offsets.size - 1,
+        [None, pa.py_buffer(byte_offsets.astype(np.int64).tobytes()), pa.py_buffer(buf)],
+    )
+
+
+def build_segment_for_group(
+    g: pd.DataFrame,
+    index_dir: str,
+    cfg: EngineConfig,
+    key_col: str,
+    text_col: str,
+    lang_col: str | None,
+    ts_col: str | None,
+    seq_col: str | None,
+    id_col: str | None,
+    op_col: str | None,
+) -> pd.DataFrame:
+    """Build + atomically write ONE segment from one partition's rows.
+
+    Partition-local semantics, in order:
+      1. last-write-wins per key by (ts, seq) desc — the per-doc-id upsert
+         the reference relies on ES for (SURVEY §2 E1; ordering carried as
+         explicit seq, stronger than Kafka offset order, SURVEY §4).
+      2. delete tombstones drop the doc (BulkAction.Delete, BulkAction.kt:55-67).
+      3. deterministic doc_id (id_col if given, else part-ranked).
+      4. per-lang tokenize -> postings -> delta+varint encode + block-max.
+    """
+    part_id = int(g["part_id"].iloc[0])
+    t0 = time.time()
+
+    # 1-2. LWW + tombstones
+    sort_cols, asc = [key_col], [True]
+    for c in (ts_col, seq_col):
+        if c is not None and c in g.columns:
+            sort_cols.append(c)
+            asc.append(False)
+    g = g.sort_values(sort_cols, ascending=asc, kind="mergesort")
+    n_input = len(g)
+    g = g.drop_duplicates(key_col, keep="first")
+    if op_col is not None and op_col in g.columns:
+        g = g[g[op_col] != "delete"]
+
+    # 3. deterministic doc ids
+    if id_col is not None:
+        g = g.sort_values(id_col, kind="mergesort")
+        doc_ids = g[id_col].to_numpy(dtype=np.int64)
+    else:
+        g = g.sort_values(key_col, kind="mergesort")
+        doc_ids = part_id * cfg.part_stride + np.arange(len(g), dtype=np.int64)
+    keys = g[key_col].to_numpy()
+    texts = g[text_col].reset_index(drop=True)
+    langs = (
+        g[lang_col].reset_index(drop=True)
+        if lang_col is not None and lang_col in g.columns
+        else pd.Series(["en"] * len(g))
+    )
+
+    # 4. tokenize per lang (analyzer chain per SURVEY §2 E6)
+    token_lists = pd.Series([None] * len(g), dtype=object)
+    for lang in langs.unique():
+        mask = (langs == lang).to_numpy()
+        an = get_analyzer(lang)
+        token_lists[mask] = an.tokenize_series(texts[mask])
+
+    uniq_terms, term_code, p_ids, p_tfs, doc_len = _postings_from_tokens(token_lists, doc_ids)
+    n_terms = uniq_terms.size
+    n_postings = p_ids.size
+
+    # per-term delta gaps with resets at term boundaries (vectorized)
+    term_starts = np.searchsorted(term_code, np.arange(n_terms, dtype=np.int64))
+    term_ends = np.concatenate([term_starts[1:], [n_postings]])
+    gaps = p_ids.copy()
+    gaps[1:] -= p_ids[:-1]
+    gaps[term_starts] = p_ids[term_starts]
+    id_buf, id_off = varint_encode_with_offsets(gaps.astype(np.uint64))
+    tf_buf, tf_off = varint_encode_with_offsets(p_tfs.astype(np.uint64))
+
+    # block-max metadata: contiguous block grid over the posting arrays
+    B = cfg.block_size
+    run_lens = term_ends - term_starts
+    nb = (run_lens + B - 1) // B
+    first_block = np.concatenate([[0], np.cumsum(nb)])
+    total_blocks = int(first_block[-1])
+    binner = np.arange(total_blocks, dtype=np.int64) - np.repeat(first_block[:-1], nb)
+    block_start = np.repeat(term_starts, nb) + binner * B
+    block_end = np.minimum(block_start + B, np.repeat(term_ends, nb))
+    if n_postings:
+        dl_at = doc_len[np.searchsorted(doc_ids, p_ids)]
+        bmax_tf = np.maximum.reduceat(p_tfs, block_start).astype(np.uint32)
+        bmin_dl = np.minimum.reduceat(dl_at, block_start).astype(np.uint32)
+        blast = p_ids[block_end - 1].astype(np.uint64)
+    else:
+        bmax_tf = np.array([], dtype=np.uint32)
+        bmin_dl = np.array([], dtype=np.uint32)
+        blast = np.array([], dtype=np.uint64)
+
+    postings_table = pa.table(
+        {
+            "term": pa.array(uniq_terms, type=pa.string()),
+            "df": pa.array(run_lens, type=pa.int64()),
+            "doc_ids": _large_binary_from_slices(id_buf, id_off[np.concatenate([term_starts, [n_postings]])]),
+            "tfs": _large_binary_from_slices(tf_buf, tf_off[np.concatenate([term_starts, [n_postings]])]),
+            "block_max_tf": _large_binary_from_slices(bmax_tf.tobytes(), first_block * 4),
+            "block_min_dl": _large_binary_from_slices(bmin_dl.tobytes(), first_block * 4),
+            "block_last_doc": _large_binary_from_slices(blast.tobytes(), first_block * 8),
+        }
+    )
+    docstore_table = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "key": pa.array(keys, type=pa.string()),
+            "doc_len": pa.array(doc_len, type=pa.int32()),
+            "lang": pa.array(langs.to_numpy(), type=pa.string()),
+        }
+    )
+    seg.atomic_write_table(postings_table, seg.postings_path(index_dir, part_id))
+    seg.atomic_write_table(docstore_table, seg.docstore_path(index_dir, part_id))
+
+    content_hash = int(np.bitwise_xor.reduce(stable_hash64(keys))) if len(keys) else 0
+    manifest = {
+        "part_id": part_id,
+        "format_version": seg.FORMAT_VERSION,
+        "analyzer_version": ANALYZER_VERSION,
+        "n_input_rows": int(n_input),
+        "n_docs": int(len(keys)),
+        "sum_dl": int(doc_len.sum()),
+        "n_terms": int(n_terms),
+        "n_postings": int(n_postings),
+        "content_hash": content_hash,
+        "files": [
+            os.path.basename(seg.postings_path(index_dir, part_id)),
+            os.path.basename(seg.docstore_path(index_dir, part_id)),
+        ],
+        "build_secs": round(time.time() - t0, 3),
+    }
+    # per-partition manifest written LAST = the commit point (D9 analog)
+    seg.atomic_write_json(manifest, seg.part_manifest_path(index_dir, part_id))
+    return pd.DataFrame({"part_id": [part_id], "manifest": [json.dumps(manifest)]})
+
+
+def _completed_parts(index_dir: str, num_partitions: int) -> dict[int, dict]:
+    """Partitions whose manifest verifies (files exist) — resume set."""
+    done: dict[int, dict] = {}
+    for pid in range(num_partitions):
+        mp = seg.part_manifest_path(index_dir, pid)
+        if not os.path.exists(mp):
+            continue
+        try:
+            with open(mp) as f:
+                m = json.load(f)
+            if all(os.path.exists(os.path.join(index_dir, fn)) for fn in m["files"]):
+                done[pid] = m
+        except (json.JSONDecodeError, KeyError):
+            continue
+    return done
+
+
+def build_index(
+    ds,
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    *,
+    key_col: str = "url",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    html_col: str | None = "html",
+    ts_col: str | None = "warc_ts",
+    seq_col: str | None = None,
+    id_col: str | None = None,
+    routing_col: str | None = None,
+    op_col: str | None = None,
+    resume: bool = False,
+) -> dict:
+    """Build the full inverted index from a ray.data.Dataset; returns the
+    global manifest (also written to {index_dir}/manifest.json)."""
+    os.makedirs(index_dir, exist_ok=True)
+    done = _completed_parts(index_dir, cfg.num_partitions) if resume else {}
+
+    keep = [c for c in (key_col, lang_col, ts_col, seq_col, id_col, routing_col, op_col) if c]
+    stage = ExtractStage(
+        num_partitions=cfg.num_partitions,
+        key_col=key_col,
+        text_col=text_col,
+        html_col=html_col,
+        routing_col=routing_col,
+        keep_cols=tuple(keep),
+    )
+    ds2 = ds.map_batches(
+        stage,
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.extract_concurrency or 4,
+    )
+    if done:
+        done_ids = set(done)
+        ds2 = ds2.map_batches(
+            lambda t: t.filter(
+                ~np.isin(t.column("part_id").to_numpy(), np.array(sorted(done_ids)))
+            ),
+            batch_format="pyarrow",
+        )
+
+    def _build(g: pd.DataFrame) -> pd.DataFrame:
+        return build_segment_for_group(
+            g, index_dir, cfg, key_col, text_col, lang_col, ts_col, seq_col, id_col, op_col
+        )
+
+    out = ds2.groupby("part_id").map_groups(_build, batch_format="pandas")
+    part_manifests = {int(r["part_id"]): json.loads(r["manifest"]) for r in out.take_all()}
+    part_manifests.update(done)
+
+    parts = sorted(part_manifests)
+    n_docs = sum(m["n_docs"] for m in part_manifests.values())
+    sum_dl = sum(m["sum_dl"] for m in part_manifests.values())
+    manifest = {
+        "format_version": seg.FORMAT_VERSION,
+        "analyzer_version": ANALYZER_VERSION,
+        "num_partitions": cfg.num_partitions,
+        "parts": parts,
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "part_manifests": {str(p): part_manifests[p] for p in parts},
+    }
+    seg.write_manifest(index_dir, manifest)
+    return manifest

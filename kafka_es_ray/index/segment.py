@@ -1,0 +1,140 @@
+"""Segment format: the on-disk unit of the inverted index.
+
+One segment per doc partition ("shard") — the ES-segment analog the
+reference sink feeds via /_bulk (reference ElasticsearchBulkSender.kt:100-243;
+SURVEY §1.2 segment row).  A segment is two parquet files plus a JSON
+manifest, written atomically (tmp + rename) so a partial write is never
+visible — the manifest is the visibility point, the `refresh=true` analog
+(reference ElasticsearchBulkSender.kt:109-118, SURVEY §2 E5):
+
+  postings-{part:05d}.parquet
+      term: string (ascending — binary-searchable dictionary)
+      df: int64                    docs containing term (within segment)
+      doc_ids: binary              delta + varint, sorted ascending
+      tfs: binary                  varint
+      block_max_tf: binary         uint32 LE per 128-posting block  |
+      block_min_dl: binary         uint32 LE per block              | block-max
+      block_last_doc: binary       uint64 LE per block (skip ptrs)  | metadata
+
+  docstore-{part:05d}.parquet
+      doc_id: int64, key: string (url), doc_len: int32, lang: string
+
+  part-{part:05d}.manifest.json    lineage + stats + content hash
+
+Block-max bound: BM25's tf term  tf/(tf + k1*(1-b+b*dl/avgdl))  is
+increasing in tf and decreasing in dl, so  f(block_max_tf, block_min_dl)
+is an exact-safe upper bound per block for any global avgdl — usable for
+block-max WAND pruning without knowing avgdl at build time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from kafka_es_ray.functions.codec import delta_decode, varint_decode
+
+FORMAT_VERSION = 1
+
+
+def postings_path(index_dir: str, part_id: int) -> str:
+    return os.path.join(index_dir, f"postings-{part_id:05d}.parquet")
+
+
+def docstore_path(index_dir: str, part_id: int) -> str:
+    return os.path.join(index_dir, f"docstore-{part_id:05d}.parquet")
+
+
+def part_manifest_path(index_dir: str, part_id: int) -> str:
+    return os.path.join(index_dir, f"part-{part_id:05d}.manifest.json")
+
+
+def atomic_write_table(table: pa.Table, path: str, compression: str = "zstd") -> None:
+    """Write-to-tmp + rename — a failed task never leaves a readable
+    partial file (resumability, SURVEY §4 checkpoint row)."""
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, compression=compression)
+    os.replace(tmp, path)
+
+
+def atomic_write_json(obj: dict, path: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, sort_keys=True)
+    os.replace(tmp, path)
+
+
+@dataclass
+class Segment:
+    """In-memory view of one segment, loaded once per query actor
+    (the stateful-setup analog of the reference's reflected proto parser,
+    ProtobufSerde.kt:26-73)."""
+
+    part_id: int
+    terms: np.ndarray        # object array, ascending
+    df: np.ndarray           # int64
+    doc_ids_enc: list        # bytes per term
+    tfs_enc: list
+    doc_base: int            # doc ids in docstore are arbitrary; base/dense see below
+    doc_ids_store: np.ndarray   # int64, ascending
+    doc_len: np.ndarray      # int32 aligned with doc_ids_store
+    keys: np.ndarray         # object (urls) aligned with doc_ids_store
+    n_docs: int
+    sum_dl: int
+
+    @classmethod
+    def load(cls, index_dir: str, part_id: int) -> "Segment":
+        pt = pq.read_table(postings_path(index_dir, part_id))
+        dt = pq.read_table(docstore_path(index_dir, part_id))
+        doc_ids_store = dt.column("doc_id").to_numpy()
+        doc_len = dt.column("doc_len").to_numpy()
+        return cls(
+            part_id=part_id,
+            terms=np.asarray(pt.column("term").to_pylist(), dtype=object),
+            df=pt.column("df").to_numpy(),
+            doc_ids_enc=pt.column("doc_ids").to_pylist(),
+            tfs_enc=pt.column("tfs").to_pylist(),
+            doc_base=int(doc_ids_store[0]) if doc_ids_store.size else 0,
+            doc_ids_store=doc_ids_store,
+            doc_len=doc_len.astype(np.int64),
+            keys=np.asarray(dt.column("key").to_pylist(), dtype=object),
+            n_docs=dt.num_rows,
+            sum_dl=int(doc_len.sum()),
+        )
+
+    def lookup(self, term: str) -> int:
+        """Dictionary binary search -> term index, or -1."""
+        i = int(np.searchsorted(self.terms, term))
+        if i < self.terms.size and self.terms[i] == term:
+            return i
+        return -1
+
+    def postings(self, ti: int) -> tuple[np.ndarray, np.ndarray]:
+        n = int(self.df[ti])
+        ids = delta_decode(self.doc_ids_enc[ti], n)
+        tfs = varint_decode(self.tfs_enc[ti], n).astype(np.int64)
+        return ids, tfs
+
+    def dl_for(self, doc_ids: np.ndarray) -> np.ndarray:
+        """doc_len lookup; doc ids within a segment are dense-sortable so
+        this is a searchsorted over the docstore ids."""
+        idx = np.searchsorted(self.doc_ids_store, doc_ids)
+        return self.doc_len[idx]
+
+    def keys_for(self, doc_ids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.doc_ids_store, doc_ids)
+        return self.keys[idx]
+
+
+def read_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        return json.load(f)
+
+
+def write_manifest(index_dir: str, manifest: dict) -> None:
+    atomic_write_json(manifest, os.path.join(index_dir, "manifest.json"))

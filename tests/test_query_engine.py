@@ -1,0 +1,101 @@
+"""Query engine: rank-identical BM25 vs the brute-force oracle (the
+mock-transport-golden analog, ElasticsearchBulkSenderTests.kt:30-63),
+plus edge paths: absent term, empty query, k > corpus, distributed
+query stage."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kafka_es_ray.config import EngineConfig
+from kafka_es_ray.fixtures import make_queries
+from kafka_es_ray.functions.hashing import route_partition
+from kafka_es_ray.functions.textproc import fill_text_from_html
+from kafka_es_ray.index.build import build_index
+from kafka_es_ray.query.bruteforce import bruteforce_topk
+from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+CFG = EngineConfig(num_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def corpus_and_index(ray_session, pages_small, tmp_path_factory):
+    import ray.data as rd
+
+    idx = str(tmp_path_factory.mktemp("qidx"))
+    build_index(rd.from_arrow(pages_small), idx, CFG)
+    # oracle-side corpus: same LWW + doc_id rules, driver-side pandas
+    df = pages_small.to_pandas()
+    df = df.sort_values(["url", "warc_ts"], ascending=[True, False]).drop_duplicates("url")
+    df["text"] = fill_text_from_html(df["text"].to_numpy(), df["html"].to_numpy())
+    df["part_id"] = route_partition(df["url"].to_numpy(), CFG.num_partitions)
+    df = df.sort_values(["part_id", "url"])
+    df["doc_id"] = df.groupby("part_id").cumcount() + df["part_id"].astype("int64") * CFG.part_stride
+    df = df.rename(columns={"url": "key"})
+    return df, idx
+
+
+def test_rank_identical_vs_oracle(corpus_and_index):
+    df, idx = corpus_and_index
+    s = IndexSearcher(idx)
+    qs = make_queries(16).to_pandas()
+    for row in qs.itertuples(index=False):
+        eng = s.search(row.text, lang=row.lang, k=int(row.k))
+        ora = bruteforce_topk(df, row.text, k=int(row.k), query_lang=row.lang)
+        assert eng["doc_id"].tolist() == ora["doc_id"].tolist(), row.text
+        assert eng["score"].tolist() == ora["score"].tolist(), row.text
+        assert eng["key"].tolist() == ora["key"].tolist()
+        assert eng["rank"].tolist() == list(range(1, len(eng) + 1))
+
+
+def test_absent_term_empty_result(corpus_and_index):
+    _, idx = corpus_and_index
+    s = IndexSearcher(idx)
+    assert len(s.search("zzzabsentterm")) == 0
+    assert len(s.search("")) == 0
+    assert len(s.search("...!!!")) == 0
+
+
+def test_k_larger_than_corpus(corpus_and_index):
+    df, idx = corpus_and_index
+    s = IndexSearcher(idx)
+    res = s.search("home", k=10_000_000)  # template term: present in every doc
+    assert len(res) == len(df)
+    assert res["score"].is_monotonic_decreasing
+
+
+def test_scores_sorted_and_tiebreak(corpus_and_index):
+    _, idx = corpus_and_index
+    s = IndexSearcher(idx)
+    res = s.search("w00001 w00003", k=50)
+    assert res["score"].is_monotonic_decreasing
+    for sc in res["score"].unique():
+        grp = res[res["score"] == sc]
+        assert grp["doc_id"].is_monotonic_increasing  # ties -> doc_id asc
+
+
+def test_distributed_query_stage(corpus_and_index, ray_session):
+    import ray.data as rd
+
+    df, idx = corpus_and_index
+    qs = make_queries(8)
+    out = run_queries(rd.from_arrow(qs), idx, CFG, concurrency=2).to_pandas()
+    s = IndexSearcher(idx)
+    expected = s.search_batch(qs.to_pandas())
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    expected = expected.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["query_id", "rank", "doc_id", "score"]].astype({"query_id": np.int64}),
+        expected[["query_id", "rank", "doc_id", "score"]].astype({"query_id": np.int64}),
+    )
+
+
+def test_global_df_matches_oracle(corpus_and_index):
+    df, idx = corpus_and_index
+    s = IndexSearcher(idx)
+    from kafka_es_ray.query.bruteforce import corpus_token_stats
+
+    toks, _ = corpus_token_stats(df)
+    for term in ["home", "w00001", "w09999", "zzzabsent"]:
+        oracle_df = int(sum(term in set(t) for t in toks))
+        assert s.global_df([term])[0] == oracle_df, term
