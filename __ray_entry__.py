@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in kafka_es_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each queries() entry is one operator/pipeline from SURVEY.md §2 plus the
+training-data operator families; oracle_sql() carries the DuckDB-
+equivalent SQL for every SQL-expressible one (same column names, floats
+rounded to 6dp on both sides before comparison).
 """
 
 from __future__ import annotations
@@ -18,27 +14,310 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# Tokenizer expression — EXACTLY analyzer ascii_v1
+# (tests/test_tokenizer.py::test_duckdb_parity).
+_TOK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+# BM25 pieces (k1=1.2, b=0.75 — query/bm25.py determinism contract)
+_BM25_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, len({_TOK})::DOUBLE AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+),
+ranked_terms AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+),
+queries AS (
+  SELECT 0 AS query_id, term FROM ranked_terms WHERE r = 1
+  UNION ALL SELECT 1, term FROM ranked_terms WHERE r IN (2, 3)
+  UNION ALL SELECT 2, term FROM ranked_terms WHERE r IN (4, 5, 6)
+  UNION ALL SELECT 3, term FROM ranked_terms WHERE r IN (7, 8)
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS raw_score
+  FROM queries q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT query_id, doc_id, round(raw_score, 6) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, doc_id ASC
+         ) AS rank
+  FROM scores
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10
+"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the inverted index over the
+    documents table and return BM25 top-k for the derived query set."""
+    from kafka_es_ray.pipelines.fulltext import bm25_topk_documents
+
+    return bm25_topk_documents(SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _q_bm25_topk(sf_dir: str):
+    from kafka_es_ray.pipelines.fulltext import bm25_topk_documents
+
+    return bm25_topk_documents(sf_dir)
+
+
+def _q_doc_token_counts(sf_dir: str):
+    from kafka_es_ray.pipelines.text_ops import doc_token_counts
+    from kafka_es_ray.sources.parquet import read_table
+
+    return doc_token_counts(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_term_df(sf_dir: str):
+    from kafka_es_ray.pipelines.text_ops import term_df
+    from kafka_es_ray.sources.parquet import read_table
+
+    return term_df(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_exact_dedup(sf_dir: str):
+    from kafka_es_ray.pipelines.dedup_ops import exact_dedup
+    from kafka_es_ray.sources.parquet import read_table
+
+    return exact_dedup(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_lww_events(sf_dir: str):
+    from kafka_es_ray.pipelines.dedup_ops import last_write_wins
+    from kafka_es_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    out = last_write_wins(ds, "user_id", ["ts", "event_id"])
+    return out.select_columns(["user_id", "event_id", "event_type", "value"])
+
+
+def _q_window_events(sf_dir: str):
+    from kafka_es_ray.pipelines.relational import windowed_agg
+    from kafka_es_ray.sources.parquet import read_table
+
+    return windowed_agg(read_table(sf_dir, "events", columns=["ts", "event_type", "value"]))
+
+
+def _q_broadcast_lookup(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from kafka_es_ray.pipelines.relational import broadcast_join_agg
+    from kafka_es_ray.sources.parquet import read_table, table_path
+
+    customer = pq.read_table(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    return broadcast_join_agg(orders, customer)
+
+
+def _q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from kafka_es_ray.pipelines.ann import cosine_topk
+    from kafka_es_ray.sources.parquet import read_table, table_path
+
+    qt = pq.read_table(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qdf = qt.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 3].sort_values("vec_id")
+    qm = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_topk(emb, qdf["vec_id"].to_numpy(), qm, k=10)
+
+
+def _q_fingerprint(sf_dir: str):
+    from kafka_es_ray.pipelines.text_ops import doc_fingerprint
+    from kafka_es_ray.sources.parquet import read_table
+
+    return doc_fingerprint(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_lang_stats(sf_dir: str):
+    from kafka_es_ray.pipelines.text_ops import lang_stats
+    from kafka_es_ray.sources.parquet import read_table
+
+    return lang_stats(read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"]))
+
+
+def _q_quality(sf_dir: str):
+    from kafka_es_ray.pipelines.text_ops import doc_quality
+    from kafka_es_ray.sources.parquet import read_table
+
+    return doc_quality(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_lang_id(sf_dir: str):
+    from kafka_es_ray.pipelines.text_ops import lang_id
+    from kafka_es_ray.sources.parquet import read_table
+
+    return lang_id(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_simhash(sf_dir: str):
+    from kafka_es_ray.pipelines.dedup_ops import simhash64
+    from kafka_es_ray.sources.parquet import read_table
+
+    return simhash64(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_minhash_dups(sf_dir: str):
+    from kafka_es_ray.pipelines.dedup_ops import minhash_dedup
+    from kafka_es_ray.sources.parquet import read_table
+
+    return minhash_dedup(read_table(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.8)
+
+
+def _q_embedding_neardup(sf_dir: str):
+    from kafka_es_ray.pipelines.dedup_ops import embedding_neardup
+    from kafka_es_ray.sources.parquet import read_table
+
+    return embedding_neardup(read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]), 0.2)
+
+
+def _q_pages_pipeline(sf_dir: str):
+    # input_hint-shaped corpus synthesized at small scale (FIXTURES.md §1)
+    from kafka_es_ray.pipelines.fulltext import pages_pipeline
+
+    return pages_pipeline(n_rows=1000)
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.multimodal import make_media_fixture, media_features
+
+    out = media_features(rd.from_pandas(make_media_fixture(64)))
+    return out.select_columns(["media_id", "kind", "width", "height", "payload_bytes"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_topk": _q_bm25_topk,
+        "doc_token_counts": _q_doc_token_counts,
+        "term_df": _q_term_df,
+        "exact_dedup": _q_exact_dedup,
+        "lww_events": _q_lww_events,
+        "window_events": _q_window_events,
+        "broadcast_lookup": _q_broadcast_lookup,
+        "ann_cosine_topk": _q_ann_topk,
+        "doc_fingerprint": _q_fingerprint,
+        "lang_stats": _q_lang_stats,
+        "doc_quality": _q_quality,
+        "lang_id": _q_lang_id,
+        "simhash": _q_simhash,
+        "minhash_dups": _q_minhash_dups,
+        "embedding_neardup": _q_embedding_neardup,
+        "pages_pipeline": _q_pages_pipeline,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk": _BM25_SQL,
+        "doc_token_counts": f"SELECT doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents",
+        "term_df": f"""
+            SELECT term, count(*)::BIGINT AS df FROM (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+              )
+            ) GROUP BY term
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "lww_events": """
+            SELECT user_id, event_id, event_type, value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+              ) AS rn FROM events
+            ) WHERE rn = 1
+        """,
+        "window_events": """
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start_s,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "broadcast_lookup": """
+            SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::DOUBLE / 100.0
+                     AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_vec_id, embedding AS qe
+              FROM embeddings WHERE vec_id < 3
+            ),
+            sims AS (
+              SELECT q.query_vec_id, e.vec_id,
+                     round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim
+              FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+              SELECT query_vec_id, vec_id, sim, row_number() OVER (
+                PARTITION BY query_vec_id ORDER BY sim DESC, vec_id ASC
+              ) AS rank FROM sims
+            )
+            SELECT query_vec_id, rank::BIGINT AS rank, vec_id, sim
+            FROM ranked WHERE rank <= 10
+        """,
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "lang_stats": f"""
+            WITH t AS (
+              SELECT lang, n_chars, len({_TOK})::BIGINT AS n_tokens FROM documents
+            )
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars,
+                   round(sum(n_tokens)::DOUBLE / count(*), 6) AS avg_tokens
+            FROM t GROUP BY 1
+        """,
+        "doc_quality": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents)
+            SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                   round(CASE WHEN len(toks) > 0 THEN
+                     len(list_filter(toks, x -> x IN
+                       ('the','a','and','of','to','in','is','it')))::DOUBLE / len(toks)
+                     ELSE 0 END, 6) AS stop_ratio,
+                   round(CASE WHEN len(toks) > 0 THEN
+                     list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
+                     ELSE 0 END, 6) AS mean_token_len
+            FROM t
+        """,
+        # lang_id, simhash, minhash_dups, embedding_neardup, pages_pipeline,
+        # media_features: not SQL-expressible (heuristic models / sketches /
+        # self-synthesized corpus / binary payloads) -> rows-only check.
+    }

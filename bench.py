@@ -1,0 +1,175 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Headline: inverted-index build (docs/s) + BM25 query throughput (q/s) on
+the input_hint-shaped pages corpus (synthesized deterministically, cached
+under /tmp), plus the operator pipelines over $GRAFT_SF_DIR tables.
+
+    python bench.py                  # full run at RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling        # same job at 8 and 32 CPUs in fresh
+                                     # processes -> scaling efficiency
+Env:
+    GRAFT_SF_DIR      default /root/testdata/sf0.1
+    RAY_GRAFT_CPUS    default 32
+    BENCH_PAGES_ROWS  default 120000 (headline corpus size)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "120000"))
+CACHE_DIR = "/tmp/kafka_es_ray_bench"
+
+
+def ensure_pages_corpus(n_rows: int) -> str:
+    """Deterministic pages corpus, cached as multi-file parquet (written
+    once; read_parquet then gives parallel blocks)."""
+    out = os.path.join(CACHE_DIR, f"pages_{n_rows}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    import pyarrow.parquet as pq
+
+    from kafka_es_ray.fixtures import make_pages
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    t = make_pages(n_rows)
+    shard = max(1, n_rows // 16)
+    for i, start in enumerate(range(0, t.num_rows, shard)):
+        pq.write_table(t.slice(start, shard), os.path.join(out, f"part-{i:03d}.parquet"))
+    with open(marker, "w") as f:
+        f.write(str(n_rows))
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.fixtures import make_queries
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    corpus_dir = ensure_pages_corpus(PAGES_ROWS)
+    # warm page cache (untimed read) so we measure compute+shuffle
+    rd.read_parquet(corpus_dir).count()
+
+    # ---- headline: index build ----
+    idx = os.path.join(CACHE_DIR, f"idx_{PAGES_ROWS}_{NUM_CPUS}")
+    shutil.rmtree(idx, ignore_errors=True)
+    cfg = EngineConfig(num_partitions=max(NUM_CPUS * 2, 16), extract_concurrency=max(2, NUM_CPUS // 2))
+    t0 = time.perf_counter()
+    manifest = build_index(rd.read_parquet(corpus_dir), idx, cfg)
+    t_build = time.perf_counter() - t0
+    timings["index_build"] = round(t_build, 3)
+    extra["docs_per_sec"] = round(PAGES_ROWS / t_build, 1)
+    extra["n_docs_indexed"] = manifest["n_docs"]
+
+    # ---- headline: query throughput (distributed actor-pool stage) ----
+    queries = make_queries(40).to_pandas()
+    rep = 8
+    qdf = queries.loc[queries.index.repeat(rep)].reset_index(drop=True)
+    qdf["query_id"] = range(len(qdf))
+    t0 = time.perf_counter()
+    n_out = run_queries(
+        rd.from_pandas(qdf), idx, cfg, concurrency=max(2, NUM_CPUS // 4)
+    ).count()
+    t_query = time.perf_counter() - t0
+    timings["bm25_queries"] = round(t_query, 3)
+    extra["queries_per_sec"] = round(len(qdf) / t_query, 1)
+    extra["topk_rows"] = n_out
+
+    # ---- operator pipelines over the sf tables ----
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in (
+        "term_df",
+        "exact_dedup",
+        "window_events",
+        "broadcast_lookup",
+        "ann_cosine_topk",
+        "minhash_dups",
+        "simhash",
+        "doc_quality",
+    ):
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "count"):
+            res.count()  # consume the lazy Dataset
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    total = round(timings["index_build"] + timings["bm25_queries"], 3)
+    return {
+        "metric": "headline_sec (pages index build + bm25 query batch)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages_rows": PAGES_ROWS,
+        **extra,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes — the
+    sandbox protocol for the north_rule N vs 4N cluster criterion."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8 = results[8]["value"]
+    t32 = results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency (8 -> 32 cpus, same input)",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8cpu": t8,
+        "sec_32cpu": t32,
+        "docs_per_sec_8cpu": results[8]["docs_per_sec"],
+        "docs_per_sec_32cpu": results[32]["docs_per_sec"],
+        "queries_per_sec_8cpu": results[8]["queries_per_sec"],
+        "queries_per_sec_32cpu": results[32]["queries_per_sec"],
+        "pages_rows": results[32]["pages_rows"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — broadcast the query matrix ONCE with
+``ray.put`` (never re-shipped per batch), numpy matmul per batch, per-batch
+partial top-k (combiner), final per-query merge.  The shuffle moves only
+(query_id, vec_id, sim) candidate rows — k per query per batch — never the
+embeddings.
+
+Scale path: LSH-bucketed variant — random-hyperplane signs bucket vectors;
+queries probe only their bucket (+ optional multiprobe).  Recall < 1 by
+construction; the brute-force path is the correctness oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _round6(x):
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
+class CosineTopKStage:
+    """Stateful scoring stage: pulls the broadcast query matrix once in
+    __init__ (ray.put on the driver; the broadcast-small-side rule —
+    reference topicToIndexMap lookup M6, ElasticsearchSinkTask.kt:301-310)."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        q = ray.get(queries_ref)  # (query_ids, matrix)
+        self.qids = q[0]
+        self.qm = _normalize(q[1])
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        m = _normalize(np.stack(batch["embedding"].to_numpy()))
+        sims = self.qm @ m.T  # (n_queries, n_batch)
+        k = min(self.k, ids.size)
+        # per-batch partial top-k per query; keep everything within 1e-6 of
+        # the k-th best so 6dp rounding at the merge cannot change ranks
+        kth = -np.partition(-sims, k - 1, axis=1)[:, k - 1]
+        rows = []
+        for qi in range(self.qids.size):
+            sel = np.flatnonzero(sims[qi] >= kth[qi] - 1e-6)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "query_vec_id": np.int64(self.qids[qi]),
+                        "vec_id": ids[sel],
+                        "sim": sims[qi, sel],
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+
+def cosine_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10):
+    """Brute-force cosine top-k: returns (query_vec_id, rank, vec_id, sim)."""
+    import ray
+
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), np.asarray(query_matrix)))
+    partials = emb_ds.map_batches(
+        CosineTopKStage,
+        fn_constructor_args=(qref, k),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=2,
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        sim_r = _round6(g["sim"].to_numpy())
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, -sim_r))[:k]
+        return pd.DataFrame(
+            {
+                "query_vec_id": g["query_vec_id"].iloc[0],
+                "rank": np.arange(1, order.size + 1, dtype=np.int64),
+                "vec_id": ids[order],
+                "sim": sim_r[order],
+            }
+        )
+
+    return partials.groupby("query_vec_id").map_groups(merge, batch_format="pandas")
+
+
+class LshBucketStage:
+    """Scale path: random-hyperplane LSH bucket id per vector (nbits sign
+    bits).  Bucketing is a cheap narrow map; a bucketed top-k probes only
+    matching buckets (approximate; recall measured vs brute force)."""
+
+    def __init__(self, dim: int, nbits: int = 12, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, nbits))
+        self.weights = (1 << np.arange(nbits)).astype(np.int64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        bits = (m @ self.planes) > 0
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype(np.int64),
+                "bucket": bits @ self.weights,
+                "embedding": batch["embedding"],
+            }
+        )
+
+
+def lsh_cosine_topk(emb_ds, query_ids, query_matrix, k: int = 10, nbits: int = 8):
+    """Approximate: score only vectors whose bucket matches a query's
+    bucket.  Returns same schema as cosine_topk (subset recall)."""
+    import ray
+
+    dim = int(np.asarray(query_matrix).shape[1])
+    stage = LshBucketStage(dim, nbits)
+    qbits = (_normalize(np.asarray(query_matrix)) @ stage.planes) > 0
+    qbuckets = qbits @ stage.weights
+    wanted = set(int(x) for x in qbuckets)
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), np.asarray(query_matrix)))
+
+    wanted_arr = np.array(sorted(wanted), dtype=np.int64)
+    bucketed = emb_ds.map_batches(
+        lambda b: stage(b), batch_format="pandas", batch_size=4096
+    ).map_batches(
+        lambda b: b[np.isin(b["bucket"].to_numpy(), wanted_arr)],
+        batch_format="pandas",
+    )
+    partials = bucketed.map_batches(
+        CosineTopKStage,
+        fn_constructor_args=(qref, k),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=2,
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        sim_r = _round6(g["sim"].to_numpy())
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, -sim_r))[:k]
+        return pd.DataFrame(
+            {
+                "query_vec_id": g["query_vec_id"].iloc[0],
+                "rank": np.arange(1, order.size + 1, dtype=np.int64),
+                "vec_id": ids[order],
+                "sim": sim_r[order],
+            }
+        )
+
+    return partials.groupby("query_vec_id").map_groups(merge, batch_format="pandas")

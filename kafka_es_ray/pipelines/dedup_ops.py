@@ -1,0 +1,258 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding near-dup (task brief: first-class at 100 TB).
+
+Scale shapes:
+  * exact: content-hash column -> groupby(hash) -> per-group first.  The
+    shuffle moves (hash, doc_id) pairs, never the text, when
+    ``keys_only=True``.
+  * MinHash+LSH: shingle -> minhash signature per doc (vectorized) ->
+    explode to (band_id, band_hash) rows -> groupby(band) -> candidate
+    pairs -> exact-Jaccard verify.  Classic mergeable-sketch pattern.
+  * SimHash / fingerprints: per-batch vectorized, no shuffle.
+  * last-write-wins: the reference's per-_id upsert semantics
+    (SURVEY §2 E1, router D2) generalized to any (key, ts, seq) stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from kafka_es_ray.functions.hashing import stable_hash64
+from kafka_es_ray.functions.tokenizer import get_analyzer
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """One survivor per distinct text: (doc_id=min id, n_copies).
+
+    Hash-partition + per-group first — the exact-dedup rule the reference
+    gets from ES doc-id upsert (SURVEY §2.5 'Set ops / dedup')."""
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "h": stable_hash64(batch[text_col].to_numpy()).astype(np.uint64),
+                id_col: batch[id_col].astype(np.int64),
+            }
+        )
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [int(g[id_col].min())], "n_copies": [np.int64(len(g))]}
+        )
+
+    hashed = docs_ds.map_batches(add_hash, batch_format="pandas", batch_size=8192)
+    return hashed.groupby("h").map_groups(first_per_group, batch_format="pandas")
+
+
+# ------------------------------------------------------- last-write-wins
+
+
+def last_write_wins(ds, key_col: str, order_cols: list[str]):
+    """Latest row per key by order_cols desc (ties -> later order col desc).
+
+    The BulkAction upsert stream resolution: same routing key co-located,
+    winner = max sequence (reference D2/E1; we carry explicit seq columns,
+    SURVEY §4 'Ordering')."""
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_cols, ascending=False, kind="mergesort").head(1)
+
+    return ds.groupby(key_col).map_groups(latest, batch_format="pandas")
+
+
+# ------------------------------------------------------------- minhash
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(tokens: list[str], shingle: int) -> np.ndarray:
+    if len(tokens) < shingle:
+        joined = [" ".join(tokens)] if tokens else []
+    else:
+        joined = [" ".join(tokens[i : i + shingle]) for i in range(len(tokens) - shingle + 1)]
+    if not joined:
+        return np.array([], dtype=np.uint64)
+    return np.unique(stable_hash64(np.asarray(joined, dtype=object)))
+
+
+class MinHashStage:
+    """Per-doc minhash signature (num_perm permutations over w-shingles),
+    exploded to (band_id, band_hash, doc_id) rows for LSH bucketing."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle: int = 3):
+        assert num_perm % bands == 0
+        self.num_perm, self.bands, self.shingle = num_perm, bands, shingle
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _minhash_params(num_perm)
+        self.an = get_analyzer("en")
+
+    def signature(self, text: str) -> np.ndarray | None:
+        sh = _shingle_hashes(self.an.tokenize(text or ""), self.shingle)
+        if sh.size == 0:
+            return None
+        # (a*x + b) mod p, min over shingles, vectorized (num_perm x n)
+        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return v.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_band, out_hash = [], [], []
+        for doc_id, text in zip(batch["doc_id"].astype(np.int64), batch["text"]):
+            sig = self.signature(text)
+            if sig is None:
+                continue
+            bands = sig.reshape(self.bands, self.rows_per_band)
+            bh = stable_hash64(np.array([b.tobytes() for b in bands], dtype=object))
+            out_doc.extend([int(doc_id)] * self.bands)
+            out_band.extend(range(self.bands))
+            out_hash.extend(bh.tolist())
+        return pd.DataFrame(
+            {
+                "band_id": pd.Series(out_band, dtype=np.int32),
+                "band_hash": pd.Series(out_hash, dtype=np.uint64),
+                "doc_id": pd.Series(out_doc, dtype=np.int64),
+            }
+        )
+
+
+def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16, shingle: int = 3):
+    """LSH candidate pairs: docs sharing any band bucket.  Returns
+    (doc_a, doc_b) with doc_a < doc_b, distinct."""
+    sig = docs_ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle": shingle},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=2,
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if ids.size < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
+        i, j = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
+
+    cand = sig.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    # dedupe pairs found in multiple bands
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def minhash_dedup(docs_ds, threshold: float = 0.8, num_perm: int = 64, bands: int = 16, shingle: int = 3):
+    """Candidates + exact n-gram-Jaccard verification >= threshold.
+
+    Verification broadcasts the candidate doc ids' shingle sets via a
+    driver-side join at test scale; at 100 TB the verify step is a
+    bucketed self-join on candidate ids (documented partitioning
+    assumption: candidate set << corpus)."""
+    import ray
+
+    cand = minhash_candidates(docs_ds, num_perm, bands, shingle).to_pandas()
+    if cand.empty:
+        return cand.assign(jaccard=pd.Series([], dtype=np.float64))
+    need = np.unique(np.concatenate([cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()]))
+    need_ref = ray.put(set(int(x) for x in need))
+    stage_args = {"shingle": shingle}
+
+    def collect(batch: pd.DataFrame) -> pd.DataFrame:
+        need_ids = ray.get(need_ref)
+        an = get_analyzer("en")
+        rows = [
+            (int(d), _shingle_hashes(an.tokenize(t or ""), stage_args["shingle"]))
+            for d, t in zip(batch["doc_id"].astype(np.int64), batch["text"])
+            if int(d) in need_ids
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([r[0] for r in rows], dtype=np.int64),
+                "sh": pd.Series([r[1] for r in rows], dtype=object),
+            }
+        )
+
+    shingles = docs_ds.map_batches(collect, batch_format="pandas", batch_size=4096).to_pandas()
+    sh_map = dict(zip(shingles["doc_id"], shingles["sh"]))
+    jac = []
+    for a_id, b_id in zip(cand["doc_a"], cand["doc_b"]):
+        sa, sb = sh_map.get(int(a_id)), sh_map.get(int(b_id))
+        if sa is None or sb is None or sa.size == 0:
+            jac.append(0.0)
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        jac.append(inter / (sa.size + sb.size - inter))
+    cand = cand.assign(jaccard=np.asarray(jac))
+    return cand[cand["jaccard"] >= threshold].reset_index(drop=True)
+
+
+# ------------------------------------------------------------- simhash
+
+
+class SimHashStage:
+    """64-bit SimHash over token hashes — per-batch vectorized, no
+    shuffle; near-dups = small Hamming distance."""
+
+    def __init__(self):
+        self.an = get_analyzer("en")
+        self.bits = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+
+    def simhash(self, tokens: list[str]) -> int:
+        if not tokens:
+            return 0
+        terms, tf = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
+        h = stable_hash64(terms)
+        bits = ((h[:, None] & self.bits) != 0).astype(np.int64)  # (n_terms, 64)
+        v = (bits * 2 - 1).T @ tf  # weighted bit votes
+        return int((self.bits[0][v > 0]).sum())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = self.an.tokenize_series(batch["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "simhash": pd.Series([self.simhash(t) for t in toks], dtype=np.uint64),
+            }
+        )
+
+
+def simhash64(docs_ds):
+    return docs_ds.map_batches(SimHashStage, batch_format="pandas", batch_size=4096, concurrency=2)
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def embedding_neardup(emb_ds, threshold: float = 0.95):
+    """Cosine >= threshold pairs via LSH-free blocked self-join at test
+    scale: normalize per batch, all-pairs within the (small) materialized
+    matrix.  At 100 TB this becomes IVF/LSH bucketing (see pipelines/ann).
+    Returns (vec_a, vec_b, sim) with vec_a < vec_b, sim rounded 6dp."""
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame({"vec_id": batch["vec_id"].astype(np.int64), "nv": list(m)})
+
+    df = emb_ds.map_batches(norm, batch_format="pandas", batch_size=4096).to_pandas()
+    ids = df["vec_id"].to_numpy()
+    m = np.stack(df["nv"].to_numpy())
+    sims = m @ m.T
+    iu, ju = np.triu_indices(ids.size, k=1)
+    mask = sims[iu, ju] >= threshold
+    a, b = ids[iu[mask]], ids[ju[mask]]
+    swap = a > b
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    s = np.floor(sims[iu[mask], ju[mask]] * 1e6 + 0.5) / 1e6
+    order = np.lexsort((b2, a2))
+    return pd.DataFrame({"vec_a": a2[order], "vec_b": b2[order], "sim": s[order]})

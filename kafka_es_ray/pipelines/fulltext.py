@@ -1,0 +1,122 @@
+"""Flagship full-text pipelines.
+
+* ``documents`` table (driver testdata): build an inverted index with the
+  engine, run a deterministically-derived query set, return BM25 top-k —
+  SQL-oracle-checkable end to end (the oracle recomputes BM25 in DuckDB).
+* ``pages`` corpus (input_hint shape, synthesized by fixtures.py): the
+  full reference pipeline — html recovery, per-lang analysis, LWW dedup —
+  checked in pytest against the brute-force oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from kafka_es_ray.config import EngineConfig
+from kafka_es_ray.index.build import build_index
+from kafka_es_ray.query.engine import IndexSearcher
+from kafka_es_ray.sources.parquet import read_table
+
+DOCS_CFG = EngineConfig(num_partitions=8)
+
+
+def documents_dataset(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = batch.column("doc_id").cast(pa.string())
+        return batch.append_column("key", key)
+
+    return ds.map_batches(add_key, batch_format="pyarrow")
+
+
+def build_documents_index(sf_dir: str, index_dir: str, cfg: EngineConfig = DOCS_CFG) -> dict:
+    """documents(doc_id,text,lang) -> inverted index.  doc_id is the
+    provided external id (no LWW needed: ids are unique)."""
+    return build_index(
+        documents_dataset(sf_dir),
+        index_dir,
+        cfg,
+        key_col="key",
+        text_col="text",
+        lang_col="lang",
+        html_col=None,
+        ts_col=None,
+        id_col="doc_id",
+    )
+
+
+def derive_query_set(searcher: IndexSearcher, n_top: int = 8) -> pd.DataFrame:
+    """Deterministic query set from corpus stats: top-n_top terms by
+    (df desc, term asc) — reproduced exactly by the SQL oracle's
+    row_number() derivation.  Queries: [t1], [t2 t3], [t4 t5 t6],
+    [t7 t8], [absent-term]."""
+    # merge per-segment dictionaries -> global df (small vocab at test
+    # scale; at 100 TB this is itself a term_df pipeline over segments)
+    df_map: dict[str, int] = {}
+    for s in searcher.segments:
+        for t, d in zip(s.terms, s.df):
+            df_map[t] = df_map.get(t, 0) + int(d)
+    ranked = sorted(df_map.items(), key=lambda kv: (-kv[1], kv[0]))[:n_top]
+    top = [t for t, _ in ranked]
+    qtexts = [
+        " ".join(top[0:1]),
+        " ".join(top[1:3]),
+        " ".join(top[3:6]),
+        " ".join(top[6:8]),
+        "zzzabsentterm",
+    ]
+    return pd.DataFrame(
+        {
+            "query_id": np.arange(len(qtexts), dtype=np.int64),
+            "text": qtexts,
+            "lang": "en",
+            "k": np.int32(10),
+        }
+    )
+
+
+def bm25_topk_documents(sf_dir: str, index_dir: str | None = None, k: int = 10) -> pd.DataFrame:
+    """End-to-end: build (or reuse) the documents index, derive queries,
+    return (query_id, rank, doc_id, score)."""
+    own = index_dir is None
+    if own:
+        index_dir = tempfile.mkdtemp(prefix="kafka_es_ray_docidx_")
+    try:
+        if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+            build_documents_index(sf_dir, index_dir)
+        searcher = IndexSearcher(index_dir)
+        queries = derive_query_set(searcher)
+        res = searcher.search_batch(queries)
+        return res[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True)
+    finally:
+        if own:
+            shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def pages_pipeline(n_rows: int = 1000, num_partitions: int = 8, index_dir: str | None = None) -> pd.DataFrame:
+    """The reference pipeline end-to-end on the input_hint-shaped corpus:
+    synthesize pages -> build index (html recovery, LWW, per-lang
+    analysis) -> run the fixture query set -> top-k."""
+    import ray.data as rd
+
+    from kafka_es_ray.fixtures import make_pages, make_queries
+
+    own = index_dir is None
+    if own:
+        index_dir = tempfile.mkdtemp(prefix="kafka_es_ray_pages_")
+    try:
+        cfg = EngineConfig(num_partitions=num_partitions)
+        build_index(rd.from_arrow(make_pages(n_rows)), index_dir, cfg)
+        searcher = IndexSearcher(index_dir, cfg)
+        res = searcher.search_batch(make_queries(12).to_pandas())
+        return res.reset_index(drop=True)
+    finally:
+        if own:
+            shutil.rmtree(index_dir, ignore_errors=True)

@@ -1,0 +1,198 @@
+"""Text analysis operators over a documents table — token counting,
+quality scoring, language ID, document fingerprinting (task brief:
+first-class training-data-pipeline ops).
+
+All stages are vectorized ``map_batches``; the tokenizer matches the
+ascii_v1 analyzer so SQL oracles reproduce results exactly
+(tests/test_tokenizer.py::test_duckdb_parity).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from kafka_es_ray.functions.tokenizer import get_analyzer
+
+# Small fixed stopword list (frozen with the analyzer version).
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+class TokenStatsStage:
+    """Actor-pool stage: per-doc token count + quality metrics.  Analyzer
+    compiled once per actor (reference stateful-converter analog,
+    ProtobufSerde.kt:26-73)."""
+
+    def __init__(self, text_col: str = "text", quality: bool = False):
+        self.an = get_analyzer("en")  # ascii_v1 == SQL tokenizer
+        self.text_col = text_col
+        self.quality = quality
+        self.stop = set(STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = self.an.tokenize_series(batch[self.text_col])
+        n_tokens = toks.str.len().astype(np.int64)
+        out = pd.DataFrame({"doc_id": batch["doc_id"].astype(np.int64), "n_tokens": n_tokens.to_numpy()})
+        if self.quality:
+            stop = self.stop
+            n_stop = toks.map(lambda ts: sum(t in stop for t in ts)).astype(np.int64)
+            total_len = toks.map(lambda ts: sum(len(t) for t in ts)).astype(np.float64)
+            nt = n_tokens.to_numpy().astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out["stop_ratio"] = _round6(np.where(nt > 0, n_stop.to_numpy() / nt, 0.0))
+                out["mean_token_len"] = _round6(np.where(nt > 0, total_len.to_numpy() / nt, 0.0))
+        return out
+
+
+def _round6(x):
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
+def doc_token_counts(docs_ds):
+    """(doc_id, n_tokens) per document."""
+    return docs_ds.map_batches(
+        TokenStatsStage, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+
+
+def doc_quality(docs_ds):
+    """(doc_id, n_tokens, stop_ratio, mean_token_len)."""
+    return docs_ds.map_batches(
+        TokenStatsStage,
+        fn_constructor_kwargs={"quality": True},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=2,
+    )
+
+
+class _TermDfPartial:
+    """Combiner: per-batch partial df (one row per distinct term per
+    batch) BEFORE the groupby — the pre-aggregate rule (ray_guide
+    'Aggregation at scale'; reference-side analog: metrics partials per
+    task, MetricsUpdater.kt:3-15)."""
+
+    def __init__(self):
+        self.an = get_analyzer("en")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = self.an.tokenize_series(batch["text"])
+        sets = [np.unique(np.asarray(t, dtype=object)) for t in toks if t]
+        if not sets:
+            return pd.DataFrame({"term": pd.Series([], dtype=object), "df_partial": pd.Series([], dtype=np.int64)})
+        allt = np.concatenate(sets)
+        terms, counts = np.unique(allt, return_counts=True)
+        return pd.DataFrame({"term": terms, "df_partial": counts.astype(np.int64)})
+
+
+def term_df(docs_ds):
+    """Global document frequency per term: partial per batch, then a small
+    groupby-sum (the only shuffle moves one row per (term, batch))."""
+    from ray.data.aggregate import Sum
+
+    partials = docs_ds.map_batches(_TermDfPartial, batch_format="pandas", batch_size=4096, concurrency=2)
+    return partials.groupby("term").aggregate(Sum("df_partial", alias_name="df"))
+
+
+class LangIdStage:
+    """Character-n-gram heuristic language ID (no external models).
+
+    Scores each doc against per-language trigram profiles built from
+    small frozen seed text; vectorized via per-batch numpy ops.  Not
+    SQL-expressible -> rows-only correctness check."""
+
+    SEEDS = {
+        "en": "the quick brown fox jumps over the lazy dog and the cat is on the mat with a hat",
+        "de": "der schnelle braune fuchs springt über den faulen hund und die katze ist auf der matte",
+        "fr": "le renard brun rapide saute par dessus le chien paresseux et le chat est sur le tapis",
+        "es": "el rapido zorro marron salta sobre el perro perezoso y el gato esta en la alfombra",
+    }
+
+    def __init__(self):
+        self.profiles = {}
+        for lang, seed in self.SEEDS.items():
+            grams = [seed[i : i + 3] for i in range(len(seed) - 2)]
+            g, c = np.unique(np.asarray(grams, dtype=object), return_counts=True)
+            self.profiles[lang] = dict(zip(g.tolist(), (c / c.sum()).tolist()))
+
+    def _score(self, text: str) -> str:
+        t = (text or "").lower()
+        grams = [t[i : i + 3] for i in range(max(0, len(t) - 2))]
+        if not grams:
+            return "und"
+        best, best_s = "und", -1.0
+        for lang, prof in self.profiles.items():
+            s = sum(prof.get(g, 0.0) for g in grams) / len(grams)
+            if s > best_s:
+                best, best_s = lang, s
+        return best
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "lang_pred": batch["text"].map(self._score),
+            }
+        )
+
+
+def lang_id(docs_ds):
+    return docs_ds.map_batches(LangIdStage, batch_format="pandas", batch_size=4096, concurrency=2)
+
+
+def doc_fingerprint(docs_ds):
+    """(doc_id, fp): md5 content fingerprint of the raw text — matches
+    DuckDB md5(text) for the SQL oracle.  Per-row digest is inherently
+    per-row work; md5 of short strings is C-speed."""
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "fp": batch["text"].map(lambda t: hashlib.md5((t or "").encode()).hexdigest()),
+            }
+        )
+
+    return docs_ds.map_batches(fp, batch_format="pandas", batch_size=8192)
+
+
+def lang_stats(docs_ds):
+    """Per-lang corpus stats (n_docs, avg chars, avg tokens) with partial
+    aggregation before the tiny groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    class Partial(TokenStatsStage):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = self.an.tokenize_series(batch[self.text_col])
+            return (
+                pd.DataFrame(
+                    {
+                        "lang": batch["lang"],
+                        "n_chars": batch["n_chars"].astype(np.int64),
+                        "n_tokens": toks.str.len().astype(np.int64),
+                    }
+                )
+                .groupby("lang", as_index=False)
+                .agg(n_docs=("lang", "size"), sum_chars=("n_chars", "sum"), sum_tokens=("n_tokens", "sum"))
+            )
+
+    partials = docs_ds.map_batches(Partial, batch_format="pandas", batch_size=8192, concurrency=2)
+    agg = partials.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_chars", alias_name="sum_chars"),
+        Sum("sum_tokens", alias_name="sum_tokens"),
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": batch["lang"],
+                "n_docs": batch["n_docs"].astype(np.int64),
+                "avg_chars": _round6(batch["sum_chars"] / batch["n_docs"]),
+                "avg_tokens": _round6(batch["sum_tokens"] / batch["n_docs"]),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
