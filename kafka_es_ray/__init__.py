@@ -16,3 +16,46 @@ Reference citations in docstrings use file:line relative to /root/reference.
 __version__ = "0.1.0"
 
 from kafka_es_ray.config import EngineConfig  # noqa: F401
+
+
+def _register_pickle_by_value() -> None:
+    """Ship this package's code by VALUE inside Ray task/actor pickles.
+
+    Ray pickles classes/functions by module reference; if the driver's
+    working directory (not this repo) decides the workers' sys.path, every
+    actor-pool stage would die with ModuleNotFoundError and Ray would
+    retry forever.  Registering the package for cloudpickle
+    by-value serialization makes stages self-contained — the worker never
+    needs kafka_es_ray importable.  Cost: a few KB per task submission."""
+    import sys
+
+    try:
+        from ray import cloudpickle
+    except Exception:  # pragma: no cover - ray not installed
+        return
+    # eager-import the stage-bearing submodules so they register too
+    from kafka_es_ray import fixtures  # noqa: F401
+    from kafka_es_ray.functions import codec, hashing, textproc, tokenizer  # noqa: F401
+    from kafka_es_ray.index import build, segment  # noqa: F401
+    from kafka_es_ray.pipelines import (  # noqa: F401
+        actions_flow,
+        ann,
+        dedup_ops,
+        fulltext,
+        multimodal,
+        relational,
+        text_ops,
+    )
+    from kafka_es_ray.query import bm25, bruteforce, engine  # noqa: F401
+    from kafka_es_ray.sources import parquet  # noqa: F401
+    from kafka_es_ray.stages import actions  # noqa: F401
+
+    for name, mod in list(sys.modules.items()):
+        if mod is not None and (name == "kafka_es_ray" or name.startswith("kafka_es_ray.")):
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:  # pragma: no cover
+                pass
+
+
+_register_pickle_by_value()

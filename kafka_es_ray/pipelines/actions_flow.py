@@ -1,0 +1,82 @@
+"""The full reference dataflow, end to end:
+
+    records (topic, seq, action-header, value, tag)
+      -> ParseActionsStage        (convert + tag filter + index default)
+      -> resolve_actions          (route, LWW, tombstones)
+      -> field extraction         (source JSON -> text)
+      -> build_index              (the '/_bulk sink' analog: segments)
+
+This is the Ray Data shape of the reference's channel topology
+(ElasticsearchSink.kt:25-164: in -> RoutingActor -> N x (BufferingActor ->
+BulkSinkActor) -> ES): routing = hash partition, buffering = Arrow
+batching, writer pool = the segment-building group tasks.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pyarrow as pa
+
+from kafka_es_ray.config import DEFAULT, EngineConfig
+from kafka_es_ray.index.build import build_index
+from kafka_es_ray.stages.actions import ParseActionsStage, resolve_actions
+
+
+def index_from_actions(
+    records_ds,
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    *,
+    tag: str | None = None,
+    default_index: str | None = "docs",
+    topic_index_map: dict[str, str] | None = None,
+    text_field: str = "title",
+) -> dict:
+    """records -> parsed -> resolved live docs -> inverted index.
+
+    ``text_field`` is the source-JSON field indexed as document text."""
+    parsed = records_ds.map_batches(
+        ParseActionsStage,
+        fn_constructor_kwargs={
+            "tag": tag,
+            "default_index": default_index,
+            "topic_index_map": topic_index_map,
+        },
+        batch_format="pandas",
+        batch_size=cfg.batch_size,
+        concurrency=2,
+    )
+    live = resolve_actions(parsed)
+
+    def extract_field(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["source"].map(
+            lambda s: str(json.loads(s).get(text_field, "")) if s else ""
+        )
+        return pd.DataFrame(
+            {
+                "id": batch["id"],
+                "routing": batch["routing"],
+                "seq": batch["seq"],
+                "text": texts,
+                "lang": "en",
+            }
+        )
+
+    docs = live.map_batches(extract_field, batch_format="pandas")
+    # key = id; router key = routing ?? id (D2).  Docs are already resolved,
+    # so the in-partition LWW (keyed by seq) is a no-op except for same-id
+    # docs that arrived under distinct routing (kept apart, like ES shards).
+    return build_index(
+        docs,
+        index_dir,
+        cfg,
+        key_col="id",
+        text_col="text",
+        lang_col="lang",
+        html_col=None,
+        ts_col=None,
+        seq_col="seq",
+        routing_col="routing",
+    )

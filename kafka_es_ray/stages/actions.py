@@ -1,0 +1,231 @@
+"""Doc-ops stream semantics — the columnar BulkAction pipeline.
+
+Reimplements (Ray-Data-first, columnar) the reference's per-record
+convert/filter/fan-out chain:
+
+  * parse_records    — JsonConverter.toConnectData (JsonConverter.kt:42-76):
+                       polymorphic action header {op: {meta}} + JSON value;
+                       Delete takes no source; malformed -> quarantined row
+                       (poison-row handling for D10's NON_RETRIABLE class,
+                       ElasticsearchBulkSender.kt:51-92).
+  * tag filter       — BaseConverter.shouldSkipMessage (BaseConverter.kt:52-61):
+                       drop when a configured tag doesn't match the record's
+                       tag header; missing header => keep.
+  * fan-out          — preprocessRecords (ElasticsearchSinkTask.kt:282-299):
+                       a record value may be ONE action or a LIST; flatten.
+  * default index    — maybeUpdateActionIndex (ElasticsearchSinkTask.kt:301-310):
+                       _index ?? topic_index_map[topic] ?? default index,
+                       error when unresolved; preset index wins.
+  * empty-str -> null — ProtobufConverter normalization (ProtobufConverter.kt:71-74).
+  * NDJSON serialize — BulkAction.write / BulkMetaSerializer
+                       (BulkAction.kt:104-111,194-238): meta line + optional
+                       source line, '\n'-terminated — golden-tested.
+  * resolve_actions  — last-write-wins per (routing ?? id) by seq with
+                       delete tombstones (E1/D2 semantics) -> the doc set a
+                       downstream index build indexes.
+
+The actions schema (columnar sealed-class analog, SURVEY §1.2):
+  op: string in {index,create,update,delete}, id: string?, index: string?,
+  routing: string?, parent: string?, retry_on_conflict: int?, seq: int64,
+  source: string? (JSON), tag: string?
+Scripted updates are out of scope (documented, SURVEY §7.4): update
+resolves as doc-source last-write-wins.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+OPS = ("index", "create", "update", "delete")
+META_FIELDS = ("_id", "_type", "_index", "routing", "parent", "retry_on_conflict")
+
+
+def _norm(v):
+    """empty string -> null (ProtobufConverter.kt:71-74)."""
+    return None if v == "" or v is None else v
+
+
+def parse_record(header: str | None, value: str | None) -> list[dict] | None:
+    """One raw record -> list of action dicts (fan-out) or None (skip).
+    Raises ValueError on malformed input (callers quarantine)."""
+    if header is None:
+        raise ValueError("missing action header")
+    meta_obj = json.loads(header)
+    if not isinstance(meta_obj, dict) or len(meta_obj) != 1:
+        raise ValueError(f"action header must have exactly one op key: {header!r}")
+    op = next(iter(meta_obj))
+    if op not in OPS:
+        raise ValueError(f"unknown op {op!r}")
+    meta = meta_obj[op]
+    if not isinstance(meta, dict):
+        raise ValueError("op meta must be an object")
+    base = {
+        "op": op,
+        "id": _norm(meta.get("id", meta.get("_id"))),
+        "index": _norm(meta.get("index", meta.get("_index"))),
+        "routing": _norm(meta.get("routing")),
+        "parent": _norm(meta.get("parent")),
+        "retry_on_conflict": meta.get("retry_on_conflict"),
+    }
+    if op == "delete":
+        if value not in (None, ""):
+            # tolerated: delete ignores any value payload
+            pass
+        return [dict(base, source=None)]
+    if value in (None, ""):
+        raise ValueError(f"{op} action requires a source")
+    payload = json.loads(value)
+    if isinstance(payload, list):  # fan-out (ElasticsearchSinkTask.kt:282-299)
+        return [dict(base, source=json.dumps(p, separators=(",", ":"))) for p in payload]
+    return [dict(base, source=json.dumps(payload, separators=(",", ":")))]
+
+
+class ParseActionsStage:
+    """map_batches stage: raw records (topic, seq, action, value, tag) ->
+    actions rows + quarantine rows (poison-row handling, D10)."""
+
+    def __init__(
+        self,
+        tag: str | None = None,
+        default_index: str | None = None,
+        topic_index_map: dict[str, str] | None = None,
+    ):
+        self.tag = tag
+        self.default_index = default_index
+        self.topic_index_map = topic_index_map or {}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows: list[dict] = []
+        for r in batch.itertuples(index=False):
+            tag = getattr(r, "tag", None)
+            # tag filter: missing header => keep (BaseConverter.kt:52-61)
+            if self.tag is not None and tag is not None and tag != self.tag:
+                continue
+            topic = getattr(r, "topic", None)
+            try:
+                actions = parse_record(r.action, r.value)
+            except ValueError as exc:
+                rows.append(
+                    {
+                        "op": "quarantine",
+                        "id": None,
+                        "index": None,
+                        "routing": None,
+                        "seq": int(r.seq),
+                        "source": None,
+                        "error": str(exc),
+                    }
+                )
+                continue
+            for a in actions:
+                # default index resolution (ElasticsearchSinkTask.kt:301-310)
+                idx = a["index"] or self.topic_index_map.get(topic) or self.default_index
+                if idx is None:
+                    rows.append(
+                        {
+                            "op": "quarantine",
+                            "id": a["id"],
+                            "index": None,
+                            "routing": a["routing"],
+                            "seq": int(r.seq),
+                            "source": None,
+                            "error": f"index not resolved for topic {topic!r}",
+                        }
+                    )
+                    continue
+                rows.append(
+                    {
+                        "op": a["op"],
+                        "id": a["id"],
+                        "index": idx,
+                        "routing": a["routing"],
+                        "seq": int(r.seq),
+                        "source": a["source"],
+                        "error": None,
+                    }
+                )
+        return pd.DataFrame(
+            rows,
+            columns=["op", "id", "index", "routing", "seq", "source", "error"],
+        ).astype({"seq": np.int64})
+
+
+def serialize_action(
+    op: str,
+    id: str | None = None,
+    index: str | None = None,
+    routing: str | None = None,
+    parent: str | None = None,
+    retry_on_conflict: int | None = None,
+    source: str | None = None,
+) -> str:
+    """NDJSON form: meta line + optional source line, each '\\n'-terminated
+    (the ES /_bulk wire format the reference emits, BulkAction.kt:104-111;
+    golden-tested in tests/test_actions.py)."""
+    meta: dict = {}
+    if id is not None:
+        meta["_id"] = id
+    if index is not None:
+        meta["_index"] = index
+    if routing is not None:
+        meta["routing"] = routing
+    if parent is not None:
+        meta["parent"] = parent
+    if retry_on_conflict is not None and op == "update":
+        meta["retry_on_conflict"] = retry_on_conflict
+    out = json.dumps({op: meta}, separators=(",", ":")) + "\n"
+    if op != "delete":
+        if source is None:
+            raise ValueError(f"{op} action requires a source")
+        out += source + "\n"
+    return out
+
+
+def serialize_bulk(actions: pd.DataFrame) -> str:
+    """A bulk body: concatenated NDJSON actions (BulkRequest.kt:16-47,
+    content type application/x-ndjson)."""
+    parts = []
+    for r in actions.itertuples(index=False):
+        parts.append(
+            serialize_action(
+                r.op,
+                id=r.id,
+                index=r.index,
+                routing=getattr(r, "routing", None),
+                parent=getattr(r, "parent", None),
+                retry_on_conflict=getattr(r, "retry_on_conflict", None),
+                source=r.source,
+            )
+        )
+    return "".join(parts)
+
+
+def resolve_actions(actions_ds):
+    """Op-stream -> live doc set: groupby(routing ?? id), winner = max seq
+    (E1 upsert / D2 co-location); delete winners drop the doc; 'create'
+    only wins if no earlier live doc... ES semantics for create are
+    version-conflict-on-exists — in a bounded batch we resolve create like
+    index (documented divergence: conflicts surface as quarantine rows in
+    a future version).
+
+    Returns Dataset of (id, index, routing, seq, source)."""
+
+    def add_route_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["op"] != "quarantine"].copy()
+        batch = batch[~batch["id"].isna()]  # auto-id docs can't conflict; handled separately
+        batch["route_key"] = batch["routing"].where(~batch["routing"].isna(), batch["id"])
+        return batch
+
+    def winner(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seq", kind="mergesort")
+        # last-write-wins PER id within the routing group (router co-locates
+        # same id; resolution is by id, Actors.kt:57-75 ordering note)
+        last = g.groupby("id", as_index=False).tail(1)
+        live = last[last["op"] != "delete"]
+        return live[["id", "index", "routing", "seq", "source"]]
+
+    keyed = actions_ds.map_batches(add_route_key, batch_format="pandas")
+    return keyed.groupby("route_key").map_groups(winner, batch_format="pandas")

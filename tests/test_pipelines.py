@@ -1,0 +1,104 @@
+"""Driver-style oracle parity in pytest (sf0.001) + rows-only pipeline
+sanity.  The standalone sweep lives in tools/check_oracle.py; this keeps
+a fast subset green in CI."""
+
+import duckdb
+import numpy as np
+import pytest
+
+import __ray_entry__ as entrymod
+from tools.check_oracle import canon, to_pandas
+
+SF = "/root/testdata/sf0.001"
+SQL_SUBSET = [
+    "bm25_topk",
+    "doc_token_counts",
+    "term_df",
+    "exact_dedup",
+    "lww_events",
+    "window_events",
+    "broadcast_lookup",
+    "ann_cosine_topk",
+    "doc_fingerprint",
+    "lang_stats",
+    "doc_quality",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+@pytest.mark.parametrize("name", SQL_SUBSET)
+def test_sql_oracle_parity(ray_session, con, name):
+    mine = canon(to_pandas(entrymod.queries()[name](SF)))
+    oracle = canon(con.execute(entrymod.oracle_sql()[name]).fetchdf())
+    assert list(mine.columns) == list(oracle.columns)
+    assert len(mine) == len(oracle)
+    for c in mine.columns:
+        if mine[c].dtype == "float64":
+            assert np.array_equal(mine[c].to_numpy(), oracle[c].to_numpy()), c
+        else:
+            assert mine[c].equals(oracle[c]), c
+
+
+def test_rows_only_pipelines_run(ray_session):
+    qs = entrymod.queries()
+    for name in ("lang_id", "simhash", "minhash_dups", "embedding_neardup", "media_features"):
+        res = to_pandas(qs[name](SF))
+        assert len(res) > 0, name
+
+
+def test_entry_smoke(ray_session):
+    res = entrymod.entry()
+    df = to_pandas(res)
+    assert len(df) > 0
+    assert set(df.columns) == {"query_id", "rank", "doc_id", "score"}
+
+
+def test_minhash_finds_planted_neardups(ray_session):
+    """Plant near-duplicate docs; MinHash+LSH must surface the pair with
+    high Jaccard."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.dedup_ops import minhash_dedup
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    near = " ".join(f"tok{i}" for i in range(199)) + " tokX"
+    other = " ".join(f"zzz{i}" for i in range(200))
+    docs = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, other]})
+    out = minhash_dedup(rd.from_pandas(docs), threshold=0.5)
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_lsh_ann_recall(ray_session):
+    """LSH-bucketed ANN returns a subset of brute force with decent
+    recall on clustered data."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.ann import cosine_topk, lsh_cosine_topk
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((4, 32))
+    vecs = np.concatenate([c + 0.05 * rng.standard_normal((50, 32)) for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64), "embedding": list(vecs.astype(np.float32))})
+    qids = np.array([0, 50])
+    qm = vecs[qids]
+    exact = to_pandas(cosine_topk(rd.from_pandas(df), qids, qm, k=10))
+    approx = to_pandas(lsh_cosine_topk(rd.from_pandas(df), qids, qm, k=10, nbits=2))
+    recalls = []
+    for q in qids:
+        e = set(exact[exact["query_vec_id"] == q]["vec_id"])
+        a = set(approx[approx["query_vec_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    # LSH is approximate: a cluster straddling a bucket boundary loses
+    # members — require useful average recall, not perfection
+    assert np.mean(recalls) >= 0.5, recalls
