@@ -98,7 +98,9 @@ def _postings_from_tokens(
     Returns (uniq_terms asc, term_code_sorted, posting_doc_ids, posting_tfs,
     doc_len) where postings are sorted by (term, doc_id).  ``doc_ids`` must
     be ascending (callers sort the partition first)."""
-    lens = np.array([len(t) for t in token_lists], dtype=np.int64)
+    import itertools
+
+    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
     n_docs = doc_ids.size
     if lens.sum() == 0:
         return (
@@ -108,12 +110,19 @@ def _postings_from_tokens(
             np.array([], dtype=np.int64),
             lens,
         )
-    all_tokens = np.concatenate([np.asarray(t, dtype=object) for t in token_lists if t])
+    all_tokens = np.array(list(itertools.chain.from_iterable(token_lists)), dtype=object)
     all_doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-    uniq_terms, inv = np.unique(all_tokens, return_inverse=True)
+    # hash-based factorize (O(n)) + small-vocab sort beats np.unique's
+    # O(n log n) string sort ~5x on Zipfian corpora
+    codes, uniq = pd.factorize(all_tokens, sort=False)
+    uniq_terms = np.asarray(uniq, dtype=object)
+    order = np.argsort(uniq_terms, kind="stable")
+    rank = np.empty(order.size, dtype=np.int64)
+    rank[order] = np.arange(order.size)
+    uniq_terms = uniq_terms[order]
     # (term, doc) pair counting in one pass; term-major key so the result
     # comes out sorted by (term_code, doc_idx) == (term, doc_id)
-    key = inv.astype(np.int64) * n_docs + all_doc_idx
+    key = rank[codes] * n_docs + all_doc_idx
     uk, tf = np.unique(key, return_counts=True)
     term_code = uk // n_docs
     doc_idx = uk % n_docs

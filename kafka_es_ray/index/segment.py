@@ -107,6 +107,17 @@ class Segment:
             sum_dl=int(doc_len.sum()),
         )
 
+    def __post_init__(self):
+        # decoded-postings LRU: a query actor serves many queries; hot
+        # (typically head) terms decode once per actor, not once per query
+        # (stateful-worker amortization, the reference's parser-built-once
+        # rule ProtobufSerde.kt:26-73).  Cap bounds memory.
+        from collections import OrderedDict
+
+        self._cache: OrderedDict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = OrderedDict()
+        self._cache_postings = 0
+        self._cache_cap = 20_000_000  # decoded postings entries per segment
+
     def lookup(self, term: str) -> int:
         """Dictionary binary search -> term index, or -1."""
         i = int(np.searchsorted(self.terms, term))
@@ -115,10 +126,26 @@ class Segment:
         return -1
 
     def postings(self, ti: int) -> tuple[np.ndarray, np.ndarray]:
+        ids, tfs, _ = self.postings_with_dl(ti)
+        return ids, tfs
+
+    def postings_with_dl(self, ti: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, tfs, dl) decoded, LRU-cached per actor."""
+        hit = self._cache.get(ti)
+        if hit is not None:
+            self._cache.move_to_end(ti)
+            return hit
         n = int(self.df[ti])
         ids = delta_decode(self.doc_ids_enc[ti], n)
         tfs = varint_decode(self.tfs_enc[ti], n).astype(np.int64)
-        return ids, tfs
+        dl = self.dl_for(ids)
+        entry = (ids, tfs, dl)
+        self._cache[ti] = entry
+        self._cache_postings += n
+        while self._cache_postings > self._cache_cap and len(self._cache) > 1:
+            _, (old_ids, _, _) = self._cache.popitem(last=False)
+            self._cache_postings -= old_ids.size
+        return entry
 
     def dl_for(self, doc_ids: np.ndarray) -> np.ndarray:
         """doc_len lookup; doc ids within a segment are dense-sortable so

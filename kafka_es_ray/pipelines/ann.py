@@ -75,20 +75,42 @@ def cosine_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int 
         concurrency=2,
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        sim_r = _round6(g["sim"].to_numpy())
-        ids = g["vec_id"].to_numpy().astype(np.int64)
-        order = np.lexsort((ids, -sim_r))[:k]
-        return pd.DataFrame(
-            {
-                "query_vec_id": g["query_vec_id"].iloc[0],
-                "rank": np.arange(1, order.size + 1, dtype=np.int64),
-                "vec_id": ids[order],
-                "sim": sim_r[order],
-            }
-        )
+    return _merge_topk(partials, k)
 
-    return partials.groupby("query_vec_id").map_groups(merge, batch_format="pandas")
+
+def _merge_topk(partials, k: int):
+    """Final per-query top-k merge of per-batch candidates (bucketed so
+    group count tracks B, not the number of queries)."""
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for qid, g in bucket.groupby("query_vec_id", sort=False):
+            sim_r = _round6(g["sim"].to_numpy())
+            ids = g["vec_id"].to_numpy().astype(np.int64)
+            order = np.lexsort((ids, -sim_r))[:k]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_vec_id": np.int64(qid),
+                        "rank": np.arange(1, order.size + 1, dtype=np.int64),
+                        "vec_id": ids[order],
+                        "sim": sim_r[order],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "query_vec_id": pd.Series([], dtype=np.int64),
+                    "rank": pd.Series([], dtype=np.int64),
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "sim": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_agg(partials, ["query_vec_id"], merge_bucket)
 
 
 class LshBucketStage:
@@ -140,17 +162,4 @@ def lsh_cosine_topk(emb_ds, query_ids, query_matrix, k: int = 10, nbits: int = 8
         concurrency=2,
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        sim_r = _round6(g["sim"].to_numpy())
-        ids = g["vec_id"].to_numpy().astype(np.int64)
-        order = np.lexsort((ids, -sim_r))[:k]
-        return pd.DataFrame(
-            {
-                "query_vec_id": g["query_vec_id"].iloc[0],
-                "rank": np.arange(1, order.size + 1, dtype=np.int64),
-                "vec_id": ids[order],
-                "sim": sim_r[order],
-            }
-        )
-
-    return partials.groupby("query_vec_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk(partials, k)

@@ -30,6 +30,8 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     Hash-partition + per-group first — the exact-dedup rule the reference
     gets from ES doc-id upsert (SURVEY §2.5 'Set ops / dedup')."""
 
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
@@ -38,13 +40,16 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
             }
         )
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [int(g[id_col].min())], "n_copies": [np.int64(len(g))]}
+    def first_per_key(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("h", as_index=False).agg(
+            doc_id=(id_col, "min"), n_copies=(id_col, "size")
         )
+        return g[["doc_id", "n_copies"]].astype(np.int64)
 
+    # the shuffle moves only (hash, id) pairs — never the text; bucketed
+    # combine keeps group count at B, not |distinct texts|
     hashed = docs_ds.map_batches(add_hash, batch_format="pandas", batch_size=8192)
-    return hashed.groupby("h").map_groups(first_per_group, batch_format="pandas")
+    return bucketed_group_agg(hashed, ["h"], first_per_key)
 
 
 # ------------------------------------------------------- last-write-wins
@@ -57,10 +62,13 @@ def last_write_wins(ds, key_col: str, order_cols: list[str]):
     winner = max sequence (reference D2/E1; we carry explicit seq columns,
     SURVEY §4 'Ordering')."""
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_cols, ascending=False, kind="mergesort").head(1)
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
-    return ds.groupby(key_col).map_groups(latest, batch_format="pandas")
+    def latest_per_key(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(order_cols, ascending=False, kind="mergesort")
+        return b.groupby(key_col, as_index=False).head(1)
+
+    return bucketed_group_agg(ds, [key_col], latest_per_key)
 
 
 # ------------------------------------------------------------- minhash
@@ -136,18 +144,27 @@ def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16, shingle: in
         concurrency=2,
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
-        i, j = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
-    cand = sig.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in bucket.groupby(["band_id", "band_hash"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = np.sort(g["doc_id"].to_numpy())
+            i, j = np.triu_indices(ids.size, k=1)
+            out_a.append(ids[i])
+            out_b.append(ids[j])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
+
+    def dedupe_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        return bucket.drop_duplicates(["doc_a", "doc_b"])
+
+    cand = bucketed_group_agg(sig, ["band_id", "band_hash"], pairs_in_bucket)
     # dedupe pairs found in multiple bands
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return bucketed_group_agg(cand, ["doc_a", "doc_b"], dedupe_pairs)
 
 
 def minhash_dedup(docs_ds, threshold: float = 0.8, num_perm: int = 64, bands: int = 16, shingle: int = 3):

@@ -27,35 +27,36 @@ def windowed_agg(events_ds, window: str = "1h"):
     The time-based flush of the reference's BufferingActor (bulk.delay.ms
     select+onTimeout, Actors.kt:150-152) is the streaming cousin of this:
     bounded batch runs collapse time windows to event-time grouping."""
-    from ray.data.aggregate import Sum
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    win_s = int(pd.Timedelta(window).total_seconds())
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        w = batch["ts"].dt.floor(window)
+        # int64 epoch-seconds window key: timestamp keys in a Ray groupby
+        # sort-shuffle are ~15x slower than ints (measured), and pandas
+        # datetime64 unit (ns vs us) stops mattering
+        ns = batch["ts"].astype("datetime64[ns]").astype("int64")
+        ws = (ns // (win_s * 10**9)) * win_s
         g = (
-            pd.DataFrame({"window_start": w, "event_type": batch["event_type"], "value": batch["value"]})
-            .groupby(["window_start", "event_type"], as_index=False)
+            pd.DataFrame({"window_start_s": ws, "event_type": batch["event_type"], "value": batch["value"]})
+            .groupby(["window_start_s", "event_type"], as_index=False)
             .agg(n_events=("value", "size"), sum_value=("value", "sum"))
         )
         return g
 
-    partials = events_ds.map_batches(partial, batch_format="pandas", batch_size=8192)
-    agg = partials.groupby(["window_start", "event_type"]).aggregate(
-        Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
-    )
-
-    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
-        # epoch seconds (int64) — timestamp-unit-agnostic for oracle parity
-        ws = pd.to_datetime(batch["window_start"]).astype("int64") // 10**9
-        return pd.DataFrame(
-            {
-                "window_start_s": ws.astype(np.int64),
-                "event_type": batch["event_type"],
-                "n_events": batch["n_events"].astype(np.int64),
-                "sum_value": _round6(batch["sum_value"]),
-            }
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["window_start_s", "event_type"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
         )
+        g["window_start_s"] = g["window_start_s"].astype(np.int64)
+        g["n_events"] = g["n_events"].astype(np.int64)
+        g["sum_value"] = _round6(g["sum_value"])
+        return g
 
-    return agg.map_batches(finalize, batch_format="pandas")
+    partials = events_ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+    # bucketed combine: thousands of distinct windows would hit Ray's
+    # per-group aggregate overhead; B buckets keep the shuffle wide-key-safe
+    return bucketed_group_agg(partials, ["window_start_s", "event_type"], combine)
 
 
 def broadcast_join_agg(orders_ds, customer_df: pd.DataFrame):

@@ -88,12 +88,19 @@ class _TermDfPartial:
 
 
 def term_df(docs_ds):
-    """Global document frequency per term: partial per batch, then a small
-    groupby-sum (the only shuffle moves one row per (term, batch))."""
-    from ray.data.aggregate import Sum
+    """Global document frequency per term: partial per batch (combiner),
+    then a bucketed combine — the shuffle moves one row per (term, batch)
+    and the group stage sees B buckets, not |vocab| keys."""
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
     partials = docs_ds.map_batches(_TermDfPartial, batch_format="pandas", batch_size=4096, concurrency=2)
-    return partials.groupby("term").aggregate(Sum("df_partial", alias_name="df"))
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("term", as_index=False).agg(df=("df_partial", "sum"))
+        g["df"] = g["df"].astype(np.int64)
+        return g
+
+    return bucketed_group_agg(partials, ["term"], combine)
 
 
 class LangIdStage:

@@ -108,8 +108,7 @@ class IndexSearcher:
             ti = s.lookup(t)
             if ti < 0:
                 continue
-            ids, tfs = s.postings(ti)
-            dl = s.dl_for(ids)
+            ids, tfs, dl = s.postings_with_dl(ti)
             contrib.append(idf[i] * bm25_tf_part(tfs, dl, self.avgdl, self.k1, self.b))
             id_arrs.append(ids)
         if not id_arrs:

@@ -213,19 +213,22 @@ def resolve_actions(actions_ds):
 
     Returns Dataset of (id, index, routing, seq, source)."""
 
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
     def add_route_key(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[batch["op"] != "quarantine"].copy()
         batch = batch[~batch["id"].isna()]  # auto-id docs can't conflict; handled separately
         batch["route_key"] = batch["routing"].where(~batch["routing"].isna(), batch["id"])
         return batch
 
-    def winner(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("seq", kind="mergesort")
-        # last-write-wins PER id within the routing group (router co-locates
-        # same id; resolution is by id, Actors.kt:57-75 ordering note)
-        last = g.groupby("id", as_index=False).tail(1)
+    def winners(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values("seq", kind="mergesort")
+        # last-write-wins PER (route_key, id) — the router co-locates same
+        # keys (Actors.kt:57-75); like ES, inconsistent routing for one id
+        # yields one live doc per shard
+        last = b.groupby(["route_key", "id"], as_index=False).tail(1)
         live = last[last["op"] != "delete"]
         return live[["id", "index", "routing", "seq", "source"]]
 
     keyed = actions_ds.map_batches(add_route_key, batch_format="pandas")
-    return keyed.groupby("route_key").map_groups(winner, batch_format="pandas")
+    return bucketed_group_agg(keyed, ["route_key"], winners)
