@@ -80,7 +80,12 @@ def run_bench() -> dict:
     # ---- headline: index build ----
     idx = os.path.join(CACHE_DIR, f"idx_{PAGES_ROWS}_{NUM_CPUS}")
     shutil.rmtree(idx, ignore_errors=True)
-    cfg = EngineConfig(num_partitions=max(NUM_CPUS * 2, 16), extract_concurrency=max(2, NUM_CPUS // 2))
+    # partition count tracks DATA size, never cluster size: the physical
+    # plan must be identical at both parallelism levels or the scaling
+    # comparison is meaningless (and at 100 TB the partition count is set
+    # by partition-fits-in-worker-heap, not by node count)
+    num_parts = max(16, PAGES_ROWS // 2500)
+    cfg = EngineConfig(num_partitions=num_parts, extract_concurrency=max(2, NUM_CPUS // 2))
     t0 = time.perf_counter()
     manifest = build_index(rd.read_parquet(corpus_dir), idx, cfg)
     t_build = time.perf_counter() - t0

@@ -36,7 +36,7 @@ def _register_pickle_by_value() -> None:
     # eager-import the stage-bearing submodules so they register too
     from kafka_es_ray import fixtures  # noqa: F401
     from kafka_es_ray.functions import codec, hashing, textproc, tokenizer  # noqa: F401
-    from kafka_es_ray.index import build, segment  # noqa: F401
+    from kafka_es_ray.index import build, incremental, merge, segment  # noqa: F401
     from kafka_es_ray.pipelines import (  # noqa: F401
         actions_flow,
         ann,
@@ -48,7 +48,7 @@ def _register_pickle_by_value() -> None:
     )
     from kafka_es_ray.query import bm25, bruteforce, engine  # noqa: F401
     from kafka_es_ray.sources import parquet  # noqa: F401
-    from kafka_es_ray.stages import actions  # noqa: F401
+    from kafka_es_ray.stages import actions, shuffle  # noqa: F401
 
     for name, mod in list(sys.modules.items()):
         if mod is not None and (name == "kafka_es_ray" or name.startswith("kafka_es_ray.")):

@@ -150,6 +150,8 @@ def build_segment_for_group(
     seq_col: str | None,
     id_col: str | None,
     op_col: str | None,
+    segment_id: int | None = None,
+    rank_base: int = 0,
 ) -> pd.DataFrame:
     """Build + atomically write ONE segment from one partition's rows.
 
@@ -162,6 +164,8 @@ def build_segment_for_group(
       4. per-lang tokenize -> postings -> delta+varint encode + block-max.
     """
     part_id = int(g["part_id"].iloc[0])
+    if segment_id is None:
+        segment_id = part_id
     t0 = time.time()
 
     # 1-2. LWW + tombstones
@@ -182,7 +186,7 @@ def build_segment_for_group(
         doc_ids = g[id_col].to_numpy(dtype=np.int64)
     else:
         g = g.sort_values(key_col, kind="mergesort")
-        doc_ids = part_id * cfg.part_stride + np.arange(len(g), dtype=np.int64)
+        doc_ids = part_id * cfg.part_stride + rank_base + np.arange(len(g), dtype=np.int64)
     keys = g[key_col].to_numpy()
     texts = g[text_col].reset_index(drop=True)
     langs = (
@@ -249,12 +253,13 @@ def build_segment_for_group(
             "lang": pa.array(langs.to_numpy(), type=pa.string()),
         }
     )
-    seg.atomic_write_table(postings_table, seg.postings_path(index_dir, part_id))
-    seg.atomic_write_table(docstore_table, seg.docstore_path(index_dir, part_id))
+    seg.atomic_write_table(postings_table, seg.postings_path(index_dir, segment_id))
+    seg.atomic_write_table(docstore_table, seg.docstore_path(index_dir, segment_id))
 
     content_hash = int(np.bitwise_xor.reduce(stable_hash64(keys))) if len(keys) else 0
     manifest = {
-        "part_id": part_id,
+        "part_id": segment_id,
+        "partition": part_id,
         "format_version": seg.FORMAT_VERSION,
         "analyzer_version": ANALYZER_VERSION,
         "n_input_rows": int(n_input),
@@ -264,14 +269,14 @@ def build_segment_for_group(
         "n_postings": int(n_postings),
         "content_hash": content_hash,
         "files": [
-            os.path.basename(seg.postings_path(index_dir, part_id)),
-            os.path.basename(seg.docstore_path(index_dir, part_id)),
+            os.path.basename(seg.postings_path(index_dir, segment_id)),
+            os.path.basename(seg.docstore_path(index_dir, segment_id)),
         ],
         "build_secs": round(time.time() - t0, 3),
     }
     # per-partition manifest written LAST = the commit point (D9 analog)
-    seg.atomic_write_json(manifest, seg.part_manifest_path(index_dir, part_id))
-    return pd.DataFrame({"part_id": [part_id], "manifest": [json.dumps(manifest)]})
+    seg.atomic_write_json(manifest, seg.part_manifest_path(index_dir, segment_id))
+    return pd.DataFrame({"part_id": [segment_id], "manifest": [json.dumps(manifest)]})
 
 
 def _completed_parts(index_dir: str, num_partitions: int) -> dict[int, dict]:

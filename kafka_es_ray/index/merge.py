@@ -1,0 +1,224 @@
+"""Segment merge — the ES/Lucene segment-merge analog (SURVEY §2 E3:
+"segment build + merge").
+
+Because doc partitions own disjoint, ORDERED doc_id ranges
+(doc_id = part_id * stride + rank), merging segments of parts p1 < p2 < ...
+never interleaves postings: a merged term's posting list is the
+concatenation of the parts' lists in part order, still sorted by doc_id.
+Merge is therefore a linear pass — no re-sort, no re-encode of the delta
+gaps except the single boundary gap between runs.
+
+Runs as a Ray pipeline: one task per merge group (map_batches over the
+group table), each writing one merged segment atomically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from kafka_es_ray.config import DEFAULT, EngineConfig
+from kafka_es_ray.functions.codec import varint_encode_with_offsets
+from kafka_es_ray.index import segment as seg
+from kafka_es_ray.index.build import _large_binary_from_slices
+
+# NOTE: no lazy kafka_es_ray imports inside functions that run on Ray
+# workers — by-value pickling ships the function code, but a runtime
+# import statement would still need the module importable on the worker.
+from kafka_es_ray.index.segment import Segment, read_manifest, write_manifest
+
+
+def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, cfg: EngineConfig) -> dict:
+    """Merge several segments into one (driver- or task-side callable)."""
+    part_ids = sorted(part_ids)
+    segs = [Segment.load(index_dir, p) for p in part_ids]
+    # order by doc_id range, not segment id: delta segments carry ids inside
+    # their partition's stride range, so range-order != creation order.
+    # Ranges are disjoint by construction (partition strides + alloc bases).
+    segs = sorted(
+        (s for s in segs if s.n_docs > 0), key=lambda s: int(s.doc_ids_store[0])
+    )
+
+    def _alive_mask(s: Segment, ids: np.ndarray) -> np.ndarray:
+        if s.tombstones is None or s.tombstones.size == 0 or ids.size == 0:
+            return np.ones(ids.size, dtype=bool)
+        pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
+        return s.tombstones[pos] != ids
+
+    # docstore: concat in part order (doc ids stay ascending); merge PURGES
+    # tombstoned docs — the ES merge semantic that makes deletes permanent
+    ds_alive = [_alive_mask(s, s.doc_ids_store) for s in segs]
+    doc_ids = (
+        np.concatenate([s.doc_ids_store[m] for s, m in zip(segs, ds_alive)])
+        if segs
+        else np.array([], dtype=np.int64)
+    )
+    assert doc_ids.size == 0 or (np.diff(doc_ids) > 0).all(), "part doc_id ranges must be disjoint+ordered"
+    doc_len = np.concatenate([s.doc_len[m] for s, m in zip(segs, ds_alive)]).astype(np.int64)
+    keys = np.concatenate([s.keys[m] for s, m in zip(segs, ds_alive)])
+    langs = ["und"] * doc_ids.size  # lang not needed post-merge; kept for schema
+
+    # union of dictionaries
+    all_terms = np.unique(np.concatenate([s.terms for s in segs]))
+    n_terms = all_terms.size
+    dfs = np.zeros(n_terms, dtype=np.int64)
+    p_ids_parts: list[np.ndarray] = []
+    p_tfs_parts: list[np.ndarray] = []
+    term_of_posting: list[np.ndarray] = []
+    for s in segs:
+        pos = np.searchsorted(all_terms, s.terms)
+        for local_ti, global_ti in enumerate(pos):
+            ids, tfs = s.postings(local_ti)
+            alive = _alive_mask(s, ids)
+            ids, tfs = ids[alive], tfs[alive]
+            if ids.size == 0:
+                continue
+            dfs[global_ti] += ids.size
+            p_ids_parts.append(ids)
+            p_tfs_parts.append(tfs)
+            term_of_posting.append(np.full(ids.size, global_ti, dtype=np.int64))
+    # terms whose postings were fully purged are dropped from the dictionary
+    live_terms = dfs > 0
+    if not live_terms.all():
+        remap = np.cumsum(live_terms) - 1
+        term_of_posting = [remap[t] for t in term_of_posting]
+        all_terms = all_terms[live_terms]
+        dfs = dfs[live_terms]
+        n_terms = all_terms.size
+    if p_ids_parts:
+        flat_ids = np.concatenate(p_ids_parts)
+        flat_tfs = np.concatenate(p_tfs_parts)
+        flat_term = np.concatenate(term_of_posting)
+        # stable sort by term only: within a term, part order == doc order
+        order = np.argsort(flat_term, kind="stable")
+        flat_ids, flat_tfs, flat_term = flat_ids[order], flat_tfs[order], flat_term[order]
+    else:
+        flat_ids = np.array([], dtype=np.int64)
+        flat_tfs = np.array([], dtype=np.int64)
+        flat_term = np.array([], dtype=np.int64)
+
+    n_postings = flat_ids.size
+    term_starts = np.searchsorted(flat_term, np.arange(n_terms))
+    term_ends = np.concatenate([term_starts[1:], [n_postings]])
+    gaps = flat_ids.copy()
+    if n_postings:
+        gaps[1:] -= flat_ids[:-1]
+        gaps[term_starts] = flat_ids[term_starts]
+    id_buf, id_off = varint_encode_with_offsets(gaps.astype(np.uint64))
+    tf_buf, tf_off = varint_encode_with_offsets(flat_tfs.astype(np.uint64))
+
+    B = cfg.block_size
+    run_lens = term_ends - term_starts
+    nb = (run_lens + B - 1) // B
+    first_block = np.concatenate([[0], np.cumsum(nb)])
+    binner = np.arange(int(first_block[-1]), dtype=np.int64) - np.repeat(first_block[:-1], nb)
+    block_start = np.repeat(term_starts, nb) + binner * B
+    block_end = np.minimum(block_start + B, np.repeat(term_ends, nb))
+    if n_postings:
+        dl_at = doc_len[np.searchsorted(doc_ids, flat_ids)]
+        bmax_tf = np.maximum.reduceat(flat_tfs, block_start).astype(np.uint32)
+        bmin_dl = np.minimum.reduceat(dl_at, block_start).astype(np.uint32)
+        blast = flat_ids[block_end - 1].astype(np.uint64)
+    else:
+        bmax_tf = np.array([], dtype=np.uint32)
+        bmin_dl = np.array([], dtype=np.uint32)
+        blast = np.array([], dtype=np.uint64)
+
+    postings_table = pa.table(
+        {
+            "term": pa.array(all_terms, type=pa.string()),
+            "df": pa.array(dfs, type=pa.int64()),
+            "doc_ids": _large_binary_from_slices(id_buf, id_off[np.concatenate([term_starts, [n_postings]])]),
+            "tfs": _large_binary_from_slices(tf_buf, tf_off[np.concatenate([term_starts, [n_postings]])]),
+            "block_max_tf": _large_binary_from_slices(bmax_tf.tobytes(), first_block * 4),
+            "block_min_dl": _large_binary_from_slices(bmin_dl.tobytes(), first_block * 4),
+            "block_last_doc": _large_binary_from_slices(blast.tobytes(), first_block * 8),
+        }
+    )
+    docstore_table = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "key": pa.array(keys, type=pa.string()),
+            "doc_len": pa.array(doc_len, type=pa.int32()),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
+    seg.atomic_write_table(postings_table, seg.postings_path(index_dir, out_part_id))
+    seg.atomic_write_table(docstore_table, seg.docstore_path(index_dir, out_part_id))
+    manifest = {
+        "part_id": out_part_id,
+        "format_version": seg.FORMAT_VERSION,
+        "merged_from": part_ids,
+        "n_docs": int(doc_ids.size),
+        "sum_dl": int(doc_len.sum()),
+        "n_terms": int(n_terms),
+        "n_postings": int(n_postings),
+        "content_hash": 0,
+        "files": [
+            os.path.basename(seg.postings_path(index_dir, out_part_id)),
+            os.path.basename(seg.docstore_path(index_dir, out_part_id)),
+        ],
+    }
+    seg.atomic_write_json(manifest, seg.part_manifest_path(index_dir, out_part_id))
+    return manifest
+
+
+def merge_index(index_dir: str, merge_factor: int = 4, cfg: EngineConfig = DEFAULT) -> dict:
+    """Compact an index: merge every ``merge_factor`` adjacent partitions
+    into one segment (Ray-parallel, one task per group), update the global
+    manifest.  Old part files are removed after the new manifest commits."""
+    import ray.data as rd
+
+    manifest = read_manifest(index_dir)
+    parts = sorted(int(p) for p in manifest["parts"])
+    groups = [parts[i : i + merge_factor] for i in range(0, len(parts), merge_factor)]
+    plan = pd.DataFrame(
+        {
+            "group_id": range(len(groups)),
+            "part_ids": [json.dumps(g) for g in groups],
+            # merged ids live above the original partition id space
+            "out_part_id": [100000 + i for i in range(len(groups))],
+        }
+    )
+
+    def do_merge(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in batch.itertuples(index=False):
+            m = merge_segment_group(index_dir, json.loads(r.part_ids), int(r.out_part_id), cfg)
+            rows.append({"out_part_id": int(r.out_part_id), "manifest": json.dumps(m)})
+        return pd.DataFrame(rows)
+
+    out = (
+        rd.from_pandas(plan)
+        .repartition(len(groups))
+        .map_batches(do_merge, batch_format="pandas", batch_size=1)
+        .take_all()
+    )
+    new_parts = {int(r["out_part_id"]): json.loads(r["manifest"]) for r in out}
+    n_docs = sum(m["n_docs"] for m in new_parts.values())
+    sum_dl = sum(m["sum_dl"] for m in new_parts.values())
+    merged_manifest = {
+        **manifest,
+        "parts": sorted(new_parts),
+        "part_manifests": {str(p): new_parts[p] for p in sorted(new_parts)},
+        # merge purged tombstoned docs -> stats now reflect live docs only
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+    }
+    write_manifest(index_dir, merged_manifest)
+    # old segments removed only after the new manifest is the commit point
+    for p in parts:
+        for path in (
+            seg.postings_path(index_dir, p),
+            seg.docstore_path(index_dir, p),
+            seg.part_manifest_path(index_dir, p),
+            seg.tombstones_path(index_dir, p),
+        ):
+            if os.path.exists(path):
+                os.remove(path)
+    return merged_manifest

@@ -54,6 +54,10 @@ def part_manifest_path(index_dir: str, part_id: int) -> str:
     return os.path.join(index_dir, f"part-{part_id:05d}.manifest.json")
 
 
+def tombstones_path(index_dir: str, part_id: int) -> str:
+    return os.path.join(index_dir, f"tombstones-{part_id:05d}.json")
+
+
 def atomic_write_table(table: pa.Table, path: str, compression: str = "zstd") -> None:
     """Write-to-tmp + rename — a failed task never leaves a readable
     partial file (resumability, SURVEY §4 checkpoint row)."""
@@ -80,17 +84,29 @@ class Segment:
     df: np.ndarray           # int64
     doc_ids_enc: list        # bytes per term
     tfs_enc: list
+    block_max_tf_enc: list   # bytes per term (uint32 LE per block)
+    block_min_dl_enc: list
+    block_last_doc_enc: list
     doc_base: int            # doc ids in docstore are arbitrary; base/dense see below
     doc_ids_store: np.ndarray   # int64, ascending
     doc_len: np.ndarray      # int32 aligned with doc_ids_store
     keys: np.ndarray         # object (urls) aligned with doc_ids_store
     n_docs: int
     sum_dl: int
+    # deleted-but-not-yet-merged doc ids (sorted; the Lucene deleted-docs
+    # bitmap analog).  Stats (df, N, avgdl) still include them until a
+    # merge purges — faithful to ES visibility semantics.
+    tombstones: np.ndarray = None  # type: ignore[assignment]
 
     @classmethod
     def load(cls, index_dir: str, part_id: int) -> "Segment":
         pt = pq.read_table(postings_path(index_dir, part_id))
         dt = pq.read_table(docstore_path(index_dir, part_id))
+        tpath = tombstones_path(index_dir, part_id)
+        tombstones = np.array([], dtype=np.int64)
+        if os.path.exists(tpath):
+            with open(tpath) as f:
+                tombstones = np.array(sorted(json.load(f)), dtype=np.int64)
         doc_ids_store = dt.column("doc_id").to_numpy()
         doc_len = dt.column("doc_len").to_numpy()
         return cls(
@@ -99,12 +115,16 @@ class Segment:
             df=pt.column("df").to_numpy(),
             doc_ids_enc=pt.column("doc_ids").to_pylist(),
             tfs_enc=pt.column("tfs").to_pylist(),
+            block_max_tf_enc=pt.column("block_max_tf").to_pylist(),
+            block_min_dl_enc=pt.column("block_min_dl").to_pylist(),
+            block_last_doc_enc=pt.column("block_last_doc").to_pylist(),
             doc_base=int(doc_ids_store[0]) if doc_ids_store.size else 0,
             doc_ids_store=doc_ids_store,
             doc_len=doc_len.astype(np.int64),
             keys=np.asarray(dt.column("key").to_pylist(), dtype=object),
             n_docs=dt.num_rows,
             sum_dl=int(doc_len.sum()),
+            tombstones=tombstones,
         )
 
     def __post_init__(self):
@@ -117,6 +137,7 @@ class Segment:
         self._cache: OrderedDict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = OrderedDict()
         self._cache_postings = 0
         self._cache_cap = 20_000_000  # decoded postings entries per segment
+        self._ub_cache: dict[int, float] = {}
 
     def lookup(self, term: str) -> int:
         """Dictionary binary search -> term index, or -1."""
@@ -146,6 +167,34 @@ class Segment:
             _, (old_ids, _, _) = self._cache.popitem(last=False)
             self._cache_postings -= old_ids.size
         return entry
+
+    def block_meta(self, ti: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(block_max_tf, block_min_dl, block_last_doc) for one term —
+        the block-max arrays written at build time."""
+        return (
+            np.frombuffer(self.block_max_tf_enc[ti], dtype=np.uint32),
+            np.frombuffer(self.block_min_dl_enc[ti], dtype=np.uint32),
+            np.frombuffer(self.block_last_doc_enc[ti], dtype=np.uint64),
+        )
+
+    def term_score_ub(self, ti: int, avgdl: float, k1: float, b: float) -> float:
+        """Exact-safe per-term upper bound of the BM25 tf-part within this
+        segment: max over blocks of f(block_max_tf, block_min_dl).  f is
+        increasing in tf and decreasing in dl, so this dominates every
+        posting's true tf-part for ANY avgdl (see index/segment.py header).
+        Cached per term."""
+        hit = self._ub_cache.get(ti)
+        if hit is not None:
+            return hit
+        btf, bdl, _ = self.block_meta(ti)
+        if btf.size == 0:
+            ub = 0.0
+        else:
+            tf = btf.astype(np.float64)
+            dl = bdl.astype(np.float64)
+            ub = float(np.max(tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))))
+        self._ub_cache[ti] = ub
+        return ub
 
     def dl_for(self, doc_ids: np.ndarray) -> np.ndarray:
         """doc_len lookup; doc ids within a segment are dense-sortable so

@@ -80,3 +80,61 @@ def index_from_actions(
         seq_col="seq",
         routing_col="routing",
     )
+
+
+def update_index_from_actions(
+    index_dir: str,
+    records_ds,
+    cfg: EngineConfig = DEFAULT,
+    *,
+    tag: str | None = None,
+    default_index: str | None = "docs",
+    topic_index_map: dict[str, str] | None = None,
+    text_field: str = "title",
+) -> dict:
+    """Continuous-ingest analog: apply a NEW batch of action records to an
+    EXISTING index as delta segments + tombstones (the put()-loop
+    semantics of the reference task, ElasticsearchSinkTask.kt:256-280;
+    see index/incremental.py)."""
+    from kafka_es_ray.index.incremental import apply_incremental
+
+    parsed = records_ds.map_batches(
+        ParseActionsStage,
+        fn_constructor_kwargs={
+            "tag": tag,
+            "default_index": default_index,
+            "topic_index_map": topic_index_map,
+        },
+        batch_format="pandas",
+        batch_size=cfg.batch_size,
+        concurrency=2,
+    )
+    live = resolve_actions(parsed, keep_deletes=True)
+
+    def extract_field(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["source"].map(
+            lambda s: str(json.loads(s).get(text_field, "")) if s else ""
+        )
+        return pd.DataFrame(
+            {
+                "op": batch["op"],
+                "id": batch["id"],
+                "routing": batch["routing"],
+                "seq": batch["seq"],
+                "text": texts,
+                "lang": "en",
+            }
+        )
+
+    docs = live.map_batches(extract_field, batch_format="pandas")
+    return apply_incremental(
+        index_dir,
+        docs,
+        cfg,
+        key_col="id",
+        text_col="text",
+        lang_col="lang",
+        seq_col="seq",
+        op_col="op",
+        routing_col="routing",
+    )

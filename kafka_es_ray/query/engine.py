@@ -27,7 +27,7 @@ import pandas as pd
 
 from kafka_es_ray.config import DEFAULT, EngineConfig
 from kafka_es_ray.functions.tokenizer import get_analyzer
-from kafka_es_ray.index.segment import Segment, read_manifest
+from kafka_es_ray.index.segment import Segment, postings_path, read_manifest
 from kafka_es_ray.query.bm25 import bm25_idf, bm25_tf_part, round6
 
 
@@ -54,25 +54,42 @@ class IndexSearcher:
         return df
 
     # ---- search ----
-    def search(self, text: str, lang: str | None = None, k: int = 10) -> pd.DataFrame:
+    def search(
+        self, text: str, lang: str | None = None, k: int = 10, prune: bool = True
+    ) -> pd.DataFrame:
         """Top-k docs for one query string.  Returns DataFrame
-        (rank, doc_id, key, score) with the determinism contract applied."""
+        (rank, doc_id, key, score) with the determinism contract applied.
+
+        ``prune=True`` enables block-max MaxScore pruning (exact — results
+        are identical to the exhaustive path, tested): terms whose
+        block-max upper bounds cannot lift a doc past the running k-th
+        score are demoted to lookup-only, so their (typically huge, common
+        -term) posting lists are never union-scored."""
+        empty = pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "key": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64),
+            }
+        )
         terms = sorted(set(get_analyzer(lang).tokenize(text)))
         if not terms:
-            return pd.DataFrame({"rank": [], "doc_id": [], "key": [], "score": []})
+            return empty
         df = self.global_df(terms)
         keep = df > 0
         terms = [t for t, m in zip(terms, keep) if m]
         df = df[keep]
         if not terms:
-            return pd.DataFrame({"rank": [], "doc_id": [], "key": [], "score": []})
+            return empty
         idf = bm25_idf(df, self.n_docs)
 
+        theta: float | None = None
         cand_ids: list[np.ndarray] = []
         cand_scores: list[np.ndarray] = []
         cand_keys: list[np.ndarray] = []
         for s in self.segments:
-            ids, scores = self._score_segment(s, terms, idf)
+            ids, scores = self._score_segment(s, terms, idf, theta if prune else None)
             if ids.size == 0:
                 continue
             if ids.size > k:
@@ -84,8 +101,15 @@ class IndexSearcher:
             cand_ids.append(ids)
             cand_scores.append(scores)
             cand_keys.append(s.keys_for(ids))
+            if prune:
+                pool = np.concatenate(cand_scores) if len(cand_scores) > 1 else cand_scores[0]
+                if pool.size >= k:
+                    kth_r = -np.partition(-pool, k - 1)[k - 1]
+                    # safety margin: a doc excluded by the bound must round
+                    # strictly below the k-th rounded score
+                    theta = float(kth_r) - 2e-6
         if not cand_ids:
-            return pd.DataFrame({"rank": [], "doc_id": [], "key": [], "score": []})
+            return empty
         ids = np.concatenate(cand_ids)
         scores = np.concatenate(cand_scores)
         keys = np.concatenate(cand_keys)
@@ -100,44 +124,94 @@ class IndexSearcher:
         )
 
     def _score_segment(
-        self, s: Segment, terms: list[str], idf: np.ndarray
+        self, s: Segment, terms: list[str], idf: np.ndarray, theta: float | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
-        id_arrs: list[np.ndarray] = []
-        contrib: list[np.ndarray] = []
-        for i, t in enumerate(terms):  # ascending term order (determinism)
-            ti = s.lookup(t)
-            if ti < 0:
-                continue
-            ids, tfs, dl = s.postings_with_dl(ti)
-            contrib.append(idf[i] * bm25_tf_part(tfs, dl, self.avgdl, self.k1, self.b))
-            id_arrs.append(ids)
-        if not id_arrs:
-            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
-        all_ids = np.concatenate(id_arrs)
-        all_contrib = np.concatenate(contrib)
-        uniq, inv = np.unique(all_ids, return_inverse=True)
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(scores, inv, all_contrib)
-        return uniq, np.asarray(round6(scores))
+        return score_segment(s, terms, idf, self.avgdl, self.k1, self.b, theta)
 
-    def search_batch(self, queries: pd.DataFrame) -> pd.DataFrame:
+    def search_batch(self, queries: pd.DataFrame, prune: bool = True) -> pd.DataFrame:
         """queries: (query_id, text, lang?, k?) -> stacked top-k rows."""
         out = []
         for row in queries.itertuples(index=False):
             k = int(getattr(row, "k", 10) or 10)
             lang = getattr(row, "lang", None)
-            res = self.search(row.text, lang=lang, k=k)
+            res = self.search(row.text, lang=lang, k=k, prune=prune)
             res.insert(0, "query_id", np.int64(row.query_id))
             out.append(res)
         if not out:
-            return pd.DataFrame({"query_id": [], "rank": [], "doc_id": [], "key": [], "score": []})
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "rank": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "key": pd.Series([], dtype=object),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
         return pd.concat(out, ignore_index=True)
 
 
+def score_segment(
+    s: Segment,
+    terms: list[str],
+    idf: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    theta: float | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized BM25 scoring of one segment.  With a threshold, MaxScore
+    splits terms into essential (union-scored) and non-essential
+    (lookup-only): Σ UB(non-essential) < theta, so a doc matching only
+    non-essential terms cannot reach the top-k."""
+    tis = [(i, s.lookup(t)) for i, t in enumerate(terms)]
+    present = [(i, ti) for i, ti in tis if ti >= 0]
+    if not present:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+
+    essential = present
+    if theta is not None and len(present) > 1:
+        ubs = np.array([idf[i] * s.term_score_ub(ti, avgdl, k1, b) for i, ti in present])
+        order = np.argsort(ubs, kind="stable")  # ascending UB
+        csum = np.cumsum(ubs[order])
+        n_nonessential = int(np.searchsorted(csum, theta))  # csum[j] < theta
+        if n_nonessential >= len(present):
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        ess_idx = set(order[n_nonessential:].tolist())
+        essential = [present[j] for j in sorted(ess_idx)]
+
+    cand = np.unique(np.concatenate([s.postings_with_dl(ti)[0] for _, ti in essential]))
+    if cand.size == 0:
+        return cand, np.array([], dtype=np.float64)
+    ess_set = {ti for _, ti in essential}
+    acc = np.zeros(cand.size, dtype=np.float64)
+    for i, ti in present:  # ascending term order (determinism contract)
+        ids, tfs, dl = s.postings_with_dl(ti)
+        if ti in ess_set:
+            pos = np.searchsorted(cand, ids)
+            acc[pos] += idf[i] * bm25_tf_part(tfs, dl, avgdl, k1, b)
+        else:
+            pos = np.searchsorted(ids, cand)
+            pos_c = np.minimum(pos, ids.size - 1)
+            hit = ids[pos_c] == cand
+            if hit.any():
+                ph = pos_c[hit]
+                acc[hit] += idf[i] * bm25_tf_part(tfs[ph], dl[ph], avgdl, k1, b)
+    if s.tombstones is not None and s.tombstones.size:
+        # deleted-doc mask (ES: deletes hide docs immediately; stats stay
+        # stale until merge).  Filter AFTER scoring: the essential-term
+        # scatter requires cand to contain every essential posting.
+        pos = np.searchsorted(s.tombstones, cand)
+        pos_c = np.minimum(pos, s.tombstones.size - 1)
+        dead = s.tombstones[pos_c] == cand
+        if dead.any():
+            cand, acc = cand[~dead], acc[~dead]
+    return cand, np.asarray(round6(acc))
+
+
 class QueryStage:
-    """Actor-pool query stage: ``map_batches(QueryStage, fn_constructor_args=
-    (index_dir,), concurrency=N)`` over a queries Dataset.  Index loaded
-    once per actor (BulkSinkActor-style stateful worker, Actors.kt:206-264)."""
+    """Actor-pool query stage over a queries Dataset — every actor loads
+    the WHOLE index.  Right only when the index is small (tests, single
+    node); for the scale path see ``run_queries`` below."""
 
     def __init__(self, index_dir: str, cfg: EngineConfig = DEFAULT):
         self.searcher = IndexSearcher(index_dir, cfg)
@@ -146,12 +220,193 @@ class QueryStage:
         return self.searcher.search_batch(batch)
 
 
+class ShardScorerStage:
+    """Segment-parallel scoring: the DATA axis is segments, queries are
+    the broadcast small side (ray.put once — the M6 broadcast-lookup rule).
+    Each actor lazily loads and caches only the segments its batches name,
+    so index memory is partitioned across the pool instead of replicated
+    per actor — the property that lets query throughput scale with the
+    cluster when segments >> actors (a 100 TB index can never be loaded
+    whole into one worker)."""
+
+    def __init__(self, index_dir: str, plan_ref, cfg: EngineConfig):
+        import ray
+
+        self.index_dir = index_dir
+        self.cfg = cfg
+        # plan: list of UNIQUE (terms, idf, k) entries, each carrying the
+        # query_ids that share it — identical queries score once per shard
+        self.plan, self.avgdl, self.k1, self.b = ray.get(plan_ref)
+        self.segments: dict[int, Segment] = {}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pid in batch["part_id"].astype(int):
+            seg = self.segments.get(pid)
+            if seg is None:
+                seg = self.segments[pid] = Segment.load(self.index_dir, pid)
+            for q in self.plan:
+                ids, scores = score_segment(
+                    seg, q["terms"], q["idf"], self.avgdl, self.k1, self.b
+                )
+                if ids.size == 0:
+                    continue
+                k = q["k"]
+                if ids.size > k:
+                    kth = -np.partition(-scores, k - 1)[k - 1]
+                    sel = np.flatnonzero(scores >= kth)
+                    ids, scores = ids[sel], scores[sel]
+                keys = seg.keys_for(ids)
+                for qid in q["query_ids"]:
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.int64(qid),
+                                "doc_id": ids,
+                                "key": keys,
+                                "score": scores,
+                            }
+                        )
+                    )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "key": pd.Series([], dtype=object),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def _shard_df_lookup(index_dir: str, pid: int, terms_arr: np.ndarray) -> np.ndarray:
+    """df of the query terms in one segment's dictionary (postings never
+    read — columns=['term','df'] only)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(postings_path(index_dir, pid), columns=["term", "df"])
+    seg_terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+    seg_df = t.column("df").to_numpy()
+    out = np.zeros(terms_arr.size, dtype=np.int64)
+    if seg_terms.size == 0:
+        return out
+    pos = np.searchsorted(seg_terms, terms_arr)
+    pos_c = np.minimum(pos, seg_terms.size - 1)
+    hit = seg_terms[pos_c] == terms_arr
+    out[hit] = seg_df[pos_c[hit]]
+    return out
+
+
+def _collect_global_stats(index_dir: str, parts: list[int], terms: list[str]):
+    """DFS-phase analog: global df for the query terms, summed over the
+    segment dictionaries — parallelized over shards via Ray tasks."""
+    import ray
+
+    df = np.zeros(len(terms), dtype=np.int64)
+    if not terms:
+        return df
+    terms_arr = np.asarray(terms, dtype=object)
+    if len(parts) <= 4:
+        for pid in parts:
+            df += _shard_df_lookup(index_dir, pid, terms_arr)
+        return df
+    lookup = ray.remote(num_cpus=1)(_shard_df_lookup)
+    refs = [lookup.remote(index_dir, pid, terms_arr) for pid in parts]
+    for part_df in ray.get(refs):
+        df += part_df
+    return df
+
+
 def run_queries(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT, concurrency: int = 2):
-    """Distributed query execution: queries Dataset -> top-k Dataset."""
-    return queries_ds.map_batches(
-        QueryStage,
-        fn_constructor_args=(index_dir, cfg),
+    """Distributed query execution: segment-parallel scoring + per-query
+    merge.  Queries are the small broadcast side; the segment set is the
+    Dataset.  Returns Dataset(query_id, rank, doc_id, key, score)."""
+    import ray
+    import ray.data as rd
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    n_docs = int(manifest["n_docs"])
+    avgdl = float(manifest["avgdl"]) or 1.0
+    k1 = float(manifest.get("k1", cfg.k1))
+    b = float(manifest.get("b", cfg.b))
+
+    # phase 1: global stats for all query terms (dictionaries only)
+    all_terms = sorted(
+        {
+            t
+            for row in queries.itertuples(index=False)
+            for t in get_analyzer(getattr(row, "lang", None)).tokenize(row.text)
+        }
+    )
+    gdf = _collect_global_stats(index_dir, parts, all_terms)
+    df_map = dict(zip(all_terms, gdf))
+
+    # dedupe identical (terms, k) plans — repeated queries score once per
+    # shard and fan the result out to every query_id sharing the plan
+    plan_by_key: dict[tuple, dict] = {}
+    for row in queries.itertuples(index=False):
+        terms = sorted(set(get_analyzer(getattr(row, "lang", None)).tokenize(row.text)))
+        terms = [t for t in terms if df_map.get(t, 0) > 0]
+        if not terms:
+            continue
+        k = int(getattr(row, "k", 10) or 10)
+        key = (tuple(terms), k)
+        entry = plan_by_key.get(key)
+        if entry is None:
+            idf = bm25_idf(np.array([df_map[t] for t in terms], dtype=np.int64), n_docs)
+            entry = plan_by_key[key] = {
+                "query_ids": [],
+                "terms": terms,
+                "idf": np.asarray(idf, dtype=np.float64),
+                "k": k,
+            }
+        entry["query_ids"].append(int(row.query_id))
+    plan = list(plan_by_key.values())
+    plan_ref = ray.put((plan, avgdl, k1, b))
+    k_map = {qid: q["k"] for q in plan for qid in q["query_ids"]}
+
+    shards = rd.from_pandas(pd.DataFrame({"part_id": parts})).repartition(len(parts))
+    partials = shards.map_batches(
+        ShardScorerStage,
+        fn_constructor_args=(index_dir, plan_ref, cfg),
         batch_format="pandas",
-        batch_size=64,
+        batch_size=1,
         concurrency=concurrency,
     )
+
+    def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for qid, g in bucket.groupby("query_id", sort=False):
+            k = k_map.get(int(qid), 10)
+            ids = g["doc_id"].to_numpy()
+            scores = g["score"].to_numpy()
+            order = np.lexsort((ids, -scores))[:k]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.int64(qid),
+                        "rank": np.arange(1, order.size + 1, dtype=np.int64),
+                        "doc_id": ids[order],
+                        "key": g["key"].to_numpy()[order],
+                        "score": scores[order],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "rank": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "key": pd.Series([], dtype=object),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_agg(partials, ["query_id"], merge_bucket)

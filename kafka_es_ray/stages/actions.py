@@ -203,7 +203,7 @@ def serialize_bulk(actions: pd.DataFrame) -> str:
     return "".join(parts)
 
 
-def resolve_actions(actions_ds):
+def resolve_actions(actions_ds, keep_deletes: bool = False):
     """Op-stream -> live doc set: groupby(routing ?? id), winner = max seq
     (E1 upsert / D2 co-location); delete winners drop the doc; 'create'
     only wins if no earlier live doc... ES semantics for create are
@@ -227,6 +227,9 @@ def resolve_actions(actions_ds):
         # keys (Actors.kt:57-75); like ES, inconsistent routing for one id
         # yields one live doc per shard
         last = b.groupby(["route_key", "id"], as_index=False).tail(1)
+        if keep_deletes:
+            # incremental path: delete winners become tombstones downstream
+            return last[["op", "id", "index", "routing", "seq", "source"]]
         live = last[last["op"] != "delete"]
         return live[["id", "index", "routing", "seq", "source"]]
 
