@@ -353,6 +353,18 @@ def build_index(
     parts = sorted(part_manifests)
     n_docs = sum(m["n_docs"] for m in part_manifests.values())
     sum_dl = sum(m["sum_dl"] for m in part_manifests.values())
+    # per-run metrics rollup — the MetricsUpdater counters analog
+    # (reference MetricsUpdater.kt:3-15, Metrics.kt:24-83): totals per
+    # build recorded in the manifest instead of a Prometheus registry
+    metrics = {
+        "input_rows": sum(m.get("n_input_rows", m["n_docs"]) for m in part_manifests.values()),
+        "docs_indexed": n_docs,
+        "postings": sum(m["n_postings"] for m in part_manifests.values()),
+        "terms": sum(m["n_terms"] for m in part_manifests.values()),
+        "partitions_built": len(parts) - len(done),
+        "partitions_resumed": len(done),
+        "group_build_secs_sum": round(sum(m.get("build_secs", 0) or 0 for m in part_manifests.values()), 3),
+    }
     manifest = {
         "format_version": seg.FORMAT_VERSION,
         "analyzer_version": ANALYZER_VERSION,
@@ -363,6 +375,7 @@ def build_index(
         "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
         "k1": cfg.k1,
         "b": cfg.b,
+        "metrics": metrics,
         "part_manifests": {str(p): part_manifests[p] for p in parts},
     }
     seg.write_manifest(index_dir, manifest)

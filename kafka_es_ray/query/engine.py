@@ -370,12 +370,15 @@ def run_queries(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT, concurr
     plan_ref = ray.put((plan, avgdl, k1, b))
     k_map = {qid: q["k"] for q in plan for qid in q["query_ids"]}
 
-    shards = rd.from_pandas(pd.DataFrame({"part_id": parts})).repartition(len(parts))
+    n_blocks = max(concurrency * 2, len(parts) // 4)
+    shards = rd.from_pandas(pd.DataFrame({"part_id": parts})).repartition(
+        min(n_blocks, len(parts))
+    )
     partials = shards.map_batches(
         ShardScorerStage,
         fn_constructor_args=(index_dir, plan_ref, cfg),
         batch_format="pandas",
-        batch_size=1,
+        batch_size=4,
         concurrency=concurrency,
     )
 
