@@ -23,7 +23,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 _TOK = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 # BM25 pieces (k1=1.2, b=0.75 — query/bm25.py determinism contract)
-_BM25_SQL = f"""
+_BM25_SQL_TEMPLATE = """
 WITH dl AS (
   SELECT doc_id, len({_TOK})::DOUBLE AS dl FROM documents
 ),
@@ -60,6 +60,7 @@ scores AS (
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
   GROUP BY 1, 2
+  {having}
 ),
 topk AS (
   SELECT query_id, doc_id, round(raw_score, 6) AS score,
@@ -71,6 +72,12 @@ topk AS (
 SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM topk WHERE rank <= 10
 """
+
+_BM25_SQL = _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(having="")
+# operator=and: a doc must match EVERY term of its query
+_BM25_AND_SQL = _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(
+    having="HAVING count(*) = (SELECT count(*) FROM queries q2 WHERE q2.query_id = q.query_id)"
+)
 
 
 def entry() -> Any:
@@ -88,6 +95,49 @@ def _q_bm25_topk(sf_dir: str):
     from kafka_es_ray.pipelines.fulltext import bm25_topk_documents
 
     return bm25_topk_documents(sf_dir)
+
+
+def _q_bm25_topk_and(sf_dir: str):
+    """match operator=and: docs must contain every query term."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_andidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        searcher = IndexSearcher(idx)
+        queries = derive_query_set(searcher)
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        res = searcher.search_batch(queries.assign(operator="and"))
+        return res[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_lineitem_agg(sf_dir: str):
+    from kafka_es_ray.pipelines.relational import lineitem_agg
+    from kafka_es_ray.sources.parquet import read_table
+
+    return lineitem_agg(
+        read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    )
+
+
+def _q_topk_orders(sf_dir: str):
+    from kafka_es_ray.pipelines.relational import topk_orders
+    from kafka_es_ray.sources.parquet import read_table
+
+    return topk_orders(read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]), k=10)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from kafka_es_ray.pipelines.dedup_ops import ngram_jaccard_pairs
+    from kafka_es_ray.sources.parquet import read_table
+
+    return ngram_jaccard_pairs(read_table(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.01)
 
 
 def _q_doc_token_counts(sf_dir: str):
@@ -222,6 +272,10 @@ def _q_media_features(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": _q_bm25_topk,
+        "bm25_topk_and": _q_bm25_topk_and,
+        "lineitem_agg": _q_lineitem_agg,
+        "topk_orders": _q_topk_orders,
+        "ngram_jaccard": _q_ngram_jaccard,
         "doc_token_counts": _q_doc_token_counts,
         "term_df": _q_term_df,
         "exact_dedup": _q_exact_dedup,
@@ -244,6 +298,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
+        "bm25_topk_and": _BM25_AND_SQL,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_rows,
+                   sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::DOUBLE / 100.0 AS sum_qty,
+                   sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::DOUBLE / 100.0 AS sum_price
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "topk_orders": """
+            SELECT rank, o_orderkey, o_totalprice FROM (
+              SELECT o_orderkey, o_totalprice, row_number() OVER (
+                ORDER BY o_totalprice DESC, o_orderkey ASC
+              ) AS rank FROM orders
+            ) WHERE rank <= 10
+        """,
+        "ngram_jaccard": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(t) = 0 THEN []
+                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           for i in generate_series(1, len(t) - 2)]
+                END) AS shs
+              FROM toks
+            ),
+            sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+            ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+            ok_sh AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 200),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              JOIN ok_sh ON ok_sh.s = a.s
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.01
+        """,
         "doc_token_counts": f"SELECT doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents",
         "term_df": f"""
             SELECT term, count(*)::BIGINT AS df FROM (

@@ -60,7 +60,7 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
     assert doc_ids.size == 0 or (np.diff(doc_ids) > 0).all(), "part doc_id ranges must be disjoint+ordered"
     doc_len = np.concatenate([s.doc_len[m] for s, m in zip(segs, ds_alive)]).astype(np.int64)
     keys = np.concatenate([s.keys[m] for s, m in zip(segs, ds_alive)])
-    langs = ["und"] * doc_ids.size  # lang not needed post-merge; kept for schema
+    langs = np.concatenate([s.langs[m] for s, m in zip(segs, ds_alive)])
 
     # union of dictionaries
     all_terms = np.unique(np.concatenate([s.terms for s in segs]))

@@ -91,6 +91,7 @@ class Segment:
     doc_ids_store: np.ndarray   # int64, ascending
     doc_len: np.ndarray      # int32 aligned with doc_ids_store
     keys: np.ndarray         # object (urls) aligned with doc_ids_store
+    langs: np.ndarray        # object, aligned with doc_ids_store
     n_docs: int
     sum_dl: int
     # deleted-but-not-yet-merged doc ids (sorted; the Lucene deleted-docs
@@ -122,6 +123,7 @@ class Segment:
             doc_ids_store=doc_ids_store,
             doc_len=doc_len.astype(np.int64),
             keys=np.asarray(dt.column("key").to_pylist(), dtype=object),
+            langs=np.asarray(dt.column("lang").to_pylist(), dtype=object),
             n_docs=dt.num_rows,
             sum_dl=int(doc_len.sum()),
             tombstones=tombstones,
@@ -205,6 +207,10 @@ class Segment:
     def keys_for(self, doc_ids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.doc_ids_store, doc_ids)
         return self.keys[idx]
+
+    def langs_for(self, doc_ids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.doc_ids_store, doc_ids)
+        return self.langs[idx]
 
 
 def read_manifest(index_dir: str) -> dict:

@@ -212,6 +212,92 @@ def minhash_dedup(docs_ds, threshold: float = 0.8, num_perm: int = 64, bands: in
     return cand[cand["jaccard"] >= threshold].reset_index(drop=True)
 
 
+# -------------------------------------------------- exact n-gram Jaccard
+
+
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.2, shingle: int = 3):
+    """EXACT n-gram-Jaccard similar pairs (no LSH): explode distinct
+    shingles -> groupby(shingle) pairs -> count shared per pair ->
+    jaccard vs broadcast set sizes.  SQL-oracle-checkable.
+
+    Partitioning assumption (documented): no single shingle is shared by
+    a huge number of docs — a k-hot shingle produces k² pair rows.  At
+    100 TB boilerplate shingles must be capped (df ceiling) or routed to
+    the MinHash path; here the cap is explicit."""
+    import ray
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    class ShingleStage:
+        def __init__(self):
+            self.an = get_analyzer("en")
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out_doc, out_sh, sizes_doc, sizes_n = [], [], [], []
+            toks = self.an.tokenize_series(batch["text"])
+            for doc_id, tok in zip(batch["doc_id"].astype(np.int64), toks):
+                sh = _shingle_hashes(tok, shingle)
+                out_doc.extend([int(doc_id)] * sh.size)
+                out_sh.extend(sh.tolist())
+                sizes_doc.append(int(doc_id))
+                sizes_n.append(int(sh.size))
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype=np.int64),
+                    "sh": pd.Series(out_sh, dtype=np.uint64),
+                    # piggyback set sizes as rows with sh sentinel? no —
+                    # separate collection below keeps the schema clean
+                }
+            )
+
+    exploded = docs_ds.map_batches(ShingleStage, batch_format="pandas", batch_size=2048, concurrency=2)
+
+    # set sizes: distinct shingles per doc (small aggregate -> broadcast)
+    def size_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("doc_id", as_index=False).agg(n=("sh", "size"))
+
+    sizes = (
+        exploded.map_batches(size_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("doc_id", as_index=False)["n"]
+        .sum()
+    )
+    sizes_ref = ray.put(dict(zip(sizes["doc_id"].astype(int), sizes["n"].astype(int))))
+
+    def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in bucket.groupby("sh", sort=False):
+            if len(g) < 2 or len(g) > 200:  # explicit hot-shingle cap
+                continue
+            ids = np.sort(g["doc_id"].to_numpy())
+            i, j = np.triu_indices(ids.size, k=1)
+            out_a.append(ids[i])
+            out_b.append(ids[j])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
+
+    def jaccard_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        sizes_map = ray.get(sizes_ref)
+        g = bucket.groupby(["doc_a", "doc_b"], as_index=False).size()
+        inter = g["size"].to_numpy().astype(np.float64)
+        sa = g["doc_a"].map(sizes_map).to_numpy(dtype=np.float64)
+        sb = g["doc_b"].map(sizes_map).to_numpy(dtype=np.float64)
+        jac = inter / (sa + sb - inter)
+        jac = np.floor(jac * 1e6 + 0.5) / 1e6
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": g["doc_a"].to_numpy()[keep].astype(np.int64),
+                "doc_b": g["doc_b"].to_numpy()[keep].astype(np.int64),
+                "jaccard": jac[keep],
+            }
+        )
+
+    shared = bucketed_group_agg(exploded, ["sh"], pairs_in_bucket)
+    return bucketed_group_agg(shared, ["doc_a", "doc_b"], jaccard_bucket)
+
+
 # ------------------------------------------------------------- simhash
 
 

@@ -59,6 +59,82 @@ def windowed_agg(events_ds, window: str = "1h"):
     return bucketed_group_agg(partials, ["window_start_s", "event_type"], combine)
 
 
+def lineitem_agg(lineitem_ds):
+    """TPC-H-Q1-shaped grouped aggregate: per (returnflag, linestatus)
+    counts and exact-cents money sums; per-batch partial aggregation
+    before a tiny bucketed combine."""
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qty_c = np.floor(batch["l_quantity"].to_numpy() * 100 + 0.5).astype(np.int64)
+        price_c = np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "l_returnflag": batch["l_returnflag"],
+                    "l_linestatus": batch["l_linestatus"],
+                    "qty_c": qty_c,
+                    "price_c": price_c,
+                }
+            )
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(n_rows=("qty_c", "size"), sum_qty_c=("qty_c", "sum"), sum_price_c=("price_c", "sum"))
+        )
+        return g
+
+    def combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n_rows=("n_rows", "sum"), sum_qty_c=("sum_qty_c", "sum"), sum_price_c=("sum_price_c", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "n_rows": g["n_rows"].astype(np.int64),
+                "sum_qty": g["sum_qty_c"].astype(np.float64) / 100.0,
+                "sum_price": g["sum_price_c"].astype(np.float64) / 100.0,
+            }
+        )
+
+    partials = lineitem_ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return bucketed_group_agg(partials, ["l_returnflag", "l_linestatus"], combine)
+
+
+def topk_orders(orders_ds, k: int = 10):
+    """Top-k orders by price — per-batch partial top-k (with tie margin)
+    then a single tiny merge; never a global sort (ds.sort is an
+    all-to-all; top-k needs only per-block heaps + one reduce,
+    SURVEY §2.5 'Sorts/limits/top-k')."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        p = batch["o_totalprice"].to_numpy()
+        kk = min(k, p.size)
+        kth = -np.partition(-p, kk - 1)[kk - 1]
+        sel = np.flatnonzero(p >= kth)
+        return pd.DataFrame(
+            {
+                "o_orderkey": batch["o_orderkey"].to_numpy()[sel].astype(np.int64),
+                "o_totalprice": p[sel],
+            }
+        )
+
+    def merge(bucket: pd.DataFrame) -> pd.DataFrame:
+        ids = bucket["o_orderkey"].to_numpy()
+        p = bucket["o_totalprice"].to_numpy()
+        order = np.lexsort((ids, -p))[:k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, order.size + 1, dtype=np.int64),
+                "o_orderkey": ids[order],
+                "o_totalprice": p[order],
+            }
+        )
+
+    partials = orders_ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    # the partial output is tiny (<= ~k rows per batch): single merge task
+    return partials.repartition(1).map_batches(merge, batch_format="pandas", batch_size=1 << 30)
+
+
 def broadcast_join_agg(orders_ds, customer_df: pd.DataFrame):
     """Orders joined to the (small) customer dim by broadcast lookup, then
     revenue per market segment.  customer_df is ray.put once; every task

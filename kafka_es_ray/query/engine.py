@@ -55,7 +55,13 @@ class IndexSearcher:
 
     # ---- search ----
     def search(
-        self, text: str, lang: str | None = None, k: int = 10, prune: bool = True
+        self,
+        text: str,
+        lang: str | None = None,
+        k: int = 10,
+        prune: bool = True,
+        operator: str = "or",
+        filter_lang: str | None = None,
     ) -> pd.DataFrame:
         """Top-k docs for one query string.  Returns DataFrame
         (rank, doc_id, key, score) with the determinism contract applied.
@@ -78,6 +84,10 @@ class IndexSearcher:
             return empty
         df = self.global_df(terms)
         keep = df > 0
+        if operator == "and" and not keep.all():
+            # ES match operator=and: an analyzed term absent from the
+            # corpus means no doc can match all terms
+            return empty
         terms = [t for t, m in zip(terms, keep) if m]
         df = df[keep]
         if not terms:
@@ -89,7 +99,14 @@ class IndexSearcher:
         cand_scores: list[np.ndarray] = []
         cand_keys: list[np.ndarray] = []
         for s in self.segments:
-            ids, scores = self._score_segment(s, terms, idf, theta if prune else None)
+            ids, scores = self._score_segment(
+                s,
+                terms,
+                idf,
+                theta if prune else None,
+                require_all=(operator == "and"),
+                filter_lang=filter_lang,
+            )
             if ids.size == 0:
                 continue
             if ids.size > k:
@@ -124,9 +141,18 @@ class IndexSearcher:
         )
 
     def _score_segment(
-        self, s: Segment, terms: list[str], idf: np.ndarray, theta: float | None = None
+        self,
+        s: Segment,
+        terms: list[str],
+        idf: np.ndarray,
+        theta: float | None = None,
+        require_all: bool = False,
+        filter_lang: str | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        return score_segment(s, terms, idf, self.avgdl, self.k1, self.b, theta)
+        return score_segment(
+            s, terms, idf, self.avgdl, self.k1, self.b, theta,
+            require_all=require_all, filter_lang=filter_lang,
+        )
 
     def search_batch(self, queries: pd.DataFrame, prune: bool = True) -> pd.DataFrame:
         """queries: (query_id, text, lang?, k?) -> stacked top-k rows."""
@@ -134,7 +160,14 @@ class IndexSearcher:
         for row in queries.itertuples(index=False):
             k = int(getattr(row, "k", 10) or 10)
             lang = getattr(row, "lang", None)
-            res = self.search(row.text, lang=lang, k=k, prune=prune)
+            res = self.search(
+                row.text,
+                lang=lang,
+                k=k,
+                prune=prune,
+                operator=getattr(row, "operator", None) or "or",
+                filter_lang=getattr(row, "filter_lang", None),
+            )
             res.insert(0, "query_id", np.int64(row.query_id))
             out.append(res)
         if not out:
@@ -158,14 +191,21 @@ def score_segment(
     k1: float,
     b: float,
     theta: float | None = None,
+    require_all: bool = False,
+    filter_lang: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized BM25 scoring of one segment.  With a threshold, MaxScore
     splits terms into essential (union-scored) and non-essential
     (lookup-only): Σ UB(non-essential) < theta, so a doc matching only
-    non-essential terms cannot reach the top-k."""
+    non-essential terms cannot reach the top-k.
+
+    ``require_all`` = ES match operator=and (a doc must contain every
+    query term; exact under pruning because a doc with all terms contains
+    every essential term, so it is always in the candidate union).
+    ``filter_lang`` post-filters by the docstore lang column."""
     tis = [(i, s.lookup(t)) for i, t in enumerate(terms)]
     present = [(i, ti) for i, ti in tis if ti >= 0]
-    if not present:
+    if not present or (require_all and len(present) < len(terms)):
         return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
 
     essential = present
@@ -184,11 +224,14 @@ def score_segment(
         return cand, np.array([], dtype=np.float64)
     ess_set = {ti for _, ti in essential}
     acc = np.zeros(cand.size, dtype=np.float64)
+    nmatch = np.zeros(cand.size, dtype=np.int32) if require_all else None
     for i, ti in present:  # ascending term order (determinism contract)
         ids, tfs, dl = s.postings_with_dl(ti)
         if ti in ess_set:
             pos = np.searchsorted(cand, ids)
             acc[pos] += idf[i] * bm25_tf_part(tfs, dl, avgdl, k1, b)
+            if nmatch is not None:
+                nmatch[pos] += 1
         else:
             pos = np.searchsorted(ids, cand)
             pos_c = np.minimum(pos, ids.size - 1)
@@ -196,6 +239,18 @@ def score_segment(
             if hit.any():
                 ph = pos_c[hit]
                 acc[hit] += idf[i] * bm25_tf_part(tfs[ph], dl[ph], avgdl, k1, b)
+                if nmatch is not None:
+                    nmatch[hit] += 1
+    if nmatch is not None:
+        full = nmatch == len(terms)
+        cand, acc = cand[full], acc[full]
+        if cand.size == 0:
+            return cand, acc
+    if filter_lang is not None:
+        keep_lang = s.langs_for(cand) == filter_lang
+        cand, acc = cand[keep_lang], acc[keep_lang]
+        if cand.size == 0:
+            return cand, acc
     if s.tombstones is not None and s.tombstones.size:
         # deleted-doc mask (ES: deletes hide docs immediately; stats stay
         # stale until merge).  Filter AFTER scoring: the essential-term

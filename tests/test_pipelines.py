@@ -12,6 +12,10 @@ from tools.check_oracle import canon, to_pandas
 SF = "/root/testdata/sf0.001"
 SQL_SUBSET = [
     "bm25_topk",
+    "bm25_topk_and",
+    "lineitem_agg",
+    "topk_orders",
+    "ngram_jaccard",
     "doc_token_counts",
     "term_df",
     "exact_dedup",

@@ -99,3 +99,35 @@ def test_global_df_matches_oracle(corpus_and_index):
     for term in ["home", "w00001", "w09999", "zzzabsent"]:
         oracle_df = int(sum(term in set(t) for t in toks))
         assert s.global_df([term])[0] == oracle_df, term
+
+
+def test_and_operator(corpus_and_index):
+    df, idx = corpus_and_index
+    s = IndexSearcher(idx)
+    both = s.search("w00001 w00002", operator="and", k=1000)
+    either = s.search("w00001 w00002", operator="or", k=100000)
+    assert len(both) <= len(either)
+    # oracle: docs containing BOTH terms
+    from kafka_es_ray.query.bruteforce import corpus_token_stats
+
+    toks, _ = corpus_token_stats(df)
+    expect = {
+        int(d)
+        for d, t in zip(df["doc_id"], toks)
+        if "w00001" in set(t) and "w00002" in set(t)
+    }
+    assert set(both["doc_id"]) == expect
+    # AND scores equal the OR scores for the same docs
+    merged = both.merge(either, on="doc_id", suffixes=("_a", "_o"))
+    assert (merged["score_a"] == merged["score_o"]).all()
+    # a query with an absent term matches nothing under AND
+    assert len(s.search("w00001 zzzabsentterm", operator="and")) == 0
+
+
+def test_filter_lang(corpus_and_index):
+    df, idx = corpus_and_index
+    s = IndexSearcher(idx)
+    res = s.search("home", k=100000, filter_lang="de")
+    expect = set(df[df["lang"] == "de"]["doc_id"].astype(int))
+    assert set(res["doc_id"]) == expect  # every de doc has the template term
+    assert len(res) > 0
