@@ -121,6 +121,10 @@ def run_bench() -> dict:
         "minhash_dups",
         "simhash",
         "doc_quality",
+        "lineitem_agg",
+        "topk_orders",
+        "ngram_jaccard",
+        "lww_events",
     ):
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)

@@ -302,7 +302,14 @@ class ShardScorerStage:
                 seg = self.segments[pid] = Segment.load(self.index_dir, pid)
             for q in self.plan:
                 ids, scores = score_segment(
-                    seg, q["terms"], q["idf"], self.avgdl, self.k1, self.b
+                    seg,
+                    q["terms"],
+                    q["idf"],
+                    self.avgdl,
+                    self.k1,
+                    self.b,
+                    require_all=q.get("require_all", False),
+                    filter_lang=q.get("filter_lang"),
                 )
                 if ids.size == 0:
                     continue
@@ -405,12 +412,16 @@ def run_queries(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT, concurr
     # shard and fan the result out to every query_id sharing the plan
     plan_by_key: dict[tuple, dict] = {}
     for row in queries.itertuples(index=False):
-        terms = sorted(set(get_analyzer(getattr(row, "lang", None)).tokenize(row.text)))
-        terms = [t for t in terms if df_map.get(t, 0) > 0]
+        all_q_terms = sorted(set(get_analyzer(getattr(row, "lang", None)).tokenize(row.text)))
+        require_all = (getattr(row, "operator", None) or "or") == "and"
+        terms = [t for t in all_q_terms if df_map.get(t, 0) > 0]
         if not terms:
             continue
+        if require_all and len(terms) < len(all_q_terms):
+            continue  # a globally-absent term under AND matches nothing
+        filter_lang = getattr(row, "filter_lang", None)
         k = int(getattr(row, "k", 10) or 10)
-        key = (tuple(terms), k)
+        key = (tuple(terms), k, require_all, filter_lang)
         entry = plan_by_key.get(key)
         if entry is None:
             idf = bm25_idf(np.array([df_map[t] for t in terms], dtype=np.int64), n_docs)
@@ -419,6 +430,8 @@ def run_queries(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT, concurr
                 "terms": terms,
                 "idf": np.asarray(idf, dtype=np.float64),
                 "k": k,
+                "require_all": require_all,
+                "filter_lang": filter_lang,
             }
         entry["query_ids"].append(int(row.query_id))
     plan = list(plan_by_key.values())

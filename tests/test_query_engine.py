@@ -131,3 +131,29 @@ def test_filter_lang(corpus_and_index):
     expect = set(df[df["lang"] == "de"]["doc_id"].astype(int))
     assert set(res["doc_id"]) == expect  # every de doc has the template term
     assert len(res) > 0
+
+
+def test_distributed_queries_and_operator(corpus_and_index, ray_session):
+    import ray.data as rd
+
+    _, idx = corpus_and_index
+    qs = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2],
+            "text": ["w00001 w00002", "w00001 zzzabsent", "home"],
+            "lang": ["en"] * 3,
+            "k": np.int32([50, 10, 20]),
+            "operator": ["and", "and", "or"],
+            "filter_lang": [None, None, "de"],
+        }
+    )
+    out = run_queries(rd.from_pandas(qs), idx, CFG, concurrency=2).to_pandas()
+    s = IndexSearcher(idx)
+    expected = s.search_batch(qs)
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    expected = expected.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["query_id", "rank", "doc_id", "score"]].astype({"query_id": np.int64}),
+        expected[["query_id", "rank", "doc_id", "score"]].astype({"query_id": np.int64}),
+    )
+    assert 1 not in set(out["query_id"])  # absent term under AND -> no rows
