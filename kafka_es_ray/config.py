@@ -46,6 +46,11 @@ class EngineConfig:
     # --- analyzer chain version (frozen; bump = reindex; SURVEY §7.4)
     analyzer_version: str = "v1"
 
+    # --- store the indexed text in the docstore (the ES _source stored
+    # field): enables fetch-with-results at the cost of docstore ~= corpus
+    # size — exactly the tradeoff ES makes by default.
+    store_text: bool = False
+
     # --- segment writer retry loop (reference: retry.interval=30s doubling
     # to max.retry.interval=300s, Actors.kt:236-259).  Local FS writes fail
     # rarely; keep short.

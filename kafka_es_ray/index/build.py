@@ -245,14 +245,16 @@ def build_segment_for_group(
             "block_last_doc": _large_binary_from_slices(blast.tobytes(), first_block * 8),
         }
     )
-    docstore_table = pa.table(
-        {
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "key": pa.array(keys, type=pa.string()),
-            "doc_len": pa.array(doc_len, type=pa.int32()),
-            "lang": pa.array(langs.to_numpy(), type=pa.string()),
-        }
-    )
+    store_cols = {
+        "doc_id": pa.array(doc_ids, type=pa.int64()),
+        "key": pa.array(keys, type=pa.string()),
+        "doc_len": pa.array(doc_len, type=pa.int32()),
+        "lang": pa.array(langs.to_numpy(), type=pa.string()),
+    }
+    if cfg.store_text:
+        # ES _source stored field: docstore carries the doc text
+        store_cols["text"] = pa.array(texts.to_numpy(), type=pa.string())
+    docstore_table = pa.table(store_cols)
     seg.atomic_write_table(postings_table, seg.postings_path(index_dir, segment_id))
     seg.atomic_write_table(docstore_table, seg.docstore_path(index_dir, segment_id))
 

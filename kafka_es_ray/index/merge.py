@@ -61,6 +61,9 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
     doc_len = np.concatenate([s.doc_len[m] for s, m in zip(segs, ds_alive)]).astype(np.int64)
     keys = np.concatenate([s.keys[m] for s, m in zip(segs, ds_alive)])
     langs = np.concatenate([s.langs[m] for s, m in zip(segs, ds_alive)])
+    texts = None
+    if all(s.texts is not None for s in segs):
+        texts = np.concatenate([s.texts[m] for s, m in zip(segs, ds_alive)])
 
     # union of dictionaries
     all_terms = np.unique(np.concatenate([s.terms for s in segs]))
@@ -139,14 +142,15 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
             "block_last_doc": _large_binary_from_slices(blast.tobytes(), first_block * 8),
         }
     )
-    docstore_table = pa.table(
-        {
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "key": pa.array(keys, type=pa.string()),
-            "doc_len": pa.array(doc_len, type=pa.int32()),
-            "lang": pa.array(langs, type=pa.string()),
-        }
-    )
+    store_cols = {
+        "doc_id": pa.array(doc_ids, type=pa.int64()),
+        "key": pa.array(keys, type=pa.string()),
+        "doc_len": pa.array(doc_len, type=pa.int32()),
+        "lang": pa.array(langs, type=pa.string()),
+    }
+    if texts is not None:
+        store_cols["text"] = pa.array(texts, type=pa.string())
+    docstore_table = pa.table(store_cols)
     seg.atomic_write_table(postings_table, seg.postings_path(index_dir, out_part_id))
     seg.atomic_write_table(docstore_table, seg.docstore_path(index_dir, out_part_id))
     manifest = {

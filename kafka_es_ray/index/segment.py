@@ -92,6 +92,7 @@ class Segment:
     doc_len: np.ndarray      # int32 aligned with doc_ids_store
     keys: np.ndarray         # object (urls) aligned with doc_ids_store
     langs: np.ndarray        # object, aligned with doc_ids_store
+    texts: np.ndarray | None  # stored _source text when cfg.store_text
     n_docs: int
     sum_dl: int
     # deleted-but-not-yet-merged doc ids (sorted; the Lucene deleted-docs
@@ -124,6 +125,11 @@ class Segment:
             doc_len=doc_len.astype(np.int64),
             keys=np.asarray(dt.column("key").to_pylist(), dtype=object),
             langs=np.asarray(dt.column("lang").to_pylist(), dtype=object),
+            texts=(
+                np.asarray(dt.column("text").to_pylist(), dtype=object)
+                if "text" in dt.schema.names
+                else None
+            ),
             n_docs=dt.num_rows,
             sum_dl=int(doc_len.sum()),
             tombstones=tombstones,
@@ -211,6 +217,14 @@ class Segment:
     def langs_for(self, doc_ids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.doc_ids_store, doc_ids)
         return self.langs[idx]
+
+    def texts_for(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Stored _source fetch; requires the index was built with
+        cfg.store_text=True."""
+        if self.texts is None:
+            raise ValueError("index was built without store_text=True")
+        idx = np.searchsorted(self.doc_ids_store, doc_ids)
+        return self.texts[idx]
 
 
 def read_manifest(index_dir: str) -> dict:

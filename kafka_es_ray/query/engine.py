@@ -62,6 +62,7 @@ class IndexSearcher:
         prune: bool = True,
         operator: str = "or",
         filter_lang: str | None = None,
+        fetch: bool = False,
     ) -> pd.DataFrame:
         """Top-k docs for one query string.  Returns DataFrame
         (rank, doc_id, key, score) with the determinism contract applied.
@@ -131,7 +132,7 @@ class IndexSearcher:
         scores = np.concatenate(cand_scores)
         keys = np.concatenate(cand_keys)
         order = np.lexsort((ids, -scores))[:k]
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "rank": np.arange(1, order.size + 1, dtype=np.int64),
                 "doc_id": ids[order],
@@ -139,6 +140,19 @@ class IndexSearcher:
                 "score": scores[order],
             }
         )
+        if fetch:
+            # stored-_source fetch for the FINAL top-k only (never for the
+            # full candidate set)
+            top = ids[order]
+            texts = np.empty(top.size, dtype=object)
+            for s in self.segments:
+                in_seg = (
+                    np.isin(top, s.doc_ids_store) if s.n_docs else np.zeros(top.size, bool)
+                )
+                if in_seg.any():
+                    texts[in_seg] = s.texts_for(top[in_seg])
+            out["text"] = texts
+        return out
 
     def _score_segment(
         self,

@@ -203,6 +203,55 @@ def serialize_bulk(actions: pd.DataFrame) -> str:
     return "".join(parts)
 
 
+def merge_doc(old: dict, patch: dict) -> dict:
+    """Recursive partial-document merge — ES update {"doc": ...}
+    semantics (nested objects merge, scalars/arrays replace)."""
+    out = dict(old)
+    for k, v in patch.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = merge_doc(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _fold_ops(rows: list[dict]) -> dict | None:
+    """Fold one (route_key, id) group's ops in seq order — full ES doc-op
+    semantics (E1):
+      index   -> replace (upsert)
+      create  -> version-conflict if the doc exists (op dropped, like the
+                 reference's non-retriable per-item error D10)
+      update  -> recursive partial merge of {"doc": ...} (or the whole
+                 source when not wrapped) into the live doc; update of a
+                 missing doc is dropped (doc_as_upsert=false); scripted
+                 updates are out of scope (SURVEY §7.4) and dropped
+      delete  -> tombstone
+    Returns the final live row dict or None."""
+    live: dict | None = None
+    for r in rows:
+        op = r["op"]
+        if op == "index":
+            live = dict(r)
+        elif op == "create":
+            if live is None:
+                live = dict(r)
+        elif op == "update":
+            if live is None or r["source"] is None:
+                continue
+            patch = json.loads(r["source"])
+            if "script" in patch:
+                continue  # scripted updates: documented out of scope
+            patch = patch.get("doc", patch) if isinstance(patch, dict) else patch
+            old = json.loads(live["source"]) if live["source"] else {}
+            merged = merge_doc(old, patch) if isinstance(patch, dict) else patch
+            live = dict(live)
+            live["source"] = json.dumps(merged, separators=(",", ":"))
+            live["seq"] = r["seq"]
+        elif op == "delete":
+            live = None
+    return live
+
+
 def resolve_actions(actions_ds, keep_deletes: bool = False):
     """Op-stream -> live doc set: groupby(routing ?? id), winner = max seq
     (E1 upsert / D2 co-location); delete winners drop the doc; 'create'
@@ -222,16 +271,44 @@ def resolve_actions(actions_ds, keep_deletes: bool = False):
         return batch
 
     def winners(bucket: pd.DataFrame) -> pd.DataFrame:
+        # fold ops in seq order PER (route_key, id) — the router co-locates
+        # same keys (Actors.kt:57-75); like ES, inconsistent routing for
+        # one id yields one live doc per shard.  Full op semantics
+        # (upsert / create-conflict / partial-merge update / tombstone)
+        # live in _fold_ops.
         b = bucket.sort_values("seq", kind="mergesort")
-        # last-write-wins PER (route_key, id) — the router co-locates same
-        # keys (Actors.kt:57-75); like ES, inconsistent routing for one id
-        # yields one live doc per shard
-        last = b.groupby(["route_key", "id"], as_index=False).tail(1)
-        if keep_deletes:
-            # incremental path: delete winners become tombstones downstream
-            return last[["op", "id", "index", "routing", "seq", "source"]]
-        live = last[last["op"] != "delete"]
-        return live[["id", "index", "routing", "seq", "source"]]
+        out_rows: list[dict] = []
+        for (_, _id), g in b.groupby(["route_key", "id"], sort=False):
+            rows = g.to_dict("records")
+            live = _fold_ops(rows)
+            if live is not None:
+                out_rows.append(
+                    {
+                        "op": "index",
+                        "id": live["id"],
+                        "index": live["index"],
+                        "routing": live["routing"],
+                        "seq": live["seq"],
+                        "source": live["source"],
+                    }
+                )
+            elif keep_deletes and any(r["op"] == "delete" for r in rows):
+                last_del = [r for r in rows if r["op"] == "delete"][-1]
+                out_rows.append(
+                    {
+                        "op": "delete",
+                        "id": last_del["id"],
+                        "index": last_del["index"],
+                        "routing": last_del["routing"],
+                        "seq": last_del["seq"],
+                        "source": None,
+                    }
+                )
+        cols = ["op", "id", "index", "routing", "seq", "source"]
+        out = pd.DataFrame(out_rows, columns=cols)
+        if not keep_deletes:
+            out = out[out["op"] != "delete"].drop(columns=["op"])
+        return out
 
     keyed = actions_ds.map_batches(add_route_key, batch_format="pandas")
     return bucketed_group_agg(keyed, ["route_key"], winners)

@@ -142,10 +142,46 @@ def test_resolve_fixture_scale(ray_session):
     ds = rd.from_pandas(parsed[["op", "id", "index", "routing", "seq", "source", "error"]])
     out = resolve_actions(ds).to_pandas()
 
-    # pandas oracle: resolution is per (route_key, id) — like ES, a doc
-    # written with inconsistent routing lands on multiple shards
+    # independent state-machine oracle: resolution is per (route_key, id)
+    # — like ES, a doc written with inconsistent routing lands on
+    # multiple shards; create conflicts, update merges (missing -> drop)
     df = parsed[~parsed["id"].isna()].copy()
     df["route_key"] = df["routing"].where(~df["routing"].isna(), df["id"])
-    last = df.sort_values("seq").groupby(["route_key", "id"], as_index=False).tail(1)
-    expect = last[last["op"] != "delete"]
-    assert sorted(out["id"]) == sorted(expect["id"])
+    state = {}
+    for r in df.sort_values("seq").itertuples(index=False):
+        key = (r.route_key, r.id)
+        if r.op == "index":
+            state[key] = r.source
+        elif r.op == "create":
+            state.setdefault(key, r.source)
+        elif r.op == "update":
+            if key in state and r.source is not None:
+                state[key] = r.source  # merge irrelevant for id-set check
+        elif r.op == "delete":
+            state.pop(key, None)
+    assert sorted(out["id"]) == sorted(k[1] for k in state)
+
+
+def test_fold_op_semantics(ray_session):
+    """Full ES doc-op semantics: create conflict, nested partial-merge
+    update, update-on-missing dropped, scripted update dropped."""
+    import ray.data as rd
+
+    stage = ParseActionsStage(default_index="t")
+    batch = stage(
+        _records(
+            [
+                ("t", 0, '{"index":{"id":"a"}}', '{"title":"one","meta":{"x":1,"y":2}}', None),
+                ("t", 1, '{"create":{"id":"a"}}', '{"title":"CONFLICT"}', None),      # dropped
+                ("t", 2, '{"update":{"id":"a"}}', '{"doc":{"meta":{"y":9},"z":3}}', None),  # nested merge
+                ("t", 3, '{"update":{"id":"ghost"}}', '{"doc":{"q":1}}', None),       # missing -> drop
+                ("t", 4, '{"update":{"id":"a"}}', '{"script":{"source":"ctx..."}}', None),  # scripted -> drop
+                ("t", 5, '{"create":{"id":"b"}}', '{"fresh":true}', None),            # create on missing ok
+            ]
+        )
+    )
+    out = resolve_actions(rd.from_pandas(batch)).to_pandas().sort_values("id")
+    assert out["id"].tolist() == ["a", "b"]
+    a_src = json.loads(out[out["id"] == "a"]["source"].iloc[0])
+    assert a_src == {"title": "one", "meta": {"x": 1, "y": 9}, "z": 3}
+    assert json.loads(out[out["id"] == "b"]["source"].iloc[0]) == {"fresh": True}

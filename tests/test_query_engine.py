@@ -157,3 +157,31 @@ def test_distributed_queries_and_operator(corpus_and_index, ray_session):
         expected[["query_id", "rank", "doc_id", "score"]].astype({"query_id": np.int64}),
     )
     assert 1 not in set(out["query_id"])  # absent term under AND -> no rows
+
+
+def test_store_text_fetch(ray_session, pages_small, tmp_path):
+    import ray.data as rd
+
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.index.merge import merge_index
+
+    cfg = EngineConfig(num_partitions=4, store_text=True)
+    idx = str(tmp_path / "fidx")
+    build_index(rd.from_arrow(pages_small), idx, cfg)
+    s = IndexSearcher(idx, cfg)
+    res = s.search("w00001", k=5, fetch=True)
+    assert len(res) > 0 and "text" in res.columns
+    for t in res["text"]:
+        assert "w00001" in t  # fetched _source contains the query term
+    # fetch survives a merge
+    merge_index(idx, merge_factor=4, cfg=cfg)
+    s2 = IndexSearcher(idx, cfg)
+    res2 = s2.search("w00001", k=5, fetch=True)
+    assert res2["text"].tolist() == res["text"].tolist()
+    # unfetchable index raises a clear error
+    idx2 = str(tmp_path / "nofetch")
+    build_index(rd.from_arrow(pages_small), idx2, EngineConfig(num_partitions=4))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="store_text"):
+        IndexSearcher(idx2).search("w00001", fetch=True)
