@@ -120,7 +120,7 @@ class ParseActionsStage:
                     }
                 )
                 continue
-            for a in actions:
+            for j, a in enumerate(actions):
                 # default index resolution (ElasticsearchSinkTask.kt:301-310)
                 idx = a["index"] or self.topic_index_map.get(topic) or self.default_index
                 if idx is None:
@@ -130,18 +130,44 @@ class ParseActionsStage:
                             "id": a["id"],
                             "index": None,
                             "routing": a["routing"],
+                            "parent": a["parent"],
+                            "retry_on_conflict": a["retry_on_conflict"],
                             "seq": int(r.seq),
                             "source": None,
                             "error": f"index not resolved for topic {topic!r}",
                         }
                     )
                     continue
+                doc_id = a["id"]
+                if doc_id is None:
+                    if a["op"] in ("index", "create"):
+                        # auto-id path (BulkAction.kt:117): ES generates a
+                        # random id; the deterministic batch analog derives
+                        # it from (seq, fan-out position)
+                        doc_id = f"_auto_{int(r.seq)}_{j}"
+                    else:
+                        rows.append(
+                            {
+                                "op": "quarantine",
+                                "id": None,
+                                "index": idx,
+                                "routing": a["routing"],
+                                "parent": a["parent"],
+                                "retry_on_conflict": a["retry_on_conflict"],
+                                "seq": int(r.seq),
+                                "source": None,
+                                "error": f"{a['op']} requires an id",
+                            }
+                        )
+                        continue
                 rows.append(
                     {
                         "op": a["op"],
-                        "id": a["id"],
+                        "id": doc_id,
                         "index": idx,
                         "routing": a["routing"],
+                        "parent": a["parent"],
+                        "retry_on_conflict": a["retry_on_conflict"],
                         "seq": int(r.seq),
                         "source": a["source"],
                         "error": None,
@@ -149,7 +175,7 @@ class ParseActionsStage:
                 )
         return pd.DataFrame(
             rows,
-            columns=["op", "id", "index", "routing", "seq", "source", "error"],
+            columns=["op", "id", "index", "routing", "parent", "retry_on_conflict", "seq", "source", "error"],
         ).astype({"seq": np.int64})
 
 

@@ -185,3 +185,26 @@ def test_fold_op_semantics(ray_session):
     a_src = json.loads(out[out["id"] == "a"]["source"].iloc[0])
     assert a_src == {"title": "one", "meta": {"x": 1, "y": 9}, "z": 3}
     assert json.loads(out[out["id"] == "b"]["source"].iloc[0]) == {"fresh": True}
+
+
+def test_auto_id_path(ray_session):
+    """Null _id on index/create auto-generates a deterministic id
+    (BulkAction.kt:117 analog); delete/update without id quarantine."""
+    import ray.data as rd
+
+    stage = ParseActionsStage(default_index="t")
+    out = stage(
+        _records(
+            [
+                ("t", 7, '{"index":{}}', '[{"a":1},{"a":2}]', None),  # 2 auto ids (fan-out)
+                ("t", 8, '{"delete":{}}', None, None),                # quarantined
+            ]
+        )
+    )
+    auto = out[out["op"] == "index"]
+    assert auto["id"].tolist() == ["_auto_7_0", "_auto_7_1"]
+    q = out[out["op"] == "quarantine"]
+    assert len(q) == 1 and "requires an id" in q["error"].iloc[0]
+    # auto-id docs survive resolution independently (no false dedup)
+    live = resolve_actions(rd.from_pandas(out)).to_pandas()
+    assert len(live) == 2
