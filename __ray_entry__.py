@@ -260,6 +260,48 @@ def _q_pages_pipeline(sf_dir: str):
     return pages_pipeline(n_rows=1000)
 
 
+def _q_actions_incremental(sf_dir: str):
+    """Continuous-ingest flow: base index from an action stream, then a
+    delta batch (upserts + deletes) applied as delta segments +
+    tombstones; returns the live top-k per derived query (rows-only)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.pipelines.actions_flow import index_from_actions, update_index_from_actions
+    from kafka_es_ray.query.engine import IndexSearcher
+
+    cfg = EngineConfig(num_partitions=4)
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_incq_")
+    try:
+        base = pd.DataFrame(
+            [
+                ("t", i, '{"index":{"id":"doc%d"}}' % i, '{"title":"base doc %d alpha"}' % i, None)
+                for i in range(50)
+            ],
+            columns=["topic", "seq", "action", "value", "tag"],
+        )
+        index_from_actions(rd.from_pandas(base), idx, cfg)
+        delta = pd.DataFrame(
+            [("t", 100 + i, '{"update":{"id":"doc%d"}}' % i, '{"doc":{"title":"updated doc %d beta"}}' % i, None) for i in range(0, 20)]
+            + [("t", 200 + i, '{"delete":{"id":"doc%d"}}' % i, None, None) for i in range(40, 50)],
+            columns=["topic", "seq", "action", "value", "tag"],
+        )
+        update_index_from_actions(idx, rd.from_pandas(delta), cfg)
+        s = IndexSearcher(idx, cfg)
+        beta = s.search("beta", k=100)
+        alpha = s.search("alpha", k=100)
+        out = pd.concat(
+            [beta.assign(query="beta"), alpha.assign(query="alpha")], ignore_index=True
+        )
+        return out[["query", "rank", "key", "score"]]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -291,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dups": _q_minhash_dups,
         "embedding_neardup": _q_embedding_neardup,
         "pages_pipeline": _q_pages_pipeline,
+        "actions_incremental": _q_actions_incremental,
         "media_features": _q_media_features,
     }
 

@@ -51,6 +51,9 @@ def ensure_pages_corpus(n_rows: int) -> str:
 
 
 def run_bench() -> dict:
+    # Ray's default object store sizing warns at <50% of memory; the
+    # shuffle benefits from headroom
+    os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.5")
     import ray
 
     ray.init(
