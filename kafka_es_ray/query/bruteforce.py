@@ -8,8 +8,10 @@ fast production path.
 Two forms:
   * ``bruteforce_topk`` — driver-side pandas/numpy for tests (small data).
   * ``bruteforce_topk_ray`` — the same computation as a streaming Ray
-    pipeline (map_batches partial scores -> merge), demonstrating that
-    even the oracle needn't materialize the corpus.
+    pipeline: pass 1 aggregates corpus stats (N, Σdl, df per query term)
+    from per-batch partials; pass 2 scores per batch against broadcast
+    stats and keeps per-batch top-k candidates; one tiny merge.  Even the
+    oracle never materializes the corpus.
 """
 
 from __future__ import annotations
@@ -82,4 +84,92 @@ def bruteforce_topk(
     if key_col and key_col in docs.columns:
         keys = docs[key_col].to_numpy()[hit]
         out.insert(2, "key", keys[order])
+    return out
+
+
+def bruteforce_topk_ray(
+    docs_ds,
+    query_text: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    key_col: str | None = "key",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    query_lang: str | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> pd.DataFrame:
+    """Streaming full-scan oracle over a Dataset (no index, no corpus
+    materialization).  Rank-identical to ``bruteforce_topk``."""
+    import ray
+
+    terms = sorted(set(get_analyzer(query_lang).tokenize(query_text)))
+    if not terms:
+        return pd.DataFrame({"rank": [], "doc_id": [], "key": [], "score": []})
+    terms_arr = np.asarray(terms, dtype=object)
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks, dl = corpus_token_stats(batch, text_col, lang_col)
+        dfs = np.zeros(terms_arr.size, dtype=np.int64)
+        for i, t in enumerate(terms_arr):
+            dfs[i] = sum(t in set(tok) for tok in toks)
+        row = {"n": np.int64(len(batch)), "sum_dl": np.int64(dl.sum())}
+        for i, t in enumerate(terms_arr):
+            row[f"df_{i}"] = dfs[i]
+        return pd.DataFrame([row])
+
+    stats = docs_ds.map_batches(stats_partial, batch_format="pandas", batch_size=4096).to_pandas().sum()
+    n = int(stats["n"])
+    if n == 0:
+        return pd.DataFrame({"rank": [], "doc_id": [], "key": [], "score": []})
+    avgdl = float(stats["sum_dl"]) / n
+    dfs = np.array([int(stats[f"df_{i}"]) for i in range(terms_arr.size)], dtype=np.int64)
+    keep = dfs > 0
+    live_terms = [t for t, m in zip(terms, keep) if m]
+    if not live_terms:
+        return pd.DataFrame({"rank": [], "doc_id": [], "key": [], "score": []})
+    idfs = np.asarray(bm25_idf(dfs[keep], n), dtype=np.float64)
+    stats_ref = ray.put((live_terms, idfs, avgdl, n))
+
+    def score_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        lt, li, av, _ = ray.get(stats_ref)
+        toks, dl = corpus_token_stats(batch, text_col, lang_col)
+        scores = np.zeros(len(batch), dtype=np.float64)
+        for t, idf in zip(lt, li):  # ascending term order (determinism)
+            tf = np.array([tok.count(t) for tok in toks], dtype=np.int64)
+            contrib = idf * bm25_tf_part(tf, dl, av, k1, b)
+            contrib[tf == 0] = 0.0
+            scores += contrib
+        scores = np.asarray(round6(scores))
+        hit = scores > 0
+        out = pd.DataFrame(
+            {
+                "doc_id": batch[id_col].to_numpy(dtype=np.int64)[hit],
+                "score": scores[hit],
+            }
+        )
+        if key_col and key_col in batch.columns:
+            out["key"] = batch[key_col].to_numpy()[hit]
+        # per-batch partial top-k (keep score ties at the k-th)
+        if len(out) > k:
+            kth = -np.partition(-out["score"].to_numpy(), k - 1)[k - 1]
+            out = out[out["score"] >= kth]
+        return out
+
+    partials = docs_ds.map_batches(score_partial, batch_format="pandas", batch_size=4096).to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"rank": [], "doc_id": [], "key": [], "score": []})
+    ids = partials["doc_id"].to_numpy()
+    scores = partials["score"].to_numpy()
+    order = np.lexsort((ids, -scores))[:k]
+    out = pd.DataFrame(
+        {
+            "rank": np.arange(1, order.size + 1, dtype=np.int64),
+            "doc_id": ids[order],
+            "score": scores[order],
+        }
+    )
+    if "key" in partials.columns:
+        out.insert(2, "key", partials["key"].to_numpy()[order])
     return out
