@@ -96,6 +96,14 @@ def run_bench() -> dict:
     extra["docs_per_sec"] = round(PAGES_ROWS / t_build, 1)
     extra["n_docs_indexed"] = manifest["n_docs"]
 
+    # force-merge before serving (ES read-optimized pattern; E3 merge):
+    # fewer segments => less per-segment query overhead
+    from kafka_es_ray.index.merge import merge_index
+
+    t0 = time.perf_counter()
+    merge_index(idx, merge_factor=8, cfg=cfg)
+    timings["index_merge"] = round(time.perf_counter() - t0, 3)
+
     # ---- headline: query throughput (distributed actor-pool stage) ----
     queries = make_queries(40).to_pandas()
     rep = 8
@@ -136,9 +144,11 @@ def run_bench() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
-    total = round(timings["index_build"] + timings["bm25_queries"], 3)
+    total = round(
+        timings["index_build"] + timings["index_merge"] + timings["bm25_queries"], 3
+    )
     return {
-        "metric": "headline_sec (pages index build + bm25 query batch)",
+        "metric": "headline_sec (pages index build + force-merge + bm25 query batch)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 
 from kafka_es_ray.config import DEFAULT, EngineConfig
-from kafka_es_ray.functions.codec import varint_encode_with_offsets
+from kafka_es_ray.functions.codec import varint_decode, varint_encode_with_offsets
 from kafka_es_ray.index import segment as seg
 from kafka_es_ray.index.build import _large_binary_from_slices
 
@@ -74,16 +74,26 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
     term_of_posting: list[np.ndarray] = []
     for s in segs:
         pos = np.searchsorted(all_terms, s.terms)
-        for local_ti, global_ti in enumerate(pos):
-            ids, tfs = s.postings(local_ti)
-            alive = _alive_mask(s, ids)
-            ids, tfs = ids[alive], tfs[alive]
-            if ids.size == 0:
-                continue
-            dfs[global_ti] += ids.size
-            p_ids_parts.append(ids)
-            p_tfs_parts.append(tfs)
-            term_of_posting.append(np.full(ids.size, global_ti, dtype=np.int64))
+        # decode the WHOLE segment in one vectorized pass (a per-term
+        # decode loop measured ~10x slower): concatenated varint streams,
+        # then per-run cumsum reset to recover absolute doc ids
+        seg_df = s.df.astype(np.int64)
+        run_starts = np.zeros(seg_df.size, dtype=np.int64)
+        np.cumsum(seg_df[:-1], out=run_starts[1:])
+        gaps = varint_decode(b"".join(s.doc_ids_enc), int(seg_df.sum())).astype(np.int64)
+        tfs_all = varint_decode(b"".join(s.tfs_enc), int(seg_df.sum())).astype(np.int64)
+        csum = np.cumsum(gaps)
+        base = np.repeat(csum[run_starts] - gaps[run_starts], seg_df)
+        ids_all = csum - base
+        term_all = np.repeat(pos, seg_df)
+        alive = _alive_mask(s, ids_all)
+        ids_all, tfs_all, term_all = ids_all[alive], tfs_all[alive], term_all[alive]
+        if ids_all.size == 0:
+            continue
+        dfs += np.bincount(term_all, minlength=n_terms).astype(np.int64)
+        p_ids_parts.append(ids_all)
+        p_tfs_parts.append(tfs_all)
+        term_of_posting.append(term_all)
     # terms whose postings were fully purged are dropped from the dictionary
     live_terms = dfs > 0
     if not live_terms.all():
