@@ -178,13 +178,15 @@ def run_scaling() -> dict:
         results[ncpu] = min(runs, key=lambda r: r["value"])
     t8 = results[8]["value"]
     t32 = results[32]["value"]
-    eff = (t8 / t32) / (32 / 8)
+    # the north_rule criterion is INDEXING-throughput scaling efficiency
+    idx_eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / (32 / 8)
     return {
-        "metric": "scaling_efficiency (8 -> 32 cpus, same input)",
-        "value": round(eff, 3),
+        "metric": "indexing-throughput scaling efficiency (8 -> 32 cpus, same input)",
+        "value": round(idx_eff, 3),
         "unit": "ratio",
-        "sec_8cpu": t8,
-        "sec_32cpu": t32,
+        "headline_sec_8cpu": t8,
+        "headline_sec_32cpu": t32,
+        "headline_efficiency": round((t8 / t32) / (32 / 8), 3),
         "docs_per_sec_8cpu": results[8]["docs_per_sec"],
         "docs_per_sec_32cpu": results[32]["docs_per_sec"],
         "queries_per_sec_8cpu": results[8]["queries_per_sec"],

@@ -333,21 +333,22 @@ class ShardScorerStage:
                     sel = np.flatnonzero(scores >= kth)
                     ids, scores = ids[sel], scores[sel]
                 keys = seg.keys_for(ids)
-                for qid in q["query_ids"]:
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": np.int64(qid),
-                                "doc_id": ids,
-                                "key": keys,
-                                "score": scores,
-                            }
-                        )
+                # emit per PLAN; repeated queries fan out only after the
+                # merge (keeps the shuffle proportional to unique plans)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "plan_id": np.int64(q["plan_id"]),
+                            "doc_id": ids,
+                            "key": keys,
+                            "score": scores,
+                        }
                     )
+                )
         if not out:
             return pd.DataFrame(
                 {
-                    "query_id": pd.Series([], dtype=np.int64),
+                    "plan_id": pd.Series([], dtype=np.int64),
                     "doc_id": pd.Series([], dtype=np.int64),
                     "key": pd.Series([], dtype=object),
                     "score": pd.Series([], dtype=np.float64),
@@ -449,8 +450,11 @@ def run_queries(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT, concurr
             }
         entry["query_ids"].append(int(row.query_id))
     plan = list(plan_by_key.values())
+    for pid_, q in enumerate(plan):
+        q["plan_id"] = pid_
     plan_ref = ray.put((plan, avgdl, k1, b))
-    k_map = {qid: q["k"] for q in plan for qid in q["query_ids"]}
+    k_map = {q["plan_id"]: q["k"] for q in plan}
+    fanout_map = {q["plan_id"]: q["query_ids"] for q in plan}
 
     n_blocks = max(concurrency * 2, len(parts) // 4)
     shards = rd.from_pandas(pd.DataFrame({"part_id": parts})).repartition(
@@ -466,22 +470,22 @@ def run_queries(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT, concurr
 
     def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for qid, g in bucket.groupby("query_id", sort=False):
-            k = k_map.get(int(qid), 10)
+        for pid_, g in bucket.groupby("plan_id", sort=False):
+            k = k_map.get(int(pid_), 10)
             ids = g["doc_id"].to_numpy()
             scores = g["score"].to_numpy()
             order = np.lexsort((ids, -scores))[:k]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "query_id": np.int64(qid),
-                        "rank": np.arange(1, order.size + 1, dtype=np.int64),
-                        "doc_id": ids[order],
-                        "key": g["key"].to_numpy()[order],
-                        "score": scores[order],
-                    }
-                )
+            top = pd.DataFrame(
+                {
+                    "rank": np.arange(1, order.size + 1, dtype=np.int64),
+                    "doc_id": ids[order],
+                    "key": g["key"].to_numpy()[order],
+                    "score": scores[order],
+                }
             )
+            # fan the merged plan result out to every query sharing it
+            for qid in fanout_map.get(int(pid_), []):
+                out.append(top.assign(query_id=np.int64(qid)))
         if not out:
             return pd.DataFrame(
                 {
@@ -492,6 +496,8 @@ def run_queries(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT, concurr
                     "score": pd.Series([], dtype=np.float64),
                 }
             )
-        return pd.concat(out, ignore_index=True)
+        return pd.concat(out, ignore_index=True)[
+            ["query_id", "rank", "doc_id", "key", "score"]
+        ]
 
-    return bucketed_group_agg(partials, ["query_id"], merge_bucket)
+    return bucketed_group_agg(partials, ["plan_id"], merge_bucket)
