@@ -69,7 +69,7 @@ def bruteforce_topk(
         contrib[tf == 0] = 0.0
         scores += contrib
     if not any_term:
-        return pd.DataFrame({"rank": [], "doc_id": [], "key": [], "score": []})
+        return pd.DataFrame({"rank": pd.Series([], dtype="int64"), "doc_id": pd.Series([], dtype="int64"), "key": pd.Series([], dtype=object), "score": pd.Series([], dtype="float64")})
     scores = np.asarray(round6(scores))
     hit = scores > 0
     ids_h, sc_h = doc_ids[hit], scores[hit]
@@ -106,7 +106,7 @@ def bruteforce_topk_ray(
 
     terms = sorted(set(get_analyzer(query_lang).tokenize(query_text)))
     if not terms:
-        return pd.DataFrame({"rank": [], "doc_id": [], "key": [], "score": []})
+        return pd.DataFrame({"rank": pd.Series([], dtype="int64"), "doc_id": pd.Series([], dtype="int64"), "key": pd.Series([], dtype=object), "score": pd.Series([], dtype="float64")})
     terms_arr = np.asarray(terms, dtype=object)
 
     def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -122,13 +122,13 @@ def bruteforce_topk_ray(
     stats = docs_ds.map_batches(stats_partial, batch_format="pandas", batch_size=4096).to_pandas().sum()
     n = int(stats["n"])
     if n == 0:
-        return pd.DataFrame({"rank": [], "doc_id": [], "key": [], "score": []})
+        return pd.DataFrame({"rank": pd.Series([], dtype="int64"), "doc_id": pd.Series([], dtype="int64"), "key": pd.Series([], dtype=object), "score": pd.Series([], dtype="float64")})
     avgdl = float(stats["sum_dl"]) / n
     dfs = np.array([int(stats[f"df_{i}"]) for i in range(terms_arr.size)], dtype=np.int64)
     keep = dfs > 0
     live_terms = [t for t, m in zip(terms, keep) if m]
     if not live_terms:
-        return pd.DataFrame({"rank": [], "doc_id": [], "key": [], "score": []})
+        return pd.DataFrame({"rank": pd.Series([], dtype="int64"), "doc_id": pd.Series([], dtype="int64"), "key": pd.Series([], dtype=object), "score": pd.Series([], dtype="float64")})
     idfs = np.asarray(bm25_idf(dfs[keep], n), dtype=np.float64)
     stats_ref = ray.put((live_terms, idfs, avgdl, n))
 
@@ -159,7 +159,7 @@ def bruteforce_topk_ray(
 
     partials = docs_ds.map_batches(score_partial, batch_format="pandas", batch_size=4096).to_pandas()
     if partials.empty:
-        return pd.DataFrame({"rank": [], "doc_id": [], "key": [], "score": []})
+        return pd.DataFrame({"rank": pd.Series([], dtype="int64"), "doc_id": pd.Series([], dtype="int64"), "key": pd.Series([], dtype=object), "score": pd.Series([], dtype="float64")})
     ids = partials["doc_id"].to_numpy()
     scores = partials["score"].to_numpy()
     order = np.lexsort((ids, -scores))[:k]

@@ -63,6 +63,7 @@ class IndexSearcher:
         operator: str = "or",
         filter_lang: str | None = None,
         fetch: bool = False,
+        offset: int = 0,
     ) -> pd.DataFrame:
         """Top-k docs for one query string.  Returns DataFrame
         (rank, doc_id, key, score) with the determinism contract applied.
@@ -96,6 +97,7 @@ class IndexSearcher:
         idf = bm25_idf(df, self.n_docs)
 
         theta: float | None = None
+        keff = k + offset  # rank window upper bound (ES from+size)
         cand_ids: list[np.ndarray] = []
         cand_scores: list[np.ndarray] = []
         cand_keys: list[np.ndarray] = []
@@ -110,10 +112,10 @@ class IndexSearcher:
             )
             if ids.size == 0:
                 continue
-            if ids.size > k:
+            if ids.size > keff:
                 # per-segment top-k heap analog; keep everything tied with
                 # the k-th score so the global merge stays exact
-                kth = -np.partition(-scores, k - 1)[k - 1]
+                kth = -np.partition(-scores, keff - 1)[keff - 1]
                 sel = np.flatnonzero(scores >= kth)
                 ids, scores = ids[sel], scores[sel]
             cand_ids.append(ids)
@@ -121,8 +123,8 @@ class IndexSearcher:
             cand_keys.append(s.keys_for(ids))
             if prune:
                 pool = np.concatenate(cand_scores) if len(cand_scores) > 1 else cand_scores[0]
-                if pool.size >= k:
-                    kth_r = -np.partition(-pool, k - 1)[k - 1]
+                if pool.size >= keff:
+                    kth_r = -np.partition(-pool, keff - 1)[keff - 1]
                     # safety margin: a doc excluded by the bound must round
                     # strictly below the k-th rounded score
                     theta = float(kth_r) - 2e-6
@@ -131,10 +133,12 @@ class IndexSearcher:
         ids = np.concatenate(cand_ids)
         scores = np.concatenate(cand_scores)
         keys = np.concatenate(cand_keys)
-        order = np.lexsort((ids, -scores))[:k]
+        # pagination (ES from/size): rank window [offset+1, offset+k];
+        # per-segment cut above already used offset+k as the heap bound
+        order = np.lexsort((ids, -scores))[offset : offset + k]
         out = pd.DataFrame(
             {
-                "rank": np.arange(1, order.size + 1, dtype=np.int64),
+                "rank": np.arange(offset + 1, offset + 1 + order.size, dtype=np.int64),
                 "doc_id": ids[order],
                 "key": keys[order],
                 "score": scores[order],

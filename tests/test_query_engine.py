@@ -185,3 +185,18 @@ def test_store_text_fetch(ray_session, pages_small, tmp_path):
 
     with _pytest.raises(ValueError, match="store_text"):
         IndexSearcher(idx2).search("w00001", fetch=True)
+
+
+def test_pagination_offset(corpus_and_index):
+    """ES from/size: page windows tile the full ranking exactly."""
+    _, idx = corpus_and_index
+    s = IndexSearcher(idx)
+    full = s.search("w00001 w00002", k=30)
+    p1 = s.search("w00001 w00002", k=10, offset=0)
+    p2 = s.search("w00001 w00002", k=10, offset=10)
+    p3 = s.search("w00001 w00002", k=10, offset=20)
+    paged = pd.concat([p1, p2, p3], ignore_index=True)
+    pd.testing.assert_frame_equal(paged, full.reset_index(drop=True))
+    assert p2["rank"].tolist() == list(range(11, 21))
+    # offset past the end -> empty
+    assert len(s.search("w00001", offset=10_000_000, k=10)) == 0
