@@ -302,6 +302,18 @@ def _q_actions_incremental(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HLL mergeable-sketch approximate distinct users (rows-only:
+    approximate by design; accuracy asserted in tests)."""
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.sketches import approx_distinct
+    from kafka_es_ray.sources.parquet import read_table
+
+    est = approx_distinct(read_table(sf_dir, "events", columns=["user_id"]), "user_id")
+    return pd.DataFrame({"approx_distinct_users": [int(round(est))]})
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -334,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "pages_pipeline": _q_pages_pipeline,
         "actions_incremental": _q_actions_incremental,
+        "approx_distinct_users": _q_approx_distinct,
         "media_features": _q_media_features,
     }
 

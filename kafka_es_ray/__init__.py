@@ -44,6 +44,7 @@ def _register_pickle_by_value() -> None:
         fulltext,
         multimodal,
         relational,
+        sketches,
         text_ops,
     )
     from kafka_es_ray.query import bm25, bruteforce, engine  # noqa: F401
