@@ -71,3 +71,30 @@ def test_varint_roundtrip_property(vals):
 def test_delta_roundtrip_property(ids):
     arr = np.array(sorted(ids), dtype=np.int64)
     assert delta_decode(delta_encode(arr), arr.size).tolist() == arr.tolist()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50), st.integers(min_value=-100, max_value=100)),
+        min_size=1,
+        max_size=500,
+    )
+)
+def test_bucketed_group_agg_property(kv_pairs):
+    """bucketed_group_agg must equal a plain pandas groupby for any key
+    distribution (the core shuffle helper — property-tested)."""
+    import pandas as pd
+
+    from kafka_es_ray.stages.shuffle import _bucket_of
+
+    df = pd.DataFrame(kv_pairs, columns=["k", "v"]).astype({"k": "int64", "v": "int64"})
+    # simulate the bucketed path without Ray: bucket, per-bucket agg, concat
+    b = _bucket_of(df, ["k"], 7)
+    parts = []
+    for bucket_id in sorted(set(b)):
+        sub = df[b == bucket_id]
+        parts.append(sub.groupby("k", as_index=False)["v"].sum())
+    got = pd.concat(parts, ignore_index=True).sort_values("k").reset_index(drop=True)
+    want = df.groupby("k", as_index=False)["v"].sum().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
