@@ -105,3 +105,47 @@ def test_incremental_keeps_stats_stale_until_merge(ray_session, base_index):
     assert len(s.search("cherry")) == 0
     merge_index(base_index, merge_factor=100, cfg=CFG)
     assert read_manifest(base_index)["n_docs"] == m0["n_docs"] - 1
+
+
+def test_apply_retry_after_crash_is_idempotent(ray_session, base_index):
+    """A crash between delta-segment writes and the manifest commit means
+    the driver retries the whole batch: segment ids, doc_id ranks and
+    tombstones must come out identical (deterministic overwrite), so
+    at-least-once delivery converges — the reference's at-least-once +
+    idempotent-upsert contract (ElasticsearchSinkTask.kt:312-332)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from kafka_es_ray.index.segment import Segment
+
+    delta = _records(
+        [
+            ("t", '{"index":{"id":"a"}}', '{"title":"retry winner"}', None),
+            ("t", '{"delete":{"id":"c"}}', None, None),
+        ],
+        seq0=500,
+    )
+    mpath = os.path.join(base_index, "manifest.json")
+    pre = open(mpath).read()
+
+    m1 = update_index_from_actions(base_index, rd.from_pandas(delta), CFG)
+    sid = [s for s in m1["parts"] if s >= 200000][0]
+    seg_before = Segment.load(base_index, sid)
+
+    # simulate the crash: roll the manifest back to the pre-apply state
+    with open(mpath, "w") as f:
+        f.write(pre)
+    m2 = update_index_from_actions(base_index, rd.from_pandas(delta), CFG)
+
+    assert m2["parts"] == m1["parts"]
+    assert m2["tombstoned_docs"] == m1["tombstoned_docs"]
+    assert m2["alloc"] == m1["alloc"]
+    seg_after = Segment.load(base_index, sid)
+    assert seg_after.doc_ids_store.tolist() == seg_before.doc_ids_store.tolist()
+    assert seg_after.terms.tolist() == seg_before.terms.tolist()
+
+    s = IndexSearcher(base_index, CFG)
+    assert s.search("retry")["key"].tolist() == ["a"]
+    assert len(s.search("cherry")) == 0  # c deleted exactly once
