@@ -24,6 +24,10 @@ class EngineConfig:
     # "let Ray size the pool" unless pinned).
     extract_concurrency: int | None = None
     query_concurrency: int | None = None
+    # Max segments a ShardScorerStage actor keeps decoded in memory (LRU).
+    # Ray Data gives no block->actor affinity, so without a cap a long-lived
+    # query actor converges toward holding the whole index.
+    scorer_segment_cache: int = 8
 
     # --- index layout
     # Number of doc partitions ("shards").  Each partition owns a doc_id

@@ -76,11 +76,14 @@ class ExtractStage:
             text = fill_text_from_html(text, html)
         cols[self.text_col] = pa.array(text, type=pa.string())
         keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
-        # router key precedence: routing ?? key (ElasticsearchSinkTask.kt:209-212)
+        # router key precedence: routing ?? key (ElasticsearchSinkTask.kt:209-212).
+        # Null detection must be pd.isna-based: a numeric/empty routing
+        # parquet column yields float NaN, which `is not None` would treat
+        # as a valid key and send every such row to one partition.
         route_keys = keys
         if self.routing_col is not None and self.routing_col in batch.schema.names:
             routing = batch.column(self.routing_col).to_numpy(zero_copy_only=False)
-            route_keys = np.where([r is not None for r in routing], routing, keys)
+            route_keys = np.where(pd.isna(routing), keys, routing)
         for c in self.keep_cols:
             if c != self.text_col and c in batch.schema.names:
                 cols[c] = batch.column(c)
@@ -255,8 +258,14 @@ def build_segment_for_group(
         # ES _source stored field: docstore carries the doc text
         store_cols["text"] = pa.array(texts.to_numpy(), type=pa.string())
     docstore_table = pa.table(store_cols)
-    seg.atomic_write_table(postings_table, seg.postings_path(index_dir, segment_id))
-    seg.atomic_write_table(docstore_table, seg.docstore_path(index_dir, segment_id))
+    seg.atomic_write_table(
+        postings_table, seg.postings_path(index_dir, segment_id),
+        retries=cfg.write_retries, retry_delay_s=cfg.write_retry_delay_s,
+    )
+    seg.atomic_write_table(
+        docstore_table, seg.docstore_path(index_dir, segment_id),
+        retries=cfg.write_retries, retry_delay_s=cfg.write_retry_delay_s,
+    )
 
     content_hash = int(np.bitwise_xor.reduce(stable_hash64(keys))) if len(keys) else 0
     manifest = {
@@ -277,7 +286,10 @@ def build_segment_for_group(
         "build_secs": round(time.time() - t0, 3),
     }
     # per-partition manifest written LAST = the commit point (D9 analog)
-    seg.atomic_write_json(manifest, seg.part_manifest_path(index_dir, segment_id))
+    seg.atomic_write_json(
+        manifest, seg.part_manifest_path(index_dir, segment_id),
+        retries=cfg.write_retries, retry_delay_s=cfg.write_retry_delay_s,
+    )
     return pd.DataFrame({"part_id": [segment_id], "manifest": [json.dumps(manifest)]})
 
 
@@ -379,6 +391,14 @@ def build_index(
         "b": cfg.b,
         "metrics": metrics,
         "part_manifests": {str(p): part_manifests[p] for p in parts},
+        # per-partition doc_id rank allocation counters: partition p has
+        # allocated local ranks [0, alloc[p]).  Written at build time so
+        # later merges can drop per-partition manifests without losing the
+        # disjoint-range invariant that delta segments depend on.
+        "alloc": {
+            str(m.get("partition", p)): int(m["n_docs"])
+            for p, m in part_manifests.items()
+        },
     }
     seg.write_manifest(index_dir, manifest)
     return manifest

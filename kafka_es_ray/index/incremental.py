@@ -10,13 +10,25 @@ faithful to the ES/Lucene model:
   * every key written or deleted tombstones its previous doc_id (found by
     a partition-local docstore lookup — the routing invariant guarantees
     a key's older versions live only in that partition's segments);
-  * tombstoned docs disappear from results immediately; corpus stats stay
-    stale until ``merge_index`` purges them — exactly ES visibility;
+  * tombstone visibility is MANIFEST-GATED: each apply writes
+    generation-suffixed tombstone files and lists them in the manifest;
+    a crash after the file write but before the manifest commit leaves
+    the files invisible (no delete-without-replacement window);
+  * corpus stats stay stale until ``merge_index`` purges tombstoned docs
+    — exactly ES visibility;
   * manifest update is the commit point ('refresh').
+
+Scale shape: the per-partition work (docstore lookup, orphan-update
+resolution, delta-segment build) runs as ``groupby(part_id).map_groups``
+Ray tasks — the same ONE-shuffle shape as the full build; the driver only
+unions tombstone id sets and commits the manifest.
 
 doc_id allocation: partition p's ranks continue from the manifest's
 ``alloc`` counter (gen-0 builds allocate [0, n_docs)), so delta doc ids
 stay inside p's stride range, disjoint and ascending across generations.
+Delta segment ids are the deterministic function ``next_segment_id +
+part_id`` (each apply reserves num_partitions ids), so a crashed-and-
+retried apply rebuilds byte-identical segments under the same names.
 """
 
 from __future__ import annotations
@@ -58,6 +70,149 @@ def _alloc_of(manifest: dict, part: int) -> int:
     return int(m["n_docs"]) if m else 0
 
 
+def _apply_one_partition(
+    g: pd.DataFrame,
+    index_dir: str,
+    manifest: dict,
+    cfg: EngineConfig,
+    key_col: str,
+    text_col: str,
+    lang_col: str | None,
+    seq_col: str | None,
+    op_col: str | None,
+    next_sid: int,
+) -> pd.DataFrame:
+    """One routing partition's delta: docstore lookup (old doc ids to
+    tombstone + stored text for orphan updates), delta-segment build.
+    Returns small rows: kind in {'manifest','tombstones','metrics'}."""
+    part = int(g["part_id"].iloc[0])
+    stride = cfg.part_stride
+    affected_keys = set(g[key_col].astype(str))
+    already_dead = set(manifest.get("tombstoned_docs", []))
+
+    has_updates = bool(
+        op_col and op_col in g.columns and (g[op_col] == "update").any()
+    )
+    tombstones: set[int] = set()
+    dead_by_seg: dict[int, list[int]] = {}
+    # live (non-tombstoned) versions of affected keys, for orphan-update
+    # resolution: existence (ES document_missing check) tracked always,
+    # stored text only when the docstore carries it (store_text=True)
+    live_key_ids: dict[str, int] = {}          # key -> newest live doc_id
+    stored_text: dict[str, tuple[int, str]] = {}  # key -> (doc_id, text)
+    for sid in _segments_covering(manifest, part):
+        cols = ["doc_id", "key"]
+        dpath = seg.docstore_path(index_dir, sid)
+        has_text = has_updates and "text" in pq.read_schema(dpath).names
+        if has_text:
+            cols.append("text")
+        dt = pq.read_table(dpath, columns=cols)
+        keys_arr = np.asarray(dt.column("key").to_pylist(), dtype=object)
+        ids_arr = dt.column("doc_id").to_numpy()
+        in_part = (ids_arr >= part * stride) & (ids_arr < (part + 1) * stride)
+        hit = in_part & np.isin(keys_arr, np.asarray(list(affected_keys), dtype=object))
+        if not hit.any():
+            continue
+        dead_by_seg[sid] = [int(x) for x in ids_arr[hit]]
+        tombstones.update(dead_by_seg[sid])
+        if has_updates:
+            texts_hit = (
+                np.asarray(dt.column("text").to_pylist(), dtype=object)[hit]
+                if has_text
+                else None
+            )
+            for j, (did, k) in enumerate(zip(ids_arr[hit], keys_arr[hit])):
+                did = int(did)
+                if did in already_dead:
+                    continue  # an older, already-deleted version
+                ks = str(k)
+                if did >= live_key_ids.get(ks, -1):
+                    live_key_ids[ks] = did
+                    if texts_hit is not None:
+                        stored_text[ks] = (did, texts_hit[j])
+
+    orphan_dropped = 0
+    if op_col is not None and op_col in g.columns:
+        ops = g[op_col]
+        upd = g[ops == "update"].reset_index(drop=True)
+        if len(upd):
+            # resolve partial updates against the stored doc: a null patch
+            # text inherits the live stored text (ES doc-merge into
+            # _source); an update whose key is absent from the index is
+            # ES's document_missing error -> dropped + counted; a null
+            # patch on an index built without store_text cannot be
+            # reconstructed -> also dropped + counted
+            resolved_pos: list[int] = []
+            new_texts: list[str] = []
+            for i, (k, t) in enumerate(zip(upd[key_col].astype(str), upd[text_col])):
+                if k not in live_key_ids:
+                    orphan_dropped += 1
+                    continue
+                if pd.isna(t):
+                    hit2 = stored_text.get(k)
+                    if hit2 is None:
+                        orphan_dropped += 1
+                        continue
+                    new_texts.append(hit2[1])
+                else:
+                    new_texts.append(t)
+                resolved_pos.append(i)
+            upd = upd.iloc[resolved_pos].assign(**{text_col: new_texts, op_col: "index"})
+        live = pd.concat([g[(ops != "delete") & (ops != "update")], upd])
+        if seq_col and seq_col in live.columns:
+            live = live.sort_values(seq_col, kind="mergesort")
+    else:
+        live = g
+
+    out_rows = []
+    if len(live):
+        sid = next_sid + part  # deterministic under retry
+        rank_base = _alloc_of(manifest, part)
+        built = build_segment_for_group(
+            live.assign(part_id=part),
+            index_dir,
+            cfg,
+            key_col,
+            text_col,
+            lang_col,
+            None,
+            seq_col if seq_col in g.columns else None,
+            None,
+            None,
+            segment_id=sid,
+            rank_base=rank_base,
+        )
+        m = json.loads(built["manifest"].iloc[0])
+        out_rows.append(
+            {
+                "kind": "manifest",
+                "part": part,
+                "sid": sid,
+                "payload": json.dumps(m),
+            }
+        )
+    for sid2, dead in dead_by_seg.items():
+        out_rows.append(
+            {"kind": "tombstones", "part": part, "sid": sid2, "payload": json.dumps(sorted(dead))}
+        )
+    out_rows.append(
+        {
+            "kind": "metrics",
+            "part": part,
+            "sid": -1,
+            "payload": json.dumps(
+                {
+                    "rows": int(len(g)),
+                    "tombstones": len(tombstones),
+                    "segments_touched": len(dead_by_seg),
+                    "orphan_updates_dropped": orphan_dropped,
+                }
+            ),
+        }
+    )
+    return pd.DataFrame(out_rows, columns=["kind", "part", "sid", "payload"])
+
+
 def apply_incremental(
     index_dir: str,
     docs_ds,
@@ -72,72 +227,72 @@ def apply_incremental(
 ) -> dict:
     """Apply a resolved doc/op batch to an existing index.
 
-    ``docs_ds``: Dataset of rows (key, text, lang?, seq?, op?) where op
-    'delete' rows tombstone the key and other rows upsert it.  Returns the
-    updated global manifest."""
+    ``docs_ds``: Dataset (or DataFrame) of rows (key, text, lang?, seq?,
+    op?) where op 'delete' rows tombstone the key, 'update' rows partial-
+    merge into the stored doc, and other rows upsert it.  Returns the
+    updated global manifest.  Runs Ray-parallel per routing partition; the
+    delta never materializes on the driver."""
+    import ray.data as rd
+
     manifest = read_manifest(index_dir)
     P = int(manifest["num_partitions"])
-    stride = cfg.part_stride
     next_sid = int(manifest.get("next_segment_id", DELTA_ID_BASE))
+    gen = int(manifest.get("gen", 0)) + 1
 
-    df = docs_ds.to_pandas() if hasattr(docs_ds, "to_pandas") else docs_ds.copy()
-    if routing_col and routing_col in df.columns:
-        rk = df[routing_col].where(~df[routing_col].isna(), df[key_col])
-    else:
-        rk = df[key_col]
-    df = df.assign(part_id=route_partition(rk.to_numpy(), P))
+    if not hasattr(docs_ds, "map_batches"):
+        docs_ds = rd.from_pandas(docs_ds.reset_index(drop=True))
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        if routing_col and routing_col in batch.columns:
+            rk = batch[routing_col].where(~batch[routing_col].isna(), batch[key_col])
+        else:
+            rk = batch[key_col]
+        return batch.assign(part_id=route_partition(rk.to_numpy(), P))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        return _apply_one_partition(
+            g, index_dir, manifest, cfg, key_col, text_col, lang_col, seq_col, op_col, next_sid
+        )
+
+    out = (
+        docs_ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part_id")
+        .map_groups(per_part, batch_format="pandas")
+        .take_all()
+    )
 
     new_part_manifests: dict[int, dict] = {}
-    tombstones_by_seg: dict[int, set[int]] = {}
-    alloc_updates: dict[int, int] = {}
     seg_partition: dict[int, int] = {}
-
-    for part, g in df.groupby("part_id"):
-        part = int(part)
-        affected_keys = set(g[key_col].astype(str))
-        # partition-local lookup: old doc ids for every touched key
-        for sid in _segments_covering(manifest, part):
-            dt = pq.read_table(seg.docstore_path(index_dir, sid), columns=["doc_id", "key"])
-            keys_arr = np.asarray(dt.column("key").to_pylist(), dtype=object)
-            ids_arr = dt.column("doc_id").to_numpy()
-            in_part = (ids_arr >= part * stride) & (ids_arr < (part + 1) * stride)
-            hit = in_part & np.isin(keys_arr, list(affected_keys))
-            if hit.any():
-                tombstones_by_seg.setdefault(sid, set()).update(int(x) for x in ids_arr[hit])
-
-        live = g if op_col is None or op_col not in g.columns else g[g[op_col] != "delete"]
-        if len(live):
-            sid = next_sid
-            next_sid += 1
-            rank_base = _alloc_of(manifest, part)
-            out = build_segment_for_group(
-                live.assign(part_id=part),
-                index_dir,
-                cfg,
-                key_col,
-                text_col,
-                lang_col,
-                None,
-                seq_col if seq_col in g.columns else None,
-                None,
-                None,
-                segment_id=sid,
-                rank_base=rank_base,
-            )
-            m = json.loads(out["manifest"].iloc[0])
-            new_part_manifests[sid] = m
+    alloc_updates: dict[int, int] = {}
+    tombstones_by_seg: dict[int, set[int]] = {}
+    metrics = {"rows": 0, "tombstones": 0, "segments_touched": 0, "orphan_updates_dropped": 0}
+    for r in out:
+        payload = json.loads(r["payload"])
+        if r["kind"] == "manifest":
+            sid, part = int(r["sid"]), int(r["part"])
+            new_part_manifests[sid] = payload
             seg_partition[sid] = part
-            alloc_updates[part] = rank_base + m["n_docs"]
+            alloc_updates[part] = _alloc_of(manifest, part) + payload["n_docs"]
+        elif r["kind"] == "tombstones":
+            tombstones_by_seg.setdefault(int(r["sid"]), set()).update(payload)
+        else:
+            for k in metrics:
+                metrics[k] += payload.get(k, 0)
 
-    # write tombstone files (merged with any existing) BEFORE the manifest
-    # commit so a crash leaves either the old manifest (tombstones ignored
-    # for unknown segs is harmless) or the full update
+    # write generation-suffixed tombstone files; they become VISIBLE only
+    # via the manifest listing below (crash between here and the manifest
+    # commit leaves them correctly invisible)
+    tomb_map: dict[str, list[str]] = {
+        k: list(v) for k, v in manifest.get("tombstones", {}).items()
+    }
     for sid, dead in tombstones_by_seg.items():
-        tpath = seg.tombstones_path(index_dir, sid)
-        if os.path.exists(tpath):
-            with open(tpath) as f:
-                dead |= set(json.load(f))
-        seg.atomic_write_json(sorted(dead), tpath)
+        tpath = seg.gen_tombstones_path(index_dir, sid, gen)
+        seg.atomic_write_json(
+            sorted(dead), tpath, cfg.write_retries, cfg.write_retry_delay_s
+        )
+        fname = os.path.basename(tpath)
+        if fname not in tomb_map.setdefault(str(sid), []):
+            tomb_map[str(sid)].append(fname)
 
     pm = dict(manifest["part_manifests"])
     for sid, m in new_part_manifests.items():
@@ -151,6 +306,7 @@ def apply_incremental(
         alloc.setdefault(str(part), _alloc_of(manifest, part))
     for part, n in alloc_updates.items():
         alloc[str(part)] = n
+    prev_metrics = manifest.get("apply_metrics", {})
     new_manifest = {
         **manifest,
         "parts": parts,
@@ -159,11 +315,20 @@ def apply_incremental(
         "sum_dl": sum_dl,
         "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
         "alloc": alloc,
-        "next_segment_id": next_sid,
+        # each apply reserves P segment ids (sid = next_sid + part), so a
+        # retried apply regenerates identical ids and file names
+        "next_segment_id": next_sid + P,
+        "gen": gen,
+        "tombstones": tomb_map,
         "tombstoned_docs": sorted(
             {d for s in tombstones_by_seg.values() for d in s}
             | set(manifest.get("tombstoned_docs", []))
         ),
+        # MetricsUpdater-analog counters for the incremental path
+        # (reference MetricsUpdater.kt:3-15): cumulative across applies
+        "apply_metrics": {
+            k: int(prev_metrics.get(k, 0)) + v for k, v in metrics.items()
+        },
     }
     write_manifest(index_dir, new_manifest)  # the 'refresh' commit point
     return new_manifest

@@ -34,8 +34,13 @@ from kafka_es_ray.index.segment import Segment, read_manifest, write_manifest
 
 def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, cfg: EngineConfig) -> dict:
     """Merge several segments into one (driver- or task-side callable)."""
+    assert out_part_id not in set(part_ids), "merged id must not collide with an input segment id"
     part_ids = sorted(part_ids)
-    segs = [Segment.load(index_dir, p) for p in part_ids]
+    manifest = read_manifest(index_dir)
+    segs = [
+        Segment.load(index_dir, p, seg.manifest_tombstone_files(manifest, p))
+        for p in part_ids
+    ]
     # order by doc_id range, not segment id: delta segments carry ids inside
     # their partition's stride range, so range-order != creation order.
     # Ranges are disjoint by construction (partition strides + alloc bases).
@@ -49,21 +54,27 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
         pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
         return s.tombstones[pos] != ids
 
-    # docstore: concat in part order (doc ids stay ascending); merge PURGES
-    # tombstoned docs — the ES merge semantic that makes deletes permanent
+    # docstore: concat then order by doc_id.  Partition-level segments have
+    # disjoint ascending ranges (linear concat would suffice), but MERGED
+    # segments span partitions, so a later delta segment INTERLEAVES with
+    # them (its partition's stride range sits inside the merged range) — a
+    # second-generation merge therefore needs a real sort.  Merge PURGES
+    # tombstoned docs — the ES semantic that makes deletes permanent.
     ds_alive = [_alive_mask(s, s.doc_ids_store) for s in segs]
     doc_ids = (
         np.concatenate([s.doc_ids_store[m] for s, m in zip(segs, ds_alive)])
         if segs
         else np.array([], dtype=np.int64)
     )
-    assert doc_ids.size == 0 or (np.diff(doc_ids) > 0).all(), "part doc_id ranges must be disjoint+ordered"
-    doc_len = np.concatenate([s.doc_len[m] for s, m in zip(segs, ds_alive)]).astype(np.int64)
-    keys = np.concatenate([s.keys[m] for s, m in zip(segs, ds_alive)])
-    langs = np.concatenate([s.langs[m] for s, m in zip(segs, ds_alive)])
+    ds_order = np.argsort(doc_ids, kind="stable")
+    doc_ids = doc_ids[ds_order]
+    assert doc_ids.size == 0 or (np.diff(doc_ids) > 0).all(), "doc_ids must be globally unique"
+    doc_len = np.concatenate([s.doc_len[m] for s, m in zip(segs, ds_alive)]).astype(np.int64)[ds_order]
+    keys = np.concatenate([s.keys[m] for s, m in zip(segs, ds_alive)])[ds_order]
+    langs = np.concatenate([s.langs[m] for s, m in zip(segs, ds_alive)])[ds_order]
     texts = None
     if all(s.texts is not None for s in segs):
-        texts = np.concatenate([s.texts[m] for s, m in zip(segs, ds_alive)])
+        texts = np.concatenate([s.texts[m] for s, m in zip(segs, ds_alive)])[ds_order]
 
     # union of dictionaries
     all_terms = np.unique(np.concatenate([s.terms for s in segs]))
@@ -106,8 +117,10 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
         flat_ids = np.concatenate(p_ids_parts)
         flat_tfs = np.concatenate(p_tfs_parts)
         flat_term = np.concatenate(term_of_posting)
-        # stable sort by term only: within a term, part order == doc order
-        order = np.argsort(flat_term, kind="stable")
+        # sort by (term, doc_id): input segments may interleave doc ranges
+        # (merged segments span partitions; deltas sit inside them), so a
+        # stable by-term sort is not enough on second-generation merges
+        order = np.lexsort((flat_ids, flat_term))
         flat_ids, flat_tfs, flat_term = flat_ids[order], flat_tfs[order], flat_term[order]
     else:
         flat_ids = np.array([], dtype=np.int64)
@@ -161,8 +174,14 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
     if texts is not None:
         store_cols["text"] = pa.array(texts, type=pa.string())
     docstore_table = pa.table(store_cols)
-    seg.atomic_write_table(postings_table, seg.postings_path(index_dir, out_part_id))
-    seg.atomic_write_table(docstore_table, seg.docstore_path(index_dir, out_part_id))
+    seg.atomic_write_table(
+        postings_table, seg.postings_path(index_dir, out_part_id),
+        retries=cfg.write_retries, retry_delay_s=cfg.write_retry_delay_s,
+    )
+    seg.atomic_write_table(
+        docstore_table, seg.docstore_path(index_dir, out_part_id),
+        retries=cfg.write_retries, retry_delay_s=cfg.write_retry_delay_s,
+    )
     manifest = {
         "part_id": out_part_id,
         "format_version": seg.FORMAT_VERSION,
@@ -190,12 +209,20 @@ def merge_index(index_dir: str, merge_factor: int = 4, cfg: EngineConfig = DEFAU
     manifest = read_manifest(index_dir)
     parts = sorted(int(p) for p in manifest["parts"])
     groups = [parts[i : i + merge_factor] for i in range(0, len(parts), merge_factor)]
+    # merged ids come from the SAME monotonic counter delta segments use:
+    # a fixed base (the old 100000+i scheme) collides with the previous
+    # merge's output ids on a second merge, and the post-commit cleanup
+    # would then delete the freshly written files the new manifest names.
+    id_base = max(
+        [int(manifest.get("next_segment_id", 0)), 100000] + [p + 1 for p in parts]
+    )
+    out_ids = [id_base + i for i in range(len(groups))]
+    assert not (set(out_ids) & set(parts))
     plan = pd.DataFrame(
         {
             "group_id": range(len(groups)),
             "part_ids": [json.dumps(g) for g in groups],
-            # merged ids live above the original partition id space
-            "out_part_id": [100000 + i for i in range(len(groups))],
+            "out_part_id": out_ids,
         }
     )
 
@@ -215,6 +242,18 @@ def merge_index(index_dir: str, merge_factor: int = 4, cfg: EngineConfig = DEFAU
     new_parts = {int(r["out_part_id"]): json.loads(r["manifest"]) for r in out}
     n_docs = sum(m["n_docs"] for m in new_parts.values())
     sum_dl = sum(m["sum_dl"] for m in new_parts.values())
+    # preserve the per-partition rank-allocation counters: after the merge
+    # the pre-merge part manifests are gone, so a later delta segment's
+    # rank_base MUST come from this map or doc_id ranges would collide
+    # with live docs inside the merged segments.
+    # (legacy fallback: manifests predating the alloc map — ranks allocated
+    # per partition = sum of its non-merged segments' n_docs)
+    derived: dict[str, int] = {}
+    for sid_str, m in manifest["part_manifests"].items():
+        if "merged_from" not in m:
+            p = str(m.get("partition", sid_str))
+            derived[p] = derived.get(p, 0) + int(m["n_docs"])
+    alloc = {**derived, **manifest.get("alloc", {})}
     merged_manifest = {
         **manifest,
         "parts": sorted(new_parts),
@@ -223,9 +262,18 @@ def merge_index(index_dir: str, merge_factor: int = 4, cfg: EngineConfig = DEFAU
         "n_docs": n_docs,
         "sum_dl": sum_dl,
         "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        "alloc": alloc,
+        "next_segment_id": id_base + len(groups),
+        "tombstones": {},
+        "tombstoned_docs": [],
     }
     write_manifest(index_dir, merged_manifest)
     # old segments removed only after the new manifest is the commit point
+    old_tomb_files = [
+        os.path.join(index_dir, os.path.basename(f))
+        for files in manifest.get("tombstones", {}).values()
+        for f in files
+    ]
     for p in parts:
         for path in (
             seg.postings_path(index_dir, p),
@@ -235,4 +283,7 @@ def merge_index(index_dir: str, merge_factor: int = 4, cfg: EngineConfig = DEFAU
         ):
             if os.path.exists(path):
                 os.remove(path)
+    for path in old_tomb_files:
+        if os.path.exists(path):
+            os.remove(path)
     return merged_manifest

@@ -58,19 +58,63 @@ def tombstones_path(index_dir: str, part_id: int) -> str:
     return os.path.join(index_dir, f"tombstones-{part_id:05d}.json")
 
 
-def atomic_write_table(table: pa.Table, path: str, compression: str = "zstd") -> None:
+def gen_tombstones_path(index_dir: str, part_id: int, gen: int) -> str:
+    """Generation-suffixed tombstone file: one per (segment, apply run).
+    Visibility is manifest-gated — only files listed under the manifest's
+    ``tombstones[sid]`` are applied at load (crash-safety: a file written
+    by an apply that never committed stays invisible)."""
+    return os.path.join(index_dir, f"tombstones-{part_id:05d}.g{gen:06d}.json")
+
+
+def manifest_tombstone_files(manifest: dict, part_id: int) -> list[str]:
+    """The manifest-listed tombstone files for one segment (may be [])."""
+    return manifest.get("tombstones", {}).get(str(part_id), [])
+
+
+def _with_retries(fn, retries: int, delay_s: float):
+    """In-actor write retry with backoff — the reference writer's retry
+    loop (Actors.kt:236-259: retryDelay doubling up to a cap).  Local-FS
+    writes fail rarely; transient errors (NFS blips, ENOSPC races) get
+    ``retries`` more attempts with doubling delay."""
+    import time as _time
+
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except OSError:
+            if attempt >= retries:
+                raise
+            _time.sleep(delay_s * (2**attempt))
+            attempt += 1
+
+
+def atomic_write_table(
+    table: pa.Table,
+    path: str,
+    compression: str = "zstd",
+    retries: int = 3,
+    retry_delay_s: float = 0.1,
+) -> None:
     """Write-to-tmp + rename — a failed task never leaves a readable
     partial file (resumability, SURVEY §4 checkpoint row)."""
-    tmp = path + ".tmp"
-    pq.write_table(table, tmp, compression=compression)
-    os.replace(tmp, path)
+
+    def _write():
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp, compression=compression)
+        os.replace(tmp, path)
+
+    _with_retries(_write, retries, retry_delay_s)
 
 
-def atomic_write_json(obj: dict, path: str) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, sort_keys=True)
-    os.replace(tmp, path)
+def atomic_write_json(obj, path: str, retries: int = 3, retry_delay_s: float = 0.1) -> None:
+    def _write():
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f, sort_keys=True)
+        os.replace(tmp, path)
+
+    _with_retries(_write, retries, retry_delay_s)
 
 
 @dataclass
@@ -101,14 +145,28 @@ class Segment:
     tombstones: np.ndarray = None  # type: ignore[assignment]
 
     @classmethod
-    def load(cls, index_dir: str, part_id: int) -> "Segment":
+    def load(
+        cls, index_dir: str, part_id: int, tombstone_files: list[str] | None = None
+    ) -> "Segment":
+        """``tombstone_files``: the manifest-listed tombstone file names for
+        this segment (visibility is MANIFEST-GATED — a tombstone file written
+        by a crashed apply that never committed its manifest must stay
+        invisible, else deletes become visible before their replacement delta
+        segment).  ``None`` = legacy fallback: read the unsuffixed
+        tombstones-{part}.json if present (pre-gating format)."""
         pt = pq.read_table(postings_path(index_dir, part_id))
         dt = pq.read_table(docstore_path(index_dir, part_id))
-        tpath = tombstones_path(index_dir, part_id)
-        tombstones = np.array([], dtype=np.int64)
-        if os.path.exists(tpath):
-            with open(tpath) as f:
-                tombstones = np.array(sorted(json.load(f)), dtype=np.int64)
+        dead: set[int] = set()
+        if tombstone_files is None:
+            tpath = tombstones_path(index_dir, part_id)
+            if os.path.exists(tpath):
+                with open(tpath) as f:
+                    dead.update(json.load(f))
+        else:
+            for fname in tombstone_files:
+                with open(os.path.join(index_dir, os.path.basename(fname))) as f:
+                    dead.update(json.load(f))
+        tombstones = np.array(sorted(dead), dtype=np.int64)
         doc_ids_store = dt.column("doc_id").to_numpy()
         doc_len = dt.column("doc_len").to_numpy()
         return cls(

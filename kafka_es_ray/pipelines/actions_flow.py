@@ -109,19 +109,30 @@ def update_index_from_actions(
         batch_size=cfg.batch_size,
         concurrency=2,
     )
-    live = resolve_actions(parsed, keep_deletes=True)
+    live = resolve_actions(parsed, keep_deletes=True, keep_orphans=True)
 
     def extract_field(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["source"].map(
-            lambda s: str(json.loads(s).get(text_field, "")) if s else ""
-        )
+        batch = batch[batch["op"] != "quarantine"]
+
+        def text_of(op: str, s):
+            if s is None or (isinstance(s, float) and pd.isna(s)):
+                return None if op == "update" else ""
+            d = json.loads(s)
+            if op == "update":
+                # orphan patch: null text = field untouched -> the apply
+                # stage inherits the stored text (ES partial update)
+                return str(d[text_field]) if text_field in d else None
+            return str(d.get(text_field, ""))
+
         return pd.DataFrame(
             {
                 "op": batch["op"],
                 "id": batch["id"],
                 "routing": batch["routing"],
                 "seq": batch["seq"],
-                "text": texts,
+                "text": [
+                    text_of(op, s) for op, s in zip(batch["op"], batch["source"])
+                ],
                 "lang": "en",
             }
         )

@@ -151,6 +151,12 @@ def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16, shingle: in
         for _, g in bucket.groupby(["band_id", "band_hash"], sort=False):
             if len(g) < 2:
                 continue
+            if len(g) > 200:
+                # hot-bucket cap (mirrors the n-gram df ceiling below): a
+                # degenerate band bucket — empty docs, boilerplate — would
+                # emit k² pairs; keep the first 200 ids (sorted, so the
+                # kept candidate set is deterministic)
+                g = g.nsmallest(200, "doc_id")
             ids = np.sort(g["doc_id"].to_numpy())
             i, j = np.triu_indices(ids.size, k=1)
             out_a.append(ids[i])

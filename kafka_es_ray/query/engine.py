@@ -27,7 +27,12 @@ import pandas as pd
 
 from kafka_es_ray.config import DEFAULT, EngineConfig
 from kafka_es_ray.functions.tokenizer import get_analyzer
-from kafka_es_ray.index.segment import Segment, postings_path, read_manifest
+from kafka_es_ray.index.segment import (
+    Segment,
+    manifest_tombstone_files,
+    postings_path,
+    read_manifest,
+)
 from kafka_es_ray.query.bm25 import bm25_idf, bm25_tf_part, round6
 
 
@@ -35,7 +40,10 @@ class IndexSearcher:
     def __init__(self, index_dir: str, cfg: EngineConfig = DEFAULT):
         self.cfg = cfg
         self.manifest = read_manifest(index_dir)
-        self.segments = [Segment.load(index_dir, pid) for pid in self.manifest["parts"]]
+        self.segments = [
+            Segment.load(index_dir, pid, manifest_tombstone_files(self.manifest, pid))
+            for pid in self.manifest["parts"]
+        ]
         self.n_docs = int(self.manifest["n_docs"])
         self.avgdl = float(self.manifest["avgdl"]) or 1.0
         self.k1 = float(self.manifest.get("k1", cfg.k1))
@@ -303,21 +311,34 @@ class ShardScorerStage:
     whole into one worker)."""
 
     def __init__(self, index_dir: str, plan_ref, cfg: EngineConfig):
+        from collections import OrderedDict
+
         import ray
 
         self.index_dir = index_dir
         self.cfg = cfg
         # plan: list of UNIQUE (terms, idf, k) entries, each carrying the
         # query_ids that share it — identical queries score once per shard
-        self.plan, self.avgdl, self.k1, self.b = ray.get(plan_ref)
-        self.segments: dict[int, Segment] = {}
+        self.plan, self.avgdl, self.k1, self.b, self.tomb_map = ray.get(plan_ref)
+        # LRU-capped segment cache: Ray Data gives no block->actor affinity,
+        # so without a cap every long-lived actor converges toward holding
+        # the WHOLE index (unbounded heap at 100 TB).  Mirror of the
+        # posting-level cache cap in Segment.__post_init__.
+        self.segments: OrderedDict[int, Segment] = OrderedDict()
+        self.cache_cap = max(1, cfg.scorer_segment_cache)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
         for pid in batch["part_id"].astype(int):
             seg = self.segments.get(pid)
             if seg is None:
-                seg = self.segments[pid] = Segment.load(self.index_dir, pid)
+                seg = self.segments[pid] = Segment.load(
+                    self.index_dir, pid, self.tomb_map.get(str(pid), [])
+                )
+                while len(self.segments) > self.cache_cap:
+                    self.segments.popitem(last=False)
+            else:
+                self.segments.move_to_end(pid)
             for q in self.plan:
                 ids, scores = score_segment(
                     seg,
@@ -399,7 +420,9 @@ def _collect_global_stats(index_dir: str, parts: list[int], terms: list[str]):
     return df
 
 
-def run_queries(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT, concurrency: int = 2):
+def run_queries(
+    queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT, concurrency: int | None = None
+):
     """Distributed query execution: segment-parallel scoring + per-query
     merge.  Queries are the small broadcast side; the segment set is the
     Dataset.  Returns Dataset(query_id, rank, doc_id, key, score)."""
@@ -408,6 +431,8 @@ def run_queries(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT, concurr
 
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
+    # reference knob max.in.flight.requests (ElasticsearchSinkConnector.kt:61-62)
+    concurrency = concurrency or cfg.query_concurrency or 2
     queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
     manifest = read_manifest(index_dir)
     parts = [int(p) for p in manifest["parts"]]
@@ -456,7 +481,7 @@ def run_queries(queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT, concurr
     plan = list(plan_by_key.values())
     for pid_, q in enumerate(plan):
         q["plan_id"] = pid_
-    plan_ref = ray.put((plan, avgdl, k1, b))
+    plan_ref = ray.put((plan, avgdl, k1, b, manifest.get("tombstones", {})))
     k_map = {q["plan_id"]: q["k"] for q in plan}
     fanout_map = {q["plan_id"]: q["query_ids"] for q in plan}
 

@@ -35,6 +35,7 @@ resolves as doc-source last-write-wins.
 from __future__ import annotations
 
 import json
+import re
 
 import numpy as np
 import pandas as pd
@@ -241,54 +242,141 @@ def merge_doc(old: dict, patch: dict) -> dict:
     return out
 
 
-def _fold_ops(rows: list[dict]) -> dict | None:
+_SCRIPT_STMT = re.compile(r"^ctx\._source\.(\w+)\s*(=|\+=|-=)\s*params\.(\w+)$")
+
+
+def apply_script(doc: dict, script: dict) -> dict | None:
+    """Whitelisted painless subset — exactly the shape of the reference's
+    scripted-update golden (BulkActionTests.kt:186-207:
+    ``ctx._source.counter += params.param1``): ';'-separated statements of
+    ``ctx._source.F = params.P`` / ``+=`` / ``-=``.  Returns the updated
+    doc, or None when the script falls outside the subset (callers
+    quarantine — never a silent drop)."""
+    src = script.get("source")
+    params = script.get("params") or {}
+    if not isinstance(src, str) or not isinstance(params, dict):
+        return None
+    out = dict(doc)
+    for stmt in filter(None, (s.strip() for s in src.split(";"))):
+        m = _SCRIPT_STMT.match(stmt)
+        if m is None:
+            return None
+        field, op, pname = m.groups()
+        if pname not in params:
+            return None
+        v = params[pname]
+        if op == "=":
+            out[field] = v
+        else:
+            cur = out.get(field, 0)
+            if not isinstance(cur, (int, float)) or not isinstance(v, (int, float)):
+                return None
+            out[field] = cur + v if op == "+=" else cur - v
+    return out
+
+
+def _fold_ops(rows: list[dict]) -> tuple[dict | None, dict | None, list[dict]]:
     """Fold one (route_key, id) group's ops in seq order — full ES doc-op
     semantics (E1):
       index   -> replace (upsert)
       create  -> version-conflict if the doc exists (op dropped, like the
                  reference's non-retriable per-item error D10)
       update  -> recursive partial merge of {"doc": ...} (or the whole
-                 source when not wrapped) into the live doc; update of a
-                 missing doc is dropped (doc_as_upsert=false); scripted
-                 updates are out of scope (SURVEY §7.4) and dropped
+                 source when not wrapped) into the live doc; scripted
+                 updates run the whitelisted painless subset
+                 (apply_script) — outside it they QUARANTINE, never
+                 silently drop; an update whose doc has no in-batch prior
+                 op becomes an ORPHAN patch (resolved against the stored
+                 doc by the incremental path, or quarantined)
       delete  -> tombstone
-    Returns the final live row dict or None."""
+    Returns (live_row, orphan_update_row, quarantine_rows)."""
     live: dict | None = None
+    deleted_in_batch = False
+    orphan: dict | None = None  # accumulated patch for a doc not in batch
+    quarantine: list[dict] = []
+
+    def _q(r: dict, err: str) -> None:
+        quarantine.append(dict(r, op="quarantine", error=err))
+
     for r in rows:
         op = r["op"]
         if op == "index":
             live = dict(r)
+            orphan = None
         elif op == "create":
             if live is None:
                 live = dict(r)
+                orphan = None
         elif op == "update":
-            if live is None or r["source"] is None:
+            if r["source"] is None:
                 continue
             patch = json.loads(r["source"])
-            if "script" in patch:
-                continue  # scripted updates: documented out of scope
-            patch = patch.get("doc", patch) if isinstance(patch, dict) else patch
-            old = json.loads(live["source"]) if live["source"] else {}
-            merged = merge_doc(old, patch) if isinstance(patch, dict) else patch
-            live = dict(live)
-            live["source"] = json.dumps(merged, separators=(",", ":"))
-            live["seq"] = r["seq"]
+            is_script = isinstance(patch, dict) and "script" in patch
+            if live is not None:
+                old = json.loads(live["source"]) if live["source"] else {}
+                if is_script:
+                    merged = apply_script(old, patch["script"])
+                    if merged is None:
+                        _q(r, "script outside whitelisted subset")
+                        continue
+                else:
+                    p = patch.get("doc", patch) if isinstance(patch, dict) else patch
+                    merged = merge_doc(old, p) if isinstance(p, dict) else p
+                live = dict(live)
+                live["source"] = (
+                    json.dumps(merged, separators=(",", ":"))
+                    if isinstance(merged, dict)
+                    else json.dumps(merged)
+                )
+                live["seq"] = r["seq"]
+            elif deleted_in_batch:
+                # ES document_missing: the doc was deleted earlier in-batch
+                _q(r, "document missing (deleted earlier in batch)")
+            elif is_script:
+                # a script against an unseen stored doc can't be replayed
+                # field-wise downstream -> surface, don't drop
+                _q(r, "scripted update of doc not in batch")
+            else:
+                p = patch.get("doc", patch) if isinstance(patch, dict) else patch
+                if not isinstance(p, dict):
+                    _q(r, "update source must be an object")
+                    continue
+                merged = merge_doc(json.loads(orphan["source"]), p) if orphan else p
+                orphan = dict(r)
+                orphan["source"] = json.dumps(merged, separators=(",", ":"))
         elif op == "delete":
             live = None
-    return live
+            orphan = None
+            deleted_in_batch = True
+    return live, orphan, quarantine
 
 
-def resolve_actions(actions_ds, keep_deletes: bool = False):
+def resolve_actions(
+    actions_ds,
+    keep_deletes: bool = False,
+    keep_orphans: bool = False,
+    keep_quarantine: bool = False,
+):
     """Op-stream -> live doc set: groupby(routing ?? id), winner = max seq
     (E1 upsert / D2 co-location); delete winners drop the doc; 'create'
     only wins if no earlier live doc... ES semantics for create are
     version-conflict-on-exists — in a bounded batch we resolve create like
-    index (documented divergence: conflicts surface as quarantine rows in
-    a future version).
+    index (documented divergence).
 
-    Returns Dataset of (id, index, routing, seq, source)."""
+    ``keep_orphans``: emit op='update' rows for updates whose doc has no
+    in-batch prior op (the incremental path resolves them against the
+    stored doc — ES partial-merge into _source); when False they surface
+    as quarantine rows (never silently dropped).
+    ``keep_quarantine``: include op='quarantine' rows (malformed /
+    non-whitelisted-script / document-missing items — the reference's
+    non-retriable per-item error class, ElasticsearchBulkSender.kt:51-92).
+
+    Returns Dataset of (id, index, routing, seq, source) — plus 'op' and
+    'error' columns when any of the keep_* flags is set."""
 
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    any_extra = keep_deletes or keep_orphans or keep_quarantine
 
     def add_route_key(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[batch["op"] != "quarantine"].copy()
@@ -304,36 +392,43 @@ def resolve_actions(actions_ds, keep_deletes: bool = False):
         # live in _fold_ops.
         b = bucket.sort_values("seq", kind="mergesort")
         out_rows: list[dict] = []
+
+        def emit(op: str, r: dict, source, error=None) -> None:
+            out_rows.append(
+                {
+                    "op": op,
+                    "id": r["id"],
+                    "index": r["index"],
+                    "routing": r["routing"],
+                    "seq": r["seq"],
+                    "source": source,
+                    "error": error,
+                }
+            )
+
         for (_, _id), g in b.groupby(["route_key", "id"], sort=False):
             rows = g.to_dict("records")
-            live = _fold_ops(rows)
+            live, orphan, quarantine = _fold_ops(rows)
             if live is not None:
-                out_rows.append(
-                    {
-                        "op": "index",
-                        "id": live["id"],
-                        "index": live["index"],
-                        "routing": live["routing"],
-                        "seq": live["seq"],
-                        "source": live["source"],
-                    }
-                )
-            elif keep_deletes and any(r["op"] == "delete" for r in rows):
-                last_del = [r for r in rows if r["op"] == "delete"][-1]
-                out_rows.append(
-                    {
-                        "op": "delete",
-                        "id": last_del["id"],
-                        "index": last_del["index"],
-                        "routing": last_del["routing"],
-                        "seq": last_del["seq"],
-                        "source": None,
-                    }
-                )
-        cols = ["op", "id", "index", "routing", "seq", "source"]
+                emit("index", live, live["source"])
+            elif any(r["op"] == "delete" for r in rows):
+                if keep_deletes:
+                    last_del = [r for r in rows if r["op"] == "delete"][-1]
+                    emit("delete", last_del, None)
+            if orphan is not None:
+                if keep_orphans:
+                    emit("update", orphan, orphan["source"])
+                else:
+                    quarantine.append(
+                        dict(orphan, op="quarantine", error="update of doc not in batch")
+                    )
+            if keep_quarantine:
+                for q in quarantine:
+                    emit("quarantine", q, q["source"], q["error"])
+        cols = ["op", "id", "index", "routing", "seq", "source", "error"]
         out = pd.DataFrame(out_rows, columns=cols)
-        if not keep_deletes:
-            out = out[out["op"] != "delete"].drop(columns=["op"])
+        if not any_extra:
+            out = out[out["op"] == "index"].drop(columns=["op", "error"])
         return out
 
     keyed = actions_ds.map_batches(add_route_key, batch_format="pandas")

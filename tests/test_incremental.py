@@ -149,3 +149,99 @@ def test_apply_retry_after_crash_is_idempotent(ray_session, base_index):
     s = IndexSearcher(base_index, CFG)
     assert s.search("retry")["key"].tolist() == ["a"]
     assert len(s.search("cherry")) == 0  # c deleted exactly once
+
+
+def test_uncommitted_tombstones_invisible(ray_session, base_index):
+    """Tombstone visibility is manifest-gated: a generation tombstone file
+    written by a crashed apply (never listed in a committed manifest) must
+    NOT hide docs — otherwise a crash between the tombstone write and the
+    manifest commit hides old versions while the replacement delta segment
+    is not yet visible."""
+    import json as _json
+
+    from kafka_es_ray.index import segment as seg
+
+    # rogue file: tombstone every doc of partition-0's segment, unlisted
+    m = read_manifest(base_index)
+    sid = m["parts"][0]
+    from kafka_es_ray.index.segment import Segment
+
+    s0 = Segment.load(base_index, sid)
+    rogue = seg.gen_tombstones_path(base_index, sid, 999)
+    with open(rogue, "w") as f:
+        _json.dump([int(x) for x in s0.doc_ids_store], f)
+
+    s = IndexSearcher(base_index, CFG)
+    hits = len(s.search("apple")) + len(s.search("banana")) + len(s.search("cherry"))
+    assert hits == 3  # all three docs still visible
+
+
+def test_orphan_update_partial_merge_against_store(ray_session, tmp_path):
+    """An update whose doc is not in the delta batch partial-merges into
+    the STORED doc (ES doc-merge into _source): patch with the text field
+    replaces it; patch without it inherits the stored text; update of a
+    missing id is dropped and counted (document_missing analog)."""
+    import ray.data as rd
+
+    cfg = EngineConfig(num_partitions=4, store_text=True)
+    idx = str(tmp_path / "orph")
+    base = _records(
+        [
+            ("t", '{"index":{"id":"a"}}', '{"title":"apple pie"}', None),
+            ("t", '{"index":{"id":"b"}}', '{"title":"banana split"}', None),
+        ]
+    )
+    index_from_actions(rd.from_pandas(base), idx, cfg)
+
+    delta = _records(
+        [
+            # patch lacking "title": a keeps its stored text, new seq wins
+            ("t", '{"update":{"id":"a"}}', '{"doc":{"rating":5}}', None),
+            # patch with "title": b gets the new text
+            ("t", '{"update":{"id":"b"}}', '{"doc":{"title":"blueberry tart"}}', None),
+            # missing doc -> dropped + counted
+            ("t", '{"update":{"id":"ghost"}}', '{"doc":{"title":"nope"}}', None),
+        ],
+        seq0=100,
+    )
+    m = update_index_from_actions(idx, rd.from_pandas(delta), cfg)
+    s = IndexSearcher(idx, cfg)
+    assert s.search("apple")["key"].tolist() == ["a"]       # text inherited
+    assert s.search("blueberry")["key"].tolist() == ["b"]   # text replaced
+    assert len(s.search("banana")) == 0                      # old b gone
+    assert m["apply_metrics"]["orphan_updates_dropped"] == 1
+
+
+def test_scripted_update_applies_and_quarantines(ray_session, tmp_path):
+    """Whitelisted painless subset (the reference scripted-update golden,
+    BulkActionTests.kt:186-207: ctx._source.counter += params.param1)
+    applies to an in-batch doc; anything outside the subset surfaces as a
+    quarantine row — never a silent drop."""
+    import json as _json
+
+    import ray.data as rd
+
+    from kafka_es_ray.stages.actions import ParseActionsStage, resolve_actions
+
+    stage = ParseActionsStage(default_index="t")
+    batch = stage(
+        pd.DataFrame(
+            [
+                ("t", 0, '{"index":{"id":"a"}}', '{"counter":1,"name":"x"}', None),
+                (
+                    "t",
+                    1,
+                    '{"update":{"id":"a","retry_on_conflict":3}}',
+                    '{"script":{"lang":"painless","source":"ctx._source.counter += params.param1","params":{"param1":1}}}',
+                    None,
+                ),
+                ("t", 2, '{"update":{"id":"a"}}', '{"script":{"source":"ctx._source.whatever()"}}', None),
+            ],
+            columns=["topic", "seq", "action", "value", "tag"],
+        )
+    )
+    out = resolve_actions(rd.from_pandas(batch), keep_quarantine=True).to_pandas()
+    live = out[out["op"] == "index"]
+    assert _json.loads(live["source"].iloc[0]) == {"counter": 2, "name": "x"}
+    q = out[out["op"] == "quarantine"]
+    assert len(q) == 1 and "whitelisted" in q["error"].iloc[0]

@@ -141,3 +141,55 @@ def test_segment_group_builder_pure(tmp_path):
     assert ids.tolist() == s.doc_ids_store.tolist()  # alpha in both docs
     assert tfs.tolist() == [1, 1]
     assert s.lookup("old") == -1  # loser text is not indexed
+
+
+def test_atomic_write_retries_transient_failure(tmp_path, monkeypatch):
+    """The writer retry loop (reference Actors.kt:236-259 analog): a
+    transient FS error is retried with backoff; the file lands intact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_es_ray.index import segment as seg
+
+    calls = {"n": 0}
+    real = pq.write_table
+
+    def flaky(table, path, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("injected transient failure")
+        return real(table, path, **kw)
+
+    monkeypatch.setattr(pq, "write_table", flaky)
+    t = pa.table({"x": [1, 2, 3]})
+    path = str(tmp_path / "out.parquet")
+    seg.atomic_write_table(t, path, retries=2, retry_delay_s=0.001)
+    assert calls["n"] == 2
+    assert pq.read_table(path).num_rows == 3
+
+
+def test_routing_nan_falls_back_to_key(ray_session, tmp_path):
+    """A null routing column (float NaN from parquet) must fall back to
+    the key column per the reference router precedence — not treat NaN as
+    one hot routing key sending every row to a single partition."""
+    import pandas as pd
+    import ray.data as rd
+
+    n = 200
+    docs = pd.DataFrame(
+        {
+            "url": [f"https://e.x/{i}" for i in range(n)],
+            "text": ["alpha beta"] * n,
+            "lang": ["en"] * n,
+            "routing": pd.Series([None] * n, dtype="float64"),  # all-null numeric
+        }
+    )
+    cfg = EngineConfig(num_partitions=8)
+    idx = str(tmp_path / "nanroute")
+    m = build_index(
+        rd.from_pandas(docs), idx, cfg, html_col=None, ts_col=None, routing_col="routing"
+    )
+    # NaN-as-key would put all 200 docs in ONE partition
+    sizes = [pm["n_docs"] for pm in m["part_manifests"].values()]
+    assert max(sizes) < n
+    assert sum(sizes) == n

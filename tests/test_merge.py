@@ -48,3 +48,65 @@ def test_merge_stats_and_postings(ray_session, pages_small, tmp_path):
         ids, tfs = s.postings(ti)
         assert (np.diff(ids) > 0).all()
         assert ids.size == int(s.df[ti])
+
+
+def test_double_merge_after_incremental(ray_session, pages_small, tmp_path):
+    """merge -> incremental -> merge: the second merge's output ids must
+    not collide with the first's (a fixed-base id scheme would let the
+    post-commit cleanup delete the fresh files the new manifest names)."""
+    import ray.data as rd
+
+    from kafka_es_ray.index.incremental import apply_incremental
+    from kafka_es_ray.fixtures import make_queries
+
+    idx = str(tmp_path / "mm")
+    build_index(rd.from_arrow(pages_small), idx, CFG)
+    m1 = merge_index(idx, merge_factor=4, cfg=CFG)
+    first_ids = set(m1["parts"])
+
+    delta = pd.DataFrame(
+        {
+            "url": ["https://x.example/new1", "https://x.example/new2"],
+            "text": ["zanzibar quokka zephyr", "quokka zenith"],
+            "lang": ["en", "en"],
+        }
+    )
+    apply_incremental(idx, delta, CFG, key_col="url")
+    m2 = merge_index(idx, merge_factor=4, cfg=CFG)
+    assert not (set(m2["parts"]) & first_ids)
+
+    s = IndexSearcher(idx, CFG)
+    assert s.search("zanzibar")["key"].tolist() == ["https://x.example/new1"]
+    assert len(s.search("quokka")) == 2
+    qs = make_queries(8).to_pandas()
+    assert len(s.search_batch(qs)) > 0  # original corpus still queryable
+
+
+def test_delta_after_merge_allocates_disjoint_ids(ray_session, pages_small, tmp_path):
+    """After a merge drops per-partition manifests, a delta segment's
+    rank_base must come from the preserved alloc map — not reset to 0
+    (which would reuse doc_ids already held by live docs)."""
+    import ray.data as rd
+
+    from kafka_es_ray.index.incremental import apply_incremental
+
+    idx = str(tmp_path / "alloc")
+    build_index(rd.from_arrow(pages_small), idx, CFG)
+    merge_index(idx, merge_factor=8, cfg=CFG)
+
+    delta = pd.DataFrame(
+        {
+            "url": ["https://x.example/afterm"],
+            "text": ["xylophone vortex"],
+            "lang": ["en"],
+        }
+    )
+    m = apply_incremental(idx, delta, CFG, key_col="url")
+    all_ids = []
+    for pid in m["parts"]:
+        all_ids.append(Segment.load(idx, pid).doc_ids_store)
+    all_ids = np.concatenate(all_ids)
+    assert np.unique(all_ids).size == all_ids.size  # disjoint ranges held
+
+    s = IndexSearcher(idx, CFG)
+    assert s.search("xylophone")["key"].tolist() == ["https://x.example/afterm"]

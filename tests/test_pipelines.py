@@ -106,3 +106,22 @@ def test_lsh_ann_recall(ray_session):
     # LSH is approximate: a cluster straddling a bucket boundary loses
     # members — require useful average recall, not perfection
     assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_minhash_degenerate_corpus_capped(ray_session):
+    """1k identical docs: every band bucket is one 1000-doc hot bucket;
+    the hot-bucket cap must keep the candidate-pair count ~C(200,2), not
+    explode to C(1000,2) per band."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.dedup_ops import minhash_candidates
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(1000),
+            "text": ["the same boilerplate text repeated verbatim"] * 1000,
+        }
+    )
+    pairs = minhash_candidates(rd.from_pandas(docs)).to_pandas()
+    assert 0 < len(pairs) <= 200 * 199 // 2
