@@ -247,10 +247,26 @@ def _q_minhash_dups(sf_dir: str):
 
 
 def _q_embedding_neardup(sf_dir: str):
+    # approximate LSH-bucketed scale path (rows-only; recall measured vs
+    # the exact oracle in tests/test_pipelines.py)
     from kafka_es_ray.pipelines.dedup_ops import embedding_neardup
     from kafka_es_ray.sources.parquet import read_table
 
     return embedding_neardup(read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]), 0.2)
+
+
+def _q_embedding_neardup_exact(sf_dir: str):
+    # exact all-pairs oracle path (SQL-checkable), restricted to a fixed
+    # id range so the quadratic oracle stays cheap at sf0.01
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.dedup_ops import embedding_neardup_exact
+    from kafka_es_ray.sources.parquet import read_table
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        lambda b: b[b["vec_id"] < 1000], batch_format="pandas"
+    )
+    return embedding_neardup_exact(emb, threshold=0.2)
 
 
 def _q_pages_pipeline(sf_dir: str):
@@ -344,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "minhash_dups": _q_minhash_dups,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_exact": _q_embedding_neardup_exact,
         "pages_pipeline": _q_pages_pipeline,
         "actions_incremental": _q_actions_incremental,
         "approx_distinct_users": _q_approx_distinct,
@@ -449,6 +466,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "embedding_neardup_exact": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.2
+        """,
         "lang_stats": f"""
             WITH t AS (
               SELECT lang, n_chars, len({_TOK})::BIGINT AS n_tokens FROM documents

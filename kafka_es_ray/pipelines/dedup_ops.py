@@ -174,48 +174,123 @@ def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16, shingle: in
 
 
 def minhash_dedup(docs_ds, threshold: float = 0.8, num_perm: int = 64, bands: int = 16, shingle: int = 3):
-    """Candidates + exact n-gram-Jaccard verification >= threshold.
-
-    Verification broadcasts the candidate doc ids' shingle sets via a
-    driver-side join at test scale; at 100 TB the verify step is a
-    bucketed self-join on candidate ids (documented partitioning
-    assumption: candidate set << corpus)."""
+    """Candidates + exact shingle-Jaccard verification >= threshold —
+    fully DISTRIBUTED: candidate docs' shingle sets and candidate pairs
+    are co-routed through two bucketed exchanges (join-on-member-doc,
+    then group-by-pair); no shingle data ever materializes on the driver.
+    The only driver-side object is the ids-only candidate set broadcast
+    (``ray.put``) used to prune the shingle scan — the documented
+    candidate-set << corpus assumption of LSH dedup."""
     import ray
 
-    cand = minhash_candidates(docs_ds, num_perm, bands, shingle).to_pandas()
-    if cand.empty:
-        return cand.assign(jaccard=pd.Series([], dtype=np.float64))
-    need = np.unique(np.concatenate([cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()]))
-    need_ref = ray.put(set(int(x) for x in need))
-    stage_args = {"shingle": shingle}
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
-    def collect(batch: pd.DataFrame) -> pd.DataFrame:
-        need_ids = ray.get(need_ref)
-        an = get_analyzer("en")
-        rows = [
-            (int(d), _shingle_hashes(an.tokenize(t or ""), stage_args["shingle"]))
-            for d, t in zip(batch["doc_id"].astype(np.int64), batch["text"])
-            if int(d) in need_ids
-        ]
+    # pairs are consumed twice (ids-only reduce + join rows): materialize
+    # the small pair table instead of recomputing the whole LSH pipeline
+    cand = minhash_candidates(docs_ds, num_perm, bands, shingle).materialize()
+
+    def member_ids(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "doc_id": pd.Series([r[0] for r in rows], dtype=np.int64),
-                "sh": pd.Series([r[1] for r in rows], dtype=object),
+                "doc_id": np.unique(
+                    np.concatenate(
+                        [b["doc_a"].to_numpy(np.int64), b["doc_b"].to_numpy(np.int64)]
+                    )
+                )
             }
         )
 
-    shingles = docs_ds.map_batches(collect, batch_format="pandas", batch_size=4096).to_pandas()
-    sh_map = dict(zip(shingles["doc_id"], shingles["sh"]))
-    jac = []
-    for a_id, b_id in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = sh_map.get(int(a_id)), sh_map.get(int(b_id))
-        if sa is None or sb is None or sa.size == 0:
-            jac.append(0.0)
-            continue
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        jac.append(inter / (sa.size + sb.size - inter))
-    cand = cand.assign(jaccard=np.asarray(jac))
-    return cand[cand["jaccard"] >= threshold].reset_index(drop=True)
+    need_df = cand.map_batches(member_ids, batch_format="pandas").to_pandas()
+    if need_df.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "jaccard": pd.Series([], dtype=np.float64),
+            }
+        )
+    need_ref = ray.put(np.unique(need_df["doc_id"].to_numpy(np.int64)))
+
+    class CandidateShingles:
+        """Shingle-set blobs for candidate docs only (vectorized np.isin
+        membership filter; analyzer built once per actor)."""
+
+        def __init__(self):
+            self.an = get_analyzer("en")
+            self.need = ray.get(need_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["doc_id"].to_numpy().astype(np.int64)
+            keep = np.isin(ids, self.need)
+            ids = ids[keep]
+            toks = self.an.tokenize_series(batch["text"].reset_index(drop=True)[keep])
+            blobs = [_shingle_hashes(t, shingle).tobytes() for t in toks]
+            return pd.DataFrame(
+                {
+                    "jkey": pd.Series(ids, dtype=np.int64),
+                    "doc_a": pd.Series(np.full(ids.size, -1), dtype=np.int64),
+                    "doc_b": pd.Series(np.full(ids.size, -1), dtype=np.int64),
+                    "blob": pd.Series(blobs, dtype=object),
+                }
+            )
+
+    def pair_member_rows(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["doc_a"].to_numpy(np.int64)
+        d = b["doc_b"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "jkey": np.concatenate([a, d]),
+                "doc_a": np.concatenate([a, a]),
+                "doc_b": np.concatenate([d, d]),
+                "blob": pd.Series([b""] * (2 * a.size), dtype=object),
+            }
+        )
+
+    def attach_blob(bucket: pd.DataFrame) -> pd.DataFrame:
+        is_doc = (bucket["doc_a"] < 0).to_numpy()
+        m = dict(zip(bucket["jkey"].to_numpy()[is_doc], bucket["blob"].to_numpy()[is_doc]))
+        left = bucket[~is_doc]
+        blobs = left["jkey"].map(m)
+        ok = ~blobs.isna().to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_a": left["doc_a"].to_numpy(np.int64)[ok],
+                "doc_b": left["doc_b"].to_numpy(np.int64)[ok],
+                "member": left["jkey"].to_numpy(np.int64)[ok],
+                "blob": blobs.to_numpy()[ok],
+            }
+        )
+
+    def verify_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for (a, d), g in bucket.groupby(["doc_a", "doc_b"], sort=False):
+            if len(g) < 2:
+                continue  # a member had no shingles -> jaccard 0
+            g = g.sort_values("member")
+            sa = np.frombuffer(g["blob"].iloc[0], dtype=np.uint64)
+            sb = np.frombuffer(g["blob"].iloc[1], dtype=np.uint64)
+            if sa.size == 0 and sb.size == 0:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            jac = inter / (sa.size + sb.size - inter) if (sa.size + sb.size - inter) else 0.0
+            if jac >= threshold:
+                out_a.append(int(a))
+                out_b.append(int(d))
+                out_j.append(jac)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype=np.int64),
+                "doc_b": pd.Series(out_b, dtype=np.int64),
+                "jaccard": pd.Series(out_j, dtype=np.float64),
+            }
+        )
+
+    members = cand.map_batches(pair_member_rows, batch_format="pandas")
+    blobs = docs_ds.map_batches(
+        CandidateShingles, batch_format="pandas", batch_size=2048, concurrency=2
+    )
+    joined = bucketed_group_agg(members.union(blobs), ["jkey"], attach_blob)
+    return bucketed_group_agg(joined, ["doc_a", "doc_b"], verify_bucket)
 
 
 # -------------------------------------------------- exact n-gram Jaccard
@@ -229,9 +304,11 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.2, shingle: int = 3):
     Partitioning assumption (documented): no single shingle is shared by
     a huge number of docs — a k-hot shingle produces k² pair rows.  At
     100 TB boilerplate shingles must be capped (df ceiling) or routed to
-    the MinHash path; here the cap is explicit."""
-    import ray
+    the MinHash path; here the cap is explicit.
 
+    Set sizes are joined in as ROWS through bucketed exchanges (route
+    pair rows and size rows by the same member-doc hash) — no O(corpus)
+    driver dict, no broadcast of per-doc state."""
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
     class ShingleStage:
@@ -256,19 +333,18 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.2, shingle: int = 3):
                 }
             )
 
-    exploded = docs_ds.map_batches(ShingleStage, batch_format="pandas", batch_size=2048, concurrency=2)
+    # exploded shingle rows feed two consumers (sizes + co-occurrence):
+    # materialize once instead of tokenizing the corpus twice
+    exploded = docs_ds.map_batches(
+        ShingleStage, batch_format="pandas", batch_size=2048, concurrency=2
+    ).materialize()
 
-    # set sizes: distinct shingles per doc (small aggregate -> broadcast)
-    def size_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("doc_id", as_index=False).agg(n=("sh", "size"))
+    # set sizes as a DATASET: distinct shingles per doc (bucketed combine)
+    def size_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("doc_id", as_index=False).agg(n=("sh", "size"))
+        return g.astype({"doc_id": np.int64, "n": np.int64})
 
-    sizes = (
-        exploded.map_batches(size_partial, batch_format="pandas")
-        .to_pandas()
-        .groupby("doc_id", as_index=False)["n"]
-        .sum()
-    )
-    sizes_ref = ray.put(dict(zip(sizes["doc_id"].astype(int), sizes["n"].astype(int))))
+    sizes = bucketed_group_agg(exploded, ["doc_id"], size_bucket).materialize()
 
     def pairs_in_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -283,25 +359,115 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.2, shingle: int = 3):
             return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)})
         return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
 
-    def jaccard_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        sizes_map = ray.get(sizes_ref)
+    def count_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby(["doc_a", "doc_b"], as_index=False).size()
-        inter = g["size"].to_numpy().astype(np.float64)
-        sa = g["doc_a"].map(sizes_map).to_numpy(dtype=np.float64)
-        sb = g["doc_b"].map(sizes_map).to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "doc_a": g["doc_a"].astype(np.int64),
+                "doc_b": g["doc_b"].astype(np.int64),
+                "inter": g["size"].astype(np.int64),
+            }
+        )
+
+    shared = bucketed_group_agg(exploded, ["sh"], pairs_in_bucket)
+    counts = bucketed_group_agg(shared, ["doc_a", "doc_b"], count_bucket)
+
+    # ---- size joins: route pair rows + size rows by the member doc hash.
+    # Common row schema (jkey, doc_a, doc_b, inter, n); size rows are
+    # marked doc_a = -1.
+    def counts_keyed_a(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "jkey": b["doc_a"].astype(np.int64),
+                "doc_a": b["doc_a"].astype(np.int64),
+                "doc_b": b["doc_b"].astype(np.int64),
+                "inter": b["inter"].astype(np.int64),
+                "n": pd.Series(np.zeros(len(b)), dtype=np.int64),
+            }
+        )
+
+    def sizes_as_rows(b: pd.DataFrame) -> pd.DataFrame:
+        z = pd.Series(np.full(len(b), -1), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "jkey": b["doc_id"].astype(np.int64),
+                "doc_a": z,
+                "doc_b": z,
+                "inter": pd.Series(np.zeros(len(b)), dtype=np.int64),
+                "n": b["n"].astype(np.int64),
+            }
+        )
+
+    def attach_size(col_out: str):
+        def _attach(bucket: pd.DataFrame) -> pd.DataFrame:
+            is_size = (bucket["doc_a"] < 0).to_numpy()
+            m = dict(
+                zip(bucket["jkey"].to_numpy()[is_size], bucket["n"].to_numpy()[is_size])
+            )
+            left = bucket[~is_size]
+            out = pd.DataFrame(
+                {
+                    "doc_a": left["doc_a"].to_numpy(np.int64),
+                    "doc_b": left["doc_b"].to_numpy(np.int64),
+                    "inter": left["inter"].to_numpy(np.int64),
+                    col_out: left["jkey"].map(m).fillna(0).to_numpy(np.int64),
+                }
+            )
+            if "n_a" in left.columns:
+                out["n_a"] = left["n_a"].to_numpy(np.int64)
+            return out
+
+        return _attach
+
+    with_sa = bucketed_group_agg(
+        counts.map_batches(counts_keyed_a, batch_format="pandas").union(
+            sizes.map_batches(sizes_as_rows, batch_format="pandas")
+        ),
+        ["jkey"],
+        attach_size("n_a"),
+    )
+
+    def pairs_keyed_b(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "jkey": b["doc_b"].astype(np.int64),
+                "doc_a": b["doc_a"].astype(np.int64),
+                "doc_b": b["doc_b"].astype(np.int64),
+                "inter": b["inter"].astype(np.int64),
+                "n": pd.Series(np.zeros(len(b)), dtype=np.int64),
+                "n_a": b["n_a"].astype(np.int64),
+            }
+        )
+
+    def sizes_as_rows_b(b: pd.DataFrame) -> pd.DataFrame:
+        out = sizes_as_rows(b)
+        out["n_a"] = pd.Series(np.zeros(len(b)), dtype=np.int64)
+        return out
+
+    with_both = bucketed_group_agg(
+        with_sa.map_batches(pairs_keyed_b, batch_format="pandas").union(
+            sizes.map_batches(sizes_as_rows_b, batch_format="pandas")
+        ),
+        ["jkey"],
+        attach_size("n_b"),
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        inter = b["inter"].to_numpy(np.float64)
+        sa = b["n_a"].to_numpy(np.float64)
+        sb = b["n_b"].to_numpy(np.float64)
         jac = inter / (sa + sb - inter)
         jac = np.floor(jac * 1e6 + 0.5) / 1e6
         keep = jac >= threshold
         return pd.DataFrame(
             {
-                "doc_a": g["doc_a"].to_numpy()[keep].astype(np.int64),
-                "doc_b": g["doc_b"].to_numpy()[keep].astype(np.int64),
+                "doc_a": b["doc_a"].to_numpy(np.int64)[keep],
+                "doc_b": b["doc_b"].to_numpy(np.int64)[keep],
                 "jaccard": jac[keep],
             }
         )
 
-    shared = bucketed_group_agg(exploded, ["sh"], pairs_in_bucket)
-    return bucketed_group_agg(shared, ["doc_a", "doc_b"], jaccard_bucket)
+    return with_both.map_batches(finish, batch_format="pandas")
 
 
 # ------------------------------------------------------------- simhash
@@ -341,27 +507,146 @@ def simhash64(docs_ds):
 # ------------------------------------------------- embedding near-dup
 
 
-def embedding_neardup(emb_ds, threshold: float = 0.95):
-    """Cosine >= threshold pairs via LSH-free blocked self-join at test
-    scale: normalize per batch, all-pairs within the (small) materialized
-    matrix.  At 100 TB this becomes IVF/LSH bucketing (see pipelines/ann).
-    Returns (vec_a, vec_b, sim) with vec_a < vec_b, sim rounded 6dp."""
+def embedding_neardup(
+    emb_ds,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    tables: int = 4,
+    max_bucket: int = 4096,
+):
+    """Approximate cosine >= threshold pairs — the SCALE path: ``tables``
+    independent random-hyperplane LSH tables (nbits sign bits each);
+    vectors sharing a bucket in ANY table are compared within-bucket
+    (vectorized matmul per group), pairs deduped across tables.  No
+    all-pairs matmul, no driver materialization; shuffle volume =
+    tables x corpus rows.  Recall < 1 by construction — measured against
+    ``embedding_neardup_exact`` (the all-pairs oracle) in tests; recall
+    rises with ``tables`` and falls with ``nbits``.
+    Returns Dataset (vec_a, vec_b, sim) with vec_a < vec_b, sim rounded
+    6dp; hot buckets capped at ``max_bucket`` ids (deterministic)."""
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    class MultiTableLsh:
+        """Planes built lazily on the first batch (dim from data), fixed
+        seed — deterministic across workers and runs."""
+
+        def __init__(self):
+            self.planes: list[np.ndarray] | None = None
+            self.w = (np.uint64(1) << np.arange(nbits, dtype=np.uint64)).astype(np.int64)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            if self.planes is None:
+                rng = np.random.default_rng(23)
+                self.planes = [
+                    rng.standard_normal((m.shape[1], nbits)) for _ in range(tables)
+                ]
+            ids = batch["vec_id"].to_numpy(np.int64)
+            frames = []
+            for t, planes in enumerate(self.planes):
+                bucket = ((m @ planes) > 0) @ self.w
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "table": pd.Series(np.full(ids.size, t), dtype=np.int16),
+                            "bucket": pd.Series(bucket, dtype=np.int64),
+                            "vec_id": pd.Series(ids, dtype=np.int64),
+                            "nv": pd.Series(list(m), dtype=object),
+                        }
+                    )
+                )
+            return pd.concat(frames, ignore_index=True)
+
+    def pairs_in_bucket(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in bucket_df.groupby(["table", "bucket"], sort=False):
+            if len(g) < 2:
+                continue
+            if len(g) > max_bucket:
+                g = g.nsmallest(max_bucket, "vec_id")
+            ids = g["vec_id"].to_numpy(np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            m = np.stack(g["nv"].to_numpy())[order]
+            sims = m @ m.T
+            iu, ju = np.triu_indices(ids.size, k=1)
+            # round-6 BEFORE thresholding (DuckDB-oracle parity rule)
+            simr = np.floor(sims[iu, ju] * 1e6 + 0.5) / 1e6
+            mask = simr >= threshold
+            if not mask.any():
+                continue
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": ids[iu[mask]],
+                        "vec_b": ids[ju[mask]],
+                        "sim": simr[mask],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype=np.int64),
+                    "vec_b": pd.Series([], dtype=np.int64),
+                    "sim": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def dedupe(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        return bucket_df.drop_duplicates(["vec_a", "vec_b"])
+
+    tagged = emb_ds.map_batches(
+        MultiTableLsh, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+    pairs = bucketed_group_agg(tagged, ["table", "bucket"], pairs_in_bucket)
+    return bucketed_group_agg(pairs, ["vec_a", "vec_b"], dedupe)
+
+
+def embedding_neardup_exact(emb_ds, threshold: float = 0.95):
+    """EXACT cosine >= threshold pairs: the corpus matrix is broadcast
+    once (``ray.put``) and every batch matmuls against it — distributed
+    over batches, O(N²) work by definition (all-pairs is inherently
+    quadratic; this is the TEST-SCALE ORACLE for embedding_neardup; the
+    broadcast-whole-corpus step is the documented scale limit).
+    Returns Dataset (vec_a, vec_b, sim), vec_a < vec_b, sim rounded 6dp."""
+    import ray
 
     def norm(batch: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        return pd.DataFrame({"vec_id": batch["vec_id"].astype(np.int64), "nv": list(m)})
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].astype(np.int64), "nv": pd.Series(list(m), dtype=object)}
+        )
 
-    df = emb_ds.map_batches(norm, batch_format="pandas", batch_size=4096).to_pandas()
-    ids = df["vec_id"].to_numpy()
-    m = np.stack(df["nv"].to_numpy())
-    sims = m @ m.T
-    iu, ju = np.triu_indices(ids.size, k=1)
-    mask = sims[iu, ju] >= threshold
-    a, b = ids[iu[mask]], ids[ju[mask]]
-    swap = a > b
-    a2 = np.where(swap, b, a)
-    b2 = np.where(swap, a, b)
-    s = np.floor(sims[iu[mask], ju[mask]] * 1e6 + 0.5) / 1e6
-    order = np.lexsort((b2, a2))
-    return pd.DataFrame({"vec_a": a2[order], "vec_b": b2[order], "sim": s[order]})
+    normed = emb_ds.map_batches(norm, batch_format="pandas", batch_size=4096).materialize()
+    all_df = normed.to_pandas()  # ids + normalized matrix, broadcast once
+    all_ids = all_df["vec_id"].to_numpy(np.int64)
+    order = np.argsort(all_ids)
+    all_ids = all_ids[order]
+    corpus_ref = ray.put((all_ids, np.stack(all_df["nv"].to_numpy())[order]))
+
+    class PairScan:
+        def __init__(self):
+            self.ids, self.m = ray.get(corpus_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["vec_id"].to_numpy(np.int64)
+            m = np.stack(batch["nv"].to_numpy())
+            sims = m @ self.m.T  # (batch, corpus)
+            simr = np.floor(sims * 1e6 + 0.5) / 1e6  # round-6 pre-threshold
+            # keep only pairs with batch id < corpus id (each pair once)
+            lt = ids[:, None] < self.ids[None, :]
+            hit = (simr >= threshold) & lt
+            bi, ci = np.nonzero(hit)
+            return pd.DataFrame(
+                {
+                    "vec_a": ids[bi],
+                    "vec_b": self.ids[ci],
+                    "sim": simr[bi, ci],
+                }
+            )
+
+    return normed.map_batches(PairScan, batch_format="pandas", batch_size=1024, concurrency=2)

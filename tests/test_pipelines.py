@@ -76,7 +76,7 @@ def test_minhash_finds_planted_neardups(ray_session):
     near = " ".join(f"tok{i}" for i in range(199)) + " tokX"
     other = " ".join(f"zzz{i}" for i in range(200))
     docs = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, other]})
-    out = minhash_dedup(rd.from_pandas(docs), threshold=0.5)
+    out = to_pandas(minhash_dedup(rd.from_pandas(docs), threshold=0.5))
     pairs = set(zip(out["doc_a"], out["doc_b"]))
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
@@ -125,3 +125,27 @@ def test_minhash_degenerate_corpus_capped(ray_session):
     )
     pairs = minhash_candidates(rd.from_pandas(docs)).to_pandas()
     assert 0 < len(pairs) <= 200 * 199 // 2
+
+
+def test_embedding_neardup_recall_vs_exact(ray_session):
+    """The LSH-bucketed near-dup path must recover most high-cosine pairs
+    the exact all-pairs oracle finds (clustered vectors, threshold .9)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.dedup_ops import embedding_neardup, embedding_neardup_exact
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((10, 32))
+    vecs = np.concatenate([c + 0.02 * rng.standard_normal((20, 32)) for c in centers])
+    df = pd.DataFrame(
+        {"vec_id": np.arange(200, dtype=np.int64), "embedding": list(vecs.astype(np.float32))}
+    )
+    exact = to_pandas(embedding_neardup_exact(rd.from_pandas(df), threshold=0.9))
+    approx = to_pandas(embedding_neardup(rd.from_pandas(df), threshold=0.9))
+    e = set(zip(exact["vec_a"], exact["vec_b"]))
+    a = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert a <= e or all(  # every approx pair must be a true pair (same rounding)
+        abs(s - 0.9) < 1e-6 for s in approx[~approx.set_index(["vec_a", "vec_b"]).index.isin(e)]["sim"]
+    )
+    assert len(e & a) / max(1, len(e)) >= 0.7, (len(e), len(a), len(e & a))
