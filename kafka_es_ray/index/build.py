@@ -232,10 +232,18 @@ def build_segment_for_group(
         bmax_tf = np.maximum.reduceat(p_tfs, block_start).astype(np.uint32)
         bmin_dl = np.minimum.reduceat(dl_at, block_start).astype(np.uint32)
         blast = p_ids[block_end - 1].astype(np.uint64)
+        # per-block BYTE offsets into the term's varint blobs (format v2):
+        # enable selective per-block decode at query time (skip pointers
+        # without these would name blocks we cannot seek to)
+        term_of_block = np.repeat(np.arange(n_terms, dtype=np.int64), nb)
+        bid_off = (id_off[block_start] - id_off[term_starts[term_of_block]]).astype(np.uint32)
+        btf_off = (tf_off[block_start] - tf_off[term_starts[term_of_block]]).astype(np.uint32)
     else:
         bmax_tf = np.array([], dtype=np.uint32)
         bmin_dl = np.array([], dtype=np.uint32)
         blast = np.array([], dtype=np.uint64)
+        bid_off = np.array([], dtype=np.uint32)
+        btf_off = np.array([], dtype=np.uint32)
 
     postings_table = pa.table(
         {
@@ -246,6 +254,8 @@ def build_segment_for_group(
             "block_max_tf": _large_binary_from_slices(bmax_tf.tobytes(), first_block * 4),
             "block_min_dl": _large_binary_from_slices(bmin_dl.tobytes(), first_block * 4),
             "block_last_doc": _large_binary_from_slices(blast.tobytes(), first_block * 8),
+            "block_id_boff": _large_binary_from_slices(bid_off.tobytes(), first_block * 4),
+            "block_tf_boff": _large_binary_from_slices(btf_off.tobytes(), first_block * 4),
         }
     )
     store_cols = {

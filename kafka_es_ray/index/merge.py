@@ -91,8 +91,12 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
         seg_df = s.df.astype(np.int64)
         run_starts = np.zeros(seg_df.size, dtype=np.int64)
         np.cumsum(seg_df[:-1], out=run_starts[1:])
-        gaps = varint_decode(b"".join(s.doc_ids_enc), int(seg_df.sum())).astype(np.int64)
-        tfs_all = varint_decode(b"".join(s.tfs_enc), int(seg_df.sum())).astype(np.int64)
+        gaps = varint_decode(
+            seg.binary_column_view(s.doc_ids_enc), int(seg_df.sum())
+        ).astype(np.int64)
+        tfs_all = varint_decode(
+            seg.binary_column_view(s.tfs_enc), int(seg_df.sum())
+        ).astype(np.int64)
         csum = np.cumsum(gaps)
         base = np.repeat(csum[run_starts] - gaps[run_starts], seg_df)
         ids_all = csum - base
@@ -149,10 +153,15 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
         bmax_tf = np.maximum.reduceat(flat_tfs, block_start).astype(np.uint32)
         bmin_dl = np.minimum.reduceat(dl_at, block_start).astype(np.uint32)
         blast = flat_ids[block_end - 1].astype(np.uint64)
+        term_of_block = np.repeat(np.arange(n_terms, dtype=np.int64), nb)
+        bid_off = (id_off[block_start] - id_off[term_starts[term_of_block]]).astype(np.uint32)
+        btf_off = (tf_off[block_start] - tf_off[term_starts[term_of_block]]).astype(np.uint32)
     else:
         bmax_tf = np.array([], dtype=np.uint32)
         bmin_dl = np.array([], dtype=np.uint32)
         blast = np.array([], dtype=np.uint64)
+        bid_off = np.array([], dtype=np.uint32)
+        btf_off = np.array([], dtype=np.uint32)
 
     postings_table = pa.table(
         {
@@ -163,6 +172,8 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
             "block_max_tf": _large_binary_from_slices(bmax_tf.tobytes(), first_block * 4),
             "block_min_dl": _large_binary_from_slices(bmin_dl.tobytes(), first_block * 4),
             "block_last_doc": _large_binary_from_slices(blast.tobytes(), first_block * 8),
+            "block_id_boff": _large_binary_from_slices(bid_off.tobytes(), first_block * 4),
+            "block_tf_boff": _large_binary_from_slices(btf_off.tobytes(), first_block * 4),
         }
     )
     store_cols = {

@@ -39,7 +39,28 @@ import pyarrow.parquet as pq
 
 from kafka_es_ray.functions.codec import delta_decode, varint_decode
 
-FORMAT_VERSION = 1
+# v2: postings table gains block_id_boff / block_tf_boff (per-block BYTE
+# offsets into each term's varint blobs) — the seekable half of the skip
+# pointers, enabling selective per-block decode at query time.
+FORMAT_VERSION = 2
+
+
+def _combined(col) -> pa.Array:
+    """pq column (ChunkedArray) -> one contiguous Array."""
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def binary_column_view(arr) -> np.ndarray:
+    """Zero-copy uint8 view of ALL values of a (Large)Binary column,
+    concatenated — the whole-segment varint stream for vectorized decode
+    (merge path).  No per-term Python bytes objects are created."""
+    arr = _combined(arr)
+    bufs = arr.buffers()
+    width = 8 if pa.types.is_large_binary(arr.type) else 4
+    odt = np.int64 if width == 8 else np.int32
+    off = np.frombuffer(bufs[1], dtype=odt, count=len(arr) + 1, offset=arr.offset * width)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data[off[0] : off[-1]]
 
 
 def postings_path(index_dir: str, part_id: int) -> str:
@@ -126,11 +147,16 @@ class Segment:
     part_id: int
     terms: np.ndarray        # object array, ascending
     df: np.ndarray           # int64
-    doc_ids_enc: list        # bytes per term
-    tfs_enc: list
-    block_max_tf_enc: list   # bytes per term (uint32 LE per block)
-    block_min_dl_enc: list
-    block_last_doc_enc: list
+    # Arrow-backed LAZY columns: one contiguous (Large)Binary array each;
+    # a term's blob is sliced out only when that term is actually looked
+    # up (loading a segment never materializes n_terms Python objects)
+    doc_ids_enc: pa.Array    # varint delta gaps per term
+    tfs_enc: pa.Array
+    block_max_tf_enc: pa.Array   # uint32 LE per block
+    block_min_dl_enc: pa.Array
+    block_last_doc_enc: pa.Array
+    block_id_boff_enc: pa.Array | None   # uint32 LE per block (format v2)
+    block_tf_boff_enc: pa.Array | None
     doc_base: int            # doc ids in docstore are arbitrary; base/dense see below
     doc_ids_store: np.ndarray   # int64, ascending
     doc_len: np.ndarray      # int32 aligned with doc_ids_store
@@ -169,15 +195,18 @@ class Segment:
         tombstones = np.array(sorted(dead), dtype=np.int64)
         doc_ids_store = dt.column("doc_id").to_numpy()
         doc_len = dt.column("doc_len").to_numpy()
+        has_boff = "block_id_boff" in pt.schema.names  # format v2
         return cls(
             part_id=part_id,
             terms=np.asarray(pt.column("term").to_pylist(), dtype=object),
             df=pt.column("df").to_numpy(),
-            doc_ids_enc=pt.column("doc_ids").to_pylist(),
-            tfs_enc=pt.column("tfs").to_pylist(),
-            block_max_tf_enc=pt.column("block_max_tf").to_pylist(),
-            block_min_dl_enc=pt.column("block_min_dl").to_pylist(),
-            block_last_doc_enc=pt.column("block_last_doc").to_pylist(),
+            doc_ids_enc=_combined(pt.column("doc_ids")),
+            tfs_enc=_combined(pt.column("tfs")),
+            block_max_tf_enc=_combined(pt.column("block_max_tf")),
+            block_min_dl_enc=_combined(pt.column("block_min_dl")),
+            block_last_doc_enc=_combined(pt.column("block_last_doc")),
+            block_id_boff_enc=_combined(pt.column("block_id_boff")) if has_boff else None,
+            block_tf_boff_enc=_combined(pt.column("block_tf_boff")) if has_boff else None,
             doc_base=int(doc_ids_store[0]) if doc_ids_store.size else 0,
             doc_ids_store=doc_ids_store,
             doc_len=doc_len.astype(np.int64),
@@ -204,6 +233,9 @@ class Segment:
         self._cache_postings = 0
         self._cache_cap = 20_000_000  # decoded postings entries per segment
         self._ub_cache: dict[int, float] = {}
+        # observability: total postings decoded by this segment object
+        # (tests assert skip pointers actually reduce decode work)
+        self.decoded_postings = 0
 
     def lookup(self, term: str) -> int:
         """Dictionary binary search -> term index, or -1."""
@@ -223,9 +255,10 @@ class Segment:
             self._cache.move_to_end(ti)
             return hit
         n = int(self.df[ti])
-        ids = delta_decode(self.doc_ids_enc[ti], n)
-        tfs = varint_decode(self.tfs_enc[ti], n).astype(np.int64)
+        ids = delta_decode(self.doc_ids_enc[ti].as_py(), n)
+        tfs = varint_decode(self.tfs_enc[ti].as_py(), n).astype(np.int64)
         dl = self.dl_for(ids)
+        self.decoded_postings += n
         entry = (ids, tfs, dl)
         self._cache[ti] = entry
         self._cache_postings += n
@@ -238,10 +271,83 @@ class Segment:
         """(block_max_tf, block_min_dl, block_last_doc) for one term —
         the block-max arrays written at build time."""
         return (
-            np.frombuffer(self.block_max_tf_enc[ti], dtype=np.uint32),
-            np.frombuffer(self.block_min_dl_enc[ti], dtype=np.uint32),
-            np.frombuffer(self.block_last_doc_enc[ti], dtype=np.uint64),
+            np.frombuffer(self.block_max_tf_enc[ti].as_py(), dtype=np.uint32),
+            np.frombuffer(self.block_min_dl_enc[ti].as_py(), dtype=np.uint32),
+            np.frombuffer(self.block_last_doc_enc[ti].as_py(), dtype=np.uint64),
         )
+
+    def lookup_postings(
+        self, ti: int, cand: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Membership probe of ``cand`` (sorted doc ids) against term
+        ``ti``'s postings WITHOUT decoding the whole list: block-last-doc
+        skip pointers name the single block that can contain each
+        candidate; per-block byte offsets (format v2) let us decode only
+        those blocks.  Returns (hit mask over cand, tf[hit], dl[hit]).
+        Exact: a block's gaps re-anchor on the previous block's last doc,
+        so selective decode reconstructs absolute ids.
+
+        Falls back to the full (cached) decode when the term is already
+        cached, when most blocks are needed anyway, or on v1 segments."""
+        blast = np.frombuffer(self.block_last_doc_enc[ti].as_py(), dtype=np.uint64).astype(
+            np.int64
+        )
+        n_blocks = blast.size
+        cached = self._cache.get(ti)
+        # which block could contain each candidate (first block whose
+        # last doc >= cand); out-of-range candidates match no block
+        bidx = np.searchsorted(blast, cand)
+        valid = bidx < n_blocks
+        blocks = np.unique(bidx[valid])
+        use_full = (
+            cached is not None
+            or self.block_id_boff_enc is None
+            or n_blocks == 0
+            or blocks.size * 2 >= n_blocks  # selective wouldn't save much
+        )
+        if use_full:
+            ids, tfs, dl = self.postings_with_dl(ti)
+            pos = np.searchsorted(ids, cand)
+            pos_c = np.minimum(pos, ids.size - 1)
+            hit = ids[pos_c] == cand
+            ph = pos_c[hit]
+            return hit, tfs[ph], dl[ph]
+
+        id_blob = self.doc_ids_enc[ti].as_py()
+        tf_blob = self.tfs_enc[ti].as_py()
+        id_boff = np.frombuffer(self.block_id_boff_enc[ti].as_py(), dtype=np.uint32).astype(
+            np.int64
+        )
+        tf_boff = np.frombuffer(self.block_tf_boff_enc[ti].as_py(), dtype=np.uint32).astype(
+            np.int64
+        )
+        id_end = np.concatenate([id_boff[1:], [len(id_blob)]])
+        tf_end = np.concatenate([tf_boff[1:], [len(tf_blob)]])
+        id_buf = b"".join(id_blob[id_boff[b] : id_end[b]] for b in blocks)
+        tf_buf = b"".join(tf_blob[tf_boff[b] : tf_end[b]] for b in blocks)
+        # per-block posting counts = varint terminator bytes per byte run
+        raw = np.frombuffer(id_buf, dtype=np.uint8)
+        is_term = (raw & 0x80) == 0
+        lens = (id_end[blocks] - id_boff[blocks]).astype(np.int64)
+        run_byte_starts = np.zeros(blocks.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=run_byte_starts[1:])
+        counts = np.add.reduceat(is_term.astype(np.int64), run_byte_starts)
+        total = int(counts.sum())
+        gaps = varint_decode(raw, total).astype(np.int64)
+        tfs_sel = varint_decode(tf_buf, total).astype(np.int64)
+        self.decoded_postings += total
+        # re-anchor each run: absolute id = prev block's last doc + cumsum
+        run_starts = np.zeros(blocks.size, dtype=np.int64)
+        np.cumsum(counts[:-1], out=run_starts[1:])
+        anchors = np.where(blocks > 0, blast[np.maximum(blocks - 1, 0)], 0)
+        csum = np.cumsum(gaps)
+        base = np.repeat(csum[run_starts] - gaps[run_starts] - anchors, counts)
+        ids_sel = csum - base
+        pos = np.searchsorted(ids_sel, cand)
+        pos_c = np.minimum(pos, ids_sel.size - 1) if ids_sel.size else pos * 0
+        hit = (ids_sel[pos_c] == cand) if ids_sel.size else np.zeros(cand.size, dtype=bool)
+        ph = pos_c[hit]
+        return hit, tfs_sel[ph], self.dl_for(ids_sel[ph])
 
     def term_score_ub(self, ti: int, avgdl: float, k1: float, b: float) -> float:
         """Exact-safe per-term upper bound of the BM25 tf-part within this

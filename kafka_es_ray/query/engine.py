@@ -252,19 +252,19 @@ def score_segment(
     acc = np.zeros(cand.size, dtype=np.float64)
     nmatch = np.zeros(cand.size, dtype=np.int32) if require_all else None
     for i, ti in present:  # ascending term order (determinism contract)
-        ids, tfs, dl = s.postings_with_dl(ti)
         if ti in ess_set:
+            ids, tfs, dl = s.postings_with_dl(ti)
             pos = np.searchsorted(cand, ids)
             acc[pos] += idf[i] * bm25_tf_part(tfs, dl, avgdl, k1, b)
             if nmatch is not None:
                 nmatch[pos] += 1
         else:
-            pos = np.searchsorted(ids, cand)
-            pos_c = np.minimum(pos, ids.size - 1)
-            hit = ids[pos_c] == cand
+            # non-essential lookup: block-max skip pointers decode only
+            # the blocks that can contain candidates (never the whole,
+            # typically head-term, posting list)
+            hit, tf_h, dl_h = s.lookup_postings(ti, cand)
             if hit.any():
-                ph = pos_c[hit]
-                acc[hit] += idf[i] * bm25_tf_part(tfs[ph], dl[ph], avgdl, k1, b)
+                acc[hit] += idf[i] * bm25_tf_part(tf_h, dl_h, avgdl, k1, b)
                 if nmatch is not None:
                     nmatch[hit] += 1
     if nmatch is not None:
@@ -326,6 +326,9 @@ class ShardScorerStage:
         # posting-level cache cap in Segment.__post_init__.
         self.segments: OrderedDict[int, Segment] = OrderedDict()
         self.cache_cap = max(1, cfg.scorer_segment_cache)
+        # per-plan top-k score pool seen by THIS actor (descending) — the
+        # running MaxScore threshold for later segments
+        self._score_pool: dict[int, np.ndarray] = {}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -340,6 +343,17 @@ class ShardScorerStage:
             else:
                 self.segments.move_to_end(pid)
             for q in self.plan:
+                # running MaxScore threshold: the k-th best score this
+                # actor has already seen for this plan (monotone rising).
+                # Exact: a doc pruned here scores < the actor-local k-th
+                # <= the global k-th, so it cannot enter the merged
+                # top-k.  Margin 2e-6 guards the 6dp rounding boundary.
+                pool = self._score_pool.get(q["plan_id"])
+                theta = (
+                    float(pool[-1]) - 2e-6
+                    if pool is not None and pool.size >= q["k"]
+                    else None
+                )
                 ids, scores = score_segment(
                     seg,
                     q["terms"],
@@ -347,6 +361,7 @@ class ShardScorerStage:
                     self.avgdl,
                     self.k1,
                     self.b,
+                    theta,
                     require_all=q.get("require_all", False),
                     filter_lang=q.get("filter_lang"),
                 )
@@ -357,6 +372,10 @@ class ShardScorerStage:
                     kth = -np.partition(-scores, k - 1)[k - 1]
                     sel = np.flatnonzero(scores >= kth)
                     ids, scores = ids[sel], scores[sel]
+                merged = np.sort(
+                    np.concatenate([pool, scores]) if pool is not None else scores
+                )[::-1][:k]
+                self._score_pool[q["plan_id"]] = merged
                 keys = seg.keys_for(ids)
                 # emit per PLAN; repeated queries fan out only after the
                 # merge (keeps the shuffle proportional to unique plans)

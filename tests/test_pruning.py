@@ -66,3 +66,72 @@ def test_block_meta_shapes(idx):
         ids, tfs, _ = seg.postings_with_dl(ti)
         assert blast[-1] == ids[-1]  # skip pointer ends at last doc
         assert btf.max() == tfs.max()
+
+
+def test_selective_block_decode_exact_and_skips(ray_session, tmp_path):
+    """Skip-pointer path (format v2 block byte offsets): probing a huge
+    head-term posting list for a few candidates must decode only the
+    touched blocks — and produce exactly the same hits as a full decode."""
+    import ray.data as rd
+
+    from kafka_es_ray.index.segment import Segment
+
+    n = 4000
+    # every doc has head term; doc i also has a rare marker every 512 docs
+    texts = ["headterm " + (f"rare{i//512} " if i % 512 == 0 else "") + f"w{i}" for i in range(n)]
+    docs = pd.DataFrame(
+        {
+            "url": [f"https://e.x/{i:06d}" for i in range(n)],
+            "text": texts,
+            "lang": ["en"] * n,
+        }
+    )
+    cfg = EngineConfig(num_partitions=1, block_size=128)
+    d = str(tmp_path / "skew")
+    build_index(rd.from_pandas(docs), d, cfg, html_col=None, ts_col=None)
+    seg = Segment.load(d, 0)
+    ti = seg.lookup("headterm")
+    assert ti >= 0 and int(seg.df[ti]) == n
+
+    # candidates: 5 scattered docs
+    cand = seg.doc_ids_store[np.array([0, 777, 1500, 2222, 3999])]
+    before = seg.decoded_postings
+    hit, tfs, dl = seg.lookup_postings(ti, np.sort(cand))
+    decoded_selective = seg.decoded_postings - before
+    assert hit.all() and tfs.size == 5
+    # must have decoded far fewer than the full n-posting list
+    assert decoded_selective <= 5 * 128
+    assert decoded_selective < n // 4
+
+    # exactness vs full decode on a fresh segment object
+    seg2 = Segment.load(d, 0)
+    ids_full, tfs_full, dl_full = seg2.postings_with_dl(ti)
+    pos = np.searchsorted(ids_full, np.sort(cand))
+    assert (ids_full[pos] == np.sort(cand)).all()
+    assert (tfs_full[pos] == tfs).all()
+    assert (dl_full[pos] == dl).all()
+
+
+def test_shard_scorer_running_theta_rank_identical(ray_session, pages_small, tmp_path):
+    """The distributed path's per-actor running MaxScore threshold must
+    not change results vs the single-searcher exhaustive path."""
+    import ray.data as rd
+
+    from kafka_es_ray.query.engine import run_queries
+
+    d = str(tmp_path / "rtheta")
+    build_index(rd.from_arrow(pages_small), d, CFG)
+    s = IndexSearcher(d, CFG)
+    qs = make_queries(16).to_pandas()
+    want = s.search_batch(qs, prune=False)
+    got = (
+        run_queries(rd.from_pandas(qs), d, CFG, concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = want.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id", "score"]],
+        want[["query_id", "rank", "doc_id", "score"]],
+    )
