@@ -318,6 +318,69 @@ def _q_actions_incremental(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_actions_protobuf(sf_dir: str):
+    """Protobuf-wire ingestion (the ProtobufConverter path,
+    ProtobufConverter.kt:62-117): proto-encoded action headers + proto
+    message values -> parse -> resolve -> index -> BM25 (rows-only)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.functions.protowire import BULK_ACTION, OP_DELETE, OP_INDEX, TEST_DOCUMENT
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.query.engine import IndexSearcher
+    from kafka_es_ray.stages.actions import ParseProtobufActionsStage, resolve_actions
+
+    rows = [
+        (
+            "t",
+            i,
+            BULK_ACTION.encode({"op_type": OP_INDEX, "id": f"p{i}"}),
+            TEST_DOCUMENT.encode({"id": i, "name": f"proto doc {i} gamma term{i % 7}"}),
+            None,
+        )
+        for i in range(60)
+    ] + [
+        ("t", 100 + i, BULK_ACTION.encode({"op_type": OP_DELETE, "id": f"p{i}"}), None, None)
+        for i in range(0, 10)
+    ]
+    recs = pd.DataFrame(rows, columns=["topic", "seq", "action", "value", "tag"])
+    parsed = rd.from_pandas(recs).map_batches(
+        ParseProtobufActionsStage,
+        fn_constructor_kwargs={"protobuf_class": "evo_kafka_es.TestDocument", "default_index": "t"},
+        batch_format="pandas",
+        concurrency=2,
+    )
+    live = resolve_actions(parsed)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        return pd.DataFrame(
+            {
+                "id": b["id"],
+                "seq": b["seq"],
+                "text": b["source"].map(lambda s: _json.loads(s).get("name", "")),
+                "lang": "en",
+            }
+        )
+
+    cfg = EngineConfig(num_partitions=4)
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_proto_")
+    try:
+        build_index(
+            live.map_batches(extract, batch_format="pandas"), idx, cfg,
+            key_col="id", html_col=None, ts_col=None, seq_col="seq",
+        )
+        s = IndexSearcher(idx, cfg)
+        return s.search("gamma", k=100)[["rank", "key", "score"]]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_approx_distinct(sf_dir: str):
     """HLL mergeable-sketch approximate distinct users (rows-only:
     approximate by design; accuracy asserted in tests)."""
@@ -363,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         "pages_pipeline": _q_pages_pipeline,
         "actions_incremental": _q_actions_incremental,
+        "actions_protobuf": _q_actions_protobuf,
         "approx_distinct_users": _q_approx_distinct,
         "media_features": _q_media_features,
     }

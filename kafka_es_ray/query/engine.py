@@ -36,10 +36,23 @@ from kafka_es_ray.index.segment import (
 from kafka_es_ray.query.bm25 import bm25_idf, bm25_tf_part, round6
 
 
+# MetricsUpdater-analog counters for the query path (reference
+# MetricsUpdater.kt:3-15, Metrics.kt:24-83): updated per run_queries call
+# on the driver; per-searcher counters live on IndexSearcher.metrics.
+QUERY_METRICS = {
+    "query_batches": 0,
+    "queries": 0,
+    "unique_plans": 0,
+    "segments_scheduled": 0,
+    "terms_looked_up": 0,
+}
+
+
 class IndexSearcher:
     def __init__(self, index_dir: str, cfg: EngineConfig = DEFAULT):
         self.cfg = cfg
         self.manifest = read_manifest(index_dir)
+        self.metrics = {"searches": 0, "postings_decoded": 0, "terms_looked_up": 0}
         self.segments = [
             Segment.load(index_dir, pid, manifest_tombstone_files(self.manifest, pid))
             for pid in self.manifest["parts"]
@@ -81,6 +94,26 @@ class IndexSearcher:
         block-max upper bounds cannot lift a doc past the running k-th
         score are demoted to lookup-only, so their (typically huge, common
         -term) posting lists are never union-scored."""
+        decoded_before = sum(s.decoded_postings for s in self.segments)
+        try:
+            return self._search(text, lang, k, prune, operator, filter_lang, fetch, offset)
+        finally:
+            self.metrics["searches"] += 1
+            self.metrics["postings_decoded"] += (
+                sum(s.decoded_postings for s in self.segments) - decoded_before
+            )
+
+    def _search(
+        self,
+        text: str,
+        lang: str | None,
+        k: int,
+        prune: bool,
+        operator: str,
+        filter_lang: str | None,
+        fetch: bool,
+        offset: int,
+    ) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "rank": pd.Series([], dtype=np.int64),
@@ -90,6 +123,7 @@ class IndexSearcher:
             }
         )
         terms = sorted(set(get_analyzer(lang).tokenize(text)))
+        self.metrics["terms_looked_up"] += len(terms)
         if not terms:
             return empty
         df = self.global_df(terms)
@@ -500,6 +534,11 @@ def run_queries(
     plan = list(plan_by_key.values())
     for pid_, q in enumerate(plan):
         q["plan_id"] = pid_
+    QUERY_METRICS["query_batches"] += 1
+    QUERY_METRICS["queries"] += len(queries)
+    QUERY_METRICS["unique_plans"] += len(plan)
+    QUERY_METRICS["segments_scheduled"] += len(parts)
+    QUERY_METRICS["terms_looked_up"] += len(all_terms)
     plan_ref = ray.put((plan, avgdl, k1, b, manifest.get("tombstones", {})))
     k_map = {q["plan_id"]: q["k"] for q in plan}
     fanout_map = {q["plan_id"]: q["query_ids"] for q in plan}

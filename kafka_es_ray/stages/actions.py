@@ -180,6 +180,119 @@ class ParseActionsStage:
         ).astype({"seq": np.int64})
 
 
+class ParseProtobufActionsStage:
+    """map_batches stage: protobuf-wire records -> actions rows +
+    quarantine rows — the ProtobufConverter.toConnectData path
+    (reference ProtobufConverter.kt:62-117):
+
+      * the action header is a ``kafka_es.BulkAction`` wire message;
+        only INDEX and DELETE ops exist (bulk_action.proto:8-23);
+        UNRECOGNIZED op -> quarantine (the converter throws);
+      * empty-string -> null for index/type/id/routing/parent
+        (ProtobufConverter.kt:71-74);
+      * the record value is a message of the configured class
+        (``protobuf.class``), resolved ONCE per actor (the reflective
+        parser-built-once rule, ProtobufSerde.kt:26-73), printed to
+        proto3 JSON with proto field names as the action source;
+      * malformed header/value -> quarantine row (DataException analog);
+      * tag filter: missing header => keep (BaseConverter.kt:52-61).
+
+    Input columns: (topic, seq, action: bytes, value: bytes?, tag:
+    str?)."""
+
+    def __init__(
+        self,
+        protobuf_class: str,
+        tag: str | None = None,
+        default_index: str | None = None,
+        topic_index_map: dict[str, str] | None = None,
+        include_default_values: bool = False,
+    ):
+        from kafka_es_ray.functions.protowire import BULK_ACTION, resolve_proto
+
+        self.header_type = BULK_ACTION
+        self.value_type = resolve_proto(protobuf_class)  # configure-time load
+        self.tag = tag
+        self.default_index = default_index
+        self.topic_index_map = topic_index_map or {}
+        self.include_default_values = include_default_values
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from kafka_es_ray.functions.protowire import OP_DELETE, OP_INDEX
+
+        rows: list[dict] = []
+
+        def q(seq: int, err: str, base: dict | None = None) -> None:
+            base = base or {}
+            rows.append(
+                {
+                    "op": "quarantine",
+                    "id": base.get("id"),
+                    "index": base.get("index"),
+                    "routing": base.get("routing"),
+                    "parent": base.get("parent"),
+                    "retry_on_conflict": None,
+                    "seq": int(seq),
+                    "source": None,
+                    "error": err,
+                }
+            )
+
+        for r in batch.itertuples(index=False):
+            tag = getattr(r, "tag", None)
+            if self.tag is not None and tag is not None and tag != self.tag:
+                continue
+            topic = getattr(r, "topic", None)
+            if r.action is None:
+                q(r.seq, "missing action header")
+                continue
+            try:
+                meta = self.header_type.decode(bytes(r.action))
+            except ValueError as exc:
+                q(r.seq, f"Error when parsing protobuf action header: {exc}")
+                continue
+            op_type = meta["op_type"]
+            if op_type not in (OP_INDEX, OP_DELETE):
+                q(r.seq, "Unrecognized operation type for bulk action")
+                continue
+            # empty-string -> null normalization (ProtobufConverter.kt:71-74)
+            idx = _norm(meta["index"]) or self.topic_index_map.get(topic) or self.default_index
+            base = {
+                "id": _norm(meta["id"]),
+                "index": idx,
+                "routing": _norm(meta["routing"]),
+                "parent": _norm(meta["parent"]),
+                "retry_on_conflict": None,
+                "seq": int(r.seq),
+                "error": None,
+            }
+            if idx is None:
+                q(r.seq, f"index not resolved for topic {topic!r}", base)
+                continue
+            if op_type == OP_DELETE:
+                rows.append(dict(base, op="delete", source=None))
+                continue
+            if r.value is None:
+                q(r.seq, "Message value must be present", base)
+                continue
+            try:
+                source = self.value_type.to_json(
+                    self.value_type.decode(bytes(r.value)),
+                    include_defaults=self.include_default_values,
+                )
+            except ValueError as exc:
+                q(r.seq, f"Error when parsing protobuf data: {exc}", base)
+                continue
+            doc_id = base["id"]
+            if doc_id is None:
+                doc_id = f"_auto_{int(r.seq)}_0"
+            rows.append(dict(base, id=doc_id, op="index", source=source))
+        return pd.DataFrame(
+            rows,
+            columns=["op", "id", "index", "routing", "parent", "retry_on_conflict", "seq", "source", "error"],
+        ).astype({"seq": np.int64})
+
+
 def serialize_action(
     op: str,
     id: str | None = None,

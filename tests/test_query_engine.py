@@ -200,3 +200,28 @@ def test_pagination_offset(corpus_and_index):
     assert p2["rank"].tolist() == list(range(11, 21))
     # offset past the end -> empty
     assert len(s.search("w00001", offset=10_000_000, k=10)) == 0
+
+
+def test_query_metrics_counters(ray_session, pages_small, tmp_path):
+    """MetricsUpdater-analog counters (reference MetricsUpdater.kt:3-15):
+    searcher-level searches/postings/terms and driver-level run_queries
+    batch counters must advance."""
+    import ray.data as rd
+
+    from kafka_es_ray.query import engine as eng
+
+    d = str(tmp_path / "qm")
+    build_index(rd.from_arrow(pages_small), d, CFG)
+    s = IndexSearcher(d, CFG)
+    s.search("home about example")
+    s.search("w00001")
+    assert s.metrics["searches"] == 2
+    assert s.metrics["terms_looked_up"] >= 4
+    assert s.metrics["postings_decoded"] > 0
+
+    before = dict(eng.QUERY_METRICS)
+    qs = make_queries(6).to_pandas()
+    eng.run_queries(rd.from_pandas(qs), d, CFG, concurrency=2).count()
+    assert eng.QUERY_METRICS["query_batches"] == before["query_batches"] + 1
+    assert eng.QUERY_METRICS["queries"] == before["queries"] + len(qs)
+    assert eng.QUERY_METRICS["segments_scheduled"] > before["segments_scheduled"]
