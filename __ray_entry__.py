@@ -117,6 +117,33 @@ def _q_bm25_topk_and(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_match_count(sf_dir: str):
+    """ES _count API analog over the documents index: number of live docs
+    matching each derived query (operator=or, no top-k cap)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_cntidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        searcher = IndexSearcher(idx)
+        queries = derive_query_set(searcher)
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return pd.DataFrame(
+            {
+                "query_id": queries["query_id"].to_numpy(),
+                "n_matching": [searcher.count(t) for t in queries["text"]],
+            }
+        ).astype({"query_id": np.int64, "n_matching": np.int64})
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_lineitem_agg(sf_dir: str):
     from kafka_es_ray.pipelines.relational import lineitem_agg
     from kafka_es_ray.sources.parquet import read_table
@@ -406,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_and": _q_bm25_topk_and,
+        "match_count": _q_match_count,
         "lineitem_agg": _q_lineitem_agg,
         "topk_orders": _q_topk_orders,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -436,6 +464,25 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
+        "match_count": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            ranked_terms AS (
+              SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+            ),
+            queries AS (
+              SELECT 0 AS query_id, term FROM ranked_terms WHERE r = 1
+              UNION ALL SELECT 1, term FROM ranked_terms WHERE r IN (2, 3)
+              UNION ALL SELECT 2, term FROM ranked_terms WHERE r IN (4, 5, 6)
+              UNION ALL SELECT 3, term FROM ranked_terms WHERE r IN (7, 8)
+            )
+            SELECT q.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matching
+            FROM queries q JOIN tf ON tf.term = q.term
+            GROUP BY 1
+        """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_rows,
                    sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::DOUBLE / 100.0 AS sum_qty,

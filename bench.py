@@ -88,7 +88,7 @@ def run_bench() -> dict:
     # comparison is meaningless (and at 100 TB the partition count is set
     # by partition-fits-in-worker-heap, not by node count)
     num_parts = max(16, PAGES_ROWS // 2500)
-    cfg = EngineConfig(num_partitions=num_parts, extract_concurrency=max(2, NUM_CPUS // 2))
+    cfg = EngineConfig(num_partitions=num_parts)
     t0 = time.perf_counter()
     manifest = build_index(rd.read_parquet(corpus_dir), idx, cfg)
     t_build = time.perf_counter() - t0

@@ -213,6 +213,82 @@ def _apply_one_partition(
     return pd.DataFrame(out_rows, columns=["kind", "part", "sid", "payload"])
 
 
+def delete_by_query(
+    index_dir: str,
+    text: str,
+    cfg: EngineConfig = DEFAULT,
+    *,
+    lang: str | None = None,
+    operator: str = "or",
+    filter_lang: str | None = None,
+) -> dict:
+    """ES _delete_by_query analog: tombstone every live doc matching the
+    analyzed query.  Ray-parallel per segment (each task decodes only the
+    query terms' postings and writes its own generation-gated tombstone
+    file); the driver only commits the manifest.  Stats stay stale until
+    ``merge_index`` purges — ES visibility semantics."""
+    import ray.data as rd
+
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+    from kafka_es_ray.index.segment import Segment, manifest_tombstone_files
+
+    manifest = read_manifest(index_dir)
+    gen = int(manifest.get("gen", 0)) + 1
+    terms = sorted(set(get_analyzer(lang).tokenize(text)))
+
+    def per_segment(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for sid in batch["sid"].astype(int):
+            s = Segment.load(index_dir, sid, manifest_tombstone_files(manifest, sid))
+            tis = [s.lookup(t) for t in terms]
+            present = [ti for ti in tis if ti >= 0]
+            if not present or (operator == "and" and len(present) < len(terms)):
+                continue
+            lists = [s.postings_with_dl(ti)[0] for ti in present]
+            if operator == "and":
+                ids = lists[0]
+                for lst in lists[1:]:
+                    ids = ids[np.isin(ids, lst, assume_unique=True)]
+            else:
+                ids = np.unique(np.concatenate(lists))
+            if filter_lang is not None and ids.size:
+                ids = ids[s.langs_for(ids) == filter_lang]
+            if s.tombstones is not None and s.tombstones.size and ids.size:
+                pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
+                ids = ids[s.tombstones[pos] != ids]
+            if ids.size == 0:
+                continue
+            tpath = seg.gen_tombstones_path(index_dir, sid, gen)
+            seg.atomic_write_json(
+                [int(x) for x in ids], tpath, cfg.write_retries, cfg.write_retry_delay_s
+            )
+            rows.append({"sid": int(sid), "fname": os.path.basename(tpath), "n": int(ids.size)})
+        return pd.DataFrame(rows, columns=["sid", "fname", "n"])
+
+    parts = [int(p) for p in manifest["parts"]]
+    plan = rd.from_pandas(pd.DataFrame({"sid": parts})).repartition(max(1, len(parts) // 2))
+    out = plan.map_batches(per_segment, batch_format="pandas").take_all()
+
+    tomb_map = {k: list(v) for k, v in manifest.get("tombstones", {}).items()}
+    deleted = 0
+    new_dead: set[int] = set()
+    for r in out:
+        if r["fname"] not in tomb_map.setdefault(str(r["sid"]), []):
+            tomb_map[str(r["sid"])].append(r["fname"])
+        deleted += int(r["n"])
+        with open(os.path.join(index_dir, r["fname"])) as f:
+            new_dead.update(json.load(f))
+    new_manifest = {
+        **manifest,
+        "gen": gen,
+        "tombstones": tomb_map,
+        "tombstoned_docs": sorted(set(manifest.get("tombstoned_docs", [])) | new_dead),
+        "last_delete_by_query": {"query": text, "deleted": deleted},
+    }
+    write_manifest(index_dir, new_manifest)  # commit point
+    return new_manifest
+
+
 def apply_incremental(
     index_dir: str,
     docs_ds,

@@ -214,6 +214,45 @@ class IndexSearcher:
             require_all=require_all, filter_lang=filter_lang,
         )
 
+    def matching_ids(
+        self, text: str, lang: str | None = None, operator: str = "or",
+        filter_lang: str | None = None,
+    ) -> dict[int, np.ndarray]:
+        """ALL live doc ids matching the analyzed query (no top-k cap) —
+        the ES _count / delete_by_query match set.  Returns
+        {segment_part_id: sorted doc ids}."""
+        terms = sorted(set(get_analyzer(lang).tokenize(text)))
+        out: dict[int, np.ndarray] = {}
+        if not terms:
+            return out
+        for s in self.segments:
+            tis = [s.lookup(t) for t in terms]
+            present = [ti for ti in tis if ti >= 0]
+            if not present or (operator == "and" and len(present) < len(terms)):
+                continue
+            lists = [s.postings_with_dl(ti)[0] for ti in present]
+            if operator == "and":
+                ids = lists[0]
+                for lst in lists[1:]:
+                    ids = ids[np.isin(ids, lst, assume_unique=True)]
+            else:
+                ids = np.unique(np.concatenate(lists))
+            if filter_lang is not None and ids.size:
+                ids = ids[s.langs_for(ids) == filter_lang]
+            if s.tombstones is not None and s.tombstones.size and ids.size:
+                pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
+                ids = ids[s.tombstones[pos] != ids]
+            if ids.size:
+                out[s.part_id] = ids
+        return out
+
+    def count(
+        self, text: str, lang: str | None = None, operator: str = "or",
+        filter_lang: str | None = None,
+    ) -> int:
+        """ES _count API analog: number of live docs matching the query."""
+        return int(sum(ids.size for ids in self.matching_ids(text, lang, operator, filter_lang).values()))
+
     def search_batch(self, queries: pd.DataFrame, prune: bool = True) -> pd.DataFrame:
         """queries: (query_id, text, lang?, k?) -> stacked top-k rows."""
         out = []

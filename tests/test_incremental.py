@@ -245,3 +245,28 @@ def test_scripted_update_applies_and_quarantines(ray_session, tmp_path):
     assert _json.loads(live["source"].iloc[0]) == {"counter": 2, "name": "x"}
     q = out[out["op"] == "quarantine"]
     assert len(q) == 1 and "whitelisted" in q["error"].iloc[0]
+
+
+def test_delete_by_query_and_count(ray_session, base_index):
+    """ES _count + _delete_by_query analogs: count matches, tombstone
+    them (manifest-gated), stats stale until merge purges."""
+    from kafka_es_ray.index.incremental import delete_by_query
+
+    s = IndexSearcher(base_index, CFG)
+    assert s.count("apple banana") == 2            # or-match: docs a, b
+    assert s.count("apple pie", operator="and") == 1
+    assert s.count("zzznope") == 0
+
+    m0 = read_manifest(base_index)
+    m = delete_by_query(base_index, "apple banana", CFG)
+    assert m["last_delete_by_query"]["deleted"] == 2
+    assert m["n_docs"] == m0["n_docs"]             # stale until merge
+
+    s2 = IndexSearcher(base_index, CFG)
+    assert len(s2.search("apple")) == 0
+    assert len(s2.search("banana")) == 0
+    assert s2.search("cherry")["key"].tolist() == ["c"]
+    assert s2.count("apple banana") == 0
+
+    merge_index(base_index, merge_factor=100, cfg=CFG)
+    assert read_manifest(base_index)["n_docs"] == m0["n_docs"] - 2
