@@ -144,6 +144,33 @@ def _q_match_count(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_match_lang_agg(sf_dir: str):
+    """ES terms-aggregation analog: lang buckets over each derived
+    query's match set (query_id, value, n_docs)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_aggidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        searcher = IndexSearcher(idx)
+        queries = derive_query_set(searcher)
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        out = []
+        for qid, text in zip(queries["query_id"], queries["text"]):
+            agg = searcher.agg_terms(text, field="lang")
+            out.append(agg.assign(query_id=np.int64(qid)))
+        res = pd.concat(out, ignore_index=True)
+        return res[["query_id", "value", "n_docs"]]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_lineitem_agg(sf_dir: str):
     from kafka_es_ray.pipelines.relational import lineitem_agg
     from kafka_es_ray.sources.parquet import read_table
@@ -434,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "match_count": _q_match_count,
+        "match_lang_agg": _q_match_lang_agg,
         "lineitem_agg": _q_lineitem_agg,
         "topk_orders": _q_topk_orders,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -482,6 +510,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matching
             FROM queries q JOIN tf ON tf.term = q.term
             GROUP BY 1
+        """,
+        "match_lang_agg": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            ranked_terms AS (
+              SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+            ),
+            queries AS (
+              SELECT 0 AS query_id, term FROM ranked_terms WHERE r = 1
+              UNION ALL SELECT 1, term FROM ranked_terms WHERE r IN (2, 3)
+              UNION ALL SELECT 2, term FROM ranked_terms WHERE r IN (4, 5, 6)
+              UNION ALL SELECT 3, term FROM ranked_terms WHERE r IN (7, 8)
+            ),
+            matches AS (
+              SELECT DISTINCT q.query_id, tf.doc_id
+              FROM queries q JOIN tf ON tf.term = q.term
+            )
+            SELECT m.query_id, d.lang AS value, count(*)::BIGINT AS n_docs
+            FROM matches m JOIN documents d ON d.doc_id = m.doc_id
+            GROUP BY 1, 2
         """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_rows,

@@ -1,0 +1,154 @@
+"""Runner CLI — the reference's runner entry point analog
+(kafka-es-runner Main.kt:72-77: clikt subcommands wrapping the connector).
+
+    python -m kafka_es_ray build  --input pages/ --index /tmp/idx
+    python -m kafka_es_ray query  --index /tmp/idx --text "apple pie" -k 10
+    python -m kafka_es_ray count  --index /tmp/idx --text "apple"
+    python -m kafka_es_ray merge  --index /tmp/idx --merge-factor 8
+    python -m kafka_es_ray apply  --input delta.parquet --index /tmp/idx
+    python -m kafka_es_ray delete-by-query --index /tmp/idx --text "spam"
+
+The CLI owns the Ray session (library code never calls ray.init —
+the driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="kafka_es_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an inverted index from parquet")
+    b.add_argument("--input", required=True, help="parquet file/dir/glob")
+    b.add_argument("--index", required=True)
+    b.add_argument("--num-partitions", type=int, default=16)
+    b.add_argument("--key-col", default="url")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--lang-col", default="lang")
+    b.add_argument("--html-col", default=None)
+    b.add_argument("--ts-col", default=None)
+    b.add_argument("--routing-col", default=None)
+    b.add_argument("--store-text", action="store_true")
+    b.add_argument("--resume", action="store_true")
+
+    q = sub.add_parser("query", help="BM25 top-k search")
+    q.add_argument("--index", required=True)
+    q.add_argument("--text", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--operator", default="or", choices=["or", "and"])
+    q.add_argument("--filter-lang", default=None)
+    q.add_argument("--offset", type=int, default=0)
+    q.add_argument("--fetch", action="store_true")
+
+    c = sub.add_parser("count", help="count matching docs (ES _count)")
+    c.add_argument("--index", required=True)
+    c.add_argument("--text", required=True)
+    c.add_argument("--operator", default="or", choices=["or", "and"])
+
+    m = sub.add_parser("merge", help="force-merge segments (purges deletes)")
+    m.add_argument("--index", required=True)
+    m.add_argument("--merge-factor", type=int, default=4)
+
+    a = sub.add_parser("apply", help="apply a doc/op delta batch incrementally")
+    a.add_argument("--input", required=True)
+    a.add_argument("--index", required=True)
+    a.add_argument("--key-col", default="id")
+    a.add_argument("--text-col", default="text")
+    a.add_argument("--lang-col", default="lang")
+    a.add_argument("--seq-col", default="seq")
+    a.add_argument("--op-col", default="op")
+
+    d = sub.add_parser("delete-by-query", help="tombstone all matching docs")
+    d.add_argument("--index", required=True)
+    d.add_argument("--text", required=True)
+    d.add_argument("--operator", default="or", choices=["or", "and"])
+
+    args = p.parse_args(argv)
+    from kafka_es_ray.config import EngineConfig
+
+    if args.cmd == "build":
+        _ray_init(args.num_cpus)
+        import ray.data as rd
+
+        from kafka_es_ray.index.build import build_index
+
+        cfg = EngineConfig(num_partitions=args.num_partitions, store_text=args.store_text)
+        manifest = build_index(
+            rd.read_parquet(args.input),
+            args.index,
+            cfg,
+            key_col=args.key_col,
+            text_col=args.text_col,
+            lang_col=args.lang_col,
+            html_col=args.html_col,
+            ts_col=args.ts_col,
+            routing_col=args.routing_col,
+            resume=args.resume,
+        )
+        print(json.dumps({"n_docs": manifest["n_docs"], "parts": len(manifest["parts"]), "metrics": manifest["metrics"]}))
+    elif args.cmd == "query":
+        from kafka_es_ray.query.engine import IndexSearcher
+
+        s = IndexSearcher(args.index)
+        res = s.search(
+            args.text, k=args.k, operator=args.operator,
+            filter_lang=args.filter_lang, fetch=args.fetch, offset=args.offset,
+        )
+        print(res.to_string(index=False))
+    elif args.cmd == "count":
+        from kafka_es_ray.query.engine import IndexSearcher
+
+        print(IndexSearcher(args.index).count(args.text, operator=args.operator))
+    elif args.cmd == "merge":
+        _ray_init(args.num_cpus)
+        from kafka_es_ray.index.merge import merge_index
+
+        manifest = merge_index(args.index, merge_factor=args.merge_factor)
+        print(json.dumps({"n_docs": manifest["n_docs"], "parts": len(manifest["parts"])}))
+    elif args.cmd == "apply":
+        _ray_init(args.num_cpus)
+        import ray.data as rd
+
+        from kafka_es_ray.index.incremental import apply_incremental
+
+        manifest = apply_incremental(
+            args.index,
+            rd.read_parquet(args.input),
+            key_col=args.key_col,
+            text_col=args.text_col,
+            lang_col=args.lang_col,
+            seq_col=args.seq_col,
+            op_col=args.op_col,
+        )
+        print(json.dumps({"n_docs": manifest["n_docs"], "apply_metrics": manifest["apply_metrics"]}))
+    elif args.cmd == "delete-by-query":
+        _ray_init(args.num_cpus)
+        from kafka_es_ray.index.incremental import delete_by_query
+
+        manifest = delete_by_query(args.index, args.text, operator=args.operator)
+        print(json.dumps(manifest["last_delete_by_query"]))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -253,6 +253,34 @@ class IndexSearcher:
         """ES _count API analog: number of live docs matching the query."""
         return int(sum(ids.size for ids in self.matching_ids(text, lang, operator, filter_lang).values()))
 
+    def agg_terms(
+        self, text: str, field: str = "lang", lang: str | None = None,
+        operator: str = "or",
+    ) -> pd.DataFrame:
+        """ES terms-aggregation analog over the query's match set: count
+        of matching live docs per value of a docstore field.  Supported
+        fields: 'lang' (the stored keyword column).  Returns
+        (value, n_docs) sorted by (n_docs desc, value asc) — the ES
+        bucket order."""
+        if field != "lang":
+            raise ValueError(f"unsupported aggregation field {field!r} (docstore has: lang)")
+        counts: dict[str, int] = {}
+        by_seg = self.matching_ids(text, lang, operator)
+        for s in self.segments:
+            ids = by_seg.get(s.part_id)
+            if ids is None:
+                continue
+            vals, n = np.unique(s.langs_for(ids), return_counts=True)
+            for v, c in zip(vals, n):
+                counts[str(v)] = counts.get(str(v), 0) + int(c)
+        items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return pd.DataFrame(
+            {
+                "value": pd.Series([k for k, _ in items], dtype=object),
+                "n_docs": pd.Series([v for _, v in items], dtype=np.int64),
+            }
+        )
+
     def search_batch(self, queries: pd.DataFrame, prune: bool = True) -> pd.DataFrame:
         """queries: (query_id, text, lang?, k?) -> stacked top-k rows."""
         out = []

@@ -2,6 +2,7 @@
 the continuous-ingest semantics of the reference sink (put() upserts by
 _id, ES refresh visibility, merge making deletes permanent)."""
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -270,3 +271,30 @@ def test_delete_by_query_and_count(ray_session, base_index):
 
     merge_index(base_index, merge_factor=100, cfg=CFG)
     assert read_manifest(base_index)["n_docs"] == m0["n_docs"] - 2
+
+
+def test_large_delta_streams_through_workers(ray_session, base_index):
+    """The apply path must scale with the delta: a 100k-row delta flows
+    through map_groups workers (never .to_pandas() on the driver) and
+    commits one delta segment per touched partition."""
+    import ray.data as rd
+
+    from kafka_es_ray.index.incremental import apply_incremental
+
+    n = 100_000
+    delta = pd.DataFrame(
+        {
+            "id": [f"bulk{i}" for i in range(n)],
+            "text": [f"bulk doc {i} flood" for i in range(n)],
+            "lang": ["en"] * n,
+            "seq": np.arange(n, dtype=np.int64) + 1000,
+        }
+    )
+    m = apply_incremental(base_index, rd.from_pandas(delta), CFG, key_col="id")
+    assert m["apply_metrics"]["rows"] >= n
+    new_segs = [s for s in m["parts"] if s >= 200000]
+    assert len(new_segs) == CFG.num_partitions  # every partition touched
+    total_new = sum(m["part_manifests"][str(s)]["n_docs"] for s in new_segs)
+    assert total_new == n
+    s = IndexSearcher(base_index, CFG)
+    assert s.count("flood") == n

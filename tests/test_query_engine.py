@@ -225,3 +225,25 @@ def test_query_metrics_counters(ray_session, pages_small, tmp_path):
     assert eng.QUERY_METRICS["query_batches"] == before["query_batches"] + 1
     assert eng.QUERY_METRICS["queries"] == before["queries"] + len(qs)
     assert eng.QUERY_METRICS["segments_scheduled"] > before["segments_scheduled"]
+
+
+def test_agg_terms_lang_buckets(ray_session, tmp_path):
+    """ES terms-agg analog: lang buckets over the match set, bucket order
+    (n_docs desc, value asc), deletes excluded."""
+    import ray.data as rd
+
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(6)],
+            "text": ["shared alpha"] * 3 + ["shared beta"] * 2 + ["other"],
+            "lang": ["en", "en", "de", "de", "fr", "en"],
+        }
+    )
+    d = str(tmp_path / "agg")
+    build_index(rd.from_pandas(docs), d, CFG, html_col=None, ts_col=None)
+    s = IndexSearcher(d, CFG)
+    agg = s.agg_terms("shared")
+    assert agg["value"].tolist() == ["de", "en", "fr"]
+    assert agg["n_docs"].tolist() == [2, 2, 1]
+    with pytest.raises(ValueError, match="unsupported aggregation field"):
+        s.agg_terms("shared", field="nope")
