@@ -117,6 +117,43 @@ def _q_bm25_topk_and(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_phrase_topk(sf_dir: str):
+    """ES match_phrase analog (positions-indexed build): top-10 BM25
+    phrase hits for the corpus's most frequent bigram (deterministic
+    derivation mirrored by the SQL oracle: count desc, w1 asc, w2 asc)."""
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+    from kafka_es_ray.pipelines.fulltext import build_documents_index
+    from kafka_es_ray.query.engine import IndexSearcher
+
+    from kafka_es_ray.sources.parquet import table_path
+
+    # deterministic phrase derivation: most frequent adjacent bigram
+    texts = pq.read_table(table_path(sf_dir, "documents"), columns=["text"]).column("text").to_pylist()
+    an = get_analyzer("en")
+    counts: Counter = Counter()
+    for t in texts:
+        tt = an.tokenize(t or "")
+        counts.update(zip(tt, tt[1:]))
+    (w1, w2), _ = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_phridx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, index_positions=True)
+        build_documents_index(sf_dir, idx, cfg)
+        s = IndexSearcher(idx, cfg)
+        res = s.search_phrase(f"{w1} {w2}", k=10)
+        return res[["rank", "doc_id", "score"]].reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_match_count(sf_dir: str):
     """ES _count API analog over the documents index: number of live docs
     matching each derived query (operator=or, no top-k cap)."""
@@ -462,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": _q_bm25_topk_and,
         "match_count": _q_match_count,
         "match_lang_agg": _q_match_lang_agg,
+        "phrase_topk": _q_phrase_topk,
         "lineitem_agg": _q_lineitem_agg,
         "topk_orders": _q_topk_orders,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -510,6 +548,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matching
             FROM queries q JOIN tf ON tf.term = q.term
             GROUP BY 1
+        """,
+        "phrase_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            big AS (
+              SELECT unnest([{{'w1': t[i], 'w2': t[i+1]}} for i in generate_series(1, len(t)-1)]) AS bg
+              FROM toks WHERE len(t) >= 2
+            ),
+            top_bigram AS (
+              SELECT bg.w1 AS w1, bg.w2 AS w2 FROM big
+              GROUP BY 1, 2 ORDER BY count(*) DESC, w1 ASC, w2 ASC LIMIT 1
+            ),
+            exdocs AS (
+              SELECT DISTINCT doc_id, unnest(t) AS term FROM toks
+            ),
+            dfs AS (SELECT term, count(*)::DOUBLE AS df FROM exdocs GROUP BY 1),
+            idf AS (
+              SELECT ln(1 + (s.n - d1.df + 0.5) / (d1.df + 0.5))
+                   + ln(1 + (s.n - d2.df + 0.5) / (d2.df + 0.5)) AS v
+              FROM top_bigram tb
+              JOIN dfs d1 ON d1.term = tb.w1
+              JOIN dfs d2 ON d2.term = tb.w2
+              CROSS JOIN stats s
+            ),
+            ptf AS (
+              SELECT toks.doc_id,
+                     len([i for i in generate_series(1, len(t)-1)
+                          if t[i] = tb.w1 AND t[i+1] = tb.w2])::DOUBLE AS tf
+              FROM toks, top_bigram tb
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     round(idf.v * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS score
+              FROM ptf p
+              JOIN dl ON dl.doc_id = p.doc_id
+              CROSS JOIN idf CROSS JOIN stats s
+              WHERE p.tf > 0
+            )
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id, score
+            FROM scored
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
         """,
         "match_lang_agg": f"""
             WITH toks AS (

@@ -45,6 +45,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--ts-col", default=None)
     b.add_argument("--routing-col", default=None)
     b.add_argument("--store-text", action="store_true")
+    b.add_argument("--index-positions", action="store_true", help="index token positions (enables phrase queries)")
     b.add_argument("--resume", action="store_true")
 
     q = sub.add_parser("query", help="BM25 top-k search")
@@ -55,6 +56,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--filter-lang", default=None)
     q.add_argument("--offset", type=int, default=0)
     q.add_argument("--fetch", action="store_true")
+    q.add_argument("--phrase", action="store_true", help="match_phrase (requires a --index-positions build)")
 
     c = sub.add_parser("count", help="count matching docs (ES _count)")
     c.add_argument("--index", required=True)
@@ -88,7 +90,11 @@ def main(argv: list[str] | None = None) -> int:
 
         from kafka_es_ray.index.build import build_index
 
-        cfg = EngineConfig(num_partitions=args.num_partitions, store_text=args.store_text)
+        cfg = EngineConfig(
+            num_partitions=args.num_partitions,
+            store_text=args.store_text,
+            index_positions=args.index_positions,
+        )
         manifest = build_index(
             rd.read_parquet(args.input),
             args.index,
@@ -106,10 +112,13 @@ def main(argv: list[str] | None = None) -> int:
         from kafka_es_ray.query.engine import IndexSearcher
 
         s = IndexSearcher(args.index)
-        res = s.search(
-            args.text, k=args.k, operator=args.operator,
-            filter_lang=args.filter_lang, fetch=args.fetch, offset=args.offset,
-        )
+        if args.phrase:
+            res = s.search_phrase(args.text, k=args.k)
+        else:
+            res = s.search(
+                args.text, k=args.k, operator=args.operator,
+                filter_lang=args.filter_lang, fetch=args.fetch, offset=args.offset,
+            )
         print(res.to_string(index=False))
     elif args.cmd == "count":
         from kafka_es_ray.query.engine import IndexSearcher

@@ -50,6 +50,11 @@ class EngineConfig:
     # --- analyzer chain version (frozen; bump = reindex; SURVEY §7.4)
     analyzer_version: str = "v1"
 
+    # --- index token positions (ES indexes positions by default; here
+    # opt-in since they add ~2x postings storage).  Required for
+    # search_phrase (match_phrase analog).
+    index_positions: bool = False
+
     # --- store the indexed text in the docstore (the ES _source stored
     # field): enables fetch-with-results at the cost of docstore ~= corpus
     # size — exactly the tradeoff ES makes by default.

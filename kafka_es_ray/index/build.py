@@ -94,8 +94,8 @@ class ExtractStage:
 
 
 def _postings_from_tokens(
-    token_lists, doc_ids: np.ndarray
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    token_lists, doc_ids: np.ndarray, want_positions: bool = False
+):
     """Vectorized (term, doc_id, tf) construction for one partition.
 
     ``token_lists``: pd.Series of token lists OR a pa.(Large)ListArray of
@@ -118,13 +118,9 @@ def _postings_from_tokens(
     lens = np.diff(offs - offs[0]).astype(np.int64)
     n_docs = doc_ids.size
     if lens.sum() == 0:
-        return (
-            np.array([], dtype=object),
-            np.array([], dtype=np.int64),
-            np.array([], dtype=np.int64),
-            np.array([], dtype=np.int64),
-            lens,
-        )
+        e = np.array([], dtype=np.int64)
+        out = (np.array([], dtype=object), e, e, e, lens)
+        return out + (e,) if want_positions else out
     flat = pc.list_flatten(token_lists)
     d = pc.dictionary_encode(flat)
     codes = d.indices.to_numpy().astype(np.int64)
@@ -140,7 +136,37 @@ def _postings_from_tokens(
     uk, tf = np.unique(key, return_counts=True)
     term_code = uk // n_docs
     doc_idx = uk % n_docs
-    return uniq_terms, term_code, doc_ids[doc_idx], tf.astype(np.int64), lens
+    out = (uniq_terms, term_code, doc_ids[doc_idx], tf.astype(np.int64), lens)
+    if not want_positions:
+        return out
+    # token positions per (term, doc) posting: stable sort of the flat
+    # token stream by (term, doc) keeps each posting's positions in
+    # document order; runs align with the np.unique group order above
+    order = np.argsort(key, kind="stable")
+    doc_starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=doc_starts[1:])
+    tok_pos = np.arange(codes.size, dtype=np.int64) - np.repeat(doc_starts, lens)
+    return out + (tok_pos[order],)
+
+
+def _encode_positions_column(
+    positions_flat: np.ndarray, p_tfs: np.ndarray, term_starts: np.ndarray, n_postings: int
+) -> pa.Array:
+    """Positions stream -> one large_binary blob per term: per-posting
+    runs (run p has tf[p] positions), delta+varint encoded with the gap
+    reset at each run's first position (same scheme as doc_ids)."""
+    run_starts = np.zeros(n_postings, dtype=np.int64)
+    if n_postings:
+        np.cumsum(p_tfs[:-1], out=run_starts[1:])
+    pgaps = positions_flat.copy()
+    if positions_flat.size:
+        pgaps[1:] -= positions_flat[:-1]
+        pgaps[run_starts] = positions_flat[run_starts]
+    pos_buf, pos_off = varint_encode_with_offsets(pgaps.astype(np.uint64))
+    cum_tf = np.zeros(n_postings + 1, dtype=np.int64)
+    np.cumsum(p_tfs, out=cum_tf[1:])
+    term_bounds = pos_off[cum_tf[np.concatenate([term_starts, [n_postings]])]]
+    return _large_binary_from_slices(pos_buf, term_bounds)
 
 
 def _large_binary_from_slices(buf: bytes, byte_offsets: np.ndarray) -> pa.Array:
@@ -216,7 +242,9 @@ def build_segment_for_group(
         an = get_analyzer(lang)
         token_lists[mask] = an.tokenize_series(texts[mask])
 
-    uniq_terms, term_code, p_ids, p_tfs, doc_len = _postings_from_tokens(token_lists, doc_ids)
+    res = _postings_from_tokens(token_lists, doc_ids, want_positions=cfg.index_positions)
+    uniq_terms, term_code, p_ids, p_tfs, doc_len = res[:5]
+    positions_flat = res[5] if cfg.index_positions else None
     n_terms = uniq_terms.size
     n_postings = p_ids.size
 
@@ -256,19 +284,22 @@ def build_segment_for_group(
         bid_off = np.array([], dtype=np.uint32)
         btf_off = np.array([], dtype=np.uint32)
 
-    postings_table = pa.table(
-        {
-            "term": pa.array(uniq_terms, type=pa.string()),
-            "df": pa.array(run_lens, type=pa.int64()),
-            "doc_ids": _large_binary_from_slices(id_buf, id_off[np.concatenate([term_starts, [n_postings]])]),
-            "tfs": _large_binary_from_slices(tf_buf, tf_off[np.concatenate([term_starts, [n_postings]])]),
-            "block_max_tf": _large_binary_from_slices(bmax_tf.tobytes(), first_block * 4),
-            "block_min_dl": _large_binary_from_slices(bmin_dl.tobytes(), first_block * 4),
-            "block_last_doc": _large_binary_from_slices(blast.tobytes(), first_block * 8),
-            "block_id_boff": _large_binary_from_slices(bid_off.tobytes(), first_block * 4),
-            "block_tf_boff": _large_binary_from_slices(btf_off.tobytes(), first_block * 4),
-        }
-    )
+    cols = {
+        "term": pa.array(uniq_terms, type=pa.string()),
+        "df": pa.array(run_lens, type=pa.int64()),
+        "doc_ids": _large_binary_from_slices(id_buf, id_off[np.concatenate([term_starts, [n_postings]])]),
+        "tfs": _large_binary_from_slices(tf_buf, tf_off[np.concatenate([term_starts, [n_postings]])]),
+        "block_max_tf": _large_binary_from_slices(bmax_tf.tobytes(), first_block * 4),
+        "block_min_dl": _large_binary_from_slices(bmin_dl.tobytes(), first_block * 4),
+        "block_last_doc": _large_binary_from_slices(blast.tobytes(), first_block * 8),
+        "block_id_boff": _large_binary_from_slices(bid_off.tobytes(), first_block * 4),
+        "block_tf_boff": _large_binary_from_slices(btf_off.tobytes(), first_block * 4),
+    }
+    if positions_flat is not None:
+        cols["positions"] = _encode_positions_column(
+            positions_flat, p_tfs, term_starts, n_postings
+        )
+    postings_table = pa.table(cols)
     store_cols = {
         "doc_id": pa.array(doc_ids, type=pa.int64()),
         "key": pa.array(keys, type=pa.string()),

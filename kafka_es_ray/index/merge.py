@@ -24,7 +24,7 @@ import pyarrow as pa
 from kafka_es_ray.config import DEFAULT, EngineConfig
 from kafka_es_ray.functions.codec import varint_decode, varint_encode_with_offsets
 from kafka_es_ray.index import segment as seg
-from kafka_es_ray.index.build import _large_binary_from_slices
+from kafka_es_ray.index.build import _encode_positions_column, _large_binary_from_slices
 
 # NOTE: no lazy kafka_es_ray imports inside functions that run on Ray
 # workers — by-value pickling ships the function code, but a runtime
@@ -80,9 +80,11 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
     all_terms = np.unique(np.concatenate([s.terms for s in segs]))
     n_terms = all_terms.size
     dfs = np.zeros(n_terms, dtype=np.int64)
+    want_pos = bool(segs) and all(s.positions_enc is not None for s in segs)
     p_ids_parts: list[np.ndarray] = []
     p_tfs_parts: list[np.ndarray] = []
     term_of_posting: list[np.ndarray] = []
+    pos_parts: list[np.ndarray] = []
     for s in segs:
         pos = np.searchsorted(all_terms, s.terms)
         # decode the WHOLE segment in one vectorized pass (a per-term
@@ -102,6 +104,17 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
         ids_all = csum - base
         term_all = np.repeat(pos, seg_df)
         alive = _alive_mask(s, ids_all)
+        if want_pos:
+            # position runs follow their posting (tf positions per run)
+            pg = varint_decode(
+                seg.binary_column_view(s.positions_enc), int(tfs_all.sum())
+            ).astype(np.int64)
+            prun = np.zeros(tfs_all.size, dtype=np.int64)
+            np.cumsum(tfs_all[:-1], out=prun[1:])
+            pcs = np.cumsum(pg)
+            pbase = np.repeat(pcs[prun] - pg[prun], tfs_all)
+            pos_abs = pcs - pbase
+            pos_parts.append(pos_abs[np.repeat(alive, tfs_all)])
         ids_all, tfs_all, term_all = ids_all[alive], tfs_all[alive], term_all[alive]
         if ids_all.size == 0:
             continue
@@ -117,6 +130,7 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
         all_terms = all_terms[live_terms]
         dfs = dfs[live_terms]
         n_terms = all_terms.size
+    flat_pos = None
     if p_ids_parts:
         flat_ids = np.concatenate(p_ids_parts)
         flat_tfs = np.concatenate(p_tfs_parts)
@@ -125,11 +139,23 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
         # (merged segments span partitions; deltas sit inside them), so a
         # stable by-term sort is not enough on second-generation merges
         order = np.lexsort((flat_ids, flat_term))
+        if want_pos:
+            # permute position RUNS (ragged, tf-length) with their postings
+            pflat = np.concatenate(pos_parts) if pos_parts else np.array([], dtype=np.int64)
+            old_starts = np.zeros(flat_tfs.size, dtype=np.int64)
+            np.cumsum(flat_tfs[:-1], out=old_starts[1:])
+            new_lens = flat_tfs[order]
+            new_starts = np.zeros(new_lens.size, dtype=np.int64)
+            np.cumsum(new_lens[:-1], out=new_starts[1:])
+            intra = np.arange(int(new_lens.sum()), dtype=np.int64) - np.repeat(new_starts, new_lens)
+            flat_pos = pflat[np.repeat(old_starts[order], new_lens) + intra]
         flat_ids, flat_tfs, flat_term = flat_ids[order], flat_tfs[order], flat_term[order]
     else:
         flat_ids = np.array([], dtype=np.int64)
         flat_tfs = np.array([], dtype=np.int64)
         flat_term = np.array([], dtype=np.int64)
+        if want_pos:
+            flat_pos = np.array([], dtype=np.int64)
 
     n_postings = flat_ids.size
     term_starts = np.searchsorted(flat_term, np.arange(n_terms))
@@ -163,19 +189,20 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
         bid_off = np.array([], dtype=np.uint32)
         btf_off = np.array([], dtype=np.uint32)
 
-    postings_table = pa.table(
-        {
-            "term": pa.array(all_terms, type=pa.string()),
-            "df": pa.array(dfs, type=pa.int64()),
-            "doc_ids": _large_binary_from_slices(id_buf, id_off[np.concatenate([term_starts, [n_postings]])]),
-            "tfs": _large_binary_from_slices(tf_buf, tf_off[np.concatenate([term_starts, [n_postings]])]),
-            "block_max_tf": _large_binary_from_slices(bmax_tf.tobytes(), first_block * 4),
-            "block_min_dl": _large_binary_from_slices(bmin_dl.tobytes(), first_block * 4),
-            "block_last_doc": _large_binary_from_slices(blast.tobytes(), first_block * 8),
-            "block_id_boff": _large_binary_from_slices(bid_off.tobytes(), first_block * 4),
-            "block_tf_boff": _large_binary_from_slices(btf_off.tobytes(), first_block * 4),
-        }
-    )
+    cols = {
+        "term": pa.array(all_terms, type=pa.string()),
+        "df": pa.array(dfs, type=pa.int64()),
+        "doc_ids": _large_binary_from_slices(id_buf, id_off[np.concatenate([term_starts, [n_postings]])]),
+        "tfs": _large_binary_from_slices(tf_buf, tf_off[np.concatenate([term_starts, [n_postings]])]),
+        "block_max_tf": _large_binary_from_slices(bmax_tf.tobytes(), first_block * 4),
+        "block_min_dl": _large_binary_from_slices(bmin_dl.tobytes(), first_block * 4),
+        "block_last_doc": _large_binary_from_slices(blast.tobytes(), first_block * 8),
+        "block_id_boff": _large_binary_from_slices(bid_off.tobytes(), first_block * 4),
+        "block_tf_boff": _large_binary_from_slices(btf_off.tobytes(), first_block * 4),
+    }
+    if flat_pos is not None:
+        cols["positions"] = _encode_positions_column(flat_pos, flat_tfs, term_starts, n_postings)
+    postings_table = pa.table(cols)
     store_cols = {
         "doc_id": pa.array(doc_ids, type=pa.int64()),
         "key": pa.array(keys, type=pa.string()),

@@ -157,6 +157,7 @@ class Segment:
     block_last_doc_enc: pa.Array
     block_id_boff_enc: pa.Array | None   # uint32 LE per block (format v2)
     block_tf_boff_enc: pa.Array | None
+    positions_enc: pa.Array | None       # per-term delta+varint position runs (cfg.index_positions)
     doc_base: int            # doc ids in docstore are arbitrary; base/dense see below
     doc_ids_store: np.ndarray   # int64, ascending
     doc_len: np.ndarray      # int32 aligned with doc_ids_store
@@ -207,6 +208,9 @@ class Segment:
             block_last_doc_enc=_combined(pt.column("block_last_doc")),
             block_id_boff_enc=_combined(pt.column("block_id_boff")) if has_boff else None,
             block_tf_boff_enc=_combined(pt.column("block_tf_boff")) if has_boff else None,
+            positions_enc=(
+                _combined(pt.column("positions")) if "positions" in pt.schema.names else None
+            ),
             doc_base=int(doc_ids_store[0]) if doc_ids_store.size else 0,
             doc_ids_store=doc_ids_store,
             doc_len=doc_len.astype(np.int64),
@@ -266,6 +270,25 @@ class Segment:
             _, (old_ids, _, _) = self._cache.popitem(last=False)
             self._cache_postings -= old_ids.size
         return entry
+
+    def positions_for(self, ti: int) -> tuple[np.ndarray, np.ndarray]:
+        """(flat_positions, run_starts) for term ``ti`` — run p (aligned
+        with the p-th posting of postings_with_dl) holds tf[p] ascending
+        token positions.  Requires an index built with
+        cfg.index_positions=True."""
+        if self.positions_enc is None:
+            raise ValueError(
+                "index was built without index_positions=True (phrase queries need positions)"
+            )
+        _, tfs, _ = self.postings_with_dl(ti)
+        total = int(tfs.sum())
+        gaps = varint_decode(self.positions_enc[ti].as_py(), total).astype(np.int64)
+        run_starts = np.zeros(tfs.size, dtype=np.int64)
+        if tfs.size:
+            np.cumsum(tfs[:-1], out=run_starts[1:])
+        csum = np.cumsum(gaps)
+        base = np.repeat(csum[run_starts] - gaps[run_starts], tfs)
+        return csum - base, run_starts
 
     def block_meta(self, ti: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(block_max_tf, block_min_dl, block_last_doc) for one term —

@@ -253,6 +253,102 @@ class IndexSearcher:
         """ES _count API analog: number of live docs matching the query."""
         return int(sum(ids.size for ids in self.matching_ids(text, lang, operator, filter_lang).values()))
 
+    def search_phrase(
+        self, text: str, lang: str | None = None, k: int = 10
+    ) -> pd.DataFrame:
+        """ES match_phrase analog (slop=0): docs containing the analyzed
+        terms at consecutive positions.  Requires an index built with
+        cfg.index_positions=True.
+
+        Scoring (Lucene PhraseQuery-shaped, frozen + mirrored by the SQL
+        oracle): idf = Σ over phrase positions of bm25_idf(df(term_i))
+        (repeats counted); tf = number of phrase occurrences in the doc;
+        score = round6(idf * tf_part(tf, dl)); tie-break (score desc,
+        doc_id asc)."""
+        phrase = get_analyzer(lang).tokenize(text)
+        empty = pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "key": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64),
+            }
+        )
+        if not phrase:
+            return empty
+        uniq = sorted(set(phrase))
+        df = self.global_df(uniq)
+        df_map = dict(zip(uniq, df))
+        if any(df_map[t] == 0 for t in phrase):
+            return empty  # a globally-absent term can't appear in a phrase
+        idf_map = dict(zip(uniq, bm25_idf(df, self.n_docs)))
+        idf_sum = float(sum(idf_map[t] for t in phrase))
+
+        out_ids, out_tf, out_dl, out_keys = [], [], [], []
+        for s in self.segments:
+            tis = {t: s.lookup(t) for t in uniq}
+            if any(ti < 0 for ti in tis.values()):
+                continue
+            post = {t: s.postings_with_dl(tis[t]) for t in uniq}
+            # candidate docs: present in EVERY phrase term's postings
+            cand = post[uniq[0]][0]
+            for t in uniq[1:]:
+                cand = cand[np.isin(cand, post[t][0], assume_unique=True)]
+            if cand.size == 0:
+                continue
+            pos = {t: s.positions_for(tis[t]) for t in uniq}
+            dl0 = post[phrase[0]][2]
+            ids0 = post[phrase[0]][0]
+            for d in cand:
+                cur = None
+                for i, t in enumerate(phrase):
+                    ids_t, tfs_t, _ = post[t]
+                    j = int(np.searchsorted(ids_t, d))
+                    flat, run_starts = pos[t]
+                    p = flat[run_starts[j] : run_starts[j] + int(tfs_t[j])] - i
+                    cur = p if cur is None else np.intersect1d(cur, p, assume_unique=True)
+                    if cur.size == 0:
+                        break
+                if cur is not None and cur.size:
+                    out_ids.append(int(d))
+                    out_tf.append(int(cur.size))
+                    out_dl.append(int(dl0[np.searchsorted(ids0, d)]))
+        if not out_ids:
+            return empty
+        ids = np.asarray(out_ids, dtype=np.int64)
+        tfs = np.asarray(out_tf, dtype=np.float64)
+        dls = np.asarray(out_dl, dtype=np.float64)
+        scores = np.asarray(
+            round6(idf_sum * bm25_tf_part(tfs, dls, self.avgdl, self.k1, self.b))
+        )
+        # tombstones already excluded: postings_with_dl is raw, so filter
+        dead = np.zeros(ids.size, dtype=bool)
+        for s in self.segments:
+            if s.tombstones is not None and s.tombstones.size:
+                in_seg = np.isin(ids, s.doc_ids_store)
+                if in_seg.any():
+                    pos_t = np.minimum(
+                        np.searchsorted(s.tombstones, ids[in_seg]), s.tombstones.size - 1
+                    )
+                    d2 = s.tombstones[pos_t] == ids[in_seg]
+                    dead[np.flatnonzero(in_seg)[d2]] = True
+        ids, scores = ids[~dead], scores[~dead]
+        order = np.lexsort((ids, -scores))[:k]
+        top = ids[order]
+        keys = np.empty(top.size, dtype=object)
+        for s in self.segments:
+            in_seg = np.isin(top, s.doc_ids_store) if s.n_docs else np.zeros(top.size, bool)
+            if in_seg.any():
+                keys[in_seg] = s.keys_for(top[in_seg])
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, top.size + 1, dtype=np.int64),
+                "doc_id": top,
+                "key": keys,
+                "score": scores[order],
+            }
+        )
+
     def agg_terms(
         self, text: str, field: str = "lang", lang: str | None = None,
         operator: str = "or",

@@ -1,0 +1,153 @@
+"""Phrase queries (ES match_phrase analog, slop=0) over an index built
+with positions (cfg.index_positions=True) — checked against an
+independent brute-force phrase scorer, across merges and deltas."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kafka_es_ray.config import EngineConfig
+from kafka_es_ray.functions.tokenizer import get_analyzer
+from kafka_es_ray.index.build import build_index
+from kafka_es_ray.index.merge import merge_index
+from kafka_es_ray.query.bm25 import bm25_idf, bm25_tf_part, round6
+from kafka_es_ray.query.engine import IndexSearcher
+
+CFG = EngineConfig(num_partitions=4, index_positions=True)
+
+
+def _phrase_oracle(docs: pd.DataFrame, text: str, k: int = 10) -> pd.DataFrame:
+    """Brute-force phrase scorer mirroring the engine's frozen spec."""
+    an = get_analyzer("en")
+    phrase = an.tokenize(text)
+    toks = [an.tokenize(t) for t in docs["text"]]
+    n = len(docs)
+    dfs = {
+        t: sum(t in set(tt) for tt in toks) for t in set(phrase)
+    }
+    if any(dfs[t] == 0 for t in phrase):
+        return pd.DataFrame(columns=["doc_id", "score"])
+    idf_sum = float(
+        sum(bm25_idf(np.array([dfs[t]]), n)[0] for t in phrase)
+    )
+    avgdl = np.mean([len(tt) for tt in toks]) or 1.0
+    rows = []
+    for did, tt in zip(docs["oracle_doc_id"], toks):
+        tf = sum(
+            1
+            for i in range(len(tt) - len(phrase) + 1)
+            if tt[i : i + len(phrase)] == phrase
+        )
+        if tf:
+            score = round6(idf_sum * bm25_tf_part(np.array([tf], dtype=float), np.array([len(tt)], dtype=float), avgdl, 1.2, 0.75))[0]
+            rows.append({"doc_id": int(did), "score": float(score)})
+    out = pd.DataFrame(rows, columns=["doc_id", "score"])
+    return out.sort_values(["score", "doc_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def phrase_corpus():
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(120):
+        words = list(rng.choice(vocab, size=rng.integers(5, 25)))
+        if i % 4 == 0:
+            words[1:1] = ["quick", "brown", "fox"]
+        if i % 10 == 0:
+            words += ["quick", "brown", "fox", "quick", "brown", "fox"]
+        if i % 7 == 0:
+            words += ["brown", "quick"]  # reversed: must NOT match
+        texts.append(" ".join(words))
+    return pd.DataFrame(
+        {
+            "url": [f"https://p.x/{i:04d}" for i in range(120)],
+            "text": texts,
+            "lang": ["en"] * 120,
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def phrase_index(ray_session, phrase_corpus, tmp_path_factory):
+    import ray.data as rd
+
+    d = str(tmp_path_factory.mktemp("phrx"))
+    build_index(rd.from_pandas(phrase_corpus), d, CFG, html_col=None, ts_col=None)
+    return d
+
+
+def _with_engine_ids(corpus: pd.DataFrame, searcher: IndexSearcher) -> pd.DataFrame:
+    key_to_id = {}
+    for s in searcher.segments:
+        for did, key in zip(s.doc_ids_store, s.keys):
+            key_to_id[key] = int(did)
+    return corpus.assign(oracle_doc_id=corpus["url"].map(key_to_id))
+
+
+def test_phrase_matches_oracle(phrase_index, phrase_corpus):
+    s = IndexSearcher(phrase_index, CFG)
+    docs = _with_engine_ids(phrase_corpus, s)
+    for q in ["quick brown fox", "quick brown", "brown fox", "quick"]:
+        got = s.search_phrase(q, k=50)
+        want = _phrase_oracle(docs, q, k=50)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), q
+        assert got["score"].tolist() == want["score"].tolist(), q
+    # reversed order never matches as a phrase unless truly adjacent
+    rev = s.search_phrase("fox brown", k=100)
+    oracle_rev = _phrase_oracle(docs, "fox brown", k=100)
+    assert got is not None and rev["doc_id"].tolist() == oracle_rev["doc_id"].tolist()
+
+
+def test_phrase_absent_and_empty(phrase_index):
+    s = IndexSearcher(phrase_index, CFG)
+    assert len(s.search_phrase("quick zzznope")) == 0
+    assert len(s.search_phrase("")) == 0
+
+
+def test_phrase_survives_merge(ray_session, phrase_index, phrase_corpus, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "phm")
+    shutil.copytree(phrase_index, d)
+    s = IndexSearcher(d, CFG)
+    before = s.search_phrase("quick brown fox", k=50)
+    merge_index(d, merge_factor=4, cfg=CFG)
+    after = IndexSearcher(d, CFG).search_phrase("quick brown fox", k=50)
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_phrase_requires_positions(ray_session, phrase_corpus, tmp_path):
+    import ray.data as rd
+
+    d = str(tmp_path / "nopos")
+    build_index(
+        rd.from_pandas(phrase_corpus), d, EngineConfig(num_partitions=2),
+        html_col=None, ts_col=None,
+    )
+    s = IndexSearcher(d)
+    with pytest.raises(ValueError, match="index_positions"):
+        s.search_phrase("quick brown")
+
+
+def test_phrase_incremental_delta(ray_session, phrase_corpus, tmp_path):
+    """Delta segments inherit positions; phrase finds new docs and not
+    tombstoned ones."""
+    import ray.data as rd
+
+    from kafka_es_ray.index.incremental import apply_incremental
+
+    d = str(tmp_path / "phd")
+    build_index(rd.from_pandas(phrase_corpus), d, CFG, html_col=None, ts_col=None)
+    delta = pd.DataFrame(
+        {
+            "url": ["https://p.x/0000", "https://p.x/new"],
+            "text": ["totally different now", "the quick brown fox jumps"],
+            "lang": ["en", "en"],
+        }
+    )
+    apply_incremental(d, delta, CFG, key_col="url")
+    s = IndexSearcher(d, CFG)
+    res = s.search_phrase("quick brown fox", k=200)
+    assert "https://p.x/new" in set(res["key"])
+    assert "https://p.x/0000" not in set(res["key"])  # replaced version has no phrase
