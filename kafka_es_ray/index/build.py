@@ -111,7 +111,13 @@ def _postings_from_tokens(
     import pyarrow.compute as pc
 
     if not isinstance(token_lists, (pa.ListArray, pa.LargeListArray, pa.ChunkedArray)):
-        token_lists = pa.array(list(token_lists), type=pa.list_(pa.string()))
+        vals = list(token_lists)
+        elem_type = pa.string()
+        for lst in vals:
+            if lst:
+                elem_type = pa.binary() if isinstance(lst[0], bytes) else pa.string()
+                break
+        token_lists = pa.array(vals, type=pa.list_(elem_type))
     if isinstance(token_lists, pa.ChunkedArray):
         token_lists = token_lists.combine_chunks()
     offs = token_lists.offsets.to_numpy()
@@ -124,7 +130,12 @@ def _postings_from_tokens(
     flat = pc.list_flatten(token_lists)
     d = pc.dictionary_encode(flat)
     codes = d.indices.to_numpy().astype(np.int64)
-    vocab = d.dictionary.to_pandas().to_numpy(dtype=object)  # |vocab| strings only
+    vocab = d.dictionary.to_pandas().to_numpy(dtype=object)  # |vocab| values only
+    if vocab.size and isinstance(vocab[0], bytes):
+        # bytes fast path: decode the VOCABULARY (not the token stream);
+        # sorting happens on the decoded strings so dictionary order is
+        # byte-identical to the str path (determinism contract)
+        vocab = np.array([v.decode("utf-8") for v in vocab], dtype=object)
     order = np.argsort(vocab, kind="stable")
     rank = np.empty(order.size, dtype=np.int64)
     rank[order] = np.arange(order.size)
@@ -235,12 +246,13 @@ def build_segment_for_group(
         else pd.Series(["en"] * len(g))
     )
 
-    # 4. tokenize per lang (analyzer chain per SURVEY §2 E6)
+    # 4. tokenize per lang (analyzer chain per SURVEY §2 E6) — bytes fast
+    # path: tokens stay UTF-8 bytes until the (small) vocabulary decode
     token_lists = pd.Series([None] * len(g), dtype=object)
     for lang in langs.unique():
         mask = (langs == lang).to_numpy()
         an = get_analyzer(lang)
-        token_lists[mask] = an.tokenize_series(texts[mask])
+        token_lists[mask] = an.tokenize_series_bytes(texts[mask])
 
     res = _postings_from_tokens(token_lists, doc_ids, want_positions=cfg.index_positions)
     uniq_terms, term_code, p_ids, p_tfs, doc_len = res[:5]

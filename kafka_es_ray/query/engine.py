@@ -253,6 +253,47 @@ class IndexSearcher:
         """ES _count API analog: number of live docs matching the query."""
         return int(sum(ids.size for ids in self.matching_ids(text, lang, operator, filter_lang).values()))
 
+    def get(self, keys: list[str]) -> pd.DataFrame:
+        """ES _mget analog: fetch live docs by external key (url/_id).
+        Returns (key, doc_id, lang, found[, text if store_text]); a key's
+        LIVE version is the highest non-tombstoned doc_id holding it."""
+        want = np.asarray(list(keys), dtype=object)
+        best: dict[str, tuple[int, dict]] = {}
+        for s in self.segments:
+            hit = np.isin(s.keys, want)
+            if not hit.any():
+                continue
+            ids = s.doc_ids_store[hit]
+            if s.tombstones is not None and s.tombstones.size:
+                pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
+                alive = s.tombstones[pos] != ids
+            else:
+                alive = np.ones(ids.size, dtype=bool)
+            ks = s.keys[hit][alive]
+            ids = ids[alive]
+            langs = s.langs[hit][alive]
+            texts = s.texts[hit][alive] if s.texts is not None else [None] * ids.size
+            for k_, d_, l_, t_ in zip(ks, ids, langs, texts):
+                prev = best.get(k_)
+                if prev is None or int(d_) > prev[0]:
+                    best[k_] = (int(d_), {"lang": l_, "text": t_})
+        rows = []
+        for k_ in keys:
+            b = best.get(k_)
+            rows.append(
+                {
+                    "key": k_,
+                    "doc_id": b[0] if b else -1,
+                    "lang": b[1]["lang"] if b else None,
+                    "found": b is not None,
+                    "text": b[1]["text"] if b else None,
+                }
+            )
+        out = pd.DataFrame(rows, columns=["key", "doc_id", "lang", "found", "text"])
+        if all(t is None for t in out["text"]):
+            out = out.drop(columns=["text"])
+        return out.astype({"doc_id": np.int64, "found": bool})
+
     def search_phrase(
         self, text: str, lang: str | None = None, k: int = 10
     ) -> pd.DataFrame:

@@ -247,3 +247,33 @@ def test_agg_terms_lang_buckets(ray_session, tmp_path):
     assert agg["n_docs"].tolist() == [2, 2, 1]
     with pytest.raises(ValueError, match="unsupported aggregation field"):
         s.agg_terms("shared", field="nope")
+
+
+def test_mget_by_key(ray_session, tmp_path):
+    """ES _mget analog: latest live version per key, missing keys flagged
+    not-found, deleted keys excluded."""
+    import ray.data as rd
+
+    from kafka_es_ray.index.incremental import apply_incremental
+
+    cfg = EngineConfig(num_partitions=4, store_text=True)
+    docs = pd.DataFrame(
+        {
+            "url": ["a", "b", "c"],
+            "text": ["first alpha", "second beta", "third gamma"],
+            "lang": ["en", "de", "en"],
+        }
+    )
+    d = str(tmp_path / "mget")
+    build_index(rd.from_pandas(docs), d, cfg, html_col=None, ts_col=None)
+    delta = pd.DataFrame(
+        {"id": ["a", "b"], "text": ["first REVISED", None], "lang": ["en", "en"],
+         "op": ["index", "delete"]}
+    )
+    apply_incremental(d, delta, cfg, key_col="id")
+    s = IndexSearcher(d, cfg)
+    out = s.get(["a", "b", "c", "ghost"])
+    assert out["found"].tolist() == [True, False, True, False]
+    a_row = out[out["key"] == "a"].iloc[0]
+    assert a_row["text"] == "first REVISED"   # latest live version wins
+    assert out[out["key"] == "c"].iloc[0]["lang"] == "en"

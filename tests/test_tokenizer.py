@@ -52,3 +52,26 @@ def test_duckdb_parity():
             [t],
         ).fetchone()
         assert sql_tokens == a.tokenize(t), t
+
+
+def test_bytes_fast_path_token_parity():
+    """tokenize_series_bytes must produce the SAME token sequences as the
+    frozen str chain (analyzer v1), UTF-8-decoded — across ascii, unicode,
+    digits, punctuation, empty and None."""
+    import pandas as pd
+
+    texts = pd.Series(
+        [
+            "Hello, World! 123 foo_bar",
+            "",
+            None,
+            "Ünïcödé text – naïve café ABC09",
+            "a" * 5 + "  multiple   spaces\tand\nnewlines",
+            "ALLCAPS lower 0x1f mixed42id",
+        ]
+    )
+    for lang in ("en", "de"):
+        an = get_analyzer(lang)
+        want = an.tokenize_series(texts.fillna("")).tolist()
+        got = [[t.decode("utf-8") for t in ts] for ts in an.tokenize_series_bytes(texts)]
+        assert got == want, lang
