@@ -134,6 +134,7 @@ def run_bench() -> dict:
         "window_events",
         "broadcast_lookup",
         "ann_cosine_topk",
+        "ann_ivf_topk",
         "minhash_dups",
         "simhash",
         "doc_quality",
@@ -141,6 +142,9 @@ def run_bench() -> dict:
         "topk_orders",
         "ngram_jaccard",
         "lww_events",
+        "match_count",
+        "phrase_topk",
+        "actions_protobuf",
     ):
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)

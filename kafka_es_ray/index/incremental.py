@@ -134,7 +134,7 @@ def _apply_one_partition(
     orphan_dropped = 0
     if op_col is not None and op_col in g.columns:
         ops = g[op_col]
-        upd = g[ops == "update"].reset_index(drop=True)
+        upd = g[(ops == "update") | (ops == "upsert")].reset_index(drop=True)
         if len(upd):
             # resolve partial updates against the stored doc: a null patch
             # text inherits the live stored text (ES doc-merge into
@@ -144,9 +144,16 @@ def _apply_one_partition(
             # reconstructed -> also dropped + counted
             resolved_pos: list[int] = []
             new_texts: list[str] = []
-            for i, (k, t) in enumerate(zip(upd[key_col].astype(str), upd[text_col])):
+            for i, (k, t, o) in enumerate(
+                zip(upd[key_col].astype(str), upd[text_col], upd[op_col])
+            ):
                 if k not in live_key_ids:
-                    orphan_dropped += 1
+                    if o == "upsert":
+                        # ES doc_as_upsert: missing doc -> insert the patch
+                        new_texts.append("" if pd.isna(t) else t)
+                        resolved_pos.append(i)
+                    else:
+                        orphan_dropped += 1
                     continue
                 if pd.isna(t):
                     hit2 = stored_text.get(k)
@@ -158,7 +165,7 @@ def _apply_one_partition(
                     new_texts.append(t)
                 resolved_pos.append(i)
             upd = upd.iloc[resolved_pos].assign(**{text_col: new_texts, op_col: "index"})
-        live = pd.concat([g[(ops != "delete") & (ops != "update")], upd])
+        live = pd.concat([g[(ops != "delete") & (ops != "update") & (ops != "upsert")], upd])
         if seq_col and seq_col in live.columns:
             live = live.sort_values(seq_col, kind="mergesort")
     else:

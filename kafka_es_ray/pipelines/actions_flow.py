@@ -116,11 +116,12 @@ def update_index_from_actions(
 
         def text_of(op: str, s):
             if s is None or (isinstance(s, float) and pd.isna(s)):
-                return None if op == "update" else ""
+                return None if op in ("update", "upsert") else ""
             d = json.loads(s)
-            if op == "update":
+            if op in ("update", "upsert"):
                 # orphan patch: null text = field untouched -> the apply
-                # stage inherits the stored text (ES partial update)
+                # stage inherits the stored text (ES partial update;
+                # upsert = doc_as_upsert, inserts when the doc is missing)
                 return str(d[text_field]) if text_field in d else None
             return str(d.get(text_field, ""))
 

@@ -425,6 +425,14 @@ def _fold_ops(rows: list[dict]) -> tuple[dict | None, dict | None, list[dict]]:
                 continue
             patch = json.loads(r["source"])
             is_script = isinstance(patch, dict) and "script" in patch
+            das = bool(isinstance(patch, dict) and patch.get("doc_as_upsert"))
+            if das and live is None and deleted_in_batch and not is_script:
+                # ES doc_as_upsert after an in-batch delete: insert the doc
+                p = patch.get("doc", patch)
+                live = dict(r)
+                live["source"] = json.dumps(p, separators=(",", ":"))
+                deleted_in_batch = False
+                continue
             if live is not None:
                 old = json.loads(live["source"]) if live["source"] else {}
                 if is_script:
@@ -455,8 +463,12 @@ def _fold_ops(rows: list[dict]) -> tuple[dict | None, dict | None, list[dict]]:
                     _q(r, "update source must be an object")
                     continue
                 merged = merge_doc(json.loads(orphan["source"]), p) if orphan else p
+                prev_das = bool(orphan and orphan.get("doc_as_upsert"))
                 orphan = dict(r)
                 orphan["source"] = json.dumps(merged, separators=(",", ":"))
+                # ES doc_as_upsert: the orphan patch INSERTS if the doc is
+                # also missing from the index (resolved downstream)
+                orphan["doc_as_upsert"] = das or prev_das
         elif op == "delete":
             live = None
             orphan = None
@@ -530,7 +542,11 @@ def resolve_actions(
                     emit("delete", last_del, None)
             if orphan is not None:
                 if keep_orphans:
-                    emit("update", orphan, orphan["source"])
+                    emit(
+                        "upsert" if orphan.get("doc_as_upsert") else "update",
+                        orphan,
+                        orphan["source"],
+                    )
                 else:
                     quarantine.append(
                         dict(orphan, op="quarantine", error="update of doc not in batch")

@@ -298,3 +298,33 @@ def test_large_delta_streams_through_workers(ray_session, base_index):
     assert total_new == n
     s = IndexSearcher(base_index, CFG)
     assert s.count("flood") == n
+
+
+def test_doc_as_upsert(ray_session, tmp_path):
+    """ES update {doc_as_upsert: true}: merges into an existing doc, and
+    INSERTS the patch when the doc is missing (a plain update of a
+    missing doc still drops + counts)."""
+    import ray.data as rd
+
+    cfg = EngineConfig(num_partitions=4, store_text=True)
+    idx = str(tmp_path / "dau")
+    base = _records([("t", '{"index":{"id":"a"}}', '{"title":"apple pie"}', None)])
+    index_from_actions(rd.from_pandas(base), idx, cfg)
+
+    delta = _records(
+        [
+            # existing doc: normal partial merge
+            ("t", '{"update":{"id":"a"}}', '{"doc":{"title":"apricot jam"},"doc_as_upsert":true}', None),
+            # missing doc + doc_as_upsert -> INSERT
+            ("t", '{"update":{"id":"new"}}', '{"doc":{"title":"nectarine fool"},"doc_as_upsert":true}', None),
+            # missing doc, plain update -> dropped + counted
+            ("t", '{"update":{"id":"ghost"}}', '{"doc":{"title":"nope"}}', None),
+        ],
+        seq0=100,
+    )
+    m = update_index_from_actions(idx, rd.from_pandas(delta), cfg)
+    s = IndexSearcher(idx, cfg)
+    assert s.search("apricot")["key"].tolist() == ["a"]
+    assert s.search("nectarine")["key"].tolist() == ["new"]
+    assert len(s.search("nope")) == 0
+    assert m["apply_metrics"]["orphan_updates_dropped"] == 1

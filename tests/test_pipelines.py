@@ -149,3 +149,27 @@ def test_embedding_neardup_recall_vs_exact(ray_session):
         abs(s - 0.9) < 1e-6 for s in approx[~approx.set_index(["vec_a", "vec_b"]).index.isin(e)]["sim"]
     )
     assert len(e & a) / max(1, len(e)) >= 0.7, (len(e), len(a), len(e & a))
+
+
+def test_ivf_ann_recall(ray_session):
+    """IVF (spherical-kmeans coarse quantizer) ANN: subset of brute force
+    with high recall on clustered data at nprobe=4."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.ann import cosine_topk, ivf_cosine_topk
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((6, 32))
+    vecs = np.concatenate([c + 0.05 * rng.standard_normal((40, 32)) for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(240, dtype=np.int64), "embedding": list(vecs.astype(np.float32))})
+    qids = np.array([0, 40, 80])
+    qm = vecs[qids]
+    exact = to_pandas(cosine_topk(rd.from_pandas(df), qids, qm, k=10))
+    approx = to_pandas(ivf_cosine_topk(rd.from_pandas(df), qids, qm, k=10, nlist=12, nprobe=4, train_size=240))
+    recalls = []
+    for q in qids:
+        e = set(exact[exact["query_vec_id"] == q]["vec_id"])
+        a = set(approx[approx["query_vec_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8, recalls
