@@ -325,55 +325,14 @@ class IndexSearcher:
         idf_map = dict(zip(uniq, bm25_idf(df, self.n_docs)))
         idf_sum = float(sum(idf_map[t] for t in phrase))
 
-        out_ids, out_tf, out_dl, out_keys = [], [], [], []
-        for s in self.segments:
-            tis = {t: s.lookup(t) for t in uniq}
-            if any(ti < 0 for ti in tis.values()):
-                continue
-            post = {t: s.postings_with_dl(tis[t]) for t in uniq}
-            # candidate docs: present in EVERY phrase term's postings
-            cand = post[uniq[0]][0]
-            for t in uniq[1:]:
-                cand = cand[np.isin(cand, post[t][0], assume_unique=True)]
-            if cand.size == 0:
-                continue
-            pos = {t: s.positions_for(tis[t]) for t in uniq}
-            dl0 = post[phrase[0]][2]
-            ids0 = post[phrase[0]][0]
-            for d in cand:
-                cur = None
-                for i, t in enumerate(phrase):
-                    ids_t, tfs_t, _ = post[t]
-                    j = int(np.searchsorted(ids_t, d))
-                    flat, run_starts = pos[t]
-                    p = flat[run_starts[j] : run_starts[j] + int(tfs_t[j])] - i
-                    cur = p if cur is None else np.intersect1d(cur, p, assume_unique=True)
-                    if cur.size == 0:
-                        break
-                if cur is not None and cur.size:
-                    out_ids.append(int(d))
-                    out_tf.append(int(cur.size))
-                    out_dl.append(int(dl0[np.searchsorted(ids0, d)]))
-        if not out_ids:
+        parts = [
+            score_segment_phrase(s, phrase, idf_sum, self.avgdl, self.k1, self.b)
+            for s in self.segments
+        ]
+        ids = np.concatenate([p[0] for p in parts]) if parts else np.array([], dtype=np.int64)
+        scores = np.concatenate([p[1] for p in parts]) if parts else np.array([])
+        if ids.size == 0:
             return empty
-        ids = np.asarray(out_ids, dtype=np.int64)
-        tfs = np.asarray(out_tf, dtype=np.float64)
-        dls = np.asarray(out_dl, dtype=np.float64)
-        scores = np.asarray(
-            round6(idf_sum * bm25_tf_part(tfs, dls, self.avgdl, self.k1, self.b))
-        )
-        # tombstones already excluded: postings_with_dl is raw, so filter
-        dead = np.zeros(ids.size, dtype=bool)
-        for s in self.segments:
-            if s.tombstones is not None and s.tombstones.size:
-                in_seg = np.isin(ids, s.doc_ids_store)
-                if in_seg.any():
-                    pos_t = np.minimum(
-                        np.searchsorted(s.tombstones, ids[in_seg]), s.tombstones.size - 1
-                    )
-                    d2 = s.tombstones[pos_t] == ids[in_seg]
-                    dead[np.flatnonzero(in_seg)[d2]] = True
-        ids, scores = ids[~dead], scores[~dead]
         order = np.lexsort((ids, -scores))[:k]
         top = ids[order]
         keys = np.empty(top.size, dtype=object)
@@ -445,6 +404,58 @@ class IndexSearcher:
                 }
             )
         return pd.concat(out, ignore_index=True)
+
+
+def score_segment_phrase(
+    s: Segment,
+    phrase: list[str],
+    idf_sum: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Phrase matching + scoring for ONE segment (slop=0): candidate docs
+    = intersection of the phrase terms' postings; a doc matches when the
+    per-term position sets, shifted by phrase offset, intersect.
+    Tombstoned docs excluded.  Returns (doc_ids, round6 scores)."""
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+    uniq = sorted(set(phrase))
+    tis = {t: s.lookup(t) for t in uniq}
+    if any(ti < 0 for ti in tis.values()):
+        return empty
+    post = {t: s.postings_with_dl(tis[t]) for t in uniq}
+    cand = post[uniq[0]][0]
+    for t in uniq[1:]:
+        cand = cand[np.isin(cand, post[t][0], assume_unique=True)]
+    if cand.size and s.tombstones is not None and s.tombstones.size:
+        pos_t = np.minimum(np.searchsorted(s.tombstones, cand), s.tombstones.size - 1)
+        cand = cand[s.tombstones[pos_t] != cand]
+    if cand.size == 0:
+        return empty
+    pos = {t: s.positions_for(tis[t]) for t in uniq}
+    ids0, _, dl0 = post[phrase[0]]
+    out_ids, out_tf, out_dl = [], [], []
+    for d in cand:
+        cur = None
+        for i, t in enumerate(phrase):
+            ids_t, tfs_t, _ = post[t]
+            j = int(np.searchsorted(ids_t, d))
+            flat, run_starts = pos[t]
+            p = flat[run_starts[j] : run_starts[j] + int(tfs_t[j])] - i
+            cur = p if cur is None else np.intersect1d(cur, p, assume_unique=True)
+            if cur.size == 0:
+                break
+        if cur is not None and cur.size:
+            out_ids.append(int(d))
+            out_tf.append(int(cur.size))
+            out_dl.append(int(dl0[np.searchsorted(ids0, d)]))
+    if not out_ids:
+        return empty
+    ids = np.asarray(out_ids, dtype=np.int64)
+    tfs = np.asarray(out_tf, dtype=np.float64)
+    dls = np.asarray(out_dl, dtype=np.float64)
+    scores = np.asarray(round6(idf_sum * bm25_tf_part(tfs, dls, avgdl, k1, b)))
+    return ids, scores
 
 
 def score_segment(
@@ -592,17 +603,22 @@ class ShardScorerStage:
                     if pool is not None and pool.size >= q["k"]
                     else None
                 )
-                ids, scores = score_segment(
-                    seg,
-                    q["terms"],
-                    q["idf"],
-                    self.avgdl,
-                    self.k1,
-                    self.b,
-                    theta,
-                    require_all=q.get("require_all", False),
-                    filter_lang=q.get("filter_lang"),
-                )
+                if "phrase" in q:
+                    ids, scores = score_segment_phrase(
+                        seg, q["phrase"], q["idf_sum"], self.avgdl, self.k1, self.b
+                    )
+                else:
+                    ids, scores = score_segment(
+                        seg,
+                        q["terms"],
+                        q["idf"],
+                        self.avgdl,
+                        self.k1,
+                        self.b,
+                        theta,
+                        require_all=q.get("require_all", False),
+                        filter_lang=q.get("filter_lang"),
+                    )
                 if ids.size == 0:
                     continue
                 k = q["k"]
@@ -713,7 +729,31 @@ def run_queries(
     # shard and fan the result out to every query_id sharing the plan
     plan_by_key: dict[tuple, dict] = {}
     for row in queries.itertuples(index=False):
-        all_q_terms = sorted(set(get_analyzer(getattr(row, "lang", None)).tokenize(row.text)))
+        lang_q = getattr(row, "lang", None)
+        k = int(getattr(row, "k", 10) or 10)
+        if (getattr(row, "type", None) or "match") == "phrase":
+            # distributed match_phrase: ordered terms, repeats kept
+            phrase = get_analyzer(lang_q).tokenize(row.text)
+            if not phrase or any(df_map.get(t, 0) == 0 for t in phrase):
+                continue
+            idf_sum = float(
+                sum(
+                    bm25_idf(np.array([df_map[t]], dtype=np.int64), n_docs)[0]
+                    for t in phrase
+                )
+            )
+            key = ("phrase", tuple(phrase), k)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "phrase": phrase,
+                    "idf_sum": idf_sum,
+                    "k": k,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        all_q_terms = sorted(set(get_analyzer(lang_q).tokenize(row.text)))
         require_all = (getattr(row, "operator", None) or "or") == "and"
         terms = [t for t in all_q_terms if df_map.get(t, 0) > 0]
         if not terms:
@@ -721,7 +761,6 @@ def run_queries(
         if require_all and len(terms) < len(all_q_terms):
             continue  # a globally-absent term under AND matches nothing
         filter_lang = getattr(row, "filter_lang", None)
-        k = int(getattr(row, "k", 10) or 10)
         key = (tuple(terms), k, require_all, filter_lang)
         entry = plan_by_key.get(key)
         if entry is None:

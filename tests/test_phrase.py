@@ -151,3 +151,35 @@ def test_phrase_incremental_delta(ray_session, phrase_corpus, tmp_path):
     res = s.search_phrase("quick brown fox", k=200)
     assert "https://p.x/new" in set(res["key"])
     assert "https://p.x/0000" not in set(res["key"])  # replaced version has no phrase
+
+
+def test_distributed_phrase_rank_identical(ray_session, phrase_index, phrase_corpus):
+    """run_queries with type='phrase' rows must match the single-searcher
+    phrase path exactly (and mixed match+phrase batches work)."""
+    import ray.data as rd
+
+    from kafka_es_ray.query.engine import run_queries
+
+    s = IndexSearcher(phrase_index, CFG)
+    qs = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2],
+            "text": ["quick brown fox", "quick brown", "quick"],
+            "lang": ["en"] * 3,
+            "k": np.int32([20, 20, 20]),
+            "type": ["phrase", "phrase", "match"],
+        }
+    )
+    out = (
+        run_queries(rd.from_pandas(qs), phrase_index, CFG, concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    for qid, text, qtype in zip(qs["query_id"], qs["text"], qs["type"]):
+        got = out[out["query_id"] == qid]
+        want = (
+            s.search_phrase(text, k=20) if qtype == "phrase" else s.search(text, k=20)
+        )
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), (qid, text)
+        assert got["score"].tolist() == want["score"].tolist(), (qid, text)
