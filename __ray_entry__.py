@@ -502,12 +502,29 @@ def _q_approx_distinct(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    import pandas as pd
     import ray.data as rd
 
     from kafka_es_ray.pipelines.multimodal import make_media_fixture, media_features
 
     out = media_features(rd.from_pandas(make_media_fixture(64)))
-    return out.select_columns(["media_id", "kind", "width", "height", "payload_bytes"])
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        # NA-free driver-facing schema: -1 = dimension not applicable
+        # (audio/video rows have no width/height)
+        return pd.DataFrame(
+            {
+                "media_id": b["media_id"].astype("int64"),
+                "kind": b["kind"],
+                "format": b["format"].fillna("unknown"),
+                "width": b["width"].fillna(-1).astype("int64"),
+                "height": b["height"].fillna(-1).astype("int64"),
+                "decoded": b["decoded"].astype(bool),
+                "payload_bytes": b["payload_bytes"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pandas")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

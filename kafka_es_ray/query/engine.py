@@ -761,7 +761,8 @@ def run_queries(
         if require_all and len(terms) < len(all_q_terms):
             continue  # a globally-absent term under AND matches nothing
         filter_lang = getattr(row, "filter_lang", None)
-        key = (tuple(terms), k, require_all, filter_lang)
+        offset = int(getattr(row, "offset", 0) or 0)  # ES from/size
+        key = (tuple(terms), k, require_all, filter_lang, offset)
         entry = plan_by_key.get(key)
         if entry is None:
             idf = bm25_idf(np.array([df_map[t] for t in terms], dtype=np.int64), n_docs)
@@ -769,7 +770,9 @@ def run_queries(
                 "query_ids": [],
                 "terms": terms,
                 "idf": np.asarray(idf, dtype=np.float64),
-                "k": k,
+                "k": k + offset,  # shards keep the whole rank window
+                "offset": offset,
+                "size": k,
                 "require_all": require_all,
                 "filter_lang": filter_lang,
             }
@@ -784,6 +787,9 @@ def run_queries(
     QUERY_METRICS["terms_looked_up"] += len(all_terms)
     plan_ref = ray.put((plan, avgdl, k1, b, manifest.get("tombstones", {})))
     k_map = {q["plan_id"]: q["k"] for q in plan}
+    window_map = {
+        q["plan_id"]: (q.get("offset", 0), q.get("size", q["k"])) for q in plan
+    }
     fanout_map = {q["plan_id"]: q["query_ids"] for q in plan}
 
     n_blocks = max(concurrency * 2, len(parts) // 4)
@@ -801,13 +807,13 @@ def run_queries(
     def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         out = []
         for pid_, g in bucket.groupby("plan_id", sort=False):
-            k = k_map.get(int(pid_), 10)
+            off, size = window_map.get(int(pid_), (0, k_map.get(int(pid_), 10)))
             ids = g["doc_id"].to_numpy()
             scores = g["score"].to_numpy()
-            order = np.lexsort((ids, -scores))[:k]
+            order = np.lexsort((ids, -scores))[off : off + size]
             top = pd.DataFrame(
                 {
-                    "rank": np.arange(1, order.size + 1, dtype=np.int64),
+                    "rank": np.arange(off + 1, off + 1 + order.size, dtype=np.int64),
                     "doc_id": ids[order],
                     "key": g["key"].to_numpy()[order],
                     "score": scores[order],

@@ -277,3 +277,31 @@ def test_mget_by_key(ray_session, tmp_path):
     a_row = out[out["key"] == "a"].iloc[0]
     assert a_row["text"] == "first REVISED"   # latest live version wins
     assert out[out["key"] == "c"].iloc[0]["lang"] == "en"
+
+
+def test_distributed_pagination(corpus_and_index, ray_session):
+    """ES from/size in the distributed path: page windows tile the
+    single-searcher ranking exactly."""
+    import ray.data as rd
+
+    _, idx = corpus_and_index
+    s = IndexSearcher(idx)
+    full = s.search("home", k=30)
+    qs = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2],
+            "text": ["home"] * 3,
+            "lang": ["en"] * 3,
+            "k": np.int32([10, 10, 10]),
+            "offset": np.int32([0, 10, 20]),
+        }
+    )
+    out = run_queries(rd.from_pandas(qs), idx, CFG, concurrency=2).to_pandas()
+    pages = []
+    for qid in (0, 1, 2):
+        g = out[out["query_id"] == qid].sort_values("rank")
+        pages.append(g)
+        assert g["rank"].tolist() == list(range(qid * 10 + 1, qid * 10 + 11))
+    tiled = pd.concat(pages, ignore_index=True)
+    assert tiled["doc_id"].tolist() == full["doc_id"].tolist()
+    assert tiled["score"].tolist() == full["score"].tolist()

@@ -30,6 +30,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith(("uint", "Int", "int")):
+            if df[c].isna().any():  # nullable Int64 with NA: sentinel, not crash
+                df[c] = df[c].fillna(-1)
             df[c] = df[c].astype("int64")
         elif str(df[c].dtype).startswith("float"):
             df[c] = df[c].astype("float64")
