@@ -262,7 +262,11 @@ def build_segment_for_group(
 
     # per-term delta gaps with resets at term boundaries (vectorized)
     term_starts = np.searchsorted(term_code, np.arange(n_terms, dtype=np.int64))
-    term_ends = np.concatenate([term_starts[1:], [n_postings]])
+    # n_terms == 0 (a partition of all-empty docs) must yield EMPTY ends,
+    # not [0] — the block grid below broadcasts ends against starts
+    term_ends = (
+        np.concatenate([term_starts[1:], [n_postings]]) if n_terms else term_starts
+    )
     gaps = p_ids.copy()
     gaps[1:] -= p_ids[:-1]
     gaps[term_starts] = p_ids[term_starts]

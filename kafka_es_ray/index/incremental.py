@@ -88,10 +88,11 @@ def _apply_one_partition(
     part = int(g["part_id"].iloc[0])
     stride = cfg.part_stride
     affected_keys = set(g[key_col].astype(str))
-    already_dead = set(manifest.get("tombstoned_docs", []))
 
     has_updates = bool(
-        op_col and op_col in g.columns and (g[op_col] == "update").any()
+        op_col
+        and op_col in g.columns
+        and ((g[op_col] == "update") | (g[op_col] == "upsert")).any()
     )
     tombstones: set[int] = set()
     dead_by_seg: dict[int, list[int]] = {}
@@ -101,6 +102,13 @@ def _apply_one_partition(
     live_key_ids: dict[str, int] = {}          # key -> newest live doc_id
     stored_text: dict[str, tuple[int, str]] = {}  # key -> (doc_id, text)
     for sid in _segments_covering(manifest, part):
+        # previously-tombstoned ids of THIS segment (manifest-listed gen
+        # files, loaded worker-side — the driver never materializes a
+        # global tombstone id set)
+        already_dead: set[int] = set()
+        for fname in seg.manifest_tombstone_files(manifest, sid):
+            with open(os.path.join(index_dir, os.path.basename(fname))) as f:
+                already_dead.update(json.load(f))
         cols = ["doc_id", "key"]
         dpath = seg.docstore_path(index_dir, sid)
         has_text = has_updates and "text" in pq.read_schema(dpath).names
@@ -113,8 +121,12 @@ def _apply_one_partition(
         hit = in_part & np.isin(keys_arr, np.asarray(list(affected_keys), dtype=object))
         if not hit.any():
             continue
-        dead_by_seg[sid] = [int(x) for x in ids_arr[hit]]
-        tombstones.update(dead_by_seg[sid])
+        # tombstone only FRESH ids (already-dead ones are already hidden);
+        # keeps gen files minimal and the tombstone count exact
+        fresh = sorted(int(x) for x in ids_arr[hit] if int(x) not in already_dead)
+        if fresh:
+            dead_by_seg[sid] = fresh
+            tombstones.update(fresh)
         if has_updates:
             texts_hit = (
                 np.asarray(dt.column("text").to_pylist(), dtype=object)[hit]
@@ -278,18 +290,15 @@ def delete_by_query(
 
     tomb_map = {k: list(v) for k, v in manifest.get("tombstones", {}).items()}
     deleted = 0
-    new_dead: set[int] = set()
     for r in out:
         if r["fname"] not in tomb_map.setdefault(str(r["sid"]), []):
             tomb_map[str(r["sid"])].append(r["fname"])
         deleted += int(r["n"])
-        with open(os.path.join(index_dir, r["fname"])) as f:
-            new_dead.update(json.load(f))
     new_manifest = {
         **manifest,
         "gen": gen,
         "tombstones": tomb_map,
-        "tombstoned_docs": sorted(set(manifest.get("tombstoned_docs", [])) | new_dead),
+        "n_tombstoned": int(manifest.get("n_tombstoned", 0)) + deleted,
         "last_delete_by_query": {"query": text, "deleted": deleted},
     }
     write_manifest(index_dir, new_manifest)  # commit point
@@ -403,10 +412,10 @@ def apply_incremental(
         "next_segment_id": next_sid + P,
         "gen": gen,
         "tombstones": tomb_map,
-        "tombstoned_docs": sorted(
-            {d for s in tombstones_by_seg.values() for d in s}
-            | set(manifest.get("tombstoned_docs", []))
-        ),
+        # COUNT only: the id lists live in the per-segment gen files (a
+        # global id list in the manifest would grow with every delete)
+        "n_tombstoned": int(manifest.get("n_tombstoned", 0))
+        + sum(len(v) for v in tombstones_by_seg.values()),
         # MetricsUpdater-analog counters for the incremental path
         # (reference MetricsUpdater.kt:3-15): cumulative across applies
         "apply_metrics": {

@@ -159,7 +159,9 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
 
     n_postings = flat_ids.size
     term_starts = np.searchsorted(flat_term, np.arange(n_terms))
-    term_ends = np.concatenate([term_starts[1:], [n_postings]])
+    term_ends = (
+        np.concatenate([term_starts[1:], [n_postings]]) if n_terms else term_starts
+    )
     gaps = flat_ids.copy()
     if n_postings:
         gaps[1:] -= flat_ids[:-1]
@@ -303,7 +305,7 @@ def merge_index(index_dir: str, merge_factor: int = 4, cfg: EngineConfig = DEFAU
         "alloc": alloc,
         "next_segment_id": id_base + len(groups),
         "tombstones": {},
-        "tombstoned_docs": [],
+        "n_tombstoned": 0,
     }
     write_manifest(index_dir, merged_manifest)
     # old segments removed only after the new manifest is the commit point

@@ -256,10 +256,27 @@ class IndexSearcher:
     def get(self, keys: list[str]) -> pd.DataFrame:
         """ES _mget analog: fetch live docs by external key (url/_id).
         Returns (key, doc_id, lang, found[, text if store_text]); a key's
-        LIVE version is the highest non-tombstoned doc_id holding it."""
+        LIVE version is the highest non-tombstoned doc_id holding it.
+
+        The routing invariant (key -> one partition) restricts the scan:
+        only segments covering a wanted key's partition are touched, and
+        within a merged segment only that partition's stride range —
+        point lookups never scan the whole index.  (Docs ingested with an
+        explicit routing key different from the doc key are not reachable
+        here — same as ES GET without a routing parameter.)"""
+        from kafka_es_ray.functions.hashing import route_partition
+
         want = np.asarray(list(keys), dtype=object)
+        P = int(self.manifest.get("num_partitions", 1))
+        want_parts = set(int(p) for p in route_partition(want, P))
+        stride = int(self.cfg.part_stride)
         best: dict[str, tuple[int, dict]] = {}
         for s in self.segments:
+            lo = int(s.doc_ids_store[0]) if s.n_docs else 0
+            hi = int(s.doc_ids_store[-1]) if s.n_docs else -1
+            seg_parts = set(range(lo // stride, hi // stride + 1))
+            if not (seg_parts & want_parts):
+                continue  # no wanted key routes into this segment
             hit = np.isin(s.keys, want)
             if not hit.any():
                 continue

@@ -58,7 +58,7 @@ def test_incremental_upsert_delete_new(ray_session, base_index):
     assert s.search("damson")["key"].tolist() == ["d"]
     assert s.search("cherry")["key"].tolist() == ["c"]  # untouched doc intact
     assert m["next_segment_id"] > 200000
-    assert len(m["tombstoned_docs"]) == 2     # old a + b
+    assert m["n_tombstoned"] == 2             # old a + b
 
 
 def test_incremental_twice_then_merge(ray_session, base_index):
@@ -141,7 +141,7 @@ def test_apply_retry_after_crash_is_idempotent(ray_session, base_index):
     m2 = update_index_from_actions(base_index, rd.from_pandas(delta), CFG)
 
     assert m2["parts"] == m1["parts"]
-    assert m2["tombstoned_docs"] == m1["tombstoned_docs"]
+    assert m2["n_tombstoned"] == m1["n_tombstoned"]
     assert m2["alloc"] == m1["alloc"]
     seg_after = Segment.load(base_index, sid)
     assert seg_after.doc_ids_store.tolist() == seg_before.doc_ids_store.tolist()
