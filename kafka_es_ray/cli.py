@@ -57,6 +57,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--offset", type=int, default=0)
     q.add_argument("--fetch", action="store_true")
     q.add_argument("--phrase", action="store_true", help="match_phrase (requires a --index-positions build)")
+    q.add_argument("--highlight", action="store_true", help="snippet column (requires a --store-text build)")
 
     c = sub.add_parser("count", help="count matching docs (ES _count)")
     c.add_argument("--index", required=True)
@@ -118,6 +119,7 @@ def main(argv: list[str] | None = None) -> int:
             res = s.search(
                 args.text, k=args.k, operator=args.operator,
                 filter_lang=args.filter_lang, fetch=args.fetch, offset=args.offset,
+                highlight=args.highlight,
             )
         print(res.to_string(index=False))
     elif args.cmd == "count":

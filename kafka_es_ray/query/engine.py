@@ -85,6 +85,7 @@ class IndexSearcher:
         filter_lang: str | None = None,
         fetch: bool = False,
         offset: int = 0,
+        highlight: bool = False,
     ) -> pd.DataFrame:
         """Top-k docs for one query string.  Returns DataFrame
         (rank, doc_id, key, score) with the determinism contract applied.
@@ -93,10 +94,21 @@ class IndexSearcher:
         are identical to the exhaustive path, tested): terms whose
         block-max upper bounds cannot lift a doc past the running k-th
         score are demoted to lookup-only, so their (typically huge, common
-        -term) posting lists are never union-scored."""
+        -term) posting lists are never union-scored.
+
+        ``highlight=True`` (requires a store_text index) adds a
+        ``highlight`` column: a snippet around the first query-term
+        occurrence with matches wrapped in <em></em> — the ES highlighter
+        analog."""
         decoded_before = sum(s.decoded_postings for s in self.segments)
         try:
-            return self._search(text, lang, k, prune, operator, filter_lang, fetch, offset)
+            out = self._search(text, lang, k, prune, operator, filter_lang, fetch or highlight, offset)
+            if highlight:
+                terms = sorted(set(get_analyzer(lang).tokenize(text)))
+                out["highlight"] = [make_snippet(t, terms) for t in out["text"]]
+                if not fetch:
+                    out = out.drop(columns=["text"])
+            return out
         finally:
             self.metrics["searches"] += 1
             self.metrics["postings_decoded"] += (
@@ -421,6 +433,28 @@ class IndexSearcher:
                 }
             )
         return pd.concat(out, ignore_index=True)
+
+
+def make_snippet(text: str, terms: list[str], window: int = 60) -> str:
+    """ES-highlighter analog: a snippet of ``text`` around the first
+    query-term occurrence, every term occurrence inside the window
+    wrapped in <em></em>.  Case-insensitive whole-token matching against
+    the analyzer's token alphabet; deterministic."""
+    import re as _re
+
+    if not text or not terms:
+        return ""
+    pat = _re.compile(
+        r"(?<![a-z0-9])(" + "|".join(_re.escape(t) for t in sorted(terms)) + r")(?![a-z0-9])",
+        _re.IGNORECASE,
+    )
+    m = pat.search(text)
+    if m is None:
+        return text[: 2 * window] + ("..." if len(text) > 2 * window else "")
+    lo = max(0, m.start() - window)
+    hi = min(len(text), m.end() + window)
+    snippet = pat.sub(lambda g: f"<em>{g.group(0)}</em>", text[lo:hi])
+    return ("..." if lo > 0 else "") + snippet + ("..." if hi < len(text) else "")
 
 
 def score_segment_phrase(

@@ -305,3 +305,32 @@ def test_distributed_pagination(corpus_and_index, ray_session):
     tiled = pd.concat(pages, ignore_index=True)
     assert tiled["doc_id"].tolist() == full["doc_id"].tolist()
     assert tiled["score"].tolist() == full["score"].tolist()
+
+
+def test_highlight_snippets(ray_session, tmp_path):
+    """ES highlighter analog: snippet around the first hit, matches
+    wrapped in <em></em>, whole-token only (no substring bleed)."""
+    import ray.data as rd
+
+    cfg = EngineConfig(num_partitions=2, store_text=True)
+    docs = pd.DataFrame(
+        {
+            "url": ["a", "b"],
+            "text": [
+                "x " * 50 + "the banana split is great banana dessert " + "y " * 50,
+                "bananarama is a band not a fruit",  # substring: must NOT match
+            ],
+            "lang": ["en", "en"],
+        }
+    )
+    d = str(tmp_path / "hl")
+    build_index(rd.from_pandas(docs), d, cfg, html_col=None, ts_col=None)
+    s = IndexSearcher(d, cfg)
+    res = s.search("banana", k=5, highlight=True)
+    assert res["key"].tolist() == ["a"]
+    hl = res["highlight"].iloc[0]
+    assert "<em>banana</em>" in hl
+    assert hl.startswith("...") and hl.endswith("...")
+    assert "text" not in res.columns  # highlight without fetch drops _source
+    res2 = s.search("banana", k=5, highlight=True, fetch=True)
+    assert "text" in res2.columns
