@@ -829,6 +829,18 @@ def run_queries(
             }
         entry["query_ids"].append(int(row.query_id))
     plan = list(plan_by_key.values())
+    if not plan:  # every query analyzed to nothing / absent terms only
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "rank": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "key": pd.Series([], dtype=object),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
     for pid_, q in enumerate(plan):
         q["plan_id"] = pid_
     QUERY_METRICS["query_batches"] += 1

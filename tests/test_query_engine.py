@@ -334,3 +334,16 @@ def test_highlight_snippets(ray_session, tmp_path):
     assert "text" not in res.columns  # highlight without fetch drops _source
     res2 = s.search("banana", k=5, highlight=True, fetch=True)
     assert "text" in res2.columns
+
+
+def test_distributed_all_empty_batch(corpus_and_index, ray_session):
+    """A batch whose every query analyzes to nothing must return an
+    empty result, not crash the plan build."""
+    import ray.data as rd
+
+    _, idx = corpus_and_index
+    qs = pd.DataFrame(
+        {"query_id": [0, 1], "text": ["", "zzzabsentterm"], "lang": ["en"] * 2, "k": np.int32([5, 5])}
+    )
+    out = run_queries(rd.from_pandas(qs), idx, CFG, concurrency=2).to_pandas()
+    assert len(out) == 0  # no crash, empty result (Ray drops cols on empty)
