@@ -82,6 +82,84 @@ def index_from_actions(
     )
 
 
+def index_from_actions_multi(
+    records_ds,
+    base_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    *,
+    tag: str | None = None,
+    default_index: str | None = "docs",
+    topic_index_map: dict[str, str] | None = None,
+    text_field: str = "title",
+) -> dict[str, dict]:
+    """Multi-index fan-out — the reference's per-topic index routing
+    (maybeUpdateActionIndex + topic.index.map,
+    ElasticsearchSinkTask.kt:301-310) taken to its conclusion: actions
+    carrying different ``_index`` names land in DIFFERENT indices.
+    Builds one index per distinct resolved index name under
+    ``{base_dir}/{index_name}``; returns {index_name: manifest}.
+
+    The resolved action set is materialized once (small relative to the
+    corpus: post-LWW docs) and filtered per index — N small filters, not
+    N parse+resolve passes."""
+    import os
+
+    parsed = records_ds.map_batches(
+        ParseActionsStage,
+        fn_constructor_kwargs={
+            "tag": tag,
+            "default_index": default_index,
+            "topic_index_map": topic_index_map,
+        },
+        batch_format="pandas",
+        batch_size=cfg.batch_size,
+        concurrency=2,
+    )
+    live = resolve_actions(parsed).materialize()
+    names = sorted(
+        live.map_batches(
+            lambda b: pd.DataFrame({"index": b["index"].dropna().unique()}),
+            batch_format="pandas",
+        )
+        .to_pandas()["index"]
+        .unique()
+    )
+
+    def extract_field(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["source"].map(
+            lambda s: str(json.loads(s).get(text_field, "")) if s else ""
+        )
+        return pd.DataFrame(
+            {
+                "id": batch["id"],
+                "routing": batch["routing"],
+                "seq": batch["seq"],
+                "text": texts,
+                "lang": "en",
+            }
+        )
+
+    out: dict[str, dict] = {}
+    for name in names:
+        docs = live.map_batches(
+            lambda b, _n=name: extract_field(b[b["index"] == _n]),
+            batch_format="pandas",
+        )
+        out[name] = build_index(
+            docs,
+            os.path.join(base_dir, name),
+            cfg,
+            key_col="id",
+            text_col="text",
+            lang_col="lang",
+            html_col=None,
+            ts_col=None,
+            seq_col="seq",
+            routing_col="routing",
+        )
+    return out
+
+
 def update_index_from_actions(
     index_dir: str,
     records_ds,

@@ -52,3 +52,41 @@ def test_index_from_actions_tag_and_map(ray_session, tmp_path):
     s = IndexSearcher(idx, cfg)
     assert s.search("kept")["key"].tolist() == ["x"]
     assert len(s.search("dropped")) == 0
+
+
+def test_multi_index_fanout(ray_session, tmp_path):
+    """Actions with different resolved _index names build SEPARATE
+    indices (the per-topic index routing of the reference,
+    ElasticsearchSinkTask.kt:301-310)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.pipelines.actions_flow import index_from_actions_multi
+    from kafka_es_ray.query.engine import IndexSearcher
+
+    recs = pd.DataFrame(
+        [
+            ("logs", 0, '{"index":{"id":"l1"}}', '{"title":"error timeout"}', None),
+            ("logs", 1, '{"index":{"id":"l2"}}', '{"title":"error retry"}', None),
+            ("products", 2, '{"index":{"id":"p1"}}', '{"title":"red shoe"}', None),
+            ("t", 3, '{"index":{"id":"x1","index":"explicit"}}', '{"title":"preset wins"}', None),
+        ],
+        columns=["topic", "seq", "action", "value", "tag"],
+    )
+    cfg = EngineConfig(num_partitions=2)
+    out = index_from_actions_multi(
+        rd.from_pandas(recs),
+        str(tmp_path),
+        cfg,
+        topic_index_map={"logs": "logidx", "products": "prodidx"},
+        default_index="dflt",
+    )
+    assert set(out) == {"logidx", "prodidx", "explicit"}
+    s_logs = IndexSearcher(str(tmp_path / "logidx"), cfg)
+    assert s_logs.count("error") == 2
+    assert s_logs.count("shoe") == 0          # other index's docs absent
+    s_prod = IndexSearcher(str(tmp_path / "prodidx"), cfg)
+    assert s_prod.search("shoe")["key"].tolist() == ["p1"]
+    s_exp = IndexSearcher(str(tmp_path / "explicit"), cfg)
+    assert s_exp.count("preset") == 1         # action-preset index wins
