@@ -19,14 +19,18 @@ import json
 import sys
 
 
-def _ray_init(num_cpus: int | None):
+def _ray_init(num_cpus: int | None) -> bool:
+    """Init Ray if nobody else has; returns True when WE own the session
+    (shutdown only then — never kill a caller's session)."""
     import ray
 
-    if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
-        ray.init(**kwargs)
+    if ray.is_initialized():
+        return False
+    kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+    if num_cpus:
+        kwargs["num_cpus"] = num_cpus
+    ray.init(**kwargs)
+    return True
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -85,8 +89,9 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     from kafka_es_ray.config import EngineConfig
 
+    own_session = False
     if args.cmd == "build":
-        _ray_init(args.num_cpus)
+        own_session = _ray_init(args.num_cpus)
         import ray.data as rd
 
         from kafka_es_ray.index.build import build_index
@@ -127,13 +132,13 @@ def main(argv: list[str] | None = None) -> int:
 
         print(IndexSearcher(args.index).count(args.text, operator=args.operator))
     elif args.cmd == "merge":
-        _ray_init(args.num_cpus)
+        own_session = _ray_init(args.num_cpus)
         from kafka_es_ray.index.merge import merge_index
 
         manifest = merge_index(args.index, merge_factor=args.merge_factor)
         print(json.dumps({"n_docs": manifest["n_docs"], "parts": len(manifest["parts"])}))
     elif args.cmd == "apply":
-        _ray_init(args.num_cpus)
+        own_session = _ray_init(args.num_cpus)
         import ray.data as rd
 
         from kafka_es_ray.index.incremental import apply_incremental
@@ -149,14 +154,14 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"n_docs": manifest["n_docs"], "apply_metrics": manifest["apply_metrics"]}))
     elif args.cmd == "delete-by-query":
-        _ray_init(args.num_cpus)
+        own_session = _ray_init(args.num_cpus)
         from kafka_es_ray.index.incremental import delete_by_query
 
         manifest = delete_by_query(args.index, args.text, operator=args.operator)
         print(json.dumps(manifest["last_delete_by_query"]))
-    import ray
+    if own_session:
+        import ray
 
-    if ray.is_initialized():
         ray.shutdown()
     return 0
 

@@ -55,7 +55,12 @@ def _segments_covering(manifest: dict, part: int) -> list[int]:
     for sid_str, m in manifest["part_manifests"].items():
         sid = int(sid_str)
         if "merged_from" in m:
-            out.append(sid)  # merged segments may span partitions
+            # merged segments record their covered partition set; only
+            # touch the ones that can hold this partition's docs (legacy
+            # merged manifests without the list are scanned conservatively)
+            parts_ = m.get("partitions")
+            if parts_ is None or part in parts_:
+                out.append(sid)
         elif int(m.get("partition", sid)) == part:
             out.append(sid)
     return out

@@ -222,10 +222,21 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
         docstore_table, seg.docstore_path(index_dir, out_part_id),
         retries=cfg.write_retries, retry_delay_s=cfg.write_retry_delay_s,
     )
-    manifest = {
+    covered: set[int] = set()
+    for p in part_ids:
+        pm = manifest["part_manifests"].get(str(p), {})
+        if "partitions" in pm:
+            covered.update(int(x) for x in pm["partitions"])
+        else:
+            covered.add(int(pm.get("partition", p)))
+    manifest_out = {
         "part_id": out_part_id,
         "format_version": seg.FORMAT_VERSION,
         "merged_from": part_ids,
+        # routing partitions whose docs this merged segment may hold —
+        # lets the incremental path touch only covering segments instead
+        # of every merged segment for every partition
+        "partitions": sorted(covered),
         "n_docs": int(doc_ids.size),
         "sum_dl": int(doc_len.sum()),
         "n_terms": int(n_terms),
@@ -236,8 +247,8 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
             os.path.basename(seg.docstore_path(index_dir, out_part_id)),
         ],
     }
-    seg.atomic_write_json(manifest, seg.part_manifest_path(index_dir, out_part_id))
-    return manifest
+    seg.atomic_write_json(manifest_out, seg.part_manifest_path(index_dir, out_part_id))
+    return manifest_out
 
 
 def merge_index(index_dir: str, merge_factor: int = 4, cfg: EngineConfig = DEFAULT) -> dict:

@@ -1,0 +1,78 @@
+"""Runner CLI (python -m kafka_es_ray) driven in-process: build, count,
+query (match/phrase/highlight), delete-by-query, merge, apply.  The CLI
+must never shut down a Ray session it did not start (the pytest session
+fixture owns it here)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kafka_es_ray.cli import main
+
+
+@pytest.fixture()
+def corpus_dir(tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    t = pa.table(
+        {
+            "url": [f"u{i}" for i in range(60)],
+            "text": [
+                ("quick brown fox " if i % 5 == 0 else "plain filler words ") + f"w{i}"
+                for i in range(60)
+            ],
+            "lang": ["en"] * 60,
+        }
+    )
+    pq.write_table(t, str(d / "d.parquet"))
+    return str(d)
+
+
+def test_cli_end_to_end(ray_session, corpus_dir, tmp_path, capsys):
+    import ray
+
+    idx = str(tmp_path / "idx")
+    assert main(
+        ["build", "--input", corpus_dir, "--index", idx, "--num-partitions", "4",
+         "--store-text", "--index-positions"]
+    ) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_docs"] == 60
+    assert ray.is_initialized()  # CLI must NOT kill the fixture's session
+
+    assert main(["count", "--index", idx, "--text", "quick"]) == 0
+    assert capsys.readouterr().out.strip() == "12"
+
+    assert main(["query", "--index", idx, "--text", "quick brown fox", "--phrase", "-k", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "rank" in out and "u5" in out  # deterministic top hit
+
+    assert main(["query", "--index", idx, "--text", "quick", "--highlight", "-k", "1"]) == 0
+    assert "<em>quick</em>" in capsys.readouterr().out
+
+    # apply a delta (upsert one doc), then delete-by-query + merge
+    delta = tmp_path / "delta"
+    delta.mkdir()
+    pq.write_table(
+        pa.table({"id": ["u1"], "text": ["quick brown fox extra"], "lang": ["en"]}),
+        str(delta / "d.parquet"),
+    )
+    assert main(["apply", "--input", str(delta), "--index", idx, "--key-col", "id"]) == 0
+    applied = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert applied["apply_metrics"]["rows"] >= 1
+
+    assert main(["count", "--index", idx, "--text", "quick"]) == 0
+    assert capsys.readouterr().out.strip() == "13"
+
+    assert main(["delete-by-query", "--index", idx, "--text", "quick"]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["deleted"] == 13
+
+    assert main(["merge", "--index", idx, "--merge-factor", "8"]) == 0
+    merged = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert merged["n_docs"] == 47  # 61 entries - old u1 version - 13 quick-docs
+
+    assert ray.is_initialized()
