@@ -61,6 +61,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--offset", type=int, default=0)
     q.add_argument("--fetch", action="store_true")
     q.add_argument("--phrase", action="store_true", help="match_phrase (requires a --index-positions build)")
+    q.add_argument("--slop", type=int, default=0, help="phrase slop (window-slop semantics)")
     q.add_argument("--highlight", action="store_true", help="snippet column (requires a --store-text build)")
 
     c = sub.add_parser("count", help="count matching docs (ES _count)")
@@ -119,7 +120,7 @@ def main(argv: list[str] | None = None) -> int:
 
         s = IndexSearcher(args.index)
         if args.phrase:
-            res = s.search_phrase(args.text, k=args.k)
+            res = s.search_phrase(args.text, k=args.k, slop=args.slop)
         else:
             res = s.search(
                 args.text, k=args.k, operator=args.operator,

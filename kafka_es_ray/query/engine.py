@@ -324,7 +324,7 @@ class IndexSearcher:
         return out.astype({"doc_id": np.int64, "found": bool})
 
     def search_phrase(
-        self, text: str, lang: str | None = None, k: int = 10
+        self, text: str, lang: str | None = None, k: int = 10, slop: int = 0
     ) -> pd.DataFrame:
         """ES match_phrase analog (slop=0): docs containing the analyzed
         terms at consecutive positions.  Requires an index built with
@@ -355,7 +355,7 @@ class IndexSearcher:
         idf_sum = float(sum(idf_map[t] for t in phrase))
 
         parts = [
-            score_segment_phrase(s, phrase, idf_sum, self.avgdl, self.k1, self.b)
+            score_segment_phrase(s, phrase, idf_sum, self.avgdl, self.k1, self.b, slop)
             for s in self.segments
         ]
         ids = np.concatenate([p[0] for p in parts]) if parts else np.array([], dtype=np.int64)
@@ -464,10 +464,16 @@ def score_segment_phrase(
     avgdl: float,
     k1: float,
     b: float,
+    slop: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Phrase matching + scoring for ONE segment (slop=0): candidate docs
-    = intersection of the phrase terms' postings; a doc matches when the
-    per-term position sets, shifted by phrase offset, intersect.
+    """Phrase matching + scoring for ONE segment: candidate docs =
+    intersection of the phrase terms' postings; with slop=0 a doc matches
+    when the per-term position sets, shifted by phrase offset, intersect.
+
+    ``slop`` > 0 uses WINDOW-SLOP semantics (documented simplification of
+    Lucene's sloppy phrase): anchor positions come from the first term;
+    an anchor matches when every term has an occurrence within ``slop``
+    of its expected position.  slop=0 is exactly the strict phrase.
     Tombstoned docs excluded.  Returns (doc_ids, round6 scores)."""
     empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
     uniq = sorted(set(phrase))
@@ -493,7 +499,17 @@ def score_segment_phrase(
             j = int(np.searchsorted(ids_t, d))
             flat, run_starts = pos[t]
             p = flat[run_starts[j] : run_starts[j] + int(tfs_t[j])] - i
-            cur = p if cur is None else np.intersect1d(cur, p, assume_unique=True)
+            if cur is None:
+                cur = p
+            elif slop == 0:
+                cur = np.intersect1d(cur, p, assume_unique=True)
+            else:
+                # window slop: keep anchors with SOME occurrence of term i
+                # within `slop` of the expected position
+                nearest = np.clip(np.searchsorted(p, cur), 0, p.size - 1)
+                prev = np.maximum(nearest - 1, 0)
+                dist = np.minimum(np.abs(p[nearest] - cur), np.abs(p[prev] - cur))
+                cur = cur[dist <= slop]
             if cur.size == 0:
                 break
         if cur is not None and cur.size:
@@ -656,7 +672,8 @@ class ShardScorerStage:
                 )
                 if "phrase" in q:
                     ids, scores = score_segment_phrase(
-                        seg, q["phrase"], q["idf_sum"], self.avgdl, self.k1, self.b
+                        seg, q["phrase"], q["idf_sum"], self.avgdl, self.k1, self.b,
+                        q.get("slop", 0),
                     )
                 else:
                     ids, scores = score_segment(
@@ -793,7 +810,8 @@ def run_queries(
                     for t in phrase
                 )
             )
-            key = ("phrase", tuple(phrase), k)
+            slop = int(getattr(row, "slop", 0) or 0)
+            key = ("phrase", tuple(phrase), k, slop)
             entry = plan_by_key.get(key)
             if entry is None:
                 entry = plan_by_key[key] = {
@@ -801,6 +819,7 @@ def run_queries(
                     "phrase": phrase,
                     "idf_sum": idf_sum,
                     "k": k,
+                    "slop": slop,
                 }
             entry["query_ids"].append(int(row.query_id))
             continue

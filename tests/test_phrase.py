@@ -183,3 +183,46 @@ def test_distributed_phrase_rank_identical(ray_session, phrase_index, phrase_cor
         )
         assert got["doc_id"].tolist() == want["doc_id"].tolist(), (qid, text)
         assert got["score"].tolist() == want["score"].tolist(), (qid, text)
+
+
+def test_phrase_slop(ray_session, tmp_path):
+    """Window-slop phrase: slop=0 strict; slop=1 tolerates one inserted
+    token; reversed-within-slop also matches (documented window
+    semantics); far-apart terms never match."""
+    import ray.data as rd
+
+    docs = pd.DataFrame(
+        {
+            "url": ["exact", "gap1", "gap3", "far"],
+            "text": [
+                "alpha beta end",
+                "alpha x beta end",
+                "alpha x y z beta end",
+                "alpha " + "pad " * 30 + "beta",
+            ],
+            "lang": ["en"] * 4,
+        }
+    )
+    d = str(tmp_path / "slop")
+    build_index(rd.from_pandas(docs), d, CFG, html_col=None, ts_col=None)
+    s = IndexSearcher(d, CFG)
+    assert set(s.search_phrase("alpha beta", k=10)["key"]) == {"exact"}
+    assert set(s.search_phrase("alpha beta", k=10, slop=1)["key"]) == {"exact", "gap1"}
+    assert set(s.search_phrase("alpha beta", k=10, slop=3)["key"]) == {"exact", "gap1", "gap3"}
+    assert "far" not in set(s.search_phrase("alpha beta", k=10, slop=5)["key"])
+
+    # distributed path honors slop
+    from kafka_es_ray.query.engine import run_queries
+
+    qs = pd.DataFrame(
+        {
+            "query_id": [0],
+            "text": ["alpha beta"],
+            "lang": ["en"],
+            "k": np.int32([10]),
+            "type": ["phrase"],
+            "slop": np.int32([1]),
+        }
+    )
+    out = run_queries(rd.from_pandas(qs), d, CFG, concurrency=2).to_pandas()
+    assert set(out["key"]) == {"exact", "gap1"}
