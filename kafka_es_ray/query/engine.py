@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 
 from kafka_es_ray.config import DEFAULT, EngineConfig
+from kafka_es_ray.functions.hashing import route_partition
 from kafka_es_ray.functions.tokenizer import get_analyzer
 from kafka_es_ray.index.segment import (
     Segment,
@@ -276,8 +277,6 @@ class IndexSearcher:
         point lookups never scan the whole index.  (Docs ingested with an
         explicit routing key different from the doc key are not reachable
         here — same as ES GET without a routing parameter.)"""
-        from kafka_es_ray.functions.hashing import route_partition
-
         want = np.asarray(list(keys), dtype=object)
         P = int(self.manifest.get("num_partitions", 1))
         want_parts = set(int(p) for p in route_partition(want, P))

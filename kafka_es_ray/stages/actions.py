@@ -40,6 +40,11 @@ import re
 import numpy as np
 import pandas as pd
 
+# module-top import (CLAUDE.md rule 1): ParseProtobufActionsStage's
+# __init__/__call__ run on Ray workers — a lazy import there would need
+# the package importable on the worker's sys.path
+from kafka_es_ray.functions.protowire import BULK_ACTION, OP_DELETE, OP_INDEX, resolve_proto
+
 OPS = ("index", "create", "update", "delete")
 META_FIELDS = ("_id", "_type", "_index", "routing", "parent", "retry_on_conflict")
 
@@ -208,8 +213,6 @@ class ParseProtobufActionsStage:
         topic_index_map: dict[str, str] | None = None,
         include_default_values: bool = False,
     ):
-        from kafka_es_ray.functions.protowire import BULK_ACTION, resolve_proto
-
         self.header_type = BULK_ACTION
         self.value_type = resolve_proto(protobuf_class)  # configure-time load
         self.tag = tag
@@ -218,8 +221,6 @@ class ParseProtobufActionsStage:
         self.include_default_values = include_default_values
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from kafka_es_ray.functions.protowire import OP_DELETE, OP_INDEX
-
         rows: list[dict] = []
 
         def q(seq: int, err: str, base: dict | None = None) -> None:
