@@ -154,6 +154,36 @@ def _q_phrase_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_match_must_not(sf_dir: str):
+    """ES bool must_not: derived queries with the corpus's top-df term
+    excluded (docs containing it drop out of the ranking)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_mnidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        searcher = IndexSearcher(idx)
+        queries = derive_query_set(searcher)
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        top_term = queries["text"].iloc[0]  # r=1 term
+        out = []
+        for qid, text in zip(queries["query_id"], queries["text"]):
+            res = searcher.search(text, k=10, must_not=top_term)
+            res.insert(0, "query_id", np.int64(qid))
+            out.append(res)
+        return pd.concat(out, ignore_index=True)[
+            ["query_id", "rank", "doc_id", "score"]
+        ]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_match_count(sf_dir: str):
     """ES _count API analog over the documents index: number of live docs
     matching each derived query (operator=or, no top-k cap)."""
@@ -532,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "match_count": _q_match_count,
+        "match_must_not": _q_match_must_not,
         "match_lang_agg": _q_match_lang_agg,
         "phrase_topk": _q_phrase_topk,
         "lineitem_agg": _q_lineitem_agg,
@@ -565,6 +596,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
+        "match_must_not": _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(
+            having="""HAVING NOT EXISTS (
+               SELECT 1 FROM tf t2
+               WHERE t2.doc_id = tf.doc_id
+                 AND t2.term = (SELECT term FROM ranked_terms WHERE r = 1)
+             )"""
+        ),
         "match_count": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOK}) AS term FROM documents

@@ -87,6 +87,7 @@ class IndexSearcher:
         fetch: bool = False,
         offset: int = 0,
         highlight: bool = False,
+        must_not: str | None = None,
     ) -> pd.DataFrame:
         """Top-k docs for one query string.  Returns DataFrame
         (rank, doc_id, key, score) with the determinism contract applied.
@@ -103,7 +104,10 @@ class IndexSearcher:
         analog."""
         decoded_before = sum(s.decoded_postings for s in self.segments)
         try:
-            out = self._search(text, lang, k, prune, operator, filter_lang, fetch or highlight, offset)
+            out = self._search(
+                text, lang, k, prune, operator, filter_lang, fetch or highlight, offset,
+                must_not=must_not,
+            )
             if highlight:
                 terms = sorted(set(get_analyzer(lang).tokenize(text)))
                 out["highlight"] = [make_snippet(t, terms) for t in out["text"]]
@@ -126,6 +130,7 @@ class IndexSearcher:
         filter_lang: str | None,
         fetch: bool,
         offset: int,
+        must_not: str | None = None,
     ) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -136,6 +141,7 @@ class IndexSearcher:
             }
         )
         terms = sorted(set(get_analyzer(lang).tokenize(text)))
+        mn_terms = sorted(set(get_analyzer(lang).tokenize(must_not))) if must_not else None
         self.metrics["terms_looked_up"] += len(terms)
         if not terms:
             return empty
@@ -164,6 +170,7 @@ class IndexSearcher:
                 theta if prune else None,
                 require_all=(operator == "and"),
                 filter_lang=filter_lang,
+                must_not_terms=mn_terms,
             )
             if ids.size == 0:
                 continue
@@ -221,10 +228,12 @@ class IndexSearcher:
         theta: float | None = None,
         require_all: bool = False,
         filter_lang: str | None = None,
+        must_not_terms: list[str] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         return score_segment(
             s, terms, idf, self.avgdl, self.k1, self.b, theta,
             require_all=require_all, filter_lang=filter_lang,
+            must_not_terms=must_not_terms,
         )
 
     def matching_ids(
@@ -411,6 +420,7 @@ class IndexSearcher:
         for row in queries.itertuples(index=False):
             k = int(getattr(row, "k", 10) or 10)
             lang = getattr(row, "lang", None)
+            mn = getattr(row, "must_not", None)
             res = self.search(
                 row.text,
                 lang=lang,
@@ -418,6 +428,7 @@ class IndexSearcher:
                 prune=prune,
                 operator=getattr(row, "operator", None) or "or",
                 filter_lang=getattr(row, "filter_lang", None),
+                must_not=None if (mn is None or (isinstance(mn, float) and pd.isna(mn))) else mn,
             )
             res.insert(0, "query_id", np.int64(row.query_id))
             out.append(res)
@@ -534,6 +545,7 @@ def score_segment(
     theta: float | None = None,
     require_all: bool = False,
     filter_lang: str | None = None,
+    must_not_terms: list[str] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized BM25 scoring of one segment.  With a threshold, MaxScore
     splits terms into essential (union-scored) and non-essential
@@ -592,6 +604,21 @@ def score_segment(
         cand, acc = cand[keep_lang], acc[keep_lang]
         if cand.size == 0:
             return cand, acc
+    if must_not_terms:
+        # ES bool must_not: docs containing ANY excluded term are dropped.
+        # Filter AFTER scoring (like tombstones): the essential-term
+        # scatter requires cand to contain every essential posting.
+        excl_lists = []
+        for t in must_not_terms:
+            ti2 = s.lookup(t)
+            if ti2 >= 0:
+                excl_lists.append(s.postings_with_dl(ti2)[0])
+        if excl_lists:
+            excl = np.unique(np.concatenate(excl_lists))
+            keep_mn = ~np.isin(cand, excl, assume_unique=True)
+            cand, acc = cand[keep_mn], acc[keep_mn]
+            if cand.size == 0:
+                return cand, acc
     if s.tombstones is not None and s.tombstones.size:
         # deleted-doc mask (ES: deletes hide docs immediately; stats stay
         # stale until merge).  Filter AFTER scoring: the essential-term
@@ -685,6 +712,7 @@ class ShardScorerStage:
                         theta,
                         require_all=q.get("require_all", False),
                         filter_lang=q.get("filter_lang"),
+                        must_not_terms=q.get("must_not"),
                     )
                 if ids.size == 0:
                     continue
@@ -831,7 +859,12 @@ def run_queries(
             continue  # a globally-absent term under AND matches nothing
         filter_lang = getattr(row, "filter_lang", None)
         offset = int(getattr(row, "offset", 0) or 0)  # ES from/size
-        key = (tuple(terms), k, require_all, filter_lang, offset)
+        mn_raw = getattr(row, "must_not", None)
+        if mn_raw is None or (isinstance(mn_raw, float) and pd.isna(mn_raw)):
+            mn_terms = None
+        else:
+            mn_terms = tuple(sorted(set(get_analyzer(lang_q).tokenize(str(mn_raw))))) or None
+        key = (tuple(terms), k, require_all, filter_lang, offset, mn_terms)
         entry = plan_by_key.get(key)
         if entry is None:
             idf = bm25_idf(np.array([df_map[t] for t in terms], dtype=np.int64), n_docs)
@@ -844,6 +877,7 @@ def run_queries(
                 "size": k,
                 "require_all": require_all,
                 "filter_lang": filter_lang,
+                "must_not": list(mn_terms) if mn_terms else None,
             }
         entry["query_ids"].append(int(row.query_id))
     plan = list(plan_by_key.values())

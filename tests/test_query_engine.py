@@ -347,3 +347,43 @@ def test_distributed_all_empty_batch(corpus_and_index, ray_session):
     )
     out = run_queries(rd.from_pandas(qs), idx, CFG, concurrency=2).to_pandas()
     assert len(out) == 0  # no crash, empty result (Ray drops cols on empty)
+
+
+def test_must_not_exclusion(corpus_and_index, ray_session):
+    """ES bool must_not: docs containing any excluded term drop out;
+    remaining ranking identical to the unfiltered one minus those docs;
+    distributed path agrees."""
+    import ray.data as rd
+
+    df, idx = corpus_and_index
+    s = IndexSearcher(idx)
+    base = s.search("home", k=100000)
+    mn = s.search("home", k=100000, must_not="w00001 w00002")
+    from kafka_es_ray.query.bruteforce import corpus_token_stats
+
+    toks, _ = corpus_token_stats(df)
+    excluded = {
+        int(d) for d, t in zip(df["doc_id"], toks) if {"w00001", "w00002"} & set(t)
+    }
+    assert set(mn["doc_id"]) == set(base["doc_id"]) - excluded
+    kept = base[~base["doc_id"].isin(excluded)]
+    assert mn["doc_id"].tolist() == kept["doc_id"].tolist()  # order preserved
+    assert mn["score"].tolist() == kept["score"].tolist()
+
+    qs = pd.DataFrame(
+        {
+            "query_id": [0],
+            "text": ["home"],
+            "lang": ["en"],
+            "k": np.int32([50]),
+            "must_not": ["w00001 w00002"],
+        }
+    )
+    got = (
+        run_queries(rd.from_pandas(qs), idx, CFG, concurrency=2)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    want = s.search("home", k=50, must_not="w00001 w00002")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
