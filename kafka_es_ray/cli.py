@@ -82,6 +82,9 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--seq-col", default="seq")
     a.add_argument("--op-col", default="op")
 
+    st = sub.add_parser("stats", help="index stats (ES _stats analog)")
+    st.add_argument("--index", required=True)
+
     d = sub.add_parser("delete-by-query", help="tombstone all matching docs")
     d.add_argument("--index", required=True)
     d.add_argument("--text", required=True)
@@ -154,6 +157,26 @@ def main(argv: list[str] | None = None) -> int:
             op_col=args.op_col,
         )
         print(json.dumps({"n_docs": manifest["n_docs"], "apply_metrics": manifest["apply_metrics"]}))
+    elif args.cmd == "stats":
+        from kafka_es_ray.index.segment import read_manifest
+
+        m = read_manifest(args.index)
+        print(
+            json.dumps(
+                {
+                    "n_docs": m["n_docs"],
+                    "n_segments": len(m["parts"]),
+                    "num_partitions": m.get("num_partitions"),
+                    "avgdl": round(float(m.get("avgdl", 0.0)), 3),
+                    "n_tombstoned": m.get("n_tombstoned", 0),
+                    "gen": m.get("gen", 0),
+                    "analyzer_version": m.get("analyzer_version"),
+                    "format_version": m.get("format_version"),
+                    "metrics": m.get("metrics", {}),
+                    "apply_metrics": m.get("apply_metrics", {}),
+                }
+            )
+        )
     elif args.cmd == "delete-by-query":
         own_session = _ray_init(args.num_cpus)
         from kafka_es_ray.index.incremental import delete_by_query
