@@ -484,7 +484,12 @@ def score_segment_phrase(
     Lucene's sloppy phrase): anchor positions come from the first term;
     an anchor matches when every term has an occurrence within ``slop``
     of its expected position.  slop=0 is exactly the strict phrase.
-    Tombstoned docs excluded.  Returns (doc_ids, round6 scores)."""
+    Tombstoned docs excluded.  Returns (doc_ids, round6 scores).
+
+    Scale note: the per-candidate loop is bounded by the RAREST phrase
+    term's df within this segment (candidates = the postings
+    intersection), and segments are doc partitions — so per-task work is
+    partition-local, never corpus-wide."""
     empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
     uniq = sorted(set(phrase))
     tis = {t: s.lookup(t) for t in uniq}
