@@ -519,6 +519,18 @@ def _q_actions_protobuf(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_distinct_users(sf_dir: str):
+    """EXACT distinct users (bucketed combiner; SQL-oracle-checked) —
+    the exact companion of the HLL approx_distinct_users sketch."""
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.relational import exact_distinct
+    from kafka_es_ray.sources.parquet import read_table
+
+    n = exact_distinct(read_table(sf_dir, "events", columns=["user_id"]), "user_id")
+    return pd.DataFrame({"distinct_users": [n]}).astype({"distinct_users": "int64"})
+
+
 def _q_approx_distinct(sf_dir: str):
     """HLL mergeable-sketch approximate distinct users (rows-only:
     approximate by design; accuracy asserted in tests)."""
@@ -587,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_pipeline": _q_pages_pipeline,
         "actions_incremental": _q_actions_incremental,
         "actions_protobuf": _q_actions_protobuf,
+        "distinct_users": _q_distinct_users,
         "approx_distinct_users": _q_approx_distinct,
         "media_features": _q_media_features,
     }
@@ -785,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "distinct_users": "SELECT count(DISTINCT user_id)::BIGINT AS distinct_users FROM events",
         "embedding_neardup_exact": """
             WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000)
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

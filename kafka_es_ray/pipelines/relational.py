@@ -176,3 +176,24 @@ def broadcast_join_agg(orders_ds, customer_df: pd.DataFrame):
         )
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def exact_distinct(ds, column: str, num_buckets: int = 32) -> int:
+    """EXACT distinct count, scale-safe: per-batch distinct (combiner)
+    -> hash-bucketed distinct (same-value rows always share a bucket)
+    -> sum of per-bucket counts.  The shuffle moves at most one row per
+    (batch, distinct value); the driver sees only B partial counts.
+    The exact companion to sketches.approx_distinct (HLL)."""
+    import pandas as pd
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    def batch_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({column: batch[column].unique()})
+
+    def bucket_count(bucket: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(bucket[column].nunique())]})
+
+    partial = ds.map_batches(batch_distinct, batch_format="pandas")
+    counts = bucketed_group_agg(partial, [column], bucket_count, num_buckets)
+    return int(sum(r["n"] for r in counts.take_all()))

@@ -26,6 +26,7 @@ SQL_SUBSET = [
     "doc_fingerprint",
     "lang_stats",
     "doc_quality",
+    "distinct_users",
 ]
 
 
