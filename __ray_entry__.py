@@ -123,25 +123,18 @@ def _q_phrase_topk(sf_dir: str):
     derivation mirrored by the SQL oracle: count desc, w1 asc, w2 asc)."""
     import shutil
     import tempfile
-    from collections import Counter
-
-    import pyarrow.parquet as pq
 
     from kafka_es_ray.config import EngineConfig
-    from kafka_es_ray.functions.tokenizer import get_analyzer
     from kafka_es_ray.pipelines.fulltext import build_documents_index
+    from kafka_es_ray.pipelines.text_ops import top_bigram
     from kafka_es_ray.query.engine import IndexSearcher
+    from kafka_es_ray.sources.parquet import read_table
 
-    from kafka_es_ray.sources.parquet import table_path
-
-    # deterministic phrase derivation: most frequent adjacent bigram
-    texts = pq.read_table(table_path(sf_dir, "documents"), columns=["text"]).column("text").to_pylist()
-    an = get_analyzer("en")
-    counts: Counter = Counter()
-    for t in texts:
-        tt = an.tokenize(t or "")
-        counts.update(zip(tt, tt[1:]))
-    (w1, w2), _ = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    # deterministic phrase derivation: most frequent adjacent bigram —
+    # fully distributed (per-batch partials -> bucketed combine -> top-1);
+    # the driver never materializes doc text (oracle-mirrored rule:
+    # count desc, w1 asc, w2 asc)
+    w1, w2, _ = top_bigram(read_table(sf_dir, "documents", columns=["text"]))
 
     idx = tempfile.mkdtemp(prefix="kafka_es_ray_phridx_")
     try:

@@ -103,6 +103,67 @@ def term_df(docs_ds):
     return bucketed_group_agg(partials, ["term"], combine)
 
 
+class _BigramPartial:
+    """Combiner: per-batch partial adjacent-bigram counts (vectorized —
+    flat token stream + doc-boundary mask, no per-row Python loop)."""
+
+    def __init__(self):
+        self.an = get_analyzer("en")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "w1": pd.Series([], dtype=object),
+                "w2": pd.Series([], dtype=object),
+                "n_partial": pd.Series([], dtype=np.int64),
+            }
+        )
+        toks = self.an.tokenize_series(batch["text"])
+        lens = np.asarray([len(t) for t in toks], dtype=np.int64)
+        nonempty = [np.asarray(t, dtype=object) for t in toks if len(t)]
+        if not nonempty:
+            return empty
+        flat = np.concatenate(nonempty)
+        if flat.size < 2:
+            return empty
+        # a bigram starts at every position except each doc's last token
+        start_ok = np.ones(flat.size, dtype=bool)
+        start_ok[np.cumsum(lens[lens > 0]) - 1] = False
+        w1 = flat[:-1][start_ok[:-1]]
+        w2 = flat[1:][start_ok[:-1]]
+        if w1.size == 0:
+            return empty
+        g = (
+            pd.DataFrame({"w1": w1, "w2": w2})
+            .groupby(["w1", "w2"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_partial"})
+        )
+        g["n_partial"] = g["n_partial"].astype(np.int64)
+        return g
+
+
+def top_bigram(docs_ds) -> tuple[str, str, int]:
+    """The corpus's most frequent adjacent token bigram (count desc,
+    w1 asc, w2 asc) — fully distributed: per-batch partial counts →
+    bucketed combine → per-bucket top-1 → driver min over B rows.
+    The driver never sees doc text or the full bigram table."""
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    partials = docs_ds.map_batches(
+        _BigramPartial, batch_format="pandas", batch_size=4096, concurrency=2
+    )
+
+    def bucket_top1(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["w1", "w2"], as_index=False).agg(n=("n_partial", "sum"))
+        g = g.sort_values(["n", "w1", "w2"], ascending=[False, True, True], kind="mergesort")
+        return g.head(1).astype({"n": np.int64})
+
+    tops = bucketed_group_agg(partials, ["w1", "w2"], bucket_top1).take_all()
+    best = min(tops, key=lambda r: (-int(r["n"]), r["w1"], r["w2"]))
+    return str(best["w1"]), str(best["w2"]), int(best["n"])
+
+
 class LangIdStage:
     """Character-n-gram heuristic language ID (no external models).
 

@@ -486,10 +486,16 @@ def score_segment_phrase(
     of its expected position.  slop=0 is exactly the strict phrase.
     Tombstoned docs excluded.  Returns (doc_ids, round6 scores).
 
-    Scale note: the per-candidate loop is bounded by the RAREST phrase
-    term's df within this segment (candidates = the postings
-    intersection), and segments are doc partitions — so per-task work is
-    partition-local, never corpus-wide."""
+    Fully vectorized (no per-candidate Python loop — even a common-bigram
+    phrase whose candidates ≈ the whole segment runs as a handful of numpy
+    passes): candidate docs' position runs are gathered with run-offset
+    arithmetic into one (doc, shifted_pos) key stream per phrase element;
+    slop=0 anchors are the int64 keys occurring once per element
+    (len(phrase) total — position sets are per-doc unique, so the count
+    criterion IS the shifted intersection); slop>0 filters the anchor
+    keys against each element's key stream by nearest-neighbour distance
+    (cross-doc neighbours differ by ≥ 2^32 >> slop, so no per-doc
+    boundary handling is needed)."""
     empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
     uniq = sorted(set(phrase))
     tis = {t: s.lookup(t) for t in uniq}
@@ -505,37 +511,65 @@ def score_segment_phrase(
     if cand.size == 0:
         return empty
     pos = {t: s.positions_for(tis[t]) for t in uniq}
-    ids0, _, dl0 = post[phrase[0]]
-    out_ids, out_tf, out_dl = [], [], []
-    for d in cand:
-        cur = None
+
+    # Gather each unique term's position runs for the candidate docs in
+    # one pass: (doc_rep, positions) with doc_rep indexing into cand.
+    # Every candidate contains every term (cand = postings intersection),
+    # so all searchsorted probes hit.
+    L = np.int64(1) << 32  # doc-key stride; positions are token offsets << 2^32
+    gathered: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t in uniq:
+        ids_t, tfs_t, _ = post[t]
+        j = np.searchsorted(ids_t, cand)
+        flat, run_starts = pos[t]
+        lens = tfs_t[j].astype(np.int64)
+        total = int(lens.sum())
+        run_off = np.zeros(cand.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=run_off[1:])
+        gather_idx = (
+            np.repeat(run_starts[j], lens)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(run_off, lens)
+        )
+        doc_rep = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+        gathered[t] = (doc_rep, flat[gather_idx].astype(np.int64))
+
+    if slop == 0:
+        # key = doc * 2^32 + (pos - offset); an anchor position matching
+        # ALL phrase elements produces exactly len(phrase) equal keys
+        keys_all = []
         for i, t in enumerate(phrase):
-            ids_t, tfs_t, _ = post[t]
-            j = int(np.searchsorted(ids_t, d))
-            flat, run_starts = pos[t]
-            p = flat[run_starts[j] : run_starts[j] + int(tfs_t[j])] - i
-            if cur is None:
-                cur = p
-            elif slop == 0:
-                cur = np.intersect1d(cur, p, assume_unique=True)
-            else:
-                # window slop: keep anchors with SOME occurrence of term i
-                # within `slop` of the expected position
-                nearest = np.clip(np.searchsorted(p, cur), 0, p.size - 1)
-                prev = np.maximum(nearest - 1, 0)
-                dist = np.minimum(np.abs(p[nearest] - cur), np.abs(p[prev] - cur))
-                cur = cur[dist <= slop]
-            if cur.size == 0:
-                break
-        if cur is not None and cur.size:
-            out_ids.append(int(d))
-            out_tf.append(int(cur.size))
-            out_dl.append(int(dl0[np.searchsorted(ids0, d)]))
-    if not out_ids:
+            doc_rep, p = gathered[t]
+            sp = p - i
+            m = sp >= 0  # an anchor can never sit before the doc start
+            keys_all.append(doc_rep[m] * L + sp[m])
+        ka = np.concatenate(keys_all)
+        uk, counts = np.unique(ka, return_counts=True)
+        anchors = uk[counts == len(phrase)]
+    else:
+        # anchors = first element's positions; each later element prunes
+        # anchors whose nearest same-doc occurrence is farther than slop
+        OFF = np.int64(len(phrase))  # keep shifted keys non-negative
+        d0, p0 = gathered[phrase[0]]
+        anchors = d0 * L + (p0 + OFF)
+        for i, t in enumerate(phrase):
+            if i == 0 or anchors.size == 0:
+                continue
+            doc_rep, p = gathered[t]
+            ek = doc_rep * L + (p - i + OFF)  # sorted: docs asc, pos asc per doc
+            nearest = np.clip(np.searchsorted(ek, anchors), 0, ek.size - 1)
+            prev = np.maximum(nearest - 1, 0)
+            dist = np.minimum(
+                np.abs(ek[nearest] - anchors), np.abs(ek[prev] - anchors)
+            )
+            anchors = anchors[dist <= slop]
+    if anchors.size == 0:
         return empty
-    ids = np.asarray(out_ids, dtype=np.int64)
-    tfs = np.asarray(out_tf, dtype=np.float64)
-    dls = np.asarray(out_dl, dtype=np.float64)
+    tf_per_doc = np.bincount((anchors // L).astype(np.int64), minlength=cand.size)
+    hit = tf_per_doc > 0
+    ids = cand[hit]
+    tfs = tf_per_doc[hit].astype(np.float64)
+    dls = s.dl_for(ids).astype(np.float64)
     scores = np.asarray(round6(idf_sum * bm25_tf_part(tfs, dls, avgdl, k1, b)))
     return ids, scores
 
