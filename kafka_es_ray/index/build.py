@@ -316,9 +316,13 @@ def build_segment_for_group(
             positions_flat, p_tfs, term_starts, n_postings
         )
     postings_table = pa.table(cols)
+    key_hashes = stable_hash64(keys) if len(keys) else np.array([], dtype=np.uint64)
     store_cols = {
         "doc_id": pa.array(doc_ids, type=pa.int64()),
         "key": pa.array(keys, type=pa.string()),
+        # sorted-key mget support: point lookups binary-search the hash
+        # instead of scanning the key column (engine.get / distributed mget)
+        "key_hash": pa.array(key_hashes, type=pa.uint64()),
         "doc_len": pa.array(doc_len, type=pa.int32()),
         "lang": pa.array(langs.to_numpy(), type=pa.string()),
     }
@@ -335,7 +339,7 @@ def build_segment_for_group(
         retries=cfg.write_retries, retry_delay_s=cfg.write_retry_delay_s,
     )
 
-    content_hash = int(np.bitwise_xor.reduce(stable_hash64(keys))) if len(keys) else 0
+    content_hash = int(np.bitwise_xor.reduce(key_hashes)) if len(keys) else 0
     manifest = {
         "part_id": segment_id,
         "partition": part_id,

@@ -71,6 +71,11 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
     assert doc_ids.size == 0 or (np.diff(doc_ids) > 0).all(), "doc_ids must be globally unique"
     doc_len = np.concatenate([s.doc_len[m] for s, m in zip(segs, ds_alive)]).astype(np.int64)[ds_order]
     keys = np.concatenate([s.keys[m] for s, m in zip(segs, ds_alive)])[ds_order]
+    key_hash = (
+        np.concatenate([s.key_hash[m] for s, m in zip(segs, ds_alive)]).astype(np.uint64)[ds_order]
+        if segs
+        else np.array([], dtype=np.uint64)
+    )
     langs = np.concatenate([s.langs[m] for s, m in zip(segs, ds_alive)])[ds_order]
     texts = None
     if all(s.texts is not None for s in segs):
@@ -208,6 +213,7 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
     store_cols = {
         "doc_id": pa.array(doc_ids, type=pa.int64()),
         "key": pa.array(keys, type=pa.string()),
+        "key_hash": pa.array(key_hash, type=pa.uint64()),
         "doc_len": pa.array(doc_len, type=pa.int32()),
         "lang": pa.array(langs, type=pa.string()),
     }

@@ -142,10 +142,18 @@ def atomic_write_json(obj, path: str, retries: int = 3, retry_delay_s: float = 0
 class Segment:
     """In-memory view of one segment, loaded once per query actor
     (the stateful-setup analog of the reference's reflected proto parser,
-    ProtobufSerde.kt:26-73)."""
+    ProtobufSerde.kt:26-73).
+
+    The dictionary and docstore string columns stay ARROW-NATIVE at load:
+    no n_terms/n_docs Python-object materialization.  Term lookup is a
+    byte-wise binary search over the Arrow string buffers (UTF-8 byte
+    order == code-point order == the build's sort order); key/lang/text
+    fetches Arrow-`take` only the requested rows.  The numpy object views
+    (``.terms``/``.keys``/``.langs``/``.texts``) are lazy cached
+    properties for the whole-segment consumers (merge, tests)."""
 
     part_id: int
-    terms: np.ndarray        # object array, ascending
+    terms_arr: pa.Array      # string, ascending
     df: np.ndarray           # int64
     # Arrow-backed LAZY columns: one contiguous (Large)Binary array each;
     # a term's blob is sliced out only when that term is actually looked
@@ -161,9 +169,10 @@ class Segment:
     doc_base: int            # doc ids in docstore are arbitrary; base/dense see below
     doc_ids_store: np.ndarray   # int64, ascending
     doc_len: np.ndarray      # int32 aligned with doc_ids_store
-    keys: np.ndarray         # object (urls) aligned with doc_ids_store
-    langs: np.ndarray        # object, aligned with doc_ids_store
-    texts: np.ndarray | None  # stored _source text when cfg.store_text
+    keys_arr: pa.Array       # string (urls) aligned with doc_ids_store
+    langs_arr: pa.Array      # string, aligned with doc_ids_store
+    texts_arr: pa.Array | None  # stored _source text when cfg.store_text
+    key_hash: np.ndarray     # uint64 stable_hash64(key), aligned (sorted-key mget)
     n_docs: int
     sum_dl: int
     # deleted-but-not-yet-merged doc ids (sorted; the Lucene deleted-docs
@@ -197,9 +206,22 @@ class Segment:
         doc_ids_store = dt.column("doc_id").to_numpy()
         doc_len = dt.column("doc_len").to_numpy()
         has_boff = "block_id_boff" in pt.schema.names  # format v2
+        keys_arr = _combined(dt.column("key"))
+        if "key_hash" in dt.schema.names:
+            key_hash = dt.column("key_hash").to_numpy().astype(np.uint64)
+        else:
+            # legacy segment (pre key_hash column): hash the keys once at
+            # load — materializes the key column, acceptable legacy cost
+            from kafka_es_ray.functions.hashing import stable_hash64
+
+            key_hash = (
+                stable_hash64(np.asarray(keys_arr.to_pylist(), dtype=object))
+                if len(keys_arr)
+                else np.array([], dtype=np.uint64)
+            )
         return cls(
             part_id=part_id,
-            terms=np.asarray(pt.column("term").to_pylist(), dtype=object),
+            terms_arr=_combined(pt.column("term")),
             df=pt.column("df").to_numpy(),
             doc_ids_enc=_combined(pt.column("doc_ids")),
             tfs_enc=_combined(pt.column("tfs")),
@@ -214,13 +236,12 @@ class Segment:
             doc_base=int(doc_ids_store[0]) if doc_ids_store.size else 0,
             doc_ids_store=doc_ids_store,
             doc_len=doc_len.astype(np.int64),
-            keys=np.asarray(dt.column("key").to_pylist(), dtype=object),
-            langs=np.asarray(dt.column("lang").to_pylist(), dtype=object),
-            texts=(
-                np.asarray(dt.column("text").to_pylist(), dtype=object)
-                if "text" in dt.schema.names
-                else None
+            keys_arr=keys_arr,
+            langs_arr=_combined(dt.column("lang")),
+            texts_arr=(
+                _combined(dt.column("text")) if "text" in dt.schema.names else None
             ),
+            key_hash=key_hash,
             n_docs=dt.num_rows,
             sum_dl=int(doc_len.sum()),
             tombstones=tombstones,
@@ -240,13 +261,113 @@ class Segment:
         # observability: total postings decoded by this segment object
         # (tests assert skip pointers actually reduce decode work)
         self.decoded_postings = 0
+        # lazy numpy materializations (merge/tests only; queries never
+        # trigger these) + lazy sorted-key-hash order for mget
+        self._terms_np: np.ndarray | None = None
+        self._keys_np: np.ndarray | None = None
+        self._langs_np: np.ndarray | None = None
+        self._texts_np: np.ndarray | None = None
+        self._term_view: tuple[np.ndarray, np.ndarray] | None = None
+        self._kh_order: np.ndarray | None = None
+
+    # ---- lazy whole-column numpy views (merge path / tests) ----
+    @property
+    def terms(self) -> np.ndarray:
+        if self._terms_np is None:
+            self._terms_np = np.asarray(self.terms_arr.to_pylist(), dtype=object)
+        return self._terms_np
+
+    @property
+    def keys(self) -> np.ndarray:
+        if self._keys_np is None:
+            self._keys_np = np.asarray(self.keys_arr.to_pylist(), dtype=object)
+        return self._keys_np
+
+    @property
+    def langs(self) -> np.ndarray:
+        if self._langs_np is None:
+            self._langs_np = np.asarray(self.langs_arr.to_pylist(), dtype=object)
+        return self._langs_np
+
+    @property
+    def texts(self) -> np.ndarray | None:
+        if self.texts_arr is None:
+            return None
+        if self._texts_np is None:
+            self._texts_np = np.asarray(self.texts_arr.to_pylist(), dtype=object)
+        return self._texts_np
+
+    def _string_view(self, arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """(offsets, uint8 data) zero-copy view of an Arrow string array."""
+        bufs = arr.buffers()
+        width = 8 if pa.types.is_large_string(arr.type) else 4
+        odt = np.int64 if width == 8 else np.int32
+        off = np.frombuffer(
+            bufs[1], dtype=odt, count=len(arr) + 1, offset=arr.offset * width
+        ).astype(np.int64)
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.array([], dtype=np.uint8)
+        )
+        return off, data
 
     def lookup(self, term: str) -> int:
-        """Dictionary binary search -> term index, or -1."""
-        i = int(np.searchsorted(self.terms, term))
-        if i < self.terms.size and self.terms[i] == term:
-            return i
+        """Dictionary binary search -> term index, or -1.  Runs directly
+        over the Arrow string buffers (UTF-8 byte order == code-point
+        order == the build's sort order) — no dictionary
+        materialization."""
+        if self._terms_np is not None:  # already materialized (merge path)
+            i = int(np.searchsorted(self._terms_np, term))
+            if i < self._terms_np.size and self._terms_np[i] == term:
+                return i
+            return -1
+        if self._term_view is None:
+            self._term_view = self._string_view(self.terms_arr)
+        off, data = self._term_view
+        tb = term.encode("utf-8")
+        lo, hi = 0, len(self.terms_arr)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if data[off[mid] : off[mid + 1]].tobytes() < tb:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < len(self.terms_arr) and data[off[lo] : off[lo + 1]].tobytes() == tb:
+            return lo
         return -1
+
+    def find_keys(self, want: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Docstore rows whose key is in ``want`` (object array) — the
+        sorted-key-hash point lookup for mget: binary search the uint64
+        key hashes, then verify the (few) candidate rows' actual keys via
+        Arrow take.  Returns (row_idx, want_idx) pairs.  O(|want| log n)
+        instead of an O(n_docs) full key scan."""
+        from kafka_es_ray.functions.hashing import stable_hash64
+
+        if want.size == 0 or self.n_docs == 0:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+        if self._kh_order is None:
+            self._kh_order = np.argsort(self.key_hash, kind="stable")
+        order = self._kh_order
+        sorted_kh = self.key_hash[order]
+        wh = stable_hash64(want)
+        lo = np.searchsorted(sorted_kh, wh, side="left")
+        hi = np.searchsorted(sorted_kh, wh, side="right")
+        n_cand = hi - lo
+        if n_cand.sum() == 0:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+        want_idx = np.repeat(np.arange(want.size, dtype=np.int64), n_cand)
+        starts = np.zeros(want.size, dtype=np.int64)
+        np.cumsum(n_cand[:-1], out=starts[1:])
+        rel = np.arange(int(n_cand.sum()), dtype=np.int64) - np.repeat(starts, n_cand)
+        rows = order[np.repeat(lo, n_cand) + rel]
+        # hash-collision guard: verify the candidates' actual keys
+        cand_keys = np.asarray(
+            self.keys_arr.take(pa.array(rows, type=pa.int64())).to_pylist(), dtype=object
+        )
+        ok = cand_keys == want[want_idx]
+        return rows[ok], want_idx[ok]
 
     def postings(self, ti: int) -> tuple[np.ndarray, np.ndarray]:
         ids, tfs, _ = self.postings_with_dl(ti)
@@ -397,21 +518,35 @@ class Segment:
         idx = np.searchsorted(self.doc_ids_store, doc_ids)
         return self.doc_len[idx]
 
+    def _take_str(self, arr: pa.Array, idx: np.ndarray) -> np.ndarray:
+        """Fetch only the requested rows of a string column (Arrow take);
+        the whole column is never materialized unless a lazy property
+        already did it (merge path)."""
+        return np.asarray(
+            arr.take(pa.array(idx, type=pa.int64())).to_pylist(), dtype=object
+        )
+
     def keys_for(self, doc_ids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.doc_ids_store, doc_ids)
-        return self.keys[idx]
+        if self._keys_np is not None:
+            return self._keys_np[idx]
+        return self._take_str(self.keys_arr, idx)
 
     def langs_for(self, doc_ids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.doc_ids_store, doc_ids)
-        return self.langs[idx]
+        if self._langs_np is not None:
+            return self._langs_np[idx]
+        return self._take_str(self.langs_arr, idx)
 
     def texts_for(self, doc_ids: np.ndarray) -> np.ndarray:
         """Stored _source fetch; requires the index was built with
         cfg.store_text=True."""
-        if self.texts is None:
+        if self.texts_arr is None:
             raise ValueError("index was built without store_text=True")
         idx = np.searchsorted(self.doc_ids_store, doc_ids)
-        return self.texts[idx]
+        if self._texts_np is not None:
+            return self._texts_np[idx]
+        return self._take_str(self.texts_arr, idx)
 
 
 def read_manifest(index_dir: str) -> dict:

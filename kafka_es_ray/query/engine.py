@@ -297,19 +297,25 @@ class IndexSearcher:
             seg_parts = set(range(lo // stride, hi // stride + 1))
             if not (seg_parts & want_parts):
                 continue  # no wanted key routes into this segment
-            hit = np.isin(s.keys, want)
-            if not hit.any():
+            # sorted-key-hash binary search (never an O(n_docs) key scan)
+            rows, _ = s.find_keys(want)
+            if rows.size == 0:
                 continue
-            ids = s.doc_ids_store[hit]
+            ids = s.doc_ids_store[rows]
             if s.tombstones is not None and s.tombstones.size:
                 pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
                 alive = s.tombstones[pos] != ids
             else:
                 alive = np.ones(ids.size, dtype=bool)
-            ks = s.keys[hit][alive]
+            rows = rows[alive]
             ids = ids[alive]
-            langs = s.langs[hit][alive]
-            texts = s.texts[hit][alive] if s.texts is not None else [None] * ids.size
+            ks = s._take_str(s.keys_arr, rows)
+            langs = s._take_str(s.langs_arr, rows)
+            texts = (
+                s._take_str(s.texts_arr, rows)
+                if s.texts_arr is not None
+                else [None] * ids.size
+            )
             for k_, d_, l_, t_ in zip(ks, ids, langs, texts):
                 prev = best.get(k_)
                 if prev is None or int(d_) > prev[0]:

@@ -387,3 +387,26 @@ def test_must_not_exclusion(corpus_and_index, ray_session):
     want = s.search("home", k=50, must_not="w00001 w00002")
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["score"].tolist() == want["score"].tolist()
+
+
+def test_queries_stay_arrow_native(corpus_and_index):
+    """Search / mget / phrase never materialize the n_terms / n_docs
+    Python-object columns: lookup binary-searches the Arrow buffers and
+    fetches use take + key-hash binary search (VERDICT r2 items 5-6 —
+    the per-actor memory ceiling at 100 TB segment sizes)."""
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+
+    df, idx = corpus_and_index
+    s = IndexSearcher(idx)
+    term = get_analyzer("en").tokenize(df["text"].iloc[0])[0]
+    res = s.search(term, k=10)
+    assert len(res) > 0
+    got = s.get([df["key"].iloc[0], "zzz-missing"])
+    assert got["found"].tolist() == [True, False]
+    n = s.count(term)
+    assert n > 0
+    for seg in s.segments:
+        assert seg._terms_np is None, "dictionary was materialized by a query"
+        assert seg._keys_np is None, "docstore keys were materialized"
+        assert seg._langs_np is None
+        assert seg._texts_np is None
