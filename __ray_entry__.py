@@ -179,54 +179,97 @@ def _q_match_must_not(sf_dir: str):
 
 def _q_match_count(sf_dir: str):
     """ES _count API analog over the documents index: number of live docs
-    matching each derived query (operator=or, no top-k cap)."""
+    matching each derived query (operator=or, no top-k cap) — runs via
+    the DISTRIBUTED MatchSetStage path (segments as the Dataset, plans
+    broadcast; no actor loads the whole index)."""
     import shutil
     import tempfile
 
-    import pandas as pd
-
     from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
-    from kafka_es_ray.query.engine import IndexSearcher
+    from kafka_es_ray.query.engine import IndexSearcher, run_counts
 
     idx = tempfile.mkdtemp(prefix="kafka_es_ray_cntidx_")
     try:
         build_documents_index(sf_dir, idx)
-        searcher = IndexSearcher(idx)
-        queries = derive_query_set(searcher)
+        queries = derive_query_set(IndexSearcher(idx))
         queries = queries[queries["text"] != "zzzabsentterm"]
-        return pd.DataFrame(
-            {
-                "query_id": queries["query_id"].to_numpy(),
-                "n_matching": [searcher.count(t) for t in queries["text"]],
-            }
-        ).astype({"query_id": np.int64, "n_matching": np.int64})
+        out = run_counts(queries, idx)
+        return out[out["n_matching"] > 0].reset_index(drop=True)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
 
 def _q_match_lang_agg(sf_dir: str):
     """ES terms-aggregation analog: lang buckets over each derived
-    query's match set (query_id, value, n_docs)."""
+    query's match set (query_id, value, n_docs) — distributed
+    MatchSetStage path."""
     import shutil
     import tempfile
 
-    import pandas as pd
-
     from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
-    from kafka_es_ray.query.engine import IndexSearcher
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_terms
 
     idx = tempfile.mkdtemp(prefix="kafka_es_ray_aggidx_")
     try:
         build_documents_index(sf_dir, idx)
-        searcher = IndexSearcher(idx)
-        queries = derive_query_set(searcher)
+        queries = derive_query_set(IndexSearcher(idx))
         queries = queries[queries["text"] != "zzzabsentterm"]
-        out = []
-        for qid, text in zip(queries["query_id"], queries["text"]):
-            agg = searcher.agg_terms(text, field="lang")
-            out.append(agg.assign(query_id=np.int64(qid)))
-        res = pd.concat(out, ignore_index=True)
-        return res[["query_id", "value", "n_docs"]]
+        return run_agg_terms(queries, idx, field="lang")[["query_id", "value", "n_docs"]]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_match_source_agg(sf_dir: str):
+    """Terms aggregation over an ARBITRARY keyword field (cfg.keyword_cols
+    generalization of the lang bucket): source buckets per derived query's
+    match set — distributed MatchSetStage path."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_terms
+    from kafka_es_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("key", batch.column("doc_id").cast(pa.string()))
+
+    cfg = EngineConfig(num_partitions=8, keyword_cols=("source",))
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_srcagg_")
+    try:
+        build_index(
+            ds.map_batches(add_key, batch_format="pyarrow"), idx, cfg,
+            key_col="key", text_col="text", lang_col="lang",
+            html_col=None, ts_col=None, id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_agg_terms(queries, idx, field="source", cfg=cfg)[
+            ["query_id", "value", "n_docs"]
+        ]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_mget_docs(sf_dir: str):
+    """ES _mget analog (distributed MgetStage path): point lookups by
+    external key with found/missing flags."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index
+    from kafka_es_ray.query.engine import run_mget
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_mgetidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        keys = ["5", "50", "123", "404", "999999999"]
+        return run_mget(keys, idx)[["key", "doc_id", "lang", "found"]]
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
@@ -569,6 +612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_count": _q_match_count,
         "match_must_not": _q_match_must_not,
         "match_lang_agg": _q_match_lang_agg,
+        "match_source_agg": _q_match_source_agg,
+        "mget_docs": _q_mget_docs,
         "phrase_topk": _q_phrase_topk,
         "lineitem_agg": _q_lineitem_agg,
         "topk_orders": _q_topk_orders,
@@ -696,6 +741,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.query_id, d.lang AS value, count(*)::BIGINT AS n_docs
             FROM matches m JOIN documents d ON d.doc_id = m.doc_id
             GROUP BY 1, 2
+        """,
+        "match_source_agg": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            ranked_terms AS (
+              SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+            ),
+            queries AS (
+              SELECT 0 AS query_id, term FROM ranked_terms WHERE r = 1
+              UNION ALL SELECT 1, term FROM ranked_terms WHERE r IN (2, 3)
+              UNION ALL SELECT 2, term FROM ranked_terms WHERE r IN (4, 5, 6)
+              UNION ALL SELECT 3, term FROM ranked_terms WHERE r IN (7, 8)
+            ),
+            matches AS (
+              SELECT DISTINCT q.query_id, tf.doc_id
+              FROM queries q JOIN tf ON tf.term = q.term
+            )
+            SELECT m.query_id, d.source AS value, count(*)::BIGINT AS n_docs
+            FROM matches m JOIN documents d ON d.doc_id = m.doc_id
+            GROUP BY 1, 2
+        """,
+        "mget_docs": """
+            WITH want(key) AS (
+              VALUES ('5'), ('50'), ('123'), ('404'), ('999999999')
+            )
+            SELECT w.key,
+                   coalesce(d.doc_id, -1)::BIGINT AS doc_id,
+                   d.lang AS lang,
+                   (d.doc_id IS NOT NULL) AS found
+            FROM want w LEFT JOIN documents d ON CAST(d.doc_id AS VARCHAR) = w.key
         """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_rows,

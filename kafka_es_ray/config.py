@@ -60,6 +60,12 @@ class EngineConfig:
     # size — exactly the tradeoff ES makes by default.
     store_text: bool = False
 
+    # --- extra keyword fields stored in the docstore (ES keyword-mapped
+    # fields): each becomes a kw_{name} docstore column usable by terms
+    # aggregations (agg_terms field=...) — the generalization of the
+    # built-in lang column.
+    keyword_cols: tuple[str, ...] = ()
+
     # --- segment writer retry loop (reference: retry.interval=30s doubling
     # to max.retry.interval=300s, Actors.kt:236-259).  Local FS writes fail
     # rarely; keep short.

@@ -326,6 +326,15 @@ def build_segment_for_group(
         "doc_len": pa.array(doc_len, type=pa.int32()),
         "lang": pa.array(langs.to_numpy(), type=pa.string()),
     }
+    for kw in cfg.keyword_cols:
+        # ES keyword-mapped field: stored as a docstore string column for
+        # terms aggregations; missing input column -> empty-string bucket
+        vals = (
+            g[kw].astype(str).to_numpy()
+            if kw in g.columns
+            else np.full(len(g), "", dtype=object)
+        )
+        store_cols[f"kw_{kw}"] = pa.array(vals, type=pa.string())
     if cfg.store_text:
         # ES _source stored field: docstore carries the doc text
         store_cols["text"] = pa.array(texts.to_numpy(), type=pa.string())
@@ -404,6 +413,7 @@ def build_index(
     done = _completed_parts(index_dir, cfg.num_partitions) if resume else {}
 
     keep = [c for c in (key_col, lang_col, ts_col, seq_col, id_col, routing_col, op_col) if c]
+    keep += [c for c in cfg.keyword_cols if c not in keep]
     stage = ExtractStage(
         num_partitions=cfg.num_partitions,
         key_col=key_col,

@@ -80,6 +80,17 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
     texts = None
     if all(s.texts is not None for s in segs):
         texts = np.concatenate([s.texts[m] for s, m in zip(segs, ds_alive)])[ds_order]
+    # keyword columns present in EVERY input segment survive the merge
+    kw_fields = sorted(set.intersection(*[set(s.kw_arr) for s in segs])) if segs else []
+    kw_merged = {
+        f: np.concatenate(
+            [
+                np.asarray(s.kw_arr[f].to_pylist(), dtype=object)[m]
+                for s, m in zip(segs, ds_alive)
+            ]
+        )[ds_order]
+        for f in kw_fields
+    }
 
     # union of dictionaries
     all_terms = np.unique(np.concatenate([s.terms for s in segs]))
@@ -219,6 +230,8 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
     }
     if texts is not None:
         store_cols["text"] = pa.array(texts, type=pa.string())
+    for f, vals in kw_merged.items():
+        store_cols[f"kw_{f}"] = pa.array(vals, type=pa.string())
     docstore_table = pa.table(store_cols)
     seg.atomic_write_table(
         postings_table, seg.postings_path(index_dir, out_part_id),

@@ -38,6 +38,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from kafka_es_ray.functions.codec import delta_decode, varint_decode
+from kafka_es_ray.functions.hashing import stable_hash64
 
 # v2: postings table gains block_id_boff / block_tf_boff (per-block BYTE
 # offsets into each term's varint blobs) — the seekable half of the skip
@@ -173,6 +174,7 @@ class Segment:
     langs_arr: pa.Array      # string, aligned with doc_ids_store
     texts_arr: pa.Array | None  # stored _source text when cfg.store_text
     key_hash: np.ndarray     # uint64 stable_hash64(key), aligned (sorted-key mget)
+    kw_arr: dict             # extra keyword columns {field: pa.Array} (cfg.keyword_cols)
     n_docs: int
     sum_dl: int
     # deleted-but-not-yet-merged doc ids (sorted; the Lucene deleted-docs
@@ -212,8 +214,6 @@ class Segment:
         else:
             # legacy segment (pre key_hash column): hash the keys once at
             # load — materializes the key column, acceptable legacy cost
-            from kafka_es_ray.functions.hashing import stable_hash64
-
             key_hash = (
                 stable_hash64(np.asarray(keys_arr.to_pylist(), dtype=object))
                 if len(keys_arr)
@@ -242,6 +242,11 @@ class Segment:
                 _combined(dt.column("text")) if "text" in dt.schema.names else None
             ),
             key_hash=key_hash,
+            kw_arr={
+                n[3:]: _combined(dt.column(n))
+                for n in dt.schema.names
+                if n.startswith("kw_")
+            },
             n_docs=dt.num_rows,
             sum_dl=int(doc_len.sum()),
             tombstones=tombstones,
@@ -343,8 +348,6 @@ class Segment:
         key hashes, then verify the (few) candidate rows' actual keys via
         Arrow take.  Returns (row_idx, want_idx) pairs.  O(|want| log n)
         instead of an O(n_docs) full key scan."""
-        from kafka_es_ray.functions.hashing import stable_hash64
-
         if want.size == 0 or self.n_docs == 0:
             return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
         if self._kh_order is None:
@@ -537,6 +540,20 @@ class Segment:
         if self._langs_np is not None:
             return self._langs_np[idx]
         return self._take_str(self.langs_arr, idx)
+
+    def field_for(self, field: str, doc_ids: np.ndarray) -> np.ndarray:
+        """Docstore keyword-field fetch for a terms aggregation: 'lang'
+        (built-in) or any cfg.keyword_cols field stored at build time."""
+        if field == "lang":
+            return self.langs_for(doc_ids)
+        if field not in self.kw_arr:
+            raise ValueError(
+                f"unsupported aggregation field {field!r} "
+                f"(docstore has: lang{', ' if self.kw_arr else ''}"
+                f"{', '.join(sorted(self.kw_arr))})"
+            )
+        idx = np.searchsorted(self.doc_ids_store, doc_ids)
+        return self._take_str(self.kw_arr[field], idx)
 
     def texts_for(self, doc_ids: np.ndarray) -> np.ndarray:
         """Stored _source fetch; requires the index was built with

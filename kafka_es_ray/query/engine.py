@@ -248,22 +248,7 @@ class IndexSearcher:
         if not terms:
             return out
         for s in self.segments:
-            tis = [s.lookup(t) for t in terms]
-            present = [ti for ti in tis if ti >= 0]
-            if not present or (operator == "and" and len(present) < len(terms)):
-                continue
-            lists = [s.postings_with_dl(ti)[0] for ti in present]
-            if operator == "and":
-                ids = lists[0]
-                for lst in lists[1:]:
-                    ids = ids[np.isin(ids, lst, assume_unique=True)]
-            else:
-                ids = np.unique(np.concatenate(lists))
-            if filter_lang is not None and ids.size:
-                ids = ids[s.langs_for(ids) == filter_lang]
-            if s.tombstones is not None and s.tombstones.size and ids.size:
-                pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
-                ids = ids[s.tombstones[pos] != ids]
+            ids = segment_matching_ids(s, terms, operator == "and", filter_lang)
             if ids.size:
                 out[s.part_id] = ids
         return out
@@ -397,19 +382,17 @@ class IndexSearcher:
         operator: str = "or",
     ) -> pd.DataFrame:
         """ES terms-aggregation analog over the query's match set: count
-        of matching live docs per value of a docstore field.  Supported
-        fields: 'lang' (the stored keyword column).  Returns
+        of matching live docs per value of a docstore keyword field —
+        'lang' (built-in) or any cfg.keyword_cols field.  Returns
         (value, n_docs) sorted by (n_docs desc, value asc) — the ES
         bucket order."""
-        if field != "lang":
-            raise ValueError(f"unsupported aggregation field {field!r} (docstore has: lang)")
         counts: dict[str, int] = {}
         by_seg = self.matching_ids(text, lang, operator)
         for s in self.segments:
             ids = by_seg.get(s.part_id)
             if ids is None:
                 continue
-            vals, n = np.unique(s.langs_for(ids), return_counts=True)
+            vals, n = np.unique(s.field_for(field, ids), return_counts=True)
             for v, c in zip(vals, n):
                 counts[str(v)] = counts.get(str(v), 0) + int(c)
         items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -471,6 +454,39 @@ def make_snippet(text: str, terms: list[str], window: int = 60) -> str:
     hi = min(len(text), m.end() + window)
     snippet = pat.sub(lambda g: f"<em>{g.group(0)}</em>", text[lo:hi])
     return ("..." if lo > 0 else "") + snippet + ("..." if hi < len(text) else "")
+
+
+def segment_matching_ids(
+    s: Segment,
+    terms: list[str],
+    require_all: bool = False,
+    filter_lang: str | None = None,
+) -> np.ndarray:
+    """ALL live doc ids in one segment matching the analyzed terms (no
+    top-k cap) — the per-segment unit of the ES _count / terms-agg /
+    delete_by_query match set.  Needs no global stats: a term absent from
+    this segment simply contributes nothing (or, under AND, empties the
+    segment's match set)."""
+    empty = np.array([], dtype=np.int64)
+    if not terms:
+        return empty
+    tis = [s.lookup(t) for t in terms]
+    present = [ti for ti in tis if ti >= 0]
+    if not present or (require_all and len(present) < len(terms)):
+        return empty
+    lists = [s.postings_with_dl(ti)[0] for ti in present]
+    if require_all:
+        ids = lists[0]
+        for lst in lists[1:]:
+            ids = ids[np.isin(ids, lst, assume_unique=True)]
+    else:
+        ids = np.unique(np.concatenate(lists))
+    if filter_lang is not None and ids.size:
+        ids = ids[s.langs_for(ids) == filter_lang]
+    if s.tombstones is not None and s.tombstones.size and ids.size:
+        pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
+        ids = ids[s.tombstones[pos] != ids]
+    return ids
 
 
 def score_segment_phrase(
@@ -688,14 +704,16 @@ class QueryStage:
         return self.searcher.search_batch(batch)
 
 
-class ShardScorerStage:
-    """Segment-parallel scoring: the DATA axis is segments, queries are
-    the broadcast small side (ray.put once — the M6 broadcast-lookup rule).
-    Each actor lazily loads and caches only the segments its batches name,
-    so index memory is partitioned across the pool instead of replicated
-    per actor — the property that lets query throughput scale with the
-    cluster when segments >> actors (a 100 TB index can never be loaded
-    whole into one worker)."""
+class _SegmentCacheStage:
+    """Shared base of the segment-parallel query stages: the DATA axis is
+    segments, the query plan is the broadcast small side (ray.put once —
+    the M6 broadcast-lookup rule).  Each actor lazily loads and LRU-caches
+    only the segments its batches name, so index memory is partitioned
+    across the pool instead of replicated per actor — the property that
+    lets query throughput scale with the cluster when segments >> actors
+    (a 100 TB index can never be loaded whole into one worker).  Without
+    the cap every long-lived actor would converge toward holding the WHOLE
+    index (Ray Data gives no block->actor affinity)."""
 
     def __init__(self, index_dir: str, plan_ref, cfg: EngineConfig):
         from collections import OrderedDict
@@ -704,15 +722,33 @@ class ShardScorerStage:
 
         self.index_dir = index_dir
         self.cfg = cfg
-        # plan: list of UNIQUE (terms, idf, k) entries, each carrying the
-        # query_ids that share it — identical queries score once per shard
-        self.plan, self.avgdl, self.k1, self.b, self.tomb_map = ray.get(plan_ref)
-        # LRU-capped segment cache: Ray Data gives no block->actor affinity,
-        # so without a cap every long-lived actor converges toward holding
-        # the WHOLE index (unbounded heap at 100 TB).  Mirror of the
-        # posting-level cache cap in Segment.__post_init__.
+        self._init_payload(ray.get(plan_ref))
         self.segments: OrderedDict[int, Segment] = OrderedDict()
         self.cache_cap = max(1, cfg.scorer_segment_cache)
+
+    def _init_payload(self, payload) -> None:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _segment(self, pid: int) -> Segment:
+        seg = self.segments.get(pid)
+        if seg is None:
+            seg = self.segments[pid] = Segment.load(
+                self.index_dir, pid, self.tomb_map.get(str(pid), [])
+            )
+            while len(self.segments) > self.cache_cap:
+                self.segments.popitem(last=False)
+        else:
+            self.segments.move_to_end(pid)
+        return seg
+
+
+class ShardScorerStage(_SegmentCacheStage):
+    """Segment-parallel BM25/phrase scoring (see _SegmentCacheStage)."""
+
+    def _init_payload(self, payload) -> None:
+        # plan: list of UNIQUE (terms, idf, k) entries, each carrying the
+        # query_ids that share it — identical queries score once per shard
+        self.plan, self.avgdl, self.k1, self.b, self.tomb_map, self.fetch_text = payload
         # per-plan top-k score pool seen by THIS actor (descending) — the
         # running MaxScore threshold for later segments
         self._score_pool: dict[int, np.ndarray] = {}
@@ -720,15 +756,7 @@ class ShardScorerStage:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
         for pid in batch["part_id"].astype(int):
-            seg = self.segments.get(pid)
-            if seg is None:
-                seg = self.segments[pid] = Segment.load(
-                    self.index_dir, pid, self.tomb_map.get(str(pid), [])
-                )
-                while len(self.segments) > self.cache_cap:
-                    self.segments.popitem(last=False)
-            else:
-                self.segments.move_to_end(pid)
+            seg = self._segment(pid)
             for q in self.plan:
                 # running MaxScore threshold: the k-th best score this
                 # actor has already seen for this plan (monotone rising).
@@ -773,25 +801,108 @@ class ShardScorerStage:
                 keys = seg.keys_for(ids)
                 # emit per PLAN; repeated queries fan out only after the
                 # merge (keeps the shuffle proportional to unique plans)
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "plan_id": np.int64(q["plan_id"]),
-                            "doc_id": ids,
-                            "key": keys,
-                            "score": scores,
-                        }
-                    )
-                )
-        if not out:
-            return pd.DataFrame(
-                {
-                    "plan_id": pd.Series([], dtype=np.int64),
-                    "doc_id": pd.Series([], dtype=np.int64),
-                    "key": pd.Series([], dtype=object),
-                    "score": pd.Series([], dtype=np.float64),
+                cols = {
+                    "plan_id": np.int64(q["plan_id"]),
+                    "doc_id": ids,
+                    "key": keys,
+                    "score": scores,
                 }
-            )
+                if self.fetch_text:
+                    # stored-_source fetch for the per-segment top-k
+                    # candidates only (<= k + ties rows, never the match set)
+                    cols["text"] = seg.texts_for(ids)
+                out.append(pd.DataFrame(cols))
+        if not out:
+            empty = {
+                "plan_id": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "key": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64),
+            }
+            if self.fetch_text:
+                empty["text"] = pd.Series([], dtype=object)
+            return pd.DataFrame(empty)
+        return pd.concat(out, ignore_index=True)
+
+
+class MatchSetStage(_SegmentCacheStage):
+    """Segment-parallel match-SET evaluation: _count and terms-agg
+    partials.  Emits one row per (plan, segment[, field value]) — the
+    shuffle volume is plans x segments (x distinct values), never doc
+    rows."""
+
+    def _init_payload(self, payload) -> None:
+        self.plan, self.tomb_map, self.field = payload
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pid in batch["part_id"].astype(int):
+            seg = self._segment(pid)
+            for q in self.plan:
+                ids = segment_matching_ids(
+                    seg, q["terms"], q.get("require_all", False), q.get("filter_lang")
+                )
+                if ids.size == 0:
+                    continue
+                if self.field is None:  # _count: one partial per segment
+                    out.append((q["plan_id"], "", int(ids.size)))
+                else:  # terms agg: per-value partial counts
+                    vals, n = np.unique(seg.field_for(self.field, ids), return_counts=True)
+                    out.extend((q["plan_id"], str(v), int(c)) for v, c in zip(vals, n))
+        return pd.DataFrame(
+            out, columns=["plan_id", "value", "n_partial"]
+        ).astype({"plan_id": np.int64, "n_partial": np.int64}) if out else pd.DataFrame(
+            {
+                "plan_id": pd.Series([], dtype=np.int64),
+                "value": pd.Series([], dtype=object),
+                "n_partial": pd.Series([], dtype=np.int64),
+            }
+        )
+
+
+class MgetStage(_SegmentCacheStage):
+    """Segment-parallel _mget: key-hash binary search per segment (the
+    broadcast side is the wanted-key array), emitting live candidate rows
+    only — output is O(|keys|), never O(n_docs)."""
+
+    def _init_payload(self, payload) -> None:
+        self.want, self.tomb_map, self.fetch_text = payload
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pid in batch["part_id"].astype(int):
+            seg = self._segment(pid)
+            rows, _ = seg.find_keys(self.want)
+            if rows.size == 0:
+                continue
+            ids = seg.doc_ids_store[rows]
+            if seg.tombstones is not None and seg.tombstones.size:
+                pos = np.minimum(
+                    np.searchsorted(seg.tombstones, ids), seg.tombstones.size - 1
+                )
+                alive = seg.tombstones[pos] != ids
+                rows, ids = rows[alive], ids[alive]
+            if rows.size == 0:
+                continue
+            cols = {
+                "key": seg._take_str(seg.keys_arr, rows),
+                "doc_id": ids,
+                "lang": seg._take_str(seg.langs_arr, rows),
+            }
+            if self.fetch_text and seg.texts_arr is not None:
+                cols["text"] = seg._take_str(seg.texts_arr, rows)
+            elif self.fetch_text:
+                cols["text"] = np.full(rows.size, None, dtype=object)
+            out.append(pd.DataFrame(cols))
+        if not out:
+            empty = {
+                "key": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "lang": pd.Series([], dtype=object),
+            }
+            if self.fetch_text:
+                empty["text"] = pd.Series([], dtype=object)
+            return pd.DataFrame(empty)
         return pd.concat(out, ignore_index=True)
 
 
@@ -834,11 +945,21 @@ def _collect_global_stats(index_dir: str, parts: list[int], terms: list[str]):
 
 
 def run_queries(
-    queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT, concurrency: int | None = None
+    queries_ds,
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+    fetch: bool = False,
+    highlight: bool = False,
 ):
     """Distributed query execution: segment-parallel scoring + per-query
     merge.  Queries are the small broadcast side; the segment set is the
-    Dataset.  Returns Dataset(query_id, rank, doc_id, key, score)."""
+    Dataset.  Returns Dataset(query_id, rank, doc_id, key, score
+    [, text][, highlight]).
+
+    ``fetch`` / ``highlight`` (require a store_text index) add the stored
+    _source / an <em>-snippet for the FINAL top-k only — shards emit text
+    for their per-segment top-k candidates, never the match set."""
     import ray
     import ray.data as rd
 
@@ -927,17 +1048,18 @@ def run_queries(
         entry["query_ids"].append(int(row.query_id))
     plan = list(plan_by_key.values())
     if not plan:  # every query analyzed to nothing / absent terms only
-        return rd.from_pandas(
-            pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype=np.int64),
-                    "rank": pd.Series([], dtype=np.int64),
-                    "doc_id": pd.Series([], dtype=np.int64),
-                    "key": pd.Series([], dtype=object),
-                    "score": pd.Series([], dtype=np.float64),
-                }
-            )
-        )
+        empty0 = {
+            "query_id": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "key": pd.Series([], dtype=object),
+            "score": pd.Series([], dtype=np.float64),
+        }
+        if fetch:
+            empty0["text"] = pd.Series([], dtype=object)
+        if highlight:
+            empty0["highlight"] = pd.Series([], dtype=object)
+        return rd.from_pandas(pd.DataFrame(empty0))
     for pid_, q in enumerate(plan):
         q["plan_id"] = pid_
     QUERY_METRICS["query_batches"] += 1
@@ -945,12 +1067,17 @@ def run_queries(
     QUERY_METRICS["unique_plans"] += len(plan)
     QUERY_METRICS["segments_scheduled"] += len(parts)
     QUERY_METRICS["terms_looked_up"] += len(all_terms)
-    plan_ref = ray.put((plan, avgdl, k1, b, manifest.get("tombstones", {})))
+    plan_ref = ray.put(
+        (plan, avgdl, k1, b, manifest.get("tombstones", {}), fetch or highlight)
+    )
     k_map = {q["plan_id"]: q["k"] for q in plan}
     window_map = {
         q["plan_id"]: (q.get("offset", 0), q.get("size", q["k"])) for q in plan
     }
     fanout_map = {q["plan_id"]: q["query_ids"] for q in plan}
+    terms_map = {
+        q["plan_id"]: sorted(set(q.get("phrase") or q["terms"])) for q in plan
+    }
 
     n_blocks = max(concurrency * 2, len(parts) // 4)
     shards = rd.from_pandas(pd.DataFrame({"part_id": parts})).repartition(
@@ -963,6 +1090,12 @@ def run_queries(
         batch_size=4,
         concurrency=concurrency,
     )
+
+    out_cols = ["query_id", "rank", "doc_id", "key", "score"]
+    if fetch:
+        out_cols.append("text")
+    if highlight:
+        out_cols.append("highlight")
 
     def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -979,21 +1112,237 @@ def run_queries(
                     "score": scores[order],
                 }
             )
+            if fetch or highlight:
+                texts = g["text"].to_numpy()[order]
+                if highlight:
+                    terms = terms_map.get(int(pid_), [])
+                    top["highlight"] = [make_snippet(t, terms) for t in texts]
+                if fetch:
+                    top["text"] = texts
             # fan the merged plan result out to every query sharing it
             for qid in fanout_map.get(int(pid_), []):
                 out.append(top.assign(query_id=np.int64(qid)))
         if not out:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype=np.int64),
-                    "rank": pd.Series([], dtype=np.int64),
-                    "doc_id": pd.Series([], dtype=np.int64),
-                    "key": pd.Series([], dtype=object),
-                    "score": pd.Series([], dtype=np.float64),
-                }
-            )
-        return pd.concat(out, ignore_index=True)[
-            ["query_id", "rank", "doc_id", "key", "score"]
-        ]
+            empty = {
+                "query_id": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "key": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64),
+            }
+            for c in out_cols[5:]:
+                empty[c] = pd.Series([], dtype=object)
+            return pd.DataFrame(empty)
+        return pd.concat(out, ignore_index=True)[out_cols]
 
     return bucketed_group_agg(partials, ["plan_id"], merge_bucket)
+
+
+def _shards_ds(parts: list[int], concurrency: int):
+    import pandas as pd
+    import ray.data as rd
+
+    n_blocks = max(concurrency * 2, len(parts) // 4)
+    return rd.from_pandas(pd.DataFrame({"part_id": parts})).repartition(
+        max(1, min(n_blocks, len(parts)))
+    )
+
+
+def _match_set_plans(queries: pd.DataFrame) -> list[dict]:
+    """Deduped match-set plans for _count / terms-agg: unique
+    (terms, require_all, filter_lang) entries carrying their query_ids.
+    Needs NO global-stats pass — segment_matching_ids handles per-segment
+    term absence exactly."""
+    plan_by_key: dict[tuple, dict] = {}
+    for row in queries.itertuples(index=False):
+        lang_q = getattr(row, "lang", None)
+        terms = sorted(set(get_analyzer(lang_q).tokenize(row.text)))
+        require_all = (getattr(row, "operator", None) or "or") == "and"
+        filter_lang = getattr(row, "filter_lang", None)
+        key = (tuple(terms), require_all, filter_lang)
+        entry = plan_by_key.get(key)
+        if entry is None:
+            entry = plan_by_key[key] = {
+                "query_ids": [],
+                "terms": terms,
+                "require_all": require_all,
+                "filter_lang": filter_lang,
+            }
+        entry["query_ids"].append(int(row.query_id))
+    plan = list(plan_by_key.values())
+    for pid_, q in enumerate(plan):
+        q["plan_id"] = pid_
+    return plan
+
+
+def _run_match_set(
+    queries_ds, index_dir: str, field: str | None, cfg: EngineConfig, concurrency: int | None
+) -> tuple[pd.DataFrame, list[dict]]:
+    """Shared distributed driver for _count (field=None) and terms agg:
+    segments as the Dataset, plans broadcast, per-(plan[,value]) partial
+    counts summed in a bucketed merge.  Returns (summed partials, plan)."""
+    import ray
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    concurrency = concurrency or cfg.query_concurrency or 2
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    plan = _match_set_plans(queries)
+    if not plan:
+        return pd.DataFrame({"plan_id": [], "value": [], "n": []}), plan
+    plan_ref = ray.put((plan, manifest.get("tombstones", {}), field))
+    partials = _shards_ds(parts, concurrency).map_batches(
+        MatchSetStage,
+        fn_constructor_args=(index_dir, plan_ref, cfg),
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+
+    def sum_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["plan_id", "value"], as_index=False).agg(n=("n_partial", "sum"))
+        return g.astype({"plan_id": np.int64, "n": np.int64})
+
+    summed = bucketed_group_agg(partials, ["plan_id", "value"], sum_bucket).to_pandas()
+    return summed, plan
+
+
+def run_counts(
+    queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT, concurrency: int | None = None
+) -> pd.DataFrame:
+    """Distributed ES _count: (query_id, n_matching) for every input
+    query (0 when nothing matches).  The match-set evaluation runs
+    segment-parallel through the LRU-capped MatchSetStage pool; only one
+    count row per (plan, segment) ever reaches the merge."""
+    summed, plan = _run_match_set(queries_ds, index_dir, None, cfg, concurrency)
+    by_plan = (
+        summed.groupby("plan_id")["n"].sum().to_dict() if len(summed) else {}
+    )
+    rows = [
+        {"query_id": qid, "n_matching": int(by_plan.get(q["plan_id"], 0))}
+        for q in plan
+        for qid in q["query_ids"]
+    ]
+    return (
+        pd.DataFrame(rows, columns=["query_id", "n_matching"])
+        .sort_values("query_id")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "n_matching": np.int64})
+    )
+
+
+def run_agg_terms(
+    queries_ds,
+    index_dir: str,
+    field: str = "lang",
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES terms aggregation over each query's match set:
+    (query_id, value, n_docs) in ES bucket order (n_docs desc, value
+    asc).  ``field`` is 'lang' or any cfg.keyword_cols field stored at
+    build time."""
+    summed, plan = _run_match_set(queries_ds, index_dir, field, cfg, concurrency)
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    out = []
+    if len(summed):
+        for pid_, g in summed.groupby("plan_id", sort=True):
+            g = g.sort_values(["n", "value"], ascending=[False, True], kind="mergesort")
+            for qid in fanout.get(int(pid_), []):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qid),
+                            "value": g["value"].to_numpy(),
+                            "n_docs": g["n"].to_numpy(),
+                        }
+                    )
+                )
+    if not out:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "value": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype=np.int64),
+            }
+        )
+    return (
+        pd.concat(out, ignore_index=True)
+        .sort_values("query_id", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "n_docs": np.int64})
+    )
+
+
+def run_mget(
+    keys: list[str],
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+    fetch: bool = False,
+) -> pd.DataFrame:
+    """Distributed ES _mget: point lookups via per-segment key-hash
+    binary search.  Only segments whose manifest covers a wanted key's
+    routing partition are scheduled; each emits O(|keys|) candidate rows;
+    the driver keeps the newest live version per key (result size is
+    bounded by |keys| by construction)."""
+    import ray
+
+    concurrency = concurrency or cfg.query_concurrency or 2
+    want = np.asarray(list(keys), dtype=object)
+    manifest = read_manifest(index_dir)
+    P = int(manifest.get("num_partitions", 1))
+    want_parts = set(int(p) for p in route_partition(want, P)) if want.size else set()
+    touched = []
+    for sid_str, pm in manifest["part_manifests"].items():
+        covered = (
+            set(int(x) for x in pm["partitions"])
+            if "partitions" in pm
+            else {int(pm.get("partition", int(sid_str)))}
+        )
+        if covered & want_parts:
+            touched.append(int(sid_str))
+    cols = ["key", "doc_id", "lang", "found"] + (["text"] if fetch else [])
+    if not touched or want.size == 0:
+        base = pd.DataFrame(
+            {"key": want, "doc_id": np.int64(-1), "lang": None, "found": False}
+        )
+        if fetch:
+            base["text"] = None
+        return base[cols].astype({"doc_id": np.int64, "found": bool})
+    plan_ref = ray.put((want, manifest.get("tombstones", {}), fetch))
+    cand = (
+        _shards_ds(sorted(touched), concurrency)
+        .map_batches(
+            MgetStage,
+            fn_constructor_args=(index_dir, plan_ref, cfg),
+            batch_format="pandas",
+            batch_size=4,
+            concurrency=concurrency,
+        )
+        .to_pandas()  # O(|keys|) rows by construction — never O(n_docs)
+    )
+    best: dict[str, tuple[int, dict]] = {}
+    for r in cand.itertuples(index=False):
+        prev = best.get(r.key)
+        if prev is None or int(r.doc_id) > prev[0]:
+            best[r.key] = (
+                int(r.doc_id),
+                {"lang": r.lang, "text": getattr(r, "text", None)},
+            )
+    rows = []
+    for k_ in keys:
+        b_ = best.get(k_)
+        rows.append(
+            {
+                "key": k_,
+                "doc_id": b_[0] if b_ else -1,
+                "lang": b_[1]["lang"] if b_ else None,
+                "found": b_ is not None,
+                "text": b_[1]["text"] if b_ else None,
+            }
+        )
+    out = pd.DataFrame(rows)
+    return out[cols].astype({"doc_id": np.int64, "found": bool})
