@@ -643,6 +643,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _lang_id_oracle_sql() -> str:
+    """DuckDB replay of LangIdStage: same trigram extraction (full 3-grams
+    of lower(text)), same integer profile weights, same argmax tie-break
+    (score desc, seed-declaration priority asc), 'und' for gram-less docs."""
+    from kafka_es_ray.pipelines.text_ops import LangIdStage
+
+    rows = []
+    for pri, (lang, prof) in enumerate(LangIdStage.int_profiles().items()):
+        for g, w in sorted(prof.items()):
+            rows.append("('{}', {}, '{}', {})".format(lang, pri, g.replace("'", "''"), w))
+    vals = ",\n              ".join(rows)
+    return f"""
+        WITH prof(lang, priority, g, w) AS (VALUES {vals}),
+        docs AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+        grams AS (
+          SELECT doc_id, substr(t, i::INTEGER, 3) AS g
+          FROM docs, LATERAL (SELECT unnest(range(1, greatest(length(t) - 1, 1))) AS i) idx
+        ),
+        ng AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        langs AS (SELECT DISTINCT lang, priority FROM prof),
+        scores AS (
+          SELECT gr.doc_id, p.lang, sum(p.w) AS s
+          FROM grams gr JOIN prof p ON p.g = gr.g GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT d.doc_id, l.lang, l.priority, coalesce(s.s, 0) AS s
+          FROM (SELECT doc_id FROM documents) d
+          CROSS JOIN langs l
+          LEFT JOIN scores s ON s.doc_id = d.doc_id AND s.lang = l.lang
+        ),
+        pick AS (
+          SELECT doc_id, lang, row_number() OVER (
+            PARTITION BY doc_id ORDER BY s DESC, priority ASC) AS rn
+          FROM grid
+        )
+        SELECT d.doc_id,
+               CASE WHEN coalesce(ng.n, 0) = 0 THEN 'und' ELSE p.lang END AS lang_pred
+        FROM documents d
+        LEFT JOIN ng ON ng.doc_id = d.doc_id
+        JOIN pick p ON p.doc_id = d.doc_id AND p.rn = 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
@@ -898,7 +941,40 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0 END, 6) AS mean_token_len
             FROM t
         """,
-        # lang_id, simhash, minhash_dups, embedding_neardup, pages_pipeline,
-        # media_features: not SQL-expressible (heuristic models / sketches /
-        # self-synthesized corpus / binary payloads) -> rows-only check.
+        # simhash's term hash is md5-based PRECISELY so DuckDB can replay
+        # it: md5_number_lower(t) == little-endian uint64 of md5 bytes
+        # [8:16] (SimHashStage contract).  Bit votes are exact integer
+        # sums; the uint64 simhash is wrapped to BIGINT on both sides.
+        "simhash": f"""
+            WITH toks AS (
+              SELECT doc_id, md5_number_lower(term) AS h, count(*)::BIGINT AS cnt
+              FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+              GROUP BY doc_id, term
+            ),
+            bits(bit) AS (SELECT unnest(range(64))),
+            votes AS (
+              SELECT doc_id, bit,
+                     sum(CASE WHEN ((h >> bit) & 1) = 1 THEN cnt ELSE -cnt END) AS v
+              FROM toks CROSS JOIN bits GROUP BY 1, 2
+            ),
+            sh AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS s
+              FROM votes GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   (CASE WHEN coalesce(sh.s, 0) >= 9223372036854775808::HUGEINT
+                         THEN coalesce(sh.s, 0) - 18446744073709551616::HUGEINT
+                         ELSE coalesce(sh.s, 0) END)::BIGINT AS simhash
+            FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
+        """,
+        # lang_id scores are EXACT integers (LangIdStage.int_profiles:
+        # count * LCM/total), so the SQL argmax reproduces the Python
+        # argmax bit-for-bit; ties break by seed priority on both sides.
+        "lang_id": _lang_id_oracle_sql(),
+        # minhash_dups, embedding_neardup, pages_pipeline, media_features,
+        # ann_ivf_topk, approx_distinct_users, actions_*: not
+        # SQL-expressible (approximate sketches / self-synthesized corpus /
+        # binary payloads / wire formats) -> rows-only check + pytest
+        # oracles (recall-vs-exact, planted pairs, codec round-trips).
     }

@@ -15,6 +15,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 
@@ -475,27 +477,50 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.2, shingle: int = 3):
 
 class SimHashStage:
     """64-bit SimHash over token hashes — per-batch vectorized, no
-    shuffle; near-dups = small Hamming distance."""
+    shuffle; near-dups = small Hamming distance.
+
+    Term hash contract (SQL-oracle parity): h(t) = little-endian uint64 of
+    md5(utf8(t)) bytes [8:16] == DuckDB ``md5_number_lower(t)`` — verified
+    against DuckDB 1.0.  The output is the uint64 simhash REINTERPRETED as
+    int64 (two's-complement wrap), matching the oracle's HUGEINT-
+    accumulate-then-wrap cast, so both sides compare as plain BIGINT."""
 
     def __init__(self):
         self.an = get_analyzer("en")
         self.bits = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+        self._hcache: dict[str, int] = {}
+
+    def _hash_terms(self, terms: np.ndarray) -> np.ndarray:
+        # md5 per UNIQUE term with a cross-batch cache: corpus vocabulary
+        # is tiny relative to the token stream, so the digest cost amortizes
+        if len(self._hcache) > 1_000_000:
+            self._hcache.clear()
+        c = self._hcache
+        out = np.empty(terms.size, dtype=np.uint64)
+        for i, t in enumerate(terms):
+            h = c.get(t)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+                c[t] = h
+            out[i] = h
+        return out
 
     def simhash(self, tokens: list[str]) -> int:
         if not tokens:
             return 0
         terms, tf = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
-        h = stable_hash64(terms)
+        h = self._hash_terms(terms)
         bits = ((h[:, None] & self.bits) != 0).astype(np.int64)  # (n_terms, 64)
         v = (bits * 2 - 1).T @ tf  # weighted bit votes
-        return int((self.bits[0][v > 0]).sum())
+        return int(int((self.bits[0][v > 0]).sum().astype(np.uint64)))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         toks = self.an.tokenize_series(batch["text"])
+        u64 = np.array([self.simhash(t) for t in toks], dtype=np.uint64)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].astype(np.int64),
-                "simhash": pd.Series([self.simhash(t) for t in toks], dtype=np.uint64),
+                "simhash": u64.view(np.int64),
             }
         )
 

@@ -168,8 +168,13 @@ class LangIdStage:
     """Character-n-gram heuristic language ID (no external models).
 
     Scores each doc against per-language trigram profiles built from
-    small frozen seed text; vectorized via per-batch numpy ops.  Not
-    SQL-expressible -> rows-only correctness check."""
+    small frozen seed text.  Scoring is EXACT integer arithmetic so the
+    DuckDB SQL oracle can reproduce the argmax bit-for-bit: the profile
+    weight of gram g in language L is count_L(g) * (LCM / total_L) where
+    LCM is the least common multiple of the four seeds' gram totals — an
+    integer rescaling of the old count/total probability that preserves
+    the ordering (the per-doc division by n_grams is constant across
+    languages and dropped).  Ties break by seed declaration order."""
 
     SEEDS = {
         "en": "the quick brown fox jumps over the lazy dog and the cat is on the mat with a hat",
@@ -178,21 +183,35 @@ class LangIdStage:
         "es": "el rapido zorro marron salta sobre el perro perezoso y el gato esta en la alfombra",
     }
 
-    def __init__(self):
-        self.profiles = {}
-        for lang, seed in self.SEEDS.items():
+    @classmethod
+    def int_profiles(cls) -> dict[str, dict[str, int]]:
+        """lang -> {gram: integer weight}; shared with the SQL oracle."""
+        import math
+
+        counts = {}
+        totals = {}
+        for lang, seed in cls.SEEDS.items():
             grams = [seed[i : i + 3] for i in range(len(seed) - 2)]
             g, c = np.unique(np.asarray(grams, dtype=object), return_counts=True)
-            self.profiles[lang] = dict(zip(g.tolist(), (c / c.sum()).tolist()))
+            counts[lang] = dict(zip(g.tolist(), c.tolist()))
+            totals[lang] = int(c.sum())
+        lcm = math.lcm(*totals.values())
+        return {
+            lang: {g: int(c) * (lcm // totals[lang]) for g, c in cnt.items()}
+            for lang, cnt in counts.items()
+        }
+
+    def __init__(self):
+        self.profiles = self.int_profiles()
 
     def _score(self, text: str) -> str:
         t = (text or "").lower()
         grams = [t[i : i + 3] for i in range(max(0, len(t) - 2))]
         if not grams:
             return "und"
-        best, best_s = "und", -1.0
+        best, best_s = "und", -1
         for lang, prof in self.profiles.items():
-            s = sum(prof.get(g, 0.0) for g in grams) / len(grams)
+            s = sum(prof.get(g, 0) for g in grams)
             if s > best_s:
                 best, best_s = lang, s
         return best

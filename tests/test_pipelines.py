@@ -27,6 +27,8 @@ SQL_SUBSET = [
     "lang_stats",
     "doc_quality",
     "distinct_users",
+    "simhash",
+    "lang_id",
 ]
 
 
@@ -53,7 +55,7 @@ def test_sql_oracle_parity(ray_session, con, name):
 
 def test_rows_only_pipelines_run(ray_session):
     qs = entrymod.queries()
-    for name in ("lang_id", "simhash", "minhash_dups", "embedding_neardup", "media_features"):
+    for name in ("minhash_dups", "embedding_neardup", "media_features"):
         res = to_pandas(qs[name](SF))
         assert len(res) > 0, name
 
