@@ -79,6 +79,73 @@ _BM25_AND_SQL = _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(
     having="HAVING count(*) = (SELECT count(*) FROM queries q2 WHERE q2.query_id = q.query_id)"
 )
 
+# title tokens := analyzer over the source column (the multi-field index
+# maps title := source, body := text)
+_TOK_TITLE = _TOK.replace("lower(text)", "lower(source)")
+
+# ES multi_match most_fields: per-field BM25 (own df/idf/dl/avgdl per
+# field), per-field score round6'd, the cross-field sum re-round6'd —
+# exactly the engine's score contract (engine.multi_match docstring).
+# Query derivation mirrored: body terms ranked by (body df desc, term),
+# title terms by (title df desc, term); queries = [b1], [b1 t1], [t1],
+# [b2 b3].
+_MULTI_MATCH_SQL = f"""
+WITH fields AS (
+  SELECT 'body' AS field, doc_id, {_TOK} AS toks FROM documents
+  UNION ALL
+  SELECT 'title' AS field, doc_id, {_TOK_TITLE} AS toks FROM documents
+),
+dl AS (SELECT field, doc_id, len(toks)::DOUBLE AS dl FROM fields),
+stats AS (SELECT count(*)::DOUBLE AS n FROM documents),
+fstats AS (SELECT field, avg(dl) AS avgdl FROM dl GROUP BY 1),
+toks AS (SELECT field, doc_id, unnest(toks) AS term FROM fields),
+tf AS (SELECT field, doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2, 3),
+df AS (SELECT field, term, count(*)::DOUBLE AS df FROM tf GROUP BY 1, 2),
+body_ranked AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r
+  FROM df WHERE field = 'body'
+),
+title_ranked AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r
+  FROM df WHERE field = 'title'
+),
+queries AS (
+  SELECT 0 AS query_id, term FROM body_ranked WHERE r = 1
+  UNION ALL SELECT 1, term FROM body_ranked WHERE r = 1
+  UNION ALL SELECT 1, term FROM title_ranked WHERE r = 1
+  UNION ALL SELECT 2, term FROM title_ranked WHERE r = 1
+  UNION ALL SELECT 3, term FROM body_ranked WHERE r IN (2, 3)
+),
+qterms AS (SELECT DISTINCT query_id, term FROM queries),
+fscores AS (
+  SELECT q.query_id, tf.field, tf.doc_id,
+         round(sum(
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / fs.avgdl))
+         ), 6) AS fscore
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term AND df.field = tf.field
+  JOIN dl ON dl.doc_id = tf.doc_id AND dl.field = tf.field
+  JOIN fstats fs ON fs.field = tf.field
+  CROSS JOIN stats s
+  GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT query_id, doc_id, round(sum(fscore), 6) AS score
+  FROM fscores GROUP BY 1, 2
+),
+topk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM scores
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10
+"""
+
 
 def entry() -> Any:
     """Flagship pipeline on sf0.001: build the inverted index over the
@@ -115,6 +182,15 @@ def _q_bm25_topk_and(sf_dir: str):
         return res[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_multi_match(sf_dir: str):
+    """ES multi_match most_fields over a TWO-FIELD index (title := source,
+    body := text): per-field BM25 (own df/idf/length-norm/avgdl per field)
+    summed per doc — distributed run_queries path."""
+    from kafka_es_ray.pipelines.fulltext import multi_match_topk_documents
+
+    return multi_match_topk_documents(sf_dir)
 
 
 def _q_phrase_topk(sf_dir: str):
@@ -609,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_and": _q_bm25_topk_and,
+        "multi_match_topk": _q_multi_match,
         "match_count": _q_match_count,
         "match_must_not": _q_match_must_not,
         "match_lang_agg": _q_match_lang_agg,
@@ -690,6 +767,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
+        "multi_match_topk": _MULTI_MATCH_SQL,
         "match_must_not": _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(
             having="""HAVING NOT EXISTS (
                SELECT 1 FROM tf t2

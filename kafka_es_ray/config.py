@@ -66,6 +66,18 @@ class EngineConfig:
     # built-in lang column.
     keyword_cols: tuple[str, ...] = ()
 
+    # --- multi-field documents (ES mapped text fields — the reference's
+    # free-form JSON sources carry nested {"title":…, "body":…} docs,
+    # JsonConverterTests.kt:110-115).  When set, build_index tokenizes
+    # EACH named input column as its own field: postings terms are
+    # "{field}\x1f{token}" (the unit separator can never appear in a
+    # token), per-field lengths land in fl_{field} docstore columns, and
+    # block-min-dl is computed from the posting's OWN field length so
+    # MaxScore bounds stay exact per field.  Query side: search(field=…)
+    # scores one field; multi_match(fields=[…]) sums per-field BM25
+    # (ES most_fields).  None = single-field legacy (unprefixed terms).
+    text_fields: tuple[str, ...] | None = None
+
     # --- segment writer retry loop (reference: retry.interval=30s doubling
     # to max.retry.interval=300s, Actors.kt:236-259).  Local FS writes fail
     # rarely; keep short.

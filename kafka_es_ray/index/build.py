@@ -160,6 +160,64 @@ def _postings_from_tokens(
     return out + (tok_pos[order],)
 
 
+def _tokenize_multi_field(
+    g: pd.DataFrame, fields: tuple[str, ...], langs: pd.Series
+) -> tuple[pa.LargeListArray, dict[str, np.ndarray]]:
+    """Multi-field tokenize: each field's tokens are prefixed with
+    '{field}\\x1f' ARROW-side (binary_join_element_wise — no per-token
+    Python objects) and the per-field lists interleave into ONE combined
+    list per doc, field-declaration order inside each doc.  A field's
+    tokens stay contiguous, so intra-field position deltas survive in the
+    combined stream and phrase matching on prefixed terms needs no
+    position surgery (cross-field adjacency can't false-match: the
+    prefixes differ).  Returns (combined list array, {field: token
+    counts per doc})."""
+    import pyarrow.compute as pc
+
+    n = len(g)
+    flats: list[pa.Array] = []
+    field_dls: dict[str, np.ndarray] = {}
+    for f in fields:
+        texts_f = (
+            g[f].reset_index(drop=True).fillna("")
+            if f in g.columns
+            else pd.Series([""] * n, dtype=object)
+        )
+        tok = pd.Series([None] * n, dtype=object)
+        for lang in langs.unique():
+            mask = (langs == lang).to_numpy()
+            tok[mask] = get_analyzer(lang).tokenize_series_bytes(texts_f[mask])
+        arr = pa.array(list(tok), type=pa.list_(pa.binary()))
+        offs = arr.offsets.to_numpy().astype(np.int64)
+        field_dls[f] = np.diff(offs - offs[0]).astype(np.int64)
+        flat = pc.list_flatten(arr)
+        flats.append(
+            pc.binary_join_element_wise(
+                pa.scalar((f + "\x1f").encode()), flat, pa.scalar(b"")
+            )
+        )
+    doc_of = np.concatenate(
+        [np.repeat(np.arange(n, dtype=np.int64), field_dls[f]) for f in fields]
+    )
+    frank = np.concatenate(
+        [np.full(int(field_dls[f].sum()), fi, dtype=np.int64) for fi, f in enumerate(fields)]
+    )
+    # stable by (doc, field): within a (doc, field) run the original token
+    # order — i.e. document order — is preserved
+    order = np.lexsort((frank, doc_of))
+    all_flat = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in flats])
+    combined_flat = all_flat.take(pa.array(order, type=pa.int64()))
+    total_lens = np.sum([field_dls[f] for f in fields], axis=0).astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(total_lens, out=offsets[1:])
+    return (
+        pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), combined_flat.cast(pa.binary())
+        ),
+        field_dls,
+    )
+
+
 def _encode_positions_column(
     positions_flat: np.ndarray, p_tfs: np.ndarray, term_starts: np.ndarray, n_postings: int
 ) -> pa.Array:
@@ -248,11 +306,15 @@ def build_segment_for_group(
 
     # 4. tokenize per lang (analyzer chain per SURVEY §2 E6) — bytes fast
     # path: tokens stay UTF-8 bytes until the (small) vocabulary decode
-    token_lists = pd.Series([None] * len(g), dtype=object)
-    for lang in langs.unique():
-        mask = (langs == lang).to_numpy()
-        an = get_analyzer(lang)
-        token_lists[mask] = an.tokenize_series_bytes(texts[mask])
+    field_dls: dict[str, np.ndarray] | None = None
+    if cfg.text_fields:
+        token_lists, field_dls = _tokenize_multi_field(g, cfg.text_fields, langs)
+    else:
+        token_lists = pd.Series([None] * len(g), dtype=object)
+        for lang in langs.unique():
+            mask = (langs == lang).to_numpy()
+            an = get_analyzer(lang)
+            token_lists[mask] = an.tokenize_series_bytes(texts[mask])
 
     res = _postings_from_tokens(token_lists, doc_ids, want_positions=cfg.index_positions)
     uniq_terms, term_code, p_ids, p_tfs, doc_len = res[:5]
@@ -283,7 +345,21 @@ def build_segment_for_group(
     block_start = np.repeat(term_starts, nb) + binner * B
     block_end = np.minimum(block_start + B, np.repeat(term_ends, nb))
     if n_postings:
-        dl_at = doc_len[np.searchsorted(doc_ids, p_ids)]
+        if field_dls is not None:
+            # multi-field: a prefixed term's block-min-dl must come from
+            # the posting's OWN field length or the MaxScore upper bound
+            # (decreasing in dl) would under-estimate and prune true hits
+            fmap = {f: i for i, f in enumerate(cfg.text_fields)}
+            f_of_term = np.fromiter(
+                (fmap[t.split("\x1f", 1)[0]] for t in uniq_terms),
+                dtype=np.int64,
+                count=n_terms,
+            )
+            dl_stack = np.stack([field_dls[f] for f in cfg.text_fields]).astype(np.int64)
+            term_of_posting = np.repeat(np.arange(n_terms, dtype=np.int64), run_lens)
+            dl_at = dl_stack[f_of_term[term_of_posting], np.searchsorted(doc_ids, p_ids)]
+        else:
+            dl_at = doc_len[np.searchsorted(doc_ids, p_ids)]
         bmax_tf = np.maximum.reduceat(p_tfs, block_start).astype(np.uint32)
         bmin_dl = np.minimum.reduceat(dl_at, block_start).astype(np.uint32)
         blast = p_ids[block_end - 1].astype(np.uint64)
@@ -335,6 +411,11 @@ def build_segment_for_group(
             else np.full(len(g), "", dtype=object)
         )
         store_cols[f"kw_{kw}"] = pa.array(vals, type=pa.string())
+    if field_dls is not None:
+        # per-field token counts (ES per-field norms): BM25 on a prefixed
+        # term divides by ITS field's length, not the doc total
+        for f in cfg.text_fields:
+            store_cols[f"fl_{f}"] = pa.array(field_dls[f], type=pa.int32())
     if cfg.store_text:
         # ES _source stored field: docstore carries the doc text
         store_cols["text"] = pa.array(texts.to_numpy(), type=pa.string())
@@ -366,6 +447,8 @@ def build_segment_for_group(
         ],
         "build_secs": round(time.time() - t0, 3),
     }
+    if field_dls is not None:
+        manifest["sum_dl_fields"] = {f: int(field_dls[f].sum()) for f in cfg.text_fields}
     # per-partition manifest written LAST = the commit point (D9 analog)
     seg.atomic_write_json(
         manifest, seg.part_manifest_path(index_dir, segment_id),
@@ -414,6 +497,7 @@ def build_index(
 
     keep = [c for c in (key_col, lang_col, ts_col, seq_col, id_col, routing_col, op_col) if c]
     keep += [c for c in cfg.keyword_cols if c not in keep]
+    keep += [c for c in (cfg.text_fields or ()) if c not in keep]
     stage = ExtractStage(
         num_partitions=cfg.num_partitions,
         key_col=key_col,
@@ -476,6 +560,27 @@ def build_index(
         "b": cfg.b,
         "metrics": metrics,
         "part_manifests": {str(p): part_manifests[p] for p in parts},
+        # multi-field stats (cfg.text_fields): per-field avgdl for the
+        # per-field BM25 norm at query time
+        **(
+            {
+                "text_fields": list(cfg.text_fields),
+                "avgdl_fields": {
+                    f: (
+                        sum(
+                            m.get("sum_dl_fields", {}).get(f, 0)
+                            for m in part_manifests.values()
+                        )
+                        / n_docs
+                        if n_docs
+                        else 0.0
+                    )
+                    for f in cfg.text_fields
+                },
+            }
+            if cfg.text_fields
+            else {}
+        ),
         # per-partition doc_id rank allocation counters: partition p has
         # allocated local ranks [0, alloc[p]).  Written at build time so
         # later merges can drop per-partition manifests without losing the

@@ -411,6 +411,22 @@ def apply_incremental(
         "n_docs": n_docs,
         "sum_dl": sum_dl,
         "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        # multi-field: per-field avgdl tracks delta segments the same way
+        **(
+            {
+                "avgdl_fields": {
+                    f: (
+                        sum(m.get("sum_dl_fields", {}).get(f, 0) for m in pm.values())
+                        / n_docs
+                        if n_docs
+                        else 0.0
+                    )
+                    for f in manifest["text_fields"]
+                }
+            }
+            if "text_fields" in manifest
+            else {}
+        ),
         "alloc": alloc,
         # each apply reserves P segment ids (sid = next_sid + part), so a
         # retried apply regenerates identical ids and file names

@@ -91,6 +91,14 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
         )[ds_order]
         for f in kw_fields
     }
+    # per-field length columns (multi-field index) survive the same way
+    fl_fields = sorted(set.intersection(*[set(s.field_dl) for s in segs])) if segs else []
+    fl_merged = {
+        f: np.concatenate([s.field_dl[f][m] for s, m in zip(segs, ds_alive)]).astype(
+            np.int64
+        )[ds_order]
+        for f in fl_fields
+    }
 
     # union of dictionaries
     all_terms = np.unique(np.concatenate([s.terms for s in segs]))
@@ -193,7 +201,20 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
     block_start = np.repeat(term_starts, nb) + binner * B
     block_end = np.minimum(block_start + B, np.repeat(term_ends, nb))
     if n_postings:
-        dl_at = doc_len[np.searchsorted(doc_ids, flat_ids)]
+        if fl_fields:
+            # multi-field: block-min-dl from each prefixed term's OWN field
+            # (same rule as the build — keeps MaxScore bounds exact-safe)
+            fmap = {f: i for i, f in enumerate(fl_fields)}
+            f_of_term = np.fromiter(
+                (fmap[t.split("\x1f", 1)[0]] for t in all_terms),
+                dtype=np.int64,
+                count=n_terms,
+            )
+            dl_stack = np.stack([fl_merged[f] for f in fl_fields])
+            term_of_p = np.repeat(np.arange(n_terms, dtype=np.int64), run_lens)
+            dl_at = dl_stack[f_of_term[term_of_p], np.searchsorted(doc_ids, flat_ids)]
+        else:
+            dl_at = doc_len[np.searchsorted(doc_ids, flat_ids)]
         bmax_tf = np.maximum.reduceat(flat_tfs, block_start).astype(np.uint32)
         bmin_dl = np.minimum.reduceat(dl_at, block_start).astype(np.uint32)
         blast = flat_ids[block_end - 1].astype(np.uint64)
@@ -232,6 +253,8 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
         store_cols["text"] = pa.array(texts, type=pa.string())
     for f, vals in kw_merged.items():
         store_cols[f"kw_{f}"] = pa.array(vals, type=pa.string())
+    for f, vals in fl_merged.items():
+        store_cols[f"fl_{f}"] = pa.array(vals, type=pa.int32())
     docstore_table = pa.table(store_cols)
     seg.atomic_write_table(
         postings_table, seg.postings_path(index_dir, out_part_id),
@@ -266,6 +289,10 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
             os.path.basename(seg.docstore_path(index_dir, out_part_id)),
         ],
     }
+    if fl_fields:
+        manifest_out["sum_dl_fields"] = {
+            f: int(fl_merged[f].sum()) for f in fl_fields
+        }
     seg.atomic_write_json(manifest_out, seg.part_manifest_path(index_dir, out_part_id))
     return manifest_out
 
@@ -332,6 +359,26 @@ def merge_index(index_dir: str, merge_factor: int = 4, cfg: EngineConfig = DEFAU
         "n_docs": n_docs,
         "sum_dl": sum_dl,
         "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        # multi-field: merge purged tombstoned docs, so per-field avgdl is
+        # recomputed from the merged segments' per-field sums
+        **(
+            {
+                "avgdl_fields": {
+                    f: (
+                        sum(
+                            m.get("sum_dl_fields", {}).get(f, 0)
+                            for m in new_parts.values()
+                        )
+                        / n_docs
+                        if n_docs
+                        else 0.0
+                    )
+                    for f in manifest["text_fields"]
+                }
+            }
+            if "text_fields" in manifest
+            else {}
+        ),
         "alloc": alloc,
         "next_segment_id": id_base + len(groups),
         "tombstones": {},

@@ -175,6 +175,9 @@ class Segment:
     texts_arr: pa.Array | None  # stored _source text when cfg.store_text
     key_hash: np.ndarray     # uint64 stable_hash64(key), aligned (sorted-key mget)
     kw_arr: dict             # extra keyword columns {field: pa.Array} (cfg.keyword_cols)
+    # multi-field per-field token counts {field: int64 array aligned with
+    # doc_ids_store} (cfg.text_fields) — BM25 norms for prefixed terms
+    field_dl: dict           # {field: np.ndarray}
     n_docs: int
     sum_dl: int
     # deleted-but-not-yet-merged doc ids (sorted; the Lucene deleted-docs
@@ -246,6 +249,11 @@ class Segment:
                 n[3:]: _combined(dt.column(n))
                 for n in dt.schema.names
                 if n.startswith("kw_")
+            },
+            field_dl={
+                n[3:]: dt.column(n).to_numpy().astype(np.int64)
+                for n in dt.schema.names
+                if n.startswith("fl_")
             },
             n_docs=dt.num_rows,
             sum_dl=int(doc_len.sum()),
@@ -376,19 +384,24 @@ class Segment:
         ids, tfs, _ = self.postings_with_dl(ti)
         return ids, tfs
 
-    def postings_with_dl(self, ti: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(doc_ids, tfs, dl) decoded, LRU-cached per actor."""
-        hit = self._cache.get(ti)
+    def postings_with_dl(
+        self, ti: int, field: str | None = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, tfs, dl) decoded, LRU-cached per actor.  ``field``
+        (multi-field index, prefixed term) picks that field's length
+        column as dl."""
+        ck = ti if field is None else (ti, field)
+        hit = self._cache.get(ck)
         if hit is not None:
-            self._cache.move_to_end(ti)
+            self._cache.move_to_end(ck)
             return hit
         n = int(self.df[ti])
         ids = delta_decode(self.doc_ids_enc[ti].as_py(), n)
         tfs = varint_decode(self.tfs_enc[ti].as_py(), n).astype(np.int64)
-        dl = self.dl_for(ids)
+        dl = self.dl_for(ids, field)
         self.decoded_postings += n
         entry = (ids, tfs, dl)
-        self._cache[ti] = entry
+        self._cache[ck] = entry
         self._cache_postings += n
         while self._cache_postings > self._cache_cap and len(self._cache) > 1:
             _, (old_ids, _, _) = self._cache.popitem(last=False)
@@ -424,7 +437,7 @@ class Segment:
         )
 
     def lookup_postings(
-        self, ti: int, cand: np.ndarray
+        self, ti: int, cand: np.ndarray, field: str | None = None
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Membership probe of ``cand`` (sorted doc ids) against term
         ``ti``'s postings WITHOUT decoding the whole list: block-last-doc
@@ -440,7 +453,7 @@ class Segment:
             np.int64
         )
         n_blocks = blast.size
-        cached = self._cache.get(ti)
+        cached = self._cache.get(ti if field is None else (ti, field))
         # which block could contain each candidate (first block whose
         # last doc >= cand); out-of-range candidates match no block
         bidx = np.searchsorted(blast, cand)
@@ -453,7 +466,7 @@ class Segment:
             or blocks.size * 2 >= n_blocks  # selective wouldn't save much
         )
         if use_full:
-            ids, tfs, dl = self.postings_with_dl(ti)
+            ids, tfs, dl = self.postings_with_dl(ti, field)
             pos = np.searchsorted(ids, cand)
             pos_c = np.minimum(pos, ids.size - 1)
             hit = ids[pos_c] == cand
@@ -494,7 +507,7 @@ class Segment:
         pos_c = np.minimum(pos, ids_sel.size - 1) if ids_sel.size else pos * 0
         hit = (ids_sel[pos_c] == cand) if ids_sel.size else np.zeros(cand.size, dtype=bool)
         ph = pos_c[hit]
-        return hit, tfs_sel[ph], self.dl_for(ids_sel[ph])
+        return hit, tfs_sel[ph], self.dl_for(ids_sel[ph], field)
 
     def term_score_ub(self, ti: int, avgdl: float, k1: float, b: float) -> float:
         """Exact-safe per-term upper bound of the BM25 tf-part within this
@@ -515,11 +528,12 @@ class Segment:
         self._ub_cache[ti] = ub
         return ub
 
-    def dl_for(self, doc_ids: np.ndarray) -> np.ndarray:
+    def dl_for(self, doc_ids: np.ndarray, field: str | None = None) -> np.ndarray:
         """doc_len lookup; doc ids within a segment are dense-sortable so
-        this is a searchsorted over the docstore ids."""
+        this is a searchsorted over the docstore ids.  ``field`` selects a
+        per-field length column (multi-field index)."""
         idx = np.searchsorted(self.doc_ids_store, doc_ids)
-        return self.doc_len[idx]
+        return (self.doc_len if field is None else self.field_dl[field])[idx]
 
     def _take_str(self, arr: pa.Array, idx: np.ndarray) -> np.ndarray:
         """Fetch only the requested rows of a string column (Arrow take);

@@ -100,6 +100,87 @@ def bm25_topk_documents(sf_dir: str, index_dir: str | None = None, k: int = 10) 
             shutil.rmtree(index_dir, ignore_errors=True)
 
 
+MF_CFG = EngineConfig(num_partitions=8, text_fields=("title", "body"))
+
+
+def build_documents_mf_index(sf_dir: str, index_dir: str, cfg: EngineConfig = MF_CFG) -> dict:
+    """Multi-field documents index: title := source (a short keyword-ish
+    text field), body := text — the ES mapped-fields analog for the
+    reference's nested JSON sources (JsonConverterTests.kt:110-115)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "key": batch.column("doc_id").cast(pa.string()),
+                "title": batch.column("source"),
+                "body": batch.column("text"),
+                "lang": batch.column("lang"),
+            }
+        )
+
+    return build_index(
+        ds.map_batches(shape, batch_format="pyarrow"),
+        index_dir,
+        cfg,
+        key_col="key",
+        text_col="body",
+        lang_col="lang",
+        html_col=None,
+        ts_col=None,
+        id_col="doc_id",
+    )
+
+
+def _ranked_field_terms(searcher: IndexSearcher, field: str, n: int) -> list[str]:
+    """Top-n UNPREFIXED terms of one field by (df desc, term asc) from the
+    segment dictionaries — the multi-field analog of derive_query_set's
+    derivation, reproduced exactly by the oracle's row_number() ranking."""
+    pref = field + "\x1f"
+    df_map: dict[str, int] = {}
+    for s in searcher.segments:
+        for t, d in zip(s.terms, s.df):
+            if t.startswith(pref):
+                bare = t[len(pref):]
+                df_map[bare] = df_map.get(bare, 0) + int(d)
+    return [t for t, _ in sorted(df_map.items(), key=lambda kv: (-kv[1], kv[0]))[:n]]
+
+
+def multi_match_topk_documents(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """ES multi_match most_fields over the title/body index, DISTRIBUTED
+    path (run_queries): four derived queries mixing body-only, title-only
+    and cross-field terms; returns (query_id, rank, doc_id, score).
+    Derivation rule (oracle-mirrored): body terms b1..b3 and title term t1
+    ranked by (field df desc, term asc); queries = [b1], [b1 t1], [t1],
+    [b2 b3]."""
+    from kafka_es_ray.query.engine import run_queries
+
+    index_dir = tempfile.mkdtemp(prefix="kafka_es_ray_mfidx_")
+    try:
+        build_documents_mf_index(sf_dir, index_dir)
+        searcher = IndexSearcher(index_dir, MF_CFG)
+        b1, b2, b3 = _ranked_field_terms(searcher, "body", 3)
+        (t1,) = _ranked_field_terms(searcher, "title", 1)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(4, dtype=np.int64),
+                "text": [b1, f"{b1} {t1}", t1, f"{b2} {b3}"],
+                "type": "multi_match",
+                "fields": "title,body",
+                "k": np.int32(k),
+            }
+        )
+        out = run_queries(queries, index_dir, MF_CFG).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 def pages_pipeline(n_rows: int = 1000, num_partitions: int = 8, index_dir: str | None = None) -> pd.DataFrame:
     """The reference pipeline end-to-end on the input_hint-shaped corpus:
     synthesize pages -> build index (html recovery, LWW, per-lang

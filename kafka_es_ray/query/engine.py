@@ -62,6 +62,12 @@ class IndexSearcher:
         self.avgdl = float(self.manifest["avgdl"]) or 1.0
         self.k1 = float(self.manifest.get("k1", cfg.k1))
         self.b = float(self.manifest.get("b", cfg.b))
+        # multi-field index (cfg.text_fields at build): per-field avgdl
+        self.text_fields = self.manifest.get("text_fields")
+        self.avgdl_fields = {
+            f: float(v) or 1.0
+            for f, v in self.manifest.get("avgdl_fields", {}).items()
+        }
 
     # ---- corpus stats ----
     def global_df(self, terms: list[str]) -> np.ndarray:
@@ -88,9 +94,14 @@ class IndexSearcher:
         offset: int = 0,
         highlight: bool = False,
         must_not: str | None = None,
+        field: str | None = None,
     ) -> pd.DataFrame:
         """Top-k docs for one query string.  Returns DataFrame
         (rank, doc_id, key, score) with the determinism contract applied.
+
+        ``field`` (multi-field index only) restricts the match to one
+        mapped text field: terms are prefixed, BM25 norms use the field's
+        own length + avgdl (ES match on a mapped field).
 
         ``prune=True`` enables block-max MaxScore pruning (exact — results
         are identical to the exhaustive path, tested): terms whose
@@ -106,7 +117,7 @@ class IndexSearcher:
         try:
             out = self._search(
                 text, lang, k, prune, operator, filter_lang, fetch or highlight, offset,
-                must_not=must_not,
+                must_not=must_not, field=field,
             )
             if highlight:
                 terms = sorted(set(get_analyzer(lang).tokenize(text)))
@@ -131,6 +142,7 @@ class IndexSearcher:
         fetch: bool,
         offset: int,
         must_not: str | None = None,
+        field: str | None = None,
     ) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -142,6 +154,12 @@ class IndexSearcher:
         )
         terms = sorted(set(get_analyzer(lang).tokenize(text)))
         mn_terms = sorted(set(get_analyzer(lang).tokenize(must_not))) if must_not else None
+        avgdl_use = self.avgdl
+        if field is not None:
+            # prefixing preserves sort order (shared prefix)
+            terms = [f"{field}\x1f{t}" for t in terms]
+            mn_terms = [f"{field}\x1f{t}" for t in mn_terms] if mn_terms else None
+            avgdl_use = self.avgdl_fields[field]
         self.metrics["terms_looked_up"] += len(terms)
         if not terms:
             return empty
@@ -171,6 +189,8 @@ class IndexSearcher:
                 require_all=(operator == "and"),
                 filter_lang=filter_lang,
                 must_not_terms=mn_terms,
+                dl_field=field,
+                avgdl=avgdl_use,
             )
             if ids.size == 0:
                 continue
@@ -229,11 +249,93 @@ class IndexSearcher:
         require_all: bool = False,
         filter_lang: str | None = None,
         must_not_terms: list[str] | None = None,
+        dl_field: str | None = None,
+        avgdl: float | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         return score_segment(
-            s, terms, idf, self.avgdl, self.k1, self.b, theta,
-            require_all=require_all, filter_lang=filter_lang,
-            must_not_terms=must_not_terms,
+            s, terms, idf, self.avgdl if avgdl is None else avgdl, self.k1, self.b,
+            theta, require_all=require_all, filter_lang=filter_lang,
+            must_not_terms=must_not_terms, dl_field=dl_field,
+        )
+
+    def multi_match(
+        self,
+        text: str,
+        fields: list[str],
+        lang: str | None = None,
+        k: int = 10,
+        offset: int = 0,
+    ) -> pd.DataFrame:
+        """ES multi_match type=most_fields: per-field BM25 (each field's
+        own df, idf, length norm and avgdl) SUMMED per doc.  Score
+        contract: score = round6(Σ_f round6(bm25_f)) — each field score is
+        rounded by score_segment, the sum re-rounded before ranking.
+
+        Exact and pruning-free: per-field MaxScore thresholds cannot bound
+        the cross-field SUM, so every field is scored exhaustively; a doc
+        lives in exactly ONE segment, so summing inside the segment and
+        merging per-segment top-k windows globally is exact."""
+        empty = pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "key": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64),
+            }
+        )
+        base_terms = sorted(set(get_analyzer(lang).tokenize(text)))
+        self.metrics["searches"] += 1
+        if not base_terms:
+            return empty
+        per_field: list[tuple[str, list[str], np.ndarray]] = []
+        for f in fields:
+            terms_f = [f"{f}\x1f{t}" for t in base_terms]
+            df = self.global_df(terms_f)
+            keep = df > 0
+            kept = [t for t, m in zip(terms_f, keep) if m]
+            if not kept:
+                continue
+            per_field.append((f, kept, bm25_idf(df[keep], self.n_docs)))
+        if not per_field:
+            return empty
+        keff = k + offset
+        cand_ids, cand_scores, cand_keys = [], [], []
+        for s in self.segments:
+            ids_list, sc_list = [], []
+            for f, terms_f, idf in per_field:
+                ids, sc = self._score_segment(
+                    s, terms_f, idf, None, dl_field=f, avgdl=self.avgdl_fields[f]
+                )
+                if ids.size:
+                    ids_list.append(ids)
+                    sc_list.append(sc)
+            if not ids_list:
+                continue
+            all_ids = np.concatenate(ids_list)
+            u, inv = np.unique(all_ids, return_inverse=True)
+            acc = np.zeros(u.size, dtype=np.float64)
+            np.add.at(acc, inv, np.concatenate(sc_list))
+            acc = np.asarray(round6(acc))
+            if u.size > keff:
+                kth = -np.partition(-acc, keff - 1)[keff - 1]
+                sel = np.flatnonzero(acc >= kth)
+                u, acc = u[sel], acc[sel]
+            cand_ids.append(u)
+            cand_scores.append(acc)
+            cand_keys.append(s.keys_for(u))
+        if not cand_ids:
+            return empty
+        ids = np.concatenate(cand_ids)
+        scores = np.concatenate(cand_scores)
+        keys = np.concatenate(cand_keys)
+        order = np.lexsort((ids, -scores))[offset : offset + k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(offset + 1, offset + 1 + order.size, dtype=np.int64),
+                "doc_id": ids[order],
+                "key": keys[order],
+                "score": scores[order],
+            }
         )
 
     def matching_ids(
@@ -607,6 +709,7 @@ def score_segment(
     require_all: bool = False,
     filter_lang: str | None = None,
     must_not_terms: list[str] | None = None,
+    dl_field: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized BM25 scoring of one segment.  With a threshold, MaxScore
     splits terms into essential (union-scored) and non-essential
@@ -616,7 +719,10 @@ def score_segment(
     ``require_all`` = ES match operator=and (a doc must contain every
     query term; exact under pruning because a doc with all terms contains
     every essential term, so it is always in the candidate union).
-    ``filter_lang`` post-filters by the docstore lang column."""
+    ``filter_lang`` post-filters by the docstore lang column.
+    ``dl_field`` (multi-field index, field-prefixed ``terms``): BM25 norms
+    use that field's length column; ``avgdl`` must then be the FIELD's
+    average length (manifest avgdl_fields)."""
     tis = [(i, s.lookup(t)) for i, t in enumerate(terms)]
     present = [(i, ti) for i, ti in tis if ti >= 0]
     if not present or (require_all and len(present) < len(terms)):
@@ -633,7 +739,9 @@ def score_segment(
         ess_idx = set(order[n_nonessential:].tolist())
         essential = [present[j] for j in sorted(ess_idx)]
 
-    cand = np.unique(np.concatenate([s.postings_with_dl(ti)[0] for _, ti in essential]))
+    cand = np.unique(
+        np.concatenate([s.postings_with_dl(ti, dl_field)[0] for _, ti in essential])
+    )
     if cand.size == 0:
         return cand, np.array([], dtype=np.float64)
     ess_set = {ti for _, ti in essential}
@@ -641,7 +749,7 @@ def score_segment(
     nmatch = np.zeros(cand.size, dtype=np.int32) if require_all else None
     for i, ti in present:  # ascending term order (determinism contract)
         if ti in ess_set:
-            ids, tfs, dl = s.postings_with_dl(ti)
+            ids, tfs, dl = s.postings_with_dl(ti, dl_field)
             pos = np.searchsorted(cand, ids)
             acc[pos] += idf[i] * bm25_tf_part(tfs, dl, avgdl, k1, b)
             if nmatch is not None:
@@ -650,7 +758,7 @@ def score_segment(
             # non-essential lookup: block-max skip pointers decode only
             # the blocks that can contain candidates (never the whole,
             # typically head-term, posting list)
-            hit, tf_h, dl_h = s.lookup_postings(ti, cand)
+            hit, tf_h, dl_h = s.lookup_postings(ti, cand, dl_field)
             if hit.any():
                 acc[hit] += idf[i] * bm25_tf_part(tf_h, dl_h, avgdl, k1, b)
                 if nmatch is not None:
@@ -774,18 +882,40 @@ class ShardScorerStage(_SegmentCacheStage):
                         seg, q["phrase"], q["idf_sum"], self.avgdl, self.k1, self.b,
                         q.get("slop", 0),
                     )
+                elif "mm" in q:
+                    # multi_match most_fields: per-field BM25 summed per
+                    # doc INSIDE the segment (a doc lives in exactly one
+                    # segment, so the global merge of per-segment windows
+                    # stays exact); pruning off — per-field thresholds
+                    # cannot bound the cross-field sum
+                    ids_l, sc_l = [], []
+                    for pf in q["mm"]:
+                        i2, s2 = score_segment(
+                            seg, pf["terms"], pf["idf"], pf["avgdl"],
+                            self.k1, self.b, None, dl_field=pf["field"],
+                        )
+                        if i2.size:
+                            ids_l.append(i2)
+                            sc_l.append(s2)
+                    if not ids_l:
+                        continue
+                    ids, inv = np.unique(np.concatenate(ids_l), return_inverse=True)
+                    acc = np.zeros(ids.size, dtype=np.float64)
+                    np.add.at(acc, inv, np.concatenate(sc_l))
+                    scores = np.asarray(round6(acc))
                 else:
                     ids, scores = score_segment(
                         seg,
                         q["terms"],
                         q["idf"],
-                        self.avgdl,
+                        q.get("avgdl") or self.avgdl,
                         self.k1,
                         self.b,
                         theta,
                         require_all=q.get("require_all", False),
                         filter_lang=q.get("filter_lang"),
                         must_not_terms=q.get("must_not"),
+                        dl_field=q.get("dl_field"),
                     )
                 if ids.size == 0:
                     continue
@@ -975,14 +1105,30 @@ def run_queries(
     k1 = float(manifest.get("k1", cfg.k1))
     b = float(manifest.get("b", cfg.b))
 
-    # phase 1: global stats for all query terms (dictionaries only)
-    all_terms = sorted(
-        {
-            t
-            for row in queries.itertuples(index=False)
-            for t in get_analyzer(getattr(row, "lang", None)).tokenize(row.text)
-        }
-    )
+    avgdl_fields = manifest.get("avgdl_fields", {})
+
+    def _row_str(row, name: str) -> str | None:
+        v = getattr(row, name, None)
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return None
+        return str(v)
+
+    # phase 1: global stats for all query terms (dictionaries only) —
+    # field-scoped rows (match field=… / multi_match fields=…) look up the
+    # PREFIXED terms, which is what a multi-field dictionary stores
+    terms_set: set[str] = set()
+    for row in queries.itertuples(index=False):
+        toks = get_analyzer(getattr(row, "lang", None)).tokenize(row.text)
+        flds_s = _row_str(row, "fields")
+        fld = _row_str(row, "field")
+        if (getattr(row, "type", None) or "match") == "multi_match" and flds_s:
+            for f in flds_s.split(","):
+                terms_set.update(f"{f}\x1f{t}" for t in toks)
+        elif fld:
+            terms_set.update(f"{fld}\x1f{t}" for t in toks)
+        else:
+            terms_set.update(toks)
+    all_terms = sorted(terms_set)
     gdf = _collect_global_stats(index_dir, parts, all_terms)
     df_map = dict(zip(all_terms, gdf))
 
@@ -1016,7 +1162,49 @@ def run_queries(
                 }
             entry["query_ids"].append(int(row.query_id))
             continue
-        all_q_terms = sorted(set(get_analyzer(lang_q).tokenize(row.text)))
+        base_terms = sorted(set(get_analyzer(lang_q).tokenize(row.text)))
+        offset = int(getattr(row, "offset", 0) or 0)  # ES from/size
+        flds_s = _row_str(row, "fields")
+        if (getattr(row, "type", None) or "match") == "multi_match" and flds_s:
+            # ES multi_match most_fields: per-field BM25 summed per doc
+            # (see IndexSearcher.multi_match for the exactness argument)
+            per_field = []
+            for f in flds_s.split(","):
+                kept = [
+                    f"{f}\x1f{t}" for t in base_terms if df_map.get(f"{f}\x1f{t}", 0) > 0
+                ]
+                if not kept:
+                    continue
+                idf_f = bm25_idf(
+                    np.array([df_map[t] for t in kept], dtype=np.int64), n_docs
+                )
+                per_field.append(
+                    {
+                        "field": f,
+                        "terms": kept,
+                        "idf": np.asarray(idf_f, dtype=np.float64),
+                        "avgdl": float(avgdl_fields.get(f, 0)) or 1.0,
+                    }
+                )
+            if not per_field:
+                continue
+            key = ("mm", tuple(tuple(p["terms"]) for p in per_field), k, offset)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "mm": per_field,
+                    "hl_terms": base_terms,
+                    "k": k + offset,
+                    "offset": offset,
+                    "size": k,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        fld = _row_str(row, "field")
+        all_q_terms = (
+            [f"{fld}\x1f{t}" for t in base_terms] if fld else base_terms
+        )
         require_all = (getattr(row, "operator", None) or "or") == "and"
         terms = [t for t in all_q_terms if df_map.get(t, 0) > 0]
         if not terms:
@@ -1024,19 +1212,22 @@ def run_queries(
         if require_all and len(terms) < len(all_q_terms):
             continue  # a globally-absent term under AND matches nothing
         filter_lang = getattr(row, "filter_lang", None)
-        offset = int(getattr(row, "offset", 0) or 0)  # ES from/size
         mn_raw = getattr(row, "must_not", None)
         if mn_raw is None or (isinstance(mn_raw, float) and pd.isna(mn_raw)):
             mn_terms = None
         else:
-            mn_terms = tuple(sorted(set(get_analyzer(lang_q).tokenize(str(mn_raw))))) or None
-        key = (tuple(terms), k, require_all, filter_lang, offset, mn_terms)
+            mn_base = sorted(set(get_analyzer(lang_q).tokenize(str(mn_raw))))
+            if fld:
+                mn_base = [f"{fld}\x1f{t}" for t in mn_base]
+            mn_terms = tuple(mn_base) or None
+        key = (tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld)
         entry = plan_by_key.get(key)
         if entry is None:
             idf = bm25_idf(np.array([df_map[t] for t in terms], dtype=np.int64), n_docs)
             entry = plan_by_key[key] = {
                 "query_ids": [],
                 "terms": terms,
+                "hl_terms": base_terms,
                 "idf": np.asarray(idf, dtype=np.float64),
                 "k": k + offset,  # shards keep the whole rank window
                 "offset": offset,
@@ -1044,6 +1235,8 @@ def run_queries(
                 "require_all": require_all,
                 "filter_lang": filter_lang,
                 "must_not": list(mn_terms) if mn_terms else None,
+                "dl_field": fld,
+                "avgdl": (float(avgdl_fields.get(fld, 0)) or 1.0) if fld else None,
             }
         entry["query_ids"].append(int(row.query_id))
     plan = list(plan_by_key.values())
@@ -1076,7 +1269,10 @@ def run_queries(
     }
     fanout_map = {q["plan_id"]: q["query_ids"] for q in plan}
     terms_map = {
-        q["plan_id"]: sorted(set(q.get("phrase") or q["terms"])) for q in plan
+        q["plan_id"]: sorted(
+            set(q.get("hl_terms") or q.get("phrase") or q["terms"])
+        )
+        for q in plan
     }
 
     n_blocks = max(concurrency * 2, len(parts) // 4)

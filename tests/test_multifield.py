@@ -1,0 +1,200 @@
+"""Multi-field documents (cfg.text_fields): ES mapped text fields — the
+reference's free-form JSON sources carry nested {"title":…, "body":…}
+docs (JsonConverterTests.kt:110-115).  Each field gets its own postings
+(prefixed terms), own length norm + avgdl; multi_match most_fields sums
+per-field BM25.  Oracle here is a from-scratch numpy BM25 per field."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kafka_es_ray.config import EngineConfig
+from kafka_es_ray.index.build import build_index
+from kafka_es_ray.index.merge import merge_index
+from kafka_es_ray.query.bm25 import round6
+from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+CFG = EngineConfig(num_partitions=2, text_fields=("title", "body"))
+
+DOCS = pd.DataFrame(
+    {
+        "url": [f"u{i}" for i in range(8)],
+        "title": [
+            "alpha report",
+            "beta summary",
+            "alpha beta notes",
+            "zebra findings",        # 'zebra' appears ONLY in this title
+            "gamma overview",
+            "delta alpha digest",
+            "notes on gamma",
+            "beta beta beta",
+        ],
+        "body": [
+            "alpha alpha text about things and stuff",
+            "beta text with alpha mentions inside",
+            "completely unrelated body content here",
+            "body without the title animal at all",
+            "gamma gamma gamma dense body",
+            "short body",
+            "gamma text and alpha text mixed together",
+            "the last body mentions delta once",
+        ],
+        "lang": ["en"] * 8,
+    }
+)
+
+
+def _tok(s: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+
+def _field_scores(docs: pd.DataFrame, field: str, qterms: list[str]) -> dict[str, float]:
+    """round6 BM25 per key for one field (k1=1.2, b=0.75), absent terms
+    dropped — the engine's per-field score contract."""
+    toks = [_tok(t) for t in docs[field]]
+    n = len(docs)
+    dl = np.array([len(t) for t in toks], dtype=float)
+    avgdl = dl.mean() if n else 1.0
+    out: dict[str, float] = {}
+    for i, key in enumerate(docs["url"]):
+        sc = 0.0
+        for term in sorted(set(qterms)):
+            df = sum(term in set(t) for t in toks)
+            if df == 0:
+                continue
+            tf = toks[i].count(term)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            sc += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl[i] / avgdl))
+        if sc > 0:
+            out[key] = float(round6(sc))
+    return out
+
+
+@pytest.fixture(scope="module")
+def mf_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    idx = str(tmp_path_factory.mktemp("mfidx"))
+    build_index(rd.from_pandas(DOCS), idx, CFG, text_col="body", html_col=None, ts_col=None)
+    return idx
+
+
+def test_title_only_match(mf_index):
+    """A term present only in titles is found via field="title" and
+    invisible to a body-scoped match (per-field postings are disjoint)."""
+    s = IndexSearcher(mf_index, CFG)
+    hit = s.search("zebra", field="title")
+    assert hit["key"].tolist() == ["u3"]
+    assert len(s.search("zebra", field="body")) == 0
+    # and the reverse: a body-only word is invisible to title search
+    assert len(s.search("unrelated", field="title")) == 0
+    assert s.search("unrelated", field="body")["key"].tolist() == ["u2"]
+
+
+@pytest.mark.parametrize("field", ["title", "body"])
+@pytest.mark.parametrize("query", ["alpha", "beta notes", "gamma alpha", "zebra"])
+def test_field_scores_match_manual_oracle(mf_index, field, query):
+    s = IndexSearcher(mf_index, CFG)
+    got = s.search(query, field=field, k=20)
+    want = _field_scores(DOCS, field, _tok(query))
+    assert dict(zip(got["key"], got["score"])) == want
+    # determinism contract: score desc, doc_id asc
+    assert got["score"].is_monotonic_decreasing
+
+
+@pytest.mark.parametrize("query", ["alpha", "beta", "gamma alpha", "zebra body"])
+def test_multi_match_sums_per_field(mf_index, query):
+    """most_fields: score = round6(round6(title bm25) + round6(body bm25));
+    ranked (score desc, doc_id asc)."""
+    s = IndexSearcher(mf_index, CFG)
+    got = s.multi_match(query, ["title", "body"], k=20)
+    t = _field_scores(DOCS, "title", _tok(query))
+    b = _field_scores(DOCS, "body", _tok(query))
+    want = {
+        k: float(round6(t.get(k, 0.0) + b.get(k, 0.0)))
+        for k in set(t) | set(b)
+    }
+    assert dict(zip(got["key"], got["score"])) == want
+    assert got["score"].is_monotonic_decreasing
+
+
+def test_distributed_field_and_multi_match_parity(mf_index, ray_session):
+    """run_queries (segments-as-Dataset path) reproduces the
+    single-process field-scoped and multi_match results exactly."""
+    import ray.data as rd
+
+    s = IndexSearcher(mf_index, CFG)
+    qs = pd.DataFrame(
+        {
+            "query_id": np.arange(5, dtype=np.int64),
+            "text": ["alpha", "alpha", "zebra", "gamma alpha", "beta"],
+            "type": ["match", "match", "match", "multi_match", "multi_match"],
+            "field": ["title", "body", "title", None, None],
+            "fields": [None, None, None, "title,body", "title,body"],
+            "k": np.int32(20),
+        }
+    )
+    out = run_queries(rd.from_pandas(qs), mf_index, CFG, concurrency=2).to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    expected = []
+    for row in qs.itertuples(index=False):
+        if row.type == "multi_match":
+            r = s.multi_match(row.text, row.fields.split(","), k=int(row.k))
+        else:
+            r = s.search(row.text, field=row.field, k=int(row.k))
+        r = r.assign(query_id=np.int64(row.query_id))
+        expected.append(r)
+    exp = (
+        pd.concat(expected, ignore_index=True)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["query_id", "rank", "doc_id", "score"]].astype({"query_id": np.int64}),
+        exp[["query_id", "rank", "doc_id", "score"]].astype({"query_id": np.int64}),
+    )
+
+
+def test_merge_preserves_field_norms(ray_session, tmp_path):
+    """After merge_index the per-field length columns + avgdl_fields
+    survive and every field/multi_match result is byte-identical."""
+    import ray.data as rd
+
+    idx = str(tmp_path / "mfmerge")
+    build_index(rd.from_pandas(DOCS), idx, CFG, text_col="body", html_col=None, ts_col=None)
+    s0 = IndexSearcher(idx, CFG)
+    before = {
+        q: (
+            s0.search(q, field="title", k=20),
+            s0.search(q, field="body", k=20),
+            s0.multi_match(q, ["title", "body"], k=20),
+        )
+        for q in ["alpha", "gamma alpha", "zebra"]
+    }
+    merge_index(idx, merge_factor=2, cfg=CFG)
+    s1 = IndexSearcher(idx, CFG)
+    assert s1.avgdl_fields == s0.avgdl_fields
+    for q, (t0, b0, m0) in before.items():
+        pd.testing.assert_frame_equal(s1.search(q, field="title", k=20), t0)
+        pd.testing.assert_frame_equal(s1.search(q, field="body", k=20), b0)
+        pd.testing.assert_frame_equal(s1.multi_match(q, ["title", "body"], k=20), m0)
+
+
+def test_missing_field_column_treated_empty(ray_session, tmp_path):
+    """A doc batch lacking one mapped field indexes it as empty (ES doc
+    without the field) — no crash, zero-length norms."""
+    import ray.data as rd
+
+    docs = DOCS.drop(columns=["title"])
+    idx = str(tmp_path / "mfmissing")
+    build_index(rd.from_pandas(docs), idx, CFG, text_col="body", html_col=None, ts_col=None)
+    s = IndexSearcher(idx, CFG)
+    assert len(s.search("alpha", field="title")) == 0
+    assert len(s.search("alpha", field="body")) > 0
+    assert s.avgdl_fields["title"] == 1.0  # 0 coalesced to 1.0 guard
