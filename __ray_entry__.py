@@ -146,6 +146,59 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM topk WHERE rank <= 10
 """
 
+# ES match on the mapped title field only: same BM25 shape as _BM25_SQL
+# but every stat (tf/df/dl/avgdl) comes from the title (:= source) field;
+# n stays the whole corpus.  Derivation: title terms ranked by
+# (df desc, term asc); queries = [t1], [t1 t2], [t3], [t2 t4].
+_MATCH_TITLE_SQL = """
+WITH dl AS (
+  SELECT doc_id, len({_TOK_TITLE})::DOUBLE AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+toks AS (
+  SELECT doc_id, unnest({_TOK_TITLE}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+),
+ranked_terms AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+),
+queries AS (
+  SELECT 0 AS query_id, term FROM ranked_terms WHERE r = 1
+  UNION ALL SELECT 1, term FROM ranked_terms WHERE r IN (1, 2)
+  UNION ALL SELECT 2, term FROM ranked_terms WHERE r = 3
+  UNION ALL SELECT 3, term FROM ranked_terms WHERE r IN (2, 4)
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS raw_score
+  FROM queries q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT query_id, doc_id, round(raw_score, 6) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, doc_id ASC
+         ) AS rank
+  FROM scores
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10
+""".replace("{_TOK_TITLE}", _TOK_TITLE)
+
 
 def entry() -> Any:
     """Flagship pipeline on sf0.001: build the inverted index over the
@@ -191,6 +244,14 @@ def _q_multi_match(sf_dir: str):
     from kafka_es_ray.pipelines.fulltext import multi_match_topk_documents
 
     return multi_match_topk_documents(sf_dir)
+
+
+def _q_match_title(sf_dir: str):
+    """ES match on one mapped field (title) — BM25 with the field's own
+    df/idf/length-norm/avgdl, distributed run_queries path."""
+    from kafka_es_ray.pipelines.fulltext import match_title_topk_documents
+
+    return match_title_topk_documents(sf_dir)
 
 
 def _q_phrase_topk(sf_dir: str):
@@ -686,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "multi_match_topk": _q_multi_match,
+        "match_title_topk": _q_match_title,
         "match_count": _q_match_count,
         "match_must_not": _q_match_must_not,
         "match_lang_agg": _q_match_lang_agg,
@@ -768,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
         "multi_match_topk": _MULTI_MATCH_SQL,
+        "match_title_topk": _MATCH_TITLE_SQL,
         "match_must_not": _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(
             having="""HAVING NOT EXISTS (
                SELECT 1 FROM tf t2

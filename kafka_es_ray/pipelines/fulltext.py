@@ -181,6 +181,38 @@ def multi_match_topk_documents(sf_dir: str, k: int = 10) -> pd.DataFrame:
         shutil.rmtree(index_dir, ignore_errors=True)
 
 
+def match_title_topk_documents(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """ES match on ONE mapped field (field="title") over the title/body
+    index, DISTRIBUTED path: BM25 with the title field's own df/idf/
+    length-norm/avgdl.  Derivation rule (oracle-mirrored): title terms
+    t1..t4 ranked by (title df desc, term asc); queries = [t1], [t1 t2],
+    [t3], [t2 t4]."""
+    from kafka_es_ray.query.engine import run_queries
+
+    index_dir = tempfile.mkdtemp(prefix="kafka_es_ray_mtidx_")
+    try:
+        build_documents_mf_index(sf_dir, index_dir)
+        searcher = IndexSearcher(index_dir, MF_CFG)
+        t1, t2, t3, t4 = _ranked_field_terms(searcher, "title", 4)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(4, dtype=np.int64),
+                "text": [t1, f"{t1} {t2}", t3, f"{t2} {t4}"],
+                "type": "match",
+                "field": "title",
+                "k": np.int32(k),
+            }
+        )
+        out = run_queries(queries, index_dir, MF_CFG).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 def pages_pipeline(n_rows: int = 1000, num_partitions: int = 8, index_dir: str | None = None) -> pd.DataFrame:
     """The reference pipeline end-to-end on the input_hint-shaped corpus:
     synthesize pages -> build index (html recovery, LWW, per-lang

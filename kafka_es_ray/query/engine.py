@@ -425,7 +425,12 @@ class IndexSearcher:
         return out.astype({"doc_id": np.int64, "found": bool})
 
     def search_phrase(
-        self, text: str, lang: str | None = None, k: int = 10, slop: int = 0
+        self,
+        text: str,
+        lang: str | None = None,
+        k: int = 10,
+        slop: int = 0,
+        field: str | None = None,
     ) -> pd.DataFrame:
         """ES match_phrase analog (slop=0): docs containing the analyzed
         terms at consecutive positions.  Requires an index built with
@@ -435,8 +440,15 @@ class IndexSearcher:
         oracle): idf = Σ over phrase positions of bm25_idf(df(term_i))
         (repeats counted); tf = number of phrase occurrences in the doc;
         score = round6(idf * tf_part(tf, dl)); tie-break (score desc,
-        doc_id asc)."""
+        doc_id asc).
+
+        ``field`` (multi-field index): the phrase must occur inside that
+        mapped field; norms use the field's own length + avgdl."""
         phrase = get_analyzer(lang).tokenize(text)
+        avgdl_use = self.avgdl
+        if field is not None:
+            phrase = [f"{field}\x1f{t}" for t in phrase]
+            avgdl_use = self.avgdl_fields[field]
         empty = pd.DataFrame(
             {
                 "rank": pd.Series([], dtype=np.int64),
@@ -456,7 +468,9 @@ class IndexSearcher:
         idf_sum = float(sum(idf_map[t] for t in phrase))
 
         parts = [
-            score_segment_phrase(s, phrase, idf_sum, self.avgdl, self.k1, self.b, slop)
+            score_segment_phrase(
+                s, phrase, idf_sum, avgdl_use, self.k1, self.b, slop, dl_field=field
+            )
             for s in self.segments
         ]
         ids = np.concatenate([p[0] for p in parts]) if parts else np.array([], dtype=np.int64)
@@ -599,6 +613,7 @@ def score_segment_phrase(
     k1: float,
     b: float,
     slop: int = 0,
+    dl_field: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Phrase matching + scoring for ONE segment: candidate docs =
     intersection of the phrase terms' postings; with slop=0 a doc matches
@@ -619,13 +634,19 @@ def score_segment_phrase(
     criterion IS the shifted intersection); slop>0 filters the anchor
     keys against each element's key stream by nearest-neighbour distance
     (cross-doc neighbours differ by ≥ 2^32 >> slop, so no per-doc
-    boundary handling is needed)."""
+    boundary handling is needed).
+
+    ``dl_field`` (multi-field index, field-prefixed ``phrase`` terms):
+    BM25 norms use that field's length column; a field's tokens occupy a
+    contiguous run of the combined position stream, so intra-field
+    adjacency (and slop windows) are exactly the field-text positions and
+    cross-field sequences can never match (the prefixes differ)."""
     empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
     uniq = sorted(set(phrase))
     tis = {t: s.lookup(t) for t in uniq}
     if any(ti < 0 for ti in tis.values()):
         return empty
-    post = {t: s.postings_with_dl(tis[t]) for t in uniq}
+    post = {t: s.postings_with_dl(tis[t], dl_field) for t in uniq}
     cand = post[uniq[0]][0]
     for t in uniq[1:]:
         cand = cand[np.isin(cand, post[t][0], assume_unique=True)]
@@ -693,7 +714,7 @@ def score_segment_phrase(
     hit = tf_per_doc > 0
     ids = cand[hit]
     tfs = tf_per_doc[hit].astype(np.float64)
-    dls = s.dl_for(ids).astype(np.float64)
+    dls = s.dl_for(ids, dl_field).astype(np.float64)
     scores = np.asarray(round6(idf_sum * bm25_tf_part(tfs, dls, avgdl, k1, b)))
     return ids, scores
 
@@ -879,8 +900,9 @@ class ShardScorerStage(_SegmentCacheStage):
                 )
                 if "phrase" in q:
                     ids, scores = score_segment_phrase(
-                        seg, q["phrase"], q["idf_sum"], self.avgdl, self.k1, self.b,
-                        q.get("slop", 0),
+                        seg, q["phrase"], q["idf_sum"],
+                        q.get("avgdl") or self.avgdl, self.k1, self.b,
+                        q.get("slop", 0), dl_field=q.get("dl_field"),
                     )
                 elif "mm" in q:
                     # multi_match most_fields: per-field BM25 summed per
@@ -1139,8 +1161,15 @@ def run_queries(
         lang_q = getattr(row, "lang", None)
         k = int(getattr(row, "k", 10) or 10)
         if (getattr(row, "type", None) or "match") == "phrase":
-            # distributed match_phrase: ordered terms, repeats kept
+            # distributed match_phrase: ordered terms, repeats kept;
+            # field-scoped rows (multi-field index) prefix the terms and
+            # use the field's norms (intra-field positions are contiguous
+            # in the combined stream, so adjacency is field-text-exact)
             phrase = get_analyzer(lang_q).tokenize(row.text)
+            p_raw = phrase
+            p_fld = _row_str(row, "field")
+            if p_fld:
+                phrase = [f"{p_fld}\x1f{t}" for t in phrase]
             if not phrase or any(df_map.get(t, 0) == 0 for t in phrase):
                 continue
             idf_sum = float(
@@ -1156,9 +1185,14 @@ def run_queries(
                 entry = plan_by_key[key] = {
                     "query_ids": [],
                     "phrase": phrase,
+                    "hl_terms": sorted(set(p_raw)),
                     "idf_sum": idf_sum,
                     "k": k,
                     "slop": slop,
+                    "dl_field": p_fld,
+                    "avgdl": (
+                        (float(avgdl_fields.get(p_fld, 0)) or 1.0) if p_fld else None
+                    ),
                 }
             entry["query_ids"].append(int(row.query_id))
             continue

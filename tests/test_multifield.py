@@ -16,7 +16,7 @@ from kafka_es_ray.index.merge import merge_index
 from kafka_es_ray.query.bm25 import round6
 from kafka_es_ray.query.engine import IndexSearcher, run_queries
 
-CFG = EngineConfig(num_partitions=2, text_fields=("title", "body"))
+CFG = EngineConfig(num_partitions=2, text_fields=("title", "body"), index_positions=True)
 
 DOCS = pd.DataFrame(
     {
@@ -184,6 +184,59 @@ def test_merge_preserves_field_norms(ray_session, tmp_path):
         pd.testing.assert_frame_equal(s1.search(q, field="title", k=20), t0)
         pd.testing.assert_frame_equal(s1.search(q, field="body", k=20), b0)
         pd.testing.assert_frame_equal(s1.multi_match(q, ["title", "body"], k=20), m0)
+
+
+def test_field_scoped_phrase(mf_index):
+    """match_phrase inside one mapped field: intra-field adjacency only —
+    a phrase spanning the title/body boundary never matches, and the same
+    word pair matches per field independently."""
+    s = IndexSearcher(mf_index, CFG)
+    # "alpha beta" adjacent in u2's title, nowhere adjacent in bodies
+    hit = s.search_phrase("alpha beta", field="title")
+    assert hit["key"].tolist() == ["u2"]
+    assert len(s.search_phrase("alpha beta", field="body")) == 0
+    # "gamma gamma" repeats inside u4's body
+    assert s.search_phrase("gamma gamma", field="body")["key"].tolist() == ["u4"]
+    # cross-field adjacency: u0 title ends "report", u0 body starts "alpha"
+    # — the combined position stream makes them neighbours, but prefixed
+    # terms keep them in different fields
+    assert len(s.search_phrase("report alpha", field="title")) == 0
+    assert len(s.search_phrase("report alpha", field="body")) == 0
+    # slop window stays inside the field: "alpha notes" with slop 1
+    # matches u2's title "alpha beta notes"
+    assert s.search_phrase("alpha notes", field="title", slop=1)["key"].tolist() == ["u2"]
+    assert len(s.search_phrase("alpha notes", field="title", slop=0)) == 0
+
+
+def test_distributed_field_phrase_parity(mf_index, ray_session):
+    import ray.data as rd
+
+    s = IndexSearcher(mf_index, CFG)
+    qs = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2],
+            "text": ["alpha beta", "gamma gamma", "alpha notes"],
+            "type": "phrase",
+            "field": ["title", "body", "title"],
+            "slop": [0, 0, 1],
+            "k": 10,
+        }
+    )
+    out = run_queries(rd.from_pandas(qs), mf_index, CFG, concurrency=2).to_pandas()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    exp = pd.concat(
+        [
+            s.search_phrase(r.text, field=r.field, slop=int(r.slop)).assign(
+                query_id=np.int64(r.query_id)
+            )
+            for r in qs.itertuples(index=False)
+        ],
+        ignore_index=True,
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["query_id", "rank", "doc_id", "score"]].astype({"query_id": np.int64}),
+        exp[["query_id", "rank", "doc_id", "score"]].astype({"query_id": np.int64}),
+    )
 
 
 def test_missing_field_column_treated_empty(ray_session, tmp_path):
