@@ -32,11 +32,316 @@ from kafka_es_ray.index.build import _encode_positions_column, _large_binary_fro
 from kafka_es_ray.index.segment import Segment, read_manifest, write_manifest
 
 
+def _bin_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 data, int64 offsets) of a (Large)Binary column — value
+    i is data[off[i]:off[i+1]].  Zero-copy."""
+    arr = seg._combined(col)
+    bufs = arr.buffers()
+    width = 8 if pa.types.is_large_binary(arr.type) else 4
+    odt = np.int64 if width == 8 else np.int32
+    off = np.frombuffer(bufs[1], dtype=odt, count=len(arr) + 1, offset=arr.offset * width).astype(
+        np.int64
+    )
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data, off
+
+
+def _first_varints(data: np.ndarray, off: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized decode of the FIRST varint of each slice (the absolute
+    first-doc gap of each term's posting stream).  Returns (values uint64,
+    byte lengths int64)."""
+    starts = off[:-1]
+    n = starts.size
+    if n == 0:
+        return np.array([], dtype=np.uint64), np.array([], dtype=np.int64)
+    idx = np.minimum(starts[:, None] + np.arange(10, dtype=np.int64), data.size - 1)
+    m = data[idx]  # (n, 10)
+    ln = (((m & 0x80) == 0).argmax(axis=1) + 1).astype(np.int64)
+    take = np.arange(10) < ln[:, None]
+    vals = ((m & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * np.arange(10, dtype=np.uint64))) * take
+    return vals.sum(axis=1, dtype=np.uint64), ln
+
+
+def _ragged_scatter(
+    out: np.ndarray,
+    dst_starts: np.ndarray,
+    src: np.ndarray,
+    src_starts: np.ndarray,
+    lens: np.ndarray,
+) -> None:
+    """Copy ragged byte runs src[src_starts[i] : +lens[i]] to
+    out[dst_starts[i] : +lens[i]] in one vectorized gather/scatter."""
+    total = int(lens.sum())
+    if total == 0:
+        return
+    run_off = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=run_off[1:])
+    rel = np.arange(total, dtype=np.int64) - np.repeat(run_off, lens)
+    out[np.repeat(dst_starts, lens) + rel] = src[np.repeat(src_starts, lens) + rel]
+
+
+def _fast_merge_group(
+    index_dir: str, part_ids: list[int], out_part_id: int, cfg: EngineConfig, manifest: dict
+) -> dict | None:
+    """Byte-level concat merge — the linear pass the doc_id-range layout
+    promises: when no input segment carries tombstones and the (sorted)
+    segments' doc_id ranges are disjoint, a merged term's posting stream
+    is the byte CONCATENATION of the inputs' per-term streams with ONLY
+    the boundary gap re-encoded (first varint of every non-first run
+    becomes first_doc - prev_run_last_doc).  tfs / positions / block-max
+    arrays concatenate unchanged (positions re-anchor per posting run;
+    selective block decode re-anchors on the previous block's last doc,
+    which IS the patched-gap invariant); per-block byte offsets shift by
+    the preceding runs' byte lengths.  No posting is varint-decoded or
+    re-encoded — O(stream bytes) memcpy-style gathers instead of
+    decode+sort+encode — so merge cost is I/O-shaped at any scale.
+
+    Returns None when the preconditions fail (tombstones present,
+    interleaved doc ranges from delta segments, v1 format, or schema
+    mismatch) — the caller then runs the decode path."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    for p in part_ids:
+        if seg.manifest_tombstone_files(manifest, p):
+            return None
+    pairs = []
+    for p in sorted(part_ids):
+        pt = pq.read_table(seg.postings_path(index_dir, p))
+        st = pq.read_table(seg.docstore_path(index_dir, p))
+        if st.num_rows:
+            pairs.append((pt, st))
+    if not pairs:
+        return None
+    pairs.sort(key=lambda ps: ps[1].column("doc_id")[0].as_py())
+    names0 = list(pairs[0][0].schema.names)
+    snames0 = list(pairs[0][1].schema.names)
+    if "block_id_boff" not in names0:  # v1 segments: no per-block offsets
+        return None
+    for pt, st in pairs[1:]:
+        if list(pt.schema.names) != names0 or list(st.schema.names) != snames0:
+            return None
+    for (_, a), (_, b) in zip(pairs, pairs[1:]):
+        if a.column("doc_id")[-1].as_py() >= b.column("doc_id")[0].as_py():
+            return None  # interleaved ranges (delta segments): need re-sort
+    has_pos = "positions" in names0
+    S = len(pairs)
+
+    # ---- dictionary union (UTF-8 byte order == the build's sort order) ----
+    term_arrs = [seg._combined(pt.column("term")) for pt, _ in pairs]
+    all_terms_arr = pc.unique(pa.concat_arrays(term_arrs))
+    all_terms_arr = all_terms_arr.take(pc.array_sort_indices(all_terms_arr))
+    n_terms = len(all_terms_arr)
+    tpos = [
+        pc.index_in(t, value_set=all_terms_arr).to_numpy().astype(np.int64)
+        for t in term_arrs
+    ]
+    dfs = np.zeros(n_terms, dtype=np.int64)
+    for tp, (pt, _) in zip(tpos, pairs):
+        np.add.at(dfs, tp, pt.column("df").to_numpy().astype(np.int64))
+
+    # ---- per-(segment, term) contribution table, sorted (term, seg) ----
+    views = {
+        name: [_bin_view(pt.column(name)) for pt, _ in pairs]
+        for name in (
+            "doc_ids",
+            "tfs",
+            "block_max_tf",
+            "block_min_dl",
+            "block_last_doc",
+            "block_id_boff",
+            "block_tf_boff",
+        )
+        + (("positions",) if has_pos else ())
+    }
+    fv = [_first_varints(*views["doc_ids"][s]) for s in range(S)]
+    # last doc of each term's stream in each segment = last uint64 of its
+    # block_last_doc slice (no posting decode needed)
+    last_doc = []
+    for s in range(S):
+        bdata, boff = views["block_last_doc"][s]
+        idx = (boff[1:] - 8)[:, None] + np.arange(8, dtype=np.int64)
+        last_doc.append(np.ascontiguousarray(bdata[idx]).view(np.uint64).ravel())
+
+    contrib_term = np.concatenate(tpos)
+    contrib_seg = np.concatenate(
+        [np.full(tp.size, s, dtype=np.int64) for s, tp in enumerate(tpos)]
+    )
+    contrib_idx = np.concatenate([np.arange(tp.size, dtype=np.int64) for tp in tpos])
+    order_c = np.lexsort((contrib_seg, contrib_term))
+    ct = contrib_term[order_c]
+    cs = contrib_seg[order_c]
+    ci = contrib_idx[order_c]
+    nC = ct.size
+    is_first = np.ones(nC, dtype=bool)
+    is_first[1:] = ct[1:] != ct[:-1]
+
+    def per_contrib(per_seg: list[np.ndarray]) -> np.ndarray:
+        return np.concatenate(per_seg)[order_c]
+
+    first_val_c = per_contrib([fv[s][0] for s in range(S)]).astype(np.int64)
+    flen_c = per_contrib([fv[s][1] for s in range(S)])
+    lastdoc_c = per_contrib(last_doc).astype(np.int64)
+    prev_last_c = np.concatenate([[0], lastdoc_c[:-1]])
+    patched = (first_val_c - prev_last_c)[~is_first]
+    assert patched.size == 0 or (patched > 0).all(), "runs must ascend across segments"
+    patch_data_b, patch_off = varint_encode_with_offsets(patched.astype(np.uint64))
+    patch_data = np.frombuffer(patch_data_b, dtype=np.uint8)
+    patch_len_c = np.zeros(nC, dtype=np.int64)
+    patch_len_c[~is_first] = np.diff(patch_off)
+    patch_start_c = np.zeros(nC, dtype=np.int64)
+    patch_start_c[~is_first] = patch_off[:-1]
+
+    def slice_bounds(name: str) -> tuple[np.ndarray, np.ndarray]:
+        starts = per_contrib([views[name][s][1][:-1] for s in range(S)])
+        lens = per_contrib([np.diff(views[name][s][1]) for s in range(S)])
+        return starts, lens
+
+    def concat_column(name: str, cut_first: bool = False) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Concatenate per-term slices across segments (optionally
+        replacing each non-first run's first varint with its patch).
+        Returns (flat out bytes, per-term offsets, per-contrib out starts)."""
+        starts, lens = slice_bounds(name)
+        cut = np.where(cut_first & ~is_first, flen_c, 0)
+        add = np.where(cut_first & ~is_first, patch_len_c, 0)
+        out_len = lens - cut + add
+        out_start = np.zeros(nC, dtype=np.int64)
+        np.cumsum(out_len[:-1], out=out_start[1:])
+        total = int(out_len.sum())
+        out = np.empty(total, dtype=np.uint8)
+        if cut_first:
+            sel = ~is_first
+            _ragged_scatter(
+                out, out_start[sel], patch_data, patch_start_c[sel], patch_len_c[sel]
+            )
+        for s in range(S):
+            m = cs == s
+            _ragged_scatter(
+                out,
+                out_start[m] + add[m],
+                views[name][s][0],
+                starts[m] + cut[m],
+                lens[m] - cut[m],
+            )
+        term_bounds = np.concatenate([out_start[is_first], [total]])
+        return out, term_bounds, out_start
+
+    id_out, id_bounds, id_start_c = concat_column("doc_ids", cut_first=True)
+    tf_out, tf_bounds, tf_start_c = concat_column("tfs")
+    col_out = {
+        name: concat_column(name)[:2]
+        for name in ("block_max_tf", "block_min_dl", "block_last_doc")
+    }
+    if has_pos:
+        col_out["positions"] = concat_column("positions")[:2]
+
+    # ---- per-block byte offsets: shift by preceding runs' bytes; blocks
+    # past a patched first varint also shift by (patch - original) ----
+    def shifted_boff(name: str, stream_start_c: np.ndarray, delta_c: np.ndarray):
+        starts, lens = slice_bounds(name)
+        out_len = lens
+        out_start = np.zeros(nC, dtype=np.int64)
+        np.cumsum(out_len[:-1], out=out_start[1:])
+        total = int(out_len.sum())
+        out = np.empty(total, dtype=np.uint8)
+        for s in range(S):
+            m = cs == s
+            _ragged_scatter(out, out_start[m], views[name][s][0], starts[m], lens[m])
+        vals = out.view(np.uint32).astype(np.int64)
+        n_blocks_c = (lens // 4).astype(np.int64)
+        # shift of run r within its term = out-stream start of run r minus
+        # the term's stream start (monotone out starts -> max-accumulate)
+        term_stream_start = np.maximum.accumulate(np.where(is_first, stream_start_c, 0))
+        shift_c = stream_start_c - term_stream_start
+        rep_shift = np.repeat(shift_c, n_blocks_c)
+        rep_delta = np.repeat(delta_c, n_blocks_c)
+        # vals still hold the ORIGINAL within-run offsets here; a block
+        # whose original offset is 0 starts at the (possibly patched)
+        # first varint, so the patch length delta applies only past it
+        vals += rep_shift + np.where(vals > 0, rep_delta, 0)
+        term_bounds = np.concatenate([out_start[is_first], [total]])
+        return vals.astype(np.uint32).view(np.uint8), term_bounds
+
+    delta_id_c = np.where(is_first, 0, patch_len_c - flen_c)
+    bid_out, bid_bounds = shifted_boff("block_id_boff", id_start_c, delta_id_c)
+    btf_out, btf_bounds = shifted_boff("block_tf_boff", tf_start_c, np.zeros(nC, dtype=np.int64))
+
+    cols = {
+        "term": all_terms_arr.cast(pa.string()),
+        "df": pa.array(dfs, type=pa.int64()),
+        "doc_ids": _large_binary_from_slices(id_out.tobytes(), id_bounds),
+        "tfs": _large_binary_from_slices(tf_out.tobytes(), tf_bounds),
+        "block_max_tf": _large_binary_from_slices(
+            col_out["block_max_tf"][0].tobytes(), col_out["block_max_tf"][1]
+        ),
+        "block_min_dl": _large_binary_from_slices(
+            col_out["block_min_dl"][0].tobytes(), col_out["block_min_dl"][1]
+        ),
+        "block_last_doc": _large_binary_from_slices(
+            col_out["block_last_doc"][0].tobytes(), col_out["block_last_doc"][1]
+        ),
+        "block_id_boff": _large_binary_from_slices(bid_out.tobytes(), bid_bounds),
+        "block_tf_boff": _large_binary_from_slices(btf_out.tobytes(), btf_bounds),
+    }
+    if has_pos:
+        cols["positions"] = _large_binary_from_slices(
+            col_out["positions"][0].tobytes(), col_out["positions"][1]
+        )
+    postings_table = pa.table(cols)
+    docstore_table = pa.concat_tables([st for _, st in pairs]).combine_chunks()
+    seg.atomic_write_table(
+        postings_table, seg.postings_path(index_dir, out_part_id),
+        retries=cfg.write_retries, retry_delay_s=cfg.write_retry_delay_s,
+    )
+    seg.atomic_write_table(
+        docstore_table, seg.docstore_path(index_dir, out_part_id),
+        retries=cfg.write_retries, retry_delay_s=cfg.write_retry_delay_s,
+    )
+    covered: set[int] = set()
+    for p in part_ids:
+        pm = manifest["part_manifests"].get(str(p), {})
+        if "partitions" in pm:
+            covered.update(int(x) for x in pm["partitions"])
+        else:
+            covered.add(int(pm.get("partition", p)))
+    doc_len_col = docstore_table.column("doc_len").to_numpy()
+    manifest_out = {
+        "part_id": out_part_id,
+        "format_version": seg.FORMAT_VERSION,
+        "merged_from": sorted(part_ids),
+        "partitions": sorted(covered),
+        "n_docs": int(docstore_table.num_rows),
+        "sum_dl": int(doc_len_col.sum()),
+        "n_terms": int(n_terms),
+        "n_postings": int(dfs.sum()),
+        "content_hash": 0,
+        "files": [
+            os.path.basename(seg.postings_path(index_dir, out_part_id)),
+            os.path.basename(seg.docstore_path(index_dir, out_part_id)),
+        ],
+    }
+    fl_fields = [n[3:] for n in snames0 if n.startswith("fl_")]
+    if fl_fields:
+        manifest_out["sum_dl_fields"] = {
+            f: int(docstore_table.column(f"fl_{f}").to_numpy().sum()) for f in fl_fields
+        }
+    seg.atomic_write_json(manifest_out, seg.part_manifest_path(index_dir, out_part_id))
+    return manifest_out
+
+
 def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, cfg: EngineConfig) -> dict:
-    """Merge several segments into one (driver- or task-side callable)."""
+    """Merge several segments into one (driver- or task-side callable).
+
+    Tries the byte-concat fast path first (_fast_merge_group — the
+    no-tombstone / disjoint-range common case, e.g. force-merge right
+    after a build); falls back to the full decode+re-sort+re-encode pass
+    when deletes must be purged or delta segments interleave ranges."""
     assert out_part_id not in set(part_ids), "merged id must not collide with an input segment id"
     part_ids = sorted(part_ids)
     manifest = read_manifest(index_dir)
+    fast = _fast_merge_group(index_dir, part_ids, out_part_id, cfg, manifest)
+    if fast is not None:
+        return fast
     segs = [
         Segment.load(index_dir, p, seg.manifest_tombstone_files(manifest, p))
         for p in part_ids

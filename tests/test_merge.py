@@ -110,3 +110,114 @@ def test_delta_after_merge_allocates_disjoint_ids(ray_session, pages_small, tmp_
 
     s = IndexSearcher(idx, CFG)
     assert s.search("xylophone")["key"].tolist() == ["https://x.example/afterm"]
+
+
+def test_fast_merge_equals_decode_merge(ray_session, pages_small, tmp_path):
+    """The byte-concat fast path and the decode+re-encode path must
+    produce semantically identical segments: same dictionary, same df,
+    same decoded postings (ids, tfs, positions), same docstore rows, same
+    per-term block metadata invariants.  (Block BOUNDARIES may differ —
+    fast concat keeps each input's blocks, ragged at run ends — so the
+    comparison decodes, never byte-compares block columns.)"""
+    import ray.data as rd
+
+    from kafka_es_ray.index import merge as merge_mod
+
+    cfg = EngineConfig(num_partitions=8, index_positions=True, store_text=True)
+    idx = str(tmp_path / "fastslow")
+    build_index(rd.from_arrow(pages_small), idx, cfg)
+
+    manifest = read_manifest(idx)
+    fast_m = merge_mod._fast_merge_group(idx, list(range(8)), 200001, cfg, manifest)
+    assert fast_m is not None, "clean post-build merge must take the fast path"
+    # slow path, same inputs, different output id (monkey-free: call the
+    # decode body by disabling the fast path)
+    orig = merge_mod._fast_merge_group
+    merge_mod._fast_merge_group = lambda *a, **k: None
+    try:
+        slow_m = merge_mod.merge_segment_group(idx, list(range(8)), 200002, cfg)
+    finally:
+        merge_mod._fast_merge_group = orig
+
+    assert fast_m["n_docs"] == slow_m["n_docs"]
+    assert fast_m["n_terms"] == slow_m["n_terms"]
+    assert fast_m["n_postings"] == slow_m["n_postings"]
+    assert fast_m["sum_dl"] == slow_m["sum_dl"]
+
+    sf = Segment.load(idx, 200001)
+    ss = Segment.load(idx, 200002)
+    assert (sf.terms == ss.terms).all()
+    assert (sf.df == ss.df).all()
+    assert (sf.doc_ids_store == ss.doc_ids_store).all()
+    assert (sf.doc_len == ss.doc_len).all()
+    assert (sf.keys == ss.keys).all()
+    assert (sf.langs == ss.langs).all()
+    step = max(1, sf.terms.size // 97)
+    for ti in range(0, int(sf.terms.size), step):
+        ids_f, tfs_f, _ = sf.postings_with_dl(ti)
+        ids_s, tfs_s, _ = ss.postings_with_dl(ti)
+        assert (ids_f == ids_s).all(), sf.terms[ti]
+        assert (tfs_f == tfs_s).all(), sf.terms[ti]
+        pf, rf = sf.positions_for(ti)
+        ps, rs = ss.positions_for(ti)
+        assert (pf == ps).all() and (rf == rs).all(), sf.terms[ti]
+        # block invariants on the fast segment: last block doc == last id
+        bmax, bmin, blast = sf.block_meta(ti)
+        assert int(blast[-1]) == int(ids_f[-1])
+        assert int(bmax.max()) == int(tfs_f.max())
+    # selective block decode against the ragged fast blocks
+    import numpy as np  # noqa: F811 (local clarity)
+
+    for ti in range(0, int(sf.terms.size), step * 3):
+        ids_f, tfs_f, _ = sf.postings_with_dl(ti)
+        sf2 = Segment.load(idx, 200001)  # fresh (empty cache) instance
+        cand = ids_f[:: max(1, ids_f.size // 7)]
+        hit, tf_h, _ = sf2.lookup_postings(ti, cand)
+        assert hit.all()
+        assert (tf_h == tfs_f[np.searchsorted(ids_f, cand)]).all()
+    for p in (200001, 200002):
+        import os
+
+        from kafka_es_ray.index import segment as segm
+
+        for path in (
+            segm.postings_path(idx, p),
+            segm.docstore_path(idx, p),
+            segm.part_manifest_path(idx, p),
+        ):
+            os.remove(path)
+
+
+def test_fast_merge_declines_tombstones_and_deltas(ray_session, pages_small, tmp_path):
+    """Preconditions: tombstoned inputs and interleaving delta ranges must
+    fall back (return None) — the decode path purges/re-sorts."""
+    import ray.data as rd
+
+    from kafka_es_ray.index import merge as merge_mod
+    from kafka_es_ray.index.incremental import apply_incremental
+
+    idx = str(tmp_path / "decline")
+    build_index(rd.from_arrow(pages_small), idx, CFG)
+    urls = pd.Series(pages_small.column("url").to_pylist()).unique()
+    apply_incremental(
+        idx,
+        pd.DataFrame({"url": [urls[0]], "text": [""], "lang": ["en"], "op": ["delete"]}),
+        CFG,
+        key_col="url",
+    )
+    manifest = read_manifest(idx)
+    assert merge_mod._fast_merge_group(idx, list(range(8)), 200011, CFG, manifest) is None
+
+    # a full merge (decode path) then a delta: the delta's range sits
+    # inside the merged segment's span -> interleaved -> fast declines
+    merge_index(idx, merge_factor=8, cfg=CFG)
+    delta = pd.DataFrame(
+        {"url": ["https://x.example/zz1"], "text": ["yellow zebra"], "lang": ["en"]}
+    )
+    apply_incremental(idx, delta, CFG, key_col="url")
+    manifest = read_manifest(idx)
+    parts = sorted(int(p) for p in manifest["parts"])
+    assert merge_mod._fast_merge_group(idx, parts, 200012, CFG, manifest) is None
+    # but merge_segment_group still succeeds via the decode path
+    m = merge_mod.merge_segment_group(idx, parts, 200013, CFG)
+    assert m["n_docs"] == manifest["n_docs"]
