@@ -199,6 +199,94 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM topk WHERE rank <= 10
 """.replace("{_TOK_TITLE}", _TOK_TITLE)
 
+# ES bool query: must/should match clauses + minimum_should_match +
+# must_not.  Score contract (mirrors engine.score_segment_bool):
+# clause score = round6(clause BM25), doc score = round6(sum of matched
+# must+should clause scores); a doc must match EVERY must clause, >= msm
+# should clauses, and no must_not term.  Derivation: same ranked_terms as
+# _BM25_SQL; r-th term by (df desc, term asc).
+_BOOL_SQL = """
+WITH dl AS (
+  SELECT doc_id, len({_TOK})::DOUBLE AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+),
+ranked_terms AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+),
+clauses AS (
+  SELECT v.query_id, v.clause_id, v.role, rt.term
+  FROM (VALUES
+    (0, 0, 'm', 2), (0, 1, 'm', 3),
+    (1, 0, 'm', 2), (1, 1, 's', 5), (1, 2, 's', 7),
+    (2, 0, 's', 4), (2, 1, 's', 6),
+    (3, 0, 'm', 3), (3, 1, 's', 5), (3, 2, 's', 8), (3, 3, 'n', 1)
+  ) AS v(query_id, clause_id, role, r)
+  JOIN ranked_terms rt ON rt.r = v.r
+),
+params AS (
+  SELECT * FROM (VALUES (0, 0), (1, 0), (2, 1), (3, 1)) AS p(query_id, msm)
+),
+cscore AS (
+  SELECT c.query_id, c.clause_id, c.role, tf.doc_id,
+         round(sum(
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 6) AS cs
+  FROM clauses c
+  JOIN tf ON tf.term = c.term
+  JOIN df ON df.term = c.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE c.role <> 'n'
+  GROUP BY 1, 2, 3, 4
+),
+nmust AS (
+  SELECT query_id, count(DISTINCT clause_id) AS n FROM clauses WHERE role = 'm' GROUP BY 1
+),
+matched AS (
+  SELECT cs.query_id, cs.doc_id,
+         count(DISTINCT CASE WHEN cs.role = 'm' THEN cs.clause_id END) AS n_m,
+         count(DISTINCT CASE WHEN cs.role = 's' THEN cs.clause_id END) AS n_s,
+         sum(cs.cs) AS raw
+  FROM cscore cs GROUP BY 1, 2
+),
+mn AS (
+  SELECT DISTINCT c.query_id, tf.doc_id
+  FROM clauses c JOIN tf ON tf.term = c.term
+  WHERE c.role = 'n'
+),
+scores AS (
+  SELECT m.query_id, m.doc_id, round(m.raw, 6) AS score
+  FROM matched m
+  JOIN params p ON p.query_id = m.query_id
+  WHERE m.n_m = coalesce((SELECT n FROM nmust WHERE nmust.query_id = m.query_id), 0)
+    AND m.n_s >= p.msm
+    AND NOT EXISTS (
+      SELECT 1 FROM mn WHERE mn.query_id = m.query_id AND mn.doc_id = m.doc_id
+    )
+),
+topk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM scores
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10
+""".replace("{_TOK}", _TOK)
+
 
 def entry() -> Any:
     """Flagship pipeline on sf0.001: build the inverted index over the
@@ -244,6 +332,14 @@ def _q_multi_match(sf_dir: str):
     from kafka_es_ray.pipelines.fulltext import multi_match_topk_documents
 
     return multi_match_topk_documents(sf_dir)
+
+
+def _q_bool_topk(sf_dir: str):
+    """ES bool query (must/should clauses + minimum_should_match +
+    must_not) through the distributed run_queries path."""
+    from kafka_es_ray.pipelines.fulltext import bool_topk_documents
+
+    return bool_topk_documents(sf_dir)
 
 
 def _q_match_title(sf_dir: str):
@@ -748,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": _q_bm25_topk_and,
         "multi_match_topk": _q_multi_match,
         "match_title_topk": _q_match_title,
+        "bool_topk": _q_bool_topk,
         "match_count": _q_match_count,
         "match_must_not": _q_match_must_not,
         "match_lang_agg": _q_match_lang_agg,
@@ -831,6 +928,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and": _BM25_AND_SQL,
         "multi_match_topk": _MULTI_MATCH_SQL,
         "match_title_topk": _MATCH_TITLE_SQL,
+        "bool_topk": _BOOL_SQL,
         "match_must_not": _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(
             having="""HAVING NOT EXISTS (
                SELECT 1 FROM tf t2

@@ -52,19 +52,23 @@ def build_documents_index(sf_dir: str, index_dir: str, cfg: EngineConfig = DOCS_
     )
 
 
-def derive_query_set(searcher: IndexSearcher, n_top: int = 8) -> pd.DataFrame:
-    """Deterministic query set from corpus stats: top-n_top terms by
-    (df desc, term asc) — reproduced exactly by the SQL oracle's
-    row_number() derivation.  Queries: [t1], [t2 t3], [t4 t5 t6],
-    [t7 t8], [absent-term]."""
-    # merge per-segment dictionaries -> global df (small vocab at test
-    # scale; at 100 TB this is itself a term_df pipeline over segments)
+def derive_ranked_terms(searcher: IndexSearcher, n_top: int = 8) -> list[str]:
+    """Top-n_top corpus terms by (global df desc, term asc) — reproduced
+    exactly by the SQL oracles' row_number() derivation.  (Merges the
+    per-segment dictionaries; small vocab at test scale — at 100 TB this
+    is itself a term_df pipeline over segments.)"""
     df_map: dict[str, int] = {}
     for s in searcher.segments:
         for t, d in zip(s.terms, s.df):
             df_map[t] = df_map.get(t, 0) + int(d)
-    ranked = sorted(df_map.items(), key=lambda kv: (-kv[1], kv[0]))[:n_top]
-    top = [t for t, _ in ranked]
+    return [t for t, _ in sorted(df_map.items(), key=lambda kv: (-kv[1], kv[0]))[:n_top]]
+
+
+def derive_query_set(searcher: IndexSearcher, n_top: int = 8) -> pd.DataFrame:
+    """Deterministic query set from corpus stats: top-n_top terms by
+    (df desc, term asc).  Queries: [t1], [t2 t3], [t4 t5 t6],
+    [t7 t8], [absent-term]."""
+    top = derive_ranked_terms(searcher, n_top)
     qtexts = [
         " ".join(top[0:1]),
         " ".join(top[1:3]),
@@ -204,6 +208,45 @@ def match_title_topk_documents(sf_dir: str, k: int = 10) -> pd.DataFrame:
             }
         )
         out = run_queries(queries, index_dir, MF_CFG).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def bool_topk_documents(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """ES bool queries over the single-field documents index, DISTRIBUTED
+    path: must/should match clauses + minimum_should_match + must_not,
+    score = round6(sum of matched clauses' round6'd BM25).  Derivation
+    rule (oracle-mirrored, same ranked_terms as bm25_topk): with tN = the
+    N-th term by (df desc, term asc),
+      q0: must=[t2, t3]                      (two AND'ed clauses)
+      q1: must=[t2], should=[t5, t7]         (boost-only should)
+      q2: should=[t4, t6], msm=1             (pure should union)
+      q3: must=[t3], should=[t5, t8], msm=1, must_not=t1
+    """
+    from kafka_es_ray.query.engine import run_queries
+
+    index_dir = tempfile.mkdtemp(prefix="kafka_es_ray_boolidx_")
+    try:
+        build_documents_index(sf_dir, index_dir)
+        searcher = IndexSearcher(index_dir)
+        t = derive_ranked_terms(searcher, 8)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(4, dtype=np.int64),
+                "type": "bool",
+                "must": [f"{t[1]}|{t[2]}", t[1], None, t[2]],
+                "should": [None, f"{t[4]}|{t[6]}", f"{t[3]}|{t[5]}", f"{t[4]}|{t[7]}"],
+                "must_not": [None, None, None, t[0]],
+                "msm": pd.array([None, None, 1, 1], dtype="Int64"),
+                "k": np.int32(k),
+            }
+        )
+        out = run_queries(queries, index_dir).to_pandas()
         return (
             out[["query_id", "rank", "doc_id", "score"]]
             .sort_values(["query_id", "rank"], kind="mergesort")

@@ -338,6 +338,112 @@ class IndexSearcher:
             }
         )
 
+    def search_bool(
+        self,
+        must: list[str] | tuple[str, ...] = (),
+        should: list[str] | tuple[str, ...] = (),
+        must_not: str | None = None,
+        minimum_should_match: int | None = None,
+        lang: str | None = None,
+        k: int = 10,
+        offset: int = 0,
+    ) -> pd.DataFrame:
+        """ES bool query: multiple match clauses.  A doc must match EVERY
+        ``must`` clause (a clause matches when any of its analyzed terms
+        hits — match operator=or), at least ``minimum_should_match`` of
+        the ``should`` clauses (ES default: 0 when must clauses exist,
+        else 1), and no ``must_not`` term.  Score = round6(Σ over matched
+        must+should clauses of round6(clause BM25)) — the multi_match sum
+        contract.  Exact and pruning-free (clause thresholds cannot bound
+        the cross-clause sum); per-segment sums + global top-k merge stay
+        exact because a doc lives in one segment."""
+        empty = pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "key": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64),
+            }
+        )
+        self.metrics["searches"] += 1
+        plan = self._bool_plan(must, should, must_not, minimum_should_match, lang)
+        if plan is None:
+            return empty
+        keff = k + offset
+        cand_ids, cand_scores, cand_keys = [], [], []
+        for s in self.segments:
+            u, acc = score_segment_bool(
+                s, plan["must"], plan["should"], plan["mn_terms"], plan["msm"],
+                self.avgdl, self.k1, self.b,
+            )
+            if u.size == 0:
+                continue
+            if u.size > keff:
+                kth = -np.partition(-acc, keff - 1)[keff - 1]
+                sel = np.flatnonzero(acc >= kth)
+                u, acc = u[sel], acc[sel]
+            cand_ids.append(u)
+            cand_scores.append(acc)
+            cand_keys.append(s.keys_for(u))
+        if not cand_ids:
+            return empty
+        ids = np.concatenate(cand_ids)
+        scores = np.concatenate(cand_scores)
+        keys = np.concatenate(cand_keys)
+        order = np.lexsort((ids, -scores))[offset : offset + k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(offset + 1, offset + 1 + order.size, dtype=np.int64),
+                "doc_id": ids[order],
+                "key": keys[order],
+                "score": scores[order],
+            }
+        )
+
+    def _bool_plan(
+        self,
+        must,
+        should,
+        must_not: str | None,
+        minimum_should_match: int | None,
+        lang: str | None,
+    ) -> dict | None:
+        """Analyze bool clauses against the global dictionary -> plan dict
+        ({"must": [(terms, idf)], "should": [...], "msm", "mn_terms"}) or
+        None when the query can match nothing (an all-absent must clause,
+        or fewer live should clauses than minimum_should_match with no
+        must)."""
+        def prep(texts):
+            out = []
+            for t in texts:
+                terms = sorted(set(get_analyzer(lang).tokenize(t)))
+                if not terms:
+                    out.append(None)
+                    continue
+                df = self.global_df(terms)
+                kept = [x for x, m in zip(terms, df > 0) if m]
+                out.append(
+                    (kept, np.asarray(bm25_idf(df[df > 0], self.n_docs), dtype=np.float64))
+                    if kept
+                    else None
+                )
+            return out
+        must_p = prep(must)
+        if any(p is None for p in must_p):
+            return None  # a must clause that can't match anything
+        should_p = [p for p in prep(should) if p is not None]
+        msm = minimum_should_match
+        if msm is None:
+            msm = 0 if must_p else 1  # the ES default
+        if not must_p and (not should_p or len(should_p) < msm):
+            return None
+        if must_p and msm > len(should_p):
+            return None
+        mn_terms = (
+            sorted(set(get_analyzer(lang).tokenize(must_not))) if must_not else None
+        )
+        return {"must": must_p, "should": should_p, "msm": int(msm), "mn_terms": mn_terms}
+
     def matching_ids(
         self, text: str, lang: str | None = None, operator: str = "or",
         filter_lang: str | None = None,
@@ -719,6 +825,67 @@ def score_segment_phrase(
     return ids, scores
 
 
+def score_segment_bool(
+    s: Segment,
+    must: list[tuple[list[str], np.ndarray]],
+    should: list[tuple[list[str], np.ndarray]],
+    mn_terms: list[str] | None,
+    msm: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES bool query over ONE segment: candidates = docs in every must
+    clause's match set, with >= msm should clauses matched, minus
+    must_not matches; score = round6(sum of the matched clauses' round6'd
+    BM25 scores).  Each clause scores via score_segment (pruning off),
+    so tombstone exclusion is inherited."""
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+    res_m = [
+        score_segment(s, terms, idf, avgdl, k1, b, None) for terms, idf in must
+    ]
+    if any(ids.size == 0 for ids, _ in res_m):
+        return empty
+    res_s = [
+        score_segment(s, terms, idf, avgdl, k1, b, None) for terms, idf in should
+    ]
+    if must:
+        cand = res_m[0][0]
+        for ids, _ in res_m[1:]:
+            cand = cand[np.isin(cand, ids, assume_unique=True)]
+    else:
+        cand = np.unique(np.concatenate([ids for ids, _ in res_s])) if res_s else np.array([], dtype=np.int64)
+    if cand.size == 0:
+        return empty
+    if msm > 0 and res_s:
+        n_should = np.zeros(cand.size, dtype=np.int64)
+        for ids, _ in res_s:
+            pos = np.searchsorted(cand, ids)
+            pos_c = np.minimum(pos, cand.size - 1)
+            hit = cand[pos_c] == ids
+            np.add.at(n_should, pos_c[hit], 1)
+        cand = cand[n_should >= msm]
+        if cand.size == 0:
+            return empty
+    if mn_terms:
+        mn_ids = []
+        for t in mn_terms:
+            ti = s.lookup(t)
+            if ti >= 0:
+                mn_ids.append(s.postings(ti)[0])
+        if mn_ids:
+            cand = cand[~np.isin(cand, np.unique(np.concatenate(mn_ids)), assume_unique=True)]
+            if cand.size == 0:
+                return empty
+    acc = np.zeros(cand.size, dtype=np.float64)
+    for ids, sc in res_m + res_s:
+        pos = np.searchsorted(cand, ids)
+        pos_c = np.minimum(pos, cand.size - 1)
+        hit = cand[pos_c] == ids
+        acc[pos_c[hit]] += sc[hit]
+    return cand, np.asarray(round6(acc))
+
+
 def score_segment(
     s: Segment,
     terms: list[str],
@@ -903,6 +1070,12 @@ class ShardScorerStage(_SegmentCacheStage):
                         seg, q["phrase"], q["idf_sum"],
                         q.get("avgdl") or self.avgdl, self.k1, self.b,
                         q.get("slop", 0), dl_field=q.get("dl_field"),
+                    )
+                elif "bool" in q:
+                    bq = q["bool"]
+                    ids, scores = score_segment_bool(
+                        seg, bq["must"], bq["should"], bq["mn_terms"], bq["msm"],
+                        self.avgdl, self.k1, self.b,
                     )
                 elif "mm" in q:
                     # multi_match most_fields: per-field BM25 summed per
@@ -1140,7 +1313,16 @@ def run_queries(
     # PREFIXED terms, which is what a multi-field dictionary stores
     terms_set: set[str] = set()
     for row in queries.itertuples(index=False):
-        toks = get_analyzer(getattr(row, "lang", None)).tokenize(row.text)
+        an = get_analyzer(getattr(row, "lang", None))
+        if (getattr(row, "type", None) or "match") == "bool":
+            # bool rows: clause texts live in must/should/must_not columns
+            for col in ("must", "should", "must_not"):
+                v = _row_str(row, col)
+                if v:
+                    for clause in v.split("|"):
+                        terms_set.update(an.tokenize(clause))
+            continue
+        toks = an.tokenize(row.text)
         flds_s = _row_str(row, "fields")
         fld = _row_str(row, "field")
         if (getattr(row, "type", None) or "match") == "multi_match" and flds_s:
@@ -1193,6 +1375,71 @@ def run_queries(
                     "avgdl": (
                         (float(avgdl_fields.get(p_fld, 0)) or 1.0) if p_fld else None
                     ),
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        if (getattr(row, "type", None) or "match") == "bool":
+            # ES bool query: must/should = "|"-separated match clauses,
+            # msm = minimum_should_match (ES default 0 with must, else 1)
+            an_q = get_analyzer(lang_q)
+
+            def _clauses(v: str | None) -> list[tuple[list[str], np.ndarray]] | None:
+                """None = a must clause can never match (absent terms)."""
+                out = []
+                for clause in (v.split("|") if v else []):
+                    terms_c = sorted(set(an_q.tokenize(clause)))
+                    if not terms_c:
+                        out.append(None)
+                        continue
+                    kept = [t for t in terms_c if df_map.get(t, 0) > 0]
+                    if not kept:
+                        out.append(None)
+                        continue
+                    idf_c = bm25_idf(
+                        np.array([df_map[t] for t in kept], dtype=np.int64), n_docs
+                    )
+                    out.append((kept, np.asarray(idf_c, dtype=np.float64)))
+                return out
+            must_p = _clauses(_row_str(row, "must"))
+            if any(p is None for p in must_p):
+                continue
+            should_p = [p for p in _clauses(_row_str(row, "should")) if p is not None]
+            msm_raw = getattr(row, "msm", None)
+            try:
+                msm_missing = msm_raw is None or bool(pd.isna(msm_raw))
+            except (TypeError, ValueError):
+                msm_missing = False
+            msm = (0 if must_p else 1) if msm_missing else int(msm_raw)
+            if not must_p and (not should_p or len(should_p) < msm):
+                continue
+            if must_p and msm > len(should_p):
+                continue
+            mn_v = _row_str(row, "must_not")
+            mn_terms_b = sorted(set(an_q.tokenize(mn_v))) if mn_v else None
+            offset = int(getattr(row, "offset", 0) or 0)
+            key = (
+                "bool",
+                tuple(tuple(c[0]) for c in must_p),
+                tuple(tuple(c[0]) for c in should_p),
+                tuple(mn_terms_b) if mn_terms_b else None,
+                msm, k, offset,
+            )
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "bool": {
+                        "must": must_p,
+                        "should": should_p,
+                        "mn_terms": mn_terms_b,
+                        "msm": msm,
+                    },
+                    "hl_terms": sorted(
+                        {t for c in must_p + should_p for t in c[0]}
+                    ),
+                    "k": k + offset,
+                    "offset": offset,
+                    "size": k,
                 }
             entry["query_ids"].append(int(row.query_id))
             continue
