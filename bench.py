@@ -52,6 +52,26 @@ def ensure_pages_corpus(n_rows: int) -> str:
     return out
 
 
+def _warm_host_pages(max_gb: float = 16.0, max_secs: float = 120.0) -> None:
+    """Warm the microVM's physical page pool before any timed section.
+
+    The sandbox host reclaims this VM's pages between runs; first-touch
+    faults then run at ~1.5 MB/s (measured: 80 MB cumsum 53.6 s cold vs
+    0.04 s warm — CLAUDE.md rule 5).  Warming PERSISTS across processes
+    (the pool is VM-wide), so one driver-side touch pass fixes every
+    subsequent worker allocation.  Time-bounded: on a pathologically
+    cold host a fixed-size touch could take hours, so stop at max_secs
+    and let the per-worker prefault cover the rest."""
+    t0 = time.perf_counter()
+    touched = 0
+    chunk = 256_000_000
+    while touched < max_gb * 1e9 and time.perf_counter() - t0 < max_secs:
+        x = np.empty(chunk, dtype=np.uint8)
+        x[::2048] = 1
+        del x
+        touched += chunk
+
+
 def run_bench() -> dict:
     # Ray's default object store sizing warns at <50% of memory; the
     # shuffle benefits from headroom
@@ -99,9 +119,7 @@ def run_bench() -> dict:
         return b
 
     rd.range(NUM_CPUS * 4).map_batches(_prefault, batch_size=1).materialize()
-    _d = np.empty(2_000_000_000, dtype=np.uint8)
-    _d[::2048] = 1
-    del _d
+    _warm_host_pages()
 
     # ---- headline: index build (best-of-2, both runs reported: the
     # microVM fault storm can still hit a single run; steady state is the
@@ -200,6 +218,9 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same job at two parallelism levels in fresh processes — the
     sandbox protocol for the north_rule N vs 4N cluster criterion."""
+    # warm the VM-wide page pool once, up front: subprocess runs inherit
+    # it (cross-process persistence, measured round 3)
+    _warm_host_pages()
     results = {}
     for ncpu in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
