@@ -530,6 +530,15 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(read_table(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.01)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    from kafka_es_ray.pipelines.dedup_ops import dedup_clusters
+    from kafka_es_ray.sources.parquet import read_table
+
+    return dedup_clusters(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), threshold=0.2
+    )
+
+
 def _q_doc_token_counts(sf_dir: str):
     from kafka_es_ray.pipelines.text_ops import doc_token_counts
     from kafka_es_ray.sources.parquet import read_table
@@ -854,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": _q_lineitem_agg,
         "topk_orders": _q_topk_orders,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "doc_token_counts": _q_doc_token_counts,
         "term_df": _q_term_df,
         "exact_dedup": _q_exact_dedup,
@@ -1098,6 +1108,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.01
+        """,
+        # connected components over the >=0.2 n-gram-Jaccard pair graph:
+        # recursive reachability closure, cluster_id = min reachable node
+        # (mirrors the large-star/small-star fixpoint exactly)
+        "dedup_clusters": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(t) = 0 THEN []
+                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           for i in generate_series(1, len(t) - 2)]
+                END) AS shs
+              FROM toks
+            ),
+            sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+            ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+            ok_sh AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 200),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              JOIN ok_sh ON ok_sh.s = a.s
+              GROUP BY 1, 2
+            ),
+            jp AS (
+              SELECT doc_a, doc_b
+              FROM pairs
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.2
+            ),
+            edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM jp
+              UNION ALL SELECT doc_b, doc_a FROM jp
+            ),
+            walk(node, reach) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+              UNION
+              SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach
+            )
+            SELECT d.doc_id,
+                   coalesce(l.cluster_id, d.doc_id)::BIGINT AS cluster_id
+            FROM documents d
+            LEFT JOIN (
+              SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY 1
+            ) l USING (doc_id)
         """,
         "doc_token_counts": f"SELECT doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents",
         "term_df": f"""

@@ -675,3 +675,142 @@ def embedding_neardup_exact(emb_ds, threshold: float = 0.95):
             )
 
     return normed.map_batches(PairScan, batch_format="pandas", batch_size=1024, concurrency=2)
+
+
+# ------------------------------------- duplicate clustering (components)
+
+
+def _edge_signature(edges_ds) -> tuple[int, int]:
+    """(count, xor-hash) of an edge Dataset — the convergence scalar.
+    Driver sees one tiny partial row per block, never the edges."""
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        h = stable_hash64(b["u"].to_numpy()) * np.uint64(
+            0x9E3779B97F4A7C15
+        ) + stable_hash64(b["v"].to_numpy())
+        x = int(np.bitwise_xor.reduce(h)) if len(h) else 0
+        return pd.DataFrame({"n": [len(b)], "x": [np.uint64(x)]})
+
+    parts = edges_ds.map_batches(part, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return 0, 0
+    return int(parts["n"].sum()), int(np.bitwise_xor.reduce(parts["x"].to_numpy()))
+
+
+def connected_components(pairs_ds, nodes_ds, max_iters: int = 30):
+    """Connected components over a duplicate-pair edge list -> one row
+    (doc_id, cluster_id) per node, cluster_id = MIN doc_id reachable.
+
+    Algorithm: alternating large-star / small-star contractions (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", ACM SoCC
+    2014 — the standard MapReduce CC algorithm).  Each half-round is ONE
+    bucketed exchange over the EDGE set (pairs, never the corpus); edges
+    monotonically bend toward each component's minimum node and the set
+    converges to per-component star graphs in O(log n) rounds.  The
+    driver sees only the per-round (count, hash) convergence scalar.
+
+    Scale notes: edge volume is the dedup-pair set (<< corpus); each
+    input edge emits at most one output edge per half-round (+1 per
+    distinct hub in small-star), so rounds never blow up; duplicates are
+    thinned per-bucket each round and cannot affect per-node mins.
+    ``nodes_ds`` (one ``doc_id`` column) supplies singleton docs, which
+    never enter the exchanges.
+    """
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "u": b["doc_a"].to_numpy(np.int64),
+                "v": b["doc_b"].to_numpy(np.int64),
+            }
+        )
+
+    def large_star_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # input rows symmetrized: every (u, v) once per direction.
+        # emit (v, m) for v > u where m = min(N(u) ∪ {u})
+        g = g.drop_duplicates()
+        u = g["u"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        m = np.minimum(g.groupby("u", sort=False)["v"].transform("min").to_numpy(np.int64), u)
+        keep = v > u
+        return pd.DataFrame({"u": v[keep], "v": m[keep]}).drop_duplicates()
+
+    def small_star_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # input rows oriented u > v.  m = min(N(u) ∪ {u}) = min(v)s;
+        # emit (x, m) for x ∈ N(u) ∪ {u} \ {m}
+        g = g.drop_duplicates()
+        u = g["u"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        m = g.groupby("u", sort=False)["v"].transform("min").to_numpy(np.int64)
+        keep = v != m
+        hubs = g.groupby("u", sort=False)["v"].min().reset_index()
+        out = pd.DataFrame(
+            {
+                "u": np.concatenate([v[keep], hubs["u"].to_numpy(np.int64)]),
+                "v": np.concatenate([m[keep], hubs["v"].to_numpy(np.int64)]),
+            }
+        )
+        return out.drop_duplicates()
+
+    def symmetrize(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["u"].to_numpy(np.int64)
+        v = b["v"].to_numpy(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pd.DataFrame(
+            {"u": np.concatenate([u, v]), "v": np.concatenate([v, u])}
+        )
+
+    def orient_max_first(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["u"].to_numpy(np.int64)
+        v = b["v"].to_numpy(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pd.DataFrame({"u": np.maximum(u, v), "v": np.minimum(u, v)})
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pandas").materialize()
+    sig = None
+    if edges.count():
+        for _ in range(max_iters):
+            ls_in = edges.map_batches(symmetrize, batch_format="pandas")
+            edges = bucketed_group_agg(ls_in, ["u"], large_star_bucket)
+            ss_in = edges.map_batches(orient_max_first, batch_format="pandas")
+            edges = bucketed_group_agg(ss_in, ["u"], small_star_bucket).materialize()
+            new_sig = _edge_signature(edges)
+            if new_sig == sig:
+                break
+            sig = new_sig
+
+    # label assembly: per-node min over (self ∪ neighbors) — converged
+    # star edges already point at roots, the min is just belt+braces
+    def edge_label_rows(b: pd.DataFrame) -> pd.DataFrame:
+        s = symmetrize(b)
+        return pd.DataFrame({"doc_id": s["u"], "cand": s["v"]})
+
+    def node_label_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": ids, "cand": ids})
+
+    def min_label(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("doc_id", as_index=False).agg(cluster_id=("cand", "min"))
+        return g.astype({"doc_id": np.int64, "cluster_id": np.int64})
+
+    rows = nodes_ds.map_batches(node_label_rows, batch_format="pandas").union(
+        edges.map_batches(edge_label_rows, batch_format="pandas")
+    )
+    return bucketed_group_agg(rows, ["doc_id"], min_label)
+
+
+def dedup_clusters(docs_ds, threshold: float = 0.2, shingle: int = 3):
+    """Training-data dedup clustering: n-gram-Jaccard duplicate pairs ->
+    connected components -> (doc_id, cluster_id) for EVERY document
+    (singletons are their own cluster).  Keeping rows where
+    doc_id == cluster_id is the canonical keep-one-per-cluster filter."""
+    pairs = ngram_jaccard_pairs(docs_ds, threshold=threshold, shingle=shingle)
+
+    def ids_only(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64)})
+
+    nodes = docs_ds.map_batches(ids_only, batch_format="pandas")
+    return connected_components(pairs, nodes)
