@@ -74,6 +74,46 @@ FROM topk WHERE rank <= 10
 """
 
 _BM25_SQL = _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(having="")
+# numeric range filter: same scores, docs outside [150, 400] n_chars are
+# dropped BEFORE ranking (ES filter context: no score contribution)
+_RANGE_SQL = _BM25_SQL.replace(
+    "  FROM scores\n)",
+    "  FROM scores JOIN documents d USING (doc_id)\n"
+    "  WHERE d.n_chars BETWEEN 150 AND 400\n)",
+)
+assert "n_chars" in _RANGE_SQL  # replace anchor must exist
+
+# ES sort-by-field: match set (operator=or) ranked by n_chars desc,
+# ties doc_id asc, missing excluded — mirrors run_sorted exactly
+_SORT_FIELD_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT DISTINCT doc_id, term FROM toks),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+ranked_terms AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+),
+queries AS (
+  SELECT 0 AS query_id, term FROM ranked_terms WHERE r = 1
+  UNION ALL SELECT 1, term FROM ranked_terms WHERE r IN (2, 3)
+  UNION ALL SELECT 2, term FROM ranked_terms WHERE r IN (4, 5, 6)
+  UNION ALL SELECT 3, term FROM ranked_terms WHERE r IN (7, 8)
+),
+matches AS (
+  SELECT DISTINCT q.query_id, tf.doc_id FROM queries q JOIN tf ON tf.term = q.term
+),
+topk AS (
+  SELECT m.query_id, m.doc_id, d.n_chars,
+         row_number() OVER (
+           PARTITION BY m.query_id ORDER BY d.n_chars DESC, m.doc_id ASC
+         ) AS rank
+  FROM matches m JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, n_chars::DOUBLE AS sort_val
+FROM topk WHERE rank <= 10
+""".replace("{_TOK}", _TOK)
 # operator=and: a doc must match EVERY term of its query
 _BM25_AND_SQL = _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(
     having="HAVING count(*) = (SELECT count(*) FROM queries q2 WHERE q2.query_id = q.query_id)"
@@ -376,6 +416,72 @@ def _q_phrase_topk(sf_dir: str):
         s = IndexSearcher(idx, cfg)
         res = s.search_phrase(f"{w1} {w2}", k=10)
         return res[["rank", "doc_id", "score"]].reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_range_filter_topk(sf_dir: str):
+    """ES bool query with a numeric range filter (n_chars in [150, 400])
+    over the derived BM25 queries — distributed run_queries path over an
+    index built with cfg.numeric_cols (num_ docstore columns)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_rngidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"].assign(
+            range_field="n_chars", range_gte=150.0, range_lte=400.0
+        )
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_sort_by_field(sf_dir: str):
+    """ES sort-by-field: each derived query's match set ranked by the
+    n_chars numeric field desc (ties doc_id asc) — distributed
+    SortTopkStage path (per-segment partial top-k, bucketed merge)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_sorted
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_srtidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        out = run_sorted(queries, idx, "n_chars", k=10, cfg=cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "sort_val"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
@@ -851,6 +957,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_and": _q_bm25_topk_and,
+        "range_filter_topk": _q_range_filter_topk,
+        "sort_by_field": _q_sort_by_field,
         "multi_match_topk": _q_multi_match,
         "match_title_topk": _q_match_title,
         "bool_topk": _q_bool_topk,
@@ -935,6 +1043,8 @@ def _lang_id_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
+        "range_filter_topk": _RANGE_SQL,
+        "sort_by_field": _SORT_FIELD_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
         "multi_match_topk": _MULTI_MATCH_SQL,
         "match_title_topk": _MATCH_TITLE_SQL,

@@ -66,6 +66,13 @@ class EngineConfig:
     # built-in lang column.
     keyword_cols: tuple[str, ...] = ()
 
+    # --- numeric fields stored in the docstore (ES numeric-mapped
+    # fields): each becomes a num_{name} float64 docstore column usable
+    # by range filters (search(filter_range=…)) and sort-by-field
+    # (search_sorted / run_sorted).  Float64 is exact for integers up to
+    # 2^53 — the practical range of doc metadata.
+    numeric_cols: tuple[str, ...] = ()
+
     # --- multi-field documents (ES mapped text fields — the reference's
     # free-form JSON sources carry nested {"title":…, "body":…} docs,
     # JsonConverterTests.kt:110-115).  When set, build_index tokenizes

@@ -411,6 +411,16 @@ def build_segment_for_group(
             else np.full(len(g), "", dtype=object)
         )
         store_cols[f"kw_{kw}"] = pa.array(vals, type=pa.string())
+    for nf in cfg.numeric_cols:
+        # ES numeric-mapped field: float64 docstore column for range
+        # filters and sort-by-field; missing column / unparsable -> NaN
+        # (ES missing-value semantics: excluded by ranges and sorts last)
+        nvals = (
+            pd.to_numeric(g[nf], errors="coerce").to_numpy(dtype=np.float64)
+            if nf in g.columns
+            else np.full(len(g), np.nan, dtype=np.float64)
+        )
+        store_cols[f"num_{nf}"] = pa.array(nvals, type=pa.float64())
     if field_dls is not None:
         # per-field token counts (ES per-field norms): BM25 on a prefixed
         # term divides by ITS field's length, not the doc total
@@ -497,6 +507,7 @@ def build_index(
 
     keep = [c for c in (key_col, lang_col, ts_col, seq_col, id_col, routing_col, op_col) if c]
     keep += [c for c in cfg.keyword_cols if c not in keep]
+    keep += [c for c in cfg.numeric_cols if c not in keep]
     keep += [c for c in (cfg.text_fields or ()) if c not in keep]
     stage = ExtractStage(
         num_partitions=cfg.num_partitions,

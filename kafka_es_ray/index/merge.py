@@ -396,6 +396,14 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
         )[ds_order]
         for f in kw_fields
     }
+    # numeric-mapped fields survive the same way (float64, NaN = missing)
+    num_fields = sorted(set.intersection(*[set(s.num_arr) for s in segs])) if segs else []
+    num_merged = {
+        f: np.concatenate([s.num_arr[f][m] for s, m in zip(segs, ds_alive)]).astype(
+            np.float64
+        )[ds_order]
+        for f in num_fields
+    }
     # per-field length columns (multi-field index) survive the same way
     fl_fields = sorted(set.intersection(*[set(s.field_dl) for s in segs])) if segs else []
     fl_merged = {
@@ -558,6 +566,8 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
         store_cols["text"] = pa.array(texts, type=pa.string())
     for f, vals in kw_merged.items():
         store_cols[f"kw_{f}"] = pa.array(vals, type=pa.string())
+    for f, vals in num_merged.items():
+        store_cols[f"num_{f}"] = pa.array(vals, type=pa.float64())
     for f, vals in fl_merged.items():
         store_cols[f"fl_{f}"] = pa.array(vals, type=pa.int32())
     docstore_table = pa.table(store_cols)

@@ -175,6 +175,10 @@ class Segment:
     texts_arr: pa.Array | None  # stored _source text when cfg.store_text
     key_hash: np.ndarray     # uint64 stable_hash64(key), aligned (sorted-key mget)
     kw_arr: dict             # extra keyword columns {field: pa.Array} (cfg.keyword_cols)
+    # numeric-mapped fields {field: float64 ndarray aligned with
+    # doc_ids_store} (cfg.numeric_cols) — range filters + sort-by-field;
+    # plain numpy (8 B/doc, no PyObjects) so vectorized compares are free
+    num_arr: dict            # {field: np.ndarray}
     # multi-field per-field token counts {field: int64 array aligned with
     # doc_ids_store} (cfg.text_fields) — BM25 norms for prefixed terms
     field_dl: dict           # {field: np.ndarray}
@@ -249,6 +253,11 @@ class Segment:
                 n[3:]: _combined(dt.column(n))
                 for n in dt.schema.names
                 if n.startswith("kw_")
+            },
+            num_arr={
+                n[4:]: dt.column(n).to_numpy().astype(np.float64)
+                for n in dt.schema.names
+                if n.startswith("num_")
             },
             field_dl={
                 n[3:]: dt.column(n).to_numpy().astype(np.int64)
@@ -554,6 +563,17 @@ class Segment:
         if self._langs_np is not None:
             return self._langs_np[idx]
         return self._take_str(self.langs_arr, idx)
+
+    def nums_for(self, field: str, doc_ids: np.ndarray) -> np.ndarray:
+        """Numeric-field fetch (cfg.numeric_cols) for range filters /
+        sort-by-field; NaN = missing."""
+        if field not in self.num_arr:
+            raise ValueError(
+                f"unsupported numeric field {field!r} "
+                f"(docstore has: {sorted(self.num_arr) or 'none'})"
+            )
+        idx = np.searchsorted(self.doc_ids_store, doc_ids)
+        return self.num_arr[field][idx]
 
     def field_for(self, field: str, doc_ids: np.ndarray) -> np.ndarray:
         """Docstore keyword-field fetch for a terms aggregation: 'lang'

@@ -26,8 +26,10 @@ from kafka_es_ray.sources.parquet import read_table
 DOCS_CFG = EngineConfig(num_partitions=8)
 
 
-def documents_dataset(sf_dir: str):
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+def documents_dataset(sf_dir: str, extra_cols: tuple[str, ...] = ()):
+    ds = read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", *extra_cols]
+    )
 
     def add_key(batch: pa.Table) -> pa.Table:
         key = batch.column("doc_id").cast(pa.string())

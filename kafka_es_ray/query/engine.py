@@ -95,9 +95,14 @@ class IndexSearcher:
         highlight: bool = False,
         must_not: str | None = None,
         field: str | None = None,
+        filter_range: list[tuple] | None = None,
     ) -> pd.DataFrame:
         """Top-k docs for one query string.  Returns DataFrame
         (rank, doc_id, key, score) with the determinism contract applied.
+
+        ``filter_range``: ES range filter — [(numeric_field, gte, lte)]
+        over cfg.numeric_cols docstore columns (None bound = open side;
+        missing values never match).
 
         ``field`` (multi-field index only) restricts the match to one
         mapped text field: terms are prefixed, BM25 norms use the field's
@@ -117,7 +122,7 @@ class IndexSearcher:
         try:
             out = self._search(
                 text, lang, k, prune, operator, filter_lang, fetch or highlight, offset,
-                must_not=must_not, field=field,
+                must_not=must_not, field=field, filter_range=filter_range,
             )
             if highlight:
                 terms = sorted(set(get_analyzer(lang).tokenize(text)))
@@ -143,6 +148,7 @@ class IndexSearcher:
         offset: int,
         must_not: str | None = None,
         field: str | None = None,
+        filter_range: list[tuple] | None = None,
     ) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -191,6 +197,7 @@ class IndexSearcher:
                 must_not_terms=mn_terms,
                 dl_field=field,
                 avgdl=avgdl_use,
+                filter_ranges=filter_range,
             )
             if ids.size == 0:
                 continue
@@ -251,11 +258,13 @@ class IndexSearcher:
         must_not_terms: list[str] | None = None,
         dl_field: str | None = None,
         avgdl: float | None = None,
+        filter_ranges: list[tuple] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         return score_segment(
             s, terms, idf, self.avgdl if avgdl is None else avgdl, self.k1, self.b,
             theta, require_all=require_all, filter_lang=filter_lang,
             must_not_terms=must_not_terms, dl_field=dl_field,
+            filter_ranges=filter_ranges,
         )
 
     def multi_match(
@@ -467,6 +476,72 @@ class IndexSearcher:
     ) -> int:
         """ES _count API analog: number of live docs matching the query."""
         return int(sum(ids.size for ids in self.matching_ids(text, lang, operator, filter_lang).values()))
+
+    def search_sorted(
+        self,
+        text: str,
+        sort_field: str,
+        *,
+        ascending: bool = False,
+        k: int = 10,
+        lang: str | None = None,
+        operator: str = "or",
+        filter_lang: str | None = None,
+        filter_range: list[tuple] | None = None,
+    ) -> pd.DataFrame:
+        """ES sort-by-field: docs matching the analyzed query ranked by a
+        numeric docstore field (cfg.numeric_cols) instead of BM25 score —
+        the ES ``sort: [{field: order}]`` analog.  Ties break doc_id asc;
+        docs with a missing value (NaN) are excluded (documented delta
+        from ES's missing:_last — a bounded top-k never reaches them).
+        Returns (rank, doc_id, key, sort_val)."""
+        terms = sorted(set(get_analyzer(lang).tokenize(text)))
+        empty = pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "key": pd.Series([], dtype=object),
+                "sort_val": pd.Series([], dtype=np.float64),
+            }
+        )
+        if not terms:
+            return empty
+        cand_ids, cand_vals, cand_keys = [], [], []
+        for s in self.segments:
+            ids = segment_matching_ids(
+                s, terms, operator == "and", filter_lang, filter_range
+            )
+            if ids.size == 0:
+                continue
+            vals = s.nums_for(sort_field, ids)
+            ok = ~np.isnan(vals)
+            ids, vals = ids[ok], vals[ok]
+            if ids.size == 0:
+                continue
+            if ids.size > k:
+                # per-segment partial top-k; keep ties with the k-th
+                # value so the global merge stays exact
+                vv = vals if ascending else -vals
+                kth = np.partition(vv, k - 1)[k - 1]
+                sel = vv <= kth
+                ids, vals = ids[sel], vals[sel]
+            cand_ids.append(ids)
+            cand_vals.append(vals)
+            cand_keys.append(s.keys_for(ids))
+        if not cand_ids:
+            return empty
+        ids = np.concatenate(cand_ids)
+        vals = np.concatenate(cand_vals)
+        keys = np.concatenate(cand_keys)
+        order = np.lexsort((ids, vals if ascending else -vals))[:k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, 1 + order.size, dtype=np.int64),
+                "doc_id": ids[order],
+                "key": keys[order],
+                "sort_val": vals[order],
+            }
+        )
 
     def get(self, keys: list[str]) -> pd.DataFrame:
         """ES _mget analog: fetch live docs by external key (url/_id).
@@ -683,6 +758,7 @@ def segment_matching_ids(
     terms: list[str],
     require_all: bool = False,
     filter_lang: str | None = None,
+    filter_ranges: list[tuple] | None = None,
 ) -> np.ndarray:
     """ALL live doc ids in one segment matching the analyzed terms (no
     top-k cap) — the per-segment unit of the ES _count / terms-agg /
@@ -705,6 +781,17 @@ def segment_matching_ids(
         ids = np.unique(np.concatenate(lists))
     if filter_lang is not None and ids.size:
         ids = ids[s.langs_for(ids) == filter_lang]
+    if filter_ranges:
+        for fld, lo, hi in filter_ranges:
+            if not ids.size:
+                break
+            vals = s.nums_for(fld, ids)
+            keep_r = ~np.isnan(vals)
+            if lo is not None:
+                keep_r &= vals >= lo
+            if hi is not None:
+                keep_r &= vals <= hi
+            ids = ids[keep_r]
     if s.tombstones is not None and s.tombstones.size and ids.size:
         pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
         ids = ids[s.tombstones[pos] != ids]
@@ -898,6 +985,7 @@ def score_segment(
     filter_lang: str | None = None,
     must_not_terms: list[str] | None = None,
     dl_field: str | None = None,
+    filter_ranges: list[tuple] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized BM25 scoring of one segment.  With a threshold, MaxScore
     splits terms into essential (union-scored) and non-essential
@@ -961,6 +1049,21 @@ def score_segment(
         cand, acc = cand[keep_lang], acc[keep_lang]
         if cand.size == 0:
             return cand, acc
+    if filter_ranges:
+        # ES range filter on a numeric-mapped field: gte/lte bounds, NaN
+        # (missing) never matches.  Post-scoring like filter_lang: exact
+        # under pruning (a filter only removes docs, never lifts one past
+        # theta).
+        for fld, lo, hi in filter_ranges:
+            vals = s.nums_for(fld, cand)
+            keep_r = ~np.isnan(vals)
+            if lo is not None:
+                keep_r &= vals >= lo
+            if hi is not None:
+                keep_r &= vals <= hi
+            cand, acc = cand[keep_r], acc[keep_r]
+            if cand.size == 0:
+                return cand, acc
     if must_not_terms:
         # ES bool must_not: docs containing ANY excluded term are dropped.
         # Filter AFTER scoring (like tombstones): the essential-term
@@ -1111,6 +1214,7 @@ class ShardScorerStage(_SegmentCacheStage):
                         filter_lang=q.get("filter_lang"),
                         must_not_terms=q.get("must_not"),
                         dl_field=q.get("dl_field"),
+                        filter_ranges=q.get("filter_ranges"),
                     )
                 if ids.size == 0:
                     continue
@@ -1165,7 +1269,8 @@ class MatchSetStage(_SegmentCacheStage):
             seg = self._segment(pid)
             for q in self.plan:
                 ids = segment_matching_ids(
-                    seg, q["terms"], q.get("require_all", False), q.get("filter_lang")
+                    seg, q["terms"], q.get("require_all", False), q.get("filter_lang"),
+                    q.get("filter_ranges"),
                 )
                 if ids.size == 0:
                     continue
@@ -1183,6 +1288,57 @@ class MatchSetStage(_SegmentCacheStage):
                 "n_partial": pd.Series([], dtype=np.int64),
             }
         )
+
+
+class SortTopkStage(_SegmentCacheStage):
+    """Segment-parallel sort-by-field: per (plan, segment) top-k rows by
+    a numeric docstore field.  Shuffle volume is plans x segments x k
+    (+ ties), never the match set."""
+
+    def _init_payload(self, payload) -> None:
+        self.plan, self.tomb_map, self.field, self.ascending, self.k = payload
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pid in batch["part_id"].astype(int):
+            seg = self._segment(pid)
+            for q in self.plan:
+                ids = segment_matching_ids(
+                    seg, q["terms"], q.get("require_all", False),
+                    q.get("filter_lang"), q.get("filter_ranges"),
+                )
+                if ids.size == 0:
+                    continue
+                vals = seg.nums_for(self.field, ids)
+                ok = ~np.isnan(vals)
+                ids, vals = ids[ok], vals[ok]
+                if ids.size == 0:
+                    continue
+                if ids.size > self.k:
+                    vv = vals if self.ascending else -vals
+                    kth = np.partition(vv, self.k - 1)[self.k - 1]
+                    sel = vv <= kth  # keep k-th ties; global merge exact
+                    ids, vals = ids[sel], vals[sel]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "plan_id": np.int64(q["plan_id"]),
+                            "doc_id": ids,
+                            "key": seg.keys_for(ids),
+                            "sort_val": vals,
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "plan_id": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "key": pd.Series([], dtype=object),
+                    "sort_val": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
 
 
 class MgetStage(_SegmentCacheStage):
@@ -1501,13 +1657,15 @@ def run_queries(
             if fld:
                 mn_base = [f"{fld}\x1f{t}" for t in mn_base]
             mn_terms = tuple(mn_base) or None
-        key = (tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld)
+        fr = _row_filter_ranges(row)
+        key = (tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld, fr)
         entry = plan_by_key.get(key)
         if entry is None:
             idf = bm25_idf(np.array([df_map[t] for t in terms], dtype=np.int64), n_docs)
             entry = plan_by_key[key] = {
                 "query_ids": [],
                 "terms": terms,
+                "filter_ranges": list(fr) if fr else None,
                 "hl_terms": base_terms,
                 "idf": np.asarray(idf, dtype=np.float64),
                 "k": k + offset,  # shards keep the whole rank window
@@ -1625,6 +1783,23 @@ def _shards_ds(parts: list[int], concurrency: int):
     )
 
 
+def _row_filter_ranges(row) -> tuple | None:
+    """Optional per-query range filter from queries-DataFrame columns
+    ``range_field`` / ``range_gte`` / ``range_lte`` -> ((field, lo, hi),)
+    or None.  NaN bound = open side."""
+    fld = getattr(row, "range_field", None)
+    if fld is None or (isinstance(fld, float) and pd.isna(fld)):
+        return None
+
+    def _num(name):
+        v = getattr(row, name, None)
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return None
+        return float(v)
+
+    return ((str(fld), _num("range_gte"), _num("range_lte")),)
+
+
 def _match_set_plans(queries: pd.DataFrame) -> list[dict]:
     """Deduped match-set plans for _count / terms-agg: unique
     (terms, require_all, filter_lang) entries carrying their query_ids.
@@ -1636,7 +1811,8 @@ def _match_set_plans(queries: pd.DataFrame) -> list[dict]:
         terms = sorted(set(get_analyzer(lang_q).tokenize(row.text)))
         require_all = (getattr(row, "operator", None) or "or") == "and"
         filter_lang = getattr(row, "filter_lang", None)
-        key = (tuple(terms), require_all, filter_lang)
+        fr = _row_filter_ranges(row)
+        key = (tuple(terms), require_all, filter_lang, fr)
         entry = plan_by_key.get(key)
         if entry is None:
             entry = plan_by_key[key] = {
@@ -1644,6 +1820,7 @@ def _match_set_plans(queries: pd.DataFrame) -> list[dict]:
                 "terms": terms,
                 "require_all": require_all,
                 "filter_lang": filter_lang,
+                "filter_ranges": list(fr) if fr else None,
             }
         entry["query_ids"].append(int(row.query_id))
     plan = list(plan_by_key.values())
@@ -1751,6 +1928,80 @@ def run_agg_terms(
         .reset_index(drop=True)
         .astype({"query_id": np.int64, "n_docs": np.int64})
     )
+
+
+def run_sorted(
+    queries_ds,
+    index_dir: str,
+    field: str,
+    *,
+    ascending: bool = False,
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+):
+    """Distributed ES sort-by-field: each query's match set ranked by a
+    numeric docstore field (cfg.numeric_cols) instead of BM25 — segments
+    as the Dataset, deduped match plans broadcast, per-segment partial
+    top-k merged in a bucketed exchange.  Missing values (NaN) excluded.
+    Returns Dataset(query_id, rank, doc_id, key, sort_val) with ties
+    broken doc_id asc."""
+    import ray
+    import ray.data as rd
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    concurrency = concurrency or cfg.query_concurrency or 2
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    plan = _match_set_plans(queries)
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "key": pd.Series([], dtype=object),
+            "sort_val": pd.Series([], dtype=np.float64),
+        }
+    )
+    if not plan:
+        return rd.from_pandas(empty)
+    plan_ref = ray.put(
+        (plan, manifest.get("tombstones", {}), field, ascending, k)
+    )
+    partials = _shards_ds(parts, concurrency).map_batches(
+        SortTopkStage,
+        fn_constructor_args=(index_dir, plan_ref, cfg),
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+
+    def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pid_, g in bucket.groupby("plan_id", sort=False):
+            ids = g["doc_id"].to_numpy()
+            vals = g["sort_val"].to_numpy()
+            order = np.lexsort((ids, vals if ascending else -vals))[:k]
+            top = pd.DataFrame(
+                {
+                    "rank": np.arange(1, 1 + order.size, dtype=np.int64),
+                    "doc_id": ids[order],
+                    "key": g["key"].to_numpy()[order],
+                    "sort_val": vals[order],
+                }
+            )
+            for qid in fanout.get(int(pid_), []):
+                out.append(top.assign(query_id=np.int64(qid)))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)[
+            ["query_id", "rank", "doc_id", "key", "sort_val"]
+        ]
+
+    return bucketed_group_agg(partials, ["plan_id"], merge_bucket)
 
 
 def run_mget(

@@ -1,0 +1,216 @@
+"""Numeric-mapped fields (cfg.numeric_cols): range filters and
+sort-by-field, single-process and distributed, plus merge survival.
+
+Oracle: brute-force pandas over the same corpus — filter/sort the doc
+table directly and compare ids exactly.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kafka_es_ray.config import EngineConfig
+from kafka_es_ray.index.build import build_index
+from kafka_es_ray.index.merge import merge_index
+from kafka_es_ray.query.engine import (
+    IndexSearcher,
+    run_counts,
+    run_queries,
+    run_sorted,
+)
+
+CFG = EngineConfig(num_partitions=4, numeric_cols=("size", "stars"))
+
+WORDS = ["alpha", "beta", "gamma", "delta", "omega", "kappa", "sigma", "zeta"]
+
+
+def _corpus(n=120, seed=7) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    texts = [
+        " ".join(rng.choice(WORDS, size=rng.integers(3, 9)).tolist())
+        for _ in range(n)
+    ]
+    sizes = rng.integers(10, 5000, size=n).astype(np.float64)
+    stars = rng.integers(0, 6, size=n).astype(np.float64)
+    stars[rng.random(n) < 0.15] = np.nan  # missing values
+    return pd.DataFrame(
+        {
+            "url": [f"u{i:04d}" for i in range(n)],
+            "doc_id": np.arange(1, n + 1, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "size": sizes,
+            "stars": stars,
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    df = _corpus()
+    idx = str(tmp_path_factory.mktemp("numidx"))
+    build_index(
+        rd.from_pandas(df), idx, CFG,
+        key_col="url", lang_col="lang", html_col=None, ts_col=None,
+        id_col="doc_id",
+    )
+    return idx, df
+
+
+def _brute_match(df: pd.DataFrame, terms: list[str]) -> pd.DataFrame:
+    hit = df["text"].str.split().apply(lambda t: any(w in t for w in terms))
+    return df[hit]
+
+
+def test_range_filter_matches_bruteforce(built):
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    res = s.search("alpha beta", k=1000, filter_range=[("size", 100.0, 900.0)])
+    want = _brute_match(df, ["alpha", "beta"])
+    want = want[(want["size"] >= 100.0) & (want["size"] <= 900.0)]
+    assert set(res["doc_id"]) == set(want["doc_id"])
+
+
+def test_range_filter_open_bounds_and_nan(built):
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    # open lower bound; NaN stars must never match
+    res = s.search("gamma", k=1000, filter_range=[("stars", None, 3.0)])
+    want = _brute_match(df, ["gamma"])
+    want = want[want["stars"].notna() & (want["stars"] <= 3.0)]
+    assert set(res["doc_id"]) == set(want["doc_id"])
+
+
+def test_range_filter_unknown_field_raises(built):
+    idx, _ = built
+    s = IndexSearcher(idx, CFG)
+    with pytest.raises(ValueError, match="numeric field"):
+        s.search("alpha", k=5, filter_range=[("nope", 0.0, 1.0)])
+
+
+def test_search_sorted_desc_and_ties(built):
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    res = s.search_sorted("alpha beta gamma", "size", k=15)
+    want = _brute_match(df, ["alpha", "beta", "gamma"])
+    want = want.sort_values(["size", "doc_id"], ascending=[False, True]).head(15)
+    assert res["doc_id"].tolist() == want["doc_id"].tolist()
+    assert res["sort_val"].tolist() == want["size"].tolist()
+    assert res["rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_search_sorted_asc_excludes_nan(built):
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    res = s.search_sorted("omega", "stars", ascending=True, k=8)
+    want = _brute_match(df, ["omega"])
+    want = want[want["stars"].notna()].sort_values(
+        ["stars", "doc_id"], ascending=[True, True]
+    ).head(8)
+    assert res["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def test_search_sorted_with_range_filter(built):
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    res = s.search_sorted(
+        "alpha", "size", k=10, filter_range=[("size", 500.0, None)]
+    )
+    want = _brute_match(df, ["alpha"])
+    want = want[want["size"] >= 500.0].sort_values(
+        ["size", "doc_id"], ascending=[False, True]
+    ).head(10)
+    assert res["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def test_distributed_range_filter_matches_single(built):
+    idx, _ = built
+    s = IndexSearcher(idx, CFG)
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1],
+            "text": ["alpha beta", "gamma"],
+            "k": 12,
+            "range_field": ["size", "stars"],
+            "range_gte": [100.0, None],
+            "range_lte": [900.0, 3.0],
+        }
+    )
+    got = (
+        run_queries(queries, idx, CFG)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for qid, text, fr in [
+        (0, "alpha beta", [("size", 100.0, 900.0)]),
+        (1, "gamma", [("stars", None, 3.0)]),
+    ]:
+        r = s.search(text, k=12, filter_range=fr)
+        r.insert(0, "query_id", np.int64(qid))
+        want.append(r)
+    want = pd.concat(want, ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id", "score"]],
+        want[["query_id", "rank", "doc_id", "score"]],
+    )
+
+
+def test_distributed_count_with_range(built):
+    idx, df = built
+    queries = pd.DataFrame(
+        {
+            "query_id": [0],
+            "text": ["alpha"],
+            "range_field": ["size"],
+            "range_gte": [1000.0],
+            "range_lte": [None],
+        }
+    )
+    out = run_counts(queries, idx, CFG)
+    want = _brute_match(df, ["alpha"])
+    assert out["n_matching"].iloc[0] == int((want["size"] >= 1000.0).sum())
+
+
+def test_run_sorted_matches_single(built):
+    idx, _ = built
+    s = IndexSearcher(idx, CFG)
+    queries = pd.DataFrame({"query_id": [0, 1], "text": ["alpha beta", "omega"]})
+    got = (
+        run_sorted(queries, idx, "size", k=7, cfg=CFG)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for qid, text in [(0, "alpha beta"), (1, "omega")]:
+        r = s.search_sorted(text, "size", k=7)
+        r.insert(0, "query_id", np.int64(qid))
+        want.append(r)
+    want = pd.concat(want, ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id", "sort_val"]],
+        want[["query_id", "rank", "doc_id", "sort_val"]],
+    )
+
+
+def test_merge_preserves_numeric_columns(built, tmp_path):
+    import shutil
+
+    idx, df = built
+    midx = str(tmp_path / "merged")
+    shutil.copytree(idx, midx)
+    merge_index(midx, merge_factor=4, cfg=CFG)
+    s = IndexSearcher(midx, CFG)
+    assert len(s.segments) < 4  # merge actually happened
+    res = s.search_sorted("alpha beta gamma", "size", k=15)
+    want = _brute_match(df, ["alpha", "beta", "gamma"])
+    want = want.sort_values(["size", "doc_id"], ascending=[False, True]).head(15)
+    assert res["doc_id"].tolist() == want["doc_id"].tolist()
+    res2 = s.search("alpha beta", k=1000, filter_range=[("size", 100.0, 900.0)])
+    want2 = _brute_match(df, ["alpha", "beta"])
+    want2 = want2[(want2["size"] >= 100.0) & (want2["size"] <= 900.0)]
+    assert set(res2["doc_id"]) == set(want2["doc_id"])
