@@ -83,6 +83,51 @@ _RANGE_SQL = _BM25_SQL.replace(
 )
 assert "n_chars" in _RANGE_SQL  # replace anchor must exist
 
+# shared match-set CTE prefix for the numeric aggregations (same query
+# derivation as _BM25_SQL; operator=or match set, no top-k cap)
+_MATCHES_CTE = """
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT DISTINCT doc_id, term FROM toks),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+ranked_terms AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+),
+queries AS (
+  SELECT 0 AS query_id, term FROM ranked_terms WHERE r = 1
+  UNION ALL SELECT 1, term FROM ranked_terms WHERE r IN (2, 3)
+  UNION ALL SELECT 2, term FROM ranked_terms WHERE r IN (4, 5, 6)
+  UNION ALL SELECT 3, term FROM ranked_terms WHERE r IN (7, 8)
+),
+matches AS (
+  SELECT DISTINCT q.query_id, tf.doc_id FROM queries q JOIN tf ON tf.term = q.term
+)
+""".replace("{_TOK}", _TOK)
+
+# ES stats aggregation: count/min/max/sum/avg of n_chars per match set
+_STATS_AGG_SQL = _MATCHES_CTE + """
+SELECT m.query_id,
+       count(*)::BIGINT AS n_docs,
+       min(d.n_chars)::DOUBLE AS min_val,
+       max(d.n_chars)::DOUBLE AS max_val,
+       sum(d.n_chars)::DOUBLE AS sum_val,
+       round(sum(d.n_chars)::DOUBLE / count(*), 6) AS avg_val
+FROM matches m JOIN documents d USING (doc_id)
+WHERE d.n_chars IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+# ES histogram aggregation: interval-50 buckets of n_chars per match set
+_HISTOGRAM_SQL = _MATCHES_CTE + """
+SELECT m.query_id,
+       (floor(d.n_chars / 50.0) * 50.0)::DOUBLE AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM matches m JOIN documents d USING (doc_id)
+WHERE d.n_chars IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 # ES sort-by-field: match set (operator=or) ranked by n_chars desc,
 # ties doc_id asc, missing excluded — mirrors run_sorted exactly
 _SORT_FIELD_SQL = """
@@ -482,6 +527,58 @@ def _q_sort_by_field(sf_dir: str):
             .sort_values(["query_id", "rank"])
             .reset_index(drop=True)
         )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_match_stats_agg(sf_dir: str):
+    """ES stats aggregation (count/min/max/sum/avg of n_chars) over each
+    derived query's match set — distributed NumericAggStage path."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_stats
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_stsidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_agg_stats(queries, idx, "n_chars", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_match_histogram(sf_dir: str):
+    """ES histogram aggregation (interval=50 buckets of n_chars) over
+    each derived query's match set — distributed NumericAggStage path."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_histogram
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_hstidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_agg_histogram(queries, idx, "n_chars", 50.0, cfg=cfg)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
@@ -959,6 +1056,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": _q_bm25_topk_and,
         "range_filter_topk": _q_range_filter_topk,
         "sort_by_field": _q_sort_by_field,
+        "match_stats_agg": _q_match_stats_agg,
+        "match_histogram": _q_match_histogram,
         "multi_match_topk": _q_multi_match,
         "match_title_topk": _q_match_title,
         "bool_topk": _q_bool_topk,
@@ -1045,6 +1144,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "range_filter_topk": _RANGE_SQL,
         "sort_by_field": _SORT_FIELD_SQL,
+        "match_stats_agg": _STATS_AGG_SQL,
+        "match_histogram": _HISTOGRAM_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
         "multi_match_topk": _MULTI_MATCH_SQL,
         "match_title_topk": _MATCH_TITLE_SQL,

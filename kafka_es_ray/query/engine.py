@@ -700,6 +700,60 @@ class IndexSearcher:
             }
         )
 
+    def agg_stats(
+        self, text: str, field: str, lang: str | None = None,
+        operator: str = "or", filter_lang: str | None = None,
+    ) -> dict:
+        """ES stats aggregation over the query's match set: count / min /
+        max / sum / avg of a numeric-mapped field (missing values
+        excluded, ES semantics)."""
+        terms = sorted(set(get_analyzer(lang).tokenize(text)))
+        n, tot, mn, mx = 0, 0.0, np.inf, -np.inf
+        for s in self.segments:
+            ids = segment_matching_ids(s, terms, operator == "and", filter_lang)
+            if ids.size == 0:
+                continue
+            vals = s.nums_for(field, ids)
+            vals = vals[~np.isnan(vals)]
+            if vals.size == 0:
+                continue
+            n += int(vals.size)
+            tot += float(vals.sum())
+            mn = min(mn, float(vals.min()))
+            mx = max(mx, float(vals.max()))
+        if n == 0:
+            return {"count": 0, "min": None, "max": None, "sum": 0.0, "avg": None}
+        return {"count": n, "min": mn, "max": mx, "sum": tot, "avg": tot / n}
+
+    def agg_histogram(
+        self, text: str, field: str, interval: float, lang: str | None = None,
+        operator: str = "or", filter_lang: str | None = None,
+    ) -> pd.DataFrame:
+        """ES histogram aggregation: fixed-interval buckets
+        (key = floor(val/interval)*interval) over the match set's numeric
+        field.  Returns (bucket, n_docs) sorted by bucket asc; empty
+        buckets omitted (ES min_doc_count=1)."""
+        terms = sorted(set(get_analyzer(lang).tokenize(text)))
+        acc: dict[float, int] = {}
+        for s in self.segments:
+            ids = segment_matching_ids(s, terms, operator == "and", filter_lang)
+            if ids.size == 0:
+                continue
+            vals = s.nums_for(field, ids)
+            vals = vals[~np.isnan(vals)]
+            if vals.size == 0:
+                continue
+            buckets = np.floor(vals / interval) * interval
+            ub, cnt = np.unique(buckets, return_counts=True)
+            for b_, c_ in zip(ub, cnt):
+                acc[float(b_)] = acc.get(float(b_), 0) + int(c_)
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series(sorted(acc), dtype=np.float64),
+                "n_docs": pd.Series([acc[b_] for b_ in sorted(acc)], dtype=np.int64),
+            }
+        )
+
     def search_batch(self, queries: pd.DataFrame, prune: bool = True) -> pd.DataFrame:
         """queries: (query_id, text, lang?, k?) -> stacked top-k rows."""
         out = []
@@ -1286,6 +1340,58 @@ class MatchSetStage(_SegmentCacheStage):
                 "plan_id": pd.Series([], dtype=np.int64),
                 "value": pd.Series([], dtype=object),
                 "n_partial": pd.Series([], dtype=np.int64),
+            }
+        )
+
+
+class NumericAggStage(_SegmentCacheStage):
+    """Segment-parallel numeric aggregations over match sets: stats
+    (interval=None -> one n/sum/min/max row per plan x segment) or
+    histogram (fixed-interval bucket counts).  Shuffle volume is
+    plans x segments (x buckets), never doc rows."""
+
+    def _init_payload(self, payload) -> None:
+        self.plan, self.tomb_map, self.field, self.interval = payload
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pid in batch["part_id"].astype(int):
+            seg = self._segment(pid)
+            for q in self.plan:
+                ids = segment_matching_ids(
+                    seg, q["terms"], q.get("require_all", False),
+                    q.get("filter_lang"), q.get("filter_ranges"),
+                )
+                if ids.size == 0:
+                    continue
+                vals = seg.nums_for(self.field, ids)
+                vals = vals[~np.isnan(vals)]
+                if vals.size == 0:
+                    continue
+                if self.interval is None:  # stats partial
+                    rows.append(
+                        (
+                            q["plan_id"], 0.0, int(vals.size),
+                            float(vals.sum()), float(vals.min()), float(vals.max()),
+                        )
+                    )
+                else:  # histogram partials
+                    buckets = np.floor(vals / self.interval) * self.interval
+                    ub, cnt = np.unique(buckets, return_counts=True)
+                    rows.extend(
+                        (q["plan_id"], float(b_), int(c_), 0.0, 0.0, 0.0)
+                        for b_, c_ in zip(ub, cnt)
+                    )
+        return pd.DataFrame(
+            rows, columns=["plan_id", "bucket", "n", "sum", "mn", "mx"]
+        ).astype({"plan_id": np.int64, "n": np.int64}) if rows else pd.DataFrame(
+            {
+                "plan_id": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=np.float64),
+                "n": pd.Series([], dtype=np.int64),
+                "sum": pd.Series([], dtype=np.float64),
+                "mn": pd.Series([], dtype=np.float64),
+                "mx": pd.Series([], dtype=np.float64),
             }
         )
 
@@ -1927,6 +2033,119 @@ def run_agg_terms(
         .sort_values("query_id", kind="mergesort")
         .reset_index(drop=True)
         .astype({"query_id": np.int64, "n_docs": np.int64})
+    )
+
+
+def _run_numeric_agg(
+    queries_ds, index_dir: str, field: str, interval: float | None,
+    cfg: EngineConfig, concurrency: int | None,
+) -> tuple[pd.DataFrame, list[dict]]:
+    """Shared distributed driver for stats / histogram aggregations.
+    Returns (partials, plan); partials rows = plans x segments
+    (x buckets) — never doc rows."""
+    import ray
+
+    concurrency = concurrency or cfg.query_concurrency or 2
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    plan = _match_set_plans(queries)
+    if not plan:
+        return pd.DataFrame(
+            {"plan_id": [], "bucket": [], "n": [], "sum": [], "mn": [], "mx": []}
+        ), plan
+    plan_ref = ray.put((plan, manifest.get("tombstones", {}), field, interval))
+    partials = (
+        _shards_ds(parts, concurrency)
+        .map_batches(
+            NumericAggStage,
+            fn_constructor_args=(index_dir, plan_ref, cfg),
+            batch_format="pandas",
+            batch_size=4,
+            concurrency=concurrency,
+        )
+        .to_pandas()  # plans x segments (x buckets) rows — tiny by design
+    )
+    return partials, plan
+
+
+def run_agg_stats(
+    queries_ds, index_dir: str, field: str,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES stats aggregation: (query_id, n_docs, min_val,
+    max_val, sum_val, avg_val) of a numeric-mapped field over each
+    query's match set (missing values excluded).  Queries with an empty
+    match set are omitted (ES returns null stats)."""
+    partials, plan = _run_numeric_agg(queries_ds, index_dir, field, None, cfg, concurrency)
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = partials.groupby("plan_id", sort=True).agg(
+            n=("n", "sum"), s=("sum", "sum"), mn=("mn", "min"), mx=("mx", "max")
+        )
+        for pid_, r in g.iterrows():
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    {
+                        "query_id": np.int64(qid),
+                        "n_docs": np.int64(r["n"]),
+                        "min_val": float(r["mn"]),
+                        "max_val": float(r["mx"]),
+                        "sum_val": float(r["s"]),
+                        "avg_val": float(round6(np.array([r["s"] / r["n"]]))[0]),
+                    }
+                )
+    out = pd.DataFrame(
+        rows, columns=["query_id", "n_docs", "min_val", "max_val", "sum_val", "avg_val"]
+    )
+    return out.sort_values("query_id", kind="mergesort").reset_index(drop=True).astype(
+        {"query_id": np.int64, "n_docs": np.int64}
+    )
+
+
+def run_agg_histogram(
+    queries_ds, index_dir: str, field: str, interval: float,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES histogram aggregation: fixed-interval bucket counts
+    (key = floor(val/interval)*interval) per query.  Returns (query_id,
+    bucket, n_docs) sorted bucket asc; empty buckets omitted
+    (min_doc_count=1)."""
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, field, float(interval), cfg, concurrency
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qid),
+                            "bucket": gg["bucket"].to_numpy(np.float64),
+                            "n_docs": gg["n"].to_numpy(np.int64),
+                        }
+                    )
+                )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=np.float64),
+                "n_docs": pd.Series([], dtype=np.int64),
+            }
+        )
+    return (
+        pd.concat(rows, ignore_index=True)
+        .sort_values(["query_id", "bucket"], kind="mergesort")
+        .reset_index(drop=True)
     )
 
 

@@ -14,6 +14,8 @@ from kafka_es_ray.index.build import build_index
 from kafka_es_ray.index.merge import merge_index
 from kafka_es_ray.query.engine import (
     IndexSearcher,
+    run_agg_histogram,
+    run_agg_stats,
     run_counts,
     run_queries,
     run_sorted,
@@ -195,6 +197,50 @@ def test_run_sorted_matches_single(built):
         got[["query_id", "rank", "doc_id", "sort_val"]],
         want[["query_id", "rank", "doc_id", "sort_val"]],
     )
+
+
+def test_agg_stats_matches_bruteforce(built):
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    got = s.agg_stats("alpha beta", "stars")
+    want = _brute_match(df, ["alpha", "beta"])
+    vals = want["stars"].dropna()
+    assert got["count"] == len(vals)
+    assert got["min"] == vals.min()
+    assert got["max"] == vals.max()
+    assert got["sum"] == vals.sum()
+    assert abs(got["avg"] - vals.mean()) < 1e-9
+
+
+def test_agg_histogram_matches_bruteforce(built):
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    got = s.agg_histogram("gamma", "size", interval=500.0)
+    want = _brute_match(df, ["gamma"])
+    buckets = (np.floor(want["size"].to_numpy() / 500.0) * 500.0)
+    ub, cnt = np.unique(buckets, return_counts=True)
+    assert got["bucket"].tolist() == ub.tolist()
+    assert got["n_docs"].tolist() == cnt.tolist()
+
+
+def test_distributed_stats_and_histogram_match_single(built):
+    idx, _ = built
+    s = IndexSearcher(idx, CFG)
+    queries = pd.DataFrame({"query_id": [0, 1], "text": ["alpha beta", "omega"]})
+    stats = run_agg_stats(queries, idx, "stars", cfg=CFG)
+    for qid, text in [(0, "alpha beta"), (1, "omega")]:
+        single = s.agg_stats(text, "stars")
+        row = stats[stats["query_id"] == qid].iloc[0]
+        assert row["n_docs"] == single["count"]
+        assert row["min_val"] == single["min"]
+        assert row["max_val"] == single["max"]
+        assert row["sum_val"] == single["sum"]
+    hist = run_agg_histogram(queries, idx, "size", 500.0, cfg=CFG)
+    for qid, text in [(0, "alpha beta"), (1, "omega")]:
+        single = s.agg_histogram(text, "size", 500.0)
+        g = hist[hist["query_id"] == qid]
+        assert g["bucket"].tolist() == single["bucket"].tolist()
+        assert g["n_docs"].tolist() == single["n_docs"].tolist()
 
 
 def test_merge_preserves_numeric_columns(built, tmp_path):
