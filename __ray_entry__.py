@@ -531,6 +531,34 @@ def _q_sort_by_field(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_prefix_count(sf_dir: str):
+    """ES prefix query counts: docs containing any term starting with
+    the 3-char prefixes of the top-4 ranked terms — sorted-dictionary
+    range expansion, distributed MatchSetStage path."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_counts
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_pfxidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        top = derive_ranked_terms(IndexSearcher(idx), 4)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(len(top), dtype=np.int64),
+                "prefix": [t[:3] for t in top],
+            }
+        )
+        out = run_counts(queries, idx)
+        return out[out["n_matching"] > 0].reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_match_stats_agg(sf_dir: str):
     """ES stats aggregation (count/min/max/sum/avg of n_chars) over each
     derived query's match set — distributed NumericAggStage path."""
@@ -1058,6 +1086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field": _q_sort_by_field,
         "match_stats_agg": _q_match_stats_agg,
         "match_histogram": _q_match_histogram,
+        "prefix_count": _q_prefix_count,
         "multi_match_topk": _q_multi_match,
         "match_title_topk": _q_match_title,
         "bool_topk": _q_bool_topk,
@@ -1174,6 +1203,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matching
             FROM queries q JOIN tf ON tf.term = q.term
+            GROUP BY 1
+        """,
+        "prefix_count": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            tf AS (SELECT DISTINCT doc_id, term FROM toks),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            ranked_terms AS (
+              SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+            ),
+            prefixes AS (
+              SELECT (r - 1)::BIGINT AS query_id, substr(term, 1, 3) AS p
+              FROM ranked_terms WHERE r <= 4
+            )
+            SELECT p.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matching
+            FROM prefixes p JOIN tf ON starts_with(tf.term, p.p)
             GROUP BY 1
         """,
         "phrase_topk": f"""

@@ -344,10 +344,19 @@ class Segment:
             if i < self._terms_np.size and self._terms_np[i] == term:
                 return i
             return -1
+        lo = self._term_lower_bound(term.encode("utf-8"))
+        if lo < len(self.terms_arr):
+            off, data = self._term_view
+            if data[off[lo] : off[lo + 1]].tobytes() == term.encode("utf-8"):
+                return lo
+        return -1
+
+    def _term_lower_bound(self, tb: bytes) -> int:
+        """First dictionary index whose term >= tb (byte order == the
+        build's sort order) — shared by exact lookup and prefix ranges."""
         if self._term_view is None:
             self._term_view = self._string_view(self.terms_arr)
         off, data = self._term_view
-        tb = term.encode("utf-8")
         lo, hi = 0, len(self.terms_arr)
         while lo < hi:
             mid = (lo + hi) // 2
@@ -355,9 +364,26 @@ class Segment:
                 lo = mid + 1
             else:
                 hi = mid
-        if lo < len(self.terms_arr) and data[off[lo] : off[lo + 1]].tobytes() == tb:
-            return lo
-        return -1
+        return lo
+
+    def term_prefix_range(self, prefix: str) -> tuple[int, int]:
+        """Dictionary index range [lo, hi) of terms starting with
+        ``prefix`` (ES prefix-query expansion unit).  The sorted
+        dictionary makes this two binary searches; hi's probe is the
+        prefix's byte-successor (increment last non-0xff byte)."""
+        pb = prefix.encode("utf-8")
+        if self._terms_np is not None:  # merge path: numpy object array
+            lo = int(np.searchsorted(self._terms_np, prefix))
+            hi = int(np.searchsorted(self._terms_np, prefix + chr(0x10FFFF)))
+            return lo, hi
+        lo = self._term_lower_bound(pb)
+        q = bytearray(pb)
+        while q and q[-1] == 0xFF:
+            q.pop()
+        if not q:
+            return lo, len(self.terms_arr)
+        q[-1] += 1
+        return lo, self._term_lower_bound(bytes(q))
 
     def find_keys(self, want: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Docstore rows whose key is in ``want`` (object array) — the

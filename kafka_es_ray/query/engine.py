@@ -477,6 +477,36 @@ class IndexSearcher:
         """ES _count API analog: number of live docs matching the query."""
         return int(sum(ids.size for ids in self.matching_ids(text, lang, operator, filter_lang).values()))
 
+    def prefix_matching_ids(
+        self, prefix: str, filter_lang: str | None = None,
+        max_expansions: int | None = None,
+    ) -> dict[int, np.ndarray]:
+        """ES prefix query match set: docs containing ANY term starting
+        with ``prefix`` (sorted-dictionary range expansion).  Returns
+        {segment_part_id: sorted doc ids}."""
+        out: dict[int, np.ndarray] = {}
+        for s in self.segments:
+            ids = segment_prefix_matching_ids(
+                s, prefix, filter_lang, max_expansions=max_expansions
+            )
+            if ids.size:
+                out[s.part_id] = ids
+        return out
+
+    def prefix_count(
+        self, prefix: str, filter_lang: str | None = None,
+        max_expansions: int | None = None,
+    ) -> int:
+        """Number of live docs matching an ES prefix query."""
+        return int(
+            sum(
+                ids.size
+                for ids in self.prefix_matching_ids(
+                    prefix, filter_lang, max_expansions
+                ).values()
+            )
+        )
+
     def search_sorted(
         self,
         text: str,
@@ -850,6 +880,61 @@ def segment_matching_ids(
         pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
         ids = ids[s.tombstones[pos] != ids]
     return ids
+
+
+def segment_prefix_matching_ids(
+    s: Segment,
+    prefix: str,
+    filter_lang: str | None = None,
+    filter_ranges: list[tuple] | None = None,
+    max_expansions: int | None = None,
+) -> np.ndarray:
+    """ES prefix query match set for ONE segment: union of the postings
+    of every dictionary term starting with ``prefix`` (two binary
+    searches over the sorted term dictionary — never a scan).
+    ``max_expansions``: ES's expansion cap (first N terms in dictionary
+    order); None = unbounded (ES rewrite=constant_score_blended)."""
+    empty = np.array([], dtype=np.int64)
+    if not prefix:
+        return empty
+    lo, hi = s.term_prefix_range(prefix)
+    if max_expansions is not None:
+        hi = min(hi, lo + max_expansions)
+    if hi <= lo:
+        return empty
+    lists = [s.postings_with_dl(ti)[0] for ti in range(lo, hi)]
+    ids = np.unique(np.concatenate(lists))
+    if filter_lang is not None and ids.size:
+        ids = ids[s.langs_for(ids) == filter_lang]
+    if filter_ranges:
+        for fld, lo_b, hi_b in filter_ranges:
+            if not ids.size:
+                break
+            vals = s.nums_for(fld, ids)
+            keep_r = ~np.isnan(vals)
+            if lo_b is not None:
+                keep_r &= vals >= lo_b
+            if hi_b is not None:
+                keep_r &= vals <= hi_b
+            ids = ids[keep_r]
+    if s.tombstones is not None and s.tombstones.size and ids.size:
+        pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
+        ids = ids[s.tombstones[pos] != ids]
+    return ids
+
+
+def _segment_match_ids_for_plan(s: Segment, q: dict) -> np.ndarray:
+    """Match-set dispatch shared by every MatchSet-family stage: term
+    match (possibly filtered) or prefix expansion."""
+    if q.get("prefix") is not None:
+        return segment_prefix_matching_ids(
+            s, q["prefix"], q.get("filter_lang"), q.get("filter_ranges"),
+            q.get("max_expansions"),
+        )
+    return segment_matching_ids(
+        s, q["terms"], q.get("require_all", False), q.get("filter_lang"),
+        q.get("filter_ranges"),
+    )
 
 
 def score_segment_phrase(
@@ -1322,10 +1407,7 @@ class MatchSetStage(_SegmentCacheStage):
         for pid in batch["part_id"].astype(int):
             seg = self._segment(pid)
             for q in self.plan:
-                ids = segment_matching_ids(
-                    seg, q["terms"], q.get("require_all", False), q.get("filter_lang"),
-                    q.get("filter_ranges"),
-                )
+                ids = _segment_match_ids_for_plan(seg, q)
                 if ids.size == 0:
                     continue
                 if self.field is None:  # _count: one partial per segment
@@ -1358,10 +1440,7 @@ class NumericAggStage(_SegmentCacheStage):
         for pid in batch["part_id"].astype(int):
             seg = self._segment(pid)
             for q in self.plan:
-                ids = segment_matching_ids(
-                    seg, q["terms"], q.get("require_all", False),
-                    q.get("filter_lang"), q.get("filter_ranges"),
-                )
+                ids = _segment_match_ids_for_plan(seg, q)
                 if ids.size == 0:
                     continue
                 vals = seg.nums_for(self.field, ids)
@@ -1409,10 +1488,7 @@ class SortTopkStage(_SegmentCacheStage):
         for pid in batch["part_id"].astype(int):
             seg = self._segment(pid)
             for q in self.plan:
-                ids = segment_matching_ids(
-                    seg, q["terms"], q.get("require_all", False),
-                    q.get("filter_lang"), q.get("filter_ranges"),
-                )
+                ids = _segment_match_ids_for_plan(seg, q)
                 if ids.size == 0:
                     continue
                 vals = seg.nums_for(self.field, ids)
@@ -1914,10 +1990,24 @@ def _match_set_plans(queries: pd.DataFrame) -> list[dict]:
     plan_by_key: dict[tuple, dict] = {}
     for row in queries.itertuples(index=False):
         lang_q = getattr(row, "lang", None)
-        terms = sorted(set(get_analyzer(lang_q).tokenize(row.text)))
-        require_all = (getattr(row, "operator", None) or "or") == "and"
         filter_lang = getattr(row, "filter_lang", None)
         fr = _row_filter_ranges(row)
+        pfx = getattr(row, "prefix", None)
+        if pfx is not None and not (isinstance(pfx, float) and pd.isna(pfx)):
+            # ES prefix query row: dictionary-range expansion, no analysis
+            key = ("__prefix__", str(pfx), filter_lang, fr)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "prefix": str(pfx),
+                    "filter_lang": filter_lang,
+                    "filter_ranges": list(fr) if fr else None,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        terms = sorted(set(get_analyzer(lang_q).tokenize(row.text)))
+        require_all = (getattr(row, "operator", None) or "or") == "and"
         key = (tuple(terms), require_all, filter_lang, fr)
         entry = plan_by_key.get(key)
         if entry is None:

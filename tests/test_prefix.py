@@ -1,0 +1,121 @@
+"""ES prefix queries: sorted-dictionary range expansion, match sets,
+counts — single-process and distributed.  Oracle: brute-force pandas
+startswith over the same corpus."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kafka_es_ray.config import EngineConfig
+from kafka_es_ray.index.build import build_index
+from kafka_es_ray.index.segment import Segment
+from kafka_es_ray.query.engine import IndexSearcher, run_counts
+
+CFG = EngineConfig(num_partitions=4)
+
+WORDS = [
+    "apple", "apply", "appraise", "apt", "banana", "band", "bandit",
+    "cat", "catalog", "category", "dog", "dogma",
+]
+
+
+def _corpus(n=100, seed=11) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    texts = [
+        " ".join(rng.choice(WORDS, size=rng.integers(2, 7)).tolist())
+        for _ in range(n)
+    ]
+    return pd.DataFrame(
+        {
+            "url": [f"u{i:04d}" for i in range(n)],
+            "doc_id": np.arange(1, n + 1, dtype=np.int64),
+            "text": texts,
+            "lang": np.where(np.arange(n) % 3 == 0, "de", "en"),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    df = _corpus()
+    idx = str(tmp_path_factory.mktemp("pfxidx"))
+    build_index(
+        rd.from_pandas(df), idx, CFG,
+        key_col="url", lang_col="lang", html_col=None, ts_col=None,
+        id_col="doc_id",
+    )
+    return idx, df
+
+
+def _brute_prefix(df: pd.DataFrame, prefix: str) -> pd.DataFrame:
+    hit = df["text"].str.split().apply(
+        lambda t: any(w.startswith(prefix) for w in t)
+    )
+    return df[hit]
+
+
+def test_term_prefix_range_matches_scan(built):
+    idx, _ = built
+    for pid in range(CFG.num_partitions):
+        s = Segment.load(idx, pid)
+        terms = [t.as_py() for t in s.terms_arr]
+        for p in ["ap", "app", "b", "cat", "dogm", "zz", "", "a"]:
+            lo, hi = s.term_prefix_range(p)
+            want = [i for i, t in enumerate(terms) if t.startswith(p)]
+            assert list(range(lo, hi)) == want, (p, pid)
+
+
+def test_prefix_count_matches_bruteforce(built):
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    for p in ["ap", "band", "cat", "d", "zz"]:
+        assert s.prefix_count(p) == len(_brute_prefix(df, p)), p
+
+
+def test_prefix_with_filter_lang(built):
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    want = _brute_prefix(df, "app")
+    want = want[want["lang"] == "de"]
+    assert s.prefix_count("app", filter_lang="de") == len(want)
+
+
+def test_prefix_max_expansions_caps_terms(built):
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    # cap=1 expands only the first dictionary term per segment ("apple")
+    capped = s.prefix_count("app", max_expansions=1)
+    full = s.prefix_count("app")
+    assert capped <= full
+    assert capped >= len(_brute_prefix(df, "apple")) and capped > 0
+
+
+def test_distributed_prefix_count_matches_single(built):
+    idx, _ = built
+    s = IndexSearcher(idx, CFG)
+    queries = pd.DataFrame(
+        {"query_id": [0, 1, 2], "prefix": ["ap", "cat", "zz"]}
+    )
+    out = run_counts(queries, idx, CFG)
+    got = dict(zip(out["query_id"], out["n_matching"]))
+    assert got[0] == s.prefix_count("ap")
+    assert got[1] == s.prefix_count("cat")
+    assert got.get(2, 0) == 0
+
+
+def test_mixed_match_and_prefix_plans(built):
+    idx, _ = built
+    s = IndexSearcher(idx, CFG)
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1],
+            "text": ["banana", None],
+            "prefix": [None, "dog"],
+        }
+    )
+    out = run_counts(queries, idx, CFG)
+    got = dict(zip(out["query_id"], out["n_matching"]))
+    assert got[0] == s.count("banana")
+    assert got[1] == s.prefix_count("dog")
