@@ -531,6 +531,40 @@ def _q_sort_by_field(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_search_after_topk(sf_dir: str):
+    """ES search_after deep pagination: page 2 (global ranks 11-20) of
+    each derived query, fetched with the (score, doc_id) cursor of page
+    1's last hit — both pages via the distributed run_queries path;
+    returned ranks restart at 1 (ES semantics)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_saidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx))
+        queries = queries[queries["text"] != "zzzabsentterm"].reset_index(drop=True)
+        p1 = run_queries(queries, idx).to_pandas()
+        last = p1[p1["rank"] == 10].set_index("query_id")
+        q2 = queries.assign(
+            after_score=queries["query_id"].map(last["score"]),
+            after_doc=queries["query_id"].map(last["doc_id"]),
+        )
+        out = run_queries(q2, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_prefix_count(sf_dir: str):
     """ES prefix query counts: docs containing any term starting with
     the 3-char prefixes of the top-4 ranked terms — sorted-dictionary
@@ -1087,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_stats_agg": _q_match_stats_agg,
         "match_histogram": _q_match_histogram,
         "prefix_count": _q_prefix_count,
+        "search_after_topk": _q_search_after_topk,
         "multi_match_topk": _q_multi_match,
         "match_title_topk": _q_match_title,
         "bool_topk": _q_bool_topk,
@@ -1172,6 +1207,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
         "range_filter_topk": _RANGE_SQL,
+        # page 2 via cursor == global ranks 11-20, ranks rebased to 1-10
+        "search_after_topk": _BM25_SQL.replace(
+            "FROM topk WHERE rank <= 10",
+            "FROM (SELECT query_id, (rank - 10)::BIGINT AS rank, doc_id, score"
+            " FROM topk WHERE rank BETWEEN 11 AND 20) t",
+        ),
         "sort_by_field": _SORT_FIELD_SQL,
         "match_stats_agg": _STATS_AGG_SQL,
         "match_histogram": _HISTOGRAM_SQL,

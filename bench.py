@@ -72,6 +72,22 @@ def _warm_host_pages(max_gb: float = 16.0, max_secs: float = 120.0) -> None:
         touched += chunk
 
 
+def _host_canary() -> dict:
+    """Host page-fault health probe, recorded into every bench JSON: the
+    first-touch time of a fresh 80 MB allocation vs an immediate warm
+    repeat (CLAUDE.md rule 5).  Healthy hosts: cold ~= warm ~= 0.04 s.
+    Poisoned hosts (hypervisor page harvesting): cold 5-30+ s — every
+    absolute timing in that JSON is then inflated by the VM-wide
+    ~0.2 GB/s fault-service ceiling, NOT by engine work; compare runs
+    only at similar canary values."""
+    out = {}
+    for label in ("cold", "warm"):
+        t0 = time.perf_counter()
+        np.cumsum(np.random.default_rng(0).integers(0, 1 << 40, size=10_000_000))
+        out[f"host_canary_{label}_s"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def run_bench() -> dict:
     # Ray's default object store sizing warns at <50% of memory; the
     # shuffle benefits from headroom
@@ -97,6 +113,9 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    extra.update(_host_canary())  # host health BEFORE warming: the
+    # cold/warm pair tells a reader how much of this run's absolute
+    # numbers to attribute to hypervisor page harvesting
 
     corpus_dir = ensure_pages_corpus(PAGES_ROWS)
     # warm page cache (untimed read) so we measure compute+shuffle
@@ -258,6 +277,10 @@ def run_scaling() -> dict:
         "queries_per_sec_8cpu": results[8]["queries_per_sec"],
         "queries_per_sec_32cpu": results[32]["queries_per_sec"],
         "pages_rows": results[32]["pages_rows"],
+        # best-run host-health canary per level (see _host_canary): the
+        # efficiency RATIO is fair when both levels show similar values
+        "host_canary_cold_s_8cpu": results[8].get("host_canary_cold_s"),
+        "host_canary_cold_s_32cpu": results[32].get("host_canary_cold_s"),
     }
 
 

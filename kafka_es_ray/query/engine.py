@@ -96,6 +96,7 @@ class IndexSearcher:
         must_not: str | None = None,
         field: str | None = None,
         filter_range: list[tuple] | None = None,
+        search_after: tuple | None = None,
     ) -> pd.DataFrame:
         """Top-k docs for one query string.  Returns DataFrame
         (rank, doc_id, key, score) with the determinism contract applied.
@@ -103,6 +104,12 @@ class IndexSearcher:
         ``filter_range``: ES range filter — [(numeric_field, gte, lte)]
         over cfg.numeric_cols docstore columns (None bound = open side;
         missing values never match).
+
+        ``search_after``: ES cursor pagination — (score, doc_id) of the
+        last hit of the previous page; only docs strictly after it in
+        (score desc, doc_id asc) order are returned, ranks restart at 1.
+        Stateless and segment-local (unlike from/size, no deep-page
+        blowup: every shard keeps at most k candidates).
 
         ``field`` (multi-field index only) restricts the match to one
         mapped text field: terms are prefixed, BM25 norms use the field's
@@ -123,6 +130,7 @@ class IndexSearcher:
             out = self._search(
                 text, lang, k, prune, operator, filter_lang, fetch or highlight, offset,
                 must_not=must_not, field=field, filter_range=filter_range,
+                search_after=search_after,
             )
             if highlight:
                 terms = sorted(set(get_analyzer(lang).tokenize(text)))
@@ -149,6 +157,7 @@ class IndexSearcher:
         must_not: str | None = None,
         field: str | None = None,
         filter_range: list[tuple] | None = None,
+        search_after: tuple | None = None,
     ) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -199,6 +208,9 @@ class IndexSearcher:
                 avgdl=avgdl_use,
                 filter_ranges=filter_range,
             )
+            if search_after is not None and ids.size:
+                keep_sa = _after_cursor_mask(ids, scores, search_after)
+                ids, scores = ids[keep_sa], scores[keep_sa]
             if ids.size == 0:
                 continue
             if ids.size > keff:
@@ -1112,6 +1124,16 @@ def score_segment_bool(
     return cand, np.asarray(round6(acc))
 
 
+def _after_cursor_mask(
+    ids: np.ndarray, scores: np.ndarray, cursor: tuple
+) -> np.ndarray:
+    """ES search_after predicate: strictly after (score desc, doc_id
+    asc) the cursor.  Scores are round6'd on both sides, so equality
+    compares exactly."""
+    cs, cd = float(cursor[0]), int(cursor[1])
+    return (scores < cs) | ((scores == cs) & (ids > cd))
+
+
 def score_segment(
     s: Segment,
     terms: list[str],
@@ -1355,6 +1377,10 @@ class ShardScorerStage(_SegmentCacheStage):
                         dl_field=q.get("dl_field"),
                         filter_ranges=q.get("filter_ranges"),
                     )
+                    sa = q.get("search_after")
+                    if sa is not None and ids.size:
+                        keep_sa = _after_cursor_mask(ids, scores, sa)
+                        ids, scores = ids[keep_sa], scores[keep_sa]
                 if ids.size == 0:
                     continue
                 k = q["k"]
@@ -1840,7 +1866,12 @@ def run_queries(
                 mn_base = [f"{fld}\x1f{t}" for t in mn_base]
             mn_terms = tuple(mn_base) or None
         fr = _row_filter_ranges(row)
-        key = (tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld, fr)
+        sa_raw = getattr(row, "after_score", None)
+        if sa_raw is None or (isinstance(sa_raw, float) and pd.isna(sa_raw)):
+            sa = None
+        else:
+            sa = (float(sa_raw), int(getattr(row, "after_doc", -1)))
+        key = (tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld, fr, sa)
         entry = plan_by_key.get(key)
         if entry is None:
             idf = bm25_idf(np.array([df_map[t] for t in terms], dtype=np.int64), n_docs)
@@ -1848,6 +1879,7 @@ def run_queries(
                 "query_ids": [],
                 "terms": terms,
                 "filter_ranges": list(fr) if fr else None,
+                "search_after": sa,
                 "hl_terms": base_terms,
                 "idf": np.asarray(idf, dtype=np.float64),
                 "k": k + offset,  # shards keep the whole rank window
