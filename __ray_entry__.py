@@ -593,6 +593,62 @@ def _q_prefix_count(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_wildcard_count(sf_dir: str):
+    """ES wildcard query counts: pre*suf patterns (first 2 + last 1 chars
+    of the top-4 ranked terms) — prefix-pruned dictionary expansion +
+    vectorized suffix check, distributed MatchSetStage path."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_counts
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_wcidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        top = derive_ranked_terms(IndexSearcher(idx), 4)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(len(top), dtype=np.int64),
+                "wildcard": [f"{t[:2]}*{t[-1]}" for t in top],
+            }
+        )
+        out = run_counts(queries, idx)
+        return out[out["n_matching"] > 0].reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_fuzzy_count(sf_dir: str):
+    """ES fuzzy query counts (fuzziness=1): probes are the top-4 ranked
+    terms with their last char deleted (a deterministic typo) — edit-
+    distance-1 dictionary expansion, distributed MatchSetStage path."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_counts
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_fzidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        top = [t for t in derive_ranked_terms(IndexSearcher(idx), 4) if len(t) >= 2]
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(len(top), dtype=np.int64),
+                "fuzzy": [t[:-1] for t in top],
+            }
+        )
+        out = run_counts(queries, idx)
+        return out[out["n_matching"] > 0].reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_match_stats_agg(sf_dir: str):
     """ES stats aggregation (count/min/max/sum/avg of n_chars) over each
     derived query's match set — distributed NumericAggStage path."""
@@ -1121,6 +1177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_stats_agg": _q_match_stats_agg,
         "match_histogram": _q_match_histogram,
         "prefix_count": _q_prefix_count,
+        "wildcard_count": _q_wildcard_count,
+        "fuzzy_count": _q_fuzzy_count,
         "search_after_topk": _q_search_after_topk,
         "multi_match_topk": _q_multi_match,
         "match_title_topk": _q_match_title,
@@ -1261,6 +1319,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matching
             FROM prefixes p JOIN tf ON starts_with(tf.term, p.p)
+            GROUP BY 1
+        """,
+        "wildcard_count": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            tf AS (SELECT DISTINCT doc_id, term FROM toks),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            ranked_terms AS (
+              SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+            ),
+            pats AS (
+              SELECT (r - 1)::BIGINT AS query_id,
+                     substr(term, 1, 2) AS pre, right(term, 1) AS suf
+              FROM ranked_terms WHERE r <= 4
+            )
+            SELECT p.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matching
+            FROM pats p
+            JOIN tf ON starts_with(tf.term, p.pre)
+                   AND ends_with(tf.term, p.suf)
+                   AND len(tf.term) >= 3
+            GROUP BY 1
+        """,
+        "fuzzy_count": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            tf AS (SELECT DISTINCT doc_id, term FROM toks),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            ranked_terms AS (
+              SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+            ),
+            probes AS (
+              SELECT (row_number() OVER (ORDER BY r) - 1)::BIGINT AS query_id,
+                     substr(term, 1, len(term) - 1) AS p
+              FROM ranked_terms WHERE r <= 4 AND len(term) >= 2
+            )
+            SELECT p.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matching
+            FROM probes p JOIN tf ON levenshtein(tf.term, p.p) <= 1
             GROUP BY 1
         """,
         "phrase_topk": f"""

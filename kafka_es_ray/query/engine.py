@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from kafka_es_ray.config import DEFAULT, EngineConfig
 from kafka_es_ray.functions.hashing import route_partition
@@ -505,6 +506,31 @@ class IndexSearcher:
                 out[s.part_id] = ids
         return out
 
+    def fuzzy_count(self, term: str, filter_lang: str | None = None) -> int:
+        """Number of live docs matching an ES fuzzy query (fuzziness=1:
+        any dictionary term within edit distance 1 of ``term``)."""
+        return int(
+            sum(
+                segment_fuzzy_matching_ids(s, term, filter_lang).size
+                for s in self.segments
+            )
+        )
+
+    def wildcard_count(
+        self, pattern: str, filter_lang: str | None = None,
+        max_expansions: int | None = None,
+    ) -> int:
+        """Number of live docs matching an ES wildcard query (single-`*`
+        pre*suf pattern; see segment_wildcard_matching_ids)."""
+        return int(
+            sum(
+                segment_wildcard_matching_ids(
+                    s, pattern, filter_lang, max_expansions=max_expansions
+                ).size
+                for s in self.segments
+            )
+        )
+
     def prefix_count(
         self, prefix: str, filter_lang: str | None = None,
         max_expansions: int | None = None,
@@ -935,9 +961,156 @@ def segment_prefix_matching_ids(
     return ids
 
 
+def segment_wildcard_matching_ids(
+    s: Segment,
+    pattern: str,
+    filter_lang: str | None = None,
+    filter_ranges: list[tuple] | None = None,
+    max_expansions: int | None = None,
+) -> np.ndarray:
+    """ES wildcard query match set for ONE segment — single-`*` patterns
+    `pre*suf`: the dictionary is pruned to the prefix's range (two binary
+    searches), then the suffix is checked VECTORIZED (pyarrow ends_with)
+    over only that range.  A leading-`*` pattern scans the whole
+    dictionary (the ES wildcard anti-pattern — still vectorized, but
+    O(n_terms); documented cost).  Terms shorter than |pre|+|suf| cannot
+    match (the `*` spans >= 0 chars, never overlapping pre/suf)."""
+    import pyarrow.compute as pc
+
+    empty = np.array([], dtype=np.int64)
+    if pattern.count("*") != 1:
+        # no-star = exact term; multi-star unsupported (reject loudly)
+        if "*" not in pattern:
+            ti = s.lookup(pattern)
+            if ti < 0:
+                return empty
+            tids = [ti]
+        else:
+            raise ValueError(f"wildcard supports exactly one '*': {pattern!r}")
+    else:
+        pre, suf = pattern.split("*", 1)
+        lo, hi = s.term_prefix_range(pre) if pre else (0, len(s.terms_arr))
+        if hi <= lo:
+            return empty
+        cand = s.terms_arr.slice(lo, hi - lo)
+        keep = np.ones(hi - lo, dtype=bool)
+        if suf:
+            keep &= pc.ends_with(cand, suf).to_numpy(zero_copy_only=False)
+            keep &= (
+                pc.binary_length(cand).to_numpy(zero_copy_only=False)
+                >= len(pre) + len(suf)
+            )
+        tids = (np.flatnonzero(keep) + lo).tolist()
+        if max_expansions is not None:
+            tids = tids[:max_expansions]
+    if not tids:
+        return empty
+    ids = np.unique(np.concatenate([s.postings_with_dl(ti)[0] for ti in tids]))
+    if filter_lang is not None and ids.size:
+        ids = ids[s.langs_for(ids) == filter_lang]
+    if filter_ranges:
+        for fld, lo_b, hi_b in filter_ranges:
+            if not ids.size:
+                break
+            vals = s.nums_for(fld, ids)
+            keep_r = ~np.isnan(vals)
+            if lo_b is not None:
+                keep_r &= vals >= lo_b
+            if hi_b is not None:
+                keep_r &= vals <= hi_b
+            ids = ids[keep_r]
+    if s.tombstones is not None and s.tombstones.size and ids.size:
+        pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
+        ids = ids[s.tombstones[pos] != ids]
+    return ids
+
+
+def _fuzzy_term_indices(s: Segment, term: str) -> list[int]:
+    """Dictionary term indices within edit distance <= 1 of ``term``
+    (ES fuzziness=1), fully vectorized: candidates are the three length
+    bands |term|-1..+1 (edit distance 1 cannot change length by more);
+    within a band, dist(q,t) <= 1  <=>  lcp(q,t) + lcs(q,t) >=
+    max(|q|,|t|) - 1 (longest common prefix/suffix — the standard
+    distance-1 identity), computed as numpy reductions over an (n, L)
+    byte matrix sliced zero-copy from the Arrow dictionary buffers.
+    Byte-level distance == character-level for the ascii analyzer."""
+    import pyarrow.compute as pc
+
+    qb = np.frombuffer(term.encode("utf-8"), dtype=np.uint8)
+    lq = qb.size
+    if lq == 0:
+        return []
+    arr = s.terms_arr.combine_chunks() if hasattr(s.terms_arr, "combine_chunks") else s.terms_arr
+    lens = pc.binary_length(arr).to_numpy(zero_copy_only=False)
+    out: list[int] = []
+    for L in (lq - 1, lq, lq + 1):
+        if L <= 0:
+            continue
+        band = np.flatnonzero(lens == L)
+        if band.size == 0:
+            continue
+        sub = arr.take(pa.array(band, type=pa.int64()))
+        if isinstance(sub, pa.ChunkedArray):
+            sub = sub.combine_chunks()
+        # compact take result: data buffer is n*L contiguous bytes
+        off_dt = np.int64 if pa.types.is_large_string(sub.type) else np.int32
+        off0 = int(np.frombuffer(sub.buffers()[1], dtype=off_dt)[sub.offset])
+        data = np.frombuffer(sub.buffers()[2], dtype=np.uint8)
+        mat = data[off0 : off0 + band.size * L].reshape(band.size, L)
+        m = min(L, lq)
+        neq = mat[:, :m] != qb[:m]
+        p = np.where(neq.any(axis=1), neq.argmax(axis=1), m)
+        neqr = mat[:, ::-1][:, :m] != qb[::-1][:m]
+        sfx = np.where(neqr.any(axis=1), neqr.argmax(axis=1), m)
+        ok = (p + sfx) >= max(L, lq) - 1
+        out.extend(band[ok].tolist())
+    return sorted(out)
+
+
+def segment_fuzzy_matching_ids(
+    s: Segment,
+    term: str,
+    filter_lang: str | None = None,
+    filter_ranges: list[tuple] | None = None,
+) -> np.ndarray:
+    """ES fuzzy query (fuzziness=1) match set for ONE segment: union of
+    the postings of every dictionary term within edit distance 1."""
+    empty = np.array([], dtype=np.int64)
+    tids = _fuzzy_term_indices(s, term)
+    if not tids:
+        return empty
+    ids = np.unique(np.concatenate([s.postings_with_dl(ti)[0] for ti in tids]))
+    if filter_lang is not None and ids.size:
+        ids = ids[s.langs_for(ids) == filter_lang]
+    if filter_ranges:
+        for fld, lo_b, hi_b in filter_ranges:
+            if not ids.size:
+                break
+            vals = s.nums_for(fld, ids)
+            keep_r = ~np.isnan(vals)
+            if lo_b is not None:
+                keep_r &= vals >= lo_b
+            if hi_b is not None:
+                keep_r &= vals <= hi_b
+            ids = ids[keep_r]
+    if s.tombstones is not None and s.tombstones.size and ids.size:
+        pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
+        ids = ids[s.tombstones[pos] != ids]
+    return ids
+
+
 def _segment_match_ids_for_plan(s: Segment, q: dict) -> np.ndarray:
     """Match-set dispatch shared by every MatchSet-family stage: term
-    match (possibly filtered) or prefix expansion."""
+    match (possibly filtered), prefix expansion, wildcard, or fuzzy."""
+    if q.get("fuzzy") is not None:
+        return segment_fuzzy_matching_ids(
+            s, q["fuzzy"], q.get("filter_lang"), q.get("filter_ranges")
+        )
+    if q.get("wildcard") is not None:
+        return segment_wildcard_matching_ids(
+            s, q["wildcard"], q.get("filter_lang"), q.get("filter_ranges"),
+            q.get("max_expansions"),
+        )
     if q.get("prefix") is not None:
         return segment_prefix_matching_ids(
             s, q["prefix"], q.get("filter_lang"), q.get("filter_ranges"),
@@ -1275,25 +1448,33 @@ class _SegmentCacheStage:
     the cap every long-lived actor would converge toward holding the WHOLE
     index (Ray Data gives no block->actor affinity)."""
 
-    def __init__(self, index_dir: str, plan_ref, cfg: EngineConfig):
+    def __init__(self, index_dir, plan_ref, cfg: EngineConfig):
         from collections import OrderedDict
 
         import ray
 
-        self.index_dir = index_dir
+        # str = single index; list = ES multi-index search (/idx1,idx2/_search):
+        # batch rows then carry an index_id column selecting the directory
+        self.index_dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+        self.index_dir = self.index_dirs[0]
         self.cfg = cfg
         self._init_payload(ray.get(plan_ref))
-        self.segments: OrderedDict[int, Segment] = OrderedDict()
+        self.segments: OrderedDict[tuple, Segment] = OrderedDict()
         self.cache_cap = max(1, cfg.scorer_segment_cache)
 
     def _init_payload(self, payload) -> None:  # pragma: no cover - abstract
         raise NotImplementedError
 
-    def _segment(self, pid: int) -> Segment:
-        seg = self.segments.get(pid)
+    def _segment(self, pid: int, iid: int = 0) -> Segment:
+        seg = self.segments.get((iid, pid))
         if seg is None:
-            seg = self.segments[pid] = Segment.load(
-                self.index_dir, pid, self.tomb_map.get(str(pid), [])
+            tm = (
+                self.tomb_map[iid]
+                if isinstance(self.tomb_map, list)
+                else self.tomb_map
+            )
+            seg = self.segments[(iid, pid)] = Segment.load(
+                self.index_dirs[iid], pid, tm.get(str(pid), [])
             )
             while len(self.segments) > self.cache_cap:
                 self.segments.popitem(last=False)
@@ -2024,6 +2205,34 @@ def _match_set_plans(queries: pd.DataFrame) -> list[dict]:
         lang_q = getattr(row, "lang", None)
         filter_lang = getattr(row, "filter_lang", None)
         fr = _row_filter_ranges(row)
+        fz = getattr(row, "fuzzy", None)
+        if fz is not None and not (isinstance(fz, float) and pd.isna(fz)):
+            # ES fuzzy query row: edit-distance-1 dictionary expansion
+            key = ("__fuzzy__", str(fz), filter_lang, fr)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "fuzzy": str(fz),
+                    "filter_lang": filter_lang,
+                    "filter_ranges": list(fr) if fr else None,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        wc = getattr(row, "wildcard", None)
+        if wc is not None and not (isinstance(wc, float) and pd.isna(wc)):
+            # ES wildcard query row: pre*suf dictionary expansion
+            key = ("__wildcard__", str(wc), filter_lang, fr)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "wildcard": str(wc),
+                    "filter_lang": filter_lang,
+                    "filter_ranges": list(fr) if fr else None,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
         pfx = getattr(row, "prefix", None)
         if pfx is not None and not (isinstance(pfx, float) and pd.isna(pfx)):
             # ES prefix query row: dictionary-range expansion, no analysis

@@ -105,6 +105,98 @@ def test_distributed_prefix_count_matches_single(built):
     assert got.get(2, 0) == 0
 
 
+def _brute_wildcard(df: pd.DataFrame, pre: str, suf: str) -> pd.DataFrame:
+    hit = df["text"].str.split().apply(
+        lambda t: any(
+            w.startswith(pre) and w.endswith(suf) and len(w) >= len(pre) + len(suf)
+            for w in t
+        )
+    )
+    return df[hit]
+
+
+def test_wildcard_count_matches_bruteforce(built):
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    for pat, pre, suf in [
+        ("ap*e", "ap", "e"),       # apple, appraise
+        ("ca*", "ca", ""),         # pure prefix
+        ("*og", "", "og"),         # leading star: dictionary scan
+        ("b*d", "b", "d"),         # band
+        ("zz*q", "zz", "q"),       # no match
+    ]:
+        assert s.wildcard_count(pat) == len(_brute_wildcard(df, pre, suf)), pat
+
+
+def test_wildcard_exact_and_errors(built):
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    # no star = exact term lookup
+    assert s.wildcard_count("banana") == len(_brute_wildcard(df, "banana", ""))
+    with pytest.raises(ValueError, match="exactly one"):
+        s.wildcard_count("a*b*c")
+
+
+def test_distributed_wildcard_matches_single(built):
+    idx, _ = built
+    s = IndexSearcher(idx, CFG)
+    queries = pd.DataFrame({"query_id": [0, 1], "wildcard": ["ap*e", "*og"]})
+    out = run_counts(queries, idx, CFG)
+    got = dict(zip(out["query_id"], out["n_matching"]))
+    assert got[0] == s.wildcard_count("ap*e")
+    assert got[1] == s.wildcard_count("*og")
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_term_expansion_matches_levenshtein(built):
+    from kafka_es_ray.query.engine import _fuzzy_term_indices
+
+    idx, _ = built
+    probes = [
+        "apple", "aple", "apples", "cat", "cats", "dog", "dogs", "banc",
+        "ab", "ba", "bandit", "bandits", "xandit", "a", "z", "catalogue",
+        "aaple", "dpple", "appl", "pple",
+    ]
+    for pid in range(CFG.num_partitions):
+        s = Segment.load(idx, pid)
+        terms = [t.as_py() for t in s.terms_arr]
+        for q in probes:
+            got = _fuzzy_term_indices(s, q)
+            want = [i for i, t in enumerate(terms) if _lev(q, t) <= 1]
+            assert got == want, (q, pid, [terms[i] for i in got], [terms[i] for i in want])
+
+
+def test_fuzzy_count_matches_bruteforce(built):
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    vocab = sorted({w for t in df["text"] for w in t.split()})
+    for q in ["apple", "cats", "banc", "dogs", "zzz"]:
+        near = {t for t in vocab if _lev(q, t) <= 1}
+        hit = df["text"].str.split().apply(lambda t: any(w in near for w in t))
+        assert s.fuzzy_count(q) == int(hit.sum()), q
+
+
+def test_distributed_fuzzy_matches_single(built):
+    idx, _ = built
+    s = IndexSearcher(idx, CFG)
+    queries = pd.DataFrame({"query_id": [0, 1], "fuzzy": ["apple", "cats"]})
+    out = run_counts(queries, idx, CFG)
+    got = dict(zip(out["query_id"], out["n_matching"]))
+    assert got[0] == s.fuzzy_count("apple")
+    assert got[1] == s.fuzzy_count("cats")
+
+
 def test_mixed_match_and_prefix_plans(built):
     idx, _ = built
     s = IndexSearcher(idx, CFG)
