@@ -701,6 +701,66 @@ def _q_match_histogram(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_multi_index_topk(sf_dir: str):
+    """ES multi-index search (/idx_even,idx_odd/_search): the documents
+    corpus split by doc_id parity into TWO indexes, searched together —
+    global df/N/avgdl are summed across indexes, so the ranking is
+    EXACTLY the combined single-index ranking (the oracle); index_id is
+    the ES _index field."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    root = tempfile.mkdtemp(prefix="kafka_es_ray_midx_")
+    try:
+        cfg = EngineConfig(num_partitions=4)
+        dirs = []
+        for i, want_even in enumerate((True, False)):
+            def split(batch: pa.Table, we=want_even) -> pa.Table:
+                import pyarrow.compute as pc
+
+                even = pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 0)
+                return batch.filter(even if we else pc.invert(even))
+
+            d = f"{root}/i{i}"
+            build_index(
+                documents_dataset(sf_dir).map_batches(split, batch_format="pyarrow"),
+                d, cfg,
+                key_col="key", lang_col="lang", html_col=None, ts_col=None,
+                id_col="doc_id",
+            )
+            dirs.append(d)
+        # query derivation over the UNION dictionary (df summed across
+        # both indexes — same rule as derive_ranked_terms)
+        df_map: dict[str, int] = {}
+        for d in dirs:
+            for s in IndexSearcher(d, cfg).segments:
+                for t, c in zip(s.terms, s.df):
+                    df_map[t] = df_map.get(t, 0) + int(c)
+        top = [t for t, _ in sorted(df_map.items(), key=lambda kv: (-kv[1], kv[0]))[:8]]
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(4, dtype=np.int64),
+                "text": [top[0], " ".join(top[1:3]), " ".join(top[3:6]), " ".join(top[6:8])],
+            }
+        )
+        out = run_queries(queries, dirs, cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score", "index_id"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_match_must_not(sf_dir: str):
     """ES bool must_not: derived queries with the corpus's top-df term
     excluded (docs containing it drop out of the ranking)."""
@@ -1180,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_count": _q_wildcard_count,
         "fuzzy_count": _q_fuzzy_count,
         "search_after_topk": _q_search_after_topk,
+        "multi_index_topk": _q_multi_index_topk,
         "multi_match_topk": _q_multi_match,
         "match_title_topk": _q_match_title,
         "bool_topk": _q_bool_topk,
@@ -1265,6 +1326,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
         "range_filter_topk": _RANGE_SQL,
+        # multi-index over a parity split == the combined single index;
+        # index_id (ES _index) falls out of the parity rule
+        "multi_index_topk": _BM25_SQL.replace(
+            "SELECT query_id, rank::BIGINT AS rank, doc_id, score",
+            "SELECT query_id, rank::BIGINT AS rank, doc_id, score,"
+            " (doc_id % 2)::BIGINT AS index_id",
+        ),
         # page 2 via cursor == global ranks 11-20, ranks rebased to 1-10
         "search_after_topk": _BM25_SQL.replace(
             "FROM topk WHERE rank <= 10",

@@ -1496,8 +1496,14 @@ class ShardScorerStage(_SegmentCacheStage):
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for pid in batch["part_id"].astype(int):
-            seg = self._segment(pid)
+        multi = len(self.index_dirs) > 1
+        iids = (
+            batch["index_id"].astype(int).to_numpy()
+            if "index_id" in batch.columns
+            else np.zeros(len(batch), dtype=np.int64)
+        )
+        for pid, iid in zip(batch["part_id"].astype(int), iids):
+            seg = self._segment(pid, int(iid))
             for q in self.plan:
                 # running MaxScore threshold: the k-th best score this
                 # actor has already seen for this plan (monotone rising).
@@ -1582,6 +1588,8 @@ class ShardScorerStage(_SegmentCacheStage):
                     "key": keys,
                     "score": scores,
                 }
+                if multi:
+                    cols["index_id"] = np.int64(iid)
                 if self.fetch_text:
                     # stored-_source fetch for the per-segment top-k
                     # candidates only (<= k + ties rows, never the match set)
@@ -1594,6 +1602,8 @@ class ShardScorerStage(_SegmentCacheStage):
                 "key": pd.Series([], dtype=object),
                 "score": pd.Series([], dtype=np.float64),
             }
+            if multi:
+                empty["index_id"] = pd.Series([], dtype=np.int64)
             if self.fetch_text:
                 empty["text"] = pd.Series([], dtype=object)
             return pd.DataFrame(empty)
@@ -1816,7 +1826,7 @@ def _collect_global_stats(index_dir: str, parts: list[int], terms: list[str]):
 
 def run_queries(
     queries_ds,
-    index_dir: str,
+    index_dir,
     cfg: EngineConfig = DEFAULT,
     concurrency: int | None = None,
     fetch: bool = False,
@@ -1825,7 +1835,16 @@ def run_queries(
     """Distributed query execution: segment-parallel scoring + per-query
     merge.  Queries are the small broadcast side; the segment set is the
     Dataset.  Returns Dataset(query_id, rank, doc_id, key, score
-    [, text][, highlight]).
+    [, text][, highlight][, index_id]).
+
+    ``index_dir`` may be a LIST of index directories — the ES multi-index
+    search (`GET /idx1,idx2/_search`): global stats (df, N, avgdl) are
+    summed across indexes so scores equal a single combined index; the
+    shard Dataset carries (index_id, part_id) rows; results gain an
+    ``index_id`` column (the ES ``_index`` field) and ties break
+    (score desc, doc_id asc, index_id asc).  Multi-field (text_fields)
+    indexes are not supported multi-index (per-field avgdl merge needs
+    per-field sums the manifest stores per index).
 
     ``fetch`` / ``highlight`` (require a store_text index) add the stored
     _source / an <em>-snippet for the FINAL top-k only — shards emit text
@@ -1838,14 +1857,24 @@ def run_queries(
     # reference knob max.in.flight.requests (ElasticsearchSinkConnector.kt:61-62)
     concurrency = concurrency or cfg.query_concurrency or 2
     queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
-    manifest = read_manifest(index_dir)
-    parts = [int(p) for p in manifest["parts"]]
-    n_docs = int(manifest["n_docs"])
-    avgdl = float(manifest["avgdl"]) or 1.0
+    multi = not isinstance(index_dir, str)
+    dirs = list(index_dir) if multi else [index_dir]
+    manifests = [read_manifest(d) for d in dirs]
+    manifest = manifests[0]
+    # (index_id, part_id) shard rows; single-index keeps the legacy shape
+    part_rows = [
+        (iid, int(p)) for iid, m in enumerate(manifests) for p in m["parts"]
+    ]
+    parts = [p for _, p in part_rows]
+    n_docs = int(sum(m["n_docs"] for m in manifests))
+    sum_dl_total = sum(m["avgdl"] * m["n_docs"] for m in manifests)
+    avgdl = (float(sum_dl_total) / n_docs if n_docs else 1.0) or 1.0
     k1 = float(manifest.get("k1", cfg.k1))
     b = float(manifest.get("b", cfg.b))
 
     avgdl_fields = manifest.get("avgdl_fields", {})
+    if multi and any(m.get("avgdl_fields") for m in manifests):
+        raise NotImplementedError("multi-index search over multi-field indexes")
 
     def _row_str(row, name: str) -> str | None:
         v = getattr(row, name, None)
@@ -1878,7 +1907,9 @@ def run_queries(
         else:
             terms_set.update(toks)
     all_terms = sorted(terms_set)
-    gdf = _collect_global_stats(index_dir, parts, all_terms)
+    gdf = np.zeros(len(all_terms), dtype=np.int64)
+    for iid, (d, m) in enumerate(zip(dirs, manifests)):
+        gdf += _collect_global_stats(d, [int(p) for p in m["parts"]], all_terms)
     df_map = dict(zip(all_terms, gdf))
 
     # dedupe identical (terms, k) plans — repeated queries score once per
@@ -2094,9 +2125,12 @@ def run_queries(
     QUERY_METRICS["unique_plans"] += len(plan)
     QUERY_METRICS["segments_scheduled"] += len(parts)
     QUERY_METRICS["terms_looked_up"] += len(all_terms)
-    plan_ref = ray.put(
-        (plan, avgdl, k1, b, manifest.get("tombstones", {}), fetch or highlight)
+    tomb = (
+        [m.get("tombstones", {}) for m in manifests]
+        if multi
+        else manifest.get("tombstones", {})
     )
+    plan_ref = ray.put((plan, avgdl, k1, b, tomb, fetch or highlight))
     k_map = {q["plan_id"]: q["k"] for q in plan}
     window_map = {
         q["plan_id"]: (q.get("offset", 0), q.get("size", q["k"])) for q in plan
@@ -2110,18 +2144,21 @@ def run_queries(
     }
 
     n_blocks = max(concurrency * 2, len(parts) // 4)
-    shards = rd.from_pandas(pd.DataFrame({"part_id": parts})).repartition(
-        min(n_blocks, len(parts))
-    )
+    shard_df = pd.DataFrame({"part_id": parts})
+    if multi:
+        shard_df["index_id"] = [iid for iid, _ in part_rows]
+    shards = rd.from_pandas(shard_df).repartition(min(n_blocks, len(parts)))
     partials = shards.map_batches(
         ShardScorerStage,
-        fn_constructor_args=(index_dir, plan_ref, cfg),
+        fn_constructor_args=(dirs if multi else index_dir, plan_ref, cfg),
         batch_format="pandas",
         batch_size=4,
         concurrency=concurrency,
     )
 
     out_cols = ["query_id", "rank", "doc_id", "key", "score"]
+    if multi:
+        out_cols.append("index_id")
     if fetch:
         out_cols.append("text")
     if highlight:
@@ -2133,7 +2170,13 @@ def run_queries(
             off, size = window_map.get(int(pid_), (0, k_map.get(int(pid_), 10)))
             ids = g["doc_id"].to_numpy()
             scores = g["score"].to_numpy()
-            order = np.lexsort((ids, -scores))[off : off + size]
+            if multi:
+                # ES multi-index tie-break: score desc, doc_id asc,
+                # index_id asc (doc ids may collide across indexes)
+                iid_col = g["index_id"].to_numpy()
+                order = np.lexsort((iid_col, ids, -scores))[off : off + size]
+            else:
+                order = np.lexsort((ids, -scores))[off : off + size]
             top = pd.DataFrame(
                 {
                     "rank": np.arange(off + 1, off + 1 + order.size, dtype=np.int64),
@@ -2142,6 +2185,8 @@ def run_queries(
                     "score": scores[order],
                 }
             )
+            if multi:
+                top["index_id"] = iid_col[order]
             if fetch or highlight:
                 texts = g["text"].to_numpy()[order]
                 if highlight:
@@ -2161,7 +2206,9 @@ def run_queries(
                 "score": pd.Series([], dtype=np.float64),
             }
             for c in out_cols[5:]:
-                empty[c] = pd.Series([], dtype=object)
+                empty[c] = pd.Series(
+                    [], dtype=np.int64 if c == "index_id" else object
+                )
             return pd.DataFrame(empty)
         return pd.concat(out, ignore_index=True)[out_cols]
 
