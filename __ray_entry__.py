@@ -118,6 +118,24 @@ WHERE d.n_chars IS NOT NULL
 GROUP BY 1 ORDER BY 1
 """
 
+# ES percentiles aggregation: nearest-rank == DuckDB quantile_disc
+_PERCENTILES_SQL = _MATCHES_CTE + """
+, mvals AS (
+  SELECT m.query_id, d.n_chars
+  FROM matches m JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+)
+SELECT query_id, pct, value FROM (
+  SELECT query_id, 25.0 AS pct, quantile_disc(n_chars, 0.25)::DOUBLE AS value FROM mvals GROUP BY 1
+  UNION ALL
+  SELECT query_id, 50.0, quantile_disc(n_chars, 0.50)::DOUBLE FROM mvals GROUP BY 1
+  UNION ALL
+  SELECT query_id, 75.0, quantile_disc(n_chars, 0.75)::DOUBLE FROM mvals GROUP BY 1
+  UNION ALL
+  SELECT query_id, 99.0, quantile_disc(n_chars, 0.99)::DOUBLE FROM mvals GROUP BY 1
+) ORDER BY 1, 2
+"""
+
 # ES histogram aggregation: interval-50 buckets of n_chars per match set
 _HISTOGRAM_SQL = _MATCHES_CTE + """
 SELECT m.query_id,
@@ -671,6 +689,35 @@ def _q_match_stats_agg(sf_dir: str):
         queries = derive_query_set(IndexSearcher(idx, cfg))
         queries = queries[queries["text"] != "zzzabsentterm"]
         return run_agg_stats(queries, idx, "n_chars", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_match_percentiles(sf_dir: str):
+    """ES percentiles aggregation (exact, nearest-rank) of n_chars over
+    each derived query's match set — per-value count partials through the
+    distributed NumericAggStage path."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_percentiles
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_pctidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_agg_percentiles(
+            queries, idx, "n_chars", (25.0, 50.0, 75.0, 99.0), cfg=cfg
+        )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
@@ -1236,6 +1283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field": _q_sort_by_field,
         "match_stats_agg": _q_match_stats_agg,
         "match_histogram": _q_match_histogram,
+        "match_percentiles": _q_match_percentiles,
         "prefix_count": _q_prefix_count,
         "wildcard_count": _q_wildcard_count,
         "fuzzy_count": _q_fuzzy_count,
@@ -1342,6 +1390,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_field": _SORT_FIELD_SQL,
         "match_stats_agg": _STATS_AGG_SQL,
         "match_histogram": _HISTOGRAM_SQL,
+        "match_percentiles": _PERCENTILES_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
         "multi_match_topk": _MULTI_MATCH_SQL,
         "match_title_topk": _MATCH_TITLE_SQL,

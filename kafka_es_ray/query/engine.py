@@ -1664,7 +1664,15 @@ class NumericAggStage(_SegmentCacheStage):
                 vals = vals[~np.isnan(vals)]
                 if vals.size == 0:
                     continue
-                if self.interval is None:  # stats partial
+                if self.interval == 0.0:  # exact per-VALUE counts
+                    # (percentiles agg; value cardinality bounds the
+                    # partial size — right for integer-ish metadata)
+                    ub, cnt = np.unique(vals, return_counts=True)
+                    rows.extend(
+                        (q["plan_id"], float(b_), int(c_), 0.0, 0.0, 0.0)
+                        for b_, c_ in zip(ub, cnt)
+                    )
+                elif self.interval is None:  # stats partial
                     rows.append(
                         (
                             q["plan_id"], 0.0, int(vals.size),
@@ -2524,6 +2532,43 @@ def run_agg_histogram(
         pd.concat(rows, ignore_index=True)
         .sort_values(["query_id", "bucket"], kind="mergesort")
         .reset_index(drop=True)
+    )
+
+
+def run_agg_percentiles(
+    queries_ds, index_dir: str, field: str, percentiles=(25.0, 50.0, 75.0, 99.0),
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES percentiles aggregation — EXACT via per-value
+    count partials (shuffle = plans x segments x distinct values; right
+    when the numeric field is integer-ish doc metadata, the common ES
+    case — for unbounded-cardinality doubles use run_agg_histogram).
+    Nearest-rank definition (rank = ceil(n*p/100), 1-based) == DuckDB
+    quantile_disc, ES percentiles with tdigest would interpolate.
+    Returns (query_id, pct, value) sorted."""
+    partials, plan = _run_numeric_agg(queries_ds, index_dir, field, 0.0, cfg, concurrency)
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            vals = gg["bucket"].to_numpy(np.float64)  # ascending (sorted groupby)
+            cum = gg["n"].to_numpy(np.int64).cumsum()
+            n = int(cum[-1])
+            for p in percentiles:
+                rank = max(1, int(np.ceil(n * float(p) / 100.0)))
+                v = float(vals[int(np.searchsorted(cum, rank))])
+                for qid in fanout.get(int(pid_), []):
+                    rows.append((np.int64(qid), float(p), v))
+    out = pd.DataFrame(rows, columns=["query_id", "pct", "value"])
+    return (
+        out.sort_values(["query_id", "pct"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "pct": np.float64, "value": np.float64})
     )
 
 

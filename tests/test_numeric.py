@@ -15,6 +15,7 @@ from kafka_es_ray.index.merge import merge_index
 from kafka_es_ray.query.engine import (
     IndexSearcher,
     run_agg_histogram,
+    run_agg_percentiles,
     run_agg_stats,
     run_counts,
     run_queries,
@@ -241,6 +242,20 @@ def test_distributed_stats_and_histogram_match_single(built):
         g = hist[hist["query_id"] == qid]
         assert g["bucket"].tolist() == single["bucket"].tolist()
         assert g["n_docs"].tolist() == single["n_docs"].tolist()
+
+
+def test_percentiles_match_nearest_rank(built):
+    idx, df = built
+    queries = pd.DataFrame({"query_id": [0, 1], "text": ["alpha beta", "omega"]})
+    out = run_agg_percentiles(queries, idx, "size", (25.0, 50.0, 75.0, 99.0), cfg=CFG)
+    for qid, text in [(0, "alpha beta"), (1, "omega")]:
+        want_docs = _brute_match(df, text.split())
+        vals = np.sort(want_docs["size"].dropna().to_numpy())
+        for p in (25.0, 50.0, 75.0, 99.0):
+            rank = max(1, int(np.ceil(len(vals) * p / 100.0)))
+            want_v = float(vals[rank - 1])
+            got = out[(out["query_id"] == qid) & (out["pct"] == p)]["value"].iloc[0]
+            assert got == want_v, (qid, p)
 
 
 def test_merge_preserves_numeric_columns(built, tmp_path):
