@@ -967,6 +967,16 @@ def _q_dedup_clusters(sf_dir: str):
     )
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """TF-IDF keyword extraction: top-5 terms per document by
+    round6(tf * ln(N/df)) — tf/df co-partitioned joins via bucketed
+    exchanges, no driver-side vocabulary."""
+    from kafka_es_ray.pipelines.text_ops import tfidf_top_terms
+    from kafka_es_ray.sources.parquet import read_table
+
+    return tfidf_top_terms(read_table(sf_dir, "documents", columns=["doc_id", "text"]), k=5)
+
+
 def _q_doc_token_counts(sf_dir: str):
     from kafka_es_ray.pipelines.text_ops import doc_token_counts
     from kafka_es_ray.sources.parquet import read_table
@@ -1302,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": _q_topk_orders,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "doc_token_counts": _q_doc_token_counts,
         "term_df": _q_term_df,
         "exact_dedup": _q_exact_dedup,
@@ -1668,6 +1679,27 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (
               SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY 1
             ) l USING (doc_id)
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+              FROM tf JOIN df USING (term) CROSS JOIN n
+            ),
+            topk AS (
+              SELECT doc_id, term, tfidf,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                     ) AS rank
+              FROM scored
+            )
+            SELECT doc_id, term, rank::BIGINT AS rank, tfidf
+            FROM topk WHERE rank <= 5
         """,
         "doc_token_counts": f"SELECT doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents",
         "term_df": f"""

@@ -205,6 +205,10 @@ def run_bench() -> dict:
         "match_count",
         "phrase_topk",
         "actions_protobuf",
+        "tfidf_top_terms",
+        "dedup_clusters",
+        "range_filter_topk",
+        "sort_by_field",
     )
     if op_names:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

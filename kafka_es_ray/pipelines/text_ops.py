@@ -103,6 +103,103 @@ def term_df(docs_ds):
     return bucketed_group_agg(partials, ["term"], combine)
 
 
+class _TfPartial:
+    """Per-batch (doc_id, term, tf) rows — flat token stream + one pandas
+    groupby per batch; a doc lives entirely in one batch row, so batch
+    partials ARE exact per-doc term frequencies (no combine needed)."""
+
+    def __init__(self):
+        self.an = get_analyzer("en")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = self.an.tokenize_series(batch["text"])
+        lens = toks.str.len().to_numpy().astype(np.int64)
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "term": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype=np.int64),
+            }
+        )
+        if lens.sum() == 0:
+            return empty
+        ids = np.repeat(batch["doc_id"].to_numpy().astype(np.int64), lens)
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if len(t)])
+        g = (
+            pd.DataFrame({"doc_id": ids, "term": flat})
+            .groupby(["doc_id", "term"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        return g.astype({"doc_id": np.int64, "tf": np.int64})
+
+
+def tfidf_top_terms(docs_ds, k: int = 5):
+    """TF-IDF keyword extraction: top-k terms per document by
+    round6(tf * ln(N / df)), ties term asc — (doc_id, term, rank, tfidf).
+
+    Fully distributed, no driver-side vocabulary: tf rows materialize
+    once (token-scale, spillable); df comes from COUNTING those rows per
+    term (bucketed combine); the tf-df join co-partitions both row kinds
+    through one bucketed exchange on term; top-k per doc is a second
+    bucketed exchange on doc_id.  The canonical keyword-extraction shape
+    for a training-data pipeline."""
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    n_docs = float(docs_ds.count())
+    tf_rows = docs_ds.map_batches(
+        _TfPartial, batch_format="pandas", batch_size=4096, concurrency=2
+    ).materialize()
+
+    # df = rows per term (each tf row is one distinct (doc, term))
+    def df_combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("term", as_index=False).agg(df=("term", "size"))
+        return g.astype({"df": np.int64})
+
+    def project_term(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["term"]]
+
+    dfs = bucketed_group_agg(
+        tf_rows.map_batches(project_term, batch_format="pandas"), ["term"], df_combine
+    )
+
+    # co-partition tf rows (doc_id >= 0) and df rows (doc_id = -1) by term
+    def tag_df(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": np.full(len(b), -1, dtype=np.int64),
+                "term": b["term"].to_numpy(),
+                "tf": b["df"].to_numpy().astype(np.int64),
+            }
+        )
+
+    unioned = tf_rows.union(dfs.map_batches(tag_df, batch_format="pandas"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_df = g["doc_id"].to_numpy() < 0
+        dmap = g[is_df].set_index("term")["tf"]
+        t = g[~is_df]
+        idf = np.log(n_docs / dmap.reindex(t["term"]).to_numpy().astype(np.float64))
+        return pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(),
+                "term": t["term"].to_numpy(),
+                "tfidf": _round6(t["tf"].to_numpy().astype(np.float64) * idf),
+            }
+        )
+
+    scored = bucketed_group_agg(unioned, ["term"], join_bucket)
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "tfidf", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        g["rank"] = (g.groupby("doc_id", sort=False).cumcount() + 1).astype(np.int64)
+        return g[g["rank"] <= k][["doc_id", "term", "rank", "tfidf"]]
+
+    return bucketed_group_agg(scored, ["doc_id"], topk_bucket)
+
+
 class _BigramPartial:
     """Combiner: per-batch partial adjacent-bigram counts (vectorized —
     flat token stream + doc-boundary mask, no per-row Python loop)."""

@@ -29,6 +29,12 @@ SQL_SUBSET = [
     "distinct_users",
     "simhash",
     "lang_id",
+    "tfidf_top_terms",
+    "dedup_clusters",
+    "prefix_count",
+    "wildcard_count",
+    "fuzzy_count",
+    "search_after_topk",
 ]
 
 
