@@ -1007,6 +1007,17 @@ def _q_lww_events(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "event_type", "value"])
 
 
+def _q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min gap) of the events log — one
+    bucketed per-user exchange, sessions split by cumsum inside buckets."""
+    from kafka_es_ray.pipelines.relational import sessionize_events
+    from kafka_es_ray.sources.parquet import read_table
+
+    return sessionize_events(
+        read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    )
+
+
 def _q_window_events(sf_dir: str):
     from kafka_es_ray.pipelines.relational import windowed_agg
     from kafka_es_ray.sources.parquet import read_table
@@ -1318,6 +1329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "lww_events": _q_lww_events,
         "window_events": _q_window_events,
+        "sessionize_events": _q_sessionize,
         "broadcast_lookup": _q_broadcast_lookup,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1726,6 +1738,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize_events": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events
+            ),
+            flags AS (
+              SELECT user_id, event_id, tsu,
+                     CASE WHEN lag(tsu) OVER w IS NULL
+                            OR tsu - lag(tsu) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+            ),
+            sess AS (
+              SELECT user_id, tsu,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY tsu, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS session_seq
+              FROM flags
+            )
+            SELECT user_id, session_seq::BIGINT AS session_seq,
+                   count(*)::BIGINT AS n_events,
+                   min(tsu)::BIGINT AS start_us, max(tsu)::BIGINT AS end_us
+            FROM sess GROUP BY 1, 2
         """,
         "broadcast_lookup": """
             SELECT c_mktsegment, count(*)::BIGINT AS n_orders,

@@ -569,6 +569,16 @@ def build_index(
         "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
         "k1": cfg.k1,
         "b": cfg.b,
+        # ES index mappings analog: the field schema lives WITH the index
+        # so a searcher needs no out-of-band cfg (segments self-describe
+        # via column prefixes; this is the declarative record)
+        "mappings": {
+            "keyword_cols": list(cfg.keyword_cols),
+            "numeric_cols": list(cfg.numeric_cols),
+            "text_fields": list(cfg.text_fields or ()),
+            "index_positions": bool(cfg.index_positions),
+            "store_text": bool(cfg.store_text),
+        },
         "metrics": metrics,
         "part_manifests": {str(p): part_manifests[p] for p in parts},
         # multi-field stats (cfg.text_fields): per-field avgdl for the

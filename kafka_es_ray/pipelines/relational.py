@@ -21,6 +21,56 @@ def _round6(x):
     return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
 
 
+def sessionize_events(events_ds, gap: str = "30min"):
+    """Gap-based sessionization: per-user sessions split when the gap
+    between consecutive events exceeds ``gap`` — (user_id, session_seq,
+    n_events, start_us, end_us), session_seq 1-based per user in time
+    order, timestamps as int64 epoch-microseconds.
+
+    ONE bucketed exchange on user_id (a user's events co-locate; the
+    session split is a per-user cumsum inside the bucket — sessions can
+    never span buckets).  Ties broken (ts, event_id) — mirrored by the
+    SQL oracle's window ORDER BY."""
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    gap_us = int(pd.Timedelta(gap).total_seconds()) * 1_000_000
+
+    def to_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        # epoch-us int64 keys (CLAUDE.md rule 3: never timestamps through
+        # a shuffle; ns-normalize first so the parquet unit can't bite)
+        tsu = batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"].astype(np.int64),
+                "event_id": batch["event_id"].astype(np.int64),
+                "tsu": tsu.astype(np.int64),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tsu", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["tsu"].shift()
+        new_s = (prev.isna() | ((g["tsu"] - prev) > gap_us)).astype(np.int64)
+        g = g.assign(
+            session_seq=new_s.groupby(g["user_id"], sort=False).cumsum()
+        )
+        out = g.groupby(["user_id", "session_seq"], as_index=False).agg(
+            n_events=("tsu", "size"), start_us=("tsu", "min"), end_us=("tsu", "max")
+        )
+        return out.astype(
+            {
+                "user_id": np.int64,
+                "session_seq": np.int64,
+                "n_events": np.int64,
+                "start_us": np.int64,
+                "end_us": np.int64,
+            }
+        )
+
+    rows = events_ds.map_batches(to_rows, batch_format="pandas", batch_size=8192)
+    return bucketed_group_agg(rows, ["user_id"], per_bucket)
+
+
 def windowed_agg(events_ds, window: str = "1h"):
     """Tumbling-window count/sum per (window_start, event_type).
 

@@ -67,6 +67,16 @@ def _brute_match(df: pd.DataFrame, terms: list[str]) -> pd.DataFrame:
     return df[hit]
 
 
+def test_manifest_records_mappings(built):
+    from kafka_es_ray.index.segment import read_manifest
+
+    idx, _ = built
+    m = read_manifest(idx)["mappings"]
+    assert m["numeric_cols"] == ["size", "stars"]
+    assert m["keyword_cols"] == []
+    assert m["index_positions"] is False
+
+
 def test_range_filter_matches_bruteforce(built):
     idx, df = built
     s = IndexSearcher(idx, CFG)

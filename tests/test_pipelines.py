@@ -35,6 +35,7 @@ SQL_SUBSET = [
     "wildcard_count",
     "fuzzy_count",
     "search_after_topk",
+    "sessionize_events",
 ]
 
 
