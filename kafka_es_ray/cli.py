@@ -49,6 +49,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--ts-col", default=None)
     b.add_argument("--routing-col", default=None)
     b.add_argument("--store-text", action="store_true")
+    b.add_argument("--keyword-cols", default="", help="comma-separated keyword-mapped fields (terms aggs)")
+    b.add_argument("--numeric-cols", default="", help="comma-separated numeric-mapped fields (range/sort/stats)")
     b.add_argument("--index-positions", action="store_true", help="index token positions (enables phrase queries)")
     b.add_argument("--resume", action="store_true")
 
@@ -63,11 +65,20 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--phrase", action="store_true", help="match_phrase (requires a --index-positions build)")
     q.add_argument("--slop", type=int, default=0, help="phrase slop (window-slop semantics)")
     q.add_argument("--highlight", action="store_true", help="snippet column (requires a --store-text build)")
+    q.add_argument("--range", default=None, metavar="FIELD:GTE:LTE",
+                   help="numeric range filter, open side = empty (e.g. n_chars:150:400, n_chars::400)")
+    q.add_argument("--sort-field", default=None, help="rank by this numeric field instead of BM25")
+    q.add_argument("--sort-asc", action="store_true")
+    q.add_argument("--search-after", default=None, metavar="SCORE:DOC_ID",
+                   help="cursor pagination: last hit of the previous page")
 
     c = sub.add_parser("count", help="count matching docs (ES _count)")
     c.add_argument("--index", required=True)
-    c.add_argument("--text", required=True)
+    c.add_argument("--text", default=None)
     c.add_argument("--operator", default="or", choices=["or", "and"])
+    c.add_argument("--prefix", default=None, help="ES prefix query instead of --text")
+    c.add_argument("--wildcard", default=None, help="ES wildcard query (pre*suf) instead of --text")
+    c.add_argument("--fuzzy", default=None, help="ES fuzzy query (edit distance 1) instead of --text")
 
     m = sub.add_parser("merge", help="force-merge segments (purges deletes)")
     m.add_argument("--index", required=True)
@@ -104,6 +115,8 @@ def main(argv: list[str] | None = None) -> int:
             num_partitions=args.num_partitions,
             store_text=args.store_text,
             index_positions=args.index_positions,
+            keyword_cols=tuple(c for c in args.keyword_cols.split(",") if c),
+            numeric_cols=tuple(c for c in args.numeric_cols.split(",") if c),
         )
         manifest = build_index(
             rd.read_parquet(args.input),
@@ -122,19 +135,44 @@ def main(argv: list[str] | None = None) -> int:
         from kafka_es_ray.query.engine import IndexSearcher
 
         s = IndexSearcher(args.index)
+        frange = None
+        if args.range:
+            fld, lo, hi = args.range.split(":")
+            frange = [(fld, float(lo) if lo else None, float(hi) if hi else None)]
         if args.phrase:
             res = s.search_phrase(args.text, k=args.k, slop=args.slop)
+        elif args.sort_field:
+            res = s.search_sorted(
+                args.text, args.sort_field, ascending=args.sort_asc, k=args.k,
+                operator=args.operator, filter_lang=args.filter_lang,
+                filter_range=frange,
+            )
         else:
+            cursor = None
+            if args.search_after:
+                cs, cd = args.search_after.split(":")
+                cursor = (float(cs), int(cd))
             res = s.search(
                 args.text, k=args.k, operator=args.operator,
                 filter_lang=args.filter_lang, fetch=args.fetch, offset=args.offset,
-                highlight=args.highlight,
+                highlight=args.highlight, filter_range=frange,
+                search_after=cursor,
             )
         print(res.to_string(index=False))
     elif args.cmd == "count":
         from kafka_es_ray.query.engine import IndexSearcher
 
-        print(IndexSearcher(args.index).count(args.text, operator=args.operator))
+        s = IndexSearcher(args.index)
+        if args.prefix:
+            print(s.prefix_count(args.prefix))
+        elif args.wildcard:
+            print(s.wildcard_count(args.wildcard))
+        elif args.fuzzy:
+            print(s.fuzzy_count(args.fuzzy))
+        elif args.text is None:
+            p.error("count needs --text, --prefix, --wildcard or --fuzzy")
+        else:
+            print(s.count(args.text, operator=args.operator))
     elif args.cmd == "merge":
         own_session = _ray_init(args.num_cpus)
         from kafka_es_ray.index.merge import merge_index

@@ -54,6 +54,25 @@ def test_cli_end_to_end(ray_session, corpus_dir, tmp_path, capsys):
     assert main(["query", "--index", idx, "--text", "quick", "--highlight", "-k", "1"]) == 0
     assert "<em>quick</em>" in capsys.readouterr().out
 
+    # dictionary-expansion counts (prefix / wildcard / fuzzy)
+    assert main(["count", "--index", idx, "--prefix", "qui"]) == 0
+    assert capsys.readouterr().out.strip() == "12"
+    assert main(["count", "--index", idx, "--wildcard", "q*ck"]) == 0
+    assert capsys.readouterr().out.strip() == "12"
+    assert main(["count", "--index", idx, "--fuzzy", "quicj"]) == 0
+    assert capsys.readouterr().out.strip() == "12"
+
+    # search_after paging: page 2 of k=1 equals rank-2 of k=2
+    assert main(["query", "--index", idx, "--text", "quick", "-k", "2"]) == 0
+    lines = [l.split() for l in capsys.readouterr().out.strip().splitlines()[1:]]
+    (r1, r2) = lines
+    assert main(
+        ["query", "--index", idx, "--text", "quick", "-k", "1",
+         "--search-after", f"{r1[3]}:{r1[1]}"]
+    ) == 0
+    page2 = capsys.readouterr().out.strip().splitlines()[1].split()
+    assert page2[1] == r2[1]  # same doc_id as rank 2
+
     # apply a delta (upsert one doc), then delete-by-query + merge
     delta = tmp_path / "delta"
     delta.mkdir()
