@@ -808,6 +808,34 @@ def _q_multi_index_topk(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_phrase_prefix_count(sf_dir: str):
+    """ES match_phrase_prefix (autocomplete) count: the corpus's top
+    bigram with the second word truncated to 3 chars — positions-indexed
+    adjacency + prefix expansion, distributed MatchSetStage path."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.pipelines.fulltext import build_documents_index
+    from kafka_es_ray.pipelines.text_ops import top_bigram
+    from kafka_es_ray.query.engine import run_counts
+    from kafka_es_ray.sources.parquet import read_table
+
+    w1, w2, _ = top_bigram(read_table(sf_dir, "documents", columns=["text"]))
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_ppidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, index_positions=True)
+        build_documents_index(sf_dir, idx, cfg)
+        queries = pd.DataFrame(
+            {"query_id": np.array([0], dtype=np.int64), "phrase_prefix": [f"{w1} {w2[:3]}"]}
+        )
+        return run_counts(queries, idx, cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_match_must_not(sf_dir: str):
     """ES bool must_not: derived queries with the corpus's top-df term
     excluded (docs containing it drop out of the ranking)."""
@@ -1308,6 +1336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_count": _q_prefix_count,
         "wildcard_count": _q_wildcard_count,
         "fuzzy_count": _q_fuzzy_count,
+        "phrase_prefix_count": _q_phrase_prefix_count,
         "search_after_topk": _q_search_after_topk,
         "multi_index_topk": _q_multi_index_topk,
         "multi_match_topk": _q_multi_match,
@@ -1499,6 +1528,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matching
             FROM probes p JOIN tf ON levenshtein(tf.term, p.p) <= 1
             GROUP BY 1
+        """,
+        "phrase_prefix_count": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            big AS (
+              SELECT unnest([{{'w1': t[i], 'w2': t[i+1]}} for i in generate_series(1, len(t)-1)]) AS bg
+              FROM toks WHERE len(t) >= 2
+            ),
+            top_bigram AS (
+              SELECT bg.w1 AS w1, bg.w2 AS w2 FROM big
+              GROUP BY 1, 2 ORDER BY count(*) DESC, w1 ASC, w2 ASC LIMIT 1
+            ),
+            probe AS (SELECT w1, substr(w2, 1, 3) AS pre FROM top_bigram)
+            SELECT 0::BIGINT AS query_id, count(DISTINCT doc_id)::BIGINT AS n_matching
+            FROM toks, probe
+            WHERE len(t) >= 2 AND len(
+              [i for i in generate_series(1, len(t) - 1)
+               if t[i] = probe.w1 AND starts_with(t[i+1], probe.pre)]
+            ) > 0
         """,
         "phrase_topk": f"""
             WITH toks AS (

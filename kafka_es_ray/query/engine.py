@@ -506,6 +506,26 @@ class IndexSearcher:
                 out[s.part_id] = ids
         return out
 
+    def phrase_prefix_count(
+        self, text: str, lang: str | None = None,
+        filter_lang: str | None = None, max_expansions: int | None = None,
+    ) -> int:
+        """ES match_phrase_prefix count (autocomplete): the analyzed
+        text's last token is a prefix, earlier tokens must precede it
+        adjacently in order.  Requires a positions index."""
+        toks = get_analyzer(lang).tokenize(text)
+        if not toks:
+            return 0
+        return int(
+            sum(
+                segment_phrase_prefix_matching_ids(
+                    s, toks[:-1], toks[-1], filter_lang,
+                    max_expansions=max_expansions,
+                ).size
+                for s in self.segments
+            )
+        )
+
     def fuzzy_count(self, term: str, filter_lang: str | None = None) -> int:
         """Number of live docs matching an ES fuzzy query (fuzziness=1:
         any dictionary term within edit distance 1 of ``term``)."""
@@ -1025,6 +1045,118 @@ def segment_wildcard_matching_ids(
     return ids
 
 
+def segment_phrase_prefix_matching_ids(
+    s: Segment,
+    fixed: list[str],
+    prefix: str,
+    filter_lang: str | None = None,
+    filter_ranges: list[tuple] | None = None,
+    max_expansions: int | None = None,
+) -> np.ndarray:
+    """ES match_phrase_prefix match set for ONE segment: docs where the
+    ``fixed`` terms occur adjacently in order, immediately followed by
+    ANY dictionary term starting with ``prefix`` (the autocomplete
+    query).  Requires a positions index.  Same run-offset gather as
+    score_segment_phrase; the last slot is the UNION of the expansion
+    terms' (doc, pos) streams (one token per position, so cross-expansion
+    keys can't collide)."""
+    empty = np.array([], dtype=np.int64)
+    if not prefix:
+        return empty
+    lo, hi = s.term_prefix_range(prefix)
+    if max_expansions is not None:
+        hi = min(hi, lo + max_expansions)
+    if hi <= lo:
+        return empty
+    exp_tis = list(range(lo, hi))
+    uniq = sorted(set(fixed))
+    tis = {t: s.lookup(t) for t in uniq}
+    if any(ti < 0 for ti in tis.values()):
+        return empty
+    post = {t: s.postings_with_dl(tis[t]) for t in uniq}
+    exp_post = [s.postings_with_dl(ti) for ti in exp_tis]
+    cand = (
+        post[uniq[0]][0]
+        if uniq
+        else np.unique(np.concatenate([p[0] for p in exp_post]))
+    )
+    for t in uniq[1:]:
+        cand = cand[np.isin(cand, post[t][0], assume_unique=True)]
+    if uniq:  # must also contain at least one expansion term
+        in_exp = np.zeros(cand.size, dtype=bool)
+        for ids_t, _, _ in exp_post:
+            in_exp |= np.isin(cand, ids_t, assume_unique=True)
+        cand = cand[in_exp]
+    if cand.size and s.tombstones is not None and s.tombstones.size:
+        pos_t = np.minimum(np.searchsorted(s.tombstones, cand), s.tombstones.size - 1)
+        cand = cand[s.tombstones[pos_t] != cand]
+    if cand.size == 0:
+        return empty
+
+    L = np.int64(1) << 32
+    n_fixed = len(fixed)
+
+    def _gather(ti: int, ids_t, tfs_t, guard: bool) -> tuple[np.ndarray, np.ndarray]:
+        flat, run_starts = s.positions_for(ti)
+        j = np.searchsorted(ids_t, cand)
+        if guard:
+            jc = np.minimum(j, ids_t.size - 1)
+            ok = (j < ids_t.size) & (ids_t[jc] == cand)
+            j = jc[ok]
+            docs = np.flatnonzero(ok)
+        else:
+            docs = np.arange(cand.size, dtype=np.int64)
+        lens = tfs_t[j].astype(np.int64)
+        total = int(lens.sum())
+        run_off = np.zeros(docs.size, dtype=np.int64)
+        if docs.size:
+            np.cumsum(lens[:-1], out=run_off[1:])
+        gather_idx = (
+            np.repeat(run_starts[j], lens)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(run_off, lens)
+        )
+        doc_rep = np.repeat(docs, lens)
+        return doc_rep, flat[gather_idx].astype(np.int64)
+
+    keys_all = []
+    for i, t in enumerate(fixed):
+        ids_t, tfs_t, _ = post[t]
+        doc_rep, p = _gather(tis[t], ids_t, tfs_t, guard=False)
+        sp = p - i
+        m = sp >= 0
+        keys_all.append(doc_rep[m] * L + sp[m])
+    exp_keys = []
+    for ti, (ids_t, tfs_t, _) in zip(exp_tis, exp_post):
+        doc_rep, p = _gather(ti, ids_t, tfs_t, guard=True)
+        sp = p - n_fixed
+        m = sp >= 0
+        exp_keys.append(doc_rep[m] * L + sp[m])
+    keys_all.append(
+        np.concatenate(exp_keys) if exp_keys else np.array([], dtype=np.int64)
+    )
+    ka = np.concatenate(keys_all)
+    uk, counts = np.unique(ka, return_counts=True)
+    anchors = uk[counts == n_fixed + 1]
+    if anchors.size == 0:
+        return empty
+    ids = cand[np.unique((anchors // L).astype(np.int64))]
+    if filter_lang is not None and ids.size:
+        ids = ids[s.langs_for(ids) == filter_lang]
+    if filter_ranges:
+        for fld, lo_b, hi_b in filter_ranges:
+            if not ids.size:
+                break
+            vals = s.nums_for(fld, ids)
+            keep_r = ~np.isnan(vals)
+            if lo_b is not None:
+                keep_r &= vals >= lo_b
+            if hi_b is not None:
+                keep_r &= vals <= hi_b
+            ids = ids[keep_r]
+    return ids
+
+
 def _fuzzy_term_indices(s: Segment, term: str) -> list[int]:
     """Dictionary term indices within edit distance <= 1 of ``term``
     (ES fuzziness=1), fully vectorized: candidates are the three length
@@ -1101,7 +1233,13 @@ def segment_fuzzy_matching_ids(
 
 def _segment_match_ids_for_plan(s: Segment, q: dict) -> np.ndarray:
     """Match-set dispatch shared by every MatchSet-family stage: term
-    match (possibly filtered), prefix expansion, wildcard, or fuzzy."""
+    match (possibly filtered), prefix expansion, wildcard, fuzzy, or
+    phrase-prefix."""
+    if q.get("pp_prefix") is not None:
+        return segment_phrase_prefix_matching_ids(
+            s, q.get("pp_fixed") or [], q["pp_prefix"], q.get("filter_lang"),
+            q.get("filter_ranges"), q.get("max_expansions"),
+        )
     if q.get("fuzzy") is not None:
         return segment_fuzzy_matching_ids(
             s, q["fuzzy"], q.get("filter_lang"), q.get("filter_ranges")
@@ -2260,6 +2398,24 @@ def _match_set_plans(queries: pd.DataFrame) -> list[dict]:
         lang_q = getattr(row, "lang", None)
         filter_lang = getattr(row, "filter_lang", None)
         fr = _row_filter_ranges(row)
+        pp = getattr(row, "phrase_prefix", None)
+        if pp is not None and not (isinstance(pp, float) and pd.isna(pp)):
+            # ES match_phrase_prefix row: analyze; last token is a prefix
+            toks_pp = get_analyzer(lang_q).tokenize(str(pp))
+            if not toks_pp:
+                continue
+            key = ("__pp__", tuple(toks_pp), filter_lang, fr)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "pp_fixed": toks_pp[:-1],
+                    "pp_prefix": toks_pp[-1],
+                    "filter_lang": filter_lang,
+                    "filter_ranges": list(fr) if fr else None,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
         fz = getattr(row, "fuzzy", None)
         if fz is not None and not (isinstance(fz, float) and pd.isna(fz)):
             # ES fuzzy query row: edit-distance-1 dictionary expansion
