@@ -93,6 +93,22 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--seq-col", default="seq")
     a.add_argument("--op-col", default="op")
 
+    fo = sub.add_parser(
+        "follow",
+        help="tail a directory of parquet micro-batches and apply each "
+        "incrementally with an offset ledger (Kafka-consumer analog)",
+    )
+    fo.add_argument("--input", required=True)
+    fo.add_argument("--index", required=True)
+    fo.add_argument("--key-col", default="id")
+    fo.add_argument("--text-col", default="text")
+    fo.add_argument("--lang-col", default="lang")
+    fo.add_argument("--seq-col", default="seq")
+    fo.add_argument("--op-col", default="op")
+    fo.add_argument("--poll-s", type=float, default=1.0)
+    fo.add_argument("--max-batches", type=int, default=None)
+    fo.add_argument("--idle-stop-s", type=float, default=None)
+
     st = sub.add_parser("stats", help="index stats (ES _stats analog)")
     st.add_argument("--index", required=True)
 
@@ -195,6 +211,23 @@ def main(argv: list[str] | None = None) -> int:
             op_col=args.op_col,
         )
         print(json.dumps({"n_docs": manifest["n_docs"], "apply_metrics": manifest["apply_metrics"]}))
+    elif args.cmd == "follow":
+        own_session = _ray_init(args.num_cpus)
+        from kafka_es_ray.sources.stream import follow_directory
+
+        out = follow_directory(
+            args.input,
+            args.index,
+            key_col=args.key_col,
+            text_col=args.text_col,
+            lang_col=args.lang_col,
+            seq_col=args.seq_col,
+            op_col=args.op_col,
+            poll_s=args.poll_s,
+            max_batches=args.max_batches,
+            idle_stop_s=args.idle_stop_s,
+        )
+        print(json.dumps(out))
     elif args.cmd == "stats":
         from kafka_es_ray.index.segment import read_manifest
 

@@ -1,0 +1,117 @@
+"""Continuous micro-batch ingestion — the Kafka-consumer analog.
+
+The reference is a long-running connector: poll records, resolve doc
+ops, bulk-apply, commit offsets (ElasticsearchSinkTask.kt put/flush
+cycle; offset commit = the at-least-once checkpoint).  Here the "topic"
+is a directory that producers drop parquet files into; the "offset" is
+the sorted file name; the commit point is an atomically-rewritten
+ledger INSIDE the index directory.
+
+At-least-once by construction: the ledger is written AFTER a file's
+``apply_incremental`` manifest commit, so a crash between apply and
+ledger append replays that file — and replays are safe because delta
+segment ids are deterministic under retry and per-key LWW/seq resolution
+is idempotent (tests/test_incremental.py crash-retry idempotence).
+Files apply in name order (Kafka partition-order analog); each apply is
+itself Ray-parallel per routing partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from kafka_es_ray.config import DEFAULT, EngineConfig
+
+LEDGER = "ingest_ledger.json"
+
+
+def _ledger_path(index_dir: str) -> str:
+    return os.path.join(index_dir, LEDGER)
+
+
+def read_ledger(index_dir: str) -> dict:
+    try:
+        with open(_ledger_path(index_dir)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {"consumed": []}
+
+
+def _commit_ledger(index_dir: str, ledger: dict) -> None:
+    tmp = _ledger_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ledger, f)
+    os.replace(tmp, _ledger_path(index_dir))  # atomic commit point
+
+
+def pending_files(input_dir: str, index_dir: str) -> list[str]:
+    """Unconsumed parquet files in offset (name) order."""
+    seen = {e["file"] for e in read_ledger(index_dir)["consumed"]}
+    return sorted(
+        fn
+        for fn in os.listdir(input_dir)
+        if fn.endswith(".parquet") and fn not in seen
+    )
+
+
+def follow_directory(
+    input_dir: str,
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    *,
+    key_col: str = "id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    seq_col: str | None = "seq",
+    op_col: str | None = "op",
+    poll_s: float = 1.0,
+    max_batches: int | None = None,
+    idle_stop_s: float | None = None,
+) -> dict:
+    """Tail ``input_dir`` for new parquet files and apply each as an
+    incremental micro-batch, committing the ledger after every file.
+
+    Runs until ``max_batches`` files have been applied and/or the
+    directory has been idle for ``idle_stop_s`` seconds (both None =
+    forever, the connector's normal mode).  Returns a summary
+    {files_applied, rows (cumulative index apply_metrics), last_gen}."""
+    import ray.data as rd
+
+    from kafka_es_ray.index.incremental import apply_incremental
+
+    applied = 0
+    rows = 0
+    last_gen = None
+    idle_since = time.monotonic()
+    while True:
+        batch_files = pending_files(input_dir, index_dir)
+        if max_batches is not None:
+            batch_files = batch_files[: max(0, max_batches - applied)]
+        for fn in batch_files:
+            manifest = apply_incremental(
+                index_dir,
+                rd.read_parquet(os.path.join(input_dir, fn)),
+                cfg,
+                key_col=key_col,
+                text_col=text_col,
+                lang_col=lang_col,
+                seq_col=seq_col,
+                op_col=op_col,
+            )
+            last_gen = int(manifest.get("gen", 0))
+            # apply_metrics is CUMULATIVE across applies — report the total
+            rows = int(manifest.get("apply_metrics", {}).get("rows", 0))
+            applied += 1
+            # ledger AFTER the apply's manifest commit = at-least-once
+            ledger = read_ledger(index_dir)
+            ledger["consumed"].append({"file": fn, "gen": last_gen})
+            _commit_ledger(index_dir, ledger)
+            idle_since = time.monotonic()
+        if max_batches is not None and applied >= max_batches:
+            break
+        if idle_stop_s is not None and time.monotonic() - idle_since >= idle_stop_s:
+            break
+        time.sleep(poll_s)
+    return {"files_applied": applied, "rows": rows, "last_gen": last_gen}
