@@ -1046,6 +1046,18 @@ def _q_sessionize(sf_dir: str):
     )
 
 
+def _q_approx_value_quantiles(sf_dir: str):
+    """DDSketch approximate quantiles of events.value (relative-error
+    <= ~1%, mergeable, execution-order-deterministic) — rows-only;
+    pytest asserts the error bound vs exact (test_sketches)."""
+    from kafka_es_ray.pipelines.sketches import approx_quantiles
+    from kafka_es_ray.sources.parquet import read_table
+
+    return approx_quantiles(
+        read_table(sf_dir, "events", columns=["value"]), "value"
+    )
+
+
 def _q_window_events(sf_dir: str):
     from kafka_es_ray.pipelines.relational import windowed_agg
     from kafka_es_ray.sources.parquet import read_table
@@ -1359,6 +1371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lww_events": _q_lww_events,
         "window_events": _q_window_events,
         "sessionize_events": _q_sessionize,
+        "approx_value_quantiles": _q_approx_value_quantiles,
         "broadcast_lookup": _q_broadcast_lookup,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,

@@ -55,6 +55,83 @@ def _hll_estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def _dd_partial(vals: np.ndarray, gamma_ln: float) -> pd.DataFrame:
+    """DDSketch bucket partial for one batch: (sign, k, n) counter rows.
+    Bucket keys are functions of the VALUE alone (k = ceil(ln|v|/ln γ)),
+    so partials merge by pure counter addition and the merged sketch is
+    identical under ANY Ray execution order (unlike centroid sketches)."""
+    vals = vals[~np.isnan(vals)]
+    out = []
+    for sign in (1, -1):
+        part = vals[vals > 0] if sign == 1 else -vals[vals < 0]
+        if part.size:
+            k = np.ceil(np.log(part) / gamma_ln).astype(np.int64)
+            uk, cnt = np.unique(k, return_counts=True)
+            out.append(
+                pd.DataFrame(
+                    {"sign": np.int8(sign), "k": uk, "n": cnt.astype(np.int64)}
+                )
+            )
+    n_zero = int((vals == 0).sum())
+    if n_zero:
+        out.append(
+            pd.DataFrame({"sign": [np.int8(0)], "k": [np.int64(0)], "n": [n_zero]})
+        )
+    if not out:
+        return pd.DataFrame(
+            {
+                "sign": pd.Series([], dtype=np.int8),
+                "k": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+            }
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def approx_quantiles(
+    ds, column: str, percentiles=(25.0, 50.0, 75.0, 99.0), alpha: float = 0.01
+) -> pd.DataFrame:
+    """Approximate quantiles with RELATIVE-error guarantee |v̂/v - 1| <=
+    ~alpha — the DDSketch algorithm (Masson, Lee, Rim: "DDSketch: a fast
+    and fully-mergeable quantile sketch with relative-error guarantees",
+    VLDB 2019; public).  One vectorized bucket partial per batch; the
+    shuffle moves O(#buckets) counter rows per batch (buckets ~= ln(range)
+    / ln γ, a few thousand at alpha=0.01), never values; the merge is a
+    bucket-count sum, so results are EXECUTION-ORDER-DETERMINISTIC.
+    Nearest-rank (rank = ceil(n*p/100)) over bucket representatives
+    v = 2γ^k/(γ+1).  Returns (pct, value)."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    gamma_ln = float(np.log(gamma))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return _dd_partial(batch[column].to_numpy(dtype=np.float64), gamma_ln)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .to_pandas()  # O(#buckets x #batches) counter rows — never values
+        .groupby(["sign", "k"], as_index=False)["n"]
+        .sum()
+    )
+    if merged.empty:
+        return pd.DataFrame(
+            {"pct": pd.Series([], dtype=np.float64), "value": pd.Series([], dtype=np.float64)}
+        )
+    sign = merged["sign"].to_numpy(np.int64)
+    k = merged["k"].to_numpy(np.int64)
+    rep = np.where(
+        sign == 0, 0.0, sign * (2.0 * np.power(gamma, k.astype(np.float64)) / (gamma + 1.0))
+    )
+    order = np.argsort(rep, kind="stable")
+    rep = rep[order]
+    cum = merged["n"].to_numpy(np.int64)[order].cumsum()
+    n = int(cum[-1])
+    rows = []
+    for p in percentiles:
+        rank = max(1, int(np.ceil(n * float(p) / 100.0)))
+        rows.append((float(p), float(rep[int(np.searchsorted(cum, rank))])))
+    return pd.DataFrame(rows, columns=["pct", "value"]).astype(np.float64)
+
+
 def approx_distinct(ds, column: str, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT column): one sketch per batch, one
     elementwise-max merge — the shuffle moves 2^p bytes per batch, never
