@@ -136,6 +136,19 @@ SELECT query_id, pct, value FROM (
 ) ORDER BY 1, 2
 """
 
+# ES sub-aggregation: terms(lang) bucket -> nested stats(n_chars)
+_SUBAGG_SQL = _MATCHES_CTE + """
+SELECT m.query_id, d.lang AS value,
+       count(*)::BIGINT AS n_docs,
+       min(d.n_chars)::DOUBLE AS min_val,
+       max(d.n_chars)::DOUBLE AS max_val,
+       sum(d.n_chars)::DOUBLE AS sum_val,
+       round(sum(d.n_chars)::DOUBLE / count(*), 6) AS avg_val
+FROM matches m JOIN documents d USING (doc_id)
+WHERE d.n_chars IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 3 DESC, 2
+"""
+
 # ES histogram aggregation: interval-50 buckets of n_chars per match set
 _HISTOGRAM_SQL = _MATCHES_CTE + """
 SELECT m.query_id,
@@ -718,6 +731,33 @@ def _q_match_percentiles(sf_dir: str):
         return run_agg_percentiles(
             queries, idx, "n_chars", (25.0, 50.0, 75.0, 99.0), cfg=cfg
         )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_match_subagg(sf_dir: str):
+    """ES sub-aggregation (terms bucket on lang -> nested stats over
+    n_chars) per derived query's match set — distributed NumericAggStage
+    grouped partials."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_terms_stats
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_sagidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_agg_terms_stats(queries, idx, "lang", "n_chars", cfg=cfg)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
@@ -1345,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_stats_agg": _q_match_stats_agg,
         "match_histogram": _q_match_histogram,
         "match_percentiles": _q_match_percentiles,
+        "match_subagg": _q_match_subagg,
         "prefix_count": _q_prefix_count,
         "wildcard_count": _q_wildcard_count,
         "fuzzy_count": _q_fuzzy_count,
@@ -1456,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         "match_stats_agg": _STATS_AGG_SQL,
         "match_histogram": _HISTOGRAM_SQL,
         "match_percentiles": _PERCENTILES_SQL,
+        "match_subagg": _SUBAGG_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
         "multi_match_topk": _MULTI_MATCH_SQL,
         "match_title_topk": _MATCH_TITLE_SQL,

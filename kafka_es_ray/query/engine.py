@@ -1784,11 +1784,15 @@ class MatchSetStage(_SegmentCacheStage):
 class NumericAggStage(_SegmentCacheStage):
     """Segment-parallel numeric aggregations over match sets: stats
     (interval=None -> one n/sum/min/max row per plan x segment) or
-    histogram (fixed-interval bucket counts).  Shuffle volume is
-    plans x segments (x buckets), never doc rows."""
+    histogram (fixed-interval bucket counts).  With ``group_field``
+    (ES terms-bucket sub-aggregation) partials are emitted per
+    (plan, keyword value) instead.  Shuffle volume is plans x segments
+    (x buckets x groups), never doc rows."""
 
     def _init_payload(self, payload) -> None:
-        self.plan, self.tomb_map, self.field, self.interval = payload
+        self.plan, self.tomb_map, self.field, self.interval, self.group_field = (
+            payload if len(payload) == 5 else (*payload, None)
+        )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -1798,8 +1802,23 @@ class NumericAggStage(_SegmentCacheStage):
                 ids = _segment_match_ids_for_plan(seg, q)
                 if ids.size == 0:
                     continue
-                vals = seg.nums_for(self.field, ids)
-                vals = vals[~np.isnan(vals)]
+                all_vals = seg.nums_for(self.field, ids)
+                if self.group_field is not None:
+                    # terms-bucket sub-agg: one stats partial per
+                    # (plan, keyword value) — groups stream as rows
+                    gv = seg.field_for(self.group_field, ids)
+                    ok = ~np.isnan(all_vals)
+                    gv, vs = gv[ok], all_vals[ok]
+                    for val in np.unique(gv):
+                        sub = vs[gv == val]
+                        rows.append(
+                            (
+                                q["plan_id"], str(val), int(sub.size),
+                                float(sub.sum()), float(sub.min()), float(sub.max()),
+                            )
+                        )
+                    continue
+                vals = all_vals[~np.isnan(all_vals)]
                 if vals.size == 0:
                     continue
                 if self.interval == 0.0:  # exact per-VALUE counts
@@ -1829,7 +1848,9 @@ class NumericAggStage(_SegmentCacheStage):
         ).astype({"plan_id": np.int64, "n": np.int64}) if rows else pd.DataFrame(
             {
                 "plan_id": pd.Series([], dtype=np.int64),
-                "bucket": pd.Series([], dtype=np.float64),
+                "bucket": pd.Series(
+                    [], dtype=object if self.group_field is not None else np.float64
+                ),
                 "n": pd.Series([], dtype=np.int64),
                 "sum": pd.Series([], dtype=np.float64),
                 "mn": pd.Series([], dtype=np.float64),
@@ -2580,7 +2601,7 @@ def run_agg_terms(
 
 def _run_numeric_agg(
     queries_ds, index_dir: str, field: str, interval: float | None,
-    cfg: EngineConfig, concurrency: int | None,
+    cfg: EngineConfig, concurrency: int | None, group_field: str | None = None,
 ) -> tuple[pd.DataFrame, list[dict]]:
     """Shared distributed driver for stats / histogram aggregations.
     Returns (partials, plan); partials rows = plans x segments
@@ -2596,7 +2617,9 @@ def _run_numeric_agg(
         return pd.DataFrame(
             {"plan_id": [], "bucket": [], "n": [], "sum": [], "mn": [], "mx": []}
         ), plan
-    plan_ref = ray.put((plan, manifest.get("tombstones", {}), field, interval))
+    plan_ref = ray.put(
+        (plan, manifest.get("tombstones", {}), field, interval, group_field)
+    )
     partials = (
         _shards_ds(parts, concurrency)
         .map_batches(
@@ -2689,6 +2712,52 @@ def run_agg_histogram(
         .sort_values(["query_id", "bucket"], kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+def run_agg_terms_stats(
+    queries_ds, index_dir: str, group_field: str, metric_field: str,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES sub-aggregation: a terms bucket over ``group_field``
+    with a nested stats metric over ``metric_field`` per bucket — the
+    canonical `aggs: {terms: {...}, aggs: {stats: {...}}}` shape.
+    Returns (query_id, value, n_docs, min_val, max_val, sum_val, avg_val)
+    in ES bucket order (n_docs desc, value asc); docs with a missing
+    metric value are excluded (ES stats semantics)."""
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, metric_field, None, cfg, concurrency,
+        group_field=group_field,
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = partials.groupby(["plan_id", "bucket"], as_index=False).agg(
+            n=("n", "sum"), s=("sum", "sum"), mn=("mn", "min"), mx=("mx", "max")
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            gg = gg.sort_values(
+                ["n", "bucket"], ascending=[False, True], kind="mergesort"
+            )
+            for qid in fanout.get(int(pid_), []):
+                for r in gg.itertuples(index=False):
+                    rows.append(
+                        {
+                            "query_id": np.int64(qid),
+                            "value": str(r.bucket),
+                            "n_docs": np.int64(r.n),
+                            "min_val": float(r.mn),
+                            "max_val": float(r.mx),
+                            "sum_val": float(r.s),
+                            "avg_val": float(round6(np.array([r.s / r.n]))[0]),
+                        }
+                    )
+    out = pd.DataFrame(
+        rows,
+        columns=["query_id", "value", "n_docs", "min_val", "max_val", "sum_val", "avg_val"],
+    )
+    return out.sort_values(
+        ["query_id"], kind="mergesort"
+    ).reset_index(drop=True).astype({"query_id": np.int64, "n_docs": np.int64})
 
 
 def run_agg_percentiles(

@@ -22,7 +22,9 @@ from kafka_es_ray.query.engine import (
     run_sorted,
 )
 
-CFG = EngineConfig(num_partitions=4, numeric_cols=("size", "stars"))
+CFG = EngineConfig(
+    num_partitions=4, numeric_cols=("size", "stars"), keyword_cols=("cat",)
+)
 
 WORDS = ["alpha", "beta", "gamma", "delta", "omega", "kappa", "sigma", "zeta"]
 
@@ -44,6 +46,7 @@ def _corpus(n=120, seed=7) -> pd.DataFrame:
             "lang": "en",
             "size": sizes,
             "stars": stars,
+            "cat": rng.choice(["news", "blog", "wiki"], size=n),
         }
     )
 
@@ -73,7 +76,7 @@ def test_manifest_records_mappings(built):
     idx, _ = built
     m = read_manifest(idx)["mappings"]
     assert m["numeric_cols"] == ["size", "stars"]
-    assert m["keyword_cols"] == []
+    assert m["keyword_cols"] == ["cat"]
     assert m["index_positions"] is False
 
 
@@ -252,6 +255,27 @@ def test_distributed_stats_and_histogram_match_single(built):
         g = hist[hist["query_id"] == qid]
         assert g["bucket"].tolist() == single["bucket"].tolist()
         assert g["n_docs"].tolist() == single["n_docs"].tolist()
+
+
+def test_terms_stats_subagg_matches_bruteforce(built):
+    from kafka_es_ray.query.engine import run_agg_terms_stats
+
+    idx, df = built
+    queries = pd.DataFrame({"query_id": [0], "text": ["alpha beta"]})
+    out = run_agg_terms_stats(queries, idx, "cat", "size", cfg=CFG)
+    want_docs = _brute_match(df, ["alpha", "beta"])
+    want = (
+        want_docs[want_docs["size"].notna()]
+        .groupby("cat")["size"]
+        .agg(["size", "min", "max", "sum"])
+        .reset_index()
+        .sort_values(["size", "cat"], ascending=[False, True], kind="mergesort")
+    )
+    assert out["value"].tolist() == want["cat"].tolist()
+    assert out["n_docs"].tolist() == want["size"].tolist()
+    assert out["min_val"].tolist() == want["min"].tolist()
+    assert out["max_val"].tolist() == want["max"].tolist()
+    assert out["sum_val"].tolist() == want["sum"].tolist()
 
 
 def test_percentiles_match_nearest_rank(built):
