@@ -1132,6 +1132,23 @@ def _q_ann_topk(sf_dir: str):
     return cosine_topk(emb, qdf["vec_id"].to_numpy(), qm, k=10)
 
 
+def _q_ann_sq8_topk(sf_dir: str):
+    """int8 scalar-quantized ANN (4x smaller vector storage/shuffle):
+    approximate by design -> rows-only; recall + sim-error bounds
+    asserted vs brute force in tests/test_pipelines.py."""
+    import pyarrow.parquet as pq
+
+    from kafka_es_ray.pipelines.ann import sq8_cosine_topk
+    from kafka_es_ray.sources.parquet import read_table, table_path
+
+    qt = pq.read_table(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qdf = qt.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 3].sort_values("vec_id")
+    qm = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return sq8_cosine_topk(emb, qdf["vec_id"].to_numpy(), qm, k=10)
+
+
 def _q_ann_ivf_topk(sf_dir: str):
     """IVF scale path (spherical-kmeans coarse quantizer, nprobe lists):
     approximate by design -> rows-only; recall asserted vs brute force in
@@ -1416,6 +1433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_lookup": _q_broadcast_lookup,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_sq8_topk": _q_ann_sq8_topk,
         "doc_fingerprint": _q_fingerprint,
         "lang_stats": _q_lang_stats,
         "doc_quality": _q_quality,

@@ -113,6 +113,66 @@ def _merge_topk(partials, k: int):
     return bucketed_group_agg(partials, ["query_vec_id"], merge_bucket)
 
 
+class _SQ8TopKStage:
+    """int8 scalar-quantized cosine top-k: vectors quantize per batch to
+    int8 codes + one float scale per vector (symmetric max-abs — 4x less
+    memory/shuffle than float32, the storage-bound ANN lever at corpus
+    scale); scoring dequantizes the BATCH to float32 for the BLAS matmul
+    (numpy has no int8 GEMM), so the quantization cost is accuracy, not
+    compute.  Approximate by construction; recall vs the exact brute
+    force is the pytest oracle."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        q = ray.get(queries_ref)
+        self.qids = q[0]
+        self.qm = _normalize(q[1]).astype(np.float32)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        m = _normalize(np.stack(batch["embedding"].to_numpy()))
+        # --- quantize (what an SQ8 index would STORE: codes + scales) ---
+        scale = np.maximum(np.abs(m).max(axis=1, keepdims=True), 1e-12) / 127.0
+        codes = np.clip(np.rint(m / scale), -127, 127).astype(np.int8)
+        # --- score from the codes alone (storage-faithful) ---
+        deq = codes.astype(np.float32) * scale.astype(np.float32)
+        sims = (self.qm @ deq.T).astype(np.float64)
+        k = min(self.k, ids.size)
+        kth = -np.partition(-sims, k - 1, axis=1)[:, k - 1]
+        rows = []
+        for qi in range(self.qids.size):
+            sel = np.flatnonzero(sims[qi] >= kth[qi] - 1e-6)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "query_vec_id": np.int64(self.qids[qi]),
+                        "vec_id": ids[sel],
+                        "sim": sims[qi, sel],
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+
+def sq8_cosine_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int = 10):
+    """int8 scalar-quantized cosine top-k (approximate; see _SQ8TopKStage).
+    Returns (query_vec_id, rank, vec_id, sim) with sims computed from the
+    int8 codes."""
+    import ray
+
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), np.asarray(query_matrix)))
+    partials = emb_ds.map_batches(
+        _SQ8TopKStage,
+        fn_constructor_args=(qref, k),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=2,
+    )
+    return _merge_topk(partials, k)
+
+
 def _kmeans_spherical(train: np.ndarray, nlist: int, iters: int = 10, seed: int = 29) -> np.ndarray:
     """Deterministic spherical k-means (numpy Lloyd, fixed iterations):
     the IVF coarse quantizer.  Input rows must be L2-normalized."""

@@ -183,3 +183,31 @@ def test_ivf_ann_recall(ray_session):
         a = set(approx[approx["query_vec_id"] == q]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_sq8_ann_recall(ray_session):
+    """int8 scalar-quantized cosine top-k: near-exact recall (the 8-bit
+    grid perturbs sims by ~1e-2 relative at most)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.ann import cosine_topk, sq8_cosine_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((300, 32))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(300, dtype=np.int64), "embedding": list(vecs.astype(np.float32))}
+    )
+    qids = np.array([1, 100, 200])
+    qm = vecs[qids]
+    exact = to_pandas(cosine_topk(rd.from_pandas(df), qids, qm, k=10))
+    sq8 = to_pandas(sq8_cosine_topk(rd.from_pandas(df), qids, qm, k=10))
+    recalls = []
+    for q in qids:
+        e = set(exact[exact["query_vec_id"] == q]["vec_id"])
+        a = set(sq8[sq8["query_vec_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls
+    # sims from codes stay within the 8-bit grid's error of the exact sims
+    j = exact.merge(sq8, on=["query_vec_id", "vec_id"], suffixes=("_e", "_q"))
+    assert (np.abs(j["sim_e"] - j["sim_q"]) <= 0.02).all()
