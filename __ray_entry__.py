@@ -83,6 +83,27 @@ _RANGE_SQL = _BM25_SQL.replace(
 )
 assert "n_chars" in _RANGE_SQL  # replace anchor must exist
 
+# ES field collapsing: best doc per (query, lang), groups ranked by
+# their best doc's (score desc, doc_id asc)
+_COLLAPSE_SQL = _BM25_SQL.split("topk AS (")[0] + """grouped AS (
+  SELECT s.query_id, d.lang, s.doc_id, round(s.raw_score, 6) AS score,
+         row_number() OVER (
+           PARTITION BY s.query_id, d.lang
+           ORDER BY round(s.raw_score, 6) DESC, s.doc_id ASC
+         ) AS rn
+  FROM scores s JOIN documents d USING (doc_id)
+),
+topk AS (
+  SELECT query_id, doc_id, score, lang AS collapse_val,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM grouped WHERE rn = 1
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score, collapse_val
+FROM topk WHERE rank <= 10
+"""
+
 # shared match-set CTE prefix for the numeric aggregations (same query
 # derivation as _BM25_SQL; operator=or match set, no top-k cap)
 _MATCHES_CTE = """
@@ -730,6 +751,31 @@ def _q_match_percentiles(sf_dir: str):
         queries = queries[queries["text"] != "zzzabsentterm"]
         return run_agg_percentiles(
             queries, idx, "n_chars", (25.0, 50.0, 75.0, 99.0), cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_collapse_topk(sf_dir: str):
+    """ES field collapsing: top-10 GROUPS (best doc per lang) per derived
+    query — distributed CollapseTopkStage (per-segment best-per-value +
+    top-k values; exactness argument in its docstring)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_collapsed
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_clpidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        out = run_collapsed(queries, idx, "lang", k=10).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score", "collapse_val"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
         )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
@@ -1403,6 +1449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_histogram": _q_match_histogram,
         "match_percentiles": _q_match_percentiles,
         "match_subagg": _q_match_subagg,
+        "collapse_topk": _q_collapse_topk,
         "prefix_count": _q_prefix_count,
         "wildcard_count": _q_wildcard_count,
         "fuzzy_count": _q_fuzzy_count,
@@ -1516,6 +1563,7 @@ def oracle_sql() -> dict[str, str]:
         "match_histogram": _HISTOGRAM_SQL,
         "match_percentiles": _PERCENTILES_SQL,
         "match_subagg": _SUBAGG_SQL,
+        "collapse_topk": _COLLAPSE_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
         "multi_match_topk": _MULTI_MATCH_SQL,
         "match_title_topk": _MATCH_TITLE_SQL,

@@ -1859,6 +1859,66 @@ class NumericAggStage(_SegmentCacheStage):
         )
 
 
+class CollapseTopkStage(_SegmentCacheStage):
+    """Segment-parallel ES field collapsing: BM25-score the plan's match
+    candidates, keep each segment's BEST doc per collapse-field value,
+    then the top-k VALUES by that best-doc score.  Exact: if value v's
+    global best doc lives in segment S but v is not among S's top-k
+    values, S holds k distinct values whose best docs all outscore it, so
+    v's group cannot reach the global top-k groups."""
+
+    def _init_payload(self, payload) -> None:
+        self.plan, self.avgdl, self.k1, self.b, self.tomb_map, self.field = payload
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pid in batch["part_id"].astype(int):
+            seg = self._segment(pid)
+            for q in self.plan:
+                ids, scores = score_segment(
+                    seg, q["terms"], q["idf"], self.avgdl, self.k1, self.b,
+                    None,
+                    require_all=q.get("require_all", False),
+                    filter_lang=q.get("filter_lang"),
+                    filter_ranges=q.get("filter_ranges"),
+                )
+                if ids.size == 0:
+                    continue
+                vals = seg.field_for(self.field, ids)
+                # best doc per value: sort (value, -score, doc) and keep firsts
+                order = np.lexsort((ids, -scores, vals))
+                v_s, i_s, s_s = vals[order], ids[order], scores[order]
+                first = np.ones(v_s.size, dtype=bool)
+                first[1:] = v_s[1:] != v_s[:-1]
+                v_s, i_s, s_s = v_s[first], i_s[first], s_s[first]
+                k = q["k"]
+                if v_s.size > k:
+                    sel = np.lexsort((i_s, -s_s))[:k]
+                    v_s, i_s, s_s = v_s[sel], i_s[sel], s_s[sel]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "plan_id": np.int64(q["plan_id"]),
+                            "doc_id": i_s,
+                            "key": seg.keys_for(i_s),
+                            "score": s_s,
+                            "collapse_val": v_s,
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "plan_id": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "key": pd.Series([], dtype=object),
+                    "score": pd.Series([], dtype=np.float64),
+                    "collapse_val": pd.Series([], dtype=object),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+
 class SortTopkStage(_SegmentCacheStage):
     """Segment-parallel sort-by-field: per (plan, segment) top-k rows by
     a numeric docstore field.  Shuffle volume is plans x segments x k
@@ -2795,6 +2855,128 @@ def run_agg_percentiles(
         .reset_index(drop=True)
         .astype({"query_id": np.int64, "pct": np.float64, "value": np.float64})
     )
+
+
+def run_collapsed(
+    queries_ds,
+    index_dir: str,
+    collapse_field: str,
+    *,
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+):
+    """Distributed ES field collapsing: BM25 top-k GROUPS — at most one
+    (the best) doc per ``collapse_field`` value, groups ranked by their
+    best doc's (score desc, doc_id asc).  Match queries (operator or/and,
+    filter_lang, range filters); see CollapseTopkStage for the exactness
+    argument.  Returns Dataset(query_id, rank, doc_id, key, score,
+    collapse_val)."""
+    import ray
+    import ray.data as rd
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    concurrency = concurrency or cfg.query_concurrency or 2
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    n_docs = int(manifest["n_docs"])
+    avgdl = float(manifest["avgdl"]) or 1.0
+    k1 = float(manifest.get("k1", cfg.k1))
+    b = float(manifest.get("b", cfg.b))
+
+    terms_set: set[str] = set()
+    for row in queries.itertuples(index=False):
+        terms_set.update(get_analyzer(getattr(row, "lang", None)).tokenize(row.text))
+    all_terms = sorted(terms_set)
+    gdf = _collect_global_stats(index_dir, parts, all_terms)
+    df_map = dict(zip(all_terms, gdf))
+
+    plan_by_key: dict[tuple, dict] = {}
+    for row in queries.itertuples(index=False):
+        lang_q = getattr(row, "lang", None)
+        base_terms = sorted(set(get_analyzer(lang_q).tokenize(row.text)))
+        require_all = (getattr(row, "operator", None) or "or") == "and"
+        terms = [t for t in base_terms if df_map.get(t, 0) > 0]
+        if not terms or (require_all and len(terms) < len(base_terms)):
+            continue
+        filter_lang = getattr(row, "filter_lang", None)
+        fr = _row_filter_ranges(row)
+        key = (tuple(terms), require_all, filter_lang, fr)
+        entry = plan_by_key.get(key)
+        if entry is None:
+            idf = bm25_idf(np.array([df_map[t] for t in terms], dtype=np.int64), n_docs)
+            entry = plan_by_key[key] = {
+                "query_ids": [],
+                "terms": terms,
+                "idf": np.asarray(idf, dtype=np.float64),
+                "k": k,
+                "require_all": require_all,
+                "filter_lang": filter_lang,
+                "filter_ranges": list(fr) if fr else None,
+            }
+        entry["query_ids"].append(int(row.query_id))
+    plan = list(plan_by_key.values())
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "key": pd.Series([], dtype=object),
+            "score": pd.Series([], dtype=np.float64),
+            "collapse_val": pd.Series([], dtype=object),
+        }
+    )
+    if not plan:
+        return rd.from_pandas(empty)
+    for pid_, q in enumerate(plan):
+        q["plan_id"] = pid_
+    plan_ref = ray.put(
+        (plan, avgdl, k1, b, manifest.get("tombstones", {}), collapse_field)
+    )
+    partials = _shards_ds(parts, concurrency).map_batches(
+        CollapseTopkStage,
+        fn_constructor_args=(index_dir, plan_ref, cfg),
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+
+    def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pid_, g in bucket.groupby("plan_id", sort=False):
+            ids = g["doc_id"].to_numpy()
+            scores = g["score"].to_numpy()
+            vals = g["collapse_val"].to_numpy()
+            order = np.lexsort((ids, -scores, vals))
+            v_s = vals[order]
+            first = np.ones(v_s.size, dtype=bool)
+            first[1:] = v_s[1:] != v_s[:-1]
+            ids_f = ids[order][first]
+            sc_f = scores[order][first]
+            keys_f = g["key"].to_numpy()[order][first]
+            v_f = v_s[first]
+            sel = np.lexsort((ids_f, -sc_f))[:k]
+            top = pd.DataFrame(
+                {
+                    "rank": np.arange(1, 1 + sel.size, dtype=np.int64),
+                    "doc_id": ids_f[sel],
+                    "key": keys_f[sel],
+                    "score": sc_f[sel],
+                    "collapse_val": v_f[sel],
+                }
+            )
+            for qid in fanout.get(int(pid_), []):
+                out.append(top.assign(query_id=np.int64(qid)))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)[
+            ["query_id", "rank", "doc_id", "key", "score", "collapse_val"]
+        ]
+
+    return bucketed_group_agg(partials, ["plan_id"], merge_bucket)
 
 
 def run_sorted(

@@ -292,6 +292,29 @@ def test_percentiles_match_nearest_rank(built):
             assert got == want_v, (qid, p)
 
 
+def test_field_collapse_matches_bruteforce(built):
+    from kafka_es_ray.query.engine import run_collapsed
+
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    queries = pd.DataFrame({"query_id": [0, 1], "text": ["alpha beta", "omega kappa"]})
+    got = (
+        run_collapsed(queries, idx, "cat", k=2, cfg=CFG)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    cat_of = dict(zip(df["doc_id"], df["cat"]))
+    for qid, text in [(0, "alpha beta"), (1, "omega kappa")]:
+        full = s.search(text, k=10_000)
+        full = full.assign(cat=[cat_of[d] for d in full["doc_id"]])
+        best = full.drop_duplicates("cat", keep="first").head(2)  # full is rank-ordered
+        g = got[got["query_id"] == qid]
+        assert g["doc_id"].tolist() == best["doc_id"].tolist(), qid
+        assert g["score"].tolist() == best["score"].tolist(), qid
+        assert g["collapse_val"].tolist() == best["cat"].tolist(), qid
+
+
 def test_merge_preserves_numeric_columns(built, tmp_path):
     import shutil
 
