@@ -126,6 +126,42 @@ matches AS (
 )
 """.replace("{_TOK}", _TOK)
 
+# ES significant_text aggregation: per match set (the foreground), terms
+# whose fg doc frequency is disproportionately high vs the whole corpus
+# (the background), JLH-scored (fg% - bg%) * (fg% / bg%); min_doc_count=3
+# (the ES default); significance cut decided by exact integer
+# cross-multiplication on BOTH sides (fg*N > bg*fgN)
+_SIGTEXT_SQL = _MATCHES_CTE + """
+, fgn AS (
+  SELECT query_id, count(*)::BIGINT AS fgn FROM matches GROUP BY 1
+),
+bgn AS (SELECT count(*)::BIGINT AS bgn FROM documents),
+fg AS (
+  SELECT m.query_id, tf.term, count(*)::BIGINT AS fg_count
+  FROM matches m JOIN tf ON tf.doc_id = m.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT f.query_id, f.term, f.fg_count, df.df::BIGINT AS bg_count,
+         round(
+           (f.fg_count / (g.fgn * 1.0) - df.df / (b.bgn * 1.0))
+           * ((f.fg_count / (g.fgn * 1.0)) / (df.df / (b.bgn * 1.0))), 6
+         ) AS score
+  FROM fg f
+  JOIN df USING (term)
+  JOIN fgn g USING (query_id)
+  CROSS JOIN bgn b
+  WHERE f.fg_count >= 3 AND f.fg_count * b.bgn > df.df::BIGINT * g.fgn
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, term, fg_count, bg_count, score
+FROM ranked WHERE rank <= 10
+"""
+
 # ES stats aggregation: count/min/max/sum/avg of n_chars per match set
 _STATS_AGG_SQL = _MATCHES_CTE + """
 SELECT m.query_id,
@@ -808,6 +844,34 @@ def _q_match_subagg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_significant_text(sf_dir: str):
+    """ES significant_text aggregation per derived query's match set:
+    top-10 JLH-scored terms (fg vs whole-corpus bg), min_doc_count=3 —
+    two segment-parallel passes (SignificantTextStage re-analysis of the
+    stored _source + dictionary-only bg df gather)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_significant_text
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_sigidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, store_text=True)
+        build_index(
+            documents_dataset(sf_dir), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_significant_text(queries, idx, k=10, min_doc_count=3, cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_match_histogram(sf_dir: str):
     """ES histogram aggregation (interval=50 buckets of n_chars) over
     each derived query's match set — distributed NumericAggStage path."""
@@ -1449,6 +1513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_histogram": _q_match_histogram,
         "match_percentiles": _q_match_percentiles,
         "match_subagg": _q_match_subagg,
+        "significant_text": _q_significant_text,
         "collapse_topk": _q_collapse_topk,
         "prefix_count": _q_prefix_count,
         "wildcard_count": _q_wildcard_count,
@@ -1563,6 +1628,7 @@ def oracle_sql() -> dict[str, str]:
         "match_histogram": _HISTOGRAM_SQL,
         "match_percentiles": _PERCENTILES_SQL,
         "match_subagg": _SUBAGG_SQL,
+        "significant_text": _SIGTEXT_SQL,
         "collapse_topk": _COLLAPSE_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
         "multi_match_topk": _MULTI_MATCH_SQL,

@@ -1859,6 +1859,88 @@ class NumericAggStage(_SegmentCacheStage):
         )
 
 
+class SignificantTextStage(_SegmentCacheStage):
+    """Segment-parallel ES significant_text collection: re-analyze the
+    stored ``_source`` of each plan's matching docs (ES's significant_text
+    model — it re-tokenizes _source rather than relying on a forward
+    index) and emit per-(plan, term) foreground doc-count partials, plus
+    one sentinel row (term='', n = match-set size) per (plan, segment)
+    carrying the foreground total.  Shuffle volume is plans x segments x
+    fg vocabulary — never doc rows.  Tokenization uses each doc's own
+    lang analyzer, mirroring the build, so fg counts are consistent with
+    the dictionary's df."""
+
+    def _init_payload(self, payload) -> None:
+        self.plan, self.tomb_map, self.sample_cap = payload
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from itertools import chain
+
+        out = []
+        for pid in batch["part_id"].astype(int):
+            seg = self._segment(pid)
+            for q in self.plan:
+                ids = _segment_match_ids_for_plan(seg, q)
+                if ids.size == 0:
+                    continue
+                if self.sample_cap is not None and ids.size > self.sample_cap:
+                    # ES sampler analog: deterministic shard sample
+                    # (ascending doc id); fgN counts the SAMPLE
+                    ids = ids[: self.sample_cap]
+                texts = seg.texts_for(ids)
+                langs = seg.langs_for(ids)
+                pieces = []
+                for lang in pd.unique(langs):
+                    toks = get_analyzer(lang).tokenize_series(
+                        pd.Series(texts[langs == lang])
+                    )
+                    n_per = toks.map(len).to_numpy(dtype=np.int64)
+                    total = int(n_per.sum())
+                    if total == 0:
+                        continue
+                    flat = np.fromiter(
+                        chain.from_iterable(toks), dtype=object, count=total
+                    )
+                    d = np.repeat(np.arange(n_per.size, dtype=np.int64), n_per)
+                    pairs = pd.DataFrame({"d": d, "t": flat}).drop_duplicates()
+                    pieces.append(pairs.groupby("t", sort=False).size())
+                cnt = (
+                    pd.concat(pieces).groupby(level=0).sum()
+                    if len(pieces) > 1
+                    else pieces[0] if pieces else None
+                )
+                if cnt is not None:
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "plan_id": np.int64(q["plan_id"]),
+                                "term": cnt.index.to_numpy(dtype=object),
+                                "n_partial": cnt.to_numpy(dtype=np.int64),
+                            }
+                        )
+                    )
+                # sentinel: fg total for this (plan, segment) — '' cannot
+                # collide with a token (the analyzers never emit empties)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "plan_id": [np.int64(q["plan_id"])],
+                            "term": [""],
+                            "n_partial": [np.int64(ids.size)],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "plan_id": pd.Series([], dtype=np.int64),
+                    "term": pd.Series([], dtype=object),
+                    "n_partial": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+
 class CollapseTopkStage(_SegmentCacheStage):
     """Segment-parallel ES field collapsing: BM25-score the plan's match
     candidates, keep each segment's BEST doc per collapse-field value,
@@ -2854,6 +2936,120 @@ def run_agg_percentiles(
         out.sort_values(["query_id", "pct"], kind="mergesort")
         .reset_index(drop=True)
         .astype({"query_id": np.int64, "pct": np.float64, "value": np.float64})
+    )
+
+
+def run_significant_text(
+    queries_ds,
+    index_dir: str,
+    *,
+    k: int = 10,
+    min_doc_count: int = 3,
+    sample_cap: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES significant_text aggregation: for each query's
+    match set (the FOREGROUND), the top-k terms whose foreground document
+    frequency is disproportionately high versus the whole index (the
+    BACKGROUND), scored with Lucene's JLH heuristic
+    ``(fg% - bg%) * (fg% / bg%)`` — the ES default significance score.
+
+    Two passes, both segment-parallel: (1) SignificantTextStage
+    re-analyzes the stored _source of matching docs and emits
+    per-(plan, term) fg counts; (2) the candidate terms' background df
+    comes from the dictionary-only global-stats pass (the same DFS-phase
+    used for scoring), so no postings are decoded for the background.
+    Background stats include tombstoned docs until a merge purges them —
+    ES visibility semantics.  ``min_doc_count`` (ES default 3) prunes
+    rare-term noise; ``sample_cap`` (ES sampler analog) bounds the
+    re-analyzed docs per (plan, segment) — exact when None.  The cut is
+    decided with an exact integer cross-multiplication (fg*N > bg*fgN),
+    never a float compare.  Requires cfg.store_text=True at build time.
+    Returns (query_id, rank, term, fg_count, bg_count, score)."""
+    import ray
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    concurrency = concurrency or cfg.query_concurrency or 2
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    n_total = int(manifest["n_docs"])
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "term": pd.Series([], dtype=object),
+            "fg_count": pd.Series([], dtype=np.int64),
+            "bg_count": pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=np.float64),
+        }
+    )
+    plan = _match_set_plans(queries)
+    if not plan or n_total == 0:
+        return empty
+    plan_ref = ray.put((plan, manifest.get("tombstones", {}), sample_cap))
+    partials = _shards_ds(parts, concurrency).map_batches(
+        SignificantTextStage,
+        fn_constructor_args=(index_dir, plan_ref, cfg),
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+
+    def sum_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["plan_id", "term"], as_index=False).agg(n=("n_partial", "sum"))
+        return g.astype({"plan_id": np.int64, "n": np.int64})
+
+    summed = bucketed_group_agg(partials, ["plan_id", "term"], sum_bucket).to_pandas()
+    if not len(summed):
+        return empty
+    fg_totals = (
+        summed[summed["term"] == ""].groupby("plan_id")["n"].sum().to_dict()
+    )
+    cand = summed[summed["term"] != ""]
+    all_terms = sorted(set(cand["term"]))
+    bg_df = _collect_global_stats(index_dir, parts, all_terms)
+    bg_map = dict(zip(all_terms, bg_df))
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    out = []
+    for pid_, g in cand.groupby("plan_id", sort=True):
+        fg_n = int(fg_totals.get(pid_, 0))
+        if fg_n == 0:
+            continue
+        fg = g["n"].to_numpy(np.int64)
+        terms = g["term"].to_numpy(dtype=object)
+        bg = np.array([bg_map[t] for t in terms], dtype=np.int64)
+        # exact integer significance cut: fg% > bg%  <=>  fg*N > bg*fgN
+        keep = (fg >= min_doc_count) & (fg * n_total > bg * fg_n)
+        if not keep.any():
+            continue
+        fg, bg, terms = fg[keep], bg[keep], terms[keep]
+        sp = fg / float(fg_n)
+        pp = bg / float(n_total)
+        score = np.floor((sp - pp) * (sp / pp) * 1e6 + 0.5) / 1e6
+        order = np.lexsort((terms, -score))[:k]
+        top = pd.DataFrame(
+            {
+                "rank": np.arange(1, 1 + order.size, dtype=np.int64),
+                "term": terms[order],
+                "fg_count": fg[order],
+                "bg_count": bg[order],
+                "score": score[order],
+            }
+        )
+        for qid in fanout.get(int(pid_), []):
+            out.append(top.assign(query_id=np.int64(qid)))
+    if not out:
+        return empty
+    return (
+        pd.concat(out, ignore_index=True)[
+            ["query_id", "rank", "term", "fg_count", "bg_count", "score"]
+        ]
+        .sort_values(["query_id", "rank"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "rank": np.int64, "fg_count": np.int64, "bg_count": np.int64})
     )
 
 

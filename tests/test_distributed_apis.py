@@ -168,6 +168,69 @@ def test_stage_lru_cap(api_index, ray_session):
     assert len(mstage.segments) <= 2
 
 
+def test_significant_text_matches_bruteforce(api_index, ray_session):
+    """run_significant_text == a from-scratch JLH computation on the raw
+    corpus: fg = live docs matching the query (deleted ids 0-19 excluded),
+    bg = ALL stored docs (tombstoned docs still count in df/N until a
+    merge purges them — the engine's documented ES visibility rule)."""
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+    from kafka_es_ray.query.engine import run_significant_text
+
+    d, docs = api_index
+    queries = pd.DataFrame({"query_id": [0, 1], "text": ["alpha beta", "zeta"]})
+    got = run_significant_text(
+        queries, d, k=5, min_doc_count=3, cfg=CFG, concurrency=2
+    )
+    tok_sets = [set(get_analyzer(la).tokenize(t)) for t, la in zip(docs["text"], docs["lang"])]
+    deleted = {f"https://a.x/{i:04d}" for i in range(0, 20)}
+    n_total = len(docs)
+    bg = {}
+    for ts in tok_sets:
+        for t in ts:
+            bg[t] = bg.get(t, 0) + 1
+    for qid, qtext in [(0, "alpha beta"), (1, "zeta")]:
+        qterms = set(qtext.split())
+        fg_idx = [
+            i
+            for i in range(len(docs))
+            if docs["url"][i] not in deleted and tok_sets[i] & qterms
+        ]
+        fg_n = len(fg_idx)
+        fg = {}
+        for i in fg_idx:
+            for t in tok_sets[i]:
+                fg[t] = fg.get(t, 0) + 1
+        scored = []
+        for t, f in fg.items():
+            b = bg[t]
+            if f >= 3 and f * n_total > b * fg_n:
+                sp, pp = f / fg_n, b / n_total
+                s = np.floor((sp - pp) * (sp / pp) * 1e6 + 0.5) / 1e6
+                scored.append((t, f, b, s))
+        scored.sort(key=lambda r: (-r[3], r[0]))
+        want = scored[:5]
+        g = got[got["query_id"] == qid]
+        assert list(zip(g["term"], g["fg_count"], g["bg_count"], g["score"])) == want, qid
+        assert g["rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_significant_text_sample_cap_and_absent(api_index, ray_session):
+    from kafka_es_ray.query.engine import run_significant_text
+
+    d, _ = api_index
+    # absent term -> no rows for that query, engine doesn't crash
+    out = run_significant_text(
+        pd.DataFrame({"query_id": [7], "text": ["zzznothing"]}), d, cfg=CFG
+    )
+    assert len(out) == 0
+    # sample_cap bounds per-segment re-analysis but still returns ranked rows
+    capped = run_significant_text(
+        pd.DataFrame({"query_id": [0], "text": ["common"]}),
+        d, k=3, sample_cap=5, cfg=CFG,
+    )
+    assert len(capped) <= 3 and (capped["rank"] == range(1, len(capped) + 1)).all()
+
+
 def test_distributed_apis_survive_merge(api_index, ray_session, tmp_path):
     import shutil
 
