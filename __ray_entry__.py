@@ -709,6 +709,36 @@ def _q_wildcard_count(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_regexp_count(sf_dir: str):
+    """ES regexp query counts: anchored RE2 patterns
+    `{first2}[a-z0-9]*{last1}` over the top-4 ranked terms — literal-
+    prefix-pruned dictionary expansion, one vectorized RE2 kernel per
+    segment, distributed MatchSetStage path.  DuckDB's regexp_full_match
+    is the same RE2 engine, so the oracle shares exact semantics."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_counts
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_rexidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        top = derive_ranked_terms(IndexSearcher(idx), 4)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(len(top), dtype=np.int64),
+                "regexp": [f"{t[:2]}[a-z0-9]*{t[-1]}" for t in top],
+            }
+        )
+        out = run_counts(queries, idx)
+        return out[out["n_matching"] > 0].reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_fuzzy_count(sf_dir: str):
     """ES fuzzy query counts (fuzziness=1): probes are the top-4 ranked
     terms with their last char deleted (a deterministic typo) — edit-
@@ -1517,6 +1547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_topk": _q_collapse_topk,
         "prefix_count": _q_prefix_count,
         "wildcard_count": _q_wildcard_count,
+        "regexp_count": _q_regexp_count,
         "fuzzy_count": _q_fuzzy_count,
         "phrase_prefix_count": _q_phrase_prefix_count,
         "search_after_topk": _q_search_after_topk,
@@ -1696,6 +1727,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN tf ON starts_with(tf.term, p.pre)
                    AND ends_with(tf.term, p.suf)
                    AND len(tf.term) >= 3
+            GROUP BY 1
+        """,
+        "regexp_count": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            tf AS (SELECT DISTINCT doc_id, term FROM toks),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            ranked_terms AS (
+              SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+            ),
+            pats AS (
+              SELECT (r - 1)::BIGINT AS query_id,
+                     substr(term, 1, 2) || '[a-z0-9]*' || right(term, 1) AS pat
+              FROM ranked_terms WHERE r <= 4
+            )
+            SELECT p.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matching
+            FROM pats p JOIN tf ON regexp_full_match(tf.term, p.pat)
             GROUP BY 1
         """,
         "fuzzy_count": f"""

@@ -79,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--prefix", default=None, help="ES prefix query instead of --text")
     c.add_argument("--wildcard", default=None, help="ES wildcard query (pre*suf) instead of --text")
     c.add_argument("--fuzzy", default=None, help="ES fuzzy query (edit distance 1) instead of --text")
+    c.add_argument("--regexp", default=None, help="ES regexp query (anchored RE2) instead of --text")
 
     m = sub.add_parser("merge", help="force-merge segments (purges deletes)")
     m.add_argument("--index", required=True)
@@ -185,8 +186,10 @@ def main(argv: list[str] | None = None) -> int:
             print(s.wildcard_count(args.wildcard))
         elif args.fuzzy:
             print(s.fuzzy_count(args.fuzzy))
+        elif args.regexp:
+            print(s.regexp_count(args.regexp))
         elif args.text is None:
-            p.error("count needs --text, --prefix, --wildcard or --fuzzy")
+            p.error("count needs --text, --prefix, --wildcard, --fuzzy or --regexp")
         else:
             print(s.count(args.text, operator=args.operator))
     elif args.cmd == "merge":

@@ -551,6 +551,21 @@ class IndexSearcher:
             )
         )
 
+    def regexp_count(
+        self, pattern: str, filter_lang: str | None = None,
+        max_expansions: int | None = None,
+    ) -> int:
+        """Number of live docs matching an ES regexp query (anchored RE2
+        dictionary expansion; see segment_regexp_matching_ids)."""
+        return int(
+            sum(
+                segment_regexp_matching_ids(
+                    s, pattern, filter_lang, max_expansions=max_expansions
+                ).size
+                for s in self.segments
+            )
+        )
+
     def prefix_count(
         self, prefix: str, filter_lang: str | None = None,
         max_expansions: int | None = None,
@@ -1045,6 +1060,74 @@ def segment_wildcard_matching_ids(
     return ids
 
 
+def _regexp_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of a regexp (chars before the first
+    metachar; a quantifier right after the last literal char quantifies
+    it, so that char is dropped) — the ES/Lucene trick that prunes the
+    dictionary scan to a prefix range."""
+    meta = set(".^$*+?()[]{}|\\")
+    out = []
+    i = 0
+    while i < len(pattern) and pattern[i] not in meta:
+        out.append(pattern[i])
+        i += 1
+    if i < len(pattern) and pattern[i] in "*+?{" and out:
+        out.pop()
+    return "".join(out)
+
+
+def segment_regexp_matching_ids(
+    s: Segment,
+    pattern: str,
+    filter_lang: str | None = None,
+    filter_ranges: list[tuple] | None = None,
+    max_expansions: int | None = None,
+) -> np.ndarray:
+    """ES regexp query match set for ONE segment: union of the postings
+    of every dictionary term fully matching ``pattern`` (anchored, RE2
+    syntax — pyarrow's regex engine; DuckDB's regexp_full_match is also
+    RE2, so the SQL oracle shares exact semantics).  The pattern's
+    literal prefix prunes the dictionary to a range first; a pattern with
+    no literal prefix scans the whole dictionary (the ES anti-pattern —
+    still one vectorized kernel, but O(n_terms))."""
+    import pyarrow.compute as pc
+
+    empty = np.array([], dtype=np.int64)
+    if not pattern:
+        return empty
+    pre = _regexp_literal_prefix(pattern)
+    lo, hi = s.term_prefix_range(pre) if pre else (0, len(s.terms_arr))
+    if hi <= lo:
+        return empty
+    cand = s.terms_arr.slice(lo, hi - lo)
+    keep = pc.match_substring_regex(
+        cand, f"^(?:{pattern})$"
+    ).to_numpy(zero_copy_only=False)
+    tids = (np.flatnonzero(keep) + lo).tolist()
+    if max_expansions is not None:
+        tids = tids[:max_expansions]
+    if not tids:
+        return empty
+    ids = np.unique(np.concatenate([s.postings_with_dl(ti)[0] for ti in tids]))
+    if filter_lang is not None and ids.size:
+        ids = ids[s.langs_for(ids) == filter_lang]
+    if filter_ranges:
+        for fld, lo_b, hi_b in filter_ranges:
+            if not ids.size:
+                break
+            vals = s.nums_for(fld, ids)
+            keep_r = ~np.isnan(vals)
+            if lo_b is not None:
+                keep_r &= vals >= lo_b
+            if hi_b is not None:
+                keep_r &= vals <= hi_b
+            ids = ids[keep_r]
+    if s.tombstones is not None and s.tombstones.size and ids.size:
+        pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
+        ids = ids[s.tombstones[pos] != ids]
+    return ids
+
+
 def segment_phrase_prefix_matching_ids(
     s: Segment,
     fixed: list[str],
@@ -1247,6 +1330,11 @@ def _segment_match_ids_for_plan(s: Segment, q: dict) -> np.ndarray:
     if q.get("wildcard") is not None:
         return segment_wildcard_matching_ids(
             s, q["wildcard"], q.get("filter_lang"), q.get("filter_ranges"),
+            q.get("max_expansions"),
+        )
+    if q.get("regexp") is not None:
+        return segment_regexp_matching_ids(
+            s, q["regexp"], q.get("filter_lang"), q.get("filter_ranges"),
             q.get("max_expansions"),
         )
     if q.get("prefix") is not None:
@@ -2602,6 +2690,20 @@ def _match_set_plans(queries: pd.DataFrame) -> list[dict]:
                 entry = plan_by_key[key] = {
                     "query_ids": [],
                     "wildcard": str(wc),
+                    "filter_lang": filter_lang,
+                    "filter_ranges": list(fr) if fr else None,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        rex = getattr(row, "regexp", None)
+        if rex is not None and not (isinstance(rex, float) and pd.isna(rex)):
+            # ES regexp query row: anchored RE2 dictionary expansion
+            key = ("__regexp__", str(rex), filter_lang, fr)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "regexp": str(rex),
                     "filter_lang": filter_lang,
                     "filter_ranges": list(fr) if fr else None,
                 }

@@ -147,6 +147,53 @@ def test_distributed_wildcard_matches_single(built):
     assert got[1] == s.wildcard_count("*og")
 
 
+def test_regexp_count_matches_bruteforce(built):
+    import re
+
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    for pat in [
+        "ap.*e",            # apple, appraise
+        "ca(t|talog)",      # alternation
+        "do[gm]+a?",        # char class + quantifiers
+        ".*og",             # no literal prefix: full dictionary scan
+        "band(it)?",        # optional group
+        "zzz+",             # no match
+        "apple",            # pure literal
+    ]:
+        rx = re.compile(f"^(?:{pat})$")
+        want = int(
+            df["text"].str.split().apply(
+                lambda t: any(rx.match(w) for w in t)
+            ).sum()
+        )
+        assert s.regexp_count(pat) == want, pat
+
+
+def test_regexp_literal_prefix_extraction():
+    from kafka_es_ray.query.engine import _regexp_literal_prefix
+
+    assert _regexp_literal_prefix("apple") == "apple"
+    assert _regexp_literal_prefix("ap.*e") == "ap"
+    assert _regexp_literal_prefix("abc*") == "ab"      # '*' quantifies 'c'
+    assert _regexp_literal_prefix("abc+d") == "ab"
+    assert _regexp_literal_prefix("abc?") == "ab"
+    assert _regexp_literal_prefix("abc{2}") == "ab"
+    assert _regexp_literal_prefix(".*og") == ""
+    assert _regexp_literal_prefix("(ab)c") == ""
+    assert _regexp_literal_prefix("a\\d") == "a"
+
+
+def test_distributed_regexp_matches_single(built):
+    idx, _ = built
+    s = IndexSearcher(idx, CFG)
+    queries = pd.DataFrame({"query_id": [0, 1], "regexp": ["ap.*e", ".*og"]})
+    out = run_counts(queries, idx, CFG)
+    got = dict(zip(out["query_id"], out["n_matching"]))
+    assert got[0] == s.regexp_count("ap.*e")
+    assert got[1] == s.regexp_count(".*og")
+
+
 def _lev(a: str, b: str) -> int:
     if len(a) < len(b):
         a, b = b, a
