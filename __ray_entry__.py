@@ -104,6 +104,22 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, score, collapse_val
 FROM topk WHERE rank <= 10
 """
 
+# ES function_score field_value_factor (modifier=ln1p, factor=1,
+# boost_mode=multiply): boosted = round(round6(bm25) * ln(1 + n_chars), 6)
+_FVF_SQL = _BM25_SQL.split("topk AS (")[0] + """topk AS (
+  SELECT s.query_id, s.doc_id,
+         round(round(s.raw_score, 6) * ln(1 + d.n_chars), 6) AS score,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY round(round(s.raw_score, 6) * ln(1 + d.n_chars), 6) DESC,
+                    s.doc_id ASC
+         ) AS rank
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10
+"""
+
 # shared match-set CTE prefix for the numeric aggregations (same query
 # derivation as _BM25_SQL; operator=or match set, no top-k cap)
 _MATCHES_CTE = """
@@ -847,6 +863,41 @@ def _q_collapse_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_function_score_topk(sf_dir: str):
+    """ES function_score (field_value_factor, boost_mode=multiply):
+    BM25 top-10 re-scored by ln1p(n_chars) — per-doc boost applied inside
+    each shard's scoring pass, pruning disabled (a BM25 theta can't bound
+    a boosted score)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_fvfidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"].copy()
+        queries["boost_field"] = "n_chars"
+        queries["boost_modifier"] = "ln1p"
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_match_subagg(sf_dir: str):
     """ES sub-aggregation (terms bucket on lang -> nested stats over
     n_chars) per derived query's match set — distributed NumericAggStage
@@ -1543,6 +1594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_histogram": _q_match_histogram,
         "match_percentiles": _q_match_percentiles,
         "match_subagg": _q_match_subagg,
+        "function_score_topk": _q_function_score_topk,
         "significant_text": _q_significant_text,
         "collapse_topk": _q_collapse_topk,
         "prefix_count": _q_prefix_count,
@@ -1659,6 +1711,7 @@ def oracle_sql() -> dict[str, str]:
         "match_histogram": _HISTOGRAM_SQL,
         "match_percentiles": _PERCENTILES_SQL,
         "match_subagg": _SUBAGG_SQL,
+        "function_score_topk": _FVF_SQL,
         "significant_text": _SIGTEXT_SQL,
         "collapse_topk": _COLLAPSE_SQL,
         "bm25_topk_and": _BM25_AND_SQL,

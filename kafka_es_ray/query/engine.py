@@ -1709,6 +1709,28 @@ class _SegmentCacheStage:
         return seg
 
 
+# ES function_score field_value_factor modifiers (ES semantics: `log`
+# is base-10; `ln` natural).  Subset of the ES list — the ones that are
+# well-defined for non-negative doc metadata.
+_FVF_MODIFIERS = {
+    "none": lambda v: v,
+    "log1p": lambda v: np.log10(1.0 + v),
+    "ln1p": lambda v: np.log1p(v),
+    "sqrt": np.sqrt,
+    "square": np.square,
+}
+
+
+def _apply_fvf(seg: Segment, ids: np.ndarray, scores: np.ndarray, fvf: tuple) -> np.ndarray:
+    """function_score field_value_factor, boost_mode=multiply (the ES
+    default): score := round6(score * modifier(field * factor)); missing
+    field values use the configured neutral."""
+    fld, modifier, factor, missing = fvf
+    vals = seg.nums_for(fld, ids)
+    vals = np.where(np.isnan(vals), float(missing), vals) * float(factor)
+    return np.floor(scores * _FVF_MODIFIERS[modifier](vals) * 1e6 + 0.5) / 1e6
+
+
 class ShardScorerStage(_SegmentCacheStage):
     """Segment-parallel BM25/phrase scoring (see _SegmentCacheStage)."""
 
@@ -1742,6 +1764,11 @@ class ShardScorerStage(_SegmentCacheStage):
                     if pool is not None and pool.size >= q["k"]
                     else None
                 )
+                if q.get("fvf") is not None:
+                    # function_score rescoring: the pool holds BOOSTED
+                    # scores, so a BM25 theta would prune docs whose
+                    # boost could lift them into the top-k — no pruning
+                    theta = None
                 if "phrase" in q:
                     ids, scores = score_segment_phrase(
                         seg, q["phrase"], q["idf_sum"],
@@ -1790,6 +1817,8 @@ class ShardScorerStage(_SegmentCacheStage):
                         dl_field=q.get("dl_field"),
                         filter_ranges=q.get("filter_ranges"),
                     )
+                    if q.get("fvf") is not None and ids.size:
+                        scores = _apply_fvf(seg, ids, scores, q["fvf"])
                     sa = q.get("search_after")
                     if sa is not None and ids.size:
                         keep_sa = _after_cursor_mask(ids, scores, sa)
@@ -2480,7 +2509,27 @@ def run_queries(
             sa = None
         else:
             sa = (float(sa_raw), int(getattr(row, "after_doc", -1)))
-        key = (tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld, fr, sa)
+        bf = _row_str(row, "boost_field")
+        if bf is not None:
+            # ES function_score field_value_factor columns: boost_field,
+            # boost_modifier (default ln1p), boost_factor (default 1),
+            # boost_missing (default 1 — the neutral for multiply)
+            mod = _row_str(row, "boost_modifier") or "ln1p"
+            if mod not in _FVF_MODIFIERS:
+                raise ValueError(
+                    f"unsupported boost_modifier {mod!r} "
+                    f"(supported: {sorted(_FVF_MODIFIERS)})"
+                )
+            def _bnum(name: str) -> float:
+                v = getattr(row, name, None)
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    return 1.0
+                return float(v)
+
+            fvf = (bf, mod, _bnum("boost_factor"), _bnum("boost_missing"))
+        else:
+            fvf = None
+        key = (tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld, fr, sa, fvf)
         entry = plan_by_key.get(key)
         if entry is None:
             idf = bm25_idf(np.array([df_map[t] for t in terms], dtype=np.int64), n_docs)
@@ -2489,6 +2538,7 @@ def run_queries(
                 "terms": terms,
                 "filter_ranges": list(fr) if fr else None,
                 "search_after": sa,
+                "fvf": fvf,
                 "hl_terms": base_terms,
                 "idf": np.asarray(idf, dtype=np.float64),
                 "k": k + offset,  # shards keep the whole rank window

@@ -292,6 +292,52 @@ def test_percentiles_match_nearest_rank(built):
             assert got == want_v, (qid, p)
 
 
+def test_function_score_matches_bruteforce(built):
+    """run_queries with boost_field == re-ranking the full BM25 ranking
+    by round6(score * modifier(field * factor)) with NaN -> boost_missing."""
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1],
+            "text": ["alpha beta", "omega"],
+            "boost_field": ["size", "stars"],
+            "boost_modifier": ["ln1p", "sqrt"],
+            "boost_factor": [1.0, 2.0],
+            "boost_missing": [1.0, 1.0],
+        }
+    )
+    got = (
+        run_queries(queries, idx, CFG)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    fld_of = {0: "size", 1: "stars"}
+    mod_of = {0: np.log1p, 1: np.sqrt}
+    fac_of = {0: 1.0, 1: 2.0}
+    by_doc = df.set_index("doc_id")
+    for qid, text in [(0, "alpha beta"), (1, "omega")]:
+        full = s.search(text, k=10_000)
+        vals = by_doc.loc[full["doc_id"], fld_of[qid]].to_numpy(np.float64)
+        vals = np.where(np.isnan(vals), 1.0, vals) * fac_of[qid]
+        boosted = np.floor(full["score"].to_numpy() * mod_of[qid](vals) * 1e6 + 0.5) / 1e6
+        order = np.lexsort((full["doc_id"].to_numpy(), -boosted))[:10]
+        g = got[got["query_id"] == qid]
+        assert g["doc_id"].tolist() == full["doc_id"].to_numpy()[order].tolist(), qid
+        assert g["score"].tolist() == boosted[order].tolist(), qid
+
+
+def test_function_score_rejects_unknown_modifier(built):
+    idx, _ = built
+    q = pd.DataFrame(
+        {"query_id": [0], "text": ["alpha"], "boost_field": ["size"],
+         "boost_modifier": ["exp"]}
+    )
+    with pytest.raises(ValueError, match="boost_modifier"):
+        run_queries(q, idx, CFG)
+
+
 def test_field_collapse_matches_bruteforce(built):
     from kafka_es_ray.query.engine import run_collapsed
 
