@@ -335,6 +335,15 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM topk WHERE rank <= 10
 """
 
+# ES dis_max over the same fields/query derivation as _MULTI_MATCH_SQL:
+# doc score = max(field score) + 0.3 * (sum - max), re-round6'd
+_DIS_MAX_SQL = _MULTI_MATCH_SQL.replace(
+    "SELECT query_id, doc_id, round(sum(fscore), 6) AS score",
+    "SELECT query_id, doc_id,"
+    " round(max(fscore) + 0.3 * (sum(fscore) - max(fscore)), 6) AS score",
+)
+assert "0.3" in _DIS_MAX_SQL  # replace anchor must exist
+
 # ES match on the mapped title field only: same BM25 shape as _BM25_SQL
 # but every stat (tf/df/dl/avgdl) comes from the title (:= source) field;
 # n stays the whole corpus.  Derivation: title terms ranked by
@@ -521,6 +530,15 @@ def _q_multi_match(sf_dir: str):
     from kafka_es_ray.pipelines.fulltext import multi_match_topk_documents
 
     return multi_match_topk_documents(sf_dir)
+
+
+def _q_dis_max(sf_dir: str):
+    """ES dis_max over the same two-field index and query set as
+    multi_match: doc score = best field's BM25 + 0.3 x the other fields
+    (ES tie_breaker) — distributed run_queries path."""
+    from kafka_es_ray.pipelines.fulltext import dis_max_topk_documents
+
+    return dis_max_topk_documents(sf_dir)
 
 
 def _q_bool_topk(sf_dir: str):
@@ -1605,6 +1623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after_topk": _q_search_after_topk,
         "multi_index_topk": _q_multi_index_topk,
         "multi_match_topk": _q_multi_match,
+        "dis_max_topk": _q_dis_max,
         "match_title_topk": _q_match_title,
         "bool_topk": _q_bool_topk,
         "match_count": _q_match_count,
@@ -1716,6 +1735,7 @@ def oracle_sql() -> dict[str, str]:
         "collapse_topk": _COLLAPSE_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
         "multi_match_topk": _MULTI_MATCH_SQL,
+        "dis_max_topk": _DIS_MAX_SQL,
         "match_title_topk": _MATCH_TITLE_SQL,
         "bool_topk": _BOOL_SQL,
         "match_must_not": _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(

@@ -1799,8 +1799,15 @@ class ShardScorerStage(_SegmentCacheStage):
                     if not ids_l:
                         continue
                     ids, inv = np.unique(np.concatenate(ids_l), return_inverse=True)
+                    all_sc = np.concatenate(sc_l)
                     acc = np.zeros(ids.size, dtype=np.float64)
-                    np.add.at(acc, inv, np.concatenate(sc_l))
+                    np.add.at(acc, inv, all_sc)
+                    mode, tb = q.get("mm_mode", ("sum", 0.0))
+                    if mode == "max":
+                        # ES dis_max: best field + tie_breaker x the rest
+                        mx = np.zeros(ids.size, dtype=np.float64)
+                        np.maximum.at(mx, inv, all_sc)
+                        acc = mx + tb * (acc - mx)
                     scores = np.asarray(round6(acc))
                 else:
                     ids, scores = score_segment(
@@ -2325,7 +2332,7 @@ def run_queries(
         toks = an.tokenize(row.text)
         flds_s = _row_str(row, "fields")
         fld = _row_str(row, "field")
-        if (getattr(row, "type", None) or "match") == "multi_match" and flds_s:
+        if (getattr(row, "type", None) or "match") in ("multi_match", "dis_max") and flds_s:
             for f in flds_s.split(","):
                 terms_set.update(f"{f}\x1f{t}" for t in toks)
         elif fld:
@@ -2448,9 +2455,21 @@ def run_queries(
         base_terms = sorted(set(get_analyzer(lang_q).tokenize(row.text)))
         offset = int(getattr(row, "offset", 0) or 0)  # ES from/size
         flds_s = _row_str(row, "fields")
-        if (getattr(row, "type", None) or "match") == "multi_match" and flds_s:
+        if (getattr(row, "type", None) or "match") in ("multi_match", "dis_max") and flds_s:
             # ES multi_match most_fields: per-field BM25 summed per doc
-            # (see IndexSearcher.multi_match for the exactness argument)
+            # (see IndexSearcher.multi_match for the exactness argument).
+            # dis_max instead takes the BEST field's score + tie_breaker x
+            # the other fields' scores (the ES dis_max combiner).
+            if (getattr(row, "type", None) or "match") == "dis_max":
+                tb_raw = getattr(row, "tie_breaker", None)
+                tb = (
+                    0.0
+                    if tb_raw is None or (isinstance(tb_raw, float) and pd.isna(tb_raw))
+                    else float(tb_raw)
+                )
+                mm_mode = ("max", tb)
+            else:
+                mm_mode = ("sum", 0.0)
             per_field = []
             for f in flds_s.split(","):
                 kept = [
@@ -2471,12 +2490,13 @@ def run_queries(
                 )
             if not per_field:
                 continue
-            key = ("mm", tuple(tuple(p["terms"]) for p in per_field), k, offset)
+            key = ("mm", tuple(tuple(p["terms"]) for p in per_field), k, offset, mm_mode)
             entry = plan_by_key.get(key)
             if entry is None:
                 entry = plan_by_key[key] = {
                     "query_ids": [],
                     "mm": per_field,
+                    "mm_mode": mm_mode,
                     "hl_terms": base_terms,
                     "k": k + offset,
                     "offset": offset,

@@ -124,6 +124,38 @@ def test_multi_match_sums_per_field(mf_index, query):
     assert got["score"].is_monotonic_decreasing
 
 
+@pytest.mark.parametrize("tb", [0.0, 0.3, 1.0])
+def test_dis_max_combines_best_field(mf_index, ray_session, tb):
+    """dis_max: score = round6(best field + tb * other fields); tb=1.0
+    degenerates to the most_fields sum."""
+    from kafka_es_ray.query.engine import run_queries
+
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1],
+            "text": ["alpha", "gamma alpha"],
+            "type": "dis_max",
+            "fields": "title,body",
+            "tie_breaker": tb,
+            "k": 20,
+        }
+    )
+    got = run_queries(queries, mf_index, CFG).to_pandas()
+    for qid, query in [(0, "alpha"), (1, "gamma alpha")]:
+        t = _field_scores(DOCS, "title", _tok(query))
+        b = _field_scores(DOCS, "body", _tok(query))
+        want = {
+            k: float(round6(
+                max(t.get(k, 0.0), b.get(k, 0.0))
+                + tb * min(t.get(k, 0.0), b.get(k, 0.0))
+            ))
+            for k in set(t) | set(b)
+        }
+        g = got[got["query_id"] == qid]
+        assert dict(zip(g["key"], g["score"])) == want, (qid, tb)
+        assert g["score"].is_monotonic_decreasing
+
+
 def test_distributed_field_and_multi_match_parity(mf_index, ray_session):
     """run_queries (segments-as-Dataset path) reproduces the
     single-process field-scoped and multi_match results exactly."""
