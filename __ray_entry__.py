@@ -1396,6 +1396,16 @@ def _q_quality(sf_dir: str):
     return doc_quality(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Gopher-style repetition/quality filter signals per doc (token
+    count, mean word length, most-repeated-word fraction, top-bigram
+    character fraction, keep flag) — one streaming pass, no shuffle."""
+    from kafka_es_ray.pipelines.text_ops import gopher_quality
+    from kafka_es_ray.sources.parquet import read_table
+
+    return gopher_quality(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _q_lang_id(sf_dir: str):
     from kafka_es_ray.pipelines.text_ops import lang_id
     from kafka_es_ray.sources.parquet import read_table
@@ -1651,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_fingerprint,
         "lang_stats": _q_lang_stats,
         "doc_quality": _q_quality,
+        "gopher_quality": _q_gopher_quality,
         "lang_id": _q_lang_id,
         "simhash": _q_simhash,
         "minhash_dups": _q_minhash_dups,
@@ -2175,6 +2186,55 @@ def oracle_sql() -> dict[str, str]:
                      list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
                      ELSE 0 END, 6) AS mean_token_len
             FROM t
+        """,
+        # Gopher rules on ROUNDED values both sides so the keep cut is
+        # bit-identical; docs with <2 tokens coalesce bigram frac to 0
+        "gopher_quality": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            words AS (SELECT doc_id, unnest(toks) AS w FROM t),
+            base AS (
+              SELECT doc_id, count(*)::BIGINT AS n_words,
+                     sum(len(w))::DOUBLE AS total_chars
+              FROM words GROUP BY 1
+            ),
+            wtop AS (
+              SELECT doc_id, c FROM (
+                SELECT doc_id, c, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, w ASC) AS rn
+                FROM (SELECT doc_id, w, count(*)::BIGINT AS c FROM words GROUP BY 1, 2)
+              ) WHERE rn = 1
+            ),
+            big AS (
+              SELECT doc_id,
+                     unnest([{{'w1': toks[i], 'w2': toks[i+1]}}
+                             for i in generate_series(1, len(toks)-1)]) AS bg
+              FROM t WHERE len(toks) >= 2
+            ),
+            btop AS (
+              SELECT doc_id, c, w1, w2 FROM (
+                SELECT doc_id, c, w1, w2, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, w1 ASC, w2 ASC) AS rn
+                FROM (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2,
+                             count(*)::BIGINT AS c FROM big GROUP BY 1, 2, 3)
+              ) WHERE rn = 1
+            ),
+            m AS (
+              SELECT b.doc_id, b.n_words,
+                     round(b.total_chars / b.n_words, 6) AS mean_word_len,
+                     round(wt.c / (b.n_words * 1.0), 6) AS max_word_rep_frac,
+                     coalesce(
+                       round(bt.c * (len(bt.w1) + len(bt.w2)) / b.total_chars, 6),
+                       0.0) AS top2gram_frac
+              FROM base b
+              JOIN wtop wt USING (doc_id)
+              LEFT JOIN btop bt USING (doc_id)
+            )
+            SELECT doc_id, n_words, mean_word_len, max_word_rep_frac, top2gram_frac,
+                   (n_words BETWEEN 20 AND 1000
+                    AND mean_word_len BETWEEN 2.0 AND 10.0
+                    AND top2gram_frac <= 0.20
+                    AND max_word_rep_frac <= 0.30)::BIGINT AS keep
+            FROM m
         """,
         # simhash's term hash is md5-based PRECISELY so DuckDB can replay
         # it: md5_number_lower(t) == little-endian uint64 of md5 bytes

@@ -68,6 +68,111 @@ def doc_quality(docs_ds):
     )
 
 
+class GopherStatsStage:
+    """Actor-pool stage: Gopher-style repetition/quality signals per doc
+    (Rae et al. 2021 §A1.1, the public rule set) adapted to token
+    streams: token count, mean word length, the most-repeated single
+    word's token fraction, and the most frequent 2-gram's CHARACTER
+    fraction.  One vectorized pass per batch (flat token stream + two
+    pandas groupbys); `keep` applies the configured thresholds to the
+    ROUNDED values so the SQL oracle's cut is bit-identical."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        min_words: int = 20,
+        max_words: int = 1000,
+        min_mean_word_len: float = 2.0,
+        max_mean_word_len: float = 10.0,
+        max_top2gram_frac: float = 0.20,
+        max_word_rep_frac: float = 0.30,
+    ):
+        self.an = get_analyzer("en")  # ascii_v1 == SQL tokenizer
+        self.text_col = text_col
+        self.th = (
+            min_words, max_words, min_mean_word_len, max_mean_word_len,
+            max_top2gram_frac, max_word_rep_frac,
+        )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from itertools import chain
+
+        toks = self.an.tokenize_series(batch[self.text_col])
+        n_per = toks.map(len).to_numpy(dtype=np.int64)
+        n = len(batch)
+        total = int(n_per.sum())
+        flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+        doc = np.repeat(np.arange(n, dtype=np.int64), n_per)
+        tok_len = pd.Series(flat).str.len().to_numpy(np.int64) if total else np.array([], dtype=np.int64)
+        total_chars = np.bincount(doc, weights=tok_len, minlength=n)
+        # most-repeated single word per doc (count desc, word asc)
+        top_w = np.zeros(n, dtype=np.int64)
+        if total:
+            wc = (
+                pd.DataFrame({"d": doc, "w": flat})
+                .groupby(["d", "w"], sort=False).size().reset_index(name="c")
+                .sort_values(["d", "c", "w"], ascending=[True, False, True], kind="mergesort")
+                .drop_duplicates("d")
+            )
+            top_w[wc["d"].to_numpy()] = wc["c"].to_numpy()
+        # most frequent bigram per doc: char fraction = c * (|w1|+|w2|) / chars
+        top_bg_chars = np.zeros(n, dtype=np.float64)
+        if total > 1:
+            adj = doc[1:] == doc[:-1]
+            if adj.any():
+                bc = (
+                    pd.DataFrame(
+                        {"d": doc[:-1][adj], "w1": flat[:-1][adj], "w2": flat[1:][adj]}
+                    )
+                    .groupby(["d", "w1", "w2"], sort=False).size().reset_index(name="c")
+                    .sort_values(
+                        ["d", "c", "w1", "w2"],
+                        ascending=[True, False, True, True], kind="mergesort",
+                    )
+                    .drop_duplicates("d")
+                )
+                l12 = (
+                    bc["w1"].str.len().to_numpy(np.int64)
+                    + bc["w2"].str.len().to_numpy(np.int64)
+                )
+                top_bg_chars[bc["d"].to_numpy()] = bc["c"].to_numpy(np.int64) * l12
+        nw = n_per.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_wl = _round6(np.where(n_per > 0, total_chars / nw, 0.0))
+            word_rep = _round6(np.where(n_per > 0, top_w / nw, 0.0))
+            bg_frac = _round6(
+                np.where(total_chars > 0, top_bg_chars / total_chars, 0.0)
+            )
+        mn_w, mx_w, mn_l, mx_l, mx_bg, mx_rep = self.th
+        keep = (
+            (n_per >= mn_w) & (n_per <= mx_w)
+            & (mean_wl >= mn_l) & (mean_wl <= mx_l)
+            & (bg_frac <= mx_bg) & (word_rep <= mx_rep)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_words": n_per,
+                "mean_word_len": mean_wl,
+                "max_word_rep_frac": word_rep,
+                "top2gram_frac": bg_frac,
+                "keep": keep.astype(np.int64),
+            }
+        )
+
+
+def gopher_quality(docs_ds, **thresholds):
+    """(doc_id, n_words, mean_word_len, max_word_rep_frac, top2gram_frac,
+    keep) per document — one streaming pass, no shuffle."""
+    return docs_ds.map_batches(
+        GopherStatsStage,
+        fn_constructor_kwargs=thresholds,
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=2,
+    )
+
+
 class _TermDfPartial:
     """Combiner: per-batch partial df (one row per distinct term per
     batch) BEFORE the groupby — the pre-aggregate rule (ray_guide

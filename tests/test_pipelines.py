@@ -4,6 +4,7 @@ a fast subset green in CI."""
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pytest
 
 import __ray_entry__ as entrymod
@@ -36,6 +37,8 @@ SQL_SUBSET = [
     "fuzzy_count",
     "search_after_topk",
     "sessionize_events",
+    "gopher_quality",
+    "regexp_count",
 ]
 
 
@@ -72,6 +75,42 @@ def test_entry_smoke(ray_session):
     df = to_pandas(res)
     assert len(df) > 0
     assert set(df.columns) == {"query_id", "rank", "doc_id", "score"}
+
+
+def test_gopher_stats_handcrafted(ray_session):
+    """GopherStatsStage on hand-crafted repetition cases: a clean doc, a
+    single-word spam doc (word_rep = 1), a repeated-bigram doc, and a
+    too-short doc — each rule fires exactly where intended."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.text_ops import gopher_quality
+
+    clean = " ".join(f"w{i:02d}" for i in range(30))           # 30 distinct words
+    spam = " ".join(["buy"] * 40)                              # one word repeated
+    bigram = " ".join(["click here"] * 20)                     # one bigram repeated
+    short = "too short"
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": [clean, spam, bigram, short]}
+    )
+    out = (
+        gopher_quality(rd.from_pandas(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_words"].tolist() == [30, 40, 40, 2]
+    r = out.set_index("doc_id")
+    assert r.loc[1, "keep"] == 1
+    assert r.loc[1, "max_word_rep_frac"] == np.floor(1 / 30 * 1e6 + 0.5) / 1e6
+    # spam: every word identical -> rep frac 1, top bigram covers all chars
+    assert r.loc[2, "max_word_rep_frac"] == 1.0
+    assert r.loc[2, "top2gram_frac"] == np.floor(39 * 6 / 120 * 1e6 + 0.5) / 1e6
+    assert r.loc[2, "keep"] == 0
+    # bigram doc: "click here" x20 -> top bigram (click,here) c=20, chars 9/ (20*9)=1? chars: click(5)+here(4)=9, total=20*9=180, frac=20*9/180=1.0
+    assert r.loc[3, "top2gram_frac"] == 1.0 and r.loc[3, "keep"] == 0
+    # short doc fails the word-count floor
+    assert r.loc[4, "keep"] == 0
+    assert r.loc[4, "mean_word_len"] == np.floor(8 / 2 * 1e6 + 0.5) / 1e6
 
 
 def test_minhash_finds_planted_neardups(ray_session):
