@@ -1396,6 +1396,30 @@ def _q_quality(sf_dir: str):
     return doc_quality(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_contamination(sf_dir: str):
+    """Benchmark-contamination check: distinct 4-gram overlap of each
+    training doc (doc_id % 50 != 0) against the benchmark slice
+    (doc_id % 50 == 0) — benchmark n-gram set broadcast once, corpus
+    streams."""
+    from kafka_es_ray.pipelines.dedup_ops import contamination_check
+    from kafka_es_ray.sources.parquet import read_table
+
+    def _slice(keep_bench: bool):
+        import pyarrow as pa
+
+        def f(b):
+            m = b.column("doc_id").to_numpy() % 50 == 0
+            return b.filter(pa.array(m if keep_bench else ~m))
+
+        return f
+
+    docs = lambda: read_table(sf_dir, "documents", columns=["doc_id", "text"])  # noqa: E731
+    bench = docs().map_batches(_slice(True), batch_format="pyarrow")
+    train = docs().map_batches(_slice(False), batch_format="pyarrow")
+    out = contamination_check(train, bench, n=4).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher-style repetition/quality filter signals per doc (token
     count, mean word length, most-repeated-word fraction, top-bigram
@@ -1662,6 +1686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": _q_lang_stats,
         "doc_quality": _q_quality,
         "gopher_quality": _q_gopher_quality,
+        "contamination": _q_contamination,
         "lang_id": _q_lang_id,
         "simhash": _q_simhash,
         "minhash_dups": _q_minhash_dups,
@@ -2186,6 +2211,29 @@ def oracle_sql() -> dict[str, str]:
                      list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
                      ELSE 0 END, 6) AS mean_token_len
             FROM t
+        """,
+        # 4-gram eval-leakage scan; n-gram strings are space-joined
+        # tokens on both sides (list_reduce || ' ' == ' '.join)
+        "contamination": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest([list_reduce(toks[i:i+3], (a, b) -> a || ' ' || b)
+                             for i in generate_series(1, len(toks)-3)]) AS g
+              FROM t WHERE len(toks) >= 4
+            ),
+            dg AS (SELECT DISTINCT doc_id, g FROM grams),
+            bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT dg.doc_id, count(*)::BIGINT AS n_shared
+              FROM dg JOIN bench USING (g)
+              WHERE dg.doc_id % 50 <> 0 GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(h.n_shared, 0)::BIGINT AS n_shared,
+                   (coalesce(h.n_shared, 0) > 0)::BIGINT AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 50 <> 0
+            ORDER BY d.doc_id
         """,
         # Gopher rules on ROUNDED values both sides so the keep cut is
         # bit-identical; docs with <2 tokens coalesce bigram frac to 0

@@ -54,6 +54,102 @@ def exact_dedup(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     return bucketed_group_agg(hashed, ["h"], first_per_key)
 
 
+# ------------------------------------------- benchmark contamination
+
+
+def _batch_ngrams(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_idx, gram) arrays of every token n-gram in the batch —
+    vectorized: flat token stream + object-array string concat; a gram is
+    valid when its n tokens share one doc (doc idx is block-sorted)."""
+    from itertools import chain
+
+    an = get_analyzer("en")  # ascii_v1 == SQL tokenizer
+    toks = an.tokenize_series(texts)
+    n_per = toks.map(len).to_numpy(dtype=np.int64)
+    total = int(n_per.sum())
+    if total < n:
+        return np.array([], dtype=np.int64), np.array([], dtype=object)
+    flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+    doc = np.repeat(np.arange(n_per.size, dtype=np.int64), n_per)
+    valid = doc[: total - n + 1] == doc[n - 1 :]
+    grams = flat[: total - n + 1].copy()
+    for j in range(1, n):
+        grams = grams + " "
+        grams = grams + flat[j : total - n + 1 + j]
+    return doc[: total - n + 1][valid], grams[valid]
+
+
+class _BenchNgramPartial:
+    """Per-batch DISTINCT benchmark n-grams (combiner before the driver
+    union — the benchmark side is small by contract)."""
+
+    def __init__(self, n: int, text_col: str):
+        self.n, self.text_col = n, text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        _, grams = _batch_ngrams(batch[self.text_col], self.n)
+        return pd.DataFrame({"g": pd.unique(grams)})
+
+
+class _ContaminationStage:
+    """Actor-pool stage: per-doc count of DISTINCT n-grams shared with
+    the broadcast benchmark set (ray.put once, read per actor — the M6
+    broadcast-lookup rule; the benchmark set is a test/eval corpus,
+    orders of magnitude smaller than the training corpus)."""
+
+    def __init__(self, bench_ref, n: int, id_col: str, text_col: str):
+        import ray
+
+        self.bench = set(ray.get(bench_ref).tolist())
+        self.n, self.id_col, self.text_col = n, id_col, text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        doc, grams = _batch_ngrams(batch[self.text_col], self.n)
+        n_shared = np.zeros(len(batch), dtype=np.int64)
+        if grams.size:
+            dg = pd.DataFrame({"d": doc, "g": grams}).drop_duplicates()
+            hit = dg[dg["g"].isin(self.bench)]
+            if len(hit):
+                cnt = hit.groupby("d").size()
+                n_shared[cnt.index.to_numpy()] = cnt.to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": batch[self.id_col].astype(np.int64),
+                "n_shared": n_shared,
+                "contaminated": (n_shared > 0).astype(np.int64),
+            }
+        )
+
+
+def contamination_check(
+    docs_ds, bench_ds, n: int = 4, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Benchmark-contamination check (the GPT-3/Gopher eval-leakage
+    scan): for each training doc, the number of distinct token n-grams it
+    shares with the benchmark corpus, plus a contaminated flag.  The
+    benchmark n-gram set is gathered distributed (per-batch distinct
+    partials), unioned on the driver, and broadcast once — the corpus
+    side streams, nothing shuffles."""
+    import ray
+
+    bench_parts = bench_ds.map_batches(
+        _BenchNgramPartial,
+        fn_constructor_args=(n, text_col),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=2,
+    ).to_pandas()
+    bench = np.sort(pd.unique(bench_parts["g"])) if len(bench_parts) else np.array([], dtype=object)
+    bench_ref = ray.put(bench)
+    return docs_ds.map_batches(
+        _ContaminationStage,
+        fn_constructor_args=(bench_ref, n, id_col, text_col),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=2,
+    )
+
+
 # ------------------------------------------------------- last-write-wins
 
 

@@ -39,6 +39,7 @@ SQL_SUBSET = [
     "sessionize_events",
     "gopher_quality",
     "regexp_count",
+    "contamination",
 ]
 
 
@@ -111,6 +112,39 @@ def test_gopher_stats_handcrafted(ray_session):
     # short doc fails the word-count floor
     assert r.loc[4, "keep"] == 0
     assert r.loc[4, "mean_word_len"] == np.floor(8 / 2 * 1e6 + 0.5) / 1e6
+
+
+def test_contamination_planted_leak(ray_session):
+    """contamination_check flags exactly the training doc that quotes a
+    benchmark 4-gram (and counts distinct shared grams, not occurrences)."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.dedup_ops import contamination_check
+
+    bench = pd.DataFrame(
+        {"doc_id": [100], "text": ["the quick brown fox jumps over the lazy dog"]}
+    )
+    train = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                # quotes 'quick brown fox jumps' TWICE -> 1 distinct shared
+                "he said quick brown fox jumps and again quick brown fox jumps",
+                "totally unrelated words about ray data pipelines here",
+                # shares two DISTINCT benchmark 4-grams
+                "over the lazy dog is how the quick brown fox story ends",
+            ],
+        }
+    )
+    out = (
+        contamination_check(rd.from_pandas(train), rd.from_pandas(bench), n=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["contaminated"].tolist() == [1, 0, 1]
+    assert out.loc[0, "n_shared"] == 1  # duplicates counted once
+    assert out.loc[2, "n_shared"] == 2  # 'over the lazy dog', 'the quick brown fox'
 
 
 def test_minhash_finds_planted_neardups(ray_session):
