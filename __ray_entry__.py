@@ -120,6 +120,70 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM topk WHERE rank <= 10
 """
 
+# ES more_like_this: per source doc (3 smallest doc_ids), query terms =
+# top-10 by round6(tf * bm25_idf) (tf>=1, df>=2; ties term asc), then
+# the standard or-match BM25 ranking with the source doc excluded
+_MLT_SQL = """
+WITH dl AS (
+  SELECT doc_id, len({_TOK})::DOUBLE AS dl FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+),
+srcs AS (
+  SELECT doc_id AS src_id,
+         (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS query_id
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3)
+),
+cand AS (
+  SELECT s.query_id, s.src_id, tf.term,
+         round(tf.tf * ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)), 6) AS w
+  FROM srcs s
+  JOIN tf ON tf.doc_id = s.src_id
+  JOIN df USING (term)
+  CROSS JOIN stats st
+  WHERE df.df >= 2
+),
+qterms AS (
+  SELECT query_id, src_id, term FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY w DESC, term ASC) AS rn
+    FROM cand
+  ) WHERE rn <= 10
+),
+scores AS (
+  SELECT q.query_id, q.src_id, tf.doc_id,
+         sum(
+           ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+         ) AS raw_score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats st
+  GROUP BY 1, 2, 3
+),
+topk AS (
+  SELECT query_id, doc_id, round(raw_score, 6) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, doc_id ASC
+         ) AS rank
+  FROM scores WHERE doc_id <> src_id
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10
+""".replace("{_TOK}", _TOK)
+
 # shared match-set CTE prefix for the numeric aggregations (same query
 # derivation as _BM25_SQL; operator=or match set, no top-k cap)
 _MATCHES_CTE = """
@@ -916,6 +980,39 @@ def _q_function_score_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_more_like_this(sf_dir: str):
+    """ES more_like_this for the 3 smallest doc_ids: top-10 tf-idf query
+    terms from each source's stored _source (tf>=1, df>=2), BM25
+    or-match, source doc excluded — distributed mget + run_queries."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import documents_dataset
+    from kafka_es_ray.query.engine import run_more_like_this
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_mltidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, store_text=True)
+        build_index(
+            documents_dataset(sf_dir), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        src = sorted(ids.column("doc_id").to_pylist())[:3]
+        out = run_more_like_this(
+            [str(i) for i in src], idx,
+            k=10, max_query_terms=10, min_term_freq=1, min_doc_freq=2, cfg=cfg,
+        )
+        return out[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_match_subagg(sf_dir: str):
     """ES sub-aggregation (terms bucket on lang -> nested stats over
     n_chars) per derived query's match set — distributed NumericAggStage
@@ -1647,6 +1744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_percentiles": _q_match_percentiles,
         "match_subagg": _q_match_subagg,
         "function_score_topk": _q_function_score_topk,
+        "more_like_this": _q_more_like_this,
         "significant_text": _q_significant_text,
         "collapse_topk": _q_collapse_topk,
         "prefix_count": _q_prefix_count,
@@ -1767,6 +1865,7 @@ def oracle_sql() -> dict[str, str]:
         "match_percentiles": _PERCENTILES_SQL,
         "match_subagg": _SUBAGG_SQL,
         "function_score_topk": _FVF_SQL,
+        "more_like_this": _MLT_SQL,
         "significant_text": _SIGTEXT_SQL,
         "collapse_topk": _COLLAPSE_SQL,
         "bm25_topk_and": _BM25_AND_SQL,

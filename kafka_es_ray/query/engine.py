@@ -3421,6 +3421,95 @@ def run_sorted(
     return bucketed_group_agg(partials, ["plan_id"], merge_bucket)
 
 
+def run_more_like_this(
+    keys,
+    index_dir: str,
+    *,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES more_like_this (like=[ids]): fetch each source doc's stored
+    _source (distributed mget), select its top tf-idf query terms
+    (per-doc tf >= min_term_freq, global df >= min_doc_freq; weight =
+    round6(tf * bm25_idf), top max_query_terms by weight desc, term asc
+    — the ES interestingness selection with this engine's idf), then run
+    the or-match BM25 query EXCLUDING the source doc (ES include=false).
+    Exact: shards keep k+1 so the top-k-minus-source is always contained.
+    query_id = position of the source key in ``keys``; sources that are
+    missing or yield no eligible terms produce no rows.  Requires
+    store_text=True at build time.  Returns
+    (query_id, rank, doc_id, key, score)."""
+    got = run_mget(list(keys), index_dir, cfg, concurrency, fetch=True)
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    n_docs = int(manifest["n_docs"])
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "key": pd.Series([], dtype=object),
+            "score": pd.Series([], dtype=np.float64),
+        }
+    )
+    per_src: list[tuple | None] = []
+    term_pool: set[str] = set()
+    for r in got.itertuples(index=False):
+        if not r.found or not r.text:
+            per_src.append(None)
+            continue
+        toks = get_analyzer(r.lang).tokenize(r.text)
+        if not toks:
+            per_src.append(None)
+            continue
+        terms, tf = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        keep = tf >= min_term_freq
+        per_src.append((r.key, r.lang, terms[keep], tf[keep].astype(np.int64)))
+        term_pool.update(terms[keep].tolist())
+    all_terms = sorted(term_pool)
+    gdf = _collect_global_stats(index_dir, parts, all_terms)
+    df_map = dict(zip(all_terms, gdf))
+    qrows, src_by_qid = [], {}
+    for qid, src in enumerate(per_src):
+        if src is None:
+            continue
+        key_, lang_, terms, tf = src
+        dfv = np.array([df_map.get(t, 0) for t in terms], dtype=np.int64)
+        m = dfv >= min_doc_freq
+        if not m.any():
+            continue
+        terms, tf = terms[m], tf[m]
+        w = np.floor(tf * np.asarray(bm25_idf(dfv[m], n_docs)) * 1e6 + 0.5) / 1e6
+        order = np.lexsort((terms, -w))[:max_query_terms]
+        qrows.append(
+            {
+                "query_id": qid,
+                "text": " ".join(sorted(terms[order].tolist())),
+                "lang": lang_,
+                "k": k + 1,  # headroom for dropping the source doc
+            }
+        )
+        src_by_qid[qid] = key_
+    if not qrows:
+        return empty
+    res = run_queries(pd.DataFrame(qrows), index_dir, cfg, concurrency).to_pandas()
+    out = []
+    for qid, g in res.groupby("query_id", sort=True):
+        g = g.sort_values("rank", kind="mergesort")
+        g = g[g["key"] != src_by_qid[int(qid)]].head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        out.append(g[["query_id", "rank", "doc_id", "key", "score"]])
+    if not out:
+        return empty
+    return pd.concat(out, ignore_index=True).astype(
+        {"query_id": np.int64, "rank": np.int64, "doc_id": np.int64}
+    )
+
+
 def run_mget(
     keys: list[str],
     index_dir: str,

@@ -231,6 +231,49 @@ def test_significant_text_sample_cap_and_absent(api_index, ray_session):
     assert len(capped) <= 3 and (capped["rank"] == range(1, len(capped) + 1)).all()
 
 
+def test_more_like_this_matches_manual_derivation(api_index, ray_session):
+    """run_more_like_this == manual tf-idf term selection + IndexSearcher
+    match with the source doc dropped."""
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+    from kafka_es_ray.query.bm25 import bm25_idf
+    from kafka_es_ray.query.engine import run_more_like_this
+
+    d, docs = api_index
+    s = IndexSearcher(d, CFG)
+    src_key = "https://a.x/0050"
+    got = run_more_like_this(
+        [src_key], d, k=5, max_query_terms=4, min_term_freq=1, min_doc_freq=2,
+        cfg=CFG,
+    )
+    # manual derivation from the raw corpus (df/N include the tombstoned
+    # docs until merge — the engine's stats convention)
+    an = get_analyzer("en")
+    src_text = docs.loc[docs["url"] == src_key, "text"].iloc[0]
+    terms, tf = np.unique(np.asarray(an.tokenize(src_text), dtype=object), return_counts=True)
+    tok_sets = [set(an.tokenize(t)) for t in docs["text"]]
+    n = len(docs)
+    dfv = np.array([sum(t in ts for ts in tok_sets) for t in terms], dtype=np.int64)
+    m = dfv >= 2
+    terms, tf, dfv = terms[m], tf[m], dfv[m]
+    w = np.floor(tf * np.asarray(bm25_idf(dfv, n)) * 1e6 + 0.5) / 1e6
+    order = np.lexsort((terms, -w))[:4]
+    qtext = " ".join(sorted(terms[order].tolist()))
+    want = s.search(qtext, k=6)
+    want = want[want["key"] != src_key].head(5)
+    assert got["key"].tolist() == want["key"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
+    assert src_key not in set(got["key"])
+
+
+def test_more_like_this_missing_source(api_index, ray_session):
+    from kafka_es_ray.query.engine import run_more_like_this
+
+    d, _ = api_index
+    out = run_more_like_this(["https://a.x/zzz-missing"], d, cfg=CFG)
+    assert len(out) == 0
+
+
 def test_distributed_apis_survive_merge(api_index, ray_session, tmp_path):
     import shutil
 
