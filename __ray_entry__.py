@@ -242,6 +242,19 @@ SELECT query_id, rank::BIGINT AS rank, term, fg_count, bg_count, score
 FROM ranked WHERE rank <= 10
 """
 
+# ES cardinality aggregation (exact flavor): COUNT(DISTINCT lang) per
+# match set, zero for queries matching nothing
+_CARDINALITY_SQL = _MATCHES_CTE + """
+SELECT q.query_id, coalesce(c.n_distinct, 0)::BIGINT AS n_distinct
+FROM (SELECT DISTINCT query_id FROM queries) q
+LEFT JOIN (
+  SELECT m.query_id, count(DISTINCT d.lang)::BIGINT AS n_distinct
+  FROM matches m JOIN documents d USING (doc_id)
+  GROUP BY 1
+) c USING (query_id)
+ORDER BY 1
+"""
+
 # ES stats aggregation: count/min/max/sum/avg of n_chars per match set
 _STATS_AGG_SQL = _MATCHES_CTE + """
 SELECT m.query_id,
@@ -1040,6 +1053,27 @@ def _q_match_subagg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_match_cardinality(sf_dir: str):
+    """ES cardinality aggregation (exact flavor for oracle parity):
+    distinct lang values per derived query's match set; the HLL flavor
+    (the ES default, constant shuffle at any cardinality) is pytest-
+    verified against this exact path."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_cardinality
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_cardidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_agg_cardinality(queries, idx, "lang", exact=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_significant_text(sf_dir: str):
     """ES significant_text aggregation per derived query's match set:
     top-10 JLH-scored terms (fg vs whole-corpus bg), min_doc_count=3 —
@@ -1745,6 +1779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_subagg": _q_match_subagg,
         "function_score_topk": _q_function_score_topk,
         "more_like_this": _q_more_like_this,
+        "match_cardinality": _q_match_cardinality,
         "significant_text": _q_significant_text,
         "collapse_topk": _q_collapse_topk,
         "prefix_count": _q_prefix_count,
@@ -1866,6 +1901,7 @@ def oracle_sql() -> dict[str, str]:
         "match_subagg": _SUBAGG_SQL,
         "function_score_topk": _FVF_SQL,
         "more_like_this": _MLT_SQL,
+        "match_cardinality": _CARDINALITY_SQL,
         "significant_text": _SIGTEXT_SQL,
         "collapse_topk": _COLLAPSE_SQL,
         "bm25_topk_and": _BM25_AND_SQL,

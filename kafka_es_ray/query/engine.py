@@ -3225,6 +3225,112 @@ def run_significant_text(
     )
 
 
+class CardinalityAggStage(_SegmentCacheStage):
+    """Segment-parallel ES cardinality-agg partials (approximate path):
+    one HLL register block per (plan, segment) — the ES cardinality
+    aggregation IS HLL, and registers max-merge, so shuffle volume is
+    plans x segments x 2^p bytes regardless of field cardinality."""
+
+    def _init_payload(self, payload) -> None:
+        self.plan, self.tomb_map, self.field, self.p = payload
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from kafka_es_ray.pipelines.sketches import _hll_build
+
+        rows = []
+        for pid in batch["part_id"].astype(int):
+            seg = self._segment(pid)
+            for q in self.plan:
+                ids = _segment_match_ids_for_plan(seg, q)
+                if ids.size == 0:
+                    continue
+                regs = _hll_build(seg.field_for(self.field, ids), self.p)
+                rows.append((np.int64(q["plan_id"]), regs.tobytes()))
+        return pd.DataFrame(rows, columns=["plan_id", "regs"]).astype(
+            {"plan_id": np.int64}
+        ) if rows else pd.DataFrame(
+            {
+                "plan_id": pd.Series([], dtype=np.int64),
+                "regs": pd.Series([], dtype=object),
+            }
+        )
+
+
+def run_agg_cardinality(
+    queries_ds,
+    index_dir: str,
+    field: str = "lang",
+    *,
+    exact: bool = False,
+    precision: int = 12,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES cardinality aggregation: distinct ``field`` values
+    per query's match set.  ``exact=False`` (the ES semantics) merges
+    per-(plan, segment) HLL registers — constant shuffle volume at any
+    cardinality; ``exact=True`` counts the distinct values from the
+    terms-agg partial rows (right for low-cardinality keyword fields and
+    for SQL-oracle parity).  Returns (query_id, n_distinct)."""
+    import ray
+
+    if exact:
+        summed, plan = _run_match_set(queries_ds, index_dir, field, cfg, concurrency)
+        by_plan = (
+            summed.groupby("plan_id")["value"].nunique().to_dict()
+            if len(summed)
+            else {}
+        )
+    else:
+        concurrency = concurrency or cfg.query_concurrency or 2
+        queries = (
+            queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+        )
+        manifest = read_manifest(index_dir)
+        parts = [int(p) for p in manifest["parts"]]
+        plan = _match_set_plans(queries)
+        if not plan:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "n_distinct": pd.Series([], dtype=np.int64),
+                }
+            )
+        plan_ref = ray.put(
+            (plan, manifest.get("tombstones", {}), field, precision)
+        )
+        partials = (
+            _shards_ds(parts, concurrency)
+            .map_batches(
+                CardinalityAggStage,
+                fn_constructor_args=(index_dir, plan_ref, cfg),
+                batch_format="pandas",
+                batch_size=4,
+                concurrency=concurrency,
+            )
+            .to_pandas()  # plans x segments rows of 2^p bytes — bounded
+        )
+        from kafka_es_ray.pipelines.sketches import _hll_estimate
+
+        by_plan = {}
+        for pid_, g in partials.groupby("plan_id", sort=True):
+            regs = np.maximum.reduce(
+                [np.frombuffer(b, dtype=np.uint8) for b in g["regs"]]
+            )
+            by_plan[int(pid_)] = int(round(_hll_estimate(regs)))
+    rows = [
+        {"query_id": qid, "n_distinct": int(by_plan.get(q["plan_id"], 0))}
+        for q in plan
+        for qid in q["query_ids"]
+    ]
+    return (
+        pd.DataFrame(rows, columns=["query_id", "n_distinct"])
+        .sort_values("query_id")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "n_distinct": np.int64})
+    )
+
+
 def run_collapsed(
     queries_ds,
     index_dir: str,

@@ -231,6 +231,26 @@ def test_significant_text_sample_cap_and_absent(api_index, ray_session):
     assert len(capped) <= 3 and (capped["rank"] == range(1, len(capped) + 1)).all()
 
 
+def test_cardinality_agg_exact_and_hll(api_index, ray_session):
+    """Exact cardinality == brute-force distinct count over live matching
+    docs; the HLL path lands within 1 of exact at this cardinality."""
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+    from kafka_es_ray.query.engine import run_agg_cardinality
+
+    d, docs = api_index
+    queries = pd.DataFrame({"query_id": [0, 1], "text": ["common", "zzznothing"]})
+    exact = run_agg_cardinality(queries, d, "source", exact=True, cfg=CFG)
+    an = get_analyzer("en")
+    deleted = {f"https://a.x/{i:04d}" for i in range(0, 20)}
+    live = docs[~docs["url"].isin(deleted)]
+    hit = live[live["text"].map(lambda t: "common" in an.tokenize(t))]
+    want = hit["source"].nunique()
+    assert exact.set_index("query_id")["n_distinct"].to_dict() == {0: want, 1: 0}
+    hll = run_agg_cardinality(queries, d, "source", exact=False, cfg=CFG)
+    assert abs(int(hll.loc[hll["query_id"] == 0, "n_distinct"].iloc[0]) - want) <= 1
+    assert int(hll.loc[hll["query_id"] == 1, "n_distinct"].iloc[0]) == 0
+
+
 def test_more_like_this_matches_manual_derivation(api_index, ray_session):
     """run_more_like_this == manual tf-idf term selection + IndexSearcher
     match with the source doc dropped."""
