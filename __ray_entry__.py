@@ -850,6 +850,27 @@ def _q_regexp_count(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_term_suggest(sf_dir: str):
+    """ES term suggester (did-you-mean): probes = top-4 ranked terms with
+    the last char dropped; suggestions = distance<=1 dictionary terms
+    ranked by global df (freq desc, term asc), probe excluded —
+    segment-parallel expansion partials summed to global df."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_term_suggest
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_sugidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        top = derive_ranked_terms(IndexSearcher(idx), 4)
+        probes = [t[:-1] for t in top if len(t) >= 2]
+        return run_term_suggest(probes, idx, k=5)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_fuzzy_count(sf_dir: str):
     """ES fuzzy query counts (fuzziness=1): probes are the top-4 ranked
     terms with their last char deleted (a deterministic typo) — edit-
@@ -1786,6 +1807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_count": _q_wildcard_count,
         "regexp_count": _q_regexp_count,
         "fuzzy_count": _q_fuzzy_count,
+        "term_suggest": _q_term_suggest,
         "phrase_prefix_count": _q_phrase_prefix_count,
         "search_after_topk": _q_search_after_topk,
         "multi_index_topk": _q_multi_index_topk,
@@ -2008,6 +2030,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matching
             FROM probes p JOIN tf ON levenshtein(tf.term, p.p) <= 1
             GROUP BY 1
+        """,
+        "term_suggest": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            tf AS (SELECT DISTINCT doc_id, term FROM toks),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            ranked_terms AS (
+              SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+            ),
+            probes AS (
+              SELECT (row_number() OVER (ORDER BY r) - 1)::BIGINT AS query_id,
+                     substr(term, 1, len(term) - 1) AS p
+              FROM ranked_terms WHERE r <= 4 AND len(term) >= 2
+            ),
+            cand AS (
+              SELECT p.query_id, df.term AS suggestion, df.df AS freq
+              FROM probes p
+              JOIN df ON levenshtein(df.term, p.p) <= 1 AND df.term <> p.p
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY freq DESC, suggestion ASC) AS rank
+              FROM cand
+            )
+            SELECT query_id, rank::BIGINT AS rank, suggestion, freq
+            FROM ranked WHERE rank <= 5
         """,
         "phrase_prefix_count": f"""
             WITH toks AS (

@@ -209,6 +209,12 @@ def run_bench() -> dict:
         "dedup_clusters",
         "range_filter_topk",
         "sort_by_field",
+        "significant_text",
+        "more_like_this",
+        "collapse_topk",
+        "function_score_topk",
+        "gopher_quality",
+        "contamination",
     )
     if op_names:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -3225,6 +3225,112 @@ def run_significant_text(
     )
 
 
+class TermSuggestStage(_SegmentCacheStage):
+    """Segment-parallel ES term-suggester partials: per probe, the
+    segment's edit-distance<=1 dictionary candidates with their segment
+    df.  Summing partials over segments yields each candidate's GLOBAL
+    df: the distance test doesn't depend on the segment, so every segment
+    whose dictionary holds a candidate emits it."""
+
+    def _init_payload(self, payload) -> None:
+        self.probes, self.tomb_map = payload
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pid in batch["part_id"].astype(int):
+            seg = self._segment(pid)
+            for qi, probe in enumerate(self.probes):
+                tis = _fuzzy_term_indices(seg, probe)
+                if not tis:
+                    continue
+                idx = np.asarray(tis, dtype=np.int64)
+                cands = seg.terms_arr.take(pa.array(idx)).to_pylist()
+                for c, d in zip(cands, seg.df[idx]):
+                    rows.append((np.int64(qi), c, np.int64(d)))
+        return pd.DataFrame(
+            rows, columns=["query_id", "suggestion", "df_partial"]
+        ).astype({"query_id": np.int64, "df_partial": np.int64}) if rows else pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "suggestion": pd.Series([], dtype=object),
+                "df_partial": pd.Series([], dtype=np.int64),
+            }
+        )
+
+
+def run_term_suggest(
+    probes,
+    index_dir: str,
+    *,
+    k: int = 5,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES term suggester (did-you-mean): for each probe
+    string, the top-k dictionary terms within edit distance 1 ranked by
+    global document frequency (freq desc, term asc — ES
+    suggest_mode=always sorted by frequency), the probe itself excluded.
+    Returns (query_id, rank, suggestion, freq) with query_id = probe
+    position."""
+    import ray
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    concurrency = concurrency or cfg.query_concurrency or 2
+    probes = [str(p) for p in probes]
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "suggestion": pd.Series([], dtype=object),
+            "freq": pd.Series([], dtype=np.int64),
+        }
+    )
+    if not probes:
+        return empty
+    plan_ref = ray.put((probes, manifest.get("tombstones", {})))
+    partials = _shards_ds(parts, concurrency).map_batches(
+        TermSuggestStage,
+        fn_constructor_args=(index_dir, plan_ref, cfg),
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+
+    def sum_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["query_id", "suggestion"], as_index=False).agg(
+            freq=("df_partial", "sum")
+        )
+        return g.astype({"query_id": np.int64, "freq": np.int64})
+
+    summed = bucketed_group_agg(
+        partials, ["query_id", "suggestion"], sum_bucket
+    ).to_pandas()
+    out = []
+    for qi, g in summed.groupby("query_id", sort=True):
+        g = g[g["suggestion"] != probes[int(qi)]]
+        if not len(g):
+            continue
+        sug = g["suggestion"].to_numpy(dtype=object)
+        freq = g["freq"].to_numpy(np.int64)
+        sel = np.lexsort((sug, -freq))[:k]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.int64(qi),
+                    "rank": np.arange(1, 1 + sel.size, dtype=np.int64),
+                    "suggestion": sug[sel],
+                    "freq": freq[sel],
+                }
+            )
+        )
+    if not out:
+        return empty
+    return pd.concat(out, ignore_index=True)
+
+
 class CardinalityAggStage(_SegmentCacheStage):
     """Segment-parallel ES cardinality-agg partials (approximate path):
     one HLL register block per (plan, segment) — the ES cardinality

@@ -206,6 +206,29 @@ def _lev(a: str, b: str) -> int:
     return prev[-1]
 
 
+def test_term_suggest_matches_bruteforce(built):
+    """run_term_suggest == vocabulary terms within edit distance 1 of the
+    probe (probe excluded), ranked by (global df desc, term asc)."""
+    from kafka_es_ray.query.engine import run_term_suggest
+
+    idx, df = built
+    # global df from the raw corpus
+    tok_sets = [set(t.split()) for t in df["text"]]
+    vocab: dict[str, int] = {}
+    for ts in tok_sets:
+        for w in ts:
+            vocab[w] = vocab.get(w, 0) + 1
+    probes = ["aple", "cat", "bandit", "zzz"]
+    got = run_term_suggest(probes, idx, k=5, cfg=CFG)
+    for qi, p in enumerate(probes):
+        cands = [(w, c) for w, c in vocab.items() if w != p and _lev(w, p) <= 1]
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        want = cands[:5]
+        g = got[got["query_id"] == qi]
+        assert list(zip(g["suggestion"], g["freq"])) == want, p
+        assert g["rank"].tolist() == list(range(1, len(want) + 1))
+
+
 def test_fuzzy_term_expansion_matches_levenshtein(built):
     from kafka_es_ray.query.engine import _fuzzy_term_indices
 
