@@ -184,6 +184,19 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM topk WHERE rank <= 10
 """.replace("{_TOK}", _TOK)
 
+# ES terms-agg + top_hits: every lang bucket's top-3 docs by BM25
+_TOP_HITS_SQL = _BM25_SQL.split("topk AS (")[0] + """topk AS (
+  SELECT s.query_id, d.lang AS value, s.doc_id, round(s.raw_score, 6) AS score,
+         row_number() OVER (
+           PARTITION BY s.query_id, d.lang
+           ORDER BY round(s.raw_score, 6) DESC, s.doc_id ASC
+         ) AS rank
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT query_id, value, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 3
+"""
+
 # shared match-set CTE prefix for the numeric aggregations (same query
 # derivation as _BM25_SQL; operator=or match set, no top-k cap)
 _MATCHES_CTE = """
@@ -949,6 +962,31 @@ def _q_match_percentiles(sf_dir: str):
         queries = queries[queries["text"] != "zzzabsentterm"]
         return run_agg_percentiles(
             queries, idx, "n_chars", (25.0, 50.0, 75.0, 99.0), cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_top_hits(sf_dir: str):
+    """ES terms-agg + top_hits: every lang bucket's top-3 docs per
+    derived query — distributed TopHitsStage (per-segment per-value
+    top-n partials)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_top_hits
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_thidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        out = run_top_hits(queries, idx, "lang", n_hits=3).to_pandas()
+        return (
+            out[["query_id", "value", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "value", "rank"])
+            .reset_index(drop=True)
         )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
@@ -1803,6 +1841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_cardinality": _q_match_cardinality,
         "significant_text": _q_significant_text,
         "collapse_topk": _q_collapse_topk,
+        "top_hits": _q_top_hits,
         "prefix_count": _q_prefix_count,
         "wildcard_count": _q_wildcard_count,
         "regexp_count": _q_regexp_count,
@@ -1926,6 +1965,7 @@ def oracle_sql() -> dict[str, str]:
         "match_cardinality": _CARDINALITY_SQL,
         "significant_text": _SIGTEXT_SQL,
         "collapse_topk": _COLLAPSE_SQL,
+        "top_hits": _TOP_HITS_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
         "multi_match_topk": _MULTI_MATCH_SQL,
         "dis_max_topk": _DIS_MAX_SQL,

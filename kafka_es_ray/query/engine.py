@@ -2125,6 +2125,173 @@ class CollapseTopkStage(_SegmentCacheStage):
         return pd.concat(out, ignore_index=True)
 
 
+class TopHitsStage(_SegmentCacheStage):
+    """Segment-parallel ES top_hits-inside-terms-agg: BM25-score the
+    plan's match set, keep each segment's top-n docs PER bucket value
+    (every value kept — the terms agg enumerates all buckets).  Exact:
+    a doc in value v's global top-n is in its segment's per-v top-n."""
+
+    def _init_payload(self, payload) -> None:
+        self.plan, self.avgdl, self.k1, self.b, self.tomb_map, self.field, self.n = payload
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pid in batch["part_id"].astype(int):
+            seg = self._segment(pid)
+            for q in self.plan:
+                ids, scores = score_segment(
+                    seg, q["terms"], q["idf"], self.avgdl, self.k1, self.b,
+                    None,
+                    require_all=q.get("require_all", False),
+                    filter_lang=q.get("filter_lang"),
+                    filter_ranges=q.get("filter_ranges"),
+                )
+                if ids.size == 0:
+                    continue
+                vals = seg.field_for(self.field, ids)
+                order = np.lexsort((ids, -scores, vals))
+                v_s = vals[order]
+                starts = np.ones(v_s.size, dtype=bool)
+                starts[1:] = v_s[1:] != v_s[:-1]
+                run_id = np.cumsum(starts) - 1
+                run_start = np.flatnonzero(starts)
+                pos = np.arange(v_s.size) - run_start[run_id]
+                keep = pos < self.n
+                sel = order[keep]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "plan_id": np.int64(q["plan_id"]),
+                            "value": vals[sel],
+                            "doc_id": ids[sel],
+                            "key": seg.keys_for(ids[sel]),
+                            "score": scores[sel],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "plan_id": pd.Series([], dtype=np.int64),
+                    "value": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "key": pd.Series([], dtype=object),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def run_top_hits(
+    queries_ds,
+    index_dir: str,
+    field: str = "lang",
+    *,
+    n_hits: int = 3,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+):
+    """Distributed ES terms-agg + top_hits sub-aggregation: for each
+    query's match set, every ``field`` bucket's top-``n_hits`` docs by
+    BM25 (score desc, doc_id asc).  Per-segment partials keep n per
+    (plan, value), so shuffle volume is plans x segments x values x n —
+    never the match set.  Returns Dataset(query_id, value, rank, doc_id,
+    key, score)."""
+    import ray
+    import ray.data as rd
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    concurrency = concurrency or cfg.query_concurrency or 2
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    n_docs = int(manifest["n_docs"])
+    avgdl = float(manifest["avgdl"]) or 1.0
+    k1 = float(manifest.get("k1", cfg.k1))
+    b = float(manifest.get("b", cfg.b))
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "value": pd.Series([], dtype=object),
+            "rank": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "key": pd.Series([], dtype=object),
+            "score": pd.Series([], dtype=np.float64),
+        }
+    )
+    # scored-match plans (idf needed): reuse the collapse planner shape
+    terms_set: set[str] = set()
+    for row in queries.itertuples(index=False):
+        terms_set.update(get_analyzer(getattr(row, "lang", None)).tokenize(row.text))
+    all_terms = sorted(terms_set)
+    gdf = _collect_global_stats(index_dir, parts, all_terms)
+    df_map = dict(zip(all_terms, gdf))
+    plan_by_key: dict[tuple, dict] = {}
+    for row in queries.itertuples(index=False):
+        base_terms = sorted(set(get_analyzer(getattr(row, "lang", None)).tokenize(row.text)))
+        require_all = (getattr(row, "operator", None) or "or") == "and"
+        terms = [t for t in base_terms if df_map.get(t, 0) > 0]
+        if not terms or (require_all and len(terms) < len(base_terms)):
+            continue
+        filter_lang = getattr(row, "filter_lang", None)
+        fr = _row_filter_ranges(row)
+        key = (tuple(terms), require_all, filter_lang, fr)
+        entry = plan_by_key.get(key)
+        if entry is None:
+            idf = bm25_idf(np.array([df_map[t] for t in terms], dtype=np.int64), n_docs)
+            entry = plan_by_key[key] = {
+                "query_ids": [],
+                "terms": terms,
+                "idf": np.asarray(idf, dtype=np.float64),
+                "require_all": require_all,
+                "filter_lang": filter_lang,
+                "filter_ranges": list(fr) if fr else None,
+            }
+        entry["query_ids"].append(int(row.query_id))
+    plan = list(plan_by_key.values())
+    if not plan:
+        return rd.from_pandas(empty)
+    for pid_, q in enumerate(plan):
+        q["plan_id"] = pid_
+    plan_ref = ray.put(
+        (plan, avgdl, k1, b, manifest.get("tombstones", {}), field, n_hits)
+    )
+    partials = _shards_ds(parts, concurrency).map_batches(
+        TopHitsStage,
+        fn_constructor_args=(index_dir, plan_ref, cfg),
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+
+    def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (pid_, val), g in bucket.groupby(["plan_id", "value"], sort=True):
+            ids = g["doc_id"].to_numpy()
+            scores = g["score"].to_numpy()
+            sel = np.lexsort((ids, -scores))[:n_hits]
+            top = pd.DataFrame(
+                {
+                    "value": val,
+                    "rank": np.arange(1, 1 + sel.size, dtype=np.int64),
+                    "doc_id": ids[sel],
+                    "key": g["key"].to_numpy()[sel],
+                    "score": scores[sel],
+                }
+            )
+            for qid in fanout.get(int(pid_), []):
+                out.append(top.assign(query_id=np.int64(qid)))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)[
+            ["query_id", "value", "rank", "doc_id", "key", "score"]
+        ]
+
+    return bucketed_group_agg(partials, ["plan_id", "value"], merge_bucket)
+
+
 class SortTopkStage(_SegmentCacheStage):
     """Segment-parallel sort-by-field: per (plan, segment) top-k rows by
     a numeric docstore field.  Shuffle volume is plans x segments x k

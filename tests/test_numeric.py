@@ -361,6 +361,30 @@ def test_field_collapse_matches_bruteforce(built):
         assert g["collapse_val"].tolist() == best["cat"].tolist(), qid
 
 
+def test_top_hits_matches_bruteforce(built):
+    from kafka_es_ray.query.engine import run_top_hits
+
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    queries = pd.DataFrame({"query_id": [0, 1], "text": ["alpha beta", "omega kappa"]})
+    got = (
+        run_top_hits(queries, idx, "cat", n_hits=3, cfg=CFG)
+        .to_pandas()
+        .sort_values(["query_id", "value", "rank"])
+        .reset_index(drop=True)
+    )
+    cat_of = dict(zip(df["doc_id"], df["cat"]))
+    for qid, text in [(0, "alpha beta"), (1, "omega kappa")]:
+        full = s.search(text, k=10_000)
+        full = full.assign(cat=[cat_of[d] for d in full["doc_id"]])
+        for val, grp in full.groupby("cat"):
+            want = grp.head(3)  # full is rank-ordered (score desc, doc asc)
+            g = got[(got["query_id"] == qid) & (got["value"] == val)]
+            assert g["doc_id"].tolist() == want["doc_id"].tolist(), (qid, val)
+            assert g["score"].tolist() == want["score"].tolist(), (qid, val)
+            assert g["rank"].tolist() == list(range(1, len(want) + 1))
+
+
 def test_merge_preserves_numeric_columns(built, tmp_path):
     import shutil
 
