@@ -1800,6 +1800,45 @@ def _q_approx_distinct(sf_dir: str):
     return pd.DataFrame({"approx_distinct_users": [int(round(est))]})
 
 
+def _q_media_resize(sf_dir: str):
+    """Image resize pipeline (decode -> nearest-neighbor 16x16 ->
+    re-encode PNG) over the deterministic media fixture; undecodable
+    payloads pass through decoded=False.  Binary outputs -> rows-only."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.multimodal import make_media_fixture, media_resize
+
+    out = media_resize(rd.from_pandas(make_media_fixture(64)), 16, 16).to_pandas()
+    return pd.DataFrame(
+        {
+            "media_id": out["media_id"],
+            "kind": out["kind"],
+            "decoded": out["decoded"].astype(np.int64),
+            "out_bytes": out["payload"].map(lambda p: len(p or b"")).astype(np.int64),
+        }
+    ).sort_values("media_id").reset_index(drop=True)
+
+
+def _q_frame_sample(sf_dir: str):
+    """Video frame sampling (every 3rd frame from the KFV test container)
+    over a deterministic video fixture.  Binary outputs -> rows-only."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.multimodal import frame_sample, make_video_fixture
+
+    out = frame_sample(rd.from_pandas(make_video_fixture(16)), every=3).to_pandas()
+    return pd.DataFrame(
+        {
+            "media_id": out["media_id"],
+            "frame_idx": out["frame_idx"],
+            "width": out["width"].astype(np.int64),
+            "height": out["height"].astype(np.int64),
+        }
+    ).sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _q_media_features(sf_dir: str):
     import pandas as pd
     import ray.data as rd
@@ -1892,6 +1931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "approx_distinct_users": _q_approx_distinct,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
+        "frame_sample": _q_frame_sample,
     }
 
 

@@ -244,6 +244,52 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
 # ------------------------------------------------------------- features
 
 
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy index gather — deterministic
+    integer sample grid: src = floor((dst + 0.5) * in/out), the standard
+    pixel-center mapping)."""
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("resize target must be positive")
+    h, w = img.shape[:2]
+    ri = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    ci = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return img[ri][:, ci]
+
+
+_KFV_MAGIC = b"KFV1"
+
+
+def encode_kfv(frames: list[bytes]) -> bytes:
+    """Encode a frame-blob container (magic + u32 count + per-frame u32
+    length-prefixed blobs) — the TEST container standing in for real
+    video (mp4/h264 need codec libraries this environment doesn't have);
+    the Ray-side plumbing (schema, sampling, batch sizing) is real."""
+    out = [_KFV_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_kfv(data: bytes) -> list[bytes]:
+    """Decode the KFV1 frame container; raises ValueError on anything
+    else (the honest codec-library boundary)."""
+    if len(data) < 8 or data[:4] != _KFV_MAGIC:
+        raise ValueError("not a KFV1 container")
+    n = struct.unpack_from("<I", data, 4)[0]
+    off, frames = 8, []
+    for _ in range(n):
+        if off + 4 > len(data):
+            raise ValueError("truncated KFV1 container")
+        ln = struct.unpack_from("<I", data, off)[0]
+        off += 4
+        if off + ln > len(data):
+            raise ValueError("truncated KFV1 frame")
+        frames.append(data[off : off + ln])
+        off += ln
+    return frames
+
+
 def _fit(vec: np.ndarray, dim: int) -> np.ndarray:
     out = np.zeros(dim, dtype=np.float32)
     n = min(dim, vec.size)

@@ -130,6 +130,133 @@ def media_features(media_ds, dim: int = 16, batch_size: int = 64, concurrency: i
     )
 
 
+class MediaResizeStage:
+    """Actor-pool image-resize stage: decode (PNG/BMP) -> nearest-
+    neighbor resize -> re-encode PNG.  Undecodable payloads pass through
+    with decoded=False (the honest codec-library boundary); batch_size
+    stays small because payload MBs x batch x concurrency must fit the
+    worker heap (the wide-binary rule)."""
+
+    def __init__(self, out_h: int, out_w: int):
+        self.out_h, self.out_w = int(out_h), int(out_w)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_payload, widths, heights, decoded = [], [], [], []
+        for kind, payload in zip(batch["kind"], batch["payload"]):
+            payload = payload or b""
+            img = None
+            if kind == "image":
+                try:
+                    size = mc.parse_image_size(payload)
+                    if size is not None and size[0] == "png":
+                        img = mc.decode_png(payload)
+                    elif size is not None and size[0] == "bmp":
+                        img = mc.decode_bmp(payload)
+                except ValueError:
+                    img = None
+            if img is None:
+                out_payload.append(payload)
+                widths.append(None)
+                heights.append(None)
+                decoded.append(False)
+            else:
+                small = mc.resize_nearest(img, self.out_h, self.out_w)
+                out_payload.append(mc.encode_png(small))
+                widths.append(self.out_w)
+                heights.append(self.out_h)
+                decoded.append(True)
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"].astype(np.int64),
+                "kind": batch["kind"],
+                "payload": pd.Series(out_payload, dtype=object),
+                "width": pd.Series(widths, dtype="Int64"),
+                "height": pd.Series(heights, dtype="Int64"),
+                "decoded": pd.Series(decoded, dtype=bool),
+            }
+        )
+
+
+def media_resize(media_ds, out_h: int = 16, out_w: int = 16, batch_size: int = 64, concurrency: int = 2):
+    """Resize every decodable image to (out_h, out_w), re-encoded PNG."""
+    return media_ds.map_batches(
+        MediaResizeStage,
+        fn_constructor_args=(out_h, out_w),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampleStage:
+    """Actor-pool video frame sampler: decode the KFV1 frame container
+    (the test stand-in for mp4/h264 — see mediacodec.encode_kfv) and
+    emit every ``every``-th frame as its own row (media_id, frame_idx,
+    payload).  One input row fans out to ceil(n_frames/every) rows —
+    flat-map shape, wide-binary batch sizing."""
+
+    def __init__(self, every: int = 2):
+        self.every = max(1, int(every))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mids, idxs, payloads, ws, hs = [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].astype(np.int64), batch["payload"]):
+            try:
+                frames = mc.decode_kfv(payload or b"")
+            except ValueError:
+                continue  # not a KFV container: nothing to sample
+            for fi in range(0, len(frames), self.every):
+                f = frames[fi]
+                size = mc.parse_image_size(f)
+                mids.append(mid)
+                idxs.append(fi)
+                payloads.append(f)
+                ws.append(size[1] if size else None)
+                hs.append(size[2] if size else None)
+        return pd.DataFrame(
+            {
+                "media_id": pd.Series(mids, dtype=np.int64),
+                "frame_idx": pd.Series(idxs, dtype=np.int64),
+                "payload": pd.Series(payloads, dtype=object),
+                "width": pd.Series(ws, dtype="Int64"),
+                "height": pd.Series(hs, dtype="Int64"),
+            }
+        )
+
+
+def frame_sample(video_ds, every: int = 2, batch_size: int = 16, concurrency: int = 2):
+    """Sample every ``every``-th frame from KFV video payloads."""
+    return video_ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_args=(every,),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def make_video_fixture(n: int = 16, seed: int = 99) -> pd.DataFrame:
+    """Deterministic KFV 'video' table: each payload holds 4-12 PNG
+    frames of one random size."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+        frames = [
+            mc.encode_png(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+            for _ in range(int(rng.integers(4, 13)))
+        ]
+        rows.append(mc.encode_kfv(frames))
+    return pd.DataFrame(
+        {
+            "media_id": np.arange(n, dtype=np.int64),
+            "kind": "video",
+            "payload": pd.Series(rows, dtype=object),
+            "meta": json.dumps({"container": "kfv1"}),
+        }
+    )
+
+
 def make_media_fixture(n: int = 64, seed: int = 42) -> pd.DataFrame:
     """Deterministic media table with REAL payloads: PNG + BMP images,
     PCM16 WAV audio, plus GIF header-only and opaque 'video' bytes."""

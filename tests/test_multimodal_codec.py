@@ -111,3 +111,74 @@ def test_media_stage_real_decode(ray_session):
     out2 = media_features(rd.from_pandas(fix)).to_pandas().sort_values("media_id")
     for a, b in zip(out["feature"], out2["feature"]):
         assert np.array_equal(a, b)
+
+
+def test_resize_nearest_known_pixels():
+    from kafka_es_ray.functions import mediacodec as mc
+
+    # 2x2 checkerboard upsampled 2x: each source pixel becomes a 2x2 block
+    img = np.array([[0, 255], [255, 0]], dtype=np.uint8)
+    up = mc.resize_nearest(img, 4, 4)
+    assert up.shape == (4, 4)
+    assert np.array_equal(up[:2, :2], np.zeros((2, 2), dtype=np.uint8))
+    assert np.array_equal(up[:2, 2:], np.full((2, 2), 255, dtype=np.uint8))
+    # downsample picks pixel centers: 4x4 -> 2x2 keeps the checkerboard
+    down = mc.resize_nearest(up, 2, 2)
+    assert np.array_equal(down, img)
+    # RGB passes the channel axis through
+    rgb = np.random.default_rng(0).integers(0, 256, (10, 7, 3), dtype=np.uint8)
+    assert mc.resize_nearest(rgb, 5, 5).shape == (5, 5, 3)
+
+
+def test_kfv_container_roundtrip():
+    import pytest as _pytest
+
+    from kafka_es_ray.functions import mediacodec as mc
+
+    frames = [b"alpha", b"", b"x" * 1000]
+    blob = mc.encode_kfv(frames)
+    assert mc.decode_kfv(blob) == frames
+    with _pytest.raises(ValueError, match="KFV1"):
+        mc.decode_kfv(b"nope")
+    with _pytest.raises(ValueError, match="truncated"):
+        mc.decode_kfv(blob[:-3])
+
+
+def test_media_resize_stage(ray_session):
+    import ray.data as rd
+
+    from kafka_es_ray.functions import mediacodec as mc
+    from kafka_es_ray.pipelines.multimodal import make_media_fixture, media_resize
+
+    fix = make_media_fixture(30)
+    out = media_resize(rd.from_pandas(fix), 12, 9).to_pandas().sort_values("media_id")
+    img = out[out["kind"] == "image"]
+    assert img["decoded"].all()
+    for p in img["payload"]:
+        arr = mc.decode_png(p)
+        assert arr.shape[:2] == (12, 9)
+    # non-images pass through untouched
+    other = out[out["kind"] != "image"].set_index("media_id")
+    src = fix.set_index("media_id")
+    for mid in other.index:
+        assert other.loc[mid, "payload"] == src.loc[mid, "payload"]
+        assert not other.loc[mid, "decoded"]
+
+
+def test_frame_sample_stage(ray_session):
+    import ray.data as rd
+
+    from kafka_es_ray.functions import mediacodec as mc
+    from kafka_es_ray.pipelines.multimodal import frame_sample, make_video_fixture
+
+    fix = make_video_fixture(8)
+    out = frame_sample(rd.from_pandas(fix), every=3).to_pandas()
+    for mid, g in out.groupby("media_id"):
+        n_frames = len(mc.decode_kfv(fix.loc[fix["media_id"] == mid, "payload"].iloc[0]))
+        want_idx = list(range(0, n_frames, 3))
+        g = g.sort_values("frame_idx")
+        assert g["frame_idx"].tolist() == want_idx, mid
+        # every sampled frame is a decodable PNG of the recorded size
+        for _, r in g.iterrows():
+            arr = mc.decode_png(r["payload"])
+            assert arr.shape[1] == r["width"] and arr.shape[0] == r["height"]
