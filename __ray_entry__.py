@@ -268,6 +268,21 @@ LEFT JOIN (
 ORDER BY 1
 """
 
+# ES percolate: (doc, query) match pairs; queries 0-3 or-match, query 4
+# = query 1's terms with operator=and
+_PERCOLATE_SQL = _MATCHES_CTE + """
+, and_q AS (
+  SELECT tf.doc_id FROM tf
+  JOIN queries q ON q.query_id = 1 AND q.term = tf.term
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT tf.term) = (SELECT count(*) FROM queries WHERE query_id = 1)
+)
+SELECT doc_id, query_id::BIGINT AS query_id FROM matches
+UNION ALL
+SELECT doc_id, 4::BIGINT FROM and_q
+ORDER BY 1, 2
+"""
+
 # ES stats aggregation: count/min/max/sum/avg of n_chars per match set
 _STATS_AGG_SQL = _MATCHES_CTE + """
 SELECT m.query_id,
@@ -963,6 +978,44 @@ def _q_match_percentiles(sf_dir: str):
         return run_agg_percentiles(
             queries, idx, "n_chars", (25.0, 50.0, 75.0, 99.0), cfg=cfg
         )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_percolate(sf_dir: str):
+    """ES percolate (reverse search): every (doc, stored-query) match
+    pair — queries 0-3 are the standard derived or-matches, query 4 is
+    query 1's terms with operator=and.  Stored queries broadcast once;
+    the corpus streams (no index needed)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import (
+        build_documents_index,
+        derive_query_set,
+        percolate,
+    )
+    from kafka_es_ray.query.engine import IndexSearcher
+    from kafka_es_ray.sources.parquet import read_table
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_pcidx_")
+    try:
+        build_documents_index(sf_dir, idx)  # only for the query derivation
+        queries = derive_query_set(IndexSearcher(idx))
+        queries = queries[queries["text"] != "zzzabsentterm"].copy()
+        and_row = pd.DataFrame(
+            {
+                "query_id": [4],
+                "text": [queries.loc[queries["query_id"] == 1, "text"].iloc[0]],
+                "operator": ["and"],
+            }
+        )
+        queries = pd.concat([queries, and_row], ignore_index=True)
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        out = percolate(docs, queries).to_pandas()
+        return out.sort_values(["doc_id", "query_id"]).reset_index(drop=True)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
@@ -1881,6 +1934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_text": _q_significant_text,
         "collapse_topk": _q_collapse_topk,
         "top_hits": _q_top_hits,
+        "percolate": _q_percolate,
         "prefix_count": _q_prefix_count,
         "wildcard_count": _q_wildcard_count,
         "regexp_count": _q_regexp_count,
@@ -2007,6 +2061,7 @@ def oracle_sql() -> dict[str, str]:
         "significant_text": _SIGTEXT_SQL,
         "collapse_topk": _COLLAPSE_SQL,
         "top_hits": _TOP_HITS_SQL,
+        "percolate": _PERCOLATE_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
         "multi_match_topk": _MULTI_MATCH_SQL,
         "dis_max_topk": _DIS_MAX_SQL,

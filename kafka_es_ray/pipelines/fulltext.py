@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 from kafka_es_ray.config import EngineConfig
+from kafka_es_ray.functions.tokenizer import get_analyzer
 from kafka_es_ray.index.build import build_index
 from kafka_es_ray.query.engine import IndexSearcher
 from kafka_es_ray.sources.parquet import read_table
@@ -185,6 +186,81 @@ def multi_match_topk_documents(sf_dir: str, k: int = 10) -> pd.DataFrame:
         )
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+
+
+class PercolateStage:
+    """Actor-pool ES percolator: stored queries are the broadcast small
+    side (term->query inverted map built once per actor), documents
+    STREAM through — the reverse of search, used for alerting/routing.
+    Per batch: one distinct (doc, term) explode + one merge against the
+    term->query map + one groupby — no per-(doc, query) Python loop."""
+
+    def __init__(self, plans_ref):
+        import ray
+
+        plans = ray.get(plans_ref)  # [(query_id, tuple(terms), require_all)]
+        rows = [
+            (qid, t, len(terms), require_all)
+            for qid, terms, require_all in plans
+            for t in terms
+        ]
+        self.term_map = pd.DataFrame(
+            rows, columns=["query_id", "term", "n_terms", "require_all"]
+        )
+        self.an = get_analyzer("en")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from itertools import chain
+
+        toks = self.an.tokenize_series(batch["text"])
+        n_per = toks.map(len).to_numpy(dtype=np.int64)
+        total = int(n_per.sum())
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "query_id": pd.Series([], dtype=np.int64),
+            }
+        )
+        if total == 0 or not len(self.term_map):
+            return empty
+        flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+        ids = batch["doc_id"].to_numpy(np.int64)
+        pairs = pd.DataFrame(
+            {"doc_id": np.repeat(ids, n_per), "term": flat}
+        ).drop_duplicates()
+        hit = pairs.merge(self.term_map, on="term")
+        if not len(hit):
+            return empty
+        g = hit.groupby(["doc_id", "query_id"], as_index=False).agg(
+            n_hit=("term", "size"), n_terms=("n_terms", "first"),
+            require_all=("require_all", "first"),
+        )
+        keep = np.where(g["require_all"], g["n_hit"] == g["n_terms"], g["n_hit"] >= 1)
+        return g.loc[keep, ["doc_id", "query_id"]].astype(np.int64)
+
+
+def percolate(docs_ds, queries: pd.DataFrame, lang: str | None = None):
+    """Distributed ES percolate: (doc_id, query_id) for every document
+    matching a stored query (match semantics: operator or/and over the
+    analyzed text; a query with no analyzable terms matches nothing).
+    Queries broadcast once via ray.put; the corpus streams."""
+    import ray
+
+    plans = []
+    for row in queries.itertuples(index=False):
+        terms = tuple(sorted(set(get_analyzer(lang).tokenize(row.text))))
+        if not terms:
+            continue
+        require_all = (getattr(row, "operator", None) or "or") == "and"
+        plans.append((int(row.query_id), terms, require_all))
+    plans_ref = ray.put(plans)
+    return docs_ds.map_batches(
+        PercolateStage,
+        fn_constructor_args=(plans_ref,),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=2,
+    )
 
 
 def dis_max_topk_documents(sf_dir: str, k: int = 10, tie_breaker: float = 0.3) -> pd.DataFrame:

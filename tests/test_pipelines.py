@@ -40,6 +40,7 @@ SQL_SUBSET = [
     "gopher_quality",
     "regexp_count",
     "contamination",
+    "percolate",
 ]
 
 
@@ -112,6 +113,36 @@ def test_gopher_stats_handcrafted(ray_session):
     # short doc fails the word-count floor
     assert r.loc[4, "keep"] == 0
     assert r.loc[4, "mean_word_len"] == np.floor(8 / 2 * 1e6 + 0.5) / 1e6
+
+
+def test_percolate_handcrafted(ray_session):
+    """percolate: or-queries match on any term, and-queries on all terms,
+    unanalyzable queries match nothing."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.fulltext import percolate
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta gamma", "alpha only here", "delta epsilon"],
+        }
+    )
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2, 3],
+            "text": ["alpha", "alpha beta", "alpha beta", "!!!"],
+            "operator": ["or", "or", "and", "or"],
+        }
+    )
+    out = (
+        percolate(rd.from_pandas(docs), queries)
+        .to_pandas()
+        .sort_values(["doc_id", "query_id"])
+        .reset_index(drop=True)
+    )
+    pairs = set(zip(out["doc_id"], out["query_id"]))
+    assert pairs == {(1, 0), (1, 1), (1, 2), (2, 0), (2, 1)}
 
 
 def test_contamination_planted_leak(ray_session):
