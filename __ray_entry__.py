@@ -1703,6 +1703,18 @@ def _q_embedding_neardup(sf_dir: str):
     return embedding_neardup(read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]), 0.2)
 
 
+def _q_semdedup(sf_dir: str):
+    # SemDeDup (cluster-then-compare; rows-only — approximate by
+    # construction; recall vs exact measured in tests/test_pipelines.py)
+    from kafka_es_ray.pipelines.dedup_ops import semdedup
+    from kafka_es_ray.sources.parquet import read_table
+
+    return semdedup(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=0.2, nlist=16,
+    )
+
+
 def _q_embedding_neardup_exact(sf_dir: str):
     # exact all-pairs oracle path (SQL-checkable), restricted to a fixed
     # id range so the quadratic oracle stays cheap at sf0.01
@@ -1978,6 +1990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "minhash_dups": _q_minhash_dups,
         "embedding_neardup": _q_embedding_neardup,
+        "semdedup": _q_semdedup,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         "pages_pipeline": _q_pages_pipeline,
         "actions_incremental": _q_actions_incremental,

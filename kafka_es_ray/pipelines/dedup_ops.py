@@ -726,6 +726,74 @@ def embedding_neardup(
     return bucketed_group_agg(pairs, ["vec_a", "vec_b"], dedupe)
 
 
+def semdedup(
+    emb_ds,
+    threshold: float = 0.95,
+    nlist: int = 32,
+    train_size: int = 10_000,
+    max_cluster: int = 8192,
+):
+    """Semantic dedup (the SemDeDup recipe, Abbas et al. 2023, public):
+    k-means-cluster the embeddings with a sampled spherical quantizer,
+    then find cosine >= threshold pairs WITHIN each cluster only — the
+    published scale answer to all-pairs: work drops from O(N²) to
+    sum over clusters of O(|c|²), and only (cluster, vec) rows shuffle.
+    Approximate by construction (cross-cluster near-dups are missed;
+    recall vs the exact oracle measured in tests, rises with fewer
+    clusters).  Returns Dataset (vec_a, vec_b, sim), vec_a < vec_b,
+    sim rounded 6dp; hot clusters capped at ``max_cluster`` members
+    (deterministic by vec_id) with the cap logged in the row count."""
+    from kafka_es_ray.pipelines.ann import _kmeans_spherical, _normalize
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    train = emb_ds.limit(train_size).to_pandas()
+    centroids = _kmeans_spherical(
+        _normalize(np.stack(train["embedding"].to_numpy())), nlist
+    )
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(np.stack(batch["embedding"].to_numpy()))
+        return pd.DataFrame(
+            {
+                "cluster": np.argmax(m @ centroids.T, axis=1).astype(np.int64),
+                "vec_id": batch["vec_id"].astype(np.int64),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    assigned = emb_ds.map_batches(assign, batch_format="pandas", batch_size=4096)
+
+    def pairs_in_cluster(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in bucket.groupby("cluster", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("vec_id").head(max_cluster)
+            ids = g["vec_id"].to_numpy(np.int64)
+            m = _normalize(np.stack(g["embedding"].to_numpy()))
+            sim = m @ m.T
+            a, b = np.triu_indices(len(g), k=1)
+            s = np.floor(sim[a, b] * 1e6 + 0.5) / 1e6
+            keep = s >= threshold
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {"vec_a": ids[a[keep]], "vec_b": ids[b[keep]], "sim": s[keep]}
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype=np.int64),
+                    "vec_b": pd.Series([], dtype=np.int64),
+                    "sim": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_agg(assigned, ["cluster"], pairs_in_cluster)
+
+
 def embedding_neardup_exact(emb_ds, threshold: float = 0.95):
     """EXACT cosine >= threshold pairs: the corpus matrix is broadcast
     once (``ray.put``) and every batch matmuls against it — distributed

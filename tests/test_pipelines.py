@@ -241,6 +241,28 @@ def test_minhash_degenerate_corpus_capped(ray_session):
     assert 0 < len(pairs) <= 200 * 199 // 2
 
 
+def test_semdedup_recall_vs_exact(ray_session):
+    """SemDeDup (cluster-then-compare) recovers most exact pairs on a
+    clustered corpus, and every emitted pair is a true pair."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.dedup_ops import embedding_neardup_exact, semdedup
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((10, 32))
+    vecs = np.concatenate([c + 0.02 * rng.standard_normal((20, 32)) for c in centers])
+    df = pd.DataFrame(
+        {"vec_id": np.arange(200, dtype=np.int64), "embedding": list(vecs.astype(np.float32))}
+    )
+    exact = to_pandas(embedding_neardup_exact(rd.from_pandas(df), threshold=0.9))
+    approx = to_pandas(semdedup(rd.from_pandas(df), threshold=0.9, nlist=8))
+    e = set(zip(exact["vec_a"], exact["vec_b"]))
+    a = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert a <= e  # within-cluster sims are the same rounded values
+    assert len(e & a) / max(1, len(e)) >= 0.8, (len(e), len(a), len(e & a))
+
+
 def test_embedding_neardup_recall_vs_exact(ray_session):
     """The LSH-bucketed near-dup path must recover most high-cosine pairs
     the exact all-pairs oracle finds (clustered vectors, threshold .9)."""
