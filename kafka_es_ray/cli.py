@@ -81,6 +81,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--fuzzy", default=None, help="ES fuzzy query (edit distance 1) instead of --text")
     c.add_argument("--regexp", default=None, help="ES regexp query (anchored RE2) instead of --text")
 
+    ex = sub.add_parser("explain", help="per-term BM25 breakdown for one doc (ES _explain)")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--text", required=True)
+    ex.add_argument("--key", required=True)
+
     m = sub.add_parser("merge", help="force-merge segments (purges deletes)")
     m.add_argument("--index", required=True)
     m.add_argument("--merge-factor", type=int, default=4)
@@ -192,6 +197,10 @@ def main(argv: list[str] | None = None) -> int:
             p.error("count needs --text, --prefix, --wildcard, --fuzzy or --regexp")
         else:
             print(s.count(args.text, operator=args.operator))
+    elif args.cmd == "explain":
+        from kafka_es_ray.query.engine import IndexSearcher
+
+        print(IndexSearcher(args.index).explain(args.text, args.key).to_string(index=False))
     elif args.cmd == "merge":
         own_session = _ray_init(args.num_cpus)
         from kafka_es_ray.index.merge import merge_index

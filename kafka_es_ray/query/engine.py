@@ -490,6 +490,72 @@ class IndexSearcher:
         """ES _count API analog: number of live docs matching the query."""
         return int(sum(ids.size for ids in self.matching_ids(text, lang, operator, filter_lang).values()))
 
+    def explain(self, text: str, key: str, lang: str | None = None) -> pd.DataFrame:
+        """ES _explain analog: the per-term BM25 breakdown for one
+        (query, document) pair.  Returns DataFrame(term, df, idf, tf, dl,
+        tf_part, contribution) over the MATCHED terms (contribution =
+        idf * tf_part); accumulating the contributions in ascending term
+        order and rounding to 6dp reproduces the doc's search score
+        exactly (the determinism contract — asserted in tests).  Empty
+        frame when the key is missing/deleted or matches no term."""
+        empty = pd.DataFrame(
+            {
+                "term": pd.Series([], dtype=object),
+                "df": pd.Series([], dtype=np.int64),
+                "idf": pd.Series([], dtype=np.float64),
+                "tf": pd.Series([], dtype=np.int64),
+                "dl": pd.Series([], dtype=np.int64),
+                "tf_part": pd.Series([], dtype=np.float64),
+                "contribution": pd.Series([], dtype=np.float64),
+            }
+        )
+        terms = sorted(set(get_analyzer(lang).tokenize(text)))
+        if not terms:
+            return empty
+        # newest live version of the key across segments (mget rule)
+        want = np.asarray([key], dtype=object)
+        best: tuple[int, Segment] | None = None
+        for s in self.segments:
+            rows, _ = s.find_keys(want)
+            for r in rows:
+                did = int(s.doc_ids_store[r])
+                if s.tombstones is not None and s.tombstones.size:
+                    p = int(np.searchsorted(s.tombstones, did))
+                    if p < s.tombstones.size and int(s.tombstones[p]) == did:
+                        continue
+                if best is None or did > best[0]:
+                    best = (did, s)
+        if best is None:
+            return empty
+        doc_id, seg = best
+        df = self.global_df(terms)
+        idf = bm25_idf(df, self.n_docs)
+        cand = np.array([doc_id], dtype=np.int64)
+        rows_out = []
+        for i, t in enumerate(terms):
+            ti = seg.lookup(t)
+            if ti < 0:
+                continue
+            hit, tf, dl = seg.lookup_postings(ti, cand)
+            if not hit[0]:
+                continue
+            tfp = float(
+                bm25_tf_part(
+                    tf.astype(np.int64), dl.astype(np.int64),
+                    self.avgdl, self.k1, self.b,
+                )[0]
+            )
+            rows_out.append(
+                (t, int(df[i]), float(idf[i]), int(tf[0]), int(dl[0]), tfp,
+                 float(idf[i]) * tfp)
+            )
+        if not rows_out:
+            return empty
+        return pd.DataFrame(
+            rows_out,
+            columns=["term", "df", "idf", "tf", "dl", "tf_part", "contribution"],
+        )
+
     def prefix_matching_ids(
         self, prefix: str, filter_lang: str | None = None,
         max_expansions: int | None = None,

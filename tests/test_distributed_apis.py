@@ -231,6 +231,29 @@ def test_significant_text_sample_cap_and_absent(api_index, ray_session):
     assert len(capped) <= 3 and (capped["rank"] == range(1, len(capped) + 1)).all()
 
 
+def test_explain_reproduces_search_scores(api_index, ray_session):
+    """explain's per-term contributions, accumulated in ascending term
+    order and rounded to 6dp, equal the doc's search score exactly."""
+    from kafka_es_ray.query.bm25 import round6
+
+    d, _ = api_index
+    s = IndexSearcher(d, CFG)
+    for text in ("alpha beta", "common", "gamma delta epsilon"):
+        hits = s.search(text, k=5)
+        assert len(hits)
+        for _, h in hits.iterrows():
+            ex = s.explain(text, h["key"])
+            acc = 0.0
+            for c in ex["contribution"]:  # ascending term order
+                acc += float(c)
+            assert float(round6(acc)) == h["score"], (text, h["key"])
+            assert (ex["tf"] > 0).all() and (ex["df"] >= ex["tf"].clip(upper=1)).all()
+    # missing / deleted keys and no-match queries explain to empty
+    assert len(s.explain("alpha", "https://a.x/zzz")) == 0
+    assert len(s.explain("alpha", "https://a.x/0003")) == 0  # deleted id 0-19
+    assert len(s.explain("zzznothing", "https://a.x/0050")) == 0
+
+
 def test_cardinality_agg_exact_and_hll(api_index, ray_session):
     """Exact cardinality == brute-force distinct count over live matching
     docs; the HLL path lands within 1 of exact at this cardinality."""
