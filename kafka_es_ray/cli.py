@@ -86,6 +86,17 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--text", required=True)
     ex.add_argument("--key", required=True)
 
+    sn = sub.add_parser("snapshot", help="copy the committed index state (ES _snapshot)")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--dest", required=True)
+
+    rs = sub.add_parser("restore", help="materialize a snapshot as a fresh index")
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--dest", required=True)
+
+    vf = sub.add_parser("verify", help="index integrity check (files, sort order, df)")
+    vf.add_argument("--index", required=True)
+
     m = sub.add_parser("merge", help="force-merge segments (purges deletes)")
     m.add_argument("--index", required=True)
     m.add_argument("--merge-factor", type=int, default=4)
@@ -201,6 +212,21 @@ def main(argv: list[str] | None = None) -> int:
         from kafka_es_ray.query.engine import IndexSearcher
 
         print(IndexSearcher(args.index).explain(args.text, args.key).to_string(index=False))
+    elif args.cmd == "snapshot":
+        from kafka_es_ray.index.snapshot import snapshot_index
+
+        print(json.dumps(snapshot_index(args.index, args.dest)))
+    elif args.cmd == "restore":
+        from kafka_es_ray.index.snapshot import restore_index
+
+        print(json.dumps(restore_index(args.snapshot, args.dest)))
+    elif args.cmd == "verify":
+        from kafka_es_ray.index.snapshot import verify_index
+
+        rep = verify_index(args.index)
+        print(json.dumps(rep))
+        if not rep["ok"]:
+            raise SystemExit(1)
     elif args.cmd == "merge":
         own_session = _ray_init(args.num_cpus)
         from kafka_es_ray.index.merge import merge_index

@@ -1,0 +1,102 @@
+"""Snapshot / restore / verify-integrity (ES snapshot-API analog):
+a snapshot is itself a valid index serving the committed state at copy
+time, immune to later mutations of the source; verify_index flags real
+corruption."""
+
+import json
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kafka_es_ray.config import EngineConfig
+from kafka_es_ray.index.build import build_index
+from kafka_es_ray.index.snapshot import restore_index, snapshot_index, verify_index
+from kafka_es_ray.query.engine import IndexSearcher
+
+CFG = EngineConfig(num_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    words = ["red", "green", "blue", "cyan", "teal", "plum"]
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(60)],
+            "text": [" ".join(rng.choice(words, size=5).tolist()) for _ in range(60)],
+            "lang": "en",
+        }
+    )
+    idx = str(tmp_path_factory.mktemp("snapidx"))
+    build_index(rd.from_pandas(docs), idx, CFG, html_col=None, ts_col=None)
+    return idx
+
+
+def test_snapshot_serves_frozen_state(built, tmp_path):
+    from kafka_es_ray.index.incremental import apply_incremental
+
+    snap = str(tmp_path / "snap")
+    rep = snapshot_index(built, snap)
+    assert rep["n_docs"] == 60 and rep["n_files"] > 1
+    before = IndexSearcher(built, CFG).search("red green", k=100)
+    # mutate the SOURCE after the snapshot: delete some matching docs
+    delta = pd.DataFrame(
+        {"id": before["key"].head(5), "text": [None] * 5, "lang": ["en"] * 5,
+         "op": ["delete"] * 5}
+    )
+    apply_incremental(built, delta, CFG, key_col="id")
+    after_src = IndexSearcher(built, CFG).search("red green", k=100)
+    assert len(after_src) < len(before)
+    # the snapshot still serves the pre-delete state, and restores cleanly
+    from_snap = IndexSearcher(snap, CFG).search("red green", k=100)
+    pd.testing.assert_frame_equal(from_snap, before)
+    dest = str(tmp_path / "restored")
+    restore_index(snap, dest)
+    pd.testing.assert_frame_equal(IndexSearcher(dest, CFG).search("red green", k=100), before)
+
+
+def test_verify_index_clean_and_corrupted(built, tmp_path):
+    rep = verify_index(built)
+    assert rep["ok"], rep["problems"]
+    assert rep["n_docs"] == 60 and rep["n_parts"] == 4
+    # corrupt a copy: drop a docstore file -> missing-file problem
+    broken = str(tmp_path / "broken")
+    snapshot_index(built, broken)
+    import os
+
+    victim = next(f for f in os.listdir(broken) if f.startswith("docstore-"))
+    os.remove(os.path.join(broken, victim))
+    rep2 = verify_index(broken)
+    assert not rep2["ok"] and any("missing file" in p for p in rep2["problems"])
+    # corrupt the manifest's doc count -> count mismatch problem
+    broken2 = str(tmp_path / "broken2")
+    snapshot_index(built, broken2)
+    mpath = os.path.join(broken2, "manifest.json")
+    m = json.load(open(mpath))
+    m["n_docs"] = 999
+    json.dump(m, open(mpath, "w"))
+    rep3 = verify_index(broken2)
+    assert not rep3["ok"] and any("n_docs" in p for p in rep3["problems"])
+
+
+def test_snapshot_cli(built, tmp_path):
+    import subprocess
+    import sys
+
+    snap = str(tmp_path / "clisnap")
+    r = subprocess.run(
+        [sys.executable, "-m", "kafka_es_ray.cli", "snapshot", "--index", built, "--dest", snap],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout.strip().splitlines()[-1])["n_docs"] == 60
+    r2 = subprocess.run(
+        [sys.executable, "-m", "kafka_es_ray.cli", "verify", "--index", snap],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert json.loads(r2.stdout.strip().splitlines()[-1])["ok"]
