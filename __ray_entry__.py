@@ -255,6 +255,35 @@ SELECT query_id, rank::BIGINT AS rank, term, fg_count, bg_count, score
 FROM ranked WHERE rank <= 10
 """
 
+# ES rare_terms: match-set terms with global df <= the 5th-smallest
+# distinct df (OFFSET 4; coalesce to max df when fewer distinct values),
+# ranked rarest-first (df asc, term asc)
+_RARE_TERMS_SQL = _MATCHES_CTE + """
+, th AS (
+  SELECT coalesce(
+    (SELECT df FROM (SELECT DISTINCT df FROM df ORDER BY df LIMIT 1 OFFSET 4)),
+    (SELECT max(df) FROM df)
+  ) AS t
+),
+fg AS (
+  SELECT m.query_id, tf.term, count(*)::BIGINT AS fg_count
+  FROM matches m JOIN tf ON tf.doc_id = m.doc_id
+  GROUP BY 1, 2
+),
+rare AS (
+  SELECT f.query_id, f.term, f.fg_count, df.df::BIGINT AS bg_count
+  FROM fg f JOIN df USING (term) CROSS JOIN th
+  WHERE df.df <= th.t
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY bg_count ASC, term ASC) AS rank
+  FROM rare
+)
+SELECT query_id, rank::BIGINT AS rank, term, fg_count, bg_count
+FROM ranked WHERE rank <= 10
+"""
+
 # ES cardinality aggregation (exact flavor): COUNT(DISTINCT lang) per
 # match set, zero for queries matching nothing
 _CARDINALITY_SQL = _MATCHES_CTE + """
@@ -1165,6 +1194,41 @@ def _q_match_subagg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_rare_terms(sf_dir: str):
+    """ES rare_terms aggregation per derived query's match set: terms
+    with global df <= the corpus's 5th-smallest distinct df (data-derived
+    threshold — the synthetic vocab has no absolutely-rare terms), ranked
+    rarest-first."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_rare_terms
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_rareidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, store_text=True)
+        build_index(
+            documents_dataset(sf_dir), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        s = IndexSearcher(idx, cfg)
+        df_map: dict[str, int] = {}
+        for seg in s.segments:
+            for t, d in zip(seg.terms, seg.df):
+                df_map[t] = df_map.get(t, 0) + int(d)
+        distinct = sorted(set(df_map.values()))
+        thresh = distinct[min(4, len(distinct) - 1)]
+        queries = derive_query_set(s)
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_rare_terms(queries, idx, k=10, max_doc_count=thresh, cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_match_cardinality(sf_dir: str):
     """ES cardinality aggregation (exact flavor for oracle parity):
     distinct lang values per derived query's match set; the HLL flavor
@@ -1943,6 +2007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_score_topk": _q_function_score_topk,
         "more_like_this": _q_more_like_this,
         "match_cardinality": _q_match_cardinality,
+        "rare_terms": _q_rare_terms,
         "significant_text": _q_significant_text,
         "collapse_topk": _q_collapse_topk,
         "top_hits": _q_top_hits,
@@ -2071,6 +2136,7 @@ def oracle_sql() -> dict[str, str]:
         "function_score_topk": _FVF_SQL,
         "more_like_this": _MLT_SQL,
         "match_cardinality": _CARDINALITY_SQL,
+        "rare_terms": _RARE_TERMS_SQL,
         "significant_text": _SIGTEXT_SQL,
         "collapse_topk": _COLLAPSE_SQL,
         "top_hits": _TOP_HITS_SQL,

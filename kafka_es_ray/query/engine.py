@@ -3344,6 +3344,116 @@ def run_agg_percentiles(
     )
 
 
+def _collect_fg_bg_counts(
+    queries_ds, index_dir: str, cfg: EngineConfig, concurrency: int | None,
+    sample_cap: int | None,
+):
+    """Shared two-pass collection for significant_text / rare_terms:
+    SignificantTextStage fg partials summed per (plan, term) + the
+    candidate terms' global df from the dictionary-only stats pass.
+    Returns (cand DataFrame(plan_id, term, n), fg_totals {plan: n},
+    bg_map {term: df}, plan, n_total) — or (None, ...) when there is
+    nothing to aggregate."""
+    import ray
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    concurrency = concurrency or cfg.query_concurrency or 2
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    n_total = int(manifest["n_docs"])
+    plan = _match_set_plans(queries)
+    if not plan or n_total == 0:
+        return None, {}, {}, plan, n_total
+    plan_ref = ray.put((plan, manifest.get("tombstones", {}), sample_cap))
+    partials = _shards_ds(parts, concurrency).map_batches(
+        SignificantTextStage,
+        fn_constructor_args=(index_dir, plan_ref, cfg),
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+
+    def sum_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["plan_id", "term"], as_index=False).agg(n=("n_partial", "sum"))
+        return g.astype({"plan_id": np.int64, "n": np.int64})
+
+    summed = bucketed_group_agg(partials, ["plan_id", "term"], sum_bucket).to_pandas()
+    if not len(summed):
+        return None, {}, {}, plan, n_total
+    fg_totals = summed[summed["term"] == ""].groupby("plan_id")["n"].sum().to_dict()
+    cand = summed[summed["term"] != ""]
+    all_terms = sorted(set(cand["term"]))
+    bg_df = _collect_global_stats(index_dir, parts, all_terms)
+    return cand, fg_totals, dict(zip(all_terms, bg_df)), plan, n_total
+
+
+def run_rare_terms(
+    queries_ds,
+    index_dir: str,
+    *,
+    k: int = 10,
+    max_doc_count: int = 5,
+    min_fg_count: int = 1,
+    sample_cap: int | None = None,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES rare_terms aggregation: terms appearing in a
+    query's match set whose GLOBAL df <= ``max_doc_count`` — the
+    long-tail bucket ES orders rarest-first.  Same two segment-parallel
+    passes as significant_text (stored-_source re-analysis + dictionary
+    df gather); rank order (bg df asc, term asc).  Requires
+    cfg.store_text=True.  Returns (query_id, rank, term, fg_count,
+    bg_count)."""
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "term": pd.Series([], dtype=object),
+            "fg_count": pd.Series([], dtype=np.int64),
+            "bg_count": pd.Series([], dtype=np.int64),
+        }
+    )
+    cand, _, bg_map, plan, _ = _collect_fg_bg_counts(
+        queries_ds, index_dir, cfg, concurrency, sample_cap
+    )
+    if cand is None:
+        return empty
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    out = []
+    for pid_, g in cand.groupby("plan_id", sort=True):
+        fg = g["n"].to_numpy(np.int64)
+        terms = g["term"].to_numpy(dtype=object)
+        bg = np.array([bg_map[t] for t in terms], dtype=np.int64)
+        keep = (bg <= max_doc_count) & (fg >= min_fg_count)
+        if not keep.any():
+            continue
+        fg, bg, terms = fg[keep], bg[keep], terms[keep]
+        order = np.lexsort((terms, bg))[:k]
+        top = pd.DataFrame(
+            {
+                "rank": np.arange(1, 1 + order.size, dtype=np.int64),
+                "term": terms[order],
+                "fg_count": fg[order],
+                "bg_count": bg[order],
+            }
+        )
+        for qid in fanout.get(int(pid_), []):
+            out.append(top.assign(query_id=np.int64(qid)))
+    if not out:
+        return empty
+    return (
+        pd.concat(out, ignore_index=True)[
+            ["query_id", "rank", "term", "fg_count", "bg_count"]
+        ]
+        .sort_values(["query_id", "rank"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64})
+    )
+
+
 def run_significant_text(
     queries_ds,
     index_dir: str,
@@ -3372,15 +3482,6 @@ def run_significant_text(
     decided with an exact integer cross-multiplication (fg*N > bg*fgN),
     never a float compare.  Requires cfg.store_text=True at build time.
     Returns (query_id, rank, term, fg_count, bg_count, score)."""
-    import ray
-
-    from kafka_es_ray.stages.shuffle import bucketed_group_agg
-
-    concurrency = concurrency or cfg.query_concurrency or 2
-    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
-    manifest = read_manifest(index_dir)
-    parts = [int(p) for p in manifest["parts"]]
-    n_total = int(manifest["n_docs"])
     empty = pd.DataFrame(
         {
             "query_id": pd.Series([], dtype=np.int64),
@@ -3391,32 +3492,11 @@ def run_significant_text(
             "score": pd.Series([], dtype=np.float64),
         }
     )
-    plan = _match_set_plans(queries)
-    if not plan or n_total == 0:
-        return empty
-    plan_ref = ray.put((plan, manifest.get("tombstones", {}), sample_cap))
-    partials = _shards_ds(parts, concurrency).map_batches(
-        SignificantTextStage,
-        fn_constructor_args=(index_dir, plan_ref, cfg),
-        batch_format="pandas",
-        batch_size=4,
-        concurrency=concurrency,
+    cand, fg_totals, bg_map, plan, n_total = _collect_fg_bg_counts(
+        queries_ds, index_dir, cfg, concurrency, sample_cap
     )
-
-    def sum_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        g = bucket.groupby(["plan_id", "term"], as_index=False).agg(n=("n_partial", "sum"))
-        return g.astype({"plan_id": np.int64, "n": np.int64})
-
-    summed = bucketed_group_agg(partials, ["plan_id", "term"], sum_bucket).to_pandas()
-    if not len(summed):
+    if cand is None:
         return empty
-    fg_totals = (
-        summed[summed["term"] == ""].groupby("plan_id")["n"].sum().to_dict()
-    )
-    cand = summed[summed["term"] != ""]
-    all_terms = sorted(set(cand["term"]))
-    bg_df = _collect_global_stats(index_dir, parts, all_terms)
-    bg_map = dict(zip(all_terms, bg_df))
     fanout = {q["plan_id"]: q["query_ids"] for q in plan}
     out = []
     for pid_, g in cand.groupby("plan_id", sort=True):

@@ -214,6 +214,41 @@ def test_significant_text_matches_bruteforce(api_index, ray_session):
         assert g["rank"].tolist() == list(range(1, len(want) + 1))
 
 
+def test_rare_terms_matches_bruteforce(api_index, ray_session):
+    """run_rare_terms == rarest-first brute force: fg over live matching
+    docs, bg df over ALL stored docs (tombstones count until merge)."""
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+    from kafka_es_ray.query.engine import run_rare_terms
+
+    d, docs = api_index
+    an = get_analyzer("en")
+    tok_sets = [set(an.tokenize(t)) for t in docs["text"]]
+    bg = {}
+    for ts in tok_sets:
+        for t in ts:
+            bg[t] = bg.get(t, 0) + 1
+    thresh = sorted(set(bg.values()))[2]
+    deleted = {f"https://a.x/{i:04d}" for i in range(0, 20)}
+    got = run_rare_terms(
+        pd.DataFrame({"query_id": [0], "text": ["common"]}),
+        d, k=10, max_doc_count=thresh, cfg=CFG,
+    )
+    fg_idx = [
+        i for i in range(len(docs))
+        if docs["url"][i] not in deleted and "common" in tok_sets[i]
+    ]
+    fg = {}
+    for i in fg_idx:
+        for t in tok_sets[i]:
+            fg[t] = fg.get(t, 0) + 1
+    want = sorted(
+        ((t, f, bg[t]) for t, f in fg.items() if bg[t] <= thresh),
+        key=lambda r: (r[2], r[0]),
+    )[:10]
+    assert list(zip(got["term"], got["fg_count"], got["bg_count"])) == want
+    assert got["rank"].tolist() == list(range(1, len(want) + 1))
+
+
 def test_significant_text_sample_cap_and_absent(api_index, ray_session):
     from kafka_es_ray.query.engine import run_significant_text
 
