@@ -86,6 +86,13 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--text", required=True)
     ex.add_argument("--key", required=True)
 
+    ri = sub.add_parser("reindex", help="rebuild from stored _source under a new config (ES _reindex)")
+    ri.add_argument("--src", required=True)
+    ri.add_argument("--dest", required=True)
+    ri.add_argument("--num-partitions", type=int, default=None)
+    ri.add_argument("--positions", action="store_true", help="index token positions (phrase queries)")
+    ri.add_argument("--store-text", action="store_true")
+
     sn = sub.add_parser("snapshot", help="copy the committed index state (ES _snapshot)")
     sn.add_argument("--index", required=True)
     sn.add_argument("--dest", required=True)
@@ -212,6 +219,19 @@ def main(argv: list[str] | None = None) -> int:
         from kafka_es_ray.query.engine import IndexSearcher
 
         print(IndexSearcher(args.index).explain(args.text, args.key).to_string(index=False))
+    elif args.cmd == "reindex":
+        own_session = _ray_init(args.num_cpus)
+        from kafka_es_ray.config import EngineConfig
+        from kafka_es_ray.index.reindex import reindex
+
+        kw = {}
+        if args.num_partitions:
+            kw["num_partitions"] = args.num_partitions
+        manifest = reindex(
+            args.src, args.dest,
+            EngineConfig(index_positions=args.positions, store_text=args.store_text, **kw),
+        )
+        print(json.dumps({"n_docs": manifest["n_docs"], "parts": len(manifest["parts"])}))
     elif args.cmd == "snapshot":
         from kafka_es_ray.index.snapshot import snapshot_index
 

@@ -1,0 +1,87 @@
+"""ES ``_reindex`` analog: rebuild an index from another index's stored
+``_source`` under a NEW configuration (different partition count,
+analyzer version, positions on/off, added keyword/numeric mappings) —
+the standard ES migration path for mapping changes.
+
+Ray-Data-first shape: the source index's docstore parquet files ARE the
+Dataset (column-pruned read — postings are never touched), tombstoned
+docs are dropped with a broadcast id set, and the result streams into
+the ordinary ``build_index`` pipeline, which re-analyzes and re-shards.
+Requires the source was built with ``store_text=True`` (no _source, no
+reindex — the ES rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from kafka_es_ray.config import DEFAULT, EngineConfig
+from kafka_es_ray.index.build import build_index
+from kafka_es_ray.index.segment import (
+    docstore_path,
+    manifest_tombstone_files,
+    read_manifest,
+)
+
+
+def reindex(
+    src_dir: str,
+    dest_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    *,
+    resume: bool = False,
+) -> dict:
+    """Rebuild ``src_dir``'s live documents into ``dest_dir`` under
+    ``cfg``.  Documents get fresh doc ids (the ES reindex contract);
+    keys, lang, and any kw_/num_ mapped columns present in the source
+    docstore carry over (renamed back to their field names so the build
+    re-maps whatever ``cfg`` asks for).  Returns the new manifest."""
+    import ray
+    import ray.data as rd
+
+    manifest = read_manifest(src_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    files = [docstore_path(src_dir, p) for p in parts]
+    schema = pq.read_schema(files[0])
+    if "text" not in schema.names:
+        raise ValueError("source index was built without store_text=True — no _source to reindex")
+    cols = ["doc_id", "key", "text", "lang"] + [
+        n for n in schema.names if n.startswith(("kw_", "num_"))
+    ]
+    # dead ids across all segments: ids are globally unique, so one
+    # broadcast set suffices (tombstone files are small by construction)
+    dead: set[int] = set()
+    for p in parts:
+        for fname in manifest_tombstone_files(manifest, p):
+            with open(os.path.join(src_dir, os.path.basename(fname))) as fh:
+                dead.update(json.load(fh))
+    dead_ref = ray.put(np.array(sorted(dead), dtype=np.int64))
+
+    def live_source(batch: pa.Table) -> pa.Table:
+        tomb = ray.get(dead_ref)
+        if tomb.size:
+            ids = batch.column("doc_id").to_numpy()
+            pos = np.minimum(np.searchsorted(tomb, ids), tomb.size - 1)
+            batch = batch.filter(pa.array(tomb[pos] != ids))
+        out = {"key": batch.column("key"), "text": batch.column("text"),
+               "lang": batch.column("lang")}
+        for n in batch.schema.names:
+            if n.startswith("kw_"):
+                out[n[3:]] = batch.column(n)
+            elif n.startswith("num_"):
+                out[n[4:]] = batch.column(n)
+        return pa.table(out)
+
+    ds = rd.read_parquet(files, columns=cols).map_batches(
+        live_source, batch_format="pyarrow"
+    )
+    return build_index(
+        ds, dest_dir, cfg,
+        key_col="key", text_col="text", lang_col="lang",
+        html_col=None, ts_col=None, resume=resume,
+    )
