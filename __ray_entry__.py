@@ -928,6 +928,25 @@ def _q_term_suggest(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_completion_suggest(sf_dir: str):
+    """ES completion suggester (autocomplete): prefixes = first 2 chars
+    of the top-4 ranked terms; completions = dictionary terms in the
+    prefix range ranked by global df (freq desc, term asc)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_completion_suggest
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_compidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        top = derive_ranked_terms(IndexSearcher(idx), 4)
+        return run_completion_suggest([t[:2] for t in top], idx, k=5)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_fuzzy_count(sf_dir: str):
     """ES fuzzy query counts (fuzziness=1): probes are the top-4 ranked
     terms with their last char deleted (a deterministic typo) — edit-
@@ -2017,6 +2036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regexp_count": _q_regexp_count,
         "fuzzy_count": _q_fuzzy_count,
         "term_suggest": _q_term_suggest,
+        "completion_suggest": _q_completion_suggest,
         "phrase_prefix_count": _q_phrase_prefix_count,
         "search_after_topk": _q_search_after_topk,
         "multi_index_topk": _q_multi_index_topk,
@@ -2245,6 +2265,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matching
             FROM probes p JOIN tf ON levenshtein(tf.term, p.p) <= 1
             GROUP BY 1
+        """,
+        "completion_suggest": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            tf AS (SELECT DISTINCT doc_id, term FROM toks),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            ranked_terms AS (
+              SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+            ),
+            probes AS (
+              SELECT (r - 1)::BIGINT AS query_id, substr(term, 1, 2) AS p
+              FROM ranked_terms WHERE r <= 4
+            ),
+            cand AS (
+              SELECT p.query_id, df.term AS suggestion, df.df AS freq
+              FROM probes p JOIN df ON starts_with(df.term, p.p)
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY freq DESC, suggestion ASC) AS rank
+              FROM cand
+            )
+            SELECT query_id, rank::BIGINT AS rank, suggestion, freq
+            FROM ranked WHERE rank <= 5
         """,
         "term_suggest": f"""
             WITH toks AS (

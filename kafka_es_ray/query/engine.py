@@ -3543,17 +3543,25 @@ class TermSuggestStage(_SegmentCacheStage):
     segment's edit-distance<=1 dictionary candidates with their segment
     df.  Summing partials over segments yields each candidate's GLOBAL
     df: the distance test doesn't depend on the segment, so every segment
-    whose dictionary holds a candidate emits it."""
+    whose dictionary holds a candidate emits it.  ``mode='prefix'``
+    expands a sorted-dictionary prefix range instead (the ES completion
+    suggester: autocomplete candidates ranked by frequency)."""
 
     def _init_payload(self, payload) -> None:
-        self.probes, self.tomb_map = payload
+        self.probes, self.tomb_map, self.mode = (
+            payload if len(payload) == 3 else (*payload, "fuzzy")
+        )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for pid in batch["part_id"].astype(int):
             seg = self._segment(pid)
             for qi, probe in enumerate(self.probes):
-                tis = _fuzzy_term_indices(seg, probe)
+                if self.mode == "prefix":
+                    lo, hi = seg.term_prefix_range(probe) if probe else (0, 0)
+                    tis = list(range(lo, hi))
+                else:
+                    tis = _fuzzy_term_indices(seg, probe)
                 if not tis:
                     continue
                 idx = np.asarray(tis, dtype=np.int64)
@@ -3585,6 +3593,29 @@ def run_term_suggest(
     suggest_mode=always sorted by frequency), the probe itself excluded.
     Returns (query_id, rank, suggestion, freq) with query_id = probe
     position."""
+    return _run_suggest(probes, index_dir, "fuzzy", k, cfg, concurrency)
+
+
+def run_completion_suggest(
+    prefixes,
+    index_dir: str,
+    *,
+    k: int = 5,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES completion suggester (autocomplete): for each
+    prefix, the top-k dictionary terms starting with it ranked by global
+    df (freq desc, term asc).  Expansion = two binary searches over each
+    sorted segment dictionary; an exact match IS a completion (kept).
+    Returns (query_id, rank, suggestion, freq)."""
+    return _run_suggest(prefixes, index_dir, "prefix", k, cfg, concurrency)
+
+
+def _run_suggest(
+    probes, index_dir: str, mode: str, k: int,
+    cfg: EngineConfig, concurrency: int | None,
+) -> pd.DataFrame:
     import ray
 
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
@@ -3603,7 +3634,7 @@ def run_term_suggest(
     )
     if not probes:
         return empty
-    plan_ref = ray.put((probes, manifest.get("tombstones", {})))
+    plan_ref = ray.put((probes, manifest.get("tombstones", {}), mode))
     partials = _shards_ds(parts, concurrency).map_batches(
         TermSuggestStage,
         fn_constructor_args=(index_dir, plan_ref, cfg),
@@ -3623,7 +3654,8 @@ def run_term_suggest(
     ).to_pandas()
     out = []
     for qi, g in summed.groupby("query_id", sort=True):
-        g = g[g["suggestion"] != probes[int(qi)]]
+        if mode == "fuzzy":  # did-you-mean never suggests the probe itself
+            g = g[g["suggestion"] != probes[int(qi)]]
         if not len(g):
             continue
         sug = g["suggestion"].to_numpy(dtype=object)

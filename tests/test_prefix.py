@@ -229,6 +229,27 @@ def test_term_suggest_matches_bruteforce(built):
         assert g["rank"].tolist() == list(range(1, len(want) + 1))
 
 
+def test_completion_suggest_matches_bruteforce(built):
+    """run_completion_suggest == vocabulary terms with the prefix, ranked
+    (global df desc, term asc); exact matches are kept as completions."""
+    from kafka_es_ray.query.engine import run_completion_suggest
+
+    idx, df = built
+    tok_sets = [set(t.split()) for t in df["text"]]
+    vocab: dict[str, int] = {}
+    for ts in tok_sets:
+        for w in ts:
+            vocab[w] = vocab.get(w, 0) + 1
+    prefixes = ["ap", "cat", "do", "zz", "banana"]
+    got = run_completion_suggest(prefixes, idx, k=4, cfg=CFG)
+    for qi, p in enumerate(prefixes):
+        cands = [(w, c) for w, c in vocab.items() if w.startswith(p)]
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        want = cands[:4]
+        g = got[got["query_id"] == qi]
+        assert list(zip(g["suggestion"], g["freq"])) == want, p
+
+
 def test_fuzzy_term_expansion_matches_levenshtein(built):
     from kafka_es_ray.query.engine import _fuzzy_term_indices
 
