@@ -86,6 +86,13 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--text", required=True)
     ex.add_argument("--key", required=True)
 
+    ub = sub.add_parser("update-by-query", help="set mapped fields on matching docs (ES _update_by_query)")
+    ub.add_argument("--index", required=True)
+    ub.add_argument("--text", required=True)
+    ub.add_argument("--set", required=True, metavar="FIELD=VALUE", nargs="+",
+                    help="field overrides, e.g. --set tier=gold stars=9")
+    ub.add_argument("--operator", default="or", choices=["or", "and"])
+
     ri = sub.add_parser("reindex", help="rebuild from stored _source under a new config (ES _reindex)")
     ri.add_argument("--src", required=True)
     ri.add_argument("--dest", required=True)
@@ -219,6 +226,19 @@ def main(argv: list[str] | None = None) -> int:
         from kafka_es_ray.query.engine import IndexSearcher
 
         print(IndexSearcher(args.index).explain(args.text, args.key).to_string(index=False))
+    elif args.cmd == "update-by-query":
+        own_session = _ray_init(args.num_cpus)
+        from kafka_es_ray.index.incremental import update_by_query
+
+        fields = {}
+        for kv in args.set:
+            k, _, v = kv.partition("=")
+            try:
+                fields[k] = float(v)
+            except ValueError:
+                fields[k] = v
+        manifest = update_by_query(args.index, args.text, fields, operator=args.operator)
+        print(json.dumps({"gen": manifest.get("gen"), "n_docs": manifest["n_docs"]}))
     elif args.cmd == "reindex":
         own_session = _ray_init(args.num_cpus)
         from kafka_es_ray.config import EngineConfig

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+from dataclasses import replace
 
 import numpy as np
 import pandas as pd
@@ -308,6 +309,105 @@ def delete_by_query(
     }
     write_manifest(index_dir, new_manifest)  # commit point
     return new_manifest
+
+
+def update_by_query(
+    index_dir: str,
+    text: str,
+    set_fields: dict,
+    cfg: EngineConfig = DEFAULT,
+    *,
+    lang: str | None = None,
+    operator: str = "or",
+    filter_lang: str | None = None,
+) -> dict:
+    """ES _update_by_query analog (the ``ctx._source.<field> = <value>``
+    script subset): every live doc matching the analyzed query is
+    re-ingested with the field overrides applied — read the stored
+    _source, apply, reindex through the incremental path (new delta
+    segment; the old version tombstoned by the upsert), which is exactly
+    the ES update loop.  ``set_fields`` keys must be cfg keyword/numeric
+    mapped fields.  Requires store_text=True.  Segment-parallel: each
+    task decodes only the query terms' postings and emits its matching
+    docs as rows; nothing materializes on the driver."""
+    import ray.data as rd
+
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+    from kafka_es_ray.index.segment import Segment, manifest_tombstone_files
+
+    manifest = read_manifest(index_dir)
+    # field mappings come from the manifest (what the index actually
+    # stores), falling back to cfg for pre-mappings indexes; the delta
+    # build below must also be told to store them
+    mp = manifest.get("mappings", {})
+    kw_cols = tuple(mp.get("keyword_cols") or cfg.keyword_cols)
+    num_cols = tuple(mp.get("numeric_cols") or cfg.numeric_cols)
+    cfg = replace(cfg, keyword_cols=kw_cols, numeric_cols=num_cols,
+                  store_text=bool(mp.get("store_text", cfg.store_text)))
+    known = set(kw_cols) | set(num_cols)
+    unknown = set(set_fields) - known
+    if unknown:
+        raise ValueError(
+            f"set_fields {sorted(unknown)} are not mapped keyword/numeric fields "
+            f"(mapped: {sorted(known) or 'none'})"
+        )
+    terms = sorted(set(get_analyzer(lang).tokenize(text)))
+
+    def per_segment(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for sid in batch["sid"].astype(int):
+            s = Segment.load(index_dir, sid, manifest_tombstone_files(manifest, sid))
+            tis = [s.lookup(t) for t in terms]
+            present = [ti for ti in tis if ti >= 0]
+            if not present or (operator == "and" and len(present) < len(terms)):
+                continue
+            lists = [s.postings_with_dl(ti)[0] for ti in present]
+            if operator == "and":
+                ids = lists[0]
+                for lst in lists[1:]:
+                    ids = ids[np.isin(ids, lst, assume_unique=True)]
+            else:
+                ids = np.unique(np.concatenate(lists))
+            if filter_lang is not None and ids.size:
+                ids = ids[s.langs_for(ids) == filter_lang]
+            if s.tombstones is not None and s.tombstones.size and ids.size:
+                pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
+                ids = ids[s.tombstones[pos] != ids]
+            if ids.size == 0:
+                continue
+            row = {
+                "key": s.keys_for(ids),
+                "text": s.texts_for(ids),
+                "lang": s.langs_for(ids),
+            }
+            for kw in cfg.keyword_cols:
+                row[kw] = (
+                    np.full(ids.size, str(set_fields[kw]), dtype=object)
+                    if kw in set_fields
+                    else s.field_for(kw, ids)
+                )
+            for nf in cfg.numeric_cols:
+                row[nf] = (
+                    np.full(ids.size, float(set_fields[nf]), dtype=np.float64)
+                    if nf in set_fields
+                    else s.nums_for(nf, ids)
+                )
+            rows.append(pd.DataFrame(row))
+        if not rows:
+            cols = ["key", "text", "lang", *cfg.keyword_cols, *cfg.numeric_cols]
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+        return pd.concat(rows, ignore_index=True)
+
+    parts = [int(p) for p in manifest["parts"]]
+    docs = (
+        rd.from_pandas(pd.DataFrame({"sid": parts}))
+        .repartition(max(1, len(parts) // 2))
+        .map_batches(per_segment, batch_format="pandas")
+    )
+    return apply_incremental(
+        index_dir, docs, cfg,
+        key_col="key", text_col="text", lang_col="lang", seq_col=None, op_col=None,
+    )
 
 
 def apply_incremental(
