@@ -907,6 +907,48 @@ def _q_regexp_count(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_exists_count(sf_dir: str):
+    """ES exists query: count docs whose mapped numeric field has a
+    value.  Missingness injected deterministically at index time
+    (n_chars nulled where doc_id % 7 == 0) so the count is non-trivial;
+    the oracle mirrors the same rule."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import documents_dataset
+    from kafka_es_ray.query.engine import run_counts
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_exidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+
+        def blank(b: pa.Table) -> pa.Table:
+            miss = pc.equal(
+                pa.array(b.column("doc_id").to_numpy() % 7), pa.scalar(0)
+            )
+            nulled = pc.if_else(miss, pa.scalar(None, pa.int64()), b.column("n_chars"))
+            return b.set_column(b.schema.get_field_index("n_chars"), "n_chars", nulled)
+
+        ds = documents_dataset(sf_dir, extra_cols=("n_chars",)).map_batches(
+            blank, batch_format="pyarrow"
+        )
+        build_index(
+            ds, idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = pd.DataFrame({"query_id": [0], "exists": ["n_chars"]})
+        return run_counts(queries, idx, cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_term_suggest(sf_dir: str):
     """ES term suggester (did-you-mean): probes = top-4 ranked terms with
     the last char dropped; suggestions = distance<=1 dictionary terms
@@ -2035,6 +2077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_count": _q_wildcard_count,
         "regexp_count": _q_regexp_count,
         "fuzzy_count": _q_fuzzy_count,
+        "exists_count": _q_exists_count,
         "term_suggest": _q_term_suggest,
         "completion_suggest": _q_completion_suggest,
         "phrase_prefix_count": _q_phrase_prefix_count,
@@ -2265,6 +2308,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matching
             FROM probes p JOIN tf ON levenshtein(tf.term, p.p) <= 1
             GROUP BY 1
+        """,
+        "exists_count": """
+            SELECT 0::BIGINT AS query_id, count(*)::BIGINT AS n_matching
+            FROM documents WHERE doc_id % 7 <> 0
         """,
         "completion_suggest": f"""
             WITH toks AS (

@@ -1194,6 +1194,49 @@ def segment_regexp_matching_ids(
     return ids
 
 
+def segment_exists_matching_ids(
+    s: Segment,
+    field: str,
+    filter_lang: str | None = None,
+    filter_ranges: list[tuple] | None = None,
+) -> np.ndarray:
+    """ES exists query match set for ONE segment: docs whose mapped
+    ``field`` has a value — numeric fields store NaN for missing, keyword
+    fields the empty string (the build's missing-value encodings), lang
+    is always present.  Pure docstore-column scan, no postings."""
+    import pyarrow.compute as pc
+
+    if field == "lang":
+        ids = s.doc_ids_store.copy()
+    elif field in s.num_arr:
+        ids = s.doc_ids_store[~np.isnan(s.num_arr[field])]
+    elif field in s.kw_arr:
+        mask = pc.not_equal(s.kw_arr[field], "").to_numpy(zero_copy_only=False)
+        ids = s.doc_ids_store[mask]
+    else:
+        raise ValueError(
+            f"exists: unmapped field {field!r} "
+            f"(mapped: lang, {sorted(s.kw_arr)}, {sorted(s.num_arr)})"
+        )
+    if filter_lang is not None and ids.size:
+        ids = ids[s.langs_for(ids) == filter_lang]
+    if filter_ranges:
+        for fld, lo_b, hi_b in filter_ranges:
+            if not ids.size:
+                break
+            vals = s.nums_for(fld, ids)
+            keep_r = ~np.isnan(vals)
+            if lo_b is not None:
+                keep_r &= vals >= lo_b
+            if hi_b is not None:
+                keep_r &= vals <= hi_b
+            ids = ids[keep_r]
+    if s.tombstones is not None and s.tombstones.size and ids.size:
+        pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
+        ids = ids[s.tombstones[pos] != ids]
+    return ids
+
+
 def segment_phrase_prefix_matching_ids(
     s: Segment,
     fixed: list[str],
@@ -1402,6 +1445,10 @@ def _segment_match_ids_for_plan(s: Segment, q: dict) -> np.ndarray:
         return segment_regexp_matching_ids(
             s, q["regexp"], q.get("filter_lang"), q.get("filter_ranges"),
             q.get("max_expansions"),
+        )
+    if q.get("exists") is not None:
+        return segment_exists_matching_ids(
+            s, q["exists"], q.get("filter_lang"), q.get("filter_ranges")
         )
     if q.get("prefix") is not None:
         return segment_prefix_matching_ids(
@@ -3007,6 +3054,20 @@ def _match_set_plans(queries: pd.DataFrame) -> list[dict]:
                 entry = plan_by_key[key] = {
                     "query_ids": [],
                     "regexp": str(rex),
+                    "filter_lang": filter_lang,
+                    "filter_ranges": list(fr) if fr else None,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        ex = getattr(row, "exists", None)
+        if ex is not None and not (isinstance(ex, float) and pd.isna(ex)):
+            # ES exists query row: docstore missing-value scan
+            key = ("__exists__", str(ex), filter_lang, fr)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "exists": str(ex),
                     "filter_lang": filter_lang,
                     "filter_ranges": list(fr) if fr else None,
                 }

@@ -361,6 +361,28 @@ def test_field_collapse_matches_bruteforce(built):
         assert g["collapse_val"].tolist() == best["cat"].tolist(), qid
 
 
+def test_exists_query_counts(built):
+    """exists matches docs whose mapped field has a value: NaN numeric
+    rows excluded, keyword/lang always present here."""
+    from kafka_es_ray.index.segment import Segment
+    from kafka_es_ray.query.engine import segment_exists_matching_ids
+
+    idx, df = built
+    queries = pd.DataFrame(
+        {"query_id": [0, 1, 2], "exists": ["stars", "size", "cat"]}
+    )
+    got = run_counts(queries, idx, CFG)
+    want = {
+        0: int(df["stars"].notna().sum()),
+        1: len(df),
+        2: len(df),
+    }
+    assert dict(zip(got["query_id"], got["n_matching"])) == want
+    assert want[0] < len(df)  # the fixture really has missing stars
+    with pytest.raises(ValueError, match="unmapped"):
+        segment_exists_matching_ids(Segment.load(idx, 0), "nope")
+
+
 def test_top_hits_matches_bruteforce(built):
     from kafka_es_ray.query.engine import run_top_hits
 
