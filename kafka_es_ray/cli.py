@@ -55,7 +55,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--resume", action="store_true")
 
     q = sub.add_parser("query", help="BM25 top-k search")
-    q.add_argument("--index", required=True)
+    q.add_argument("--index", required=True, help="index dir, or an alias when --registry is given")
+    q.add_argument("--registry", default=None, help="alias registry JSON (resolves --index)")
     q.add_argument("--text", required=True)
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--operator", default="or", choices=["or", "and"])
@@ -85,6 +86,12 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--index", required=True)
     ex.add_argument("--text", required=True)
     ex.add_argument("--key", required=True)
+
+    al = sub.add_parser("alias", help="manage index aliases (ES _aliases)")
+    al.add_argument("action", choices=["add", "remove", "list"])
+    al.add_argument("--registry", required=True, help="alias registry JSON path")
+    al.add_argument("--name", default=None)
+    al.add_argument("--indexes", nargs="*", default=None)
 
     ub = sub.add_parser("update-by-query", help="set mapped fields on matching docs (ES _update_by_query)")
     ub.add_argument("--index", required=True)
@@ -179,9 +186,28 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"n_docs": manifest["n_docs"], "parts": len(manifest["parts"]), "metrics": manifest["metrics"]}))
     elif args.cmd == "query":
+        from kafka_es_ray.index.aliases import resolve
         from kafka_es_ray.query.engine import IndexSearcher
 
-        s = IndexSearcher(args.index)
+        targets = resolve(args.registry, args.index) if args.registry else [args.index]
+        if len(targets) > 1:
+            # alias over several indexes -> the distributed multi-index path
+            import pandas as pd
+
+            own_session = _ray_init(args.num_cpus)
+            from kafka_es_ray.query.engine import run_queries
+
+            qdf = pd.DataFrame(
+                {"query_id": [0], "text": [args.text], "operator": [args.operator],
+                 "k": [args.k]}
+            )
+            print(run_queries(qdf, targets).to_pandas().to_string(index=False))
+            if own_session:
+                import ray
+
+                ray.shutdown()
+            return 0
+        s = IndexSearcher(targets[0])
         frange = None
         if args.range:
             fld, lo, hi = args.range.split(":")
@@ -226,6 +252,19 @@ def main(argv: list[str] | None = None) -> int:
         from kafka_es_ray.query.engine import IndexSearcher
 
         print(IndexSearcher(args.index).explain(args.text, args.key).to_string(index=False))
+    elif args.cmd == "alias":
+        from kafka_es_ray.index.aliases import add_alias, list_aliases, remove_alias
+
+        if args.action == "add":
+            if not args.name or not args.indexes:
+                p.error("alias add needs --name and --indexes")
+            print(json.dumps(add_alias(args.registry, args.name, args.indexes)))
+        elif args.action == "remove":
+            if not args.name:
+                p.error("alias remove needs --name")
+            print(json.dumps(remove_alias(args.registry, args.name)))
+        else:
+            print(json.dumps(list_aliases(args.registry)))
     elif args.cmd == "update-by-query":
         own_session = _ray_init(args.num_cpus)
         from kafka_es_ray.index.incremental import update_by_query

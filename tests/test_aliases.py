@@ -1,0 +1,64 @@
+"""Index aliases (ES _aliases analog): atomic registry, swap semantics,
+multi-index resolution feeding run_queries."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kafka_es_ray.config import EngineConfig
+from kafka_es_ray.index.aliases import add_alias, list_aliases, remove_alias, resolve
+from kafka_es_ray.index.build import build_index
+from kafka_es_ray.query.engine import run_queries
+
+CFG = EngineConfig(num_partitions=2)
+
+
+@pytest.fixture(scope="module")
+def two_indexes(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    words = ["iron", "gold", "tin", "lead", "zinc"]
+    dirs = []
+    for j in range(2):
+        docs = pd.DataFrame(
+            {
+                "url": [f"i{j}-u{i}" for i in range(30)],
+                "text": [" ".join(rng.choice(words, size=4).tolist()) for _ in range(30)],
+                "lang": "en",
+            }
+        )
+        d = str(tmp_path_factory.mktemp(f"alidx{j}"))
+        build_index(rd.from_pandas(docs), d, CFG, html_col=None, ts_col=None)
+        dirs.append(d)
+    return dirs
+
+
+def test_alias_crud_and_swap(two_indexes, tmp_path):
+    reg = str(tmp_path / "aliases.json")
+    d1, d2 = two_indexes
+    add_alias(reg, "logs", [d1])
+    assert resolve(reg, "logs") == [d1]
+    add_alias(reg, "logs", [d2])  # the zero-downtime swap: one atomic write
+    assert resolve(reg, "logs") == [d2]
+    add_alias(reg, "all-logs", [d1, d2])
+    assert set(list_aliases(reg)) == {"logs", "all-logs"}
+    remove_alias(reg, "logs")
+    assert set(list_aliases(reg)) == {"all-logs"}
+    # plain dirs pass through; junk rejected
+    assert resolve(reg, d1) == [d1]
+    with pytest.raises(ValueError, match="unknown alias"):
+        resolve(reg, "nope")
+    with pytest.raises(ValueError, match="manifest"):
+        add_alias(reg, "bad", [str(tmp_path)])
+
+
+def test_alias_multi_index_query(two_indexes, tmp_path, ray_session):
+    reg = str(tmp_path / "aliases.json")
+    d1, d2 = two_indexes
+    add_alias(reg, "all-logs", [d1, d2])
+    q = pd.DataFrame({"query_id": [0], "text": ["iron gold"], "k": [10]})
+    via_alias = run_queries(q, resolve(reg, "all-logs")).to_pandas()
+    direct = run_queries(q, [d1, d2]).to_pandas()
+    pd.testing.assert_frame_equal(via_alias, direct)
+    assert {0, 1} == set(via_alias["index_id"])  # hits from both indexes
