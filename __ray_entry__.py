@@ -1788,6 +1788,34 @@ def _q_contamination(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Dataset-mixing sample: keep en at 30%, de at 50%, everything else
+    at 10% — hash-of-id thresholds (md5_number_lower contract), so the
+    kept set is reproducible and SQL-replayable."""
+    from kafka_es_ray.pipelines.sampling import stratified_sample
+    from kafka_es_ray.sources.parquet import read_table
+
+    out = stratified_sample(
+        read_table(sf_dir, "documents", columns=["doc_id", "lang"]),
+        {"en": 0.30, "de": 0.50},
+        default_rate=0.10,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_train_holdout(sf_dir: str):
+    """Leakage-safe 10% holdout split: membership is a pure function of
+    doc_id, so resharding or re-runs never move a doc across the
+    boundary."""
+    from kafka_es_ray.pipelines.sampling import train_holdout_split
+    from kafka_es_ray.sources.parquet import read_table
+
+    out = train_holdout_split(
+        read_table(sf_dir, "documents", columns=["doc_id"]), 0.10
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher-style repetition/quality filter signals per doc (token
     count, mean word length, most-repeated-word fraction, top-bigram
@@ -2114,6 +2142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_quality,
         "gopher_quality": _q_gopher_quality,
         "contamination": _q_contamination,
+        "stratified_sample": _q_stratified_sample,
+        "train_holdout": _q_train_holdout,
         "lang_id": _q_lang_id,
         "simhash": _q_simhash,
         "minhash_dups": _q_minhash_dups,
@@ -2725,6 +2755,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 50 <> 0
             ORDER BY d.doc_id
+        """,
+        # hash-threshold sampling: md5_number_lower(doc_id::VARCHAR) is
+        # the exact engine hash (SimHashStage contract)
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE md5_number_lower(doc_id::VARCHAR) % 1000000 <
+                  CASE lang WHEN 'en' THEN 300000 WHEN 'de' THEN 500000
+                       ELSE 100000 END
+            ORDER BY doc_id
+        """,
+        "train_holdout": """
+            SELECT doc_id,
+                   CASE WHEN md5_number_lower(doc_id::VARCHAR) % 1000000 < 100000
+                        THEN 'holdout' ELSE 'train' END AS split
+            FROM documents ORDER BY doc_id
         """,
         # Gopher rules on ROUNDED values both sides so the keep cut is
         # bit-identical; docs with <2 tokens coalesce bigram frac to 0

@@ -44,6 +44,7 @@ def _register_pickle_by_value() -> None:
         fulltext,
         multimodal,
         relational,
+        sampling,
         sketches,
         text_ops,
     )

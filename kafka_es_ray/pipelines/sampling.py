@@ -1,0 +1,69 @@
+"""Deterministic sampling for training-data mixing: per-group rates
+(dataset mixing weights) and train/holdout splits, decided by a hash of
+the document id — never an RNG.
+
+Why hash-based: the keep/drop decision is then (a) reproducible across
+runs, cluster sizes, and partitionings, (b) local to the row — one
+streaming `map_batches`, no shuffle, no global state, and (c) exactly
+replayable in SQL for the oracle.  Hash contract (shared with SimHash):
+``int.from_bytes(md5(utf8(s))[8:16], 'little')`` == DuckDB
+``md5_number_lower(s)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+DENOM = 1_000_000  # rate resolution: 1e-6
+
+
+def _id_hash_mod(ids: pd.Series) -> np.ndarray:
+    """md5_number_lower(str(id)) % DENOM per row — vectorization note:
+    md5 of a short string is C-speed; the loop is digest-bound either way."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:16], "little") % DENOM
+            for v in ids
+        ),
+        dtype=np.int64,
+        count=len(ids),
+    )
+
+
+def stratified_sample(
+    docs_ds,
+    rates: dict[str, float],
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+):
+    """Keep each row with its group's probability — the dataset-mixing
+    primitive (e.g. downsample boilerplate-heavy languages).  Keep rule:
+    ``hash(id) % 1e6 < round(rate * 1e6)``; rows keep their columns."""
+    thresholds = {g: int(round(r * DENOM)) for g, r in rates.items()}
+    default_t = int(round(default_rate * DENOM))
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _id_hash_mod(batch[id_col])
+        t = batch[group_col].map(lambda g: thresholds.get(g, default_t)).to_numpy(np.int64)
+        return batch[h < t]
+
+    return docs_ds.map_batches(pick, batch_format="pandas", batch_size=8192)
+
+
+def train_holdout_split(docs_ds, holdout_frac: float, *, id_col: str = "doc_id"):
+    """Tag every row 'holdout' (hash(id) % 1e6 < frac * 1e6) or 'train' —
+    the leakage-safe eval split: membership is a pure function of the id,
+    so re-runs, resharding, and incremental additions never move a doc
+    across the boundary."""
+    thr = int(round(holdout_frac * DENOM))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _id_hash_mod(batch[id_col])
+        return batch.assign(split=np.where(h < thr, "holdout", "train"))
+
+    return docs_ds.map_batches(tag, batch_format="pandas", batch_size=8192)

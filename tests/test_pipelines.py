@@ -41,6 +41,8 @@ SQL_SUBSET = [
     "regexp_count",
     "contamination",
     "percolate",
+    "stratified_sample",
+    "train_holdout",
 ]
 
 
@@ -113,6 +115,36 @@ def test_gopher_stats_handcrafted(ray_session):
     # short doc fails the word-count floor
     assert r.loc[4, "keep"] == 0
     assert r.loc[4, "mean_word_len"] == np.floor(8 / 2 * 1e6 + 0.5) / 1e6
+
+
+def test_sampling_deterministic_and_partition_invariant(ray_session):
+    """Hash-based sampling: the kept set is identical across runs AND
+    across different partitionings (the no-RNG property that makes the
+    split leakage-safe), and group rates are approximately honored."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.sampling import stratified_sample, train_holdout_split
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4000, dtype=np.int64),
+            "lang": np.where(np.arange(4000) % 2 == 0, "en", "de"),
+        }
+    )
+    rates = {"en": 0.25, "de": 0.75}
+    a = stratified_sample(rd.from_pandas(df), rates).to_pandas()
+    b = stratified_sample(rd.from_pandas(df).repartition(13), rates).to_pandas()
+    assert set(a["doc_id"]) == set(b["doc_id"])
+    for g, r in rates.items():
+        frac = (a["lang"] == g).sum() / 2000
+        assert abs(frac - r) < 0.05, (g, frac)
+    s1 = train_holdout_split(rd.from_pandas(df), 0.1).to_pandas()
+    s2 = train_holdout_split(rd.from_pandas(df).repartition(7), 0.1).to_pandas()
+    m1 = dict(zip(s1["doc_id"], s1["split"]))
+    m2 = dict(zip(s2["doc_id"], s2["split"]))
+    assert m1 == m2
+    hf = sum(v == "holdout" for v in m1.values()) / 4000
+    assert abs(hf - 0.1) < 0.03
 
 
 def test_percolate_handcrafted(ray_session):
