@@ -469,6 +469,15 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM topk WHERE rank <= 10
 """
 
+# multi_match with an ES field boost (title^2): title fscore doubled
+# before the cross-field sum, re-round6'd
+_MULTI_MATCH_BOOST_SQL = _MULTI_MATCH_SQL.replace(
+    "SELECT query_id, doc_id, round(sum(fscore), 6) AS score",
+    "SELECT query_id, doc_id, round(sum(fscore *"
+    " CASE field WHEN 'title' THEN 2.0 ELSE 1.0 END), 6) AS score",
+)
+assert "WHEN 'title' THEN 2.0" in _MULTI_MATCH_BOOST_SQL
+
 # ES dis_max over the same fields/query derivation as _MULTI_MATCH_SQL:
 # doc score = max(field score) + 0.3 * (sum - max), re-round6'd
 _DIS_MAX_SQL = _MULTI_MATCH_SQL.replace(
@@ -664,6 +673,14 @@ def _q_multi_match(sf_dir: str):
     from kafka_es_ray.pipelines.fulltext import multi_match_topk_documents
 
     return multi_match_topk_documents(sf_dir)
+
+
+def _q_multi_match_boost(sf_dir: str):
+    """multi_match most_fields with an ES per-field boost (title^2):
+    title's round6'd BM25 doubled before the cross-field sum."""
+    from kafka_es_ray.pipelines.fulltext import multi_match_boost_topk_documents
+
+    return multi_match_boost_topk_documents(sf_dir)
 
 
 def _q_dis_max(sf_dir: str):
@@ -2113,6 +2130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_index_topk": _q_multi_index_topk,
         "multi_match_topk": _q_multi_match,
         "dis_max_topk": _q_dis_max,
+        "multi_match_boost_topk": _q_multi_match_boost,
         "match_title_topk": _q_match_title,
         "bool_topk": _q_bool_topk,
         "match_count": _q_match_count,
@@ -2237,6 +2255,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and": _BM25_AND_SQL,
         "multi_match_topk": _MULTI_MATCH_SQL,
         "dis_max_topk": _DIS_MAX_SQL,
+        "multi_match_boost_topk": _MULTI_MATCH_BOOST_SQL,
         "match_title_topk": _MATCH_TITLE_SQL,
         "bool_topk": _BOOL_SQL,
         "match_must_not": _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(

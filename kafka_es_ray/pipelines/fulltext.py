@@ -263,6 +263,37 @@ def percolate(docs_ds, queries: pd.DataFrame, lang: str | None = None):
     )
 
 
+def multi_match_boost_topk_documents(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """multi_match most_fields with an ES field boost (title^2): same
+    query derivation as multi_match_topk_documents, title scores doubled
+    before the sum."""
+    from kafka_es_ray.query.engine import run_queries
+
+    index_dir = tempfile.mkdtemp(prefix="kafka_es_ray_mbidx_")
+    try:
+        build_documents_mf_index(sf_dir, index_dir)
+        searcher = IndexSearcher(index_dir, MF_CFG)
+        b1, b2, b3 = _ranked_field_terms(searcher, "body", 3)
+        (t1,) = _ranked_field_terms(searcher, "title", 1)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(4, dtype=np.int64),
+                "text": [b1, f"{b1} {t1}", t1, f"{b2} {b3}"],
+                "type": "multi_match",
+                "fields": "title^2,body",
+                "k": np.int32(k),
+            }
+        )
+        out = run_queries(queries, index_dir, MF_CFG).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+
 def dis_max_topk_documents(sf_dir: str, k: int = 10, tie_breaker: float = 0.3) -> pd.DataFrame:
     """ES dis_max over the title/body index, DISTRIBUTED path: per-field
     BM25, doc score = best field + tie_breaker x the other fields (vs

@@ -1908,7 +1908,7 @@ class ShardScorerStage(_SegmentCacheStage):
                         )
                         if i2.size:
                             ids_l.append(i2)
-                            sc_l.append(s2)
+                            sc_l.append(s2 * pf.get("boost", 1.0))
                     if not ids_l:
                         continue
                     ids, inv = np.unique(np.concatenate(ids_l), return_inverse=True)
@@ -2614,6 +2614,7 @@ def run_queries(
         fld = _row_str(row, "field")
         if (getattr(row, "type", None) or "match") in ("multi_match", "dis_max") and flds_s:
             for f in flds_s.split(","):
+                f = f.partition("^")[0]  # ES per-field boost syntax: title^2
                 terms_set.update(f"{f}\x1f{t}" for t in toks)
         elif fld:
             terms_set.update(f"{fld}\x1f{t}" for t in toks)
@@ -2752,6 +2753,11 @@ def run_queries(
                 mm_mode = ("sum", 0.0)
             per_field = []
             for f in flds_s.split(","):
+                # ES per-field boost syntax ("title^2"): the field's
+                # round6'd BM25 is multiplied by the boost before the
+                # cross-field combine (sum or dis_max)
+                f, _, b_s = f.partition("^")
+                boost = float(b_s) if b_s else 1.0
                 kept = [
                     f"{f}\x1f{t}" for t in base_terms if df_map.get(f"{f}\x1f{t}", 0) > 0
                 ]
@@ -2766,11 +2772,16 @@ def run_queries(
                         "terms": kept,
                         "idf": np.asarray(idf_f, dtype=np.float64),
                         "avgdl": float(avgdl_fields.get(f, 0)) or 1.0,
+                        "boost": boost,
                     }
                 )
             if not per_field:
                 continue
-            key = ("mm", tuple(tuple(p["terms"]) for p in per_field), k, offset, mm_mode)
+            key = (
+                "mm",
+                tuple((tuple(p["terms"]), p["boost"]) for p in per_field),
+                k, offset, mm_mode,
+            )
             entry = plan_by_key.get(key)
             if entry is None:
                 entry = plan_by_key[key] = {

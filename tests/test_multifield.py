@@ -124,6 +124,35 @@ def test_multi_match_sums_per_field(mf_index, query):
     assert got["score"].is_monotonic_decreasing
 
 
+def test_multi_match_field_boosts(mf_index, ray_session):
+    """fields=['title^2','body']: the title field's round6'd BM25 is
+    doubled before the most_fields sum (and before dis_max's max)."""
+    from kafka_es_ray.query.engine import run_queries
+
+    for qtype in ("multi_match", "dis_max"):
+        queries = pd.DataFrame(
+            {
+                "query_id": [0],
+                "text": ["gamma alpha"],
+                "type": qtype,
+                "fields": "title^2,body",
+                "tie_breaker": 0.3,
+                "k": 20,
+            }
+        )
+        got = run_queries(queries, mf_index, CFG).to_pandas()
+        t = _field_scores(DOCS, "title", _tok("gamma alpha"))
+        b = _field_scores(DOCS, "body", _tok("gamma alpha"))
+        want = {}
+        for k_ in set(t) | set(b):
+            bt, bb = 2.0 * t.get(k_, 0.0), b.get(k_, 0.0)
+            if qtype == "multi_match":
+                want[k_] = float(round6(bt + bb))
+            else:
+                want[k_] = float(round6(max(bt, bb) + 0.3 * min(bt, bb)))
+        assert dict(zip(got["key"], got["score"])) == want, qtype
+
+
 @pytest.mark.parametrize("tb", [0.0, 0.3, 1.0])
 def test_dis_max_combines_best_field(mf_index, ray_session, tb):
     """dis_max: score = round6(best field + tb * other fields); tb=1.0
