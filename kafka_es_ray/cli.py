@@ -87,6 +87,12 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--text", required=True)
     ex.add_argument("--key", required=True)
 
+    sg = sub.add_parser("suggest", help="term (did-you-mean) or completion suggestions")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--probe", required=True)
+    sg.add_argument("--mode", default="term", choices=["term", "completion"])
+    sg.add_argument("-k", type=int, default=5)
+
     al = sub.add_parser("alias", help="manage index aliases (ES _aliases)")
     al.add_argument("action", choices=["add", "remove", "list"])
     al.add_argument("--registry", required=True, help="alias registry JSON path")
@@ -252,6 +258,12 @@ def main(argv: list[str] | None = None) -> int:
         from kafka_es_ray.query.engine import IndexSearcher
 
         print(IndexSearcher(args.index).explain(args.text, args.key).to_string(index=False))
+    elif args.cmd == "suggest":
+        own_session = _ray_init(args.num_cpus)
+        from kafka_es_ray.query.engine import run_completion_suggest, run_term_suggest
+
+        fn = run_term_suggest if args.mode == "term" else run_completion_suggest
+        print(fn([args.probe], args.index, k=args.k).to_string(index=False))
     elif args.cmd == "alias":
         from kafka_es_ray.index.aliases import add_alias, list_aliases, remove_alias
 

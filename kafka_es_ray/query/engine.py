@@ -3724,6 +3724,8 @@ def _run_suggest(
     summed = bucketed_group_agg(
         partials, ["query_id", "suggestion"], sum_bucket
     ).to_pandas()
+    if not len(summed):  # no candidates anywhere (schema-less empty frame)
+        return empty
     out = []
     for qi, g in summed.groupby("query_id", sort=True):
         if mode == "fuzzy":  # did-you-mean never suggests the probe itself

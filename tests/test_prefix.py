@@ -229,6 +229,18 @@ def test_term_suggest_matches_bruteforce(built):
         assert g["rank"].tolist() == list(range(1, len(want) + 1))
 
 
+def test_suggest_no_candidates_returns_empty(built):
+    """A probe with no distance-1 / prefix candidates yields an empty
+    typed frame, not a crash (regression: empty partial schema)."""
+    from kafka_es_ray.query.engine import run_completion_suggest, run_term_suggest
+
+    idx, _ = built
+    for fn in (run_term_suggest, run_completion_suggest):
+        out = fn(["zzqqxx"], idx, cfg=CFG)
+        assert len(out) == 0
+        assert list(out.columns) == ["query_id", "rank", "suggestion", "freq"]
+
+
 def test_completion_suggest_matches_bruteforce(built):
     """run_completion_suggest == vocabulary terms with the prefix, ranked
     (global df desc, term asc); exact matches are kept as completions."""
