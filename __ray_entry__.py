@@ -1805,6 +1805,39 @@ def _q_contamination(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_pii_scan(sf_dir: str):
+    """PII scan/redaction over documents with deterministic injected PII
+    (the synthetic corpus has none): docs doc_id%5==0 gain an email,
+    doc_id%7==0 an IPv4; counts + md5 of the redacted text are
+    SQL-mirrored (RE2 patterns on both sides)."""
+    import hashlib
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.text_ops import pii_scan
+    from kafka_es_ray.sources.parquet import read_table
+
+    def inject(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        t = b["text"].copy()
+        m5 = ids % 5 == 0
+        t[m5] = t[m5] + " contact" + pd.Series(ids[m5].astype(str), index=t[m5].index) + "@example.com"
+        m7 = ids % 7 == 0
+        t[m7] = t[m7] + " from 10.0.0.1"
+        return b.assign(text=t)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        inject, batch_format="pandas"
+    )
+    out = pii_scan(docs).to_pandas()
+    out["redacted_md5"] = out["redacted"].map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    return (
+        out[["doc_id", "n_emails", "n_ips", "redacted_md5"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_stratified_sample(sf_dir: str):
     """Dataset-mixing sample: keep en at 30%, de at 50%, everything else
     at 10% — hash-of-id thresholds (md5_number_lower contract), so the
@@ -2162,6 +2195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "train_holdout": _q_train_holdout,
+        "pii_scan": _q_pii_scan,
         "lang_id": _q_lang_id,
         "simhash": _q_simhash,
         "minhash_dups": _q_minhash_dups,
@@ -2774,6 +2808,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 50 <> 0
             ORDER BY d.doc_id
+        """,
+        # PII scan: same injected-PII transform + RE2 patterns as the Ray
+        # side; md5 of the doubly-redacted text compares byte-exactly
+        "pii_scan": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0
+                        THEN ' contact' || doc_id::VARCHAR || '@example.com'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.1' ELSE '' END
+                     AS t2
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+                   md5(regexp_replace(
+                     regexp_replace(t2, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS redacted_md5
+            FROM t ORDER BY doc_id
         """,
         # hash-threshold sampling: md5_number_lower(doc_id::VARCHAR) is
         # the exact engine hash (SimHashStage contract)

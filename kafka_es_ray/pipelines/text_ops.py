@@ -68,6 +68,54 @@ def doc_quality(docs_ds):
     )
 
 
+# PII patterns — RE2-compatible (no lookaround) so DuckDB's regexp
+# functions replay them exactly; frozen with the op version.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+class PiiScanStage:
+    """Actor-pool PII scan/redaction (the pre-training scrub pass):
+    per-doc counts of email / IPv4 matches and the text with every match
+    replaced by a typed placeholder — vectorized pandas str kernels over
+    compiled patterns (emails first, then IPs, the documented order)."""
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.email = re.compile(PII_EMAIL)
+        self.ipv4 = re.compile(PII_IPV4)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[self.text_col].fillna("")
+        n_emails = t.str.count(self.email).astype(np.int64)
+        n_ips = t.str.count(self.ipv4).astype(np.int64)
+        red = t.str.replace(self.email, "[EMAIL]", regex=True).str.replace(
+            self.ipv4, "[IP]", regex=True
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_emails": n_emails,
+                "n_ips": n_ips,
+                "redacted": red,
+            }
+        )
+
+
+def pii_scan(docs_ds, text_col: str = "text"):
+    """(doc_id, n_emails, n_ips, redacted) per document — one streaming
+    pass, no shuffle; patterns are RE2 on both engine and oracle."""
+    return docs_ds.map_batches(
+        PiiScanStage,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=2,
+    )
+
+
 class GopherStatsStage:
     """Actor-pool stage: Gopher-style repetition/quality signals per doc
     (Rae et al. 2021 §A1.1, the public rule set) adapted to token

@@ -43,6 +43,7 @@ SQL_SUBSET = [
     "percolate",
     "stratified_sample",
     "train_holdout",
+    "pii_scan",
 ]
 
 
@@ -115,6 +116,31 @@ def test_gopher_stats_handcrafted(ray_session):
     # short doc fails the word-count floor
     assert r.loc[4, "keep"] == 0
     assert r.loc[4, "mean_word_len"] == np.floor(8 / 2 * 1e6 + 0.5) / 1e6
+
+
+def test_pii_scan_handcrafted(ray_session):
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.text_ops import pii_scan
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "mail me at jo.doe+x@mail.example.org today",
+                "server 192.168.1.10 and backup 10.0.0.2",
+                "two mails a@b.io and c.d@e-f.co plus 8.8.8.8",
+                "nothing sensitive here",
+            ],
+        }
+    )
+    out = pii_scan(rd.from_pandas(docs)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_emails"].tolist() == [1, 0, 2, 0]
+    assert out["n_ips"].tolist() == [0, 2, 1, 0]
+    assert out.loc[0, "redacted"] == "mail me at [EMAIL] today"
+    assert out.loc[1, "redacted"] == "server [IP] and backup [IP]"
+    assert out.loc[2, "redacted"] == "two mails [EMAIL] and [EMAIL] plus [IP]"
+    assert out.loc[3, "redacted"] == "nothing sensitive here"
 
 
 def test_sampling_deterministic_and_partition_invariant(ray_session):
