@@ -1805,6 +1805,26 @@ def _q_contamination(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Pre-training chunking: 64-token windows advancing by 48 (overlap
+    16), early-stop once a window reaches the doc end; chunk text md5'd
+    for the oracle compare."""
+    import hashlib
+
+    from kafka_es_ray.pipelines.text_ops import chunk_documents
+    from kafka_es_ray.sources.parquet import read_table
+
+    out = chunk_documents(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), size=64, stride=48
+    ).to_pandas()
+    out["chunk_md5"] = out["chunk"].map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    return (
+        out[["doc_id", "chunk_idx", "n_tokens", "chunk_md5"]]
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_pii_scan(sf_dir: str):
     """PII scan/redaction over documents with deterministic injected PII
     (the synthetic corpus has none): docs doc_id%5==0 gain an email,
@@ -2196,6 +2216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "train_holdout": _q_train_holdout,
         "pii_scan": _q_pii_scan,
+        "chunk_documents": _q_chunk_documents,
         "lang_id": _q_lang_id,
         "simhash": _q_simhash,
         "minhash_dups": _q_minhash_dups,
@@ -2808,6 +2829,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 50 <> 0
             ORDER BY d.doc_id
+        """,
+        # chunking: 1-based list slicing; keep a window iff it's the first
+        # OR the previous window did not already reach the doc end
+        "chunk_documents": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            wins AS (
+              SELECT doc_id, toks, len(toks) AS n, unnest(generate_series(1, len(toks), 48)) AS s
+              FROM t WHERE len(toks) > 0
+            ),
+            kept AS (
+              SELECT doc_id, toks[s:s+63] AS w, s,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_idx
+              FROM wins WHERE s = 1 OR (s - 48) + 64 - 1 < n
+            )
+            SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+                   len(w)::BIGINT AS n_tokens,
+                   md5(list_reduce(w, (a, b) -> a || ' ' || b)) AS chunk_md5
+            FROM kept ORDER BY doc_id, chunk_idx
         """,
         # PII scan: same injected-PII transform + RE2 patterns as the Ray
         # side; md5 of the doubly-redacted text compares byte-exactly

@@ -215,6 +215,10 @@ def run_bench() -> dict:
         "function_score_topk",
         "gopher_quality",
         "contamination",
+        "percolate",
+        "rare_terms",
+        "pii_scan",
+        "stratified_sample",
     )
     if op_names:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

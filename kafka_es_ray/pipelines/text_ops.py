@@ -68,6 +68,59 @@ def doc_quality(docs_ds):
     )
 
 
+class ChunkStage:
+    """Actor-pool chunking (pre-training sequence prep): split each doc's
+    token stream into windows of ``size`` tokens advancing by ``stride``
+    (overlap = size - stride), chunk text = space-joined window.  The
+    final short window is kept iff it adds tokens (start < n).  Fan-out
+    shape: one input row -> ceil(max(n - size, 0) / stride) + 1 rows."""
+
+    def __init__(self, size: int = 64, stride: int = 48, text_col: str = "text"):
+        assert 0 < stride <= size
+        self.size, self.stride, self.text_col = size, stride, text_col
+        self.an = get_analyzer("en")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = self.an.tokenize_series(batch[self.text_col])
+        ids_out, idx_out, n_out, txt_out = [], [], [], []
+        for did, ts in zip(batch["doc_id"].astype(np.int64), toks):
+            n = len(ts)
+            if n == 0:
+                continue
+            # stride grid, stopping after the first window that reaches
+            # the end — full coverage, no redundant tail windows
+            ci = 0
+            for st_ in range(0, n, self.stride):
+                w = ts[st_ : st_ + self.size]
+                ids_out.append(did)
+                idx_out.append(ci)
+                n_out.append(len(w))
+                txt_out.append(" ".join(w))
+                ci += 1
+                if st_ + self.size >= n:
+                    break
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids_out, dtype=np.int64),
+                "chunk_idx": pd.Series(idx_out, dtype=np.int64),
+                "n_tokens": pd.Series(n_out, dtype=np.int64),
+                "chunk": pd.Series(txt_out, dtype=object),
+            }
+        )
+
+
+def chunk_documents(docs_ds, size: int = 64, stride: int = 48, text_col: str = "text"):
+    """(doc_id, chunk_idx, n_tokens, chunk) — overlapping token windows,
+    one streaming flat-map pass."""
+    return docs_ds.map_batches(
+        ChunkStage,
+        fn_constructor_kwargs={"size": size, "stride": stride, "text_col": text_col},
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=2,
+    )
+
+
 # PII patterns — RE2-compatible (no lookaround) so DuckDB's regexp
 # functions replay them exactly; frozen with the op version.
 PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"

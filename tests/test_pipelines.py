@@ -44,6 +44,7 @@ SQL_SUBSET = [
     "stratified_sample",
     "train_holdout",
     "pii_scan",
+    "chunk_documents",
 ]
 
 
@@ -116,6 +117,43 @@ def test_gopher_stats_handcrafted(ray_session):
     # short doc fails the word-count floor
     assert r.loc[4, "keep"] == 0
     assert r.loc[4, "mean_word_len"] == np.floor(8 / 2 * 1e6 + 0.5) / 1e6
+
+
+def test_chunking_covers_and_overlaps(ray_session):
+    """Every token is covered, consecutive chunks overlap by size-stride,
+    short docs yield exactly one chunk, and the early-stop rule emits no
+    redundant tail."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.text_ops import chunk_documents
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                " ".join(f"w{i}" for i in range(25)),  # 25 toks: windows at 0,8,16
+                " ".join(f"w{i}" for i in range(10)),  # size>n: one chunk
+                " ".join(f"w{i}" for i in range(16)),  # size==n: one chunk
+            ],
+        }
+    )
+    out = (
+        chunk_documents(rd.from_pandas(docs), size=16, stride=8)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    g1 = out[out["doc_id"] == 1]
+    assert g1["chunk_idx"].tolist() == [0, 1, 2]
+    assert g1["n_tokens"].tolist() == [16, 16, 9]
+    assert g1["chunk"].iloc[0].split()[:8] != g1["chunk"].iloc[1].split()[:8]
+    assert g1["chunk"].iloc[0].split()[8:] == g1["chunk"].iloc[1].split()[:8]  # overlap
+    covered = set()
+    for c in g1["chunk"]:
+        covered.update(c.split())
+    assert covered == {f"w{i}" for i in range(25)}
+    assert out[out["doc_id"] == 2]["n_tokens"].tolist() == [10]
+    assert out[out["doc_id"] == 3]["n_tokens"].tolist() == [16]
 
 
 def test_pii_scan_handcrafted(ray_session):

@@ -123,3 +123,33 @@ def test_selective_block_decode_property(df, seed, tmp_path_factory):
     pos = np.searchsorted(ids_full, cand[hit])
     assert np.array_equal(tfs, tfs_full[pos])
     assert np.array_equal(dl, dl_full[pos])
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=300), min_size=0, max_size=20)
+)
+@settings(max_examples=60, deadline=None)
+def test_kfv_container_roundtrip_property(frames):
+    from kafka_es_ray.functions import mediacodec as mc
+
+    assert mc.decode_kfv(mc.encode_kfv(frames)) == frames
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=25),
+    st.integers(min_value=1, max_value=25),
+)
+@settings(max_examples=60, deadline=None)
+def test_resize_nearest_properties(h, w, oh, ow):
+    """Output shape exact; every output pixel is SOME input pixel (the
+    nearest-neighbor invariant); identity when shape unchanged."""
+    from kafka_es_ray.functions import mediacodec as mc
+
+    rng = np.random.default_rng(h * 1000 + w * 37 + oh + ow)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    out = mc.resize_nearest(img, oh, ow)
+    assert out.shape == (oh, ow)
+    assert set(np.unique(out)) <= set(np.unique(img))
+    assert np.array_equal(mc.resize_nearest(img, h, w), img)
