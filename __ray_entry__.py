@@ -1212,6 +1212,48 @@ def _q_function_score_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_termvectors(sf_dir: str):
+    """ES _termvectors for the 3 smallest doc_ids: per-term tf (from the
+    stored _source, the ES realtime path), global df, first position."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_tvidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, store_text=True)
+        build_index(
+            documents_dataset(sf_dir), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        s = IndexSearcher(idx, cfg)
+        ids = sorted(
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+            .column("doc_id").to_pylist()
+        )[:3]
+        out = []
+        for qid, did in enumerate(ids):
+            tv = s.termvectors(str(did))
+            out.append(tv.assign(query_id=np.int64(qid)))
+        return (
+            pd.concat(out, ignore_index=True)[
+                ["query_id", "term", "tf", "df", "first_pos"]
+            ]
+            .sort_values(["query_id", "term"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_more_like_this(sf_dir: str):
     """ES more_like_this for the 3 smallest doc_ids: top-10 tf-idf query
     terms from each source's stored _source (tf>=1, df>=2), BM25
@@ -2165,6 +2207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_subagg": _q_match_subagg,
         "function_score_topk": _q_function_score_topk,
         "more_like_this": _q_more_like_this,
+        "termvectors": _q_termvectors,
         "match_cardinality": _q_match_cardinality,
         "rare_terms": _q_rare_terms,
         "significant_text": _q_significant_text,
@@ -2301,6 +2344,31 @@ def oracle_sql() -> dict[str, str]:
         "match_subagg": _SUBAGG_SQL,
         "function_score_topk": _FVF_SQL,
         "more_like_this": _MLT_SQL,
+        "termvectors": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            srcs AS (
+              SELECT doc_id AS src_id,
+                     (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS query_id
+              FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3)
+            ),
+            toks_pos AS (
+              SELECT s.query_id, unnest(t.toks) AS term,
+                     unnest(generate_series(1, len(t.toks))) AS pos
+              FROM srcs s JOIN t ON t.doc_id = s.src_id
+            ),
+            tv AS (
+              SELECT query_id, term, count(*)::BIGINT AS tf,
+                     (min(pos) - 1)::BIGINT AS first_pos
+              FROM toks_pos GROUP BY 1, 2
+            ),
+            alltf AS (
+              SELECT DISTINCT doc_id, term
+              FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+            ),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM alltf GROUP BY 1)
+            SELECT tv.query_id, tv.term, tv.tf, df.df, tv.first_pos
+            FROM tv JOIN df USING (term) ORDER BY 1, 2
+        """,
         "match_cardinality": _CARDINALITY_SQL,
         "rare_terms": _RARE_TERMS_SQL,
         "significant_text": _SIGTEXT_SQL,

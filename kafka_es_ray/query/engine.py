@@ -556,6 +556,53 @@ class IndexSearcher:
             columns=["term", "df", "idf", "tf", "dl", "tf_part", "contribution"],
         )
 
+    def termvectors(self, key: str, lang: str | None = None) -> pd.DataFrame:
+        """ES _termvectors analog: per-term statistics for one stored
+        document — term frequency in the doc (re-analyzed from the stored
+        _source, the ES realtime path), global document frequency, and
+        the term's first position.  Requires store_text=True.  Returns
+        DataFrame(term, tf, df, first_pos) sorted by term; empty when the
+        key is missing or deleted."""
+        empty = pd.DataFrame(
+            {
+                "term": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype=np.int64),
+                "df": pd.Series([], dtype=np.int64),
+                "first_pos": pd.Series([], dtype=np.int64),
+            }
+        )
+        want = np.asarray([key], dtype=object)
+        best: tuple[int, Segment, int] | None = None
+        for s in self.segments:
+            rows, _ = s.find_keys(want)
+            for r in rows:
+                did = int(s.doc_ids_store[r])
+                if s.tombstones is not None and s.tombstones.size:
+                    p = int(np.searchsorted(s.tombstones, did))
+                    if p < s.tombstones.size and int(s.tombstones[p]) == did:
+                        continue
+                if best is None or did > best[0]:
+                    best = (did, s, int(r))
+        if best is None:
+            return empty
+        _, seg, row = best
+        text = seg.texts_for(np.array([best[0]], dtype=np.int64))[0]
+        lang_d = seg.langs_for(np.array([best[0]], dtype=np.int64))[0]
+        toks = get_analyzer(lang if lang is not None else lang_d).tokenize(text or "")
+        if not toks:
+            return empty
+        arr = np.asarray(toks, dtype=object)
+        terms, first_idx, tf = np.unique(arr, return_index=True, return_counts=True)
+        df = self.global_df(list(terms))
+        return pd.DataFrame(
+            {
+                "term": terms,
+                "tf": tf.astype(np.int64),
+                "df": df.astype(np.int64),
+                "first_pos": first_idx.astype(np.int64),
+            }
+        )
+
     def prefix_matching_ids(
         self, prefix: str, filter_lang: str | None = None,
         max_expansions: int | None = None,

@@ -214,6 +214,28 @@ def test_significant_text_matches_bruteforce(api_index, ray_session):
         assert g["rank"].tolist() == list(range(1, len(want) + 1))
 
 
+def test_termvectors_matches_bruteforce(api_index, ray_session):
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+
+    d, docs = api_index
+    s = IndexSearcher(d, CFG)
+    key = "https://a.x/0042"
+    tv = s.termvectors(key)
+    toks = get_analyzer("en").tokenize(docs.loc[docs["url"] == key, "text"].iloc[0])
+    tok_sets = [set(get_analyzer("en").tokenize(t)) for t in docs["text"]]
+    want = {}
+    for i, t in enumerate(toks):
+        if t not in want:
+            want[t] = [0, sum(t in ts for ts in tok_sets), i]
+        want[t][0] += 1
+    got = {r.term: [r.tf, r.df, r.first_pos] for r in tv.itertuples(index=False)}
+    assert got == want
+    assert tv["term"].is_monotonic_increasing
+    # deleted / missing keys -> empty
+    assert len(s.termvectors("https://a.x/0003")) == 0
+    assert len(s.termvectors("nope")) == 0
+
+
 def test_rare_terms_matches_bruteforce(api_index, ray_session):
     """run_rare_terms == rarest-first brute force: fg over live matching
     docs, bg df over ALL stored docs (tombstones count until merge)."""
