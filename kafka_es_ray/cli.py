@@ -87,6 +87,10 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--text", required=True)
     ex.add_argument("--key", required=True)
 
+    an = sub.add_parser("analyze", help="show analyzer token output (ES _analyze)")
+    an.add_argument("--text", required=True)
+    an.add_argument("--lang", default=None)
+
     sg = sub.add_parser("suggest", help="term (did-you-mean) or completion suggestions")
     sg.add_argument("--index", required=True)
     sg.add_argument("--probe", required=True)
@@ -258,6 +262,11 @@ def main(argv: list[str] | None = None) -> int:
         from kafka_es_ray.query.engine import IndexSearcher
 
         print(IndexSearcher(args.index).explain(args.text, args.key).to_string(index=False))
+    elif args.cmd == "analyze":
+        from kafka_es_ray.functions.tokenizer import get_analyzer
+
+        an_ = get_analyzer(args.lang)
+        print(json.dumps({"analyzer": an_.name, "tokens": an_.tokenize(args.text)}))
     elif args.cmd == "suggest":
         own_session = _ray_init(args.num_cpus)
         from kafka_es_ray.query.engine import run_completion_suggest, run_term_suggest

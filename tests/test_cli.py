@@ -87,6 +87,10 @@ def test_cli_end_to_end(ray_session, corpus_dir, tmp_path, capsys):
     assert main(["count", "--index", idx, "--text", "quick"]) == 0
     assert capsys.readouterr().out.strip() == "13"
 
+    assert main(["analyze", "--text", "The Quick-Fox!"]) == 0
+    az = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert az == {"analyzer": "ascii_v1", "tokens": ["the", "quick", "fox"]}
+
     assert main(["delete-by-query", "--index", idx, "--text", "quick"]) == 0
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["deleted"] == 13
 
