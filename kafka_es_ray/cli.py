@@ -116,6 +116,7 @@ def main(argv: list[str] | None = None) -> int:
     ri.add_argument("--num-partitions", type=int, default=None)
     ri.add_argument("--positions", action="store_true", help="index token positions (phrase queries)")
     ri.add_argument("--store-text", action="store_true")
+    ri.add_argument("--query", default=None, help="ES source.query filter: reindex only matching docs")
 
     sn = sub.add_parser("snapshot", help="copy the committed index state (ES _snapshot)")
     sn.add_argument("--index", required=True)
@@ -310,6 +311,7 @@ def main(argv: list[str] | None = None) -> int:
         manifest = reindex(
             args.src, args.dest,
             EngineConfig(index_positions=args.positions, store_text=args.store_text, **kw),
+            query=args.query,
         )
         print(json.dumps({"n_docs": manifest["n_docs"], "parts": len(manifest["parts"])}))
     elif args.cmd == "snapshot":

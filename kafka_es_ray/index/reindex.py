@@ -35,12 +35,18 @@ def reindex(
     cfg: EngineConfig = DEFAULT,
     *,
     resume: bool = False,
+    query: str | None = None,
+    operator: str = "or",
 ) -> dict:
     """Rebuild ``src_dir``'s live documents into ``dest_dir`` under
     ``cfg``.  Documents get fresh doc ids (the ES reindex contract);
     keys, lang, and any kw_/num_ mapped columns present in the source
     docstore carry over (renamed back to their field names so the build
-    re-maps whatever ``cfg`` asks for).  Returns the new manifest."""
+    re-maps whatever ``cfg`` asks for).  ``query`` (the ES
+    ``source.query`` filter — the corpus-curation path: reindex only the
+    docs matching a match query) restricts the rebuild to matching live
+    docs; each segment task decodes only the query terms' postings to
+    decide membership.  Returns the new manifest."""
     import ray
     import ray.data as rd
 
@@ -62,12 +68,53 @@ def reindex(
                 dead.update(json.load(fh))
     dead_ref = ray.put(np.array(sorted(dead), dtype=np.int64))
 
+    match_ref = None
+    if query is not None:
+        # ES source.query filter: one dictionary+postings pass per
+        # segment gathers the matching LIVE doc ids; ids are globally
+        # unique, so the union broadcasts as one sorted array
+        from kafka_es_ray.query.engine import _match_set_plans, _segment_match_ids_for_plan
+        from kafka_es_ray.index.segment import Segment
+        import pandas as pd
+
+        plan = _match_set_plans(
+            pd.DataFrame({"query_id": [0], "text": [query], "operator": [operator]})
+        )
+
+        def seg_matches(batch: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for pid in batch["sid"].astype(int):
+                s = Segment.load(src_dir, pid, manifest_tombstone_files(manifest, pid))
+                ids = _segment_match_ids_for_plan(s, plan[0])
+                out.append(pd.DataFrame({"doc_id": ids}))
+            return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64)}
+            )
+
+        matched = (
+            rd.from_pandas(pd.DataFrame({"sid": parts}))
+            .repartition(max(1, len(parts) // 2))
+            .map_batches(seg_matches, batch_format="pandas")
+            .to_pandas()["doc_id"]
+            .to_numpy(np.int64)
+        )
+        match_ref = ray.put(np.sort(matched))
+
     def live_source(batch: pa.Table) -> pa.Table:
         tomb = ray.get(dead_ref)
+        ids = batch.column("doc_id").to_numpy()
         if tomb.size:
-            ids = batch.column("doc_id").to_numpy()
             pos = np.minimum(np.searchsorted(tomb, ids), tomb.size - 1)
-            batch = batch.filter(pa.array(tomb[pos] != ids))
+            keep = tomb[pos] != ids
+            batch = batch.filter(pa.array(keep))
+            ids = ids[keep]
+        if match_ref is not None:
+            want = ray.get(match_ref)
+            if want.size:
+                pos = np.minimum(np.searchsorted(want, ids), want.size - 1)
+                batch = batch.filter(pa.array(want[pos] == ids))
+            else:
+                batch = batch.slice(0, 0)
         out = {"key": batch.column("key"), "text": batch.column("text"),
                "lang": batch.column("lang")}
         for n in batch.schema.names:

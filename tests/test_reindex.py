@@ -75,6 +75,28 @@ def test_reindex_preserves_ranking_drops_deleted(src_index, ray_session, tmp_pat
     assert set(agg["value"]) <= {"a", "b"} and agg["n_docs"].sum() > 0
 
 
+def test_filtered_reindex_keeps_only_matches(src_index, ray_session, tmp_path):
+    """reindex(query=...) == the ES source.query corpus-curation path:
+    only live docs matching the query land in the destination."""
+    import ray.data as rd
+
+    idx, docs = src_index
+    dest = str(tmp_path / "filtered")
+    cfg2 = EngineConfig(num_partitions=3, store_text=True)
+    manifest = reindex(idx, dest, cfg2, query="ruby")
+    deleted = {f"u{i}" for i in range(10)}
+    want_keys = {
+        u for u, t in zip(docs["url"], docs["text"])
+        if u not in deleted and "ruby" in t.split()
+    }
+    assert manifest["n_docs"] == len(want_keys)
+    s = IndexSearcher(dest, cfg2)
+    got_keys = set(s.search("ruby", k=1000)["key"])
+    assert got_keys == want_keys
+    # docs that matched only other terms are gone
+    assert all(k in want_keys for k in s.search("jade", k=1000)["key"])
+
+
 def test_reindex_requires_stored_source(ray_session, tmp_path):
     import ray.data as rd
 
