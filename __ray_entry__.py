@@ -255,6 +255,34 @@ SELECT query_id, rank::BIGINT AS rank, term, fg_count, bg_count, score
 FROM ranked WHERE rank <= 10
 """
 
+# ES significant_terms over the source keyword field: JLH vs the whole
+# corpus, min_doc_count=3, exact integer significance cut; ties value asc
+_SIGTERMS_KW_SQL = _MATCHES_CTE + """
+, fg AS (
+  SELECT m.query_id, d.source AS value, count(*)::BIGINT AS fg_count
+  FROM matches m JOIN documents d USING (doc_id) GROUP BY 1, 2
+),
+fgn AS (SELECT query_id, sum(fg_count)::BIGINT AS fgn FROM fg GROUP BY 1),
+bg AS (SELECT source AS value, count(*)::BIGINT AS bg_count FROM documents GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+scored AS (
+  SELECT f.query_id, f.value, f.fg_count, b.bg_count,
+         round(
+           (f.fg_count / (g.fgn * 1.0) - b.bg_count / (nn.n * 1.0))
+           * ((f.fg_count / (g.fgn * 1.0)) / (b.bg_count / (nn.n * 1.0))), 6
+         ) AS score
+  FROM fg f JOIN fgn g USING (query_id) JOIN bg b USING (value) CROSS JOIN nn
+  WHERE f.fg_count >= 3 AND f.fg_count * nn.n > b.bg_count * g.fgn
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, value ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, value, fg_count, bg_count, score
+FROM ranked WHERE rank <= 10
+"""
+
 # ES rare_terms: match-set terms with global df <= the 5th-smallest
 # distinct df (OFFSET 4; coalesce to max df when fewer distinct values),
 # ranked rarest-first (df asc, term asc)
@@ -1314,6 +1342,33 @@ def _q_match_subagg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_significant_terms(sf_dir: str):
+    """ES significant_terms over the source keyword field per derived
+    query's match set — terms-agg fg partials vs a match-all bg pass,
+    JLH-scored with the exact integer cut (live docs on both sides)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_significant_terms
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_sgtidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, keyword_cols=("source",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("source",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_significant_terms(queries, idx, "source", k=10, cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_rare_terms(sf_dir: str):
     """ES rare_terms aggregation per derived query's match set: terms
     with global df <= the corpus's 5th-smallest distinct df (data-derived
@@ -2210,6 +2265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "termvectors": _q_termvectors,
         "match_cardinality": _q_match_cardinality,
         "rare_terms": _q_rare_terms,
+        "significant_terms_kw": _q_significant_terms,
         "significant_text": _q_significant_text,
         "collapse_topk": _q_collapse_topk,
         "top_hits": _q_top_hits,
@@ -2371,6 +2427,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "match_cardinality": _CARDINALITY_SQL,
         "rare_terms": _RARE_TERMS_SQL,
+        "significant_terms_kw": _SIGTERMS_KW_SQL,
         "significant_text": _SIGTEXT_SQL,
         "collapse_topk": _COLLAPSE_SQL,
         "top_hits": _TOP_HITS_SQL,

@@ -3508,6 +3508,84 @@ def _collect_fg_bg_counts(
     return cand, fg_totals, dict(zip(all_terms, bg_df)), plan, n_total
 
 
+def run_significant_terms(
+    queries_ds,
+    index_dir: str,
+    field: str = "lang",
+    *,
+    k: int = 10,
+    min_doc_count: int = 3,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES significant_terms over a KEYWORD field (the
+    structured sibling of significant_text): per query, the field values
+    disproportionately frequent in the match set vs the whole index,
+    JLH-scored with the same exact integer significance cut.  Foreground
+    counts are the ordinary terms-agg partials; background counts come
+    from one match-all pass over the same stage (`exists lang` matches
+    every live doc).  Returns (query_id, rank, value, fg_count, bg_count,
+    score)."""
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "value": pd.Series([], dtype=object),
+            "fg_count": pd.Series([], dtype=np.int64),
+            "bg_count": pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=np.float64),
+        }
+    )
+    fg, plan = _run_match_set(queries_ds, index_dir, field, cfg, concurrency)
+    if not len(fg):
+        return empty
+    bg_df, _ = _run_match_set(
+        pd.DataFrame({"query_id": [0], "exists": ["lang"]}),
+        index_dir, field, cfg, concurrency,
+    )
+    bg_map = dict(zip(bg_df["value"], bg_df["n"].astype(int)))
+    n_total = int(sum(bg_map.values()))
+    if n_total == 0:
+        return empty
+    fg_totals = fg.groupby("plan_id")["n"].sum().to_dict()
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    out = []
+    for pid_, g in fg.groupby("plan_id", sort=True):
+        fg_n = int(fg_totals[pid_])
+        vals = g["value"].to_numpy(dtype=object)
+        fgc = g["n"].to_numpy(np.int64)
+        bgc = np.array([bg_map[v] for v in vals], dtype=np.int64)
+        keep = (fgc >= min_doc_count) & (fgc * n_total > bgc * fg_n)
+        if not keep.any():
+            continue
+        vals, fgc, bgc = vals[keep], fgc[keep], bgc[keep]
+        sp = fgc / float(fg_n)
+        pp = bgc / float(n_total)
+        score = np.floor((sp - pp) * (sp / pp) * 1e6 + 0.5) / 1e6
+        order = np.lexsort((vals, -score))[:k]
+        top = pd.DataFrame(
+            {
+                "rank": np.arange(1, 1 + order.size, dtype=np.int64),
+                "value": vals[order],
+                "fg_count": fgc[order],
+                "bg_count": bgc[order],
+                "score": score[order],
+            }
+        )
+        for qid in fanout.get(int(pid_), []):
+            out.append(top.assign(query_id=np.int64(qid)))
+    if not out:
+        return empty
+    return (
+        pd.concat(out, ignore_index=True)[
+            ["query_id", "rank", "value", "fg_count", "bg_count", "score"]
+        ]
+        .sort_values(["query_id", "rank"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64})
+    )
+
+
 def run_rare_terms(
     queries_ds,
     index_dir: str,

@@ -236,6 +236,36 @@ def test_termvectors_matches_bruteforce(api_index, ray_session):
     assert len(s.termvectors("nope")) == 0
 
 
+def test_significant_terms_kw_matches_bruteforce(api_index, ray_session):
+    """run_significant_terms (keyword field) == brute-force JLH over
+    LIVE docs on both sides (the match-all bg pass excludes tombstones)."""
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+    from kafka_es_ray.query.engine import run_significant_terms
+
+    d, docs = api_index
+    an = get_analyzer("en")
+    deleted = {f"https://a.x/{i:04d}" for i in range(0, 20)}
+    live = docs[~docs["url"].isin(deleted)].reset_index(drop=True)
+    got = run_significant_terms(
+        pd.DataFrame({"query_id": [0], "text": ["alpha"]}),
+        d, "source", k=5, min_doc_count=1, cfg=CFG,
+    )
+    bg = live["source"].value_counts().to_dict()
+    n = len(live)
+    hit = live[live["text"].map(lambda t: "alpha" in an.tokenize(t))]
+    fg = hit["source"].value_counts().to_dict()
+    fg_n = len(hit)
+    scored = []
+    for v, f in fg.items():
+        b = bg[v]
+        if f * n > b * fg_n:
+            sp, pp = f / fg_n, b / n
+            scored.append((v, f, b, np.floor((sp - pp) * (sp / pp) * 1e6 + 0.5) / 1e6))
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    want = scored[:5]
+    assert list(zip(got["value"], got["fg_count"], got["bg_count"], got["score"])) == want
+
+
 def test_rare_terms_matches_bruteforce(api_index, ray_session):
     """run_rare_terms == rarest-first brute force: fg over live matching
     docs, bg df over ALL stored docs (tombstones count until merge)."""
