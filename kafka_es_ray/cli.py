@@ -103,6 +103,12 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--name", default=None)
     al.add_argument("--indexes", nargs="*", default=None)
 
+    ro = sub.add_parser("rollover", help="roll the alias's write index when it exceeds --max-docs (ES _rollover)")
+    ro.add_argument("--registry", required=True)
+    ro.add_argument("--alias", required=True)
+    ro.add_argument("--new-index", required=True)
+    ro.add_argument("--max-docs", type=int, required=True)
+
     ub = sub.add_parser("update-by-query", help="set mapped fields on matching docs (ES _update_by_query)")
     ub.add_argument("--index", required=True)
     ub.add_argument("--text", required=True)
@@ -287,6 +293,11 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(remove_alias(args.registry, args.name)))
         else:
             print(json.dumps(list_aliases(args.registry)))
+    elif args.cmd == "rollover":
+        own_session = _ray_init(args.num_cpus)
+        from kafka_es_ray.index.aliases import rollover
+
+        print(json.dumps(rollover(args.registry, args.alias, args.new_index, max_docs=args.max_docs)))
     elif args.cmd == "update-by-query":
         own_session = _ray_init(args.num_cpus)
         from kafka_es_ray.index.incremental import update_by_query

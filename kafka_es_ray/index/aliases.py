@@ -47,6 +47,49 @@ def remove_alias(registry_path: str, alias: str) -> dict:
     return reg
 
 
+def rollover(
+    registry_path: str,
+    alias: str,
+    new_index_dir: str,
+    *,
+    max_docs: int,
+    cfg=None,
+) -> dict:
+    """ES ``_rollover`` analog for the continuous-ingestion flow: the
+    alias's WRITE index is its LAST target; when that index holds >=
+    ``max_docs`` docs, create a fresh EMPTY index at ``new_index_dir``
+    (committed manifest, zero segments — ingestion lands there via
+    apply_incremental) and atomically repoint the alias to
+    ``[*old_targets, new_index_dir]``.  Reads through the alias span
+    every generation via multi-index search; time-ordered generations
+    bound per-index size exactly like ES time-series indices."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.config import DEFAULT
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.index.segment import read_manifest
+
+    targets = resolve(registry_path, alias)
+    write = targets[-1]
+    n = int(read_manifest(write)["n_docs"])
+    if n < max_docs:
+        return {"rolled": False, "write_index": write, "n_docs": n}
+    empty = pd.DataFrame(
+        {
+            "url": pd.Series([], dtype=object),
+            "text": pd.Series([], dtype=object),
+            "lang": pd.Series([], dtype=object),
+        }
+    )
+    build_index(
+        rd.from_pandas(empty), new_index_dir, cfg or DEFAULT,
+        html_col=None, ts_col=None,
+    )
+    add_alias(registry_path, alias, [*targets, new_index_dir])
+    return {"rolled": True, "write_index": new_index_dir, "n_docs": n}
+
+
 def resolve(registry_path: str | None, name: str) -> list[str]:
     """Resolve a name to index directories: a registered alias returns
     its target list; anything else must be an index directory itself and

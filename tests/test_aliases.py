@@ -53,6 +53,39 @@ def test_alias_crud_and_swap(two_indexes, tmp_path):
         add_alias(reg, "bad", [str(tmp_path)])
 
 
+def test_rollover_flow(two_indexes, tmp_path, ray_session):
+    """_rollover: under the threshold nothing happens; over it, a fresh
+    empty write index is created and the alias repoints atomically;
+    ingestion lands in the new generation and alias reads span both."""
+    from kafka_es_ray.index.aliases import rollover
+    from kafka_es_ray.index.incremental import apply_incremental
+    from kafka_es_ray.index.segment import read_manifest
+
+    reg = str(tmp_path / "aliases.json")
+    d1, _ = two_indexes  # 30 docs
+    add_alias(reg, "stream", [d1])
+    r = rollover(reg, "stream", str(tmp_path / "gen1"), max_docs=1000, cfg=CFG)
+    assert not r["rolled"] and resolve(reg, "stream") == [d1]
+    r2 = rollover(reg, "stream", str(tmp_path / "gen1"), max_docs=10, cfg=CFG)
+    assert r2["rolled"] and r2["n_docs"] == 30
+    targets = resolve(reg, "stream")
+    assert targets == [d1, str(tmp_path / "gen1")]
+    assert read_manifest(targets[-1])["n_docs"] == 0
+    # ingest into the new write generation; alias reads span both
+    delta = pd.DataFrame(
+        {"id": ["fresh-1", "fresh-2"], "text": ["iron fresh doc", "gold fresh doc"],
+         "lang": ["en", "en"], "op": ["index", "index"]}
+    )
+    apply_incremental(targets[-1], delta, CFG, key_col="id")
+    q = pd.DataFrame({"query_id": [0], "text": ["fresh"], "k": [10]})
+    hits = run_queries(q, resolve(reg, "stream")).to_pandas()
+    assert set(hits["key"]) == {"fresh-1", "fresh-2"}
+    assert set(hits["index_id"]) == {1}
+    old = run_queries(pd.DataFrame({"query_id": [0], "text": ["iron"], "k": [50]}),
+                      resolve(reg, "stream")).to_pandas()
+    assert 0 in set(old["index_id"])  # old generation still served
+
+
 def test_alias_multi_index_query(two_indexes, tmp_path, ray_session):
     reg = str(tmp_path / "aliases.json")
     d1, d2 = two_indexes
