@@ -103,6 +103,12 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--name", default=None)
     al.add_argument("--indexes", nargs="*", default=None)
 
+    eb = sub.add_parser("export-by-query", help="dump matching docs to partitioned parquet")
+    eb.add_argument("--index", required=True)
+    eb.add_argument("--text", required=True)
+    eb.add_argument("--out", required=True)
+    eb.add_argument("--operator", default="or", choices=["or", "and"])
+
     ro = sub.add_parser("rollover", help="roll the alias's write index when it exceeds --max-docs (ES _rollover)")
     ro.add_argument("--registry", required=True)
     ro.add_argument("--alias", required=True)
@@ -293,6 +299,12 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(remove_alias(args.registry, args.name)))
         else:
             print(json.dumps(list_aliases(args.registry)))
+    elif args.cmd == "export-by-query":
+        own_session = _ray_init(args.num_cpus)
+        from kafka_es_ray.index.incremental import export_by_query
+
+        ds = export_by_query(args.index, args.text, args.out, operator=args.operator)
+        print(json.dumps({"rows": ds.count(), "out": args.out}))
     elif args.cmd == "rollover":
         own_session = _ray_init(args.num_cpus)
         from kafka_es_ray.index.aliases import rollover

@@ -410,6 +410,77 @@ def update_by_query(
     )
 
 
+def export_by_query(
+    index_dir: str,
+    text: str,
+    out_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    *,
+    lang: str | None = None,
+    operator: str = "or",
+    filter_lang: str | None = None,
+):
+    """Corpus-subset extraction (the ES scroll-and-dump pattern done
+    right): every live doc matching the analyzed query streams out as
+    partitioned parquet — per-segment match + stored-_source fetch, each
+    task writes its own file (resumable output rule; nothing funnels
+    through the driver).  Requires store_text=True.  Returns the lazy
+    Dataset (already written)."""
+    import ray.data as rd
+
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+    from kafka_es_ray.index.segment import Segment, manifest_tombstone_files
+
+    manifest = read_manifest(index_dir)
+    terms = sorted(set(get_analyzer(lang).tokenize(text)))
+
+    def per_segment(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for sid in batch["sid"].astype(int):
+            s = Segment.load(index_dir, sid, manifest_tombstone_files(manifest, sid))
+            tis = [s.lookup(t) for t in terms]
+            present = [ti for ti in tis if ti >= 0]
+            if not present or (operator == "and" and len(present) < len(terms)):
+                continue
+            lists = [s.postings_with_dl(ti)[0] for ti in present]
+            if operator == "and":
+                ids = lists[0]
+                for lst in lists[1:]:
+                    ids = ids[np.isin(ids, lst, assume_unique=True)]
+            else:
+                ids = np.unique(np.concatenate(lists))
+            if filter_lang is not None and ids.size:
+                ids = ids[s.langs_for(ids) == filter_lang]
+            if s.tombstones is not None and s.tombstones.size and ids.size:
+                pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
+                ids = ids[s.tombstones[pos] != ids]
+            if ids.size == 0:
+                continue
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "key": s.keys_for(ids),
+                        "text": s.texts_for(ids),
+                        "lang": s.langs_for(ids),
+                    }
+                )
+            )
+        if not rows:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in ("key", "text", "lang")}
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    parts = [int(p) for p in manifest["parts"]]
+    ds = (
+        rd.from_pandas(pd.DataFrame({"sid": parts}))
+        .repartition(max(1, len(parts) // 2))
+        .map_batches(per_segment, batch_format="pandas")
+    )
+    ds.write_parquet(out_dir)
+    return ds
+
+
 def apply_incremental(
     index_dir: str,
     docs_ds,

@@ -66,3 +66,21 @@ def test_update_by_query_rejects_unmapped_field(built, ray_session):
     idx, _ = built
     with pytest.raises(ValueError, match="not mapped"):
         update_by_query(idx, "mint", {"nope": 1}, CFG)
+
+
+def test_export_by_query(built, ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kafka_es_ray.index.incremental import export_by_query
+
+    idx, docs = built
+    out = str(tmp_path / "export")
+    export_by_query(idx, "mint", out, CFG)
+    import glob
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert files
+    got = pq.read_table(files).to_pandas().sort_values("key").reset_index(drop=True)
+    want = docs[docs["text"].str.split().map(lambda t: "mint" in t)]
+    assert set(got["key"]) == set(want["url"])
+    assert dict(zip(got["key"], got["text"])) == dict(zip(want["url"], want["text"]))
