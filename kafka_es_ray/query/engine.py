@@ -556,6 +556,37 @@ class IndexSearcher:
             columns=["term", "df", "idf", "tf", "dl", "tf_part", "contribution"],
         )
 
+    def highlight(
+        self, text: str, key: str, *,
+        fragment_size: int = 100, num_fragments: int = 3, lang: str | None = None,
+    ) -> list[str]:
+        """ES multi-fragment highlight for one stored doc: up to
+        ``num_fragments`` <em>-marked snippets chosen by distinct-term
+        coverage (see make_fragments).  Requires store_text=True; empty
+        list when the key is missing/deleted or nothing matches."""
+        terms = sorted(set(get_analyzer(lang).tokenize(text)))
+        if not terms:
+            return []
+        want = np.asarray([key], dtype=object)
+        best: tuple[int, Segment] | None = None
+        for s in self.segments:
+            rows, _ = s.find_keys(want)
+            for r in rows:
+                did = int(s.doc_ids_store[r])
+                if s.tombstones is not None and s.tombstones.size:
+                    p = int(np.searchsorted(s.tombstones, did))
+                    if p < s.tombstones.size and int(s.tombstones[p]) == did:
+                        continue
+                if best is None or did > best[0]:  # newest live version
+                    best = (did, s)
+        if best is None:
+            return []
+        doc_text = best[1].texts_for(np.array([best[0]], dtype=np.int64))[0]
+        return make_fragments(
+            doc_text or "", terms,
+            fragment_size=fragment_size, num_fragments=num_fragments,
+        )
+
     def termvectors(self, key: str, lang: str | None = None) -> pd.DataFrame:
         """ES _termvectors analog: per-term statistics for one stored
         document — term frequency in the doc (re-analyzed from the stored
@@ -1021,6 +1052,47 @@ def make_snippet(text: str, terms: list[str], window: int = 60) -> str:
     hi = min(len(text), m.end() + window)
     snippet = pat.sub(lambda g: f"<em>{g.group(0)}</em>", text[lo:hi])
     return ("..." if lo > 0 else "") + snippet + ("..." if hi < len(text) else "")
+
+
+def make_fragments(
+    text: str, terms: list[str], *, fragment_size: int = 100, num_fragments: int = 3
+) -> list[str]:
+    """ES multi-fragment highlighter: up to ``num_fragments`` snippets of
+    ~``fragment_size`` chars, chosen GREEDILY by distinct-term coverage
+    then earliest position (the ES fragment scorer's shape), matches
+    wrapped in <em></em>.  Deterministic: candidate windows are anchored
+    at match starts; ties break on position."""
+    import re as _re
+
+    if not text or not terms:
+        return []
+    pat = _re.compile(
+        r"(?<![a-z0-9])(" + "|".join(_re.escape(t) for t in sorted(set(terms))) + r")(?![a-z0-9])",
+        _re.IGNORECASE,
+    )
+    matches = [(m.start(), m.end(), m.group(0).lower()) for m in pat.finditer(text)]
+    if not matches:
+        return []
+    half = max(1, fragment_size // 2)
+    # candidate windows anchored at each match; score = distinct terms inside
+    cands = []
+    for i, (st_, en_, _t) in enumerate(matches):
+        lo = max(0, st_ - half)
+        hi = min(len(text), en_ + half)
+        inside = {t for s2, e2, t in matches if s2 >= lo and e2 <= hi}
+        cands.append((len(inside), -lo, lo, hi))
+    chosen: list[tuple[int, int]] = []
+    for _score, _neglo, lo, hi in sorted(cands, reverse=True):
+        if len(chosen) >= num_fragments:
+            break
+        if any(not (hi <= c_lo or lo >= c_hi) for c_lo, c_hi in chosen):
+            continue  # overlapping an already-chosen fragment
+        chosen.append((lo, hi))
+    out = []
+    for lo, hi in sorted(chosen):
+        frag = pat.sub(lambda g: f"<em>{g.group(0)}</em>", text[lo:hi])
+        out.append(("..." if lo > 0 else "") + frag + ("..." if hi < len(text) else ""))
+    return out
 
 
 def segment_matching_ids(

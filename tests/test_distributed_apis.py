@@ -214,6 +214,37 @@ def test_significant_text_matches_bruteforce(api_index, ray_session):
         assert g["rank"].tolist() == list(range(1, len(want) + 1))
 
 
+def test_make_fragments_multi_region():
+    """Matches spread across three distant regions yield three ordered
+    non-overlapping fragments; the densest region wins when capped."""
+    from kafka_es_ray.query.engine import make_fragments
+
+    filler = " ".join(["pad"] * 40)
+    text = f"alpha here {filler} beta beta and alpha mid {filler} beta tail end"
+    frs = make_fragments(text, ["alpha", "beta"], fragment_size=60, num_fragments=3)
+    assert len(frs) == 3
+    assert frs[0].startswith("<em>alpha</em>")
+    assert "<em>beta</em>" in frs[1] and "<em>alpha</em>" in frs[1]
+    assert all("pad" not in f or f.count("pad") < 20 for f in frs)  # bounded windows
+    # capped to the densest fragment: the middle region covers BOTH terms
+    top1 = make_fragments(text, ["alpha", "beta"], fragment_size=60, num_fragments=1)
+    assert len(top1) == 1 and "<em>alpha</em>" in top1[0] and "<em>beta</em>" in top1[0]
+    assert make_fragments(text, ["zzz"]) == []
+    assert make_fragments("", ["alpha"]) == []
+
+
+def test_searcher_highlight_fragments(api_index, ray_session):
+    d, docs = api_index
+    s = IndexSearcher(d, CFG)
+    key = "https://a.x/0042"
+    frs = s.highlight("common alpha", key, fragment_size=40, num_fragments=2)
+    assert frs and all("<em>" in f for f in frs)
+    # every doc in the fixture ends with 'common' -> at least one hit
+    assert any("<em>common</em>" in f or "<em>alpha</em>" in f for f in frs)
+    assert s.highlight("common", "https://a.x/0003") == []  # deleted
+    assert s.highlight("common", "nope") == []
+
+
 def test_termvectors_matches_bruteforce(api_index, ray_session):
     from kafka_es_ray.functions.tokenizer import get_analyzer
 
