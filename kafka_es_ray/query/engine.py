@@ -2452,40 +2452,9 @@ def run_top_hits(
             "score": pd.Series([], dtype=np.float64),
         }
     )
-    # scored-match plans (idf needed): reuse the collapse planner shape
-    terms_set: set[str] = set()
-    for row in queries.itertuples(index=False):
-        terms_set.update(get_analyzer(getattr(row, "lang", None)).tokenize(row.text))
-    all_terms = sorted(terms_set)
-    gdf = _collect_global_stats(index_dir, parts, all_terms)
-    df_map = dict(zip(all_terms, gdf))
-    plan_by_key: dict[tuple, dict] = {}
-    for row in queries.itertuples(index=False):
-        base_terms = sorted(set(get_analyzer(getattr(row, "lang", None)).tokenize(row.text)))
-        require_all = (getattr(row, "operator", None) or "or") == "and"
-        terms = [t for t in base_terms if df_map.get(t, 0) > 0]
-        if not terms or (require_all and len(terms) < len(base_terms)):
-            continue
-        filter_lang = getattr(row, "filter_lang", None)
-        fr = _row_filter_ranges(row)
-        key = (tuple(terms), require_all, filter_lang, fr)
-        entry = plan_by_key.get(key)
-        if entry is None:
-            idf = bm25_idf(np.array([df_map[t] for t in terms], dtype=np.int64), n_docs)
-            entry = plan_by_key[key] = {
-                "query_ids": [],
-                "terms": terms,
-                "idf": np.asarray(idf, dtype=np.float64),
-                "require_all": require_all,
-                "filter_lang": filter_lang,
-                "filter_ranges": list(fr) if fr else None,
-            }
-        entry["query_ids"].append(int(row.query_id))
-    plan = list(plan_by_key.values())
+    plan = _scored_match_plans(queries, index_dir, parts, n_docs)
     if not plan:
         return rd.from_pandas(empty)
-    for pid_, q in enumerate(plan):
-        q["plan_id"] = pid_
     plan_ref = ray.put(
         (plan, avgdl, k1, b, manifest.get("tombstones", {}), field, n_hits)
     )
@@ -3117,6 +3086,47 @@ def _row_filter_ranges(row) -> tuple | None:
         return float(v)
 
     return ((str(fld), _num("range_gte"), _num("range_lte")),)
+
+
+def _scored_match_plans(
+    queries: pd.DataFrame, index_dir: str, parts: list[int], n_docs: int
+) -> list[dict]:
+    """Deduped SCORED match plans (terms + idf + filters, plan_id
+    assigned) for the collapse / top_hits family — the plain-match subset
+    of run_queries' planner, with the dictionary-only global-df pass
+    included."""
+    terms_set: set[str] = set()
+    for row in queries.itertuples(index=False):
+        terms_set.update(get_analyzer(getattr(row, "lang", None)).tokenize(row.text))
+    all_terms = sorted(terms_set)
+    df_map = dict(zip(all_terms, _collect_global_stats(index_dir, parts, all_terms)))
+    plan_by_key: dict[tuple, dict] = {}
+    for row in queries.itertuples(index=False):
+        lang_q = getattr(row, "lang", None)
+        base_terms = sorted(set(get_analyzer(lang_q).tokenize(row.text)))
+        require_all = (getattr(row, "operator", None) or "or") == "and"
+        terms = [t for t in base_terms if df_map.get(t, 0) > 0]
+        if not terms or (require_all and len(terms) < len(base_terms)):
+            continue
+        filter_lang = getattr(row, "filter_lang", None)
+        fr = _row_filter_ranges(row)
+        key = (tuple(terms), require_all, filter_lang, fr)
+        entry = plan_by_key.get(key)
+        if entry is None:
+            idf = bm25_idf(np.array([df_map[t] for t in terms], dtype=np.int64), n_docs)
+            entry = plan_by_key[key] = {
+                "query_ids": [],
+                "terms": terms,
+                "idf": np.asarray(idf, dtype=np.float64),
+                "require_all": require_all,
+                "filter_lang": filter_lang,
+                "filter_ranges": list(fr) if fr else None,
+            }
+        entry["query_ids"].append(int(row.query_id))
+    plan = list(plan_by_key.values())
+    for pid_, q in enumerate(plan):
+        q["plan_id"] = pid_
+    return plan
 
 
 def _match_set_plans(queries: pd.DataFrame) -> list[dict]:
@@ -4082,38 +4092,9 @@ def run_collapsed(
     k1 = float(manifest.get("k1", cfg.k1))
     b = float(manifest.get("b", cfg.b))
 
-    terms_set: set[str] = set()
-    for row in queries.itertuples(index=False):
-        terms_set.update(get_analyzer(getattr(row, "lang", None)).tokenize(row.text))
-    all_terms = sorted(terms_set)
-    gdf = _collect_global_stats(index_dir, parts, all_terms)
-    df_map = dict(zip(all_terms, gdf))
-
-    plan_by_key: dict[tuple, dict] = {}
-    for row in queries.itertuples(index=False):
-        lang_q = getattr(row, "lang", None)
-        base_terms = sorted(set(get_analyzer(lang_q).tokenize(row.text)))
-        require_all = (getattr(row, "operator", None) or "or") == "and"
-        terms = [t for t in base_terms if df_map.get(t, 0) > 0]
-        if not terms or (require_all and len(terms) < len(base_terms)):
-            continue
-        filter_lang = getattr(row, "filter_lang", None)
-        fr = _row_filter_ranges(row)
-        key = (tuple(terms), require_all, filter_lang, fr)
-        entry = plan_by_key.get(key)
-        if entry is None:
-            idf = bm25_idf(np.array([df_map[t] for t in terms], dtype=np.int64), n_docs)
-            entry = plan_by_key[key] = {
-                "query_ids": [],
-                "terms": terms,
-                "idf": np.asarray(idf, dtype=np.float64),
-                "k": k,
-                "require_all": require_all,
-                "filter_lang": filter_lang,
-                "filter_ranges": list(fr) if fr else None,
-            }
-        entry["query_ids"].append(int(row.query_id))
-    plan = list(plan_by_key.values())
+    plan = _scored_match_plans(queries, index_dir, parts, n_docs)
+    for q in plan:
+        q["k"] = k  # CollapseTopkStage's per-segment value cut
     empty = pd.DataFrame(
         {
             "query_id": pd.Series([], dtype=np.int64),
@@ -4126,8 +4107,6 @@ def run_collapsed(
     )
     if not plan:
         return rd.from_pandas(empty)
-    for pid_, q in enumerate(plan):
-        q["plan_id"] = pid_
     plan_ref = ray.put(
         (plan, avgdl, k1, b, manifest.get("tombstones", {}), collapse_field)
     )
