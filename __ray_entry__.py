@@ -197,6 +197,51 @@ SELECT query_id, value, rank::BIGINT AS rank, doc_id, score
 FROM topk WHERE rank <= 3
 """
 
+# ES _rank_eval: BM25 top-10 judged against and-match relevance;
+# idcg joined from a precomputed table keyed by min(10, n_relevant)
+_RANK_EVAL_SQL = _BM25_SQL.split("SELECT query_id, rank::BIGINT")[0] + """,
+rel AS (
+  SELECT q.query_id, tf.doc_id
+  FROM queries q JOIN tf ON tf.term = q.term
+  GROUP BY 1, 2
+  HAVING count(DISTINCT tf.term) =
+         (SELECT count(*) FROM queries q2 WHERE q2.query_id = q.query_id)
+),
+top10 AS (SELECT query_id, doc_id, rank FROM topk WHERE rank <= 10),
+hits AS (
+  SELECT t.query_id, t.rank FROM top10 t
+  JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+),
+idcg_t AS (
+  SELECT s.n, sum(1.0 / log2(t.i + 1)) AS idcg
+  FROM generate_series(1, 10) AS s(n), generate_series(1, 10) AS t(i)
+  WHERE t.i <= s.n GROUP BY s.n
+),
+agg AS (
+  SELECT q.query_id,
+         (SELECT count(*) FROM top10 t WHERE t.query_id = q.query_id) AS n_retrieved,
+         (SELECT count(*) FROM rel r WHERE r.query_id = q.query_id) AS n_relevant,
+         (SELECT count(*) FROM hits h WHERE h.query_id = q.query_id) AS n_hit,
+         (SELECT min(rank) FROM hits h WHERE h.query_id = q.query_id) AS first_rank,
+         (SELECT coalesce(sum(1.0 / log2(h.rank + 1)), 0)
+          FROM hits h WHERE h.query_id = q.query_id) AS dcg
+  FROM (SELECT DISTINCT query_id FROM queries) q
+)
+SELECT a.query_id, a.n_retrieved::BIGINT AS n_retrieved,
+       a.n_relevant::BIGINT AS n_relevant,
+       round(CASE WHEN a.n_retrieved > 0
+             THEN a.n_hit / (a.n_retrieved * 1.0) ELSE 0 END, 6) AS precision,
+       round(CASE WHEN a.n_relevant > 0
+             THEN a.n_hit / (a.n_relevant * 1.0) ELSE 0 END, 6) AS recall,
+       round(CASE WHEN a.first_rank IS NOT NULL
+             THEN 1.0 / a.first_rank ELSE 0 END, 6) AS mrr,
+       round(CASE WHEN a.n_hit > 0 AND a.n_relevant > 0
+             THEN a.dcg / i.idcg ELSE 0 END, 6) AS ndcg
+FROM agg a
+LEFT JOIN idcg_t i ON i.n = least(10, a.n_relevant)
+ORDER BY 1
+"""
+
 # shared match-set CTE prefix for the numeric aggregations (same query
 # derivation as _BM25_SQL; operator=or match set, no top-k cap)
 _MATCHES_CTE = """
@@ -1240,6 +1285,38 @@ def _q_function_score_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_rank_eval(sf_dir: str):
+    """ES _rank_eval: precision/recall/MRR/NDCG@10 of the distributed
+    BM25 run, judged against and-match relevance labels produced by the
+    distributed percolate op (docs containing ALL the query's terms are
+    'relevant') — metric math on the driver over two small frames."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import (
+        build_documents_index,
+        derive_query_set,
+        percolate,
+    )
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+    from kafka_es_ray.query.rank_eval import rank_eval
+    from kafka_es_ray.sources.parquet import read_table
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_reidx2_")
+    try:
+        build_documents_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx))
+        queries = queries[queries["text"] != "zzzabsentterm"].reset_index(drop=True)
+        run = run_queries(queries, idx).to_pandas()
+        qrels = percolate(
+            read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+            queries.assign(operator="and"),
+        ).to_pandas()
+        return rank_eval(run, qrels, k=10)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_termvectors(sf_dir: str):
     """ES _termvectors for the 3 smallest doc_ids: per-term tf (from the
     stored _source, the ES realtime path), global df, first position."""
@@ -2263,6 +2340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_score_topk": _q_function_score_topk,
         "more_like_this": _q_more_like_this,
         "termvectors": _q_termvectors,
+        "rank_eval": _q_rank_eval,
         "match_cardinality": _q_match_cardinality,
         "rare_terms": _q_rare_terms,
         "significant_terms_kw": _q_significant_terms,
@@ -2400,6 +2478,7 @@ def oracle_sql() -> dict[str, str]:
         "match_subagg": _SUBAGG_SQL,
         "function_score_topk": _FVF_SQL,
         "more_like_this": _MLT_SQL,
+        "rank_eval": _RANK_EVAL_SQL,
         "termvectors": f"""
             WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
             srcs AS (

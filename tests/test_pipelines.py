@@ -119,6 +119,37 @@ def test_gopher_stats_handcrafted(ray_session):
     assert r.loc[4, "mean_word_len"] == np.floor(8 / 2 * 1e6 + 0.5) / 1e6
 
 
+def test_rank_eval_hand_computed():
+    """rank_eval metrics against hand-computed values: relevant at ranks
+    2 and 5 of 5 retrieved, 3 relevant total; plus the degenerate
+    no-relevant and no-retrieved queries."""
+    from kafka_es_ray.query.rank_eval import rank_eval
+
+    run = pd.DataFrame(
+        {
+            "query_id": [0] * 5 + [1] * 3,
+            "rank": [1, 2, 3, 4, 5, 1, 2, 3],
+            "doc_id": [10, 11, 12, 13, 14, 20, 21, 22],
+        }
+    )
+    qrels = pd.DataFrame(
+        {"query_id": [0, 0, 0, 2], "doc_id": [11, 14, 99, 30]}
+    )
+    out = rank_eval(run, qrels, k=10).set_index("query_id")
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    assert out.loc[0, "precision"] == r6(2 / 5)
+    assert out.loc[0, "recall"] == r6(2 / 3)
+    assert out.loc[0, "mrr"] == r6(1 / 2)
+    dcg = 1 / np.log2(3) + 1 / np.log2(6)
+    idcg = 1 / np.log2(2) + 1 / np.log2(3) + 1 / np.log2(4)
+    assert out.loc[0, "ndcg"] == r6(dcg / idcg)
+    # query 1: retrieved but nothing relevant
+    assert (out.loc[1, ["precision", "recall", "mrr", "ndcg"]] == 0).all()
+    # query 2: relevant docs but nothing retrieved
+    assert out.loc[2, "n_retrieved"] == 0 and out.loc[2, "n_relevant"] == 1
+    assert (out.loc[2, ["precision", "recall", "mrr", "ndcg"]] == 0).all()
+
+
 def test_chunking_covers_and_overlaps(ray_session):
     """Every token is covered, consecutive chunks overlap by size-stride,
     short docs yield exactly one chunk, and the early-stop rule emits no
