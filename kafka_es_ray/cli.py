@@ -87,6 +87,9 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--text", required=True)
     ex.add_argument("--key", required=True)
 
+    fc = sub.add_parser("field-caps", help="mapped fields and capabilities (ES _field_caps)")
+    fc.add_argument("--index", required=True)
+
     an = sub.add_parser("analyze", help="show analyzer token output (ES _analyze)")
     an.add_argument("--text", required=True)
     an.add_argument("--lang", default=None)
@@ -275,6 +278,10 @@ def main(argv: list[str] | None = None) -> int:
         from kafka_es_ray.query.engine import IndexSearcher
 
         print(IndexSearcher(args.index).explain(args.text, args.key).to_string(index=False))
+    elif args.cmd == "field-caps":
+        from kafka_es_ray.query.engine import IndexSearcher
+
+        print(IndexSearcher(args.index).field_caps().to_string(index=False))
     elif args.cmd == "analyze":
         from kafka_es_ray.functions.tokenizer import get_analyzer
 

@@ -556,6 +556,23 @@ class IndexSearcher:
             columns=["term", "df", "idf", "tf", "dl", "tf_part", "contribution"],
         )
 
+    def field_caps(self) -> pd.DataFrame:
+        """ES _field_caps analog: every mapped field with its type and
+        capabilities, straight from the manifest's recorded mappings.
+        Returns (field, type, searchable, aggregatable) sorted by field."""
+        mp = self.manifest.get("mappings", {})
+        rows = [("text", "text", True, False), ("lang", "keyword", True, True)]
+        for f in mp.get("text_fields") or []:
+            rows.append((f, "text", True, False))
+        for f in mp.get("keyword_cols") or []:
+            rows.append((f, "keyword", True, True))
+        for f in mp.get("numeric_cols") or []:
+            rows.append((f, "double", True, True))
+        out = pd.DataFrame(
+            rows, columns=["field", "type", "searchable", "aggregatable"]
+        )
+        return out.sort_values("field", kind="mergesort").reset_index(drop=True)
+
     def highlight(
         self, text: str, key: str, *,
         fragment_size: int = 100, num_fragments: int = 3, lang: str | None = None,

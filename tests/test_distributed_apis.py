@@ -214,6 +214,16 @@ def test_significant_text_matches_bruteforce(api_index, ray_session):
         assert g["rank"].tolist() == list(range(1, len(want) + 1))
 
 
+def test_field_caps(api_index, ray_session):
+    d, _ = api_index
+    caps = IndexSearcher(d, CFG).field_caps()
+    got = {r.field: (r.type, r.searchable, r.aggregatable) for r in caps.itertuples(index=False)}
+    assert got["text"] == ("text", True, False)
+    assert got["lang"] == ("keyword", True, True)
+    assert got["source"] == ("keyword", True, True)  # cfg keyword_cols
+    assert caps["field"].is_monotonic_increasing
+
+
 def test_make_fragments_multi_region():
     """Matches spread across three distant regions yield three ordered
     non-overlapping fragments; the densest region wins when capped."""
