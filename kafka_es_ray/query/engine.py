@@ -29,6 +29,7 @@ import pyarrow as pa
 from kafka_es_ray.config import DEFAULT, EngineConfig
 from kafka_es_ray.functions.hashing import route_partition
 from kafka_es_ray.functions.tokenizer import get_analyzer
+from kafka_es_ray.index.incremental import _segments_covering
 from kafka_es_ray.index.segment import (
     Segment,
     manifest_tombstone_files,
@@ -2000,8 +2001,16 @@ class ShardScorerStage(_SegmentCacheStage):
             else np.zeros(len(batch), dtype=np.int64)
         )
         for pid, iid in zip(batch["part_id"].astype(int), iids):
+            # routed plans (ES ?routing=) name their covering segments; a
+            # batch whose every plan skips never loads the segment at all
+            todo = [
+                q for q in self.plan
+                if q.get("only_sids") is None or int(pid) in q["only_sids"]
+            ]
+            if not todo:
+                continue
             seg = self._segment(pid, int(iid))
-            for q in self.plan:
+            for q in todo:
                 # running MaxScore threshold: the k-th best score this
                 # actor has already seen for this plan (monotone rising).
                 # Exact: a doc pruned here scores < the actor-local k-th
@@ -2925,6 +2934,21 @@ def run_queries(
             sa = None
         else:
             sa = (float(sa_raw), int(getattr(row, "after_doc", -1)))
+        route = _row_str(row, "routing")
+        if route is not None:
+            # ES routed search (?routing=R): only the shard owning R's
+            # partition is scheduled for this plan — fan-out drops from
+            # all segments to the covering set (manifest-recorded for
+            # merged segments).  Multi-index routed search unsupported.
+            if multi:
+                raise NotImplementedError("routing with multi-index search")
+            part_r = int(route_partition(
+                np.asarray([route], dtype=object),
+                int(manifest.get("num_partitions", 1)),
+            )[0])
+            only_sids = frozenset(_segments_covering(manifest, part_r))
+        else:
+            only_sids = None
         bf = _row_str(row, "boost_field")
         if bf is not None:
             # ES function_score field_value_factor columns: boost_field,
@@ -2945,7 +2969,10 @@ def run_queries(
             fvf = (bf, mod, _bnum("boost_factor"), _bnum("boost_missing"))
         else:
             fvf = None
-        key = (tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld, fr, sa, fvf)
+        key = (
+            tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld,
+            fr, sa, fvf, only_sids,
+        )
         entry = plan_by_key.get(key)
         if entry is None:
             idf = bm25_idf(np.array([df_map[t] for t in terms], dtype=np.int64), n_docs)
@@ -2955,6 +2982,7 @@ def run_queries(
                 "filter_ranges": list(fr) if fr else None,
                 "search_after": sa,
                 "fvf": fvf,
+                "only_sids": only_sids,
                 "hl_terms": base_terms,
                 "idf": np.asarray(idf, dtype=np.float64),
                 "k": k + offset,  # shards keep the whole rank window

