@@ -20,6 +20,7 @@ import pandas as pd
 import pyarrow as pa
 
 from kafka_es_ray.config import DEFAULT, EngineConfig
+from kafka_es_ray.runtime import stage_pool
 from kafka_es_ray.index.build import build_index
 from kafka_es_ray.stages.actions import ParseActionsStage, resolve_actions
 
@@ -46,7 +47,7 @@ def index_from_actions(
         },
         batch_format="pandas",
         batch_size=cfg.batch_size,
-        concurrency=2,
+        concurrency=stage_pool(),
     )
     live = resolve_actions(parsed)
 
@@ -113,7 +114,7 @@ def index_from_actions_multi(
         },
         batch_format="pandas",
         batch_size=cfg.batch_size,
-        concurrency=2,
+        concurrency=stage_pool(),
     )
     live = resolve_actions(parsed).materialize()
     names = sorted(
@@ -185,7 +186,7 @@ def update_index_from_actions(
         },
         batch_format="pandas",
         batch_size=cfg.batch_size,
-        concurrency=2,
+        concurrency=stage_pool(),
     )
     live = resolve_actions(parsed, keep_deletes=True, keep_orphans=True)
 

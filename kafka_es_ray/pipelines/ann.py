@@ -16,6 +16,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from kafka_es_ray.runtime import stage_pool
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     m = m.astype(np.float64)
@@ -72,7 +74,7 @@ def cosine_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: int 
         fn_constructor_args=(qref, k),
         batch_format="pandas",
         batch_size=4096,
-        concurrency=2,
+        concurrency=stage_pool(),
     )
 
     return _merge_topk(partials, k)
@@ -168,7 +170,7 @@ def sq8_cosine_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: 
         fn_constructor_args=(qref, k),
         batch_format="pandas",
         batch_size=4096,
-        concurrency=2,
+        concurrency=stage_pool(),
     )
     return _merge_topk(partials, k)
 
@@ -235,7 +237,7 @@ def ivf_cosine_topk(
         fn_constructor_args=(qref, k),
         batch_format="pandas",
         batch_size=4096,
-        concurrency=2,
+        concurrency=stage_pool(),
     )
     return _merge_topk(partials, k)
 
@@ -286,7 +288,7 @@ def lsh_cosine_topk(emb_ds, query_ids, query_matrix, k: int = 10, nbits: int = 8
         fn_constructor_args=(qref, k),
         batch_format="pandas",
         batch_size=4096,
-        concurrency=2,
+        concurrency=stage_pool(),
     )
 
     return _merge_topk(partials, k)

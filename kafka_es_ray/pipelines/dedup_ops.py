@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 
 from kafka_es_ray.functions.hashing import stable_hash64
+from kafka_es_ray.runtime import stage_pool
 from kafka_es_ray.functions.tokenizer import get_analyzer
 
 # ---------------------------------------------------------------- exact
@@ -137,7 +138,7 @@ def contamination_check(
         fn_constructor_args=(n, text_col),
         batch_format="pandas",
         batch_size=4096,
-        concurrency=2,
+        concurrency=stage_pool(),
     ).to_pandas()
     bench = np.sort(pd.unique(bench_parts["g"])) if len(bench_parts) else np.array([], dtype=object)
     bench_ref = ray.put(bench)
@@ -146,7 +147,7 @@ def contamination_check(
         fn_constructor_args=(bench_ref, n, id_col, text_col),
         batch_format="pandas",
         batch_size=4096,
-        concurrency=2,
+        concurrency=stage_pool(),
     )
 
 
@@ -211,22 +212,75 @@ class MinHashStage:
         v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return v.min(axis=1)
 
+    # Doc-aligned shingle budget per affine pass: bounds the (num_perm x
+    # chunk) uint64 temporaries to ~64 MB regardless of batch text volume.
+    _CHUNK_SHINGLES = 1 << 17
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out_doc, out_band, out_hash = [], [], []
-        for doc_id, text in zip(batch["doc_id"].astype(np.int64), batch["text"]):
-            sig = self.signature(text)
-            if sig is None:
+        # Vectorized (round-3 verdict #3, the _postings_from_tokens shape):
+        # flat shingle-byte stream for the WHOLE batch -> ONE stable_hash64
+        # call -> chunked (num_perm x n) affine pass with per-doc
+        # np.minimum.reduceat -> ONE band-hash call.  Token-identical to
+        # the old per-row loop: bytes tokens joined with b" " hash equal to
+        # their str counterparts (pandas hashes str via utf-8), and min
+        # over the shingle multiset == min over the uniqued set.
+        doc_ids = batch["doc_id"].to_numpy(np.int64)
+        toks = self.an.tokenize_series_bytes(batch["text"]).tolist()
+        w = self.shingle
+        shingles: list[bytes] = []
+        counts = np.zeros(len(toks), dtype=np.int64)
+        for di, lst in enumerate(toks):
+            n = len(lst)
+            if n == 0:
                 continue
-            bands = sig.reshape(self.bands, self.rows_per_band)
-            bh = stable_hash64(np.array([b.tobytes() for b in bands], dtype=object))
-            out_doc.extend([int(doc_id)] * self.bands)
-            out_band.extend(range(self.bands))
-            out_hash.extend(bh.tolist())
+            if n < w:
+                shingles.append(b" ".join(lst))
+                counts[di] = 1
+            else:
+                shingles.extend(b" ".join(lst[i : i + w]) for i in range(n - w + 1))
+                counts[di] = n - w + 1
+        keep = counts > 0
+        empty = pd.DataFrame(
+            {
+                "band_id": pd.Series([], dtype=np.int32),
+                "band_hash": pd.Series([], dtype=np.uint64),
+                "doc_id": pd.Series([], dtype=np.int64),
+            }
+        )
+        if not keep.any():
+            return empty
+        hashes = stable_hash64(np.asarray(shingles, dtype=object))
+        kept_counts = counts[keep]
+        kept_ids = doc_ids[keep]
+        nd = kept_ids.size
+        ends = np.cumsum(kept_counts)
+        starts = ends - kept_counts
+        sig = np.empty((nd, self.num_perm), dtype=np.uint64)
+        a, b = self.a[:, None], self.b[:, None]
+        big_m = np.uint64(_MERSENNE)
+        c0 = 0
+        while c0 < nd:
+            c1 = c0 + 1
+            tot = kept_counts[c0]
+            while c1 < nd and tot + kept_counts[c1] <= self._CHUNK_SHINGLES:
+                tot += kept_counts[c1]
+                c1 += 1
+            lo = starts[c0]
+            v = (a * hashes[None, lo : ends[c1 - 1]] + b) % big_m
+            sig[c0:c1] = np.minimum.reduceat(v, starts[c0:c1] - lo, axis=1).T
+            c0 = c1
+        # band bytes: C-order buffer of the (nd*bands, rows_per_band)
+        # matrix == the per-doc band.tobytes() concatenation
+        buf = sig.tobytes()
+        step = self.rows_per_band * 8
+        rows = np.empty(nd * self.bands, dtype=object)
+        for i in range(rows.size):
+            rows[i] = buf[i * step : (i + 1) * step]
         return pd.DataFrame(
             {
-                "band_id": pd.Series(out_band, dtype=np.int32),
-                "band_hash": pd.Series(out_hash, dtype=np.uint64),
-                "doc_id": pd.Series(out_doc, dtype=np.int64),
+                "band_id": np.tile(np.arange(self.bands, dtype=np.int32), nd),
+                "band_hash": stable_hash64(rows),
+                "doc_id": np.repeat(kept_ids, self.bands),
             }
         )
 
@@ -239,7 +293,7 @@ def minhash_candidates(docs_ds, num_perm: int = 64, bands: int = 16, shingle: in
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle": shingle},
         batch_format="pandas",
         batch_size=2048,
-        concurrency=2,
+        concurrency=stage_pool(),
     )
 
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
@@ -385,7 +439,7 @@ def minhash_dedup(docs_ds, threshold: float = 0.8, num_perm: int = 64, bands: in
 
     members = cand.map_batches(pair_member_rows, batch_format="pandas")
     blobs = docs_ds.map_batches(
-        CandidateShingles, batch_format="pandas", batch_size=2048, concurrency=2
+        CandidateShingles, batch_format="pandas", batch_size=2048, concurrency=stage_pool()
     )
     joined = bucketed_group_agg(members.union(blobs), ["jkey"], attach_blob)
     return bucketed_group_agg(joined, ["doc_a", "doc_b"], verify_bucket)
@@ -434,7 +488,7 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.2, shingle: int = 3):
     # exploded shingle rows feed two consumers (sizes + co-occurrence):
     # materialize once instead of tokenizing the corpus twice
     exploded = docs_ds.map_batches(
-        ShingleStage, batch_format="pandas", batch_size=2048, concurrency=2
+        ShingleStage, batch_format="pandas", batch_size=2048, concurrency=stage_pool()
     ).materialize()
 
     # set sizes as a DATASET: distinct shingles per doc (bucketed combine)
@@ -622,7 +676,7 @@ class SimHashStage:
 
 
 def simhash64(docs_ds):
-    return docs_ds.map_batches(SimHashStage, batch_format="pandas", batch_size=4096, concurrency=2)
+    return docs_ds.map_batches(SimHashStage, batch_format="pandas", batch_size=4096, concurrency=stage_pool())
 
 
 # ------------------------------------------------- embedding near-dup
@@ -720,7 +774,7 @@ def embedding_neardup(
         return bucket_df.drop_duplicates(["vec_a", "vec_b"])
 
     tagged = emb_ds.map_batches(
-        MultiTableLsh, batch_format="pandas", batch_size=4096, concurrency=2
+        MultiTableLsh, batch_format="pandas", batch_size=4096, concurrency=stage_pool()
     )
     pairs = bucketed_group_agg(tagged, ["table", "bucket"], pairs_in_bucket)
     return bucketed_group_agg(pairs, ["vec_a", "vec_b"], dedupe)
@@ -838,7 +892,7 @@ def embedding_neardup_exact(emb_ds, threshold: float = 0.95):
                 }
             )
 
-    return normed.map_batches(PairScan, batch_format="pandas", batch_size=1024, concurrency=2)
+    return normed.map_batches(PairScan, batch_format="pandas", batch_size=1024, concurrency=stage_pool())
 
 
 # ------------------------------------- duplicate clustering (components)

@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from kafka_es_ray.runtime import stage_pool
+
 from kafka_es_ray.config import EngineConfig
 from kafka_es_ray.functions.tokenizer import get_analyzer
 from kafka_es_ray.index.build import build_index
@@ -259,7 +261,7 @@ def percolate(docs_ds, queries: pd.DataFrame, lang: str | None = None):
         fn_constructor_args=(plans_ref,),
         batch_format="pandas",
         batch_size=4096,
-        concurrency=2,
+        concurrency=stage_pool(),
     )
 
 

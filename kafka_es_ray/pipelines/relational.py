@@ -16,6 +16,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from kafka_es_ray.runtime import stage_pool
+
 
 def _round6(x):
     return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
@@ -211,7 +213,7 @@ def broadcast_join_agg(orders_ds, customer_df: pd.DataFrame):
             )
             return g
 
-    partials = orders_ds.map_batches(JoinStage, batch_format="pandas", batch_size=8192, concurrency=2)
+    partials = orders_ds.map_batches(JoinStage, batch_format="pandas", batch_size=8192, concurrency=stage_pool())
     agg = partials.groupby("c_mktsegment").aggregate(
         Sum("n_orders", alias_name="n_orders"), Sum("total_cents", alias_name="total_cents")
     )
@@ -228,7 +230,7 @@ def broadcast_join_agg(orders_ds, customer_df: pd.DataFrame):
     return agg.map_batches(finalize, batch_format="pandas")
 
 
-def exact_distinct(ds, column: str, num_buckets: int = 32) -> int:
+def exact_distinct(ds, column: str, num_buckets: int | None = None) -> int:
     """EXACT distinct count, scale-safe: per-batch distinct (combiner)
     -> hash-bucketed distinct (same-value rows always share a bucket)
     -> sum of per-bucket counts.  The shuffle moves at most one row per

@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 
 from kafka_es_ray.functions.tokenizer import get_analyzer
+from kafka_es_ray.runtime import stage_pool
 
 # Small fixed stopword list (frozen with the analyzer version).
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
@@ -53,7 +54,7 @@ def _round6(x):
 def doc_token_counts(docs_ds):
     """(doc_id, n_tokens) per document."""
     return docs_ds.map_batches(
-        TokenStatsStage, batch_format="pandas", batch_size=4096, concurrency=2
+        TokenStatsStage, batch_format="pandas", batch_size=4096, concurrency=stage_pool()
     )
 
 
@@ -64,7 +65,7 @@ def doc_quality(docs_ds):
         fn_constructor_kwargs={"quality": True},
         batch_format="pandas",
         batch_size=4096,
-        concurrency=2,
+        concurrency=stage_pool(),
     )
 
 
@@ -117,7 +118,7 @@ def chunk_documents(docs_ds, size: int = 64, stride: int = 48, text_col: str = "
         fn_constructor_kwargs={"size": size, "stride": stride, "text_col": text_col},
         batch_format="pandas",
         batch_size=2048,
-        concurrency=2,
+        concurrency=stage_pool(),
     )
 
 
@@ -165,7 +166,7 @@ def pii_scan(docs_ds, text_col: str = "text"):
         fn_constructor_kwargs={"text_col": text_col},
         batch_format="pandas",
         batch_size=4096,
-        concurrency=2,
+        concurrency=stage_pool(),
     )
 
 
@@ -270,7 +271,7 @@ def gopher_quality(docs_ds, **thresholds):
         fn_constructor_kwargs=thresholds,
         batch_format="pandas",
         batch_size=4096,
-        concurrency=2,
+        concurrency=stage_pool(),
     )
 
 
@@ -299,7 +300,7 @@ def term_df(docs_ds):
     and the group stage sees B buckets, not |vocab| keys."""
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
-    partials = docs_ds.map_batches(_TermDfPartial, batch_format="pandas", batch_size=4096, concurrency=2)
+    partials = docs_ds.map_batches(_TermDfPartial, batch_format="pandas", batch_size=4096, concurrency=stage_pool())
 
     def combine(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby("term", as_index=False).agg(df=("df_partial", "sum"))
@@ -354,7 +355,7 @@ def tfidf_top_terms(docs_ds, k: int = 5):
 
     n_docs = float(docs_ds.count())
     tf_rows = docs_ds.map_batches(
-        _TfPartial, batch_format="pandas", batch_size=4096, concurrency=2
+        _TfPartial, batch_format="pandas", batch_size=4096, concurrency=stage_pool()
     ).materialize()
 
     # df = rows per term (each tf row is one distinct (doc, term))
@@ -454,7 +455,7 @@ def top_bigram(docs_ds) -> tuple[str, str, int]:
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
     partials = docs_ds.map_batches(
-        _BigramPartial, batch_format="pandas", batch_size=4096, concurrency=2
+        _BigramPartial, batch_format="pandas", batch_size=4096, concurrency=stage_pool()
     )
 
     def bucket_top1(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -529,7 +530,7 @@ class LangIdStage:
 
 
 def lang_id(docs_ds):
-    return docs_ds.map_batches(LangIdStage, batch_format="pandas", batch_size=4096, concurrency=2)
+    return docs_ds.map_batches(LangIdStage, batch_format="pandas", batch_size=4096, concurrency=stage_pool())
 
 
 def doc_fingerprint(docs_ds):
@@ -568,7 +569,7 @@ def lang_stats(docs_ds):
                 .agg(n_docs=("lang", "size"), sum_chars=("n_chars", "sum"), sum_tokens=("n_tokens", "sum"))
             )
 
-    partials = docs_ds.map_batches(Partial, batch_format="pandas", batch_size=8192, concurrency=2)
+    partials = docs_ds.map_batches(Partial, batch_format="pandas", batch_size=8192, concurrency=stage_pool())
     agg = partials.groupby("lang").aggregate(
         Sum("n_docs", alias_name="n_docs"),
         Sum("sum_chars", alias_name="sum_chars"),

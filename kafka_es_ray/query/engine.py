@@ -28,6 +28,7 @@ import pyarrow as pa
 
 from kafka_es_ray.config import DEFAULT, EngineConfig
 from kafka_es_ray.functions.hashing import route_partition
+from kafka_es_ray.runtime import query_pool
 from kafka_es_ray.functions.tokenizer import get_analyzer
 from kafka_es_ray.index.incremental import _segments_covering
 from kafka_es_ray.index.segment import (
@@ -1955,7 +1956,7 @@ class _SegmentCacheStage:
             while len(self.segments) > self.cache_cap:
                 self.segments.popitem(last=False)
         else:
-            self.segments.move_to_end(pid)
+            self.segments.move_to_end((iid, pid))
         return seg
 
 
@@ -2460,7 +2461,7 @@ def run_top_hits(
 
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
-    concurrency = concurrency or cfg.query_concurrency or 2
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
     queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
     manifest = read_manifest(index_dir)
     parts = [int(p) for p in manifest["parts"]]
@@ -2670,8 +2671,8 @@ def run_queries(
     shard Dataset carries (index_id, part_id) rows; results gain an
     ``index_id`` column (the ES ``_index`` field) and ties break
     (score desc, doc_id asc, index_id asc).  Multi-field (text_fields)
-    indexes are not supported multi-index (per-field avgdl merge needs
-    per-field sums the manifest stores per index).
+    indexes work multi-index too: per-field avgdl is re-averaged over the
+    combined doc set from each manifest's stats (Σ avgdl_i·n_i / Σ n_i).
 
     ``fetch`` / ``highlight`` (require a store_text index) add the stored
     _source / an <em>-snippet for the FINAL top-k only — shards emit text
@@ -2682,7 +2683,7 @@ def run_queries(
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
     # reference knob max.in.flight.requests (ElasticsearchSinkConnector.kt:61-62)
-    concurrency = concurrency or cfg.query_concurrency or 2
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
     queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
     multi = not isinstance(index_dir, str)
     dirs = list(index_dir) if multi else [index_dir]
@@ -2699,9 +2700,27 @@ def run_queries(
     k1 = float(manifest.get("k1", cfg.k1))
     b = float(manifest.get("b", cfg.b))
 
-    avgdl_fields = manifest.get("avgdl_fields", {})
-    if multi and any(m.get("avgdl_fields") for m in manifests):
-        raise NotImplementedError("multi-index search over multi-field indexes")
+    if multi:
+        # Per-field avgdl over the COMBINED doc set (round-3 verdict #5):
+        # each manifest's avgdl_fields[f] is sum_dl_fields[f]/n_docs_i, so
+        # the combined average is Σ_i avgdl_i*n_docs_i / Σ_i n_docs_i — a
+        # field missing from one index contributes 0 length there, exactly
+        # as a combined single index would have recorded it.
+        fields_all = {f for m in manifests for f in m.get("avgdl_fields", {})}
+        avgdl_fields = {
+            f: (
+                sum(
+                    float(m.get("avgdl_fields", {}).get(f, 0.0)) * int(m["n_docs"])
+                    for m in manifests
+                )
+                / n_docs
+                if n_docs
+                else 0.0
+            )
+            for f in fields_all
+        }
+    else:
+        avgdl_fields = manifest.get("avgdl_fields", {})
 
     def _row_str(row, name: str) -> str | None:
         v = getattr(row, name, None)
@@ -3301,7 +3320,7 @@ def _run_match_set(
 
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
-    concurrency = concurrency or cfg.query_concurrency or 2
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
     queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
     manifest = read_manifest(index_dir)
     parts = [int(p) for p in manifest["parts"]]
@@ -3401,7 +3420,7 @@ def _run_numeric_agg(
     (x buckets) — never doc rows."""
     import ray
 
-    concurrency = concurrency or cfg.query_concurrency or 2
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
     queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
     manifest = read_manifest(index_dir)
     parts = [int(p) for p in manifest["parts"]]
@@ -3604,7 +3623,7 @@ def _collect_fg_bg_counts(
 
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
-    concurrency = concurrency or cfg.query_concurrency or 2
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
     queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
     manifest = read_manifest(index_dir)
     parts = [int(p) for p in manifest["parts"]]
@@ -3944,7 +3963,7 @@ def _run_suggest(
 
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
-    concurrency = concurrency or cfg.query_concurrency or 2
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
     probes = [str(p) for p in probes]
     manifest = read_manifest(index_dir)
     parts = [int(p) for p in manifest["parts"]]
@@ -4059,7 +4078,7 @@ def run_agg_cardinality(
             else {}
         )
     else:
-        concurrency = concurrency or cfg.query_concurrency or 2
+        concurrency = concurrency or cfg.query_concurrency or query_pool()
         queries = (
             queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
         )
@@ -4128,7 +4147,7 @@ def run_collapsed(
 
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
-    concurrency = concurrency or cfg.query_concurrency or 2
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
     queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
     manifest = read_manifest(index_dir)
     parts = [int(p) for p in manifest["parts"]]
@@ -4220,7 +4239,7 @@ def run_sorted(
 
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
-    concurrency = concurrency or cfg.query_concurrency or 2
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
     queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
     manifest = read_manifest(index_dir)
     parts = [int(p) for p in manifest["parts"]]
@@ -4376,7 +4395,7 @@ def run_mget(
     bounded by |keys| by construction)."""
     import ray
 
-    concurrency = concurrency or cfg.query_concurrency or 2
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
     want = np.asarray(list(keys), dtype=object)
     manifest = read_manifest(index_dir)
     P = int(manifest.get("num_partitions", 1))

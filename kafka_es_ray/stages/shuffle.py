@@ -26,8 +26,20 @@ import numpy as np
 import pandas as pd
 
 from kafka_es_ray.functions.hashing import stable_hash64
+from kafka_es_ray.runtime import cluster_cpus
 
 BUCKET_COL = "__bucket"
+
+
+def default_buckets() -> int:
+    """Cluster-derived reducer fan-out: ~2x total CPUs, floor 32.
+
+    Round-3 verdict: the fixed 32 default capped every exchange
+    (dedup, tfidf, connected components, query merge) at 32 reducer
+    groups — right for one 32-CPU box, a scale-killer on 100x the
+    cores.  2x CPUs keeps every core busy through reducer skew while
+    group-count overhead (~ms each) stays negligible."""
+    return max(32, 2 * cluster_cpus())
 
 
 def _bucket_of(df: pd.DataFrame, key_cols: list[str], num_buckets: int) -> np.ndarray:
@@ -42,11 +54,14 @@ def bucketed_group_agg(
     ds,
     key_cols: list[str],
     agg: Callable[[pd.DataFrame], pd.DataFrame],
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ):
     """Exact per-key aggregation at C speed: ``agg`` receives one bucket's
     rows (all rows of every key hashed into it, bucket column removed) and
-    returns any DataFrame.  Shuffle size = input rows, group count = B."""
+    returns any DataFrame.  Shuffle size = input rows, group count = B.
+    ``num_buckets=None`` derives B from the live cluster (default_buckets)."""
+    if num_buckets is None:
+        num_buckets = default_buckets()
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()

@@ -161,6 +161,15 @@ def test_stage_lru_cap(api_index, ray_session):
     stage = MatchSetStage(d, ray.put((plan, man.get("tombstones", {}), None)), cfg2)
     stage(pd.DataFrame({"part_id": parts}))
     assert len(stage.segments) <= 2
+    # Cache HIT path: a repeated pid within one actor's lifetime must not
+    # raise (round-3 latent KeyError: move_to_end was keyed by bare pid
+    # while the cache keys are (iid, pid) tuples) and must refresh LRU
+    # order so the hit segment survives the next eviction.
+    stage(pd.DataFrame({"part_id": [parts[0], parts[0], parts[1], parts[0]]}))
+    assert (0, parts[0]) in stage.segments
+    stage(pd.DataFrame({"part_id": [parts[2]]}))  # evicts LRU, not parts[0]
+    assert (0, parts[0]) in stage.segments
+    assert len(stage.segments) <= 2
     mstage = MgetStage(
         d, ray.put((np.asarray(["https://a.x/0050"], dtype=object), man.get("tombstones", {}), False)), cfg2
     )

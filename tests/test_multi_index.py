@@ -117,22 +117,64 @@ def test_doc_id_collision_tiebreaks_by_index(built, ray_session, tmp_path_factor
     assert out["index_id"].tolist() == [0, 1]  # tie-break index_id asc
 
 
-def test_multifield_multi_index_rejected(built):
-    # guard: multi-index over multi-field indexes must fail loudly
-    import json
-    import os
+MF_CFG = EngineConfig(num_partitions=4, text_fields=("title", "body"))
 
-    # fabricate a manifest with avgdl_fields to hit the check
-    with open(os.path.join(built["even"], "manifest.json")) as f:
-        m = json.load(f)
-    if not m.get("avgdl_fields"):
-        queries = pd.DataFrame({"query_id": [0], "text": ["ruby"]})
-        m["avgdl_fields"] = {"title": 1.0}
-        alt = os.path.join(built["even"], "..", "even_mf")
-        import shutil
 
-        shutil.copytree(built["even"], alt, dirs_exist_ok=True)
-        with open(os.path.join(alt, "manifest.json"), "w") as f:
-            json.dump(m, f)
-        with pytest.raises(NotImplementedError):
-            run_queries(queries, [alt, built["odd"]], CFG)
+def _mf_corpus(n=80, seed=9) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    df = _corpus(n, seed)
+    return df.rename(columns={"text": "body"}).assign(
+        title=[" ".join(rng.choice(WORDS, size=2).tolist()) for _ in range(n)]
+    )
+
+
+def test_multifield_multi_index_equals_combined(ray_session, tmp_path_factory):
+    """Round-4: multi-index search over MULTI-FIELD (text_fields) indexes —
+    the per-field avgdl merged from each manifest (Σ avgdl_i*n_i / Σ n_i)
+    must make a 2-index search score-identical to the combined index, for
+    multi_match, dis_max and field-scoped match queries."""
+    import ray.data as rd
+
+    df = _mf_corpus()
+    base = tmp_path_factory.mktemp("mfmidx")
+    dirs = {}
+    for name, part in [
+        ("even", df[df["doc_id"] % 2 == 0]),
+        ("odd", df[df["doc_id"] % 2 == 1]),
+        ("all", df),
+    ]:
+        d = str(base / name)
+        build_index(
+            rd.from_pandas(part.reset_index(drop=True)), d, MF_CFG,
+            key_col="url", text_col="body", lang_col="lang", html_col=None,
+            ts_col=None, id_col="doc_id",
+        )
+        dirs[name] = d
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2, 3],
+            "text": ["ruby opal", "jade pearl", "onyx", "amber topaz"],
+            "type": ["multi_match", "dis_max", "match", "multi_match"],
+            "fields": ["title,body", "title^2,body", None, "body"],
+            "field": [None, None, "title", None],
+            "tie_breaker": [None, 0.3, None, None],
+            "k": np.int32(20),
+        }
+    )
+    combined = (
+        run_queries(queries, dirs["all"], MF_CFG)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    multi = (
+        run_queries(queries, [dirs["even"], dirs["odd"]], MF_CFG)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(combined) > 0
+    pd.testing.assert_frame_equal(
+        multi[["query_id", "rank", "doc_id", "score"]],
+        combined[["query_id", "rank", "doc_id", "score"]],
+    )

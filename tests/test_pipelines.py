@@ -323,6 +323,46 @@ def test_minhash_finds_planted_neardups(ray_session):
     assert all(3 not in p for p in pairs)
 
 
+def test_minhash_stage_vectorized_token_identical():
+    """The round-4 vectorized MinHashStage.__call__ (flat shingle stream +
+    minimum.reduceat) emits byte-identical (band_id, band_hash, doc_id)
+    rows to the per-row signature() path, including empty / short /
+    unicode docs and across the internal chunk boundary."""
+    import pandas as pd
+
+    from kafka_es_ray.functions.hashing import stable_hash64
+    from kafka_es_ray.pipelines.dedup_ops import MinHashStage
+
+    rng = np.random.default_rng(11)
+    words = np.array(["alpha", "beta", "gamma", "delta", "Héllo", "wörld", "x9"])
+    texts = [" ".join(rng.choice(words, int(n))) for n in rng.integers(0, 50, 150)]
+    texts += ["", "one", "one two", None, "übermäßig groß straße " * 4]
+    batch = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": pd.Series(texts, dtype=object)}
+    )
+    st = MinHashStage()
+    st._CHUNK_SHINGLES = 64  # force many affine chunks
+    got = st(batch).reset_index(drop=True)
+    doc_ids, bands, hashes = [], [], []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        sig = st.signature(text)
+        if sig is None:
+            continue
+        bm = sig.reshape(st.bands, st.rows_per_band)
+        bh = stable_hash64(np.array([b.tobytes() for b in bm], dtype=object))
+        doc_ids += [int(doc_id)] * st.bands
+        bands += list(range(st.bands))
+        hashes += bh.tolist()
+    want = pd.DataFrame(
+        {
+            "band_id": pd.Series(bands, dtype=np.int32),
+            "band_hash": pd.Series(hashes, dtype=np.uint64),
+            "doc_id": pd.Series(doc_ids, dtype=np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_lsh_ann_recall(ray_session):
     """LSH-bucketed ANN returns a subset of brute force with decent
     recall on clustered data."""
