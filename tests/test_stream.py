@@ -111,3 +111,123 @@ def test_replay_after_lost_ledger_entry_is_idempotent(base_index, tmp_path):
     s = IndexSearcher(base_index, CFG)
     assert s.count("rho") == n_before == 1
     assert s.get(["r1"])["found"].iloc[0]
+
+
+def test_metrics_endpoint_scrapeable_during_follow(base_index, tmp_path):
+    """S6 analog: counters are scrapeable over HTTP WHILE the follow loop
+    runs (reference Metrics.kt:24-83 / MetricsUpdater.kt:3-15), in both
+    Prometheus text and JSON renderings."""
+    import threading
+    import time
+    import urllib.request
+
+    from kafka_es_ray.metrics import MetricsServer
+
+    inbox = tmp_path / "inbox_m"
+    inbox.mkdir()
+    _drop(str(inbox), "m-0001.parquet", [
+        {"id": "mm1", "text": "mu nu", "lang": "en", "seq": 1, "op": "index"},
+    ])
+    ms = MetricsServer()
+    port = ms.start()
+    try:
+        th = threading.Thread(
+            target=follow_directory,
+            args=(str(inbox), base_index, CFG),
+            kwargs={"poll_s": 0.05, "idle_stop_s": 3.0, "metrics": ms, "max_batches": 2},
+            daemon=True,
+        )
+        th.start()
+        # scrape LIVE until the first apply lands
+        deadline = time.monotonic() + 30
+        snap = {}
+        while time.monotonic() < deadline:
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics.json") as r:
+                snap = json.loads(r.read())
+            if snap.get("files_applied") == 1:
+                break
+            time.sleep(0.05)
+        assert snap.get("files_applied") == 1
+        assert snap.get("last_gen", 0) >= 1
+        assert snap.get("last_apply_seconds", -1) >= 0
+        assert th.is_alive()  # loop still following: a live scrape, not post-mortem
+        # second file applies after the scrape; loop exits via max_batches
+        _drop(str(inbox), "m-0002.parquet", [
+            {"id": "mm2", "text": "xi omicron", "lang": "en", "seq": 1, "op": "index"},
+        ])
+        th.join(60)
+        assert not th.is_alive()
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            text = r.read().decode()
+        assert "kafka_es_files_applied 2" in text
+        assert "# TYPE kafka_es_files_applied gauge" in text
+    finally:
+        ms.stop()
+
+
+def test_watchdog_restarts_hung_apply(base_index, tmp_path):
+    """WatchDog analog (reference WatchDog.kt:13-126): an apply that
+    stalls past the TTL is restarted; the retry applies cleanly (replay
+    idempotence) and the restart is counted."""
+    import time
+
+    from kafka_es_ray.index.incremental import apply_incremental
+
+    inbox = tmp_path / "inbox_w"
+    inbox.mkdir()
+    _drop(str(inbox), "w-0001.parquet", [
+        {"id": "w1", "text": "phi chi", "lang": "en", "seq": 1, "op": "index"},
+    ])
+    calls = {"n": 0}
+
+    def flaky_apply(index_dir, ds, cfg, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            time.sleep(30)  # simulated stuck batch (daemon thread, abandoned)
+        return apply_incremental(index_dir, ds, cfg, **kw)
+
+    out = follow_directory(
+        str(inbox), base_index, CFG, poll_s=0.05, max_batches=1,
+        watchdog_ttl_s=1.0, watchdog_max_restarts=2, _apply_fn=flaky_apply,
+    )
+    assert out["files_applied"] == 1
+    assert out["watchdog_restarts"] == 1
+    assert out["quarantined"] == []
+    assert IndexSearcher(base_index, CFG).count("phi") == 1
+    assert [e["file"] for e in read_ledger(base_index)["consumed"]][-1] == "w-0001.parquet"
+
+
+def test_watchdog_quarantines_poison_file(base_index, tmp_path):
+    """A file whose apply NEVER finishes is quarantined after
+    max_restarts strikes (error-classification rule D10) and the stream
+    moves on to the next file instead of wedging."""
+    import time
+
+    from kafka_es_ray.index.incremental import apply_incremental
+
+    inbox = tmp_path / "inbox_q"
+    inbox.mkdir()
+    _drop(str(inbox), "q-0001.parquet", [
+        {"id": "poison", "text": "bad", "lang": "en", "seq": 1, "op": "index"},
+    ])
+    _drop(str(inbox), "q-0002.parquet", [
+        {"id": "ok1", "text": "psi psi", "lang": "en", "seq": 1, "op": "index"},
+    ])
+
+    def poison_apply(index_dir, ds, cfg, **kw):
+        if "poison" in set(ds.to_pandas()["id"]):
+            time.sleep(30)
+        return apply_incremental(index_dir, ds, cfg, **kw)
+
+    out = follow_directory(
+        str(inbox), base_index, CFG, poll_s=0.05, idle_stop_s=0.5,
+        watchdog_ttl_s=1.0, watchdog_max_restarts=1, _apply_fn=poison_apply,
+    )
+    assert out["quarantined"] == ["q-0001.parquet"]
+    assert out["files_applied"] == 1
+    entries = {e["file"]: e for e in read_ledger(base_index)["consumed"]}
+    assert entries["q-0001.parquet"].get("error") == "watchdog_quarantined"
+    assert "gen" in entries["q-0002.parquet"]
+    assert IndexSearcher(base_index, CFG).count("psi") == 1
+    # quarantined file never re-pends
+    assert pending_files(str(inbox), base_index) == []
