@@ -2002,11 +2002,13 @@ class ShardScorerStage(_SegmentCacheStage):
             else np.zeros(len(batch), dtype=np.int64)
         )
         for pid, iid in zip(batch["part_id"].astype(int), iids):
-            # routed plans (ES ?routing=) name their covering segments; a
-            # batch whose every plan skips never loads the segment at all
+            # routed plans (ES ?routing=) name their covering segments as
+            # (index_id, segment_id) pairs; a batch whose every plan skips
+            # never loads the segment at all
             todo = [
                 q for q in self.plan
-                if q.get("only_sids") is None or int(pid) in q["only_sids"]
+                if q.get("only_sids") is None
+                or (int(iid), int(pid)) in q["only_sids"]
             ]
             if not todo:
                 continue
@@ -2958,14 +2960,20 @@ def run_queries(
             # ES routed search (?routing=R): only the shard owning R's
             # partition is scheduled for this plan — fan-out drops from
             # all segments to the covering set (manifest-recorded for
-            # merged segments).  Multi-index routed search unsupported.
-            if multi:
-                raise NotImplementedError("routing with multi-index search")
-            part_r = int(route_partition(
-                np.asarray([route], dtype=object),
-                int(manifest.get("num_partitions", 1)),
-            )[0])
-            only_sids = frozenset(_segments_covering(manifest, part_r))
+            # merged segments).  Multi-index: ES hashes the routing key
+            # per index (each index has its own shard count), so the
+            # covering set is computed per manifest and keyed (iid, sid).
+            only_sids = frozenset(
+                (iid, int(sid))
+                for iid, m in enumerate(manifests)
+                for sid in _segments_covering(
+                    m,
+                    int(route_partition(
+                        np.asarray([route], dtype=object),
+                        int(m.get("num_partitions", 1)),
+                    )[0]),
+                )
+            )
         else:
             only_sids = None
         bf = _row_str(row, "boost_field")

@@ -262,6 +262,51 @@ def test_routed_search(ray_session, tmp_path):
     assert routed.sort_values("rank")["rank"].tolist() == list(range(1, 61))
 
 
+def test_routed_multi_index_search(ray_session, tmp_path):
+    """ES routed multi-index search (/idx1,idx2/_search?routing=R): the
+    routing key is hashed per index (each has its own shard count), so
+    the result equals the unrouted multi-index result restricted to each
+    index's owning partition."""
+    import ray.data as rd
+
+    from kafka_es_ray.functions.hashing import route_partition
+
+    cands = [f"tenant-{i}" for i in range(32)]
+    key_a = cands[0]
+    # different shard counts per index — the ES-general case
+    nparts = (8, 5)
+    dirs = []
+    for i, np_i in enumerate(nparts):
+        docs = pd.DataFrame(
+            {
+                "url": [f"u{i}-{j}" for j in range(80)],
+                "text": ["shared token data"] * 80,
+                "lang": "en",
+                "routing": [cands[j % 4] for j in range(80)],
+            }
+        )
+        d = str(tmp_path / f"ridx{i}")
+        build_index(rd.from_pandas(docs), d, EngineConfig(num_partitions=np_i),
+                    html_col=None, ts_col=None, routing_col="routing")
+        dirs.append(d)
+    cfg = EngineConfig()
+    all_q = pd.DataFrame({"query_id": [0], "text": ["shared"], "k": [400]})
+    full = run_queries(all_q, dirs, cfg).to_pandas()
+    routed = run_queries(all_q.assign(routing=key_a), dirs, cfg).to_pandas()
+    assert len(full) == 160
+    want_keys = set()
+    for iid, np_i in enumerate(nparts):
+        part_a = int(route_partition(np.asarray([key_a], dtype=object), np_i)[0])
+        sub = full[(full["index_id"] == iid)
+                   & ((full["doc_id"].to_numpy(np.int64) >> 36) == part_a)]
+        want_keys |= set(zip(sub["index_id"], sub["key"]))
+    assert set(zip(routed["index_id"], routed["key"])) == want_keys
+    # every key_a doc from both indexes is present (20 per index)
+    assert (routed.groupby("index_id")["key"].apply(
+        lambda s: s.str.startswith(("u0-", "u1-")).all()).all())
+    assert sorted(routed["rank"]) == list(range(1, len(routed) + 1))
+
+
 def test_field_caps(api_index, ray_session):
     d, _ = api_index
     caps = IndexSearcher(d, CFG).field_caps()
