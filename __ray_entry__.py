@@ -264,6 +264,69 @@ matches AS (
 )
 """.replace("{_TOK}", _TOK)
 
+# Shared numeric-value projection for the aggregation-family oracles:
+# x = n_chars, y = analyzer token count, ts = the deterministic derived
+# epoch-seconds stamp (mirrors _agg_index_build's add_derived)
+_AGG_VALS_CTE = _MATCHES_CTE + """
+, vals AS (
+  SELECT m.query_id, d.doc_id, d.n_chars::DOUBLE AS x,
+         (1577836800 + (d.doc_id % 400) * 43200)::BIGINT AS ts,
+         len({_TOK})::DOUBLE AS y, d.lang, d.source
+  FROM matches m JOIN documents d USING (doc_id)
+)
+""".replace("{_TOK}", _TOK)
+
+# ES extended_stats: population variance via the SAME exact-sum formula
+# as the engine — (n*ss - s^2)/n^2 over exact integer sums — so doubles
+# match bit-for-bit before the 6dp round
+_EXT_STATS_SQL = _AGG_VALS_CTE + """
+SELECT query_id, count(*)::BIGINT AS n_docs, min(x) AS min_val,
+       max(x) AS max_val, sum(x) AS sum_val,
+       round(sum(x)/count(*), 6) AS avg_val, sum(x*x) AS sum_sq,
+       round((count(*)*sum(x*x) - sum(x)*sum(x)) / (count(*)*count(*)), 6) AS variance,
+       round(sqrt((count(*)*sum(x*x) - sum(x)*sum(x)) / (count(*)*count(*))), 6) AS std_dev
+FROM vals GROUP BY 1 ORDER BY 1
+"""
+
+_DATE_HIST_SQL = _AGG_VALS_CTE + """
+SELECT query_id,
+       epoch(date_trunc('month', to_timestamp(ts)))::BIGINT AS bucket_ts,
+       count(*)::BIGINT AS n_docs
+FROM vals GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_RANGE_AGG_SQL = _AGG_VALS_CTE + """
+SELECT query_id,
+       CASE WHEN x >= 450 THEN 450.0 WHEN x >= 300 THEN 300.0
+            WHEN x >= 200 THEN 200.0 WHEN x >= 100 THEN 100.0
+            ELSE 0.0 END AS range_from,
+       count(*)::BIGINT AS n_docs
+FROM vals WHERE x >= 0 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_MATRIX_STATS_SQL = _AGG_VALS_CTE + """
+SELECT query_id, count(*)::BIGINT AS n_docs,
+       round(sum(x)/count(*), 6) AS mean_x, round(sum(y)/count(*), 6) AS mean_y,
+       round((count(*)*sum(x*x) - sum(x)*sum(x)) / (count(*)*count(*)), 6) AS var_x,
+       round((count(*)*sum(y*y) - sum(y)*sum(y)) / (count(*)*count(*)), 6) AS var_y,
+       round((count(*)*sum(x*y) - sum(x)*sum(y)) / (count(*)*count(*)), 6) AS covariance,
+       round((count(*)*sum(x*y) - sum(x)*sum(y))
+             / (sqrt(count(*)*sum(x*x) - sum(x)*sum(x))
+                * sqrt(count(*)*sum(y*y) - sum(y)*sum(y))), 6) AS correlation
+FROM vals GROUP BY 1 ORDER BY 1
+"""
+
+# ES composite sources (lang, source): first page of 8 buckets by key asc
+_COMPOSITE_SQL = _AGG_VALS_CTE + """
+, buckets AS (
+  SELECT query_id, lang, source, count(*)::BIGINT AS n_docs,
+         row_number() OVER (PARTITION BY query_id ORDER BY lang, source) AS rn
+  FROM vals GROUP BY 1, 2, 3
+)
+SELECT query_id, lang, source, n_docs FROM buckets WHERE rn <= 8
+ORDER BY query_id, lang, source
+"""
+
 # ES significant_text aggregation: per match set (the foreground), terms
 # whose fg doc frequency is disproportionately high vs the whole corpus
 # (the background), JLH-scored (fg% - bg%) * (fg% / bg%); min_doc_count=3
@@ -1556,6 +1619,133 @@ def _q_match_histogram(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _agg_index_build(sf_dir: str, *, numeric=(), keyword=(), derived=False):
+    """Shared builder for the aggregation-family wrappers: a temp
+    documents index with the requested numeric/keyword doc-store columns;
+    ``derived`` adds ts (epoch seconds, deterministic from doc_id) and
+    n_tokens (analyzer token count — the tokenizer ≡ DuckDB contract).
+    Returns (index_dir, cfg, derived match queries)."""
+    import tempfile
+
+    import numpy as _np
+    import pandas as _pd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_aggx_")
+    cfg = EngineConfig(
+        num_partitions=8, numeric_cols=tuple(numeric), keyword_cols=tuple(keyword)
+    )
+    extra = tuple(c for c in (*numeric, *keyword) if c not in ("ts", "n_tokens"))
+    ds = documents_dataset(sf_dir, extra_cols=extra)
+    if derived:
+        an = get_analyzer("en")
+
+        def add_derived(batch: _pd.DataFrame) -> _pd.DataFrame:
+            batch["ts"] = (
+                1577836800 + (batch["doc_id"].astype(_np.int64) % 400) * 43200
+            )
+            batch["n_tokens"] = (
+                an.tokenize_series(batch["text"]).map(len).astype(_np.int64)
+            )
+            return batch
+
+        ds = ds.map_batches(add_derived, batch_format="pandas")
+    build_index(
+        ds, idx, cfg,
+        key_col="key", lang_col="lang", html_col=None, ts_col=None,
+        id_col="doc_id",
+    )
+    queries = derive_query_set(IndexSearcher(idx, cfg))
+    return idx, cfg, queries[queries["text"] != "zzzabsentterm"]
+
+
+def _q_extended_stats(sf_dir: str):
+    """ES extended_stats aggregation over n_chars per derived query's
+    match set: count/min/max/sum/avg plus sum_of_squares, population
+    variance and std_deviation via exact-sum formulas (distributed
+    NumericAggStage stats partials + ss)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_extended_stats
+
+    idx, cfg, queries = _agg_index_build(sf_dir, numeric=("n_chars",))
+    try:
+        return run_agg_extended_stats(queries, idx, "n_chars", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_date_histogram(sf_dir: str):
+    """ES date_histogram (calendar_interval=month) over an epoch-seconds
+    field per derived query's match set; bucket key = month-start epoch
+    seconds.  ts is deterministic from doc_id (documents carries no
+    timestamp) — the oracle replays the same expression."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_date_histogram
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts",), derived=True
+    )
+    try:
+        return run_agg_date_histogram(queries, idx, "ts", "month", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_range_agg(sf_dir: str):
+    """ES range aggregation with explicit edges over n_chars per derived
+    query's match set (bucket key = the range's lower edge)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_range
+
+    idx, cfg, queries = _agg_index_build(sf_dir, numeric=("n_chars",))
+    try:
+        return run_agg_range(
+            queries, idx, "n_chars", (0.0, 100.0, 200.0, 300.0, 450.0), cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_matrix_stats(sf_dir: str):
+    """ES matrix_stats over the (n_chars, n_tokens) field pair per
+    derived query's match set: population means/variances, covariance and
+    Pearson correlation from exact cross-moment partials."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_matrix_stats
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("n_chars", "n_tokens"), derived=True
+    )
+    try:
+        return run_agg_matrix_stats(queries, idx, ("n_chars", "n_tokens"), cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_composite_agg(sf_dir: str):
+    """ES composite aggregation over sources (lang, source) per derived
+    query's match set: first page of 8 buckets ordered by key asc (the
+    after_key paging contract is pytest-covered)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_composite
+
+    idx, cfg, queries = _agg_index_build(sf_dir, keyword=("source",))
+    try:
+        return run_agg_composite(queries, idx, ("lang", "source"), size=8, cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_multi_index_topk(sf_dir: str):
     """ES multi-index search (/idx_even,idx_odd/_search): the documents
     corpus split by doc_id parity into TWO indexes, searched together —
@@ -2335,6 +2525,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field": _q_sort_by_field,
         "match_stats_agg": _q_match_stats_agg,
         "match_histogram": _q_match_histogram,
+        "extended_stats_agg": _q_extended_stats,
+        "date_histogram_agg": _q_date_histogram,
+        "range_agg": _q_range_agg,
+        "matrix_stats_agg": _q_matrix_stats,
+        "composite_agg": _q_composite_agg,
         "match_percentiles": _q_match_percentiles,
         "match_subagg": _q_match_subagg,
         "function_score_topk": _q_function_score_topk,
@@ -2473,6 +2668,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sort_by_field": _SORT_FIELD_SQL,
         "match_stats_agg": _STATS_AGG_SQL,
+        "extended_stats_agg": _EXT_STATS_SQL,
+        "date_histogram_agg": _DATE_HIST_SQL,
+        "range_agg": _RANGE_AGG_SQL,
+        "matrix_stats_agg": _MATRIX_STATS_SQL,
+        "composite_agg": _COMPOSITE_SQL,
         "match_histogram": _HISTOGRAM_SQL,
         "match_percentiles": _PERCENTILES_SQL,
         "match_subagg": _SUBAGG_SQL,

@@ -2166,13 +2166,49 @@ class MatchSetStage(_SegmentCacheStage):
         )
 
 
+def _calendar_floor(epoch_s: np.ndarray, unit: str) -> np.ndarray:
+    """Calendar bucketing of epoch-second values (ES date_histogram
+    calendar_interval): returns the bucket-start epoch seconds.  Weeks
+    start Monday (ES/ISO); numpy's epoch-anchored week unit does not."""
+    secs = epoch_s.astype(np.int64)
+    if unit == "day":
+        return secs // 86400 * 86400
+    if unit == "week":
+        days = secs // 86400
+        # epoch day 0 = Thursday; day 4 (1970-01-05) is the first Monday
+        return ((days - 4) // 7 * 7 + 4) * 86400
+    if unit == "month":
+        months = secs.astype("datetime64[s]").astype("datetime64[M]")
+        return months.astype("datetime64[s]").astype(np.int64)
+    if unit == "year":
+        years = secs.astype("datetime64[s]").astype("datetime64[Y]")
+        return years.astype("datetime64[s]").astype(np.int64)
+    raise ValueError(f"unsupported calendar interval {unit!r}")
+
+
 class NumericAggStage(_SegmentCacheStage):
-    """Segment-parallel numeric aggregations over match sets: stats
-    (interval=None -> one n/sum/min/max row per plan x segment) or
-    histogram (fixed-interval bucket counts).  With ``group_field``
-    (ES terms-bucket sub-aggregation) partials are emitted per
-    (plan, keyword value) instead.  Shuffle volume is plans x segments
-    (x buckets x groups), never doc rows."""
+    """Segment-parallel numeric aggregations over match sets.  The
+    ``interval`` payload field selects the mode:
+
+    - None -> stats partial (one n/sum/ss/min/max row per plan x segment;
+      ss = sum of squares feeds extended_stats variance),
+    - 0.0 -> exact per-value counts (percentiles),
+    - float -> fixed-interval histogram bucket counts,
+    - str ("day"/"week"/"month"/"year") -> ES date_histogram
+      calendar_interval over an epoch-seconds numeric field,
+    - tuple/list of floats -> ES range aggregation (bucket key = the
+      range's lower edge; values below the first edge are dropped, the
+      last edge is open-ended — ES explicit-ranges semantics).
+
+    ``field`` may be a (x_field, y_field) pair -> matrix_stats partials
+    (n, sx, sy, sxx, syy, sxy packed into sum/sy/ss/syy/sxy), or None
+    (doc counts only — composite aggregation).  ``group_field`` (ES
+    terms-bucket sub-agg) may be one keyword field or a tuple of fields
+    (ES composite sources; the packed "\\x1f" key is split by the
+    runner).  Shuffle volume is plans x segments (x buckets x groups),
+    never doc rows."""
+
+    _COLS = ["plan_id", "bucket", "n", "sum", "mn", "mx", "ss", "sy", "syy", "sxy"]
 
     def _init_payload(self, payload) -> None:
         self.plan, self.tomb_map, self.field, self.interval, self.group_field = (
@@ -2181,17 +2217,47 @@ class NumericAggStage(_SegmentCacheStage):
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
+        pad = (0.0, 0.0, 0.0, 0.0)  # ss, sy, syy, sxy for count-ish rows
         for pid in batch["part_id"].astype(int):
             seg = self._segment(pid)
             for q in self.plan:
                 ids = _segment_match_ids_for_plan(seg, q)
                 if ids.size == 0:
                     continue
-                all_vals = seg.nums_for(self.field, ids)
+                if isinstance(self.field, tuple):
+                    # matrix_stats: exact cross moments of (x, y); rows
+                    # missing either value are excluded (ES pairwise)
+                    xs = seg.nums_for(self.field[0], ids)
+                    ys = seg.nums_for(self.field[1], ids)
+                    ok = ~(np.isnan(xs) | np.isnan(ys))
+                    xs, ys = xs[ok], ys[ok]
+                    if xs.size == 0:
+                        continue
+                    rows.append(
+                        (
+                            q["plan_id"], 0.0, int(xs.size),
+                            float(xs.sum()), 0.0, 0.0,
+                            float((xs * xs).sum()), float(ys.sum()),
+                            float((ys * ys).sum()), float((xs * ys).sum()),
+                        )
+                    )
+                    continue
+                all_vals = (
+                    seg.nums_for(self.field, ids)
+                    if self.field is not None
+                    else np.zeros(ids.size, dtype=np.float64)
+                )
                 if self.group_field is not None:
                     # terms-bucket sub-agg: one stats partial per
                     # (plan, keyword value) — groups stream as rows
-                    gv = seg.field_for(self.group_field, ids)
+                    if isinstance(self.group_field, tuple):
+                        cols = [seg.field_for(f, ids) for f in self.group_field]
+                        gv = cols[0].astype(object)
+                        for c in cols[1:]:
+                            gv = gv + "\x1f" + c.astype(object)
+                        gv = gv.astype(str)
+                    else:
+                        gv = seg.field_for(self.group_field, ids)
                     ok = ~np.isnan(all_vals)
                     gv, vs = gv[ok], all_vals[ok]
                     for val in np.unique(gv):
@@ -2200,18 +2266,35 @@ class NumericAggStage(_SegmentCacheStage):
                             (
                                 q["plan_id"], str(val), int(sub.size),
                                 float(sub.sum()), float(sub.min()), float(sub.max()),
+                                *pad,
                             )
                         )
                     continue
                 vals = all_vals[~np.isnan(all_vals)]
                 if vals.size == 0:
                     continue
-                if self.interval == 0.0:  # exact per-VALUE counts
+                if isinstance(self.interval, str):  # date_histogram
+                    buckets = _calendar_floor(vals, self.interval)
+                    ub, cnt = np.unique(buckets, return_counts=True)
+                    rows.extend(
+                        (q["plan_id"], float(b_), int(c_), 0.0, 0.0, 0.0, *pad)
+                        for b_, c_ in zip(ub, cnt)
+                    )
+                elif isinstance(self.interval, (list, tuple)):  # range agg
+                    edges = np.asarray(self.interval, dtype=np.float64)
+                    pos = np.searchsorted(edges, vals, side="right") - 1
+                    keep = pos >= 0
+                    ub, cnt = np.unique(edges[pos[keep]], return_counts=True)
+                    rows.extend(
+                        (q["plan_id"], float(b_), int(c_), 0.0, 0.0, 0.0, *pad)
+                        for b_, c_ in zip(ub, cnt)
+                    )
+                elif self.interval == 0.0:  # exact per-VALUE counts
                     # (percentiles agg; value cardinality bounds the
                     # partial size — right for integer-ish metadata)
                     ub, cnt = np.unique(vals, return_counts=True)
                     rows.extend(
-                        (q["plan_id"], float(b_), int(c_), 0.0, 0.0, 0.0)
+                        (q["plan_id"], float(b_), int(c_), 0.0, 0.0, 0.0, *pad)
                         for b_, c_ in zip(ub, cnt)
                     )
                 elif self.interval is None:  # stats partial
@@ -2219,29 +2302,30 @@ class NumericAggStage(_SegmentCacheStage):
                         (
                             q["plan_id"], 0.0, int(vals.size),
                             float(vals.sum()), float(vals.min()), float(vals.max()),
+                            float((vals * vals).sum()), 0.0, 0.0, 0.0,
                         )
                     )
                 else:  # histogram partials
                     buckets = np.floor(vals / self.interval) * self.interval
                     ub, cnt = np.unique(buckets, return_counts=True)
                     rows.extend(
-                        (q["plan_id"], float(b_), int(c_), 0.0, 0.0, 0.0)
+                        (q["plan_id"], float(b_), int(c_), 0.0, 0.0, 0.0, *pad)
                         for b_, c_ in zip(ub, cnt)
                     )
-        return pd.DataFrame(
-            rows, columns=["plan_id", "bucket", "n", "sum", "mn", "mx"]
-        ).astype({"plan_id": np.int64, "n": np.int64}) if rows else pd.DataFrame(
-            {
-                "plan_id": pd.Series([], dtype=np.int64),
-                "bucket": pd.Series(
-                    [], dtype=object if self.group_field is not None else np.float64
-                ),
-                "n": pd.Series([], dtype=np.int64),
-                "sum": pd.Series([], dtype=np.float64),
-                "mn": pd.Series([], dtype=np.float64),
-                "mx": pd.Series([], dtype=np.float64),
-            }
-        )
+        if rows:
+            return pd.DataFrame(rows, columns=self._COLS).astype(
+                {"plan_id": np.int64, "n": np.int64}
+            )
+        empty = {
+            "plan_id": pd.Series([], dtype=np.int64),
+            "bucket": pd.Series(
+                [], dtype=object if self.group_field is not None else np.float64
+            ),
+            "n": pd.Series([], dtype=np.int64),
+        }
+        for c in self._COLS[3:]:
+            empty[c] = pd.Series([], dtype=np.float64)
+        return pd.DataFrame(empty)
 
 
 class SignificantTextStage(_SegmentCacheStage):
@@ -3420,12 +3504,13 @@ def run_agg_terms(
 
 
 def _run_numeric_agg(
-    queries_ds, index_dir: str, field: str, interval: float | None,
-    cfg: EngineConfig, concurrency: int | None, group_field: str | None = None,
+    queries_ds, index_dir: str, field, interval,
+    cfg: EngineConfig, concurrency: int | None, group_field=None,
 ) -> tuple[pd.DataFrame, list[dict]]:
-    """Shared distributed driver for stats / histogram aggregations.
-    Returns (partials, plan); partials rows = plans x segments
-    (x buckets) — never doc rows."""
+    """Shared distributed driver for stats / histogram / date_histogram /
+    range / matrix-stats / composite aggregations (mode selection
+    documented on NumericAggStage).  Returns (partials, plan); partials
+    rows = plans x segments (x buckets) — never doc rows."""
     import ray
 
     concurrency = concurrency or cfg.query_concurrency or query_pool()
@@ -3434,9 +3519,7 @@ def _run_numeric_agg(
     parts = [int(p) for p in manifest["parts"]]
     plan = _match_set_plans(queries)
     if not plan:
-        return pd.DataFrame(
-            {"plan_id": [], "bucket": [], "n": [], "sum": [], "mn": [], "mx": []}
-        ), plan
+        return pd.DataFrame({c: [] for c in NumericAggStage._COLS}), plan
     plan_ref = ray.put(
         (plan, manifest.get("tombstones", {}), field, interval, group_field)
     )
@@ -3614,6 +3697,243 @@ def run_agg_percentiles(
         out.sort_values(["query_id", "pct"], kind="mergesort")
         .reset_index(drop=True)
         .astype({"query_id": np.int64, "pct": np.float64, "value": np.float64})
+    )
+
+
+def run_agg_extended_stats(
+    queries_ds, index_dir: str, field: str,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES extended_stats aggregation: stats plus
+    sum_of_squares / population variance / std_deviation per query match
+    set.  Variance uses the exact-sum formula (n*ss - s^2)/n^2 — with
+    integer-valued fields both partial sums are exact in float64, so the
+    SQL oracle (same formula over exact sums) matches to the last bit."""
+    partials, plan = _run_numeric_agg(queries_ds, index_dir, field, None, cfg, concurrency)
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = partials.groupby("plan_id", sort=True).agg(
+            n=("n", "sum"), s=("sum", "sum"), ss=("ss", "sum"),
+            mn=("mn", "min"), mx=("mx", "max"),
+        )
+        for pid_, r in g.iterrows():
+            n, s, ss = float(r["n"]), float(r["s"]), float(r["ss"])
+            var = (n * ss - s * s) / (n * n)
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    {
+                        "query_id": np.int64(qid),
+                        "n_docs": np.int64(r["n"]),
+                        "min_val": float(r["mn"]),
+                        "max_val": float(r["mx"]),
+                        "sum_val": s,
+                        "avg_val": float(round6(np.array([s / n]))[0]),
+                        "sum_sq": ss,
+                        "variance": float(round6(np.array([var]))[0]),
+                        "std_dev": float(round6(np.array([np.sqrt(var)]))[0]),
+                    }
+                )
+    out = pd.DataFrame(
+        rows,
+        columns=["query_id", "n_docs", "min_val", "max_val", "sum_val",
+                 "avg_val", "sum_sq", "variance", "std_dev"],
+    )
+    return out.sort_values("query_id", kind="mergesort").reset_index(drop=True).astype(
+        {"query_id": np.int64, "n_docs": np.int64}
+    )
+
+
+def run_agg_date_histogram(
+    queries_ds, index_dir: str, field: str, calendar_interval: str = "month",
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES date_histogram aggregation (calendar_interval =
+    day/week/month/year) over an epoch-seconds numeric field: bucket key
+    = the bucket-start epoch seconds (ES returns epoch millis; seconds
+    here since the field is seconds).  Weeks start Monday (ISO/ES).
+    Empty buckets omitted (min_doc_count=1)."""
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, field, str(calendar_interval), cfg, concurrency
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qid),
+                            "bucket_ts": gg["bucket"].to_numpy(np.int64),
+                            "n_docs": gg["n"].to_numpy(np.int64),
+                        }
+                    )
+                )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "bucket_ts": pd.Series([], dtype=np.int64),
+                "n_docs": pd.Series([], dtype=np.int64),
+            }
+        )
+    return (
+        pd.concat(rows, ignore_index=True)
+        .sort_values(["query_id", "bucket_ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def run_agg_range(
+    queries_ds, index_dir: str, field: str, edges,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES range aggregation with explicit bucket edges:
+    bucket key = the range's lower edge ("from"); values below the first
+    edge fall in no range (ES explicit-ranges semantics), the last range
+    is open-ended.  Empty ranges omitted."""
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, field, tuple(float(e) for e in edges), cfg, concurrency
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qid),
+                            "range_from": gg["bucket"].to_numpy(np.float64),
+                            "n_docs": gg["n"].to_numpy(np.int64),
+                        }
+                    )
+                )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "range_from": pd.Series([], dtype=np.float64),
+                "n_docs": pd.Series([], dtype=np.int64),
+            }
+        )
+    return (
+        pd.concat(rows, ignore_index=True)
+        .sort_values(["query_id", "range_from"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def run_agg_matrix_stats(
+    queries_ds, index_dir: str, fields: tuple,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES matrix_stats aggregation over a numeric field pair:
+    per query match set, exact cross moments combine to population
+    means / variances / covariance / Pearson correlation.  Docs missing
+    either value are excluded.  All derived floats use the exact-sum
+    formulas so an integer-field SQL oracle matches bit-for-bit."""
+    x_f, y_f = fields
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, (str(x_f), str(y_f)), None, cfg, concurrency
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = partials.groupby("plan_id", sort=True).agg(
+            n=("n", "sum"), sx=("sum", "sum"), sxx=("ss", "sum"),
+            sy=("sy", "sum"), syy=("syy", "sum"), sxy=("sxy", "sum"),
+        )
+        for pid_, r in g.iterrows():
+            n = float(r["n"])
+            sx, sy = float(r["sx"]), float(r["sy"])
+            sxx, syy, sxy = float(r["sxx"]), float(r["syy"]), float(r["sxy"])
+            var_x = (n * sxx - sx * sx) / (n * n)
+            var_y = (n * syy - sy * sy) / (n * n)
+            cov = (n * sxy - sx * sy) / (n * n)
+            denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+            corr = (n * sxy - sx * sy) / denom if denom > 0 else 0.0
+            r6 = lambda v: float(round6(np.array([v]))[0])
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    {
+                        "query_id": np.int64(qid),
+                        "n_docs": np.int64(r["n"]),
+                        "mean_x": r6(sx / n),
+                        "mean_y": r6(sy / n),
+                        "var_x": r6(var_x),
+                        "var_y": r6(var_y),
+                        "covariance": r6(cov),
+                        "correlation": r6(corr),
+                    }
+                )
+    out = pd.DataFrame(
+        rows,
+        columns=["query_id", "n_docs", "mean_x", "mean_y", "var_x", "var_y",
+                 "covariance", "correlation"],
+    )
+    return out.sort_values("query_id", kind="mergesort").reset_index(drop=True).astype(
+        {"query_id": np.int64, "n_docs": np.int64}
+    )
+
+
+def run_agg_composite(
+    queries_ds, index_dir: str, fields, size: int = 10, after=None,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES composite aggregation: doc counts per multi-source
+    keyword key tuple, ordered by key ascending, paged ``size`` buckets
+    at a time with an exclusive ``after`` key tuple (the ES after_key
+    cursor).  Partials are (plan, packed key) counts per segment — the
+    packed \\x1f separator sorts below every printable char, so packed
+    string order == tuple order."""
+    fields = tuple(str(f) for f in fields)
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, None, None, cfg, concurrency,
+        group_field=fields,
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    after_key = "\x1f".join(str(v) for v in after) if after is not None else None
+    rows = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            gg = gg.sort_values("bucket", kind="mergesort")
+            if after_key is not None:
+                gg = gg[gg["bucket"] > after_key]
+            gg = gg.head(int(size))
+            parts_cols = list(zip(*(b.split("\x1f") for b in gg["bucket"])))
+            for qid in fanout.get(int(pid_), []):
+                frame = {"query_id": np.full(len(gg), qid, dtype=np.int64)}
+                for i, f in enumerate(fields):
+                    frame[f] = list(parts_cols[i]) if parts_cols else []
+                frame["n_docs"] = gg["n"].to_numpy(np.int64)
+                rows.append(pd.DataFrame(frame))
+    if not rows:
+        empty = {"query_id": pd.Series([], dtype=np.int64)}
+        for f in fields:
+            empty[f] = pd.Series([], dtype=object)
+        empty["n_docs"] = pd.Series([], dtype=np.int64)
+        return pd.DataFrame(empty)
+    return (
+        pd.concat(rows, ignore_index=True)
+        .sort_values(["query_id", *fields], kind="mergesort")
+        .reset_index(drop=True)
     )
 
 

@@ -1,0 +1,140 @@
+"""Round-4 aggregation families: extended_stats, date_histogram, range,
+matrix_stats and composite — the distributed NumericAggStage modes added
+on top of stats/histogram/percentiles.  The SQL oracles cover sf parity;
+these tests cover the calendar-floor arithmetic, after-key paging,
+below-first-edge drops and missing-value exclusion that the oracles
+can't isolate."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kafka_es_ray.config import EngineConfig
+from kafka_es_ray.index.build import build_index
+from kafka_es_ray.query.engine import (
+    _calendar_floor,
+    run_agg_composite,
+    run_agg_date_histogram,
+    run_agg_extended_stats,
+    run_agg_matrix_stats,
+    run_agg_range,
+)
+
+CFG = EngineConfig(
+    num_partitions=4,
+    numeric_cols=("val", "ts", "val2"),
+    keyword_cols=("source",),
+)
+
+
+@pytest.fixture(scope="module")
+def agg_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 120
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i:03d}" for i in range(n)],
+            "text": ["shared term"] * n,
+            "lang": rng.choice(["en", "de"], size=n).tolist(),
+            "source": rng.choice(["s0", "s1", "s2", "s3"], size=n).tolist(),
+            "val": rng.integers(-50, 500, size=n).astype(np.float64),
+            "val2": rng.integers(0, 90, size=n).astype(np.float64),
+            # one year straddling a month boundary + a leap day
+            "ts": (1580515200 + rng.integers(0, 200, size=n) * 86400).astype(
+                np.float64
+            ),
+        }
+    )
+    # missing values: val2 NaN for a slice (matrix_stats must exclude)
+    docs.loc[10:29, "val2"] = np.nan
+    d = str(tmp_path_factory.mktemp("aggx"))
+    build_index(rd.from_pandas(docs), d, CFG, html_col=None, ts_col=None)
+    return d, docs
+
+
+Q = pd.DataFrame({"query_id": [0], "text": ["shared"]})
+
+
+def test_calendar_floor_units():
+    # 2020-02-29T13:00Z = 1582981200; month start 2020-02-01, year 2020-01-01
+    t = np.array([1582981200.0])
+    assert _calendar_floor(t, "day")[0] == 1582934400  # 2020-02-29T00Z
+    assert _calendar_floor(t, "month")[0] == 1580515200  # 2020-02-01
+    assert _calendar_floor(t, "year")[0] == 1577836800  # 2020-01-01
+    # 2020-02-29 was a Saturday; ISO week starts Monday 2020-02-24
+    assert _calendar_floor(t, "week")[0] == 1582502400
+    # a Monday floors to itself
+    mon = np.array([1582502400.0])
+    assert _calendar_floor(mon, "week")[0] == 1582502400
+    with pytest.raises(ValueError):
+        _calendar_floor(t, "fortnight")
+
+
+def test_extended_stats_matches_numpy(agg_index, ray_session):
+    d, docs = agg_index
+    got = run_agg_extended_stats(Q, d, "val", cfg=CFG)
+    v = docs["val"].to_numpy()
+    assert got["n_docs"].iloc[0] == len(v)
+    assert got["min_val"].iloc[0] == v.min()
+    assert got["sum_sq"].iloc[0] == (v * v).sum()
+    n, s, ss = float(len(v)), v.sum(), (v * v).sum()
+    want_var = (n * ss - s * s) / (n * n)
+    assert abs(got["variance"].iloc[0] - want_var) < 1e-6
+    assert abs(got["std_dev"].iloc[0] - np.sqrt(want_var)) < 1e-6
+
+
+def test_date_histogram_counts(agg_index, ray_session):
+    d, docs = agg_index
+    got = run_agg_date_histogram(Q, d, "ts", "month", cfg=CFG)
+    months = (
+        docs["ts"].astype(np.int64).to_numpy().astype("datetime64[s]")
+        .astype("datetime64[M]")
+    )
+    want = pd.Series(months).value_counts().sort_index()
+    assert got["n_docs"].tolist() == want.tolist()
+    assert got["n_docs"].sum() == len(docs)
+    assert got["bucket_ts"].is_monotonic_increasing
+
+
+def test_range_agg_drops_below_first_edge(agg_index, ray_session):
+    d, docs = agg_index
+    edges = (0.0, 100.0, 300.0)
+    got = run_agg_range(Q, d, "val", edges, cfg=CFG)
+    v = docs["val"].to_numpy()
+    assert got["n_docs"].sum() == (v >= 0).sum()  # negatives in no range
+    want0 = ((v >= 0) & (v < 100)).sum()
+    assert got.set_index("range_from")["n_docs"].get(0.0, 0) == want0
+    assert got.set_index("range_from")["n_docs"].get(300.0, 0) == (v >= 300).sum()
+
+
+def test_matrix_stats_excludes_missing_pairs(agg_index, ray_session):
+    d, docs = agg_index
+    got = run_agg_matrix_stats(Q, d, ("val", "val2"), cfg=CFG)
+    sub = docs.dropna(subset=["val2"])
+    assert got["n_docs"].iloc[0] == len(sub)
+    x, y = sub["val"].to_numpy(), sub["val2"].to_numpy()
+    want_corr = np.corrcoef(x, y)[0, 1]
+    assert abs(got["correlation"].iloc[0] - want_corr) < 1e-5
+    assert abs(got["mean_y"].iloc[0] - y.mean()) < 1e-6
+
+
+def test_composite_after_key_paging(agg_index, ray_session):
+    d, docs = agg_index
+    full = run_agg_composite(Q, d, ("lang", "source"), size=100, cfg=CFG)
+    keys = list(zip(full["lang"], full["source"]))
+    assert keys == sorted(keys)  # key-ordered
+    assert full["n_docs"].sum() == len(docs)
+    # page through with size=3; concatenation must equal the full listing
+    pages, after = [], None
+    while True:
+        p = run_agg_composite(Q, d, ("lang", "source"), size=3, after=after, cfg=CFG)
+        if not len(p):
+            break
+        pages.append(p)
+        after = (p["lang"].iloc[-1], p["source"].iloc[-1])
+        if len(p) < 3:
+            break
+    paged = pd.concat(pages, ignore_index=True)
+    pd.testing.assert_frame_equal(paged, full)
