@@ -327,6 +327,77 @@ SELECT query_id, lang, source, n_docs FROM buckets WHERE rn <= 8
 ORDER BY query_id, lang, source
 """
 
+# ES pipeline aggregations: date_histogram(month) buckets with a sum
+# sub-agg over n_chars; the pipeline step is a window function over the
+# reduced buckets (engine: driver-side reduce — the ES coordinating node)
+_PIPE_BUCKETS_CTE = _AGG_VALS_CTE + """
+, buckets AS (
+  SELECT query_id,
+         epoch(date_trunc('month', to_timestamp(ts)))::BIGINT AS bucket_ts,
+         count(*)::BIGINT AS n_docs,
+         sum(x) AS raw_value
+  FROM vals GROUP BY 1, 2
+)
+"""
+
+_CUMSUM_SQL = _PIPE_BUCKETS_CTE + """
+SELECT query_id, bucket_ts, round(raw_value, 6) AS value,
+       round(sum(raw_value) OVER (
+         PARTITION BY query_id ORDER BY bucket_ts), 6) AS cumulative
+FROM buckets ORDER BY 1, 2
+"""
+
+_DERIV_SQL = _PIPE_BUCKETS_CTE + """
+SELECT query_id, bucket_ts, round(raw_value, 6) AS value, deriv FROM (
+  SELECT query_id, bucket_ts, raw_value,
+         round(raw_value - lag(raw_value) OVER (
+           PARTITION BY query_id ORDER BY bucket_ts), 6) AS deriv
+  FROM buckets
+) WHERE deriv IS NOT NULL ORDER BY 1, 2
+"""
+
+_BUCKET_SCRIPT_SQL = _PIPE_BUCKETS_CTE + """
+SELECT query_id, bucket_ts, n_docs, round(raw_value, 6) AS value,
+       round(raw_value / n_docs, 6) AS avg_val
+FROM buckets WHERE n_docs >= 5 ORDER BY 1, 2
+"""
+
+_STATS_BUCKET_SQL = _PIPE_BUCKETS_CTE + """
+SELECT query_id, count(*)::BIGINT AS n_buckets,
+       round(min(raw_value), 6) AS min_val, round(max(raw_value), 6) AS max_val,
+       round(sum(raw_value), 6) AS sum_val,
+       round(sum(raw_value) / count(*), 6) AS avg_val
+FROM buckets GROUP BY 1 ORDER BY 1
+"""
+
+# ES _explain of each query's rank-1 hit: per matched term, df / tf and
+# the BM25 contribution round6'd with the engine's exact arithmetic
+_EXPLAIN_SQL = _BM25_SQL.split("topk AS (")[0] + """topk AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, doc_id ASC
+         ) AS rank
+  FROM scores
+),
+top1 AS (SELECT query_id, doc_id FROM topk WHERE rank = 1)
+SELECT q.query_id, t1.doc_id, q.term, df.df::BIGINT AS df, tf.tf::BIGINT AS tf,
+       round(
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6
+       ) AS contribution
+FROM queries q
+JOIN top1 t1 USING (query_id)
+JOIN tf ON tf.term = q.term AND tf.doc_id = t1.doc_id
+JOIN df ON df.term = q.term
+JOIN dl ON dl.doc_id = t1.doc_id
+CROSS JOIN stats s
+ORDER BY 1, 2, 3
+"""
+
+# ES scroll: the FULL ranked match list (no top-k cap)
+_SCROLL_SQL = _BM25_SQL.replace("FROM topk WHERE rank <= 10", "FROM topk")
+assert "WHERE rank <= 10" not in _SCROLL_SQL
+
 # ES significant_text aggregation: per match set (the foreground), terms
 # whose fg doc frequency is disproportionately high vs the whole corpus
 # (the background), JLH-scored (fg% - bg%) * (fg% / bg%); min_doc_count=3
@@ -1746,6 +1817,127 @@ def _q_composite_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_cumulative_sum(sf_dir: str):
+    """ES cumulative_sum pipeline aggregation: running total of a sum
+    sub-agg (n_chars) over month date_histogram buckets per derived
+    query — one distributed NumericAggStage sweep, pipeline step at the
+    driver reduce (the ES coordinating-node phase)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_cumulative_sum
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars"), derived=True
+    )
+    try:
+        return run_agg_cumulative_sum(queries, idx, "ts", "n_chars", "month", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_derivative(sf_dir: str):
+    """ES derivative pipeline aggregation: per-bucket change of the sum
+    sub-agg (n_chars) vs the previous month bucket; the first bucket of
+    each query emits no derivative (ES omits it)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_derivative
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars"), derived=True
+    )
+    try:
+        return run_agg_derivative(queries, idx, "ts", "n_chars", "month", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_bucket_script(sf_dir: str):
+    """ES bucket_script + bucket_selector pipeline aggregations: per
+    month bucket avg_val = sum(n_chars) / _count (bucket_script), with
+    buckets under 5 docs dropped (bucket_selector)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_bucket_script
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars"), derived=True
+    )
+    try:
+        return run_agg_bucket_script(
+            queries, idx, "ts", "n_chars", "month", min_docs=5, cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_stats_bucket(sf_dir: str):
+    """ES stats_bucket sibling pipeline aggregation (covers min/max/sum/
+    avg_bucket): stats over the per-month sum sub-agg values, one row
+    per derived query."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_stats_bucket
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars"), derived=True
+    )
+    try:
+        return run_agg_stats_bucket(queries, idx, "ts", "n_chars", "month", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_explain_score(sf_dir: str):
+    """ES _explain: the BM25 per-term breakdown (df, tf, round6'd
+    contribution) of each derived query's rank-1 hit — distributed
+    ExplainStage sweep over segments, O(|pairs| x |terms|) rows."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_explain, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_explidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx))
+        queries = queries[queries["text"] != "zzzabsentterm"].reset_index(drop=True)
+        top = run_queries(queries, idx).to_pandas()
+        pairs = top[top["rank"] == 1][["query_id", "doc_id"]].merge(
+            queries[["query_id", "text", "lang"]], on="query_id"
+        )
+        return run_explain(pairs, idx)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_scroll_all(sf_dir: str):
+    """ES scroll / deep pagination: EVERY match of each derived query in
+    global rank order, fetched as repeated distributed search_after
+    pages (page_size=100) — exercises cursor correctness across many
+    page boundaries (no dupes, no skips)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_scroll
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_scrollidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx))
+        queries = queries[queries["text"] != "zzzabsentterm"].reset_index(drop=True)
+        out = run_scroll(queries, idx, page_size=100)
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_multi_index_topk(sf_dir: str):
     """ES multi-index search (/idx_even,idx_odd/_search): the documents
     corpus split by doc_id parity into TWO indexes, searched together —
@@ -2530,6 +2722,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_agg": _q_range_agg,
         "matrix_stats_agg": _q_matrix_stats,
         "composite_agg": _q_composite_agg,
+        "cumulative_sum_agg": _q_cumulative_sum,
+        "derivative_agg": _q_derivative,
+        "bucket_script_agg": _q_bucket_script,
+        "stats_bucket_agg": _q_stats_bucket,
+        "explain_score": _q_explain_score,
+        "scroll_all": _q_scroll_all,
         "match_percentiles": _q_match_percentiles,
         "match_subagg": _q_match_subagg,
         "function_score_topk": _q_function_score_topk,
@@ -2673,6 +2871,12 @@ def oracle_sql() -> dict[str, str]:
         "range_agg": _RANGE_AGG_SQL,
         "matrix_stats_agg": _MATRIX_STATS_SQL,
         "composite_agg": _COMPOSITE_SQL,
+        "cumulative_sum_agg": _CUMSUM_SQL,
+        "derivative_agg": _DERIV_SQL,
+        "bucket_script_agg": _BUCKET_SCRIPT_SQL,
+        "stats_bucket_agg": _STATS_BUCKET_SQL,
+        "explain_score": _EXPLAIN_SQL,
+        "scroll_all": _SCROLL_SQL,
         "match_histogram": _HISTOGRAM_SQL,
         "match_percentiles": _PERCENTILES_SQL,
         "match_subagg": _SUBAGG_SQL,

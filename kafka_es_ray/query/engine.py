@@ -2205,15 +2205,20 @@ class NumericAggStage(_SegmentCacheStage):
     (doc counts only — composite aggregation).  ``group_field`` (ES
     terms-bucket sub-agg) may be one keyword field or a tuple of fields
     (ES composite sources; the packed "\\x1f" key is split by the
-    runner).  Shuffle volume is plans x segments (x buckets x groups),
-    never doc rows."""
+    runner).  ``metric_field`` (histogram modes only) adds an ES sum
+    sub-aggregation per bucket — the per-bucket metric the pipeline
+    aggregations (derivative / cumulative_sum / bucket_script /
+    stats_bucket) consume — into the otherwise-zero ``sum`` column
+    (missing metric values contribute 0, the ES sum-agg semantics).
+    Shuffle volume is plans x segments (x buckets x groups), never doc
+    rows."""
 
     _COLS = ["plan_id", "bucket", "n", "sum", "mn", "mx", "ss", "sy", "syy", "sxy"]
 
     def _init_payload(self, payload) -> None:
-        self.plan, self.tomb_map, self.field, self.interval, self.group_field = (
-            payload if len(payload) == 5 else (*payload, None)
-        )
+        pay = (*payload, None, None)[:6]
+        (self.plan, self.tomb_map, self.field, self.interval,
+         self.group_field, self.metric) = pay
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -2270,15 +2275,25 @@ class NumericAggStage(_SegmentCacheStage):
                             )
                         )
                     continue
-                vals = all_vals[~np.isnan(all_vals)]
+                ok = ~np.isnan(all_vals)
+                vals = all_vals[ok]
                 if vals.size == 0:
                     continue
+                met = None
+                if self.metric is not None:
+                    met = np.nan_to_num(seg.nums_for(self.metric, ids)[ok])
                 if isinstance(self.interval, str):  # date_histogram
                     buckets = _calendar_floor(vals, self.interval)
-                    ub, cnt = np.unique(buckets, return_counts=True)
+                    ub, inv = np.unique(buckets, return_inverse=True)
+                    cnt = np.bincount(inv)
+                    sums = (
+                        np.bincount(inv, weights=met)
+                        if met is not None
+                        else np.zeros(ub.size)
+                    )
                     rows.extend(
-                        (q["plan_id"], float(b_), int(c_), 0.0, 0.0, 0.0, *pad)
-                        for b_, c_ in zip(ub, cnt)
+                        (q["plan_id"], float(b_), int(c_), float(s_), 0.0, 0.0, *pad)
+                        for b_, c_, s_ in zip(ub, cnt, sums)
                     )
                 elif isinstance(self.interval, (list, tuple)):  # range agg
                     edges = np.asarray(self.interval, dtype=np.float64)
@@ -2307,10 +2322,16 @@ class NumericAggStage(_SegmentCacheStage):
                     )
                 else:  # histogram partials
                     buckets = np.floor(vals / self.interval) * self.interval
-                    ub, cnt = np.unique(buckets, return_counts=True)
+                    ub, inv = np.unique(buckets, return_inverse=True)
+                    cnt = np.bincount(inv)
+                    sums = (
+                        np.bincount(inv, weights=met)
+                        if met is not None
+                        else np.zeros(ub.size)
+                    )
                     rows.extend(
-                        (q["plan_id"], float(b_), int(c_), 0.0, 0.0, 0.0, *pad)
-                        for b_, c_ in zip(ub, cnt)
+                        (q["plan_id"], float(b_), int(c_), float(s_), 0.0, 0.0, *pad)
+                        for b_, c_, s_ in zip(ub, cnt, sums)
                     )
         if rows:
             return pd.DataFrame(rows, columns=self._COLS).astype(
@@ -3506,6 +3527,7 @@ def run_agg_terms(
 def _run_numeric_agg(
     queries_ds, index_dir: str, field, interval,
     cfg: EngineConfig, concurrency: int | None, group_field=None,
+    metric_field=None,
 ) -> tuple[pd.DataFrame, list[dict]]:
     """Shared distributed driver for stats / histogram / date_histogram /
     range / matrix-stats / composite aggregations (mode selection
@@ -3521,7 +3543,8 @@ def _run_numeric_agg(
     if not plan:
         return pd.DataFrame({c: [] for c in NumericAggStage._COLS}), plan
     plan_ref = ray.put(
-        (plan, manifest.get("tombstones", {}), field, interval, group_field)
+        (plan, manifest.get("tombstones", {}), field, interval, group_field,
+         metric_field)
     )
     partials = (
         _shards_ds(parts, concurrency)
@@ -3935,6 +3958,157 @@ def run_agg_composite(
         .sort_values(["query_id", *fields], kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+def _bucket_value_frame(
+    queries_ds, index_dir: str, field: str, metric_field: str,
+    calendar_interval: str, cfg: EngineConfig, concurrency: int | None,
+) -> pd.DataFrame:
+    """Reduced date_histogram buckets with an ES sum sub-aggregation:
+    (query_id, bucket_ts, n_docs, value) sorted bucket asc — the input
+    every ES pipeline aggregation consumes.  One distributed
+    NumericAggStage sweep; the pipeline step itself then runs on the
+    driver over the already-tiny bucket frame, exactly where ES runs
+    pipeline aggs (the coordinating node's reduce phase)."""
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, field, str(calendar_interval), cfg,
+        concurrency, metric_field=metric_field,
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)
+            .agg(n=("n", "sum"), s=("sum", "sum"))
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qid),
+                            "bucket_ts": gg["bucket"].to_numpy(np.int64),
+                            "n_docs": gg["n"].to_numpy(np.int64),
+                            "value": gg["s"].to_numpy(np.float64),
+                        }
+                    )
+                )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "bucket_ts": pd.Series([], dtype=np.int64),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "value": pd.Series([], dtype=np.float64),
+            }
+        )
+    return (
+        pd.concat(rows, ignore_index=True)
+        .sort_values(["query_id", "bucket_ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def run_agg_cumulative_sum(
+    queries_ds, index_dir: str, field: str, metric_field: str,
+    calendar_interval: str = "month",
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES cumulative_sum pipeline aggregation (buckets_path = the sum
+    sub-agg) over a date_histogram: running total per query in bucket
+    order.  Returns (query_id, bucket_ts, value, cumulative); both
+    round6'd AFTER the raw float64 accumulation (the oracle's
+    SUM() OVER (ORDER BY bucket) does the same)."""
+    f = _bucket_value_frame(
+        queries_ds, index_dir, field, metric_field, calendar_interval, cfg, concurrency
+    )
+    f["cumulative"] = f.groupby("query_id")["value"].cumsum()
+    f["value"] = round6(f["value"].to_numpy(np.float64))
+    f["cumulative"] = round6(f["cumulative"].to_numpy(np.float64))
+    return f[["query_id", "bucket_ts", "value", "cumulative"]]
+
+
+def run_agg_derivative(
+    queries_ds, index_dir: str, field: str, metric_field: str,
+    calendar_interval: str = "month",
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES derivative pipeline aggregation: per-bucket change of the sum
+    sub-agg vs the previous bucket.  The first bucket of each query
+    emits no derivative (ES omits it).  Returns (query_id, bucket_ts,
+    value, deriv)."""
+    f = _bucket_value_frame(
+        queries_ds, index_dir, field, metric_field, calendar_interval, cfg, concurrency
+    )
+    f["deriv"] = f.groupby("query_id")["value"].diff()
+    f = f[f["deriv"].notna()].reset_index(drop=True)
+    f["value"] = round6(f["value"].to_numpy(np.float64))
+    f["deriv"] = round6(f["deriv"].to_numpy(np.float64))
+    return f[["query_id", "bucket_ts", "value", "deriv"]]
+
+
+def run_agg_bucket_script(
+    queries_ds, index_dir: str, field: str, metric_field: str,
+    calendar_interval: str = "month", min_docs: int = 1,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES bucket_script + bucket_selector pipeline aggregations: a
+    per-bucket computed metric avg_val = value / _count (bucket_script
+    over buckets_path {s: the sum sub-agg, c: _count}), with buckets
+    failing ``_count >= min_docs`` dropped (bucket_selector).  Returns
+    (query_id, bucket_ts, n_docs, value, avg_val)."""
+    f = _bucket_value_frame(
+        queries_ds, index_dir, field, metric_field, calendar_interval, cfg, concurrency
+    )
+    f = f[f["n_docs"] >= int(min_docs)].reset_index(drop=True)
+    f["avg_val"] = round6(
+        f["value"].to_numpy(np.float64) / f["n_docs"].to_numpy(np.float64)
+    )
+    f["value"] = round6(f["value"].to_numpy(np.float64))
+    return f[["query_id", "bucket_ts", "n_docs", "value", "avg_val"]]
+
+
+def run_agg_stats_bucket(
+    queries_ds, index_dir: str, field: str, metric_field: str,
+    calendar_interval: str = "month",
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES stats_bucket sibling pipeline aggregation: stats over the
+    per-bucket sums of a date_histogram — one row per query:
+    (query_id, n_buckets, min_val, max_val, sum_val, avg_val).  Covers
+    the min_bucket / max_bucket / sum_bucket / avg_bucket family (each
+    is one column of this result)."""
+    f = _bucket_value_frame(
+        queries_ds, index_dir, field, metric_field, calendar_interval, cfg, concurrency
+    )
+    if not len(f):
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "n_buckets": pd.Series([], dtype=np.int64),
+                "min_val": pd.Series([], dtype=np.float64),
+                "max_val": pd.Series([], dtype=np.float64),
+                "sum_val": pd.Series([], dtype=np.float64),
+                "avg_val": pd.Series([], dtype=np.float64),
+            }
+        )
+    g = (
+        f.groupby("query_id", sort=True)
+        .agg(
+            n_buckets=("value", "size"),
+            min_val=("value", "min"),
+            max_val=("value", "max"),
+            sum_val=("value", "sum"),
+        )
+        .reset_index()
+    )
+    g["avg_val"] = round6(
+        g["sum_val"].to_numpy(np.float64) / g["n_buckets"].to_numpy(np.float64)
+    )
+    for c in ("min_val", "max_val", "sum_val"):
+        g[c] = round6(g[c].to_numpy(np.float64))
+    return g.astype({"query_id": np.int64, "n_buckets": np.int64})
 
 
 def _collect_fg_bg_counts(
@@ -4779,3 +4953,227 @@ def run_mget(
         )
     out = pd.DataFrame(rows)
     return out[cols].astype({"doc_id": np.int64, "found": bool})
+
+
+class ExplainStage(_SegmentCacheStage):
+    """Segment-parallel ES _explain collection: the broadcast side is
+    the requested (query_id, doc_id) pairs grouped by term; each segment
+    emits (query_id, doc_id, term, tf, dl) rows for the requested docs
+    whose postings it holds.  A live doc's postings exist in exactly one
+    non-tombstoned segment, so the union over shards is the complete
+    per-term breakdown; output is O(|requests| x |terms|), never
+    O(n_docs)."""
+
+    def _init_payload(self, payload) -> None:
+        # term -> (doc_ids np.int64 array, query_ids np.int64 array)
+        self.by_term, self.tomb_map = payload
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        q_out, d_out, t_out, tf_out, dl_out = [], [], [], [], []
+        for pid in batch["part_id"].astype(int):
+            seg = self._segment(pid)
+            for term, (want, qids) in self.by_term.items():
+                ti = seg.lookup(term)
+                if ti < 0:
+                    continue
+                ids, tfs, dl = seg.postings_with_dl(ti)
+                pos = np.searchsorted(ids, want)
+                pos_c = np.minimum(pos, ids.size - 1)
+                hit = ids[pos_c] == want
+                if seg.tombstones is not None and seg.tombstones.size:
+                    tp = np.minimum(
+                        np.searchsorted(seg.tombstones, want),
+                        seg.tombstones.size - 1,
+                    )
+                    hit &= seg.tombstones[tp] != want
+                if not hit.any():
+                    continue
+                q_out.append(qids[hit])
+                d_out.append(want[hit])
+                t_out.extend([term] * int(hit.sum()))
+                tf_out.append(tfs[pos_c[hit]])
+                dl_out.append(dl[pos_c[hit]])
+        if not q_out:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "term": pd.Series([], dtype=object),
+                    "tf": pd.Series([], dtype=np.int64),
+                    "dl": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(q_out).astype(np.int64),
+                "doc_id": np.concatenate(d_out).astype(np.int64),
+                "term": np.asarray(t_out, dtype=object),
+                "tf": np.concatenate(tf_out).astype(np.int64),
+                "dl": np.concatenate(dl_out).astype(np.float64),
+            }
+        )
+
+
+def run_explain(
+    pairs: pd.DataFrame,
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES _explain (GET /<index>/_explain/<id>): the BM25
+    score breakdown of each requested (query_id, doc_id, text) pair.
+    Phase 1 collects global df for the query terms (dictionary-only DFS
+    pass, like run_queries); the segment sweep emits tf/dl per matched
+    term; the driver computes contribution = round6(idf * tf_part) with
+    the SAME float64 arithmetic as score_segment, so summing the raw
+    contributions per pair reproduces the hit's round6'd score.
+    Returns (query_id, doc_id, term, df, tf, contribution) sorted; terms
+    the doc does not contain are omitted (ES explain lists matched
+    sub-scorers only)."""
+    import ray
+
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    n_docs = int(manifest["n_docs"])
+    avgdl = float(manifest["avgdl"]) or 1.0
+    k1 = float(manifest.get("k1", cfg.k1))
+    b = float(manifest.get("b", cfg.b))
+
+    terms_of: list[tuple[int, int, list[str]]] = []
+    terms_set: set[str] = set()
+    for row in pairs.itertuples(index=False):
+        an = get_analyzer(getattr(row, "lang", None))
+        toks = sorted(set(an.tokenize(row.text)))
+        terms_of.append((int(row.query_id), int(row.doc_id), toks))
+        terms_set.update(toks)
+    all_terms = sorted(terms_set)
+    gdf = _collect_global_stats(index_dir, parts, all_terms)
+    df_map = dict(zip(all_terms, gdf))
+
+    by_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    acc: dict[str, tuple[list, list]] = {}
+    for qid, did, toks in terms_of:
+        for t in toks:
+            if df_map.get(t, 0) <= 0:
+                continue  # absent terms can never match (no explain row)
+            docs, qids = acc.setdefault(t, ([], []))
+            docs.append(did)
+            qids.append(qid)
+    for t, (docs, qids) in acc.items():
+        by_term[t] = (
+            np.asarray(docs, dtype=np.int64),
+            np.asarray(qids, dtype=np.int64),
+        )
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "term": pd.Series([], dtype=object),
+            "df": pd.Series([], dtype=np.int64),
+            "tf": pd.Series([], dtype=np.int64),
+            "contribution": pd.Series([], dtype=np.float64),
+        }
+    )
+    if not by_term:
+        return empty
+    plan_ref = ray.put((by_term, manifest.get("tombstones", {})))
+    hits = (
+        _shards_ds(parts, concurrency)
+        .map_batches(
+            ExplainStage,
+            fn_constructor_args=(index_dir, plan_ref, cfg),
+            batch_format="pandas",
+            batch_size=4,
+            concurrency=concurrency,
+        )
+        .to_pandas()  # O(|pairs| x |terms|) rows by construction
+    )
+    if not len(hits):
+        return empty
+    dfv = hits["term"].map(df_map).to_numpy(np.int64)
+    idf = np.asarray(bm25_idf(dfv, n_docs), dtype=np.float64)
+    tf_part = bm25_tf_part(
+        hits["tf"].to_numpy(np.float64), hits["dl"].to_numpy(np.float64),
+        avgdl, k1, b,
+    )
+    out = pd.DataFrame(
+        {
+            "query_id": hits["query_id"].to_numpy(np.int64),
+            "doc_id": hits["doc_id"].to_numpy(np.int64),
+            "term": hits["term"],
+            "df": dfv,
+            "tf": hits["tf"].to_numpy(np.int64),
+            "contribution": round6(idf * tf_part),
+        }
+    )
+    return (
+        out.sort_values(["query_id", "doc_id", "term"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def run_scroll(
+    queries,
+    index_dir,
+    page_size: int = 100,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+    max_pages: int = 10_000,
+):
+    """ES scroll / deep pagination: EVERY match of each query, fetched
+    in (score desc, doc_id asc) order as repeated distributed
+    ``run_queries`` passes, each resuming from the previous page's last
+    (score, doc_id) search_after cursor — the ES-recommended deep
+    pagination (scroll contexts are deprecated in favour of
+    search_after + PIT; segments here are immutable, so the snapshot is
+    consistent like a scroll context by construction).  Queries drop
+    out of the broadcast plan as they exhaust, so late pages fan out
+    only the still-live plans.  Returns (query_id, rank, doc_id, key,
+    score) with a GLOBAL rank."""
+    live = (
+        queries.to_pandas() if hasattr(queries, "to_pandas") else queries
+    ).copy().reset_index(drop=True)
+    live["k"] = np.int32(page_size)
+    live = live.drop(columns=["after_score", "after_doc"], errors="ignore")
+    base_rank = {int(q): 0 for q in live["query_id"]}
+    pages: list[pd.DataFrame] = []
+    for _ in range(max_pages):
+        if not len(live):
+            break
+        out = run_queries(live, index_dir, cfg, concurrency).to_pandas()
+        if not len(out):
+            break
+        out = out.copy()
+        out["rank"] = (
+            out["rank"].to_numpy(np.int64)
+            + out["query_id"].map(base_rank).to_numpy(np.int64)
+        )
+        pages.append(out)
+        page_n = out.groupby("query_id").size()
+        cont = page_n[page_n >= page_size].index
+        live = live[live["query_id"].isin(cont)].reset_index(drop=True)
+        if not len(live):
+            break
+        last = out.loc[out.groupby("query_id")["rank"].idxmax()].set_index(
+            "query_id"
+        )
+        live["after_score"] = live["query_id"].map(last["score"])
+        live["after_doc"] = live["query_id"].map(last["doc_id"]).astype(np.int64)
+        for qid in cont:
+            base_rank[int(qid)] = int(last.loc[qid, "rank"])
+    if not pages:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "key": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64),
+            }
+        )
+    return (
+        pd.concat(pages, ignore_index=True)
+        .sort_values(["query_id", "rank"], kind="mergesort")
+        .reset_index(drop=True)
+    )

@@ -138,3 +138,79 @@ def test_composite_after_key_paging(agg_index, ray_session):
             break
     paged = pd.concat(pages, ignore_index=True)
     pd.testing.assert_frame_equal(paged, full)
+
+
+def _month_sums(docs):
+    m = (
+        docs["ts"].astype(np.int64).to_numpy().astype("datetime64[s]")
+        .astype("datetime64[M]")
+    )
+    return docs.assign(month=m).groupby("month")["val"].agg(["sum", "size"])
+
+
+def test_cumulative_sum_matches_pandas(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_cumulative_sum
+
+    d, docs = agg_index
+    got = run_agg_cumulative_sum(Q, d, "ts", "val", "month", cfg=CFG)
+    want = _month_sums(docs)["sum"]
+    assert got["value"].tolist() == want.tolist()
+    assert got["cumulative"].tolist() == want.cumsum().tolist()
+    assert got["cumulative"].iloc[-1] == docs["val"].sum()
+
+
+def test_derivative_omits_first_bucket(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_derivative
+
+    d, docs = agg_index
+    got = run_agg_derivative(Q, d, "ts", "val", "month", cfg=CFG)
+    want = _month_sums(docs)["sum"]
+    assert len(got) == len(want) - 1  # ES: no derivative for bucket 1
+    assert got["deriv"].tolist() == want.diff().dropna().tolist()
+
+
+def test_bucket_script_and_selector(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_bucket_script
+
+    d, docs = agg_index
+    ms = _month_sums(docs)
+    thresh = int(ms["size"].median())
+    got = run_agg_bucket_script(Q, d, "ts", "val", "month", min_docs=thresh, cfg=CFG)
+    want = ms[ms["size"] >= thresh]
+    assert len(got) == len(want)
+    assert (got["n_docs"] >= thresh).all()
+    np.testing.assert_allclose(
+        got["avg_val"].to_numpy(),
+        (want["sum"] / want["size"]).to_numpy(),
+        atol=1e-6,
+    )
+
+
+def test_stats_bucket_sibling(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_stats_bucket
+
+    d, docs = agg_index
+    got = run_agg_stats_bucket(Q, d, "ts", "val", "month", cfg=CFG)
+    want = _month_sums(docs)["sum"]
+    assert len(got) == 1
+    assert got["n_buckets"].iloc[0] == len(want)
+    assert got["min_val"].iloc[0] == want.min()
+    assert got["max_val"].iloc[0] == want.max()
+    assert got["sum_val"].iloc[0] == want.sum()
+
+
+def test_pipeline_metric_missing_is_zero_sum(agg_index, ray_session):
+    # val2 has a NaN slice: ES sum sub-agg ignores missing values but the
+    # bucket still counts the doc (_count is the date_histogram's)
+    from kafka_es_ray.query.engine import run_agg_cumulative_sum, run_agg_date_histogram
+
+    d, docs = agg_index
+    got = run_agg_cumulative_sum(Q, d, "ts", "val2", "month", cfg=CFG)
+    m = (
+        docs["ts"].astype(np.int64).to_numpy().astype("datetime64[s]")
+        .astype("datetime64[M]")
+    )
+    want = docs.assign(month=m).groupby("month")["val2"].sum()  # pandas skips NaN
+    np.testing.assert_allclose(got["value"].to_numpy(), want.to_numpy(), atol=1e-6)
+    hist = run_agg_date_histogram(Q, d, "ts", "month", cfg=CFG)
+    assert hist["n_docs"].sum() == len(docs)
