@@ -398,6 +398,140 @@ ORDER BY 1, 2, 3
 _SCROLL_SQL = _BM25_SQL.replace("FROM topk WHERE rank <= 10", "FROM topk")
 assert "WHERE rank <= 10" not in _SCROLL_SQL
 
+# ES constant_score: every matching doc scores the boost (1.5); ties
+# break doc_id asc, so top-k = the k smallest matching doc_ids
+_CONST_SQL = _MATCHES_CTE + """
+, ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY doc_id ASC) AS rank
+  FROM matches
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, 1.5 AS score
+FROM ranked WHERE rank <= 10 ORDER BY 1, 2
+"""
+
+# ES boosting: positive = the derived BM25 queries; docs containing the
+# corpus's top-df term are demoted by x0.4 (round6 after the multiply,
+# matching the engine's round6(round6(raw) * nb))
+_BOOSTING_SQL = _BM25_SQL.split("topk AS (")[0] + """neg AS (
+  SELECT DISTINCT tf.doc_id
+  FROM ranked_terms rt JOIN tf ON tf.term = rt.term WHERE rt.r = 1
+),
+demoted AS (
+  SELECT s.query_id, s.doc_id,
+         CASE WHEN n.doc_id IS NOT NULL
+              THEN round(round(s.raw_score, 6) * 0.4, 6)
+              ELSE round(s.raw_score, 6) END AS score
+  FROM scores s LEFT JOIN neg n ON n.doc_id = s.doc_id
+),
+topk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM demoted
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10
+"""
+
+# ES terms_set: >= msm of the given terms must match; score = round6 of
+# the sum of the matched terms' round6'd BM25 (single-term bool clauses)
+_TERMS_SET_SQL = _BM25_SQL.split("queries AS (")[0] + """tsq AS (
+  SELECT v.query_id, rt.term
+  FROM (VALUES
+    (0,1),(0,2),(0,3),(0,4),(0,5),
+    (1,2),(1,3),(1,4),(1,5),(1,6),
+    (2,4),(2,5),(2,6),(2,7),(2,8),
+    (3,5),(3,6),(3,7),(3,8)
+  ) AS v(query_id, r)
+  JOIN ranked_terms rt ON rt.r = v.r
+),
+params AS (
+  SELECT * FROM (VALUES (0, 3), (1, 2), (2, 4), (3, 2)) AS p(query_id, msm)
+),
+cs AS (
+  SELECT q.query_id, tf.doc_id, q.term,
+         round(
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6
+         ) AS c
+  FROM tsq q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+matched AS (
+  SELECT query_id, doc_id, count(*) AS n_m, round(sum(c), 6) AS score
+  FROM cs GROUP BY 1, 2
+),
+topk AS (
+  SELECT m.query_id, m.doc_id, m.score,
+         row_number() OVER (
+           PARTITION BY m.query_id ORDER BY m.score DESC, m.doc_id ASC
+         ) AS rank
+  FROM matched m JOIN params p ON p.query_id = m.query_id
+  WHERE m.n_m >= p.msm
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10
+"""
+
+# ES match_bool_prefix: complete terms score BM25 (round6'd sum), the
+# final token's 3-char prefix clause adds 1.0 per matching doc (the
+# constant_score multi-term rewrite); candidates = either side
+_MBP_SQL = _BM25_SQL.split("queries AS (")[0] + """rest AS (
+  SELECT v.query_id, rt.term
+  FROM (VALUES
+    (0,1), (1,2),(1,3), (2,4),(2,5),(2,6), (3,7),(3,8)
+  ) AS v(query_id, r)
+  JOIN ranked_terms rt ON rt.r = v.r
+),
+qpfx AS (
+  SELECT v.query_id, substr(rt.term, 1, 3) AS p
+  FROM (VALUES (0,2), (1,4), (2,7), (3,1)) AS v(query_id, r)
+  JOIN ranked_terms rt ON rt.r = v.r
+),
+base AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ), 6) AS bscore
+  FROM rest q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+pmatch AS (
+  SELECT DISTINCT q.query_id, tf.doc_id
+  FROM qpfx q JOIN tf ON tf.term LIKE q.p || '%'
+),
+cand AS (
+  SELECT coalesce(b.query_id, p.query_id) AS query_id,
+         coalesce(b.doc_id, p.doc_id) AS doc_id,
+         round(
+           coalesce(b.bscore, 0)
+           + CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END, 6
+         ) AS score
+  FROM base b
+  FULL JOIN pmatch p ON p.query_id = b.query_id AND p.doc_id = b.doc_id
+),
+topk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM cand
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10
+"""
+
+
 # ES significant_text aggregation: per match set (the foreground), terms
 # whose fg doc frequency is disproportionately high vs the whole corpus
 # (the background), JLH-scored (fg% - bg%) * (fg% / bg%); min_doc_count=3
@@ -834,6 +968,23 @@ topk AS (
 SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM topk WHERE rank <= 10
 """.replace("{_TOK}", _TOK)
+
+# ES simple_query_string: the bool oracle with the parsed clause roles
+# (+term = must, -term = must_not, bare = should; msm = 1 iff no must)
+_SQS_SQL = _BOOL_SQL.replace(
+    """    (0, 0, 'm', 2), (0, 1, 'm', 3),
+    (1, 0, 'm', 2), (1, 1, 's', 5), (1, 2, 's', 7),
+    (2, 0, 's', 4), (2, 1, 's', 6),
+    (3, 0, 'm', 3), (3, 1, 's', 5), (3, 2, 's', 8), (3, 3, 'n', 1)""",
+    """    (0, 0, 'm', 2), (0, 1, 's', 4), (0, 2, 's', 5), (0, 3, 'n', 1),
+    (1, 0, 's', 3), (1, 1, 's', 5),
+    (2, 0, 'm', 1), (2, 1, 'm', 6),
+    (3, 0, 's', 7), (3, 1, 's', 8), (3, 2, 'n', 2)""",
+).replace(
+    "(VALUES (0, 0), (1, 0), (2, 1), (3, 1)) AS p(query_id, msm)",
+    "(VALUES (0, 0), (1, 1), (2, 0), (3, 1)) AS p(query_id, msm)",
+)
+assert "(1, 0, 's', 3)" in _SQS_SQL and "(3, 1)) AS p" in _SQS_SQL
 
 
 def entry() -> Any:
@@ -1938,6 +2089,186 @@ def _q_scroll_all(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_constant_score(sf_dir: str):
+    """ES constant_score: filter-context match, score = boost (1.5) for
+    every matching doc; all scores tie so the top-k is the k smallest
+    matching doc_ids — shards emit only their first k match ids."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_csidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx))
+        queries = queries[queries["text"] != "zzzabsentterm"].assign(
+            type="constant_score", boost=1.5
+        )
+        out = run_queries(queries, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_boosting(sf_dir: str):
+    """ES boosting query: positive = the derived match queries (BM25);
+    docs also matching the negative query (the corpus's top-df term) are
+    demoted by negative_boost=0.4 — relative order preserved inside the
+    demoted set."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import (
+        build_documents_index,
+        derive_query_set,
+        derive_ranked_terms,
+    )
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_boostidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        s = IndexSearcher(idx)
+        top = derive_ranked_terms(s, 1)
+        queries = derive_query_set(s)
+        queries = queries[queries["text"] != "zzzabsentterm"].assign(
+            type="boosting", negative=top[0], negative_boost=0.4
+        )
+        out = run_queries(queries, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_terms_set(sf_dir: str):
+    """ES terms_set query: docs matching >= msm of the given terms,
+    scored as the sum of the matched terms' BM25 (a bool of single-term
+    should clauses)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_tsidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        t = derive_ranked_terms(IndexSearcher(idx), 8)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(4, dtype=np.int64),
+                "type": "terms_set",
+                "text": [
+                    " ".join(t[0:5]),
+                    " ".join(t[1:6]),
+                    " ".join(t[3:8]),
+                    " ".join(t[4:8]),
+                ],
+                "msm": [3, 2, 4, 2],
+                "k": np.int32(10),
+            }
+        )
+        out = run_queries(queries, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_match_bool_prefix(sf_dir: str):
+    """ES match_bool_prefix: the final token matches as a prefix scoring
+    1.0 per doc (constant_score multi-term rewrite), the complete tokens
+    score BM25; per-doc score = round6(sum)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_mbpidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        t = derive_ranked_terms(IndexSearcher(idx), 8)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(4, dtype=np.int64),
+                "type": "match_bool_prefix",
+                # rest terms + the NEXT rank's 3-char prefix as last token
+                "text": [
+                    f"{t[0]} {t[1][:3]}",
+                    f"{t[1]} {t[2]} {t[3][:3]}",
+                    f"{t[3]} {t[4]} {t[5]} {t[6][:3]}",
+                    f"{t[6]} {t[7]} {t[0][:3]}",
+                ],
+                "k": np.int32(10),
+            }
+        )
+        out = run_queries(queries, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_simple_query_string(sf_dir: str):
+    """ES simple_query_string: +term = must, -term = must_not, bare =
+    should (default_operator=or) — parsed then executed on the bool
+    path; msm = 1 when no must clause (the ES bool default)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_sqsidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        t = derive_ranked_terms(IndexSearcher(idx), 8)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(4, dtype=np.int64),
+                "type": "simple_query_string",
+                "text": [
+                    f"+{t[1]} {t[3]} {t[4]} -{t[0]}",
+                    f"{t[2]} {t[4]}",
+                    f"+{t[0]} +{t[5]}",
+                    f"{t[6]} {t[7]} -{t[1]}",
+                ],
+                "k": np.int32(10),
+            }
+        )
+        out = run_queries(queries, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_multi_index_topk(sf_dir: str):
     """ES multi-index search (/idx_even,idx_odd/_search): the documents
     corpus split by doc_id parity into TWO indexes, searched together —
@@ -2756,6 +3087,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_match_boost_topk": _q_multi_match_boost,
         "match_title_topk": _q_match_title,
         "bool_topk": _q_bool_topk,
+        "constant_score_topk": _q_constant_score,
+        "boosting_topk": _q_boosting,
+        "terms_set_topk": _q_terms_set,
+        "match_bool_prefix_topk": _q_match_bool_prefix,
+        "simple_query_string_topk": _q_simple_query_string,
         "match_count": _q_match_count,
         "match_must_not": _q_match_must_not,
         "match_lang_agg": _q_match_lang_agg,
@@ -2921,6 +3257,11 @@ def oracle_sql() -> dict[str, str]:
         "multi_match_boost_topk": _MULTI_MATCH_BOOST_SQL,
         "match_title_topk": _MATCH_TITLE_SQL,
         "bool_topk": _BOOL_SQL,
+        "constant_score_topk": _CONST_SQL,
+        "boosting_topk": _BOOSTING_SQL,
+        "terms_set_topk": _TERMS_SET_SQL,
+        "match_bool_prefix_topk": _MBP_SQL,
+        "simple_query_string_topk": _SQS_SQL,
         "match_must_not": _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(
             having="""HAVING NOT EXISTS (
                SELECT 1 FROM tf t2

@@ -2070,7 +2070,38 @@ class ShardScorerStage(_SegmentCacheStage):
                         np.maximum.at(mx, inv, all_sc)
                         acc = mx + tb * (acc - mx)
                     scores = np.asarray(round6(acc))
+                elif "const" in q:
+                    # constant_score: every score ties at the boost, so
+                    # the global top-k = the k smallest matching doc_ids;
+                    # postings unions are sorted, so ids[:k] per shard is
+                    # exact and the shuffle stays O(k x shards)
+                    ids = segment_matching_ids(seg, q["terms"], False)[: q["k"]]
+                    scores = np.full(ids.size, q["const"], dtype=np.float64)
+                elif "mbp" in q:
+                    mb = q["mbp"]
+                    if mb["terms"]:
+                        ids1, sc1 = score_segment(
+                            seg, mb["terms"], mb["idf"], self.avgdl,
+                            self.k1, self.b, None,
+                        )
+                    else:
+                        ids1 = np.array([], dtype=np.int64)
+                        sc1 = np.array([], dtype=np.float64)
+                    pids = segment_prefix_matching_ids(seg, mb["prefix"])
+                    ids = np.union1d(ids1, pids)
+                    if ids.size == 0:
+                        continue
+                    acc = np.zeros(ids.size, dtype=np.float64)
+                    if ids1.size:
+                        acc[np.searchsorted(ids, ids1)] += sc1
+                    if pids.size:
+                        acc[np.searchsorted(ids, pids)] += 1.0
+                    scores = np.asarray(round6(acc))
                 else:
+                    if q.get("neg_terms"):
+                        # boosting-query demotion happens after scoring;
+                        # keep pruning off (the pool holds demoted scores)
+                        theta = None
                     ids, scores = score_segment(
                         seg,
                         q["terms"],
@@ -2087,6 +2118,24 @@ class ShardScorerStage(_SegmentCacheStage):
                     )
                     if q.get("fvf") is not None and ids.size:
                         scores = _apply_fvf(seg, ids, scores, q["fvf"])
+                    if q.get("neg_terms") and ids.size:
+                        # ES boosting query: docs matching the negative
+                        # query are demoted by negative_boost (relative
+                        # order within the demoted set is preserved)
+                        neg_lists = []
+                        for nt in q["neg_terms"]:
+                            nti = seg.lookup(nt)
+                            if nti >= 0:
+                                neg_lists.append(seg.postings_with_dl(nti)[0])
+                        if neg_lists:
+                            neg_ids = np.unique(np.concatenate(neg_lists))
+                            demote = np.isin(ids, neg_ids, assume_unique=True)
+                            scores = np.where(
+                                demote,
+                                np.floor(scores * q["neg_boost"] * 1e6 + 0.5)
+                                / 1e6,
+                                scores,
+                            )
                     sa = q.get("search_after")
                     if sa is not None and ids.size:
                         keep_sa = _after_cursor_mask(ids, scores, sa)
@@ -2792,6 +2841,25 @@ def run_queries(
     # reference knob max.in.flight.requests (ElasticsearchSinkConnector.kt:61-62)
     concurrency = concurrency or cfg.query_concurrency or query_pool()
     queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    if "type" in queries.columns and (queries["type"] == "simple_query_string").any():
+        # ES simple_query_string (+term = must, -term = must_not, bare =
+        # should, default_operator=or): rewritten to the bool path before
+        # term collection — each +/bare token becomes its own clause,
+        # msm = 1 when there is no must clause (the ES bool default)
+        queries = queries.copy()
+        for col in ("must", "should", "must_not", "msm"):
+            if col not in queries.columns:
+                queries[col] = None
+        for i in queries.index[queries["type"] == "simple_query_string"]:
+            raw = str(queries.at[i, "text"]).split()
+            must_p = [t[1:] for t in raw if t.startswith("+") and len(t) > 1]
+            mn_p = [t[1:] for t in raw if t.startswith("-") and len(t) > 1]
+            sh_p = [t for t in raw if t[:1] not in "+-"]
+            queries.at[i, "must"] = "|".join(must_p) or None
+            queries.at[i, "should"] = "|".join(sh_p) or None
+            queries.at[i, "must_not"] = " ".join(mn_p) or None
+            queries.at[i, "msm"] = 0 if must_p else 1
+            queries.at[i, "type"] = "bool"
     multi = not isinstance(index_dir, str)
     dirs = list(index_dir) if multi else [index_dir]
     manifests = [read_manifest(d) for d in dirs]
@@ -2970,6 +3038,151 @@ def run_queries(
                     "k": k + offset,
                     "offset": offset,
                     "size": k,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        qtype_row = getattr(row, "type", None) or "match"
+        if qtype_row == "terms_set":
+            # ES terms_set: docs matching >= msm of the given terms;
+            # score = sum of the matched terms' BM25 — exactly a bool
+            # query of single-term should clauses
+            # (minimum_should_match_field inlined as the msm column)
+            an_ts = get_analyzer(lang_q)
+            kept_ts = [
+                t for t in sorted(set(an_ts.tokenize(row.text)))
+                if df_map.get(t, 0) > 0
+            ]
+            msm_ts_raw = getattr(row, "msm", None)
+            try:
+                ts_missing = msm_ts_raw is None or bool(pd.isna(msm_ts_raw))
+            except (TypeError, ValueError):
+                ts_missing = False
+            msm_ts = 1 if ts_missing else int(msm_ts_raw)
+            if not kept_ts or len(kept_ts) < msm_ts:
+                continue
+            key = ("terms_set", tuple(kept_ts), msm_ts, k)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                should_ts = [
+                    (
+                        [t],
+                        np.asarray(
+                            bm25_idf(
+                                np.array([df_map[t]], dtype=np.int64), n_docs
+                            ),
+                            dtype=np.float64,
+                        ),
+                    )
+                    for t in kept_ts
+                ]
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "bool": {
+                        "must": [], "should": should_ts,
+                        "mn_terms": None, "msm": msm_ts,
+                    },
+                    "hl_terms": kept_ts,
+                    "k": k, "offset": 0, "size": k,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        if qtype_row == "constant_score":
+            # ES constant_score: filter-context match (any query term),
+            # score = boost for every matching doc (no BM25).  All
+            # scores tie, so the global top-k is the k smallest matching
+            # doc_ids — each shard emits only its first k match ids.
+            kept_cs = [
+                t for t in sorted(set(get_analyzer(lang_q).tokenize(row.text)))
+                if df_map.get(t, 0) > 0
+            ]
+            if not kept_cs:
+                continue
+            boost_raw = getattr(row, "boost", None)
+            boost = (
+                1.0
+                if boost_raw is None
+                or (isinstance(boost_raw, float) and pd.isna(boost_raw))
+                else float(boost_raw)
+            )
+            key = ("const", tuple(kept_cs), boost, k)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "const": boost,
+                    "terms": kept_cs,
+                    "hl_terms": kept_cs,
+                    "k": k, "offset": 0, "size": k,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        if qtype_row == "boosting":
+            # ES boosting query: positive = a match query scored BM25;
+            # docs also matching the negative query keep their relative
+            # order but are demoted by negative_boost (score x nb,
+            # round6'd — ES multiplies the positive score)
+            an_b = get_analyzer(lang_q)
+            kept_b = [
+                t for t in sorted(set(an_b.tokenize(row.text)))
+                if df_map.get(t, 0) > 0
+            ]
+            if not kept_b:
+                continue
+            neg_raw = _row_str(row, "negative")
+            neg_terms = sorted(set(an_b.tokenize(neg_raw))) if neg_raw else []
+            nb_raw = getattr(row, "negative_boost", None)
+            nb = (
+                0.5
+                if nb_raw is None
+                or (isinstance(nb_raw, float) and pd.isna(nb_raw))
+                else float(nb_raw)
+            )
+            key = ("boosting", tuple(kept_b), tuple(neg_terms), nb, k)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                idf_b = bm25_idf(
+                    np.array([df_map[t] for t in kept_b], dtype=np.int64), n_docs
+                )
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "terms": kept_b,
+                    "idf": np.asarray(idf_b, dtype=np.float64),
+                    "neg_terms": neg_terms,
+                    "neg_boost": nb,
+                    "hl_terms": kept_b,
+                    "k": k, "offset": 0, "size": k,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        if qtype_row == "match_bool_prefix":
+            # ES match_bool_prefix: the final token matches as a prefix,
+            # the complete tokens as a bool should of term queries.  The
+            # prefix clause scores 1.0 per matching doc (the ES
+            # constant_score multi-term rewrite); the complete terms
+            # score BM25; per-doc score = round6(sum).
+            an_m = get_analyzer(lang_q)
+            toks_mbp = an_m.tokenize(row.text)
+            if not toks_mbp:
+                continue
+            prefix_mbp = toks_mbp[-1]
+            kept_r = [
+                t for t in sorted(set(toks_mbp[:-1])) if df_map.get(t, 0) > 0
+            ]
+            key = ("mbp", tuple(kept_r), prefix_mbp, k)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                idf_r = bm25_idf(
+                    np.array([df_map[t] for t in kept_r], dtype=np.int64), n_docs
+                )
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "mbp": {
+                        "terms": kept_r,
+                        "idf": np.asarray(idf_r, dtype=np.float64),
+                        "prefix": prefix_mbp,
+                    },
+                    "hl_terms": sorted(set(toks_mbp)),
+                    "k": k, "offset": 0, "size": k,
                 }
             entry["query_ids"].append(int(row.query_id))
             continue
