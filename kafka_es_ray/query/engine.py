@@ -3353,7 +3353,11 @@ def run_queries(
             empty0["text"] = pd.Series([], dtype=object)
         if highlight:
             empty0["highlight"] = pd.Series([], dtype=object)
-        return rd.from_pandas(pd.DataFrame(empty0))
+        # an arrow block keeps the column schema through to_pandas();
+        # from_pandas on a 0-row frame surfaces as a schema-less dataset
+        return rd.from_arrow(
+            pa.Table.from_pandas(pd.DataFrame(empty0), preserve_index=False)
+        )
     for pid_, q in enumerate(plan):
         q["plan_id"] = pid_
     QUERY_METRICS["query_batches"] += 1
