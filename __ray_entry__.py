@@ -83,6 +83,18 @@ _RANGE_SQL = _BM25_SQL.replace(
 )
 assert "n_chars" in _RANGE_SQL  # replace anchor must exist
 
+# ES bool filter term clause ({"term": {source: v}}): same scores, docs
+# whose source keyword value != the corpus's modal source are dropped
+# BEFORE ranking (filter context: no score contribution); v = most
+# frequent source value, ties broken lexicographically
+_KW_FILTER_SQL = _BM25_SQL.replace(
+    "  FROM scores\n)",
+    "  FROM scores JOIN documents d USING (doc_id)\n"
+    "  WHERE d.source = (SELECT source FROM documents GROUP BY 1\n"
+    "                    ORDER BY count(*) DESC, source LIMIT 1)\n)",
+)
+assert "d.source" in _KW_FILTER_SQL
+
 # ES field collapsing: best doc per (query, lang), groups ranked by
 # their best doc's (score desc, doc_id asc)
 _COLLAPSE_SQL = _BM25_SQL.split("topk AS (")[0] + """grouped AS (
@@ -1119,6 +1131,47 @@ def _q_range_filter_topk(sf_dir: str):
         queries = derive_query_set(IndexSearcher(idx, cfg))
         queries = queries[queries["text"] != "zzzabsentterm"].assign(
             range_field="n_chars", range_gte=150.0, range_lte=400.0
+        )
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_kw_filter_topk(sf_dir: str):
+    """ES bool query with a keyword term filter (source == the corpus's
+    modal source value) over the derived BM25 queries — distributed
+    run_queries path over an index built with cfg.keyword_cols."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_kwfidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, keyword_cols=("source",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("source",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        vc = (
+            pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+            ["source"].value_counts()
+        )
+        modal = sorted(vc.index[vc == vc.max()])[0]
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"].assign(
+            kw_field="source", kw_value=modal
         )
         out = run_queries(queries, idx, cfg).to_pandas()
         return (
@@ -3045,6 +3098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "range_filter_topk": _q_range_filter_topk,
+        "kw_filter_topk": _q_kw_filter_topk,
         "sort_by_field": _q_sort_by_field,
         "match_stats_agg": _q_match_stats_agg,
         "match_histogram": _q_match_histogram,
@@ -3187,6 +3241,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
         "range_filter_topk": _RANGE_SQL,
+        "kw_filter_topk": _KW_FILTER_SQL,
         # multi-index over a parity split == the combined single index;
         # index_id (ES _index) falls out of the parity rule
         "multi_index_topk": _BM25_SQL.replace(

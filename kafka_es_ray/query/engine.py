@@ -99,6 +99,7 @@ class IndexSearcher:
         must_not: str | None = None,
         field: str | None = None,
         filter_range: list[tuple] | None = None,
+        filter_kw: list[tuple] | None = None,
         search_after: tuple | None = None,
     ) -> pd.DataFrame:
         """Top-k docs for one query string.  Returns DataFrame
@@ -133,7 +134,7 @@ class IndexSearcher:
             out = self._search(
                 text, lang, k, prune, operator, filter_lang, fetch or highlight, offset,
                 must_not=must_not, field=field, filter_range=filter_range,
-                search_after=search_after,
+                filter_kw=filter_kw, search_after=search_after,
             )
             if highlight:
                 terms = sorted(set(get_analyzer(lang).tokenize(text)))
@@ -160,6 +161,7 @@ class IndexSearcher:
         must_not: str | None = None,
         field: str | None = None,
         filter_range: list[tuple] | None = None,
+        filter_kw: list[tuple] | None = None,
         search_after: tuple | None = None,
     ) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -210,6 +212,7 @@ class IndexSearcher:
                 dl_field=field,
                 avgdl=avgdl_use,
                 filter_ranges=filter_range,
+                filter_kw=filter_kw,
             )
             if search_after is not None and ids.size:
                 keep_sa = _after_cursor_mask(ids, scores, search_after)
@@ -274,12 +277,13 @@ class IndexSearcher:
         dl_field: str | None = None,
         avgdl: float | None = None,
         filter_ranges: list[tuple] | None = None,
+        filter_kw: list[tuple] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         return score_segment(
             s, terms, idf, self.avgdl if avgdl is None else avgdl, self.k1, self.b,
             theta, require_all=require_all, filter_lang=filter_lang,
             must_not_terms=must_not_terms, dl_field=dl_field,
-            filter_ranges=filter_ranges,
+            filter_ranges=filter_ranges, filter_kw=filter_kw,
         )
 
     def multi_match(
@@ -1120,6 +1124,7 @@ def segment_matching_ids(
     require_all: bool = False,
     filter_lang: str | None = None,
     filter_ranges: list[tuple] | None = None,
+    filter_kw: list[tuple] | None = None,
 ) -> np.ndarray:
     """ALL live doc ids in one segment matching the analyzed terms (no
     top-k cap) — the per-segment unit of the ES _count / terms-agg /
@@ -1153,6 +1158,12 @@ def segment_matching_ids(
             if hi is not None:
                 keep_r &= vals <= hi
             ids = ids[keep_r]
+    if filter_kw:
+        # ES bool filter term clause ({"term": {kw_field: value}})
+        for fld, val in filter_kw:
+            if not ids.size:
+                break
+            ids = ids[s.field_for(fld, ids) == val]
     if s.tombstones is not None and s.tombstones.size and ids.size:
         pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
         ids = ids[s.tombstones[pos] != ids]
@@ -1595,7 +1606,7 @@ def _segment_match_ids_for_plan(s: Segment, q: dict) -> np.ndarray:
         )
     return segment_matching_ids(
         s, q["terms"], q.get("require_all", False), q.get("filter_lang"),
-        q.get("filter_ranges"),
+        q.get("filter_ranges"), q.get("filter_kw"),
     )
 
 
@@ -1797,6 +1808,7 @@ def score_segment(
     must_not_terms: list[str] | None = None,
     dl_field: str | None = None,
     filter_ranges: list[tuple] | None = None,
+    filter_kw: list[tuple] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized BM25 scoring of one segment.  With a threshold, MaxScore
     splits terms into essential (union-scored) and non-essential
@@ -1873,6 +1885,17 @@ def score_segment(
             if hi is not None:
                 keep_r &= vals <= hi
             cand, acc = cand[keep_r], acc[keep_r]
+            if cand.size == 0:
+                return cand, acc
+    if filter_kw:
+        # ES bool filter term clause on a keyword-mapped field
+        # ({"term": {field: value}}): filter context — no score
+        # contribution, post-scoring like filter_lang/filter_ranges
+        # (exact under pruning: a filter only removes docs, so the
+        # running theta built from filtered scores never over-prunes)
+        for fld, val in filter_kw:
+            keep_f = s.field_for(fld, cand) == val
+            cand, acc = cand[keep_f], acc[keep_f]
             if cand.size == 0:
                 return cand, acc
     if must_not_terms:
@@ -2115,6 +2138,7 @@ class ShardScorerStage(_SegmentCacheStage):
                         must_not_terms=q.get("must_not"),
                         dl_field=q.get("dl_field"),
                         filter_ranges=q.get("filter_ranges"),
+                        filter_kw=q.get("filter_kw"),
                     )
                     if q.get("fvf") is not None and ids.size:
                         scores = _apply_fvf(seg, ids, scores, q["fvf"])
@@ -3268,6 +3292,7 @@ def run_queries(
                 mn_base = [f"{fld}\x1f{t}" for t in mn_base]
             mn_terms = tuple(mn_base) or None
         fr = _row_filter_ranges(row)
+        fkw = _row_filter_kw(row)
         sa_raw = getattr(row, "after_score", None)
         if sa_raw is None or (isinstance(sa_raw, float) and pd.isna(sa_raw)):
             sa = None
@@ -3316,7 +3341,7 @@ def run_queries(
             fvf = None
         key = (
             tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld,
-            fr, sa, fvf, only_sids,
+            fr, fkw, sa, fvf, only_sids,
         )
         entry = plan_by_key.get(key)
         if entry is None:
@@ -3325,6 +3350,7 @@ def run_queries(
                 "query_ids": [],
                 "terms": terms,
                 "filter_ranges": list(fr) if fr else None,
+                "filter_kw": list(fkw) if fkw else None,
                 "search_after": sa,
                 "fvf": fvf,
                 "only_sids": only_sids,
@@ -3482,6 +3508,20 @@ def _row_filter_ranges(row) -> tuple | None:
     return ((str(fld), _num("range_gte"), _num("range_lte")),)
 
 
+def _row_filter_kw(row) -> tuple | None:
+    """Optional per-query keyword term filter from queries-DataFrame
+    columns ``kw_field`` / ``kw_value`` -> ((field, value),) or None —
+    the ES bool filter clause {"term": {kw_field: value}} (filter
+    context: pure match-set restriction, no score contribution)."""
+    fld = getattr(row, "kw_field", None)
+    if fld is None or (isinstance(fld, float) and pd.isna(fld)):
+        return None
+    val = getattr(row, "kw_value", None)
+    if val is None or (isinstance(val, float) and pd.isna(val)):
+        return None
+    return ((str(fld), str(val)),)
+
+
 def _scored_match_plans(
     queries: pd.DataFrame, index_dir: str, parts: list[int], n_docs: int
 ) -> list[dict]:
@@ -3623,7 +3663,8 @@ def _match_set_plans(queries: pd.DataFrame) -> list[dict]:
             continue
         terms = sorted(set(get_analyzer(lang_q).tokenize(row.text)))
         require_all = (getattr(row, "operator", None) or "or") == "and"
-        key = (tuple(terms), require_all, filter_lang, fr)
+        fkw = _row_filter_kw(row)
+        key = (tuple(terms), require_all, filter_lang, fr, fkw)
         entry = plan_by_key.get(key)
         if entry is None:
             entry = plan_by_key[key] = {
@@ -3632,6 +3673,7 @@ def _match_set_plans(queries: pd.DataFrame) -> list[dict]:
                 "require_all": require_all,
                 "filter_lang": filter_lang,
                 "filter_ranges": list(fr) if fr else None,
+                "filter_kw": list(fkw) if fkw else None,
             }
         entry["query_ids"].append(int(row.query_id))
     plan = list(plan_by_key.values())

@@ -557,3 +557,47 @@ def test_distributed_apis_survive_merge(api_index, ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         run_mget(keys, d, CFG, concurrency=2), run_mget(keys, d2, CFG, concurrency=2)
     )
+
+
+def test_keyword_term_filter(api_index, ray_session):
+    """ES bool filter term clause ({"term": {kw_field: value}}): filter
+    context — match set restricted to docs whose keyword docstore value
+    equals the literal, scores unchanged, single-process == distributed
+    == run_counts, composable with a lang filter."""
+    d, docs = api_index
+    s = IndexSearcher(d, CFG)
+    live = docs.iloc[20:]  # fixture deletes docs 0..19
+    full = s.search("common", k=1000)
+    filt = s.search("common", k=1000, filter_kw=[("source", "crawl1")])
+    src = live.set_index("url")["source"]
+    assert set(filt["key"]) == {k for k in full["key"] if src[k] == "crawl1"}
+    scores = dict(zip(full["key"], full["score"]))
+    assert all(scores[k] == sc for k, sc in zip(filt["key"], filt["score"]))
+    # distributed run_queries parity
+    q = pd.DataFrame(
+        {
+            "query_id": np.int64([0]),
+            "text": ["common"],
+            "kw_field": ["source"],
+            "kw_value": ["crawl1"],
+            "k": np.int32(1000),
+        }
+    )
+    out = run_queries(q, d, CFG, concurrency=2).to_pandas()
+    out = out.sort_values("rank")
+    assert out["doc_id"].tolist() == filt["doc_id"].tolist()
+    assert out["score"].tolist() == filt["score"].tolist()
+    # _count path through the same plan column
+    c = run_counts(q, d, CFG, concurrency=2)
+    assert int(c["n_matching"][0]) == len(filt)
+    # composes with filter_lang (both restrictions apply)
+    both = s.search(
+        "common", k=1000, filter_lang="de", filter_kw=[("source", "crawl1")]
+    )
+    lang = live.set_index("url")["lang"]
+    assert set(both["key"]) == {
+        k for k in filt["key"] if lang[k] == "de"
+    }
+    # unmapped keyword field -> loud error, not silent pass-through
+    with pytest.raises(ValueError):
+        s.search("common", k=10, filter_kw=[("nope", "x")])
