@@ -1159,11 +1159,12 @@ def segment_matching_ids(
                 keep_r &= vals <= hi
             ids = ids[keep_r]
     if filter_kw:
-        # ES bool filter term clause ({"term": {kw_field: value}})
+        # ES bool filter term/terms clause ({"term(s)": {kw_field: v}})
         for fld, val in filter_kw:
             if not ids.size:
                 break
-            ids = ids[s.field_for(fld, ids) == val]
+            got = s.field_for(fld, ids)
+            ids = ids[got == val if isinstance(val, str) else np.isin(got, val)]
     if s.tombstones is not None and s.tombstones.size and ids.size:
         pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
         ids = ids[s.tombstones[pos] != ids]
@@ -1888,13 +1889,17 @@ def score_segment(
             if cand.size == 0:
                 return cand, acc
     if filter_kw:
-        # ES bool filter term clause on a keyword-mapped field
-        # ({"term": {field: value}}): filter context — no score
-        # contribution, post-scoring like filter_lang/filter_ranges
-        # (exact under pruning: a filter only removes docs, so the
-        # running theta built from filtered scores never over-prunes)
+        # ES bool filter term/terms clause on a keyword-mapped field
+        # ({"term": {field: v}} / {"terms": {field: [v1, ...]}}): filter
+        # context — no score contribution, post-scoring like
+        # filter_lang/filter_ranges (exact under pruning: a filter only
+        # removes docs, so the running theta built from filtered scores
+        # never over-prunes)
         for fld, val in filter_kw:
-            keep_f = s.field_for(fld, cand) == val
+            got = s.field_for(fld, cand)
+            keep_f = (
+                got == val if isinstance(val, str) else np.isin(got, val)
+            )
             cand, acc = cand[keep_f], acc[keep_f]
             if cand.size == 0:
                 return cand, acc
@@ -3509,17 +3514,19 @@ def _row_filter_ranges(row) -> tuple | None:
 
 
 def _row_filter_kw(row) -> tuple | None:
-    """Optional per-query keyword term filter from queries-DataFrame
-    columns ``kw_field`` / ``kw_value`` -> ((field, value),) or None —
-    the ES bool filter clause {"term": {kw_field: value}} (filter
-    context: pure match-set restriction, no score contribution)."""
+    """Optional per-query keyword term(s) filter from queries-DataFrame
+    columns ``kw_field`` / ``kw_value`` -> ((field, (v1, ...)),) or None
+    — the ES bool filter clause {"term": {kw_field: v}} / {"terms":
+    {kw_field: [v1, ...]}} (filter context: pure match-set restriction,
+    no score contribution).  ``kw_value`` takes ``|``-separated
+    alternatives for the terms (membership) form."""
     fld = getattr(row, "kw_field", None)
     if fld is None or (isinstance(fld, float) and pd.isna(fld)):
         return None
     val = getattr(row, "kw_value", None)
     if val is None or (isinstance(val, float) and pd.isna(val)):
         return None
-    return ((str(fld), str(val)),)
+    return ((str(fld), tuple(sorted(str(val).split("|")))),)
 
 
 def _scored_match_plans(

@@ -601,3 +601,29 @@ def test_keyword_term_filter(api_index, ray_session):
     # unmapped keyword field -> loud error, not silent pass-through
     with pytest.raises(ValueError):
         s.search("common", k=10, filter_kw=[("nope", "x")])
+
+
+def test_keyword_terms_membership_filter(api_index, ray_session):
+    """ES terms (membership) filter: kw_value with |-separated
+    alternatives keeps docs whose keyword value is ANY of them; equals
+    the union of the single-value filters."""
+    d, _ = api_index
+    s = IndexSearcher(d, CFG)
+    a = s.search("common", k=1000, filter_kw=[("source", ("crawl0", "crawl2"))])
+    u0 = s.search("common", k=1000, filter_kw=[("source", "crawl0")])
+    u2 = s.search("common", k=1000, filter_kw=[("source", "crawl2")])
+    assert set(a["key"]) == set(u0["key"]) | set(u2["key"])
+    q = pd.DataFrame(
+        {
+            "query_id": np.int64([0]),
+            "text": ["common"],
+            "kw_field": ["source"],
+            "kw_value": ["crawl2|crawl0"],
+            "k": np.int32(1000),
+        }
+    )
+    out = run_queries(q, d, CFG, concurrency=2).to_pandas().sort_values("rank")
+    assert out["doc_id"].tolist() == a["doc_id"].tolist()
+    assert out["score"].tolist() == a["score"].tolist()
+    c = run_counts(q, d, CFG, concurrency=2)
+    assert int(c["n_matching"][0]) == len(a)
