@@ -95,6 +95,23 @@ _KW_FILTER_SQL = _BM25_SQL.replace(
 )
 assert "d.source" in _KW_FILTER_SQL
 
+# ES min_score: each query's floor = its own 5th-ranked score (taken
+# from a first pass); hits below the floor are dropped, surviving ranks
+# are unchanged (filtering only removes, ties at the floor survive)
+_MIN_SCORE_SQL = _BM25_SQL.replace(
+    "SELECT query_id, rank::BIGINT AS rank, doc_id, score\nFROM topk WHERE rank <= 10",
+    """floors AS (
+  SELECT query_id, score AS floor FROM topk WHERE rank = 5
+)
+SELECT t.query_id, t.rank::BIGINT AS rank, t.doc_id, t.score
+FROM topk t JOIN floors f USING (query_id)
+WHERE t.score >= f.floor AND t.rank <= 10
+ORDER BY 1, 2""",
+).replace(
+    "  FROM scores\n)\nfloors AS (", "  FROM scores\n),\nfloors AS ("
+)
+assert "floors" in _MIN_SCORE_SQL and _MIN_SCORE_SQL.count("),\nfloors") == 1
+
 # ES field collapsing: best doc per (query, lang), groups ranked by
 # their best doc's (score desc, doc_id asc)
 _COLLAPSE_SQL = _BM25_SQL.split("topk AS (")[0] + """grouped AS (
@@ -1133,6 +1150,38 @@ def _q_range_filter_topk(sf_dir: str):
             range_field="n_chars", range_gte=150.0, range_lte=400.0
         )
         out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_min_score_topk(sf_dir: str):
+    """ES min_score: re-run each derived query with a floor equal to its
+    own 5th-ranked score from a first pass — hits below the floor are
+    dropped per shard before the merge, ranks unchanged."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_msidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        first = run_queries(queries, idx).to_pandas()
+        floors = (
+            first[first["rank"] == 5]
+            .set_index("query_id")["score"]
+            .rename("min_score")
+        )
+        queries = queries.join(floors, on="query_id", how="inner")
+        out = run_queries(queries, idx).to_pandas()
         return (
             out[["query_id", "rank", "doc_id", "score"]]
             .sort_values(["query_id", "rank"])
@@ -3099,6 +3148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": _q_bm25_topk_and,
         "range_filter_topk": _q_range_filter_topk,
         "kw_filter_topk": _q_kw_filter_topk,
+        "min_score_topk": _q_min_score_topk,
         "sort_by_field": _q_sort_by_field,
         "match_stats_agg": _q_match_stats_agg,
         "match_histogram": _q_match_histogram,
@@ -3242,6 +3292,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "range_filter_topk": _RANGE_SQL,
         "kw_filter_topk": _KW_FILTER_SQL,
+        "min_score_topk": _MIN_SCORE_SQL,
         # multi-index over a parity split == the combined single index;
         # index_id (ES _index) falls out of the parity rule
         "multi_index_topk": _BM25_SQL.replace(

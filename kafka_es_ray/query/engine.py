@@ -100,6 +100,7 @@ class IndexSearcher:
         field: str | None = None,
         filter_range: list[tuple] | None = None,
         filter_kw: list[tuple] | None = None,
+        min_score: float | None = None,
         search_after: tuple | None = None,
     ) -> pd.DataFrame:
         """Top-k docs for one query string.  Returns DataFrame
@@ -134,7 +135,8 @@ class IndexSearcher:
             out = self._search(
                 text, lang, k, prune, operator, filter_lang, fetch or highlight, offset,
                 must_not=must_not, field=field, filter_range=filter_range,
-                filter_kw=filter_kw, search_after=search_after,
+                filter_kw=filter_kw, min_score=min_score,
+                search_after=search_after,
             )
             if highlight:
                 terms = sorted(set(get_analyzer(lang).tokenize(text)))
@@ -162,6 +164,7 @@ class IndexSearcher:
         field: str | None = None,
         filter_range: list[tuple] | None = None,
         filter_kw: list[tuple] | None = None,
+        min_score: float | None = None,
         search_after: tuple | None = None,
     ) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -217,6 +220,10 @@ class IndexSearcher:
             if search_after is not None and ids.size:
                 keep_sa = _after_cursor_mask(ids, scores, search_after)
                 ids, scores = ids[keep_sa], scores[keep_sa]
+            if min_score is not None and ids.size:
+                # ES min_score: hits below the floor are dropped
+                keep_ms = scores >= min_score
+                ids, scores = ids[keep_ms], scores[keep_ms]
             if ids.size == 0:
                 continue
             if ids.size > keff:
@@ -2169,6 +2176,12 @@ class ShardScorerStage(_SegmentCacheStage):
                     if sa is not None and ids.size:
                         keep_sa = _after_cursor_mask(ids, scores, sa)
                         ids, scores = ids[keep_sa], scores[keep_sa]
+                ms = q.get("min_score")
+                if ms is not None and ids.size:
+                    # ES min_score: hits below the floor never reach the
+                    # merge (per-shard exact — removal only)
+                    keep_ms = scores >= ms
+                    ids, scores = ids[keep_ms], scores[keep_ms]
                 if ids.size == 0:
                     continue
                 k = q["k"]
@@ -3298,6 +3311,12 @@ def run_queries(
             mn_terms = tuple(mn_base) or None
         fr = _row_filter_ranges(row)
         fkw = _row_filter_kw(row)
+        ms_raw = getattr(row, "min_score", None)
+        ms = (
+            None
+            if ms_raw is None or (isinstance(ms_raw, float) and pd.isna(ms_raw))
+            else float(ms_raw)
+        )
         sa_raw = getattr(row, "after_score", None)
         if sa_raw is None or (isinstance(sa_raw, float) and pd.isna(sa_raw)):
             sa = None
@@ -3346,7 +3365,7 @@ def run_queries(
             fvf = None
         key = (
             tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld,
-            fr, fkw, sa, fvf, only_sids,
+            fr, fkw, ms, sa, fvf, only_sids,
         )
         entry = plan_by_key.get(key)
         if entry is None:
@@ -3356,6 +3375,7 @@ def run_queries(
                 "terms": terms,
                 "filter_ranges": list(fr) if fr else None,
                 "filter_kw": list(fkw) if fkw else None,
+                "min_score": ms,
                 "search_after": sa,
                 "fvf": fvf,
                 "only_sids": only_sids,

@@ -627,3 +627,29 @@ def test_keyword_terms_membership_filter(api_index, ray_session):
     assert out["score"].tolist() == a["score"].tolist()
     c = run_counts(q, d, CFG, concurrency=2)
     assert int(c["n_matching"][0]) == len(a)
+
+
+def test_min_score_floor(api_index, ray_session):
+    """ES min_score: hits scoring below the floor are dropped from the
+    result (not re-ranked); single-process == distributed; a floor above
+    every score empties the result."""
+    d, _ = api_index
+    s = IndexSearcher(d, CFG)
+    full = s.search("alpha beta", k=1000)
+    ms = float(full["score"].median())
+    floored = s.search("alpha beta", k=1000, min_score=ms)
+    want = full[full["score"] >= ms]
+    assert floored["doc_id"].tolist() == want["doc_id"].tolist()
+    assert floored["score"].tolist() == want["score"].tolist()
+    q = pd.DataFrame(
+        {
+            "query_id": np.int64([0, 1]),
+            "text": ["alpha beta", "alpha beta"],
+            "min_score": [ms, float(full["score"].max()) + 1.0],
+            "k": np.int32(1000),
+        }
+    )
+    out = run_queries(q, d, CFG, concurrency=2).to_pandas()
+    g0 = out[out["query_id"] == 0].sort_values("rank")
+    assert g0["doc_id"].tolist() == want["doc_id"].tolist()
+    assert (out["query_id"] == 1).sum() == 0  # floor above all scores
