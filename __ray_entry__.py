@@ -112,6 +112,16 @@ ORDER BY 1, 2""",
 )
 assert "floors" in _MIN_SCORE_SQL and _MIN_SCORE_SQL.count("),\nfloors") == 1
 
+# ES fields / docvalue_fields retrieval: the BM25 top-k with the
+# source (keyword) and n_chars (numeric) docstore columns per hit
+_FETCH_FIELDS_SQL = _BM25_SQL.replace(
+    "SELECT query_id, rank::BIGINT AS rank, doc_id, score\nFROM topk WHERE rank <= 10",
+    "SELECT t.query_id, t.rank::BIGINT AS rank, t.doc_id, t.score,\n"
+    "       d.source, d.n_chars::DOUBLE AS n_chars\n"
+    "FROM topk t JOIN documents d USING (doc_id) WHERE t.rank <= 10",
+)
+assert "d.n_chars" in _FETCH_FIELDS_SQL
+
 # ES field collapsing: best doc per (query, lang), groups ranked by
 # their best doc's (score desc, doc_id asc)
 _COLLAPSE_SQL = _BM25_SQL.split("topk AS (")[0] + """grouped AS (
@@ -1152,6 +1162,43 @@ def _q_range_filter_topk(sf_dir: str):
         out = run_queries(queries, idx, cfg).to_pandas()
         return (
             out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_fetch_fields_topk(sf_dir: str):
+    """ES fields/docvalue_fields retrieval: the derived BM25 top-k with
+    the source (keyword) and n_chars (numeric) docstore columns fetched
+    per hit — candidates only, never the match set."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_ffidx_")
+    try:
+        cfg = EngineConfig(
+            num_partitions=8, keyword_cols=("source",), numeric_cols=("n_chars",)
+        )
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("source", "n_chars")), idx,
+            cfg, key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        out = run_queries(
+            queries, idx, cfg, fetch_fields=["source", "n_chars"]
+        ).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score", "source", "n_chars"]]
+            .astype({"n_chars": np.float64})
             .sort_values(["query_id", "rank"])
             .reset_index(drop=True)
         )
@@ -3149,6 +3196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_filter_topk": _q_range_filter_topk,
         "kw_filter_topk": _q_kw_filter_topk,
         "min_score_topk": _q_min_score_topk,
+        "fetch_fields_topk": _q_fetch_fields_topk,
         "sort_by_field": _q_sort_by_field,
         "match_stats_agg": _q_match_stats_agg,
         "match_histogram": _q_match_histogram,
@@ -3293,6 +3341,7 @@ def oracle_sql() -> dict[str, str]:
         "range_filter_topk": _RANGE_SQL,
         "kw_filter_topk": _KW_FILTER_SQL,
         "min_score_topk": _MIN_SCORE_SQL,
+        "fetch_fields_topk": _FETCH_FIELDS_SQL,
         # multi-index over a parity split == the combined single index;
         # index_id (ES _index) falls out of the parity rule
         "multi_index_topk": _BM25_SQL.replace(

@@ -2023,7 +2023,9 @@ class ShardScorerStage(_SegmentCacheStage):
     def _init_payload(self, payload) -> None:
         # plan: list of UNIQUE (terms, idf, k) entries, each carrying the
         # query_ids that share it — identical queries score once per shard
-        self.plan, self.avgdl, self.k1, self.b, self.tomb_map, self.fetch_text = payload
+        (self.plan, self.avgdl, self.k1, self.b, self.tomb_map,
+         self.fetch_text, *rest) = payload
+        self.fetch_fields = rest[0] if rest else ()
         # per-plan top-k score pool seen by THIS actor (descending) — the
         # running MaxScore threshold for later segments
         self._score_pool: dict[int, np.ndarray] = {}
@@ -2208,6 +2210,14 @@ class ShardScorerStage(_SegmentCacheStage):
                     # stored-_source fetch for the per-segment top-k
                     # candidates only (<= k + ties rows, never the match set)
                     cols["text"] = seg.texts_for(ids)
+                for ffld in self.fetch_fields:
+                    # ES fields/docvalue_fields retrieval: mapped
+                    # docstore columns for the candidates only
+                    cols[ffld] = (
+                        seg.nums_for(ffld, ids)
+                        if ffld in seg.num_arr
+                        else seg.field_for(ffld, ids)
+                    )
                 out.append(pd.DataFrame(cols))
         if not out:
             empty = {
@@ -2220,6 +2230,8 @@ class ShardScorerStage(_SegmentCacheStage):
                 empty["index_id"] = pd.Series([], dtype=np.int64)
             if self.fetch_text:
                 empty["text"] = pd.Series([], dtype=object)
+            for ffld in self.fetch_fields:
+                empty[ffld] = pd.Series([], dtype=object)
             return pd.DataFrame(empty)
         return pd.concat(out, ignore_index=True)
 
@@ -2857,6 +2869,7 @@ def run_queries(
     concurrency: int | None = None,
     fetch: bool = False,
     highlight: bool = False,
+    fetch_fields: list[str] | None = None,
 ):
     """Distributed query execution: segment-parallel scoring + per-query
     merge.  Queries are the small broadcast side; the segment set is the
@@ -2874,7 +2887,12 @@ def run_queries(
 
     ``fetch`` / ``highlight`` (require a store_text index) add the stored
     _source / an <em>-snippet for the FINAL top-k only — shards emit text
-    for their per-segment top-k candidates, never the match set."""
+    for their per-segment top-k candidates, never the match set.
+
+    ``fetch_fields`` (ES ``fields`` / ``docvalue_fields`` retrieval):
+    mapped keyword/numeric docstore columns returned alongside each hit
+    (one output column per field, top-k rows only).  Uniform across the
+    query batch."""
     import ray
     import ray.data as rd
 
@@ -3404,6 +3422,8 @@ def run_queries(
             empty0["text"] = pd.Series([], dtype=object)
         if highlight:
             empty0["highlight"] = pd.Series([], dtype=object)
+        for ffld in fetch_fields or ():
+            empty0[ffld] = pd.Series([], dtype=object)
         # an arrow block keeps the column schema through to_pandas();
         # from_pandas on a 0-row frame surfaces as a schema-less dataset
         return rd.from_arrow(
@@ -3421,7 +3441,9 @@ def run_queries(
         if multi
         else manifest.get("tombstones", {})
     )
-    plan_ref = ray.put((plan, avgdl, k1, b, tomb, fetch or highlight))
+    plan_ref = ray.put(
+        (plan, avgdl, k1, b, tomb, fetch or highlight, tuple(fetch_fields or ()))
+    )
     k_map = {q["plan_id"]: q["k"] for q in plan}
     window_map = {
         q["plan_id"]: (q.get("offset", 0), q.get("size", q["k"])) for q in plan
@@ -3454,6 +3476,7 @@ def run_queries(
         out_cols.append("text")
     if highlight:
         out_cols.append("highlight")
+    out_cols.extend(fetch_fields or ())
 
     def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -3485,6 +3508,8 @@ def run_queries(
                     top["highlight"] = [make_snippet(t, terms) for t in texts]
                 if fetch:
                     top["text"] = texts
+            for ffld in fetch_fields or ():
+                top[ffld] = g[ffld].to_numpy()[order]
             # fan the merged plan result out to every query sharing it
             for qid in fanout_map.get(int(pid_), []):
                 out.append(top.assign(query_id=np.int64(qid)))

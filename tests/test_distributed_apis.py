@@ -653,3 +653,32 @@ def test_min_score_floor(api_index, ray_session):
     g0 = out[out["query_id"] == 0].sort_values("rank")
     assert g0["doc_id"].tolist() == want["doc_id"].tolist()
     assert (out["query_id"] == 1).sum() == 0  # floor above all scores
+
+
+def test_fetch_fields_docvalues(api_index, ray_session):
+    """ES fields/docvalue_fields retrieval: mapped keyword columns come
+    back alongside each hit, values matching the source docs; unmapped
+    field -> loud error."""
+    d, docs = api_index
+    q = pd.DataFrame(
+        {
+            "query_id": np.int64([0]),
+            "text": ["common"],
+            "k": np.int32(20),
+        }
+    )
+    out = run_queries(
+        q, d, CFG, concurrency=2, fetch_fields=["source", "lang"]
+    ).to_pandas().sort_values("rank")
+    assert {"source", "lang"} <= set(out.columns)
+    ref = docs.set_index("url")
+    for _, r in out.iterrows():
+        assert r["source"] == ref.loc[r["key"], "source"]
+        assert r["lang"] == ref.loc[r["key"], "lang"]
+    # result identical to the plain search apart from the extra columns
+    plain = run_queries(q, d, CFG, concurrency=2).to_pandas().sort_values("rank")
+    assert out["doc_id"].tolist() == plain["doc_id"].tolist()
+    with pytest.raises((ValueError, Exception)):
+        run_queries(
+            q, d, CFG, concurrency=2, fetch_fields=["nope"]
+        ).to_pandas()
