@@ -122,6 +122,78 @@ _FETCH_FIELDS_SQL = _BM25_SQL.replace(
 )
 assert "d.n_chars" in _FETCH_FIELDS_SQL
 
+# ES rescore (phrase rescorer, window covering every hit): base = OR
+# match on the corpus's top bigram's words; combined = round6(qw*base +
+# rw*phrase_bm25) where the phrase score is the bigram-adjacency BM25
+# (0 for docs without the exact bigram)
+_RESCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id, {_TOK} AS t FROM documents
+),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+big AS (
+  SELECT unnest([{'w1': t[i], 'w2': t[i+1]} for i in generate_series(1, len(t)-1)]) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+top_bigram AS (
+  SELECT bg.w1 AS w1, bg.w2 AS w2 FROM big
+  GROUP BY 1, 2 ORDER BY count(*) DESC, w1 ASC, w2 ASC LIMIT 1
+),
+utoks AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM utoks GROUP BY 1, 2),
+dfs AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM utoks GROUP BY 1),
+qterms AS (
+  SELECT w1 AS term FROM top_bigram UNION SELECT w2 FROM top_bigram
+),
+base AS (
+  SELECT tf.doc_id, round(sum(
+    ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5))
+    * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+  ), 6) AS bscore
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN dfs ON dfs.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1
+),
+pidf AS (
+  SELECT ln(1 + (s.n - d1.df + 0.5) / (d1.df + 0.5))
+       + ln(1 + (s.n - d2.df + 0.5) / (d2.df + 0.5)) AS v
+  FROM top_bigram tb
+  JOIN dfs d1 ON d1.term = tb.w1
+  JOIN dfs d2 ON d2.term = tb.w2
+  CROSS JOIN stats s
+),
+ptf AS (
+  SELECT toks.doc_id,
+         len([i for i in generate_series(1, len(t)-1)
+              if t[i] = tb.w1 AND t[i+1] = tb.w2])::DOUBLE AS tf
+  FROM toks, top_bigram tb
+),
+pscore AS (
+  SELECT p.doc_id,
+         round(pidf.v * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS score
+  FROM ptf p
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN pidf CROSS JOIN stats s
+  WHERE p.tf > 0
+),
+comb AS (
+  SELECT b.doc_id,
+         round(1.0 * b.bscore + 2.0 * coalesce(p.score, 0), 6) AS score
+  FROM base b LEFT JOIN pscore p USING (doc_id)
+),
+topk AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM comb
+)
+SELECT 0::BIGINT AS query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10 ORDER BY 2
+""".replace("{_TOK}", _TOK)
+
 # ES field collapsing: best doc per (query, lang), groups ranked by
 # their best doc's (score desc, doc_id asc)
 _COLLAPSE_SQL = _BM25_SQL.split("topk AS (")[0] + """grouped AS (
@@ -1160,6 +1232,48 @@ def _q_range_filter_topk(sf_dir: str):
             range_field="n_chars", range_gte=150.0, range_lte=400.0
         )
         out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_rescore_topk(sf_dir: str):
+    """ES rescore: a match query on the corpus's top bigram's words,
+    rescored by the exact-phrase BM25 with query_weight=1 /
+    rescore_weight=2 and a window covering every hit — phrase-matching
+    docs float above equal-base-score docs."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.pipelines.fulltext import build_documents_index
+    from kafka_es_ray.pipelines.text_ops import top_bigram
+    from kafka_es_ray.query.engine import run_queries
+    from kafka_es_ray.sources.parquet import read_table
+
+    w1, w2, _ = top_bigram(read_table(sf_dir, "documents", columns=["text"]))
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_rescidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, index_positions=True)
+        build_documents_index(sf_dir, idx, cfg)
+        q = pd.DataFrame(
+            {
+                "query_id": np.int64([0]),
+                "text": [f"{w1} {w2}"],
+                "rescore_phrase": [f"{w1} {w2}"],
+                "rescore_window": [10_000_000],
+                "query_weight": [1.0],
+                "rescore_weight": [2.0],
+                "k": np.int32(10),
+            }
+        )
+        out = run_queries(q, idx, cfg).to_pandas()
         return (
             out[["query_id", "rank", "doc_id", "score"]]
             .sort_values(["query_id", "rank"])
@@ -3197,6 +3311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kw_filter_topk": _q_kw_filter_topk,
         "min_score_topk": _q_min_score_topk,
         "fetch_fields_topk": _q_fetch_fields_topk,
+        "rescore_topk": _q_rescore_topk,
         "sort_by_field": _q_sort_by_field,
         "match_stats_agg": _q_match_stats_agg,
         "match_histogram": _q_match_histogram,
@@ -3342,6 +3457,7 @@ def oracle_sql() -> dict[str, str]:
         "kw_filter_topk": _KW_FILTER_SQL,
         "min_score_topk": _MIN_SCORE_SQL,
         "fetch_fields_topk": _FETCH_FIELDS_SQL,
+        "rescore_topk": _RESCORE_SQL,
         # multi-index over a parity split == the combined single index;
         # index_id (ES _index) falls out of the parity rule
         "multi_index_topk": _BM25_SQL.replace(

@@ -2062,8 +2062,8 @@ class ShardScorerStage(_SegmentCacheStage):
                     if pool is not None and pool.size >= q["k"]
                     else None
                 )
-                if q.get("fvf") is not None:
-                    # function_score rescoring: the pool holds BOOSTED
+                if q.get("fvf") is not None or q.get("rescore"):
+                    # function_score / rescore: the pool holds COMBINED
                     # scores, so a BM25 theta would prune docs whose
                     # boost could lift them into the top-k — no pruning
                     theta = None
@@ -2156,6 +2156,38 @@ class ShardScorerStage(_SegmentCacheStage):
                     )
                     if q.get("fvf") is not None and ids.size:
                         scores = _apply_fvf(seg, ids, scores, q["fvf"])
+                    rsc = q.get("rescore")
+                    if rsc is not None and ids.size:
+                        # ES rescore: per-SHARD top-window by base score
+                        # (ties kept), combined = round6(qw*base +
+                        # rw*phrase); docs outside the window keep their
+                        # base score (the ES window contract)
+                        win = rsc["window"]
+                        if ids.size > win:
+                            kth_w = -np.partition(-scores, win - 1)[win - 1]
+                            in_w = scores >= kth_w
+                        else:
+                            in_w = np.ones(ids.size, dtype=bool)
+                        p_ids, p_sc = score_segment_phrase(
+                            seg, rsc["phrase"], rsc["idf_sum"],
+                            self.avgdl, self.k1, self.b,
+                        )
+                        wids = ids[in_w]
+                        add = np.zeros(wids.size, dtype=np.float64)
+                        if p_ids.size and wids.size:
+                            o = np.argsort(p_ids, kind="stable")
+                            p_ids, p_sc = p_ids[o], p_sc[o]
+                            pos = np.searchsorted(p_ids, wids)
+                            pos_c = np.minimum(pos, p_ids.size - 1)
+                            hit = p_ids[pos_c] == wids
+                            add[hit] = p_sc[pos_c[hit]]
+                        scores = scores.copy()
+                        scores[in_w] = (
+                            np.floor(
+                                (rsc["qw"] * scores[in_w] + rsc["rw"] * add)
+                                * 1e6 + 0.5
+                            ) / 1e6
+                        )
                     if q.get("neg_terms") and ids.size:
                         # ES boosting query: docs matching the negative
                         # query are demoted by negative_boost (relative
@@ -2977,6 +3009,9 @@ def run_queries(
                     for clause in v.split("|"):
                         terms_set.update(an.tokenize(clause))
             continue
+        rp_s = _row_str(row, "rescore_phrase")
+        if rp_s:
+            terms_set.update(an.tokenize(rp_s))
         toks = an.tokenize(row.text)
         flds_s = _row_str(row, "fields")
         fld = _row_str(row, "field")
@@ -3335,6 +3370,34 @@ def run_queries(
             if ms_raw is None or (isinstance(ms_raw, float) and pd.isna(ms_raw))
             else float(ms_raw)
         )
+
+        def _num_or(name: str, default: float) -> float:
+            v = getattr(row, name, None)
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                return default
+            return float(v)
+
+        rp = _row_str(row, "rescore_phrase")
+        resc = None
+        if rp:
+            # ES rescore (phrase rescorer): the per-shard top-window hits
+            # get score = round6(query_weight*base + rescore_weight*phrase)
+            rp_toks = get_analyzer(lang_q).tokenize(rp)
+            if rp_toks and all(df_map.get(t, 0) > 0 for t in rp_toks):
+                r_idf = float(
+                    sum(
+                        bm25_idf(np.array([df_map[t]], dtype=np.int64), n_docs)[0]
+                        for t in rp_toks
+                    )
+                )
+                resc = (
+                    tuple(rp_toks), r_idf,
+                    int(_num_or("rescore_window", 100)),
+                    _num_or("query_weight", 1.0),
+                    _num_or("rescore_weight", 1.0),
+                )
+            # a rescore query with a globally-absent term matches nothing:
+            # ES leaves the base scores unchanged (resc stays None)
         sa_raw = getattr(row, "after_score", None)
         if sa_raw is None or (isinstance(sa_raw, float) and pd.isna(sa_raw)):
             sa = None
@@ -3383,7 +3446,7 @@ def run_queries(
             fvf = None
         key = (
             tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld,
-            fr, fkw, ms, sa, fvf, only_sids,
+            fr, fkw, ms, resc, sa, fvf, only_sids,
         )
         entry = plan_by_key.get(key)
         if entry is None:
@@ -3394,6 +3457,17 @@ def run_queries(
                 "filter_ranges": list(fr) if fr else None,
                 "filter_kw": list(fkw) if fkw else None,
                 "min_score": ms,
+                "rescore": (
+                    {
+                        "phrase": list(resc[0]),
+                        "idf_sum": resc[1],
+                        "window": resc[2],
+                        "qw": resc[3],
+                        "rw": resc[4],
+                    }
+                    if resc
+                    else None
+                ),
                 "search_after": sa,
                 "fvf": fvf,
                 "only_sids": only_sids,

@@ -226,3 +226,46 @@ def test_phrase_slop(ray_session, tmp_path):
     )
     out = run_queries(rd.from_pandas(qs), d, CFG, concurrency=2).to_pandas()
     assert set(out["key"]) == {"exact", "gap1"}
+
+
+def test_rescore_phrase_composes(phrase_index, ray_session):
+    """ES rescore (phrase rescorer): with a window covering every hit,
+    each base hit's score becomes round6(query_weight*base +
+    rescore_weight*phrase); docs not matching the phrase keep qw*base.
+    Composed from the rank-verified match + phrase paths."""
+    import numpy as np
+
+    from kafka_es_ray.query.bm25 import round6
+    from kafka_es_ray.query.engine import run_queries
+
+    idx = phrase_index
+    s = IndexSearcher(idx, CFG)
+    PHRASE = "quick brown"
+    base = s.search(PHRASE, k=200)
+    ph = s.search_phrase(PHRASE, k=200)
+    pm = dict(zip(ph["doc_id"], ph["score"]))
+    qw, rw = 0.7, 1.3
+    exp = {
+        d: float(round6(qw * sc + rw * pm.get(d, 0.0)))
+        for d, sc in zip(base["doc_id"], base["score"])
+    }
+    ranked = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    q = pd.DataFrame(
+        {
+            "query_id": np.int64([0]),
+            "text": [PHRASE],
+            "rescore_phrase": [PHRASE],
+            "rescore_window": [10_000],
+            "query_weight": [qw],
+            "rescore_weight": [rw],
+            "k": np.int32(10),
+        }
+    )
+    out = run_queries(q, idx, CFG, concurrency=2).to_pandas().sort_values("rank")
+    assert list(zip(out["doc_id"], out["score"])) == ranked
+    # absent rescore phrase -> base ranking untouched (ES: no-op rescore)
+    q2 = q.assign(rescore_phrase="zzzgone zzzmissing", query_weight=1.0)
+    out2 = run_queries(q2, idx, CFG, concurrency=2).to_pandas().sort_values("rank")
+    want = base.head(10)
+    assert out2["doc_id"].tolist() == want["doc_id"].tolist()
+    assert out2["score"].tolist() == want["score"].tolist()
