@@ -83,6 +83,36 @@ _RANGE_SQL = _BM25_SQL.replace(
 )
 assert "n_chars" in _RANGE_SQL  # replace anchor must exist
 
+# ES kNN search (exact cosine over a dense_vector mapped field): docs
+# carry the embeddings-table vector joined on doc_id = vec_id (docs
+# beyond the embeddings table have no vector and are never hits); query
+# vectors = embeddings 0..2; DOUBLE[] casts per the oracle contract
+_KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+v AS (
+  SELECT d.doc_id, CAST(e.embedding AS DOUBLE[]) AS ev
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+sims AS (
+  SELECT q.query_id, v.doc_id,
+         round(list_cosine_similarity(q.qv, v.ev), 6) AS score
+  FROM q CROSS JOIN v
+),
+topk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM sims
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10 ORDER BY 1, 2
+"""
+
+
 # ES bool filter term clause ({"term": {source: v}}): same scores, docs
 # whose source keyword value != the corpus's modal source are dropped
 # BEFORE ranking (filter context: no score contribution); v = most
@@ -1232,6 +1262,67 @@ def _q_range_filter_topk(sf_dir: str):
             range_field="n_chars", range_gte=150.0, range_lte=400.0
         )
         out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_knn_topk(sf_dir: str):
+    """ES kNN search over a dense_vector mapped field: the documents
+    index is built with the embeddings-table vector attached (broadcast
+    join on doc_id = vec_id; docs without a vector are never hits), then
+    queried with embeddings 0..2 through the exact segment-parallel
+    run_knn path."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import ray
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import documents_dataset
+    from kafka_es_ray.query.engine import run_knn
+
+    emb = pd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    # small side broadcast ONCE (ray.put), looked up inside map_batches
+    emb_ref = ray.put(
+        {int(i): np.asarray(v, dtype=np.float32) for i, v in
+         zip(emb["vec_id"], emb["embedding"])}
+    )
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(emb_ref)
+        batch["emb"] = [
+            m[d].tolist() if d in m else None for d in batch["doc_id"]
+        ]
+        return batch
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_knnidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, vector_cols=("emb",))
+        ds = documents_dataset(sf_dir).map_batches(attach, batch_format="pandas")
+        build_index(
+            ds, idx, cfg, key_col="key", lang_col="lang", html_col=None,
+            ts_col=None, id_col="doc_id",
+        )
+        queries = pd.DataFrame(
+            {
+                "query_id": np.int64([0, 1, 2]),
+                "vec": [
+                    np.asarray(emb["embedding"][i], dtype=np.float32).tolist()
+                    for i in range(3)
+                ],
+                "k": np.int32(10),
+            }
+        )
+        out = run_knn(queries, idx, "emb", cfg).to_pandas()
         return (
             out[["query_id", "rank", "doc_id", "score"]]
             .sort_values(["query_id", "rank"])
@@ -3312,6 +3403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_score_topk": _q_min_score_topk,
         "fetch_fields_topk": _q_fetch_fields_topk,
         "rescore_topk": _q_rescore_topk,
+        "knn_topk": _q_knn_topk,
         "sort_by_field": _q_sort_by_field,
         "match_stats_agg": _q_match_stats_agg,
         "match_histogram": _q_match_histogram,
@@ -3458,6 +3550,7 @@ def oracle_sql() -> dict[str, str]:
         "min_score_topk": _MIN_SCORE_SQL,
         "fetch_fields_topk": _FETCH_FIELDS_SQL,
         "rescore_topk": _RESCORE_SQL,
+        "knn_topk": _KNN_SQL,
         # multi-index over a parity split == the combined single index;
         # index_id (ES _index) falls out of the parity rule
         "multi_index_topk": _BM25_SQL.replace(

@@ -73,6 +73,13 @@ class EngineConfig:
     # 2^53 — the practical range of doc metadata.
     numeric_cols: tuple[str, ...] = ()
 
+    # --- dense-vector fields stored in the docstore (ES dense_vector
+    # mapped fields): each becomes a vec_{name} list<float32> docstore
+    # column usable by exact kNN search (run_knn) — the ES knn/
+    # script_score cosine path.  Docs with a missing vector are never
+    # kNN hits (ES missing-field semantics).
+    vector_cols: tuple[str, ...] = ()
+
     # --- multi-field documents (ES mapped text fields — the reference's
     # free-form JSON sources carry nested {"title":…, "body":…} docs,
     # JsonConverterTests.kt:110-115).  When set, build_index tokenizes

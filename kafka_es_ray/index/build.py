@@ -421,6 +421,19 @@ def build_segment_for_group(
             else np.full(len(g), np.nan, dtype=np.float64)
         )
         store_cols[f"num_{nf}"] = pa.array(nvals, type=pa.float64())
+    for vf in cfg.vector_cols:
+        # ES dense_vector mapped field: list<float32> docstore column for
+        # exact kNN; missing column / null -> null row (never a kNN hit)
+        if vf in g.columns:
+            vvals = [
+                None
+                if v is None or (isinstance(v, float) and pd.isna(v))
+                else np.asarray(v, dtype=np.float32)
+                for v in g[vf]
+            ]
+        else:
+            vvals = [None] * len(g)
+        store_cols[f"vec_{vf}"] = pa.array(vvals, type=pa.list_(pa.float32()))
     if field_dls is not None:
         # per-field token counts (ES per-field norms): BM25 on a prefixed
         # term divides by ITS field's length, not the doc total
@@ -508,6 +521,7 @@ def build_index(
     keep = [c for c in (key_col, lang_col, ts_col, seq_col, id_col, routing_col, op_col) if c]
     keep += [c for c in cfg.keyword_cols if c not in keep]
     keep += [c for c in cfg.numeric_cols if c not in keep]
+    keep += [c for c in cfg.vector_cols if c not in keep]
     keep += [c for c in (cfg.text_fields or ()) if c not in keep]
     stage = ExtractStage(
         num_partitions=cfg.num_partitions,
@@ -575,6 +589,7 @@ def build_index(
         "mappings": {
             "keyword_cols": list(cfg.keyword_cols),
             "numeric_cols": list(cfg.numeric_cols),
+            "vector_cols": list(cfg.vector_cols),
             "text_fields": list(cfg.text_fields or ()),
             "index_positions": bool(cfg.index_positions),
             "store_text": bool(cfg.store_text),

@@ -404,6 +404,18 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
         )[ds_order]
         for f in num_fields
     }
+    # dense-vector columns survive the same way (arrow list take/concat,
+    # no per-row Python)
+    vec_fields = sorted(set.intersection(*[set(s.vec_arr) for s in segs])) if segs else []
+    vec_merged = {}
+    for f in vec_fields:
+        parts_a = [
+            s.vec_arr[f].take(pa.array(np.flatnonzero(m), type=pa.int64()))
+            for s, m in zip(segs, ds_alive)
+        ]
+        vec_merged[f] = pa.concat_arrays(parts_a).take(
+            pa.array(ds_order, type=pa.int64())
+        )
     # per-field length columns (multi-field index) survive the same way
     fl_fields = sorted(set.intersection(*[set(s.field_dl) for s in segs])) if segs else []
     fl_merged = {
@@ -570,6 +582,8 @@ def merge_segment_group(index_dir: str, part_ids: list[int], out_part_id: int, c
         store_cols[f"num_{f}"] = pa.array(vals, type=pa.float64())
     for f, vals in fl_merged.items():
         store_cols[f"fl_{f}"] = pa.array(vals, type=pa.int32())
+    for f, vals in vec_merged.items():
+        store_cols[f"vec_{f}"] = vals
     docstore_table = pa.table(store_cols)
     seg.atomic_write_table(
         postings_table, seg.postings_path(index_dir, out_part_id),

@@ -179,6 +179,10 @@ class Segment:
     # doc_ids_store} (cfg.numeric_cols) — range filters + sort-by-field;
     # plain numpy (8 B/doc, no PyObjects) so vectorized compares are free
     num_arr: dict            # {field: np.ndarray}
+    # dense-vector fields {field: pa.ListArray of float32 aligned with
+    # doc_ids_store} (cfg.vector_cols) — exact kNN; matrix materialized
+    # lazily per field (vectors_for) and cached on the instance
+    vec_arr: dict            # {field: pa.Array}
     # multi-field per-field token counts {field: int64 array aligned with
     # doc_ids_store} (cfg.text_fields) — BM25 norms for prefixed terms
     field_dl: dict           # {field: np.ndarray}
@@ -258,6 +262,11 @@ class Segment:
                 n[4:]: dt.column(n).to_numpy().astype(np.float64)
                 for n in dt.schema.names
                 if n.startswith("num_")
+            },
+            vec_arr={
+                n[4:]: _combined(dt.column(n))
+                for n in dt.schema.names
+                if n.startswith("vec_")
             },
             field_dl={
                 n[3:]: dt.column(n).to_numpy().astype(np.int64)
@@ -614,6 +623,40 @@ class Segment:
             )
         idx = np.searchsorted(self.doc_ids_store, doc_ids)
         return self._take_str(self.kw_arr[field], idx)
+
+    def vectors_for(self, field: str) -> tuple[np.ndarray, np.ndarray]:
+        """Dense-vector matrix for a mapped field: (rows, matrix) where
+        ``rows`` indexes doc_ids_store rows holding a non-null vector and
+        ``matrix`` is float32 (len(rows) x dim).  Constant dim enforced
+        (the ES dense_vector mapping contract).  Cached per field — a
+        query actor serves many kNN batches per segment."""
+        import pyarrow.compute as pc
+
+        if field not in self.vec_arr:
+            raise ValueError(
+                f"unmapped dense_vector field {field!r} "
+                f"(docstore has: {sorted(self.vec_arr) or 'none'})"
+            )
+        cache = self.__dict__.setdefault("_vec_cache", {})
+        if field not in cache:
+            arr = self.vec_arr[field]
+            valid = ~np.asarray(arr.is_null())
+            rows = np.flatnonzero(valid)
+            if rows.size:
+                taken = arr.take(pa.array(rows, type=pa.int64()))
+                lens = np.unique(
+                    pc.list_value_length(taken).to_numpy(zero_copy_only=False)
+                )
+                if lens.size != 1:
+                    raise ValueError(
+                        f"dense_vector field {field!r} has ragged dims {lens}"
+                    )
+                flat = np.asarray(taken.flatten(), dtype=np.float32)
+                mat = flat.reshape(rows.size, int(lens[0]))
+            else:
+                mat = np.zeros((0, 0), dtype=np.float32)
+            cache[field] = (rows, mat)
+        return cache[field]
 
     def texts_for(self, doc_ids: np.ndarray) -> np.ndarray:
         """Stored _source fetch; requires the index was built with

@@ -5105,6 +5105,167 @@ def run_collapsed(
     return bucketed_group_agg(partials, ["plan_id"], merge_bucket)
 
 
+class KnnStage(_SegmentCacheStage):
+    """Segment-parallel EXACT kNN over a dense_vector docstore field (the
+    ES knn search / script_score cosineSimilarity semantics, exact
+    because every live vectored doc is scored — num_candidates = all).
+    One matmul per (segment, batch) covers every query plan; emits each
+    plan's per-segment top-k by round6'd cosine (ties kept, so the
+    bucketed merge is exact)."""
+
+    def _init_payload(self, payload) -> None:
+        self.plan, self.tomb_map, self.field = payload
+        # float64 throughout (storage is float32): matches the DuckDB
+        # CAST(... AS DOUBLE[]) oracle contract (CLAUDE.md rule 4) and
+        # the pipelines/ann.py precedent
+        qm = np.stack([q["vec"] for q in self.plan]).astype(np.float64)
+        qn = np.linalg.norm(qm, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        self.qmat = qm / qn  # (n_plans x dim)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pid in batch["part_id"].astype(int):
+            seg = self._segment(pid)
+            rows, mat = seg.vectors_for(self.field)
+            if not rows.size:
+                continue
+            ids = seg.doc_ids_store[rows]
+            if seg.tombstones is not None and seg.tombstones.size and ids.size:
+                pos = np.minimum(
+                    np.searchsorted(seg.tombstones, ids), seg.tombstones.size - 1
+                )
+                alive = seg.tombstones[pos] != ids
+                ids, mat = ids[alive], mat[alive]
+            if not ids.size:
+                continue
+            mat64 = mat.astype(np.float64)
+            nrm = np.linalg.norm(mat64, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            sims = (mat64 / nrm) @ self.qmat.T  # (n_docs x n_plans)
+            for j, q in enumerate(self.plan):
+                sr = np.floor(
+                    sims[:, j] * 1e6 + 0.5
+                ) / 1e6  # round6 BEFORE the cut so ties survive the merge
+                k = q["k"]
+                if sr.size > k:
+                    kth = -np.partition(-sr, k - 1)[k - 1]
+                    sel = np.flatnonzero(sr >= kth)
+                else:
+                    sel = np.arange(sr.size)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "plan_id": np.int64(q["plan_id"]),
+                            "doc_id": ids[sel],
+                            "score": sr[sel],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "plan_id": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def run_knn(
+    queries_ds,
+    index_dir: str,
+    field: str,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+):
+    """Distributed ES kNN search over a dense_vector mapped field
+    (cfg.vector_cols): each query row carries ``query_id``, ``vec`` (a
+    list/array of floats) and optional ``k``.  EXACT cosine ranking —
+    every live vectored doc is scored (the ES script_score / exact-knn
+    contract; the ANN scale paths live in pipelines/ann.py).  Returns
+    Dataset(query_id, rank, doc_id, score) with score = round6(cosine)
+    and ties broken doc_id asc.  Segments are the Dataset, the query
+    matrix the broadcast side; shuffle volume = plans x segments x k."""
+    import ray
+    import ray.data as rd
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    plan_by_key: dict[tuple, dict] = {}
+    for row in queries.itertuples(index=False):
+        v = np.asarray(row.vec, dtype=np.float32)
+        k = int(getattr(row, "k", 10) or 10)
+        key = (v.tobytes(), k)
+        entry = plan_by_key.get(key)
+        if entry is None:
+            entry = plan_by_key[key] = {"query_ids": [], "vec": v, "k": k}
+        entry["query_ids"].append(int(row.query_id))
+    plan = list(plan_by_key.values())
+    if not plan:
+        return rd.from_arrow(
+            pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        "query_id": pd.Series([], dtype=np.int64),
+                        "rank": pd.Series([], dtype=np.int64),
+                        "doc_id": pd.Series([], dtype=np.int64),
+                        "score": pd.Series([], dtype=np.float64),
+                    }
+                ),
+                preserve_index=False,
+            )
+        )
+    for pid_, q in enumerate(plan):
+        q["plan_id"] = pid_
+    plan_ref = ray.put((plan, manifest.get("tombstones", {}), field))
+    partials = _shards_ds(parts, concurrency).map_batches(
+        KnnStage,
+        fn_constructor_args=(index_dir, plan_ref, cfg),
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+    k_map = {q["plan_id"]: q["k"] for q in plan}
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+
+    def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pid_, g in bucket.groupby("plan_id", sort=False):
+            k = k_map.get(int(pid_), 10)
+            ids = g["doc_id"].to_numpy()
+            sc = g["score"].to_numpy()
+            order = np.lexsort((ids, -sc))[:k]
+            top = pd.DataFrame(
+                {
+                    "rank": np.arange(1, 1 + order.size, dtype=np.int64),
+                    "doc_id": ids[order],
+                    "score": sc[order],
+                }
+            )
+            for qid in fanout.get(int(pid_), []):
+                out.append(top.assign(query_id=np.int64(qid)))
+        if not out:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "rank": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)[
+            ["query_id", "rank", "doc_id", "score"]
+        ]
+
+    return bucketed_group_agg(partials, ["plan_id"], merge_bucket)
+
+
 def run_sorted(
     queries_ds,
     index_dir: str,

@@ -1,0 +1,122 @@
+"""ES kNN search over a dense_vector mapped field (cfg.vector_cols):
+exact cosine ranking per segment (the ES script_score / exact-knn
+contract), numpy float64 oracle, missing-vector and tombstone exclusion,
+vector columns surviving the decode merge."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kafka_es_ray.config import EngineConfig
+from kafka_es_ray.index.build import build_index
+from kafka_es_ray.index.incremental import apply_incremental
+from kafka_es_ray.index.merge import merge_index
+from kafka_es_ray.query.engine import IndexSearcher, run_knn
+
+CFG = EngineConfig(num_partitions=4, vector_cols=("emb",))
+N, DIM = 60, 8
+RNG = np.random.default_rng(41)
+VECS = RNG.normal(size=(N, DIM)).astype(np.float32)
+MISSING = 5  # this doc has no vector and must never be a kNN hit
+
+
+@pytest.fixture(scope="module")
+def knn_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    emb = [v.tolist() for v in VECS]
+    emb[MISSING] = None
+    docs = pd.DataFrame(
+        {
+            "url": [f"d{i}" for i in range(N)],
+            "text": ["alpha beta"] * N,
+            "lang": ["en"] * N,
+            "emb": emb,
+        }
+    )
+    d = str(tmp_path_factory.mktemp("knnidx"))
+    build_index(rd.from_pandas(docs), d, CFG, html_col=None, ts_col=None)
+    return d
+
+
+def _id_map(d: str) -> dict[str, int]:
+    s = IndexSearcher(d, CFG)
+    return {
+        k: int(did)
+        for seg in s.segments
+        for did, k in zip(seg.doc_ids_store, seg.keys)
+    }
+
+
+def _oracle(d: str, qv: np.ndarray, k: int, excluded: set[int]) -> list[tuple]:
+    ids = _id_map(d)
+    v64 = VECS.astype(np.float64)
+    vn = v64 / np.linalg.norm(v64, axis=1, keepdims=True)
+    sims = vn @ (qv.astype(np.float64) / np.linalg.norm(qv))
+    r6 = np.floor(sims * 1e6 + 0.5) / 1e6
+    cand = [(ids[f"d{i}"], r6[i]) for i in range(N) if i not in excluded]
+    return sorted(cand, key=lambda t: (-t[1], t[0]))[:k]
+
+
+def test_knn_matches_numpy_oracle(knn_index, ray_session):
+    q = pd.DataFrame(
+        {
+            "query_id": np.int64([0, 1, 2]),
+            "vec": [VECS[0].tolist(), VECS[7].tolist(), VECS[0].tolist()],
+            "k": np.int32(5),
+        }
+    )
+    out = run_knn(q, knn_index, "emb", CFG, concurrency=2).to_pandas()
+    for qid, qv in [(0, VECS[0]), (1, VECS[7]), (2, VECS[0])]:
+        want = _oracle(knn_index, qv, 5, {MISSING})
+        g = out[out["query_id"] == qid].sort_values("rank")
+        assert list(zip(g["doc_id"], g["score"])) == want, qid
+    # identical query vectors dedupe into one plan but fan out to both ids
+    g0 = out[out["query_id"] == 0].reset_index(drop=True)
+    g2 = out[out["query_id"] == 2].reset_index(drop=True)
+    assert g0["doc_id"].tolist() == g2["doc_id"].tolist()
+    # the self-vector is its own nearest neighbor at sim 1.0
+    assert g0.iloc[0]["score"] == 1.0
+
+
+def test_knn_unmapped_field_raises(knn_index, ray_session):
+    q = pd.DataFrame(
+        {"query_id": np.int64([0]), "vec": [VECS[0].tolist()], "k": np.int32(3)}
+    )
+    with pytest.raises(Exception):
+        run_knn(q, knn_index, "nope", CFG, concurrency=2).to_pandas()
+
+
+def test_knn_tombstone_and_decode_merge(knn_index, ray_session, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "knn_merge")
+    shutil.copytree(knn_index, d)
+    # delete the current top hit for query VECS[7]; it must disappear
+    top = _oracle(d, VECS[7], 1, {MISSING})[0][0]
+    inv = {v: k for k, v in _id_map(d).items()}
+    victim_key = inv[top]
+    delta = pd.DataFrame(
+        {
+            "id": [victim_key],
+            "text": [None],
+            "lang": ["en"],
+            "op": ["delete"],
+        }
+    )
+    apply_incremental(d, delta, CFG, key_col="id")
+    victim_i = int(victim_key[1:])
+    q = pd.DataFrame(
+        {"query_id": np.int64([0]), "vec": [VECS[7].tolist()], "k": np.int32(5)}
+    )
+    out = run_knn(q, d, "emb", CFG, concurrency=2).to_pandas().sort_values("rank")
+    want = _oracle(d, VECS[7], 5, {MISSING, victim_i})
+    assert list(zip(out["doc_id"], out["score"])) == want
+    assert top not in set(out["doc_id"])
+    # tombstones force the DECODE merge path; vectors must survive it
+    merge_index(d, 4)
+    out2 = run_knn(q, d, "emb", CFG, concurrency=2).to_pandas().sort_values("rank")
+    assert out2["score"].tolist() == out["score"].tolist()
+    # keys are stable across the merge even though doc ids may re-base
+    inv2 = {v: k for k, v in _id_map(d).items()}
+    assert [inv2[i] for i in out2["doc_id"]] == [inv[i] for i in out["doc_id"]]
