@@ -113,6 +113,50 @@ FROM topk WHERE rank <= 10 ORDER BY 1, 2
 """
 
 
+# ES hybrid search via RRF: BM25 retriever (derived queries 0-2) + kNN
+# retriever (embeddings 0-2) each to depth 20, fused as
+# round6(sum 1/(60 + rank)); final top-10 ties doc_id asc
+_RRF_SQL = _BM25_SQL.split("SELECT query_id, rank::BIGINT")[0].replace(
+    "topk AS (", "bm_topk AS ("
+) + """,
+knnq AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+knnv AS (
+  SELECT d.doc_id, CAST(e.embedding AS DOUBLE[]) AS ev
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+knn_topk AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(list_cosine_similarity(qv, ev), 6) DESC, doc_id ASC
+         ) AS rank
+  FROM knnq CROSS JOIN knnv
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(1.0 / (60 + rank)), 6) AS score
+  FROM (
+    SELECT query_id, doc_id, rank FROM bm_topk
+    WHERE rank <= 20 AND query_id < 3
+    UNION ALL
+    SELECT query_id, doc_id, rank FROM knn_topk WHERE rank <= 20
+  ) GROUP BY 1, 2
+),
+final AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM fused
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM final WHERE rank <= 10 ORDER BY 1, 2
+"""
+assert "bm_topk" in _RRF_SQL and _RRF_SQL.count("knn_topk") == 2
+
+
 # ES bool filter term clause ({"term": {source: v}}): same scores, docs
 # whose source keyword value != the corpus's modal source are dropped
 # BEFORE ranking (filter context: no score contribution); v = most
@@ -1323,6 +1367,67 @@ def _q_knn_topk(sf_dir: str):
             }
         )
         out = run_knn(queries, idx, "emb", cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_rrf_hybrid_topk(sf_dir: str):
+    """ES hybrid search (RRF retriever): BM25 over the derived queries
+    0-2 + exact kNN over embeddings 0-2, both to depth 20, fused as
+    round6(sum 1/(60 + rank)) — the documents index carries the
+    embeddings-table vector (broadcast join on doc_id = vec_id)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import ray
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_rrf
+
+    emb = pd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    emb_ref = ray.put(
+        {int(i): np.asarray(v, dtype=np.float32) for i, v in
+         zip(emb["vec_id"], emb["embedding"])}
+    )
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(emb_ref)
+        batch["emb"] = [
+            m[d].tolist() if d in m else None for d in batch["doc_id"]
+        ]
+        return batch
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_rrfidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, vector_cols=("emb",))
+        ds = documents_dataset(sf_dir).map_batches(attach, batch_format="pandas")
+        build_index(
+            ds, idx, cfg, key_col="key", lang_col="lang", html_col=None,
+            ts_col=None, id_col="doc_id",
+        )
+        texts = derive_query_set(IndexSearcher(idx, cfg))
+        queries = pd.DataFrame(
+            {
+                "query_id": np.int64([0, 1, 2]),
+                "text": texts["text"].tolist()[:3],
+                "vec": [
+                    np.asarray(emb["embedding"][i], dtype=np.float32).tolist()
+                    for i in range(3)
+                ],
+                "k": np.int32(10),
+            }
+        )
+        out = run_rrf(queries, idx, "emb", cfg, rank_window=20, rank_constant=60)
         return (
             out[["query_id", "rank", "doc_id", "score"]]
             .sort_values(["query_id", "rank"])
@@ -3404,6 +3509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_fields_topk": _q_fetch_fields_topk,
         "rescore_topk": _q_rescore_topk,
         "knn_topk": _q_knn_topk,
+        "rrf_hybrid_topk": _q_rrf_hybrid_topk,
         "sort_by_field": _q_sort_by_field,
         "match_stats_agg": _q_match_stats_agg,
         "match_histogram": _q_match_histogram,
@@ -3551,6 +3657,7 @@ def oracle_sql() -> dict[str, str]:
         "fetch_fields_topk": _FETCH_FIELDS_SQL,
         "rescore_topk": _RESCORE_SQL,
         "knn_topk": _KNN_SQL,
+        "rrf_hybrid_topk": _RRF_SQL,
         # multi-index over a parity split == the combined single index;
         # index_id (ES _index) falls out of the parity rule
         "multi_index_topk": _BM25_SQL.replace(

@@ -5266,6 +5266,78 @@ def run_knn(
     return bucketed_group_agg(partials, ["plan_id"], merge_bucket)
 
 
+def run_rrf(
+    queries_ds,
+    index_dir: str,
+    field: str,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+    rank_window: int = 100,
+    rank_constant: int = 60,
+):
+    """ES hybrid search via reciprocal rank fusion (the ES ``rrf``
+    retriever): each query row carries ``text`` (BM25 retriever) and
+    ``vec`` (kNN retriever over a dense_vector field); both retrievers
+    run distributed to depth ``rank_window``, then fuse as
+    score = round6(sum over retrievers of 1/(rank_constant + rank)).
+    The fusion itself is driver-side BY DESIGN: its input is
+    2 x rank_window rows per unique query — never corpus-scale.
+    Returns (query_id, rank, doc_id, score), ties doc_id asc."""
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    k_out = (
+        queries.set_index("query_id")["k"].astype(int).to_dict()
+        if "k" in queries.columns
+        else {}
+    )
+    text_q = queries[[c for c in ("query_id", "text", "lang") if c in queries.columns]]
+    text_q = text_q.assign(k=np.int32(rank_window))
+    bm = run_queries(text_q, index_dir, cfg, concurrency).to_pandas()
+    knn_q = queries[["query_id", "vec"]].assign(k=np.int32(rank_window))
+    kn = run_knn(knn_q, index_dir, field, cfg, concurrency).to_pandas()
+    parts = []
+    for df in (bm, kn):
+        if len(df):
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "query_id": df["query_id"].astype(np.int64),
+                        "doc_id": df["doc_id"].astype(np.int64),
+                        "rrf": 1.0 / (rank_constant + df["rank"].astype(np.float64)),
+                    }
+                )
+            )
+    if not parts:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64),
+            }
+        )
+    fused = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(["query_id", "doc_id"], as_index=False)["rrf"]
+        .sum()
+    )
+    fused["score"] = np.floor(fused["rrf"].to_numpy() * 1e6 + 0.5) / 1e6
+    out = []
+    for qid, g in fused.groupby("query_id", sort=True):
+        k = int(k_out.get(int(qid), 10))
+        order = np.lexsort((g["doc_id"].to_numpy(), -g["score"].to_numpy()))[:k]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.int64(qid),
+                    "rank": np.arange(1, 1 + order.size, dtype=np.int64),
+                    "doc_id": g["doc_id"].to_numpy()[order],
+                    "score": g["score"].to_numpy()[order],
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)
+
+
 def run_sorted(
     queries_ds,
     index_dir: str,

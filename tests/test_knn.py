@@ -120,3 +120,42 @@ def test_knn_tombstone_and_decode_merge(knn_index, ray_session, tmp_path):
     # keys are stable across the merge even though doc ids may re-base
     inv2 = {v: k for k, v in _id_map(d).items()}
     assert [inv2[i] for i in out2["doc_id"]] == [inv[i] for i in out["doc_id"]]
+
+
+def test_rrf_hybrid_fuses_retrievers(knn_index, ray_session):
+    """ES RRF hybrid search: fused score = round6(1/(rc+bm25_rank) +
+    1/(rc+knn_rank)), composed from the two independently rank-verified
+    retrievers; a doc found by only one retriever gets that term alone."""
+    from kafka_es_ray.query.engine import run_knn, run_queries, run_rrf
+
+    rc, win = 60, 15
+    q = pd.DataFrame(
+        {
+            "query_id": np.int64([0]),
+            "text": ["alpha"],
+            "vec": [VECS[3].tolist()],
+            "k": np.int32(10),
+        }
+    )
+    bm = run_queries(
+        q[["query_id", "text"]].assign(k=np.int32(win)), knn_index, CFG,
+        concurrency=2,
+    ).to_pandas()
+    kn = run_knn(
+        q[["query_id", "vec"]].assign(k=np.int32(win)), knn_index, "emb", CFG,
+        concurrency=2,
+    ).to_pandas()
+    exp = {}
+    for df in (bm, kn):
+        for d, r in zip(df["doc_id"], df["rank"]):
+            exp[d] = exp.get(d, 0.0) + 1.0 / (rc + r)
+    exp = {d: float(np.floor(s * 1e6 + 0.5) / 1e6) for d, s in exp.items()}
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    out = run_rrf(
+        q, knn_index, "emb", CFG, concurrency=2, rank_window=win,
+        rank_constant=rc,
+    )
+    assert list(zip(out["doc_id"], out["score"])) == want
+    # both retrievers contributed: the fused top doc's score exceeds the
+    # max single-retriever term
+    assert out["score"].iloc[0] > 1.0 / (rc + 1)
