@@ -5144,8 +5144,22 @@ class KnnStage(_SegmentCacheStage):
             nrm[nrm == 0] = 1.0
             sims = (mat64 / nrm) @ self.qmat.T  # (n_docs x n_plans)
             for j, q in enumerate(self.plan):
+                keep = np.ones(ids.size, dtype=bool)
+                for fld, val in q.get("filter_kw") or ():
+                    got = seg.field_for(fld, ids)
+                    keep &= got == val if isinstance(val, str) else np.isin(got, val)
+                for fld, lo, hi in q.get("filter_ranges") or ():
+                    vals_f = seg.nums_for(fld, ids)
+                    keep &= ~np.isnan(vals_f)
+                    if lo is not None:
+                        keep &= vals_f >= lo
+                    if hi is not None:
+                        keep &= vals_f <= hi
+                rows_j = np.flatnonzero(keep)
+                if not rows_j.size:
+                    continue
                 sr = np.floor(
-                    sims[:, j] * 1e6 + 0.5
+                    sims[rows_j, j] * 1e6 + 0.5
                 ) / 1e6  # round6 BEFORE the cut so ties survive the merge
                 k = q["k"]
                 if sr.size > k:
@@ -5157,7 +5171,7 @@ class KnnStage(_SegmentCacheStage):
                     pd.DataFrame(
                         {
                             "plan_id": np.int64(q["plan_id"]),
-                            "doc_id": ids[sel],
+                            "doc_id": ids[rows_j[sel]],
                             "score": sr[sel],
                         }
                     )
@@ -5201,10 +5215,20 @@ def run_knn(
     for row in queries.itertuples(index=False):
         v = np.asarray(row.vec, dtype=np.float32)
         k = int(getattr(row, "k", 10) or 10)
-        key = (v.tobytes(), k)
+        # ES knn filter clause: PRE-filter — the top-k is computed among
+        # matching docs only (kw_field/kw_value + range_* query columns)
+        fkw = _row_filter_kw(row)
+        fr = _row_filter_ranges(row)
+        key = (v.tobytes(), k, fkw, fr)
         entry = plan_by_key.get(key)
         if entry is None:
-            entry = plan_by_key[key] = {"query_ids": [], "vec": v, "k": k}
+            entry = plan_by_key[key] = {
+                "query_ids": [],
+                "vec": v,
+                "k": k,
+                "filter_kw": list(fkw) if fkw else None,
+                "filter_ranges": list(fr) if fr else None,
+            }
         entry["query_ids"].append(int(row.query_id))
     plan = list(plan_by_key.values())
     if not plan:

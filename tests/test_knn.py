@@ -159,3 +159,51 @@ def test_rrf_hybrid_fuses_retrievers(knn_index, ray_session):
     # both retrievers contributed: the fused top doc's score exceeds the
     # max single-retriever term
     assert out["score"].iloc[0] > 1.0 / (rc + 1)
+
+
+def test_knn_prefilter(ray_session, tmp_path_factory):
+    """ES knn filter clause: the top-k is computed among FILTERED docs
+    only (pre-filter, not post-filter) — a filtered-out nearer neighbor
+    must not shrink the result below k."""
+    import ray.data as rd
+
+    emb = [v.tolist() for v in VECS]
+    docs = pd.DataFrame(
+        {
+            "url": [f"d{i}" for i in range(N)],
+            "text": ["alpha"] * N,
+            "lang": ["en"] * N,
+            "grp": ["a" if i % 2 else "b" for i in range(N)],
+            "emb": emb,
+        }
+    )
+    cfg = EngineConfig(
+        num_partitions=4, vector_cols=("emb",), keyword_cols=("grp",)
+    )
+    d = str(tmp_path_factory.mktemp("knnfidx"))
+    build_index(rd.from_pandas(docs), d, cfg, html_col=None, ts_col=None)
+    q = pd.DataFrame(
+        {
+            "query_id": np.int64([0]),
+            "vec": [VECS[0].tolist()],
+            "kw_field": ["grp"],
+            "kw_value": ["a"],
+            "k": np.int32(8),
+        }
+    )
+    out = run_knn(q, d, "emb", cfg, concurrency=2).to_pandas().sort_values("rank")
+    ids = {
+        k: int(v)
+        for seg in IndexSearcher(d, cfg).segments
+        for v, k in zip(seg.doc_ids_store, seg.keys)
+    }
+    v64 = VECS.astype(np.float64)
+    vn = v64 / np.linalg.norm(v64, axis=1, keepdims=True)
+    sims = vn @ (v64[0] / np.linalg.norm(v64[0]))
+    r6 = np.floor(sims * 1e6 + 0.5) / 1e6
+    cand = [(ids[f"d{i}"], r6[i]) for i in range(N) if i % 2]  # grp == "a"
+    want = sorted(cand, key=lambda t: (-t[1], t[0]))[:8]
+    assert list(zip(out["doc_id"], out["score"])) == want
+    assert len(out) == 8  # pre-filter: still k results from the filtered set
+    # doc 0 (grp b, the self-match at sim 1.0) must be excluded
+    assert ids["d0"] not in set(out["doc_id"])
