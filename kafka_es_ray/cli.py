@@ -82,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--fuzzy", default=None, help="ES fuzzy query (edit distance 1) instead of --text")
     c.add_argument("--regexp", default=None, help="ES regexp query (anchored RE2) instead of --text")
 
+    kn = sub.add_parser("knn", help="exact kNN over a dense_vector field (ES knn search)")
+    kn.add_argument("--index", required=True)
+    kn.add_argument("--field", required=True, help="a cfg.vector_cols field name")
+    kn.add_argument("--vec", required=True, help="comma-separated query vector")
+    kn.add_argument("--k", type=int, default=10)
+
     ex = sub.add_parser("explain", help="per-term BM25 breakdown for one doc (ES _explain)")
     ex.add_argument("--index", required=True)
     ex.add_argument("--text", required=True)
@@ -274,6 +280,21 @@ def main(argv: list[str] | None = None) -> int:
             p.error("count needs --text, --prefix, --wildcard, --fuzzy or --regexp")
         else:
             print(s.count(args.text, operator=args.operator))
+    elif args.cmd == "knn":
+        import numpy as np
+        import pandas as pd
+
+        from kafka_es_ray.query.engine import run_knn
+
+        q = pd.DataFrame(
+            {
+                "query_id": np.int64([0]),
+                "vec": [[float(x) for x in args.vec.split(",")]],
+                "k": np.int32(args.k),
+            }
+        )
+        out = run_knn(q, args.index, args.field).to_pandas()
+        print(out[["rank", "doc_id", "score"]].to_string(index=False))
     elif args.cmd == "explain":
         from kafka_es_ray.query.engine import IndexSearcher
 
