@@ -219,6 +219,10 @@ def run_bench() -> dict:
         "rare_terms",
         "pii_scan",
         "stratified_sample",
+        "knn_topk",
+        "rrf_hybrid_topk",
+        "rescore_topk",
+        "kw_filter_topk",
     )
     if op_names:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
