@@ -221,7 +221,10 @@ def test_watchdog_quarantines_poison_file(base_index, tmp_path):
 
     out = follow_directory(
         str(inbox), base_index, CFG, poll_s=0.05, idle_stop_s=0.5,
-        watchdog_ttl_s=1.0, watchdog_max_restarts=1, _apply_fn=poison_apply,
+        # TTL must be >> a legitimate apply on a degraded host (CLAUDE.md
+        # rule 5: this VM swings 2-3x) while << the 30 s poison sleep —
+        # 1.0 s made the healthy q-0002 apply a coin-flip quarantine
+        watchdog_ttl_s=4.0, watchdog_max_restarts=1, _apply_fn=poison_apply,
     )
     assert out["quarantined"] == ["q-0001.parquet"]
     assert out["files_applied"] == 1
