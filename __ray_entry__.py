@@ -923,6 +923,16 @@ topk AS (
 SELECT query_id, rank::BIGINT AS rank, doc_id, n_chars::DOUBLE AS sort_val
 FROM topk WHERE rank <= 10
 """.replace("{_TOK}", _TOK)
+
+# ES sort + search_after page 2: global sort ranks 6-10 fetched with the
+# (sort_val, doc_id) cursor of page 1's last hit; returned ranks restart
+# at 1 (ES semantics)
+_SORT_AFTER_SQL = _SORT_FIELD_SQL.replace(
+    "SELECT query_id, rank::BIGINT AS rank, doc_id, n_chars::DOUBLE AS sort_val\nFROM topk WHERE rank <= 10",
+    "SELECT query_id, (rank - 5)::BIGINT AS rank, doc_id, n_chars::DOUBLE AS sort_val\nFROM topk WHERE rank BETWEEN 6 AND 10",
+)
+assert "BETWEEN 6 AND 10" in _SORT_AFTER_SQL
+
 # operator=and: a doc must match EVERY term of its query
 _BM25_AND_SQL = _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(
     having="HAVING count(*) = (SELECT count(*) FROM queries q2 WHERE q2.query_id = q.query_id)"
@@ -1582,6 +1592,55 @@ def _q_kw_filter_topk(sf_dir: str):
         out = run_queries(queries, idx, cfg).to_pandas()
         return (
             out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_sort_search_after(sf_dir: str):
+    """ES sort + search_after: page 2 (global sort ranks 6-10) of each
+    derived query's n_chars-desc ranking, fetched with the (sort_val,
+    doc_id) cursor of page 1's last hit — both pages distributed."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_sorted
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_srtsa_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        out = []
+        # cursors differ per query, so page 2 runs one query at a time —
+        # the per-page work is still fully distributed
+        for row in queries.itertuples(index=False):
+            q1 = pd.DataFrame({"query_id": np.int64([row.query_id]), "text": [row.text]})
+            p1 = run_sorted(q1, idx, "n_chars", k=5, cfg=cfg).to_pandas()
+            if not len(p1):
+                continue
+            last = p1.sort_values("rank").iloc[-1]
+            p2 = run_sorted(
+                q1, idx, "n_chars", k=5, cfg=cfg,
+                search_after=(float(last["sort_val"]), int(last["doc_id"])),
+            ).to_pandas()
+            if len(p2):
+                out.append(p2)
+        res = pd.concat(out, ignore_index=True)
+        return (
+            res[["query_id", "rank", "doc_id", "sort_val"]]
             .sort_values(["query_id", "rank"])
             .reset_index(drop=True)
         )
@@ -3511,6 +3570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": _q_knn_topk,
         "rrf_hybrid_topk": _q_rrf_hybrid_topk,
         "sort_by_field": _q_sort_by_field,
+        "sort_search_after": _q_sort_search_after,
         "match_stats_agg": _q_match_stats_agg,
         "match_histogram": _q_match_histogram,
         "extended_stats_agg": _q_extended_stats,
@@ -3672,6 +3732,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM topk WHERE rank BETWEEN 11 AND 20) t",
         ),
         "sort_by_field": _SORT_FIELD_SQL,
+        "sort_search_after": _SORT_AFTER_SQL,
         "match_stats_agg": _STATS_AGG_SQL,
         "extended_stats_agg": _EXT_STATS_SQL,
         "date_histogram_agg": _DATE_HIST_SQL,

@@ -2768,7 +2768,9 @@ class SortTopkStage(_SegmentCacheStage):
     (+ ties), never the match set."""
 
     def _init_payload(self, payload) -> None:
-        self.plan, self.tomb_map, self.field, self.ascending, self.k = payload
+        (self.plan, self.tomb_map, self.field, self.ascending, self.k,
+         *rest) = payload
+        self.after = rest[0] if rest else None
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -2781,6 +2783,16 @@ class SortTopkStage(_SegmentCacheStage):
                 vals = seg.nums_for(self.field, ids)
                 ok = ~np.isnan(vals)
                 ids, vals = ids[ok], vals[ok]
+                if self.after is not None and ids.size:
+                    # ES sort search_after: strictly-after predicate in
+                    # (sort_val, doc_id asc) order, applied per segment
+                    # before the top-k cut
+                    av, ad = self.after
+                    if self.ascending:
+                        keep_sa = (vals > av) | ((vals == av) & (ids > ad))
+                    else:
+                        keep_sa = (vals < av) | ((vals == av) & (ids > ad))
+                    ids, vals = ids[keep_sa], vals[keep_sa]
                 if ids.size == 0:
                     continue
                 if ids.size > self.k:
@@ -5371,13 +5383,20 @@ def run_sorted(
     k: int = 10,
     cfg: EngineConfig = DEFAULT,
     concurrency: int | None = None,
+    search_after: tuple | None = None,
 ):
     """Distributed ES sort-by-field: each query's match set ranked by a
     numeric docstore field (cfg.numeric_cols) instead of BM25 — segments
     as the Dataset, deduped match plans broadcast, per-segment partial
     top-k merged in a bucketed exchange.  Missing values (NaN) excluded.
     Returns Dataset(query_id, rank, doc_id, key, sort_val) with ties
-    broken doc_id asc."""
+    broken doc_id asc.
+
+    ``search_after``: ES sort cursor — (sort_val, doc_id) of the previous
+    page's last hit; only docs strictly after it in (sort_val asc/desc,
+    doc_id asc) order are returned and ranks restart at 1.  Stateless
+    deep pagination: shards apply the cursor BEFORE their top-k cut, so
+    page depth never grows the shuffle."""
     import ray
     import ray.data as rd
 
@@ -5400,7 +5419,7 @@ def run_sorted(
     if not plan:
         return rd.from_pandas(empty)
     plan_ref = ray.put(
-        (plan, manifest.get("tombstones", {}), field, ascending, k)
+        (plan, manifest.get("tombstones", {}), field, ascending, k, search_after)
     )
     partials = _shards_ds(parts, concurrency).map_batches(
         SortTopkStage,

@@ -424,3 +424,33 @@ def test_merge_preserves_numeric_columns(built, tmp_path):
     want2 = _brute_match(df, ["alpha", "beta"])
     want2 = want2[(want2["size"] >= 100.0) & (want2["size"] <= 900.0)]
     assert set(res2["doc_id"]) == set(want2["doc_id"])
+
+
+def test_sorted_search_after_page_chain(built, ray_session):
+    """ES sort + search_after deep pagination: chaining pages with the
+    (sort_val, doc_id) cursor reproduces the full run_sorted ranking
+    exactly, desc and asc, with ranks restarting per page."""
+    from kafka_es_ray.query.engine import run_sorted
+
+    idx, docs = built
+    q = pd.DataFrame({"query_id": np.int64([0]), "text": ["alpha beta gamma"]})
+    for ascending in (False, True):
+        full = run_sorted(
+            q, idx, "size", ascending=ascending, k=1000, cfg=CFG, concurrency=2
+        ).to_pandas().sort_values("rank")
+        pages, cursor = [], None
+        for _ in range(50):
+            pdf = run_sorted(
+                q, idx, "size", ascending=ascending, k=4, cfg=CFG,
+                concurrency=2, search_after=cursor,
+            ).to_pandas()
+            if not len(pdf):  # exhausted (Ray drops cols on 0 rows)
+                break
+            page = pdf.sort_values("rank")
+            assert page["rank"].tolist() == list(range(1, len(page) + 1))
+            pages.append(page)
+            last = page.iloc[-1]
+            cursor = (float(last["sort_val"]), int(last["doc_id"]))
+        chained = pd.concat(pages, ignore_index=True)
+        assert chained["doc_id"].tolist() == full["doc_id"].tolist(), ascending
+        assert chained["sort_val"].tolist() == full["sort_val"].tolist()
