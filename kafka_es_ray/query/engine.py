@@ -820,6 +820,75 @@ class IndexSearcher:
             }
         )
 
+    def knn(
+        self,
+        vec,
+        field: str,
+        k: int = 10,
+        filter_kw: list[tuple] | None = None,
+    ) -> pd.DataFrame:
+        """Single-process exact kNN over a dense_vector mapped field —
+        the in-process mirror of run_knn (same float64 cosine, round6
+        before ranking, ties doc_id asc; tombstoned and vectorless docs
+        excluded).  Returns (rank, doc_id, key, score)."""
+        qv = np.asarray(vec, dtype=np.float64)
+        qn = np.linalg.norm(qv)
+        qv = qv / (qn if qn else 1.0)
+        cand_ids, cand_sc, cand_keys = [], [], []
+        for s in self.segments:
+            rows, mat = s.vectors_for(field)
+            if not rows.size:
+                continue
+            ids = s.doc_ids_store[rows]
+            if s.tombstones is not None and s.tombstones.size and ids.size:
+                pos = np.minimum(
+                    np.searchsorted(s.tombstones, ids), s.tombstones.size - 1
+                )
+                alive = s.tombstones[pos] != ids
+                ids, mat = ids[alive], mat[alive]
+            if filter_kw:
+                keep = np.ones(ids.size, dtype=bool)
+                for fld, val in filter_kw:
+                    got = s.field_for(fld, ids)
+                    keep &= (
+                        got == val if isinstance(val, str) else np.isin(got, val)
+                    )
+                ids, mat = ids[keep], mat[keep]
+            if not ids.size:
+                continue
+            m64 = mat.astype(np.float64)
+            nrm = np.linalg.norm(m64, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            sims = np.floor((m64 / nrm) @ qv * 1e6 + 0.5) / 1e6
+            if ids.size > k:
+                kth = -np.partition(-sims, k - 1)[k - 1]
+                sel = np.flatnonzero(sims >= kth)
+                ids, sims = ids[sel], sims[sel]
+            cand_ids.append(ids)
+            cand_sc.append(sims)
+            cand_keys.append(s.keys_for(ids))
+        if not cand_ids:
+            return pd.DataFrame(
+                {
+                    "rank": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "key": pd.Series([], dtype=object),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+        ids = np.concatenate(cand_ids)
+        sc = np.concatenate(cand_sc)
+        keys = np.concatenate(cand_keys)
+        order = np.lexsort((ids, -sc))[:k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, 1 + order.size, dtype=np.int64),
+                "doc_id": ids[order],
+                "key": keys[order],
+                "score": sc[order],
+            }
+        )
+
     def get(self, keys: list[str]) -> pd.DataFrame:
         """ES _mget analog: fetch live docs by external key (url/_id).
         Returns (key, doc_id, lang, found[, text if store_text]); a key's

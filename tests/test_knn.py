@@ -207,3 +207,18 @@ def test_knn_prefilter(ray_session, tmp_path_factory):
     assert len(out) == 8  # pre-filter: still k results from the filtered set
     # doc 0 (grp b, the self-match at sim 1.0) must be excluded
     assert ids["d0"] not in set(out["doc_id"])
+
+
+def test_searcher_knn_matches_distributed(knn_index, ray_session):
+    """IndexSearcher.knn (single-process) == run_knn (distributed),
+    including the filter clause path."""
+    s = IndexSearcher(knn_index, CFG)
+    local = s.knn(VECS[2].tolist(), "emb", k=7)
+    q = pd.DataFrame(
+        {"query_id": np.int64([0]), "vec": [VECS[2].tolist()], "k": np.int32(7)}
+    )
+    dist = run_knn(q, knn_index, "emb", CFG, concurrency=2).to_pandas()
+    dist = dist.sort_values("rank")
+    assert local["doc_id"].tolist() == dist["doc_id"].tolist()
+    assert local["score"].tolist() == dist["score"].tolist()
+    assert local["key"].tolist()  # keys resolved
