@@ -5206,8 +5206,14 @@ class KnnStage(_SegmentCacheStage):
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for pid in batch["part_id"].astype(int):
-            seg = self._segment(pid)
+        multi = len(self.index_dirs) > 1
+        iids = (
+            batch["index_id"].astype(int).to_numpy()
+            if "index_id" in batch.columns
+            else np.zeros(len(batch), dtype=np.int64)
+        )
+        for pid, iid in zip(batch["part_id"].astype(int), iids):
+            seg = self._segment(pid, int(iid))
             rows, mat = seg.vectors_for(self.field)
             if not rows.size:
                 continue
@@ -5248,29 +5254,29 @@ class KnnStage(_SegmentCacheStage):
                     sel = np.flatnonzero(sr >= kth)
                 else:
                     sel = np.arange(sr.size)
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "plan_id": np.int64(q["plan_id"]),
-                            "doc_id": ids[rows_j[sel]],
-                            "score": sr[sel],
-                        }
-                    )
-                )
-        if not out:
-            return pd.DataFrame(
-                {
-                    "plan_id": pd.Series([], dtype=np.int64),
-                    "doc_id": pd.Series([], dtype=np.int64),
-                    "score": pd.Series([], dtype=np.float64),
+                cols = {
+                    "plan_id": np.int64(q["plan_id"]),
+                    "doc_id": ids[rows_j[sel]],
+                    "score": sr[sel],
                 }
-            )
+                if multi:
+                    cols["index_id"] = np.int64(iid)
+                out.append(pd.DataFrame(cols))
+        if not out:
+            empty = {
+                "plan_id": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64),
+            }
+            if multi:
+                empty["index_id"] = pd.Series([], dtype=np.int64)
+            return pd.DataFrame(empty)
         return pd.concat(out, ignore_index=True)
 
 
 def run_knn(
     queries_ds,
-    index_dir: str,
+    index_dir,
     field: str,
     cfg: EngineConfig = DEFAULT,
     concurrency: int | None = None,
@@ -5290,8 +5296,15 @@ def run_knn(
 
     concurrency = concurrency or cfg.query_concurrency or query_pool()
     queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
-    manifest = read_manifest(index_dir)
-    parts = [int(p) for p in manifest["parts"]]
+    # multi-index kNN (GET /idx1,idx2/_search with a knn clause): cosine
+    # needs no global stats, so the only cross-index concern is the
+    # doc_id tie-break — (score desc, doc_id asc, index_id asc)
+    multi = not isinstance(index_dir, str)
+    dirs = list(index_dir) if multi else [index_dir]
+    manifests = [read_manifest(d) for d in dirs]
+    part_rows = [
+        (iid, int(p)) for iid, m in enumerate(manifests) for p in m["parts"]
+    ]
     plan_by_key: dict[tuple, dict] = {}
     for row in queries.itertuples(index=False):
         v = np.asarray(row.vec, dtype=np.float32)
@@ -5328,10 +5341,18 @@ def run_knn(
         )
     for pid_, q in enumerate(plan):
         q["plan_id"] = pid_
-    plan_ref = ray.put((plan, manifest.get("tombstones", {}), field))
-    partials = _shards_ds(parts, concurrency).map_batches(
+    tomb = [m.get("tombstones", {}) for m in manifests] if multi else manifests[0].get("tombstones", {})
+    plan_ref = ray.put((plan, tomb, field))
+    n_blocks = max(concurrency * 2, len(part_rows) // 4)
+    shard_df = pd.DataFrame({"part_id": [p for _, p in part_rows]})
+    if multi:
+        shard_df["index_id"] = [iid for iid, _ in part_rows]
+    shards = rd.from_pandas(shard_df).repartition(
+        max(1, min(n_blocks, len(part_rows)))
+    )
+    partials = shards.map_batches(
         KnnStage,
-        fn_constructor_args=(index_dir, plan_ref, cfg),
+        fn_constructor_args=(dirs if multi else index_dir, plan_ref, cfg),
         batch_format="pandas",
         batch_size=4,
         concurrency=concurrency,
@@ -5339,13 +5360,21 @@ def run_knn(
     k_map = {q["plan_id"]: q["k"] for q in plan}
     fanout = {q["plan_id"]: q["query_ids"] for q in plan}
 
+    out_cols = ["query_id", "rank", "doc_id", "score"]
+    if multi:
+        out_cols.append("index_id")
+
     def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         out = []
         for pid_, g in bucket.groupby("plan_id", sort=False):
             k = k_map.get(int(pid_), 10)
             ids = g["doc_id"].to_numpy()
             sc = g["score"].to_numpy()
-            order = np.lexsort((ids, -sc))[:k]
+            if multi:
+                iid_col = g["index_id"].to_numpy()
+                order = np.lexsort((iid_col, ids, -sc))[:k]
+            else:
+                order = np.lexsort((ids, -sc))[:k]
             top = pd.DataFrame(
                 {
                     "rank": np.arange(1, 1 + order.size, dtype=np.int64),
@@ -5353,20 +5382,21 @@ def run_knn(
                     "score": sc[order],
                 }
             )
+            if multi:
+                top["index_id"] = iid_col[order]
             for qid in fanout.get(int(pid_), []):
                 out.append(top.assign(query_id=np.int64(qid)))
         if not out:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype=np.int64),
-                    "rank": pd.Series([], dtype=np.int64),
-                    "doc_id": pd.Series([], dtype=np.int64),
-                    "score": pd.Series([], dtype=np.float64),
-                }
-            )
-        return pd.concat(out, ignore_index=True)[
-            ["query_id", "rank", "doc_id", "score"]
-        ]
+            empty = {
+                "query_id": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64),
+            }
+            if multi:
+                empty["index_id"] = pd.Series([], dtype=np.int64)
+            return pd.DataFrame(empty)
+        return pd.concat(out, ignore_index=True)[out_cols]
 
     return bucketed_group_agg(partials, ["plan_id"], merge_bucket)
 

@@ -222,3 +222,61 @@ def test_searcher_knn_matches_distributed(knn_index, ray_session):
     assert local["doc_id"].tolist() == dist["doc_id"].tolist()
     assert local["score"].tolist() == dist["score"].tolist()
     assert local["key"].tolist()  # keys resolved
+
+
+def test_knn_multi_index_equals_combined(ray_session, tmp_path_factory):
+    """Multi-index kNN (GET /idx_a,idx_b/_search knn): searching the
+    corpus split across two indexes returns the same neighbors (by key)
+    as the combined single index — cosine needs no cross-index stats."""
+    import ray.data as rd
+
+    from kafka_es_ray.query.engine import run_knn
+
+    cfg = EngineConfig(num_partitions=2, vector_cols=("emb",))
+    docs = pd.DataFrame(
+        {
+            "url": [f"d{i}" for i in range(N)],
+            "text": ["alpha"] * N,
+            "lang": ["en"] * N,
+            "emb": [v.tolist() for v in VECS],
+        }
+    )
+    base = tmp_path_factory.mktemp("knnmulti")
+    d_all = str(base / "all")
+    d_even = str(base / "even")
+    d_odd = str(base / "odd")
+    build_index(rd.from_pandas(docs), d_all, cfg, html_col=None, ts_col=None)
+    build_index(
+        rd.from_pandas(docs[docs.index % 2 == 0]), d_even, cfg,
+        html_col=None, ts_col=None,
+    )
+    build_index(
+        rd.from_pandas(docs[docs.index % 2 == 1]), d_odd, cfg,
+        html_col=None, ts_col=None,
+    )
+    q = pd.DataFrame(
+        {"query_id": np.int64([0]), "vec": [VECS[4].tolist()], "k": np.int32(8)}
+    )
+    one = run_knn(q, d_all, "emb", cfg, concurrency=2).to_pandas()
+    two = run_knn(q, [d_even, d_odd], "emb", cfg, concurrency=2).to_pandas()
+    assert "index_id" in two.columns
+    key_all = {
+        int(v): k for s in IndexSearcher(d_all, cfg).segments
+        for v, k in zip(s.doc_ids_store, s.keys)
+    }
+    key_e = {
+        (0, int(v)): k for s in IndexSearcher(d_even, cfg).segments
+        for v, k in zip(s.doc_ids_store, s.keys)
+    }
+    key_o = {
+        (1, int(v)): k for s in IndexSearcher(d_odd, cfg).segments
+        for v, k in zip(s.doc_ids_store, s.keys)
+    }
+    keys_one = [key_all[i] for i in one.sort_values("rank")["doc_id"]]
+    two_s = two.sort_values("rank")
+    keys_two = [
+        {**key_e, **key_o}[(int(i), int(d))]
+        for i, d in zip(two_s["index_id"], two_s["doc_id"])
+    ]
+    assert keys_one == keys_two
+    assert one.sort_values("rank")["score"].tolist() == two_s["score"].tolist()
