@@ -5429,18 +5429,20 @@ def run_rrf(
     bm = run_queries(text_q, index_dir, cfg, concurrency).to_pandas()
     knn_q = queries[["query_id", "vec"]].assign(k=np.int32(rank_window))
     kn = run_knn(knn_q, index_dir, field, cfg, concurrency).to_pandas()
+    # multi-index: doc ids may collide across indexes, so fusion keys
+    # include index_id whenever the retrievers carry it
+    with_iid = all("index_id" in df.columns for df in (bm, kn) if len(df))
     parts = []
     for df in (bm, kn):
         if len(df):
-            parts.append(
-                pd.DataFrame(
-                    {
-                        "query_id": df["query_id"].astype(np.int64),
-                        "doc_id": df["doc_id"].astype(np.int64),
-                        "rrf": 1.0 / (rank_constant + df["rank"].astype(np.float64)),
-                    }
-                )
-            )
+            cols = {
+                "query_id": df["query_id"].astype(np.int64),
+                "doc_id": df["doc_id"].astype(np.int64),
+                "rrf": 1.0 / (rank_constant + df["rank"].astype(np.float64)),
+            }
+            if with_iid:
+                cols["index_id"] = df["index_id"].astype(np.int64)
+            parts.append(pd.DataFrame(cols))
     if not parts:
         return pd.DataFrame(
             {
@@ -5450,26 +5452,34 @@ def run_rrf(
                 "score": pd.Series([], dtype=np.float64),
             }
         )
+    gkeys = ["query_id", "doc_id"] + (["index_id"] if with_iid else [])
     fused = (
         pd.concat(parts, ignore_index=True)
-        .groupby(["query_id", "doc_id"], as_index=False)["rrf"]
+        .groupby(gkeys, as_index=False)["rrf"]
         .sum()
     )
     fused["score"] = np.floor(fused["rrf"].to_numpy() * 1e6 + 0.5) / 1e6
     out = []
     for qid, g in fused.groupby("query_id", sort=True):
         k = int(k_out.get(int(qid), 10))
-        order = np.lexsort((g["doc_id"].to_numpy(), -g["score"].to_numpy()))[:k]
-        out.append(
-            pd.DataFrame(
-                {
-                    "query_id": np.int64(qid),
-                    "rank": np.arange(1, 1 + order.size, dtype=np.int64),
-                    "doc_id": g["doc_id"].to_numpy()[order],
-                    "score": g["score"].to_numpy()[order],
-                }
-            )
-        )
+        if with_iid:
+            order = np.lexsort(
+                (g["index_id"].to_numpy(), g["doc_id"].to_numpy(),
+                 -g["score"].to_numpy())
+            )[:k]
+        else:
+            order = np.lexsort(
+                (g["doc_id"].to_numpy(), -g["score"].to_numpy())
+            )[:k]
+        cols = {
+            "query_id": np.int64(qid),
+            "rank": np.arange(1, 1 + order.size, dtype=np.int64),
+            "doc_id": g["doc_id"].to_numpy()[order],
+            "score": g["score"].to_numpy()[order],
+        }
+        if with_iid:
+            cols["index_id"] = g["index_id"].to_numpy()[order]
+        out.append(pd.DataFrame(cols))
     return pd.concat(out, ignore_index=True)
 
 

@@ -280,3 +280,64 @@ def test_knn_multi_index_equals_combined(ray_session, tmp_path_factory):
     ]
     assert keys_one == keys_two
     assert one.sort_values("rank")["score"].tolist() == two_s["score"].tolist()
+
+
+def test_rrf_multi_index(ray_session, tmp_path_factory):
+    """RRF over a multi-index pair: fusion keys include index_id (doc
+    ids may collide across indexes) and the fused ranking by key equals
+    the combined single index's."""
+    import ray.data as rd
+
+    from kafka_es_ray.query.engine import run_rrf
+
+    cfg = EngineConfig(num_partitions=2, vector_cols=("emb",))
+    rng2 = np.random.default_rng(7)
+    texts = [
+        " ".join(rng2.choice(["alpha", "beta", "gamma"], size=4)) for _ in range(N)
+    ]
+    docs = pd.DataFrame(
+        {
+            "url": [f"d{i}" for i in range(N)],
+            "text": texts,
+            "lang": ["en"] * N,
+            "emb": [v.tolist() for v in VECS],
+        }
+    )
+    base = tmp_path_factory.mktemp("rrfmulti")
+    d_all, d_e, d_o = str(base / "all"), str(base / "e"), str(base / "o")
+    build_index(rd.from_pandas(docs), d_all, cfg, html_col=None, ts_col=None)
+    build_index(rd.from_pandas(docs[docs.index % 2 == 0]), d_e, cfg, html_col=None, ts_col=None)
+    build_index(rd.from_pandas(docs[docs.index % 2 == 1]), d_o, cfg, html_col=None, ts_col=None)
+    q = pd.DataFrame(
+        {
+            "query_id": np.int64([0]),
+            "text": ["alpha beta"],
+            "vec": [VECS[9].tolist()],
+            "k": np.int32(8),
+        }
+    )
+    one = run_rrf(q, d_all, "emb", cfg, concurrency=2, rank_window=12)
+    two = run_rrf(q, [d_e, d_o], "emb", cfg, concurrency=2, rank_window=12)
+    assert "index_id" in two.columns
+    key_all = {
+        int(v): k for s in IndexSearcher(d_all, cfg).segments
+        for v, k in zip(s.doc_ids_store, s.keys)
+    }
+    kmap = {}
+    for iid, d in ((0, d_e), (1, d_o)):
+        for s in IndexSearcher(d, cfg).segments:
+            for v, k in zip(s.doc_ids_store, s.keys):
+                kmap[(iid, int(v))] = k
+    keys_one = [key_all[i] for i in one["doc_id"]]
+    keys_two = [kmap[(int(i), int(d))] for i, d in zip(two["index_id"], two["doc_id"])]
+    # scores agree position-by-position; key identity must agree within
+    # each tie group ABOVE the k-th score (fused ties break on the
+    # layout's own doc ids, so boundary-tie membership may differ)
+    assert one["score"].tolist() == two["score"].tolist()
+    cutoff = one["score"].iloc[-1]
+    g1, g2 = {}, {}
+    for ks, df_, acc in ((keys_one, one, g1), (keys_two, two, g2)):
+        for k2, s2 in zip(ks, df_["score"]):
+            if s2 > cutoff:
+                acc.setdefault(s2, set()).add(k2)
+    assert g1 == g2
