@@ -5254,9 +5254,11 @@ class KnnStage(_SegmentCacheStage):
                     sel = np.flatnonzero(sr >= kth)
                 else:
                     sel = np.arange(sr.size)
+                hit_ids = ids[rows_j[sel]]
                 cols = {
                     "plan_id": np.int64(q["plan_id"]),
-                    "doc_id": ids[rows_j[sel]],
+                    "doc_id": hit_ids,
+                    "key": seg.keys_for(hit_ids),
                     "score": sr[sel],
                 }
                 if multi:
@@ -5266,6 +5268,7 @@ class KnnStage(_SegmentCacheStage):
             empty = {
                 "plan_id": pd.Series([], dtype=np.int64),
                 "doc_id": pd.Series([], dtype=np.int64),
+                "key": pd.Series([], dtype=object),
                 "score": pd.Series([], dtype=np.float64),
             }
             if multi:
@@ -5286,7 +5289,7 @@ def run_knn(
     list/array of floats) and optional ``k``.  EXACT cosine ranking —
     every live vectored doc is scored (the ES script_score / exact-knn
     contract; the ANN scale paths live in pipelines/ann.py).  Returns
-    Dataset(query_id, rank, doc_id, score) with score = round6(cosine)
+    Dataset(query_id, rank, doc_id, key, score) with score = round6(cosine)
     and ties broken doc_id asc.  Segments are the Dataset, the query
     matrix the broadcast side; shuffle volume = plans x segments x k."""
     import ray
@@ -5333,6 +5336,7 @@ def run_knn(
                         "query_id": pd.Series([], dtype=np.int64),
                         "rank": pd.Series([], dtype=np.int64),
                         "doc_id": pd.Series([], dtype=np.int64),
+                        "key": pd.Series([], dtype=object),
                         "score": pd.Series([], dtype=np.float64),
                     }
                 ),
@@ -5360,7 +5364,7 @@ def run_knn(
     k_map = {q["plan_id"]: q["k"] for q in plan}
     fanout = {q["plan_id"]: q["query_ids"] for q in plan}
 
-    out_cols = ["query_id", "rank", "doc_id", "score"]
+    out_cols = ["query_id", "rank", "doc_id", "key", "score"]
     if multi:
         out_cols.append("index_id")
 
@@ -5379,6 +5383,7 @@ def run_knn(
                 {
                     "rank": np.arange(1, 1 + order.size, dtype=np.int64),
                     "doc_id": ids[order],
+                    "key": g["key"].to_numpy()[order],
                     "score": sc[order],
                 }
             )
@@ -5391,6 +5396,7 @@ def run_knn(
                 "query_id": pd.Series([], dtype=np.int64),
                 "rank": pd.Series([], dtype=np.int64),
                 "doc_id": pd.Series([], dtype=np.int64),
+                "key": pd.Series([], dtype=object),
                 "score": pd.Series([], dtype=np.float64),
             }
             if multi:
