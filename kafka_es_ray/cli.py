@@ -88,6 +88,15 @@ def main(argv: list[str] | None = None) -> int:
     kn.add_argument("--vec", required=True, help="comma-separated query vector")
     kn.add_argument("--k", type=int, default=10)
 
+    rr = sub.add_parser("rrf", help="hybrid BM25 + kNN search fused by reciprocal rank (ES rrf retriever)")
+    rr.add_argument("--index", required=True)
+    rr.add_argument("--text", required=True, help="BM25 retriever query")
+    rr.add_argument("--vec", required=True, help="comma-separated kNN query vector")
+    rr.add_argument("--field", required=True, help="dense_vector field for the kNN retriever")
+    rr.add_argument("--k", type=int, default=10)
+    rr.add_argument("--rank-window", type=int, default=100)
+    rr.add_argument("--rank-constant", type=int, default=60)
+
     ex = sub.add_parser("explain", help="per-term BM25 breakdown for one doc (ES _explain)")
     ex.add_argument("--index", required=True)
     ex.add_argument("--text", required=True)
@@ -294,6 +303,25 @@ def main(argv: list[str] | None = None) -> int:
             }
         )
         out = run_knn(q, args.index, args.field).to_pandas()
+        print(out[["rank", "doc_id", "score"]].to_string(index=False))
+    elif args.cmd == "rrf":
+        import numpy as np
+        import pandas as pd
+
+        from kafka_es_ray.query.engine import run_rrf
+
+        q = pd.DataFrame(
+            {
+                "query_id": np.int64([0]),
+                "text": [args.text],
+                "vec": [[float(x) for x in args.vec.split(",")]],
+                "k": np.int32(args.k),
+            }
+        )
+        out = run_rrf(
+            q, args.index, args.field,
+            rank_window=args.rank_window, rank_constant=args.rank_constant,
+        )
         print(out[["rank", "doc_id", "score"]].to_string(index=False))
     elif args.cmd == "explain":
         from kafka_es_ray.query.engine import IndexSearcher
