@@ -341,3 +341,29 @@ def test_rrf_multi_index(ray_session, tmp_path_factory):
             if s2 > cutoff:
                 acc.setdefault(s2, set()).add(k2)
     assert g1 == g2
+
+
+def test_knn_incremental_vector_visible(knn_index, ray_session, tmp_path):
+    """A vectored doc added through the incremental delta path becomes a
+    kNN hit (delta segments store vec_ columns like the base build)."""
+    import shutil
+
+    d = str(tmp_path / "knn_inc")
+    shutil.copytree(knn_index, d)
+    newv = (VECS[0] + 0.001).tolist()
+    delta = pd.DataFrame(
+        {
+            "id": ["new1"],
+            "text": ["alpha"],
+            "lang": ["en"],
+            "emb": [newv],
+            "seq": [1],
+            "op": ["index"],
+        }
+    )
+    apply_incremental(d, delta, CFG, key_col="id")
+    q = pd.DataFrame(
+        {"query_id": np.int64([0]), "vec": [VECS[0].tolist()], "k": np.int32(3)}
+    )
+    out = run_knn(q, d, "emb", CFG, concurrency=2).to_pandas()
+    assert "new1" in set(out["key"])
