@@ -682,3 +682,55 @@ def test_fetch_fields_docvalues(api_index, ray_session):
         run_queries(
             q, d, CFG, concurrency=2, fetch_fields=["nope"]
         ).to_pandas()
+
+
+def test_new_query_paths_survive_merge(api_index, ray_session, tmp_path):
+    """The round-4 query paths (kw filter, min_score, fields retrieval)
+    stay correct after a force-merge: a purging merge changes global
+    stats (ES-faithful), so results are checked against the post-merge
+    single-process searcher, not pre-merge snapshots."""
+    import shutil
+
+    from kafka_es_ray.index.merge import merge_index
+
+    d, docs = api_index
+    d2 = str(tmp_path / "merged_new")
+    shutil.copytree(d, d2)
+    merge_index(d2, merge_factor=4, cfg=CFG)
+    s = IndexSearcher(d2, CFG)
+    # kw membership filter == post-merge searcher restriction
+    q = pd.DataFrame(
+        {
+            "query_id": np.int64([0]),
+            "text": ["common"],
+            "kw_field": ["source"],
+            "kw_value": ["crawl1|crawl2"],
+            "k": np.int32(50),
+        }
+    )
+    out = run_queries(
+        q, d2, CFG, concurrency=2, fetch_fields=["source"]
+    ).to_pandas().sort_values("rank")
+    want = s.search(
+        "common", k=50, filter_kw=[("source", ("crawl1", "crawl2"))]
+    )
+    assert out["doc_id"].tolist() == want["doc_id"].tolist()
+    assert out["score"].tolist() == want["score"].tolist()
+    # retrieved source values match the corpus
+    ref = docs.set_index("url")["source"]
+    assert all(v == ref[k] for k, v in zip(out["key"], out["source"]))
+    assert set(out["source"]) <= {"crawl1", "crawl2"}
+    # min_score floor holds on the merged index
+    full = s.search("alpha beta", k=1000)
+    ms = float(full["score"].median())
+    q2 = pd.DataFrame(
+        {
+            "query_id": np.int64([0]),
+            "text": ["alpha beta"],
+            "min_score": [ms],
+            "k": np.int32(1000),
+        }
+    )
+    out2 = run_queries(q2, d2, CFG, concurrency=2).to_pandas()
+    want2 = full[full["score"] >= ms]
+    assert sorted(out2["doc_id"]) == sorted(want2["doc_id"])
