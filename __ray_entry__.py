@@ -157,6 +157,17 @@ FROM final WHERE rank <= 10 ORDER BY 1, 2
 assert "bm_topk" in _RRF_SQL and _RRF_SQL.count("knn_topk") == 2
 
 
+# ES ids query: docs by external _id (documents keys are str(doc_id)),
+# constant score 1.0, ties doc_id asc; an absent id is simply not a hit
+_IDS_SQL = """
+SELECT 0::BIGINT AS query_id,
+       row_number() OVER (ORDER BY doc_id ASC)::BIGINT AS rank,
+       doc_id, 1.0 AS score
+FROM documents WHERE doc_id IN (10, 20, 30, 40)
+ORDER BY 2
+"""
+
+
 # ES bool filter term clause ({"term": {source: v}}): same scores, docs
 # whose source keyword value != the corpus's modal source are dropped
 # BEFORE ranking (filter context: no score contribution); v = most
@@ -1549,6 +1560,39 @@ def _q_min_score_topk(sf_dir: str):
         )
         queries = queries.join(floors, on="query_id", how="inner")
         out = run_queries(queries, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_ids_query(sf_dir: str):
+    """ES ids query: fetch docs 10/20/30/40 (+ one absent id) by _id
+    through the distributed run_queries path — constant score 1.0,
+    ranks by doc_id."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index
+    from kafka_es_ray.query.engine import run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_idsidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        q = pd.DataFrame(
+            {
+                "query_id": np.int64([0]),
+                "type": "ids",
+                "text": ["10|20|30|40|99999999"],
+                "k": np.int32(10),
+            }
+        )
+        out = run_queries(q, idx).to_pandas()
         return (
             out[["query_id", "rank", "doc_id", "score"]]
             .sort_values(["query_id", "rank"])
@@ -3617,6 +3661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_set_topk": _q_terms_set,
         "match_bool_prefix_topk": _q_match_bool_prefix,
         "simple_query_string_topk": _q_simple_query_string,
+        "ids_query": _q_ids_query,
         "match_count": _q_match_count,
         "match_must_not": _q_match_must_not,
         "match_lang_agg": _q_match_lang_agg,
@@ -3794,6 +3839,7 @@ def oracle_sql() -> dict[str, str]:
         "terms_set_topk": _TERMS_SET_SQL,
         "match_bool_prefix_topk": _MBP_SQL,
         "simple_query_string_topk": _SQS_SQL,
+        "ids_query": _IDS_SQL,
         "match_must_not": _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(
             having="""HAVING NOT EXISTS (
                SELECT 1 FROM tf t2

@@ -2176,6 +2176,32 @@ class ShardScorerStage(_SegmentCacheStage):
                         np.maximum.at(mx, inv, all_sc)
                         acc = mx + tb * (acc - mx)
                     scores = np.asarray(round6(acc))
+                elif "idsq" in q:
+                    # ES ids query: docs whose external key (_id) is in
+                    # the given set, constant score 1.0, ties doc_id asc;
+                    # key-hash point lookups, newest live version per key
+                    rows_k, _ = seg.find_keys(
+                        np.asarray(q["idsq"], dtype=object)
+                    )
+                    if rows_k.size == 0:
+                        continue
+                    ids = seg.doc_ids_store[rows_k]
+                    if seg.tombstones is not None and seg.tombstones.size:
+                        pos_t = np.minimum(
+                            np.searchsorted(seg.tombstones, ids),
+                            seg.tombstones.size - 1,
+                        )
+                        alive_k = seg.tombstones[pos_t] != ids
+                        rows_k, ids = rows_k[alive_k], ids[alive_k]
+                    if ids.size == 0:
+                        continue
+                    # newest live version per key (the mget LWW rule)
+                    kk = seg._take_str(seg.keys_arr, rows_k)
+                    df_k = pd.DataFrame({"k": kk, "i": ids})
+                    ids = np.sort(
+                        df_k.groupby("k")["i"].max().to_numpy(dtype=np.int64)
+                    )[: q["k"]]
+                    scores = np.full(ids.size, 1.0, dtype=np.float64)
                 elif "const" in q:
                     # constant_score: every score ties at the boost, so
                     # the global top-k = the k smallest matching doc_ids;
@@ -3258,6 +3284,23 @@ def run_queries(
                         "mn_terms": None, "msm": msm_ts,
                     },
                     "hl_terms": kept_ts,
+                    "k": k, "offset": 0, "size": k,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        if qtype_row == "ids":
+            # ES ids query: text column carries |-separated external keys
+            keys_q = tuple(sorted({s for s in str(row.text).split("|") if s}))
+            if not keys_q:
+                continue
+            key = ("idsq", keys_q, k)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "idsq": list(keys_q),
+                    "terms": [],
+                    "hl_terms": [],
                     "k": k, "offset": 0, "size": k,
                 }
             entry["query_ids"].append(int(row.query_id))

@@ -279,3 +279,28 @@ def test_simple_query_string_mixed_with_other_types(qt_index):
     want1 = s.search_bool(must=["cherry"], must_not="date", k=10)
     got1 = out[out["query_id"] == 1]
     assert got1["doc_id"].tolist() == want1["doc_id"].tolist()
+
+
+def test_ids_query(qt_index):
+    """ES ids query: docs whose _id is in the set, constant score 1.0,
+    ties doc_id asc; missing ids are simply absent."""
+    out = _run(
+        pd.DataFrame(
+            {
+                "query_id": np.int64([0]),
+                "type": "ids",
+                "text": ["d3|d7|d11|zzmissing"],
+                "k": np.int32(10),
+            }
+        ),
+        qt_index,
+    )
+    s = IndexSearcher(qt_index, CFG)
+    want = sorted(
+        int(d) for seg in s.segments
+        for d, k2 in zip(seg.doc_ids_store, seg.keys)
+        if k2 in {"d3", "d7", "d11"}
+    )
+    assert out["doc_id"].tolist() == want
+    assert (out["score"] == 1.0).all()
+    assert out["rank"].tolist() == list(range(1, len(want) + 1))
