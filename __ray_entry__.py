@@ -168,6 +168,36 @@ ORDER BY 2
 """
 
 
+# ES constant_score over a prefix filter: docs matching any term with
+# the top-4 ranked terms' 3-char prefixes, score = boost 2.0, top-10 =
+# the 10 smallest matching doc_ids per query (all scores tie)
+_PREFIX_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT DISTINCT doc_id, term FROM toks),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+ranked_terms AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+),
+prefixes AS (
+  SELECT (r - 1)::BIGINT AS query_id, substr(term, 1, 3) AS p
+  FROM ranked_terms WHERE r <= 4
+),
+matches AS (
+  SELECT DISTINCT p.query_id, tf.doc_id
+  FROM prefixes p JOIN tf ON starts_with(tf.term, p.p)
+),
+topk AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY doc_id ASC) AS rank
+  FROM matches
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, 2.0 AS score
+FROM topk WHERE rank <= 10 ORDER BY 1, 2
+""".replace("{_TOK}", _TOK)
+
+
 # ES bool filter term clause ({"term": {source: v}}): same scores, docs
 # whose source keyword value != the corpus's modal source are dropped
 # BEFORE ranking (filter context: no score contribution); v = most
@@ -1589,6 +1619,42 @@ def _q_ids_query(sf_dir: str):
                 "query_id": np.int64([0]),
                 "type": "ids",
                 "text": ["10|20|30|40|99999999"],
+                "k": np.int32(10),
+            }
+        )
+        out = run_queries(q, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_prefix_score_topk(sf_dir: str):
+    """ES constant_score over a prefix filter: top-10 hits (all tied at
+    boost 2.0, doc_id asc) for the top-4 ranked terms' 3-char prefixes —
+    the filter-context rewrite of a multi-term expansion query."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_psidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        t = derive_ranked_terms(IndexSearcher(idx), 4)
+        q = pd.DataFrame(
+            {
+                "query_id": np.arange(4, dtype=np.int64),
+                "type": "constant_score",
+                "text": [None] * 4,
+                "prefix": [w[:3] for w in t],
+                "boost": [2.0] * 4,
                 "k": np.int32(10),
             }
         )
@@ -3662,6 +3728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_bool_prefix_topk": _q_match_bool_prefix,
         "simple_query_string_topk": _q_simple_query_string,
         "ids_query": _q_ids_query,
+        "prefix_score_topk": _q_prefix_score_topk,
         "match_count": _q_match_count,
         "match_must_not": _q_match_must_not,
         "match_lang_agg": _q_match_lang_agg,
@@ -3840,6 +3907,7 @@ def oracle_sql() -> dict[str, str]:
         "match_bool_prefix_topk": _MBP_SQL,
         "simple_query_string_topk": _SQS_SQL,
         "ids_query": _IDS_SQL,
+        "prefix_score_topk": _PREFIX_SCORE_SQL,
         "match_must_not": _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(
             having="""HAVING NOT EXISTS (
                SELECT 1 FROM tf t2

@@ -2205,9 +2205,12 @@ class ShardScorerStage(_SegmentCacheStage):
                 elif "const" in q:
                     # constant_score: every score ties at the boost, so
                     # the global top-k = the k smallest matching doc_ids;
-                    # postings unions are sorted, so ids[:k] per shard is
-                    # exact and the shuffle stays O(k x shards)
-                    ids = segment_matching_ids(seg, q["terms"], False)[: q["k"]]
+                    # match sets are sorted, so ids[:k] per shard is
+                    # exact and the shuffle stays O(k x shards).  The
+                    # match set may come from ANY MatchSet-family source
+                    # (terms, prefix, wildcard, fuzzy, regexp, exists) —
+                    # the ES constant_score / filter-context rewrite.
+                    ids = _segment_match_ids_for_plan(seg, q)[: q["k"]]
                     scores = np.full(ids.size, q["const"], dtype=np.float64)
                 elif "mbp" in q:
                     mb = q["mbp"]
@@ -3306,10 +3309,42 @@ def run_queries(
             entry["query_ids"].append(int(row.query_id))
             continue
         if qtype_row == "constant_score":
-            # ES constant_score: filter-context match (any query term),
-            # score = boost for every matching doc (no BM25).  All
-            # scores tie, so the global top-k is the k smallest matching
-            # doc_ids — each shard emits only its first k match ids.
+            # ES constant_score: filter-context match, score = boost for
+            # every matching doc (no BM25).  All scores tie, so the
+            # global top-k is the k smallest matching doc_ids — each
+            # shard emits only its first k match ids.  The filter may be
+            # a match (text), or any expansion query via a
+            # prefix/wildcard/fuzzy/regexp/exists column.
+            boost_raw0 = getattr(row, "boost", None)
+            boost0 = (
+                1.0
+                if boost_raw0 is None
+                or (isinstance(boost_raw0, float) and pd.isna(boost_raw0))
+                else float(boost_raw0)
+            )
+            exp_col = next(
+                (
+                    c
+                    for c in ("prefix", "wildcard", "fuzzy", "regexp", "exists")
+                    if _row_str(row, c) is not None
+                ),
+                None,
+            )
+            if exp_col is not None:
+                val_e = _row_str(row, exp_col)
+                key = ("const", exp_col, val_e, boost0, k)
+                entry = plan_by_key.get(key)
+                if entry is None:
+                    entry = plan_by_key[key] = {
+                        "query_ids": [],
+                        "const": boost0,
+                        exp_col: val_e,
+                        "terms": [],
+                        "hl_terms": [],
+                        "k": k, "offset": 0, "size": k,
+                    }
+                entry["query_ids"].append(int(row.query_id))
+                continue
             kept_cs = [
                 t for t in sorted(set(get_analyzer(lang_q).tokenize(row.text)))
                 if df_map.get(t, 0) > 0

@@ -304,3 +304,32 @@ def test_ids_query(qt_index):
     assert out["doc_id"].tolist() == want
     assert (out["score"] == 1.0).all()
     assert out["rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_constant_score_expansion_filters(qt_index):
+    """constant_score with an expansion filter (prefix / wildcard /
+    exists): the k smallest doc ids of the expansion match set at the
+    boost score — the ES filter-context rewrite for multi-term queries."""
+    s = IndexSearcher(qt_index, CFG)
+    pref_ids = sorted(set(_match_map(s, "apple")) | set(_match_map(s, "apricot")))
+    out = _run(
+        pd.DataFrame(
+            {
+                "query_id": np.int64([0, 1]),
+                "type": "constant_score",
+                "text": [None, None],
+                "prefix": ["ap", None],
+                "wildcard": [None, "d*m"],
+                "boost": [3.0, 1.0],
+                "k": np.int32(10),
+            }
+        ),
+        qt_index,
+    )
+    g0 = out[out["query_id"] == 0]
+    assert g0["doc_id"].tolist() == pref_ids[:10]
+    assert (g0["score"] == 3.0).all()
+    drum_ids = sorted(_match_map(s, "drum"))
+    g1 = out[out["query_id"] == 1]
+    assert g1["doc_id"].tolist() == drum_ids[:10]
+    assert (g1["score"] == 1.0).all()
