@@ -624,6 +624,28 @@ ORDER BY 1, 2, 3
 _SCROLL_SQL = _BM25_SQL.replace("FROM topk WHERE rank <= 10", "FROM topk")
 assert "WHERE rank <= 10" not in _SCROLL_SQL
 
+# ES function_score random_score: deterministic seeded score per
+# (seed=42, doc_id) over each derived match set — score =
+# (md5_number_lower('42:' || doc_id) % 1e6) / 1e6 (the sampling-ops md5
+# contract), top-10 by score desc, ties doc_id asc
+_RANDOM_SCORE_SQL = _MATCHES_CTE + """
+, scored AS (
+  SELECT query_id, doc_id,
+         round((md5_number_lower('42:' || doc_id) % 1000000) / 1000000.0, 6) AS score
+  FROM matches
+),
+topk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10 ORDER BY 1, 2
+"""
+
+
 # ES constant_score: every matching doc scores the boost (1.5); ties
 # break doc_id asc, so top-k = the k smallest matching doc_ids
 _CONST_SQL = _MATCHES_CTE + """
@@ -1659,6 +1681,33 @@ def _q_prefix_score_topk(sf_dir: str):
             }
         )
         out = run_queries(q, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_random_score_topk(sf_dir: str):
+    """ES function_score random_score (seed=42): reproducible
+    pseudo-random ranking of each derived query's match set — the
+    deterministic corpus-sampling path through the query engine."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_rsidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx))
+        queries = queries[queries["text"] != "zzzabsentterm"].assign(
+            type="random_score", seed="42"
+        )
+        out = run_queries(queries, idx).to_pandas()
         return (
             out[["query_id", "rank", "doc_id", "score"]]
             .sort_values(["query_id", "rank"])
@@ -3729,6 +3778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simple_query_string_topk": _q_simple_query_string,
         "ids_query": _q_ids_query,
         "prefix_score_topk": _q_prefix_score_topk,
+        "random_score_topk": _q_random_score_topk,
         "match_count": _q_match_count,
         "match_must_not": _q_match_must_not,
         "match_lang_agg": _q_match_lang_agg,
@@ -3908,6 +3958,7 @@ def oracle_sql() -> dict[str, str]:
         "simple_query_string_topk": _SQS_SQL,
         "ids_query": _IDS_SQL,
         "prefix_score_topk": _PREFIX_SCORE_SQL,
+        "random_score_topk": _RANDOM_SCORE_SQL,
         "match_must_not": _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(
             having="""HAVING NOT EXISTS (
                SELECT 1 FROM tf t2

@@ -22,6 +22,8 @@ term-ordered vectorized form.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -2176,6 +2178,37 @@ class ShardScorerStage(_SegmentCacheStage):
                         np.maximum.at(mx, inv, all_sc)
                         acc = mx + tb * (acc - mx)
                     scores = np.asarray(round6(acc))
+                elif "rseed" in q:
+                    # ES function_score random_score: deterministic
+                    # seeded pseudo-random score per (seed, doc_id) —
+                    # reproducible corpus sampling through the query
+                    # path.  Contract: (md5_number_lower(f"{seed}:{id}")
+                    # % 1e6) / 1e6 — 6dp-exact, DuckDB-replayable (the
+                    # sampling-ops md5 contract, pipelines/sampling.py)
+                    ids = segment_matching_ids(
+                        seg, q["terms"], q.get("require_all", False),
+                        q.get("filter_lang"), q.get("filter_ranges"),
+                        q.get("filter_kw"),
+                    )
+                    if ids.size == 0:
+                        continue
+                    seed_r = q["rseed"]
+                    scores = np.array(
+                        [
+                            (
+                                int.from_bytes(
+                                    hashlib.md5(
+                                        f"{seed_r}:{d}".encode()
+                                    ).digest()[8:16],
+                                    "little",
+                                )
+                                % 1_000_000
+                            )
+                            / 1e6
+                            for d in ids
+                        ],
+                        dtype=np.float64,
+                    )
                 elif "idsq" in q:
                     # ES ids query: docs whose external key (_id) is in
                     # the given set, constant score 1.0, ties doc_id asc;
@@ -3287,6 +3320,28 @@ def run_queries(
                         "mn_terms": None, "msm": msm_ts,
                     },
                     "hl_terms": kept_ts,
+                    "k": k, "offset": 0, "size": k,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        if qtype_row == "random_score":
+            # ES function_score random_score over a filter-context match
+            an_r = get_analyzer(lang_q)
+            kept_r2 = [
+                t for t in sorted(set(an_r.tokenize(row.text)))
+                if df_map.get(t, 0) > 0
+            ]
+            if not kept_r2:
+                continue
+            seed_r = _row_str(row, "seed") or "0"
+            key = ("rscore", tuple(kept_r2), seed_r, k)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "rseed": seed_r,
+                    "terms": kept_r2,
+                    "hl_terms": kept_r2,
                     "k": k, "offset": 0, "size": k,
                 }
             entry["query_ids"].append(int(row.query_id))

@@ -333,3 +333,33 @@ def test_constant_score_expansion_filters(qt_index):
     g1 = out[out["query_id"] == 1]
     assert g1["doc_id"].tolist() == drum_ids[:10]
     assert (g1["score"] == 1.0).all()
+
+
+def test_random_score_deterministic(qt_index):
+    """ES function_score random_score: the md5-contract score per
+    (seed, doc_id) — same seed reproduces the ranking exactly, a
+    different seed permutes it; match set unchanged."""
+    import hashlib
+
+    q = pd.DataFrame(
+        {
+            "query_id": np.int64([0]),
+            "type": "random_score",
+            "text": ["apple"],
+            "seed": ["7"],
+            "k": np.int32(20),
+        }
+    )
+    a = _run(q, qt_index)
+    b = _run(q, qt_index)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["score"].tolist() == b["score"].tolist()
+    for d, sc in zip(a["doc_id"], a["score"]):
+        want = (
+            int.from_bytes(hashlib.md5(f"7:{d}".encode()).digest()[8:16], "little")
+            % 1_000_000
+        ) / 1e6
+        assert sc == want
+    c = _run(q.assign(seed="8"), qt_index)
+    assert set(c["doc_id"]) == set(a["doc_id"])  # same match set
+    assert c["doc_id"].tolist() != a["doc_id"].tolist()  # different order
