@@ -1086,6 +1086,47 @@ _DIS_MAX_SQL = _MULTI_MATCH_SQL.replace(
 )
 assert "0.3" in _DIS_MAX_SQL  # replace anchor must exist
 
+# ES combined_fields (BM25F) over the same two-field index and query
+# derivation as _MULTI_MATCH_SQL: tf and dl blended across fields with
+# title weight 2.0, idf from the cross-field UNION df, ONE BM25 per term
+_CF_SQL = _MULTI_MATCH_SQL.split("qterms AS (")[0] + """qterms AS (SELECT DISTINCT query_id, term FROM queries),
+dl_c AS (
+  SELECT doc_id,
+         sum(CASE field WHEN 'title' THEN 2.0 ELSE 1.0 END * dl) AS dl
+  FROM dl GROUP BY 1
+),
+avg_c AS (SELECT avg(dl) AS avgdl FROM dl_c),
+ctf AS (
+  SELECT doc_id, term,
+         sum(CASE field WHEN 'title' THEN 2.0 ELSE 1.0 END * tf) AS tf
+  FROM tf GROUP BY 1, 2
+),
+dfu AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT q.query_id, c.doc_id,
+         round(sum(
+           ln(1 + (s.n - dfu.df + 0.5) / (dfu.df + 0.5))
+           * c.tf * 2.2 / (c.tf + 1.2 * (0.25 + 0.75 * d.dl / a.avgdl))
+         ), 6) AS score
+  FROM qterms q
+  JOIN ctf c ON c.term = q.term
+  JOIN dfu ON dfu.term = q.term
+  JOIN dl_c d ON d.doc_id = c.doc_id
+  CROSS JOIN stats s CROSS JOIN avg_c a
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM scores
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10
+"""
+assert "dfu" in _CF_SQL and "dl_c" in _CF_SQL
+
 # ES match on the mapped title field only: same BM25 shape as _BM25_SQL
 # but every stat (tf/df/dl/avgdl) comes from the title (:= source) field;
 # n stays the whole corpus.  Derivation: title terms ranked by
@@ -1708,6 +1749,48 @@ def _q_random_score_topk(sf_dir: str):
             type="random_score", seed="42"
         )
         out = run_queries(queries, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_combined_fields(sf_dir: str):
+    """ES combined_fields (BM25F) over the title/body index: the same
+    derived query set as multi_match, scored as ONE blended field
+    (title weight 2.0) — distributed union-df stats pass + per-shard
+    blended scoring."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import (
+        MF_CFG,
+        _ranked_field_terms,
+        build_documents_mf_index,
+    )
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_cfidx_")
+    try:
+        build_documents_mf_index(sf_dir, idx)
+        searcher = IndexSearcher(idx, MF_CFG)
+        b1, b2, b3 = _ranked_field_terms(searcher, "body", 3)
+        (t1,) = _ranked_field_terms(searcher, "title", 1)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(4, dtype=np.int64),
+                "text": [b1, f"{b1} {t1}", t1, f"{b2} {b3}"],
+                "type": "combined_fields",
+                "fields": "title^2,body",
+                "k": np.int32(10),
+            }
+        )
+        out = run_queries(queries, idx, MF_CFG).to_pandas()
         return (
             out[["query_id", "rank", "doc_id", "score"]]
             .sort_values(["query_id", "rank"])
@@ -3779,6 +3862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ids_query": _q_ids_query,
         "prefix_score_topk": _q_prefix_score_topk,
         "random_score_topk": _q_random_score_topk,
+        "combined_fields_topk": _q_combined_fields,
         "match_count": _q_match_count,
         "match_must_not": _q_match_must_not,
         "match_lang_agg": _q_match_lang_agg,
@@ -3959,6 +4043,7 @@ def oracle_sql() -> dict[str, str]:
         "ids_query": _IDS_SQL,
         "prefix_score_topk": _PREFIX_SCORE_SQL,
         "random_score_topk": _RANDOM_SCORE_SQL,
+        "combined_fields_topk": _CF_SQL,
         "match_must_not": _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(
             having="""HAVING NOT EXISTS (
                SELECT 1 FROM tf t2

@@ -295,6 +295,91 @@ class IndexSearcher:
             filter_ranges=filter_ranges, filter_kw=filter_kw,
         )
 
+    def combined_fields(
+        self,
+        text: str,
+        fields: list[str],
+        lang: str | None = None,
+        k: int = 10,
+    ) -> pd.DataFrame:
+        """ES combined_fields (BM25F): the named text fields are scored
+        as ONE blended field — tf(t, d) = Σ_f w_f·tf_f(t, d), doc length
+        = Σ_f w_f·dl_f(d), idf from the cross-field UNION df, ONE BM25
+        per term; score = round6(Σ_t bm25F_t).  ``fields`` takes the ES
+        ``title^2`` per-field weight syntax.  Contrast multi_match
+        most_fields (per-field BM25 scores summed) — BM25F saturates tf
+        ACROSS fields, so a term repeated in many fields cannot dominate.
+        Returns (rank, doc_id, key, score), ties doc_id asc."""
+        names, weights = [], []
+        for f in fields:
+            nm, _, w = f.partition("^")
+            names.append(nm)
+            weights.append(float(w) if w else 1.0)
+        for nm in names:
+            if nm not in (self.text_fields or ()):
+                raise ValueError(
+                    f"combined_fields: unmapped text field {nm!r} "
+                    f"(index has: {self.text_fields})"
+                )
+        terms = sorted(set(get_analyzer(lang).tokenize(text)))
+        empty = pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "key": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64),
+            }
+        )
+        if not terms:
+            return empty
+        # global stats: union df per term (per-segment exact unions
+        # summed — doc partitions are disjoint), blended avgdl from the
+        # manifest per-field sums
+        df_u = np.zeros(len(terms), dtype=np.int64)
+        for s in self.segments:
+            df_u += segment_union_df(s, terms, names)
+        keep = df_u > 0
+        terms = [t for t, m in zip(terms, keep) if m]
+        df_u = df_u[keep]
+        if not terms:
+            return empty
+        # blended avgdl: avg_d Σ_f w_f·dl_f(d) = Σ_f w_f·avgdl_f (the
+        # global manifest carries per-field avgdl; per-part manifests
+        # carry the raw sums)
+        avgdl_c = (
+            sum(w * self.avgdl_fields.get(nm, 0.0) for nm, w in zip(names, weights))
+            or 1.0
+        )
+        idf = np.asarray(bm25_idf(df_u, self.n_docs), dtype=np.float64)
+        cand_ids, cand_sc, cand_keys = [], [], []
+        for s in self.segments:
+            ids, sc = score_segment_combined(
+                s, terms, names, weights, idf, avgdl_c, self.k1, self.b
+            )
+            if ids.size == 0:
+                continue
+            if ids.size > k:
+                kth = -np.partition(-sc, k - 1)[k - 1]
+                sel = np.flatnonzero(sc >= kth)
+                ids, sc = ids[sel], sc[sel]
+            cand_ids.append(ids)
+            cand_sc.append(sc)
+            cand_keys.append(s.keys_for(ids))
+        if not cand_ids:
+            return empty
+        ids = np.concatenate(cand_ids)
+        sc = np.concatenate(cand_sc)
+        keys = np.concatenate(cand_keys)
+        order = np.lexsort((ids, -sc))[:k]
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, 1 + order.size, dtype=np.int64),
+                "doc_id": ids[order],
+                "key": keys[order],
+                "score": sc[order],
+            }
+        )
+
     def multi_match(
         self,
         text: str,
@@ -1689,6 +1774,80 @@ def _segment_match_ids_for_plan(s: Segment, q: dict) -> np.ndarray:
     )
 
 
+def score_segment_combined(
+    s: Segment,
+    terms: list[str],
+    fields: list[str],
+    weights: list[float],
+    idf: np.ndarray,
+    avgdl_c: float,
+    k1: float,
+    b: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES combined_fields (BM25F) scoring of one segment: term freq for
+    t in doc d = sum over fields of weight_f x tf_f(t, d), doc length =
+    sum of weight_f x dl_f(d), ONE BM25 per term on the blended values
+    (idf from the cross-field UNION df, computed globally by the
+    caller).  Deterministic: ascending-term accumulation, round6."""
+    per_term = []
+    cand_parts = []
+    for t in terms:
+        ids_l, tf_l = [], []
+        for f, w in zip(fields, weights):
+            ti = s.lookup(f"{f}\x1f{t}")
+            if ti >= 0:
+                ids_f, tfs_f, _ = s.postings_with_dl(ti)
+                ids_l.append(ids_f)
+                tf_l.append(w * tfs_f.astype(np.float64))
+        if not ids_l:
+            per_term.append(None)
+            continue
+        u, inv = np.unique(np.concatenate(ids_l), return_inverse=True)
+        ctf = np.zeros(u.size, dtype=np.float64)
+        np.add.at(ctf, inv, np.concatenate(tf_l))
+        per_term.append((u, ctf))
+        cand_parts.append(u)
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+    if not cand_parts:
+        return empty
+    cand = np.unique(np.concatenate(cand_parts))
+    rows = np.searchsorted(s.doc_ids_store, cand)
+    dl_c = np.zeros(cand.size, dtype=np.float64)
+    for f, w in zip(fields, weights):
+        dl_c += w * s.field_dl[f][rows].astype(np.float64)
+    acc = np.zeros(cand.size, dtype=np.float64)
+    for i, pt in enumerate(per_term):  # ascending-term determinism
+        if pt is None:
+            continue
+        u, ctf = pt
+        pos = np.searchsorted(cand, u)
+        acc[pos] += idf[i] * bm25_tf_part(ctf, dl_c[pos], avgdl_c, k1, b)
+    if s.tombstones is not None and s.tombstones.size and cand.size:
+        pos_t = np.minimum(np.searchsorted(s.tombstones, cand), s.tombstones.size - 1)
+        alive = s.tombstones[pos_t] != cand
+        cand, acc = cand[alive], acc[alive]
+    return cand, np.asarray(round6(acc))
+
+
+def segment_union_df(s: Segment, terms: list[str], fields: list[str]) -> np.ndarray:
+    """Per-term cross-field UNION document frequency for ONE segment —
+    the df a combined_fields (BM25F) idf needs (per-field dfs overlap,
+    so they cannot simply be summed)."""
+    out = np.zeros(len(terms), dtype=np.int64)
+    for i, t in enumerate(terms):
+        ids_l = []
+        for f in fields:
+            ti = s.lookup(f"{f}\x1f{t}")
+            if ti >= 0:
+                ids_l.append(s.postings_with_dl(ti)[0])
+        if ids_l:
+            out[i] = (
+                ids_l[0].size if len(ids_l) == 1
+                else np.unique(np.concatenate(ids_l)).size
+            )
+    return out
+
+
 def score_segment_phrase(
     s: Segment,
     phrase: list[str],
@@ -2088,6 +2247,56 @@ def _apply_fvf(seg: Segment, ids: np.ndarray, scores: np.ndarray, fvf: tuple) ->
     return np.floor(scores * _FVF_MODIFIERS[modifier](vals) * 1e6 + 0.5) / 1e6
 
 
+class UnionDfStage(_SegmentCacheStage):
+    """Cross-field UNION document frequency per query term — the global
+    stats a combined_fields (BM25F) idf needs (per-field dfs overlap, so
+    the dictionary-only df pass cannot provide them).  Segment-parallel;
+    emits one (term_idx, df_partial) row per (segment, term) — shuffle
+    volume is terms x segments, never doc rows."""
+
+    def _init_payload(self, payload) -> None:
+        self.terms, self.fields, self.tomb_map = payload
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(len(self.terms), dtype=np.int64)
+        for pid in batch["part_id"].astype(int):
+            acc += segment_union_df(self._segment(pid), self.terms, self.fields)
+        return pd.DataFrame(
+            {
+                "term_idx": np.arange(len(self.terms), dtype=np.int64),
+                "df_partial": acc,
+            }
+        )
+
+
+def _collect_union_df(
+    index_dir: str,
+    parts: list[int],
+    terms: list[str],
+    fields: list[str],
+    tomb_map: dict,
+    cfg: EngineConfig,
+    concurrency: int,
+) -> np.ndarray:
+    """Distributed cross-field union df for ``terms`` (BM25F stats
+    pass).  Output is terms-sized — tiny — so the driver sums it."""
+    import ray
+
+    payload_ref = ray.put((terms, fields, tomb_map))
+    partials = _shards_ds(parts, concurrency).map_batches(
+        UnionDfStage,
+        fn_constructor_args=(index_dir, payload_ref, cfg),
+        batch_format="pandas",
+        batch_size=8,
+        concurrency=concurrency,
+    ).to_pandas()
+    out = np.zeros(len(terms), dtype=np.int64)
+    if len(partials):
+        g = partials.groupby("term_idx")["df_partial"].sum()
+        out[g.index.to_numpy()] = g.to_numpy()
+    return out
+
+
 class ShardScorerStage(_SegmentCacheStage):
     """Segment-parallel BM25/phrase scoring (see _SegmentCacheStage)."""
 
@@ -2178,6 +2387,16 @@ class ShardScorerStage(_SegmentCacheStage):
                         np.maximum.at(mx, inv, all_sc)
                         acc = mx + tb * (acc - mx)
                     scores = np.asarray(round6(acc))
+                elif "cf" in q:
+                    # ES combined_fields (BM25F): blended tf/dl across
+                    # weighted fields, idf from the broadcast union-df
+                    # stats pass; pruning not applicable (no per-term UB
+                    # for the blended tf)
+                    c = q["cf"]
+                    ids, scores = score_segment_combined(
+                        seg, q["terms"], c["fields"], c["weights"],
+                        c["idf"], c["avgdl_c"], self.k1, self.b,
+                    )
                 elif "rseed" in q:
                     # ES function_score random_score: deterministic
                     # seeded pseudo-random score per (seed, doc_id) —
@@ -3172,6 +3391,59 @@ def run_queries(
         gdf += _collect_global_stats(d, [int(p) for p in m["parts"]], all_terms)
     df_map = dict(zip(all_terms, gdf))
 
+    # combined_fields (BM25F) rows need cross-field UNION dfs — one
+    # segment-parallel stats pass for the whole batch's cf terms (the
+    # per-field dictionary dfs overlap and cannot be summed)
+    cf_df_map: dict[str, int] = {}
+    cf_specs: set[tuple] = set()
+    if "type" in queries.columns:
+        cf_terms_set: set[str] = set()
+        for row in queries[queries["type"] == "combined_fields"].itertuples(
+            index=False
+        ):
+            an_cf = get_analyzer(getattr(row, "lang", None))
+            cf_terms_set.update(an_cf.tokenize(row.text))
+            flds_cf = _row_str(row, "fields")
+            if not flds_cf:
+                raise ValueError("combined_fields rows need a fields column")
+            cf_specs.add(
+                tuple(f.partition("^")[0] for f in flds_cf.split(","))
+            )
+        if cf_terms_set:
+            if multi:
+                raise NotImplementedError(
+                    "combined_fields over multi-index search is not supported"
+                )
+            cf_fields_all = sorted({f for spec in cf_specs for f in spec})
+            for f in cf_fields_all:
+                if f not in (manifest.get("text_fields") or ()):
+                    raise ValueError(
+                        f"combined_fields: unmapped text field {f!r}"
+                    )
+            cf_terms = sorted(cf_terms_set)
+            # NOTE: union df is computed over the FIELD SET of each spec;
+            # with one spec per batch (the common case) a single pass
+            # suffices.  Multiple distinct field sets fall back to one
+            # pass per spec.
+            if len(cf_specs) == 1:
+                dfu = _collect_union_df(
+                    index_dir, parts, cf_terms, list(next(iter(cf_specs))),
+                    manifest.get("tombstones", {}), cfg, concurrency,
+                )
+                cf_df_map = {
+                    (next(iter(cf_specs)), t): int(d)
+                    for t, d in zip(cf_terms, dfu)
+                }
+            else:
+                for spec in cf_specs:
+                    dfu = _collect_union_df(
+                        index_dir, parts, cf_terms, list(spec),
+                        manifest.get("tombstones", {}), cfg, concurrency,
+                    )
+                    cf_df_map.update(
+                        {(spec, t): int(d) for t, d in zip(cf_terms, dfu)}
+                    )
+
     # dedupe identical (terms, k) plans — repeated queries score once per
     # shard and fan the result out to every query_id sharing the plan
     plan_by_key: dict[tuple, dict] = {}
@@ -3320,6 +3592,51 @@ def run_queries(
                         "mn_terms": None, "msm": msm_ts,
                     },
                     "hl_terms": kept_ts,
+                    "k": k, "offset": 0, "size": k,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        if qtype_row == "combined_fields":
+            # ES combined_fields (BM25F): blended-field BM25, idf from
+            # the union-df stats pass above
+            flds_cf = _row_str(row, "fields")
+            names_cf, weights_cf = [], []
+            for f in flds_cf.split(","):
+                nm, _, w = f.partition("^")
+                names_cf.append(nm)
+                weights_cf.append(float(w) if w else 1.0)
+            spec_cf = tuple(names_cf)
+            terms_cf = [
+                t for t in sorted(set(get_analyzer(lang_q).tokenize(row.text)))
+                if cf_df_map.get((spec_cf, t), 0) > 0
+            ]
+            if not terms_cf:
+                continue
+            key = ("cf", tuple(terms_cf), flds_cf, k)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                dfu_cf = np.array(
+                    [cf_df_map[(spec_cf, t)] for t in terms_cf], dtype=np.int64
+                )
+                avgdl_c = (
+                    sum(
+                        w * float(avgdl_fields.get(nm, 0.0))
+                        for nm, w in zip(names_cf, weights_cf)
+                    )
+                    or 1.0
+                )
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "cf": {
+                        "fields": names_cf,
+                        "weights": weights_cf,
+                        "idf": np.asarray(
+                            bm25_idf(dfu_cf, n_docs), dtype=np.float64
+                        ),
+                        "avgdl_c": avgdl_c,
+                    },
+                    "terms": terms_cf,
+                    "hl_terms": terms_cf,
                     "k": k, "offset": 0, "size": k,
                 }
             entry["query_ids"].append(int(row.query_id))

@@ -312,3 +312,92 @@ def test_missing_field_column_treated_empty(ray_session, tmp_path):
     assert len(s.search("alpha", field="title")) == 0
     assert len(s.search("alpha", field="body")) > 0
     assert s.avgdl_fields["title"] == 1.0  # 0 coalesced to 1.0 guard
+
+
+def _bm25f_scores(docs: pd.DataFrame, fields_w: list[tuple[str, float]], qterms: list[str]) -> dict[str, float]:
+    """From-scratch BM25F oracle: blended tf/dl across weighted fields,
+    idf from the cross-field UNION df, one BM25 per term, round6(sum)."""
+    toks = {f: [_tok(t) for t in docs[f]] for f, _ in fields_w}
+    n = len(docs)
+    dl_c = np.zeros(n)
+    for f, w in fields_w:
+        dl_c += w * np.array([len(t) for t in toks[f]], dtype=float)
+    avgdl_c = dl_c.mean() if n else 1.0
+    out: dict[str, float] = {}
+    for i, key in enumerate(docs["url"]):
+        sc = 0.0
+        for term in sorted(set(qterms)):
+            df_u = sum(
+                any(term in set(toks[f][j]) for f, _ in fields_w)
+                for j in range(n)
+            )
+            if df_u == 0:
+                continue
+            ctf = sum(w * toks[f][i].count(term) for f, w in fields_w)
+            if ctf == 0:
+                continue
+            idf = math.log(1 + (n - df_u + 0.5) / (df_u + 0.5))
+            sc += idf * ctf * 2.2 / (ctf + 1.2 * (0.25 + 0.75 * dl_c[i] / avgdl_c))
+        if sc > 0:
+            out[key] = float(round6(sc))
+    return out
+
+
+@pytest.mark.parametrize(
+    "query,fields",
+    [
+        ("alpha", ["title", "body"]),
+        ("alpha beta", ["title^2", "body"]),
+        ("gamma zebra", ["title^3", "body^0.5"]),
+        ("delta", ["title", "body"]),
+    ],
+)
+def test_combined_fields_bm25f_oracle(mf_index, query, fields):
+    s = IndexSearcher(mf_index, CFG)
+    got = s.combined_fields(query, fields, k=100)
+    fw = []
+    for f in fields:
+        nm, _, w = f.partition("^")
+        fw.append((nm, float(w) if w else 1.0))
+    want = _bm25f_scores(DOCS, fw, query.split())
+    assert dict(zip(got["key"], got["score"])) == want
+    assert got["score"].is_monotonic_decreasing
+
+
+def test_combined_fields_differs_from_most_fields(mf_index):
+    """BM25F saturates tf ACROSS fields: a doc repeating the term in both
+    fields scores differently than under per-field-sum most_fields."""
+    s = IndexSearcher(mf_index, CFG)
+    cf = s.combined_fields("alpha", ["title", "body"], k=100)
+    mm = s.multi_match("alpha", ["title", "body"], k=100)
+    assert dict(zip(cf["key"], cf["score"])) != dict(zip(mm["key"], mm["score"]))
+    assert set(cf["key"]) == set(mm["key"])  # same match set
+
+
+def test_combined_fields_unmapped_field_raises(mf_index):
+    s = IndexSearcher(mf_index, CFG)
+    with pytest.raises(ValueError):
+        s.combined_fields("alpha", ["nope"], k=5)
+
+
+def test_combined_fields_distributed_parity(mf_index, ray_session):
+    """Distributed combined_fields (run_queries type=combined_fields,
+    union-df stats pass + blended scoring per shard) == the
+    single-process searcher, including per-field weights and plan
+    dedup."""
+    s = IndexSearcher(mf_index, CFG)
+    qs = pd.DataFrame(
+        {
+            "query_id": np.arange(3, dtype=np.int64),
+            "type": "combined_fields",
+            "text": ["alpha", "alpha beta", "gamma zebra"],
+            "fields": ["title^2,body"] * 3,
+            "k": np.int32(100),
+        }
+    )
+    out = run_queries(qs, mf_index, CFG, concurrency=2).to_pandas()
+    for qid, text in [(0, "alpha"), (1, "alpha beta"), (2, "gamma zebra")]:
+        want = s.combined_fields(text, ["title^2", "body"], k=100)
+        g = out[out["query_id"] == qid].sort_values("rank")
+        assert g["doc_id"].tolist() == want["doc_id"].tolist(), text
+        assert g["score"].tolist() == want["score"].tolist(), text
