@@ -2259,8 +2259,15 @@ class UnionDfStage(_SegmentCacheStage):
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         acc = np.zeros(len(self.terms), dtype=np.int64)
-        for pid in batch["part_id"].astype(int):
-            acc += segment_union_df(self._segment(pid), self.terms, self.fields)
+        iids = (
+            batch["index_id"].astype(int).to_numpy()
+            if "index_id" in batch.columns
+            else np.zeros(len(batch), dtype=np.int64)
+        )
+        for pid, iid in zip(batch["part_id"].astype(int), iids):
+            acc += segment_union_df(
+                self._segment(pid, int(iid)), self.terms, self.fields
+            )
         return pd.DataFrame(
             {
                 "term_idx": np.arange(len(self.terms), dtype=np.int64),
@@ -2270,20 +2277,32 @@ class UnionDfStage(_SegmentCacheStage):
 
 
 def _collect_union_df(
-    index_dir: str,
-    parts: list[int],
+    index_dir,
+    part_rows: list[tuple[int, int]],
     terms: list[str],
     fields: list[str],
-    tomb_map: dict,
+    tomb_map,
     cfg: EngineConfig,
     concurrency: int,
 ) -> np.ndarray:
     """Distributed cross-field union df for ``terms`` (BM25F stats
-    pass).  Output is terms-sized — tiny — so the driver sums it."""
+    pass).  ``index_dir`` may be a list (multi-index search: doc
+    partitions are disjoint across indexes too, so per-segment unions
+    still sum exactly).  Output is terms-sized — tiny — so the driver
+    sums it."""
     import ray
+    import ray.data as rd
 
+    multi = not isinstance(index_dir, str)
     payload_ref = ray.put((terms, fields, tomb_map))
-    partials = _shards_ds(parts, concurrency).map_batches(
+    shard_df = pd.DataFrame({"part_id": [p for _, p in part_rows]})
+    if multi:
+        shard_df["index_id"] = [iid for iid, _ in part_rows]
+    n_blocks = max(concurrency * 2, len(part_rows) // 4)
+    shards = rd.from_pandas(shard_df).repartition(
+        max(1, min(n_blocks, len(part_rows)))
+    )
+    partials = shards.map_batches(
         UnionDfStage,
         fn_constructor_args=(index_dir, payload_ref, cfg),
         batch_format="pandas",
@@ -3410,39 +3429,29 @@ def run_queries(
                 tuple(f.partition("^")[0] for f in flds_cf.split(","))
             )
         if cf_terms_set:
-            if multi:
-                raise NotImplementedError(
-                    "combined_fields over multi-index search is not supported"
-                )
             cf_fields_all = sorted({f for spec in cf_specs for f in spec})
             for f in cf_fields_all:
-                if f not in (manifest.get("text_fields") or ()):
+                if not any(f in (m.get("text_fields") or ()) for m in manifests):
                     raise ValueError(
                         f"combined_fields: unmapped text field {f!r}"
                     )
             cf_terms = sorted(cf_terms_set)
-            # NOTE: union df is computed over the FIELD SET of each spec;
-            # with one spec per batch (the common case) a single pass
-            # suffices.  Multiple distinct field sets fall back to one
-            # pass per spec.
-            if len(cf_specs) == 1:
+            cf_tomb = (
+                [m.get("tombstones", {}) for m in manifests]
+                if multi
+                else manifest.get("tombstones", {})
+            )
+            # one union-df pass per distinct field set (one in the common
+            # case); multi-index works unchanged — doc partitions are
+            # disjoint across indexes, so per-segment unions sum exactly
+            for spec in cf_specs:
                 dfu = _collect_union_df(
-                    index_dir, parts, cf_terms, list(next(iter(cf_specs))),
-                    manifest.get("tombstones", {}), cfg, concurrency,
+                    index_dir, part_rows, cf_terms, list(spec),
+                    cf_tomb, cfg, concurrency,
                 )
-                cf_df_map = {
-                    (next(iter(cf_specs)), t): int(d)
-                    for t, d in zip(cf_terms, dfu)
-                }
-            else:
-                for spec in cf_specs:
-                    dfu = _collect_union_df(
-                        index_dir, parts, cf_terms, list(spec),
-                        manifest.get("tombstones", {}), cfg, concurrency,
-                    )
-                    cf_df_map.update(
-                        {(spec, t): int(d) for t, d in zip(cf_terms, dfu)}
-                    )
+                cf_df_map.update(
+                    {(spec, t): int(d) for t, d in zip(cf_terms, dfu)}
+                )
 
     # dedupe identical (terms, k) plans — repeated queries score once per
     # shard and fan the result out to every query_id sharing the plan

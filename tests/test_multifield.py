@@ -401,3 +401,29 @@ def test_combined_fields_distributed_parity(mf_index, ray_session):
         g = out[out["query_id"] == qid].sort_values("rank")
         assert g["doc_id"].tolist() == want["doc_id"].tolist(), text
         assert g["score"].tolist() == want["score"].tolist(), text
+
+
+def test_combined_fields_multi_index_equals_combined(ray_session, tmp_path_factory):
+    """combined_fields over a split multi-index pair == the combined
+    single index (global union-df and blended avgdl summed across
+    indexes), by key."""
+    import ray.data as rd
+
+    base = tmp_path_factory.mktemp("cfmulti")
+    d_all, d_e, d_o = str(base / "all"), str(base / "e"), str(base / "o")
+    build_index(rd.from_pandas(DOCS), d_all, CFG, text_col="body", html_col=None, ts_col=None)
+    build_index(rd.from_pandas(DOCS[DOCS.index % 2 == 0]), d_e, CFG, text_col="body", html_col=None, ts_col=None)
+    build_index(rd.from_pandas(DOCS[DOCS.index % 2 == 1]), d_o, CFG, text_col="body", html_col=None, ts_col=None)
+    qs = pd.DataFrame(
+        {
+            "query_id": np.int64([0]),
+            "type": "combined_fields",
+            "text": ["alpha beta"],
+            "fields": "title^2,body",
+            "k": np.int32(100),
+        }
+    )
+    one = run_queries(qs, d_all, CFG, concurrency=2).to_pandas().sort_values("rank")
+    two = run_queries(qs, [d_e, d_o], CFG, concurrency=2).to_pandas().sort_values("rank")
+    assert one["key"].tolist() == two["key"].tolist()
+    assert one["score"].tolist() == two["score"].tolist()
