@@ -5654,14 +5654,17 @@ class KnnStage(_SegmentCacheStage):
     bucketed merge is exact)."""
 
     def _init_payload(self, payload) -> None:
-        self.plan, self.tomb_map, self.field = payload
+        self.plan, self.tomb_map, self.field, *rest = payload
+        self.similarity = rest[0] if rest else "cosine"
         # float64 throughout (storage is float32): matches the DuckDB
         # CAST(... AS DOUBLE[]) oracle contract (CLAUDE.md rule 4) and
         # the pipelines/ann.py precedent
         qm = np.stack([q["vec"] for q in self.plan]).astype(np.float64)
-        qn = np.linalg.norm(qm, axis=1, keepdims=True)
-        qn[qn == 0] = 1.0
-        self.qmat = qm / qn  # (n_plans x dim)
+        if self.similarity == "cosine":
+            qn = np.linalg.norm(qm, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            qm = qm / qn
+        self.qmat = qm  # (n_plans x dim)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -5686,9 +5689,24 @@ class KnnStage(_SegmentCacheStage):
             if not ids.size:
                 continue
             mat64 = mat.astype(np.float64)
-            nrm = np.linalg.norm(mat64, axis=1, keepdims=True)
-            nrm[nrm == 0] = 1.0
-            sims = (mat64 / nrm) @ self.qmat.T  # (n_docs x n_plans)
+            if self.similarity == "cosine":
+                nrm = np.linalg.norm(mat64, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                sims = (mat64 / nrm) @ self.qmat.T  # (n_docs x n_plans)
+            elif self.similarity == "dot_product":
+                sims = mat64 @ self.qmat.T  # raw inner product
+            elif self.similarity == "l2_norm":
+                # ES l2_norm knn score: 1 / (1 + ||v - q||^2)
+                d2 = (
+                    (mat64 * mat64).sum(axis=1, keepdims=True)
+                    - 2.0 * (mat64 @ self.qmat.T)
+                    + (self.qmat * self.qmat).sum(axis=1)[None, :]
+                )
+                sims = 1.0 / (1.0 + np.maximum(d2, 0.0))
+            else:
+                raise ValueError(
+                    f"unsupported knn similarity {self.similarity!r}"
+                )
             for j, q in enumerate(self.plan):
                 keep = np.ones(ids.size, dtype=bool)
                 for fld, val in q.get("filter_kw") or ():
@@ -5742,12 +5760,17 @@ def run_knn(
     field: str,
     cfg: EngineConfig = DEFAULT,
     concurrency: int | None = None,
+    similarity: str = "cosine",
 ):
     """Distributed ES kNN search over a dense_vector mapped field
     (cfg.vector_cols): each query row carries ``query_id``, ``vec`` (a
     list/array of floats) and optional ``k``.  EXACT cosine ranking —
     every live vectored doc is scored (the ES script_score / exact-knn
-    contract; the ANN scale paths live in pipelines/ann.py).  Returns
+    contract; the ANN scale paths live in pipelines/ann.py).
+    ``similarity``: "cosine" (default, score = round6(cosine)),
+    "dot_product" (raw inner product) or "l2_norm" (ES transform
+    1/(1 + ||v-q||^2)) — the ES dense_vector similarity options; all
+    round6'd before the per-segment cut.  Returns
     Dataset(query_id, rank, doc_id, key, score) with score = round6(cosine)
     and ties broken doc_id asc.  Segments are the Dataset, the query
     matrix the broadcast side; shuffle volume = plans x segments x k."""
@@ -5805,7 +5828,7 @@ def run_knn(
     for pid_, q in enumerate(plan):
         q["plan_id"] = pid_
     tomb = [m.get("tombstones", {}) for m in manifests] if multi else manifests[0].get("tombstones", {})
-    plan_ref = ray.put((plan, tomb, field))
+    plan_ref = ray.put((plan, tomb, field, similarity))
     n_blocks = max(concurrency * 2, len(part_rows) // 4)
     shard_df = pd.DataFrame({"part_id": [p for _, p in part_rows]})
     if multi:

@@ -367,3 +367,32 @@ def test_knn_incremental_vector_visible(knn_index, ray_session, tmp_path):
     )
     out = run_knn(q, d, "emb", CFG, concurrency=2).to_pandas()
     assert "new1" in set(out["key"])
+
+
+def test_knn_dot_and_l2_similarities(knn_index, ray_session):
+    """ES dense_vector similarity options: dot_product = raw inner
+    product, l2_norm = 1/(1 + ||v-q||^2) — both round6'd, numpy float64
+    oracle; ranking differs from cosine when magnitudes vary."""
+    ids = _id_map(knn_index)
+    q = pd.DataFrame(
+        {"query_id": np.int64([0]), "vec": [VECS[1].tolist()], "k": np.int32(6)}
+    )
+    v64 = VECS.astype(np.float64)
+    qv = v64[1]
+    for sim_name, fn in (
+        ("dot_product", lambda m: m @ qv),
+        ("l2_norm", lambda m: 1.0 / (1.0 + ((m - qv) ** 2).sum(axis=1))),
+    ):
+        out = run_knn(
+            q, knn_index, "emb", CFG, concurrency=2, similarity=sim_name
+        ).to_pandas().sort_values("rank")
+        raw = fn(v64)
+        r6 = np.floor(raw * 1e6 + 0.5) / 1e6
+        cand = [(ids[f"d{i}"], r6[i]) for i in range(N) if i != MISSING]
+        want = sorted(cand, key=lambda t: (-t[1], t[0]))[:6]
+        got = list(zip(out["doc_id"], out["score"]))
+        assert got == want, sim_name
+    with pytest.raises(Exception):
+        run_knn(
+            q, knn_index, "emb", CFG, concurrency=2, similarity="nope"
+        ).to_pandas()
