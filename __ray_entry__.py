@@ -3346,6 +3346,18 @@ def _q_window_events(sf_dir: str):
     return windowed_agg(read_table(sf_dir, "events", columns=["ts", "event_type", "value"]))
 
 
+def _q_props_json_agg(sf_dir: str):
+    """JSON payload extraction + grouped agg: parse each event's props
+    JSON, aggregate the k field per event_type (count / int64-exact sum
+    / round6 avg) — per-batch combiner partials, no row-level shuffle."""
+    from kafka_es_ray.pipelines.relational import props_json_agg
+    from kafka_es_ray.sources.parquet import read_table
+
+    return props_json_agg(
+        read_table(sf_dir, "events", columns=["event_type", "props"])
+    )
+
+
 def _q_broadcast_lookup(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -3880,6 +3892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lww_events": _q_lww_events,
         "window_events": _q_window_events,
         "sessionize_events": _q_sessionize,
+        "props_json_agg": _q_props_json_agg,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "broadcast_lookup": _q_broadcast_lookup,
         "ann_cosine_topk": _q_ann_topk,
@@ -4451,6 +4464,13 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
               ) AS rn FROM events
             ) WHERE rn = 1
+        """,
+        "props_json_agg": """
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+                   round(sum(json_extract(props, '$.k')::BIGINT)::DOUBLE / count(*), 6) AS avg_k
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "window_events": """
             SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start_s,

@@ -249,3 +249,38 @@ def exact_distinct(ds, column: str, num_buckets: int | None = None) -> int:
     partial = ds.map_batches(batch_distinct, batch_format="pandas")
     counts = bucketed_group_agg(partial, [column], bucket_count, num_buckets)
     return int(sum(r["n"] for r in counts.take_all()))
+
+
+def props_json_agg(events_ds) -> pd.DataFrame:
+    """Per-event-type stats of the JSON ``props`` payload: each event
+    carries a JSON object (the reference's JsonConverter record shape,
+    JsonConverterTests.kt); the numeric ``k`` field is extracted with a
+    REAL json parse (C-speed stdlib loads inside map_batches — robust to
+    whitespace/key-order, unlike a regex scrape) and aggregated
+    (count / int64-exact sum / round6 avg) per event_type.
+
+    Scale shape: per-batch partials collapse each batch to <= |types|
+    rows BEFORE leaving the task (combiner-before-exchange rule), so the
+    driver-side combine sees O(types x blocks) rows, never events."""
+    import json
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        k = np.fromiter(
+            (int(json.loads(p)["k"]) for p in batch["props"]),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        return (
+            pd.DataFrame({"event_type": batch["event_type"], "k": k})
+            .groupby("event_type", as_index=False)
+            .agg(n=("k", "size"), sum_k=("k", "sum"))
+        )
+
+    parts = events_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        parts.groupby("event_type", as_index=False)
+        .agg(n_events=("n", "sum"), sum_k=("sum_k", "sum"))
+        .astype({"n_events": np.int64, "sum_k": np.int64})
+    )
+    out["avg_k"] = _round6(out["sum_k"].to_numpy() / out["n_events"].to_numpy())
+    return out.sort_values("event_type").reset_index(drop=True)

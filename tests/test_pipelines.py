@@ -504,3 +504,38 @@ def test_sq8_ann_recall(ray_session):
     # sims from codes stay within the 8-bit grid's error of the exact sims
     j = exact.merge(sq8, on=["query_vec_id", "vec_id"], suffixes=("_e", "_q"))
     assert (np.abs(j["sim_e"] - j["sim_q"]) <= 0.02).all()
+
+
+def test_props_json_agg_matches_pandas(ray_session):
+    """props_json_agg == a plain-pandas json parse + groupby, including
+    whitespace/key-order variants a regex scrape would miss."""
+    import json
+
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.relational import props_json_agg
+
+    df = pd.DataFrame(
+        {
+            "event_type": ["a", "b", "a", "b", "a", "c"],
+            "props": [
+                '{"k": 3}',
+                '{ "k" : 10 }',          # whitespace
+                '{"other": 1, "k": 7}',  # key order
+                '{"k": 0}',
+                '{"k": 100}',
+                '{"k": 5}',
+            ],
+        }
+    )
+    got = props_json_agg(rd.from_pandas(df))
+    want = (
+        df.assign(k=[json.loads(p)["k"] for p in df["props"]])
+        .groupby("event_type", as_index=False)
+        .agg(n_events=("k", "size"), sum_k=("k", "sum"))
+    )
+    want["avg_k"] = (want["sum_k"] / want["n_events"]).round(6)
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert got["sum_k"].tolist() == want["sum_k"].tolist()
+    assert got["avg_k"].tolist() == want["avg_k"].tolist()
