@@ -596,6 +596,26 @@ SELECT query_id, count(*)::BIGINT AS n_buckets,
 FROM buckets GROUP BY 1 ORDER BY 1
 """
 
+# ES moving_fn (unweightedAvg, window includes the current bucket):
+# trailing 3-bucket mean of the per-month sum sub-agg
+_MOVING_FN_SQL = _PIPE_BUCKETS_CTE + """
+SELECT query_id, bucket_ts, round(raw_value, 6) AS value,
+       round(avg(raw_value) OVER (
+         PARTITION BY query_id ORDER BY bucket_ts
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving
+FROM buckets ORDER BY 1, 2
+"""
+
+# ES serial_diff (lag=2): change of the sum sub-agg vs two buckets back
+_SERIAL_DIFF_SQL = _PIPE_BUCKETS_CTE + """
+SELECT query_id, bucket_ts, round(raw_value, 6) AS value, sdiff FROM (
+  SELECT query_id, bucket_ts, raw_value,
+         round(raw_value - lag(raw_value, 2) OVER (
+           PARTITION BY query_id ORDER BY bucket_ts), 6) AS sdiff
+  FROM buckets
+) WHERE sdiff IS NOT NULL ORDER BY 1, 2
+"""
+
 # ES _explain of each query's rank-1 hit: per matched term, df / tf and
 # the BM25 contribution round6'd with the engine's exact arithmetic
 _EXPLAIN_SQL = _BM25_SQL.split("topk AS (")[0] + """topk AS (
@@ -930,6 +950,20 @@ SELECT query_id, pct, value FROM (
   UNION ALL
   SELECT query_id, 99.0, quantile_disc(n_chars, 0.99)::DOUBLE FROM mvals GROUP BY 1
 ) ORDER BY 1, 2
+"""
+
+# ES percentile_ranks (exact, inverse of percentiles): percent of the
+# match set's n_chars values <= each requested v
+_PCT_RANKS_SQL = _MATCHES_CTE + """
+, mvals AS (
+  SELECT m.query_id, d.n_chars
+  FROM matches m JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+)
+SELECT query_id, v AS value,
+       round(100.0 * count(*) FILTER (WHERE n_chars <= v) / count(*), 6) AS pct
+FROM mvals CROSS JOIN (SELECT unnest([200.0, 350.0, 500.0]) AS v) vs
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 # ES sub-aggregation: terms(lang) bucket -> nested stats(n_chars)
@@ -2799,6 +2833,74 @@ def _q_stats_bucket(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_moving_fn(sf_dir: str):
+    """ES moving_fn pipeline aggregation (unweightedAvg): trailing
+    3-bucket mean of the per-month sum(n_chars) sub-agg per derived
+    query; leading buckets average what is available."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_moving_fn
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars"), derived=True
+    )
+    try:
+        return run_agg_moving_fn(
+            queries, idx, "ts", "n_chars", window=3, calendar_interval="month", cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_serial_diff(sf_dir: str):
+    """ES serial_diff pipeline aggregation (lag=2): change of the
+    per-month sum(n_chars) sub-agg vs two buckets back; the first two
+    buckets of each query emit nothing."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_serial_diff
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars"), derived=True
+    )
+    try:
+        return run_agg_serial_diff(
+            queries, idx, "ts", "n_chars", lag=2, calendar_interval="month", cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_percentile_ranks(sf_dir: str):
+    """ES percentile_ranks aggregation (exact, the inverse of
+    percentiles): percent of each derived query's match-set n_chars
+    values <= v for v in (200, 350, 500) — same per-value count partials
+    as the percentiles path."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_percentile_ranks
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_pcrkidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_agg_percentile_ranks(
+            queries, idx, "n_chars", (200.0, 350.0, 500.0), cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_explain_score(sf_dir: str):
     """ES _explain: the BM25 per-term breakdown (df, tf, round6'd
     contribution) of each derived query's rank-1 hit — distributed
@@ -3836,6 +3938,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "derivative_agg": _q_derivative,
         "bucket_script_agg": _q_bucket_script,
         "stats_bucket_agg": _q_stats_bucket,
+        "moving_fn_agg": _q_moving_fn,
+        "serial_diff_agg": _q_serial_diff,
+        "percentile_ranks": _q_percentile_ranks,
         "explain_score": _q_explain_score,
         "scroll_all": _q_scroll_all,
         "match_percentiles": _q_match_percentiles,
@@ -4002,6 +4107,9 @@ def oracle_sql() -> dict[str, str]:
         "derivative_agg": _DERIV_SQL,
         "bucket_script_agg": _BUCKET_SCRIPT_SQL,
         "stats_bucket_agg": _STATS_BUCKET_SQL,
+        "moving_fn_agg": _MOVING_FN_SQL,
+        "serial_diff_agg": _SERIAL_DIFF_SQL,
+        "percentile_ranks": _PCT_RANKS_SQL,
         "explain_score": _EXPLAIN_SQL,
         "scroll_all": _SCROLL_SQL,
         "match_histogram": _HISTOGRAM_SQL,

@@ -4648,6 +4648,44 @@ def run_agg_percentiles(
     )
 
 
+def run_agg_percentile_ranks(
+    queries_ds, index_dir: str, field: str, values=(200.0, 500.0, 900.0),
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES percentile_ranks aggregation — EXACT (the inverse
+    of run_agg_percentiles, same per-value count partials): for each
+    requested value v, the percent of the query's match-set field values
+    <= v (ES tdigest would interpolate; exact == DuckDB
+    ``100.0 * count(*) FILTER (WHERE x <= v) / count(*)``).  Queries
+    with an empty match set are omitted.  Returns (query_id, value, pct)
+    sorted."""
+    partials, plan = _run_numeric_agg(queries_ds, index_dir, field, 0.0, cfg, concurrency)
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            vals = gg["bucket"].to_numpy(np.float64)  # ascending
+            cum = gg["n"].to_numpy(np.int64).cumsum()
+            n = int(cum[-1])
+            for v in values:
+                idx = int(np.searchsorted(vals, float(v), side="right")) - 1
+                c = int(cum[idx]) if idx >= 0 else 0
+                pct = float(round6(np.array([100.0 * c / n]))[0])
+                for qid in fanout.get(int(pid_), []):
+                    rows.append((np.int64(qid), float(v), pct))
+    out = pd.DataFrame(rows, columns=["query_id", "value", "pct"])
+    return (
+        out.sort_values(["query_id", "value"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "value": np.float64, "pct": np.float64})
+    )
+
+
 def run_agg_extended_stats(
     queries_ds, index_dir: str, field: str,
     cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
@@ -5034,6 +5072,57 @@ def run_agg_stats_bucket(
     for c in ("min_val", "max_val", "sum_val"):
         g[c] = round6(g[c].to_numpy(np.float64))
     return g.astype({"query_id": np.int64, "n_buckets": np.int64})
+
+
+def run_agg_moving_fn(
+    queries_ds, index_dir: str, field: str, metric_field: str,
+    window: int = 3, calendar_interval: str = "month",
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES moving_fn pipeline aggregation (MovingFunctions.unweightedAvg
+    with the window positioned to INCLUDE the current bucket, i.e.
+    shift=1): trailing mean of the sum sub-agg over the last ``window``
+    date_histogram buckets per query; leading buckets average whatever
+    is available (== SQL ``AVG(x) OVER (ROWS BETWEEN window-1 PRECEDING
+    AND CURRENT ROW)``).  Returns (query_id, bucket_ts, value, moving),
+    both round6'd after the raw float64 window arithmetic."""
+    f = _bucket_value_frame(
+        queries_ds, index_dir, field, metric_field, calendar_interval, cfg, concurrency
+    )
+    w = max(1, int(window))
+
+    def _trailing_mean(s: pd.Series) -> pd.Series:
+        v = s.to_numpy(np.float64)
+        out = np.empty(len(v))
+        for i in range(len(v)):  # buckets per query are few by design
+            lo = max(0, i - w + 1)
+            out[i] = v[lo : i + 1].sum() / (i + 1 - lo)
+        return pd.Series(out, index=s.index)
+
+    f["moving"] = f.groupby("query_id")["value"].transform(_trailing_mean)
+    f["value"] = round6(f["value"].to_numpy(np.float64))
+    f["moving"] = round6(f["moving"].to_numpy(np.float64))
+    return f[["query_id", "bucket_ts", "value", "moving"]]
+
+
+def run_agg_serial_diff(
+    queries_ds, index_dir: str, field: str, metric_field: str,
+    lag: int = 2, calendar_interval: str = "month",
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES serial_diff pipeline aggregation: per-bucket change of the sum
+    sub-agg vs the bucket ``lag`` positions earlier (derivative is the
+    lag=1 special case).  The first ``lag`` buckets of each query emit
+    nothing (ES omits them).  Returns (query_id, bucket_ts, value,
+    sdiff)."""
+    f = _bucket_value_frame(
+        queries_ds, index_dir, field, metric_field, calendar_interval, cfg, concurrency
+    )
+    f["sdiff"] = f.groupby("query_id")["value"].diff(int(lag))
+    f = f[f["sdiff"].notna()].reset_index(drop=True)
+    f["value"] = round6(f["value"].to_numpy(np.float64))
+    f["sdiff"] = round6(f["sdiff"].to_numpy(np.float64))
+    return f[["query_id", "bucket_ts", "value", "sdiff"]]
 
 
 def _collect_fg_bg_counts(

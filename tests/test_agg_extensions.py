@@ -214,3 +214,43 @@ def test_pipeline_metric_missing_is_zero_sum(agg_index, ray_session):
     np.testing.assert_allclose(got["value"].to_numpy(), want.to_numpy(), atol=1e-6)
     hist = run_agg_date_histogram(Q, d, "ts", "month", cfg=CFG)
     assert hist["n_docs"].sum() == len(docs)
+
+
+def test_moving_fn_trailing_mean(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_moving_fn
+
+    d, docs = agg_index
+    got = run_agg_moving_fn(Q, d, "ts", "val", window=3, cfg=CFG)
+    want = _month_sums(docs)["sum"]
+    assert got["value"].tolist() == want.tolist()
+    v = want.to_numpy(np.float64)
+    exp = [v[max(0, i - 2): i + 1].mean() for i in range(len(v))]
+    np.testing.assert_allclose(got["moving"].to_numpy(), exp, atol=1e-6)
+    # leading buckets average what exists: bucket 0 == its own value
+    assert got["moving"].iloc[0] == got["value"].iloc[0]
+
+
+def test_serial_diff_lag(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_serial_diff
+
+    d, docs = agg_index
+    got = run_agg_serial_diff(Q, d, "ts", "val", lag=2, cfg=CFG)
+    want = _month_sums(docs)["sum"]
+    assert len(got) == len(want) - 2  # first `lag` buckets omitted
+    np.testing.assert_allclose(
+        got["sdiff"].to_numpy(), want.diff(2).dropna().to_numpy(), atol=1e-6
+    )
+
+
+def test_percentile_ranks_exact(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_percentile_ranks
+
+    d, docs = agg_index
+    vals = (0.0, 100.0, 1000.0)
+    got = run_agg_percentile_ranks(Q, d, "val", vals, cfg=CFG)
+    v = docs["val"].to_numpy()
+    assert got["value"].tolist() == list(vals)
+    for x, pct in zip(got["value"], got["pct"]):
+        assert abs(pct - 100.0 * (v <= x).sum() / len(v)) < 1e-6
+    # beyond-max value ranks at exactly 100
+    assert got["pct"].iloc[-1] == 100.0
