@@ -490,6 +490,28 @@ matches AS (
 )
 """.replace("{_TOK}", _TOK)
 
+# ES filters aggregation: named lang term-filter buckets + _other_;
+# zero-count named buckets emitted (ES returns every named bucket)
+_FILTERS_AGG_SQL = _MATCHES_CTE + """
+, counts AS (
+  SELECT m.query_id, d.lang, count(*)::BIGINT AS n
+  FROM matches m JOIN documents d USING (doc_id) GROUP BY 1, 2
+),
+qids AS (SELECT DISTINCT query_id FROM queries),
+named(bucket, v) AS (VALUES ('absent', 'xx'), ('english', 'en'), ('german', 'de'))
+SELECT q.query_id, nm.bucket,
+       coalesce((SELECT n FROM counts c
+                 WHERE c.query_id = q.query_id AND c.lang = nm.v), 0)::BIGINT AS n_docs
+FROM qids q CROSS JOIN named nm
+UNION ALL
+SELECT q.query_id, '_other_',
+       (coalesce((SELECT sum(n) FROM counts c WHERE c.query_id = q.query_id), 0)
+        - coalesce((SELECT sum(n) FROM counts c JOIN named nm ON c.lang = nm.v
+                    WHERE c.query_id = q.query_id), 0))::BIGINT
+FROM qids q
+ORDER BY 1, 2
+"""
+
 # Shared numeric-value projection for the aggregation-family oracles:
 # x = n_chars, y = analyzer token count, ts = the deterministic derived
 # epoch-seconds stamp (mirrors _agg_index_build's add_derived)
@@ -1990,6 +2012,36 @@ def _q_search_after_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+
+# ES _terms_enum: first 10 dictionary terms with prefix 's' + global df
+_TERMS_ENUM_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT term, count(*)::BIGINT AS df FROM tf
+WHERE term LIKE 's%'
+GROUP BY 1 ORDER BY 1 LIMIT 10
+""".replace("{_TOK}", _TOK)
+
+def _q_terms_enum(sf_dir: str):
+    """ES _terms_enum API: the first 10 index terms starting with 's'
+    plus their global df — dictionary-only, segment-parallel, per-shard
+    candidate lists cut to size before the tiny exchange."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index
+    from kafka_es_ray.query.engine import run_terms_enum
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_tenumidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        return run_terms_enum(idx, "s", size=10)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_prefix_count(sf_dir: str):
     """ES prefix query counts: docs containing any term starting with
     the 3-char prefixes of the top-4 ranked terms — sorted-dictionary
@@ -2678,6 +2730,25 @@ def _agg_index_build(sf_dir: str, *, numeric=(), keyword=(), derived=False):
     )
     queries = derive_query_set(IndexSearcher(idx, cfg))
     return idx, cfg, queries[queries["text"] != "zzzabsentterm"]
+
+
+def _q_filters_agg(sf_dir: str):
+    """ES filters aggregation: named lang term-filter buckets (english=
+    en, german=de, absent=xx) + the _other_ bucket per derived query's
+    match set — one terms-agg partial sweep, named mapping at the driver
+    reduce.  Zero-count named buckets are emitted like ES."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_filters
+
+    idx, cfg, queries = _agg_index_build(sf_dir)
+    try:
+        return run_agg_filters(
+            queries, idx, "lang",
+            {"english": "en", "german": "de", "absent": "xx"}, cfg=cfg,
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 def _q_extended_stats(sf_dir: str):
@@ -3938,6 +4009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "derivative_agg": _q_derivative,
         "bucket_script_agg": _q_bucket_script,
         "stats_bucket_agg": _q_stats_bucket,
+        "filters_agg": _q_filters_agg,
         "moving_fn_agg": _q_moving_fn,
         "serial_diff_agg": _q_serial_diff,
         "percentile_ranks": _q_percentile_ranks,
@@ -3956,6 +4028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_topk": _q_collapse_topk,
         "top_hits": _q_top_hits,
         "percolate": _q_percolate,
+        "terms_enum": _q_terms_enum,
         "prefix_count": _q_prefix_count,
         "wildcard_count": _q_wildcard_count,
         "regexp_count": _q_regexp_count,
@@ -4107,6 +4180,7 @@ def oracle_sql() -> dict[str, str]:
         "derivative_agg": _DERIV_SQL,
         "bucket_script_agg": _BUCKET_SCRIPT_SQL,
         "stats_bucket_agg": _STATS_BUCKET_SQL,
+        "filters_agg": _FILTERS_AGG_SQL,
         "moving_fn_agg": _MOVING_FN_SQL,
         "serial_diff_agg": _SERIAL_DIFF_SQL,
         "percentile_ranks": _PCT_RANKS_SQL,
@@ -4191,6 +4265,7 @@ def oracle_sql() -> dict[str, str]:
             FROM queries q JOIN tf ON tf.term = q.term
             GROUP BY 1
         """,
+        "terms_enum": _TERMS_ENUM_SQL,
         "prefix_count": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOK}) AS term FROM documents

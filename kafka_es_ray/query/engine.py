@@ -3275,6 +3275,64 @@ def _collect_global_stats(index_dir: str, parts: list[int], terms: list[str]):
     return df
 
 
+def _shard_terms_enum(
+    index_dir: str, pid: int, prefix: str, size: int
+) -> pd.DataFrame:
+    """One segment's terms_enum candidates: the first ``size`` dictionary
+    terms starting with ``prefix`` (+ their df) — dictionary-only,
+    postings never read.  Per-shard cut to ``size`` is lossless for the
+    global merge: dictionaries are sorted, so the global top-``size`` is
+    a subset of the union of per-shard top-``size`` lists."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(postings_path(index_dir, pid), columns=["term", "df"])
+    mask = pc.starts_with(t.column("term"), prefix)
+    hit = t.filter(mask).slice(0, size)  # dictionary is term-ascending
+    return pd.DataFrame(
+        {"term": pd.Series(hit.column("term").to_pylist(), dtype=object),
+         "df": hit.column("df").to_numpy(zero_copy_only=False).astype(np.int64)}
+    )
+
+
+def run_terms_enum(
+    index_dir: str, prefix: str, size: int = 10,
+    field: str | None = None, cfg: EngineConfig = DEFAULT,
+) -> pd.DataFrame:
+    """ES _terms_enum API (autocomplete term discovery): up to ``size``
+    index terms starting with ``prefix``, ascending, with global df
+    summed over the segment dictionaries.  Dictionary-only and
+    segment-parallel (one tiny per-shard candidate list each — postings
+    are never read, the exchange is <= shards x size rows).  Like ES,
+    counts reflect the segment dictionaries, not tombstone-adjusted live
+    docs (ES terms_enum has the same caveat for deleted docs).  ``field``
+    scopes to one mapped text field on a multi-field index.  Returns
+    (term, df) sorted term asc."""
+    import ray
+
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    want = f"{field}\x1f{prefix}" if field else prefix
+    if len(parts) <= 4:
+        frames = [_shard_terms_enum(index_dir, pid, want, int(size)) for pid in parts]
+    else:
+        enum = ray.remote(num_cpus=1)(_shard_terms_enum)
+        frames = ray.get(
+            [enum.remote(index_dir, pid, want, int(size)) for pid in parts]
+        )
+    cand = pd.concat(frames, ignore_index=True)
+    if field:  # strip the field tag; plain terms of OTHER fields never match
+        cand["term"] = cand["term"].str.slice(len(field) + 1)
+    else:  # default field: a field NAME sharing the prefix must not leak
+        cand = cand[~cand["term"].str.contains("\x1f", regex=False)]
+    out = (
+        cand.groupby("term", sort=True)["df"].sum().reset_index()
+        .head(int(size))
+        .astype({"df": np.int64})
+    )
+    return out[["term", "df"]]
+
+
 def run_queries(
     queries_ds,
     index_dir,
@@ -4444,6 +4502,44 @@ def run_agg_terms(
     return (
         pd.concat(out, ignore_index=True)
         .sort_values("query_id", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "n_docs": np.int64})
+    )
+
+
+def run_agg_filters(
+    queries_ds, index_dir: str, field: str, named: dict,
+    other_bucket: bool = True,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES filters aggregation with named term-filter buckets: per query,
+    the match-set doc count under each named ``{bucket_name: field
+    value}`` filter, plus the ES ``other_bucket`` (docs matching none of
+    the named filters — ES key ``_other_``).  Zero-count named buckets
+    ARE emitted (ES filters always returns every named bucket).  Reuses
+    the one terms-agg partial sweep (per-keyword-value counts), so the
+    exchange stays plans x segments x values.  Returns (query_id,
+    bucket, n_docs) sorted (query_id, bucket)."""
+    summed, plan = _run_match_set(queries_ds, index_dir, field, cfg, concurrency)
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    names = sorted(named)
+    out = []
+    for q in plan:
+        pid_ = q["plan_id"]
+        g = summed[summed["plan_id"] == pid_] if len(summed) else summed
+        counts = (
+            dict(zip(g["value"], g["n"].astype(np.int64))) if len(g) else {}
+        )
+        total = int(sum(counts.values()))
+        rows = [(nm, int(counts.get(named[nm], 0))) for nm in names]
+        if other_bucket:
+            rows.append(("_other_", total - sum(n for _, n in rows)))
+        for qid in fanout.get(int(pid_), []):
+            for nm, n in rows:
+                out.append((np.int64(qid), nm, np.int64(n)))
+    res = pd.DataFrame(out, columns=["query_id", "bucket", "n_docs"])
+    return (
+        res.sort_values(["query_id", "bucket"], kind="mergesort")
         .reset_index(drop=True)
         .astype({"query_id": np.int64, "n_docs": np.int64})
     )

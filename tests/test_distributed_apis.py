@@ -734,3 +734,52 @@ def test_new_query_paths_survive_merge(api_index, ray_session, tmp_path):
     out2 = run_queries(q2, d2, CFG, concurrency=2).to_pandas()
     want2 = full[full["score"] >= ms]
     assert sorted(out2["doc_id"]) == sorted(want2["doc_id"])
+
+
+def test_terms_enum_prefix_listing(api_index, ray_session):
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+    from kafka_es_ray.query.engine import run_terms_enum
+
+    d, docs = api_index
+    got = run_terms_enum(d, "ze", size=10)
+    an = get_analyzer("en")
+    toks = docs["text"].map(lambda t: set(an.tokenize(t)))
+    want_terms = sorted({t for s in toks for t in s if t.startswith("ze")})
+    assert got["term"].tolist() == want_terms
+    # df is dictionary-summed (like ES: not tombstone-adjusted), so it
+    # counts ALL built docs including the 20 later-deleted ones
+    for term, df in zip(got["term"], got["df"]):
+        assert df == toks.map(lambda s: term in s).sum()
+    # size cuts the globally-sorted listing, not per shard
+    got2 = run_terms_enum(d, "", size=3)
+    all_terms = sorted({t for s in toks for t in s})
+    assert got2["term"].tolist() == all_terms[:3]
+    # absent prefix -> empty with schema
+    got3 = run_terms_enum(d, "zzznope", size=5)
+    assert len(got3) == 0 and list(got3.columns) == ["term", "df"]
+
+
+def test_filters_agg_named_buckets(api_index, ray_session):
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+    from kafka_es_ray.query.engine import run_agg_filters
+
+    d, docs = api_index
+    live = docs.iloc[20:]  # fixture tombstones the first 20 docs
+    an = get_analyzer("en")
+    queries = _queries()[lambda f: f["query_id"] < 3]
+    named = {"eng": "en", "ger": "de", "none": "xx"}
+    got = run_agg_filters(queries, d, "lang", named, cfg=CFG)
+    toksets = live["text"].map(lambda t: set(an.tokenize(t)))
+    for _, q in queries.iterrows():
+        terms = set(an.tokenize(q["text"]))
+        if q["operator"] == "and":
+            m = toksets.map(lambda s: terms <= s)
+        else:
+            m = toksets.map(lambda s: bool(terms & s))
+        sub = got[got["query_id"] == q["query_id"]].set_index("bucket")["n_docs"]
+        langs = live.loc[m.to_numpy(), "lang"]
+        assert sub["eng"] == (langs == "en").sum()
+        assert sub["ger"] == (langs == "de").sum()
+        assert sub["none"] == 0  # zero-count named bucket still emitted
+        assert sub["_other_"] == (~langs.isin(["en", "de"])).sum()
+        assert set(sub.index) == {"eng", "ger", "none", "_other_"}
