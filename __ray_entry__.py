@@ -3728,6 +3728,34 @@ def _q_gopher_quality(sf_dir: str):
     return gopher_quality(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_dup_ngram_stats(sf_dir: str):
+    """Within-doc duplicate 2-gram repetition signals (Rae et al. 2021
+    SA1.1 adapted to token positions): occurrence fraction + position
+    coverage of n-gram keys repeating inside one doc — one streaming
+    pass, no shuffle.  n=2 so the synthetic corpus produces a
+    non-trivial value distribution (5-gram repeats don't occur in it)."""
+    from kafka_es_ray.pipelines.text_ops import dup_ngram_stats
+    from kafka_es_ray.sources.parquet import read_table
+
+    return dup_ngram_stats(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), n=2
+    )
+
+
+def _q_cross_doc_ngram_dups(sf_dir: str):
+    """Cross-document duplicate 8-gram spans (the Lee et al. 2022
+    exact-substring dedup signal at n-gram granularity): per doc, window
+    occurrences whose key appears in >= 2 docs — distinct-(doc,key)
+    combiner, bucketed df exchange, co-partitioned join back, doc-keyed
+    rollup (nothing key-wide on the driver)."""
+    from kafka_es_ray.pipelines.text_ops import cross_doc_ngram_dups
+    from kafka_es_ray.sources.parquet import read_table
+
+    return cross_doc_ngram_dups(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), n=8
+    )
+
+
 def _q_lang_id(sf_dir: str):
     from kafka_es_ray.pipelines.text_ops import lang_id
     from kafka_es_ray.sources.parquet import read_table
@@ -4080,6 +4108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": _q_lang_stats,
         "doc_quality": _q_quality,
         "gopher_quality": _q_gopher_quality,
+        "dup_ngram_stats": _q_dup_ngram_stats,
+        "cross_doc_ngram_dups": _q_cross_doc_ngram_dups,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "train_holdout": _q_train_holdout,
@@ -4820,6 +4850,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Gopher rules on ROUNDED values both sides so the keep cut is
         # bit-identical; docs with <2 tokens coalesce bigram frac to 0
+        # within-doc duplicate 5-grams: occurrence fraction + coverage
+        "dup_ngram_stats": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            grams AS (
+              SELECT doc_id, i, array_to_string(t[i:i+1], ' ') AS key
+              FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+              WHERE len(t) >= 2
+            ),
+            cnt AS (SELECT doc_id, key, count(*) AS c FROM grams GROUP BY 1, 2),
+            dupw AS (
+              SELECT g.doc_id, g.i
+              FROM grams g JOIN cnt USING (doc_id, key) WHERE cnt.c >= 2
+            ),
+            cover AS (
+              SELECT DISTINCT d.doc_id, d.i + u.u AS p
+              FROM dupw d, UNNEST(generate_series(0, 1)) AS u(u)
+            ),
+            base AS (SELECT doc_id, len(t)::BIGINT AS n_words,
+                            greatest(len(t) - 1, 0)::BIGINT AS n_windows FROM toks),
+            dd AS (SELECT doc_id, count(*)::BIGINT AS nd FROM dupw GROUP BY 1),
+            cc AS (SELECT doc_id, count(*)::BIGINT AS nc FROM cover GROUP BY 1)
+            SELECT b.doc_id, b.n_words, b.n_windows,
+                   round(coalesce(dd.nd, 0) / greatest(b.n_windows, 1), 6) AS dup_ngram_frac,
+                   round(coalesce(cc.nc, 0) / greatest(b.n_words, 1), 6) AS dup_cover_frac
+            FROM base b LEFT JOIN dd USING (doc_id) LEFT JOIN cc USING (doc_id)
+            ORDER BY 1
+        """,
+        # cross-doc duplicate 8-gram spans (df >= 2 over distinct docs)
+        "cross_doc_ngram_dups": f"""
+            WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(t[i:i+7], ' ') AS key
+              FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS g(i)
+              WHERE len(t) >= 8
+            ),
+            kd AS (SELECT key, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1)
+            SELECT g.doc_id, count(*)::BIGINT AS n_windows,
+                   count(*) FILTER (WHERE kd.df >= 2)::BIGINT AS n_dup_windows,
+                   round(count(*) FILTER (WHERE kd.df >= 2) / count(*), 6) AS dup_frac
+            FROM grams g JOIN kd USING (key)
+            GROUP BY 1 ORDER BY 1
+        """,
         "gopher_quality": f"""
             WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
             words AS (SELECT doc_id, unnest(toks) AS w FROM t),

@@ -275,6 +275,209 @@ def gopher_quality(docs_ds, **thresholds):
     )
 
 
+def _flat_tokens(an, batch: pd.DataFrame, text_col: str):
+    """(flat object array of tokens, per-row doc index repeat, n_per)."""
+    from itertools import chain
+
+    toks = an.tokenize_series(batch[text_col])
+    n_per = toks.map(len).to_numpy(dtype=np.int64)
+    total = int(n_per.sum())
+    flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+    doc = np.repeat(np.arange(len(batch), dtype=np.int64), n_per)
+    return flat, doc, n_per
+
+
+def _window_keys(flat: np.ndarray, doc: np.ndarray, n: int):
+    """Space-joined n-gram window keys over the flat token stream.
+    Returns (start index into flat, window doc index, key) for every
+    window whose n tokens all belong to one doc — the SQL
+    ``array_to_string(t[i:i+n-1], ' ')`` contract (string keys, not
+    hashes, so oracle grouping is byte-identical)."""
+    m = len(flat) - n + 1
+    if m <= 0:
+        return (np.array([], dtype=np.int64), np.array([], dtype=np.int64),
+                np.array([], dtype=object))
+    valid = doc[:m] == doc[n - 1 :]
+    starts = np.nonzero(valid)[0]
+    keys = flat[starts]
+    for j in range(1, n):  # n-1 vectorized object-concat passes
+        keys = keys + " "
+        keys = keys + flat[starts + j]
+    return starts, doc[starts], keys
+
+
+class DupNgramStage:
+    """Actor-pool stage: within-doc duplicate n-gram repetition signals
+    (Rae et al. 2021 §A1.1 'fraction of characters in duplicate n-grams',
+    adapted to token positions).  Per doc: n_windows (token n-gram
+    count), dup_ngram_frac = windows whose key occurs >= 2x in the doc /
+    windows, dup_cover_frac = token positions covered by >= 1 such
+    window / tokens.  One vectorized pass; docs shorter than n tokens
+    report zeros.  No shuffle."""
+
+    def __init__(self, n: int = 5, text_col: str = "text"):
+        self.an = get_analyzer("en")
+        self.n = int(n)
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = self.n
+        flat, doc, n_per = _flat_tokens(self.an, batch, self.text_col)
+        starts, wdoc, keys = _window_keys(flat, doc, n)
+        nrows = len(batch)
+        n_windows = np.bincount(wdoc, minlength=nrows).astype(np.int64)
+        dup_occ = np.zeros(nrows, dtype=np.int64)
+        covered = np.zeros(nrows, dtype=np.int64)
+        if len(starts):
+            cnt = (
+                pd.DataFrame({"d": wdoc, "k": keys})
+                .groupby(["d", "k"], sort=False)["k"].transform("size")
+                .to_numpy(np.int64)
+            )
+            dup = cnt >= 2
+            dup_occ = np.bincount(wdoc[dup], minlength=nrows).astype(np.int64)
+            if dup.any():  # position coverage via a difference array
+                diff = np.zeros(len(flat) + 1, dtype=np.int64)
+                np.add.at(diff, starts[dup], 1)
+                np.add.at(diff, starts[dup] + n, -1)
+                cov = np.cumsum(diff[:-1]) > 0
+                covered = np.bincount(doc[cov], minlength=nrows).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dup_frac = _round6(
+                np.where(n_windows > 0, dup_occ / np.maximum(n_windows, 1), 0.0)
+            )
+            cover_frac = _round6(
+                np.where(n_per > 0, covered / np.maximum(n_per, 1), 0.0)
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "n_words": n_per,
+                "n_windows": n_windows,
+                "dup_ngram_frac": dup_frac,
+                "dup_cover_frac": cover_frac,
+            }
+        )
+
+
+def dup_ngram_stats(docs_ds, n: int = 5):
+    """Within-doc duplicate n-gram repetition signals per document
+    (doc_id, n_words, n_windows, dup_ngram_frac, dup_cover_frac) — one
+    streaming pass, no shuffle."""
+    return docs_ds.map_batches(
+        DupNgramStage,
+        fn_constructor_kwargs={"n": n},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=stage_pool(),
+    )
+
+
+class _NgramDocPartial:
+    """Per-batch (doc_id, key, occ) rows: DISTINCT window keys per doc
+    with in-doc occurrence counts — the pre-aggregate before the
+    key-hashed exchange (a doc lives entirely in one batch row, so the
+    partial is exact; cross-doc df = row count per key)."""
+
+    def __init__(self, n: int = 8, text_col: str = "text"):
+        self.an = get_analyzer("en")
+        self.n = int(n)
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        flat, doc, _ = _flat_tokens(self.an, batch, self.text_col)
+        _, wdoc, keys = _window_keys(flat, doc, self.n)
+        if not len(keys):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "key": pd.Series([], dtype=object),
+                    "occ": pd.Series([], dtype=np.int64),
+                }
+            )
+        ids = batch["doc_id"].to_numpy().astype(np.int64)[wdoc]
+        g = (
+            pd.DataFrame({"doc_id": ids, "key": keys})
+            .groupby(["doc_id", "key"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "occ"})
+        )
+        return g.astype({"doc_id": np.int64, "occ": np.int64})
+
+
+def cross_doc_ngram_dups(docs_ds, n: int = 8):
+    """Cross-document duplicate n-gram span detection (the exact-substring
+    dedup signal of Lee et al. 2022, at token n-gram granularity): per
+    doc, how many of its n-gram window occurrences also appear in at
+    least one OTHER document.  Returns (doc_id, n_windows,
+    n_dup_windows, dup_frac) for every doc with >= 1 window.
+
+    Scale shape: the window stream materializes once as per-doc DISTINCT
+    (doc, key, occ) rows (the combiner); cross-doc df = row count per
+    key through one bucketed key-hashed exchange; the dup verdict joins
+    back by co-partitioning the same rows with df rows on key (second
+    exchange); per-doc rollup is a third, doc-keyed exchange.  Nothing
+    key-wide ever sits on the driver — same shape as tfidf_top_terms."""
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    rows = docs_ds.map_batches(
+        _NgramDocPartial,
+        fn_constructor_kwargs={"n": n},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=stage_pool(),
+    ).materialize()
+
+    def df_combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("key", as_index=False).agg(df=("key", "size"))
+        return g[g["df"] >= 2].astype({"df": np.int64})  # unique keys drop here
+
+    dup_keys = bucketed_group_agg(
+        rows.map_batches(lambda b: b[["key"]], batch_format="pandas"),
+        ["key"], df_combine,
+    )
+
+    # co-partition occ rows (doc_id >= 0) and dup-key markers (doc_id -1)
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": np.full(len(b), -1, dtype=np.int64),
+                "key": b["key"].to_numpy(),
+                "occ": np.zeros(len(b), dtype=np.int64),
+            }
+        )
+
+    unioned = rows.union(dup_keys.map_batches(tag, batch_format="pandas"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_dup = g[g["doc_id"] < 0]["key"]
+        t = g[g["doc_id"] >= 0]
+        hit = t["key"].isin(set(is_dup)).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(),
+                "occ": t["occ"].to_numpy(np.int64),
+                "dup_occ": np.where(hit, t["occ"].to_numpy(np.int64), 0),
+            }
+        )
+
+    per_key = bucketed_group_agg(unioned, ["key"], join_bucket)
+
+    def doc_rollup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_windows=("occ", "sum"), n_dup_windows=("dup_occ", "sum")
+        )
+        out["dup_frac"] = _round6(
+            out["n_dup_windows"].to_numpy(np.float64)
+            / out["n_windows"].to_numpy(np.float64)
+        )
+        return out.astype(
+            {"doc_id": np.int64, "n_windows": np.int64, "n_dup_windows": np.int64}
+        )
+
+    return bucketed_group_agg(per_key, ["doc_id"], doc_rollup)
+
+
 class _TermDfPartial:
     """Combiner: per-batch partial df (one row per distinct term per
     batch) BEFORE the groupby — the pre-aggregate rule (ray_guide

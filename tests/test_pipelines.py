@@ -539,3 +539,84 @@ def test_props_json_agg_matches_pandas(ray_session):
     assert got["n_events"].tolist() == want["n_events"].tolist()
     assert got["sum_k"].tolist() == want["sum_k"].tolist()
     assert got["avg_k"].tolist() == want["avg_k"].tolist()
+
+
+def test_dup_ngram_stats_handcrafted(ray_session):
+    """DupNgramStage n=3 on hand-built repetition: a doc with one
+    repeated trigram, a fully-repetitive doc, a clean doc, and a doc
+    shorter than n (zeros)."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.text_ops import dup_ngram_stats
+
+    rep = "a b c x a b c"            # trigram "a b c" at 0 and 4
+    loop = "p q p q p q p q"         # every trigram repeats
+    clean = "one two three four five"
+    tiny = "just two"
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": [rep, loop, clean, tiny]}
+    )
+    out = (
+        dup_ngram_stats(rd.from_pandas(docs), n=3)
+        .to_pandas().sort_values("doc_id").set_index("doc_id")
+    )
+    # rep: 5 windows, 2 duplicate occurrences; coverage 0..2 and 4..6 = 6 of 7
+    assert out.loc[1, "n_windows"] == 5
+    assert out.loc[1, "dup_ngram_frac"] == np.floor(2 / 5 * 1e6 + 0.5) / 1e6
+    assert out.loc[1, "dup_cover_frac"] == np.floor(6 / 7 * 1e6 + 0.5) / 1e6
+    # loop: all 6 windows are "p q p"/"q p q" repeats; full coverage
+    assert out.loc[2, "dup_ngram_frac"] == 1.0
+    assert out.loc[2, "dup_cover_frac"] == 1.0
+    assert out.loc[3, "dup_ngram_frac"] == 0.0
+    assert out.loc[4, "n_windows"] == 0
+    assert out.loc[4, "dup_ngram_frac"] == 0.0 and out.loc[4, "dup_cover_frac"] == 0.0
+
+
+def test_cross_doc_ngram_dups_handcrafted(ray_session):
+    """cross_doc_ngram_dups n=3: a trigram shared by two docs marks both
+    docs' overlapping windows; within-doc-only repeats do NOT count; a
+    short doc is absent from the output."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.text_ops import cross_doc_ngram_dups
+
+    d1 = "alpha beta gamma delta"        # windows: abg, bgd
+    d2 = "zz alpha beta gamma yy"        # shares "alpha beta gamma"
+    d3 = "m n m n m n"                   # self-repeats only
+    d4 = "too short"                     # no window
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": [d1, d2, d3, d4]}
+    )
+    out = (
+        cross_doc_ngram_dups(rd.from_pandas(docs), n=3)
+        .to_pandas().sort_values("doc_id").set_index("doc_id")
+    )
+    assert sorted(out.index) == [1, 2, 3]          # doc 4 has no windows
+    assert out.loc[1, "n_windows"] == 2 and out.loc[1, "n_dup_windows"] == 1
+    assert out.loc[2, "n_windows"] == 3 and out.loc[2, "n_dup_windows"] == 1
+    # doc 3: "m n m" x2 + "n m n" x2 repeat only within the doc -> 0
+    assert out.loc[3, "n_windows"] == 4 and out.loc[3, "n_dup_windows"] == 0
+    assert out.loc[1, "dup_frac"] == 0.5
+
+
+def test_cross_doc_ngram_partition_invariance(ray_session):
+    """The cross-doc verdict must not depend on how docs are batched:
+    1-row blocks == one block."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.text_ops import cross_doc_ngram_dups
+
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, size=16)) for _ in range(24)]
+    docs = pd.DataFrame({"doc_id": np.arange(24, dtype=np.int64), "text": texts})
+    a = (
+        cross_doc_ngram_dups(rd.from_pandas(docs), n=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        cross_doc_ngram_dups(rd.from_pandas(docs).repartition(24), n=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_dup_windows"] > 0).any()  # the random corpus does collide
