@@ -1107,6 +1107,68 @@ class IndexSearcher:
             }
         )
 
+    def search_span_near(
+        self,
+        text: str,
+        lang: str | None = None,
+        k: int = 10,
+        slop: int = 0,
+        field: str | None = None,
+    ) -> pd.DataFrame:
+        """ES span_near with in_order=true (span_term clauses from the
+        analyzed text): docs containing the terms in order with total
+        gap count <= slop.  Requires cfg.index_positions=True.  Scoring
+        follows the phrase convention (idf = Σ bm25_idf over clause
+        positions, tf = chain-starting anchors); tie-break (score desc,
+        doc_id asc)."""
+        terms = get_analyzer(lang).tokenize(text)
+        avgdl_use = self.avgdl
+        if field is not None:
+            terms = [f"{field}\x1f{t}" for t in terms]
+            avgdl_use = self.avgdl_fields[field]
+        empty = pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "key": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64),
+            }
+        )
+        if not terms:
+            return empty
+        uniq = sorted(set(terms))
+        df = self.global_df(uniq)
+        df_map = dict(zip(uniq, df))
+        if any(df_map[t] == 0 for t in terms):
+            return empty
+        idf_map = dict(zip(uniq, bm25_idf(df, self.n_docs)))
+        idf_sum = float(sum(idf_map[t] for t in terms))
+        parts = [
+            score_segment_span_near(
+                s, terms, idf_sum, avgdl_use, self.k1, self.b, slop, dl_field=field
+            )
+            for s in self.segments
+        ]
+        ids = np.concatenate([p[0] for p in parts]) if parts else np.array([], dtype=np.int64)
+        scores = np.concatenate([p[1] for p in parts]) if parts else np.array([])
+        if ids.size == 0:
+            return empty
+        order = np.lexsort((ids, -scores))[:k]
+        top = ids[order]
+        keys = np.empty(top.size, dtype=object)
+        for s in self.segments:
+            in_seg = np.isin(top, s.doc_ids_store) if s.n_docs else np.zeros(top.size, bool)
+            if in_seg.any():
+                keys[in_seg] = s.keys_for(top[in_seg])
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, top.size + 1, dtype=np.int64),
+                "doc_id": top,
+                "key": keys,
+                "score": scores[order],
+            }
+        )
+
     def agg_terms(
         self, text: str, field: str = "lang", lang: str | None = None,
         operator: str = "or",
@@ -1848,6 +1910,103 @@ def segment_union_df(s: Segment, terms: list[str], fields: list[str]) -> np.ndar
     return out
 
 
+def _phrase_gather(
+    s: Segment, phrase: list[str], dl_field: str | None
+) -> tuple[np.ndarray, dict]:
+    """Shared positions preamble for the phrase/span kernels: candidate
+    docs = intersection of the terms' postings (tombstones excluded);
+    ``gathered[t]`` = (doc_rep indexing into cand, position) streams per
+    unique term, gathered for the candidates only with run-offset
+    arithmetic (no per-candidate Python loop).  Every candidate contains
+    every term, so all searchsorted probes hit."""
+    uniq = sorted(set(phrase))
+    tis = {t: s.lookup(t) for t in uniq}
+    none = np.array([], dtype=np.int64)
+    if any(ti < 0 for ti in tis.values()):
+        return none, {}
+    post = {t: s.postings_with_dl(tis[t], dl_field) for t in uniq}
+    cand = post[uniq[0]][0]
+    for t in uniq[1:]:
+        cand = cand[np.isin(cand, post[t][0], assume_unique=True)]
+    if cand.size and s.tombstones is not None and s.tombstones.size:
+        pos_t = np.minimum(np.searchsorted(s.tombstones, cand), s.tombstones.size - 1)
+        cand = cand[s.tombstones[pos_t] != cand]
+    if cand.size == 0:
+        return none, {}
+    pos = {t: s.positions_for(tis[t]) for t in uniq}
+    gathered: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t in uniq:
+        ids_t, tfs_t, _ = post[t]
+        j = np.searchsorted(ids_t, cand)
+        flat, run_starts = pos[t]
+        lens = tfs_t[j].astype(np.int64)
+        total = int(lens.sum())
+        run_off = np.zeros(cand.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=run_off[1:])
+        gather_idx = (
+            np.repeat(run_starts[j], lens)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(run_off, lens)
+        )
+        doc_rep = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+        gathered[t] = (doc_rep, flat[gather_idx].astype(np.int64))
+    return cand, gathered
+
+
+def score_segment_span_near(
+    s: Segment,
+    terms: list[str],
+    idf_sum: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+    slop: int,
+    dl_field: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES span_near with in_order=true over ONE segment: a doc matches
+    when its positions contain an ordered chain p_0 < p_1 < ... <
+    p_{m-1} (one position per clause term, strictly increasing) whose
+    total gap count (p_last - p_first + 1 - m) <= ``slop``.  tf = number
+    of first-term positions starting such a chain; the greedy
+    nearest-next chain minimizes p_last for a given anchor, so the
+    greedy test is exact per anchor.  Scoring follows the engine phrase
+    convention (frozen): round6(idf_sum * bm25_tf_part(tf, dl));
+    tombstones excluded by the shared preamble.  slop=0 degenerates to
+    the strict ordered-adjacency phrase."""
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+    cand, gathered = _phrase_gather(s, terms, dl_field)
+    if cand.size == 0:
+        return empty
+    L = np.int64(1) << 32
+    d0, p0 = gathered[terms[0]]
+    docs = d0
+    first = p0.astype(np.int64)
+    cur = first
+    for t in terms[1:]:
+        if docs.size == 0:
+            break
+        dr, p = gathered[t]
+        ek = dr * L + p  # sorted: docs asc, positions asc per doc
+        idx = np.searchsorted(ek, docs * L + cur, side="right")
+        ok = idx < ek.size
+        idxc = np.minimum(idx, ek.size - 1)
+        ok &= (ek[idxc] // L) == docs  # the next occurrence is same-doc
+        docs, first = docs[ok], first[ok]
+        cur = (ek[idxc] % L)[ok]
+    if docs.size:
+        ok = (cur - first + 1 - len(terms)) <= slop
+        docs = docs[ok]
+    if docs.size == 0:
+        return empty
+    tf_per_doc = np.bincount(docs, minlength=cand.size)
+    hit = tf_per_doc > 0
+    ids = cand[hit]
+    tfs = tf_per_doc[hit].astype(np.float64)
+    dls = s.dl_for(ids, dl_field).astype(np.float64)
+    scores = np.asarray(round6(idf_sum * bm25_tf_part(tfs, dls, avgdl, k1, b)))
+    return ids, scores
+
+
 def score_segment_phrase(
     s: Segment,
     phrase: list[str],
@@ -1885,42 +2044,10 @@ def score_segment_phrase(
     adjacency (and slop windows) are exactly the field-text positions and
     cross-field sequences can never match (the prefixes differ)."""
     empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
-    uniq = sorted(set(phrase))
-    tis = {t: s.lookup(t) for t in uniq}
-    if any(ti < 0 for ti in tis.values()):
-        return empty
-    post = {t: s.postings_with_dl(tis[t], dl_field) for t in uniq}
-    cand = post[uniq[0]][0]
-    for t in uniq[1:]:
-        cand = cand[np.isin(cand, post[t][0], assume_unique=True)]
-    if cand.size and s.tombstones is not None and s.tombstones.size:
-        pos_t = np.minimum(np.searchsorted(s.tombstones, cand), s.tombstones.size - 1)
-        cand = cand[s.tombstones[pos_t] != cand]
+    cand, gathered = _phrase_gather(s, phrase, dl_field)
     if cand.size == 0:
         return empty
-    pos = {t: s.positions_for(tis[t]) for t in uniq}
-
-    # Gather each unique term's position runs for the candidate docs in
-    # one pass: (doc_rep, positions) with doc_rep indexing into cand.
-    # Every candidate contains every term (cand = postings intersection),
-    # so all searchsorted probes hit.
     L = np.int64(1) << 32  # doc-key stride; positions are token offsets << 2^32
-    gathered: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    for t in uniq:
-        ids_t, tfs_t, _ = post[t]
-        j = np.searchsorted(ids_t, cand)
-        flat, run_starts = pos[t]
-        lens = tfs_t[j].astype(np.int64)
-        total = int(lens.sum())
-        run_off = np.zeros(cand.size, dtype=np.int64)
-        np.cumsum(lens[:-1], out=run_off[1:])
-        gather_idx = (
-            np.repeat(run_starts[j], lens)
-            + np.arange(total, dtype=np.int64)
-            - np.repeat(run_off, lens)
-        )
-        doc_rep = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
-        gathered[t] = (doc_rep, flat[gather_idx].astype(np.int64))
 
     if slop == 0:
         # key = doc * 2^32 + (pos - offset); an anchor position matching
@@ -2366,7 +2493,13 @@ class ShardScorerStage(_SegmentCacheStage):
                     # scores, so a BM25 theta would prune docs whose
                     # boost could lift them into the top-k — no pruning
                     theta = None
-                if "phrase" in q:
+                if "span" in q:
+                    ids, scores = score_segment_span_near(
+                        seg, q["span"], q["idf_sum"],
+                        q.get("avgdl") or self.avgdl, self.k1, self.b,
+                        q.get("slop", 0), dl_field=q.get("dl_field"),
+                    )
+                elif "phrase" in q:
                     ids, scores = score_segment_phrase(
                         seg, q["phrase"], q["idf_sum"],
                         q.get("avgdl") or self.avgdl, self.k1, self.b,
@@ -3517,6 +3650,40 @@ def run_queries(
     for row in queries.itertuples(index=False):
         lang_q = getattr(row, "lang", None)
         k = int(getattr(row, "k", 10) or 10)
+        if (getattr(row, "type", None) or "match") == "span_near":
+            # ES span_near (in_order=true, span_term clauses): ordered
+            # chain with total gap <= slop; field-scoped like phrase
+            sp_terms = get_analyzer(lang_q).tokenize(row.text)
+            sp_raw = sp_terms
+            sp_fld = _row_str(row, "field")
+            if sp_fld:
+                sp_terms = [f"{sp_fld}\x1f{t}" for t in sp_terms]
+            if not sp_terms or any(df_map.get(t, 0) == 0 for t in sp_terms):
+                continue
+            idf_sum = float(
+                sum(
+                    bm25_idf(np.array([df_map[t]], dtype=np.int64), n_docs)[0]
+                    for t in sp_terms
+                )
+            )
+            slop = int(getattr(row, "slop", 0) or 0)
+            key = ("span", tuple(sp_terms), k, slop)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "span": sp_terms,
+                    "hl_terms": sorted(set(sp_raw)),
+                    "idf_sum": idf_sum,
+                    "k": k,
+                    "slop": slop,
+                    "dl_field": sp_fld,
+                    "avgdl": (
+                        (float(avgdl_fields.get(sp_fld, 0)) or 1.0) if sp_fld else None
+                    ),
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
         if (getattr(row, "type", None) or "match") == "phrase":
             # distributed match_phrase: ordered terms, repeats kept;
             # field-scoped rows (multi-field index) prefix the terms and

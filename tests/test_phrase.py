@@ -269,3 +269,103 @@ def test_rescore_phrase_composes(phrase_index, ray_session):
     want = base.head(10)
     assert out2["doc_id"].tolist() == want["doc_id"].tolist()
     assert out2["score"].tolist() == want["score"].tolist()
+
+
+def _span_oracle(docs, searcher, text, slop, k=10):
+    """Brute-force span_near (in_order) scorer: ordered greedy chain with
+    total gap <= slop; tf = chain-starting first-term positions."""
+    an = get_analyzer("en")
+    terms = an.tokenize(text)
+    toks = [an.tokenize(t) for t in docs["text"]]
+    n = len(docs)
+    dfs = {t: sum(t in set(tt) for tt in toks) for t in set(terms)}
+    idf_sum = float(sum(bm25_idf(np.array([dfs[t]]), n)[0] for t in terms))
+    avgdl = np.mean([len(tt) for tt in toks]) or 1.0
+    rows = []
+    for did, tt in zip(docs["oracle_doc_id"], toks):
+        tf = 0
+        for i, w in enumerate(tt):
+            if w != terms[0]:
+                continue
+            cur = i
+            ok = True
+            for t in terms[1:]:
+                nxt = next((j for j in range(cur + 1, len(tt)) if tt[j] == t), None)
+                if nxt is None:
+                    ok = False
+                    break
+                cur = nxt
+            if ok and (cur - i + 1 - len(terms)) <= slop:
+                tf += 1
+        if tf:
+            score = round6(
+                idf_sum
+                * bm25_tf_part(
+                    np.array([tf], dtype=float),
+                    np.array([len(tt)], dtype=float), avgdl, 1.2, 0.75,
+                )
+            )[0]
+            rows.append({"doc_id": int(did), "score": float(score)})
+    out = pd.DataFrame(rows, columns=["doc_id", "score"])
+    return (
+        out.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k).reset_index(drop=True)
+    )
+
+
+def test_span_near_ordered_and_slop(ray_session, tmp_path_factory):
+    """Hand-built docs pin the ordered-chain semantics: gap boundary,
+    reversed order rejected, repeated-term clauses, 3-term chains."""
+    import ray.data as rd
+
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(6)],
+            "text": [
+                "alpha z z z beta",     # gap 3
+                "alpha z beta",         # gap 1
+                "beta z z alpha",       # reversed only
+                "alpha beta",           # gap 0
+                "rep rep",              # repeated term chain
+                "alpha z z z z beta",   # gap 4
+            ],
+            "lang": ["en"] * 6,
+        }
+    )
+    d = str(tmp_path_factory.mktemp("spanx"))
+    build_index(rd.from_pandas(docs), d, CFG, html_col=None, ts_col=None)
+    s = IndexSearcher(d, CFG)
+    key_of = lambda r: set(r["key"])
+    r3 = s.search_span_near("alpha beta", slop=3)
+    assert key_of(r3) == {"u0", "u1", "u3"}          # gap<=3; u5 (gap 4) out
+    r0 = s.search_span_near("alpha beta", slop=0)
+    assert key_of(r0) == {"u3"}                      # strict adjacency
+    assert key_of(s.search_span_near("beta alpha", slop=3)) == {"u2"}
+    assert key_of(s.search_span_near("rep rep", slop=0)) == {"u4"}
+    # 3-term chain: alpha..beta needs both in order
+    assert len(s.search_span_near("alpha beta alpha", slop=5)) == 0
+
+
+def test_span_near_matches_bruteforce_and_distributed(
+    ray_session, phrase_corpus, phrase_index
+):
+    from kafka_es_ray.query.engine import run_queries
+
+    s = IndexSearcher(phrase_index, CFG)
+    docs = _with_engine_ids(phrase_corpus, s)
+    for text, slop in (("quick fox", 1), ("quick brown fox", 0), ("brown quick", 2)):
+        got = s.search_span_near(text, slop=slop)
+        want = _span_oracle(docs, s, text, slop)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), (text, slop)
+        assert got["score"].tolist() == want["score"].tolist()
+        q = pd.DataFrame(
+            {
+                "query_id": np.array([0], dtype=np.int64),
+                "text": [text],
+                "type": ["span_near"],
+                "slop": np.array([slop], dtype=np.int64),
+            }
+        )
+        dist = run_queries(q, phrase_index, CFG).to_pandas().sort_values("rank")
+        assert dist["doc_id"].tolist() == got["doc_id"].tolist()
+        assert dist["score"].tolist() == got["score"].tolist()
