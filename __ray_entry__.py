@@ -512,6 +512,23 @@ FROM qids q
 ORDER BY 1, 2
 """
 
+# ES adjacency_matrix: named filters + pairwise intersections, zero
+# buckets omitted (names sorted; same-field disjoint pairs drop to 0)
+_ADJ_MATRIX_SQL = _MATCHES_CTE + """
+, vals AS (
+  SELECT m.query_id, d.lang, d.source
+  FROM matches m JOIN documents d USING (doc_id)
+)
+SELECT query_id, bucket, n_docs FROM (
+  SELECT query_id, 'eng' AS bucket, count(*)::BIGINT AS n_docs FROM vals WHERE lang = 'en' GROUP BY 1
+  UNION ALL SELECT query_id, 'eng&ger', count(*)::BIGINT FROM vals WHERE lang = 'en' AND lang = 'de' GROUP BY 1
+  UNION ALL SELECT query_id, 'eng&s1', count(*)::BIGINT FROM vals WHERE lang = 'en' AND source = 'src1' GROUP BY 1
+  UNION ALL SELECT query_id, 'ger' AS bucket, count(*)::BIGINT FROM vals WHERE lang = 'de' GROUP BY 1
+  UNION ALL SELECT query_id, 'ger&s1', count(*)::BIGINT FROM vals WHERE lang = 'de' AND source = 'src1' GROUP BY 1
+  UNION ALL SELECT query_id, 's1', count(*)::BIGINT FROM vals WHERE source = 'src1' GROUP BY 1
+) WHERE n_docs > 0 ORDER BY 1, 2
+"""
+
 # Shared numeric-value projection for the aggregation-family oracles:
 # x = n_chars, y = analyzer token count, ts = the deterministic derived
 # epoch-seconds stamp (mirrors _agg_index_build's add_derived)
@@ -1475,6 +1492,43 @@ def _q_span_near_topk(sf_dir: str):
                 "text": [f"{w1} {w2}"],
                 "type": ["span_near"],
                 "slop": np.array([3], dtype=np.int64),
+            }
+        )
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out.sort_values("rank")[["rank", "doc_id", "score"]]
+            .reset_index(drop=True)
+            .astype({"rank": np.int64, "doc_id": np.int64})
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_span_first_topk(sf_dir: str):
+    """ES span_first envelope around a span_near chain (slop=3): the
+    ordered w1..w2 span must end within the first 8 token positions —
+    distributed run_queries span plan with first_end."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_spanfidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, index_positions=True)
+        build_documents_index(sf_dir, idx, cfg)
+        w1, w2 = derive_ranked_terms(IndexSearcher(idx, cfg), 2)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.array([0], dtype=np.int64),
+                "text": [f"{w1} {w2}"],
+                "type": ["span_near"],
+                "slop": np.array([3], dtype=np.int64),
+                "first_end": np.array([8], dtype=np.int64),
             }
         )
         out = run_queries(queries, idx, cfg).to_pandas()
@@ -2787,6 +2841,26 @@ def _q_filters_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_adjacency_matrix(sf_dir: str):
+    """ES adjacency_matrix aggregation: named filters eng(lang=en),
+    ger(lang=de), s1(source=src1) + pairwise intersections per derived
+    query's match set — one composite partial sweep, matrix cells at the
+    driver reduce; zero-count buckets omitted like ES."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_adjacency_matrix
+
+    idx, cfg, queries = _agg_index_build(sf_dir, keyword=("source",))
+    try:
+        return run_agg_adjacency_matrix(
+            queries, idx,
+            {"eng": ("lang", "en"), "ger": ("lang", "de"), "s1": ("source", "src1")},
+            cfg=cfg,
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_extended_stats(sf_dir: str):
     """ES extended_stats aggregation over n_chars per derived query's
     match set: count/min/max/sum/avg plus sum_of_squares, population
@@ -4074,6 +4148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_script_agg": _q_bucket_script,
         "stats_bucket_agg": _q_stats_bucket,
         "filters_agg": _q_filters_agg,
+        "adjacency_matrix_agg": _q_adjacency_matrix,
         "moving_fn_agg": _q_moving_fn,
         "serial_diff_agg": _q_serial_diff,
         "percentile_ranks": _q_percentile_ranks,
@@ -4124,6 +4199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mget_docs": _q_mget_docs,
         "phrase_topk": _q_phrase_topk,
         "span_near_topk": _q_span_near_topk,
+        "span_first_topk": _q_span_first_topk,
         "lineitem_agg": _q_lineitem_agg,
         "topk_orders": _q_topk_orders,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -4248,6 +4324,7 @@ def oracle_sql() -> dict[str, str]:
         "bucket_script_agg": _BUCKET_SCRIPT_SQL,
         "stats_bucket_agg": _STATS_BUCKET_SQL,
         "filters_agg": _FILTERS_AGG_SQL,
+        "adjacency_matrix_agg": _ADJ_MATRIX_SQL,
         "moving_fn_agg": _MOVING_FN_SQL,
         "serial_diff_agg": _SERIAL_DIFF_SQL,
         "percentile_ranks": _PCT_RANKS_SQL,
@@ -4507,6 +4584,46 @@ def oracle_sql() -> dict[str, str]:
                      len([i for i in generate_series(1, len(t))
                           if t[i] = w.w1 AND len([j for j in generate_series(i+1, least(i+4, len(t)))
                                                   if t[j] = w.w2]) > 0])::DOUBLE AS tf
+              FROM toks, w
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     round(idf.v * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS score
+              FROM ptf p
+              JOIN dl ON dl.doc_id = p.doc_id
+              CROSS JOIN idf CROSS JOIN stats s
+              WHERE p.tf > 0
+            )
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id, score
+            FROM scored
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "span_first_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            exdocs AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+            dfs AS (SELECT term, count(*)::DOUBLE AS df FROM exdocs GROUP BY 1),
+            ranked AS (
+              SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM dfs
+            ),
+            w AS (SELECT (SELECT term FROM ranked WHERE r = 1) AS w1,
+                         (SELECT term FROM ranked WHERE r = 2) AS w2),
+            idf AS (
+              SELECT ln(1 + (s.n - d1.df + 0.5) / (d1.df + 0.5))
+                   + ln(1 + (s.n - d2.df + 0.5) / (d2.df + 0.5)) AS v
+              FROM w JOIN dfs d1 ON d1.term = w.w1 JOIN dfs d2 ON d2.term = w.w2
+              CROSS JOIN stats s
+            ),
+            ptf AS (
+              SELECT toks.doc_id,
+                     len([i for i in generate_series(1, len(t))
+                          if t[i] = w.w1 AND len([j for j in generate_series(i+1, least(i+4, len(t)))
+                                                  if t[j] = w.w2 AND j <= 8]) > 0])::DOUBLE AS tf
               FROM toks, w
             ),
             scored AS (

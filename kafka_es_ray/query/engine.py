@@ -1114,13 +1114,16 @@ class IndexSearcher:
         k: int = 10,
         slop: int = 0,
         field: str | None = None,
+        first_end: int | None = None,
     ) -> pd.DataFrame:
         """ES span_near with in_order=true (span_term clauses from the
         analyzed text): docs containing the terms in order with total
-        gap count <= slop.  Requires cfg.index_positions=True.  Scoring
-        follows the phrase convention (idf = Σ bm25_idf over clause
-        positions, tf = chain-starting anchors); tie-break (score desc,
-        doc_id asc)."""
+        gap count <= slop.  ``first_end`` wraps the chain in an ES
+        span_first envelope (the span must end before that token
+        position).  Requires cfg.index_positions=True.  Scoring follows
+        the phrase convention (idf = Σ bm25_idf over clause positions,
+        tf = chain-starting anchors); tie-break (score desc, doc_id
+        asc)."""
         terms = get_analyzer(lang).tokenize(text)
         avgdl_use = self.avgdl
         if field is not None:
@@ -1145,7 +1148,8 @@ class IndexSearcher:
         idf_sum = float(sum(idf_map[t] for t in terms))
         parts = [
             score_segment_span_near(
-                s, terms, idf_sum, avgdl_use, self.k1, self.b, slop, dl_field=field
+                s, terms, idf_sum, avgdl_use, self.k1, self.b, slop,
+                dl_field=field, first_end=first_end,
             )
             for s in self.segments
         ]
@@ -1962,6 +1966,7 @@ def score_segment_span_near(
     b: float,
     slop: int,
     dl_field: str | None = None,
+    first_end: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """ES span_near with in_order=true over ONE segment: a doc matches
     when its positions contain an ordered chain p_0 < p_1 < ... <
@@ -1969,10 +1974,14 @@ def score_segment_span_near(
     total gap count (p_last - p_first + 1 - m) <= ``slop``.  tf = number
     of first-term positions starting such a chain; the greedy
     nearest-next chain minimizes p_last for a given anchor, so the
-    greedy test is exact per anchor.  Scoring follows the engine phrase
-    convention (frozen): round6(idf_sum * bm25_tf_part(tf, dl));
-    tombstones excluded by the shared preamble.  slop=0 degenerates to
-    the strict ordered-adjacency phrase."""
+    greedy test is exact per anchor (also for the ``first_end`` cut:
+    greedy minimizes the chain end, so if greedy doesn't fit no chain
+    does).  ``first_end`` adds the ES span_first envelope: the chain
+    must end before token position ``first_end`` (Lucene
+    ``span.end() <= end`` with end() = last position + 1).  Scoring
+    follows the engine phrase convention (frozen): round6(idf_sum *
+    bm25_tf_part(tf, dl)); tombstones excluded by the shared preamble.
+    slop=0 degenerates to the strict ordered-adjacency phrase."""
     empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
     cand, gathered = _phrase_gather(s, terms, dl_field)
     if cand.size == 0:
@@ -1995,6 +2004,8 @@ def score_segment_span_near(
         cur = (ek[idxc] % L)[ok]
     if docs.size:
         ok = (cur - first + 1 - len(terms)) <= slop
+        if first_end is not None:
+            ok &= cur < int(first_end)
         docs = docs[ok]
     if docs.size == 0:
         return empty
@@ -2498,6 +2509,7 @@ class ShardScorerStage(_SegmentCacheStage):
                         seg, q["span"], q["idf_sum"],
                         q.get("avgdl") or self.avgdl, self.k1, self.b,
                         q.get("slop", 0), dl_field=q.get("dl_field"),
+                        first_end=q.get("first_end"),
                     )
                 elif "phrase" in q:
                     ids, scores = score_segment_phrase(
@@ -3667,12 +3679,18 @@ def run_queries(
                 )
             )
             slop = int(getattr(row, "slop", 0) or 0)
-            key = ("span", tuple(sp_terms), k, slop)
+            fe_raw = getattr(row, "first_end", None)
+            try:
+                fe = None if fe_raw is None or pd.isna(fe_raw) else int(fe_raw)
+            except (TypeError, ValueError):
+                fe = None
+            key = ("span", tuple(sp_terms), k, slop, fe)
             entry = plan_by_key.get(key)
             if entry is None:
                 entry = plan_by_key[key] = {
                     "query_ids": [],
                     "span": sp_terms,
+                    "first_end": fe,
                     "hl_terms": sorted(set(sp_raw)),
                     "idf_sum": idf_sum,
                     "k": k,
@@ -5183,6 +5201,59 @@ def run_agg_composite(
         pd.concat(rows, ignore_index=True)
         .sort_values(["query_id", *fields], kind="mergesort")
         .reset_index(drop=True)
+    )
+
+
+def run_agg_adjacency_matrix(
+    queries_ds, index_dir: str, filters: dict,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES adjacency_matrix aggregation: per query, doc counts for each
+    named filter and each pairwise intersection (ES bucket key
+    ``a&b``, names sorted).  ``filters`` maps name -> (keyword_field,
+    value); the fields span the composite sources, so the one composite
+    partial sweep (plans x segments x distinct key tuples) feeds every
+    matrix cell at the driver reduce.  Like ES, zero-count buckets are
+    omitted.  Returns (query_id, bucket, n_docs) sorted."""
+    fields = tuple(sorted({f for f, _ in filters.values()}))
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, None, None, cfg, concurrency,
+        group_field=fields,
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    names = sorted(filters)
+    fidx = {f: i for i, f in enumerate(fields)}
+    rows = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            keys = [b.split("\x1f") for b in gg["bucket"]]
+            ns = gg["n"].to_numpy(np.int64)
+            match = {
+                nm: np.array(
+                    [k[fidx[filters[nm][0]]] == str(filters[nm][1]) for k in keys],
+                    dtype=bool,
+                )
+                for nm in names
+            }
+            cells = []
+            for i, a in enumerate(names):
+                cells.append((a, int(ns[match[a]].sum())))
+                for b in names[i + 1 :]:
+                    cells.append((f"{a}&{b}", int(ns[match[a] & match[b]].sum())))
+            for qid in fanout.get(int(pid_), []):
+                for bucket, n in cells:
+                    if n > 0:
+                        rows.append((np.int64(qid), bucket, np.int64(n)))
+    out = pd.DataFrame(rows, columns=["query_id", "bucket", "n_docs"])
+    return (
+        out.sort_values(["query_id", "bucket"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "n_docs": np.int64})
     )
 
 

@@ -254,3 +254,21 @@ def test_percentile_ranks_exact(agg_index, ray_session):
         assert abs(pct - 100.0 * (v <= x).sum() / len(v)) < 1e-6
     # beyond-max value ranks at exactly 100
     assert got["pct"].iloc[-1] == 100.0
+
+
+def test_adjacency_matrix_cells(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_adjacency_matrix
+
+    d, docs = agg_index
+    flt = {"de": ("lang", "de"), "en": ("lang", "en"), "s0": ("source", "s0")}
+    got = run_agg_adjacency_matrix(Q, d, flt, cfg=CFG)
+    sub = got.set_index("bucket")["n_docs"]
+    assert sub["en"] == (docs["lang"] == "en").sum()
+    assert sub["de"] == (docs["lang"] == "de").sum()
+    assert sub["s0"] == (docs["source"] == "s0").sum()
+    assert sub["de&s0"] == ((docs["lang"] == "de") & (docs["source"] == "s0")).sum()
+    assert sub["en&s0"] == ((docs["lang"] == "en") & (docs["source"] == "s0")).sum()
+    # same-field disjoint pair is zero and therefore OMITTED (ES rule)
+    assert "de&en" not in sub.index
+    # bucket names are sorted pairs
+    assert set(sub.index) <= {"de", "en", "s0", "de&s0", "en&s0"}

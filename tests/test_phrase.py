@@ -369,3 +369,45 @@ def test_span_near_matches_bruteforce_and_distributed(
         dist = run_queries(q, phrase_index, CFG).to_pandas().sort_values("rank")
         assert dist["doc_id"].tolist() == got["doc_id"].tolist()
         assert dist["score"].tolist() == got["score"].tolist()
+
+
+def test_span_first_envelope(ray_session, tmp_path_factory):
+    """span_first: the chain must END before the given token position;
+    greedy minimal-end chains make the cut exact."""
+    import ray.data as rd
+
+    from kafka_es_ray.query.engine import run_queries
+
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(4)],
+            "text": [
+                "alpha beta z z z z",       # chain ends at pos 1
+                "z z z alpha beta z",       # ends at pos 4
+                "z z z z z alpha beta",     # ends at pos 6
+                "alpha z z z z beta",       # gap 4 > slop anyway
+            ],
+            "lang": ["en"] * 4,
+        }
+    )
+    d = str(tmp_path_factory.mktemp("spanfx"))
+    build_index(rd.from_pandas(docs), d, CFG, html_col=None, ts_col=None)
+    s = IndexSearcher(d, CFG)
+    assert set(s.search_span_near("alpha beta", slop=1)["key"]) == {"u0", "u1", "u2"}
+    r = s.search_span_near("alpha beta", slop=1, first_end=5)
+    assert set(r["key"]) == {"u0", "u1"}      # u2's chain ends at 6 >= 5
+    r2 = s.search_span_near("alpha beta", slop=1, first_end=2)
+    assert set(r2["key"]) == {"u0"}           # end() = 1+1 <= 2
+    # distributed plan carries first_end
+    q = pd.DataFrame(
+        {
+            "query_id": np.array([0], dtype=np.int64),
+            "text": ["alpha beta"],
+            "type": ["span_near"],
+            "slop": np.array([1], dtype=np.int64),
+            "first_end": np.array([5], dtype=np.int64),
+        }
+    )
+    dist = run_queries(q, d, CFG).to_pandas()
+    assert set(dist["key"]) == {"u0", "u1"}
+    assert dist["score"].tolist() == r["score"].tolist()
