@@ -655,6 +655,32 @@ SELECT query_id, bucket_ts, round(raw_value, 6) AS value, sdiff FROM (
 ) WHERE sdiff IS NOT NULL ORDER BY 1, 2
 """
 
+# ES bucket_sort: top-3 month buckets by the sum sub-agg desc (ties
+# bucket_ts asc) per query
+_BUCKET_SORT_SQL = _PIPE_BUCKETS_CTE + """
+SELECT query_id, bucket_ts, n_docs, round(raw_value, 6) AS value FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY raw_value DESC, bucket_ts ASC) AS rn
+  FROM buckets
+) WHERE rn <= 3 ORDER BY 1, 2
+"""
+
+# ES normalize (percent_of_sum): per-bucket share of the query's total
+_NORMALIZE_SQL = _PIPE_BUCKETS_CTE + """
+SELECT query_id, bucket_ts, round(raw_value, 6) AS value,
+       round(raw_value / sum(raw_value) OVER (PARTITION BY query_id), 6)
+         AS normalized
+FROM buckets ORDER BY 1, 2
+"""
+
+# ES weighted_avg: n_chars weighted by the analyzer token count, pairwise
+# missing exclusion (neither column is NULL here, so plain sums)
+_WEIGHTED_AVG_SQL = _AGG_VALS_CTE + """
+SELECT query_id, count(*)::BIGINT AS n_docs,
+       round(sum(x*y) / sum(y), 6) AS weighted_avg
+FROM vals GROUP BY 1 ORDER BY 1
+"""
+
 # ES _explain of each query's rank-1 hit: per matched term, df / tf and
 # the BM25 contribution round6'd with the engine's exact arithmetic
 _EXPLAIN_SQL = _BM25_SQL.split("topk AS (")[0] + """topk AS (
@@ -3052,6 +3078,61 @@ def _q_serial_diff(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_bucket_sort(sf_dir: str):
+    """ES bucket_sort pipeline aggregation: keep the top-3 month buckets
+    per derived query ranked by the sum(n_chars) sub-agg desc (ties
+    bucket_ts asc) — the coordinating-node sort + size truncation."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_bucket_sort
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars"), derived=True
+    )
+    try:
+        return run_agg_bucket_sort(
+            queries, idx, "ts", "n_chars", size=3, calendar_interval="month", cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_normalize(sf_dir: str):
+    """ES normalize pipeline aggregation (percent_of_sum): each month
+    bucket's sum(n_chars) as a share of the derived query's total."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_normalize
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars"), derived=True
+    )
+    try:
+        return run_agg_normalize(
+            queries, idx, "ts", "n_chars",
+            method="percent_of_sum", calendar_interval="month", cfg=cfg,
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_weighted_avg(sf_dir: str):
+    """ES weighted_avg aggregation: n_chars weighted by the analyzer
+    token count per derived query's match set — one matrix-stats
+    cross-moment sweep (sxy/sy)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_weighted_avg
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("n_chars", "n_tokens"), derived=True
+    )
+    try:
+        return run_agg_weighted_avg(queries, idx, "n_chars", "n_tokens", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_percentile_ranks(sf_dir: str):
     """ES percentile_ranks aggregation (exact, the inverse of
     percentiles): percent of each derived query's match-set n_chars
@@ -4151,6 +4232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adjacency_matrix_agg": _q_adjacency_matrix,
         "moving_fn_agg": _q_moving_fn,
         "serial_diff_agg": _q_serial_diff,
+        "bucket_sort_agg": _q_bucket_sort,
+        "normalize_agg": _q_normalize,
+        "weighted_avg_agg": _q_weighted_avg,
         "percentile_ranks": _q_percentile_ranks,
         "explain_score": _q_explain_score,
         "scroll_all": _q_scroll_all,
@@ -4327,6 +4411,9 @@ def oracle_sql() -> dict[str, str]:
         "adjacency_matrix_agg": _ADJ_MATRIX_SQL,
         "moving_fn_agg": _MOVING_FN_SQL,
         "serial_diff_agg": _SERIAL_DIFF_SQL,
+        "bucket_sort_agg": _BUCKET_SORT_SQL,
+        "normalize_agg": _NORMALIZE_SQL,
+        "weighted_avg_agg": _WEIGHTED_AVG_SQL,
         "percentile_ranks": _PCT_RANKS_SQL,
         "explain_score": _EXPLAIN_SQL,
         "scroll_all": _SCROLL_SQL,

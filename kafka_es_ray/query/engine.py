@@ -5459,6 +5459,103 @@ def run_agg_serial_diff(
     return f[["query_id", "bucket_ts", "value", "sdiff"]]
 
 
+def run_agg_bucket_sort(
+    queries_ds, index_dir: str, field: str, metric_field: str,
+    size: int = 3, calendar_interval: str = "month",
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES bucket_sort pipeline aggregation: re-rank the date_histogram
+    buckets by the sum sub-agg (value desc, ties bucket_ts asc) and keep
+    only the top ``size`` buckets per query — the ES sort + size
+    truncation at the coordinating-node reduce.  Returns (query_id,
+    bucket_ts, n_docs, value); value round6'd after the cut."""
+    f = _bucket_value_frame(
+        queries_ds, index_dir, field, metric_field, calendar_interval, cfg, concurrency
+    )
+    f = (
+        f.sort_values(
+            ["query_id", "value", "bucket_ts"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        .groupby("query_id", sort=True)
+        .head(max(0, int(size)))
+        .reset_index(drop=True)
+    )
+    f["value"] = round6(f["value"].to_numpy(np.float64))
+    return f[["query_id", "bucket_ts", "n_docs", "value"]]
+
+
+def run_agg_normalize(
+    queries_ds, index_dir: str, field: str, metric_field: str,
+    method: str = "percent_of_sum", calendar_interval: str = "month",
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES normalize pipeline aggregation over the sum sub-agg of a
+    date_histogram: ``percent_of_sum`` (value / per-query bucket total)
+    or ``rescale_0_1`` ((value-min)/(max-min); a single-bucket or
+    constant query normalizes to 0.0, the ES degenerate-range rule).
+    Returns (query_id, bucket_ts, value, normalized), both round6'd
+    after the raw float64 arithmetic."""
+    f = _bucket_value_frame(
+        queries_ds, index_dir, field, metric_field, calendar_interval, cfg, concurrency
+    )
+    v = f["value"].to_numpy(np.float64)
+    if method == "percent_of_sum":
+        tot = f.groupby("query_id")["value"].transform("sum").to_numpy(np.float64)
+        norm = np.divide(v, tot, out=np.zeros_like(v), where=tot != 0)
+    elif method == "rescale_0_1":
+        mn = f.groupby("query_id")["value"].transform("min").to_numpy(np.float64)
+        mx = f.groupby("query_id")["value"].transform("max").to_numpy(np.float64)
+        rng_ = mx - mn
+        norm = np.divide(v - mn, rng_, out=np.zeros_like(v), where=rng_ != 0)
+    else:
+        raise ValueError(f"unknown normalize method: {method!r}")
+    f["normalized"] = round6(norm)
+    f["value"] = round6(v)
+    return f[["query_id", "bucket_ts", "value", "normalized"]]
+
+
+def run_agg_weighted_avg(
+    queries_ds, index_dir: str, value_field: str, weight_field: str,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES weighted_avg aggregation: sum(value*weight)/sum(weight) over
+    each query's match set.  Reuses the matrix-stats cross-moment
+    partials (sxy = Σ v·w, sy = Σ w) — one NumericAggStage sweep, rows
+    missing either field excluded (pairwise, the documented analog of
+    ES's skip-missing-value rule).  Returns (query_id, n_docs,
+    weighted_avg) with the ratio round6'd after exact float64 sums;
+    queries whose match set has no complete pair are omitted."""
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, (value_field, weight_field), None, cfg, concurrency
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = partials.groupby("plan_id", sort=True).agg(
+            n=("n", "sum"), sw=("sy", "sum"), svw=("sxy", "sum")
+        )
+        for pid_, r in g.iterrows():
+            if r["sw"] == 0.0:
+                continue  # zero total weight: ES returns null — omit
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    {
+                        "query_id": np.int64(qid),
+                        "n_docs": np.int64(r["n"]),
+                        "weighted_avg": float(
+                            round6(np.array([r["svw"] / r["sw"]]))[0]
+                        ),
+                    }
+                )
+    out = pd.DataFrame(rows, columns=["query_id", "n_docs", "weighted_avg"])
+    return (
+        out.sort_values("query_id", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "n_docs": np.int64})
+    )
+
+
 def _collect_fg_bg_counts(
     queries_ds, index_dir: str, cfg: EngineConfig, concurrency: int | None,
     sample_cap: int | None,

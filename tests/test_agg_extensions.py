@@ -256,6 +256,50 @@ def test_percentile_ranks_exact(agg_index, ray_session):
     assert got["pct"].iloc[-1] == 100.0
 
 
+def test_bucket_sort_top_buckets(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_bucket_sort
+
+    d, docs = agg_index
+    got = run_agg_bucket_sort(Q, d, "ts", "val", size=3, cfg=CFG)
+    sums = _month_sums(docs)["sum"].sort_values(ascending=False)
+    assert len(got) == 3
+    assert sorted(got["value"].tolist(), reverse=True) == [
+        round(x, 6) for x in sums.head(3).tolist()
+    ]
+    # size beyond the bucket count keeps everything
+    all_ = run_agg_bucket_sort(Q, d, "ts", "val", size=99, cfg=CFG)
+    assert len(all_) == len(sums)
+
+
+def test_normalize_methods(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_normalize
+
+    d, docs = agg_index
+    sums = _month_sums(docs)["sum"].to_numpy(np.float64)
+    pct = run_agg_normalize(Q, d, "ts", "val", method="percent_of_sum", cfg=CFG)
+    np.testing.assert_allclose(
+        pct["normalized"].to_numpy(), sums / sums.sum(), atol=1e-6
+    )
+    assert abs(pct["normalized"].sum() - 1.0) < 1e-4  # shares sum to 1
+    r01 = run_agg_normalize(Q, d, "ts", "val", method="rescale_0_1", cfg=CFG)
+    want = (sums - sums.min()) / (sums.max() - sums.min())
+    np.testing.assert_allclose(r01["normalized"].to_numpy(), want, atol=1e-6)
+    assert r01["normalized"].min() == 0.0 and r01["normalized"].max() == 1.0
+    with pytest.raises(ValueError):
+        run_agg_normalize(Q, d, "ts", "val", method="softmax", cfg=CFG)
+
+
+def test_weighted_avg_pairwise(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_weighted_avg
+
+    d, docs = agg_index
+    got = run_agg_weighted_avg(Q, d, "val", "val2", cfg=CFG)
+    sub = docs.dropna(subset=["val2"])  # val2 has a NaN slice
+    assert got["n_docs"].iloc[0] == len(sub)
+    want = (sub["val"] * sub["val2"]).sum() / sub["val2"].sum()
+    assert abs(got["weighted_avg"].iloc[0] - want) < 1e-6
+
+
 def test_adjacency_matrix_cells(agg_index, ray_session):
     from kafka_es_ray.query.engine import run_agg_adjacency_matrix
 
