@@ -681,6 +681,46 @@ SELECT query_id, count(*)::BIGINT AS n_docs,
 FROM vals GROUP BY 1 ORDER BY 1
 """
 
+# ES multi_terms: (lang, source) tuple buckets, n desc then key asc, top 10
+_MULTI_TERMS_SQL = _MATCHES_CTE + """
+, vals AS (
+  SELECT m.query_id, d.lang, d.source
+  FROM matches m JOIN documents d USING (doc_id)
+),
+buckets AS (
+  SELECT query_id, lang, source, count(*)::BIGINT AS n_docs,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY count(*) DESC, lang ASC, source ASC) AS rn
+  FROM vals GROUP BY 1, 2, 3
+)
+SELECT query_id, lang, source, n_docs FROM buckets WHERE rn <= 10
+ORDER BY 1, 2, 3
+"""
+
+# ES median_absolute_deviation (exact nearest-rank == quantile_disc)
+_MAD_SQL = _AGG_VALS_CTE + """
+, med AS (SELECT query_id, quantile_disc(x, 0.5) AS m FROM vals GROUP BY 1)
+SELECT v.query_id, med.m AS median,
+       quantile_disc(abs(v.x - med.m), 0.5) AS mad
+FROM vals v JOIN med USING (query_id) GROUP BY 1, 2 ORDER BY 1
+"""
+
+# ES missing / value_count over the deterministically-nulled n_chars
+# (doc_id % 7 == 0 — mirrors _missing_index_build)
+_MISSING_AGG_SQL = _MATCHES_CTE + """
+SELECT m.query_id,
+       count(*) FILTER (WHERE d.doc_id % 7 = 0)::BIGINT AS n_missing,
+       count(*)::BIGINT AS n_docs
+FROM matches m JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1
+"""
+
+_VALUE_COUNT_SQL = _MATCHES_CTE + """
+SELECT m.query_id,
+       count(*) FILTER (WHERE d.doc_id % 7 <> 0)::BIGINT AS n_values
+FROM matches m JOIN documents d USING (doc_id) GROUP BY 1 ORDER BY 1
+"""
+
 # ES _explain of each query's rank-1 hit: per matched term, df / tf and
 # the BM25 contribution round6'd with the engine's exact arithmetic
 _EXPLAIN_SQL = _BM25_SQL.split("topk AS (")[0] + """topk AS (
@@ -3133,6 +3173,102 @@ def _q_weighted_avg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_multi_terms(sf_dir: str):
+    """ES multi_terms aggregation: buckets keyed by the (lang, source)
+    tuple per derived query's match set, ranked n_docs desc (ties key
+    asc), top 10 — the composite partial sweep with the terms-agg
+    reduce order."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_multi_terms
+
+    idx, cfg, queries = _agg_index_build(sf_dir, keyword=("source",))
+    try:
+        return run_multi_terms(queries, idx, ("lang", "source"), size=10, cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_mad_agg(sf_dir: str):
+    """ES median_absolute_deviation aggregation (exact nearest-rank,
+    where ES would tdigest): median of each derived query's match-set
+    n_chars then the median of |v - median| — one per-value count
+    sweep, deviations re-derived on the driver."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_median_absolute_deviation
+
+    idx, cfg, queries = _agg_index_build(sf_dir, numeric=("n_chars",))
+    try:
+        return run_agg_median_absolute_deviation(queries, idx, "n_chars", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _missing_index_build(sf_dir: str):
+    """Index with deterministic n_chars missingness (nulled where
+    doc_id % 7 == 0 — the exists-query fixture rule) + the derived
+    match queries, for the missing / value_count aggregations."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_missx_")
+    cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+
+    def blank(b: pa.Table) -> pa.Table:
+        miss = pc.equal(pa.array(b.column("doc_id").to_numpy() % 7), pa.scalar(0))
+        nulled = pc.if_else(miss, pa.scalar(None, pa.int64()), b.column("n_chars"))
+        return b.set_column(b.schema.get_field_index("n_chars"), "n_chars", nulled)
+
+    ds = documents_dataset(sf_dir, extra_cols=("n_chars",)).map_batches(
+        blank, batch_format="pyarrow"
+    )
+    build_index(
+        ds, idx, cfg,
+        key_col="key", lang_col="lang", html_col=None, ts_col=None,
+        id_col="doc_id",
+    )
+    queries = derive_query_set(IndexSearcher(idx, cfg))
+    return idx, cfg, queries[queries["text"] != "zzzabsentterm"]
+
+
+def _q_missing_agg(sf_dir: str):
+    """ES missing aggregation: match-set docs whose n_chars has no value
+    (deterministically nulled where doc_id % 7 == 0) per derived query —
+    the exists-query complement in one NumericAggStage sweep."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_missing
+
+    idx, cfg, queries = _missing_index_build(sf_dir)
+    try:
+        return run_agg_missing(queries, idx, "n_chars", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_value_count(sf_dir: str):
+    """ES value_count aggregation: number of extracted n_chars values
+    (missing excluded — same nulling rule as missing_agg) per derived
+    query's match set."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_value_count
+
+    idx, cfg, queries = _missing_index_build(sf_dir)
+    try:
+        return run_agg_value_count(queries, idx, "n_chars", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_percentile_ranks(sf_dir: str):
     """ES percentile_ranks aggregation (exact, the inverse of
     percentiles): percent of each derived query's match-set n_chars
@@ -4235,6 +4371,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_sort_agg": _q_bucket_sort,
         "normalize_agg": _q_normalize,
         "weighted_avg_agg": _q_weighted_avg,
+        "multi_terms_agg": _q_multi_terms,
+        "mad_agg": _q_mad_agg,
+        "missing_agg": _q_missing_agg,
+        "value_count_agg": _q_value_count,
         "percentile_ranks": _q_percentile_ranks,
         "explain_score": _q_explain_score,
         "scroll_all": _q_scroll_all,
@@ -4414,6 +4554,10 @@ def oracle_sql() -> dict[str, str]:
         "bucket_sort_agg": _BUCKET_SORT_SQL,
         "normalize_agg": _NORMALIZE_SQL,
         "weighted_avg_agg": _WEIGHTED_AVG_SQL,
+        "multi_terms_agg": _MULTI_TERMS_SQL,
+        "mad_agg": _MAD_SQL,
+        "missing_agg": _MISSING_AGG_SQL,
+        "value_count_agg": _VALUE_COUNT_SQL,
         "percentile_ranks": _PCT_RANKS_SQL,
         "explain_score": _EXPLAIN_SQL,
         "scroll_all": _SCROLL_SQL,

@@ -2845,6 +2845,9 @@ class NumericAggStage(_SegmentCacheStage):
     - float -> fixed-interval histogram bucket counts,
     - str ("day"/"week"/"month"/"year") -> ES date_histogram
       calendar_interval over an epoch-seconds numeric field,
+    - "missing" -> ES missing aggregation (per plan x segment: count of
+      match-set docs whose mapped field has no value; ``sum`` carries
+      the match-set size),
     - tuple/list of floats -> ES range aggregation (bucket key = the
       range's lower edge; values below the first edge are dropped, the
       last edge is open-ended — ES explicit-ranges semantics).
@@ -2894,6 +2897,23 @@ class NumericAggStage(_SegmentCacheStage):
                             float((xs * xs).sum()), float(ys.sum()),
                             float((ys * ys).sum()), float((xs * ys).sum()),
                         )
+                    )
+                    continue
+                if self.interval == "missing":
+                    # ES missing aggregation: match-set docs whose mapped
+                    # field has no value (numeric NaN / keyword "" — the
+                    # exists-query complement in the same one sweep).
+                    # ``sum`` carries the match-set size for the reduce.
+                    if self.field == "lang":
+                        n_miss = 0  # lang is always present
+                    elif self.field in seg.num_arr:
+                        n_miss = int(np.isnan(seg.nums_for(self.field, ids)).sum())
+                    elif self.field in seg.kw_arr:
+                        n_miss = int((seg.field_for(self.field, ids) == "").sum())
+                    else:
+                        raise ValueError(f"missing: unmapped field {self.field!r}")
+                    rows.append(
+                        (q["plan_id"], 0.0, n_miss, float(ids.size), 0.0, 0.0, *pad)
                     )
                     continue
                 all_vals = (
@@ -5551,6 +5571,156 @@ def run_agg_weighted_avg(
     out = pd.DataFrame(rows, columns=["query_id", "n_docs", "weighted_avg"])
     return (
         out.sort_values("query_id", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "n_docs": np.int64})
+    )
+
+
+def run_agg_missing(
+    queries_ds, index_dir: str, field: str,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES missing aggregation: per query, the number of match-set docs
+    whose mapped ``field`` has no value (numeric NaN / keyword "" — the
+    exists-query complement).  One NumericAggStage sweep in 'missing'
+    mode.  Returns (query_id, n_missing, n_docs); queries with an empty
+    match set are omitted (ES returns a 0 bucket over 0 docs)."""
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, field, "missing", cfg, concurrency
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = partials.groupby("plan_id", sort=True).agg(
+            miss=("n", "sum"), tot=("sum", "sum")
+        )
+        for pid_, r in g.iterrows():
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    (np.int64(qid), np.int64(r["miss"]), np.int64(r["tot"]))
+                )
+    out = pd.DataFrame(rows, columns=["query_id", "n_missing", "n_docs"])
+    return (
+        out.sort_values("query_id", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "n_missing": np.int64, "n_docs": np.int64})
+    )
+
+
+def run_agg_value_count(
+    queries_ds, index_dir: str, field: str,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES value_count aggregation: number of extracted field values per
+    query's match set (missing excluded) — the n of the stats partial as
+    its own ES API.  Returns (query_id, n_values)."""
+    partials, plan = _run_numeric_agg(queries_ds, index_dir, field, None, cfg, concurrency)
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = partials.groupby("plan_id", sort=True)["n"].sum()
+        for pid_, n in g.items():
+            for qid in fanout.get(int(pid_), []):
+                rows.append((np.int64(qid), np.int64(n)))
+    out = pd.DataFrame(rows, columns=["query_id", "n_values"])
+    return (
+        out.sort_values("query_id", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "n_values": np.int64})
+    )
+
+
+def _weighted_nearest_rank(vals: np.ndarray, counts: np.ndarray, p: float) -> float:
+    """Nearest-rank percentile over a (sorted value, count) histogram —
+    the exact definition run_agg_percentiles uses (== DuckDB
+    quantile_disc)."""
+    cum = counts.cumsum()
+    rank = max(1, int(np.ceil(int(cum[-1]) * p / 100.0)))
+    return float(vals[int(np.searchsorted(cum, rank))])
+
+
+def run_agg_median_absolute_deviation(
+    queries_ds, index_dir: str, field: str,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES median_absolute_deviation aggregation — EXACT via the same
+    per-value count partials as percentiles (ES uses tdigest): median m
+    of the match-set values, then the median of |v - m|, both
+    nearest-rank (== DuckDB quantile_disc at 0.5).  The deviation
+    distribution is re-derived from the (value, count) histogram on the
+    driver — no second cluster pass.  Returns (query_id, median, mad)."""
+    partials, plan = _run_numeric_agg(queries_ds, index_dir, field, 0.0, cfg, concurrency)
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            vals = gg["bucket"].to_numpy(np.float64)  # ascending
+            cnt = gg["n"].to_numpy(np.int64)
+            med = _weighted_nearest_rank(vals, cnt, 50.0)
+            dev = np.abs(vals - med)
+            order = np.argsort(dev, kind="stable")
+            mad = _weighted_nearest_rank(dev[order], cnt[order], 50.0)
+            for qid in fanout.get(int(pid_), []):
+                rows.append((np.int64(qid), med, mad))
+    out = pd.DataFrame(rows, columns=["query_id", "median", "mad"])
+    return (
+        out.sort_values("query_id", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "median": np.float64, "mad": np.float64})
+    )
+
+
+def run_multi_terms(
+    queries_ds, index_dir: str, fields: tuple,
+    size: int = 10,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES multi_terms aggregation: terms buckets keyed by a TUPLE of
+    keyword fields, ES bucket order (n_docs desc, key asc), top ``size``
+    per query.  Same composite partial sweep as run_agg_composite (the
+    packed key), different reduce order — composite pages by key,
+    multi_terms ranks by count.  Returns (query_id, one column per
+    field, n_docs)."""
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, None, None, cfg, concurrency,
+        group_field=tuple(fields),
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    out = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            gg = gg.sort_values(
+                ["n", "bucket"], ascending=[False, True], kind="mergesort"
+            ).head(max(0, int(size)))
+            keys = gg["bucket"].astype(str).str.split("\x1f", expand=True)
+            for qid in fanout.get(int(pid_), []):
+                f = pd.DataFrame({"query_id": np.int64(qid)}, index=gg.index)
+                for i, name in enumerate(fields):
+                    f[name] = keys[i].to_numpy()
+                f["n_docs"] = gg["n"].to_numpy(np.int64)
+                out.append(f)
+    cols = ["query_id", *fields, "n_docs"]
+    if not out:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                **{f: pd.Series([], dtype=object) for f in fields},
+                "n_docs": pd.Series([], dtype=np.int64),
+            }
+        )[cols]
+    return (
+        pd.concat(out, ignore_index=True)[cols]
+        .sort_values("query_id", kind="mergesort")
         .reset_index(drop=True)
         .astype({"query_id": np.int64, "n_docs": np.int64})
     )

