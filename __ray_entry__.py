@@ -346,6 +346,24 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM topk WHERE rank <= 10
 """
 
+# ES rank_feature (saturation, pivot=250, boost=1.5): additive feature
+# boost over the round6'd BM25 base
+_RANK_FEATURE_SQL = _BM25_SQL.split("topk AS (")[0] + """topk AS (
+  SELECT s.query_id, s.doc_id,
+         round(round(s.raw_score, 6)
+               + 1.5 * (d.n_chars / (d.n_chars + 250.0)), 6) AS score,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY round(round(s.raw_score, 6)
+                          + 1.5 * (d.n_chars / (d.n_chars + 250.0)), 6) DESC,
+                    s.doc_id ASC
+         ) AS rank
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10
+"""
+
 # ES more_like_this: per source doc (3 smallest doc_ids), query terms =
 # top-10 by round6(tf * bm25_idf) (tf>=1, df>=2; ties term asc), then
 # the standard or-match BM25 ranking with the source doc excluded
@@ -679,6 +697,30 @@ _WEIGHTED_AVG_SQL = _AGG_VALS_CTE + """
 SELECT query_id, count(*)::BIGINT AS n_docs,
        round(sum(x*y) / sum(y), 6) AS weighted_avg
 FROM vals GROUP BY 1 ORDER BY 1
+"""
+
+# ES string_stats over lang: lengths + Shannon char entropy per match set
+_STRING_STATS_SQL = _MATCHES_CTE + """
+, vals AS (
+  SELECT m.query_id, d.lang AS v
+  FROM matches m JOIN documents d USING (doc_id)
+),
+freq AS (
+  SELECT query_id, c, count(*)::DOUBLE AS cnt
+  FROM (SELECT query_id, unnest(string_split(v, '')) AS c FROM vals)
+  GROUP BY 1, 2
+),
+tot AS (SELECT query_id, sum(cnt) AS t FROM freq GROUP BY 1),
+ent AS (
+  SELECT f.query_id, -sum((cnt / t) * log2(cnt / t)) AS e
+  FROM freq f JOIN tot USING (query_id) GROUP BY 1
+)
+SELECT v.query_id, count(*)::BIGINT AS n_values,
+       min(length(v.v))::BIGINT AS min_len,
+       max(length(v.v))::BIGINT AS max_len,
+       round(sum(length(v.v))::DOUBLE / count(*), 6) AS avg_len,
+       round(any_value(ent.e), 6) AS entropy
+FROM vals v JOIN ent USING (query_id) GROUP BY 1 ORDER BY 1
 """
 
 # ES multi_terms: (lang, source) tuple buckets, n desc then key asc, top 10
@@ -2572,6 +2614,59 @@ def _q_function_score_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_rank_feature_topk(sf_dir: str):
+    """ES rank_feature query (bool should context, saturation function):
+    BM25 top-10 with score = round6(bm25 + 1.5 * n_chars/(n_chars+250))
+    — additive per-doc feature boost inside each shard's scoring pass,
+    pruning disabled (a BM25 theta can't bound a boosted score)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_rfidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"].copy()
+        queries["rf_field"] = "n_chars"
+        queries["rf_function"] = "saturation"
+        queries["rf_pivot"] = 250.0
+        queries["rf_boost"] = 1.5
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_string_stats(sf_dir: str):
+    """ES string_stats aggregation over the lang keyword field per
+    derived query's match set: value count, min/max/avg length and the
+    Shannon entropy of the character distribution — lengths and char
+    frequencies re-derived from the one terms-agg (value, n) sweep."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_string_stats
+
+    idx, cfg, queries = _agg_index_build(sf_dir)
+    try:
+        return run_string_stats(queries, idx, "lang", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_rank_eval(sf_dir: str):
     """ES _rank_eval: precision/recall/MRR/NDCG@10 of the distributed
     BM25 run, judged against and-match relevance labels produced by the
@@ -4372,6 +4467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_agg": _q_normalize,
         "weighted_avg_agg": _q_weighted_avg,
         "multi_terms_agg": _q_multi_terms,
+        "string_stats_agg": _q_string_stats,
+        "rank_feature_topk": _q_rank_feature_topk,
         "mad_agg": _q_mad_agg,
         "missing_agg": _q_missing_agg,
         "value_count_agg": _q_value_count,
@@ -4555,6 +4652,8 @@ def oracle_sql() -> dict[str, str]:
         "normalize_agg": _NORMALIZE_SQL,
         "weighted_avg_agg": _WEIGHTED_AVG_SQL,
         "multi_terms_agg": _MULTI_TERMS_SQL,
+        "string_stats_agg": _STRING_STATS_SQL,
+        "rank_feature_topk": _RANK_FEATURE_SQL,
         "mad_agg": _MAD_SQL,
         "missing_agg": _MISSING_AGG_SQL,
         "value_count_agg": _VALUE_COUNT_SQL,

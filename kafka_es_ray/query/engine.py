@@ -2385,6 +2385,28 @@ def _apply_fvf(seg: Segment, ids: np.ndarray, scores: np.ndarray, fvf: tuple) ->
     return np.floor(scores * _FVF_MODIFIERS[modifier](vals) * 1e6 + 0.5) / 1e6
 
 
+def _apply_rank_feature(
+    seg: Segment, ids: np.ndarray, scores: np.ndarray, rf: tuple
+) -> np.ndarray:
+    """ES rank_feature query in a bool should context: score :=
+    round6(bm25 + boost * fn(v)) over a non-negative numeric feature
+    field.  fn is saturation v/(v+pivot) (the ES default), log
+    ln(scaling_factor + v), or sigmoid v^e/(v^e + pivot^e).  Missing or
+    negative values contribute 0 (ES indexes rank_feature as positive;
+    absent feature = no contribution)."""
+    fld, fn, pivot, boost, exponent = rf
+    v = seg.nums_for(fld, ids)
+    v = np.where(np.isnan(v) | (v < 0), 0.0, v)
+    if fn == "saturation":
+        contrib = v / (v + float(pivot))
+    elif fn == "log":
+        contrib = np.log(float(pivot) + v)
+    else:  # sigmoid
+        ve = v ** float(exponent)
+        contrib = ve / (ve + float(pivot) ** float(exponent))
+    return np.floor((scores + float(boost) * contrib) * 1e6 + 0.5) / 1e6
+
+
 class UnionDfStage(_SegmentCacheStage):
     """Cross-field UNION document frequency per query term — the global
     stats a combined_fields (BM25F) idf needs (per-field dfs overlap, so
@@ -2499,10 +2521,14 @@ class ShardScorerStage(_SegmentCacheStage):
                     if pool is not None and pool.size >= q["k"]
                     else None
                 )
-                if q.get("fvf") is not None or q.get("rescore"):
-                    # function_score / rescore: the pool holds COMBINED
-                    # scores, so a BM25 theta would prune docs whose
-                    # boost could lift them into the top-k — no pruning
+                if (
+                    q.get("fvf") is not None
+                    or q.get("rescore")
+                    or q.get("rank_feature") is not None
+                ):
+                    # function_score / rescore / rank_feature: the pool
+                    # holds COMBINED scores, so a BM25 theta would prune
+                    # docs whose boost could lift them into the top-k
                     theta = None
                 if "span" in q:
                     ids, scores = score_segment_span_near(
@@ -2670,6 +2696,10 @@ class ShardScorerStage(_SegmentCacheStage):
                     )
                     if q.get("fvf") is not None and ids.size:
                         scores = _apply_fvf(seg, ids, scores, q["fvf"])
+                    if q.get("rank_feature") is not None and ids.size:
+                        scores = _apply_rank_feature(
+                            seg, ids, scores, q["rank_feature"]
+                        )
                     rsc = q.get("rescore")
                     if rsc is not None and ids.size:
                         # ES rescore: per-SHARD top-window by base score
@@ -4247,9 +4277,26 @@ def run_queries(
             fvf = (bf, mod, _bnum("boost_factor"), _bnum("boost_missing"))
         else:
             fvf = None
+        rff = _row_str(row, "rf_field")
+        if rff is not None:
+            # ES rank_feature query columns: rf_field, rf_function
+            # (saturation default / log / sigmoid), rf_pivot (saturation
+            # pivot or log scaling_factor), rf_boost, rf_exponent
+            rfn = _row_str(row, "rf_function") or "saturation"
+            if rfn not in ("saturation", "log", "sigmoid"):
+                raise ValueError(
+                    f"unsupported rf_function {rfn!r} "
+                    "(supported: saturation, log, sigmoid)"
+                )
+            rf = (
+                rff, rfn, _num_or("rf_pivot", 1.0),
+                _num_or("rf_boost", 1.0), _num_or("rf_exponent", 2.0),
+            )
+        else:
+            rf = None
         key = (
             tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld,
-            fr, fkw, ms, resc, sa, fvf, only_sids,
+            fr, fkw, ms, resc, sa, fvf, rf, only_sids,
         )
         entry = plan_by_key.get(key)
         if entry is None:
@@ -4273,6 +4320,7 @@ def run_queries(
                 ),
                 "search_after": sa,
                 "fvf": fvf,
+                "rank_feature": rf,
                 "only_sids": only_sids,
                 "hl_terms": base_terms,
                 "idf": np.asarray(idf, dtype=np.float64),
@@ -5723,6 +5771,70 @@ def run_multi_terms(
         .sort_values("query_id", kind="mergesort")
         .reset_index(drop=True)
         .astype({"query_id": np.int64, "n_docs": np.int64})
+    )
+
+
+def run_string_stats(
+    queries_ds, index_dir: str, field: str,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES string_stats aggregation over a keyword field: value count,
+    min/max/avg length and the Shannon entropy (base 2) of the character
+    distribution across all values of each query's match set.  Rides the
+    one terms-agg partial sweep — the (value, n) histogram per plan is
+    exact and small, so lengths and char frequencies are re-derived at
+    the driver reduce, never shipping doc rows.  Missing values (the ""
+    keyword encoding) are excluded like ES.  Returns (query_id,
+    n_values, min_len, max_len, avg_len, entropy)."""
+    from collections import Counter
+
+    summed, plan = _run_match_set(queries_ds, index_dir, field, cfg, concurrency)
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(summed):
+        summed = summed[summed["value"].astype(str) != ""]
+        for pid_, g in summed.groupby("plan_id", sort=True):
+            vals = g["value"].astype(str).to_numpy()
+            ns = g["n"].to_numpy(np.int64)
+            if not vals.size:
+                continue
+            lens = np.array([len(v) for v in vals], dtype=np.int64)
+            n_total = int(ns.sum())
+            chars: Counter = Counter()
+            for v, n in zip(vals, ns):
+                for c, k in Counter(v).items():
+                    chars[c] += k * int(n)
+            total_chars = sum(chars.values())
+            ent = 0.0
+            if total_chars:
+                p = np.array(sorted(chars.values()), dtype=np.float64) / total_chars
+                ent = float(-(p * np.log2(p)).sum())
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    {
+                        "query_id": np.int64(qid),
+                        "n_values": np.int64(n_total),
+                        "min_len": np.int64(lens.min()),
+                        "max_len": np.int64(lens.max()),
+                        "avg_len": float(
+                            round6(np.array([(lens * ns).sum() / n_total]))[0]
+                        ),
+                        "entropy": float(round6(np.array([ent]))[0]),
+                    }
+                )
+    out = pd.DataFrame(
+        rows,
+        columns=["query_id", "n_values", "min_len", "max_len", "avg_len", "entropy"],
+    )
+    return (
+        out.sort_values("query_id", kind="mergesort")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "query_id": np.int64, "n_values": np.int64,
+                "min_len": np.int64, "max_len": np.int64,
+            }
+        )
     )
 
 

@@ -349,6 +349,25 @@ def test_median_absolute_deviation_exact(agg_index, ray_session):
     assert got["mad"].iloc[0] == mad
 
 
+def test_string_stats_entropy(agg_index, ray_session):
+    from collections import Counter
+
+    from kafka_es_ray.query.engine import run_string_stats
+
+    d, docs = agg_index
+    got = run_string_stats(Q, d, "source", cfg=CFG)
+    vals = docs["source"]
+    assert got["n_values"].iloc[0] == len(vals)
+    assert got["min_len"].iloc[0] == vals.str.len().min()
+    assert got["max_len"].iloc[0] == vals.str.len().max()
+    assert abs(got["avg_len"].iloc[0] - vals.str.len().mean()) < 1e-6
+    chars = Counter("".join(vals))
+    p = np.array(list(chars.values()), dtype=np.float64)
+    p = p / p.sum()
+    want_ent = float(-(p * np.log2(p)).sum())
+    assert abs(got["entropy"].iloc[0] - want_ent) < 1e-6
+
+
 def test_adjacency_matrix_cells(agg_index, ray_session):
     from kafka_es_ray.query.engine import run_agg_adjacency_matrix
 

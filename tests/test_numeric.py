@@ -338,6 +338,55 @@ def test_function_score_rejects_unknown_modifier(built):
         run_queries(q, idx, CFG)
 
 
+def test_rank_feature_matches_bruteforce(built):
+    """run_queries with rf_field == re-ranking the full BM25 ranking by
+    round6(score + boost * fn(v)), missing/negative values contributing
+    0 — saturation and sigmoid covered."""
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1],
+            "text": ["alpha beta", "omega"],
+            "rf_field": ["size", "stars"],
+            "rf_function": ["saturation", "sigmoid"],
+            "rf_pivot": [50.0, 3.0],
+            "rf_boost": [2.0, 1.0],
+            "rf_exponent": [np.nan, 2.0],
+        }
+    )
+    got = (
+        run_queries(queries, idx, CFG)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    by_doc = df.set_index("doc_id")
+    for qid, text, fld in [(0, "alpha beta", "size"), (1, "omega", "stars")]:
+        full = s.search(text, k=10_000)
+        v = by_doc.loc[full["doc_id"], fld].to_numpy(np.float64)
+        v = np.where(np.isnan(v) | (v < 0), 0.0, v)
+        if qid == 0:
+            contrib = 2.0 * (v / (v + 50.0))
+        else:
+            contrib = (v**2) / (v**2 + 3.0**2)
+        boosted = np.floor((full["score"].to_numpy() + contrib) * 1e6 + 0.5) / 1e6
+        order = np.lexsort((full["doc_id"].to_numpy(), -boosted))[:10]
+        g = got[got["query_id"] == qid]
+        assert g["doc_id"].tolist() == full["doc_id"].to_numpy()[order].tolist(), qid
+        assert g["score"].tolist() == boosted[order].tolist(), qid
+
+
+def test_rank_feature_rejects_unknown_function(built):
+    idx, _ = built
+    q = pd.DataFrame(
+        {"query_id": [0], "text": ["alpha"], "rf_field": ["size"],
+         "rf_function": ["gauss"]}
+    )
+    with pytest.raises(ValueError, match="rf_function"):
+        run_queries(q, idx, CFG)
+
+
 def test_field_collapse_matches_bruteforce(built):
     from kafka_es_ray.query.engine import run_collapsed
 
