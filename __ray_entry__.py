@@ -723,6 +723,43 @@ SELECT v.query_id, count(*)::BIGINT AS n_values,
 FROM vals v JOIN ent USING (query_id) GROUP BY 1 ORDER BY 1
 """
 
+# ES top_metrics: n_chars of the top-2 docs by ts desc (ties doc_id asc)
+_TOP_METRICS_SQL = _AGG_VALS_CTE + """
+SELECT query_id, rank::BIGINT AS rank, sort_val, n_chars FROM (
+  SELECT query_id, ts::DOUBLE AS sort_val, x AS n_chars,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY ts DESC, doc_id ASC) AS rank
+  FROM vals
+) WHERE rank <= 2 ORDER BY 1, 2
+"""
+
+# ES pinned query: _ids 3 and 11 promoted with constant descending
+# scores; organic BM25 follows with pinned docs deduped out, k=10 total
+_PINNED_SQL = _BM25_SQL.split("topk AS (")[0] + """pins(key_id, pos) AS (VALUES (3, 1), (11, 2)),
+organic AS (
+  SELECT s.query_id, s.doc_id, round(s.raw_score, 6) AS score,
+         row_number() OVER (PARTITION BY s.query_id
+           ORDER BY round(s.raw_score, 6) DESC, s.doc_id ASC) AS orank
+  FROM scores s WHERE s.doc_id NOT IN (SELECT key_id FROM pins)
+),
+qids AS (SELECT DISTINCT query_id FROM queries),
+pinned_rows AS (
+  SELECT q.query_id, p.pos AS rank, p.key_id AS doc_id,
+         CAST(p.key_id AS VARCHAR) AS key,
+         (1000000 - (p.pos - 1))::DOUBLE AS score
+  FROM qids q CROSS JOIN pins p
+),
+organic_rows AS (
+  SELECT query_id, 2 + orank AS rank, doc_id,
+         CAST(doc_id AS VARCHAR) AS key, score
+  FROM organic WHERE orank <= 8
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, key, score FROM pinned_rows
+UNION ALL
+SELECT query_id, rank::BIGINT, doc_id, key, score FROM organic_rows
+ORDER BY 1, 2
+"""
+
 # ES multi_terms: (lang, source) tuple buckets, n desc then key asc, top 10
 _MULTI_TERMS_SQL = _MATCHES_CTE + """
 , vals AS (
@@ -2667,6 +2704,54 @@ def _q_string_stats(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_top_metrics(sf_dir: str):
+    """ES top_metrics aggregation: n_chars of each derived query's top-2
+    match-set docs ranked by the derived ts sort field desc — the
+    SortTopkStage sweep with metric columns gathered for per-segment
+    winners only."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_top_metrics
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars"), derived=True
+    )
+    try:
+        return run_top_metrics(
+            queries, idx, "ts", ("n_chars",), ascending=False, n=2, cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_pinned_topk(sf_dir: str):
+    """ES pinned query: external _ids "3" and "11" promoted (in that
+    order, ES constant descending scores) above each derived query's
+    organic BM25 top-10, pinned keys deduped out of the organic tail."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_pinned
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_pinidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8)
+        build_index(
+            documents_dataset(sf_dir), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"].copy()
+        queries["pinned"] = "3|11"
+        return run_pinned(queries, idx, k=10, cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_rank_eval(sf_dir: str):
     """ES _rank_eval: precision/recall/MRR/NDCG@10 of the distributed
     BM25 run, judged against and-match relevance labels produced by the
@@ -4469,6 +4554,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_terms_agg": _q_multi_terms,
         "string_stats_agg": _q_string_stats,
         "rank_feature_topk": _q_rank_feature_topk,
+        "top_metrics_agg": _q_top_metrics,
+        "pinned_topk": _q_pinned_topk,
         "mad_agg": _q_mad_agg,
         "missing_agg": _q_missing_agg,
         "value_count_agg": _q_value_count,
@@ -4654,6 +4741,8 @@ def oracle_sql() -> dict[str, str]:
         "multi_terms_agg": _MULTI_TERMS_SQL,
         "string_stats_agg": _STRING_STATS_SQL,
         "rank_feature_topk": _RANK_FEATURE_SQL,
+        "top_metrics_agg": _TOP_METRICS_SQL,
+        "pinned_topk": _PINNED_SQL,
         "mad_agg": _MAD_SQL,
         "missing_agg": _MISSING_AGG_SQL,
         "value_count_agg": _VALUE_COUNT_SQL,

@@ -3335,6 +3335,9 @@ class SortTopkStage(_SegmentCacheStage):
         (self.plan, self.tomb_map, self.field, self.ascending, self.k,
          *rest) = payload
         self.after = rest[0] if rest else None
+        # top_metrics: extra numeric docstore columns returned for the
+        # per-segment winners only (met_0, met_1, …)
+        self.metrics = rest[1] if len(rest) > 1 else None
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -3364,25 +3367,27 @@ class SortTopkStage(_SegmentCacheStage):
                     kth = np.partition(vv, self.k - 1)[self.k - 1]
                     sel = vv <= kth  # keep k-th ties; global merge exact
                     ids, vals = ids[sel], vals[sel]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "plan_id": np.int64(q["plan_id"]),
-                            "doc_id": ids,
-                            "key": seg.keys_for(ids),
-                            "sort_val": vals,
-                        }
-                    )
+                frame = pd.DataFrame(
+                    {
+                        "plan_id": np.int64(q["plan_id"]),
+                        "doc_id": ids,
+                        "key": seg.keys_for(ids),
+                        "sort_val": vals,
+                    }
                 )
+                for i, m in enumerate(self.metrics or ()):
+                    frame[f"met_{i}"] = seg.nums_for(m, ids)
+                out.append(frame)
         if not out:
-            return pd.DataFrame(
-                {
-                    "plan_id": pd.Series([], dtype=np.int64),
-                    "doc_id": pd.Series([], dtype=np.int64),
-                    "key": pd.Series([], dtype=object),
-                    "sort_val": pd.Series([], dtype=np.float64),
-                }
-            )
+            empty = {
+                "plan_id": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "key": pd.Series([], dtype=object),
+                "sort_val": pd.Series([], dtype=np.float64),
+            }
+            for i in range(len(self.metrics or ())):
+                empty[f"met_{i}"] = pd.Series([], dtype=np.float64)
+            return pd.DataFrame(empty)
         return pd.concat(out, ignore_index=True)
 
 
@@ -6852,6 +6857,155 @@ def run_sorted(
         ]
 
     return bucketed_group_agg(partials, ["plan_id"], merge_bucket)
+
+
+def run_top_metrics(
+    queries_ds,
+    index_dir: str,
+    sort_field: str,
+    metric_fields: tuple,
+    *,
+    ascending: bool = False,
+    n: int = 1,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES top_metrics aggregation: the ``metric_fields`` values of each
+    query's top-``n`` match-set docs ranked by ``sort_field``.  Same
+    SortTopkStage sweep as run_sorted with the metric columns gathered
+    for the per-segment winners only — shuffle = plans x segments x n,
+    the metric fetch never touches the match set.  Returns (query_id,
+    rank, sort_val, <one column per metric field>); ties doc_id asc."""
+    import ray
+
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    plan = _match_set_plans(queries)
+    met_cols = list(metric_fields)
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "sort_val": pd.Series([], dtype=np.float64),
+            **{m: pd.Series([], dtype=np.float64) for m in met_cols},
+        }
+    )
+    if not plan:
+        return empty
+    plan_ref = ray.put(
+        (plan, manifest.get("tombstones", {}), sort_field, ascending, int(n),
+         None, tuple(metric_fields))
+    )
+    partials = (
+        _shards_ds(parts, concurrency)
+        .map_batches(
+            SortTopkStage,
+            fn_constructor_args=(index_dir, plan_ref, cfg),
+            batch_format="pandas",
+            batch_size=4,
+            concurrency=concurrency,
+        )
+        .to_pandas()  # plans x segments x n rows — tiny by design
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    out = []
+    if len(partials):
+        for pid_, g in partials.groupby("plan_id", sort=True):
+            ids = g["doc_id"].to_numpy()
+            vals = g["sort_val"].to_numpy()
+            order = np.lexsort((ids, vals if ascending else -vals))[: int(n)]
+            top = pd.DataFrame(
+                {
+                    "rank": np.arange(1, 1 + order.size, dtype=np.int64),
+                    "sort_val": vals[order],
+                    **{
+                        m: g[f"met_{i}"].to_numpy()[order]
+                        for i, m in enumerate(met_cols)
+                    },
+                }
+            )
+            for qid in fanout.get(int(pid_), []):
+                out.append(top.assign(query_id=np.int64(qid)))
+    if not out:
+        return empty
+    return (
+        pd.concat(out, ignore_index=True)[
+            ["query_id", "rank", "sort_val", *met_cols]
+        ]
+        .sort_values(["query_id", "rank"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "rank": np.int64})
+    )
+
+
+def run_pinned(
+    queries_ds,
+    index_dir: str,
+    *,
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES pinned query: each query row's ``pinned`` column ("|"-separated
+    external keys, promotion order) is surfaced above the organic BM25
+    ranking.  Pinned hits take ranks 1..p with the ES-style constant
+    descending scores (round6(1_000_000 - position)); organic hits follow
+    with their BM25 scores, pinned keys excluded (ES dedup), until ``k``
+    total.  Missing/deleted pinned keys are skipped.  Exact: the organic
+    pass keeps k + max_pins per query, so the post-exclusion cut is
+    always contained.  Two distributed passes (run_queries + one mget for
+    pin resolution — the pin list is small by contract).  Returns
+    (query_id, rank, doc_id, key, score)."""
+    queries = (
+        queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    ).copy()
+    pins_of = {
+        int(r.query_id): [p for p in str(r.pinned).split("|") if p]
+        if getattr(r, "pinned", None) is not None
+        and not (isinstance(r.pinned, float) and pd.isna(r.pinned))
+        else []
+        for r in queries.itertuples(index=False)
+    }
+    max_pins = max((len(v) for v in pins_of.values()), default=0)
+    organic_q = queries.drop(columns=["pinned"], errors="ignore")
+    organic_q["k"] = int(k) + max_pins
+    organic = run_queries(organic_q, index_dir, cfg, concurrency).to_pandas()
+    all_pins = sorted({p for v in pins_of.values() for p in v})
+    live: dict[str, int] = {}
+    if all_pins:
+        got = run_mget(all_pins, index_dir, cfg, concurrency)
+        for r in got.itertuples(index=False):
+            if bool(r.found):
+                live[r.key] = int(r.doc_id)
+    rows = []
+    for qid, pins in pins_of.items():
+        pinned_live = [p for p in pins if p in live]
+        excl = set(pinned_live)
+        for pos, p in enumerate(pinned_live[: int(k)]):
+            rows.append(
+                (np.int64(qid), np.int64(pos + 1), np.int64(live[p]), p,
+                 float(1_000_000 - pos))
+            )
+        rank = len(pinned_live[: int(k)])
+        og = organic[organic["query_id"] == qid]
+        for r in og.itertuples(index=False):
+            if rank >= int(k):
+                break
+            if r.key in excl:
+                continue
+            rank += 1
+            rows.append(
+                (np.int64(qid), np.int64(rank), np.int64(r.doc_id), r.key,
+                 float(r.score))
+            )
+    out = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "key", "score"])
+    return (
+        out.sort_values(["query_id", "rank"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "rank": np.int64, "doc_id": np.int64})
+    )
 
 
 def run_more_like_this(

@@ -368,6 +368,44 @@ def test_string_stats_entropy(agg_index, ray_session):
     assert abs(got["entropy"].iloc[0] - want_ent) < 1e-6
 
 
+def test_top_metrics_sorted_winners(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_top_metrics
+
+    d, docs = agg_index
+    got = run_top_metrics(Q, d, "ts", ("val", "val2"), ascending=False, n=3, cfg=CFG)
+    want = docs.sort_values(["ts"], ascending=False, kind="mergesort").head(3)
+    assert got["sort_val"].tolist() == want["ts"].tolist()
+    assert got["val"].tolist() == want["val"].tolist()
+    assert got["rank"].tolist() == [1, 2, 3]
+    # ascending flips the winner
+    asc = run_top_metrics(Q, d, "ts", ("val",), ascending=True, n=1, cfg=CFG)
+    assert asc["sort_val"].iloc[0] == docs["ts"].min()
+
+
+def test_pinned_promotion_and_dedup(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_pinned, run_queries
+
+    d, docs = agg_index
+    organic = (
+        run_queries(Q.assign(k=12), d, CFG).to_pandas()
+        .sort_values("rank").reset_index(drop=True)
+    )
+    # pin the organic rank-3 doc plus a fresh one: pinned order wins,
+    # the pinned doc disappears from the organic tail
+    p1 = str(organic["key"].iloc[2])
+    p2 = next(k for k in docs["url"] if k not in set(organic["key"].head(12)))
+    q = Q.assign(pinned=f"{p1}|{p2}|u_nonexistent")
+    got = run_pinned(q, d, k=10, cfg=CFG)
+    assert got["key"].head(2).tolist() == [p1, p2]
+    assert got["score"].head(2).tolist() == [1000000.0, 999999.0]
+    assert len(got) == 10
+    # organic tail: the pinned key deduped out, order otherwise preserved
+    tail = got["key"].iloc[2:].tolist()
+    want_tail = [k for k in organic["key"].tolist() if k not in (p1, p2)][:8]
+    assert tail == want_tail
+    assert got["rank"].tolist() == list(range(1, 11))
+
+
 def test_adjacency_matrix_cells(agg_index, ray_session):
     from kafka_es_ray.query.engine import run_agg_adjacency_matrix
 
