@@ -1649,6 +1649,43 @@ def _q_span_near_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_intervals_topk(sf_dir: str):
+    """ES intervals query (all_of, ordered=false, max_gaps=3) over the
+    two df-top-ranked terms: docs with some window holding both terms in
+    ANY order with <= 3 gaps — distributed run_queries intervals plan;
+    tf = valid minimal-window ends, phrase-convention scoring."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_intervidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, index_positions=True)
+        build_documents_index(sf_dir, idx, cfg)
+        w1, w2 = derive_ranked_terms(IndexSearcher(idx, cfg), 2)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.array([0], dtype=np.int64),
+                "text": [f"{w1} {w2}"],
+                "type": ["intervals"],
+                "max_gaps": np.array([3], dtype=np.int64),
+            }
+        )
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out.sort_values("rank")[["rank", "doc_id", "score"]]
+            .reset_index(drop=True)
+            .astype({"rank": np.int64, "doc_id": np.int64})
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_span_first_topk(sf_dir: str):
     """ES span_first envelope around a span_near chain (slop=3): the
     ordered w1..w2 span must end within the first 8 token positions —
@@ -4607,6 +4644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mget_docs": _q_mget_docs,
         "phrase_topk": _q_phrase_topk,
         "span_near_topk": _q_span_near_topk,
+        "intervals_topk": _q_intervals_topk,
         "span_first_topk": _q_span_first_topk,
         "lineitem_agg": _q_lineitem_agg,
         "topk_orders": _q_topk_orders,
@@ -5003,6 +5041,50 @@ def oracle_sql() -> dict[str, str]:
                      len([i for i in generate_series(1, len(t))
                           if t[i] = w.w1 AND len([j for j in generate_series(i+1, least(i+4, len(t)))
                                                   if t[j] = w.w2]) > 0])::DOUBLE AS tf
+              FROM toks, w
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     round(idf.v * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS score
+              FROM ptf p
+              JOIN dl ON dl.doc_id = p.doc_id
+              CROSS JOIN idf CROSS JOIN stats s
+              WHERE p.tf > 0
+            )
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id, score
+            FROM scored
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "intervals_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            exdocs AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+            dfs AS (SELECT term, count(*)::DOUBLE AS df FROM exdocs GROUP BY 1),
+            ranked AS (
+              SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM dfs
+            ),
+            w AS (SELECT (SELECT term FROM ranked WHERE r = 1) AS w1,
+                         (SELECT term FROM ranked WHERE r = 2) AS w2),
+            idf AS (
+              SELECT ln(1 + (s.n - d1.df + 0.5) / (d1.df + 0.5))
+                   + ln(1 + (s.n - d2.df + 0.5) / (d2.df + 0.5)) AS v
+              FROM w JOIN dfs d1 ON d1.term = w.w1 JOIN dfs d2 ON d2.term = w.w2
+              CROSS JOIN stats s
+            ),
+            -- unordered max_gaps=3: an anchor end i is valid when the
+            -- OTHER term occurs within the last 4 positions (inclusive)
+            ptf AS (
+              SELECT toks.doc_id,
+                     len([i for i in generate_series(1, len(t))
+                          if (t[i] = w.w1 AND len([j for j in generate_series(greatest(1, i - 4), i)
+                                                   if t[j] = w.w2]) > 0)
+                          OR (t[i] = w.w2 AND len([j for j in generate_series(greatest(1, i - 4), i)
+                                                   if t[j] = w.w1]) > 0)])::DOUBLE AS tf
               FROM toks, w
             ),
             scored AS (

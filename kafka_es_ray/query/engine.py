@@ -1173,6 +1173,67 @@ class IndexSearcher:
             }
         )
 
+    def search_intervals(
+        self,
+        text: str,
+        lang: str | None = None,
+        k: int = 10,
+        max_gaps: int = 0,
+        field: str | None = None,
+    ) -> pd.DataFrame:
+        """ES intervals query (all_of, ordered=false, max_gaps): docs
+        where some window holds every unique analyzed term, any order,
+        with total gaps <= max_gaps.  Requires cfg.index_positions=True.
+        Scoring follows the phrase convention (idf = Σ bm25_idf over
+        unique terms, tf = valid minimal-window ends); tie-break
+        (score desc, doc_id asc)."""
+        terms = sorted(set(get_analyzer(lang).tokenize(text)))
+        avgdl_use = self.avgdl
+        if field is not None:
+            terms = [f"{field}\x1f{t}" for t in terms]
+            avgdl_use = self.avgdl_fields[field]
+        empty = pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "key": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64),
+            }
+        )
+        if not terms:
+            return empty
+        df = self.global_df(terms)
+        df_map = dict(zip(terms, df))
+        if any(df_map[t] == 0 for t in terms):
+            return empty
+        idf_sum = float(sum(bm25_idf(df, self.n_docs)))
+        parts = [
+            score_segment_intervals(
+                s, terms, idf_sum, avgdl_use, self.k1, self.b, max_gaps,
+                dl_field=field,
+            )
+            for s in self.segments
+        ]
+        ids = np.concatenate([p[0] for p in parts]) if parts else np.array([], dtype=np.int64)
+        scores = np.concatenate([p[1] for p in parts]) if parts else np.array([])
+        if ids.size == 0:
+            return empty
+        order = np.lexsort((ids, -scores))[:k]
+        top = ids[order]
+        keys = np.empty(top.size, dtype=object)
+        for s in self.segments:
+            in_seg = np.isin(top, s.doc_ids_store) if s.n_docs else np.zeros(top.size, bool)
+            if in_seg.any():
+                keys[in_seg] = s.keys_for(top[in_seg])
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, top.size + 1, dtype=np.int64),
+                "doc_id": top,
+                "key": keys,
+                "score": scores[order],
+            }
+        )
+
     def agg_terms(
         self, text: str, field: str = "lang", lang: str | None = None,
         operator: str = "or",
@@ -2018,6 +2079,67 @@ def score_segment_span_near(
     return ids, scores
 
 
+def score_segment_intervals(
+    s: Segment,
+    terms: list[str],
+    idf_sum: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+    max_gaps: int,
+    dl_field: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES intervals query (all_of, ordered=false) over ONE segment: a doc
+    matches when some window contains >= 1 occurrence of EVERY unique
+    term with total gaps (width - n_terms) <= ``max_gaps``, in any
+    order.  Exact via minimal-window-per-end: every anchor position p
+    (any term's occurrence) yields the minimal covering window ending at
+    p — [min over terms of latest-occurrence-<=-p, p]; a cover exists
+    iff some anchor's window passes the gap bound (the minimal window's
+    end is always an occurrence of one of the terms).  tf = number of
+    anchor end positions whose minimal window passes (the engine
+    convention, mirroring span_near's chains-per-anchor).  Fully
+    vectorized: one searchsorted per term over the shared int64
+    (doc, pos) key streams.  Scoring follows the frozen phrase
+    convention: round6(idf_sum * bm25_tf_part(tf, dl))."""
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+    uniq = sorted(set(terms))
+    cand, gathered = _phrase_gather(s, uniq, dl_field)
+    if cand.size == 0:
+        return empty
+    L = np.int64(1) << 32
+    n = len(uniq)
+    # anchors: every occurrence of every term (a position holds exactly
+    # one token, so keys are unique across terms)
+    anchor_keys = np.concatenate([gathered[t][0] * L + gathered[t][1] for t in uniq])
+    docs_a = anchor_keys // L
+    pos_a = anchor_keys % L
+    valid = np.ones(anchor_keys.size, dtype=bool)
+    min_latest = np.full(anchor_keys.size, np.iinfo(np.int64).max, dtype=np.int64)
+    for t in uniq:
+        du, pu = gathered[t]
+        ek = du * L + pu  # sorted: docs asc, positions asc per doc
+        idx = np.searchsorted(ek, anchor_keys, side="right") - 1
+        ok = idx >= 0
+        idxc = np.maximum(idx, 0)
+        ok &= (ek[idxc] // L) == docs_a  # latest-<=-p is same-doc
+        valid &= ok
+        latest = ek[idxc] % L
+        min_latest = np.minimum(
+            min_latest, np.where(ok, latest, np.iinfo(np.int64).max)
+        )
+    valid &= (pos_a - min_latest + 1 - n) <= int(max_gaps)
+    if not valid.any():
+        return empty
+    tf_per_doc = np.bincount(docs_a[valid], minlength=cand.size)
+    hit = tf_per_doc > 0
+    ids = cand[hit]
+    tfs = tf_per_doc[hit].astype(np.float64)
+    dls = s.dl_for(ids, dl_field).astype(np.float64)
+    scores = np.asarray(round6(idf_sum * bm25_tf_part(tfs, dls, avgdl, k1, b)))
+    return ids, scores
+
+
 def score_segment_phrase(
     s: Segment,
     phrase: list[str],
@@ -2530,7 +2652,13 @@ class ShardScorerStage(_SegmentCacheStage):
                     # holds COMBINED scores, so a BM25 theta would prune
                     # docs whose boost could lift them into the top-k
                     theta = None
-                if "span" in q:
+                if "intervals" in q:
+                    ids, scores = score_segment_intervals(
+                        seg, q["intervals"], q["idf_sum"],
+                        q.get("avgdl") or self.avgdl, self.k1, self.b,
+                        q.get("max_gaps", 0), dl_field=q.get("dl_field"),
+                    )
+                elif "span" in q:
                     ids, scores = score_segment_span_near(
                         seg, q["span"], q["idf_sum"],
                         q.get("avgdl") or self.avgdl, self.k1, self.b,
@@ -3717,6 +3845,41 @@ def run_queries(
     for row in queries.itertuples(index=False):
         lang_q = getattr(row, "lang", None)
         k = int(getattr(row, "k", 10) or 10)
+        if (getattr(row, "type", None) or "match") == "intervals":
+            # ES intervals query (all_of, ordered=false, max_gaps):
+            # unordered minimal-cover window over the unique terms;
+            # field-scoped like phrase
+            iv_terms = sorted(set(get_analyzer(lang_q).tokenize(row.text)))
+            iv_raw = iv_terms
+            iv_fld = _row_str(row, "field")
+            if iv_fld:
+                iv_terms = [f"{iv_fld}\x1f{t}" for t in iv_terms]
+            if not iv_terms or any(df_map.get(t, 0) == 0 for t in iv_terms):
+                continue
+            idf_sum = float(
+                sum(
+                    bm25_idf(np.array([df_map[t]], dtype=np.int64), n_docs)[0]
+                    for t in iv_terms
+                )
+            )
+            mg = int(getattr(row, "max_gaps", 0) or 0)
+            key = ("intervals", tuple(iv_terms), k, mg)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "intervals": iv_terms,
+                    "hl_terms": iv_raw,
+                    "idf_sum": idf_sum,
+                    "k": k,
+                    "max_gaps": mg,
+                    "dl_field": iv_fld,
+                    "avgdl": (
+                        (float(avgdl_fields.get(iv_fld, 0)) or 1.0) if iv_fld else None
+                    ),
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
         if (getattr(row, "type", None) or "match") == "span_near":
             # ES span_near (in_order=true, span_term clauses): ordered
             # chain with total gap <= slop; field-scoped like phrase

@@ -371,6 +371,117 @@ def test_span_near_matches_bruteforce_and_distributed(
         assert dist["score"].tolist() == got["score"].tolist()
 
 
+def test_intervals_unordered_gaps(ray_session, tmp_path_factory):
+    """ES intervals (all_of, ordered=false): hand-built docs pin the
+    unordered window semantics — any order matches, gap boundary exact,
+    3-term covers."""
+    import ray.data as rd
+
+    from kafka_es_ray.query.engine import run_queries
+
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(7)],
+            "text": [
+                "alpha beta",             # gaps 0
+                "beta alpha",             # reversed: still gaps 0
+                "alpha z z beta",         # gaps 2
+                "beta z z z alpha",       # gaps 3
+                "alpha z z z z beta",     # gaps 4
+                "alpha alpha alpha",      # missing beta: no match
+                "beta z alpha z beta",    # best window gaps 1
+            ],
+            "lang": ["en"] * 7,
+        }
+    )
+    d = str(tmp_path_factory.mktemp("intervx"))
+    build_index(rd.from_pandas(docs), d, CFG, html_col=None, ts_col=None)
+    s = IndexSearcher(d, CFG)
+    key_of = lambda r: set(r["key"])
+    assert key_of(s.search_intervals("alpha beta", max_gaps=0)) == {"u0", "u1"}
+    assert key_of(s.search_intervals("alpha beta", max_gaps=2)) == {
+        "u0", "u1", "u2", "u6",
+    }
+    assert key_of(s.search_intervals("alpha beta", max_gaps=3)) == {
+        "u0", "u1", "u2", "u3", "u6",
+    }
+    assert key_of(s.search_intervals("alpha beta", max_gaps=4)) == {
+        "u0", "u1", "u2", "u3", "u4", "u6",
+    }
+    # 3-term cover: beta..alpha..beta in u6 needs gaps >= 1... the
+    # window [0, 4] holds beta, alpha, beta: width 5 - 2 distinct... the
+    # unique-terms contract: "beta alpha beta" analyzes to {alpha, beta}
+    assert key_of(s.search_intervals("beta alpha beta", max_gaps=0)) == {"u0", "u1"}
+    # tf counts valid minimal-window ends: u6 at max_gaps=1 has ends at
+    # the alpha (pos 2, window [0,2]... gaps 1) and the final beta
+    # (pos 4, window [2,4], gaps 1) — score reflects tf=2
+    r = s.search_intervals("alpha beta", max_gaps=1)
+    assert key_of(r) == {"u0", "u1", "u6"}
+    # distributed plan parity
+    q = pd.DataFrame(
+        {
+            "query_id": np.array([0], dtype=np.int64),
+            "text": ["alpha beta"],
+            "type": ["intervals"],
+            "max_gaps": np.array([2], dtype=np.int64),
+        }
+    )
+    dist = run_queries(q, d, CFG).to_pandas().sort_values("rank")
+    want = s.search_intervals("alpha beta", max_gaps=2)
+    assert dist["doc_id"].tolist() == want["doc_id"].tolist()
+    assert dist["score"].tolist() == want["score"].tolist()
+
+
+def test_intervals_matches_bruteforce(ray_session, phrase_corpus, phrase_index):
+    """Window-scan brute force over the corpus == the engine's
+    minimal-window-per-end formulation (existence AND tf)."""
+    an = get_analyzer("en")
+    s = IndexSearcher(phrase_index, CFG)
+    docs = _with_engine_ids(phrase_corpus, s)
+    for text, mg in (("quick fox", 1), ("quick brown fox", 2), ("brown quick", 0)):
+        terms = sorted(set(an.tokenize(text)))
+        n = len(terms)
+        toks = [an.tokenize(t) for t in docs["text"]]
+        dfs = {t: sum(t in set(tt) for tt in toks) for t in terms}
+        idf_sum = float(sum(bm25_idf(np.array([dfs[t]]), len(docs))[0] for t in terms))
+        avgdl = np.mean([len(tt) for tt in toks]) or 1.0
+        rows = []
+        for did, tt in zip(docs["oracle_doc_id"], toks):
+            # brute force: for each end position holding any term, check
+            # the latest-occurrence-per-term window
+            tf = 0
+            for i, tok in enumerate(tt):
+                if tok not in terms:
+                    continue
+                latest = []
+                ok = True
+                for u in terms:
+                    cand_pos = [j for j in range(i + 1) if tt[j] == u]
+                    if not cand_pos:
+                        ok = False
+                        break
+                    latest.append(cand_pos[-1])
+                if ok and (i - min(latest) + 1 - n) <= mg:
+                    tf += 1
+            if tf:
+                score = round6(
+                    idf_sum
+                    * bm25_tf_part(
+                        np.array([tf], dtype=float),
+                        np.array([len(tt)], dtype=float), avgdl, 1.2, 0.75,
+                    )
+                )[0]
+                rows.append({"doc_id": int(did), "score": float(score)})
+        want = (
+            pd.DataFrame(rows, columns=["doc_id", "score"])
+            .sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(10).reset_index(drop=True)
+        )
+        got = s.search_intervals(text, max_gaps=mg)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), (text, mg)
+        assert got["score"].tolist() == want["score"].tolist(), (text, mg)
+
+
 def test_span_first_envelope(ray_session, tmp_path_factory):
     """span_first: the chain must END before the given token position;
     greedy minimal-end chains make the cut exact."""
