@@ -1686,6 +1686,49 @@ def _q_intervals_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_query_string_topk(sf_dir: str):
+    """ES query_string (Lucene syntax subset): '+t3 t6 "b1 b2"' — must
+    term + bare should + quoted must-phrase over the df-rank-3/6 terms
+    and the corpus's top bigram; rewritten onto the bool path with a
+    phrase clause, distributed run_queries."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.pipelines.fulltext import (
+        build_documents_index,
+        derive_ranked_terms,
+    )
+    from kafka_es_ray.pipelines.text_ops import top_bigram
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+    from kafka_es_ray.sources.parquet import read_table
+
+    w1, w2, _ = top_bigram(read_table(sf_dir, "documents", columns=["text"]))
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_qsidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, index_positions=True)
+        build_documents_index(sf_dir, idx, cfg)
+        terms = derive_ranked_terms(IndexSearcher(idx, cfg), 6)
+        t3, t6 = terms[2], terms[5]
+        queries = pd.DataFrame(
+            {
+                "query_id": np.array([0], dtype=np.int64),
+                "text": [f'+{t3} {t6} "{w1} {w2}"'],
+                "type": ["query_string"],
+            }
+        )
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out.sort_values("rank")[["rank", "doc_id", "score"]]
+            .reset_index(drop=True)
+            .astype({"rank": np.int64, "doc_id": np.int64})
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_span_first_topk(sf_dir: str):
     """ES span_first envelope around a span_near chain (slop=3): the
     ordered w1..w2 span must end within the first 8 token positions —
@@ -4645,6 +4688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": _q_phrase_topk,
         "span_near_topk": _q_span_near_topk,
         "intervals_topk": _q_intervals_topk,
+        "query_string_topk": _q_query_string_topk,
         "span_first_topk": _q_span_first_topk,
         "lineitem_agg": _q_lineitem_agg,
         "topk_orders": _q_topk_orders,
@@ -5050,6 +5094,75 @@ def oracle_sql() -> dict[str, str]:
               JOIN dl ON dl.doc_id = p.doc_id
               CROSS JOIN idf CROSS JOIN stats s
               WHERE p.tf > 0
+            )
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id, score
+            FROM scored
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "query_string_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            tok_rows AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok_rows GROUP BY 1, 2),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            ranked_terms AS (
+              SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+            ),
+            w AS (SELECT (SELECT term FROM ranked_terms WHERE r = 3) AS tmust,
+                         (SELECT term FROM ranked_terms WHERE r = 6) AS tshould),
+            big AS (
+              SELECT unnest([{{'w1': t[i], 'w2': t[i+1]}} for i in generate_series(1, len(t)-1)]) AS bg
+              FROM toks WHERE len(t) >= 2
+            ),
+            top_bigram AS (
+              SELECT bg.w1 AS w1, bg.w2 AS w2 FROM big
+              GROUP BY 1, 2 ORDER BY count(*) DESC, w1 ASC, w2 ASC LIMIT 1
+            ),
+            pidf AS (
+              SELECT ln(1 + (s.n - d1.df + 0.5) / (d1.df + 0.5))
+                   + ln(1 + (s.n - d2.df + 0.5) / (d2.df + 0.5)) AS v
+              FROM top_bigram tb
+              JOIN df d1 ON d1.term = tb.w1
+              JOIN df d2 ON d2.term = tb.w2
+              CROSS JOIN stats s
+            ),
+            ptf AS (
+              SELECT toks.doc_id,
+                     len([i for i in generate_series(1, len(t)-1)
+                          if t[i] = tb.w1 AND t[i+1] = tb.w2])::DOUBLE AS tf
+              FROM toks, top_bigram tb
+            ),
+            phrase_score AS (
+              SELECT p.doc_id,
+                     round(pidf.v * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS ps
+              FROM ptf p JOIN dl ON dl.doc_id = p.doc_id
+              CROSS JOIN pidf CROSS JOIN stats s
+              WHERE p.tf > 0
+            ),
+            must_score AS (
+              SELECT tf.doc_id,
+                     round(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS ms
+              FROM w JOIN tf ON tf.term = w.tmust JOIN df ON df.term = w.tmust
+              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+            ),
+            should_score AS (
+              SELECT tf.doc_id,
+                     round(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS ss
+              FROM w JOIN tf ON tf.term = w.tshould JOIN df ON df.term = w.tshould
+              JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+            ),
+            scored AS (
+              SELECT m.doc_id, round(m.ms + p.ps + coalesce(s2.ss, 0), 6) AS score
+              FROM must_score m
+              JOIN phrase_score p USING (doc_id)
+              LEFT JOIN should_score s2 USING (doc_id)
             )
             SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
                    doc_id, score

@@ -2231,22 +2231,29 @@ def score_segment_bool(
     avgdl: float,
     k1: float,
     b: float,
+    phrases: list[tuple[list[str], float]] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """ES bool query over ONE segment: candidates = docs in every must
     clause's match set, with >= msm should clauses matched, minus
     must_not matches; score = round6(sum of the matched clauses' round6'd
     BM25 scores).  Each clause scores via score_segment (pruning off),
-    so tombstone exclusion is inherited."""
+    so tombstone exclusion is inherited.  ``phrases`` (query_string
+    quoted clauses): (tokens, idf_sum) pairs scored via
+    score_segment_phrase and treated as additional MUST clauses."""
     empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
     res_m = [
         score_segment(s, terms, idf, avgdl, k1, b, None) for terms, idf in must
+    ]
+    res_m += [
+        score_segment_phrase(s, toks, idf_sum, avgdl, k1, b)
+        for toks, idf_sum in (phrases or [])
     ]
     if any(ids.size == 0 for ids, _ in res_m):
         return empty
     res_s = [
         score_segment(s, terms, idf, avgdl, k1, b, None) for terms, idf in should
     ]
-    if must:
+    if res_m:
         cand = res_m[0][0]
         for ids, _ in res_m[1:]:
             cand = cand[np.isin(cand, ids, assume_unique=True)]
@@ -2676,6 +2683,7 @@ class ShardScorerStage(_SegmentCacheStage):
                     ids, scores = score_segment_bool(
                         seg, bq["must"], bq["should"], bq["mn_terms"], bq["msm"],
                         self.avgdl, self.k1, self.b,
+                        phrases=bq.get("phrases"),
                     )
                 elif "mm" in q:
                     # multi_match most_fields: per-field BM25 summed per
@@ -3719,6 +3727,50 @@ def run_queries(
             queries.at[i, "must_not"] = " ".join(mn_p) or None
             queries.at[i, "msm"] = 0 if must_p else 1
             queries.at[i, "type"] = "bool"
+    if "type" in queries.columns and (queries["type"] == "query_string").any():
+        # ES query_string (Lucene syntax subset): +term/-term/NOT term,
+        # AND (all bare terms become must clauses; OR/none = should),
+        # "quoted phrases" as must phrase clauses (a negated phrase
+        # degrades to must_not terms — documented).  Rewritten to the
+        # bool path with a qs_phrases side column pre term collection.
+        import re as _re
+
+        queries = queries.copy()
+        for col in ("must", "should", "must_not", "msm", "qs_phrases"):
+            if col not in queries.columns:
+                queries[col] = None
+        for i in queries.index[queries["type"] == "query_string"]:
+            raw = _re.findall(r'[+-]?"[^"]*"|\S+', str(queries.at[i, "text"]))
+            use_and = "AND" in raw
+            must_p, sh_p, mn_p, phr_p = [], [], [], []
+            pending_not = False
+            for t in raw:
+                if t in ("AND", "OR"):
+                    continue
+                if t == "NOT":
+                    pending_not = True
+                    continue
+                neg = pending_not or t.startswith("-")
+                pending_not = False
+                body = t[1:] if t[:1] in "+-" else t
+                if body.startswith('"') and body.endswith('"') and len(body) > 1:
+                    inner = body.strip('"')
+                    if neg:
+                        mn_p.append(inner)
+                    else:
+                        phr_p.append(inner)
+                elif neg:
+                    mn_p.append(body)
+                elif t.startswith("+") or use_and:
+                    must_p.append(body)
+                else:
+                    sh_p.append(body)
+            queries.at[i, "must"] = "|".join(must_p) or None
+            queries.at[i, "should"] = "|".join(sh_p) or None
+            queries.at[i, "must_not"] = " ".join(mn_p) or None
+            queries.at[i, "qs_phrases"] = "|".join(phr_p) or None
+            queries.at[i, "msm"] = 0 if (must_p or phr_p) else 1
+            queries.at[i, "type"] = "bool"
     multi = not isinstance(index_dir, str)
     dirs = list(index_dir) if multi else [index_dir]
     manifests = [read_manifest(d) for d in dirs]
@@ -3770,7 +3822,8 @@ def run_queries(
         an = get_analyzer(getattr(row, "lang", None))
         if (getattr(row, "type", None) or "match") == "bool":
             # bool rows: clause texts live in must/should/must_not columns
-            for col in ("must", "should", "must_not"):
+            # (+ qs_phrases for query_string quoted clauses)
+            for col in ("must", "should", "must_not", "qs_phrases"):
                 v = _row_str(row, col)
                 if v:
                     for clause in v.split("|"):
@@ -3982,15 +4035,35 @@ def run_queries(
             if any(p is None for p in must_p):
                 continue
             should_p = [p for p in _clauses(_row_str(row, "should")) if p is not None]
+            # query_string quoted clauses: must phrases (ordered tokens,
+            # repeats kept); a globally-absent term means the plan can
+            # never match (same rule as a dead must clause)
+            qs_v = _row_str(row, "qs_phrases")
+            phr_p = []
+            dead_phrase = False
+            for ptext in (qs_v.split("|") if qs_v else []):
+                p_toks = an_q.tokenize(ptext)
+                if not p_toks or any(df_map.get(t, 0) == 0 for t in p_toks):
+                    dead_phrase = True
+                    break
+                p_idf = float(
+                    sum(
+                        bm25_idf(np.array([df_map[t]], dtype=np.int64), n_docs)[0]
+                        for t in p_toks
+                    )
+                )
+                phr_p.append((p_toks, p_idf))
+            if dead_phrase:
+                continue
             msm_raw = getattr(row, "msm", None)
             try:
                 msm_missing = msm_raw is None or bool(pd.isna(msm_raw))
             except (TypeError, ValueError):
                 msm_missing = False
-            msm = (0 if must_p else 1) if msm_missing else int(msm_raw)
-            if not must_p and (not should_p or len(should_p) < msm):
+            msm = (0 if (must_p or phr_p) else 1) if msm_missing else int(msm_raw)
+            if not must_p and not phr_p and (not should_p or len(should_p) < msm):
                 continue
-            if must_p and msm > len(should_p):
+            if (must_p or phr_p) and msm > len(should_p):
                 continue
             mn_v = _row_str(row, "must_not")
             mn_terms_b = sorted(set(an_q.tokenize(mn_v))) if mn_v else None
@@ -4001,6 +4074,7 @@ def run_queries(
                 tuple(tuple(c[0]) for c in should_p),
                 tuple(mn_terms_b) if mn_terms_b else None,
                 msm, k, offset,
+                tuple(tuple(p[0]) for p in phr_p) or None,
             )
             entry = plan_by_key.get(key)
             if entry is None:
@@ -4011,9 +4085,11 @@ def run_queries(
                         "should": should_p,
                         "mn_terms": mn_terms_b,
                         "msm": msm,
+                        "phrases": phr_p or None,
                     },
                     "hl_terms": sorted(
                         {t for c in must_p + should_p for t in c[0]}
+                        | {t for p in phr_p for t in p[0]}
                     ),
                     "k": k + offset,
                     "offset": offset,

@@ -281,6 +281,95 @@ def test_simple_query_string_mixed_with_other_types(qt_index):
     assert got1["doc_id"].tolist() == want1["doc_id"].tolist()
 
 
+@pytest.fixture(scope="module")
+def qt_pos_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    idx = str(tmp_path_factory.mktemp("qtposidx"))
+    build_index(
+        rd.from_pandas(DOCS), idx,
+        EngineConfig(num_partitions=4, index_positions=True),
+        html_col=None, ts_col=None,
+    )
+    return idx
+
+
+CFG_POS = EngineConfig(num_partitions=4, index_positions=True)
+
+
+def test_query_string_equals_bool(qt_index):
+    """Lucene-syntax subset: +must / -not / NOT / AND / bare-should all
+    rewrite onto the rank-verified bool path."""
+    s = IndexSearcher(qt_index, CFG)
+    cases = [
+        ("+apple banana -drum", ["apple"], ["banana"], "drum", 0),
+        ("apple AND banana", ["apple", "banana"], [], None, 0),
+        ("apple NOT drum", [], ["apple"], "drum", 1),
+        ("banana OR cherry", [], ["banana", "cherry"], None, 1),
+    ]
+    qs = pd.DataFrame(
+        {
+            "query_id": np.arange(len(cases), dtype=np.int64),
+            "type": "query_string",
+            "text": [c[0] for c in cases],
+            "k": np.int32(100),
+        }
+    )
+    out = _run(qs, qt_index)
+    for qid, (_, must, should, mn, msm) in enumerate(cases):
+        want = s.search_bool(
+            must=must, should=should, must_not=mn,
+            minimum_should_match=msm, k=100,
+        )
+        got = out[out["query_id"] == qid]
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), cases[qid]
+        assert got["score"].tolist() == want["score"].tolist(), cases[qid]
+
+
+def test_query_string_phrase_clause(qt_pos_index):
+    """A quoted clause is a MUST phrase: match set = docs with the
+    adjacent bigram; score = round6(phrase BM25 + matched should BM25)."""
+    s = IndexSearcher(qt_pos_index, CFG_POS)
+    out = run_queries(
+        pd.DataFrame(
+            {
+                "query_id": np.int64([0]),
+                "type": ["query_string"],
+                "text": ['"apple banana" cherry'],
+                "k": np.int32(100),
+            }
+        ),
+        qt_pos_index, CFG_POS, concurrency=2,
+    ).to_pandas().sort_values("rank")
+    ph = s.search_phrase("apple banana", k=100)
+    cherry = dict(zip(*(lambda r: (r["doc_id"], r["score"]))(s.search("cherry", k=100))))
+    want = {
+        int(d): round6(np.array([sc + cherry.get(int(d), 0.0)]))[0]
+        for d, sc in zip(ph["doc_id"], ph["score"])
+    }
+    got = dict(zip(out["doc_id"].astype(int), out["score"]))
+    assert got == want
+    # docs with both words NON-adjacent must not appear
+    assert set(out["doc_id"].astype(int)) == set(ph["doc_id"].astype(int))
+
+
+def test_query_string_negated_phrase_degrades_to_terms(qt_pos_index):
+    # -"apple banana" adds both terms to must_not (documented): every
+    # apple doc is excluded, so 'apple' as should matches nothing
+    out = run_queries(
+        pd.DataFrame(
+            {
+                "query_id": np.int64([0]),
+                "type": ["query_string"],
+                "text": ['-"apple banana" apple'],
+                "k": np.int32(100),
+            }
+        ),
+        qt_pos_index, CFG_POS, concurrency=2,
+    ).to_pandas()
+    assert len(out) == 0
+
+
 def test_ids_query(qt_index):
     """ES ids query: docs whose _id is in the set, constant score 1.0,
     ties doc_id asc; missing ids are simply absent."""
