@@ -2506,6 +2506,27 @@ def _q_term_suggest(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_phrase_suggest(sf_dir: str):
+    """ES phrase suggester (whole-input did-you-mean): input = the top-2
+    ranked terms each with the last char dropped; per-slot direct
+    generator (distance<=1, top-5 by df) + unigram LM scoring of the
+    slot cross-product, unchanged input excluded."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_phrase_suggest
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_psugidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        t1, t2 = derive_ranked_terms(IndexSearcher(idx), 2)
+        text = f"{t1[:-1]} {t2[:-1]}"
+        return run_phrase_suggest([text], idx, k=3, gen_size=5)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_completion_suggest(sf_dir: str):
     """ES completion suggester (autocomplete): prefixes = first 2 chars
     of the top-4 ranked terms; completions = dictionary terms in the
@@ -4662,6 +4683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_count": _q_fuzzy_count,
         "exists_count": _q_exists_count,
         "term_suggest": _q_term_suggest,
+        "phrase_suggest": _q_phrase_suggest,
         "completion_suggest": _q_completion_suggest,
         "phrase_prefix_count": _q_phrase_prefix_count,
         "search_after_topk": _q_search_after_topk,
@@ -5040,6 +5062,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, rank::BIGINT AS rank, suggestion, freq
             FROM ranked WHERE rank <= 5
+        """,
+        "phrase_suggest": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            tf AS (SELECT DISTINCT doc_id, term FROM toks),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            ranked_terms AS (
+              SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+            ),
+            probes AS (
+              SELECT (r - 1)::BIGINT AS slot,
+                     substr(term, 1, len(term) - 1) AS p
+              FROM ranked_terms WHERE r <= 2 AND len(term) >= 2
+            ),
+            cand AS (
+              SELECT p.slot, df.term AS c, df.df AS f,
+                     row_number() OVER (
+                       PARTITION BY p.slot ORDER BY df.df DESC, df.term ASC) AS rn
+              FROM probes p JOIN df ON levenshtein(df.term, p.p) <= 1
+            ),
+            top_cand AS (SELECT * FROM cand WHERE rn <= 5),
+            orig AS (
+              SELECT (SELECT p FROM probes WHERE slot = 0) || ' '
+                     || (SELECT p FROM probes WHERE slot = 1) AS o
+            ),
+            phrases AS (
+              SELECT c0.c || ' ' || c1.c AS suggestion,
+                     round(ln((c0.f + 1.0) / (s.n + 1.0))
+                           + ln((c1.f + 1.0) / (s.n + 1.0)), 6) AS score
+              FROM top_cand c0 JOIN top_cand c1 ON c0.slot = 0 AND c1.slot = 1
+              CROSS JOIN stats s
+            ),
+            ranked2 AS (
+              SELECT suggestion, score,
+                     row_number() OVER (ORDER BY score DESC, suggestion ASC) AS rank
+              FROM phrases, orig WHERE suggestion <> orig.o
+            )
+            SELECT 0::BIGINT AS query_id, rank::BIGINT AS rank, suggestion, score
+            FROM ranked2 WHERE rank <= 3
         """,
         "phrase_prefix_count": f"""
             WITH toks AS (

@@ -6494,6 +6494,103 @@ def _run_suggest(
     return pd.concat(out, ignore_index=True)
 
 
+def run_phrase_suggest(
+    texts,
+    index_dir: str,
+    *,
+    k: int = 3,
+    gen_size: int = 5,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES phrase suggester (did-you-mean over whole inputs):
+    per analyzed token, the direct generator proposes dictionary terms
+    within edit distance <= 1 (the token itself included when indexed),
+    keeping the top ``gen_size`` per slot by global df (df desc, term
+    asc); candidate phrases = the slot cross-product, scored with a
+    smoothed unigram language model score = round6(Σ ln((df+1)/(N+1)))
+    (ES uses a Laplace-smoothed n-gram model; unigram is this engine's
+    documented flavor), the unchanged input excluded.  One
+    TermSuggestStage sweep covers every token of every input; the
+    cross-product runs on the driver over gen_size^n_tokens tiny rows.
+    A token with no candidates anywhere kills its input (ES returns no
+    suggestion when a position has no generator output).  Returns
+    (query_id, rank, suggestion, score) with query_id = input position,
+    ranked (score desc, suggestion asc)."""
+    from itertools import product
+
+    import ray
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
+    an = get_analyzer(None)
+    tok_lists = [an.tokenize(str(t)) for t in texts]
+    probes = sorted({t for toks in tok_lists for t in toks})
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    n_docs = int(manifest["n_docs"])
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "suggestion": pd.Series([], dtype=object),
+            "score": pd.Series([], dtype=np.float64),
+        }
+    )
+    if not probes:
+        return empty
+    plan_ref = ray.put((probes, manifest.get("tombstones", {}), "fuzzy"))
+    partials = _shards_ds(parts, concurrency).map_batches(
+        TermSuggestStage,
+        fn_constructor_args=(index_dir, plan_ref, cfg),
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+
+    def sum_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["query_id", "suggestion"], as_index=False).agg(
+            freq=("df_partial", "sum")
+        )
+        return g.astype({"query_id": np.int64, "freq": np.int64})
+
+    summed = bucketed_group_agg(
+        partials, ["query_id", "suggestion"], sum_bucket
+    ).to_pandas()
+    cand_of: dict[str, list[tuple[str, int]]] = {}
+    if len(summed):
+        for qi, g in summed.groupby("query_id", sort=True):
+            sug = g["suggestion"].to_numpy(dtype=object)
+            freq = g["freq"].to_numpy(np.int64)
+            sel = np.lexsort((sug, -freq))[: max(1, int(gen_size))]
+            cand_of[probes[int(qi)]] = [
+                (str(sug[j]), int(freq[j])) for j in sel
+            ]
+    out = []
+    for qid, toks in enumerate(tok_lists):
+        if not toks or any(t not in cand_of for t in toks):
+            continue
+        orig = " ".join(toks)
+        scored: list[tuple[float, str]] = []
+        for combo in product(*(cand_of[t] for t in toks)):
+            phrase = " ".join(c[0] for c in combo)
+            if phrase == orig:
+                continue
+            raw = float(
+                sum(np.log((c[1] + 1.0) / (n_docs + 1.0)) for c in combo)
+            )
+            scored.append((float(round6(np.array([raw]))[0]), phrase))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (sc, phrase) in enumerate(scored[: int(k)], start=1):
+            out.append((np.int64(qid), np.int64(rank), phrase, sc))
+    if not out:
+        return empty
+    return pd.DataFrame(
+        out, columns=["query_id", "rank", "suggestion", "score"]
+    ).astype({"query_id": np.int64, "rank": np.int64, "score": np.float64})
+
+
 class CardinalityAggStage(_SegmentCacheStage):
     """Segment-parallel ES cardinality-agg partials (approximate path):
     one HLL register block per (plan, segment) — the ES cardinality

@@ -241,6 +241,46 @@ def test_suggest_no_candidates_returns_empty(built):
         assert list(out.columns) == ["query_id", "rank", "suggestion", "freq"]
 
 
+def test_phrase_suggest_matches_bruteforce(built):
+    """run_phrase_suggest == cross-product of per-slot distance<=1
+    generators (top-5 by df), unigram-LM scored, input excluded."""
+    from itertools import product as _product
+
+    from kafka_es_ray.query.engine import run_phrase_suggest
+
+    idx, df = built
+    tok_sets = [set(t.split()) for t in df["text"]]
+    vocab: dict[str, int] = {}
+    for ts in tok_sets:
+        for w in ts:
+            vocab[w] = vocab.get(w, 0) + 1
+    n = len(df)
+    text = "aple cat"
+    got = run_phrase_suggest([text], idx, k=3, gen_size=5, cfg=CFG)
+    slots = []
+    for p in text.split():
+        cands = [(w, c) for w, c in vocab.items() if _lev(w, p) <= 1]
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        slots.append(cands[:5])
+    want = []
+    for combo in _product(*slots):
+        phrase = " ".join(w for w, _ in combo)
+        if phrase == text:
+            continue
+        raw = sum(np.log((c + 1.0) / (n + 1.0)) for _, c in combo)
+        want.append((float(np.floor(raw * 1e6 + 0.5) / 1e6), phrase))
+    want.sort(key=lambda t: (-t[0], t[1]))
+    assert list(zip(got["suggestion"], got["score"])) == [
+        (p, s) for s, p in want[:3]
+    ]
+    # an input token with no generator output kills the suggestion
+    assert len(run_phrase_suggest(["zzqqxx cat"], idx, cfg=CFG)) == 0
+    # empty input text: no crash, typed empty frame
+    out = run_phrase_suggest([""], idx, cfg=CFG)
+    assert len(out) == 0
+    assert list(out.columns) == ["query_id", "rank", "suggestion", "score"]
+
+
 def test_completion_suggest_matches_bruteforce(built):
     """run_completion_suggest == vocabulary terms with the prefix, ranked
     (global df desc, term asc); exact matches are kept as completions."""
