@@ -673,6 +673,35 @@ SELECT query_id, bucket_ts, round(raw_value, 6) AS value, sdiff FROM (
 ) WHERE sdiff IS NOT NULL ORDER BY 1, 2
 """
 
+# ES auto_date_histogram (target 8): per-query interval picked from the
+# day-bucket roll-up counts (the engine's exact-day-union rule)
+_AUTO_DH_SQL = _AGG_VALS_CTE + """
+, days AS (
+  SELECT query_id,
+         epoch(date_trunc('day', to_timestamp(ts)))::BIGINT AS d,
+         count(*)::BIGINT AS n
+  FROM vals GROUP BY 1, 2
+),
+choices AS (
+  SELECT query_id,
+         count(*) AS n_day,
+         count(DISTINCT epoch(date_trunc('week', to_timestamp(d)))) AS n_week,
+         count(DISTINCT epoch(date_trunc('month', to_timestamp(d)))) AS n_month
+  FROM days GROUP BY 1
+),
+pick AS (
+  SELECT query_id,
+         CASE WHEN n_day <= 8 THEN 'day' WHEN n_week <= 8 THEN 'week'
+              WHEN n_month <= 8 THEN 'month' ELSE 'year' END AS iv
+  FROM choices
+)
+SELECT d.query_id, p.iv AS interval,
+       epoch(date_trunc(p.iv, to_timestamp(d.d)))::BIGINT AS bucket_ts,
+       sum(d.n)::BIGINT AS n_docs
+FROM days d JOIN pick p USING (query_id)
+GROUP BY 1, 2, 3 ORDER BY 1, 3
+"""
+
 # ES bucket_sort: top-3 month buckets by the sum sub-agg desc (ties
 # bucket_ts asc) per query
 _BUCKET_SORT_SQL = _PIPE_BUCKETS_CTE + """
@@ -3399,6 +3428,23 @@ def _q_serial_diff(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_auto_date_histogram(sf_dir: str):
+    """ES auto_date_histogram (target 8 buckets): smallest calendar
+    interval from day/week/month/year fitting each derived query's ts
+    range — one day-granularity sweep, exact driver roll-up."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_auto_date_histogram
+
+    idx, cfg, queries = _agg_index_build(sf_dir, numeric=("ts",), derived=True)
+    try:
+        return run_agg_auto_date_histogram(
+            queries, idx, "ts", target_buckets=8, cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_bucket_sort(sf_dir: str):
     """ES bucket_sort pipeline aggregation: keep the top-3 month buckets
     per derived query ranked by the sum(n_chars) sub-agg desc (ties
@@ -4650,6 +4696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_fn_agg": _q_moving_fn,
         "serial_diff_agg": _q_serial_diff,
         "bucket_sort_agg": _q_bucket_sort,
+        "auto_date_histogram_agg": _q_auto_date_histogram,
         "normalize_agg": _q_normalize,
         "weighted_avg_agg": _q_weighted_avg,
         "multi_terms_agg": _q_multi_terms,
@@ -4840,6 +4887,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_fn_agg": _MOVING_FN_SQL,
         "serial_diff_agg": _SERIAL_DIFF_SQL,
         "bucket_sort_agg": _BUCKET_SORT_SQL,
+        "auto_date_histogram_agg": _AUTO_DH_SQL,
         "normalize_agg": _NORMALIZE_SQL,
         "weighted_avg_agg": _WEIGHTED_AVG_SQL,
         "multi_terms_agg": _MULTI_TERMS_SQL,

@@ -5771,6 +5771,69 @@ def run_agg_serial_diff(
     return f[["query_id", "bucket_ts", "value", "sdiff"]]
 
 
+def run_agg_auto_date_histogram(
+    queries_ds, index_dir: str, field: str, target_buckets: int = 10,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES auto_date_histogram: pick the smallest calendar interval from
+    (day, week, month, year) whose bucket count fits ``target_buckets``,
+    per query.  One DAY-granularity NumericAggStage sweep; coarser
+    intervals are EXACT roll-ups of the day buckets (every calendar unit
+    is a union of days), so interval selection and re-bucketing happen
+    on the driver over the tiny day frame — no second cluster pass.
+    Falls back to 'year' when even years overflow (the ES
+    largest-interval rule).  Returns (query_id, interval, bucket_ts,
+    n_docs) sorted."""
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, field, "day", cfg, concurrency
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            days = gg["bucket"].to_numpy(np.float64)
+            ns = gg["n"].to_numpy(np.int64)
+            chosen, buckets = "year", _calendar_floor(days, "year")
+            for iv in ("day", "week", "month", "year"):
+                rolled = _calendar_floor(days, iv)
+                if np.unique(rolled).size <= int(target_buckets):
+                    chosen, buckets = iv, rolled
+                    break
+            ub, inv = np.unique(buckets, return_inverse=True)
+            cnt = np.bincount(inv, weights=ns).astype(np.int64)
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qid),
+                            "interval": chosen,
+                            "bucket_ts": ub.astype(np.int64),
+                            "n_docs": cnt,
+                        }
+                    )
+                )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "interval": pd.Series([], dtype=object),
+                "bucket_ts": pd.Series([], dtype=np.int64),
+                "n_docs": pd.Series([], dtype=np.int64),
+            }
+        )
+    return (
+        pd.concat(rows, ignore_index=True)
+        .sort_values(["query_id", "bucket_ts"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "bucket_ts": np.int64, "n_docs": np.int64})
+    )
+
+
 def run_agg_bucket_sort(
     queries_ds, index_dir: str, field: str, metric_field: str,
     size: int = 3, calendar_interval: str = "month",

@@ -406,6 +406,33 @@ def test_pinned_promotion_and_dedup(agg_index, ray_session):
     assert got["rank"].tolist() == list(range(1, 11))
 
 
+def test_auto_date_histogram_interval_selection(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_auto_date_histogram
+
+    d, docs = agg_index
+    # fixture spans ~200 days: day>B, week>B for small B -> month/year
+    months = (
+        docs["ts"].astype(np.int64).to_numpy().astype("datetime64[s]")
+        .astype("datetime64[M]")
+    )
+    n_months = pd.Series(months).nunique()
+    got = run_agg_auto_date_histogram(Q, d, "ts", target_buckets=n_months, cfg=CFG)
+    assert got["interval"].iloc[0] == "month"
+    want = pd.Series(months).value_counts().sort_index()
+    assert got["n_docs"].tolist() == want.tolist()
+    # a huge target keeps day granularity
+    assert (
+        run_agg_auto_date_histogram(Q, d, "ts", target_buckets=10_000, cfg=CFG)[
+            "interval"
+        ].iloc[0]
+        == "day"
+    )
+    # an impossible target falls back to year
+    tiny = run_agg_auto_date_histogram(Q, d, "ts", target_buckets=0, cfg=CFG)
+    assert tiny["interval"].iloc[0] == "year"
+    assert tiny["n_docs"].sum() == len(docs)
+
+
 def test_adjacency_matrix_cells(agg_index, ray_session):
     from kafka_es_ray.query.engine import run_agg_adjacency_matrix
 
