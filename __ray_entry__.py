@@ -364,6 +364,24 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM topk WHERE rank <= 10
 """
 
+# ES script_score: _score * ln1p(n_chars) + sqrt(n_chars) over the
+# round6'd BM25 base
+_SCRIPT_SCORE_SQL = _BM25_SQL.split("topk AS (")[0] + """topk AS (
+  SELECT s.query_id, s.doc_id,
+         round(round(s.raw_score, 6) * ln(1 + d.n_chars)
+               + sqrt(d.n_chars), 6) AS score,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY round(round(s.raw_score, 6) * ln(1 + d.n_chars)
+                          + sqrt(d.n_chars), 6) DESC,
+                    s.doc_id ASC
+         ) AS rank
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10
+"""
+
 # ES more_like_this: per source doc (3 smallest doc_ids), query terms =
 # top-10 by round6(tf * bm25_idf) (tf>=1, df>=2; ties term asc), then
 # the standard or-match BM25 ranking with the source doc excluded
@@ -2882,6 +2900,40 @@ def _q_pinned_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_script_score_topk(sf_dir: str):
+    """ES script_score query (whitelisted expression subset): BM25
+    top-10 re-scored by '_score * ln1p(n_chars) + sqrt(n_chars)' —
+    vectorized AST evaluation inside each shard's scoring pass, pruning
+    disabled; the script is parsed data, never eval'd."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_scridx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"].copy()
+        queries["script"] = "_score * ln1p(n_chars) + sqrt(n_chars)"
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_rank_eval(sf_dir: str):
     """ES _rank_eval: precision/recall/MRR/NDCG@10 of the distributed
     BM25 run, judged against and-match relevance labels produced by the
@@ -4702,6 +4754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_terms_agg": _q_multi_terms,
         "string_stats_agg": _q_string_stats,
         "rank_feature_topk": _q_rank_feature_topk,
+        "script_score_topk": _q_script_score_topk,
         "top_metrics_agg": _q_top_metrics,
         "pinned_topk": _q_pinned_topk,
         "mad_agg": _q_mad_agg,
@@ -4893,6 +4946,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_terms_agg": _MULTI_TERMS_SQL,
         "string_stats_agg": _STRING_STATS_SQL,
         "rank_feature_topk": _RANK_FEATURE_SQL,
+        "script_score_topk": _SCRIPT_SCORE_SQL,
         "top_metrics_agg": _TOP_METRICS_SQL,
         "pinned_topk": _PINNED_SQL,
         "mad_agg": _MAD_SQL,

@@ -2514,6 +2514,105 @@ def _apply_fvf(seg: Segment, ids: np.ndarray, scores: np.ndarray, fvf: tuple) ->
     return np.floor(scores * _FVF_MODIFIERS[modifier](vals) * 1e6 + 0.5) / 1e6
 
 
+_SCRIPT_FUNCS = {
+    "ln": np.log,
+    "ln1p": np.log1p,
+    "log10": np.log10,
+    "sqrt": np.sqrt,
+    "abs": np.abs,
+    "min": np.minimum,
+    "max": np.maximum,
+}
+
+_SCRIPT_OPS = {
+    "Add": np.add, "Sub": np.subtract, "Mult": np.multiply,
+    "Div": np.divide, "Pow": np.power,
+}
+
+
+def _script_fields(src: str) -> tuple:
+    """Validate an ES script_score expression (the engine's whitelisted
+    painless-expression subset: numbers, +-*/ **, unary -, _score, doc
+    numeric fields by bare name, and the ln/ln1p/log10/sqrt/abs/min/max
+    functions) and return the referenced field names.  Raises ValueError
+    on anything outside the whitelist — scripts are data, never eval'd."""
+    import ast
+
+    tree = ast.parse(src, mode="eval")
+    fields: set[str] = set()
+
+    def walk(node) -> None:
+        if isinstance(node, ast.Expression):
+            walk(node.body)
+        elif isinstance(node, ast.BinOp):
+            if type(node.op).__name__ not in _SCRIPT_OPS:
+                raise ValueError(f"script_score: operator {type(node.op).__name__}")
+            walk(node.left)
+            walk(node.right)
+        elif isinstance(node, ast.UnaryOp):
+            if not isinstance(node.op, (ast.USub, ast.UAdd)):
+                raise ValueError("script_score: unary operator")
+            walk(node.operand)
+        elif isinstance(node, ast.Constant):
+            if not isinstance(node.value, (int, float)):
+                raise ValueError("script_score: non-numeric constant")
+        elif isinstance(node, ast.Name):
+            if node.id != "_score":
+                fields.add(node.id)
+        elif isinstance(node, ast.Call):
+            if not isinstance(node.func, ast.Name) or node.func.id not in _SCRIPT_FUNCS:
+                raise ValueError("script_score: unknown function")
+            if node.keywords:
+                raise ValueError("script_score: keyword args")
+            want_args = 2 if node.func.id in ("min", "max") else 1
+            if len(node.args) != want_args:
+                raise ValueError(
+                    f"script_score: {node.func.id} takes {want_args} args"
+                )
+            for a in node.args:
+                walk(a)
+        else:
+            raise ValueError(
+                f"script_score: unsupported syntax {type(node).__name__}"
+            )
+
+    walk(tree)
+    return tuple(sorted(fields))
+
+
+def _apply_script_score(
+    seg: Segment, ids: np.ndarray, scores: np.ndarray, src: str
+) -> np.ndarray:
+    """ES script_score query: score := round6(expr(_score, doc fields))
+    evaluated vectorized over the whitelisted AST (missing numeric
+    values read as 0.0 — the documented neutral)."""
+    import ast
+
+    env = {"_score": scores}
+    for f in _script_fields(src):
+        env[f] = np.nan_to_num(seg.nums_for(f, ids))
+
+    def ev(node) -> np.ndarray:
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.BinOp):
+            return _SCRIPT_OPS[type(node.op).__name__](ev(node.left), ev(node.right))
+        if isinstance(node, ast.UnaryOp):
+            v = ev(node.operand)
+            return -v if isinstance(node.op, ast.USub) else v
+        if isinstance(node, ast.Constant):
+            return np.float64(node.value)
+        if isinstance(node, ast.Name):
+            return env[node.id]
+        # Call — validated by _script_fields
+        return _SCRIPT_FUNCS[node.func.id](*(ev(a) for a in node.args))
+
+    out = np.asarray(ev(ast.parse(src, mode="eval")), dtype=np.float64)
+    if out.shape != scores.shape:  # constant-only script broadcasts
+        out = np.full_like(scores, float(out))
+    return np.floor(out * 1e6 + 0.5) / 1e6
+
+
 def _apply_rank_feature(
     seg: Segment, ids: np.ndarray, scores: np.ndarray, rf: tuple
 ) -> np.ndarray:
@@ -2654,10 +2753,12 @@ class ShardScorerStage(_SegmentCacheStage):
                     q.get("fvf") is not None
                     or q.get("rescore")
                     or q.get("rank_feature") is not None
+                    or q.get("script_score") is not None
                 ):
-                    # function_score / rescore / rank_feature: the pool
-                    # holds COMBINED scores, so a BM25 theta would prune
-                    # docs whose boost could lift them into the top-k
+                    # function_score / rescore / rank_feature /
+                    # script_score: the pool holds COMBINED scores, so a
+                    # BM25 theta would prune docs whose boost could lift
+                    # them into the top-k
                     theta = None
                 if "intervals" in q:
                     ids, scores = score_segment_intervals(
@@ -2835,6 +2936,10 @@ class ShardScorerStage(_SegmentCacheStage):
                     if q.get("rank_feature") is not None and ids.size:
                         scores = _apply_rank_feature(
                             seg, ids, scores, q["rank_feature"]
+                        )
+                    if q.get("script_score") is not None and ids.size:
+                        scores = _apply_script_score(
+                            seg, ids, scores, q["script_score"]
                         )
                     rsc = q.get("rescore")
                     if rsc is not None and ids.size:
@@ -4538,9 +4643,12 @@ def run_queries(
             )
         else:
             rf = None
+        scr = _row_str(row, "script")
+        if scr is not None:
+            _script_fields(scr)  # syntax/whitelist gate at plan time
         key = (
             tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld,
-            fr, fkw, ms, resc, sa, fvf, rf, only_sids,
+            fr, fkw, ms, resc, sa, fvf, rf, scr, only_sids,
         )
         entry = plan_by_key.get(key)
         if entry is None:
@@ -4565,6 +4673,7 @@ def run_queries(
                 "search_after": sa,
                 "fvf": fvf,
                 "rank_feature": rf,
+                "script_score": scr,
                 "only_sids": only_sids,
                 "hl_terms": base_terms,
                 "idf": np.asarray(idf, dtype=np.float64),

@@ -387,6 +387,53 @@ def test_rank_feature_rejects_unknown_function(built):
         run_queries(q, idx, CFG)
 
 
+def test_script_score_matches_bruteforce(built):
+    """run_queries with a script column == re-ranking the full BM25
+    ranking by the vectorized whitelisted expression (missing -> 0)."""
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    queries = pd.DataFrame(
+        {
+            "query_id": [0],
+            "text": ["alpha beta"],
+            "script": ["_score * 2 + ln1p(size) - 0.5 * sqrt(stars)"],
+        }
+    )
+    got = (
+        run_queries(queries, idx, CFG)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    full = s.search("alpha beta", k=10_000)
+    by_doc = df.set_index("doc_id")
+    size = np.nan_to_num(by_doc.loc[full["doc_id"], "size"].to_numpy(np.float64))
+    stars = np.nan_to_num(by_doc.loc[full["doc_id"], "stars"].to_numpy(np.float64))
+    want = np.floor(
+        (full["score"].to_numpy() * 2 + np.log1p(size) - 0.5 * np.sqrt(stars))
+        * 1e6 + 0.5
+    ) / 1e6
+    order = np.lexsort((full["doc_id"].to_numpy(), -want))[:10]
+    assert got["doc_id"].tolist() == full["doc_id"].to_numpy()[order].tolist()
+    assert got["score"].tolist() == want[order].tolist()
+
+
+def test_script_score_rejects_unsafe_syntax(built):
+    idx, _ = built
+    for bad in (
+        "__import__('os')",
+        "_score.attr",
+        "open('/etc/passwd')",
+        "[1,2][0]",
+        "'str'",
+        "exp(_score)",
+        "min(_score)",  # wrong arity surfaces at eval; syntax ok
+    ):
+        q = pd.DataFrame({"query_id": [0], "text": ["alpha"], "script": [bad]})
+        with pytest.raises((ValueError, TypeError)):
+            run_queries(q, idx, CFG).to_pandas()
+
+
 def test_field_collapse_matches_bruteforce(built):
     from kafka_es_ray.query.engine import run_collapsed
 
