@@ -1733,6 +1733,78 @@ def _q_intervals_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_span_or_topk(sf_dir: str):
+    """ES span_or over the df-rank-3/5 span_term clauses: union of
+    occurrences, span freq = Σ clause tfs per doc — postings-only
+    kernel, phrase-convention scoring."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_soridx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, index_positions=True)
+        build_documents_index(sf_dir, idx, cfg)
+        terms = derive_ranked_terms(IndexSearcher(idx, cfg), 5)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.array([0], dtype=np.int64),
+                "text": [f"{terms[2]} {terms[4]}"],
+                "type": ["span_or"],
+            }
+        )
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out.sort_values("rank")[["rank", "doc_id", "score"]]
+            .reset_index(drop=True)
+            .astype({"rank": np.int64, "doc_id": np.int64})
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_span_not_topk(sf_dir: str):
+    """ES span_not: df-rank-1 include spans surviving a ±2-token window
+    around any df-rank-2 exclude occurrence (Lucene pre/post)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_snotidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, index_positions=True)
+        build_documents_index(sf_dir, idx, cfg)
+        w1, w2 = derive_ranked_terms(IndexSearcher(idx, cfg), 2)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.array([0], dtype=np.int64),
+                "text": [w1],
+                "type": ["span_not"],
+                "exclude": [w2],
+                "pre": np.array([2], dtype=np.int64),
+                "post": np.array([2], dtype=np.int64),
+            }
+        )
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out.sort_values("rank")[["rank", "doc_id", "score"]]
+            .reset_index(drop=True)
+            .astype({"rank": np.int64, "doc_id": np.int64})
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_query_string_topk(sf_dir: str):
     """ES query_string (Lucene syntax subset): '+t3 t6 "b1 b2"' — must
     term + bare should + quoted must-phrase over the df-rank-3/6 terms
@@ -4810,6 +4882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": _q_phrase_topk,
         "span_near_topk": _q_span_near_topk,
         "intervals_topk": _q_intervals_topk,
+        "span_or_topk": _q_span_or_topk,
+        "span_not_topk": _q_span_not_topk,
         "query_string_topk": _q_query_string_topk,
         "span_first_topk": _q_span_first_topk,
         "lineitem_agg": _q_lineitem_agg,
@@ -5257,6 +5331,79 @@ def oracle_sql() -> dict[str, str]:
                      round(idf.v * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS score
               FROM ptf p
               JOIN dl ON dl.doc_id = p.doc_id
+              CROSS JOIN idf CROSS JOIN stats s
+              WHERE p.tf > 0
+            )
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id, score
+            FROM scored
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "span_or_topk": f"""
+            WITH tl AS (
+              SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tl),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            toks AS (SELECT doc_id, unnest(t) AS term FROM tl),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            ranked AS (
+              SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+            ),
+            w AS (SELECT (SELECT term FROM ranked WHERE r = 3) AS w1,
+                         (SELECT term FROM ranked WHERE r = 5) AS w2),
+            idf AS (
+              SELECT ln(1 + (s.n - d1.df + 0.5) / (d1.df + 0.5))
+                   + ln(1 + (s.n - d2.df + 0.5) / (d2.df + 0.5)) AS v
+              FROM w JOIN df d1 ON d1.term = w.w1 JOIN df d2 ON d2.term = w.w2
+              CROSS JOIN stats s
+            ),
+            utf AS (
+              SELECT tf.doc_id, sum(tf.tf) AS tf
+              FROM w JOIN tf ON tf.term IN (w.w1, w.w2) GROUP BY 1
+            ),
+            scored AS (
+              SELECT u.doc_id,
+                     round(idf.v * u.tf * 2.2 / (u.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS score
+              FROM utf u JOIN dl ON dl.doc_id = u.doc_id
+              CROSS JOIN idf CROSS JOIN stats s
+            )
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id, score
+            FROM scored
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "span_not_topk": f"""
+            WITH tl AS (
+              SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tl),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            exdocs AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM tl),
+            dfs AS (SELECT term, count(*)::DOUBLE AS df FROM exdocs GROUP BY 1),
+            ranked AS (
+              SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM dfs
+            ),
+            w AS (SELECT (SELECT term FROM ranked WHERE r = 1) AS w1,
+                         (SELECT term FROM ranked WHERE r = 2) AS w2),
+            idf AS (
+              SELECT ln(1 + (s.n - d1.df + 0.5) / (d1.df + 0.5)) AS v
+              FROM w JOIN dfs d1 ON d1.term = w.w1 CROSS JOIN stats s
+            ),
+            ptf AS (
+              SELECT tl.doc_id,
+                     len([i for i in generate_series(1, len(t))
+                          if t[i] = w.w1 AND len([j for j in generate_series(greatest(1, i - 2), least(len(t), i + 2))
+                                                  if t[j] = w.w2]) = 0])::DOUBLE AS tf
+              FROM tl, w
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     round(idf.v * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS score
+              FROM ptf p JOIN dl ON dl.doc_id = p.doc_id
               CROSS JOIN idf CROSS JOIN stats s
               WHERE p.tf > 0
             )

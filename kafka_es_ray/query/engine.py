@@ -2140,6 +2140,115 @@ def score_segment_intervals(
     return ids, scores
 
 
+def score_segment_span_or(
+    s: Segment,
+    terms: list[str],
+    idf_sum: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+    dl_field: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES span_or over span_term clauses for ONE segment: a doc matches
+    when it contains ANY clause term; matching spans are the union of
+    the terms' occurrences, so span freq = Σ clause-term tfs per doc —
+    postings only, no position decode.  Scoring follows the frozen
+    phrase convention: round6(idf_sum * bm25_tf_part(tf, dl)) with
+    idf_sum over the (present) unique clause terms."""
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+    ids_all, tf_all = [], []
+    for t in sorted(set(terms)):
+        ti = s.lookup(t)
+        if ti < 0:
+            continue
+        ids_t, tfs_t, _ = s.postings_with_dl(ti, dl_field)
+        ids_all.append(ids_t)
+        tf_all.append(tfs_t.astype(np.int64))
+    if not ids_all:
+        return empty
+    ids_c = np.concatenate(ids_all)
+    tf_c = np.concatenate(tf_all)
+    uids, inv = np.unique(ids_c, return_inverse=True)
+    tfs = np.bincount(inv, weights=tf_c)
+    if s.tombstones is not None and s.tombstones.size:
+        pos_t = np.minimum(np.searchsorted(s.tombstones, uids), s.tombstones.size - 1)
+        live = s.tombstones[pos_t] != uids
+        uids, tfs = uids[live], tfs[live]
+    if uids.size == 0:
+        return empty
+    dls = s.dl_for(uids, dl_field).astype(np.float64)
+    scores = np.asarray(round6(idf_sum * bm25_tf_part(tfs, dls, avgdl, k1, b)))
+    return uids, scores
+
+
+def score_segment_span_not(
+    s: Segment,
+    include: str,
+    exclude: str,
+    pre: int,
+    post: int,
+    idf_inc: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+    dl_field: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES span_not for ONE segment: occurrences of ``include`` are kept
+    unless an ``exclude`` occurrence falls within ``pre`` tokens before
+    or ``post`` tokens after (the Lucene pre/post windows; pre=post=0
+    keeps everything for distinct single-term spans — they can never
+    overlap).  tf = surviving include positions; scoring per the phrase
+    convention with the include term's idf.  Vectorized: one run-offset
+    position gather per side + one searchsorted window probe."""
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+    ti = s.lookup(include)
+    if ti < 0:
+        return empty
+    cand, gathered = _phrase_gather(s, [include], dl_field)
+    if cand.size == 0:
+        return empty
+    d_inc, p_inc = gathered[include]
+    te = s.lookup(exclude)
+    keep = np.ones(d_inc.size, dtype=bool)
+    if te >= 0 and (int(pre) > 0 or int(post) > 0):
+        ids_e, tfs_e, _ = s.postings_with_dl(te, dl_field)
+        # gather exclude positions for candidate docs that contain it
+        j = np.searchsorted(ids_e, cand)
+        jc = np.minimum(j, ids_e.size - 1)
+        has_e = (ids_e[jc] == cand) if ids_e.size else np.zeros(cand.size, bool)
+        if has_e.any():
+            flat, run_starts = s.positions_for(te)
+            lens = tfs_e[jc[has_e]].astype(np.int64)
+            total = int(lens.sum())
+            run_off = np.zeros(int(has_e.sum()), dtype=np.int64)
+            np.cumsum(lens[:-1], out=run_off[1:])
+            gi = (
+                np.repeat(run_starts[jc[has_e]], lens)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(run_off, lens)
+            )
+            d_exc = np.repeat(np.flatnonzero(has_e).astype(np.int64), lens)
+            p_exc = flat[gi].astype(np.int64)
+            L = np.int64(1) << 32
+            ek = d_exc * L + p_exc
+            lo_key = d_inc * L + np.maximum(p_inc - int(pre), 0)
+            hi_key = d_inc * L + (p_inc + int(post))
+            lo = np.searchsorted(ek, lo_key, side="left")
+            hit = lo < ek.size
+            loc = np.minimum(lo, ek.size - 1)
+            hit &= ek[loc] <= hi_key
+            keep = ~hit
+    if not keep.any():
+        return empty
+    tf_per_doc = np.bincount(d_inc[keep], minlength=cand.size)
+    live = tf_per_doc > 0
+    ids = cand[live]
+    tfs = tf_per_doc[live].astype(np.float64)
+    dls = s.dl_for(ids, dl_field).astype(np.float64)
+    scores = np.asarray(round6(idf_inc * bm25_tf_part(tfs, dls, avgdl, k1, b)))
+    return ids, scores
+
+
 def score_segment_phrase(
     s: Segment,
     phrase: list[str],
@@ -2765,6 +2874,19 @@ class ShardScorerStage(_SegmentCacheStage):
                         seg, q["intervals"], q["idf_sum"],
                         q.get("avgdl") or self.avgdl, self.k1, self.b,
                         q.get("max_gaps", 0), dl_field=q.get("dl_field"),
+                    )
+                elif "span_or" in q:
+                    ids, scores = score_segment_span_or(
+                        seg, q["span_or"], q["idf_sum"],
+                        q.get("avgdl") or self.avgdl, self.k1, self.b,
+                        dl_field=q.get("dl_field"),
+                    )
+                elif "span_not" in q:
+                    ids, scores = score_segment_span_not(
+                        seg, q["span_not"], q["exclude"],
+                        q.get("pre", 0), q.get("post", 0), q["idf_sum"],
+                        q.get("avgdl") or self.avgdl, self.k1, self.b,
+                        dl_field=q.get("dl_field"),
                     )
                 elif "span" in q:
                     ids, scores = score_segment_span_near(
@@ -4003,6 +4125,67 @@ def run_queries(
     for row in queries.itertuples(index=False):
         lang_q = getattr(row, "lang", None)
         k = int(getattr(row, "k", 10) or 10)
+        if (getattr(row, "type", None) or "match") == "span_or":
+            # ES span_or over span_term clauses: union of occurrences,
+            # globally-absent clause terms dropped (or semantics)
+            so_terms = sorted(
+                t for t in set(get_analyzer(lang_q).tokenize(row.text))
+                if df_map.get(t, 0) > 0
+            )
+            if not so_terms:
+                continue
+            idf_sum = float(
+                sum(
+                    bm25_idf(np.array([df_map[t]], dtype=np.int64), n_docs)[0]
+                    for t in so_terms
+                )
+            )
+            key = ("span_or", tuple(so_terms), k)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "span_or": so_terms,
+                    "hl_terms": so_terms,
+                    "idf_sum": idf_sum,
+                    "k": k,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        if (getattr(row, "type", None) or "match") == "span_not":
+            # ES span_not: include occurrences surviving the exclude
+            # pre/post windows; text = include, exclude column = exclude
+            sn_toks = get_analyzer(lang_q).tokenize(row.text)
+            exc_raw = _row_str(row, "exclude")
+            exc_toks = get_analyzer(lang_q).tokenize(exc_raw) if exc_raw else []
+            if len(sn_toks) != 1 or len(exc_toks) != 1:
+                raise ValueError(
+                    "span_not: exactly one include term (text) and one "
+                    "exclude term (exclude column) are supported"
+                )
+            inc, exc = sn_toks[0], exc_toks[0]
+            if df_map.get(inc, 0) == 0:
+                continue
+            idf_inc = float(
+                bm25_idf(np.array([df_map[inc]], dtype=np.int64), n_docs)[0]
+            )
+            pre_w = int(getattr(row, "pre", 0) or 0)
+            post_w = int(getattr(row, "post", 0) or 0)
+            key = ("span_not", inc, exc, pre_w, post_w, k)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "span_not": inc,
+                    "exclude": exc,
+                    "pre": pre_w,
+                    "post": post_w,
+                    "hl_terms": [inc],
+                    "idf_sum": idf_inc,
+                    "k": k,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
         if (getattr(row, "type", None) or "match") == "intervals":
             # ES intervals query (all_of, ordered=false, max_gaps):
             # unordered minimal-cover window over the unique terms;

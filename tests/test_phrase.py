@@ -482,6 +482,113 @@ def test_intervals_matches_bruteforce(ray_session, phrase_corpus, phrase_index):
         assert got["score"].tolist() == want["score"].tolist(), (text, mg)
 
 
+def test_span_or_union_freq(ray_session, tmp_path_factory):
+    """span_or: union of clause-term occurrences; tf = Σ term tfs;
+    absent clause terms dropped (or semantics)."""
+    import ray.data as rd
+
+    from kafka_es_ray.query.bm25 import bm25_idf, bm25_tf_part, round6
+    from kafka_es_ray.query.engine import run_queries
+
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(4)],
+            "text": [
+                "alpha alpha beta",   # tf 3
+                "alpha z z",          # tf 1
+                "beta beta",          # tf 2
+                "z z z",              # no match
+            ],
+            "lang": ["en"] * 4,
+        }
+    )
+    d = str(tmp_path_factory.mktemp("spanor"))
+    build_index(rd.from_pandas(docs), d, CFG, html_col=None, ts_col=None)
+    q = pd.DataFrame(
+        {
+            "query_id": np.array([0, 1], dtype=np.int64),
+            "text": ["alpha beta", "alpha zzmissing"],
+            "type": ["span_or", "span_or"],
+        }
+    )
+    out = run_queries(q, d, CFG).to_pandas()
+    g0 = out[out["query_id"] == 0].sort_values("rank")
+    assert set(g0["key"]) == {"u0", "u1", "u2"}
+    an = get_analyzer("en")
+    toks = [an.tokenize(t) for t in docs["text"]]
+    dfa = sum("alpha" in set(t) for t in toks)
+    dfb = sum("beta" in set(t) for t in toks)
+    idf_sum = float(bm25_idf(np.array([dfa]), 4)[0] + bm25_idf(np.array([dfb]), 4)[0])
+    avgdl = np.mean([len(t) for t in toks])
+    want = {
+        u: round6(
+            idf_sum
+            * bm25_tf_part(np.array([tf], float), np.array([dl], float), avgdl, 1.2, 0.75)
+        )[0]
+        for u, tf, dl in [("u0", 3, 3), ("u1", 1, 3), ("u2", 2, 2)]
+    }
+    assert {k_: v for k_, v in zip(g0["key"], g0["score"])} == want
+    # absent term dropped: query 1 == span_or over alpha alone
+    g1 = out[out["query_id"] == 1]
+    assert set(g1["key"]) == {"u0", "u1"}
+
+
+def test_span_not_pre_post_windows(ray_session, tmp_path_factory):
+    """span_not: include positions die when an exclude occurrence falls
+    in the pre/post window; 0/0 keeps everything."""
+    import ray.data as rd
+
+    from kafka_es_ray.query.engine import run_queries
+
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(5)],
+            "text": [
+                "alpha stop",          # exclude 1 after
+                "stop alpha",          # exclude 1 before
+                "alpha z z stop",      # exclude 3 after
+                "alpha z alpha stop",  # positions 0 (safe at post=1), 2 (dies at post>=1)
+                "alpha only here",     # never excluded
+            ],
+            "lang": ["en"] * 5,
+        }
+    )
+    d = str(tmp_path_factory.mktemp("spannot"))
+    build_index(rd.from_pandas(docs), d, CFG, html_col=None, ts_col=None)
+
+    def run(pre, post):
+        q = pd.DataFrame(
+            {
+                "query_id": np.array([0], dtype=np.int64),
+                "text": ["alpha"],
+                "type": ["span_not"],
+                "exclude": ["stop"],
+                "pre": np.array([pre], dtype=np.int64),
+                "post": np.array([post], dtype=np.int64),
+            }
+        )
+        return run_queries(q, d, CFG).to_pandas()
+
+    all_docs = {"u0", "u1", "u2", "u3", "u4"}
+    assert set(run(0, 0)["key"]) == all_docs           # 0/0: spans never overlap
+    assert set(run(0, 1)["key"]) == {"u1", "u2", "u3", "u4"}  # u0 dies; u3 keeps pos 0
+    assert set(run(1, 0)["key"]) == {"u0", "u2", "u3", "u4"}  # u1 dies
+    assert set(run(0, 3)["key"]) == {"u1", "u4"}       # u2 + both u3 positions die
+    assert set(run(5, 5)["key"]) == {"u4"}
+    # exclude term absent anywhere == plain include spans
+    q2 = pd.DataFrame(
+        {
+            "query_id": np.array([0], dtype=np.int64),
+            "text": ["alpha"],
+            "type": ["span_not"],
+            "exclude": ["zzmissing"],
+            "pre": np.array([9], dtype=np.int64),
+            "post": np.array([9], dtype=np.int64),
+        }
+    )
+    assert set(run_queries(q2, d, CFG).to_pandas()["key"]) == all_docs
+
+
 def test_span_first_envelope(ray_session, tmp_path_factory):
     """span_first: the chain must END before the given token position;
     greedy minimal-end chains make the cut exact."""
