@@ -4726,6 +4726,35 @@ def _q_approx_distinct(sf_dir: str):
     return pd.DataFrame({"approx_distinct_users": [int(round(est))]})
 
 
+def _q_heavy_hitters_event_types(sf_dir: str):
+    """Count-Min-sketch top-k frequent values over a LOW-cardinality
+    column (5 event types << sketch width 4096): per-batch distinct sets
+    are collision-free, so the CMS point estimates equal the exact
+    counts and the result is SQL-oracle-checkable.  The distributed
+    shape (O(depth*width) partials merged by addition) is identical to
+    the high-cardinality path."""
+    from kafka_es_ray.pipelines.sketches import heavy_hitters
+    from kafka_es_ray.sources.parquet import read_table
+
+    out = heavy_hitters(
+        read_table(sf_dir, "events", columns=["event_type"]), "event_type", k=5
+    )
+    return out.astype({"approx_count": "int64"})
+
+
+def _q_heavy_hitters_users(sf_dir: str):
+    """CMS heavy hitters over user_id (rows-only: approximate upper-bound
+    counts by design; accuracy + merge invariance asserted in
+    test_sketches)."""
+    from kafka_es_ray.pipelines.sketches import heavy_hitters
+    from kafka_es_ray.sources.parquet import read_table
+
+    out = heavy_hitters(
+        read_table(sf_dir, "events", columns=["user_id"]), "user_id", k=20
+    )
+    return out.astype({"approx_count": "int64"})
+
+
 def _q_media_resize(sf_dir: str):
     """Image resize pipeline (decode -> nearest-neighbor 16x16 ->
     re-encode PNG) over the deterministic media fixture; undecodable
@@ -4925,6 +4954,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "actions_protobuf": _q_actions_protobuf,
         "distinct_users": _q_distinct_users,
         "approx_distinct_users": _q_approx_distinct,
+        "heavy_hitters_event_types": _q_heavy_hitters_event_types,
+        "heavy_hitters_users": _q_heavy_hitters_users,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
@@ -5863,6 +5894,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "distinct_users": "SELECT count(DISTINCT user_id)::BIGINT AS distinct_users FROM events",
+        "heavy_hitters_event_types": """
+            SELECT event_type AS value, count(*)::BIGINT AS approx_count
+            FROM events GROUP BY 1 ORDER BY approx_count DESC, value ASC LIMIT 5
+        """,
         "embedding_neardup_exact": """
             WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000)
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

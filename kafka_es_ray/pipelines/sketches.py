@@ -132,6 +132,98 @@ def approx_quantiles(
     return pd.DataFrame(rows, columns=["pct", "value"]).astype(np.float64)
 
 
+# ----------------------------------------------- Count-Min heavy hitters
+
+# Odd multipliers/offsets (splitmix64-derived constants) giving `depth`
+# pairwise-independent-enough row hash functions from one base hash.
+_CMS_A = np.array(
+    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93,
+     0xA0761D6478BD642F, 0xE7037ED1A0B428DB, 0x8EBC6AF09C88C6E3, 0x589965CC75374CC3],
+    dtype=np.uint64,
+)
+_CMS_B = np.array(
+    [0x2545F4914F6CDD1D, 0x6A09E667F3BCC909, 0xBB67AE8584CAA73B, 0x3C6EF372FE94F82B,
+     0xA54FF53A5F1D36F1, 0x510E527FADE682D1, 0x9B05688C2B3E6C1F, 0x1F83D9ABFB41BD6B],
+    dtype=np.uint64,
+)
+
+
+def _cms_cols(h: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) column indices from one uint64 base hash per value."""
+    out = np.empty((depth, h.size), dtype=np.int64)
+    for d in range(depth):
+        out[d] = ((h * _CMS_A[d] + _CMS_B[d]) >> np.uint64(32)).astype(np.int64) % width
+    return out
+
+
+def _cms_build(values, counts: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """One CMS table (int64[depth, width]) from distinct values + counts."""
+    table = np.zeros((depth, width), dtype=np.int64)
+    if len(values) == 0:
+        return table
+    h = stable_hash64(np.asarray(values, dtype=object))
+    cols = _cms_cols(h, depth, width)
+    for d in range(depth):
+        np.add.at(table[d], cols[d], counts)
+    return table
+
+
+def _cms_query(table: np.ndarray, values) -> np.ndarray:
+    """Point estimates (min over rows) — never underestimates."""
+    h = stable_hash64(np.asarray(values, dtype=object))
+    cols = _cms_cols(h, table.shape[0], table.shape[1])
+    return np.min(
+        np.stack([table[d][cols[d]] for d in range(table.shape[0])]), axis=0
+    )
+
+
+def heavy_hitters(
+    ds, column: str, k: int = 20, width: int = 4096, depth: int = 4,
+    candidates_per_batch: int = 512,
+) -> pd.DataFrame:
+    """Top-k most frequent values via a Count-Min sketch (Cormode &
+    Muthukrishnan 2005, public algorithm).  Per batch: one exact
+    value_counts (vectorized) -> a (depth x width) counter partial plus
+    the batch's top `candidates_per_batch` values as candidates.  The
+    shuffle moves O(depth*width + C) per batch, never rows.  CMS partials
+    merge by pure ADDITION (associative/commutative -> execution-order
+    deterministic); the merged sketch point-estimates each candidate
+    (min over depth rows, one-sided error <= n*e/width w.h.p.).  A true
+    global top-k value is a local top-C value in at least one batch for
+    any C >= k under batch sizes >> k, so the candidate union covers the
+    heads.  Returns (value:str, approx_count) sorted (count desc, value
+    asc) — deterministic tie-break."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[column].astype(str).value_counts()
+        table = _cms_build(
+            vc.index.to_numpy(dtype=object), vc.to_numpy(np.int64), depth, width
+        )
+        cands = vc.index.to_numpy(dtype=object)[:candidates_per_batch]
+        return pd.DataFrame(
+            {"sketch": [table.tobytes()], "cands": ["\x00".join(map(str, cands))]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
+    merged = np.zeros((depth, width), dtype=np.int64)
+    cand_set: set[str] = set()
+    for _, row in parts.iterrows():
+        merged += np.frombuffer(row["sketch"], dtype=np.int64).reshape(depth, width)
+        if row["cands"]:
+            cand_set.update(row["cands"].split("\x00"))
+    if not cand_set:
+        return pd.DataFrame(
+            {"value": pd.Series([], dtype=object),
+             "approx_count": pd.Series([], dtype=np.int64)}
+        )
+    cands = np.array(sorted(cand_set), dtype=object)
+    est = _cms_query(merged, cands)
+    order = np.lexsort((cands, -est))[:k]
+    return pd.DataFrame(
+        {"value": cands[order], "approx_count": est[order].astype(np.int64)}
+    )
+
+
 def approx_distinct(ds, column: str, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT column): one sketch per batch, one
     elementwise-max merge — the shuffle moves 2^p bytes per batch, never
