@@ -832,6 +832,42 @@ SELECT v.query_id, med.m AS median,
 FROM vals v JOIN med USING (query_id) GROUP BY 1, 2 ORDER BY 1
 """
 
+# Welch t-test: sample variance via the SAME exact-sum formula as the
+# engine — (ss - s*s/n)/(n-1) — so doubles match before the 6dp round
+_TTEST_SQL = _AGG_VALS_CTE + """
+, m AS (
+  SELECT query_id, count(*)::DOUBLE AS n, sum(x) AS s, sum(x*x) AS ss
+  FROM vals GROUP BY 1
+),
+pairs(qa, qb) AS (VALUES (0, 1), (2, 3))
+SELECT p.qa::BIGINT AS query_a, p.qb::BIGINT AS query_b,
+       round((a.s/a.n - b.s/b.n)
+             / sqrt(((a.ss - a.s*a.s/a.n)/(a.n-1))/a.n
+                    + ((b.ss - b.s*b.s/b.n)/(b.n-1))/b.n), 6) AS t_value,
+       round(pow(((a.ss - a.s*a.s/a.n)/(a.n-1))/a.n
+                 + ((b.ss - b.s*b.s/b.n)/(b.n-1))/b.n, 2)
+             / (pow(((a.ss - a.s*a.s/a.n)/(a.n-1))/a.n, 2)/(a.n-1)
+                + pow(((b.ss - b.s*b.s/b.n)/(b.n-1))/b.n, 2)/(b.n-1)), 6) AS dof
+FROM pairs p JOIN m a ON a.query_id = p.qa JOIN m b ON b.query_id = p.qb
+WHERE a.n >= 2 AND b.n >= 2 ORDER BY 1, 2
+"""
+
+_BOXPLOT_SQL = _AGG_VALS_CTE + """
+, q AS (
+  SELECT query_id, min(x) AS min_val, max(x) AS max_val,
+         quantile_disc(x, 0.25) AS q1, quantile_disc(x, 0.5) AS q2,
+         quantile_disc(x, 0.75) AS q3
+  FROM vals GROUP BY 1
+)
+SELECT q.query_id, q.min_val, q.max_val, q.q1, q.q2, q.q3,
+       min(v.x) FILTER (WHERE v.x >= q.q1 - 1.5*(q.q3-q.q1)
+                          AND v.x <= q.q3 + 1.5*(q.q3-q.q1)) AS lower_whisker,
+       max(v.x) FILTER (WHERE v.x >= q.q1 - 1.5*(q.q3-q.q1)
+                          AND v.x <= q.q3 + 1.5*(q.q3-q.q1)) AS upper_whisker
+FROM q JOIN vals v USING (query_id)
+GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1
+"""
+
 # ES missing / value_count over the deterministically-nulled n_chars
 # (doc_id % 7 == 0 — mirrors _missing_index_build)
 _MISSING_AGG_SQL = _MATCHES_CTE + """
@@ -3656,6 +3692,40 @@ def _q_mad_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_t_test_agg(sf_dir: str):
+    """ES t_test aggregation (heteroscedastic/Welch) between pairs of
+    derived filter queries over n_chars: one stats-partial sweep,
+    exact-sum sample variances, t statistic + Welch-Satterthwaite dof
+    (ES's p-value needs betainc — the statistic is what a SQL oracle can
+    replay bit-for-bit before the 6dp round)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_t_test
+
+    idx, cfg, queries = _agg_index_build(sf_dir, numeric=("n_chars",))
+    try:
+        return run_agg_t_test(
+            queries, idx, "n_chars", pairs=((0, 1), (2, 3)), cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_boxplot_agg(sf_dir: str):
+    """ES boxplot aggregation (exact nearest-rank flavor, where ES would
+    tdigest): min/max, q1/q2/q3 and the 1.5*IQR whiskers of n_chars over
+    each derived query's match set — one per-value count sweep."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_boxplot
+
+    idx, cfg, queries = _agg_index_build(sf_dir, numeric=("n_chars",))
+    try:
+        return run_agg_boxplot(queries, idx, "n_chars", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _missing_index_build(sf_dir: str):
     """Index with deterministic n_chars missingness (nulled where
     doc_id % 7 == 0 — the exists-query fixture rule) + the derived
@@ -4859,6 +4929,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_metrics_agg": _q_top_metrics,
         "pinned_topk": _q_pinned_topk,
         "mad_agg": _q_mad_agg,
+        "t_test_agg": _q_t_test_agg,
+        "boxplot_agg": _q_boxplot_agg,
         "missing_agg": _q_missing_agg,
         "value_count_agg": _q_value_count,
         "percentile_ranks": _q_percentile_ranks,
@@ -5055,6 +5127,8 @@ def oracle_sql() -> dict[str, str]:
         "top_metrics_agg": _TOP_METRICS_SQL,
         "pinned_topk": _PINNED_SQL,
         "mad_agg": _MAD_SQL,
+        "t_test_agg": _TTEST_SQL,
+        "boxplot_agg": _BOXPLOT_SQL,
         "missing_agg": _MISSING_AGG_SQL,
         "value_count_agg": _VALUE_COUNT_SQL,
         "percentile_ranks": _PCT_RANKS_SQL,

@@ -6322,6 +6322,107 @@ def run_agg_median_absolute_deviation(
     )
 
 
+def run_agg_t_test(
+    queries_ds, index_dir: str, field: str, pairs,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES t_test aggregation (type=heteroscedastic, i.e. Welch): compares
+    the ``field`` populations of two filter queries a and b per pair.
+    One stats-partial sweep serves every query (n/sum/ss per plan x
+    segment — never doc rows); the driver derives sample variance via
+    the exact-sum formula v = (ss - s*s/n)/(n-1), then
+    t = (mean_a - mean_b)/sqrt(va/na + vb/nb) and the Welch-Satterthwaite
+    dof.  ES reports the two-tailed p-value (needs the regularized
+    incomplete beta — not SQL-reproducible); this exposes the exact
+    t statistic and dof instead so a DuckDB oracle can replay it
+    bit-for-bit before the 6dp round.  Pairs where either side has n < 2
+    are omitted (ES returns null).  Returns (query_a, query_b, t_value,
+    dof) sorted."""
+    partials, plan = _run_numeric_agg(queries_ds, index_dir, field, None, cfg, concurrency)
+    moments: dict[int, tuple] = {}
+    if len(partials):
+        g = partials.groupby("plan_id", sort=True).agg(
+            n=("n", "sum"), s=("sum", "sum"), ss=("ss", "sum")
+        )
+        for q in plan:
+            if int(q["plan_id"]) in g.index:
+                r = g.loc[int(q["plan_id"])]
+                for qid in q["query_ids"]:
+                    moments[int(qid)] = (float(r["n"]), float(r["s"]), float(r["ss"]))
+    rows = []
+    for qa, qb in pairs:
+        ma_, mb_ = moments.get(int(qa)), moments.get(int(qb))
+        if ma_ is None or mb_ is None or ma_[0] < 2 or mb_[0] < 2:
+            continue
+        (na, sa, ssa), (nb, sb, ssb) = ma_, mb_
+        mean_a, mean_b = sa / na, sb / nb
+        va = (ssa - sa * sa / na) / (na - 1.0)
+        vb = (ssb - sb * sb / nb) / (nb - 1.0)
+        se2 = va / na + vb / nb
+        if se2 <= 0:
+            continue
+        t = (mean_a - mean_b) / np.sqrt(se2)
+        dof = se2 * se2 / (
+            (va / na) ** 2 / (na - 1.0) + (vb / nb) ** 2 / (nb - 1.0)
+        )
+        r6 = lambda v: float(round6(np.array([v]))[0])
+        rows.append((np.int64(qa), np.int64(qb), r6(t), r6(dof)))
+    out = pd.DataFrame(rows, columns=["query_a", "query_b", "t_value", "dof"])
+    return (
+        out.sort_values(["query_a", "query_b"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_a": np.int64, "query_b": np.int64,
+                 "t_value": np.float64, "dof": np.float64})
+    )
+
+
+def run_agg_boxplot(
+    queries_ds, index_dir: str, field: str,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES boxplot aggregation — EXACT via the same per-value count
+    partials as percentiles (ES uses tdigest; the exact flavor is what a
+    SQL oracle can replay): min/max, nearest-rank q1/q2/q3, and the ES
+    whiskers — lower = smallest value >= q1 - 1.5*IQR, upper = largest
+    value <= q3 + 1.5*IQR (ES boxplot docs' whisker definition).  Queries
+    with an empty match set are omitted.  Returns one row per query."""
+    partials, plan = _run_numeric_agg(queries_ds, index_dir, field, 0.0, cfg, concurrency)
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            vals = gg["bucket"].to_numpy(np.float64)  # ascending
+            cnt = gg["n"].to_numpy(np.int64)
+            q1 = _weighted_nearest_rank(vals, cnt, 25.0)
+            q2 = _weighted_nearest_rank(vals, cnt, 50.0)
+            q3 = _weighted_nearest_rank(vals, cnt, 75.0)
+            iqr = q3 - q1
+            lo_fence, hi_fence = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+            inside = vals[(vals >= lo_fence) & (vals <= hi_fence)]
+            lower = float(inside[0]) if inside.size else float(vals[0])
+            upper = float(inside[-1]) if inside.size else float(vals[-1])
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    (np.int64(qid), float(vals[0]), float(vals[-1]),
+                     q1, q2, q3, lower, upper)
+                )
+    out = pd.DataFrame(
+        rows,
+        columns=["query_id", "min_val", "max_val", "q1", "q2", "q3",
+                 "lower_whisker", "upper_whisker"],
+    )
+    return (
+        out.sort_values("query_id", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64})
+    )
+
+
 def run_multi_terms(
     queries_ds, index_dir: str, fields: tuple,
     size: int = 10,

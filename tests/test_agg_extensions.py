@@ -449,3 +449,56 @@ def test_adjacency_matrix_cells(agg_index, ray_session):
     assert "de&en" not in sub.index
     # bucket names are sorted pairs
     assert set(sub.index) <= {"de", "en", "s0", "de&s0", "en&s0"}
+
+
+def test_boxplot_exact(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_boxplot
+
+    d, docs = agg_index
+    got = run_agg_boxplot(Q, d, "val", cfg=CFG)
+    v = np.sort(docs["val"].to_numpy())
+    nr = lambda p: v[max(1, int(np.ceil(v.size * p / 100.0))) - 1]
+    q1, q2, q3 = nr(25.0), nr(50.0), nr(75.0)
+    assert got["min_val"].iloc[0] == v[0] and got["max_val"].iloc[0] == v[-1]
+    assert (got["q1"].iloc[0], got["q2"].iloc[0], got["q3"].iloc[0]) == (q1, q2, q3)
+    inside = v[(v >= q1 - 1.5 * (q3 - q1)) & (v <= q3 + 1.5 * (q3 - q1))]
+    assert got["lower_whisker"].iloc[0] == inside[0]
+    assert got["upper_whisker"].iloc[0] == inside[-1]
+
+
+def test_t_test_welch(ray_session, tmp_path):
+    import ray.data as rd
+
+    from kafka_es_ray.query.engine import run_agg_t_test
+
+    rng = np.random.default_rng(3)
+    n = 100
+    docs = pd.DataFrame(
+        {
+            "url": [f"t{i:03d}" for i in range(n)],
+            "text": ["alpha only"] * (n // 2) + ["beta only"] * (n // 2),
+            "lang": ["en"] * n,
+            "val": np.concatenate(
+                [rng.normal(100, 10, n // 2), rng.normal(130, 25, n // 2)]
+            ).round(),  # integer-ish so exact sums are stable
+        }
+    )
+    cfg = EngineConfig(num_partitions=4, numeric_cols=("val",))
+    d = str(tmp_path / "ttx")
+    build_index(rd.from_pandas(docs), d, cfg, html_col=None, ts_col=None)
+    queries = pd.DataFrame({"query_id": [0, 1], "text": ["alpha", "beta"]})
+    got = run_agg_t_test(queries, d, "val", pairs=((0, 1),), cfg=cfg)
+    a = docs["val"].to_numpy()[: n // 2]
+    b = docs["val"].to_numpy()[n // 2 :]
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / a.size + vb / b.size
+    want_t = (a.mean() - b.mean()) / np.sqrt(se2)
+    want_dof = se2**2 / (
+        (va / a.size) ** 2 / (a.size - 1) + (vb / b.size) ** 2 / (b.size - 1)
+    )
+    assert len(got) == 1
+    assert abs(got["t_value"].iloc[0] - want_t) < 1e-5
+    assert abs(got["dof"].iloc[0] - want_dof) < 1e-5
+    # degenerate: n < 2 on one side -> pair omitted (ES null)
+    q2 = pd.DataFrame({"query_id": [0, 1], "text": ["alpha", "zzznothing"]})
+    assert len(run_agg_t_test(q2, d, "val", pairs=((0, 1),), cfg=cfg)) == 0
