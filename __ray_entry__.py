@@ -385,6 +385,26 @@ FROM topk WHERE rank <= 10
 # ES more_like_this: per source doc (3 smallest doc_ids), query terms =
 # top-10 by round6(tf * bm25_idf) (tf>=1, df>=2; ties term asc), then
 # the standard or-match BM25 ranking with the source doc excluded
+_DISTANCE_FEATURE_SQL = _BM25_SQL.split("topk AS (")[0] + """topk AS (
+  SELECT s.query_id, s.doc_id,
+         round(round(s.raw_score, 6)
+               + 2.0 * (604800.0 / (604800.0
+                   + abs((1577836800 + (s.doc_id % 400) * 43200)
+                         - 1586476800.0))), 6) AS score,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY round(round(s.raw_score, 6)
+                          + 2.0 * (604800.0 / (604800.0
+                              + abs((1577836800 + (s.doc_id % 400) * 43200)
+                                    - 1586476800.0))), 6) DESC,
+                    s.doc_id ASC
+         ) AS rank
+  FROM scores s
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10
+"""
+
 _MLT_SQL = """
 WITH dl AS (
   SELECT doc_id, len({_TOK})::DOUBLE AS dl FROM documents
@@ -2944,6 +2964,33 @@ def _q_rank_feature_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_distance_feature_topk(sf_dir: str):
+    """ES distance_feature query (bool should context, date flavor):
+    BM25 top-10 with score = round6(bm25 + 2 * pivot/(pivot + |ts -
+    origin|)) over the derived epoch-seconds ts — docs nearer the origin
+    date rank higher; pruning disabled (theta can't bound a boosted
+    score)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_queries
+
+    idx, cfg, queries = _agg_index_build(sf_dir, numeric=("ts",), derived=True)
+    try:
+        queries = queries.copy()
+        queries["dfe_field"] = "ts"
+        queries["dfe_origin"] = 1577836800.0 + 200.0 * 43200.0
+        queries["dfe_pivot"] = 604800.0  # 7 days
+        queries["dfe_boost"] = 2.0
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_string_stats(sf_dir: str):
     """ES string_stats aggregation over the lang keyword field per
     derived query's match set: value count, min/max/avg length and the
@@ -4930,6 +4977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pinned_topk": _q_pinned_topk,
         "mad_agg": _q_mad_agg,
         "t_test_agg": _q_t_test_agg,
+        "distance_feature_topk": _q_distance_feature_topk,
         "boxplot_agg": _q_boxplot_agg,
         "missing_agg": _q_missing_agg,
         "value_count_agg": _q_value_count,
@@ -5128,6 +5176,7 @@ def oracle_sql() -> dict[str, str]:
         "pinned_topk": _PINNED_SQL,
         "mad_agg": _MAD_SQL,
         "t_test_agg": _TTEST_SQL,
+        "distance_feature_topk": _DISTANCE_FEATURE_SQL,
         "boxplot_agg": _BOXPLOT_SQL,
         "missing_agg": _MISSING_AGG_SQL,
         "value_count_agg": _VALUE_COUNT_SQL,

@@ -2744,6 +2744,24 @@ def _apply_rank_feature(
     return np.floor((scores + float(boost) * contrib) * 1e6 + 0.5) / 1e6
 
 
+def _apply_distance_feature(
+    seg: Segment, ids: np.ndarray, scores: np.ndarray, dfe: tuple
+) -> np.ndarray:
+    """ES distance_feature query in a bool should context: score :=
+    round6(bm25 + boost * pivot / (pivot + |v - origin|)) over a numeric
+    or epoch-seconds date field (the ES date/numeric decay — closer to
+    the origin scores higher, exactly pivot/2·boost at distance=pivot).
+    Docs missing the field get no contribution (ES: the clause simply
+    doesn't match them)."""
+    fld, origin, pivot, boost = dfe
+    v = seg.nums_for(fld, ids)
+    dist = np.abs(v - float(origin))
+    contrib = np.where(
+        np.isnan(v), 0.0, float(pivot) / (float(pivot) + dist)
+    )
+    return np.floor((scores + float(boost) * contrib) * 1e6 + 0.5) / 1e6
+
+
 class UnionDfStage(_SegmentCacheStage):
     """Cross-field UNION document frequency per query term — the global
     stats a combined_fields (BM25F) idf needs (per-field dfs overlap, so
@@ -2862,10 +2880,12 @@ class ShardScorerStage(_SegmentCacheStage):
                     q.get("fvf") is not None
                     or q.get("rescore")
                     or q.get("rank_feature") is not None
+                    or q.get("distance_feature") is not None
                     or q.get("script_score") is not None
                 ):
                     # function_score / rescore / rank_feature /
-                    # script_score: the pool holds COMBINED scores, so a
+                    # distance_feature / script_score: the pool holds
+                    # COMBINED scores, so a
                     # BM25 theta would prune docs whose boost could lift
                     # them into the top-k
                     theta = None
@@ -3058,6 +3078,10 @@ class ShardScorerStage(_SegmentCacheStage):
                     if q.get("rank_feature") is not None and ids.size:
                         scores = _apply_rank_feature(
                             seg, ids, scores, q["rank_feature"]
+                        )
+                    if q.get("distance_feature") is not None and ids.size:
+                        scores = _apply_distance_feature(
+                            seg, ids, scores, q["distance_feature"]
                         )
                     if q.get("script_score") is not None and ids.size:
                         scores = _apply_script_score(
@@ -4826,12 +4850,22 @@ def run_queries(
             )
         else:
             rf = None
+        dfef = _row_str(row, "dfe_field")
+        if dfef is not None:
+            # ES distance_feature query columns: dfe_field, dfe_origin,
+            # dfe_pivot, dfe_boost
+            dfe = (
+                dfef, _num_or("dfe_origin", 0.0), _num_or("dfe_pivot", 1.0),
+                _num_or("dfe_boost", 1.0),
+            )
+        else:
+            dfe = None
         scr = _row_str(row, "script")
         if scr is not None:
             _script_fields(scr)  # syntax/whitelist gate at plan time
         key = (
             tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld,
-            fr, fkw, ms, resc, sa, fvf, rf, scr, only_sids,
+            fr, fkw, ms, resc, sa, fvf, rf, dfe, scr, only_sids,
         )
         entry = plan_by_key.get(key)
         if entry is None:
@@ -4856,6 +4890,7 @@ def run_queries(
                 "search_after": sa,
                 "fvf": fvf,
                 "rank_feature": rf,
+                "distance_feature": dfe,
                 "script_score": scr,
                 "only_sids": only_sids,
                 "hl_terms": base_terms,

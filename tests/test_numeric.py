@@ -550,3 +550,40 @@ def test_sorted_search_after_page_chain(built, ray_session):
         chained = pd.concat(pages, ignore_index=True)
         assert chained["doc_id"].tolist() == full["doc_id"].tolist(), ascending
         assert chained["sort_val"].tolist() == full["sort_val"].tolist()
+
+
+def test_distance_feature_matches_bruteforce(built):
+    """run_queries with dfe_* columns == re-ranking the full BM25 ranking
+    by round6(score + boost * pivot/(pivot + |v - origin|)); docs missing
+    the field get no contribution (the ES clause doesn't match them)."""
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1],
+            "text": ["alpha beta", "omega"],
+            "dfe_field": ["size", "stars"],
+            "dfe_origin": [40.0, 2.0],
+            "dfe_pivot": [10.0, 1.0],
+            "dfe_boost": [3.0, 1.0],
+        }
+    )
+    got = (
+        run_queries(queries, idx, CFG)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    by_doc = df.set_index("doc_id")
+    for qid, text, fld, origin, pivot, boost in [
+        (0, "alpha beta", "size", 40.0, 10.0, 3.0),
+        (1, "omega", "stars", 2.0, 1.0, 1.0),
+    ]:
+        full = s.search(text, k=10_000)
+        v = by_doc.loc[full["doc_id"], fld].to_numpy(np.float64)
+        contrib = np.where(np.isnan(v), 0.0, pivot / (pivot + np.abs(v - origin)))
+        boosted = np.floor((full["score"].to_numpy() + boost * contrib) * 1e6 + 0.5) / 1e6
+        order = np.lexsort((full["doc_id"].to_numpy(), -boosted))[:10]
+        g = got[got["query_id"] == qid]
+        assert g["doc_id"].tolist() == full["doc_id"].to_numpy()[order].tolist(), qid
+        assert g["score"].tolist() == boosted[order].tolist(), qid
