@@ -385,6 +385,37 @@ FROM topk WHERE rank <= 10
 # ES more_like_this: per source doc (3 smallest doc_ids), query terms =
 # top-10 by round6(tf * bm25_idf) (tf>=1, df>=2; ties term asc), then
 # the standard or-match BM25 ranking with the source doc excluded
+_SAMPLER_TOPK = _BM25_SQL.split("topk AS (")[0] + """topk AS (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY round(s.raw_score, 6) DESC, s.doc_id ASC
+         ) AS rank
+  FROM scores s
+)
+"""
+
+_SAMPLER_SQL = _SAMPLER_TOPK + """
+SELECT t.query_id, d.lang AS value, count(*)::BIGINT AS n_docs
+FROM topk t JOIN documents d USING (doc_id)
+WHERE t.rank <= 25
+GROUP BY 1, 2 ORDER BY 1, 3 DESC, 2
+"""
+
+_DIVERSIFIED_SAMPLER_SQL = _SAMPLER_TOPK + """
+, samp AS (
+  SELECT t.query_id, t.rank, d.lang, d.source,
+         row_number() OVER (
+           PARTITION BY t.query_id, d.source ORDER BY t.rank
+         ) AS rs
+  FROM topk t JOIN documents d USING (doc_id)
+  WHERE t.rank <= 25
+)
+SELECT query_id, lang AS value, count(*)::BIGINT AS n_docs
+FROM samp WHERE rs <= 3
+GROUP BY 1, 2 ORDER BY 1, 3 DESC, 2
+"""
+
 _DISTANCE_FEATURE_SQL = _BM25_SQL.split("topk AS (")[0] + """topk AS (
   SELECT s.query_id, s.doc_id,
          round(round(s.raw_score, 6)
@@ -3739,6 +3770,40 @@ def _q_mad_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_sampler_agg(sf_dir: str):
+    """ES sampler aggregation (deterministic global flavor): lang terms
+    sub-agg over only the top-25 best-scoring docs per derived query
+    (score desc, doc_id asc) — the sample, never the match set, leaves
+    the cluster."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_sampler
+
+    idx, cfg, queries = _agg_index_build(sf_dir)
+    try:
+        return run_agg_sampler(queries, idx, "lang", shard_size=25, cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_diversified_sampler_agg(sf_dir: str):
+    """ES diversified_sampler aggregation: top-25 sample per derived
+    query de-biased to at most 3 docs per source (rank order), then a
+    lang terms sub-agg over the diversified sample."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_sampler
+
+    idx, cfg, queries = _agg_index_build(sf_dir, keyword=("source",))
+    try:
+        return run_agg_sampler(
+            queries, idx, "lang", shard_size=25,
+            diversify_field="source", max_docs_per_value=3, cfg=cfg,
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_t_test_agg(sf_dir: str):
     """ES t_test aggregation (heteroscedastic/Welch) between pairs of
     derived filter queries over n_chars: one stats-partial sweep,
@@ -4978,6 +5043,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_agg": _q_mad_agg,
         "t_test_agg": _q_t_test_agg,
         "distance_feature_topk": _q_distance_feature_topk,
+        "sampler_agg": _q_sampler_agg,
+        "diversified_sampler_agg": _q_diversified_sampler_agg,
         "boxplot_agg": _q_boxplot_agg,
         "missing_agg": _q_missing_agg,
         "value_count_agg": _q_value_count,
@@ -5177,6 +5244,8 @@ def oracle_sql() -> dict[str, str]:
         "mad_agg": _MAD_SQL,
         "t_test_agg": _TTEST_SQL,
         "distance_feature_topk": _DISTANCE_FEATURE_SQL,
+        "sampler_agg": _SAMPLER_SQL,
+        "diversified_sampler_agg": _DIVERSIFIED_SAMPLER_SQL,
         "boxplot_agg": _BOXPLOT_SQL,
         "missing_agg": _MISSING_AGG_SQL,
         "value_count_agg": _VALUE_COUNT_SQL,

@@ -6458,6 +6458,71 @@ def run_agg_boxplot(
     )
 
 
+def run_agg_sampler(
+    queries_ds, index_dir: str, group_field: str, shard_size: int = 100,
+    diversify_field: str | None = None, max_docs_per_value: int | None = None,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES sampler / diversified_sampler aggregation with a terms
+    sub-agg: the sub-aggregation runs over only the ``shard_size``
+    best-scoring docs per query.  This is the DETERMINISTIC GLOBAL
+    flavor — sample = top shard_size by (score desc, doc_id asc) over
+    the whole index — where ES samples per shard (shard-layout-dependent
+    results); the deterministic flavor is what a SQL oracle can replay
+    and what a resharded 100-TB corpus keeps stable.  diversified_sampler:
+    ``diversify_field`` + ``max_docs_per_value`` keep only the first
+    ``max_docs_per_value`` sample docs per field value in rank order
+    (the ES de-bias semantics).  The sample (k rows per query, never the
+    match set) is the only thing that leaves the cluster; the terms
+    sub-agg reduces driver-side over <= shard_size rows per query.
+    Returns (query_id, value, n_docs) in ES bucket order (n desc, value
+    asc)."""
+    queries = (
+        queries_ds.to_pandas()
+        if hasattr(queries_ds, "to_pandas")
+        else queries_ds.copy()
+    )
+    queries["k"] = int(shard_size)
+    fields = [group_field] + (
+        [diversify_field] if diversify_field and diversify_field != group_field else []
+    )
+    hits = run_queries(
+        queries, index_dir, cfg, concurrency, fetch_fields=fields
+    ).to_pandas()
+    rows = []
+    if len(hits):
+        for qid, g in hits.groupby("query_id", sort=True):
+            g = g.sort_values("rank", kind="mergesort")
+            if diversify_field is not None and max_docs_per_value is not None:
+                g = g[g.groupby(diversify_field).cumcount() < int(max_docs_per_value)]
+            vc = g.groupby(group_field).size().reset_index(name="n")
+            vc = vc.sort_values(
+                ["n", group_field], ascending=[False, True], kind="mergesort"
+            )
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.int64(qid),
+                        "value": vc[group_field].to_numpy(),
+                        "n_docs": vc["n"].to_numpy(np.int64),
+                    }
+                )
+            )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "value": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype=np.int64),
+            }
+        )
+    return (
+        pd.concat(rows, ignore_index=True)
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "n_docs": np.int64})
+    )
+
+
 def run_multi_terms(
     queries_ds, index_dir: str, fields: tuple,
     size: int = 10,

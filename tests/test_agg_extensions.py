@@ -502,3 +502,29 @@ def test_t_test_welch(ray_session, tmp_path):
     # degenerate: n < 2 on one side -> pair omitted (ES null)
     q2 = pd.DataFrame({"query_id": [0, 1], "text": ["alpha", "zzznothing"]})
     assert len(run_agg_t_test(q2, d, "val", pairs=((0, 1),), cfg=cfg)) == 0
+
+
+def test_sampler_and_diversified(agg_index, ray_session):
+    """sampler restricts the sub-agg to the top-N sample; diversified
+    caps docs per diversify-field value in rank order (cap binds)."""
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_sampler
+
+    d, docs = agg_index
+    plain = run_agg_sampler(Q, d, "lang", shard_size=20, cfg=CFG)
+    assert int(plain["n_docs"].sum()) == 20  # sample size, not match set
+    # buckets == exact lang counts of the deterministic top-20 sample
+    s = IndexSearcher(d, CFG)
+    full = s.search("shared", k=10_000)
+    top = full.sort_values(["score", "doc_id"], ascending=[False, True]).head(20)
+    want = (
+        docs.set_index("url").loc[top["key"], "lang"].value_counts().sort_index()
+    )
+    got = plain.set_index("value")["n_docs"].sort_index()
+    assert got.to_dict() == want.to_dict()
+    div = run_agg_sampler(
+        Q, d, "lang", shard_size=20,
+        diversify_field="source", max_docs_per_value=2, cfg=CFG,
+    )
+    # 4 sources x cap 2 = at most 8 docs survive the de-bias
+    assert int(div["n_docs"].sum()) <= 8
+    assert int(div["n_docs"].sum()) < int(plain["n_docs"].sum())
