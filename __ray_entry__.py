@@ -436,6 +436,70 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM topk WHERE rank <= 10
 """
 
+# span_containing / span_within: the big spans replayed in SQL are the
+# minimal ones per start (min(p2) per w1 anchor) — exactly the engine's
+# greedy nearest-next chain, which is also what Lucene's span_near
+# enumerates.  Positions are 1-based here, 0-based in the engine; only
+# relative gaps matter.
+_SPAN_CONTAIN_SQL = """
+WITH tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM tl),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+exdocs AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM tl),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM exdocs GROUP BY 1),
+ranked AS (SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM dfs),
+w AS (SELECT (SELECT term FROM ranked WHERE r = 1) AS w1,
+             (SELECT term FROM ranked WHERE r = 2) AS w2,
+             (SELECT term FROM ranked WHERE r = 3) AS w3),
+idf AS (
+  SELECT ln(1 + (s.n - d1.df + 0.5) / (d1.df + 0.5))
+       + ln(1 + (s.n - d2.df + 0.5) / (d2.df + 0.5))
+       + ln(1 + (s.n - d3.df + 0.5) / (d3.df + 0.5)) AS v
+  FROM w JOIN dfs d1 ON d1.term = w.w1 JOIN dfs d2 ON d2.term = w.w2
+         JOIN dfs d3 ON d3.term = w.w3
+  CROSS JOIN stats s
+),
+pos AS (SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS p FROM tl),
+p1 AS (SELECT pos.doc_id, pos.p FROM pos, w WHERE pos.term = w.w1),
+p2 AS (SELECT pos.doc_id, pos.p FROM pos, w WHERE pos.term = w.w2),
+p3 AS (SELECT pos.doc_id, pos.p FROM pos, w WHERE pos.term = w.w3),
+spans AS (
+  SELECT p1.doc_id, p1.p AS fp, min(p2.p) AS lp
+  FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id AND p2.p > p1.p
+  GROUP BY 1, 2
+  HAVING min(p2.p) - p1.p - 1 <= 3
+),
+ptf AS ({tfcte}),
+scored AS (
+  SELECT p.doc_id,
+         round(idf.v * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS score
+  FROM ptf p JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN idf CROSS JOIN stats s
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank, doc_id, score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+""".replace("{_TOK}", _TOK)
+
+_SPAN_CONTAINING_SQL = _SPAN_CONTAIN_SQL.replace(
+    "{tfcte}",
+    """
+  SELECT s2.doc_id, count(*)::DOUBLE AS tf FROM (
+    SELECT DISTINCT s.doc_id, s.fp FROM spans s
+    JOIN p3 ON p3.doc_id = s.doc_id AND p3.p BETWEEN s.fp AND s.lp
+  ) s2 GROUP BY 1
+""",
+)
+
+_SPAN_WITHIN_SQL = _SPAN_CONTAIN_SQL.replace(
+    "{tfcte}",
+    """
+  SELECT s2.doc_id, count(*)::DOUBLE AS tf FROM (
+    SELECT DISTINCT p3.doc_id, p3.p FROM p3
+    JOIN spans s ON s.doc_id = p3.doc_id AND p3.p BETWEEN s.fp AND s.lp
+  ) s2 GROUP BY 1
+""",
+)
+
 _MLT_SQL = """
 WITH dl AS (
   SELECT doc_id, len({_TOK})::DOUBLE AS dl FROM documents
@@ -1781,6 +1845,55 @@ def _q_span_near_topk(sf_dir: str):
         )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def _span_contain_query(sf_dir: str, mode: str):
+    """Shared driver for span_containing / span_within: big = span_near
+    of the two df-top-ranked terms (slop=3, minimal spans per start),
+    little = the rank-3 term; distributed run_queries span_contain plan."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_spcidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, index_positions=True)
+        build_documents_index(sf_dir, idx, cfg)
+        w1, w2, w3 = derive_ranked_terms(IndexSearcher(idx, cfg), 3)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.array([0], dtype=np.int64),
+                "text": [f"{w1} {w2}"],
+                "little": [w3],
+                "type": [mode],
+                "slop": np.array([3], dtype=np.int64),
+            }
+        )
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out.sort_values("rank")[["rank", "doc_id", "score"]]
+            .reset_index(drop=True)
+            .astype({"rank": np.int64, "doc_id": np.int64})
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_span_containing_topk(sf_dir: str):
+    """ES span_containing: big w1..w2 span_near spans (slop=3) that
+    contain a w3 occurrence; tf = surviving big spans per doc."""
+    return _span_contain_query(sf_dir, "span_containing")
+
+
+def _q_span_within_topk(sf_dir: str):
+    """ES span_within: w3 occurrences inside some big w1..w2 span_near
+    span (slop=3); tf = surviving w3 occurrences per doc."""
+    return _span_contain_query(sf_dir, "span_within")
 
 
 def _q_intervals_topk(sf_dir: str):
@@ -5100,6 +5213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intervals_topk": _q_intervals_topk,
         "span_or_topk": _q_span_or_topk,
         "span_not_topk": _q_span_not_topk,
+        "span_containing_topk": _q_span_containing_topk,
+        "span_within_topk": _q_span_within_topk,
         "query_string_topk": _q_query_string_topk,
         "span_first_topk": _q_span_first_topk,
         "lineitem_agg": _q_lineitem_agg,
@@ -5523,6 +5638,8 @@ def oracle_sql() -> dict[str, str]:
                if t[i] = probe.w1 AND starts_with(t[i+1], probe.pre)]
             ) > 0
         """,
+        "span_containing_topk": _SPAN_CONTAINING_SQL,
+        "span_within_topk": _SPAN_WITHIN_SQL,
         "span_near_topk": f"""
             WITH toks AS (
               SELECT doc_id, {_TOK} AS t FROM documents

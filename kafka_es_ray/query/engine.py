@@ -2249,6 +2249,87 @@ def score_segment_span_not(
     return ids, scores
 
 
+def score_segment_span_contain(
+    s: Segment,
+    big_terms: list[str],
+    little: str,
+    idf_sum: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+    slop: int,
+    mode: str,
+    dl_field: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES span_containing / span_within for ONE segment.  ``big`` is a
+    span_near clause (ordered chain, total gap <= ``slop``); ``little``
+    a span_term.  Like Lucene, the big spans enumerated are the minimal
+    ones per start position (the greedy nearest-next chain — identical
+    to span_near's own enumeration).  mode="containing": matching spans
+    are big spans [first, end] that contain a little occurrence
+    (first <= q <= end); tf = surviving big spans per doc.
+    mode="within": matching spans are little occurrences q inside some
+    big span; tf = surviving little occurrences per doc.  Containment
+    probes are one searchsorted each — within uses a per-doc running max
+    of span ends over the (doc, first)-sorted chains (int64-packed keys
+    make the cross-doc cummax safe: earlier docs' ends pack strictly
+    below this doc's key range).  Scoring follows the frozen phrase
+    convention: round6(idf_sum * bm25_tf_part(tf, dl)) with idf_sum over
+    the unique clause terms (big + little)."""
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+    gather_terms = list(dict.fromkeys([*big_terms, little]))
+    cand, gathered = _phrase_gather(s, gather_terms, dl_field)
+    if cand.size == 0:
+        return empty
+    L = np.int64(1) << 32
+    # minimal big spans per start: the span_near greedy chain
+    d0, p0 = gathered[big_terms[0]]
+    docs = d0
+    first = p0.astype(np.int64)
+    cur = first
+    for t in big_terms[1:]:
+        if docs.size == 0:
+            break
+        dr, p = gathered[t]
+        ek = dr * L + p
+        idx = np.searchsorted(ek, docs * L + cur, side="right")
+        ok = idx < ek.size
+        idxc = np.minimum(idx, ek.size - 1)
+        ok &= (ek[idxc] // L) == docs
+        docs, first = docs[ok], first[ok]
+        cur = (ek[idxc] % L)[ok]
+    if docs.size:
+        ok = (cur - first + 1 - len(big_terms)) <= int(slop)
+        docs, first, cur = docs[ok], first[ok], cur[ok]
+    if docs.size == 0:
+        return empty
+    d_l, p_l = gathered[little]
+    ek_little = d_l * L + p_l.astype(np.int64)
+    if mode == "containing":
+        lo = np.searchsorted(ek_little, docs * L + first, side="left")
+        hit = lo < ek_little.size
+        loc = np.minimum(lo, ek_little.size - 1)
+        hit &= ek_little[loc] <= docs * L + cur
+        tf_docs = docs[hit]
+    else:  # within
+        ek_first = docs * L + first  # non-decreasing (doc asc, pos asc)
+        cummax_end = np.maximum.accumulate(docs * L + cur)
+        idx = np.searchsorted(ek_first, ek_little, side="right") - 1
+        hit = idx >= 0
+        idxc = np.maximum(idx, 0)
+        hit &= cummax_end[idxc] >= ek_little
+        tf_docs = d_l[hit]
+    if tf_docs.size == 0:
+        return empty
+    tf_per_doc = np.bincount(tf_docs, minlength=cand.size)
+    live = tf_per_doc > 0
+    ids = cand[live]
+    tfs = tf_per_doc[live].astype(np.float64)
+    dls = s.dl_for(ids, dl_field).astype(np.float64)
+    scores = np.asarray(round6(idf_sum * bm25_tf_part(tfs, dls, avgdl, k1, b)))
+    return ids, scores
+
+
 def score_segment_phrase(
     s: Segment,
     phrase: list[str],
@@ -2907,6 +2988,12 @@ class ShardScorerStage(_SegmentCacheStage):
                         q.get("pre", 0), q.get("post", 0), q["idf_sum"],
                         q.get("avgdl") or self.avgdl, self.k1, self.b,
                         dl_field=q.get("dl_field"),
+                    )
+                elif "span_contain" in q:
+                    ids, scores = score_segment_span_contain(
+                        seg, q["span_contain"], q["little"], q["idf_sum"],
+                        q.get("avgdl") or self.avgdl, self.k1, self.b,
+                        q.get("slop", 0), q["mode"], dl_field=q.get("dl_field"),
                     )
                 elif "span" in q:
                     ids, scores = score_segment_span_near(
@@ -4083,6 +4170,9 @@ def run_queries(
         rp_s = _row_str(row, "rescore_phrase")
         if rp_s:
             terms_set.update(an.tokenize(rp_s))
+        little_s = _row_str(row, "little")
+        if little_s:  # span_containing / span_within little span_term
+            terms_set.update(an.tokenize(little_s))
         toks = an.tokenize(row.text)
         flds_s = _row_str(row, "fields")
         fld = _row_str(row, "field")
@@ -4242,6 +4332,51 @@ def run_queries(
                     "avgdl": (
                         (float(avgdl_fields.get(iv_fld, 0)) or 1.0) if iv_fld else None
                     ),
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        if (getattr(row, "type", None) or "match") in ("span_containing", "span_within"):
+            # ES span_containing / span_within: big = span_near clause
+            # (row.text, ordered, slop), little = span_term (row.little)
+            mode = "containing" if row.type == "span_containing" else "within"
+            big_terms = get_analyzer(lang_q).tokenize(row.text)
+            little_toks = get_analyzer(lang_q).tokenize(
+                str(getattr(row, "little", "") or "")
+            )
+            if len(little_toks) != 1:
+                raise ValueError(
+                    "span_containing/span_within: exactly one little "
+                    f"span_term required, got {little_toks!r}"
+                )
+            little = little_toks[0]
+            if (
+                not big_terms
+                or any(df_map.get(t, 0) == 0 for t in big_terms)
+                or df_map.get(little, 0) == 0
+            ):
+                continue
+            uniq_sc = sorted(set([*big_terms, little]))
+            idf_sum = float(
+                sum(
+                    bm25_idf(np.array([df_map[t]], dtype=np.int64), n_docs)[0]
+                    for t in uniq_sc
+                )
+            )
+            slop = int(getattr(row, "slop", 0) or 0)
+            key = ("span_contain", mode, tuple(big_terms), little, k, slop)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "span_contain": big_terms,
+                    "little": little,
+                    "mode": mode,
+                    "hl_terms": uniq_sc,
+                    "idf_sum": idf_sum,
+                    "k": k,
+                    "slop": slop,
+                    "dl_field": None,
+                    "avgdl": None,
                 }
             entry["query_ids"].append(int(row.query_id))
             continue

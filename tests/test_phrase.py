@@ -629,3 +629,77 @@ def test_span_first_envelope(ray_session, tmp_path_factory):
     dist = run_queries(q, d, CFG).to_pandas()
     assert set(dist["key"]) == {"u0", "u1"}
     assert dist["score"].tolist() == r["score"].tolist()
+
+
+def test_span_containing_and_within(ray_session, tmp_path_factory):
+    """Hand-built docs pin containment semantics against the minimal-
+    span-per-start (greedy) enumeration: little inside/outside the big
+    span, gap boundary, multi-span docs, and the tf difference between
+    containing (spans) and within (little occurrences)."""
+    import ray.data as rd
+
+    from kafka_es_ray.query.engine import run_queries
+
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(6)],
+            "text": [
+                # span [0,2] w/o gamma + span [6,8] with gamma7
+                "alpha gap beta with gamma inside alpha gamma beta",
+                "alpha beta no little here",       # span, no gamma
+                "alpha x x x x beta gamma",        # gap 4 > slop 3: no span
+                "gamma alpha beta",                # gamma outside the span
+                # two spans each containing one gamma; within sees 2 gammas
+                "alpha gamma beta alpha gamma beta",
+                "no terms at all",
+            ],
+            "lang": ["en"] * 6,
+        }
+    )
+    d = str(tmp_path_factory.mktemp("spancx"))
+    build_index(rd.from_pandas(docs), d, CFG, html_col=None, ts_col=None)
+
+    def run(mode):
+        q = pd.DataFrame(
+            {
+                "query_id": [0],
+                "text": ["alpha beta"],
+                "little": ["gamma"],
+                "type": [mode],
+                "slop": [3],
+            }
+        )
+        out = run_queries(q, d, CFG).to_pandas()
+        return out if len(out) else pd.DataFrame(columns=["key", "score"])
+
+    cont = run("span_containing")
+    within = run("span_within")
+    assert set(cont["key"]) == {"u0", "u4"}
+    assert set(within["key"]) == {"u0", "u4"}
+    # u4: containing tf = 2 spans; within tf = 2 gammas -> same scores;
+    # both rank u4 (tf 2) above u0 (tf 1)
+    assert cont.sort_values("rank")["key"].tolist() == ["u4", "u0"]
+    assert within.sort_values("rank")["key"].tolist() == ["u4", "u0"]
+    # little term absent from the corpus -> plan dropped, empty result
+    q = pd.DataFrame(
+        {
+            "query_id": [0],
+            "text": ["alpha beta"],
+            "little": ["zzznothing"],
+            "type": ["span_containing"],
+            "slop": [3],
+        }
+    )
+    assert run_queries(q, d, CFG).count() == 0
+    # multi-token little is a hard error (exactly one span_term)
+    q2 = pd.DataFrame(
+        {
+            "query_id": [0],
+            "text": ["alpha beta"],
+            "little": ["two words"],
+            "type": ["span_within"],
+            "slop": [3],
+        }
+    )
+    with pytest.raises(ValueError, match="little"):
+        run_queries(q2, d, CFG)
