@@ -4532,6 +4532,26 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(read_table(sf_dir, "documents", columns=["doc_id", "text"]), k=5)
 
 
+def _q_lm_score(sf_dir: str):
+    """Unigram-LM quality scoring: per-doc mean token log-likelihood
+    under the corpus's own MLE unigram model — tf⋈count co-partitioned
+    bucketed exchanges, no driver vocabulary."""
+    from kafka_es_ray.pipelines.text_ops import lm_score
+    from kafka_es_ray.sources.parquet import read_table
+
+    out = lm_score(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    if len(out) == 0:  # 0-row Dataset.to_pandas drops columns (rule 8b)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "n_tokens": pd.Series([], dtype="int64"),
+             "lm_logprob": pd.Series([], dtype="float64")}
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_doc_token_counts(sf_dir: str):
     from kafka_es_ray.pipelines.text_ops import doc_token_counts
     from kafka_es_ray.sources.parquet import read_table
@@ -5222,6 +5242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "lm_score": _q_lm_score,
         "doc_token_counts": _q_doc_token_counts,
         "term_df": _q_term_df,
         "exact_dedup": _q_exact_dedup,
@@ -6097,6 +6118,17 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (
               SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY 1
             ) l USING (doc_id)
+        """,
+        "lm_score": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            cnt AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY 1),
+            tot AS (SELECT count(*)::DOUBLE AS n FROM toks)
+            SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(ln(c.c / tot.n)), 6) AS lm_logprob
+            FROM toks t JOIN cnt c USING (term) CROSS JOIN tot
+            GROUP BY 1 ORDER BY 1
         """,
         "tfidf_top_terms": f"""
             WITH toks AS (

@@ -610,6 +610,97 @@ def tfidf_top_terms(docs_ds, k: int = 5):
     return bucketed_group_agg(scored, ["doc_id"], topk_bucket)
 
 
+def lm_score(docs_ds):
+    """Unigram language-model quality scoring over the corpus's own MLE
+    model: per doc the mean token log-likelihood, lm_logprob =
+    (1/n_d) Σ_t tf_{d,t} · ln(c_t / total_tokens) — the classic LM
+    quality signal for training-data curation (low = token distribution
+    unlike the corpus; the CCNet/KenLM-style filter with the corpus
+    itself as the model, public technique).  Distributed exactly like
+    tfidf_top_terms: tf rows materialize once, global term counts by
+    bucketed combine, tf⋈count co-partitioned on term through one
+    bucketed exchange, then a per-doc reduce on doc_id — no driver-side
+    vocabulary at any point (100-TB-safe).  Docs with zero tokens are
+    omitted.  Returns (doc_id, n_tokens, lm_logprob) with lm_logprob
+    round6."""
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    tf_rows = docs_ds.map_batches(
+        _TfPartial, batch_format="pandas", batch_size=4096, concurrency=stage_pool()
+    ).materialize()
+    total_tokens = float(
+        tf_rows.map_batches(
+            lambda b: pd.DataFrame({"n": [int(b["tf"].sum())]}),
+            batch_format="pandas",
+        ).to_pandas()["n"].sum()
+    )
+    if total_tokens == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "lm_logprob": pd.Series([], dtype=np.float64),
+            }
+        )
+
+    # global occurrence count per term (bucketed combine over tf rows)
+    def cnt_combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("term", as_index=False).agg(c=("tf", "sum"))
+        return g.astype({"c": np.int64})
+
+    def project_tc(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["term", "tf"]]
+
+    counts = bucketed_group_agg(
+        tf_rows.map_batches(project_tc, batch_format="pandas"), ["term"], cnt_combine
+    )
+
+    # co-partition tf rows (doc_id >= 0) and count rows (doc_id = -1)
+    def tag_cnt(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": np.full(len(b), -1, dtype=np.int64),
+                "term": b["term"].to_numpy(),
+                "tf": b["c"].to_numpy().astype(np.int64),
+            }
+        )
+
+    unioned = tf_rows.union(counts.map_batches(tag_cnt, batch_format="pandas"))
+
+    def contrib_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_c = g["doc_id"].to_numpy() < 0
+        cmap = g[is_c].set_index("term")["tf"]
+        t = g[~is_c]
+        lnp = np.log(
+            cmap.reindex(t["term"]).to_numpy().astype(np.float64) / total_tokens
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(),
+                "n_tokens": t["tf"].to_numpy().astype(np.int64),
+                "ll": t["tf"].to_numpy().astype(np.float64) * lnp,
+            }
+        )
+
+    contrib = bucketed_group_agg(unioned, ["term"], contrib_bucket)
+
+    def doc_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", as_index=False).agg(
+            n_tokens=("n_tokens", "sum"), ll=("ll", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": agg["doc_id"].to_numpy().astype(np.int64),
+                "n_tokens": agg["n_tokens"].to_numpy().astype(np.int64),
+                "lm_logprob": _round6(
+                    agg["ll"].to_numpy() / agg["n_tokens"].to_numpy()
+                ),
+            }
+        )
+
+    return bucketed_group_agg(contrib, ["doc_id"], doc_reduce)
+
+
 class _BigramPartial:
     """Combiner: per-batch partial adjacent-bigram counts (vectorized —
     flat token stream + doc-boundary mask, no per-row Python loop)."""

@@ -620,3 +620,44 @@ def test_cross_doc_ngram_partition_invariance(ray_session):
     )
     pd.testing.assert_frame_equal(a, b)
     assert (a["n_dup_windows"] > 0).any()  # the random corpus does collide
+
+
+def test_lm_score_matches_bruteforce(ray_session):
+    """lm_score == brute-force corpus-MLE mean log-likelihood, invariant
+    to batching; empty docs omitted."""
+    import ray.data as rd
+
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+    from kafka_es_ray.pipelines.text_ops import lm_score
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                "the cat sat on the mat",
+                "the dog sat",
+                "rare words zyzzyva",
+                "",                       # zero tokens -> omitted
+                "the the the",
+            ],
+        }
+    )
+    an = get_analyzer("en")
+    toks = [an.tokenize(t) for t in docs["text"]]
+    from collections import Counter
+
+    cnt = Counter(t for tt in toks for t in tt)
+    total = sum(cnt.values())
+    got = (
+        lm_score(rd.from_pandas(docs).repartition(3))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [0, 1, 2, 4]
+    for _, row in got.iterrows():
+        tt = toks[int(row["doc_id"])]
+        want = np.mean([np.log(cnt[t] / total) for t in tt])
+        assert row["n_tokens"] == len(tt)
+        assert abs(row["lm_logprob"] - want) < 1e-5, row["doc_id"]
+    # the common-token doc scores higher than the rare-token doc
+    by = got.set_index("doc_id")["lm_logprob"]
+    assert by[4] > by[2]
