@@ -947,6 +947,27 @@ SELECT v.query_id, med.m AS median,
 FROM vals v JOIN med USING (query_id) GROUP BY 1, 2 ORDER BY 1
 """
 
+_RATE_SQL = _AGG_VALS_CTE + """
+, b AS (
+  SELECT query_id,
+         epoch(date_trunc('month', to_timestamp(ts)))::BIGINT AS bucket_ts,
+         count(*)::BIGINT AS n_docs
+  FROM vals GROUP BY 1, 2
+)
+SELECT query_id, bucket_ts, n_docs,
+       round(n_docs::DOUBLE / day(last_day(to_timestamp(bucket_ts))), 6) AS rate
+FROM b ORDER BY 1, 2
+"""
+
+_DATE_RANGE_SQL = _AGG_VALS_CTE + """
+SELECT query_id,
+       CASE WHEN ts >= 1588291200 THEN 1588291200.0
+            WHEN ts >= 1583020800 THEN 1583020800.0
+            ELSE 1577836800.0 END AS range_from,
+       count(*)::BIGINT AS n_docs
+FROM vals WHERE ts >= 1577836800 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 # Welch t-test: sample variance via the SAME exact-sum formula as the
 # engine — (ss - s*s/n)/(n-1) — so doubles match before the 6dp round
 _TTEST_SQL = _AGG_VALS_CTE + """
@@ -3917,6 +3938,40 @@ def _q_diversified_sampler_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_rate_agg(sf_dir: str):
+    """ES rate aggregation (date_histogram month buckets, unit=day):
+    docs-per-day rate per month bucket — the month's actual day count is
+    the divisor (ES unit-conversion semantics)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_rate
+
+    idx, cfg, queries = _agg_index_build(sf_dir, numeric=("ts",), derived=True)
+    try:
+        return run_agg_rate(queries, idx, "ts", "month", "day", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_date_range_agg(sf_dir: str):
+    """ES date_range aggregation: explicit month-start epoch edges over
+    the derived ts (bucket key = the range's "from"; below-first-edge
+    docs fall in no range, last range open-ended) — the range-agg
+    partial mode on a date field."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_range
+
+    idx, cfg, queries = _agg_index_build(sf_dir, numeric=("ts",), derived=True)
+    try:
+        # 2020-01-01, 2020-03-01, 2020-05-01 epoch seconds
+        return run_agg_range(
+            queries, idx, "ts", (1577836800.0, 1583020800.0, 1588291200.0), cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_t_test_agg(sf_dir: str):
     """ES t_test aggregation (heteroscedastic/Welch) between pairs of
     derived filter queries over n_chars: one stats-partial sweep,
@@ -5179,6 +5234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampler_agg": _q_sampler_agg,
         "diversified_sampler_agg": _q_diversified_sampler_agg,
         "boxplot_agg": _q_boxplot_agg,
+        "rate_agg": _q_rate_agg,
+        "date_range_agg": _q_date_range_agg,
         "missing_agg": _q_missing_agg,
         "value_count_agg": _q_value_count,
         "percentile_ranks": _q_percentile_ranks,
@@ -5383,6 +5440,8 @@ def oracle_sql() -> dict[str, str]:
         "sampler_agg": _SAMPLER_SQL,
         "diversified_sampler_agg": _DIVERSIFIED_SAMPLER_SQL,
         "boxplot_agg": _BOXPLOT_SQL,
+        "rate_agg": _RATE_SQL,
+        "date_range_agg": _DATE_RANGE_SQL,
         "missing_agg": _MISSING_AGG_SQL,
         "value_count_agg": _VALUE_COUNT_SQL,
         "percentile_ranks": _PCT_RANKS_SQL,

@@ -6593,6 +6593,79 @@ def run_agg_boxplot(
     )
 
 
+def run_agg_rate(
+    queries_ds, index_dir: str, field: str, calendar_interval: str = "month",
+    unit: str = "day", metric_field: str | None = None,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES rate aggregation inside a date_histogram: per calendar bucket,
+    rate = (sum of ``metric_field``, or the doc count when None) divided
+    by the bucket's length in ``unit`` — month buckets divide by that
+    month's actual day count (the ES rate unit-conversion semantics),
+    week buckets by 7, day buckets by 24 for unit=hour.  One
+    date-histogram partial sweep (the ``sum`` column carries the metric).
+    Returns (query_id, bucket_ts, n_docs, rate) with rate round6."""
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, field, str(calendar_interval), cfg, concurrency,
+        metric_field=metric_field,
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)
+            .agg(n=("n", "sum"), s=("sum", "sum"))
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            bts = gg["bucket"].to_numpy(np.int64)
+            if calendar_interval == "month" and unit == "day":
+                per = pd.PeriodIndex(
+                    pd.to_datetime(bts, unit="s"), freq="M"
+                ).days_in_month.to_numpy(np.float64)
+            elif calendar_interval == "week" and unit == "day":
+                per = np.full(bts.size, 7.0)
+            elif calendar_interval == "day" and unit == "hour":
+                per = np.full(bts.size, 24.0)
+            elif calendar_interval == unit:
+                per = np.ones(bts.size, dtype=np.float64)
+            else:
+                raise ValueError(
+                    f"unsupported rate conversion {calendar_interval!r} -> {unit!r}"
+                )
+            val = (
+                gg["s"].to_numpy(np.float64)
+                if metric_field is not None
+                else gg["n"].to_numpy(np.float64)
+            )
+            rate = round6(val / per)
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qid),
+                            "bucket_ts": bts,
+                            "n_docs": gg["n"].to_numpy(np.int64),
+                            "rate": np.asarray(rate, dtype=np.float64),
+                        }
+                    )
+                )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "bucket_ts": pd.Series([], dtype=np.int64),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "rate": pd.Series([], dtype=np.float64),
+            }
+        )
+    return (
+        pd.concat(rows, ignore_index=True)
+        .sort_values(["query_id", "bucket_ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def run_agg_sampler(
     queries_ds, index_dir: str, group_field: str, shard_size: int = 100,
     diversify_field: str | None = None, max_docs_per_value: int | None = None,

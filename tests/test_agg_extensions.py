@@ -528,3 +528,26 @@ def test_sampler_and_diversified(agg_index, ray_session):
     # 4 sources x cap 2 = at most 8 docs survive the de-bias
     assert int(div["n_docs"].sum()) <= 8
     assert int(div["n_docs"].sum()) < int(plain["n_docs"].sum())
+
+
+def test_rate_agg_month_day_conversion(agg_index, ray_session):
+    """rate = bucket count / that month's actual day count; leap-February
+    2020 (29 days) is in the fixture's ts range."""
+    from kafka_es_ray.query.engine import run_agg_date_histogram, run_agg_rate
+
+    d, docs = agg_index
+    hist = run_agg_date_histogram(Q, d, "ts", "month", cfg=CFG)
+    got = run_agg_rate(Q, d, "ts", "month", "day", cfg=CFG)
+    assert got["bucket_ts"].tolist() == hist["bucket_ts"].tolist()
+    assert got["n_docs"].tolist() == hist["n_docs"].tolist()
+    dim = pd.PeriodIndex(
+        pd.to_datetime(got["bucket_ts"], unit="s"), freq="M"
+    ).days_in_month.to_numpy(np.float64)
+    want = np.floor(got["n_docs"].to_numpy() / dim * 1e6 + 0.5) / 1e6
+    assert got["rate"].tolist() == want.tolist()
+    feb = got[got["bucket_ts"] == 1580515200]  # 2020-02-01
+    assert len(feb) == 1 and abs(
+        feb["rate"].iloc[0] - feb["n_docs"].iloc[0] / 29.0
+    ) < 1e-6
+    with pytest.raises(ValueError, match="rate conversion"):
+        run_agg_rate(Q, d, "ts", "month", "fortnight", cfg=CFG)
