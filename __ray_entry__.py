@@ -947,6 +947,25 @@ SELECT v.query_id, med.m AS median,
 FROM vals v JOIN med USING (query_id) GROUP BY 1, 2 ORDER BY 1
 """
 
+_GLOBAL_AGG_SQL = """
+WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+tf AS (SELECT DISTINCT doc_id, term FROM toks),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+ranked_terms AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+),
+m0 AS (
+  SELECT DISTINCT tf.doc_id FROM tf
+  JOIN ranked_terms rt ON rt.term = tf.term AND rt.r = 1
+),
+u AS (
+  SELECT 0 AS query_id, d.lang FROM m0 JOIN documents d USING (doc_id)
+  UNION ALL SELECT 1, lang FROM documents
+)
+SELECT query_id::BIGINT AS query_id, lang AS value, count(*)::BIGINT AS n_docs
+FROM u GROUP BY 1, 2 ORDER BY 1, 3 DESC, 2
+""".replace("{_TOK}", _TOK)
+
 _RATE_SQL = _AGG_VALS_CTE + """
 , b AS (
   SELECT query_id,
@@ -1756,6 +1775,43 @@ def _q_bm25_topk_and(sf_dir: str):
         queries = queries[queries["text"] != "zzzabsentterm"]
         res = searcher.search_batch(queries.assign(operator="and"))
         return res[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_wrapper_topk(sf_dir: str):
+    """ES wrapper query: the derived query-1 match wrapped as
+    base64(JSON) transport — decoded and rewritten at plan time, scores
+    identical to the native match row."""
+    import base64
+    import json
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_wrapidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        searcher = IndexSearcher(idx)
+        q1 = derive_query_set(searcher)
+        text = str(q1[q1["query_id"] == 1]["text"].iloc[0])
+        b64 = base64.b64encode(
+            json.dumps({"match": {"text": {"query": text}}}).encode("utf-8")
+        ).decode("ascii")
+        queries = pd.DataFrame(
+            {"query_id": np.array([0], dtype=np.int64), "text": [b64],
+             "type": ["wrapper"]}
+        )
+        out = run_queries(queries, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
@@ -3938,6 +3994,29 @@ def _q_diversified_sampler_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_global_agg(sf_dir: str):
+    """ES global aggregation: alongside a filtered query's lang buckets
+    (query 0, the df-top term), the global bucket (query 1) aggregates
+    over ALL docs regardless of the query — modeled as an exists=lang
+    match-all plan through the same one terms-agg partial sweep."""
+    import shutil
+
+    import pandas as pd
+
+    from kafka_es_ray.query.engine import run_agg_terms
+
+    idx, cfg, queries = _agg_index_build(sf_dir)
+    try:
+        q0 = queries[queries["query_id"] == 0].copy()
+        q = pd.concat(
+            [q0, pd.DataFrame({"query_id": [1], "text": [""], "exists": ["lang"]})],
+            ignore_index=True,
+        )
+        return run_agg_terms(q, idx, "lang", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_rate_agg(sf_dir: str):
     """ES rate aggregation (date_histogram month buckets, unit=day):
     docs-per-day rate per month bucket — the month's actual day count is
@@ -5193,6 +5272,7 @@ def _q_media_features(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": _q_bm25_topk,
+        "wrapper_topk": _q_wrapper_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "range_filter_topk": _q_range_filter_topk,
         "kw_filter_topk": _q_kw_filter_topk,
@@ -5235,6 +5315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diversified_sampler_agg": _q_diversified_sampler_agg,
         "boxplot_agg": _q_boxplot_agg,
         "rate_agg": _q_rate_agg,
+        "global_agg": _q_global_agg,
         "date_range_agg": _q_date_range_agg,
         "missing_agg": _q_missing_agg,
         "value_count_agg": _q_value_count,
@@ -5388,6 +5469,11 @@ def _lang_id_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
+        "wrapper_topk": (
+            "SELECT 0::BIGINT AS query_id, rank, doc_id, score FROM ("
+            + _BM25_SQL
+            + ") WHERE query_id = 1"
+        ),
         "range_filter_topk": _RANGE_SQL,
         "kw_filter_topk": _KW_FILTER_SQL,
         "min_score_topk": _MIN_SCORE_SQL,
@@ -5441,6 +5527,7 @@ def oracle_sql() -> dict[str, str]:
         "diversified_sampler_agg": _DIVERSIFIED_SAMPLER_SQL,
         "boxplot_agg": _BOXPLOT_SQL,
         "rate_agg": _RATE_SQL,
+        "global_agg": _GLOBAL_AGG_SQL,
         "date_range_agg": _DATE_RANGE_SQL,
         "missing_agg": _MISSING_AGG_SQL,
         "value_count_agg": _VALUE_COUNT_SQL,

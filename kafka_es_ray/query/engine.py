@@ -4065,6 +4065,48 @@ def run_queries(
             queries.at[i, "must_not"] = " ".join(mn_p) or None
             queries.at[i, "msm"] = 0 if must_p else 1
             queries.at[i, "type"] = "bool"
+    if "type" in queries.columns and (queries["type"] == "wrapper").any():
+        # ES wrapper query: the text column carries a base64-encoded
+        # JSON inner query, decoded at plan time and rewritten to the
+        # equivalent native row (the ES rewrite semantics — wrapper is
+        # pure transport).  Supported inner shapes: match, match_phrase
+        # (body a string or the ES {"query": ...} object form), each on
+        # the default text field or one named field.
+        import base64
+        import json as _json
+
+        queries = queries.copy()
+        if "field" not in queries.columns:
+            queries["field"] = None
+        if "slop" not in queries.columns:
+            queries["slop"] = None
+        for i in queries.index[queries["type"] == "wrapper"]:
+            try:
+                inner = _json.loads(
+                    base64.b64decode(str(queries.at[i, "text"])).decode("utf-8")
+                )
+            except Exception as exc:
+                raise ValueError(f"wrapper: undecodable inner query: {exc}") from exc
+            if not isinstance(inner, dict) or len(inner) != 1:
+                raise ValueError(
+                    "wrapper: inner query must be a one-key JSON object"
+                )
+            ((kind, body),) = inner.items()
+            if kind not in ("match", "match_phrase"):
+                raise ValueError(
+                    f"wrapper: unsupported inner query {kind!r} "
+                    "(supported: match, match_phrase)"
+                )
+            if not isinstance(body, dict) or len(body) != 1:
+                raise ValueError("wrapper: inner body must map one field")
+            ((fld, spec),) = body.items()
+            qtext = spec["query"] if isinstance(spec, dict) else spec
+            queries.at[i, "text"] = str(qtext)
+            if fld != "text":
+                queries.at[i, "field"] = fld
+            if isinstance(spec, dict) and "slop" in spec:
+                queries.at[i, "slop"] = int(spec["slop"])
+            queries.at[i, "type"] = "match" if kind == "match" else "phrase"
     if "type" in queries.columns and (queries["type"] == "query_string").any():
         # ES query_string (Lucene syntax subset): +term/-term/NOT term,
         # AND (all bare terms become must clauses; OR/none = should),

@@ -452,3 +452,68 @@ def test_random_score_deterministic(qt_index):
     c = _run(q.assign(seed="8"), qt_index)
     assert set(c["doc_id"]) == set(a["doc_id"])  # same match set
     assert c["doc_id"].tolist() != a["doc_id"].tolist()  # different order
+
+
+def test_wrapper_query_rewrites(ray_session, tmp_path):
+    """ES wrapper query: base64(JSON) inner match / match_phrase rewritten
+    at plan time — identical results to the native rows; undecodable or
+    unsupported inners are hard errors."""
+    import base64
+    import json
+
+    import ray.data as rd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.query.engine import run_queries
+
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(4)],
+            "text": [
+                "alpha beta gamma",
+                "alpha gamma beta",
+                "beta alpha",
+                "gamma only here",
+            ],
+            "lang": ["en"] * 4,
+        }
+    )
+    cfg = EngineConfig(num_partitions=2, index_positions=True)
+    d = str(tmp_path / "wrapx")
+    build_index(rd.from_pandas(docs), d, cfg, html_col=None, ts_col=None)
+
+    def enc(obj):
+        return base64.b64encode(json.dumps(obj).encode()).decode()
+
+    wrapped = pd.DataFrame(
+        {
+            "query_id": [0, 1],
+            "text": [
+                enc({"match": {"text": "alpha beta"}}),
+                enc({"match_phrase": {"text": {"query": "alpha beta", "slop": 1}}}),
+            ],
+            "type": ["wrapper", "wrapper"],
+        }
+    )
+    native = pd.DataFrame(
+        {
+            "query_id": [0, 1],
+            "text": ["alpha beta", "alpha beta"],
+            "type": [None, "phrase"],
+            "slop": [None, 1],
+        }
+    )
+    got = run_queries(wrapped, d, cfg).to_pandas().sort_values(["query_id", "rank"])
+    want = run_queries(native, d, cfg).to_pandas().sort_values(["query_id", "rank"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    # phrase slop=1 matches the transposed doc u1 (gap 1), plain adjacency would not
+    assert "u1" in set(got[got["query_id"] == 1]["key"])
+    for bad in ("notbase64!!", enc({"regexp": {"text": "a.*"}}), enc([1, 2])):
+        with pytest.raises(ValueError, match="wrapper"):
+            run_queries(
+                pd.DataFrame({"query_id": [0], "text": [bad], "type": ["wrapper"]}),
+                d, cfg,
+            )
