@@ -202,6 +202,12 @@ FROM topk WHERE rank <= 10 ORDER BY 1, 2
 # whose source keyword value != the corpus's modal source are dropped
 # BEFORE ranking (filter context: no score contribution); v = most
 # frequent source value, ties broken lexicographically
+_TERMS_LOOKUP_SQL = _BM25_SQL.replace(
+    "  FROM scores\n)",
+    "  FROM scores JOIN documents d USING (doc_id)\n"
+    "  WHERE d.lang = (SELECT lang FROM documents WHERE doc_id = 0)\n)",
+)
+
 _KW_FILTER_SQL = _BM25_SQL.replace(
     "  FROM scores\n)",
     "  FROM scores JOIN documents d USING (doc_id)\n"
@@ -1775,6 +1781,38 @@ def _q_bm25_topk_and(sf_dir: str):
         queries = queries[queries["text"] != "zzzabsentterm"]
         res = searcher.search_batch(queries.assign(operator="and"))
         return res[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_terms_lookup_topk(sf_dir: str):
+    """ES terms lookup: the terms-filter values are fetched from another
+    document (index/id="0", path=lang) via the distributed _mget path,
+    then applied as a keyword membership filter on the scored BM25
+    queries — two engine APIs composed exactly like the ES rewrite."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_mget, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_tlidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        looked = run_mget(["0"], idx)
+        assert bool(looked["found"].iloc[0])
+        lang_val = str(looked["lang"].iloc[0])
+        searcher = IndexSearcher(idx)
+        queries = derive_query_set(searcher)
+        queries = queries[queries["text"] != "zzzabsentterm"].assign(
+            kw_field="lang", kw_value=lang_val
+        )
+        out = run_queries(queries, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
@@ -5273,6 +5311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": _q_bm25_topk,
         "wrapper_topk": _q_wrapper_topk,
+        "terms_lookup_topk": _q_terms_lookup_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "range_filter_topk": _q_range_filter_topk,
         "kw_filter_topk": _q_kw_filter_topk,
@@ -5474,6 +5513,7 @@ def oracle_sql() -> dict[str, str]:
             + _BM25_SQL
             + ") WHERE query_id = 1"
         ),
+        "terms_lookup_topk": _TERMS_LOOKUP_SQL,
         "range_filter_topk": _RANGE_SQL,
         "kw_filter_topk": _KW_FILTER_SQL,
         "min_score_topk": _MIN_SCORE_SQL,
