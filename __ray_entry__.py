@@ -202,6 +202,25 @@ FROM topk WHERE rank <= 10 ORDER BY 1, 2
 # whose source keyword value != the corpus's modal source are dropped
 # BEFORE ranking (filter context: no score contribution); v = most
 # frequent source value, ties broken lexicographically
+# match fuzziness=1: probe = top ranked term minus last char; the query
+# term set = vocabulary terms with levenshtein <= 1 of the probe, scored
+# as the plain bool-OR BM25 sum (each expanded term with its own df/idf)
+_MATCH_FUZZY_SQL = _BM25_SQL.replace(
+    """queries AS (
+  SELECT 0 AS query_id, term FROM ranked_terms WHERE r = 1
+  UNION ALL SELECT 1, term FROM ranked_terms WHERE r IN (2, 3)
+  UNION ALL SELECT 2, term FROM ranked_terms WHERE r IN (4, 5, 6)
+  UNION ALL SELECT 3, term FROM ranked_terms WHERE r IN (7, 8)
+),""",
+    """probe AS (
+  SELECT substr(term, 1, len(term) - 1) AS p FROM ranked_terms WHERE r = 1
+),
+queries AS (
+  SELECT 0 AS query_id, df.term FROM df, probe
+  WHERE levenshtein(df.term, probe.p) <= 1
+),""",
+)
+
 _TERMS_LOOKUP_SQL = _BM25_SQL.replace(
     "  FROM scores\n)",
     "  FROM scores JOIN documents d USING (doc_id)\n"
@@ -1781,6 +1800,40 @@ def _q_bm25_topk_and(sf_dir: str):
         queries = queries[queries["text"] != "zzzabsentterm"]
         res = searcher.search_batch(queries.assign(operator="and"))
         return res[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_match_fuzzy_topk(sf_dir: str):
+    """ES match with fuzziness=1: the probe (top ranked term minus its
+    last char — a deterministic typo) expands to its edit-distance-1
+    dictionary variants via one GLOBAL dictionary-only pass, then scores
+    as the bool-OR of the expanded terms."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_mfzidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        w1 = derive_ranked_terms(IndexSearcher(idx), 1)[0]
+        queries = pd.DataFrame(
+            {
+                "query_id": np.array([0], dtype=np.int64),
+                "text": [w1[:-1]],
+                "fuzziness": np.array([1], dtype=np.int64),
+            }
+        )
+        out = run_queries(queries, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
@@ -5312,6 +5365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25_topk,
         "wrapper_topk": _q_wrapper_topk,
         "terms_lookup_topk": _q_terms_lookup_topk,
+        "match_fuzzy_topk": _q_match_fuzzy_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "range_filter_topk": _q_range_filter_topk,
         "kw_filter_topk": _q_kw_filter_topk,
@@ -5514,6 +5568,7 @@ def oracle_sql() -> dict[str, str]:
             + ") WHERE query_id = 1"
         ),
         "terms_lookup_topk": _TERMS_LOOKUP_SQL,
+        "match_fuzzy_topk": _MATCH_FUZZY_SQL,
         "range_filter_topk": _RANGE_SQL,
         "kw_filter_topk": _KW_FILTER_SQL,
         "min_score_topk": _MIN_SCORE_SQL,

@@ -3969,6 +3969,41 @@ def _shard_terms_enum(
     )
 
 
+def _shard_fuzzy_enum(index_dir: str, pid: int, term: str) -> list[str]:
+    """One segment's edit-distance-<=1 dictionary terms for ``term`` —
+    dictionary-only (postings never read), the vectorized length-band
+    lcp+lcs identity of _fuzzy_term_indices.  Field-prefixed dictionary
+    entries of multi-field indexes are excluded (default-field
+    semantics)."""
+    import types
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(postings_path(index_dir, pid), columns=["term"])
+    arr = t.column("term").combine_chunks()
+    tids = _fuzzy_term_indices(types.SimpleNamespace(terms_arr=arr), term)
+    return [v for v in (arr[i].as_py() for i in tids) if "\x1f" not in v]
+
+
+def _global_fuzzy_expand(dirs: list, manifests: list, term: str) -> list[str]:
+    """GLOBAL fuzziness=1 expansion of one analyzed term over every
+    segment dictionary — deterministic across shard layouts (Lucene
+    expands per segment, so ES scores can vary with merges; the global
+    set is the frozen engine convention).  Dictionary-only; parallel via
+    raw tasks when the index has many shards."""
+    import ray
+
+    jobs = [
+        (d, int(p)) for d, m in zip(dirs, manifests) for p in m["parts"]
+    ]
+    if len(jobs) <= 4:
+        lists = [_shard_fuzzy_enum(d, p, term) for d, p in jobs]
+    else:
+        enum = ray.remote(num_cpus=1)(_shard_fuzzy_enum)
+        lists = ray.get([enum.remote(d, p, term) for d, p in jobs])
+    return sorted({t for lst in lists for t in lst})
+
+
 def run_terms_enum(
     index_dir: str, prefix: str, size: int = 10,
     field: str | None = None, cfg: EngineConfig = DEFAULT,
@@ -4193,6 +4228,28 @@ def run_queries(
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return None
         return str(v)
+
+    if "fuzziness" in queries.columns and queries["fuzziness"].notna().any():
+        # ES match with fuzziness=1: each analyzed term expands to its
+        # edit-distance-1 dictionary variants (GLOBAL dictionary-only
+        # pass — deterministic across shard layouts, where Lucene's
+        # per-segment rewrite is not), then the row scores as the
+        # bool-OR of the expanded terms, each with its own global df/idf
+        # (the ES fuzzy-rewrite-to-bool shape; frozen convention).
+        queries = queries.copy()
+        fz_cache: dict[str, list[str]] = {}
+        for i in queries.index[queries["fuzziness"].notna()]:
+            if int(queries.at[i, "fuzziness"]) != 1:
+                raise ValueError("match fuzziness: only fuzziness=1 supported")
+            an_f = get_analyzer(
+                queries.at[i, "lang"] if "lang" in queries.columns else None
+            )
+            expanded: set[str] = set()
+            for t in an_f.tokenize(str(queries.at[i, "text"])):
+                if t not in fz_cache:
+                    fz_cache[t] = _global_fuzzy_expand(dirs, manifests, t)
+                expanded.update(fz_cache[t])
+            queries.at[i, "text"] = " ".join(sorted(expanded))
 
     # phase 1: global stats for all query terms (dictionaries only) —
     # field-scoped rows (match field=… / multi_match fields=…) look up the

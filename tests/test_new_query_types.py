@@ -517,3 +517,50 @@ def test_wrapper_query_rewrites(ray_session, tmp_path):
                 pd.DataFrame({"query_id": [0], "text": [bad], "type": ["wrapper"]}),
                 d, cfg,
             )
+
+
+def test_match_fuzziness_expansion(ray_session, tmp_path):
+    """match fuzziness=1 == the bool-OR of the global edit-1 dictionary
+    expansion; fuzziness>1 rejected; no-expansion probe -> empty."""
+    import ray.data as rd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.query.engine import run_queries
+
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(5)],
+            "text": [
+                "brown fox",        # edit-1 of "browm"
+                "brow fox",         # deletion
+                "crown fox",        # substitution at 0... dist(browm,crown)=2 -> no
+                "brownx fox",       # insertion at end -> dist 2 from browm? b-r-o-w-n-x vs b-r-o-w-m: sub+ins = 2 -> no
+                "frown fox",
+            ],
+            "lang": ["en"] * 5,
+        }
+    )
+    cfg = EngineConfig(num_partitions=2)
+    d = str(tmp_path / "fzx")
+    build_index(rd.from_pandas(docs), d, cfg, html_col=None, ts_col=None)
+    fuzzy = pd.DataFrame({"query_id": [0], "text": ["browm"], "fuzziness": [1]})
+    got = run_queries(fuzzy, d, cfg).to_pandas()
+    # expansion of "browm": brown (sub), brow (del); crown/frown/brownx are dist 2
+    native = pd.DataFrame({"query_id": [0], "text": ["brown brow"]})
+    want = run_queries(native, d, cfg).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("rank").reset_index(drop=True),
+        want.sort_values("rank").reset_index(drop=True),
+    )
+    assert set(got["key"]) == {"u0", "u1"}
+    with pytest.raises(ValueError, match="fuzziness"):
+        run_queries(
+            pd.DataFrame({"query_id": [0], "text": ["browm"], "fuzziness": [2]}),
+            d, cfg,
+        )
+    empty = run_queries(
+        pd.DataFrame({"query_id": [0], "text": ["zzzzzzzzz"], "fuzziness": [1]}),
+        d, cfg,
+    )
+    assert empty.count() == 0
