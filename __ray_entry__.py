@@ -4715,6 +4715,62 @@ def _q_mget_docs(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_analyze_api(sf_dir: str):
+    """ES _analyze API analog: token stream (term + 0-based position)
+    of the ascii_v1 analyzer for the first three documents — the
+    analyzer-introspection surface the CLI `analyze` subcommand exposes,
+    as a table the tokenizer ≡ DuckDB contract can replay."""
+    import pandas as pd
+
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+    from kafka_es_ray.sources.parquet import read_table
+
+    docs = (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .head(3)
+    )
+    an = get_analyzer("en")
+    toks = an.tokenize_series(docs["text"])
+    rows = []
+    for did, tt in zip(docs["doc_id"], toks):
+        for p, t in enumerate(tt):
+            rows.append((np.int64(did), np.int64(p), t))
+    return pd.DataFrame(rows, columns=["doc_id", "position", "token"]).astype(
+        {"doc_id": "int64", "position": "int64"}
+    )
+
+
+def _q_mget_fields(sf_dir: str):
+    """ES _mget with mapped-field retrieval: point lookups returning
+    keyword (source) and numeric (n_chars) docstore columns per hit —
+    the docvalue form of _mget; missing keys keep found=false/None."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import documents_dataset
+    from kafka_es_ray.query.engine import run_mget
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_mgfidx_")
+    try:
+        cfg = EngineConfig(
+            num_partitions=8, keyword_cols=("source",), numeric_cols=("n_chars",)
+        )
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("source", "n_chars")), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        keys = ["0", "7", "42", "999999999"]
+        out = run_mget(keys, idx, cfg, fetch_fields=["source", "n_chars"])
+        return out[["key", "doc_id", "lang", "found", "source", "n_chars"]]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_lineitem_agg(sf_dir: str):
     from kafka_es_ray.pipelines.relational import lineitem_agg
     from kafka_es_ray.sources.parquet import read_table
@@ -5459,6 +5515,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_lang_agg": _q_match_lang_agg,
         "match_source_agg": _q_match_source_agg,
         "mget_docs": _q_mget_docs,
+        "mget_fields": _q_mget_fields,
+        "analyze_api": _q_analyze_api,
         "phrase_topk": _q_phrase_topk,
         "span_near_topk": _q_span_near_topk,
         "intervals_topk": _q_intervals_topk,
@@ -6268,6 +6326,24 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(d.doc_id, -1)::BIGINT AS doc_id,
                    d.lang AS lang,
                    (d.doc_id IS NOT NULL) AS found
+            FROM want w LEFT JOIN documents d ON CAST(d.doc_id AS VARCHAR) = w.key
+        """,
+        "analyze_api": f"""
+            SELECT doc_id,
+                   (generate_subscripts({_TOK}, 1) - 1)::BIGINT AS position,
+                   unnest({_TOK}) AS token
+            FROM documents WHERE doc_id < 3 ORDER BY 1, 2
+        """,
+        "mget_fields": """
+            WITH want(key) AS (
+              VALUES ('0'), ('7'), ('42'), ('999999999')
+            )
+            SELECT w.key,
+                   coalesce(d.doc_id, -1)::BIGINT AS doc_id,
+                   d.lang AS lang,
+                   (d.doc_id IS NOT NULL) AS found,
+                   d.source AS source,
+                   d.n_chars::DOUBLE AS n_chars
             FROM want w LEFT JOIN documents d ON CAST(d.doc_id AS VARCHAR) = w.key
         """,
         "lineitem_agg": """

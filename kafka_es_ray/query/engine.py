@@ -3871,7 +3871,8 @@ class MgetStage(_SegmentCacheStage):
     only — output is O(|keys|), never O(n_docs)."""
 
     def _init_payload(self, payload) -> None:
-        self.want, self.tomb_map, self.fetch_text = payload
+        pay = (*payload, ())[:4]
+        self.want, self.tomb_map, self.fetch_text, self.fetch_fields = pay
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -3898,6 +3899,14 @@ class MgetStage(_SegmentCacheStage):
                 cols["text"] = seg._take_str(seg.texts_arr, rows)
             elif self.fetch_text:
                 cols["text"] = np.full(rows.size, None, dtype=object)
+            for f in self.fetch_fields:
+                # mapped docvalue retrieval (ES _mget fields): numeric
+                # columns come back float64, keyword columns as strings
+                cols[f] = (
+                    seg.nums_for(f, ids)
+                    if f in seg.num_arr
+                    else seg.field_for(f, ids)
+                )
             out.append(pd.DataFrame(cols))
         if not out:
             empty = {
@@ -3907,6 +3916,8 @@ class MgetStage(_SegmentCacheStage):
             }
             if self.fetch_text:
                 empty["text"] = pd.Series([], dtype=object)
+            for f in self.fetch_fields:
+                empty[f] = pd.Series([], dtype=object)
             return pd.DataFrame(empty)
         return pd.concat(out, ignore_index=True)
 
@@ -8302,15 +8313,19 @@ def run_mget(
     cfg: EngineConfig = DEFAULT,
     concurrency: int | None = None,
     fetch: bool = False,
+    fetch_fields: list[str] | None = None,
 ) -> pd.DataFrame:
     """Distributed ES _mget: point lookups via per-segment key-hash
     binary search.  Only segments whose manifest covers a wanted key's
     routing partition are scheduled; each emits O(|keys|) candidate rows;
     the driver keeps the newest live version per key (result size is
-    bounded by |keys| by construction)."""
+    bounded by |keys| by construction).  ``fetch_fields`` adds mapped
+    keyword/numeric docstore columns per hit (the ES _mget
+    ``_source``-includes / docvalue fields form); missing keys get None."""
     import ray
 
     concurrency = concurrency or cfg.query_concurrency or query_pool()
+    ff = list(fetch_fields or ())
     want = np.asarray(list(keys), dtype=object)
     manifest = read_manifest(index_dir)
     P = int(manifest.get("num_partitions", 1))
@@ -8324,15 +8339,17 @@ def run_mget(
         )
         if covered & want_parts:
             touched.append(int(sid_str))
-    cols = ["key", "doc_id", "lang", "found"] + (["text"] if fetch else [])
+    cols = ["key", "doc_id", "lang", "found"] + (["text"] if fetch else []) + ff
     if not touched or want.size == 0:
         base = pd.DataFrame(
             {"key": want, "doc_id": np.int64(-1), "lang": None, "found": False}
         )
         if fetch:
             base["text"] = None
+        for f in ff:
+            base[f] = None
         return base[cols].astype({"doc_id": np.int64, "found": bool})
-    plan_ref = ray.put((want, manifest.get("tombstones", {}), fetch))
+    plan_ref = ray.put((want, manifest.get("tombstones", {}), fetch, tuple(ff)))
     cand = (
         _shards_ds(sorted(touched), concurrency)
         .map_batches(
@@ -8348,9 +8365,10 @@ def run_mget(
     for r in cand.itertuples(index=False):
         prev = best.get(r.key)
         if prev is None or int(r.doc_id) > prev[0]:
+            extra = {f: getattr(r, f, None) for f in ff}
             best[r.key] = (
                 int(r.doc_id),
-                {"lang": r.lang, "text": getattr(r, "text", None)},
+                {"lang": r.lang, "text": getattr(r, "text", None), **extra},
             )
     rows = []
     for k_ in keys:
@@ -8362,6 +8380,7 @@ def run_mget(
                 "lang": b_[1]["lang"] if b_ else None,
                 "found": b_ is not None,
                 "text": b_[1]["text"] if b_ else None,
+                **{f: (b_[1][f] if b_ else None) for f in ff},
             }
         )
     out = pd.DataFrame(rows)

@@ -783,3 +783,17 @@ def test_filters_agg_named_buckets(api_index, ray_session):
         assert sub["none"] == 0  # zero-count named bucket still emitted
         assert sub["_other_"] == (~langs.isin(["en", "de"])).sum()
         assert set(sub.index) == {"eng", "ger", "none", "_other_"}
+
+
+def test_mget_fetch_fields(api_index, ray_session):
+    """_mget with mapped-field retrieval: keyword (source) values per
+    found key, None for missing/deleted keys; base columns unchanged."""
+    d, docs = api_index
+    keys = ["https://a.x/0005", "https://a.x/0050", "nope"]
+    got = run_mget(keys, d, CFG, concurrency=2, fetch_fields=["source"])
+    assert list(got.columns) == ["key", "doc_id", "lang", "found", "source"]
+    assert got["found"].tolist() == [False, True, False]  # 0005 deleted
+    assert got["source"].iloc[1] == (
+        docs[docs["url"] == "https://a.x/0050"]["source"].iloc[0]
+    )
+    assert got["source"].iloc[0] is None and got["source"].iloc[2] is None
