@@ -4813,6 +4813,28 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(read_table(sf_dir, "documents", columns=["doc_id", "text"]), k=5)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Training-sequence packing (concatenate-then-split at capacity
+    256): per-doc global start offset + first/last sequence window via
+    the distributed prefix-sum (range partials -> driver offsets ->
+    broadcast), no doc rows shuffled."""
+    from kafka_es_ray.pipelines.text_ops import pack_training_sequences
+    from kafka_es_ray.sources.parquet import read_table
+
+    out = pack_training_sequences(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), capacity=256
+    )
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    if len(out) == 0:  # 0-row Dataset.to_pandas drops columns (rule 8b)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("doc_id", "n_tokens", "start_offset", "first_seq", "last_seq")}
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_lm_score(sf_dir: str):
     """Unigram-LM quality scoring: per-doc mean token log-likelihood
     under the corpus's own MLE unigram model — tf⋈count co-partitioned
@@ -5532,6 +5554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "lm_score": _q_lm_score,
+        "pack_sequences": _q_pack_sequences,
         "doc_token_counts": _q_doc_token_counts,
         "term_df": _q_term_df,
         "exact_dedup": _q_exact_dedup,
@@ -6435,6 +6458,23 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (
               SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY 1
             ) l USING (doc_id)
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, len({_TOK})::BIGINT AS n_tokens FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0)::BIGINT AS start_offset
+              FROM t
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   (start_offset // 256)::BIGINT AS first_seq,
+                   ((start_offset + n_tokens - 1) // 256)::BIGINT AS last_seq
+            FROM c WHERE n_tokens > 0 ORDER BY 1
         """,
         "lm_score": f"""
             WITH toks AS (

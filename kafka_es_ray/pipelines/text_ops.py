@@ -610,6 +610,105 @@ def tfidf_top_terms(docs_ds, k: int = 5):
     return bucketed_group_agg(scored, ["doc_id"], topk_bucket)
 
 
+def pack_training_sequences(docs_ds, capacity: int = 1024):
+    """Training-sequence packing (concatenate-then-split, the standard
+    LLM pretraining batch layout): documents are concatenated in doc_id
+    order into one logical token stream and cut into fixed ``capacity``
+    windows; each doc reports where it landed — global start offset,
+    first/last sequence index, and how many windows it straddles.
+
+    Distributed as a classic prefix sum: per-block token-count partials
+    (one row per block) -> driver computes block prefix offsets (tiny)
+    -> broadcast -> per-block local cumsum + offset.  No shuffle moves
+    doc rows; the only exchange is #blocks scalar partials, so the op is
+    100-TB-safe and the output is partition-invariant (doc_id order is
+    global by construction).  Returns (doc_id, n_tokens, start_offset,
+    first_seq, last_seq) for docs with >= 1 token."""
+    import ray
+
+    # per-block (min_doc_id, token_sum) partials + per-doc counts kept
+    # block-local; blocks are doc_id-ordered ranges because read order is
+    # row-group order, but we do NOT rely on that: re-sort via one
+    # bucketed exchange on doc_id ranges
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    counts = docs_ds.map_batches(
+        TokenStatsStage, batch_format="pandas", batch_size=4096,
+        concurrency=stage_pool(),
+    )
+
+    # one exchange keyed by doc_id ranges: a RANGE is a contiguous doc_id
+    # span, so the global prefix order is exactly (range_id, doc_id)
+    span = 1 << 20  # docs per contiguous range (fixed, layout-free)
+
+    def tag_span(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["range_id"] = b["doc_id"].to_numpy(np.int64) // span
+        return b
+
+    ranged = counts.map_batches(tag_span, batch_format="pandas")
+
+    def range_combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values(["range_id", "doc_id"], kind="mergesort")
+        n = bucket["n_tokens"].to_numpy(np.int64)
+        cum = bucket.groupby("range_id", sort=False)["n_tokens"].cumsum()
+        return pd.DataFrame(
+            {
+                "range_id": bucket["range_id"].to_numpy(np.int64),
+                "doc_id": bucket["doc_id"].to_numpy(np.int64),
+                "n_tokens": n,
+                "local_start": cum.to_numpy(np.int64) - n,
+            }
+        )
+
+    local = bucketed_group_agg(ranged, ["range_id"], range_combine).materialize()
+
+    # block prefix offsets: one scalar per range -> driver (tiny)
+    totals = (
+        local.map_batches(
+            lambda b: b.groupby("range_id", as_index=False)["n_tokens"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if len(totals) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "start_offset": pd.Series([], dtype=np.int64),
+                "first_seq": pd.Series([], dtype=np.int64),
+                "last_seq": pd.Series([], dtype=np.int64),
+            }
+        )
+    totals = totals.groupby("range_id", as_index=True)["n_tokens"].sum().sort_index()
+    offsets = {
+        int(rid): int(off)
+        for rid, off in zip(totals.index, totals.cumsum() - totals)
+    }
+    off_ref = ray.put(offsets)
+    cap = int(capacity)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        base = b["range_id"].map(offs).to_numpy(np.int64)
+        start = base + b["local_start"].to_numpy(np.int64)
+        n = b["n_tokens"].to_numpy(np.int64)
+        keep = n > 0
+        start, n = start[keep], n[keep]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64)[keep],
+                "n_tokens": n,
+                "start_offset": start,
+                "first_seq": start // cap,
+                "last_seq": (start + n - 1) // cap,
+            }
+        )
+
+    return local.map_batches(finalize, batch_format="pandas")
+
+
 def lm_score(docs_ds):
     """Unigram language-model quality scoring over the corpus's own MLE
     model: per doc the mean token log-likelihood, lm_logprob =

@@ -661,3 +661,37 @@ def test_lm_score_matches_bruteforce(ray_session):
     # the common-token doc scores higher than the rare-token doc
     by = got.set_index("doc_id")["lm_logprob"]
     assert by[4] > by[2]
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    """Packing offsets == a serial prefix sum in doc_id order regardless
+    of partitioning; straddle counts follow from the window arithmetic."""
+    import ray.data as rd
+
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+    from kafka_es_ray.pipelines.text_ops import pack_training_sequences
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "text": [" ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+                     for _ in range(40)],
+        }
+    )
+    docs.loc[7, "text"] = ""  # zero-token doc -> omitted
+    an = get_analyzer("en")
+    n = docs["text"].map(lambda t: len(an.tokenize(t))).to_numpy(np.int64)
+    got = (
+        pack_training_sequences(rd.from_pandas(docs).repartition(7), capacity=16)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    start = np.cumsum(n) - n
+    keep = n > 0
+    assert got["doc_id"].tolist() == docs["doc_id"].to_numpy()[keep].tolist()
+    assert got["start_offset"].tolist() == start[keep].tolist()
+    assert got["first_seq"].tolist() == (start[keep] // 16).tolist()
+    assert got["last_seq"].tolist() == ((start[keep] + n[keep] - 1) // 16).tolist()
+    # a doc longer than capacity straddles > 1 window somewhere
+    assert (got["last_seq"] > got["first_seq"]).any()
