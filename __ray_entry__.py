@@ -4813,6 +4813,35 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(read_table(sf_dir, "documents", columns=["doc_id", "text"]), k=5)
 
 
+def _q_mix_epochs(sf_dir: str):
+    """Dataset mixing with repetition: src0 up-weighted 2.3x (2 full
+    epochs + hash-decided 0.3 fractional epoch), src1 down-sampled 0.4x,
+    everything else 1.0 — streaming flat-map, membership a pure function
+    of (id, epoch)."""
+    from kafka_es_ray.pipelines.sampling import mix_epochs
+    from kafka_es_ray.sources.parquet import read_table
+
+    out = mix_epochs(
+        read_table(sf_dir, "documents", columns=["doc_id", "source"]),
+        {"src0": 2.3, "src1": 0.4},
+    )
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    if len(out) == 0:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "source": pd.Series([], dtype=object),
+             "epoch": pd.Series([], dtype="int64")}
+        )
+    return (
+        out[["doc_id", "source", "epoch"]]
+        .sort_values(["doc_id", "epoch"])
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64", "epoch": "int64"})
+    )
+
+
 def _q_pack_sequences(sf_dir: str):
     """Training-sequence packing (concatenate-then-split at capacity
     256): per-doc global start offset + first/last sequence window via
@@ -5555,6 +5584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "lm_score": _q_lm_score,
         "pack_sequences": _q_pack_sequences,
+        "mix_epochs": _q_mix_epochs,
         "doc_token_counts": _q_doc_token_counts,
         "term_df": _q_term_df,
         "exact_dedup": _q_exact_dedup,
@@ -6458,6 +6488,32 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (
               SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY 1
             ) l USING (doc_id)
+        """,
+        "mix_epochs": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 2.3
+                                 WHEN 'src1' THEN 0.4 ELSE 1.0 END AS wt
+              FROM documents
+            ),
+            k AS (
+              SELECT doc_id, source, wt, CAST(floor(wt) AS BIGINT) AS kf,
+                     CAST(round((wt - floor(wt)) * 1000000) AS BIGINT) AS thr
+              FROM w
+            ),
+            full_rep AS (
+              SELECT doc_id, source, unnest(generate_series(0, kf - 1)) AS epoch
+              FROM k WHERE kf >= 1
+            ),
+            frac AS (
+              SELECT doc_id, source, kf AS epoch FROM k
+              WHERE md5_number_lower(doc_id::VARCHAR || '|' || kf::VARCHAR)
+                    % 1000000 < thr
+            )
+            SELECT doc_id, source, epoch::BIGINT AS epoch FROM full_rep
+            UNION ALL
+            SELECT doc_id, source, epoch::BIGINT FROM frac
+            ORDER BY 1, 3
         """,
         "pack_sequences": f"""
             WITH t AS (

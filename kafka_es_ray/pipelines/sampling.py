@@ -67,3 +67,67 @@ def train_holdout_split(docs_ds, holdout_frac: float, *, id_col: str = "doc_id")
         return batch.assign(split=np.where(h < thr, "holdout", "train"))
 
     return docs_ds.map_batches(tag, batch_format="pandas", batch_size=8192)
+
+
+def mix_epochs(
+    docs_ds,
+    weights: dict[str, float],
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+):
+    """Dataset mixing with REPETITION (epoch weighting): weight w means
+    every row of that group appears floor(w) times (epochs 0..floor(w)-1)
+    plus once more (epoch floor(w)) with probability w - floor(w) — the
+    standard up-weighting of underrepresented sources in a pretraining
+    mix (published practice, e.g. multi-epoch source weighting).  The
+    fractional keep is hash-decided with the epoch index salted into the
+    id (``hash(id|epoch)``) so it is reproducible, partition-invariant,
+    and independent of the integer-epoch copies.  Streaming flat-map, no
+    shuffle; output = input columns + ``epoch``."""
+    import hashlib
+
+    wmap = {g: float(w) for g, w in weights.items()}
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[group_col].map(lambda g: wmap.get(g, default_weight)).to_numpy(
+            np.float64
+        )
+        k_full = np.floor(w).astype(np.int64)
+        frac_thr = np.round((w - k_full) * DENOM).astype(np.int64)
+        # integer epochs: row i repeated k_full[i] times with epoch 0..k-1
+        idx_full = np.repeat(np.arange(len(batch)), k_full)
+        ends = np.cumsum(k_full)
+        epoch_full = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) - (
+            np.repeat(ends - k_full, k_full)
+        )
+        # fractional epoch: salted hash keep
+        ids = batch[id_col].to_numpy()
+        salted = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(f"{v}|{k}".encode()).digest()[8:16], "little"
+                ) % DENOM
+                for v, k in zip(ids, k_full)
+            ),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        keep_frac = salted < frac_thr
+        parts = []
+        if idx_full.size:
+            full = batch.iloc[idx_full].copy()
+            full["epoch"] = epoch_full
+            parts.append(full)
+        if keep_frac.any():
+            fr = batch[keep_frac].copy()
+            fr["epoch"] = k_full[keep_frac]
+            parts.append(fr)
+        if not parts:
+            out = batch.iloc[:0].copy()
+            out["epoch"] = pd.Series([], dtype=np.int64)
+            return out
+        return pd.concat(parts, ignore_index=True)
+
+    return docs_ds.map_batches(expand, batch_format="pandas", batch_size=8192)

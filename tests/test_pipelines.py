@@ -695,3 +695,36 @@ def test_pack_sequences_prefix_sum(ray_session):
     assert got["last_seq"].tolist() == ((start[keep] + n[keep] - 1) // 16).tolist()
     # a doc longer than capacity straddles > 1 window somewhere
     assert (got["last_seq"] > got["first_seq"]).any()
+
+
+def test_mix_epochs_weighting(ray_session):
+    """Weight 3.0 -> exactly 3 copies (epochs 0..2); 0.0 -> dropped;
+    fractional part hash-decided and partition-invariant."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.sampling import mix_epochs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(300, dtype=np.int64),
+            "source": ["a"] * 100 + ["b"] * 100 + ["c"] * 100,
+        }
+    )
+    w = {"a": 3.0, "b": 0.5, "c": 0.0}
+    got = (
+        mix_epochs(rd.from_pandas(docs), w)
+        .to_pandas().sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    )
+    a = got[got["source"] == "a"]
+    assert len(a) == 300 and a.groupby("doc_id")["epoch"].apply(list).map(
+        lambda e: e == [0, 1, 2]
+    ).all()
+    b = got[got["source"] == "b"]
+    assert 20 < len(b) < 80 and (b["epoch"] == 0).all()  # ~50% of 100
+    assert (got["source"] != "c").all()
+    # partition invariance
+    again = (
+        mix_epochs(rd.from_pandas(docs).repartition(13), w)
+        .to_pandas().sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again)
