@@ -202,6 +202,29 @@ FROM topk WHERE rank <= 10 ORDER BY 1, 2
 # whose source keyword value != the corpus's modal source are dropped
 # BEFORE ranking (filter context: no score contribution); v = most
 # frequent source value, ties broken lexicographically
+_WEIGHTED_TERMS_SQL = """
+WITH tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
+toks AS (SELECT doc_id, unnest(t) AS term FROM tl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+ranked AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+),
+q AS (
+  SELECT term, 1.5 AS wt FROM ranked WHERE r = 1
+  UNION ALL SELECT term, 0.4 FROM ranked WHERE r = 2
+  UNION ALL SELECT term, 2.0 FROM ranked WHERE r = 3
+),
+scored AS (
+  SELECT tf.doc_id, round(sum(q.wt * tf.tf), 6) AS score
+  FROM q JOIN tf USING (term) GROUP BY 1
+)
+SELECT 0::BIGINT AS query_id,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+""".replace("{_TOK}", _TOK)
+
 # match fuzziness=1: probe = top ranked term minus last char; the query
 # term set = vocabulary terms with levenshtein <= 1 of the probe, scored
 # as the plain bool-OR BM25 sum (each expanded term with its own df/idf)
@@ -1826,6 +1849,39 @@ def _q_match_fuzzy_topk(sf_dir: str):
                 "query_id": np.array([0], dtype=np.int64),
                 "text": [w1[:-1]],
                 "fuzziness": np.array([1], dtype=np.int64),
+            }
+        )
+        out = run_queries(queries, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_weighted_terms_topk(sf_dir: str):
+    """ES sparse_vector / rank_features weighted-term retrieval (the
+    learned-sparse ELSER/SPLADE scoring shape): score = Σ w_t · tf(t,d)
+    over the three df-top-ranked terms with fixed weights."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_wtidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        w1, w2, w3 = derive_ranked_terms(IndexSearcher(idx), 3)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.array([0], dtype=np.int64),
+                "text": [f"{w1}:1.5 {w2}:0.4 {w3}:2.0"],
+                "type": ["weighted_terms"],
             }
         )
         out = run_queries(queries, idx).to_pandas()
@@ -5473,6 +5529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wrapper_topk": _q_wrapper_topk,
         "terms_lookup_topk": _q_terms_lookup_topk,
         "match_fuzzy_topk": _q_match_fuzzy_topk,
+        "weighted_terms_topk": _q_weighted_terms_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "range_filter_topk": _q_range_filter_topk,
         "kw_filter_topk": _q_kw_filter_topk,
@@ -5680,6 +5737,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "terms_lookup_topk": _TERMS_LOOKUP_SQL,
         "match_fuzzy_topk": _MATCH_FUZZY_SQL,
+        "weighted_terms_topk": _WEIGHTED_TERMS_SQL,
         "range_filter_topk": _RANGE_SQL,
         "kw_filter_topk": _KW_FILTER_SQL,
         "min_score_topk": _MIN_SCORE_SQL,

@@ -2249,6 +2249,45 @@ def score_segment_span_not(
     return ids, scores
 
 
+def score_segment_weighted_terms(
+    s: Segment,
+    terms: list[str],
+    weights: list[float],
+    dl_field: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES sparse_vector / rank_features-style weighted-term retrieval
+    (the learned-sparse ELSER/SPLADE scoring shape) for ONE segment:
+    score(d) = round6(Σ_t w_t · tf(t, d)) — the dot product of the query
+    weight vector with the doc's stored term frequencies (tf is the doc
+    weight; a learned per-doc weight column would slot in identically).
+    No idf, no length norm (the sparse-dot contract).  Ascending-term
+    accumulation, tombstones excluded, (score desc, doc_id asc) handled
+    by the caller."""
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+    order = np.argsort(np.asarray(terms, dtype=object), kind="stable")
+    ids_all, contrib_all = [], []
+    for i in order:
+        ti = s.lookup(terms[int(i)])
+        if ti < 0:
+            continue
+        ids_t, tfs_t, _ = s.postings_with_dl(ti, dl_field)
+        ids_all.append(ids_t)
+        contrib_all.append(float(weights[int(i)]) * tfs_t.astype(np.float64))
+    if not ids_all:
+        return empty
+    ids_c = np.concatenate(ids_all)
+    uids, inv = np.unique(ids_c, return_inverse=True)
+    acc = np.zeros(uids.size, dtype=np.float64)
+    np.add.at(acc, inv, np.concatenate(contrib_all))
+    if s.tombstones is not None and s.tombstones.size:
+        pos_t = np.minimum(np.searchsorted(s.tombstones, uids), s.tombstones.size - 1)
+        live = s.tombstones[pos_t] != uids
+        uids, acc = uids[live], acc[live]
+    if uids.size == 0:
+        return empty
+    return uids, np.asarray(round6(acc))
+
+
 def score_segment_span_contain(
     s: Segment,
     big_terms: list[str],
@@ -2987,6 +3026,11 @@ class ShardScorerStage(_SegmentCacheStage):
                         seg, q["span_not"], q["exclude"],
                         q.get("pre", 0), q.get("post", 0), q["idf_sum"],
                         q.get("avgdl") or self.avgdl, self.k1, self.b,
+                        dl_field=q.get("dl_field"),
+                    )
+                elif "wterms" in q:
+                    ids, scores = score_segment_weighted_terms(
+                        seg, q["wterms"], q["wweights"],
                         dl_field=q.get("dl_field"),
                     )
                 elif "span_contain" in q:
@@ -4283,6 +4327,13 @@ def run_queries(
         little_s = _row_str(row, "little")
         if little_s:  # span_containing / span_within little span_term
             terms_set.update(an.tokenize(little_s))
+        if (getattr(row, "type", None) or "match") == "weighted_terms":
+            # "term:weight" pairs: collect the term parts only
+            for pair in str(row.text).split():
+                t_raw = pair.rpartition(":")[0]
+                if t_raw:
+                    terms_set.update(an.tokenize(t_raw))
+            continue
         toks = an.tokenize(row.text)
         flds_s = _row_str(row, "fields")
         fld = _row_str(row, "field")
@@ -4442,6 +4493,39 @@ def run_queries(
                     "avgdl": (
                         (float(avgdl_fields.get(iv_fld, 0)) or 1.0) if iv_fld else None
                     ),
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        if (getattr(row, "type", None) or "match") == "weighted_terms":
+            # ES sparse_vector / rank_features weighted-term retrieval:
+            # row.text = space-separated "term:weight" pairs
+            pairs = []
+            for pair in str(row.text).split():
+                t_raw, sep, w_raw = pair.rpartition(":")
+                if not sep or not t_raw:
+                    raise ValueError(
+                        "weighted_terms: space-separated 'term:weight' pairs required"
+                    )
+                toks_w = get_analyzer(lang_q).tokenize(t_raw)
+                if len(toks_w) != 1:
+                    raise ValueError(
+                        f"weighted_terms: {t_raw!r} must analyze to exactly one token"
+                    )
+                pairs.append((toks_w[0], float(w_raw)))
+            pairs = sorted((t, w) for t, w in pairs if df_map.get(t, 0) > 0)
+            if not pairs:
+                continue
+            key = ("weighted_terms", tuple(pairs), k)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "wterms": [t for t, _ in pairs],
+                    "wweights": [w for _, w in pairs],
+                    "hl_terms": [t for t, _ in pairs],
+                    "k": k,
+                    "dl_field": None,
+                    "avgdl": None,
                 }
             entry["query_ids"].append(int(row.query_id))
             continue

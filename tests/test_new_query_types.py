@@ -564,3 +564,48 @@ def test_match_fuzziness_expansion(ray_session, tmp_path):
         d, cfg,
     )
     assert empty.count() == 0
+
+
+def test_weighted_terms_dot_product(ray_session, tmp_path):
+    """weighted_terms == Σ w_t · tf(t, d) dot product (no idf / length
+    norm); absent terms contribute 0; malformed pairs are hard errors."""
+    import ray.data as rd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.query.engine import run_queries
+
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(4)],
+            "text": [
+                "alpha alpha beta",      # 2*1.5 + 1*0.5 = 3.5
+                "beta beta beta",        # 3*0.5 = 1.5
+                "alpha gamma",           # 1.5 (gamma unweighted)
+                "nothing relevant",
+            ],
+            "lang": ["en"] * 4,
+        }
+    )
+    cfg = EngineConfig(num_partitions=2)
+    d = str(tmp_path / "wtx")
+    build_index(rd.from_pandas(docs), d, cfg, html_col=None, ts_col=None)
+    q = pd.DataFrame(
+        {"query_id": [0], "text": ["alpha:1.5 beta:0.5 zzznothing:9.0"],
+         "type": ["weighted_terms"]}
+    )
+    got = run_queries(q, d, cfg).to_pandas().sort_values("rank")
+    want = {"u0": 3.5, "u1": 1.5, "u2": 1.5}
+    assert dict(zip(got["key"], got["score"])) == want
+    assert got["key"].tolist() == ["u0", "u1", "u2"]  # tie u1/u2 -> doc_id asc
+    with pytest.raises(ValueError, match="weighted_terms"):
+        run_queries(
+            pd.DataFrame({"query_id": [0], "text": ["alpha"], "type": ["weighted_terms"]}),
+            d, cfg,
+        )
+    with pytest.raises(ValueError, match="one token"):
+        run_queries(
+            pd.DataFrame({"query_id": [0], "text": ["two-words:1.0"],
+                          "type": ["weighted_terms"]}),
+            d, cfg,
+        )
