@@ -995,6 +995,14 @@ SELECT v.query_id, med.m AS median,
 FROM vals v JOIN med USING (query_id) GROUP BY 1, 2 ORDER BY 1
 """
 
+_SCRIPTED_METRIC_SQL = _AGG_VALS_CTE + """
+SELECT query_id, count(*)::BIGINT AS n_docs,
+       round(sum(x * 2.0 + 10.0), 6) AS value,
+       round(min(x * 2.0 + 10.0), 6) AS min_val,
+       round(max(x * 2.0 + 10.0), 6) AS max_val
+FROM vals GROUP BY 1 ORDER BY 1
+"""
+
 _GLOBAL_AGG_SQL = """
 WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
 tf AS (SELECT DISTINCT doc_id, term FROM toks),
@@ -4141,6 +4149,24 @@ def _q_diversified_sampler_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_scripted_metric_agg(sf_dir: str):
+    """ES scripted_metric (whitelisted-expression subset): map =
+    n_chars * 2 + 10 per matched doc, combine = per-segment sum,
+    reduce = sum — plus min/max of the mapped values, one stats-partial
+    sweep."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_scripted_metric
+
+    idx, cfg, queries = _agg_index_build(sf_dir, numeric=("n_chars",))
+    try:
+        return run_agg_scripted_metric(
+            queries, idx, "n_chars * 2.0 + 10.0", cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_global_agg(sf_dir: str):
     """ES global aggregation: alongside a filtered query's lang buckets
     (query 0, the df-top term), the global bucket (query 1) aggregates
@@ -5573,6 +5599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boxplot_agg": _q_boxplot_agg,
         "rate_agg": _q_rate_agg,
         "global_agg": _q_global_agg,
+        "scripted_metric_agg": _q_scripted_metric_agg,
         "date_range_agg": _q_date_range_agg,
         "missing_agg": _q_missing_agg,
         "value_count_agg": _q_value_count,
@@ -5792,6 +5819,7 @@ def oracle_sql() -> dict[str, str]:
         "boxplot_agg": _BOXPLOT_SQL,
         "rate_agg": _RATE_SQL,
         "global_agg": _GLOBAL_AGG_SQL,
+        "scripted_metric_agg": _SCRIPTED_METRIC_SQL,
         "date_range_agg": _DATE_RANGE_SQL,
         "missing_agg": _MISSING_AGG_SQL,
         "value_count_agg": _VALUE_COUNT_SQL,

@@ -2842,6 +2842,39 @@ def _apply_script_score(
     return np.floor(out * 1e6 + 0.5) / 1e6
 
 
+def _script_values(seg: Segment, ids: np.ndarray, src: str) -> np.ndarray:
+    """Vectorized whitelisted-expression values per matched doc — the
+    scripted_metric MAP phase (no ``_score`` binding, no rounding; the
+    reduce decides the final precision).  Missing numeric values read as
+    0.0, the documented neutral."""
+    import ast
+
+    env: dict[str, np.ndarray] = {}
+    for f in _script_fields(src):
+        if f == "_score":
+            raise ValueError("scripted_metric: _score is not available in map")
+        env[f] = np.nan_to_num(seg.nums_for(f, ids))
+
+    def ev(node) -> np.ndarray:
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.BinOp):
+            return _SCRIPT_OPS[type(node.op).__name__](ev(node.left), ev(node.right))
+        if isinstance(node, ast.UnaryOp):
+            v = ev(node.operand)
+            return -v if isinstance(node.op, ast.USub) else v
+        if isinstance(node, ast.Constant):
+            return np.float64(node.value)
+        if isinstance(node, ast.Name):
+            return env[node.id]
+        return _SCRIPT_FUNCS[node.func.id](*(ev(a) for a in node.args))
+
+    out = np.asarray(ev(ast.parse(src, mode="eval")), dtype=np.float64)
+    if out.shape != (ids.size,):  # constant-only script broadcasts
+        out = np.full(ids.size, float(out))
+    return out
+
+
 def _apply_rank_feature(
     seg: Segment, ids: np.ndarray, scores: np.ndarray, rf: tuple
 ) -> np.ndarray:
@@ -3464,11 +3497,14 @@ class NumericAggStage(_SegmentCacheStage):
                         (q["plan_id"], 0.0, n_miss, float(ids.size), 0.0, 0.0, *pad)
                     )
                     continue
-                all_vals = (
-                    seg.nums_for(self.field, ids)
-                    if self.field is not None
-                    else np.zeros(ids.size, dtype=np.float64)
-                )
+                if isinstance(self.field, dict):  # scripted_metric map
+                    all_vals = _script_values(seg, ids, self.field["script"])
+                else:
+                    all_vals = (
+                        seg.nums_for(self.field, ids)
+                        if self.field is not None
+                        else np.zeros(ids.size, dtype=np.float64)
+                    )
                 if self.group_field is not None:
                     # terms-bucket sub-agg: one stats partial per
                     # (plan, keyword value) — groups stream as rows
@@ -6784,6 +6820,44 @@ def run_agg_boxplot(
         out.sort_values("query_id", kind="mergesort")
         .reset_index(drop=True)
         .astype({"query_id": np.int64})
+    )
+
+
+def run_agg_scripted_metric(
+    queries_ds, index_dir: str, script: str,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES scripted_metric aggregation, whitelisted-expression subset:
+    map = the vectorized expression over each matched doc's numeric
+    docstore fields (the same frozen AST whitelist as script_score),
+    combine = per-segment sum, reduce = sum of the combine partials —
+    the canonical map/combine/reduce sum shape.  One stats-partial sweep
+    (the expression value rides the ``sum``/``mn``/``mx`` columns), so
+    the exchange stays plans x segments.  Returns (query_id, n_docs,
+    value, min_val, max_val) with value/min/max round6."""
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, {"script": str(script)}, None, cfg, concurrency
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = partials.groupby("plan_id", sort=True).agg(
+            n=("n", "sum"), s=("sum", "sum"), mn=("mn", "min"), mx=("mx", "max")
+        )
+        r6 = lambda v: float(round6(np.array([v]))[0])
+        for pid_, r in g.iterrows():
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    (np.int64(qid), np.int64(r["n"]), r6(r["s"]),
+                     r6(r["mn"]), r6(r["mx"]))
+                )
+    out = pd.DataFrame(
+        rows, columns=["query_id", "n_docs", "value", "min_val", "max_val"]
+    )
+    return (
+        out.sort_values("query_id", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "n_docs": np.int64})
     )
 
 

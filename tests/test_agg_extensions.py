@@ -551,3 +551,19 @@ def test_rate_agg_month_day_conversion(agg_index, ray_session):
     ) < 1e-6
     with pytest.raises(ValueError, match="rate conversion"):
         run_agg_rate(Q, d, "ts", "month", "fortnight", cfg=CFG)
+
+
+def test_scripted_metric_map_combine_reduce(agg_index, ray_session):
+    """scripted_metric == sum/min/max of the whitelisted expression over
+    the match set; _score is rejected in the map phase."""
+    from kafka_es_ray.query.engine import run_agg_scripted_metric
+
+    d, docs = agg_index
+    got = run_agg_scripted_metric(Q, d, "val * 2.0 + 10.0", cfg=CFG)
+    v = docs["val"].to_numpy() * 2.0 + 10.0
+    assert got["n_docs"].iloc[0] == len(v)
+    assert got["value"].iloc[0] == v.sum()
+    assert got["min_val"].iloc[0] == v.min()
+    assert got["max_val"].iloc[0] == v.max()
+    with pytest.raises(Exception, match="_score"):
+        run_agg_scripted_metric(Q, d, "_score * 2.0", cfg=CFG)
