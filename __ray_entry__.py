@@ -995,6 +995,19 @@ SELECT v.query_id, med.m AS median,
 FROM vals v JOIN med USING (query_id) GROUP BY 1, 2 ORDER BY 1
 """
 
+_TERMS_SIZE_SQL = _MATCHES_CTE + """
+, b AS (
+  SELECT m.query_id, d.source AS value, count(*)::BIGINT AS n_docs,
+         row_number() OVER (
+           PARTITION BY m.query_id ORDER BY count(*) DESC, d.source ASC
+         ) AS r
+  FROM matches m JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT query_id, value, n_docs, 0::BIGINT AS doc_count_error_upper_bound
+FROM b WHERE r <= 5 ORDER BY 1, 3 DESC, 2
+"""
+
 _SCRIPTED_METRIC_SQL = _AGG_VALS_CTE + """
 SELECT query_id, count(*)::BIGINT AS n_docs,
        round(sum(x * 2.0 + 10.0), 6) AS value,
@@ -4149,6 +4162,24 @@ def _q_diversified_sampler_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_terms_size_agg(sf_dir: str):
+    """ES terms aggregation with size=5 + shard_size=100 over the source
+    keyword field: per-shard candidate truncation (exact here since 20
+    sources << shard_size -> doc_count_error_upper_bound = 0), global
+    top-5 buckets per derived query in ES order."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_terms
+
+    idx, cfg, queries = _agg_index_build(sf_dir, keyword=("source",))
+    try:
+        return run_agg_terms(
+            queries, idx, "source", cfg=cfg, size=5, shard_size=100
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_scripted_metric_agg(sf_dir: str):
     """ES scripted_metric (whitelisted-expression subset): map =
     n_chars * 2 + 10 per matched doc, combine = per-segment sum,
@@ -5600,6 +5631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_agg": _q_rate_agg,
         "global_agg": _q_global_agg,
         "scripted_metric_agg": _q_scripted_metric_agg,
+        "terms_size_agg": _q_terms_size_agg,
         "date_range_agg": _q_date_range_agg,
         "missing_agg": _q_missing_agg,
         "value_count_agg": _q_value_count,
@@ -5820,6 +5852,7 @@ def oracle_sql() -> dict[str, str]:
         "rate_agg": _RATE_SQL,
         "global_agg": _GLOBAL_AGG_SQL,
         "scripted_metric_agg": _SCRIPTED_METRIC_SQL,
+        "terms_size_agg": _TERMS_SIZE_SQL,
         "date_range_agg": _DATE_RANGE_SQL,
         "missing_agg": _MISSING_AGG_SQL,
         "value_count_agg": _VALUE_COUNT_SQL,

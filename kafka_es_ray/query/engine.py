@@ -3370,7 +3370,8 @@ class MatchSetStage(_SegmentCacheStage):
     rows."""
 
     def _init_payload(self, payload) -> None:
-        self.plan, self.tomb_map, self.field = payload
+        pay = (*payload, None)[:4]
+        self.plan, self.tomb_map, self.field, self.shard_size = pay
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -3384,6 +3385,15 @@ class MatchSetStage(_SegmentCacheStage):
                     out.append((q["plan_id"], "", int(ids.size)))
                 else:  # terms agg: per-value partial counts
                     vals, n = np.unique(seg.field_for(self.field, ids), return_counts=True)
+                    if self.shard_size is not None and vals.size > int(self.shard_size):
+                        # ES shard_size truncation: keep the shard's top
+                        # buckets (n desc, value asc); the smallest KEPT
+                        # count is this shard's contribution to
+                        # doc_count_error_upper_bound (the ES bound),
+                        # emitted as a "\x00bound" sentinel row
+                        order = np.lexsort((vals, -n))[: int(self.shard_size)]
+                        vals, n = vals[order], n[order]
+                        out.append((q["plan_id"], "\x00bound", int(n.min())))
                     out.extend((q["plan_id"], str(v), int(c)) for v, c in zip(vals, n))
         return pd.DataFrame(
             out, columns=["plan_id", "value", "n_partial"]
@@ -5596,11 +5606,14 @@ def _match_set_plans(queries: pd.DataFrame) -> list[dict]:
 
 
 def _run_match_set(
-    queries_ds, index_dir: str, field: str | None, cfg: EngineConfig, concurrency: int | None
+    queries_ds, index_dir: str, field: str | None, cfg: EngineConfig,
+    concurrency: int | None, shard_size: int | None = None,
 ) -> tuple[pd.DataFrame, list[dict]]:
     """Shared distributed driver for _count (field=None) and terms agg:
     segments as the Dataset, plans broadcast, per-(plan[,value]) partial
-    counts summed in a bucketed merge.  Returns (summed partials, plan)."""
+    counts summed in a bucketed merge.  ``shard_size`` truncates each
+    segment's bucket list (ES terms shard_size; adds "\\x00bound"
+    sentinel rows).  Returns (summed partials, plan)."""
     import ray
 
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
@@ -5612,7 +5625,7 @@ def _run_match_set(
     plan = _match_set_plans(queries)
     if not plan:
         return pd.DataFrame({"plan_id": [], "value": [], "n": []}), plan
-    plan_ref = ray.put((plan, manifest.get("tombstones", {}), field))
+    plan_ref = ray.put((plan, manifest.get("tombstones", {}), field, shard_size))
     partials = _shards_ds(parts, concurrency).map_batches(
         MatchSetStage,
         fn_constructor_args=(index_dir, plan_ref, cfg),
@@ -5659,35 +5672,49 @@ def run_agg_terms(
     field: str = "lang",
     cfg: EngineConfig = DEFAULT,
     concurrency: int | None = None,
+    size: int | None = None,
+    shard_size: int | None = None,
 ) -> pd.DataFrame:
     """Distributed ES terms aggregation over each query's match set:
     (query_id, value, n_docs) in ES bucket order (n_docs desc, value
     asc).  ``field`` is 'lang' or any cfg.keyword_cols field stored at
-    build time."""
-    summed, plan = _run_match_set(queries_ds, index_dir, field, cfg, concurrency)
+    build time.  ``size`` truncates the final bucket list per query (the
+    ES size parameter); ``shard_size`` additionally truncates each
+    SEGMENT's candidate list before the exchange — the ES approximation
+    that bounds shuffle volume at any value cardinality — and adds the
+    exact ES ``doc_count_error_upper_bound`` column (Σ over truncated
+    segments of their smallest kept count; 0 when nothing was cut)."""
+    summed, plan = _run_match_set(
+        queries_ds, index_dir, field, cfg, concurrency, shard_size=shard_size
+    )
     fanout = {q["plan_id"]: q["query_ids"] for q in plan}
     out = []
     if len(summed):
         for pid_, g in summed.groupby("plan_id", sort=True):
+            is_bound = g["value"] == "\x00bound"
+            bound = int(g[is_bound]["n"].sum())
+            g = g[~is_bound]
             g = g.sort_values(["n", "value"], ascending=[False, True], kind="mergesort")
+            if size is not None:
+                g = g.head(int(size))
             for qid in fanout.get(int(pid_), []):
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.int64(qid),
-                            "value": g["value"].to_numpy(),
-                            "n_docs": g["n"].to_numpy(),
-                        }
-                    )
-                )
+                frame = {
+                    "query_id": np.int64(qid),
+                    "value": g["value"].to_numpy(),
+                    "n_docs": g["n"].to_numpy(),
+                }
+                if shard_size is not None:
+                    frame["doc_count_error_upper_bound"] = np.int64(bound)
+                out.append(pd.DataFrame(frame))
     if not out:
-        return pd.DataFrame(
-            {
-                "query_id": pd.Series([], dtype=np.int64),
-                "value": pd.Series([], dtype=object),
-                "n_docs": pd.Series([], dtype=np.int64),
-            }
-        )
+        empty = {
+            "query_id": pd.Series([], dtype=np.int64),
+            "value": pd.Series([], dtype=object),
+            "n_docs": pd.Series([], dtype=np.int64),
+        }
+        if shard_size is not None:
+            empty["doc_count_error_upper_bound"] = pd.Series([], dtype=np.int64)
+        return pd.DataFrame(empty)
     return (
         pd.concat(out, ignore_index=True)
         .sort_values("query_id", kind="mergesort")

@@ -567,3 +567,27 @@ def test_scripted_metric_map_combine_reduce(agg_index, ray_session):
     assert got["max_val"].iloc[0] == v.max()
     with pytest.raises(Exception, match="_score"):
         run_agg_scripted_metric(Q, d, "_score * 2.0", cfg=CFG)
+
+
+def test_terms_shard_size_truncation(agg_index, ray_session):
+    """shard_size truncation: per-segment candidate cut in (n desc,
+    value asc) order; doc_count_error_upper_bound = sum of the truncated
+    segments' smallest kept counts; untruncated -> bound 0 and exact."""
+    from kafka_es_ray.query.engine import run_agg_terms
+
+    d, docs = agg_index
+    exact = run_agg_terms(Q, d, "source", cfg=CFG)
+    big = run_agg_terms(Q, d, "source", cfg=CFG, size=10, shard_size=100)
+    assert (big["doc_count_error_upper_bound"] == 0).all()
+    assert big[["query_id", "value", "n_docs"]].reset_index(drop=True).equals(
+        exact.reset_index(drop=True)
+    )
+    cut = run_agg_terms(Q, d, "source", cfg=CFG, size=2, shard_size=1)
+    assert len(cut) == 2  # size truncation
+    assert (cut["doc_count_error_upper_bound"] > 0).all()  # shards were cut
+    # approximate counts never exceed the exact ones
+    em = exact.set_index("value")["n_docs"]
+    for _, r in cut.iterrows():
+        assert r["n_docs"] <= em[r["value"]]
+        # and undercount at most by the stated bound
+        assert em[r["value"]] - r["n_docs"] <= r["doc_count_error_upper_bound"]
