@@ -4162,6 +4162,37 @@ def _q_diversified_sampler_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_validate_query(sf_dir: str):
+    """ES _validate/query: per-row accept/reject verdicts (plan-time
+    errors caught in isolation) over a fixed probe set — one valid
+    match, an undecodable wrapper, a malformed weighted_terms pair and
+    an unsupported fuzziness.  Error text stays engine-side (brittle to
+    pin in SQL); the verdict column is the contract."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_validate
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_validx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        w1 = derive_ranked_terms(IndexSearcher(idx), 1)[0]
+        q = pd.DataFrame(
+            {
+                "query_id": np.arange(4, dtype=np.int64),
+                "text": [w1, "notbase64!!", f"{w1}:notafloat", w1],
+                "type": [None, "wrapper", "weighted_terms", None],
+                "fuzziness": [None, None, None, 3],
+            }
+        )
+        return run_validate(q, idx)[["query_id", "valid"]]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_terms_size_agg(sf_dir: str):
     """ES terms aggregation with size=5 + shard_size=100 over the source
     keyword field: per-shard candidate truncation (exact here since 20
@@ -5632,6 +5663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_agg": _q_global_agg,
         "scripted_metric_agg": _q_scripted_metric_agg,
         "terms_size_agg": _q_terms_size_agg,
+        "validate_query": _q_validate_query,
         "date_range_agg": _q_date_range_agg,
         "missing_agg": _q_missing_agg,
         "value_count_agg": _q_value_count,
@@ -5853,6 +5885,12 @@ def oracle_sql() -> dict[str, str]:
         "global_agg": _GLOBAL_AGG_SQL,
         "scripted_metric_agg": _SCRIPTED_METRIC_SQL,
         "terms_size_agg": _TERMS_SIZE_SQL,
+        "validate_query": """
+            SELECT * FROM (VALUES
+              (0::BIGINT, true), (1::BIGINT, false),
+              (2::BIGINT, false), (3::BIGINT, false)
+            ) AS t(query_id, valid) ORDER BY 1
+        """,
         "date_range_agg": _DATE_RANGE_SQL,
         "missing_agg": _MISSING_AGG_SQL,
         "value_count_agg": _VALUE_COUNT_SQL,

@@ -8631,6 +8631,36 @@ class ExplainStage(_SegmentCacheStage):
         )
 
 
+def run_validate(
+    queries_ds, index_dir, cfg: EngineConfig = DEFAULT
+) -> pd.DataFrame:
+    """ES _validate/query: per query row, whether the engine accepts it
+    (syntax + whitelist + shape checks), with the error message for
+    invalid ones.  Invalid rows fail AT PLAN TIME (before any stage
+    launches); valid rows cost one minimal k=1 probe — slightly stronger
+    than the ES contract, which only parses.  Each row is probed in
+    isolation so one bad query can't mask the others.  Returns
+    (query_id, valid, error)."""
+    queries = (
+        queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    )
+    rows = []
+    for i in range(len(queries)):
+        row = queries.iloc[[i]]
+        qid = int(row["query_id"].iloc[0])
+        try:
+            # k=0-style cheap probe: reuse the full planner by running
+            # the plan-building prefix of run_queries via a 1-row call
+            # with size 1; planning errors raise before any stage runs
+            run_queries(row.assign(k=np.int32(1)), index_dir, cfg, concurrency=1)
+            rows.append((qid, True, ""))
+        except (ValueError, KeyError, TypeError) as exc:
+            rows.append((qid, False, str(exc)))
+    return pd.DataFrame(rows, columns=["query_id", "valid", "error"]).astype(
+        {"query_id": np.int64, "valid": bool}
+    )
+
+
 def run_explain(
     pairs: pd.DataFrame,
     index_dir: str,

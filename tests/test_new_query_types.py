@@ -609,3 +609,33 @@ def test_weighted_terms_dot_product(ray_session, tmp_path):
                           "type": ["weighted_terms"]}),
             d, cfg,
         )
+
+
+def test_validate_query(ray_session, tmp_path):
+    """_validate/query: per-row verdicts with plan-time errors; a bad
+    row doesn't mask good ones."""
+    import ray.data as rd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.query.engine import run_validate
+
+    docs = pd.DataFrame(
+        {"url": ["u0", "u1"], "text": ["alpha beta", "beta gamma"],
+         "lang": ["en", "en"]}
+    )
+    cfg = EngineConfig(num_partitions=2)
+    d = str(tmp_path / "valx")
+    build_index(rd.from_pandas(docs), d, cfg, html_col=None, ts_col=None)
+    q = pd.DataFrame(
+        {
+            "query_id": [0, 1, 2],
+            "text": ["alpha", "notbase64!!", "alpha:bad"],
+            "type": [None, "wrapper", "weighted_terms"],
+        }
+    )
+    got = run_validate(q, d, cfg)
+    assert got["valid"].tolist() == [True, False, False]
+    assert got["error"].iloc[0] == ""
+    assert "wrapper" in got["error"].iloc[1]
+    assert "weighted_terms" in got["error"].iloc[2] or "float" in got["error"].iloc[2]
