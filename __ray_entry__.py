@@ -2425,6 +2425,107 @@ def _q_knn_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_knn_filtered_topk(sf_dir: str):
+    """ES kNN search with a `filter` clause (PRE-filter: the top-k is
+    computed among matching docs only, the ES knn-filter contract —
+    reference search path delegates to ES `knn.filter`): documents index
+    built with the embeddings vector attached and `lang` as a keyword
+    field; queries 0..2 each restrict to a different lang value."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import ray
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import documents_dataset
+    from kafka_es_ray.query.engine import run_knn
+
+    emb = pd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    emb_ref = ray.put(
+        {int(i): np.asarray(v, dtype=np.float32) for i, v in
+         zip(emb["vec_id"], emb["embedding"])}
+    )
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(emb_ref)
+        batch["emb"] = [
+            m[d].tolist() if d in m else None for d in batch["doc_id"]
+        ]
+        return batch
+
+    langs = sorted(
+        pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+        ["lang"].unique()
+    )[:3]
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_knnfidx_")
+    try:
+        cfg = EngineConfig(
+            num_partitions=8, vector_cols=("emb",), keyword_cols=("lang",)
+        )
+        ds = documents_dataset(sf_dir).map_batches(attach, batch_format="pandas")
+        build_index(
+            ds, idx, cfg, key_col="key", lang_col="lang", html_col=None,
+            ts_col=None, id_col="doc_id",
+        )
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(len(langs), dtype=np.int64),
+                "vec": [
+                    np.asarray(emb["embedding"][i], dtype=np.float32).tolist()
+                    for i in range(len(langs))
+                ],
+                "k": np.int32(10),
+                "kw_field": "lang",
+                "kw_value": langs,
+            }
+        )
+        out = run_knn(queries, idx, "emb", cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+# ES kNN with a pre-filter: per-query lang restriction (query_id i ->
+# i-th distinct lang), exact cosine among matching vectored docs only
+_KNN_FILTERED_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+flt AS (
+  SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS query_id
+  FROM (SELECT DISTINCT lang FROM documents)
+  QUALIFY query_id < 3
+),
+v AS (
+  SELECT d.doc_id, d.lang, CAST(e.embedding AS DOUBLE[]) AS ev
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+sims AS (
+  SELECT f.query_id, v.doc_id,
+         round(list_cosine_similarity(q.qv, v.ev), 6) AS score
+  FROM flt f JOIN q USING (query_id) JOIN v ON v.lang = f.lang
+),
+topk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM sims
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10 ORDER BY 1, 2
+"""
+
+
 def _q_rrf_hybrid_topk(sf_dir: str):
     """ES hybrid search (RRF retriever): BM25 over the derived queries
     0-2 + exact kNN over embeddings 0-2, both to depth 20, fused as
@@ -5625,6 +5726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_fields_topk": _q_fetch_fields_topk,
         "rescore_topk": _q_rescore_topk,
         "knn_topk": _q_knn_topk,
+        "knn_filtered_topk": _q_knn_filtered_topk,
         "rrf_hybrid_topk": _q_rrf_hybrid_topk,
         "sort_by_field": _q_sort_by_field,
         "sort_search_after": _q_sort_search_after,
@@ -5835,6 +5937,7 @@ def oracle_sql() -> dict[str, str]:
         "fetch_fields_topk": _FETCH_FIELDS_SQL,
         "rescore_topk": _RESCORE_SQL,
         "knn_topk": _KNN_SQL,
+        "knn_filtered_topk": _KNN_FILTERED_SQL,
         "rrf_hybrid_topk": _RRF_SQL,
         # multi-index over a parity split == the combined single index;
         # index_id (ES _index) falls out of the parity rule

@@ -396,3 +396,46 @@ def test_knn_dot_and_l2_similarities(knn_index, ray_session):
         run_knn(
             q, knn_index, "emb", CFG, concurrency=2, similarity="nope"
         ).to_pandas()
+
+
+def test_knn_prefilter_kw(ray_session, tmp_path):
+    """ES knn `filter` clause is a PRE-filter: top-k is computed among
+    matching docs only, and equals the numpy oracle restricted to the
+    filtered group (not a post-cut of the unfiltered top-k)."""
+    import ray.data as rd
+
+    cfg = EngineConfig(
+        num_partitions=4, vector_cols=("emb",), keyword_cols=("src",)
+    )
+    docs = pd.DataFrame(
+        {
+            "url": [f"d{i}" for i in range(N)],
+            "text": ["alpha beta"] * N,
+            "lang": ["en"] * N,
+            "src": [f"s{i % 3}" for i in range(N)],
+            "emb": [v.tolist() for v in VECS],
+        }
+    )
+    d = str(tmp_path / "knn_filt")
+    build_index(rd.from_pandas(docs), d, cfg, html_col=None, ts_col=None)
+    q = pd.DataFrame(
+        {
+            "query_id": np.int64([0, 1]),
+            "vec": [VECS[0].tolist(), VECS[0].tolist()],
+            "k": np.int32(5),
+            "kw_field": ["src", None],
+            "kw_value": ["s1", None],
+        }
+    )
+    out = run_knn(q, d, "emb", cfg, concurrency=2).to_pandas()
+    not_s1 = {i for i in range(N) if i % 3 != 1}
+    want = _oracle(d, VECS[0], 5, not_s1)
+    g = out[out["query_id"] == 0].sort_values("rank")
+    assert list(zip(g["doc_id"], g["score"])) == want
+    # unfiltered companion differs (pre-filter, not post-cut) and the
+    # filtered hits are a strict subset of the s1 group
+    g1 = out[out["query_id"] == 1].sort_values("rank")
+    assert g1["doc_id"].tolist() != g["doc_id"].tolist()
+    ids = _id_map(d)
+    s1_ids = {ids[f"d{i}"] for i in range(N) if i % 3 == 1}
+    assert set(g["doc_id"]) <= s1_ids
