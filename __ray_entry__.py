@@ -1135,6 +1135,21 @@ ORDER BY 1, 2, 3
 _SCROLL_SQL = _BM25_SQL.replace("FROM topk WHERE rank <= 10", "FROM topk")
 assert "WHERE rank <= 10" not in _SCROLL_SQL
 
+# ES sliced scroll (slice max=3): slice = md5_number_lower(doc_id) % 3
+# (the repo-wide sampling/SimHash hash contract), rank LOCAL to the
+# (query, slice) in (score desc, doc_id asc) order
+_SLICED_SCROLL_SQL = _SCROLL_SQL.replace(
+    "SELECT query_id, rank::BIGINT AS rank, doc_id, score\nFROM topk",
+    """SELECT query_id,
+       (md5_number_lower(CAST(doc_id AS VARCHAR)) % 3)::BIGINT AS slice_id,
+       row_number() OVER (
+         PARTITION BY query_id, md5_number_lower(CAST(doc_id AS VARCHAR)) % 3
+         ORDER BY score DESC, doc_id ASC
+       )::BIGINT AS rank, doc_id, score
+FROM topk""",
+)
+assert "slice_id" in _SLICED_SCROLL_SQL  # replace anchor must exist
+
 # ES function_score random_score: deterministic seeded score per
 # (seed=42, doc_id) over each derived match set — score =
 # (md5_number_lower('42:' || doc_id) % 1e6) / 1e6 (the sampling-ops md5
@@ -4565,6 +4580,32 @@ def _q_scroll_all(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_scroll_sliced(sf_dir: str):
+    """ES sliced scroll (slice: {id, max:3}): the full match set of each
+    derived query partitioned into 3 disjoint hash-of-doc_id slices with
+    slice-local ranks — ONE distributed scroll partitioned afterwards
+    (the Ray-right shape; ES re-runs the scan per slice client-side)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_sliced_scroll
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_sscrollidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx))
+        queries = queries[queries["text"] != "zzzabsentterm"].reset_index(drop=True)
+        out = run_sliced_scroll(queries, idx, slice_max=3, page_size=100)
+        return (
+            out[["query_id", "slice_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "slice_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_constant_score(sf_dir: str):
     """ES constant_score: filter-context match, score = boost (1.5) for
     every matching doc; all scores tie so the top-k is the k smallest
@@ -5772,6 +5813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_ranks": _q_percentile_ranks,
         "explain_score": _q_explain_score,
         "scroll_all": _q_scroll_all,
+        "scroll_sliced": _q_scroll_sliced,
         "match_percentiles": _q_match_percentiles,
         "match_subagg": _q_match_subagg,
         "function_score_topk": _q_function_score_topk,
@@ -6000,6 +6042,7 @@ def oracle_sql() -> dict[str, str]:
         "percentile_ranks": _PCT_RANKS_SQL,
         "explain_score": _EXPLAIN_SQL,
         "scroll_all": _SCROLL_SQL,
+        "scroll_sliced": _SLICED_SCROLL_SQL,
         "match_histogram": _HISTOGRAM_SQL,
         "match_percentiles": _PERCENTILES_SQL,
         "match_subagg": _SUBAGG_SQL,

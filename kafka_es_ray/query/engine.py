@@ -8824,3 +8824,51 @@ def run_scroll(
         .sort_values(["query_id", "rank"], kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+def run_sliced_scroll(
+    queries,
+    index_dir,
+    slice_max: int,
+    page_size: int = 100,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+):
+    """ES sliced scroll (``slice: {id, max}`` on ``/_search?scroll``):
+    the match set is partitioned into ``slice_max`` disjoint slices by a
+    hash of the doc id and each slice is ranked independently — ES uses
+    this so N clients can export a big result set in parallel.  Here the
+    scroll itself is already distributed, so the Ray-right shape is ONE
+    distributed scan partitioned afterwards (N slices = one scroll, not
+    ``max`` repeated scrolls over the same postings).  Slice membership
+    uses the repo-wide oracle hash contract (shared with
+    pipelines/sampling and SimHash): ``int.from_bytes(md5(str(doc_id))
+    [8:16], 'little') % max`` == DuckDB ``md5_number_lower(doc_id::
+    VARCHAR) % max`` — reproducible across runs, cluster sizes and
+    partitionings.  Returns (query_id, slice_id, rank, doc_id, key,
+    score) with rank LOCAL to the (query, slice)."""
+    import hashlib
+
+    out = run_scroll(queries, index_dir, page_size, cfg, concurrency)
+    if not len(out):
+        out = out.copy()
+        out["slice_id"] = pd.Series([], dtype=np.int64)
+        return out
+    out = out.copy()
+    out["slice_id"] = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(int(d)).encode()).digest()[8:16], "little")
+            % slice_max
+            for d in out["doc_id"]
+        ),
+        dtype=np.int64,
+        count=len(out),
+    )
+    # global rank is already (score desc, doc_id asc) per query; the
+    # slice-local rank is its order restricted to the slice
+    out = out.sort_values(["query_id", "rank"], kind="mergesort")
+    out["rank"] = out.groupby(["query_id", "slice_id"], sort=False).cumcount() + 1
+    cols = ["query_id", "slice_id", "rank", "doc_id", "key", "score"]
+    return out[cols].sort_values(["query_id", "slice_id", "rank"]).reset_index(
+        drop=True
+    )

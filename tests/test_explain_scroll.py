@@ -152,3 +152,44 @@ def test_scroll_multi_query_and_absent(built):
         sub = got[got["query_id"] == qid]
         assert sub["doc_id"].tolist() == want["doc_id"].tolist()
         assert sub["rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_sliced_scroll_partitions_the_match_set(built):
+    from kafka_es_ray.query.engine import run_sliced_scroll
+
+    idx, _ = built
+    queries = pd.DataFrame({"query_id": [0], "text": ["red gold"], "lang": "en"})
+    full = run_scroll(queries, idx, page_size=7, cfg=CFG)
+    got = run_sliced_scroll(queries, idx, slice_max=3, page_size=7, cfg=CFG)
+    # slices are a disjoint partition of the full match set
+    assert sorted(got["doc_id"]) == sorted(full["doc_id"])
+    assert got.groupby("doc_id").size().max() == 1
+    assert set(got["slice_id"]) <= {0, 1, 2}
+    # slice-local rank follows the global (score desc, doc_id asc) order
+    for _, g in got.groupby("slice_id"):
+        g = g.sort_values("rank")
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        assert (
+            g[["score", "doc_id"]]
+            .apply(tuple, axis=1)
+            .tolist()
+            == sorted(
+                g[["score", "doc_id"]].apply(tuple, axis=1),
+                key=lambda t: (-t[0], t[1]),
+            )
+        )
+    # membership is the md5 oracle contract (partition-invariant)
+    import hashlib
+
+    for d, s in zip(got["doc_id"], got["slice_id"]):
+        h = int.from_bytes(hashlib.md5(str(int(d)).encode()).digest()[8:16], "little")
+        assert h % 3 == s
+
+
+def test_sliced_scroll_absent_term_empty(built):
+    from kafka_es_ray.query.engine import run_sliced_scroll
+
+    idx, _ = built
+    queries = pd.DataFrame({"query_id": [0], "text": ["zzzabsentterm"], "lang": "en"})
+    got = run_sliced_scroll(queries, idx, slice_max=4, cfg=CFG)
+    assert len(got) == 0 and "slice_id" in got.columns
