@@ -2379,6 +2379,67 @@ def _q_range_filter_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+_SEARCH_TEMPLATE = """
+{"query": {"bool": {
+   "must": [{"match": {"text": "{{q}}"}}],
+   "filter": [{"range": {"n_chars": {
+       "gte": {{lo}}{{^lo}}0{{/lo}},
+       "lte": {{hi}}{{^hi}}1000000{{/hi}}}}}]}},
+ "size": {{size}}{{^size}}10{{/size}}}
+"""
+
+
+def _q_search_template_topk(sf_dir: str):
+    """ES search template (_search/template): one stored mustache
+    template (match + range filter + size, with {{^var}} default
+    values), rendered per params object and executed as ONE distributed
+    run_queries batch — query 0 passes lo=150/hi=400, the rest take the
+    open-range defaults, so the rendered plans differ per query."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher
+    from kafka_es_ray.query.templates import run_search_template
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_tmplidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"].reset_index(drop=True)
+        params = [
+            {"q": t} if i else {"q": t, "lo": 150, "hi": 400}
+            for i, t in enumerate(queries["text"])
+        ]
+        out = run_search_template(_SEARCH_TEMPLATE, params, idx, cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+# search template: per-query range bounds — query 0 rendered with
+# lo=150/hi=400, queries 1-3 with the template's {{^var}} defaults
+_SEARCH_TEMPLATE_SQL = _BM25_SQL.replace(
+    "  FROM scores\n)",
+    "  FROM scores JOIN documents d USING (doc_id)\n"
+    "  JOIN (VALUES (0, 150, 400), (1, 0, 1000000), (2, 0, 1000000),\n"
+    "        (3, 0, 1000000)) b(query_id, lo, hi) USING (query_id)\n"
+    "  WHERE d.n_chars BETWEEN b.lo AND b.hi\n)",
+)
+assert "BETWEEN b.lo" in _SEARCH_TEMPLATE_SQL  # replace anchor must exist
+
+
 def _q_knn_topk(sf_dir: str):
     """ES kNN search over a dense_vector mapped field: the documents
     index is built with the embeddings-table vector attached (broadcast
@@ -5762,6 +5823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_terms_topk": _q_weighted_terms_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "range_filter_topk": _q_range_filter_topk,
+        "search_template_topk": _q_search_template_topk,
         "kw_filter_topk": _q_kw_filter_topk,
         "min_score_topk": _q_min_score_topk,
         "fetch_fields_topk": _q_fetch_fields_topk,
@@ -5974,6 +6036,7 @@ def oracle_sql() -> dict[str, str]:
         "match_fuzzy_topk": _MATCH_FUZZY_SQL,
         "weighted_terms_topk": _WEIGHTED_TERMS_SQL,
         "range_filter_topk": _RANGE_SQL,
+        "search_template_topk": _SEARCH_TEMPLATE_SQL,
         "kw_filter_topk": _KW_FILTER_SQL,
         "min_score_topk": _MIN_SCORE_SQL,
         "fetch_fields_topk": _FETCH_FIELDS_SQL,
