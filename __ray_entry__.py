@@ -5261,6 +5261,43 @@ def _q_lww_events(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "event_type", "value"])
 
 
+def _q_ingest_pipeline(sf_dir: str):
+    """ES ingest pipeline (?pipeline= on bulk): a whitelisted processor
+    chain — rename value->amount, set a constant, uppercase event_type,
+    gsub digit runs in props, convert user_id to string — compiled once
+    and run as one streaming map_batches stage over the events table."""
+    from kafka_es_ray.sources.parquet import read_table
+    from kafka_es_ray.stages.ingest import apply_ingest_pipeline
+
+    ds = read_table(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "event_type", "value", "props"],
+    )
+    out = apply_ingest_pipeline(
+        ds,
+        [
+            {"rename": {"field": "value", "target_field": "amount"}},
+            {"set": {"field": "pipeline", "value": "v1"}},
+            {"uppercase": {"field": "event_type"}},
+            {"gsub": {"field": "props", "pattern": "[0-9]+", "replacement": "#"}},
+            {"convert": {"field": "user_id", "type": "string"}},
+        ],
+    )
+    return out
+
+
+_INGEST_SQL = """
+SELECT event_id,
+       CAST(user_id AS VARCHAR) AS user_id,
+       upper(event_type) AS event_type,
+       value AS amount,
+       regexp_replace(props, '[0-9]+', '#', 'g') AS props,
+       'v1' AS pipeline
+FROM events
+ORDER BY event_id
+"""
+
+
 def _q_sessionize(sf_dir: str):
     """Gap-based sessionization (30-min gap) of the events log — one
     bucketed per-user exchange, sessions split by cumsum inside buckets."""
@@ -5943,6 +5980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": _q_term_df,
         "exact_dedup": _q_exact_dedup,
         "lww_events": _q_lww_events,
+        "ingest_pipeline": _q_ingest_pipeline,
         "window_events": _q_window_events,
         "sessionize_events": _q_sessionize,
         "props_json_agg": _q_props_json_agg,
@@ -6942,6 +6980,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
             FROM documents GROUP BY text
         """,
+        "ingest_pipeline": _INGEST_SQL,
         "lww_events": """
             SELECT user_id, event_id, event_type, value FROM (
               SELECT *, row_number() OVER (

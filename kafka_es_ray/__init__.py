@@ -50,7 +50,7 @@ def _register_pickle_by_value() -> None:
     )
     from kafka_es_ray.query import bm25, bruteforce, engine, rank_eval, templates  # noqa: F401
     from kafka_es_ray.sources import corpus, parquet, stream  # noqa: F401
-    from kafka_es_ray.stages import actions, shuffle  # noqa: F401
+    from kafka_es_ray.stages import actions, ingest, shuffle  # noqa: F401
 
     for name, mod in list(sys.modules.items()):
         if mod is not None and (name == "kafka_es_ray" or name.startswith("kafka_es_ray.")):
