@@ -4667,6 +4667,55 @@ def _q_scroll_sliced(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_pit_search(sf_dir: str):
+    """ES point-in-time search: open a PIT, then mutate the index (an
+    incremental batch deletes the global top hit and upserts term-stuffed
+    new docs); searching WITH the PIT still returns the pre-update
+    ranking — which is exactly what the unchanged documents-table SQL
+    oracle computes, so parity IS the visibility proof."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.index.incremental import apply_incremental
+    from kafka_es_ray.pipelines.fulltext import (
+        DOCS_CFG,
+        build_documents_index,
+        derive_query_set,
+    )
+    from kafka_es_ray.query.engine import IndexSearcher, open_pit, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_pitidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        searcher = IndexSearcher(idx)
+        queries = derive_query_set(searcher)
+        queries = queries[queries["text"] != "zzzabsentterm"].reset_index(drop=True)
+        pit = open_pit(idx)
+        # post-PIT mutation: delete query 0's current #1 doc and upsert
+        # docs stuffed with the query terms (would dominate every top-10)
+        top_key = searcher.search(queries["text"].iloc[0], k=1)["key"].iloc[0]
+        stuffing = " ".join(" ".join(queries["text"]) for _ in range(5))
+        upd = pd.DataFrame(
+            {
+                "key": [str(top_key)] + [f"pitnew{i}" for i in range(3)],
+                "text": [None] + [stuffing] * 3,
+                "lang": "en",
+                "op": ["delete", "index", "index", "index"],
+            }
+        )
+        apply_incremental(idx, upd, DOCS_CFG, key_col="key", seq_col=None)
+        out = run_queries(queries, idx, DOCS_CFG, pit=pit).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_constant_score(sf_dir: str):
     """ES constant_score: filter-context match, score = boost (1.5) for
     every matching doc; all scores tie so the top-k is the k smallest
@@ -5913,6 +5962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explain_score": _q_explain_score,
         "scroll_all": _q_scroll_all,
         "scroll_sliced": _q_scroll_sliced,
+        "pit_search": _q_pit_search,
         "match_percentiles": _q_match_percentiles,
         "match_subagg": _q_match_subagg,
         "function_score_topk": _q_function_score_topk,
@@ -6144,6 +6194,9 @@ def oracle_sql() -> dict[str, str]:
         "explain_score": _EXPLAIN_SQL,
         "scroll_all": _SCROLL_SQL,
         "scroll_sliced": _SLICED_SCROLL_SQL,
+        # PIT parity: the oracle computes over the UNCHANGED documents
+        # table — equality proves the post-PIT mutation stayed invisible
+        "pit_search": _BM25_SQL,
         "match_histogram": _HISTOGRAM_SQL,
         "match_percentiles": _PERCENTILES_SQL,
         "match_subagg": _SUBAGG_SQL,

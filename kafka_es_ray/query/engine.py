@@ -23,6 +23,7 @@ term-ordered vectorized form.
 from __future__ import annotations
 
 import hashlib
+import json
 
 import numpy as np
 import pandas as pd
@@ -4143,6 +4144,32 @@ def run_terms_enum(
     return out[["term", "df"]]
 
 
+def open_pit(index_dir: str) -> str:
+    """ES point-in-time (POST /<index>/_pit): capture the index view as
+    of NOW so later searches are repeatable while writes land.  Segments
+    here are immutable and visibility is manifest-gated, so the entire
+    PIT state is the manifest snapshot itself — the returned id is a
+    self-contained opaque token (zlib+base64 of the manifest JSON, like
+    ES's encoded pit_id), no server-side context to keep alive or
+    expire.  Contract: the PIT stays valid until a force-merge purges
+    the segment files it references (the ES keep_alive analog — merges
+    there also wait on open contexts; documented trade-off)."""
+    import base64
+    import zlib
+
+    manifest = read_manifest(index_dir)
+    raw = json.dumps(manifest, sort_keys=True).encode()
+    return base64.urlsafe_b64encode(zlib.compress(raw)).decode()
+
+
+def decode_pit(pit_id: str) -> dict:
+    """Decode an `open_pit` token back to its frozen manifest."""
+    import base64
+    import zlib
+
+    return json.loads(zlib.decompress(base64.urlsafe_b64decode(pit_id)))
+
+
 def run_queries(
     queries_ds,
     index_dir,
@@ -4151,6 +4178,7 @@ def run_queries(
     fetch: bool = False,
     highlight: bool = False,
     fetch_fields: list[str] | None = None,
+    pit: str | None = None,
 ):
     """Distributed query execution: segment-parallel scoring + per-query
     merge.  Queries are the small broadcast side; the segment set is the
@@ -4289,7 +4317,15 @@ def run_queries(
             queries.at[i, "type"] = "bool"
     multi = not isinstance(index_dir, str)
     dirs = list(index_dir) if multi else [index_dir]
-    manifests = [read_manifest(d) for d in dirs]
+    if pit is not None:
+        # search "as of" the PIT: the frozen manifest replaces the live
+        # one — parts, tombstone file lists and global stats all come
+        # from the snapshot, so later deltas/deletes stay invisible
+        if multi:
+            raise ValueError("pit is single-index (open one PIT per index)")
+        manifests = [decode_pit(pit)]
+    else:
+        manifests = [read_manifest(d) for d in dirs]
     manifest = manifests[0]
     # (index_id, part_id) shard rows; single-index keeps the legacy shape
     part_rows = [
