@@ -4667,6 +4667,70 @@ def _q_scroll_sliced(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_msearch_topk(sf_dir: str):
+    """ES _msearch: the derived queries submitted as independent JSON
+    search bodies, executed as ONE distributed run_queries batch (one
+    segment sweep for all bodies) — results identical to per-query
+    search, which is what the shared BM25 oracle asserts."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.apis import run_msearch
+    from kafka_es_ray.query.engine import IndexSearcher
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_msidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx))
+        queries = queries[queries["text"] != "zzzabsentterm"].reset_index(drop=True)
+        bodies = [
+            {"query": {"match": {"text": t}}, "size": 10}
+            for t in queries["text"]
+        ]
+        out = run_msearch(bodies, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_field_caps(sf_dir: str):
+    """ES _field_caps across two indices with different mappings — the
+    conflict case included (n_chars keyword in one, double in the
+    other); pure manifest metadata, no segment I/O."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import documents_dataset
+    from kafka_es_ray.query.apis import field_caps
+
+    root = tempfile.mkdtemp(prefix="kafka_es_ray_fcidx_")
+    try:
+        a, b = f"{root}/idx_a", f"{root}/idx_b"
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("source", "n_chars")), a,
+            EngineConfig(num_partitions=2, keyword_cols=("source",),
+                         numeric_cols=("n_chars",)),
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), b,
+            EngineConfig(num_partitions=2, keyword_cols=("n_chars",)),
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        return field_caps([a, b])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_pit_search(sf_dir: str):
     """ES point-in-time search: open a PIT, then mutate the index (an
     incremental batch deletes the global top hit and upserts term-stuffed
@@ -5963,6 +6027,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scroll_all": _q_scroll_all,
         "scroll_sliced": _q_scroll_sliced,
         "pit_search": _q_pit_search,
+        "msearch_topk": _q_msearch_topk,
+        "field_caps": _q_field_caps,
         "match_percentiles": _q_match_percentiles,
         "match_subagg": _q_match_subagg,
         "function_score_topk": _q_function_score_topk,
@@ -6197,6 +6263,7 @@ def oracle_sql() -> dict[str, str]:
         # PIT parity: the oracle computes over the UNCHANGED documents
         # table — equality proves the post-PIT mutation stayed invisible
         "pit_search": _BM25_SQL,
+        "msearch_topk": _BM25_SQL,
         "match_histogram": _HISTOGRAM_SQL,
         "match_percentiles": _PERCENTILES_SQL,
         "match_subagg": _SUBAGG_SQL,

@@ -1,0 +1,96 @@
+"""Small ES metadata/batch APIs over the manifest mappings:
+
+* :func:`field_caps` — ES ``GET /<indices>/_field_caps``: merged field
+  capabilities (type / searchable / aggregatable) across indices, with
+  the ES conflict behavior (a field mapped to different types appears
+  once per type, each listing its indices).
+* :func:`run_msearch` — ES ``POST /_msearch``: N independent search
+  bodies executed as ONE distributed ``run_queries`` batch (the engine's
+  planner already dedupes identical plans and broadcasts them once, so
+  an msearch of N bodies costs one segment sweep, not N).
+
+Both read only the manifest — no segment I/O.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from kafka_es_ray.index.segment import read_manifest
+
+
+def _index_fields(manifest: dict) -> list[tuple[str, str, bool, bool]]:
+    """(field, type, searchable, aggregatable) rows for one index —
+    derived from the manifest's frozen mappings block."""
+    mp = manifest.get("mappings", {})
+    rows: list[tuple[str, str, bool, bool]] = []
+    text_fields = list(mp.get("text_fields") or [])
+    for f in text_fields or ["text"]:
+        rows.append((f, "text", True, False))
+    for f in mp.get("keyword_cols") or []:
+        rows.append((f, "keyword", True, True))
+    for f in mp.get("numeric_cols") or []:
+        rows.append((f, "double", True, True))
+    for f in mp.get("vector_cols") or []:
+        rows.append((f, "dense_vector", True, False))
+    return rows
+
+
+def field_caps(index_dirs, names: list[str] | None = None) -> pd.DataFrame:
+    """Merged field capabilities across one or more indices.  Returns
+    (field, type, searchable, aggregatable, indices) sorted by (field,
+    type); ``indices`` is the comma-joined sorted list of index names
+    mapping the field to that type — a field with >1 row is the ES
+    "conflict" case."""
+    dirs = [index_dirs] if isinstance(index_dirs, str) else list(index_dirs)
+    names = names or [d.rstrip("/").rsplit("/", 1)[-1] for d in dirs]
+    acc: dict[tuple[str, str], dict] = {}
+    for name, d in zip(names, dirs):
+        for fld, typ, srch, agg in _index_fields(read_manifest(d)):
+            e = acc.setdefault(
+                (fld, typ),
+                {"searchable": srch, "aggregatable": agg, "indices": []},
+            )
+            e["indices"].append(name)
+    rows = [
+        {
+            "field": fld,
+            "type": typ,
+            "searchable": e["searchable"],
+            "aggregatable": e["aggregatable"],
+            "indices": ",".join(sorted(e["indices"])),
+        }
+        for (fld, typ), e in acc.items()
+    ]
+    return (
+        pd.DataFrame(
+            rows, columns=["field", "type", "searchable", "aggregatable", "indices"]
+        )
+        .sort_values(["field", "type"])
+        .reset_index(drop=True)
+    )
+
+
+def run_msearch(
+    bodies: list[dict],
+    index_dir,
+    cfg=None,
+    concurrency: int | None = None,
+):
+    """Execute N search bodies (the templates module's DSL subset) as
+    one distributed batch; query_id = body position.  Returns the
+    run_queries Dataset."""
+    import numpy as np
+
+    from kafka_es_ray.query.engine import run_queries
+    from kafka_es_ray.query.templates import query_row_from_dsl
+
+    rows = []
+    for qid, body in enumerate(bodies):
+        row = query_row_from_dsl(body)
+        row["query_id"] = np.int64(qid)
+        rows.append(row)
+    kwargs = {} if cfg is None else {"cfg": cfg}
+    return run_queries(
+        pd.DataFrame(rows), index_dir, concurrency=concurrency, **kwargs
+    )
