@@ -4667,6 +4667,160 @@ def _q_scroll_sliced(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _parent_join_index(sf_dir: str, idx: str):
+    """orders (parents) + lineitems (children) in ONE index with
+    routing = the parent order key — the ES `join` field co-location
+    contract, so has_child/has_parent run shard-locally with zero
+    exchange.  (Driver-side frame build is test-scale convenience; at
+    scale the two parquet reads union as Datasets before build_index.)"""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+
+    o = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    )
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+                 "l_quantity"],
+    )
+    # the synthetic lineitem repeats (orderkey, linenumber) pairs, so the
+    # ES _id is a CONTENT hash of the row — exact duplicates collapse to
+    # one doc (the ES same-_id upsert), distinct rows stay distinct; the
+    # oracle reproduces the identical md5 over SELECT DISTINCT
+    import hashlib as _hl
+
+    li = li.drop_duplicates().reset_index(drop=True)
+    sig = (
+        li["l_orderkey"].astype(str) + "-" + li["l_linenumber"].astype(str)
+        + "-" + li["l_returnflag"] + li["l_linestatus"]
+        + li["l_quantity"].astype(np.int64).astype(str)
+    )
+    child_key = "L" + sig.map(
+        lambda s: _hl.md5(s.encode()).hexdigest()[:12]
+    )
+    parents = pd.DataFrame(
+        {
+            "key": "O" + o["o_orderkey"].astype(str),
+            "text": "order " + o["o_orderstatus"],
+            "lang": "en",
+            "routing": o["o_orderkey"].astype(str),
+            "join_name": "parent",
+            "parent_key": "",
+            "o_orderpriority": o["o_orderpriority"],
+            "l_returnflag": "",
+            "l_quantity": np.nan,
+        }
+    )
+    children = pd.DataFrame(
+        {
+            "key": child_key,
+            "text": "line " + li["l_returnflag"] + " " + li["l_linestatus"],
+            "lang": "en",
+            "routing": li["l_orderkey"].astype(str),
+            "join_name": "child",
+            "parent_key": "O" + li["l_orderkey"].astype(str),
+            "o_orderpriority": "",
+            "l_returnflag": li["l_returnflag"],
+            "l_quantity": li["l_quantity"].astype(float),
+        }
+    )
+    cfg = EngineConfig(
+        num_partitions=8,
+        keyword_cols=("join_name", "parent_key", "o_orderpriority",
+                      "l_returnflag"),
+        numeric_cols=("l_quantity",),
+    )
+    build_index(
+        rd.from_pandas(pd.concat([parents, children], ignore_index=True)),
+        idx, cfg, key_col="key", lang_col="lang", html_col=None,
+        ts_col=None, routing_col="routing",
+    )
+    return cfg
+
+
+def _q_has_child(sf_dir: str):
+    """ES has_child query over the parent-join index: orders with >= 2
+    lineitems matching (l_returnflag='R' AND l_quantity>=30) — one
+    shard-local sweep, no exchange (co-location contract)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.query.parent_join import run_has_child
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_pjidx_")
+    try:
+        cfg = _parent_join_index(sf_dir, idx)
+        out = run_has_child(
+            idx,
+            {"kw": [("l_returnflag", "R")], "range": [("l_quantity", 30.0, None)]},
+            min_children=2, cfg=cfg,
+        ).to_pandas()
+        return out.sort_values("key").reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_has_parent(sf_dir: str):
+    """ES has_parent query over the parent-join index: lineitems whose
+    order is 1-URGENT."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.query.parent_join import run_has_parent
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_pjidx_")
+    try:
+        cfg = _parent_join_index(sf_dir, idx)
+        out = run_has_parent(
+            idx, {"kw": [("o_orderpriority", "1-URGENT")]}, cfg=cfg
+        ).to_pandas()
+        return out.sort_values("key").reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+# child doc identity = content hash over the distinct 5-column row
+# (exact duplicates collapse like same-_id upserts in ES)
+_CHILD_DOCS_SQL = """
+child_docs AS (
+  SELECT l_orderkey, l_returnflag, l_quantity,
+         'L' || substr(md5(
+             CAST(l_orderkey AS VARCHAR) || '-' ||
+             CAST(l_linenumber AS VARCHAR) || '-' ||
+             l_returnflag || l_linestatus ||
+             CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+         ), 1, 12) AS key
+  FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_returnflag,
+               l_linestatus, l_quantity FROM lineitem)
+)
+"""
+
+_HAS_CHILD_SQL = (
+    "WITH " + _CHILD_DOCS_SQL + """
+SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS key, count(*)::BIGINT AS n_children
+FROM orders JOIN child_docs ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R' AND l_quantity >= 30
+GROUP BY o_orderkey
+HAVING count(*) >= 2
+ORDER BY 1
+"""
+)
+
+_HAS_PARENT_SQL = (
+    "WITH " + _CHILD_DOCS_SQL + """
+SELECT c.key AS key, 'O' || CAST(c.l_orderkey AS VARCHAR) AS parent
+FROM child_docs c JOIN orders ON o_orderkey = c.l_orderkey
+WHERE o_orderpriority = '1-URGENT'
+ORDER BY 1
+"""
+)
+
+
 def _q_msearch_topk(sf_dir: str):
     """ES _msearch: the derived queries submitted as independent JSON
     search bodies, executed as ONE distributed run_queries batch (one
@@ -6029,6 +6183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pit_search": _q_pit_search,
         "msearch_topk": _q_msearch_topk,
         "field_caps": _q_field_caps,
+        "has_child_orders": _q_has_child,
+        "has_parent_lineitems": _q_has_parent,
         "match_percentiles": _q_match_percentiles,
         "match_subagg": _q_match_subagg,
         "function_score_topk": _q_function_score_topk,
@@ -6264,6 +6420,8 @@ def oracle_sql() -> dict[str, str]:
         # table — equality proves the post-PIT mutation stayed invisible
         "pit_search": _BM25_SQL,
         "msearch_topk": _BM25_SQL,
+        "has_child_orders": _HAS_CHILD_SQL,
+        "has_parent_lineitems": _HAS_PARENT_SQL,
         "match_histogram": _HISTOGRAM_SQL,
         "match_percentiles": _PERCENTILES_SQL,
         "match_subagg": _SUBAGG_SQL,

@@ -1,0 +1,205 @@
+"""ES parent-child joins (`join` field type + `has_child` /
+`has_parent` queries): parents and children live in the SAME index and
+the child's routing is its parent id, so every family is co-located on
+one shard — ES evaluates the join shard-locally, never across shards.
+
+This engine keeps exactly that contract: build the union corpus with
+``routing_col=<parent key>`` plus two keyword fields — a join-name
+discriminator and the child's ``parent_key`` — and both queries run as
+ONE segment-parallel sweep with NO exchange: each segment filters its
+own children, counts per parent (or filters its parents and selects
+their children), and emits final rows.  At 100 TB the shuffle cost of
+this "join" is zero by construction; the partitioning assumption
+(routing = parent key at build time) is the documented requirement,
+same as ES.
+
+Filters use the engine's standard per-query shapes: ``{"kw": [(field,
+value-or-tuple), ...], "range": [(field, lo, hi), ...]}`` over mapped
+keyword/numeric docstore columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from kafka_es_ray.config import DEFAULT, EngineConfig
+from kafka_es_ray.index.segment import read_manifest
+from kafka_es_ray.query.engine import _SegmentCacheStage
+from kafka_es_ray.runtime import query_pool
+
+
+def _live_ids(seg) -> np.ndarray:
+    ids = seg.doc_ids_store
+    if seg.tombstones is not None and seg.tombstones.size and ids.size:
+        pos = np.minimum(
+            np.searchsorted(seg.tombstones, ids), seg.tombstones.size - 1
+        )
+        ids = ids[seg.tombstones[pos] != ids]
+    return ids
+
+
+def _apply_filter(seg, ids: np.ndarray, filt: dict) -> np.ndarray:
+    keep = np.ones(ids.size, dtype=bool)
+    for fld, val in filt.get("kw", ()):
+        got = seg.field_for(fld, ids)
+        keep &= got == val if isinstance(val, str) else np.isin(got, list(val))
+    for fld, lo, hi in filt.get("range", ()):
+        v = seg.nums_for(fld, ids)
+        keep &= ~np.isnan(v)
+        if lo is not None:
+            keep &= v >= lo
+        if hi is not None:
+            keep &= v <= hi
+    return ids[keep]
+
+
+class ParentJoinStage(_SegmentCacheStage):
+    """One shard-local pass per segment; emits FINAL result rows (the
+    co-location contract means no cross-segment merge exists)."""
+
+    def _init_payload(self, payload) -> None:
+        (
+            self.tomb_map,
+            self.mode,
+            self.join_field,
+            self.parent_key_field,
+            self.parent_type,
+            self.child_type,
+            self.filt,
+            self.min_children,
+        ) = payload
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pid in batch["part_id"].astype(int):
+            seg = self._segment(int(pid))
+            ids = _live_ids(seg)
+            if not ids.size:
+                continue
+            jn = seg.field_for(self.join_field, ids)
+            child_ids = ids[jn == self.child_type]
+            parent_ids = ids[jn == self.parent_type]
+            if self.mode == "has_child":
+                hit_children = _apply_filter(seg, child_ids, self.filt)
+                if not hit_children.size:
+                    continue
+                pk = seg.field_for(self.parent_key_field, hit_children)
+                uniq, counts = np.unique(pk, return_counts=True)
+                wanted = set(uniq[counts >= self.min_children])
+                if not wanted:
+                    continue
+                pkeys = seg.keys_for(parent_ids)
+                mask = np.array([k in wanted for k in pkeys], dtype=bool)
+                n_map = dict(zip(uniq, counts))
+                sel = pkeys[mask]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "key": sel,
+                            "n_children": np.array(
+                                [n_map[k] for k in sel], dtype=np.int64
+                            ),
+                        }
+                    )
+                )
+            else:  # has_parent: children whose parent matches the filter
+                hit_parents = _apply_filter(seg, parent_ids, self.filt)
+                if not hit_parents.size or not child_ids.size:
+                    continue
+                pset = set(seg.keys_for(hit_parents))
+                pk = seg.field_for(self.parent_key_field, child_ids)
+                mask = np.array([k in pset for k in pk], dtype=bool)
+                if not mask.any():
+                    continue
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "key": seg.keys_for(child_ids[mask]),
+                            "parent": pk[mask],
+                        }
+                    )
+                )
+        if not out:
+            cols = (
+                {"key": pd.Series([], dtype=object),
+                 "n_children": pd.Series([], dtype=np.int64)}
+                if self.mode == "has_child"
+                else {"key": pd.Series([], dtype=object),
+                      "parent": pd.Series([], dtype=object)}
+            )
+            return pd.DataFrame(cols)
+        return pd.concat(out, ignore_index=True)
+
+
+def _run(
+    mode: str,
+    index_dir: str,
+    filt: dict,
+    cfg: EngineConfig,
+    concurrency: int | None,
+    *,
+    join_field: str = "join_name",
+    parent_key_field: str = "parent_key",
+    parent_type: str = "parent",
+    child_type: str = "child",
+    min_children: int = 1,
+):
+    import ray
+    import ray.data as rd
+
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    payload = ray.put(
+        (
+            manifest.get("tombstones", {}),
+            mode,
+            join_field,
+            parent_key_field,
+            parent_type,
+            child_type,
+            filt,
+            int(min_children),
+        )
+    )
+    shards = rd.from_pandas(pd.DataFrame({"part_id": parts})).repartition(
+        max(1, min(len(parts), concurrency * 2))
+    )
+    return shards.map_batches(
+        ParentJoinStage,
+        fn_constructor_args=(index_dir, payload, cfg),
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+
+
+def run_has_child(
+    index_dir: str,
+    child_filter: dict,
+    min_children: int = 1,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+    **kw,
+):
+    """ES has_child (filter context): parent docs with >= min_children
+    children matching the filter.  Returns Dataset(key, n_children) —
+    n_children is the matched-children count (the ES inner-hits total).
+    Requires the build-time co-location contract (module header)."""
+    return _run(
+        "has_child", index_dir, child_filter, cfg, concurrency,
+        min_children=min_children, **kw,
+    )
+
+
+def run_has_parent(
+    index_dir: str,
+    parent_filter: dict,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+    **kw,
+):
+    """ES has_parent (filter context): child docs whose parent matches
+    the filter.  Returns Dataset(key, parent)."""
+    return _run("has_parent", index_dir, parent_filter, cfg, concurrency, **kw)
