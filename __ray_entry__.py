@@ -2742,6 +2742,54 @@ def _q_fetch_fields_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_script_fields_topk(sf_dir: str):
+    """ES script_fields / runtime fields: the BM25 top-k with a COMPUTED
+    per-hit column — boosted = round6(ln1p(n_chars) * 2) evaluated
+    vectorized per candidate via the whitelisted expression subset."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_sfidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx,
+            cfg, key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        out = run_queries(
+            queries, idx, cfg,
+            fetch_fields=["n_chars", "boosted=ln1p(n_chars) * 2"],
+        ).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score", "n_chars", "boosted"]]
+            .astype({"n_chars": np.float64})
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+# ES script_fields: per-hit computed column boosted = round6(ln(1 +
+# n_chars) * 2) alongside the plain n_chars docvalue
+_SCRIPT_FIELDS_SQL = _BM25_SQL.replace(
+    "SELECT query_id, rank::BIGINT AS rank, doc_id, score\nFROM topk WHERE rank <= 10",
+    "SELECT t.query_id, t.rank::BIGINT AS rank, t.doc_id, t.score,\n"
+    "       d.n_chars::DOUBLE AS n_chars,\n"
+    "       round(ln(1 + d.n_chars) * 2, 6) AS boosted\n"
+    "FROM topk t JOIN documents d USING (doc_id) WHERE t.rank <= 10",
+)
+assert "boosted" in _SCRIPT_FIELDS_SQL
+
+
 def _q_min_score_topk(sf_dir: str):
     """ES min_score: re-run each derived query with a floor equal to its
     own 5th-ranked score from a first pass — hits below the floor are
@@ -6131,6 +6179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kw_filter_topk": _q_kw_filter_topk,
         "min_score_topk": _q_min_score_topk,
         "fetch_fields_topk": _q_fetch_fields_topk,
+        "script_fields_topk": _q_script_fields_topk,
         "rescore_topk": _q_rescore_topk,
         "knn_topk": _q_knn_topk,
         "knn_filtered_topk": _q_knn_filtered_topk,
@@ -6350,6 +6399,7 @@ def oracle_sql() -> dict[str, str]:
         "kw_filter_topk": _KW_FILTER_SQL,
         "min_score_topk": _MIN_SCORE_SQL,
         "fetch_fields_topk": _FETCH_FIELDS_SQL,
+        "script_fields_topk": _SCRIPT_FIELDS_SQL,
         "rescore_topk": _RESCORE_SQL,
         "knn_topk": _KNN_SQL,
         "knn_filtered_topk": _KNN_FILTERED_SQL,

@@ -2810,6 +2810,18 @@ def _script_fields(src: str) -> tuple:
     return tuple(sorted(fields))
 
 
+def _split_fetch_field(ffld: str) -> tuple[str, str | None]:
+    """ES script_fields / runtime fields on the retrieval path: a
+    fetch_fields entry ``"name=expr"`` is a per-hit COMPUTED column —
+    expr is the same whitelisted painless-expression subset script_score
+    uses, evaluated vectorized over mapped numeric doc values and
+    round6'd.  A plain entry is the ordinary docvalue fetch."""
+    if "=" in ffld:
+        name, expr = ffld.split("=", 1)
+        return name.strip(), expr.strip()
+    return ffld, None
+
+
 def _apply_script_score(
     seg: Segment, ids: np.ndarray, scores: np.ndarray, src: str
 ) -> np.ndarray:
@@ -3340,12 +3352,18 @@ class ShardScorerStage(_SegmentCacheStage):
                     cols["text"] = seg.texts_for(ids)
                 for ffld in self.fetch_fields:
                     # ES fields/docvalue_fields retrieval: mapped
-                    # docstore columns for the candidates only
-                    cols[ffld] = (
-                        seg.nums_for(ffld, ids)
-                        if ffld in seg.num_arr
-                        else seg.field_for(ffld, ids)
-                    )
+                    # docstore columns for the candidates only;
+                    # "name=expr" = script_fields (computed, round6)
+                    name, expr = _split_fetch_field(ffld)
+                    if expr is not None:
+                        v = _script_values(seg, ids, expr)
+                        cols[name] = np.floor(v * 1e6 + 0.5) / 1e6
+                    else:
+                        cols[name] = (
+                            seg.nums_for(name, ids)
+                            if name in seg.num_arr
+                            else seg.field_for(name, ids)
+                        )
                 out.append(pd.DataFrame(cols))
         if not out:
             empty = {
@@ -3359,7 +3377,7 @@ class ShardScorerStage(_SegmentCacheStage):
             if self.fetch_text:
                 empty["text"] = pd.Series([], dtype=object)
             for ffld in self.fetch_fields:
-                empty[ffld] = pd.Series([], dtype=object)
+                empty[_split_fetch_field(ffld)[0]] = pd.Series([], dtype=object)
             return pd.DataFrame(empty)
         return pd.concat(out, ignore_index=True)
 
@@ -4201,7 +4219,10 @@ def run_queries(
     ``fetch_fields`` (ES ``fields`` / ``docvalue_fields`` retrieval):
     mapped keyword/numeric docstore columns returned alongside each hit
     (one output column per field, top-k rows only).  Uniform across the
-    query batch."""
+    query batch.  An entry ``"name=expr"`` is an ES script_field /
+    runtime field: expr (the script_score whitelisted expression subset
+    over mapped numeric fields; no ``_score``) evaluated vectorized per
+    candidate hit, round6'd."""
     import ray
     import ray.data as rd
 
@@ -5330,7 +5351,7 @@ def run_queries(
         if highlight:
             empty0["highlight"] = pd.Series([], dtype=object)
         for ffld in fetch_fields or ():
-            empty0[ffld] = pd.Series([], dtype=object)
+            empty0[_split_fetch_field(ffld)[0]] = pd.Series([], dtype=object)
         # an arrow block keeps the column schema through to_pandas();
         # from_pandas on a 0-row frame surfaces as a schema-less dataset
         return rd.from_arrow(
@@ -5383,7 +5404,7 @@ def run_queries(
         out_cols.append("text")
     if highlight:
         out_cols.append("highlight")
-    out_cols.extend(fetch_fields or ())
+    out_cols.extend(_split_fetch_field(f)[0] for f in fetch_fields or ())
 
     def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -5416,7 +5437,8 @@ def run_queries(
                 if fetch:
                     top["text"] = texts
             for ffld in fetch_fields or ():
-                top[ffld] = g[ffld].to_numpy()[order]
+                name = _split_fetch_field(ffld)[0]
+                top[name] = g[name].to_numpy()[order]
             # fan the merged plan result out to every query sharing it
             for qid in fanout_map.get(int(pid_), []):
                 out.append(top.assign(query_id=np.int64(qid)))

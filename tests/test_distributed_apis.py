@@ -684,6 +684,54 @@ def test_fetch_fields_docvalues(api_index, ray_session):
         ).to_pandas()
 
 
+def test_script_fields_computed_column(ray_session, tmp_path):
+    """ES script_fields / runtime fields: a fetch_fields entry
+    "name=expr" returns a per-hit computed column = round6(expr over
+    mapped numeric docvalues); missing numeric reads as 0."""
+    import ray.data as rd
+
+    from kafka_es_ray.config import EngineConfig
+
+    cfg = EngineConfig(num_partitions=2, numeric_cols=("n",))
+    docs = pd.DataFrame(
+        {
+            "url": [f"d{i}" for i in range(10)],
+            "text": ["red gold"] * 10,
+            "lang": "en",
+            "n": [float(i) if i != 3 else np.nan for i in range(10)],
+        }
+    )
+    d = str(tmp_path / "sfidx")
+    build_index(rd.from_pandas(docs), d, cfg, html_col=None, ts_col=None)
+    q = pd.DataFrame(
+        {"query_id": np.int64([0]), "text": ["red gold"], "k": np.int32(10)}
+    )
+    out = run_queries(
+        q, d, cfg, concurrency=2,
+        fetch_fields=["n", "boosted=ln1p(n) * 2", "flat=3.5"],
+    ).to_pandas()
+    ref = docs.set_index("url")
+    for _, r in out.iterrows():
+        n = ref.loc[r["key"], "n"]
+        n = 0.0 if pd.isna(n) else n  # missing -> documented neutral
+        want = np.floor(np.log1p(n) * 2 * 1e6 + 0.5) / 1e6
+        assert r["boosted"] == want, r["key"]
+        assert r["flat"] == 3.5
+    # absent match set keeps the computed-column schema
+    q2 = pd.DataFrame(
+        {"query_id": np.int64([0]), "text": ["zzzabsent"], "k": np.int32(5)}
+    )
+    empty = run_queries(
+        q2, d, cfg, concurrency=2, fetch_fields=["boosted=ln1p(n)"]
+    )
+    assert empty.count() == 0 and "boosted" in empty.schema().names
+    # non-whitelisted expression fails loudly
+    with pytest.raises(Exception):
+        run_queries(
+            q, d, cfg, concurrency=2, fetch_fields=["bad=__import__('os')"]
+        ).to_pandas()
+
+
 def test_new_query_paths_survive_merge(api_index, ray_session, tmp_path):
     """The round-4 query paths (kw filter, min_score, fields retrieval)
     stay correct after a force-merge: a purging merge changes global
