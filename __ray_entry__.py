@@ -4933,6 +4933,50 @@ def _q_field_caps(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_cat_indices(sf_dir: str):
+    """ES _cat/indices over a documents index after deleting every zh
+    doc: live count + deleted count are both data-derived, matching the
+    SQL oracle's lang split exactly."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.index.incremental import apply_incremental
+    from kafka_es_ray.pipelines.fulltext import DOCS_CFG, build_documents_index
+    from kafka_es_ray.query.apis import cat_indices
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_catidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        docs = pd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        zh = docs[docs["lang"] == "zh"]
+        dele = pd.DataFrame(
+            {
+                # documents index keys are str(doc_id) (fulltext module)
+                "key": zh["doc_id"].astype(str),
+                "text": None,
+                "lang": "zh",
+                "op": "delete",
+            }
+        )
+        apply_incremental(idx, dele, DOCS_CFG, key_col="key", seq_col=None)
+        out = cat_indices(idx, names=["documents"])
+        return out[["index", "docs_count", "docs_deleted"]]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_CAT_INDICES_SQL = """
+SELECT 'documents' AS index,
+       count(*) FILTER (lang <> 'zh')::BIGINT AS docs_count,
+       count(*) FILTER (lang = 'zh')::BIGINT AS docs_deleted
+FROM documents
+"""
+
+
 def _q_pit_search(sf_dir: str):
     """ES point-in-time search: open a PIT, then mutate the index (an
     incremental batch deletes the global top hit and upserts term-stuffed
@@ -6230,6 +6274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scroll_all": _q_scroll_all,
         "scroll_sliced": _q_scroll_sliced,
         "pit_search": _q_pit_search,
+        "cat_indices": _q_cat_indices,
         "msearch_topk": _q_msearch_topk,
         "field_caps": _q_field_caps,
         "has_child_orders": _q_has_child,
@@ -6469,6 +6514,7 @@ def oracle_sql() -> dict[str, str]:
         # PIT parity: the oracle computes over the UNCHANGED documents
         # table — equality proves the post-PIT mutation stayed invisible
         "pit_search": _BM25_SQL,
+        "cat_indices": _CAT_INDICES_SQL,
         "msearch_topk": _BM25_SQL,
         "has_child_orders": _HAS_CHILD_SQL,
         "has_parent_lineitems": _HAS_PARENT_SQL,

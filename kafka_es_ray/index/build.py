@@ -583,6 +583,12 @@ def build_index(
         "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
         "k1": cfg.k1,
         "b": cfg.b,
+        # id mode: external ids (id_col) carry NO partition information —
+        # doc_id-range partition tests are invalid on such indexes (the
+        # incremental apply + point lookups read this flag); `routed`
+        # records whether a routing_col (≠ key) decided partitions
+        "external_ids": id_col is not None,
+        "routed": routing_col is not None,
         # ES index mappings analog: the field schema lives WITH the index
         # so a searcher needs no out-of-band cfg (segments self-describe
         # via column prefixes; this is the declarative record)

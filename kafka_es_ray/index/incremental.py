@@ -123,7 +123,32 @@ def _apply_one_partition(
         dt = pq.read_table(dpath, columns=cols)
         keys_arr = np.asarray(dt.column("key").to_pylist(), dtype=object)
         ids_arr = dt.column("doc_id").to_numpy()
-        in_part = (ids_arr >= part * stride) & (ids_arr < (part + 1) * stride)
+        # which of this segment's docs belong to routing partition `part`?
+        # Internal strided ids encode it; EXTERNAL ids (id_col builds)
+        # carry no partition information, so the doc_id-range test is
+        # invalid there (it silently no-ops every delete outside part 0)
+        m_seg = manifest["part_manifests"].get(str(sid), {})
+        multi_part = len(m_seg.get("partitions", [sid])) > 1
+        if not manifest.get("external_ids", False):
+            in_part = (ids_arr >= part * stride) & (ids_arr < (part + 1) * stride)
+        elif not multi_part:
+            # unmerged segment: every doc IS this partition's by build
+            in_part = np.ones(ids_arr.size, dtype=bool)
+        elif not manifest.get("routed", False):
+            # merged multi-partition segment, key-routed build: recompute
+            # the routing of the stored keys
+            from kafka_es_ray.functions.hashing import route_partition
+
+            in_part = (
+                route_partition(keys_arr, int(manifest["num_partitions"]))
+                == part
+            )
+        else:
+            # merged + external ids + custom routing: the routing value is
+            # not stored, so fall back to key identity across the covered
+            # set (exact unless the same key was deliberately routed to
+            # several partitions — outside the engine's LWW key contract)
+            in_part = np.ones(ids_arr.size, dtype=bool)
         hit = in_part & np.isin(keys_arr, np.asarray(list(affected_keys), dtype=object))
         if not hit.any():
             continue

@@ -71,6 +71,38 @@ def field_caps(index_dirs, names: list[str] | None = None) -> pd.DataFrame:
     )
 
 
+def cat_indices(index_dirs, names: list[str] | None = None) -> pd.DataFrame:
+    """ES ``GET _cat/indices``: one row per index with live doc count,
+    deleted (tombstoned) doc count, partition count and generation —
+    manifest + tombstone-file reads only, no segment decode.  Returns
+    (index, docs_count, docs_deleted, parts, gen) sorted by index."""
+    import json
+    import os
+
+    dirs = [index_dirs] if isinstance(index_dirs, str) else list(index_dirs)
+    names = names or [d.rstrip("/").rsplit("/", 1)[-1] for d in dirs]
+    rows = []
+    for name, d in zip(names, dirs):
+        m = read_manifest(d)
+        dead: set[int] = set()
+        for files in (m.get("tombstones") or {}).values():
+            for fname in files:
+                with open(os.path.join(d, os.path.basename(fname))) as f:
+                    dead.update(json.load(f))
+        rows.append(
+            {
+                "index": name,
+                # manifest n_docs keeps tombstoned docs until merge (the
+                # ES stats rule); _cat reports LIVE count + deleted
+                "docs_count": int(m["n_docs"]) - len(dead),
+                "docs_deleted": len(dead),
+                "parts": len(m["parts"]),
+                "gen": int(m.get("gen", 0)),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("index").reset_index(drop=True)
+
+
 def run_msearch(
     bodies: list[dict],
     index_dir,

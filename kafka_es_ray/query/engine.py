@@ -983,21 +983,27 @@ class IndexSearcher:
         LIVE version is the highest non-tombstoned doc_id holding it.
 
         The routing invariant (key -> one partition) restricts the scan:
-        only segments covering a wanted key's partition are touched, and
-        within a merged segment only that partition's stride range —
-        point lookups never scan the whole index.  (Docs ingested with an
-        explicit routing key different from the doc key are not reachable
-        here — same as ES GET without a routing parameter.)"""
+        only segments whose MANIFEST-recorded partition set covers a
+        wanted key's partition are touched — point lookups never scan
+        the whole index.  (Pruning must use the manifest records, not
+        doc_id ranges: indexes built with an external id_col have
+        arbitrary ids that carry no partition information.  Docs
+        ingested with an explicit routing key different from the doc key
+        are not reachable here — same as ES GET without a routing
+        parameter.)"""
         want = np.asarray(list(keys), dtype=object)
         P = int(self.manifest.get("num_partitions", 1))
         want_parts = set(int(p) for p in route_partition(want, P))
-        stride = int(self.cfg.part_stride)
+        pm = self.manifest.get("part_manifests", {})
         best: dict[str, tuple[int, dict]] = {}
-        for s in self.segments:
-            lo = int(s.doc_ids_store[0]) if s.n_docs else 0
-            hi = int(s.doc_ids_store[-1]) if s.n_docs else -1
-            seg_parts = set(range(lo // stride, hi // stride + 1))
-            if not (seg_parts & want_parts):
+        for sid, s in zip(self.manifest["parts"], self.segments):
+            m = pm.get(str(sid), {})
+            covered = (
+                set(int(x) for x in m["partitions"])
+                if "partitions" in m
+                else {int(m.get("partition", int(sid)))}
+            )
+            if not (covered & want_parts):
                 continue  # no wanted key routes into this segment
             # sorted-key-hash binary search (never an O(n_docs) key scan)
             rows, _ = s.find_keys(want)
