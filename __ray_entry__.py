@@ -5266,6 +5266,93 @@ def _q_multi_index_topk(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_indices_boost_topk(sf_dir: str):
+    """ES indices_boost on multi-index search: the parity-split corpus
+    searched with the even index boosted x2 — per-index score scaling
+    before the per-segment cut, so the cross-index merge is exact (x2 of
+    a 6dp score is exactly 6dp: no rounding boundary in the oracle)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    root = tempfile.mkdtemp(prefix="kafka_es_ray_ibidx_")
+    try:
+        cfg = EngineConfig(num_partitions=4)
+        dirs = []
+        for i, want_even in enumerate((True, False)):
+            def split(batch: pa.Table, we=want_even) -> pa.Table:
+                import pyarrow.compute as pc
+
+                even = pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 0)
+                return batch.filter(even if we else pc.invert(even))
+
+            d = f"{root}/i{i}"
+            build_index(
+                documents_dataset(sf_dir).map_batches(split, batch_format="pyarrow"),
+                d, cfg,
+                key_col="key", lang_col="lang", html_col=None, ts_col=None,
+                id_col="doc_id",
+            )
+            dirs.append(d)
+        df_map: dict[str, int] = {}
+        for d in dirs:
+            for s in IndexSearcher(d, cfg).segments:
+                for t, c in zip(s.terms, s.df):
+                    df_map[t] = df_map.get(t, 0) + int(c)
+        top = [t for t, _ in sorted(df_map.items(), key=lambda kv: (-kv[1], kv[0]))[:8]]
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(4, dtype=np.int64),
+                "text": [top[0], " ".join(top[1:3]), " ".join(top[3:6]), " ".join(top[6:8])],
+            }
+        )
+        out = run_queries(queries, dirs, cfg, indices_boost=[2.0, 1.0]).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score", "index_id"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# indices_boost: even docs (index 0) x2 before ranking; global stats
+# still summed across indexes (the multi-index contract)
+_INDICES_BOOST_SQL = _BM25_SQL.replace(
+    """topk AS (
+  SELECT query_id, doc_id, round(raw_score, 6) AS score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, doc_id ASC
+         ) AS rank
+  FROM scores
+)""",
+    """topk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM (
+    SELECT query_id, doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN round(raw_score, 6) * 2 ELSE round(raw_score, 6)
+           END AS score
+    FROM scores)
+)""",
+).replace(
+    "SELECT query_id, rank::BIGINT AS rank, doc_id, score",
+    "SELECT query_id, rank::BIGINT AS rank, doc_id, score,"
+    " (doc_id % 2)::BIGINT AS index_id",
+)
+assert "CASE WHEN doc_id % 2 = 0" in _INDICES_BOOST_SQL
+
+
 def _q_phrase_prefix_count(sf_dir: str):
     """ES match_phrase_prefix (autocomplete) count: the corpus's top
     bigram with the second word truncated to 3 chars — positions-indexed
@@ -6304,6 +6391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_prefix_count": _q_phrase_prefix_count,
         "search_after_topk": _q_search_after_topk,
         "multi_index_topk": _q_multi_index_topk,
+        "indices_boost_topk": _q_indices_boost_topk,
         "multi_match_topk": _q_multi_match,
         "dis_max_topk": _q_dis_max,
         "multi_match_boost_topk": _q_multi_match_boost,
@@ -6451,6 +6539,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_hybrid_topk": _RRF_SQL,
         # multi-index over a parity split == the combined single index;
         # index_id (ES _index) falls out of the parity rule
+        "indices_boost_topk": _INDICES_BOOST_SQL,
         "multi_index_topk": _BM25_SQL.replace(
             "SELECT query_id, rank::BIGINT AS rank, doc_id, score",
             "SELECT query_id, rank::BIGINT AS rank, doc_id, score,"

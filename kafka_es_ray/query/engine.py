@@ -3012,6 +3012,9 @@ class ShardScorerStage(_SegmentCacheStage):
         (self.plan, self.avgdl, self.k1, self.b, self.tomb_map,
          self.fetch_text, *rest) = payload
         self.fetch_fields = rest[0] if rest else ()
+        # ES indices_boost (multi-index search): per-index score
+        # multiplier, applied before the per-segment cut
+        self.indices_boost = rest[1] if len(rest) > 1 else None
         # per-plan top-k score pool seen by THIS actor (descending) — the
         # running MaxScore threshold for later segments
         self._score_pool: dict[int, np.ndarray] = {}
@@ -3060,6 +3063,10 @@ class ShardScorerStage(_SegmentCacheStage):
                     # COMBINED scores, so a
                     # BM25 theta would prune docs whose boost could lift
                     # them into the top-k
+                    theta = None
+                if self.indices_boost is not None:
+                    # per-index boosts: the pool holds BOOSTED scores,
+                    # an unboosted BM25 bound cannot be compared to it
                     theta = None
                 if "intervals" in q:
                     ids, scores = score_segment_intervals(
@@ -3324,6 +3331,12 @@ class ShardScorerStage(_SegmentCacheStage):
                     if sa is not None and ids.size:
                         keep_sa = _after_cursor_mask(ids, scores, sa)
                         ids, scores = ids[keep_sa], scores[keep_sa]
+                if self.indices_boost is not None and ids.size:
+                    # ES indices_boost: scores of THIS index scale before
+                    # the cut/pool, so the cross-index merge is exact
+                    bst = float(self.indices_boost[int(iid)])
+                    if bst != 1.0:
+                        scores = np.floor(scores * bst * 1e6 + 0.5) / 1e6
                 ms = q.get("min_score")
                 if ms is not None and ids.size:
                     # ES min_score: hits below the floor never reach the
@@ -4203,6 +4216,7 @@ def run_queries(
     highlight: bool = False,
     fetch_fields: list[str] | None = None,
     pit: str | None = None,
+    indices_boost: list[float] | None = None,
 ):
     """Distributed query execution: segment-parallel scoring + per-query
     merge.  Queries are the small broadcast side; the segment set is the
@@ -5375,8 +5389,17 @@ def run_queries(
         if multi
         else manifest.get("tombstones", {})
     )
+    if indices_boost is not None and len(indices_boost) != len(dirs):
+        raise ValueError(
+            "indices_boost needs one multiplier per index "
+            f"({len(indices_boost)} given, {len(dirs)} indexes)"
+        )
     plan_ref = ray.put(
-        (plan, avgdl, k1, b, tomb, fetch or highlight, tuple(fetch_fields or ()))
+        (
+            plan, avgdl, k1, b, tomb, fetch or highlight,
+            tuple(fetch_fields or ()),
+            [float(x) for x in indices_boost] if indices_boost is not None else None,
+        )
     )
     k_map = {q["plan_id"]: q["k"] for q in plan}
     window_map = {

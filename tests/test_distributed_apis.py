@@ -307,6 +307,49 @@ def test_routed_multi_index_search(ray_session, tmp_path):
     assert sorted(routed["rank"]) == list(range(1, len(routed) + 1))
 
 
+def test_indices_boost(ray_session, tmp_path):
+    """ES indices_boost: per-index score multiplier applied before the
+    cut — neutral boosts equal the plain multi-index search; a 2x boost
+    re-ranks by exactly 2x that index's round6 scores."""
+    import ray.data as rd
+
+    dirs = []
+    for i in range(2):
+        docs = pd.DataFrame(
+            {
+                "url": [f"u{i}-{j}" for j in range(30)],
+                "text": [f"shared w{j % 3}" for j in range(30)],
+                "lang": "en",
+            }
+        )
+        d = str(tmp_path / f"ibidx{i}")
+        build_index(rd.from_pandas(docs), d, EngineConfig(num_partitions=2),
+                    html_col=None, ts_col=None)
+        dirs.append(d)
+    q = pd.DataFrame({"query_id": [0], "text": ["shared w1"], "k": [100]})
+    plain = run_queries(q, dirs, CFG).to_pandas().sort_values("rank")
+    neutral = run_queries(
+        q, dirs, CFG, indices_boost=[1.0, 1.0]
+    ).to_pandas().sort_values("rank")
+    pd.testing.assert_frame_equal(
+        plain.reset_index(drop=True), neutral.reset_index(drop=True)
+    )
+    boosted = run_queries(
+        q, dirs, CFG, indices_boost=[2.0, 1.0]
+    ).to_pandas().sort_values("rank")
+    want = plain.copy()
+    want["score"] = np.where(
+        want["index_id"] == 0, want["score"] * 2, want["score"]
+    )
+    want = want.sort_values(
+        ["score", "doc_id", "index_id"], ascending=[False, True, True]
+    )
+    assert boosted["key"].tolist() == want["key"].tolist()
+    assert boosted["score"].tolist() == want["score"].tolist()
+    with pytest.raises(ValueError):
+        run_queries(q, dirs, CFG, indices_boost=[2.0])
+
+
 def test_field_caps(api_index, ray_session):
     d, _ = api_index
     caps = IndexSearcher(d, CFG).field_caps()
