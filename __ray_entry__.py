@@ -3418,6 +3418,40 @@ def _q_match_percentiles(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_variable_width_histogram(sf_dir: str):
+    """ES variable_width_histogram of n_chars over each derived query's
+    match set — exact per-value count partials clustered by the
+    deterministic adjacent-gap agglomerative spec (rows-only: the
+    iterative merge is not SQL-expressible; pytest carries the exact
+    hand-computed oracle)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import (
+        IndexSearcher,
+        run_agg_variable_width_histogram,
+    )
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_vwhidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_agg_variable_width_histogram(
+            queries, idx, "n_chars", buckets=5, cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_percolate(sf_dir: str):
     """ES percolate (reverse search): every (doc, stored-query) match
     pair — queries 0-3 are the standard derived or-matches, query 4 is
@@ -6367,6 +6401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "has_child_orders": _q_has_child,
         "has_parent_lineitems": _q_has_parent,
         "match_percentiles": _q_match_percentiles,
+        "variable_width_histogram_agg": _q_variable_width_histogram,
         "match_subagg": _q_match_subagg,
         "function_score_topk": _q_function_score_topk,
         "more_like_this": _q_more_like_this,

@@ -6085,6 +6085,78 @@ def run_agg_percentile_ranks(
     )
 
 
+def _agglomerate_1d(
+    vals: np.ndarray, counts: np.ndarray, buckets: int
+) -> list[tuple[float, float, float, int]]:
+    """Deterministic 1-D agglomerative clustering: start one cluster per
+    distinct value, repeatedly merge the ADJACENT pair with the smallest
+    weighted-centroid gap (ties: leftmost) until `buckets` remain.
+    Returns [(min, max, centroid, count)] ascending."""
+    mins, maxs = list(vals), list(vals)
+    sums = [v * c for v, c in zip(vals, counts.astype(np.float64))]
+    ns = list(counts.astype(np.int64))
+    while len(ns) > buckets:
+        cents = [s / n for s, n in zip(sums, ns)]
+        gaps = np.diff(np.asarray(cents))
+        i = int(np.argmin(gaps))  # argmin takes the FIRST minimum: leftmost
+        mins[i : i + 2] = [mins[i]]
+        maxs[i : i + 2] = [maxs[i + 1]]
+        sums[i : i + 2] = [sums[i] + sums[i + 1]]
+        ns[i : i + 2] = [ns[i] + ns[i + 1]]
+    return [
+        (float(mn), float(mx), float(s / n), int(n))
+        for mn, mx, s, n in zip(mins, maxs, sums, ns)
+    ]
+
+
+def run_agg_variable_width_histogram(
+    queries_ds, index_dir: str, field: str, buckets: int = 5,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES variable_width_histogram aggregation — the same
+    exact per-value count partials as percentiles (ONE segment sweep,
+    shuffle = plans x segments x distinct values), clustered on the
+    driver by deterministic 1-D agglomerative merging (adjacent smallest
+    weighted-centroid gap, leftmost tie-break).  ES's collector is an
+    approximate streaming clusterer whose buckets depend on shard visit
+    order; this engine trades that for a deterministic exact-partials
+    spec (documented deviation — same output contract: ordered,
+    non-overlapping buckets with min/max/centroid/doc_count).  Returns
+    (query_id, bucket, min, max, centroid, doc_count); centroid round6.
+    Queries whose match set is empty are omitted."""
+    partials, plan = _run_numeric_agg(queries_ds, index_dir, field, 0.0, cfg, concurrency)
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            vals = gg["bucket"].to_numpy(np.float64)  # ascending
+            counts = gg["n"].to_numpy(np.int64)
+            clusters = _agglomerate_1d(vals, counts, buckets)
+            for b, (mn, mx, cent, n) in enumerate(clusters):
+                cent6 = float(round6(np.array([cent]))[0])
+                for qid in fanout.get(int(pid_), []):
+                    rows.append((np.int64(qid), np.int64(b), mn, mx, cent6, n))
+    out = pd.DataFrame(
+        rows, columns=["query_id", "bucket", "min", "max", "centroid", "doc_count"]
+    )
+    return (
+        out.sort_values(["query_id", "bucket"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "query_id": np.int64, "bucket": np.int64, "min": np.float64,
+                "max": np.float64, "centroid": np.float64,
+                "doc_count": np.int64,
+            }
+        )
+    )
+
+
 def run_agg_extended_stats(
     queries_ds, index_dir: str, field: str,
     cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
