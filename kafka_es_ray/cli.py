@@ -196,6 +196,21 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--text", required=True)
     d.add_argument("--operator", default="or", choices=["or", "and"])
 
+    ci = sub.add_parser("cat-indices", help="doc counts per index (ES _cat/indices)")
+    ci.add_argument("--indexes", required=True, help="comma-separated index dirs")
+
+    tp = sub.add_parser(
+        "search-template",
+        help="render a mustache template with params and search (ES _search/template)",
+    )
+    tp.add_argument("--index", required=True)
+    tp.add_argument("--template", required=True, help="JSON source with {{var}} placeholders")
+    tp.add_argument("--params", required=True, help="JSON object (one request) or array of objects")
+
+    ms = sub.add_parser("msearch", help="run N JSON search bodies as one batch (ES _msearch)")
+    ms.add_argument("--index", required=True)
+    ms.add_argument("--bodies", required=True, help="JSON array of search bodies")
+
     args = p.parse_args(argv)
     from kafka_es_ray.config import EngineConfig
 
@@ -473,6 +488,25 @@ def main(argv: list[str] | None = None) -> int:
 
         manifest = delete_by_query(args.index, args.text, operator=args.operator)
         print(json.dumps(manifest["last_delete_by_query"]))
+    elif args.cmd == "cat-indices":
+        from kafka_es_ray.query.apis import cat_indices
+
+        print(cat_indices(args.indexes.split(",")).to_string(index=False))
+    elif args.cmd == "search-template":
+        own_session = _ray_init(args.num_cpus)
+        from kafka_es_ray.query.templates import run_search_template
+
+        params = json.loads(args.params)
+        if isinstance(params, dict):
+            params = [params]
+        out = run_search_template(args.template, params, args.index).to_pandas()
+        print(out.to_string(index=False))
+    elif args.cmd == "msearch":
+        own_session = _ray_init(args.num_cpus)
+        from kafka_es_ray.query.apis import run_msearch
+
+        out = run_msearch(json.loads(args.bodies), args.index).to_pandas()
+        print(out.to_string(index=False))
     if own_session:
         import ray
 

@@ -99,3 +99,33 @@ def test_cli_end_to_end(ray_session, corpus_dir, tmp_path, capsys):
     assert merged["n_docs"] == 47  # 61 entries - old u1 version - 13 quick-docs
 
     assert ray.is_initialized()
+
+
+def test_cli_new_api_subcommands(ray_session, corpus_dir, tmp_path, capsys):
+    idx = str(tmp_path / "idx2")
+    assert main(
+        ["build", "--input", corpus_dir, "--index", idx, "--num-partitions", "2"]
+    ) == 0
+    capsys.readouterr()
+
+    assert main(["cat-indices", "--indexes", idx]) == 0
+    out = capsys.readouterr().out
+    assert "docs_count" in out and "60" in out
+
+    tmpl = '{"query": {"match": {"text": "{{q}}"}}, "size": {{k}}{{^k}}3{{/k}}}'
+    assert main(
+        ["search-template", "--index", idx, "--template", tmpl,
+         "--params", '{"q": "quick brown"}']
+    ) == 0
+    out = capsys.readouterr().out
+    assert "rank" in out and "u10" in out  # score ties break doc_id asc
+    assert len(out.strip().splitlines()) == 4  # header + size default 3
+
+    bodies = json.dumps(
+        [{"query": {"match": {"text": "quick"}}, "size": 2},
+         {"query": {"match": {"text": "plain"}}, "size": 1}]
+    )
+    assert main(["msearch", "--index", idx, "--bodies", bodies]) == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.strip().splitlines()[1:] if l.strip()]
+    assert len(lines) == 3  # 2 hits for body 0, 1 for body 1
