@@ -86,20 +86,21 @@ class ParentJoinStage(_SegmentCacheStage):
                     continue
                 pk = seg.field_for(self.parent_key_field, hit_children)
                 uniq, counts = np.unique(pk, return_counts=True)
-                wanted = set(uniq[counts >= self.min_children])
-                if not wanted:
+                keep_u = counts >= self.min_children
+                uniq, counts = uniq[keep_u], counts[keep_u]
+                if not uniq.size:
                     continue
                 pkeys = seg.keys_for(parent_ids)
-                mask = np.array([k in wanted for k in pkeys], dtype=bool)
-                n_map = dict(zip(uniq, counts))
-                sel = pkeys[mask]
+                # vectorized membership + count gather: uniq is sorted
+                # (np.unique), so searchsorted doubles as the lookup
+                pos = np.searchsorted(uniq, pkeys)
+                pos_c = np.minimum(pos, uniq.size - 1)
+                mask = uniq[pos_c] == pkeys
                 out.append(
                     pd.DataFrame(
                         {
-                            "key": sel,
-                            "n_children": np.array(
-                                [n_map[k] for k in sel], dtype=np.int64
-                            ),
+                            "key": pkeys[mask],
+                            "n_children": counts[pos_c[mask]].astype(np.int64),
                         }
                     )
                 )
@@ -107,9 +108,10 @@ class ParentJoinStage(_SegmentCacheStage):
                 hit_parents = _apply_filter(seg, parent_ids, self.filt)
                 if not hit_parents.size or not child_ids.size:
                     continue
-                pset = set(seg.keys_for(hit_parents))
+                pset = np.unique(seg.keys_for(hit_parents))
                 pk = seg.field_for(self.parent_key_field, child_ids)
-                mask = np.array([k in pset for k in pk], dtype=bool)
+                pos = np.minimum(np.searchsorted(pset, pk), pset.size - 1)
+                mask = pset[pos] == pk
                 if not mask.any():
                     continue
                 out.append(
