@@ -4903,6 +4903,36 @@ ORDER BY 1
 )
 
 
+def _q_children_terms_agg(sf_dir: str):
+    """ES `children` aggregation (terms sub-agg): l_returnflag counts
+    over the lineitems of 1-URGENT orders — shard-local partials only."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.query.parent_join import run_children_terms_agg
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_pjidx_")
+    try:
+        cfg = _parent_join_index(sf_dir, idx)
+        return run_children_terms_agg(
+            idx, {"kw": [("o_orderpriority", "1-URGENT")]}, "l_returnflag",
+            cfg=cfg,
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_CHILDREN_TERMS_SQL = (
+    "WITH " + _CHILD_DOCS_SQL + """
+SELECT c.l_returnflag AS value, count(*)::BIGINT AS n
+FROM child_docs c JOIN orders ON o_orderkey = c.l_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1
+ORDER BY n DESC, value ASC
+"""
+)
+
+
 def _q_msearch_topk(sf_dir: str):
     """ES _msearch: the derived queries submitted as independent JSON
     search bodies, executed as ONE distributed run_queries batch (one
@@ -6400,6 +6430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_caps": _q_field_caps,
         "has_child_orders": _q_has_child,
         "has_parent_lineitems": _q_has_parent,
+        "children_terms_agg": _q_children_terms_agg,
         "match_percentiles": _q_match_percentiles,
         "variable_width_histogram_agg": _q_variable_width_histogram,
         "match_subagg": _q_match_subagg,
@@ -6642,6 +6673,7 @@ def oracle_sql() -> dict[str, str]:
         "msearch_topk": _BM25_SQL,
         "has_child_orders": _HAS_CHILD_SQL,
         "has_parent_lineitems": _HAS_PARENT_SQL,
+        "children_terms_agg": _CHILDREN_TERMS_SQL,
         "match_histogram": _HISTOGRAM_SQL,
         "match_percentiles": _PERCENTILES_SQL,
         "match_subagg": _SUBAGG_SQL,

@@ -68,7 +68,9 @@ class ParentJoinStage(_SegmentCacheStage):
             self.child_type,
             self.filt,
             self.min_children,
+            *rest,
         ) = payload
+        self.agg_field = rest[0] if rest else None
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -104,6 +106,27 @@ class ParentJoinStage(_SegmentCacheStage):
                         }
                     )
                 )
+            elif self.mode == "children_terms":
+                # ES `children` aggregation with a terms sub-agg: per
+                # segment, bucket-count a child keyword field over the
+                # children of filter-matched parents; emits (value, n)
+                # PARTIALS — the driver merge is |distinct values| rows
+                hit_parents = _apply_filter(seg, parent_ids, self.filt)
+                if not hit_parents.size or not child_ids.size:
+                    continue
+                pset = np.unique(seg.keys_for(hit_parents))
+                pk = seg.field_for(self.parent_key_field, child_ids)
+                pos = np.minimum(np.searchsorted(pset, pk), pset.size - 1)
+                mask = pset[pos] == pk
+                if not mask.any():
+                    continue
+                vals = seg.field_for(self.agg_field, child_ids[mask])
+                uniq, counts = np.unique(vals, return_counts=True)
+                out.append(
+                    pd.DataFrame(
+                        {"value": uniq, "n": counts.astype(np.int64)}
+                    )
+                )
             else:  # has_parent: children whose parent matches the filter
                 hit_parents = _apply_filter(seg, parent_ids, self.filt)
                 if not hit_parents.size or not child_ids.size:
@@ -123,13 +146,15 @@ class ParentJoinStage(_SegmentCacheStage):
                     )
                 )
         if not out:
-            cols = (
-                {"key": pd.Series([], dtype=object),
-                 "n_children": pd.Series([], dtype=np.int64)}
-                if self.mode == "has_child"
-                else {"key": pd.Series([], dtype=object),
-                      "parent": pd.Series([], dtype=object)}
-            )
+            if self.mode == "has_child":
+                cols = {"key": pd.Series([], dtype=object),
+                        "n_children": pd.Series([], dtype=np.int64)}
+            elif self.mode == "children_terms":
+                cols = {"value": pd.Series([], dtype=object),
+                        "n": pd.Series([], dtype=np.int64)}
+            else:
+                cols = {"key": pd.Series([], dtype=object),
+                        "parent": pd.Series([], dtype=object)}
             return pd.DataFrame(cols)
         return pd.concat(out, ignore_index=True)
 
@@ -146,6 +171,7 @@ def _run(
     parent_type: str = "parent",
     child_type: str = "child",
     min_children: int = 1,
+    agg_field: str | None = None,
 ):
     import ray
     import ray.data as rd
@@ -163,6 +189,7 @@ def _run(
             child_type,
             filt,
             int(min_children),
+            agg_field,
         )
     )
     shards = rd.from_pandas(pd.DataFrame({"part_id": parts})).repartition(
@@ -205,3 +232,35 @@ def run_has_parent(
     """ES has_parent (filter context): child docs whose parent matches
     the filter.  Returns Dataset(key, parent)."""
     return _run("has_parent", index_dir, parent_filter, cfg, concurrency, **kw)
+
+
+def run_children_terms_agg(
+    index_dir: str,
+    parent_filter: dict,
+    child_field: str,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+    **kw,
+):
+    """ES `children` aggregation with a terms sub-agg: bucket-count
+    ``child_field`` over the children of filter-matched parents.  One
+    shard-local sweep emitting (value, n) partials — the exchange is
+    |segments x distinct values|, never child rows.  Returns a pandas
+    DataFrame (value, n) sorted (n desc, value asc), the ES terms-agg
+    order."""
+    ds = _run(
+        "children_terms", index_dir, parent_filter, cfg, concurrency,
+        agg_field=child_field, **kw,
+    )
+    df = ds.to_pandas()
+    if not len(df):
+        return pd.DataFrame(
+            {"value": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype=np.int64)}
+        )
+    out = df.groupby("value", sort=False)["n"].sum().reset_index()
+    return (
+        out.sort_values(["n", "value"], ascending=[False, True])
+        .reset_index(drop=True)
+        .astype({"n": np.int64})
+    )

@@ -94,3 +94,17 @@ def test_no_matches_empty_contract(pj_index):
     assert out.count() == 0 and set(out.schema().names) == {"key", "n_children"}
     out2 = run_has_parent(pj_index, {"kw": [("grade", "zzz")]}, cfg=CFG)
     assert out2.count() == 0 and set(out2.schema().names) == {"key", "parent"}
+
+
+def test_children_terms_agg(pj_index):
+    from kafka_es_ray.query.parent_join import run_children_terms_agg
+
+    # parents g1 = P0, P2; their children's grades: a,a,b (P0) + b,b (P2)
+    out = run_children_terms_agg(
+        pj_index, {"kw": [("grade", "g1")]}, "grade", cfg=CFG
+    )
+    assert list(zip(out["value"], out["n"])) == [("b", 3), ("a", 2)]
+    empty = run_children_terms_agg(
+        pj_index, {"kw": [("grade", "zzz")]}, "grade", cfg=CFG
+    )
+    assert len(empty) == 0 and list(empty.columns) == ["value", "n"]
