@@ -514,7 +514,13 @@ def build_index(
     resume: bool = False,
 ) -> dict:
     """Build the full inverted index from a ray.data.Dataset; returns the
-    global manifest (also written to {index_dir}/manifest.json)."""
+    global manifest (also written to {index_dir}/manifest.json).
+
+    ``id_col`` (external ids): ids must be unique int64.  Keep them
+    below ``cfg.part_stride`` (2^36 by default): incremental updates
+    allocate delta doc ids at ``part * stride + rank`` and the
+    newest-live-version rule is "highest doc_id wins", so an external id
+    above the stride could outrank its own later update."""
     os.makedirs(index_dir, exist_ok=True)
     done = _completed_parts(index_dir, cfg.num_partitions) if resume else {}
 
