@@ -768,6 +768,125 @@ SELECT query_id,
 FROM vals WHERE x >= 0 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+# Deterministic geo_point replay (mirrors fulltext.geo_documents_dataset:
+# exact integer arithmetic, IEEE-identical on both engines) plus the
+# per-doc round6 arc distance to the fixed origin (10, 20) — written
+# term-for-term as the engine formula (functions/geo.py haversine_m) so
+# libm last-ulp noise is the only divergence and round(,6) absorbs it.
+_GEO_CTES = """geo AS (
+  SELECT doc_id, ((doc_id * 37) % 18001) / 100.0 - 90.0 AS lat,
+         ((doc_id * 53) % 36001) / 100.0 - 180.0 AS lon
+  FROM documents
+),
+gd0 AS (
+  SELECT doc_id, lat, lon,
+         sin((radians(lat) - radians(10.0)) * 0.5) AS s1,
+         sin((radians(lon) - radians(20.0)) * 0.5) AS s2,
+         cos(radians(lat)) AS cla
+  FROM geo
+),
+gdist AS (
+  SELECT doc_id, lat, lon,
+         round(2.0 * 6371008.7714 * asin(sqrt(least(
+             s1 * s1 + cla * cos(radians(10.0)) * s2 * s2, 1.0))), 6) AS d
+  FROM gd0
+)
+"""
+
+# ES geo_distance filter clause: BM25 scores unchanged, docs beyond
+# 7,000 km from (10, 20) dropped BEFORE ranking (filter context)
+_GEO_DIST_FILTER_SQL = _BM25_SQL.replace(
+    "WITH dl AS (", "WITH " + _GEO_CTES + ", dl AS ("
+).replace(
+    "  FROM scores\n)",
+    "  FROM scores JOIN gdist USING (doc_id)\n  WHERE d <= 7000000.0\n)",
+)
+assert "gdist" in _GEO_DIST_FILTER_SQL  # replace anchors must exist
+
+# ES geo_bounding_box filter clause: inclusive box lat in [-30, 60],
+# lon in [-90, 90] (no antimeridian crossing)
+_GEO_BBOX_FILTER_SQL = _BM25_SQL.replace(
+    "WITH dl AS (", "WITH " + _GEO_CTES + ", dl AS ("
+).replace(
+    "  FROM scores\n)",
+    "  FROM scores JOIN geo g USING (doc_id)\n"
+    "  WHERE g.lat BETWEEN -30.0 AND 60.0 AND g.lon BETWEEN -90.0 AND 90.0\n)",
+)
+assert "BETWEEN -30.0" in _GEO_BBOX_FILTER_SQL
+
+# ES geo_distance aggregation: ring counts by round6 arc distance from
+# (10, 20); edges (0, 2e6, 5e6, 1e7) m, key = the ring's lower edge
+_GEO_RING_SQL = _MATCHES_CTE + ", " + _GEO_CTES + """
+SELECT m.query_id,
+       CASE WHEN d >= 10000000 THEN 10000000.0
+            WHEN d >= 5000000 THEN 5000000.0
+            WHEN d >= 2000000 THEN 2000000.0
+            ELSE 0.0 END AS ring_from,
+       count(*)::BIGINT AS n_docs
+FROM matches m JOIN gdist USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# ES geotile_grid aggregation at zoom 3 (n = 8): web-mercator tile cell
+# per doc — continuous coordinate round6-ed BEFORE floor exactly like
+# functions/geo.py geotile_xy, lat clamped to the mercator domain; cut =
+# top-10 by (count desc, packed x*8+y asc), the engine tie-break
+_GEO_TILE_SQL = _MATCHES_CTE + ", " + _GEO_CTES + """,
+cells AS (
+  SELECT m.query_id,
+         CAST(least(greatest(floor(round((lon + 180.0) / 360.0 * 8.0, 6)), 0), 7) AS BIGINT) AS x,
+         CAST(least(greatest(floor(round(
+             (1.0 - ln(tan(radians(cl)) + 1.0 / cos(radians(cl))) / pi())
+             / 2.0 * 8.0, 6)), 0), 7) AS BIGINT) AS y
+  FROM matches m
+  JOIN (SELECT doc_id, lon,
+               least(greatest(lat, -85.05112878), 85.05112878) AS cl
+        FROM geo) g USING (doc_id)
+),
+cell_counts AS (
+  SELECT query_id, x, y, count(*)::BIGINT AS n_docs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY count(*) DESC, x * 8 + y ASC) AS rn
+  FROM cells GROUP BY 1, 2, 3
+)
+SELECT query_id, '3/' || x || '/' || y AS tile, n_docs
+FROM cell_counts WHERE rn <= 10 ORDER BY 1, 3 DESC, 2
+"""
+
+# ES _geo_distance sort: match set ranked by round6 arc distance to
+# (10, 20) ascending (ties doc_id asc), top-10 per query
+_GEO_SORT_SQL = _MATCHES_CTE + ", " + _GEO_CTES + """,
+gtopk AS (
+  SELECT m.query_id, m.doc_id, g.d,
+         row_number() OVER (
+           PARTITION BY m.query_id ORDER BY g.d ASC, m.doc_id ASC
+         ) AS rank
+  FROM matches m JOIN gdist g USING (doc_id)
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, d AS sort_val
+FROM gtopk WHERE rank <= 10
+"""
+
+# ES geo_centroid: arithmetic mean point of the match set, round6 via
+# the engine's exact-sum formula (sum/count, not avg())
+_GEO_CENTROID_SQL = _MATCHES_CTE + ", " + _GEO_CTES + """
+SELECT m.query_id,
+       round(sum(lat) / count(*), 6) AS centroid_lat,
+       round(sum(lon) / count(*), 6) AS centroid_lon,
+       count(*)::BIGINT AS n_docs
+FROM matches m JOIN geo USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+# ES geo_bounds: tightest box (top = max lat, left = min lon, bottom =
+# min lat, right = max lon) — exact min/max, no float repair needed
+_GEO_BOUNDS_SQL = _MATCHES_CTE + ", " + _GEO_CTES + """
+SELECT m.query_id, max(lat) AS top, min(lon) AS "left",
+       min(lat) AS bottom, max(lon) AS "right"
+FROM matches m JOIN geo USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
 _MATRIX_STATS_SQL = _AGG_VALS_CTE + """
 SELECT query_id, count(*)::BIGINT AS n_docs,
        round(sum(x)/count(*), 6) AS mean_x, round(sum(y)/count(*), 6) AS mean_y,
@@ -6361,6 +6480,191 @@ def _q_media_features(sf_dir: str):
     return out.map_batches(finalize, batch_format="pandas")
 
 
+def _build_geo_docs_index(sf_dir: str, idx: str):
+    """documents + the deterministic ``loc`` geo_point field -> inverted
+    index with loc_lat/loc_lon numeric docstore columns (the engine's geo
+    storage model, functions/geo.py).  Returns the EngineConfig."""
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import geo_documents_dataset
+
+    cfg = EngineConfig(num_partitions=8, numeric_cols=("loc_lat", "loc_lon"))
+    build_index(
+        geo_documents_dataset(sf_dir), idx, cfg,
+        key_col="key", lang_col="lang", html_col=None, ts_col=None,
+        id_col="doc_id",
+    )
+    return cfg
+
+
+def _q_geo_distance_filter_topk(sf_dir: str):
+    """ES bool query with a geo_distance filter clause: BM25 top-10 over
+    the derived queries, keeping only docs whose ``loc`` point lies
+    within 7,000 km round6 arc distance of (10, 20) — the distributed
+    run_queries path with the per-segment geo post-filter."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_geoidx_")
+    try:
+        cfg = _build_geo_docs_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"].assign(
+            geo_field="loc", geo_lat=10.0, geo_lon=20.0,
+            geo_distance_m=7_000_000.0,
+        )
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_geo_bbox_filter_topk(sf_dir: str):
+    """ES geo_bounding_box filter clause: BM25 top-10 keeping only docs
+    whose ``loc`` point lies in the inclusive box lat [-30, 60] x
+    lon [-90, 90] — rewritten to two numeric range filters over the
+    mapped lat/lon columns (the ES bounding-box semantics)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_gbbidx_")
+    try:
+        cfg = _build_geo_docs_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"].assign(
+            geo_bbox_field="loc", geo_bbox_top=60.0, geo_bbox_left=-90.0,
+            geo_bbox_bottom=-30.0, geo_bbox_right=90.0,
+        )
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_geo_distance_agg(sf_dir: str):
+    """ES geo_distance aggregation: ring doc counts by round6 arc
+    distance from (10, 20), edges (0, 2e6, 5e6, 1e7) m, over each derived
+    query's match set — distributed NumericAggStage sweep on the derived
+    per-doc distance virtual field."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_geo_distance
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_grgidx_")
+    try:
+        cfg = _build_geo_docs_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_agg_geo_distance(
+            queries, idx, "loc", 10.0, 20.0, (0.0, 2e6, 5e6, 1e7), cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_geotile_grid_agg(sf_dir: str):
+    """ES geotile_grid aggregation at zoom 3: top-10 web-mercator map
+    tiles ("3/x/y") by doc count per derived query's match set, cut by
+    (count desc, packed cell asc)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_geotile_grid
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_gtlidx_")
+    try:
+        cfg = _build_geo_docs_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_agg_geotile_grid(queries, idx, "loc", zoom=3, size=10, cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_geo_distance_sort(sf_dir: str):
+    """ES sort by _geo_distance: each derived query's match set ranked by
+    round6 arc distance from ``loc`` to (10, 20) ascending (ties doc_id
+    asc) — the SortTopkStage path on the derived-distance virtual field."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_sorted
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_gsridx_")
+    try:
+        cfg = _build_geo_docs_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        out = run_sorted(
+            queries, idx, {"geo_distance": ("loc", 10.0, 20.0)},
+            ascending=True, k=10, cfg=cfg,
+        ).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "sort_val"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_geo_centroid_agg(sf_dir: str):
+    """ES geo_centroid aggregation: mean (lat, lon) of each derived
+    query's matched points, round6 — matrix-stats exact-sum partials."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_geo_centroid
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_gctidx_")
+    try:
+        cfg = _build_geo_docs_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_agg_geo_centroid(queries, idx, "loc", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_geo_bounds_agg(sf_dir: str):
+    """ES geo_bounds aggregation: tightest (top, left, bottom, right)
+    box around each derived query's matched points — exact min/max via
+    the stats-partial sweeps."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_geo_bounds
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_gbdidx_")
+    try:
+        cfg = _build_geo_docs_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_agg_geo_bounds(queries, idx, "loc", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": _q_bm25_topk,
@@ -6382,6 +6686,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field": _q_sort_by_field,
         "sort_search_after": _q_sort_search_after,
         "match_stats_agg": _q_match_stats_agg,
+        "geo_distance_filter_topk": _q_geo_distance_filter_topk,
+        "geo_bbox_filter_topk": _q_geo_bbox_filter_topk,
+        "geo_distance_agg": _q_geo_distance_agg,
+        "geotile_grid_agg": _q_geotile_grid_agg,
+        "geo_centroid_agg": _q_geo_centroid_agg,
+        "geo_distance_sort": _q_geo_distance_sort,
+        "geo_bounds_agg": _q_geo_bounds_agg,
         "match_histogram": _q_match_histogram,
         "extended_stats_agg": _q_extended_stats,
         "date_histogram_agg": _q_date_histogram,
@@ -6620,6 +6931,13 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_field": _SORT_FIELD_SQL,
         "sort_search_after": _SORT_AFTER_SQL,
         "match_stats_agg": _STATS_AGG_SQL,
+        "geo_distance_filter_topk": _GEO_DIST_FILTER_SQL,
+        "geo_bbox_filter_topk": _GEO_BBOX_FILTER_SQL,
+        "geo_distance_agg": _GEO_RING_SQL,
+        "geotile_grid_agg": _GEO_TILE_SQL,
+        "geo_centroid_agg": _GEO_CENTROID_SQL,
+        "geo_distance_sort": _GEO_SORT_SQL,
+        "geo_bounds_agg": _GEO_BOUNDS_SQL,
         "extended_stats_agg": _EXT_STATS_SQL,
         "date_histogram_agg": _DATE_HIST_SQL,
         "range_agg": _RANGE_AGG_SQL,

@@ -41,6 +41,32 @@ def documents_dataset(sf_dir: str, extra_cols: tuple[str, ...] = ()):
     return ds.map_batches(add_key, batch_format="pyarrow")
 
 
+def geo_documents_dataset(sf_dir: str):
+    """documents + a deterministic geo_point field ``loc`` mapped onto two
+    numeric docstore columns ``loc_lat``/``loc_lon`` (the engine's geo
+    storage model — functions/geo.py).  Coordinates derive from doc_id by
+    exact integer arithmetic so the DuckDB oracles replay them verbatim:
+
+        loc_lat = (doc_id * 37) % 18001 / 100.0 -  90.0   in [-90,  90]
+        loc_lon = (doc_id * 53) % 36001 / 100.0 - 180.0   in [-180, 180]
+
+    0.01-degree resolution, global coverage; every step (int mul/mod,
+    int->double cast, double div/sub) is IEEE-exactly reproducible on
+    both engines, so no float contract is needed for the coordinates
+    themselves."""
+    ds = documents_dataset(sf_dir)
+
+    def add_geo(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lat = ((ids * 37) % 18001).astype(np.float64) / 100.0 - 90.0
+        lon = ((ids * 53) % 36001).astype(np.float64) / 100.0 - 180.0
+        return batch.append_column("loc_lat", pa.array(lat)).append_column(
+            "loc_lon", pa.array(lon)
+        )
+
+    return ds.map_batches(add_geo, batch_format="pyarrow")
+
+
 def build_documents_index(sf_dir: str, index_dir: str, cfg: EngineConfig = DOCS_CFG) -> dict:
     """documents(doc_id,text,lang) -> inverted index.  doc_id is the
     provided external id (no LWW needed: ids are unique)."""

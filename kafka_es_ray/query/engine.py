@@ -30,6 +30,12 @@ import pandas as pd
 import pyarrow as pa
 
 from kafka_es_ray.config import DEFAULT, EngineConfig
+from kafka_es_ray.functions.geo import (
+    geotile_pack,
+    geotile_unpack,
+    geotile_xy,
+    haversine_m,
+)
 from kafka_es_ray.functions.hashing import route_partition
 from kafka_es_ray.runtime import query_pool
 from kafka_es_ray.functions.tokenizer import get_analyzer
@@ -1422,12 +1428,17 @@ def segment_matching_ids(
     filter_lang: str | None = None,
     filter_ranges: list[tuple] | None = None,
     filter_kw: list[tuple] | None = None,
+    filter_geo: tuple | None = None,
 ) -> np.ndarray:
     """ALL live doc ids in one segment matching the analyzed terms (no
     top-k cap) — the per-segment unit of the ES _count / terms-agg /
     delete_by_query match set.  Needs no global stats: a term absent from
     this segment simply contributes nothing (or, under AND, empties the
-    segment's match set)."""
+    segment's match set).
+
+    ``filter_geo``: ES geo_distance filter (field, lat0, lon0, dist_m) —
+    keeps docs whose {field}_lat/{field}_lon point lies within dist_m
+    meters (round6 haversine) of the origin; missing points never match."""
     empty = np.array([], dtype=np.int64)
     if not terms:
         return empty
@@ -1462,10 +1473,58 @@ def segment_matching_ids(
                 break
             got = s.field_for(fld, ids)
             ids = ids[got == val if isinstance(val, str) else np.isin(got, val)]
+    if filter_geo is not None and ids.size:
+        ids = ids[_geo_keep(s, ids, filter_geo)]
     if s.tombstones is not None and s.tombstones.size and ids.size:
         pos = np.minimum(np.searchsorted(s.tombstones, ids), s.tombstones.size - 1)
         ids = ids[s.tombstones[pos] != ids]
     return ids
+
+
+def _geo_keep(s: Segment, ids: np.ndarray, filter_geo: tuple) -> np.ndarray:
+    """Boolean keep-mask for the ES geo_distance filter: round6 haversine
+    from each doc's ({field}_lat, {field}_lon) point to the origin must
+    be <= dist_m; docs missing either coordinate (NaN) never match."""
+    fld, lat0, lon0, dist_m = filter_geo
+    lats = s.nums_for(f"{fld}_lat", ids)
+    lons = s.nums_for(f"{fld}_lon", ids)
+    keep = ~(np.isnan(lats) | np.isnan(lons))
+    if keep.any():
+        d = haversine_m(lats[keep], lons[keep], lat0, lon0)
+        sub = np.zeros(ids.size, dtype=bool)
+        sub[np.flatnonzero(keep)[d <= float(dist_m)]] = True
+        return sub
+    return keep
+
+
+def _geo_distance_vals(
+    s: Segment, ids: np.ndarray, fld: str, lat0: float, lon0: float
+) -> np.ndarray:
+    """Per-doc round6 haversine meters from the geo field to the origin;
+    NaN where either coordinate is missing (excluded like any missing
+    numeric value) — the virtual field behind the ES geo_distance
+    aggregation."""
+    lats = s.nums_for(f"{fld}_lat", ids)
+    lons = s.nums_for(f"{fld}_lon", ids)
+    out = np.full(ids.size, np.nan, dtype=np.float64)
+    ok = ~(np.isnan(lats) | np.isnan(lons))
+    if ok.any():
+        out[ok] = haversine_m(lats[ok], lons[ok], lat0, lon0)
+    return out
+
+
+def _geotile_vals(s: Segment, ids: np.ndarray, fld: str, zoom: int) -> np.ndarray:
+    """Per-doc packed geotile cell key (x*2^zoom + y, float64-exact for
+    zoom <= 26); NaN where the point is missing — the virtual field
+    behind the ES geotile_grid aggregation."""
+    lats = s.nums_for(f"{fld}_lat", ids)
+    lons = s.nums_for(f"{fld}_lon", ids)
+    out = np.full(ids.size, np.nan, dtype=np.float64)
+    ok = ~(np.isnan(lats) | np.isnan(lons))
+    if ok.any():
+        x, y = geotile_xy(lats[ok], lons[ok], zoom)
+        out[ok] = geotile_pack(x, y, zoom)
+    return out
 
 
 def segment_prefix_matching_ids(
@@ -1904,7 +1963,7 @@ def _segment_match_ids_for_plan(s: Segment, q: dict) -> np.ndarray:
         )
     return segment_matching_ids(
         s, q["terms"], q.get("require_all", False), q.get("filter_lang"),
-        q.get("filter_ranges"), q.get("filter_kw"),
+        q.get("filter_ranges"), q.get("filter_kw"), q.get("filter_geo"),
     )
 
 
@@ -2550,6 +2609,7 @@ def score_segment(
     dl_field: str | None = None,
     filter_ranges: list[tuple] | None = None,
     filter_kw: list[tuple] | None = None,
+    filter_geo: tuple | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized BM25 scoring of one segment.  With a threshold, MaxScore
     splits terms into essential (union-scored) and non-essential
@@ -2643,6 +2703,13 @@ def score_segment(
             cand, acc = cand[keep_f], acc[keep_f]
             if cand.size == 0:
                 return cand, acc
+    if filter_geo is not None and cand.size:
+        # ES geo_distance filter clause: post-scoring like the other
+        # filters (exact under pruning — only removes docs)
+        keep_g = _geo_keep(s, cand, filter_geo)
+        cand, acc = cand[keep_g], acc[keep_g]
+        if cand.size == 0:
+            return cand, acc
     if must_not_terms:
         # ES bool must_not: docs containing ANY excluded term are dropped.
         # Filter AFTER scoring (like tombstones): the essential-term
@@ -3262,6 +3329,7 @@ class ShardScorerStage(_SegmentCacheStage):
                         dl_field=q.get("dl_field"),
                         filter_ranges=q.get("filter_ranges"),
                         filter_kw=q.get("filter_kw"),
+                        filter_geo=q.get("filter_geo"),
                     )
                     if q.get("fvf") is not None and ids.size:
                         scores = _apply_fvf(seg, ids, scores, q["fvf"])
@@ -3545,8 +3613,17 @@ class NumericAggStage(_SegmentCacheStage):
                         (q["plan_id"], 0.0, n_miss, float(ids.size), 0.0, 0.0, *pad)
                     )
                     continue
-                if isinstance(self.field, dict):  # scripted_metric map
-                    all_vals = _script_values(seg, ids, self.field["script"])
+                if isinstance(self.field, dict):
+                    # virtual fields: scripted_metric map expression, or
+                    # the geo aggregations' derived per-doc value
+                    if "script" in self.field:
+                        all_vals = _script_values(seg, ids, self.field["script"])
+                    elif "geo_distance" in self.field:
+                        gfld, lat0, lon0 = self.field["geo_distance"]
+                        all_vals = _geo_distance_vals(seg, ids, gfld, lat0, lon0)
+                    else:
+                        gfld, zoom = self.field["geotile"]
+                        all_vals = _geotile_vals(seg, ids, gfld, int(zoom))
                 else:
                     all_vals = (
                         seg.nums_for(self.field, ids)
@@ -3949,7 +4026,14 @@ class SortTopkStage(_SegmentCacheStage):
                 ids = _segment_match_ids_for_plan(seg, q)
                 if ids.size == 0:
                     continue
-                vals = seg.nums_for(self.field, ids)
+                if isinstance(self.field, dict):
+                    # ES _geo_distance sort: virtual per-doc round6 arc
+                    # distance to the origin (same derived field as the
+                    # geo_distance aggregation)
+                    gfld, lat0, lon0 = self.field["geo_distance"]
+                    vals = _geo_distance_vals(seg, ids, gfld, lat0, lon0)
+                else:
+                    vals = seg.nums_for(self.field, ids)
                 ok = ~np.isnan(vals)
                 ids, vals = ids[ok], vals[ok]
                 if self.after is not None and ids.size:
@@ -5204,6 +5288,10 @@ def run_queries(
                 mn_base = [f"{fld}\x1f{t}" for t in mn_base]
             mn_terms = tuple(mn_base) or None
         fr = _row_filter_ranges(row)
+        bbox = _row_filter_geo_bbox(row)
+        if bbox is not None:  # geo_bounding_box == two range filters
+            fr = (tuple(fr) if fr else ()) + bbox
+        fg = _row_filter_geo(row)
         fkw = _row_filter_kw(row)
         ms_raw = getattr(row, "min_score", None)
         ms = (
@@ -5317,7 +5405,7 @@ def run_queries(
             _script_fields(scr)  # syntax/whitelist gate at plan time
         key = (
             tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld,
-            fr, fkw, ms, resc, sa, fvf, rf, dfe, scr, only_sids,
+            fr, fkw, fg, ms, resc, sa, fvf, rf, dfe, scr, only_sids,
         )
         entry = plan_by_key.get(key)
         if entry is None:
@@ -5327,6 +5415,7 @@ def run_queries(
                 "terms": terms,
                 "filter_ranges": list(fr) if fr else None,
                 "filter_kw": list(fkw) if fkw else None,
+                "filter_geo": fg,
                 "min_score": ms,
                 "rescore": (
                     {
@@ -5514,6 +5603,40 @@ def _row_filter_ranges(row) -> tuple | None:
         return float(v)
 
     return ((str(fld), _num("range_gte"), _num("range_lte")),)
+
+
+def _row_filter_geo(row) -> tuple | None:
+    """Optional ES geo_distance filter from queries-DataFrame columns
+    ``geo_field`` / ``geo_lat`` / ``geo_lon`` / ``geo_distance_m`` ->
+    (field, lat0, lon0, dist_m) or None — the ES bool filter clause
+    {"geo_distance": {"distance": "...", field: {"lat":…, "lon":…}}}."""
+    fld = getattr(row, "geo_field", None)
+    if fld is None or (isinstance(fld, float) and pd.isna(fld)):
+        return None
+    return (
+        str(fld),
+        float(row.geo_lat),
+        float(row.geo_lon),
+        float(row.geo_distance_m),
+    )
+
+
+def _row_filter_geo_bbox(row) -> tuple | None:
+    """Optional ES geo_bounding_box filter from queries-DataFrame columns
+    ``geo_bbox_field`` + ``geo_bbox_top/left/bottom/right`` — the ES
+    rewrite is exactly two numeric range filters over the mapped lat/lon
+    columns (no antimeridian crossing: left <= right required), so the
+    result plugs into ``filter_ranges``."""
+    fld = getattr(row, "geo_bbox_field", None)
+    if fld is None or (isinstance(fld, float) and pd.isna(fld)):
+        return None
+    left, right = float(row.geo_bbox_left), float(row.geo_bbox_right)
+    if left > right:
+        raise ValueError("geo_bounding_box: antimeridian crossing unsupported")
+    return (
+        (f"{fld}_lat", float(row.geo_bbox_bottom), float(row.geo_bbox_top)),
+        (f"{fld}_lon", left, right),
+    )
 
 
 def _row_filter_kw(row) -> tuple | None:
@@ -6289,6 +6412,189 @@ def run_agg_range(
         pd.concat(rows, ignore_index=True)
         .sort_values(["query_id", "range_from"], kind="mergesort")
         .reset_index(drop=True)
+    )
+
+
+def run_agg_geo_distance(
+    queries_ds, index_dir: str, field: str, origin_lat: float, origin_lon: float,
+    edges_m, cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES geo_distance aggregation: ring bucket counts by
+    round6 haversine meters from the origin to each matched doc's
+    ``{field}_lat``/``{field}_lon`` point (ES arc distance, mean earth
+    radius 6371008.7714 m).  Same explicit-edges semantics as the range
+    aggregation: bucket key = the ring's lower edge, values below the
+    first edge fall in no ring, the last ring is open-ended, empty rings
+    and docs missing the point are omitted.  One NumericAggStage sweep —
+    shuffle volume is plans x segments x rings, never doc rows."""
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir,
+        {"geo_distance": (str(field), float(origin_lat), float(origin_lon))},
+        tuple(float(e) for e in edges_m), cfg, concurrency,
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qid),
+                            "ring_from": gg["bucket"].to_numpy(np.float64),
+                            "n_docs": gg["n"].to_numpy(np.int64),
+                        }
+                    )
+                )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "ring_from": pd.Series([], dtype=np.float64),
+                "n_docs": pd.Series([], dtype=np.int64),
+            }
+        )
+    return (
+        pd.concat(rows, ignore_index=True)
+        .sort_values(["query_id", "ring_from"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def run_agg_geotile_grid(
+    queries_ds, index_dir: str, field: str, zoom: int, size: int = 10,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES geotile_grid aggregation: top-``size`` web-mercator
+    map-tile cells ("z/x/y") by doc count per query's match set.  Per
+    segment: exact per-cell counts of the packed tile key (cell count at
+    one zoom bounds the partial size like the percentiles value-count
+    mode); driver reduce sums cells and cuts deterministically by
+    (count desc, x asc, y asc).  Docs missing the point are omitted."""
+    zoom = int(zoom)
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, {"geotile": (str(field), zoom)}, 0.0, cfg,
+        concurrency,
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            gg = gg.sort_values(
+                ["n", "bucket"], ascending=[False, True], kind="mergesort"
+            ).head(int(size))
+            x, y = geotile_unpack(gg["bucket"].to_numpy(np.float64), zoom)
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qid),
+                            "tile": [f"{zoom}/{xi}/{yi}" for xi, yi in zip(x, y)],
+                            "n_docs": gg["n"].to_numpy(np.int64),
+                        }
+                    )
+                )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "tile": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype=np.int64),
+            }
+        )
+    return (
+        pd.concat(rows, ignore_index=True)
+        .sort_values(["query_id", "n_docs", "tile"], ascending=[True, False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def run_agg_geo_centroid(
+    queries_ds, index_dir: str, field: str,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES geo_centroid aggregation: arithmetic mean of the
+    matched docs' (lat, lon) points per query (the ES planar centroid),
+    round6 per the float contract.  Rides the matrix-stats partial mode
+    (pairwise exclusion of docs missing either coordinate), so one sweep
+    yields exact sums; queries with no located docs are omitted."""
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, (f"{field}_lat", f"{field}_lon"), None, cfg,
+        concurrency,
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = partials.groupby("plan_id", sort=True).agg(
+            n=("n", "sum"), slat=("sum", "sum"), slon=("sy", "sum")
+        )
+        for pid_, r in g.iterrows():
+            if r["n"] == 0:
+                continue
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    {
+                        "query_id": np.int64(qid),
+                        "centroid_lat": float(round6(np.array([r["slat"] / r["n"]]))[0]),
+                        "centroid_lon": float(round6(np.array([r["slon"] / r["n"]]))[0]),
+                        "n_docs": np.int64(r["n"]),
+                    }
+                )
+    out = pd.DataFrame(
+        rows, columns=["query_id", "centroid_lat", "centroid_lon", "n_docs"]
+    )
+    return out.sort_values("query_id", kind="mergesort").reset_index(drop=True).astype(
+        {"query_id": np.int64, "n_docs": np.int64}
+    )
+
+
+def run_agg_geo_bounds(
+    queries_ds, index_dir: str, field: str,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES geo_bounds aggregation: the tightest lat/lon box
+    around each query's matched points — top = max lat, bottom = min lat,
+    left = min lon, right = max lon (no antimeridian wrapping, the ES
+    default).  Two stats-partial sweeps (lat then lon) reusing the
+    existing NumericAggStage min/max machinery; exact, no float repair
+    needed.  Queries with no located docs are omitted."""
+    out = None
+    for ax, (lo_col, hi_col) in (
+        ("lat", ("bottom", "top")), ("lon", ("left", "right")),
+    ):
+        partials, plan = _run_numeric_agg(
+            queries_ds, index_dir, f"{field}_{ax}", None, cfg, concurrency
+        )
+        fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+        rows = []
+        if len(partials):
+            g = partials.groupby("plan_id", sort=True).agg(
+                mn=("mn", "min"), mx=("mx", "max")
+            )
+            for pid_, r in g.iterrows():
+                for qid in fanout.get(int(pid_), []):
+                    rows.append(
+                        {
+                            "query_id": np.int64(qid),
+                            lo_col: float(r["mn"]),
+                            hi_col: float(r["mx"]),
+                        }
+                    )
+        part = pd.DataFrame(rows, columns=["query_id", lo_col, hi_col])
+        out = part if out is None else out.merge(part, on="query_id", how="inner")
+    out = out[["query_id", "top", "left", "bottom", "right"]]
+    return out.sort_values("query_id", kind="mergesort").reset_index(drop=True).astype(
+        {"query_id": np.int64}
     )
 
 
