@@ -853,6 +853,41 @@ SELECT query_id, '3/' || x || '/' || y AS tile, n_docs
 FROM cell_counts WHERE rn <= 10 ORDER BY 1, 3 DESC, 2
 """
 
+# ES geohash_grid aggregation at precision 2 (10 bits: 5 lon + 5 lat,
+# first/most-significant bit lon): cell coords from the round6-ed
+# continuous position (functions/geo.py geohash_cells), bits interleaved
+# by explicit arithmetic, rendered base32; cut = top-10 by (count desc,
+# cell asc) — the base32 alphabet is ascending so int order == string
+# order
+_GEOHASH_SQL = _MATCHES_CTE + ", " + _GEO_CTES + """,
+gh0 AS (
+  SELECT m.query_id,
+         CAST(least(greatest(floor(round((lon + 180.0) / 360.0 * 32.0, 6)), 0), 31) AS BIGINT) AS xi,
+         CAST(least(greatest(floor(round((lat +  90.0) / 180.0 * 32.0, 6)), 0), 31) AS BIGINT) AS yi
+  FROM matches m JOIN geo USING (doc_id)
+),
+gh AS (
+  SELECT query_id,
+         ((xi >> 4) & 1) * 512 + ((yi >> 4) & 1) * 256
+         + ((xi >> 3) & 1) * 128 + ((yi >> 3) & 1) * 64
+         + ((xi >> 2) & 1) * 32 + ((yi >> 2) & 1) * 16
+         + ((xi >> 1) & 1) * 8 + ((yi >> 1) & 1) * 4
+         + (xi & 1) * 2 + (yi & 1) AS idx
+  FROM gh0
+),
+gh_counts AS (
+  SELECT query_id, idx, count(*)::BIGINT AS n_docs,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY count(*) DESC, idx ASC) AS rn
+  FROM gh GROUP BY 1, 2
+)
+SELECT query_id,
+       substr('0123456789bcdefghjkmnpqrstuvwxyz', (idx >> 5) + 1, 1)
+       || substr('0123456789bcdefghjkmnpqrstuvwxyz', (idx & 31) + 1, 1) AS cell,
+       n_docs
+FROM gh_counts WHERE rn <= 10 ORDER BY 1, 3 DESC, 2
+"""
+
 # ES _geo_distance sort: match set ranked by round6 arc distance to
 # (10, 20) ascending (ties doc_id asc), top-10 per query
 _GEO_SORT_SQL = _MATCHES_CTE + ", " + _GEO_CTES + """,
@@ -6626,6 +6661,28 @@ def _q_geo_distance_sort(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_geohash_grid_agg(sf_dir: str):
+    """ES geohash_grid aggregation at precision 2: top-10 base32 geohash
+    cells by doc count per derived query's match set, cut by (count
+    desc, cell asc)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_geohash_grid
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_ghsidx_")
+    try:
+        cfg = _build_geo_docs_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_agg_geohash_grid(
+            queries, idx, "loc", precision=2, size=10, cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_geo_centroid_agg(sf_dir: str):
     """ES geo_centroid aggregation: mean (lat, lon) of each derived
     query's matched points, round6 — matrix-stats exact-sum partials."""
@@ -6690,6 +6747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bbox_filter_topk": _q_geo_bbox_filter_topk,
         "geo_distance_agg": _q_geo_distance_agg,
         "geotile_grid_agg": _q_geotile_grid_agg,
+        "geohash_grid_agg": _q_geohash_grid_agg,
         "geo_centroid_agg": _q_geo_centroid_agg,
         "geo_distance_sort": _q_geo_distance_sort,
         "geo_bounds_agg": _q_geo_bounds_agg,
@@ -6935,6 +6993,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_bbox_filter_topk": _GEO_BBOX_FILTER_SQL,
         "geo_distance_agg": _GEO_RING_SQL,
         "geotile_grid_agg": _GEO_TILE_SQL,
+        "geohash_grid_agg": _GEOHASH_SQL,
         "geo_centroid_agg": _GEO_CENTROID_SQL,
         "geo_distance_sort": _GEO_SORT_SQL,
         "geo_bounds_agg": _GEO_BOUNDS_SQL,

@@ -74,3 +74,46 @@ def geotile_pack(x: np.ndarray, y: np.ndarray, zoom: int) -> np.ndarray:
 def geotile_unpack(key: np.ndarray, zoom: int) -> tuple[np.ndarray, np.ndarray]:
     k = np.asarray(key, dtype=np.float64).astype(np.int64)
     return k // np.int64(1 << zoom), k % np.int64(1 << zoom)
+
+
+# Standard geohash base32 (no a/i/l/o); ascending ASCII, so equal-length
+# geohash string order == packed cell integer order (deterministic cuts
+# can rank by the int key and render late).
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_cells(lat: np.ndarray, lon: np.ndarray, precision: int) -> np.ndarray:
+    """Packed geohash cell index at ``precision`` base32 chars: the
+    standard interleaved bit string (first/most-significant bit is
+    longitude) as an int64 (exact in float64 for precision <= 10).
+    Cell coordinates come from the round6-ed continuous position like
+    geotile_xy, so engines sharing the formula agree at cell edges."""
+    bits = 5 * int(precision)
+    nlon, nlat = (bits + 1) // 2, bits // 2
+    lo = np.asarray(lon, dtype=np.float64)
+    la = np.asarray(lat, dtype=np.float64)
+    xi = np.clip(
+        np.floor(_round6((lo + 180.0) / 360.0 * float(1 << nlon))),
+        0, (1 << nlon) - 1,
+    ).astype(np.int64)
+    yi = np.clip(
+        np.floor(_round6((la + 90.0) / 180.0 * float(1 << nlat))),
+        0, (1 << nlat) - 1,
+    ).astype(np.int64)
+    out = np.zeros(xi.shape, dtype=np.int64)
+    for j in range(bits):  # <= 50 vectorized passes, never per-row
+        if j % 2 == 0:
+            b = (xi >> np.int64(nlon - 1 - j // 2)) & 1
+        else:
+            b = (yi >> np.int64(nlat - 1 - j // 2)) & 1
+        out = (out << 1) | b
+    return out
+
+
+def geohash_render(cells: np.ndarray, precision: int) -> list[str]:
+    """Packed cell index -> base32 geohash string (5 bits per char)."""
+    out = []
+    for c in np.asarray(cells, dtype=np.int64):
+        s = [GEOHASH32[(int(c) >> (5 * i)) & 31] for i in range(precision)]
+        out.append("".join(reversed(s)))
+    return out

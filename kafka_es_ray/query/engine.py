@@ -31,6 +31,8 @@ import pyarrow as pa
 
 from kafka_es_ray.config import DEFAULT, EngineConfig
 from kafka_es_ray.functions.geo import (
+    geohash_cells,
+    geohash_render,
     geotile_pack,
     geotile_unpack,
     geotile_xy,
@@ -1524,6 +1526,21 @@ def _geotile_vals(s: Segment, ids: np.ndarray, fld: str, zoom: int) -> np.ndarra
     if ok.any():
         x, y = geotile_xy(lats[ok], lons[ok], zoom)
         out[ok] = geotile_pack(x, y, zoom)
+    return out
+
+
+def _geohash_vals(
+    s: Segment, ids: np.ndarray, fld: str, precision: int
+) -> np.ndarray:
+    """Per-doc packed geohash cell index (float64-exact for precision
+    <= 10); NaN where the point is missing — the virtual field behind
+    the ES geohash_grid aggregation."""
+    lats = s.nums_for(f"{fld}_lat", ids)
+    lons = s.nums_for(f"{fld}_lon", ids)
+    out = np.full(ids.size, np.nan, dtype=np.float64)
+    ok = ~(np.isnan(lats) | np.isnan(lons))
+    if ok.any():
+        out[ok] = geohash_cells(lats[ok], lons[ok], precision).astype(np.float64)
     return out
 
 
@@ -3621,6 +3638,9 @@ class NumericAggStage(_SegmentCacheStage):
                     elif "geo_distance" in self.field:
                         gfld, lat0, lon0 = self.field["geo_distance"]
                         all_vals = _geo_distance_vals(seg, ids, gfld, lat0, lon0)
+                    elif "geohash" in self.field:
+                        gfld, prec = self.field["geohash"]
+                        all_vals = _geohash_vals(seg, ids, gfld, int(prec))
                     else:
                         gfld, zoom = self.field["geotile"]
                         all_vals = _geotile_vals(seg, ids, gfld, int(zoom))
@@ -6515,6 +6535,65 @@ def run_agg_geotile_grid(
     return (
         pd.concat(rows, ignore_index=True)
         .sort_values(["query_id", "n_docs", "tile"], ascending=[True, False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def run_agg_geohash_grid(
+    queries_ds, index_dir: str, field: str, precision: int, size: int = 10,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES geohash_grid aggregation: top-``size`` geohash
+    cells (base32, ``precision`` chars) by doc count per query's match
+    set.  Per segment: exact per-cell counts of the packed interleaved
+    cell index; driver reduce sums cells and cuts deterministically by
+    (count desc, cell asc) — the base32 alphabet is ascending, so the
+    integer order IS the geohash string order.  Docs missing the point
+    are omitted."""
+    precision = int(precision)
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, {"geohash": (str(field), precision)}, 0.0,
+        cfg, concurrency,
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            gg = gg.sort_values(
+                ["n", "bucket"], ascending=[False, True], kind="mergesort"
+            ).head(int(size))
+            cells = geohash_render(
+                gg["bucket"].to_numpy(np.float64).astype(np.int64), precision
+            )
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qid),
+                            "cell": cells,
+                            "n_docs": gg["n"].to_numpy(np.int64),
+                        }
+                    )
+                )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "cell": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype=np.int64),
+            }
+        )
+    return (
+        pd.concat(rows, ignore_index=True)
+        .sort_values(
+            ["query_id", "n_docs", "cell"], ascending=[True, False, True],
+            kind="mergesort",
+        )
         .reset_index(drop=True)
     )
 

@@ -116,6 +116,18 @@ def test_geotile_known_cells():
     assert x[0] == 7 and 0 <= y[0] <= 7
 
 
+def test_geohash_known_cells():
+    from kafka_es_ray.functions.geo import geohash_cells, geohash_render
+
+    # canonical vector: (57.64911, 10.40744) -> "u4pruydqqvj"
+    for p, want in ((1, "u"), (2, "u4"), (4, "u4pr")):
+        c = geohash_cells(np.array([57.64911]), np.array([10.40744]), p)
+        assert geohash_render(c, p) == [want]
+    # equator/greenwich lands in "s" (the cell NE of the origin)
+    c = geohash_cells(np.array([0.0]), np.array([0.0]), 1)
+    assert geohash_render(c, 1) == ["s"]
+
+
 def test_geotile_pack_roundtrip():
     rng = np.random.default_rng(3)
     lat = rng.uniform(-85, 85, size=200)
@@ -228,6 +240,28 @@ def test_geotile_grid_agg_counts(built):
     for xi, yi in zip(x, y):
         exp[f"{zoom}/{xi}/{yi}"] = exp.get(f"{zoom}/{xi}/{yi}", 0) + 1
     got = dict(zip(out["tile"], out["n_docs"]))
+    assert got == exp
+
+
+def test_geohash_grid_agg_counts(built):
+    from kafka_es_ray.functions.geo import geohash_cells, geohash_render
+    from kafka_es_ray.query.engine import run_agg_geohash_grid
+
+    idx, df = built
+    out = run_agg_geohash_grid(
+        _queries(["beta"]), idx, "loc", precision=1, size=50, cfg=CFG
+    )
+    want = _brute_match(df, ["beta"]).dropna(subset=["loc_lat", "loc_lon"])
+    cells = geohash_render(
+        geohash_cells(
+            want["loc_lat"].to_numpy(), want["loc_lon"].to_numpy(), 1
+        ),
+        1,
+    )
+    exp: dict[str, int] = {}
+    for c in cells:
+        exp[c] = exp.get(c, 0) + 1
+    got = dict(zip(out["cell"], out["n_docs"]))
     assert got == exp
 
 
