@@ -2261,6 +2261,46 @@ def _q_span_near_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_span_multi_topk(sf_dir: str):
+    """ES span_near whose second clause is a span_multi prefix wrapper
+    (SpanMultiTermQueryWrapper over a prefix query): slot 1 = the
+    df-top-ranked term, slot 2 = ANY dictionary term starting with the
+    rank-2 term's first 3 chars; ordered chain with gap <= 3.  The
+    prefix expands against the GLOBAL dictionary (deterministic across
+    shard layouts); idf_sum sums every present slot member (the span_or
+    convention applied per slot)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_spmidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, index_positions=True)
+        build_documents_index(sf_dir, idx, cfg)
+        w1, w2 = derive_ranked_terms(IndexSearcher(idx, cfg), 2)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.array([0], dtype=np.int64),
+                "text": [f"{w1} {w2[:3]}*"],
+                "type": ["span_multi"],
+                "slop": np.array([3], dtype=np.int64),
+            }
+        )
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out.sort_values("rank")[["rank", "doc_id", "score"]]
+            .reset_index(drop=True)
+            .astype({"rank": np.int64, "doc_id": np.int64})
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _span_contain_query(sf_dir: str, mode: str):
     """Shared driver for span_containing / span_within: big = span_near
     of the two df-top-ranked terms (slop=3, minimal spans per start),
@@ -6850,6 +6890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyze_api": _q_analyze_api,
         "phrase_topk": _q_phrase_topk,
         "span_near_topk": _q_span_near_topk,
+        "span_multi_topk": _q_span_multi_topk,
         "intervals_topk": _q_intervals_topk,
         "span_or_topk": _q_span_or_topk,
         "span_not_topk": _q_span_not_topk,
@@ -7348,6 +7389,49 @@ def oracle_sql() -> dict[str, str]:
                      len([i for i in generate_series(1, len(t))
                           if t[i] = w.w1 AND len([j for j in generate_series(i+1, least(i+4, len(t)))
                                                   if t[j] = w.w2]) > 0])::DOUBLE AS tf
+              FROM toks, w
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     round(idf.v * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS score
+              FROM ptf p
+              JOIN dl ON dl.doc_id = p.doc_id
+              CROSS JOIN idf CROSS JOIN stats s
+              WHERE p.tf > 0
+            )
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+                   doc_id, score
+            FROM scored
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "span_multi_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM toks),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            exdocs AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+            dfs AS (SELECT term, count(*)::DOUBLE AS df FROM exdocs GROUP BY 1),
+            ranked AS (
+              SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM dfs
+            ),
+            w AS (SELECT (SELECT term FROM ranked WHERE r = 1) AS w1,
+                         (SELECT substr(term, 1, 3) FROM ranked WHERE r = 2) AS px),
+            idf1 AS (
+              SELECT ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS v
+              FROM w JOIN dfs d ON d.term = w.w1 CROSS JOIN stats s
+            ),
+            idf2 AS (
+              SELECT sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS v
+              FROM w JOIN dfs d ON starts_with(d.term, w.px) CROSS JOIN stats s
+            ),
+            idf AS (SELECT idf1.v + idf2.v AS v FROM idf1, idf2),
+            ptf AS (
+              SELECT toks.doc_id,
+                     len([i for i in generate_series(1, len(t))
+                          if t[i] = w.w1 AND len([j for j in generate_series(i+1, least(i+4, len(t)))
+                                                  if starts_with(t[j], w.px)]) > 0])::DOUBLE AS tf
               FROM toks, w
             ),
             scored AS (

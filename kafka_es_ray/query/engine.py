@@ -2332,6 +2332,117 @@ def score_segment_span_not(
     return ids, scores
 
 
+def score_segment_span_multi(
+    s: Segment,
+    slots: list[list[str]],
+    idf_sum: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+    slop: int,
+    dl_field: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ES span_near whose clauses may be span_multi wrappers (prefix /
+    multi-term rewrites) for ONE segment: each slot is a SET of terms
+    (a span_term slot has one member; a span_multi slot carries its
+    dictionary expansion) and a slot's occurrences are the union of its
+    members' positions.  A doc matches when an ordered chain p_0 < p_1
+    < ... < p_{m-1} (one position per slot, strictly increasing) has
+    total gap (p_last - p_first + 1 - m) <= ``slop``; greedy
+    nearest-next over the merged per-slot streams minimizes the chain
+    end per anchor, so the test stays exact (the span_near argument —
+    a union stream is just a position stream).  tf = number of
+    first-slot positions starting a chain; scoring per the frozen
+    phrase convention round6(idf_sum * bm25_tf_part(tf, dl)) with
+    idf_sum accumulated by the caller over every present slot member
+    (the span_or convention applied per slot).  Candidates = docs
+    holding >= 1 member of EVERY slot, tombstones excluded.  Reference
+    parity: kafka-es delegates span_multi to ES/Lucene
+    (SpanMultiTermQueryWrapper); the global expansion is the engine's
+    deterministic counterpart to Lucene's per-segment rewrite."""
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+    present: list[list[tuple[str, int]]] = []
+    for slot in slots:
+        mem = [(t, s.lookup(t)) for t in slot]
+        mem = [(t, ti) for t, ti in mem if ti >= 0]
+        if not mem:
+            return empty
+        present.append(mem)
+    post = {
+        t: s.postings_with_dl(ti, dl_field)
+        for mem in present
+        for t, ti in mem
+    }
+    cand: np.ndarray | None = None
+    for mem in present:
+        sd = (
+            post[mem[0][0]][0]
+            if len(mem) == 1
+            else np.unique(np.concatenate([post[t][0] for t, _ in mem]))
+        )
+        cand = sd if cand is None else np.intersect1d(cand, sd, assume_unique=True)
+        if cand.size == 0:
+            return empty
+    if s.tombstones is not None and s.tombstones.size:
+        pos_t = np.minimum(np.searchsorted(s.tombstones, cand), s.tombstones.size - 1)
+        cand = cand[s.tombstones[pos_t] != cand]
+    if cand.size == 0:
+        return empty
+    L = np.int64(1) << 32
+    merged: list[np.ndarray] = []
+    for mem in present:
+        keys_parts = []
+        for t, ti in mem:
+            ids_t, tfs_t, _ = post[t]
+            j = np.searchsorted(ids_t, cand)
+            jc = np.minimum(j, ids_t.size - 1)
+            hit = (ids_t[jc] == cand) if ids_t.size else np.zeros(cand.size, bool)
+            if not hit.any():
+                continue
+            flat, run_starts = s.positions_for(ti)
+            lens = tfs_t[jc[hit]].astype(np.int64)
+            total = int(lens.sum())
+            run_off = np.zeros(int(hit.sum()), dtype=np.int64)
+            np.cumsum(lens[:-1], out=run_off[1:])
+            gi = (
+                np.repeat(run_starts[jc[hit]], lens)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(run_off, lens)
+            )
+            doc_rep = np.repeat(np.flatnonzero(hit).astype(np.int64), lens)
+            keys_parts.append(doc_rep * L + flat[gi].astype(np.int64))
+        if not keys_parts:
+            return empty
+        keys = np.concatenate(keys_parts)
+        keys.sort()  # a position holds one token -> keys unique per doc
+        merged.append(keys)
+    k0 = merged[0]
+    docs = k0 // L
+    first = k0 % L
+    cur = first
+    for ek in merged[1:]:
+        if docs.size == 0:
+            break
+        idx = np.searchsorted(ek, docs * L + cur, side="right")
+        ok = idx < ek.size
+        idxc = np.minimum(idx, ek.size - 1)
+        ok &= (ek[idxc] // L) == docs
+        docs, first = docs[ok], first[ok]
+        cur = (ek[idxc] % L)[ok]
+    if docs.size:
+        ok = (cur - first + 1 - len(slots)) <= slop
+        docs = docs[ok]
+    if docs.size == 0:
+        return empty
+    tf_per_doc = np.bincount(docs, minlength=cand.size)
+    hit = tf_per_doc > 0
+    ids = cand[hit]
+    tfs = tf_per_doc[hit].astype(np.float64)
+    dls = s.dl_for(ids, dl_field).astype(np.float64)
+    scores = np.asarray(round6(idf_sum * bm25_tf_part(tfs, dls, avgdl, k1, b)))
+    return ids, scores
+
+
 def score_segment_weighted_terms(
     s: Segment,
     terms: list[str],
@@ -3181,6 +3292,12 @@ class ShardScorerStage(_SegmentCacheStage):
                         seg, q["span_contain"], q["little"], q["idf_sum"],
                         q.get("avgdl") or self.avgdl, self.k1, self.b,
                         q.get("slop", 0), q["mode"], dl_field=q.get("dl_field"),
+                    )
+                elif "span_multi" in q:
+                    ids, scores = score_segment_span_multi(
+                        seg, q["span_multi"], q["idf_sum"],
+                        q.get("avgdl") or self.avgdl, self.k1, self.b,
+                        q.get("slop", 0), dl_field=q.get("dl_field"),
                     )
                 elif "span" in q:
                     ids, scores = score_segment_span_near(
@@ -4228,6 +4345,36 @@ def _shard_fuzzy_enum(index_dir: str, pid: int, term: str) -> list[str]:
     return [v for v in (arr[i].as_py() for i in tids) if "\x1f" not in v]
 
 
+def _shard_prefix_enum(index_dir: str, pid: int, prefix: str) -> list[str]:
+    """One segment's dictionary terms starting with ``prefix`` —
+    dictionary-only (postings never read), the sorted-range scan used by
+    prefix queries.  Field-prefixed dictionary entries of multi-field
+    indexes are excluded (default-field semantics)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(postings_path(index_dir, pid), columns=["term"])
+    hit = t.filter(pc.starts_with(t.column("term"), prefix))
+    return [v for v in hit.column("term").to_pylist() if "\x1f" not in v]
+
+
+def _global_prefix_expand(dirs: list, manifests: list, prefix: str) -> list[str]:
+    """GLOBAL prefix expansion over every segment dictionary —
+    deterministic across shard layouts (the span_multi rewrite needs
+    one term set for all segments, where Lucene's
+    SpanMultiTermQueryWrapper rewrites per segment).  Dictionary-only;
+    parallel via raw tasks when the index has many shards."""
+    import ray
+
+    jobs = [(d, int(p)) for d, m in zip(dirs, manifests) for p in m["parts"]]
+    if len(jobs) <= 4:
+        lists = [_shard_prefix_enum(d, p, prefix) for d, p in jobs]
+    else:
+        enum = ray.remote(num_cpus=1)(_shard_prefix_enum)
+        lists = ray.get([enum.remote(d, p, prefix) for d, p in jobs])
+    return sorted({t for lst in lists for t in lst})
+
+
 def _global_fuzzy_expand(dirs: list, manifests: list, term: str) -> list[str]:
     """GLOBAL fuzziness=1 expansion of one analyzed term over every
     segment dictionary — deterministic across shard layouts (Lucene
@@ -4533,6 +4680,40 @@ def run_queries(
                 expanded.update(fz_cache[t])
             queries.at[i, "text"] = " ".join(sorted(expanded))
 
+    # span_multi rows (span_near whose clauses may be prefix wrappers,
+    # marked by a trailing "*"): expand every prefix clause against the
+    # GLOBAL dictionary BEFORE the stats pass (the fuzziness pattern) so
+    # phase 1 collects dfs for the expanded terms; slot structure is kept
+    # aside by query_id and the row text rewritten to the flat term set.
+    sm_slots: dict[int, list[list[str]]] = {}
+    if "type" in queries.columns and (queries["type"] == "span_multi").any():
+        queries = queries.copy()
+        px_cache: dict[str, list[str]] = {}
+        for i in queries.index[queries["type"] == "span_multi"]:
+            an_m = get_analyzer(
+                queries.at[i, "lang"] if "lang" in queries.columns else None
+            )
+            slots: list[list[str]] = []
+            for raw in str(queries.at[i, "text"]).split():
+                stem_toks = an_m.tokenize(raw[:-1] if raw.endswith("*") else raw)
+                if len(stem_toks) != 1:
+                    raise ValueError(
+                        "span_multi: each clause must analyze to one term"
+                    )
+                stem = stem_toks[0]
+                if raw.endswith("*"):
+                    if stem not in px_cache:
+                        px_cache[stem] = _global_prefix_expand(
+                            dirs, manifests, stem
+                        )
+                    slots.append(px_cache[stem])
+                else:
+                    slots.append([stem])
+            sm_slots[int(queries.at[i, "query_id"])] = slots
+            queries.at[i, "text"] = " ".join(
+                sorted({t for sl in slots for t in sl})
+            )
+
     # phase 1: global stats for all query terms (dictionaries only) —
     # field-scoped rows (match field=… / multi_match fields=…) look up the
     # PREFIXED terms, which is what a multi-field dictionary stores
@@ -4793,6 +4974,38 @@ def run_queries(
                     "little": little,
                     "mode": mode,
                     "hl_terms": uniq_sc,
+                    "idf_sum": idf_sum,
+                    "k": k,
+                    "slop": slop,
+                    "dl_field": None,
+                    "avgdl": None,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
+        if (getattr(row, "type", None) or "match") == "span_multi":
+            # ES span_near over span_term / span_multi(prefix) clauses:
+            # slots were globally expanded in the pre-pass; idf_sum =
+            # Σ over slots Σ idf(present members) (the span_or
+            # convention applied per slot — frozen engine rule)
+            slots = sm_slots.get(int(row.query_id), [])
+            slots = [[t for t in sl if df_map.get(t, 0) > 0] for sl in slots]
+            if not slots or any(not sl for sl in slots):
+                continue  # an empty slot can never match
+            idf_sum = float(
+                sum(
+                    bm25_idf(np.array([df_map[t]], dtype=np.int64), n_docs)[0]
+                    for sl in slots
+                    for t in sl
+                )
+            )
+            slop = int(getattr(row, "slop", 0) or 0)
+            key = ("span_multi", tuple(tuple(sl) for sl in slots), k, slop)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "span_multi": slots,
+                    "hl_terms": sorted({t for sl in slots for t in sl}),
                     "idf_sum": idf_sum,
                     "k": k,
                     "slop": slop,

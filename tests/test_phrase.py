@@ -703,3 +703,139 @@ def test_span_containing_and_within(ray_session, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="little"):
         run_queries(q2, d, CFG)
+
+def test_span_multi_prefix_semantics(ray_session, tmp_path_factory):
+    """Hand-built docs pin span_near-with-prefix-wrapper (span_multi)
+    semantics: a prefix slot matches the UNION of dictionary terms
+    starting with the prefix, ordered chain with gap <= slop, idf_sum
+    sums EVERY present slot member (span_or convention per slot) — so a
+    corpus term carrying the prefix contributes idf even when it never
+    completes a chain."""
+    import ray.data as rd
+
+    from kafka_es_ray.query.engine import run_queries
+
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(7)],
+            "text": [
+                "alpha betone",             # gap 0, member betone
+                "alpha z z z bettwo",       # gap 3, member bettwo
+                "alpha z z z z betone",     # gap 4 > slop: no chain
+                "betone alpha",             # reversed: no chain
+                "alpha nonmatch",           # first slot only
+                "betthree only here",       # prefix member, no alpha:
+                                            # still contributes idf
+                "alpha betone alpha bettwo",  # tf 2 (two anchors chain)
+            ],
+            "lang": ["en"] * 7,
+        }
+    )
+    d = str(tmp_path_factory.mktemp("spanmx"))
+    build_index(rd.from_pandas(docs), d, CFG, html_col=None, ts_col=None)
+
+    def run(text, slop):
+        q = pd.DataFrame(
+            {
+                "query_id": np.array([0], dtype=np.int64),
+                "text": [text],
+                "type": ["span_multi"],
+                "slop": np.array([slop], dtype=np.int64),
+            }
+        )
+        out = run_queries(q, d, CFG).to_pandas()
+        return out if len(out) else pd.DataFrame(columns=["key", "score", "rank"])
+
+    r = run("alpha bet*", 3)
+    assert set(r["key"]) == {"u0", "u1", "u6"}
+    # u6 has tf 2 -> top rank
+    assert r.sort_values("rank")["key"].tolist()[0] == "u6"
+
+    # expected idf_sum: alpha + ALL prefix members (betone df=3 incl u2,
+    # bettwo df=2, betthree df=1) — replay the engine's frozen formula
+    an = get_analyzer("en")
+    toks = [an.tokenize(t) for t in docs["text"]]
+    n = len(docs)
+    dfs = {}
+    for tt in toks:
+        for t in set(tt):
+            dfs[t] = dfs.get(t, 0) + 1
+    members = ["alpha", "betone", "betthree", "bettwo"]
+    idf_sum = float(sum(bm25_idf(np.array([dfs[t]]), n)[0] for t in members))
+    avgdl = np.mean([len(tt) for tt in toks])
+    u0 = r[r["key"] == "u0"]["score"].iloc[0]
+    want = round6(
+        idf_sum
+        * bm25_tf_part(
+            np.array([1.0]), np.array([float(len(toks[0]))]), avgdl, 1.2, 0.75
+        )
+    )[0]
+    assert u0 == want
+
+    # slop 0: strict adjacency only
+    assert set(run("alpha bet*", 0)["key"]) == {"u0", "u6"}
+    # prefix with no dictionary member -> empty slot, no matches
+    assert len(run("alpha zzz*", 3)) == 0
+    # plain span_term slots (no *) degrade to span_near semantics
+    assert set(run("alpha betone", 3)["key"]) == {"u0", "u6"}
+    # multi-token clause is a hard error
+    with pytest.raises(ValueError, match="span_multi"):
+        run_queries(
+            pd.DataFrame(
+                {
+                    "query_id": np.array([0], dtype=np.int64),
+                    "text": ["alpha o'two*"],
+                    "type": ["span_multi"],
+                    "slop": np.array([3], dtype=np.int64),
+                }
+            ),
+            d,
+            CFG,
+        )
+
+
+def test_span_multi_partition_invariant(ray_session, tmp_path_factory):
+    """The global prefix expansion makes span_multi deterministic across
+    shard layouts: 1-partition and 6-partition builds return identical
+    (key, score) rankings."""
+    import ray.data as rd
+
+    from kafka_es_ray.query.engine import run_queries
+
+    rng = np.random.default_rng(23)
+    stems = ["prefab", "prefer", "prefix", "press", "other", "alpha"]
+    texts = [
+        " ".join(rng.choice(stems, size=rng.integers(4, 12)))
+        for _ in range(60)
+    ]
+    docs = pd.DataFrame(
+        {
+            "url": [f"https://m.x/{i:03d}" for i in range(60)],
+            "text": texts,
+            "lang": ["en"] * 60,
+        }
+    )
+    q = pd.DataFrame(
+        {
+            "query_id": np.array([0], dtype=np.int64),
+            "text": ["alpha pre*"],
+            "type": ["span_multi"],
+            "slop": np.array([2], dtype=np.int64),
+            "k": np.array([60], dtype=np.int64),
+        }
+    )
+    outs = []
+    for nparts in (1, 6):
+        cfg = EngineConfig(num_partitions=nparts, index_positions=True)
+        d = str(tmp_path_factory.mktemp(f"spanmp{nparts}"))
+        build_index(rd.from_pandas(docs), d, cfg, html_col=None, ts_col=None)
+        out = run_queries(q, d, cfg).to_pandas()
+        # within a score tie the rank order is doc_id (layout-dependent),
+        # so the layout-invariant is the (key, score) MAP, not the order
+        outs.append(
+            out[["key", "score"]]
+            .sort_values(["key"])
+            .reset_index(drop=True)
+        )
+    assert len(outs[0]) > 0
+    pd.testing.assert_frame_equal(outs[0], outs[1])
