@@ -988,6 +988,20 @@ SELECT query_id, count(*)::BIGINT AS n_buckets,
 FROM buckets GROUP BY 1 ORDER BY 1
 """
 
+# ES percentiles_bucket: nearest-rank (no interpolation) percentile of
+# the sorted per-month sum sub-agg values; index round = floor(x + 0.5)
+# half-away, the engine's round convention
+_PCTL_BUCKET_SQL = _PIPE_BUCKETS_CTE + """
+, l AS (
+  SELECT query_id, list(raw_value ORDER BY raw_value) AS vs
+  FROM buckets GROUP BY 1
+)
+SELECT query_id, p.percent,
+       round(vs[(floor(p.percent / 100.0 * (len(vs) - 1) + 0.5))::BIGINT + 1], 6) AS value
+FROM l, (SELECT unnest([25.0, 50.0, 75.0, 99.0]) AS percent) p
+ORDER BY 1, 2
+"""
+
 # ES moving_fn (unweightedAvg, window includes the current bucket):
 # trailing 3-bucket mean of the per-month sum sub-agg
 _MOVING_FN_SQL = _PIPE_BUCKETS_CTE + """
@@ -4439,6 +4453,24 @@ def _q_stats_bucket(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_percentiles_bucket(sf_dir: str):
+    """ES percentiles_bucket sibling pipeline aggregation: nearest-rank
+    percentiles (25/50/75/99, round(p/100*(n-1)) index — the ES
+    no-interpolation rule) over the per-month sum(n_chars) sub-agg
+    values, one row per (derived query, percent)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_percentiles_bucket
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars"), derived=True
+    )
+    try:
+        return run_agg_percentiles_bucket(queries, idx, "ts", "n_chars", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_moving_fn(sf_dir: str):
     """ES moving_fn pipeline aggregation (unweightedAvg): trailing
     3-bucket mean of the per-month sum(n_chars) sub-agg per derived
@@ -6801,6 +6833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "derivative_agg": _q_derivative,
         "bucket_script_agg": _q_bucket_script,
         "stats_bucket_agg": _q_stats_bucket,
+        "percentiles_bucket_agg": _q_percentiles_bucket,
         "filters_agg": _q_filters_agg,
         "adjacency_matrix_agg": _q_adjacency_matrix,
         "moving_fn_agg": _q_moving_fn,
@@ -7047,6 +7080,7 @@ def oracle_sql() -> dict[str, str]:
         "derivative_agg": _DERIV_SQL,
         "bucket_script_agg": _BUCKET_SCRIPT_SQL,
         "stats_bucket_agg": _STATS_BUCKET_SQL,
+        "percentiles_bucket_agg": _PCTL_BUCKET_SQL,
         "filters_agg": _FILTERS_AGG_SQL,
         "adjacency_matrix_agg": _ADJ_MATRIX_SQL,
         "moving_fn_agg": _MOVING_FN_SQL,

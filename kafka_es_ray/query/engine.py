@@ -7196,6 +7196,41 @@ def run_agg_stats_bucket(
     return g.astype({"query_id": np.int64, "n_buckets": np.int64})
 
 
+def run_agg_percentiles_bucket(
+    queries_ds, index_dir: str, field: str, metric_field: str,
+    percents: tuple = (25.0, 50.0, 75.0, 99.0),
+    calendar_interval: str = "month",
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES percentiles_bucket sibling pipeline aggregation: per query,
+    the nearest-rank percentile of the per-bucket sum sub-agg values —
+    index = round(p/100 * (n-1)) into the SORTED value list, no
+    interpolation (PercentilesBucketPipelineAggregator semantics; ES
+    picks an actual bucket value).  round6 after selection; rounding is
+    half-away-from-zero on the index (np.floor(x + 0.5)) to stay
+    engine/SQL-identical.  Returns (query_id, percent, value)."""
+    f = _bucket_value_frame(
+        queries_ds, index_dir, field, metric_field, calendar_interval, cfg, concurrency
+    )
+    if not len(f):
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "percent": pd.Series([], dtype=np.float64),
+                "value": pd.Series([], dtype=np.float64),
+            }
+        )
+    rows = []
+    for qid, g in f.groupby("query_id", sort=True):  # few queries: driver reduce
+        vs = np.sort(g["value"].to_numpy(np.float64))
+        for p in percents:
+            idx = int(np.floor(float(p) / 100.0 * (vs.size - 1) + 0.5))
+            rows.append((int(qid), float(p), float(vs[idx])))
+    out = pd.DataFrame(rows, columns=["query_id", "percent", "value"])
+    out["value"] = round6(out["value"].to_numpy(np.float64))
+    return out.astype({"query_id": np.int64})
+
+
 def run_agg_moving_fn(
     queries_ds, index_dir: str, field: str, metric_field: str,
     window: int = 3, calendar_interval: str = "month",

@@ -199,6 +199,24 @@ def test_stats_bucket_sibling(agg_index, ray_session):
     assert got["sum_val"].iloc[0] == want.sum()
 
 
+def test_percentiles_bucket_nearest_rank(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_percentiles_bucket
+
+    d, docs = agg_index
+    got = run_agg_percentiles_bucket(
+        Q, d, "ts", "val", percents=(0.0, 25.0, 50.0, 75.0, 99.0, 100.0), cfg=CFG
+    )
+    want = np.sort(_month_sums(docs)["sum"].to_numpy(np.float64))
+    assert len(got) == 6
+    # ES nearest-rank: index = round(p/100 * (n-1)), an ACTUAL value
+    for p, v in zip(got["percent"], got["value"]):
+        idx = int(np.floor(p / 100.0 * (want.size - 1) + 0.5))
+        assert v == want[idx], p
+    # the endpoints are min/max
+    assert got["value"].iloc[0] == want[0]
+    assert got["value"].iloc[-1] == want[-1]
+
+
 def test_pipeline_metric_missing_is_zero_sum(agg_index, ray_session):
     # val2 has a NaN slice: ES sum sub-agg ignores missing values but the
     # bucket still counts the doc (_count is the date_histogram's)
