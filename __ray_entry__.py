@@ -1002,6 +1002,37 @@ FROM l, (SELECT unnest([25.0, 50.0, 75.0, 99.0]) AS percent) p
 ORDER BY 1, 2
 """
 
+# ES moving_percentiles (window includes the current bucket, shift=1):
+# trailing 3-bucket nearest-rank p50 of the per-month sum sub-agg —
+# same index rule as percentiles_bucket, applied to the sorted window
+_MOVING_PCTL_SQL = _PIPE_BUCKETS_CTE + """
+SELECT query_id, bucket_ts, round(raw_value, 6) AS value,
+       round(w[(floor(50.0 / 100.0 * (len(w) - 1) + 0.5))::BIGINT + 1], 6)
+         AS moving_pct
+FROM (
+  SELECT query_id, bucket_ts, raw_value,
+         list_sort(list(raw_value::DOUBLE) OVER (
+           PARTITION BY query_id ORDER BY bucket_ts
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS w
+  FROM buckets
+) ORDER BY 1, 2
+"""
+
+# ES max_bucket: per query the bucket key(s) attaining the max of the
+# per-month sum sub-agg (ES returns a keys ARRAY on ties → one row per
+# attaining bucket), compared raw, rounded on output
+_MAX_BUCKET_SQL = _PIPE_BUCKETS_CTE + """
+SELECT query_id, bucket_ts, round(raw_value, 6) AS value
+FROM (SELECT *, max(raw_value) OVER (PARTITION BY query_id) AS m FROM buckets)
+WHERE raw_value = m ORDER BY 1, 2
+"""
+
+_MIN_BUCKET_SQL = _PIPE_BUCKETS_CTE + """
+SELECT query_id, bucket_ts, round(raw_value, 6) AS value
+FROM (SELECT *, min(raw_value) OVER (PARTITION BY query_id) AS m FROM buckets)
+WHERE raw_value = m ORDER BY 1, 2
+"""
+
 # ES moving_fn (unweightedAvg, window includes the current bucket):
 # trailing 3-bucket mean of the per-month sum sub-agg
 _MOVING_FN_SQL = _PIPE_BUCKETS_CTE + """
@@ -4471,6 +4502,58 @@ def _q_percentiles_bucket(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_moving_percentiles(sf_dir: str):
+    """ES moving_percentiles pipeline aggregation: trailing 3-bucket
+    nearest-rank p50 of the per-month sum(n_chars) sub-agg per derived
+    query (window includes the current bucket, shift=1)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_moving_percentiles
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars"), derived=True
+    )
+    try:
+        return run_agg_moving_percentiles(
+            queries, idx, "ts", "n_chars", window=3, percent=50.0, cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_max_bucket(sf_dir: str):
+    """ES max_bucket sibling pipeline aggregation: the bucket key(s)
+    attaining the max per-month sum(n_chars) sub-agg per derived query
+    (one row per attaining bucket — the ES keys array)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_extremum_bucket
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars"), derived=True
+    )
+    try:
+        return run_agg_extremum_bucket(queries, idx, "ts", "n_chars", "max", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_min_bucket(sf_dir: str):
+    """ES min_bucket sibling pipeline aggregation: the bucket key(s)
+    attaining the min per-month sum(n_chars) sub-agg per derived query."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_extremum_bucket
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars"), derived=True
+    )
+    try:
+        return run_agg_extremum_bucket(queries, idx, "ts", "n_chars", "min", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_moving_fn(sf_dir: str):
     """ES moving_fn pipeline aggregation (unweightedAvg): trailing
     3-bucket mean of the per-month sum(n_chars) sub-agg per derived
@@ -6834,6 +6917,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_script_agg": _q_bucket_script,
         "stats_bucket_agg": _q_stats_bucket,
         "percentiles_bucket_agg": _q_percentiles_bucket,
+        "moving_percentiles_agg": _q_moving_percentiles,
+        "max_bucket_agg": _q_max_bucket,
+        "min_bucket_agg": _q_min_bucket,
         "filters_agg": _q_filters_agg,
         "adjacency_matrix_agg": _q_adjacency_matrix,
         "moving_fn_agg": _q_moving_fn,
@@ -7081,6 +7167,9 @@ def oracle_sql() -> dict[str, str]:
         "bucket_script_agg": _BUCKET_SCRIPT_SQL,
         "stats_bucket_agg": _STATS_BUCKET_SQL,
         "percentiles_bucket_agg": _PCTL_BUCKET_SQL,
+        "moving_percentiles_agg": _MOVING_PCTL_SQL,
+        "max_bucket_agg": _MAX_BUCKET_SQL,
+        "min_bucket_agg": _MIN_BUCKET_SQL,
         "filters_agg": _FILTERS_AGG_SQL,
         "adjacency_matrix_agg": _ADJ_MATRIX_SQL,
         "moving_fn_agg": _MOVING_FN_SQL,

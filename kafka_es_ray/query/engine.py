@@ -7231,6 +7231,69 @@ def run_agg_percentiles_bucket(
     return out.astype({"query_id": np.int64})
 
 
+def run_agg_moving_percentiles(
+    queries_ds, index_dir: str, field: str, metric_field: str,
+    window: int = 3, percent: float = 50.0, calendar_interval: str = "month",
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES moving_percentiles pipeline aggregation (shift=1 so the window
+    INCLUDES the current bucket, like moving_fn): the percentile of the
+    sum sub-agg values inside the trailing ``window`` buckets per query.
+    ES feeds a TDigest; over the handful of exact bucket values in the
+    window this engine computes the nearest-rank selection used by
+    percentiles_bucket (index = round(p/100 * (n-1)) into the sorted
+    window, half-away rounding) — exact, deterministic, oracle-friendly.
+    Leading buckets use whatever part of the window exists.  Returns
+    (query_id, bucket_ts, value, moving_pct), round6 after selection."""
+    f = _bucket_value_frame(
+        queries_ds, index_dir, field, metric_field, calendar_interval, cfg, concurrency
+    )
+    w = max(1, int(window))
+    p = float(percent)
+
+    def _trailing_pct(s: pd.Series) -> pd.Series:
+        v = s.to_numpy(np.float64)
+        out = np.empty(len(v))
+        for i in range(len(v)):  # buckets per query are few by design
+            win = np.sort(v[max(0, i - w + 1) : i + 1])
+            out[i] = win[int(np.floor(p / 100.0 * (win.size - 1) + 0.5))]
+        return pd.Series(out, index=s.index)
+
+    f["moving_pct"] = f.groupby("query_id")["value"].transform(_trailing_pct)
+    f["value"] = round6(f["value"].to_numpy(np.float64))
+    f["moving_pct"] = round6(f["moving_pct"].to_numpy(np.float64))
+    return f[["query_id", "bucket_ts", "value", "moving_pct"]]
+
+
+def run_agg_extremum_bucket(
+    queries_ds, index_dir: str, field: str, metric_field: str,
+    mode: str = "max", calendar_interval: str = "month",
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES max_bucket / min_bucket sibling pipeline aggregations: the
+    extremum of the per-bucket sum sub-agg per query, with the KEYS of
+    every bucket attaining it (ES returns a keys array on ties) — one
+    row per (query_id, attaining bucket_ts).  Comparison on raw float64,
+    round6 on output.  Returns (query_id, bucket_ts, value)."""
+    if mode not in ("max", "min"):
+        raise ValueError(f"mode must be 'max' or 'min', got {mode!r}")
+    f = _bucket_value_frame(
+        queries_ds, index_dir, field, metric_field, calendar_interval, cfg, concurrency
+    )
+    if not len(f):
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "bucket_ts": pd.Series([], dtype=np.int64),
+                "value": pd.Series([], dtype=np.float64),
+            }
+        )
+    ext = f.groupby("query_id")["value"].transform(mode)
+    out = f[f["value"] == ext].reset_index(drop=True)
+    out["value"] = round6(out["value"].to_numpy(np.float64))
+    return out[["query_id", "bucket_ts", "value"]]
+
+
 def run_agg_moving_fn(
     queries_ds, index_dir: str, field: str, metric_field: str,
     window: int = 3, calendar_interval: str = "month",

@@ -217,6 +217,36 @@ def test_percentiles_bucket_nearest_rank(agg_index, ray_session):
     assert got["value"].iloc[-1] == want[-1]
 
 
+def test_moving_percentiles_trailing_window(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_moving_percentiles
+
+    d, docs = agg_index
+    got = run_agg_moving_percentiles(
+        Q, d, "ts", "val", window=3, percent=50.0, cfg=CFG
+    )
+    want = _month_sums(docs)["sum"].to_numpy(np.float64)
+    assert len(got) == len(want)
+    for i in range(len(want)):
+        win = np.sort(want[max(0, i - 2) : i + 1])
+        idx = int(np.floor(0.5 * (win.size - 1) + 0.5))
+        assert got["moving_pct"].iloc[i] == win[idx], i
+    # first bucket: window of one — the value itself
+    assert got["moving_pct"].iloc[0] == got["value"].iloc[0]
+
+
+def test_extremum_bucket_keys(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_extremum_bucket
+
+    d, docs = agg_index
+    sums = _month_sums(docs)["sum"].to_numpy(np.float64)
+    mx = run_agg_extremum_bucket(Q, d, "ts", "val", "max", cfg=CFG)
+    mn = run_agg_extremum_bucket(Q, d, "ts", "val", "min", cfg=CFG)
+    assert (mx["value"] == sums.max()).all() and len(mx) == (sums == sums.max()).sum()
+    assert (mn["value"] == sums.min()).all() and len(mn) == (sums == sums.min()).sum()
+    with pytest.raises(ValueError):
+        run_agg_extremum_bucket(Q, d, "ts", "val", "avg", cfg=CFG)
+
+
 def test_pipeline_metric_missing_is_zero_sum(agg_index, ray_session):
     # val2 has a NaN slice: ES sum sub-agg ignores missing values but the
     # bucket still counts the doc (_count is the date_histogram's)
