@@ -5242,6 +5242,40 @@ ORDER BY n DESC, value ASC
 )
 
 
+def _q_parent_terms_agg(sf_dir: str):
+    """ES `parent` aggregation (terms sub-agg): o_orderpriority counts
+    over orders having >= 1 lineitem matching (l_returnflag='R' AND
+    l_quantity>=30) — each parent counted once, shard-local partials."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.query.parent_join import run_parent_terms_agg
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_pjidx_")
+    try:
+        cfg = _parent_join_index(sf_dir, idx)
+        return run_parent_terms_agg(
+            idx,
+            {"kw": [("l_returnflag", "R")], "range": [("l_quantity", 30.0, None)]},
+            "o_orderpriority", cfg=cfg,
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_PARENT_TERMS_SQL = (
+    "WITH " + _CHILD_DOCS_SQL + """
+SELECT o_orderpriority AS value, count(*)::BIGINT AS n
+FROM orders
+WHERE o_orderkey IN (
+  SELECT DISTINCT l_orderkey FROM child_docs
+  WHERE l_returnflag = 'R' AND l_quantity >= 30)
+GROUP BY 1
+ORDER BY n DESC, value ASC
+"""
+)
+
+
 def _q_msearch_topk(sf_dir: str):
     """ES _msearch: the derived queries submitted as independent JSON
     search bodies, executed as ONE distributed run_queries batch (one
@@ -6959,6 +6993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "has_child_orders": _q_has_child,
         "has_parent_lineitems": _q_has_parent,
         "children_terms_agg": _q_children_terms_agg,
+        "parent_terms_agg": _q_parent_terms_agg,
         "match_percentiles": _q_match_percentiles,
         "variable_width_histogram_agg": _q_variable_width_histogram,
         "match_subagg": _q_match_subagg,
@@ -7215,6 +7250,7 @@ def oracle_sql() -> dict[str, str]:
         "has_child_orders": _HAS_CHILD_SQL,
         "has_parent_lineitems": _HAS_PARENT_SQL,
         "children_terms_agg": _CHILDREN_TERMS_SQL,
+        "parent_terms_agg": _PARENT_TERMS_SQL,
         "match_histogram": _HISTOGRAM_SQL,
         "match_percentiles": _PERCENTILES_SQL,
         "match_subagg": _SUBAGG_SQL,

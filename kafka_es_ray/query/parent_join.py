@@ -127,6 +127,29 @@ class ParentJoinStage(_SegmentCacheStage):
                         {"value": uniq, "n": counts.astype(np.int64)}
                     )
                 )
+            elif self.mode == "parent_terms":
+                # ES `parent` aggregation with a terms sub-agg: bucket a
+                # PARENT keyword field over parents having >= 1 child
+                # matching the filter (each parent counted once); emits
+                # (value, n) partials like children_terms
+                hit_children = _apply_filter(seg, child_ids, self.filt)
+                if not hit_children.size or not parent_ids.size:
+                    continue
+                pset = np.unique(
+                    seg.field_for(self.parent_key_field, hit_children)
+                )
+                pkeys = seg.keys_for(parent_ids)
+                pos = np.minimum(np.searchsorted(pset, pkeys), pset.size - 1)
+                mask = pset[pos] == pkeys
+                if not mask.any():
+                    continue
+                vals = seg.field_for(self.agg_field, parent_ids[mask])
+                uniq, counts = np.unique(vals, return_counts=True)
+                out.append(
+                    pd.DataFrame(
+                        {"value": uniq, "n": counts.astype(np.int64)}
+                    )
+                )
             else:  # has_parent: children whose parent matches the filter
                 hit_parents = _apply_filter(seg, parent_ids, self.filt)
                 if not hit_parents.size or not child_ids.size:
@@ -149,7 +172,7 @@ class ParentJoinStage(_SegmentCacheStage):
             if self.mode == "has_child":
                 cols = {"key": pd.Series([], dtype=object),
                         "n_children": pd.Series([], dtype=np.int64)}
-            elif self.mode == "children_terms":
+            elif self.mode in ("children_terms", "parent_terms"):
                 cols = {"value": pd.Series([], dtype=object),
                         "n": pd.Series([], dtype=np.int64)}
             else:
@@ -252,6 +275,33 @@ def run_children_terms_agg(
         "children_terms", index_dir, parent_filter, cfg, concurrency,
         agg_field=child_field, **kw,
     )
+    return _terms_merge(ds)
+
+
+def run_parent_terms_agg(
+    index_dir: str,
+    child_filter: dict,
+    parent_field: str,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+    **kw,
+):
+    """ES `parent` aggregation with a terms sub-agg: bucket-count
+    ``parent_field`` over the parents having >= 1 child matching the
+    filter (the child→parent join direction; each parent counted once,
+    the ES parent-agg doc_count rule).  Shard-local (value, n) partials
+    like run_children_terms_agg.  Returns (value, n) sorted (n desc,
+    value asc)."""
+    ds = _run(
+        "parent_terms", index_dir, child_filter, cfg, concurrency,
+        agg_field=parent_field, **kw,
+    )
+    return _terms_merge(ds)
+
+
+def _terms_merge(ds) -> pd.DataFrame:
+    """Driver reduce of shard-local (value, n) terms partials: sum per
+    value, ES terms order (n desc, value asc)."""
     df = ds.to_pandas()
     if not len(df):
         return pd.DataFrame(

@@ -108,3 +108,22 @@ def test_children_terms_agg(pj_index):
         pj_index, {"kw": [("grade", "zzz")]}, "grade", cfg=CFG
     )
     assert len(empty) == 0 and list(empty.columns) == ["value", "n"]
+
+
+def test_parent_terms_agg(pj_index):
+    from kafka_es_ray.query.parent_join import run_parent_terms_agg
+
+    # children grade=a -> parents P0, P1 (each once) -> grades g1, g2
+    out = run_parent_terms_agg(
+        pj_index, {"kw": [("grade", "a")]}, "grade", cfg=CFG
+    )
+    assert list(zip(out["value"], out["n"])) == [("g1", 1), ("g2", 1)]
+    # grade=b -> parents P0, P2, BOTH g1; P0 counted once despite C2
+    out2 = run_parent_terms_agg(
+        pj_index, {"kw": [("grade", "b")]}, "grade", cfg=CFG
+    )
+    assert list(zip(out2["value"], out2["n"])) == [("g1", 2)]
+    empty = run_parent_terms_agg(
+        pj_index, {"kw": [("grade", "zzz")]}, "grade", cfg=CFG
+    )
+    assert len(empty) == 0 and list(empty.columns) == ["value", "n"]
