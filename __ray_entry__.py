@@ -2618,6 +2618,48 @@ def _q_range_filter_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_script_filter_topk(sf_dir: str):
+    """ES `script` query in filter context: the whitelisted comparison
+    ``sqrt(n_chars) - n_chars / 100 > 12`` over numeric docvalues
+    restricts the BM25 match set (no score contribution) — distributed
+    run_queries path, post-scoring filter exact under MaxScore pruning."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_scfidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"].assign(
+            filter_script="sqrt(n_chars) - n_chars / 100 > 12"
+        )
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_SCRIPT_FILTER_SQL = _RANGE_SQL.replace(
+    "  WHERE d.n_chars BETWEEN 150 AND 400\n",
+    "  WHERE sqrt(d.n_chars) - d.n_chars / 100 > 12\n",
+)
+assert "sqrt" in _SCRIPT_FILTER_SQL  # replace anchor must exist
+
+
 _SEARCH_TEMPLATE = """
 {"query": {"bool": {
    "must": [{"match": {"text": "{{q}}"}}],
@@ -6920,6 +6962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_terms_topk": _q_weighted_terms_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "range_filter_topk": _q_range_filter_topk,
+        "script_filter_topk": _q_script_filter_topk,
         "search_template_topk": _q_search_template_topk,
         "kw_filter_topk": _q_kw_filter_topk,
         "min_score_topk": _q_min_score_topk,
@@ -7158,6 +7201,7 @@ def oracle_sql() -> dict[str, str]:
         "match_fuzzy_topk": _MATCH_FUZZY_SQL,
         "weighted_terms_topk": _WEIGHTED_TERMS_SQL,
         "range_filter_topk": _RANGE_SQL,
+        "script_filter_topk": _SCRIPT_FILTER_SQL,
         "search_template_topk": _SEARCH_TEMPLATE_SQL,
         "kw_filter_topk": _KW_FILTER_SQL,
         "min_score_topk": _MIN_SCORE_SQL,

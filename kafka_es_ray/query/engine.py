@@ -2738,6 +2738,7 @@ def score_segment(
     filter_ranges: list[tuple] | None = None,
     filter_kw: list[tuple] | None = None,
     filter_geo: tuple | None = None,
+    filter_script: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized BM25 scoring of one segment.  With a threshold, MaxScore
     splits terms into essential (union-scored) and non-essential
@@ -2836,6 +2837,14 @@ def score_segment(
         # filters (exact under pruning — only removes docs)
         keep_g = _geo_keep(s, cand, filter_geo)
         cand, acc = cand[keep_g], acc[keep_g]
+        if cand.size == 0:
+            return cand, acc
+    if filter_script is not None and cand.size:
+        # ES `script` query in filter context: whitelisted comparison
+        # expression over numeric docvalues — post-scoring like the other
+        # filters (exact under pruning: only removes docs)
+        keep_s = _script_filter_keep(s, cand, filter_script)
+        cand, acc = cand[keep_s], acc[keep_s]
         if cand.size == 0:
             return cand, acc
     if must_not_terms:
@@ -3009,6 +3018,47 @@ def _script_fields(src: str) -> tuple:
 
     walk(tree)
     return tuple(sorted(fields))
+
+
+_FILTER_CMP = {
+    "Lt": np.less, "LtE": np.less_equal,
+    "Gt": np.greater, "GtE": np.greater_equal,
+    "Eq": np.equal, "NotEq": np.not_equal,
+}
+
+
+def _script_filter_sides(src: str) -> tuple[str, str, str]:
+    """Validate an ES `script` query (filter context) source — the
+    whitelisted subset is ``arith CMP arith`` where each side is the
+    script_score arithmetic whitelist (no ``_score``: filter context has
+    no score) and CMP is one of < <= > >= == != — and return
+    (left_src, cmp_name, right_src).  Raises ValueError outside the
+    whitelist; scripts are data, never eval'd."""
+    import ast
+
+    node = ast.parse(src, mode="eval").body
+    if not isinstance(node, ast.Compare) or len(node.ops) != 1:
+        raise ValueError("script filter: expected a single comparison")
+    cmp_name = type(node.ops[0]).__name__
+    if cmp_name not in _FILTER_CMP:
+        raise ValueError(f"script filter: comparator {cmp_name}")
+    for n in ast.walk(node):
+        if isinstance(n, ast.Name) and n.id == "_score":
+            raise ValueError("script filter: _score unavailable in filter context")
+    left = ast.unparse(node.left)
+    right = ast.unparse(node.comparators[0])
+    _script_fields(left), _script_fields(right)  # arith whitelist gate
+    return left, cmp_name, right
+
+
+def _script_filter_keep(seg: Segment, ids: np.ndarray, src: str) -> np.ndarray:
+    """Boolean keep-mask for the ES script filter: evaluate both arith
+    sides vectorized (missing numeric values read as 0.0, the script
+    convention here) and compare."""
+    left, cmp_name, right = _script_filter_sides(src)
+    lv = _script_values(seg, ids, left)
+    rv = _script_values(seg, ids, right)
+    return np.asarray(_FILTER_CMP[cmp_name](lv, rv), dtype=bool)
 
 
 def _split_fetch_field(ffld: str) -> tuple[str, str | None]:
@@ -3464,6 +3514,7 @@ class ShardScorerStage(_SegmentCacheStage):
                         filter_ranges=q.get("filter_ranges"),
                         filter_kw=q.get("filter_kw"),
                         filter_geo=q.get("filter_geo"),
+                        filter_script=q.get("filter_script"),
                     )
                     if q.get("fvf") is not None and ids.size:
                         scores = _apply_fvf(seg, ids, scores, q["fvf"])
@@ -5636,9 +5687,12 @@ def run_queries(
         scr = _row_str(row, "script")
         if scr is not None:
             _script_fields(scr)  # syntax/whitelist gate at plan time
+        fscr = _row_str(row, "filter_script")
+        if fscr is not None:
+            _script_filter_sides(fscr)  # comparison-whitelist gate
         key = (
             tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld,
-            fr, fkw, fg, ms, resc, sa, fvf, rf, dfe, scr, only_sids,
+            fr, fkw, fg, ms, resc, sa, fvf, rf, dfe, scr, fscr, only_sids,
         )
         entry = plan_by_key.get(key)
         if entry is None:
@@ -5666,6 +5720,7 @@ def run_queries(
                 "rank_feature": rf,
                 "distance_feature": dfe,
                 "script_score": scr,
+                "filter_script": fscr,
                 "only_sids": only_sids,
                 "hl_terms": base_terms,
                 "idf": np.asarray(idf, dtype=np.float64),

@@ -247,6 +247,38 @@ def test_extremum_bucket_keys(agg_index, ray_session):
         run_agg_extremum_bucket(Q, d, "ts", "val", "avg", cfg=CFG)
 
 
+def test_script_filter_query(agg_index, ray_session):
+    """ES `script` query in filter context: whitelisted comparison over
+    numeric docvalues restricts the match set, scores unchanged; plan
+    gate rejects non-comparison / chained / _score scripts."""
+    from kafka_es_ray.query.engine import _script_filter_sides, run_queries
+
+    d, docs = agg_index
+    q = pd.DataFrame(
+        {
+            "query_id": np.int64([0]),
+            "text": ["shared"],
+            "k": np.int32(1000),
+            "filter_script": ["val + val2 / 2 > 100"],
+        }
+    )
+    out = run_queries(q, d, CFG, concurrency=2).to_pandas()
+    v = docs["val"].to_numpy(np.float64)
+    v2 = np.nan_to_num(docs["val2"].to_numpy(np.float64))  # missing -> 0.0
+    want = set(docs["url"][v + v2 / 2 > 100])
+    assert set(out["key"]) == want and len(want) > 0
+    full = run_queries(q.drop(columns=["filter_script"]), d, CFG, concurrency=2)
+    sc = dict(zip(full.to_pandas()["key"], full.to_pandas()["score"]))
+    assert all(sc[k] == s for k, s in zip(out["key"], out["score"]))
+    for bad in ("val > 1 > 2", "val + 1", "_score > 1", "val in 3"):
+        with pytest.raises(ValueError):
+            _script_filter_sides(bad)
+    with pytest.raises(ValueError):
+        run_queries(
+            q.assign(filter_script="_score > 1"), d, CFG, concurrency=2
+        )
+
+
 def test_pipeline_metric_missing_is_zero_sum(agg_index, ray_session):
     # val2 has a NaN slice: ES sum sub-agg ignores missing values but the
     # bucket still counts the doc (_count is the date_histogram's)
