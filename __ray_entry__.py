@@ -6204,6 +6204,34 @@ def _q_sessionize(sf_dir: str):
     )
 
 
+def _q_cumulative_cardinality(sf_dir: str):
+    """ES cumulative_cardinality pipeline aggregation (exact): running
+    distinct users per calendar month of the events log — per-batch
+    (value, min-bucket) combiner, one hash-bucketed exchange, driver
+    sees only O(months) rows."""
+    from kafka_es_ray.pipelines.relational import cumulative_cardinality
+    from kafka_es_ray.sources.parquet import read_table
+
+    return cumulative_cardinality(
+        read_table(sf_dir, "events", columns=["ts", "user_id"])
+    )
+
+
+_CUM_CARD_SQL = """
+WITH m AS (
+  SELECT epoch(date_trunc('month', ts))::BIGINT AS bucket_ts, user_id
+  FROM events
+),
+f AS (SELECT user_id, min(bucket_ts) AS fb FROM m GROUP BY 1),
+bk AS (SELECT DISTINCT bucket_ts FROM m),
+nn AS (SELECT fb AS bucket_ts, count(*)::BIGINT AS n_new FROM f GROUP BY 1)
+SELECT bk.bucket_ts, coalesce(nn.n_new, 0)::BIGINT AS n_new,
+       (sum(coalesce(nn.n_new, 0)) OVER (ORDER BY bk.bucket_ts))::BIGINT
+         AS cum_distinct
+FROM bk LEFT JOIN nn USING (bucket_ts) ORDER BY 1
+"""
+
+
 def _q_approx_value_quantiles(sf_dir: str):
     """DDSketch approximate quantiles of events.value (relative-error
     <= ~1%, mergeable, execution-order-deterministic) — rows-only;
@@ -7110,6 +7138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_pipeline": _q_ingest_pipeline,
         "window_events": _q_window_events,
         "sessionize_events": _q_sessionize,
+        "cumulative_cardinality_agg": _q_cumulative_cardinality,
         "props_json_agg": _q_props_json_agg,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "broadcast_lookup": _q_broadcast_lookup,
@@ -8182,6 +8211,7 @@ def oracle_sql() -> dict[str, str]:
               ) AS rn FROM events
             ) WHERE rn = 1
         """,
+        "cumulative_cardinality_agg": _CUM_CARD_SQL,
         "props_json_agg": """
             SELECT event_type,
                    count(*)::BIGINT AS n_events,

@@ -251,6 +251,85 @@ def exact_distinct(ds, column: str, num_buckets: int | None = None) -> int:
     return int(sum(r["n"] for r in counts.take_all()))
 
 
+def cumulative_cardinality(
+    events_ds, ts_col: str = "ts", value_col: str = "user_id",
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """ES cumulative_cardinality pipeline aggregation, EXACT: per
+    calendar-month date_histogram bucket, the running distinct count of
+    ``value_col`` (ES computes it from merged per-prefix HLL sketches —
+    approximate; this engine computes the exact equivalent, the oracle
+    contract).
+
+    Identity used: cumulative distinct at bucket t = |values whose FIRST
+    bucket <= t|.  Scale shape: per-batch combiner reduces each batch to
+    one (value, min bucket) row per distinct value (plus sentinel rows
+    carrying the batch's bucket set, so empty-of-new-values months still
+    appear); one hash-bucketed exchange co-locates each value; reducers
+    emit (bucket_ts, n_new) partials — the driver sees O(months) rows,
+    never values.  Returns (bucket_ts, n_new, cum_distinct), month-start
+    epoch seconds, int64."""
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    _SENTINEL = np.int64(-(1 << 62))  # bucket-presence marker rows
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        months = (
+            batch[ts_col].to_numpy().astype("datetime64[ns]")
+            .astype("datetime64[M]").astype("datetime64[s]").astype(np.int64)
+        )
+        f = pd.DataFrame({"value": batch[value_col].to_numpy(), "b": months})
+        first = f.groupby("value", as_index=False)["b"].min()
+        marks = pd.DataFrame({"value": _SENTINEL, "b": np.unique(months)})
+        return pd.concat([first, marks], ignore_index=True).astype(
+            {"value": np.int64, "b": np.int64}
+        )
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sen = g["value"].to_numpy() == _SENTINEL
+        out = []
+        real = g[~sen]
+        if len(real):
+            fb = real.groupby("value")["b"].min()
+            nn = fb.value_counts().sort_index()
+            out.append(
+                pd.DataFrame(
+                    {"bucket_ts": nn.index.to_numpy(np.int64),
+                     "n_new": nn.to_numpy(np.int64)}
+                )
+            )
+        if sen.any():
+            out.append(
+                pd.DataFrame(
+                    {"bucket_ts": np.unique(g["b"].to_numpy()[sen]),
+                     "n_new": np.int64(0)}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    parts = bucketed_group_agg(
+        events_ds.map_batches(partial, batch_format="pandas"),
+        ["value"], reduce_bucket, num_buckets,
+    ).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "bucket_ts": pd.Series([], dtype=np.int64),
+                "n_new": pd.Series([], dtype=np.int64),
+                "cum_distinct": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = (
+        parts.groupby("bucket_ts", as_index=False)["n_new"].sum()
+        .sort_values("bucket_ts")
+        .reset_index(drop=True)
+    )
+    out["cum_distinct"] = out["n_new"].cumsum()
+    return out.astype(
+        {"bucket_ts": np.int64, "n_new": np.int64, "cum_distinct": np.int64}
+    )
+
+
 def props_json_agg(events_ds) -> pd.DataFrame:
     """Per-event-type stats of the JSON ``props`` payload: each event
     carries a JSON object (the reference's JsonConverter record shape,

@@ -728,3 +728,38 @@ def test_mix_epochs_weighting(ray_session):
         .to_pandas().sort_values(["doc_id", "epoch"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_cumulative_cardinality_exact(ray_session):
+    """cumulative_cardinality == the pandas first-appearance identity:
+    cum_distinct(t) = |users whose first month <= t|; a month whose
+    users ALL appeared earlier still gets a row (n_new=0, flat cumsum);
+    result invariant to input partitioning."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.relational import cumulative_cardinality
+
+    # months: Jan(u1,u2) Feb(u2) Mar(u3,u1) Apr(u2,u3) -> new 2,0,1,0
+    ts = pd.to_datetime(
+        [
+            "2024-01-05", "2024-01-20", "2024-02-10",
+            "2024-03-01", "2024-03-30", "2024-04-02", "2024-04-28",
+        ]
+    )
+    ev = pd.DataFrame({"ts": ts, "user_id": np.int64([1, 2, 2, 3, 1, 2, 3])})
+    got = cumulative_cardinality(rd.from_pandas(ev))
+    months = (
+        ts.to_numpy().astype("datetime64[M]").astype("datetime64[s]")
+        .astype(np.int64)
+    )
+    assert got["bucket_ts"].tolist() == sorted(set(months.tolist()))
+    assert got["n_new"].tolist() == [2, 0, 1, 0]
+    assert got["cum_distinct"].tolist() == [2, 2, 3, 3]
+    # partition-invariance: many small blocks, same answer
+    again = cumulative_cardinality(rd.from_pandas(ev).repartition(5))
+    pd.testing.assert_frame_equal(got, again)
+    # empty input contract
+    empty = cumulative_cardinality(rd.from_pandas(ev.iloc[:0]))
+    assert len(empty) == 0 and list(empty.columns) == [
+        "bucket_ts", "n_new", "cum_distinct",
+    ]
