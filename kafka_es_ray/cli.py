@@ -136,8 +136,11 @@ def main(argv: list[str] | None = None) -> int:
     ub = sub.add_parser("update-by-query", help="set mapped fields on matching docs (ES _update_by_query)")
     ub.add_argument("--index", required=True)
     ub.add_argument("--text", required=True)
-    ub.add_argument("--set", required=True, metavar="FIELD=VALUE", nargs="+",
+    ub.add_argument("--set", default=[], metavar="FIELD=VALUE", nargs="+",
                     help="field overrides, e.g. --set tier=gold stars=9")
+    ub.add_argument("--script", default=[], metavar="FIELD=EXPR", nargs="+",
+                    help="scripted numeric updates over the old values, "
+                         "e.g. --script 'stars=stars * 2 + 1'")
     ub.add_argument("--operator", default="or", choices=["or", "and"])
 
     ri = sub.add_parser("reindex", help="rebuild from stored _source under a new config (ES _reindex)")
@@ -392,7 +395,16 @@ def main(argv: list[str] | None = None) -> int:
                 fields[k] = float(v)
             except ValueError:
                 fields[k] = v
-        manifest = update_by_query(args.index, args.text, fields, operator=args.operator)
+        scripts = {}
+        for kv in args.script:
+            k, _, v = kv.partition("=")
+            scripts[k] = v
+        if not fields and not scripts:
+            raise SystemExit("update-by-query: need --set and/or --script")
+        manifest = update_by_query(
+            args.index, args.text, fields, operator=args.operator,
+            set_scripts=scripts or None,
+        )
         print(json.dumps({"gen": manifest.get("gen"), "n_docs": manifest["n_docs"]}))
     elif args.cmd == "reindex":
         own_session = _ray_init(args.num_cpus)

@@ -345,6 +345,7 @@ def update_by_query(
     lang: str | None = None,
     operator: str = "or",
     filter_lang: str | None = None,
+    set_scripts: dict | None = None,
 ) -> dict:
     """ES _update_by_query analog (the ``ctx._source.<field> = <value>``
     script subset): every live doc matching the analyzed query is
@@ -354,7 +355,14 @@ def update_by_query(
     the ES update loop.  ``set_fields`` keys must be cfg keyword/numeric
     mapped fields.  Requires store_text=True.  Segment-parallel: each
     task decodes only the query terms' postings and emits its matching
-    docs as rows; nothing materializes on the driver."""
+    docs as rows; nothing materializes on the driver.
+
+    ``set_scripts``: the scripted-update subset — {numeric_field:
+    whitelisted arithmetic expr} (the script_score expression whitelist,
+    e.g. ``"stars * 2 + 1"``), evaluated vectorized over the doc's OLD
+    numeric docvalues (``ctx._source.f = expr(old fields)``); validated
+    at call time, applied per segment.  A field may appear in either
+    set_fields or set_scripts, not both."""
     import ray.data as rd
 
     from kafka_es_ray.functions.tokenizer import get_analyzer
@@ -376,6 +384,27 @@ def update_by_query(
             f"set_fields {sorted(unknown)} are not mapped keyword/numeric fields "
             f"(mapped: {sorted(known) or 'none'})"
         )
+    set_scripts = dict(set_scripts or {})
+    if set_scripts:
+        from kafka_es_ray.query.engine import _script_fields
+
+        bad = set(set_scripts) - set(num_cols)
+        if bad:
+            raise ValueError(
+                f"set_scripts targets {sorted(bad)} are not mapped numeric fields"
+            )
+        both = set(set_scripts) & set(set_fields)
+        if both:
+            raise ValueError(f"{sorted(both)} in both set_fields and set_scripts")
+        for fld, expr in set_scripts.items():
+            refs = _script_fields(str(expr))  # whitelist gate at call time
+            missing = set(refs) - set(num_cols)
+            if missing:
+                raise ValueError(
+                    f"set_scripts[{fld}] reads unmapped numeric fields {sorted(missing)}"
+                )
+    from kafka_es_ray.query.engine import _script_values as _eval_script
+
     terms = sorted(set(get_analyzer(lang).tokenize(text)))
 
     def per_segment(batch: pd.DataFrame) -> pd.DataFrame:
@@ -412,11 +441,15 @@ def update_by_query(
                     else s.field_for(kw, ids)
                 )
             for nf in cfg.numeric_cols:
-                row[nf] = (
-                    np.full(ids.size, float(set_fields[nf]), dtype=np.float64)
-                    if nf in set_fields
-                    else s.nums_for(nf, ids)
-                )
+                if nf in set_fields:
+                    row[nf] = np.full(ids.size, float(set_fields[nf]), dtype=np.float64)
+                elif nf in set_scripts:
+                    # scripted update: expr over the OLD numeric values
+                    # (_script_values captured driver-side — CLAUDE.md
+                    # rule 1: no import statements inside worker fns)
+                    row[nf] = _eval_script(s, ids, str(set_scripts[nf]))
+                else:
+                    row[nf] = s.nums_for(nf, ids)
             rows.append(pd.DataFrame(row))
         if not rows:
             cols = ["key", "text", "lang", *cfg.keyword_cols, *cfg.numeric_cols]

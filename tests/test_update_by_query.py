@@ -84,3 +84,31 @@ def test_export_by_query(built, ray_session, tmp_path):
     want = docs[docs["text"].str.split().map(lambda t: "mint" in t)]
     assert set(got["key"]) == set(want["url"])
     assert dict(zip(got["key"], got["text"])) == dict(zip(want["url"], want["text"]))
+
+
+def test_update_by_query_scripted(built, ray_session):
+    """Scripted-update subset: ctx._source.stars = expr(old numerics),
+    vectorized per segment; validation rejects keyword targets, unmapped
+    reads, _score-style names and field collisions."""
+    idx, docs = built
+    s0 = IndexSearcher(idx, CFG)
+    before = s0.search_sorted("mint", "stars", k=100)
+    old = dict(zip(before["key"], before["sort_val"]))
+    update_by_query(idx, "mint", {}, CFG, set_scripts={"stars": "stars * 2 + 1"})
+    s = IndexSearcher(idx, CFG)
+    after = s.search_sorted("mint", "stars", k=100)
+    assert set(after["key"]) == set(old)
+    for k, v in zip(after["key"], after["sort_val"]):
+        assert v == old[k] * 2 + 1, k
+    with pytest.raises(ValueError, match="not mapped numeric"):
+        update_by_query(idx, "mint", {}, CFG, set_scripts={"tier": "1"})
+    with pytest.raises(ValueError, match="unmapped numeric"):
+        update_by_query(idx, "mint", {}, CFG, set_scripts={"stars": "nope + 1"})
+    with pytest.raises(ValueError, match="both"):
+        update_by_query(
+            idx, "mint", {"stars": 1.0}, CFG, set_scripts={"stars": "stars"}
+        )
+    with pytest.raises(ValueError):
+        update_by_query(
+            idx, "mint", {}, CFG, set_scripts={"stars": "__import__('os')"}
+        )
