@@ -988,6 +988,20 @@ SELECT query_id, count(*)::BIGINT AS n_buckets,
 FROM buckets GROUP BY 1 ORDER BY 1
 """
 
+# ES extended_stats_bucket: stats_bucket + sum_of_squares, POPULATION
+# variance/std (the ES rule) and the ±2σ bounds over the bucket sums
+_EXT_STATS_BUCKET_SQL = _PIPE_BUCKETS_CTE + """
+SELECT query_id, count(*)::BIGINT AS n_buckets,
+       round(min(raw_value), 6) AS min_val, round(max(raw_value), 6) AS max_val,
+       round(sum(raw_value), 6) AS sum_val, round(avg(raw_value), 6) AS avg_val,
+       round(sum(raw_value * raw_value), 6) AS sum_sq,
+       round(var_pop(raw_value), 6) AS variance,
+       round(stddev_pop(raw_value), 6) AS std_dev,
+       round(avg(raw_value) + 2 * stddev_pop(raw_value), 6) AS std_upper,
+       round(avg(raw_value) - 2 * stddev_pop(raw_value), 6) AS std_lower
+FROM buckets GROUP BY 1 ORDER BY 1
+"""
+
 # ES percentiles_bucket: nearest-rank (no interpolation) percentile of
 # the sorted per-month sum sub-agg values; index round = floor(x + 0.5)
 # half-away, the engine's round convention
@@ -4526,6 +4540,23 @@ def _q_stats_bucket(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_extended_stats_bucket(sf_dir: str):
+    """ES extended_stats_bucket sibling pipeline aggregation: population
+    variance/std + ±2σ bounds over the per-month sum(n_chars) sub-agg
+    values, one row per derived query."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_extended_stats_bucket
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars"), derived=True
+    )
+    try:
+        return run_agg_extended_stats_bucket(queries, idx, "ts", "n_chars", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_percentiles_bucket(sf_dir: str):
     """ES percentiles_bucket sibling pipeline aggregation: nearest-rank
     percentiles (25/50/75/99, round(p/100*(n-1)) index — the ES
@@ -7021,6 +7052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "derivative_agg": _q_derivative,
         "bucket_script_agg": _q_bucket_script,
         "stats_bucket_agg": _q_stats_bucket,
+        "extended_stats_bucket_agg": _q_extended_stats_bucket,
         "percentiles_bucket_agg": _q_percentiles_bucket,
         "moving_percentiles_agg": _q_moving_percentiles,
         "max_bucket_agg": _q_max_bucket,
@@ -7274,6 +7306,7 @@ def oracle_sql() -> dict[str, str]:
         "derivative_agg": _DERIV_SQL,
         "bucket_script_agg": _BUCKET_SCRIPT_SQL,
         "stats_bucket_agg": _STATS_BUCKET_SQL,
+        "extended_stats_bucket_agg": _EXT_STATS_BUCKET_SQL,
         "percentiles_bucket_agg": _PCTL_BUCKET_SQL,
         "moving_percentiles_agg": _MOVING_PCTL_SQL,
         "max_bucket_agg": _MAX_BUCKET_SQL,

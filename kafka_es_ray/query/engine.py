@@ -7251,6 +7251,43 @@ def run_agg_stats_bucket(
     return g.astype({"query_id": np.int64, "n_buckets": np.int64})
 
 
+def run_agg_extended_stats_bucket(
+    queries_ds, index_dir: str, field: str, metric_field: str,
+    calendar_interval: str = "month", sigma: float = 2.0,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES extended_stats_bucket sibling pipeline aggregation: stats_bucket
+    plus sum_of_squares / POPULATION variance / std_deviation and the
+    ±sigma std bounds over the per-bucket sum sub-agg values (ES uses
+    population variance, ddof=0).  Float64 accumulation, round6 on
+    output.  Returns one row per query."""
+    f = _bucket_value_frame(
+        queries_ds, index_dir, field, metric_field, calendar_interval, cfg, concurrency
+    )
+    cols = ("n_buckets", "min_val", "max_val", "sum_val", "avg_val",
+            "sum_sq", "variance", "std_dev", "std_upper", "std_lower")
+    if not len(f):
+        out = {"query_id": pd.Series([], dtype=np.int64)}
+        out.update({c: pd.Series([], dtype=np.float64) for c in cols})
+        out["n_buckets"] = pd.Series([], dtype=np.int64)
+        return pd.DataFrame(out)
+    rows = []
+    for qid, g in f.groupby("query_id", sort=True):  # few queries: driver reduce
+        v = g["value"].to_numpy(np.float64)
+        mean = v.sum() / v.size
+        var = float(np.mean((v - mean) ** 2))  # population, the ES rule
+        std = float(np.sqrt(var))
+        rows.append(
+            (int(qid), v.size, v.min(), v.max(), v.sum(), mean,
+             float((v * v).sum()), var, std,
+             mean + sigma * std, mean - sigma * std)
+        )
+    out = pd.DataFrame(rows, columns=["query_id", *cols])
+    for c in cols[1:]:
+        out[c] = round6(out[c].to_numpy(np.float64))
+    return out.astype({"query_id": np.int64, "n_buckets": np.int64})
+
+
 def run_agg_percentiles_bucket(
     queries_ds, index_dir: str, field: str, metric_field: str,
     percents: tuple = (25.0, 50.0, 75.0, 99.0),

@@ -199,6 +199,21 @@ def test_stats_bucket_sibling(agg_index, ray_session):
     assert got["sum_val"].iloc[0] == want.sum()
 
 
+def test_extended_stats_bucket_population(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_extended_stats_bucket
+
+    d, docs = agg_index
+    got = run_agg_extended_stats_bucket(Q, d, "ts", "val", cfg=CFG)
+    v = _month_sums(docs)["sum"].to_numpy(np.float64)
+    r = got.iloc[0]
+    assert r["n_buckets"] == v.size
+    assert r["sum_sq"] == round((v * v).sum(), 6)
+    # POPULATION variance (ddof=0), not sample
+    assert r["variance"] == round(float(np.var(v, ddof=0)), 6)
+    assert r["std_upper"] == round(v.mean() + 2 * np.std(v, ddof=0), 6)
+    assert r["std_lower"] == round(v.mean() - 2 * np.std(v, ddof=0), 6)
+
+
 def test_percentiles_bucket_nearest_rank(agg_index, ray_session):
     from kafka_es_ray.query.engine import run_agg_percentiles_bucket
 
