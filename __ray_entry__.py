@@ -2632,6 +2632,69 @@ def _q_range_filter_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_synonyms_topk(sf_dir: str):
+    """ES query-time synonym expansion (synonym filter, expand=true,
+    query-side-only — the ES-recommended setup): per-row rule maps pull
+    synonyms of analyzed query tokens into the term set, scored as a
+    plain OR match with per-term df (documented deviation from Lucene
+    SynonymQuery's blended df).  Rules here map ranked corpus terms so
+    the SQL oracle can replay the exact expansion: q0 t1→{t4,t5},
+    q1 t2→{t6} (t3 untouched), q2 t7→absent term (expands to nothing
+    present — scores equal plain [t7])."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_synidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        t = derive_ranked_terms(IndexSearcher(idx), 7)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.int64([0, 1, 2]),
+                "text": [t[0], f"{t[1]} {t[2]}", t[6]],
+                "lang": "en",
+                "k": np.int32(10),
+                "synonyms": [
+                    f"{t[0]}={t[3]}|{t[4]}",
+                    f"{t[1]}={t[5]}",
+                    f"{t[6]}=zzzabsentterm",
+                ],
+            }
+        )
+        out = run_queries(queries, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+# queries replay the expansion over ranked_terms: q0 = {r1,r4,r5},
+# q1 = {r2,r3,r6}, q2 = {r7} + an absent synonym (drops out of the tf
+# join) — scores identical to a plain OR match on the expanded sets
+_SYNONYMS_SQL = _BM25_SQL.replace(
+    """queries AS (
+  SELECT 0 AS query_id, term FROM ranked_terms WHERE r = 1
+  UNION ALL SELECT 1, term FROM ranked_terms WHERE r IN (2, 3)
+  UNION ALL SELECT 2, term FROM ranked_terms WHERE r IN (4, 5, 6)
+  UNION ALL SELECT 3, term FROM ranked_terms WHERE r IN (7, 8)
+),""",
+    """queries AS (
+  SELECT 0 AS query_id, term FROM ranked_terms WHERE r IN (1, 4, 5)
+  UNION ALL SELECT 1, term FROM ranked_terms WHERE r IN (2, 3, 6)
+  UNION ALL SELECT 2, term FROM ranked_terms WHERE r = 7
+),""",
+)
+assert "r IN (1, 4, 5)" in _SYNONYMS_SQL  # replace anchor must exist
+
+
 def _q_script_filter_topk(sf_dir: str):
     """ES `script` query in filter context: the whitelisted comparison
     ``sqrt(n_chars) - n_chars / 100 > 12`` over numeric docvalues
@@ -7022,6 +7085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": _q_bm25_topk_and,
         "range_filter_topk": _q_range_filter_topk,
         "script_filter_topk": _q_script_filter_topk,
+        "synonyms_topk": _q_synonyms_topk,
         "search_template_topk": _q_search_template_topk,
         "kw_filter_topk": _q_kw_filter_topk,
         "min_score_topk": _q_min_score_topk,
@@ -7263,6 +7327,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_terms_topk": _WEIGHTED_TERMS_SQL,
         "range_filter_topk": _RANGE_SQL,
         "script_filter_topk": _SCRIPT_FILTER_SQL,
+        "synonyms_topk": _SYNONYMS_SQL,
         "search_template_topk": _SEARCH_TEMPLATE_SQL,
         "kw_filter_topk": _KW_FILTER_SQL,
         "min_score_topk": _MIN_SCORE_SQL,

@@ -4572,6 +4572,46 @@ def run_queries(
             queries.at[i, "must_not"] = " ".join(mn_p) or None
             queries.at[i, "msm"] = 0 if must_p else 1
             queries.at[i, "type"] = "bool"
+    if "synonyms" in queries.columns:
+        # ES query-time synonym expansion (synonym filter, expand=true,
+        # the ES-recommended query-side-only configuration): each
+        # analyzed query token found in the per-row rule map pulls its
+        # synonyms into the term set — under operator=or that is exactly
+        # appending them to the query text (plain OR match over the
+        # expanded set; per-term df/idf, NOT Lucene SynonymQuery's
+        # blended-df scoring — documented deviation, oracle contract).
+        # Rule format: "word=syn1|syn2;word2=syn3"; both sides pass
+        # through the row's analyzer.  require_all (operator=and) would
+        # demand EVERY synonym — refused loudly.
+        queries = queries.copy()
+        for i in queries.index:
+            raw = queries.at[i, "synonyms"]
+            if raw is None or (isinstance(raw, float) and pd.isna(raw)):
+                continue
+            if str(queries.get("operator", pd.Series(dtype=object)).get(i, "or") or "or").lower() == "and":
+                raise ValueError("synonyms: operator=and is not supported")
+            an = get_analyzer(
+                str(queries.at[i, "lang"]) if "lang" in queries.columns and not pd.isna(queries.at[i, "lang"]) else None
+            )
+            smap: dict[str, list[str]] = {}
+            for rule in str(raw).split(";"):
+                if not rule.strip():
+                    continue
+                lhs, _, rhs = rule.partition("=")
+                keys = an.tokenize(lhs)
+                vals = [t for part in rhs.split("|") for t in an.tokenize(part)]
+                if not keys or not vals:
+                    raise ValueError(f"synonyms: bad rule {rule!r}")
+                smap.setdefault(keys[0], []).extend(vals)
+            toks = an.tokenize(str(queries.at[i, "text"]))
+            have = set(toks)
+            extra = sorted(
+                {s for t in toks for s in smap.get(t, ()) if s not in have}
+            )
+            if extra:
+                queries.at[i, "text"] = (
+                    str(queries.at[i, "text"]) + " " + " ".join(extra)
+                )
     if "type" in queries.columns and (queries["type"] == "wrapper").any():
         # ES wrapper query: the text column carries a base64-encoded
         # JSON inner query, decoded at plan time and rewritten to the

@@ -686,3 +686,42 @@ def test_terms_shard_size_truncation(agg_index, ray_session):
         assert r["n_docs"] <= em[r["value"]]
         # and undercount at most by the stated bound
         assert em[r["value"]] - r["n_docs"] <= r["doc_count_error_upper_bound"]
+
+
+def test_synonyms_query_time_expansion(agg_index, ray_session):
+    """Query-time synonym expansion == plain OR match on the expanded
+    text; unknown/absent synonyms are no-ops; operator=and and malformed
+    rules are refused."""
+    from kafka_es_ray.query.engine import run_queries
+
+    d, docs = agg_index
+    base = pd.DataFrame(
+        {"query_id": np.int64([0]), "text": ["shared"], "k": np.int32(1000)}
+    )
+    plain = run_queries(
+        base.assign(text="shared term"), d, CFG, concurrency=2
+    ).to_pandas()
+    syn = run_queries(
+        base.assign(synonyms="shared=term"), d, CFG, concurrency=2
+    ).to_pandas()
+    assert syn.sort_values("rank")["doc_id"].tolist() == (
+        plain.sort_values("rank")["doc_id"].tolist()
+    )
+    assert syn.sort_values("rank")["score"].tolist() == (
+        plain.sort_values("rank")["score"].tolist()
+    )
+    # synonym of a token NOT in the query text: no expansion
+    noop = run_queries(
+        base.assign(synonyms="other=term"), d, CFG, concurrency=2
+    ).to_pandas()
+    ref = run_queries(base, d, CFG, concurrency=2).to_pandas()
+    assert noop["score"].tolist() == ref["score"].tolist()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="operator=and"):
+        run_queries(
+            base.assign(synonyms="shared=term", operator="and"), d, CFG,
+            concurrency=2,
+        )
+    with _pytest.raises(ValueError, match="bad rule"):
+        run_queries(base.assign(synonyms="shared="), d, CFG, concurrency=2)
