@@ -150,6 +150,13 @@ def main(argv: list[str] | None = None) -> int:
     ri.add_argument("--positions", action="store_true", help="index token positions (phrase queries)")
     ri.add_argument("--store-text", action="store_true")
     ri.add_argument("--query", default=None, help="ES source.query filter: reindex only matching docs")
+    ri.add_argument("--script", default=[], metavar="FIELD=EXPR", nargs="+",
+                    help="reindex script: numeric field = whitelisted expr "
+                         "over the source numerics, e.g. --script 'stars=stars * 2'")
+    ri.add_argument("--keyword-cols", default=None,
+                    help="comma-separated keyword-mapped fields for the dest")
+    ri.add_argument("--numeric-cols", default=None,
+                    help="comma-separated numeric-mapped fields for the dest")
 
     sn = sub.add_parser("snapshot", help="copy the committed index state (ES _snapshot)")
     sn.add_argument("--index", required=True)
@@ -414,10 +421,19 @@ def main(argv: list[str] | None = None) -> int:
         kw = {}
         if args.num_partitions:
             kw["num_partitions"] = args.num_partitions
+        if args.keyword_cols:
+            kw["keyword_cols"] = tuple(args.keyword_cols.split(","))
+        if args.numeric_cols:
+            kw["numeric_cols"] = tuple(args.numeric_cols.split(","))
+        scripts = {}
+        for kvs in args.script:
+            k, _, v = kvs.partition("=")
+            scripts[k] = v
         manifest = reindex(
             args.src, args.dest,
             EngineConfig(index_positions=args.positions, store_text=args.store_text, **kw),
             query=args.query,
+            set_scripts=scripts or None,
         )
         print(json.dumps({"n_docs": manifest["n_docs"], "parts": len(manifest["parts"])}))
     elif args.cmd == "snapshot":

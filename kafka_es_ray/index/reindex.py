@@ -37,6 +37,7 @@ def reindex(
     resume: bool = False,
     query: str | None = None,
     operator: str = "or",
+    set_scripts: dict | None = None,
 ) -> dict:
     """Rebuild ``src_dir``'s live documents into ``dest_dir`` under
     ``cfg``.  Documents get fresh doc ids (the ES reindex contract);
@@ -46,9 +47,17 @@ def reindex(
     ``source.query`` filter — the corpus-curation path: reindex only the
     docs matching a match query) restricts the rebuild to matching live
     docs; each segment task decodes only the query terms' postings to
-    decide membership.  Returns the new manifest."""
+    decide membership.  Returns the new manifest.
+
+    ``set_scripts``: the ES ``_reindex`` script subset — {numeric_field:
+    whitelisted arithmetic expr over the SOURCE numeric fields}
+    (``ctx._source.f = expr``), evaluated vectorized inside the
+    streaming rebuild; referenced and target fields must be numeric
+    columns of the source docstore (missing values read as 0.0)."""
     import ray
     import ray.data as rd
+
+    from kafka_es_ray.query.engine import _script_eval_env, _script_fields
 
     manifest = read_manifest(src_dir)
     parts = [int(p) for p in manifest["parts"]]
@@ -59,6 +68,17 @@ def reindex(
     cols = ["doc_id", "key", "text", "lang"] + [
         n for n in schema.names if n.startswith(("kw_", "num_"))
     ]
+    set_scripts = dict(set_scripts or {})
+    if set_scripts:
+        src_nums = {n[4:] for n in schema.names if n.startswith("num_")}
+        for fld, expr in set_scripts.items():
+            refs = set(_script_fields(str(expr)))  # whitelist gate
+            missing = ({fld} | refs) - src_nums
+            if missing:
+                raise ValueError(
+                    f"set_scripts[{fld}]: {sorted(missing)} are not numeric "
+                    f"columns of the source docstore (have: {sorted(src_nums)})"
+                )
     # dead ids across all segments: ids are globally unique, so one
     # broadcast set suffices (tombstone files are small by construction)
     dead: set[int] = set()
@@ -122,6 +142,21 @@ def reindex(
                 out[n[3:]] = batch.column(n)
             elif n.startswith("num_"):
                 out[n[4:]] = batch.column(n)
+        if set_scripts and batch.num_rows:
+            # ES _reindex script: new value = expr(OLD source numerics);
+            # all targets read the pre-script env (ES evaluates one
+            # script body against the original _source)
+            env = {}
+            for expr in set_scripts.values():
+                for f in _script_fields(str(expr)):
+                    env[f] = np.nan_to_num(
+                        out[f].to_numpy(zero_copy_only=False).astype(np.float64)
+                    )
+            for fld, expr in set_scripts.items():
+                out[fld] = pa.array(
+                    _script_eval_env(env, str(expr), batch.num_rows),
+                    type=pa.float64(),
+                )
         return pa.table(out)
 
     ds = rd.read_parquet(files, columns=cols).map_batches(

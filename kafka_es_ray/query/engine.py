@@ -3106,18 +3106,11 @@ def _apply_script_score(
     return np.floor(out * 1e6 + 0.5) / 1e6
 
 
-def _script_values(seg: Segment, ids: np.ndarray, src: str) -> np.ndarray:
-    """Vectorized whitelisted-expression values per matched doc — the
-    scripted_metric MAP phase (no ``_score`` binding, no rounding; the
-    reduce decides the final precision).  Missing numeric values read as
-    0.0, the documented neutral."""
+def _script_eval_env(env: dict, src: str, n: int) -> np.ndarray:
+    """Vectorized whitelisted-expression eval over a prepared name->array
+    env (validate with _script_fields first); constant-only scripts
+    broadcast to length ``n``."""
     import ast
-
-    env: dict[str, np.ndarray] = {}
-    for f in _script_fields(src):
-        if f == "_score":
-            raise ValueError("scripted_metric: _score is not available in map")
-        env[f] = np.nan_to_num(seg.nums_for(f, ids))
 
     def ev(node) -> np.ndarray:
         if isinstance(node, ast.Expression):
@@ -3134,9 +3127,22 @@ def _script_values(seg: Segment, ids: np.ndarray, src: str) -> np.ndarray:
         return _SCRIPT_FUNCS[node.func.id](*(ev(a) for a in node.args))
 
     out = np.asarray(ev(ast.parse(src, mode="eval")), dtype=np.float64)
-    if out.shape != (ids.size,):  # constant-only script broadcasts
-        out = np.full(ids.size, float(out))
+    if out.shape != (n,):  # constant-only script broadcasts
+        out = np.full(n, float(out))
     return out
+
+
+def _script_values(seg: Segment, ids: np.ndarray, src: str) -> np.ndarray:
+    """Vectorized whitelisted-expression values per matched doc — the
+    scripted_metric MAP phase (no ``_score`` binding, no rounding; the
+    reduce decides the final precision).  Missing numeric values read as
+    0.0, the documented neutral."""
+    env: dict[str, np.ndarray] = {}
+    for f in _script_fields(src):
+        if f == "_score":
+            raise ValueError("scripted_metric: _score is not available in map")
+        env[f] = np.nan_to_num(seg.nums_for(f, ids))
+    return _script_eval_env(env, src, ids.size)
 
 
 def _apply_rank_feature(

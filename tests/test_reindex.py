@@ -106,3 +106,42 @@ def test_reindex_requires_stored_source(ray_session, tmp_path):
                 html_col=None, ts_col=None)
     with pytest.raises(ValueError, match="store_text"):
         reindex(idx, str(tmp_path / "dest2"))
+
+
+def test_reindex_with_script(ray_session, tmp_path):
+    """ES _reindex with script: numeric fields recomputed from the OLD
+    source values inside the streaming rebuild; unknown targets/reads
+    and non-whitelisted exprs are refused at call time."""
+    import ray.data as rd
+
+    cfg = EngineConfig(
+        num_partitions=2, store_text=True, numeric_cols=("stars", "views")
+    )
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(30)],
+            "text": ["opal jade"] * 30,
+            "lang": "en",
+            "stars": np.arange(30, dtype=np.float64),
+            "views": np.full(30, 10.0),
+        }
+    )
+    src = str(tmp_path / "src")
+    build_index(rd.from_pandas(docs), src, cfg, html_col=None, ts_col=None)
+    dest = str(tmp_path / "dest")
+    reindex(
+        src, dest, cfg,
+        set_scripts={"stars": "stars * views + 1", "views": "sqrt(views)"},
+    )
+    s = IndexSearcher(dest, cfg)
+    out = s.search_sorted("opal", "stars", k=100)
+    want = {f"u{i}": i * 10.0 + 1 for i in range(30)}
+    assert dict(zip(out["key"], out["sort_val"])) == want
+    out2 = s.search_sorted("opal", "views", k=100)
+    assert (out2["sort_val"].to_numpy() == np.sqrt(10.0)).all()
+    with pytest.raises(ValueError, match="not numeric"):
+        reindex(src, str(tmp_path / "d2"), cfg, set_scripts={"nope": "1"})
+    with pytest.raises(ValueError, match="not numeric"):
+        reindex(src, str(tmp_path / "d3"), cfg, set_scripts={"stars": "zz + 1"})
+    with pytest.raises(ValueError):
+        reindex(src, str(tmp_path / "d4"), cfg, set_scripts={"stars": "open('x')"})
