@@ -131,7 +131,9 @@ def main(argv: list[str] | None = None) -> int:
     ro.add_argument("--registry", required=True)
     ro.add_argument("--alias", required=True)
     ro.add_argument("--new-index", required=True)
-    ro.add_argument("--max-docs", type=int, required=True)
+    ro.add_argument("--max-docs", type=int, default=None)
+    ro.add_argument("--max-age-s", type=float, default=None)
+    ro.add_argument("--max-size-bytes", type=int, default=None)
 
     ub = sub.add_parser("update-by-query", help="set mapped fields on matching docs (ES _update_by_query)")
     ub.add_argument("--index", required=True)
@@ -390,7 +392,11 @@ def main(argv: list[str] | None = None) -> int:
         own_session = _ray_init(args.num_cpus)
         from kafka_es_ray.index.aliases import rollover
 
-        print(json.dumps(rollover(args.registry, args.alias, args.new_index, max_docs=args.max_docs)))
+        print(json.dumps(rollover(
+            args.registry, args.alias, args.new_index,
+            max_docs=args.max_docs, max_age_s=args.max_age_s,
+            max_size_bytes=args.max_size_bytes,
+        )))
     elif args.cmd == "update-by-query":
         own_session = _ray_init(args.num_cpus)
         from kafka_es_ray.index.incremental import update_by_query

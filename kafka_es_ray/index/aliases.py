@@ -52,17 +52,26 @@ def rollover(
     alias: str,
     new_index_dir: str,
     *,
-    max_docs: int,
+    max_docs: int | None = None,
+    max_age_s: float | None = None,
+    max_size_bytes: int | None = None,
     cfg=None,
 ) -> dict:
     """ES ``_rollover`` analog for the continuous-ingestion flow: the
-    alias's WRITE index is its LAST target; when that index holds >=
-    ``max_docs`` docs, create a fresh EMPTY index at ``new_index_dir``
-    (committed manifest, zero segments — ingestion lands there via
-    apply_incremental) and atomically repoint the alias to
-    ``[*old_targets, new_index_dir]``.  Reads through the alias span
-    every generation via multi-index search; time-ordered generations
-    bound per-index size exactly like ES time-series indices."""
+    alias's WRITE index is its LAST target; when ANY provided condition
+    holds — ``max_docs`` (doc count), ``max_age_s`` (seconds since the
+    manifest's created_at; pre-created_at indexes never age-match),
+    ``max_size_bytes`` (on-disk bytes of the index dir, the ES max_size
+    primary-store analog) — create a fresh EMPTY index at
+    ``new_index_dir`` (committed manifest, zero segments — ingestion
+    lands there via apply_incremental) and atomically repoint the alias
+    to ``[*old_targets, new_index_dir]``.  At least one condition is
+    required (the ES dry-run-refuses-unconditioned-rollover rule).
+    Reads through the alias span every generation via multi-index
+    search; time-ordered generations bound per-index size exactly like
+    ES time-series indices."""
+    import time
+
     import pandas as pd
     import ray.data as rd
 
@@ -70,11 +79,34 @@ def rollover(
     from kafka_es_ray.index.build import build_index
     from kafka_es_ray.index.segment import read_manifest
 
+    if max_docs is None and max_age_s is None and max_size_bytes is None:
+        raise ValueError("rollover: need max_docs, max_age_s and/or max_size_bytes")
     targets = resolve(registry_path, alias)
     write = targets[-1]
-    n = int(read_manifest(write)["n_docs"])
-    if n < max_docs:
-        return {"rolled": False, "write_index": write, "n_docs": n}
+    m = read_manifest(write)
+    n = int(m["n_docs"])
+    age_s = (
+        time.time() - float(m["created_at"]) if m.get("created_at") else None
+    )
+    size_b = None
+    if max_size_bytes is not None:
+        size_b = sum(
+            os.path.getsize(os.path.join(dp, fn))
+            for dp, _, fns in os.walk(write)
+            for fn in fns
+        )
+    hit = (
+        (max_docs is not None and n >= max_docs)
+        or (max_age_s is not None and age_s is not None and age_s >= max_age_s)
+        or (max_size_bytes is not None and size_b >= max_size_bytes)
+    )
+    status = {
+        "write_index": write, "n_docs": n,
+        **({"age_s": round(age_s, 3)} if age_s is not None else {}),
+        **({"size_bytes": size_b} if size_b is not None else {}),
+    }
+    if not hit:
+        return {"rolled": False, **status}
     empty = pd.DataFrame(
         {
             "url": pd.Series([], dtype=object),
@@ -87,7 +119,7 @@ def rollover(
         html_col=None, ts_col=None,
     )
     add_alias(registry_path, alias, [*targets, new_index_dir])
-    return {"rolled": True, "write_index": new_index_dir, "n_docs": n}
+    return {"rolled": True, **{**status, "write_index": new_index_dir}}
 
 
 def resolve(registry_path: str | None, name: str) -> list[str]:

@@ -480,6 +480,15 @@ def build_segment_for_group(
     return pd.DataFrame({"part_id": [segment_id], "manifest": [json.dumps(manifest)]})
 
 
+def _existing_created_at(index_dir: str) -> float | None:
+    """created_at of an already-committed manifest.json, if any."""
+    try:
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            return json.load(f).get("created_at")
+    except (OSError, ValueError):
+        return None
+
+
 def _completed_parts(index_dir: str, num_partitions: int) -> dict[int, dict]:
     """Partitions whose manifest verifies (files exist) — resume set."""
     done: dict[int, dict] = {}
@@ -583,6 +592,10 @@ def build_index(
         "format_version": seg.FORMAT_VERSION,
         "analyzer_version": ANALYZER_VERSION,
         "num_partitions": cfg.num_partitions,
+        # index creation wall-clock (the ES creation_date setting) — the
+        # rollover max_age condition reads this; a resumed build keeps
+        # the original date (ES preserves creation_date)
+        "created_at": _existing_created_at(index_dir) or round(time.time(), 3),
         "parts": parts,
         "n_docs": n_docs,
         "sum_dl": sum_dl,

@@ -95,3 +95,35 @@ def test_alias_multi_index_query(two_indexes, tmp_path, ray_session):
     direct = run_queries(q, [d1, d2]).to_pandas()
     pd.testing.assert_frame_equal(via_alias, direct)
     assert {0, 1} == set(via_alias["index_id"])  # hits from both indexes
+
+
+def test_rollover_age_and_size_conditions(two_indexes, tmp_path, ray_session):
+    """max_age_s reads the manifest created_at; max_size_bytes walks the
+    index dir; ANY condition triggers; no condition at all is refused."""
+    import json
+    import os
+
+    from kafka_es_ray.index.aliases import rollover
+
+    reg = str(tmp_path / "aliases2.json")
+    _, d2 = two_indexes
+    add_alias(reg, "aged", [d2])
+    with pytest.raises(ValueError, match="need max_docs"):
+        rollover(reg, "aged", str(tmp_path / "g1"), cfg=CFG)
+    # young + small: nothing rolls
+    r = rollover(
+        reg, "aged", str(tmp_path / "g1"),
+        max_age_s=3600.0, max_size_bytes=1 << 40, cfg=CFG,
+    )
+    assert not r["rolled"] and r["age_s"] < 3600 and r["size_bytes"] > 0
+    # age the index by editing created_at back two hours
+    mp = os.path.join(d2, "manifest.json")
+    m = json.load(open(mp))
+    m["created_at"] -= 7200
+    json.dump(m, open(mp, "w"))
+    r2 = rollover(reg, "aged", str(tmp_path / "g1"), max_age_s=3600.0, cfg=CFG)
+    assert r2["rolled"] and resolve(reg, "aged")[-1] == str(tmp_path / "g1")
+    # size condition alone triggers on a tiny threshold
+    add_alias(reg, "fat", [d2])
+    r3 = rollover(reg, "fat", str(tmp_path / "g2"), max_size_bytes=1, cfg=CFG)
+    assert r3["rolled"] and r3["size_bytes"] >= 1
