@@ -2632,6 +2632,27 @@ def _q_range_filter_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_terminate_after_count(sf_dir: str):
+    """ES _count with terminate_after (per-shard early-termination cap):
+    rows-only — the cap binds to the engine's hash partitioning, which
+    SQL can't replay; pytest (test_count_terminate_after) pins the
+    per-segment semantics.  Returns one row per derived query with the
+    capped count and the terminated_early flag (cap 5 per segment)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_counts
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_taidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx))
+        return run_counts(queries, idx, terminate_after=5)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_synonyms_topk(sf_dir: str):
     """ES query-time synonym expansion (synonym filter, expand=true,
     query-side-only — the ES-recommended setup): per-row rule maps pull
@@ -7086,6 +7107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_filter_topk": _q_range_filter_topk,
         "script_filter_topk": _q_script_filter_topk,
         "synonyms_topk": _q_synonyms_topk,
+        "terminate_after_count": _q_terminate_after_count,
         "search_template_topk": _q_search_template_topk,
         "kw_filter_topk": _q_kw_filter_topk,
         "min_score_topk": _q_min_score_topk,

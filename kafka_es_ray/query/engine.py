@@ -3667,8 +3667,9 @@ class MatchSetStage(_SegmentCacheStage):
     rows."""
 
     def _init_payload(self, payload) -> None:
-        pay = (*payload, None)[:4]
-        self.plan, self.tomb_map, self.field, self.shard_size = pay
+        pay = (*payload, None, None)[:5]
+        (self.plan, self.tomb_map, self.field, self.shard_size,
+         self.terminate_after) = pay
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -3679,7 +3680,15 @@ class MatchSetStage(_SegmentCacheStage):
                 if ids.size == 0:
                     continue
                 if self.field is None:  # _count: one partial per segment
-                    out.append((q["plan_id"], "", int(ids.size)))
+                    n_seg = int(ids.size)
+                    if self.terminate_after is not None:
+                        # ES terminate_after: the shard stops collecting
+                        # at the cap; == cap means "maybe more existed"
+                        ta = int(self.terminate_after)
+                        if n_seg >= ta:
+                            out.append((q["plan_id"], "\x00ta", 1))
+                            n_seg = ta
+                    out.append((q["plan_id"], "", n_seg))
                 else:  # terms agg: per-value partial counts
                     vals, n = np.unique(seg.field_for(self.field, ids), return_counts=True)
                     if self.shard_size is not None and vals.size > int(self.shard_size):
@@ -6152,6 +6161,7 @@ def _match_set_plans(queries: pd.DataFrame) -> list[dict]:
 def _run_match_set(
     queries_ds, index_dir: str, field: str | None, cfg: EngineConfig,
     concurrency: int | None, shard_size: int | None = None,
+    terminate_after: int | None = None,
 ) -> tuple[pd.DataFrame, list[dict]]:
     """Shared distributed driver for _count (field=None) and terms agg:
     segments as the Dataset, plans broadcast, per-(plan[,value]) partial
@@ -6169,7 +6179,9 @@ def _run_match_set(
     plan = _match_set_plans(queries)
     if not plan:
         return pd.DataFrame({"plan_id": [], "value": [], "n": []}), plan
-    plan_ref = ray.put((plan, manifest.get("tombstones", {}), field, shard_size))
+    plan_ref = ray.put(
+        (plan, manifest.get("tombstones", {}), field, shard_size, terminate_after)
+    )
     partials = _shards_ds(parts, concurrency).map_batches(
         MatchSetStage,
         fn_constructor_args=(index_dir, plan_ref, cfg),
@@ -6187,27 +6199,50 @@ def _run_match_set(
 
 
 def run_counts(
-    queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT, concurrency: int | None = None
+    queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None, terminate_after: int | None = None,
 ) -> pd.DataFrame:
     """Distributed ES _count: (query_id, n_matching) for every input
     query (0 when nothing matches).  The match-set evaluation runs
     segment-parallel through the LRU-capped MatchSetStage pool; only one
-    count row per (plan, segment) ever reaches the merge."""
-    summed, plan = _run_match_set(queries_ds, index_dir, None, cfg, concurrency)
-    by_plan = (
-        summed.groupby("plan_id")["n"].sum().to_dict() if len(summed) else {}
+    count row per (plan, segment) ever reaches the merge.
+
+    ``terminate_after``: the ES per-shard early-termination cap — each
+    segment contributes at most this many matches (a shard that reaches
+    the cap stops counting, so a contribution == cap means possibly
+    more).  Adds a ``terminated_early`` bool column (true when ANY
+    segment hit the cap, the ES response flag).  The capping happens on
+    the per-(plan, segment) partial rows — semantically identical to
+    in-shard early exit; the full count is never exchanged."""
+    summed, plan = _run_match_set(
+        queries_ds, index_dir, None, cfg, concurrency,
+        terminate_after=terminate_after,
     )
+    by_plan: dict[int, int] = {}
+    term_by_plan: dict[int, bool] = {}
+    if len(summed):
+        counts = summed[summed["value"] == ""]
+        by_plan = counts.groupby("plan_id")["n"].sum().to_dict()
+        flags = summed[summed["value"] == "\x00ta"]
+        term_by_plan = (flags.groupby("plan_id")["n"].sum() > 0).to_dict()
     rows = [
-        {"query_id": qid, "n_matching": int(by_plan.get(q["plan_id"], 0))}
+        {
+            "query_id": qid,
+            "n_matching": int(by_plan.get(q["plan_id"], 0)),
+            "terminated_early": bool(term_by_plan.get(q["plan_id"], False)),
+        }
         for q in plan
         for qid in q["query_ids"]
     ]
-    return (
-        pd.DataFrame(rows, columns=["query_id", "n_matching"])
+    out = (
+        pd.DataFrame(rows, columns=["query_id", "n_matching", "terminated_early"])
         .sort_values("query_id")
         .reset_index(drop=True)
         .astype({"query_id": np.int64, "n_matching": np.int64})
     )
+    if terminate_after is None:
+        out = out.drop(columns=["terminated_early"])
+    return out
 
 
 def run_agg_terms(

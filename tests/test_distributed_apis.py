@@ -888,3 +888,26 @@ def test_mget_fetch_fields(api_index, ray_session):
         docs[docs["url"] == "https://a.x/0050"]["source"].iloc[0]
     )
     assert got["source"].iloc[0] is None and got["source"].iloc[2] is None
+
+
+def test_count_terminate_after(api_index, ray_session):
+    """ES terminate_after on _count: each segment contributes at most
+    the cap; terminated_early set iff any segment hit it; a huge cap is
+    exact with the flag false; absent terms count 0/false."""
+    d, docs = api_index
+    q = pd.DataFrame(
+        {"query_id": np.int64([0, 1]), "text": ["common", "zzznothing"]}
+    )
+    exact = run_counts(q, d, CFG, concurrency=2)
+    assert "terminated_early" not in exact.columns
+    n_exact = int(exact["n_matching"][0])
+    big = run_counts(q, d, CFG, concurrency=2, terminate_after=10**9)
+    assert int(big["n_matching"][0]) == n_exact
+    assert not big["terminated_early"].any()
+    capped = run_counts(q, d, CFG, concurrency=2, terminate_after=1)
+    # every live segment containing 'common' contributes exactly 1
+    n_segs = int(capped["n_matching"][0])
+    assert 1 <= n_segs <= CFG.num_partitions < n_exact
+    assert bool(capped["terminated_early"][0])
+    assert int(capped["n_matching"][1]) == 0
+    assert not bool(capped["terminated_early"][1])
