@@ -3919,6 +3919,60 @@ def _q_collapse_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_collapse_inner_hits(sf_dir: str):
+    """ES field collapsing with inner_hits: top-10 lang groups per
+    derived query, each with its own top-3 docs (inner_rank 1..3) — the
+    TopHitsStage partial shape (no per-segment value cut; exactness in
+    run_collapsed_inner_hits' docstring)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_collapsed_inner_hits
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_cihidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        out = run_collapsed_inner_hits(
+            queries, idx, "lang", k=10, n_hits=3
+        ).to_pandas()
+        return (
+            out[["query_id", "rank", "inner_rank", "doc_id", "score",
+                 "collapse_val"]]
+            .sort_values(["query_id", "rank", "inner_rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+# groups ranked by their best doc (rn=1), inner hits = each group's
+# top-3 (the grouped rn), replayed over the same scores CTE
+_COLLAPSE_INNER_SQL = _BM25_SQL.split("topk AS (")[0] + """grouped AS (
+  SELECT s.query_id, d.lang, s.doc_id, round(s.raw_score, 6) AS score,
+         row_number() OVER (
+           PARTITION BY s.query_id, d.lang
+           ORDER BY round(s.raw_score, 6) DESC, s.doc_id ASC
+         ) AS rn
+  FROM scores s JOIN documents d USING (doc_id)
+),
+groups AS (
+  SELECT query_id, lang,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS grank
+  FROM grouped WHERE rn = 1
+)
+SELECT gr.query_id, g.grank::BIGINT AS rank, gr.rn::BIGINT AS inner_rank,
+       gr.doc_id, gr.score, gr.lang AS collapse_val
+FROM grouped gr JOIN groups g ON g.query_id = gr.query_id AND g.lang = gr.lang
+WHERE g.grank <= 10 AND gr.rn <= 3
+ORDER BY 1, 2, 3
+"""
+
+
 def _q_function_score_topk(sf_dir: str):
     """ES function_score (field_value_factor, boost_mode=multiply):
     BM25 top-10 re-scored by ln1p(n_chars) — per-doc boost applied inside
@@ -7195,6 +7249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_terms_kw": _q_significant_terms,
         "significant_text": _q_significant_text,
         "collapse_topk": _q_collapse_topk,
+        "collapse_inner_hits": _q_collapse_inner_hits,
         "top_hits": _q_top_hits,
         "percolate": _q_percolate,
         "terms_enum": _q_terms_enum,
@@ -7480,6 +7535,7 @@ def oracle_sql() -> dict[str, str]:
         "significant_terms_kw": _SIGTERMS_KW_SQL,
         "significant_text": _SIGTEXT_SQL,
         "collapse_topk": _COLLAPSE_SQL,
+        "collapse_inner_hits": _COLLAPSE_INNER_SQL,
         "top_hits": _TOP_HITS_SQL,
         "percolate": _PERCOLATE_SQL,
         "bm25_topk_and": _BM25_AND_SQL,

@@ -4208,6 +4208,111 @@ def run_top_hits(
     return bucketed_group_agg(partials, ["plan_id", "value"], merge_bucket)
 
 
+def run_collapsed_inner_hits(
+    queries_ds,
+    index_dir: str,
+    collapse_field: str,
+    *,
+    k: int = 10,
+    n_hits: int = 3,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+):
+    """Distributed ES field collapsing WITH inner_hits: top-``k`` groups
+    ranked by their best doc (score desc, doc_id asc), each carrying its
+    own top-``n_hits`` docs (the ES inner_hits sub-list, inner_rank
+    1..n).  Per-segment partials keep n_hits per (plan, value) for EVERY
+    value (TopHitsStage — exact: a group's global top-n doc is in its
+    segment's per-value top-n; collapse's per-segment value cut would
+    lose inner docs of groups whose best lives elsewhere, so the value
+    cut happens only at the merge where every segment's candidates are
+    present).  Shuffle volume plans x segments x values x n_hits — bound
+    by the keyword field's cardinality, the documented assumption.
+    Returns Dataset(query_id, rank, inner_rank, doc_id, key, score,
+    collapse_val)."""
+    import ray
+    import ray.data as rd
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    n_docs = int(manifest["n_docs"])
+    avgdl = float(manifest["avgdl"]) or 1.0
+    k1 = float(manifest.get("k1", cfg.k1))
+    b = float(manifest.get("b", cfg.b))
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "inner_rank": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "key": pd.Series([], dtype=object),
+            "score": pd.Series([], dtype=np.float64),
+            "collapse_val": pd.Series([], dtype=object),
+        }
+    )
+    plan = _scored_match_plans(queries, index_dir, parts, n_docs)
+    if not plan:
+        return rd.from_pandas(empty)
+    plan_ref = ray.put(
+        (plan, avgdl, k1, b, manifest.get("tombstones", {}), collapse_field, n_hits)
+    )
+    partials = _shards_ds(parts, concurrency).map_batches(
+        TopHitsStage,
+        fn_constructor_args=(index_dir, plan_ref, cfg),
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+
+    def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pid_, g in bucket.groupby("plan_id", sort=False):
+            per_val: dict = {}
+            for val, gg in g.groupby("value", sort=False):
+                ids = gg["doc_id"].to_numpy()
+                scores = gg["score"].to_numpy()
+                sel = np.lexsort((ids, -scores))[:n_hits]
+                per_val[val] = (
+                    ids[sel], scores[sel], gg["key"].to_numpy()[sel]
+                )
+            ranked = sorted(
+                per_val, key=lambda v: (-per_val[v][1][0], per_val[v][0][0])
+            )[: max(0, int(k))]
+            frames = []
+            for r, val in enumerate(ranked, 1):
+                ids, scores, keys = per_val[val]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "rank": np.int64(r),
+                            "inner_rank": np.arange(1, 1 + ids.size, dtype=np.int64),
+                            "doc_id": ids,
+                            "key": keys,
+                            "score": scores,
+                            "collapse_val": val,
+                        }
+                    )
+                )
+            if not frames:
+                continue
+            top = pd.concat(frames, ignore_index=True)
+            for qid in fanout.get(int(pid_), []):
+                out.append(top.assign(query_id=np.int64(qid)))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)[
+            ["query_id", "rank", "inner_rank", "doc_id", "key", "score",
+             "collapse_val"]
+        ]
+
+    return bucketed_group_agg(partials, ["plan_id"], merge_bucket)
+
+
 class SortTopkStage(_SegmentCacheStage):
     """Segment-parallel sort-by-field: per (plan, segment) top-k rows by
     a numeric docstore field.  Shuffle volume is plans x segments x k

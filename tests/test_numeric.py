@@ -587,3 +587,38 @@ def test_distance_feature_matches_bruteforce(built):
         g = got[got["query_id"] == qid]
         assert g["doc_id"].tolist() == full["doc_id"].to_numpy()[order].tolist(), qid
         assert g["score"].tolist() == boosted[order].tolist(), qid
+
+
+def test_collapse_inner_hits_matches_bruteforce(built):
+    """collapse + inner_hits: group set/order == run_collapsed; each
+    group's inner list == the match set's per-value head (rank order)."""
+    from kafka_es_ray.query.engine import run_collapsed, run_collapsed_inner_hits
+
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    queries = pd.DataFrame({"query_id": [0, 1], "text": ["alpha beta", "omega kappa"]})
+    got = (
+        run_collapsed_inner_hits(queries, idx, "cat", k=2, n_hits=3, cfg=CFG)
+        .to_pandas()
+        .sort_values(["query_id", "rank", "inner_rank"])
+        .reset_index(drop=True)
+    )
+    base = (
+        run_collapsed(queries, idx, "cat", k=2, cfg=CFG)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # inner_rank=1 rows ARE the plain collapse result (same groups, order)
+    heads = got[got["inner_rank"] == 1].reset_index(drop=True)
+    assert heads["doc_id"].tolist() == base["doc_id"].tolist()
+    assert heads["collapse_val"].tolist() == base["collapse_val"].tolist()
+    cat_of = dict(zip(df["doc_id"], df["cat"]))
+    for qid, text in [(0, "alpha beta"), (1, "omega kappa")]:
+        full = s.search(text, k=10_000)
+        full = full.assign(cat=[cat_of[d] for d in full["doc_id"]])
+        for val in got[got["query_id"] == qid]["collapse_val"].unique():
+            want = full[full["cat"] == val].head(3)
+            g = got[(got["query_id"] == qid) & (got["collapse_val"] == val)]
+            assert g["doc_id"].tolist() == want["doc_id"].tolist(), (qid, val)
+            assert g["inner_rank"].tolist() == list(range(1, len(want) + 1))
