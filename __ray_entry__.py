@@ -1583,6 +1583,60 @@ SELECT query_id, rank::BIGINT AS rank, value, fg_count, bg_count, score
 FROM ranked WHERE rank <= 10
 """
 
+# ES significance heuristics over the same fg/bg CTE: the superset 2x2
+# contingency a=fg_count, b=fgn-a, c=bg_count-a, d=(n-fgn)-c
+_SIG_CELLS = """
+scored AS (
+  SELECT f.query_id, f.value, f.fg_count, b.bg_count,
+         f.fg_count * 1.0 AS a, (g.fgn - f.fg_count) * 1.0 AS bb,
+         (b.bg_count - f.fg_count) * 1.0 AS c,
+         ((nn.n - g.fgn) - (b.bg_count - f.fg_count)) * 1.0 AS d,
+         nn.n * 1.0 AS nt
+  FROM fg f JOIN fgn g USING (query_id) JOIN bg b USING (value) CROSS JOIN nn
+  WHERE f.fg_count >= 3 AND f.fg_count * nn.n > b.bg_count * g.fgn
+),
+"""
+
+_SIGTERMS_CHI2_SQL = _SIGTERMS_KW_SQL.split(",\nscored AS (")[0] + ",\n" + _SIG_CELLS + """
+final AS (
+  SELECT query_id, value, fg_count, bg_count,
+         round(CASE WHEN (a+bb)*(c+d)*(a+c)*(bb+d) > 0
+               THEN nt * (a*d - bb*c) * (a*d - bb*c)
+                    / ((a+bb)*(c+d)*(a+c)*(bb+d))
+               ELSE 0 END, 6) AS score
+  FROM scored
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, value ASC) AS rank
+  FROM final
+)
+SELECT query_id, rank::BIGINT AS rank, value, fg_count, bg_count, score
+FROM ranked WHERE rank <= 10
+"""
+assert "scored AS (" in _SIGTERMS_CHI2_SQL  # split anchor must exist
+
+_SIGTERMS_MI_SQL = _SIGTERMS_KW_SQL.split(",\nscored AS (")[0] + ",\n" + _SIG_CELLS + """
+final AS (
+  SELECT query_id, value, fg_count, bg_count,
+         round(
+           (CASE WHEN a  > 0 THEN (a/nt)  * log2(a*nt  / ((a+bb)*(a+c)))  ELSE 0 END)
+         + (CASE WHEN bb > 0 THEN (bb/nt) * log2(bb*nt / ((a+bb)*(bb+d))) ELSE 0 END)
+         + (CASE WHEN c  > 0 THEN (c/nt)  * log2(c*nt  / ((c+d)*(a+c)))   ELSE 0 END)
+         + (CASE WHEN d  > 0 THEN (d/nt)  * log2(d*nt  / ((c+d)*(bb+d)))  ELSE 0 END)
+         , 6) AS score
+  FROM scored
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, value ASC) AS rank
+  FROM final
+)
+SELECT query_id, rank::BIGINT AS rank, value, fg_count, bg_count, score
+FROM ranked WHERE rank <= 10
+"""
+
+
 # ES rare_terms: match-set terms with global df <= the 5th-smallest
 # distinct df (OFFSET 4; coalesce to max df when fewer distinct values),
 # ranked rarest-first (df asc, term asc)
@@ -4329,6 +4383,44 @@ def _q_significant_terms(sf_dir: str):
         return run_significant_terms(queries, idx, "source", k=10, cfg=cfg)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def _sig_terms_with(sf_dir: str, heuristic: str):
+    """significant_terms under an alternative ES significance heuristic
+    (chi_square / mutual_information) — same fg/bg sweep, the driver
+    reduce applies the 2x2-contingency formula (run_significant_terms
+    docstring)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_significant_terms
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_sghidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, keyword_cols=("source",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("source",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_significant_terms(
+            queries, idx, "source", k=10, heuristic=heuristic, cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_significant_terms_chi2(sf_dir: str):
+    return _sig_terms_with(sf_dir, "chi_square")
+
+
+def _q_significant_terms_mi(sf_dir: str):
+    return _sig_terms_with(sf_dir, "mutual_information")
 
 
 def _q_rare_terms(sf_dir: str):
@@ -7247,6 +7339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_cardinality": _q_match_cardinality,
         "rare_terms": _q_rare_terms,
         "significant_terms_kw": _q_significant_terms,
+        "significant_terms_chi2": _q_significant_terms_chi2,
+        "significant_terms_mi": _q_significant_terms_mi,
         "significant_text": _q_significant_text,
         "collapse_topk": _q_collapse_topk,
         "collapse_inner_hits": _q_collapse_inner_hits,
@@ -7533,6 +7627,8 @@ def oracle_sql() -> dict[str, str]:
         "match_cardinality": _CARDINALITY_SQL,
         "rare_terms": _RARE_TERMS_SQL,
         "significant_terms_kw": _SIGTERMS_KW_SQL,
+        "significant_terms_chi2": _SIGTERMS_CHI2_SQL,
+        "significant_terms_mi": _SIGTERMS_MI_SQL,
         "significant_text": _SIGTEXT_SQL,
         "collapse_topk": _COLLAPSE_SQL,
         "collapse_inner_hits": _COLLAPSE_INNER_SQL,

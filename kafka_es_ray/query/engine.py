@@ -8326,17 +8326,31 @@ def run_significant_terms(
     *,
     k: int = 10,
     min_doc_count: int = 3,
+    heuristic: str = "jlh",
     cfg: EngineConfig = DEFAULT,
     concurrency: int | None = None,
 ) -> pd.DataFrame:
     """Distributed ES significant_terms over a KEYWORD field (the
     structured sibling of significant_text): per query, the field values
     disproportionately frequent in the match set vs the whole index,
-    JLH-scored with the same exact integer significance cut.  Foreground
+    scored with the same exact integer significance cut.  Foreground
     counts are the ordinary terms-agg partials; background counts come
     from one match-all pass over the same stage (`exists lang` matches
     every live doc).  Returns (query_id, rank, value, fg_count, bg_count,
-    score)."""
+    score).
+
+    ``heuristic`` — the ES significance_heuristic choices over the
+    background-is-superset 2x2 contingency (a=fg term, b=fg other,
+    c=bg-only term, d=bg-only other; N=n_total):
+    - "jlh" (ES default): (sp - pp) * (sp / pp)
+    - "chi_square": N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) — the standard
+      2x2 statistic (include_negatives handled by the positive cut)
+    - "mutual_information": Σ_cells p_ij * log2(p_ij / (p_i* p_*j)),
+      empty cells contribute 0 (Manning et al., the ES formula)
+    - "percentage": a / bg_count (the ES percentage heuristic)
+    All round6'd before ranking; ties value asc."""
+    if heuristic not in ("jlh", "chi_square", "mutual_information", "percentage"):
+        raise ValueError(f"unknown significance heuristic {heuristic!r}")
     empty = pd.DataFrame(
         {
             "query_id": pd.Series([], dtype=np.int64),
@@ -8372,7 +8386,31 @@ def run_significant_terms(
         vals, fgc, bgc = vals[keep], fgc[keep], bgc[keep]
         sp = fgc / float(fg_n)
         pp = bgc / float(n_total)
-        score = np.floor((sp - pp) * (sp / pp) * 1e6 + 0.5) / 1e6
+        if heuristic == "jlh":
+            raw = (sp - pp) * (sp / pp)
+        else:
+            a = fgc.astype(np.float64)
+            b_ = float(fg_n) - a
+            c = bgc.astype(np.float64) - a
+            d = float(n_total - fg_n) - c
+            nn = float(n_total)
+            if heuristic == "chi_square":
+                den = (a + b_) * (c + d) * (a + c) * (b_ + d)
+                raw = np.where(den > 0, nn * (a * d - b_ * c) ** 2 / np.where(den > 0, den, 1.0), 0.0)
+            elif heuristic == "mutual_information":
+                raw = np.zeros(a.size)
+                for pij, pi, pj in (
+                    (a, a + b_, a + c), (b_, a + b_, b_ + d),
+                    (c, c + d, a + c), (d, c + d, b_ + d),
+                ):
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        t = (pij / nn) * np.log2(pij * nn / (pi * pj))
+                    raw += np.where(pij > 0, t, 0.0)
+            elif heuristic == "percentage":
+                raw = a / bgc.astype(np.float64)
+            else:
+                raise ValueError(f"unknown significance heuristic {heuristic!r}")
+        score = np.floor(raw * 1e6 + 0.5) / 1e6
         order = np.lexsort((vals, -score))[:k]
         top = pd.DataFrame(
             {

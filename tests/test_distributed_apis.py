@@ -911,3 +911,51 @@ def test_count_terminate_after(api_index, ray_session):
     assert bool(capped["terminated_early"][0])
     assert int(capped["n_matching"][1]) == 0
     assert not bool(capped["terminated_early"][1])
+
+
+def test_significant_terms_heuristics(api_index, ray_session):
+    """chi_square / mutual_information / percentage heuristics == the
+    2x2-contingency formulas over the same fg/bg counts; unknown
+    heuristics refused."""
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+    from kafka_es_ray.query.engine import run_significant_terms
+
+    d, docs = api_index
+    an = get_analyzer("en")
+    deleted = {f"https://a.x/{i:04d}" for i in range(0, 20)}
+    live = docs[~docs["url"].isin(deleted)].reset_index(drop=True)
+    bg = live["source"].value_counts().to_dict()
+    n = len(live)
+    hit = live[live["text"].map(lambda t: "alpha" in an.tokenize(t))]
+    fg = hit["source"].value_counts().to_dict()
+    fg_n = len(hit)
+    q = pd.DataFrame({"query_id": [0], "text": ["alpha"]})
+
+    def cells(v):
+        a = float(fg[v]); b = fg_n - a
+        c = bg[v] - a; dd = (n - fg_n) - c
+        return a, b, c, dd
+
+    got = run_significant_terms(q, d, "source", k=5, min_doc_count=1,
+                                heuristic="chi_square", cfg=CFG)
+    for v, s in zip(got["value"], got["score"]):
+        a, b, c, dd = cells(v)
+        den = (a + b) * (c + dd) * (a + c) * (b + dd)
+        want = n * (a * dd - b * c) ** 2 / den if den > 0 else 0.0
+        assert s == np.floor(want * 1e6 + 0.5) / 1e6, v
+    got_mi = run_significant_terms(q, d, "source", k=5, min_doc_count=1,
+                                   heuristic="mutual_information", cfg=CFG)
+    for v, s in zip(got_mi["value"], got_mi["score"]):
+        a, b, c, dd = cells(v)
+        want = 0.0
+        for pij, pi, pj in ((a, a + b, a + c), (b, a + b, b + dd),
+                            (c, c + dd, a + c), (dd, c + dd, b + dd)):
+            if pij > 0:
+                want += (pij / n) * np.log2(pij * n / (pi * pj))
+        assert s == np.floor(want * 1e6 + 0.5) / 1e6, v
+    got_p = run_significant_terms(q, d, "source", k=5, min_doc_count=1,
+                                  heuristic="percentage", cfg=CFG)
+    for v, s in zip(got_p["value"], got_p["score"]):
+        assert s == np.floor(fg[v] / bg[v] * 1e6 + 0.5) / 1e6, v
+    with pytest.raises(ValueError, match="heuristic"):
+        run_significant_terms(q, d, "source", heuristic="gnd", cfg=CFG)
