@@ -803,6 +803,21 @@ _GEO_DIST_FILTER_SQL = _BM25_SQL.replace(
 )
 assert "gdist" in _GEO_DIST_FILTER_SQL  # replace anchors must exist
 
+# ES geo_polygon filter clause: CONVEX triangle (0,-60) (60,0) (-30,70)
+# — planar half-plane tests, SQL written in the ENGINE's exact arithmetic
+# order ((lo2-lo1)*(lat-la1) - (la2-la1)*(lon-lo1), orientation sign -1
+# for this vertex order) so boundary IEEE results match bit-for-bit
+_GEO_POLY_FILTER_SQL = _BM25_SQL.replace(
+    "WITH dl AS (", "WITH " + _GEO_CTES + ", dl AS ("
+).replace(
+    "  FROM scores\n)",
+    "  FROM scores JOIN geo USING (doc_id)\n"
+    "  WHERE ((0.0 - -60.0) * (lat - 0.0) - (60.0 - 0.0) * (lon - -60.0)) <= 0\n"
+    "    AND ((70.0 - 0.0) * (lat - 60.0) - (-30.0 - 60.0) * (lon - 0.0)) <= 0\n"
+    "    AND ((-60.0 - 70.0) * (lat - -30.0) - (0.0 - -30.0) * (lon - 70.0)) <= 0\n)",
+)
+assert "lat - -30.0" in _GEO_POLY_FILTER_SQL  # replace anchors must exist
+
 # ES geo_bounding_box filter clause: inclusive box lat in [-30, 60],
 # lon in [-90, 90] (no antimeridian crossing)
 _GEO_BBOX_FILTER_SQL = _BM25_SQL.replace(
@@ -7081,6 +7096,34 @@ def _q_geo_distance_filter_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_geo_polygon_filter_topk(sf_dir: str):
+    """ES geo_polygon filter clause: BM25 top-10 keeping only docs whose
+    ``loc`` point lies inside the convex triangle (0,-60) (60,0) (-30,70)
+    — planar half-plane tests per segment (convexity is the documented
+    contract; _geo_poly_keep)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_gplidx_")
+    try:
+        cfg = _build_geo_docs_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"].assign(
+            geo_poly_field="loc", geo_poly_pts="0:-60|60:0|-30:70"
+        )
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_geo_bbox_filter_topk(sf_dir: str):
     """ES geo_bounding_box filter clause: BM25 top-10 keeping only docs
     whose ``loc`` point lies in the inclusive box lat [-30, 60] x
@@ -7267,6 +7310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_search_after": _q_sort_search_after,
         "match_stats_agg": _q_match_stats_agg,
         "geo_distance_filter_topk": _q_geo_distance_filter_topk,
+        "geo_polygon_filter_topk": _q_geo_polygon_filter_topk,
         "geo_bbox_filter_topk": _q_geo_bbox_filter_topk,
         "geo_distance_agg": _q_geo_distance_agg,
         "geotile_grid_agg": _q_geotile_grid_agg,
@@ -7526,6 +7570,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_search_after": _SORT_AFTER_SQL,
         "match_stats_agg": _STATS_AGG_SQL,
         "geo_distance_filter_topk": _GEO_DIST_FILTER_SQL,
+        "geo_polygon_filter_topk": _GEO_POLY_FILTER_SQL,
         "geo_bbox_filter_topk": _GEO_BBOX_FILTER_SQL,
         "geo_distance_agg": _GEO_RING_SQL,
         "geotile_grid_agg": _GEO_TILE_SQL,

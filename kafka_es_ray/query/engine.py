@@ -1483,6 +1483,31 @@ def segment_matching_ids(
     return ids
 
 
+def _geo_poly_keep(s: Segment, ids: np.ndarray, fp: tuple) -> np.ndarray:
+    """Boolean keep-mask for the ES geo_polygon filter over a CONVEX
+    polygon: the doc's ({field}_lat, {field}_lon) point must satisfy
+    every half-plane test (cross product of each directed edge with the
+    point, all matching the polygon's signed-area orientation; boundary
+    inclusive).  PLANAR lat/lon arithmetic — the documented contract
+    (exact-replicable in SQL), appropriate for region-scale polygons
+    away from the antimeridian.  Missing coordinates never match."""
+    fld, pts = fp
+    lats = s.nums_for(f"{fld}_lat", ids)
+    lons = s.nums_for(f"{fld}_lon", ids)
+    keep = ~(np.isnan(lats) | np.isnan(lons))
+    p = np.asarray(pts, dtype=np.float64)  # (n, 2) as (lat, lon)
+    # signed area orientation (shoelace over (lon, lat) as (x, y))
+    x, y = p[:, 1], p[:, 0]
+    area2 = float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    sign = 1.0 if area2 >= 0 else -1.0
+    for i in range(len(p)):
+        la1, lo1 = p[i]
+        la2, lo2 = p[(i + 1) % len(p)]
+        cross = (lo2 - lo1) * (lats - la1) - (la2 - la1) * (lons - lo1)
+        keep &= sign * cross >= 0
+    return keep
+
+
 def _geo_keep(s: Segment, ids: np.ndarray, filter_geo: tuple) -> np.ndarray:
     """Boolean keep-mask for the ES geo_distance filter: round6 haversine
     from each doc's ({field}_lat, {field}_lon) point to the origin must
@@ -2739,6 +2764,7 @@ def score_segment(
     filter_kw: list[tuple] | None = None,
     filter_geo: tuple | None = None,
     filter_script: str | None = None,
+    filter_geo_poly: tuple | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized BM25 scoring of one segment.  With a threshold, MaxScore
     splits terms into essential (union-scored) and non-essential
@@ -2837,6 +2863,13 @@ def score_segment(
         # filters (exact under pruning — only removes docs)
         keep_g = _geo_keep(s, cand, filter_geo)
         cand, acc = cand[keep_g], acc[keep_g]
+        if cand.size == 0:
+            return cand, acc
+    if filter_geo_poly is not None and cand.size:
+        # ES geo_polygon filter clause: convex half-plane tests,
+        # post-scoring like filter_geo (exact under pruning)
+        keep_p = _geo_poly_keep(s, cand, filter_geo_poly)
+        cand, acc = cand[keep_p], acc[keep_p]
         if cand.size == 0:
             return cand, acc
     if filter_script is not None and cand.size:
@@ -3521,6 +3554,7 @@ class ShardScorerStage(_SegmentCacheStage):
                         filter_kw=q.get("filter_kw"),
                         filter_geo=q.get("filter_geo"),
                         filter_script=q.get("filter_script"),
+                        filter_geo_poly=q.get("filter_geo_poly"),
                     )
                     if q.get("fvf") is not None and ids.size:
                         scores = _apply_fvf(seg, ids, scores, q["fvf"])
@@ -5736,6 +5770,7 @@ def run_queries(
         if bbox is not None:  # geo_bounding_box == two range filters
             fr = (tuple(fr) if fr else ()) + bbox
         fg = _row_filter_geo(row)
+        fgp = _row_filter_geo_poly(row)
         fkw = _row_filter_kw(row)
         ms_raw = getattr(row, "min_score", None)
         ms = (
@@ -5852,7 +5887,7 @@ def run_queries(
             _script_filter_sides(fscr)  # comparison-whitelist gate
         key = (
             tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld,
-            fr, fkw, fg, ms, resc, sa, fvf, rf, dfe, scr, fscr, only_sids,
+            fr, fkw, fg, fgp, ms, resc, sa, fvf, rf, dfe, scr, fscr, only_sids,
         )
         entry = plan_by_key.get(key)
         if entry is None:
@@ -5863,6 +5898,7 @@ def run_queries(
                 "filter_ranges": list(fr) if fr else None,
                 "filter_kw": list(fkw) if fkw else None,
                 "filter_geo": fg,
+                "filter_geo_poly": fgp,
                 "min_score": ms,
                 "rescore": (
                     {
@@ -6067,6 +6103,23 @@ def _row_filter_geo(row) -> tuple | None:
         float(row.geo_lon),
         float(row.geo_distance_m),
     )
+
+
+def _row_filter_geo_poly(row) -> tuple | None:
+    """Optional ES geo_polygon filter from queries-DataFrame columns
+    ``geo_poly_field`` + ``geo_poly_pts`` ("lat:lon|lat:lon|..." — a
+    CONVEX polygon, >= 3 vertices) -> (field, ((lat, lon), ...)) or
+    None.  Convexity is the documented contract (half-plane tests)."""
+    fld = getattr(row, "geo_poly_field", None)
+    if fld is None or (isinstance(fld, float) and pd.isna(fld)):
+        return None
+    pts = []
+    for part in str(row.geo_poly_pts).split("|"):
+        la, _, lo = part.partition(":")
+        pts.append((float(la), float(lo)))
+    if len(pts) < 3:
+        raise ValueError("geo_polygon: need >= 3 vertices")
+    return (str(fld), tuple(pts))
 
 
 def _row_filter_geo_bbox(row) -> tuple | None:

@@ -312,3 +312,40 @@ def test_missing_points_never_match(built):
     located = set(df.dropna(subset=["loc_lat", "loc_lon"])["doc_id"])
     assert set(out["doc_id"]) <= located
     assert len(out) == len(df.dropna(subset=["loc_lat", "loc_lon"]))
+
+
+def test_geo_polygon_filter_matches_bruteforce(built):
+    """Convex geo_polygon == half-plane tests regardless of vertex
+    orientation (cw == ccw); missing points never match; degenerate
+    (<3-vertex) polygons refused."""
+    idx, df = built
+    tri = [(0.0, -60.0), (60.0, 0.0), (-30.0, 70.0)]
+
+    def inside(lat, lon):
+        ok = ~(np.isnan(lat) | np.isnan(lon))
+        for (la1, lo1), (la2, lo2) in zip(tri, tri[1:] + tri[:1]):
+            cross = (lo2 - lo1) * (lat - la1) - (la2 - la1) * (lon - lo1)
+            ok &= -cross >= 0  # this vertex order is clockwise (sign -1)
+        return ok
+
+    q = _queries(["alpha beta"]).assign(
+        geo_poly_field="loc", geo_poly_pts="0:-60|60:0|-30:70"
+    )
+    out = run_queries(q, idx, CFG).to_pandas()
+    want = _brute_match(df, ["alpha", "beta"])
+    want = want[inside(want["loc_lat"].to_numpy(), want["loc_lon"].to_numpy())]
+    assert set(out["doc_id"]) == set(want["doc_id"])
+    assert len(want) > 0
+    # reversed vertex order (ccw) selects the same region
+    q2 = _queries(["alpha beta"]).assign(
+        geo_poly_field="loc", geo_poly_pts="-30:70|60:0|0:-60"
+    )
+    out2 = run_queries(q2, idx, CFG).to_pandas()
+    assert set(out2["doc_id"]) == set(out["doc_id"])
+    with pytest.raises(ValueError, match="3 vertices"):
+        run_queries(
+            _queries(["alpha"]).assign(
+                geo_poly_field="loc", geo_poly_pts="0:0|1:1"
+            ),
+            idx, CFG,
+        )
