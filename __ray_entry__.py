@@ -5560,6 +5560,45 @@ ORDER BY n DESC, value ASC
 )
 
 
+def _q_has_child_inner_hits(sf_dir: str):
+    """ES has_child with inner_hits: orders with >= 1 lineitem matching
+    (l_returnflag='R' AND l_quantity>=30), each with its first 3 matching
+    children by child key asc (filter context — key order is the
+    deterministic rule)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.query.parent_join import run_has_child_inner_hits
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_pjidx_")
+    try:
+        cfg = _parent_join_index(sf_dir, idx)
+        out = run_has_child_inner_hits(
+            idx,
+            {"kw": [("l_returnflag", "R")], "range": [("l_quantity", 30.0, None)]},
+            n_hits=3, cfg=cfg,
+        ).to_pandas()
+        return out.sort_values(["key", "inner_rank"]).reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_HAS_CHILD_INNER_SQL = (
+    "WITH " + _CHILD_DOCS_SQL + """
+, hits AS (
+  SELECT 'O' || CAST(l_orderkey AS VARCHAR) AS key, c.key AS child_key,
+         row_number() OVER (
+           PARTITION BY l_orderkey ORDER BY c.key ASC
+         ) AS inner_rank
+  FROM child_docs c
+  WHERE l_returnflag = 'R' AND l_quantity >= 30
+)
+SELECT key, child_key, inner_rank::BIGINT AS inner_rank
+FROM hits WHERE inner_rank <= 3 ORDER BY 1, 3
+"""
+)
+
+
 def _q_parent_terms_agg(sf_dir: str):
     """ES `parent` aggregation (terms sub-agg): o_orderpriority counts
     over orders having >= 1 lineitem matching (l_returnflag='R' AND
@@ -7373,6 +7412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "has_parent_lineitems": _q_has_parent,
         "children_terms_agg": _q_children_terms_agg,
         "parent_terms_agg": _q_parent_terms_agg,
+        "has_child_inner_hits": _q_has_child_inner_hits,
         "match_percentiles": _q_match_percentiles,
         "variable_width_histogram_agg": _q_variable_width_histogram,
         "match_subagg": _q_match_subagg,
@@ -7638,6 +7678,7 @@ def oracle_sql() -> dict[str, str]:
         "has_parent_lineitems": _HAS_PARENT_SQL,
         "children_terms_agg": _CHILDREN_TERMS_SQL,
         "parent_terms_agg": _PARENT_TERMS_SQL,
+        "has_child_inner_hits": _HAS_CHILD_INNER_SQL,
         "match_histogram": _HISTOGRAM_SQL,
         "match_percentiles": _PERCENTILES_SQL,
         "match_subagg": _SUBAGG_SQL,

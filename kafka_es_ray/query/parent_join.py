@@ -71,6 +71,7 @@ class ParentJoinStage(_SegmentCacheStage):
             *rest,
         ) = payload
         self.agg_field = rest[0] if rest else None
+        self.inner_n = int(rest[1]) if len(rest) > 1 and rest[1] else 3
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -127,6 +128,34 @@ class ParentJoinStage(_SegmentCacheStage):
                         {"value": uniq, "n": counts.astype(np.int64)}
                     )
                 )
+            elif self.mode == "has_child_inner":
+                # ES has_child with inner_hits: each matched parent plus
+                # its first inner_n matching children (child key asc —
+                # filter context has no scores, so key order is the
+                # deterministic ES tie rule here); shard-local like
+                # has_child (co-location contract)
+                hit_children = _apply_filter(seg, child_ids, self.filt)
+                if not hit_children.size:
+                    continue
+                pk = seg.field_for(self.parent_key_field, hit_children)
+                ck = seg.keys_for(hit_children)
+                order = np.lexsort((ck, pk))
+                pk_s, ck_s = pk[order], ck[order]
+                first = np.ones(pk_s.size, dtype=bool)
+                first[1:] = pk_s[1:] != pk_s[:-1]
+                starts = np.flatnonzero(first)
+                run_id = np.cumsum(first) - 1
+                pos = np.arange(pk_s.size) - starts[run_id]
+                keep = pos < self.inner_n
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "key": pk_s[keep],
+                            "child_key": ck_s[keep],
+                            "inner_rank": (pos[keep] + 1).astype(np.int64),
+                        }
+                    )
+                )
             elif self.mode == "parent_terms":
                 # ES `parent` aggregation with a terms sub-agg: bucket a
                 # PARENT keyword field over parents having >= 1 child
@@ -172,6 +201,10 @@ class ParentJoinStage(_SegmentCacheStage):
             if self.mode == "has_child":
                 cols = {"key": pd.Series([], dtype=object),
                         "n_children": pd.Series([], dtype=np.int64)}
+            elif self.mode == "has_child_inner":
+                cols = {"key": pd.Series([], dtype=object),
+                        "child_key": pd.Series([], dtype=object),
+                        "inner_rank": pd.Series([], dtype=np.int64)}
             elif self.mode in ("children_terms", "parent_terms"):
                 cols = {"value": pd.Series([], dtype=object),
                         "n": pd.Series([], dtype=np.int64)}
@@ -195,6 +228,7 @@ def _run(
     child_type: str = "child",
     min_children: int = 1,
     agg_field: str | None = None,
+    inner_n: int = 3,
 ):
     import ray
     import ray.data as rd
@@ -213,6 +247,7 @@ def _run(
             filt,
             int(min_children),
             agg_field,
+            int(inner_n),
         )
     )
     shards = rd.from_pandas(pd.DataFrame({"part_id": parts})).repartition(
@@ -276,6 +311,25 @@ def run_children_terms_agg(
         agg_field=child_field, **kw,
     )
     return _terms_merge(ds)
+
+
+def run_has_child_inner_hits(
+    index_dir: str,
+    child_filter: dict,
+    n_hits: int = 3,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+    **kw,
+):
+    """ES has_child with inner_hits: each parent having >= 1 matching
+    child, paired with its first ``n_hits`` matching children (child key
+    asc — the deterministic order in filter context).  Shard-local (the
+    co-location contract).  Returns Dataset(key, child_key,
+    inner_rank)."""
+    return _run(
+        "has_child_inner", index_dir, child_filter, cfg, concurrency,
+        inner_n=n_hits, **kw,
+    )
 
 
 def run_parent_terms_agg(

@@ -127,3 +127,26 @@ def test_parent_terms_agg(pj_index):
         pj_index, {"kw": [("grade", "zzz")]}, "grade", cfg=CFG
     )
     assert len(empty) == 0 and list(empty.columns) == ["value", "n"]
+
+
+def test_has_child_inner_hits(pj_index):
+    from kafka_es_ray.query.parent_join import run_has_child_inner_hits
+
+    # grade=a children: C0,C1 (P0), C3 (P1); key-asc order within parent
+    out = run_has_child_inner_hits(
+        pj_index, {"kw": [("grade", "a")]}, n_hits=3, cfg=CFG
+    ).to_pandas().sort_values(["key", "inner_rank"]).reset_index(drop=True)
+    assert list(zip(out["key"], out["child_key"], out["inner_rank"])) == [
+        ("P0", "C0", 1), ("P0", "C1", 2), ("P1", "C3", 1),
+    ]
+    # n_hits caps the inner list
+    capped = run_has_child_inner_hits(
+        pj_index, {"kw": [("grade", "a")]}, n_hits=1, cfg=CFG
+    ).to_pandas()
+    assert (capped["inner_rank"] == 1).all() and len(capped) == 2
+    empty = run_has_child_inner_hits(
+        pj_index, {"kw": [("grade", "zzz")]}, cfg=CFG
+    )
+    assert empty.count() == 0 and set(empty.schema().names) == {
+        "key", "child_key", "inner_rank",
+    }
