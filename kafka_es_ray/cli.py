@@ -121,6 +121,15 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--name", default=None)
     al.add_argument("--indexes", nargs="*", default=None)
 
+    tp = sub.add_parser("template", help="manage index templates (ES _index_template)")
+    tp.add_argument("action", choices=["put", "delete", "list"])
+    tp.add_argument("--registry", required=True, help="registry JSON path (shared with aliases)")
+    tp.add_argument("--name", default=None)
+    tp.add_argument("--pattern", default=None, help="glob over new index names, e.g. 'logs-*'")
+    tp.add_argument("--priority", type=int, default=0)
+    tp.add_argument("--settings", default=None,
+                    help='JSON EngineConfig overrides, e.g. \'{"num_partitions": 4}\'')
+
     eb = sub.add_parser("export-by-query", help="dump matching docs to partitioned parquet")
     eb.add_argument("--index", required=True)
     eb.add_argument("--text", required=True)
@@ -382,6 +391,22 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(remove_alias(args.registry, args.name)))
         else:
             print(json.dumps(list_aliases(args.registry)))
+    elif args.cmd == "template":
+        from kafka_es_ray.index.aliases import delete_template, list_templates, put_template
+
+        if args.action == "put":
+            if not args.name or not args.pattern or args.settings is None:
+                p.error("template put needs --name, --pattern and --settings")
+            print(json.dumps(put_template(
+                args.registry, args.name, args.pattern,
+                json.loads(args.settings), priority=args.priority,
+            )))
+        elif args.action == "delete":
+            if not args.name:
+                p.error("template delete needs --name")
+            print(json.dumps(delete_template(args.registry, args.name)))
+        else:
+            print(json.dumps(list_templates(args.registry)))
     elif args.cmd == "export-by-query":
         own_session = _ray_init(args.num_cpus)
         from kafka_es_ray.index.incremental import export_by_query

@@ -23,28 +23,107 @@ def _load(registry_path: str) -> dict:
 
 
 def list_aliases(registry_path: str) -> dict:
-    """{alias: [index_dir, ...]}."""
-    return _load(registry_path)
+    """{alias: [index_dir, ...]} (the reserved ``_templates`` section is
+    not an alias and is excluded)."""
+    return {k: v for k, v in _load(registry_path).items() if k != "_templates"}
 
 
 def add_alias(registry_path: str, alias: str, index_dirs: list[str]) -> dict:
     """Point ``alias`` at ``index_dirs`` (replacing any previous target
     set — the ES actions=[{remove},{add}] swap collapses to one call).
     Every target must be a committed index (manifest present)."""
+    if alias.startswith("_"):
+        raise ValueError(f"alias names may not start with '_': {alias!r}")
     for d in index_dirs:
         if not os.path.exists(os.path.join(d, "manifest.json")):
             raise ValueError(f"not a committed index (no manifest): {d}")
     reg = _load(registry_path)
     reg[alias] = [os.path.abspath(d) for d in index_dirs]
     atomic_write_json(reg, registry_path)
-    return reg
+    return {k: v for k, v in reg.items() if k != "_templates"}
 
 
 def remove_alias(registry_path: str, alias: str) -> dict:
     reg = _load(registry_path)
     reg.pop(alias, None)
     atomic_write_json(reg, registry_path)
-    return reg
+    return {k: v for k, v in reg.items() if k != "_templates"}
+
+
+_TEMPLATE_SETTINGS = {
+    "num_partitions", "index_positions", "store_text",
+    "keyword_cols", "numeric_cols", "vector_cols", "text_fields",
+}
+
+
+def put_template(
+    registry_path: str, name: str, pattern: str, settings: dict,
+    priority: int = 0,
+) -> dict:
+    """ES ``_index_template`` analog: a named template = (glob
+    index_pattern, EngineConfig setting overrides, priority), stored in
+    the registry's reserved ``_templates`` section.  When an index is
+    auto-created under a matching name (rollover's new generation, or
+    ``template_config`` callers), the highest-priority matching
+    template's settings apply (the ES composable-template rule; ties
+    break name asc)."""
+    bad = set(settings) - _TEMPLATE_SETTINGS
+    if bad:
+        raise ValueError(
+            f"unknown template settings {sorted(bad)} "
+            f"(allowed: {sorted(_TEMPLATE_SETTINGS)})"
+        )
+    reg = _load(registry_path)
+    tpl = reg.setdefault("_templates", {})
+    tpl[name] = {
+        "pattern": str(pattern), "settings": dict(settings),
+        "priority": int(priority),
+    }
+    atomic_write_json(reg, registry_path)
+    return tpl[name]
+
+
+def list_templates(registry_path: str) -> dict:
+    return _load(registry_path).get("_templates", {})
+
+
+def delete_template(registry_path: str, name: str) -> dict:
+    reg = _load(registry_path)
+    reg.get("_templates", {}).pop(name, None)
+    atomic_write_json(reg, registry_path)
+    return reg.get("_templates", {})
+
+
+def match_template(registry_path: str, index_name: str) -> dict | None:
+    """Highest-priority template whose glob pattern matches
+    ``index_name`` (fnmatch; ties name asc), or None."""
+    import fnmatch
+
+    tpl = _load(registry_path).get("_templates", {})
+    hits = sorted(
+        ((-v["priority"], k) for k, v in tpl.items()
+         if fnmatch.fnmatch(index_name, v["pattern"])),
+    )
+    return tpl[hits[0][1]] if hits else None
+
+
+def template_config(registry_path: str, index_name: str, base=None):
+    """EngineConfig for a new index named ``index_name``: the matching
+    template's settings over ``base`` (or the library DEFAULT) — list
+    settings become tuples (EngineConfig's storage form)."""
+    from dataclasses import replace
+
+    from kafka_es_ray.config import DEFAULT
+
+    cfg = base if base is not None else DEFAULT
+    t = match_template(registry_path, index_name)
+    if t is None:
+        return cfg
+    kw = {
+        k: (tuple(v) if isinstance(v, list) else v)
+        for k, v in t["settings"].items()
+    }
+    return replace(cfg, **kw)
 
 
 def rollover(
@@ -115,7 +194,12 @@ def rollover(
         }
     )
     build_index(
-        rd.from_pandas(empty), new_index_dir, cfg or DEFAULT,
+        rd.from_pandas(empty), new_index_dir,
+        # no explicit cfg: the new generation inherits the matching
+        # index template's settings (ES rollover-through-template)
+        cfg or template_config(
+            registry_path, os.path.basename(new_index_dir), DEFAULT
+        ),
         html_col=None, ts_col=None,
     )
     add_alias(registry_path, alias, [*targets, new_index_dir])
@@ -128,7 +212,7 @@ def resolve(registry_path: str | None, name: str) -> list[str]:
     passes through (so every query entry point accepts both)."""
     if registry_path:
         reg = _load(registry_path)
-        if name in reg:
+        if name in reg and name != "_templates":
             return list(reg[name])
     if os.path.exists(os.path.join(name, "manifest.json")):
         return [name]

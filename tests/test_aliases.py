@@ -127,3 +127,44 @@ def test_rollover_age_and_size_conditions(two_indexes, tmp_path, ray_session):
     add_alias(reg, "fat", [d2])
     r3 = rollover(reg, "fat", str(tmp_path / "g2"), max_size_bytes=1, cfg=CFG)
     assert r3["rolled"] and r3["size_bytes"] >= 1
+
+
+def test_index_templates(two_indexes, tmp_path, ray_session):
+    """_index_template analog: glob match, priority tie-break, settings
+    become the new rollover generation's EngineConfig; unknown settings
+    refused; '_' alias names reserved."""
+    from kafka_es_ray.index.aliases import (
+        delete_template,
+        list_templates,
+        match_template,
+        put_template,
+        rollover,
+        template_config,
+    )
+    from kafka_es_ray.index.segment import read_manifest
+
+    reg = str(tmp_path / "reg.json")
+    put_template(reg, "logs", "logs-*", {"num_partitions": 3, "store_text": True})
+    put_template(reg, "logs-hot", "logs-hot-*",
+                 {"num_partitions": 5, "keyword_cols": ["site"]}, priority=10)
+    assert set(list_templates(reg)) == {"logs", "logs-hot"}
+    assert match_template(reg, "metrics-1") is None
+    assert match_template(reg, "logs-1")["settings"]["num_partitions"] == 3
+    # higher priority wins where both patterns match
+    assert match_template(reg, "logs-hot-7")["settings"]["num_partitions"] == 5
+    cfg = template_config(reg, "logs-hot-7")
+    assert cfg.num_partitions == 5 and cfg.keyword_cols == ("site",)
+    with pytest.raises(ValueError, match="unknown template settings"):
+        put_template(reg, "bad", "x-*", {"nope": 1})
+    with pytest.raises(ValueError, match="may not start with '_'"):
+        add_alias(reg, "_templates", [two_indexes[0]])
+    # rollover picks the template for the new generation's name
+    d1, _ = two_indexes
+    add_alias(reg, "stream2", [d1])
+    r = rollover(reg, "stream2", str(tmp_path / "logs-hot-001"), max_docs=1)
+    assert r["rolled"]
+    m = read_manifest(str(tmp_path / "logs-hot-001"))
+    assert m["num_partitions"] == 5
+    assert m["mappings"]["keyword_cols"] == ["site"]
+    # aliases listing keeps hiding the template section
+    assert "_templates" not in list_aliases(reg)
