@@ -2179,6 +2179,47 @@ def _q_match_fuzzy_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_match_fuzzy2_topk(sf_dir: str):
+    """ES match with fuzziness=2: the same deterministic probe expands
+    to its edit-distance-<=2 dictionary variants (vectorized banded
+    Levenshtein over the global dictionary), scored as the bool-OR of
+    the expanded terms — a strict superset of the fuzziness=1 set."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_mf2idx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        w1 = derive_ranked_terms(IndexSearcher(idx), 1)[0]
+        queries = pd.DataFrame(
+            {
+                "query_id": np.array([0], dtype=np.int64),
+                "text": [w1[:-1]],
+                "fuzziness": np.array([2], dtype=np.int64),
+            }
+        )
+        out = run_queries(queries, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_MATCH_FUZZY2_SQL = _MATCH_FUZZY_SQL.replace(
+    "WHERE levenshtein(df.term, probe.p) <= 1",
+    "WHERE levenshtein(df.term, probe.p) <= 2",
+)
+assert "<= 2" in _MATCH_FUZZY2_SQL  # replace anchor must exist
+
+
 def _q_weighted_terms_topk(sf_dir: str):
     """ES sparse_vector / rank_features weighted-term retrieval (the
     learned-sparse ELSER/SPLADE scoring shape): score = Σ w_t · tf(t,d)
@@ -7330,6 +7371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wrapper_topk": _q_wrapper_topk,
         "terms_lookup_topk": _q_terms_lookup_topk,
         "match_fuzzy_topk": _q_match_fuzzy_topk,
+        "match_fuzzy2_topk": _q_match_fuzzy2_topk,
         "weighted_terms_topk": _q_weighted_terms_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "range_filter_topk": _q_range_filter_topk,
@@ -7579,6 +7621,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "terms_lookup_topk": _TERMS_LOOKUP_SQL,
         "match_fuzzy_topk": _MATCH_FUZZY_SQL,
+        "match_fuzzy2_topk": _MATCH_FUZZY2_SQL,
         "weighted_terms_topk": _WEIGHTED_TERMS_SQL,
         "range_filter_topk": _RANGE_SQL,
         "script_filter_topk": _SCRIPT_FILTER_SQL,

@@ -1939,6 +1939,63 @@ def _fuzzy_term_indices(s: Segment, term: str) -> list[int]:
     return sorted(out)
 
 
+def _fuzzy_term_indices_k(s: Segment, term: str, max_edits: int) -> list[int]:
+    """Dictionary term indices within edit distance <= ``max_edits`` of
+    ``term``.  max_edits=1 uses the vectorized lcp+lcs identity
+    (_fuzzy_term_indices); max_edits=2 runs a vectorized Levenshtein DP
+    over the 5 length bands |q|-2..+2 — columns iterate (term length,
+    <= ~30 for analyzed tokens), rows are numpy vectors over the whole
+    band, so cost is O(|q| x L) vector ops per band, never per-candidate
+    Python.  Byte-level == char-level for the ascii analyzer."""
+    if max_edits <= 1:
+        return _fuzzy_term_indices(s, term)
+    if max_edits != 2:
+        raise ValueError("fuzziness: only 1, 2 or 'auto' supported")
+    import pyarrow.compute as pc
+
+    qb = np.frombuffer(term.encode("utf-8"), dtype=np.uint8)
+    lq = qb.size
+    if lq == 0:
+        return []
+    arr = s.terms_arr.combine_chunks() if hasattr(s.terms_arr, "combine_chunks") else s.terms_arr
+    lens = pc.binary_length(arr).to_numpy(zero_copy_only=False)
+    out: list[int] = []
+    for L in range(max(1, lq - 2), lq + 3):
+        band = np.flatnonzero(lens == L)
+        if band.size == 0:
+            continue
+        sub = arr.take(pa.array(band, type=pa.int64()))
+        if isinstance(sub, pa.ChunkedArray):
+            sub = sub.combine_chunks()
+        off_dt = np.int64 if pa.types.is_large_string(sub.type) else np.int32
+        off0 = int(np.frombuffer(sub.buffers()[1], dtype=off_dt)[sub.offset])
+        data = np.frombuffer(sub.buffers()[2], dtype=np.uint8)
+        mat = data[off0 : off0 + band.size * L].reshape(band.size, L)
+        prev = np.broadcast_to(
+            np.arange(L + 1, dtype=np.int32), (band.size, L + 1)
+        ).copy()
+        for i in range(1, lq + 1):
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
+            sub_cost = (mat != qb[i - 1]).astype(np.int32)
+            for j in range(1, L + 1):
+                cur[:, j] = np.minimum(
+                    np.minimum(cur[:, j - 1] + 1, prev[:, j] + 1),
+                    prev[:, j - 1] + sub_cost[:, j - 1],
+                )
+            prev = cur
+        ok = prev[:, L] <= 2
+        out.extend(band[ok].tolist())
+    return sorted(out)
+
+
+def auto_fuzziness(term: str) -> int:
+    """The ES fuzziness=AUTO rule (AUTO:3,6 defaults): 0 edits for terms
+    shorter than 3 chars, 1 for 3..5, 2 for 6+."""
+    n = len(term)
+    return 0 if n < 3 else (1 if n < 6 else 2)
+
+
 def segment_fuzzy_matching_ids(
     s: Segment,
     term: str,
@@ -4534,10 +4591,13 @@ def _shard_terms_enum(
     )
 
 
-def _shard_fuzzy_enum(index_dir: str, pid: int, term: str) -> list[str]:
-    """One segment's edit-distance-<=1 dictionary terms for ``term`` —
-    dictionary-only (postings never read), the vectorized length-band
-    lcp+lcs identity of _fuzzy_term_indices.  Field-prefixed dictionary
+def _shard_fuzzy_enum(
+    index_dir: str, pid: int, term: str, max_edits: int = 1
+) -> list[str]:
+    """One segment's edit-distance-<=``max_edits`` dictionary terms for
+    ``term`` — dictionary-only (postings never read); distance 1 via the
+    vectorized lcp+lcs identity, distance 2 via the vectorized banded
+    Levenshtein (_fuzzy_term_indices_k).  Field-prefixed dictionary
     entries of multi-field indexes are excluded (default-field
     semantics)."""
     import types
@@ -4546,7 +4606,9 @@ def _shard_fuzzy_enum(index_dir: str, pid: int, term: str) -> list[str]:
 
     t = pq.read_table(postings_path(index_dir, pid), columns=["term"])
     arr = t.column("term").combine_chunks()
-    tids = _fuzzy_term_indices(types.SimpleNamespace(terms_arr=arr), term)
+    tids = _fuzzy_term_indices_k(
+        types.SimpleNamespace(terms_arr=arr), term, max_edits
+    )
     return [v for v in (arr[i].as_py() for i in tids) if "\x1f" not in v]
 
 
@@ -4580,22 +4642,27 @@ def _global_prefix_expand(dirs: list, manifests: list, prefix: str) -> list[str]
     return sorted({t for lst in lists for t in lst})
 
 
-def _global_fuzzy_expand(dirs: list, manifests: list, term: str) -> list[str]:
-    """GLOBAL fuzziness=1 expansion of one analyzed term over every
+def _global_fuzzy_expand(
+    dirs: list, manifests: list, term: str, max_edits: int = 1
+) -> list[str]:
+    """GLOBAL fuzziness expansion of one analyzed term over every
     segment dictionary — deterministic across shard layouts (Lucene
     expands per segment, so ES scores can vary with merges; the global
-    set is the frozen engine convention).  Dictionary-only; parallel via
-    raw tasks when the index has many shards."""
+    set is the frozen engine convention).  ``max_edits`` 0 returns the
+    term itself (the AUTO short-term rule).  Dictionary-only; parallel
+    via raw tasks when the index has many shards."""
     import ray
 
+    if max_edits <= 0:
+        return [term]
     jobs = [
         (d, int(p)) for d, m in zip(dirs, manifests) for p in m["parts"]
     ]
     if len(jobs) <= 4:
-        lists = [_shard_fuzzy_enum(d, p, term) for d, p in jobs]
+        lists = [_shard_fuzzy_enum(d, p, term, max_edits) for d, p in jobs]
     else:
         enum = ray.remote(num_cpus=1)(_shard_fuzzy_enum)
-        lists = ray.get([enum.remote(d, p, term) for d, p in jobs])
+        lists = ray.get([enum.remote(d, p, term, max_edits) for d, p in jobs])
     return sorted({t for lst in lists for t in lst})
 
 
@@ -4904,25 +4971,32 @@ def run_queries(
         return str(v)
 
     if "fuzziness" in queries.columns and queries["fuzziness"].notna().any():
-        # ES match with fuzziness=1: each analyzed term expands to its
-        # edit-distance-1 dictionary variants (GLOBAL dictionary-only
-        # pass — deterministic across shard layouts, where Lucene's
-        # per-segment rewrite is not), then the row scores as the
-        # bool-OR of the expanded terms, each with its own global df/idf
-        # (the ES fuzzy-rewrite-to-bool shape; frozen convention).
+        # ES match with fuzziness=1|2|"auto": each analyzed term expands
+        # to its edit-distance dictionary variants (GLOBAL
+        # dictionary-only pass — deterministic across shard layouts,
+        # where Lucene's per-segment rewrite is not), then the row
+        # scores as the bool-OR of the expanded terms, each with its own
+        # global df/idf (the ES fuzzy-rewrite-to-bool shape; frozen
+        # convention).  "auto" = the ES AUTO:3,6 per-term rule
+        # (auto_fuzziness).
         queries = queries.copy()
-        fz_cache: dict[str, list[str]] = {}
+        fz_cache: dict[tuple, list[str]] = {}
         for i in queries.index[queries["fuzziness"].notna()]:
-            if int(queries.at[i, "fuzziness"]) != 1:
-                raise ValueError("match fuzziness: only fuzziness=1 supported")
+            raw_fz = queries.at[i, "fuzziness"]
+            is_auto = isinstance(raw_fz, str) and raw_fz.lower() == "auto"
+            if not is_auto and int(raw_fz) not in (1, 2):
+                raise ValueError("match fuzziness: only 1, 2 or 'auto' supported")
             an_f = get_analyzer(
                 queries.at[i, "lang"] if "lang" in queries.columns else None
             )
             expanded: set[str] = set()
             for t in an_f.tokenize(str(queries.at[i, "text"])):
-                if t not in fz_cache:
-                    fz_cache[t] = _global_fuzzy_expand(dirs, manifests, t)
-                expanded.update(fz_cache[t])
+                me = auto_fuzziness(t) if is_auto else int(raw_fz)
+                if (t, me) not in fz_cache:
+                    fz_cache[(t, me)] = _global_fuzzy_expand(
+                        dirs, manifests, t, me
+                    )
+                expanded.update(fz_cache[(t, me)])
             queries.at[i, "text"] = " ".join(sorted(expanded))
 
     # span_multi rows (span_near whose clauses may be prefix wrappers,

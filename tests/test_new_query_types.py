@@ -554,9 +554,24 @@ def test_match_fuzziness_expansion(ray_session, tmp_path):
         want.sort_values("rank").reset_index(drop=True),
     )
     assert set(got["key"]) == {"u0", "u1"}
+    # fuzziness=2 widens to the dist-2 variants (crown/brownx/frown)
+    got2 = run_queries(
+        pd.DataFrame(
+            {"query_id": [0], "text": ["browm"], "fuzziness": [2],
+             "k": np.int32(10)}
+        ),
+        d, cfg,
+    ).to_pandas()
+    assert set(got2["key"]) == {"u0", "u1", "u2", "u3", "u4"}
+    # "auto": the 5-char probe gets 1 edit (AUTO:3,6) == the fuzziness=1 set
+    got_a = run_queries(
+        pd.DataFrame({"query_id": [0], "text": ["browm"], "fuzziness": ["auto"]}),
+        d, cfg,
+    ).to_pandas()
+    assert set(got_a["key"]) == {"u0", "u1"}
     with pytest.raises(ValueError, match="fuzziness"):
         run_queries(
-            pd.DataFrame({"query_id": [0], "text": ["browm"], "fuzziness": [2]}),
+            pd.DataFrame({"query_id": [0], "text": ["browm"], "fuzziness": [3]}),
             d, cfg,
         )
     empty = run_queries(

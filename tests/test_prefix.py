@@ -354,3 +354,30 @@ def test_mixed_match_and_prefix_plans(built):
     got = dict(zip(out["query_id"], out["n_matching"]))
     assert got[0] == s.count("banana")
     assert got[1] == s.prefix_count("dog")
+
+
+def test_fuzzy2_term_expansion_matches_levenshtein(built):
+    from kafka_es_ray.query.engine import _fuzzy_term_indices_k, auto_fuzziness
+
+    idx, _ = built
+    probes = [
+        "apple", "aple", "ale", "cat", "ct", "dg", "banct", "xyndit",
+        "a", "catalogxy", "ppl", "banditss", "dppl",
+    ]
+    for pid in range(CFG.num_partitions):
+        s = Segment.load(idx, pid)
+        terms = [t.as_py() for t in s.terms_arr]
+        for q in probes:
+            got = _fuzzy_term_indices_k(s, q, 2)
+            want = [i for i, t in enumerate(terms) if _lev(q, t) <= 2]
+            assert got == want, (q, pid)
+            # distance-1 path stays the strict subset
+            got1 = _fuzzy_term_indices_k(s, q, 1)
+            assert set(got1) <= set(got), q
+    # the ES AUTO:3,6 rule
+    assert auto_fuzziness("ab") == 0
+    assert auto_fuzziness("abc") == 1 and auto_fuzziness("abcde") == 1
+    assert auto_fuzziness("abcdef") == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="only 1, 2"):
+        _fuzzy_term_indices_k(Segment.load(idx, 0), "apple", 3)
