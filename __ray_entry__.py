@@ -6560,6 +6560,28 @@ def _q_sessionize(sf_dir: str):
     )
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    """Trained-BPE token counting (rows-only — the merge loop is not
+    SQL-expressible; pytest test_bpe.py pins the algorithm on the
+    classic worked example + serial-parity + partition-invariance):
+    learn 40 merges on the deterministic 1/7 corpus sample (few enough
+    that long words stay split into subwords on this small-vocab
+    corpus), then count
+    (doc_id, n_tokens, n_bpe_tokens) for every document with the
+    memoized distributed encoder."""
+    from kafka_es_ray.pipelines.text_ops import bpe_token_counts, bpe_train_sample
+    from kafka_es_ray.sources.parquet import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train_sample(docs, num_merges=40, sample_mod=7)
+    return (
+        bpe_token_counts(docs, merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_cumulative_cardinality(sf_dir: str):
     """ES cumulative_cardinality pipeline aggregation (exact): running
     distinct users per calendar month of the events log — per-batch
@@ -7532,6 +7554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_events": _q_window_events,
         "sessionize_events": _q_sessionize,
         "cumulative_cardinality_agg": _q_cumulative_cardinality,
+        "bpe_token_counts": _q_bpe_token_counts,
         "props_json_agg": _q_props_json_agg,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "broadcast_lookup": _q_broadcast_lookup,

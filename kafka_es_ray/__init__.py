@@ -35,7 +35,7 @@ def _register_pickle_by_value() -> None:
         return
     # eager-import the stage-bearing submodules so they register too
     from kafka_es_ray import fixtures, metrics, runtime  # noqa: F401
-    from kafka_es_ray.functions import codec, geo, hashing, mediacodec, protowire, textproc, tokenizer  # noqa: F401
+    from kafka_es_ray.functions import bpe, codec, geo, hashing, mediacodec, protowire, textproc, tokenizer  # noqa: F401
     from kafka_es_ray.index import aliases, build, incremental, merge, reindex, segment, snapshot  # noqa: F401
     from kafka_es_ray.pipelines import (  # noqa: F401
         actions_flow,

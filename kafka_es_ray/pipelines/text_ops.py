@@ -14,6 +14,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
+from kafka_es_ray.functions.bpe import BpeEncoder
 from kafka_es_ray.functions.tokenizer import get_analyzer
 from kafka_es_ray.runtime import stage_pool
 
@@ -980,3 +981,91 @@ def lang_stats(docs_ds):
         )
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+def bpe_train_sample(
+    docs_ds,
+    num_merges: int = 200,
+    sample_mod: int = 7,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Train a BPE merge table on a DETERMINISTIC corpus sample
+    (functions/bpe.py; Sennrich et al. 2016).  Sample membership =
+    ``md5_number_lower(str(id)) % sample_mod == 0`` (the sampling-ops
+    hash contract — reproducible across runs and partitionings; BPE is
+    conventionally trained on a subset).  The distributed part is the
+    word HISTOGRAM (per-batch value_counts partials, one tiny driver
+    merge of <= |vocab| rows per block); the greedy merge loop itself is
+    driver-side over that small dict, as in every published trainer."""
+    from kafka_es_ray.functions.bpe import train_bpe
+    from kafka_es_ray.pipelines.sampling import _id_hash_mod
+
+    an = get_analyzer("en")
+
+    def word_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = _id_hash_mod(batch[id_col]) % sample_mod == 0
+        sub = batch[keep]
+        if not len(sub):
+            return pd.DataFrame(
+                {"word": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        toks = an.tokenize_series(sub[text_col])
+        vc = pd.Series(
+            [t for ts in toks for t in ts], dtype=object
+        ).value_counts()
+        return pd.DataFrame(
+            {"word": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)}
+        )
+
+    parts = docs_ds.map_batches(
+        word_partial, batch_format="pandas", batch_size=8192
+    ).to_pandas()
+    counts = (
+        parts.groupby("word")["n"].sum().to_dict() if len(parts) else {}
+    )
+    return train_bpe(counts, num_merges)
+
+
+def bpe_token_counts(
+    docs_ds,
+    merges: list,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(doc_id, n_tokens, n_bpe_tokens) per document under a trained BPE
+    merge table — the real-tokenizer token-counting op (sequence-length
+    budgeting, packing inputs).  Encoding is an actor-pool stage whose
+    per-distinct-word memo PERSISTS across batches (BpeEncoder): Zipf
+    makes distinct words per actor a small fraction of token volume, so
+    the per-word encode loop never runs in the hot path."""
+
+    class BpeCountStage:
+        def __init__(self, merges_):
+            # BpeEncoder imported at module top (CLAUDE.md rule 1: no
+            # import statements inside worker-side functions)
+            self.an = get_analyzer("en")
+            self.enc = BpeEncoder(merges_)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = self.an.tokenize_series(batch[text_col])
+            count = self.enc.count
+            n_bpe = toks.map(lambda ts: sum(count(w) for w in ts))
+            return pd.DataFrame(
+                {
+                    "doc_id": batch[id_col].astype(np.int64),
+                    "n_tokens": toks.str.len().to_numpy(np.int64),
+                    "n_bpe_tokens": n_bpe.to_numpy(np.int64),
+                }
+            )
+
+    return docs_ds.map_batches(
+        BpeCountStage,
+        fn_constructor_args=(list(merges),),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=stage_pool(),
+    )
