@@ -689,6 +689,23 @@ matches AS (
 )
 """.replace("{_TOK}", _TOK)
 
+# ES random_sampler aggregation: lang terms sub-agg over the p=0.3
+# deterministic doc sample of each match set (the sampling md5 contract,
+# seed 42), counts scaled by 1/p
+_RANDOM_SAMPLER_SQL = _MATCHES_CTE + """
+, sampled AS (
+  SELECT m.query_id, d.lang AS value
+  FROM matches m JOIN documents d USING (doc_id)
+  WHERE md5_number_lower('42:' || m.doc_id) % 1000000 < 300000
+),
+counts AS (
+  SELECT query_id, value, count(*)::BIGINT AS n_sampled
+  FROM sampled GROUP BY 1, 2
+)
+SELECT query_id, value, n_sampled, round(n_sampled / 0.3, 6) AS n_scaled
+FROM counts ORDER BY query_id, n_sampled DESC, value ASC
+"""
+
 # ES filters aggregation: named lang term-filter buckets + _other_;
 # zero-count named buckets emitted (ES returns every named bucket)
 _FILTERS_AGG_SQL = _MATCHES_CTE + """
@@ -4653,6 +4670,25 @@ def _q_filters_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_random_sampler_agg(sf_dir: str):
+    """ES random_sampler aggregation: lang terms sub-agg over the p=0.3
+    per-doc deterministic sample (seed 42, the sampling md5 contract) of
+    each derived query's match set, counts scaled by 1/p — the sampling
+    happens inside the per-segment sweep, so only sampled-value partials
+    leave the shard."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_random_sampler
+
+    idx, cfg, queries = _agg_index_build(sf_dir)
+    try:
+        return run_agg_random_sampler(
+            queries, idx, "lang", probability=0.3, seed=42, cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_adjacency_matrix(sf_dir: str):
     """ES adjacency_matrix aggregation: named filters eng(lang=en),
     ger(lang=de), s1(source=src1) + pairwise intersections per derived
@@ -7437,6 +7473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_bucket_agg": _q_max_bucket,
         "min_bucket_agg": _q_min_bucket,
         "filters_agg": _q_filters_agg,
+        "random_sampler_agg": _q_random_sampler_agg,
         "adjacency_matrix_agg": _q_adjacency_matrix,
         "moving_fn_agg": _q_moving_fn,
         "serial_diff_agg": _q_serial_diff,
@@ -7699,6 +7736,7 @@ def oracle_sql() -> dict[str, str]:
         "max_bucket_agg": _MAX_BUCKET_SQL,
         "min_bucket_agg": _MIN_BUCKET_SQL,
         "filters_agg": _FILTERS_AGG_SQL,
+        "random_sampler_agg": _RANDOM_SAMPLER_SQL,
         "adjacency_matrix_agg": _ADJ_MATRIX_SQL,
         "moving_fn_agg": _MOVING_FN_SQL,
         "serial_diff_agg": _SERIAL_DIFF_SQL,

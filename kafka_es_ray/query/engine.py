@@ -3758,11 +3758,13 @@ class MatchSetStage(_SegmentCacheStage):
     rows."""
 
     def _init_payload(self, payload) -> None:
-        pay = (*payload, None, None)[:5]
+        pay = (*payload, None, None, None)[:6]
         (self.plan, self.tomb_map, self.field, self.shard_size,
-         self.terminate_after) = pay
+         self.terminate_after, self.sample) = pay
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
         out = []
         for pid in batch["part_id"].astype(int):
             seg = self._segment(pid)
@@ -3770,6 +3772,26 @@ class MatchSetStage(_SegmentCacheStage):
                 ids = _segment_match_ids_for_plan(seg, q)
                 if ids.size == 0:
                     continue
+                if self.sample is not None and ids.size:
+                    # ES random_sampler: keep each matched doc iff
+                    # md5_number_lower(f"{seed}:{doc_id}") % 1e6 < p*1e6
+                    # — the engine-wide sampling md5 contract (random
+                    # to the corpus, deterministic to reruns/resharding,
+                    # DuckDB-replayable)
+                    seed, keep_mod = self.sample
+                    h = np.fromiter(
+                        (
+                            int.from_bytes(
+                                hashlib.md5(f"{seed}:{v}".encode()).digest()[8:16],
+                                "little",
+                            ) % 1_000_000
+                            for v in ids
+                        ),
+                        dtype=np.int64, count=ids.size,
+                    )
+                    ids = ids[h < keep_mod]
+                    if ids.size == 0:
+                        continue
                 if self.field is None:  # _count: one partial per segment
                     n_seg = int(ids.size)
                     if self.terminate_after is not None:
@@ -6393,7 +6415,7 @@ def _match_set_plans(queries: pd.DataFrame) -> list[dict]:
 def _run_match_set(
     queries_ds, index_dir: str, field: str | None, cfg: EngineConfig,
     concurrency: int | None, shard_size: int | None = None,
-    terminate_after: int | None = None,
+    terminate_after: int | None = None, sample: tuple | None = None,
 ) -> tuple[pd.DataFrame, list[dict]]:
     """Shared distributed driver for _count (field=None) and terms agg:
     segments as the Dataset, plans broadcast, per-(plan[,value]) partial
@@ -6412,7 +6434,8 @@ def _run_match_set(
     if not plan:
         return pd.DataFrame({"plan_id": [], "value": [], "n": []}), plan
     plan_ref = ray.put(
-        (plan, manifest.get("tombstones", {}), field, shard_size, terminate_after)
+        (plan, manifest.get("tombstones", {}), field, shard_size,
+         terminate_after, sample)
     )
     partials = _shards_ds(parts, concurrency).map_batches(
         MatchSetStage,
@@ -6531,6 +6554,64 @@ def run_agg_terms(
         .sort_values("query_id", kind="mergesort")
         .reset_index(drop=True)
         .astype({"query_id": np.int64, "n_docs": np.int64})
+    )
+
+
+def run_agg_random_sampler(
+    queries_ds, index_dir: str, field: str,
+    probability: float = 0.3, seed: int = 42,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES random_sampler aggregation: the terms sub-agg runs over a
+    random ``probability`` sample of each query's match set, counts
+    scaled back by 1/p.  Sampling is per-doc deterministic —
+    ``md5_number_lower(f"{seed}:{doc_id}") % 1e6 < p*1e6`` (the engine
+    sampling contract: reproducible across reruns and shard layouts,
+    where ES's is not; DuckDB-replayable) and happens INSIDE the
+    per-segment sweep, so only sampled-value partials leave the shard.
+    Returns (query_id, value, n_sampled, n_scaled) in bucket order
+    (n_sampled desc, value asc); n_scaled = round6(n_sampled / p)."""
+    if not (0.0 < probability <= 1.0):
+        raise ValueError("random_sampler: probability must be in (0, 1]")
+    keep_mod = int(round(probability * 1_000_000))
+    summed, plan = _run_match_set(
+        queries_ds, index_dir, field, cfg, concurrency,
+        sample=(int(seed), keep_mod),
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    out = []
+    if len(summed):
+        for pid_, g in summed.groupby("plan_id", sort=True):
+            g = g.sort_values(
+                ["n", "value"], ascending=[False, True], kind="mergesort"
+            )
+            for qid in fanout.get(int(pid_), []):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qid),
+                            "value": g["value"].to_numpy(),
+                            "n_sampled": g["n"].to_numpy(np.int64),
+                            "n_scaled": round6(
+                                g["n"].to_numpy(np.float64) / probability
+                            ),
+                        }
+                    )
+                )
+    if not out:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "value": pd.Series([], dtype=object),
+                "n_sampled": pd.Series([], dtype=np.int64),
+                "n_scaled": pd.Series([], dtype=np.float64),
+            }
+        )
+    return (
+        pd.concat(out, ignore_index=True)
+        .sort_values("query_id", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "n_sampled": np.int64})
     )
 
 

@@ -959,3 +959,48 @@ def test_significant_terms_heuristics(api_index, ray_session):
         assert s == np.floor(fg[v] / bg[v] * 1e6 + 0.5) / 1e6, v
     with pytest.raises(ValueError, match="heuristic"):
         run_significant_terms(q, d, "source", heuristic="gnd", cfg=CFG)
+
+
+def test_random_sampler_agg(api_index, ray_session):
+    """random_sampler: deterministic md5 per-doc sample of the match
+    set; p=1 is exact terms-agg; sampled counts are <= full counts and
+    n_scaled = round6(n_sampled/p); invalid p refused."""
+    import hashlib
+
+    from kafka_es_ray.query.engine import run_agg_random_sampler, run_agg_terms
+
+    d, docs = api_index
+    q = pd.DataFrame({"query_id": np.int64([0]), "text": ["common"]})
+    full = run_agg_terms(q, d, field="lang", cfg=CFG, concurrency=2)
+    all_p = run_agg_random_sampler(q, d, "lang", probability=1.0, cfg=CFG)
+    assert dict(zip(all_p["value"], all_p["n_sampled"])) == dict(
+        zip(full["value"], full["n_docs"])
+    )
+    assert (all_p["n_scaled"] == all_p["n_sampled"]).all()
+    got = run_agg_random_sampler(
+        q, d, "lang", probability=0.4, seed=7, cfg=CFG
+    )
+    fullmap = dict(zip(full["value"], full["n_docs"]))
+    assert all(n <= fullmap[v] for v, n in zip(got["value"], got["n_sampled"]))
+    # exact replay of the sampling rule over the brute match set
+    an_docs = docs.iloc[20:]  # fixture deletes docs 0..19
+    # brute: doc ids of matches come from the engine's full search
+    from kafka_es_ray.query.engine import IndexSearcher
+
+    s = IndexSearcher(d, CFG)
+    hits = s.search("common", k=10_000)
+    keep = [
+        int.from_bytes(
+            hashlib.md5(f"7:{i}".encode()).digest()[8:16], "little"
+        ) % 1_000_000 < 400_000
+        for i in hits["doc_id"]
+    ]
+    langs = pd.Series(list(hits["key"][keep])).map(
+        an_docs.set_index("url")["lang"]
+    )
+    want = langs.value_counts()
+    assert dict(zip(got["value"], got["n_sampled"])) == want.to_dict()
+    for v, ns, sc in zip(got["value"], got["n_sampled"], got["n_scaled"]):
+        assert sc == np.floor(ns / 0.4 * 1e6 + 0.5) / 1e6
+    with pytest.raises(ValueError, match="probability"):
+        run_agg_random_sampler(q, d, "lang", probability=0.0, cfg=CFG)
