@@ -6596,6 +6596,43 @@ def _q_sessionize(sf_dir: str):
     )
 
 
+def _q_frequent_pairs(sf_dir: str):
+    """ES frequent_item_sets (size-2 subset): token pairs co-occurring
+    in >= 60 documents, top-20 by (support desc, pair asc) — Apriori
+    df-prune pass + one bucketed pair exchange."""
+    from kafka_es_ray.pipelines.text_ops import frequent_token_pairs
+    from kafka_es_ray.sources.parquet import read_table
+
+    return frequent_token_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        min_support=60, k=20,
+    )
+
+
+_FREQ_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT DISTINCT doc_id, term FROM toks),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+freq AS (SELECT term FROM df WHERE df >= 60),
+pairs AS (
+  SELECT a.term AS t1, b.term AS t2, count(*)::BIGINT AS support
+  FROM tf a
+  JOIN tf b ON a.doc_id = b.doc_id AND a.term < b.term
+  JOIN freq f1 ON f1.term = a.term
+  JOIN freq f2 ON f2.term = b.term
+  GROUP BY 1, 2 HAVING count(*) >= 60
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY support DESC, t1 ASC, t2 ASC) AS rank
+  FROM pairs
+)
+SELECT rank::BIGINT AS rank, t1, t2, support
+FROM ranked WHERE rank <= 20 ORDER BY 1
+""".replace("{_TOK}", _TOK)
+
+
 def _q_bpe_token_counts(sf_dir: str):
     """Trained-BPE token counting (rows-only — the merge loop is not
     SQL-expressible; pytest test_bpe.py pins the algorithm on the
@@ -7592,6 +7629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize,
         "cumulative_cardinality_agg": _q_cumulative_cardinality,
         "bpe_token_counts": _q_bpe_token_counts,
+        "frequent_pairs_agg": _q_frequent_pairs,
         "props_json_agg": _q_props_json_agg,
         "approx_value_quantiles": _q_approx_value_quantiles,
         "broadcast_lookup": _q_broadcast_lookup,
@@ -7737,6 +7775,7 @@ def oracle_sql() -> dict[str, str]:
         "min_bucket_agg": _MIN_BUCKET_SQL,
         "filters_agg": _FILTERS_AGG_SQL,
         "random_sampler_agg": _RANDOM_SAMPLER_SQL,
+        "frequent_pairs_agg": _FREQ_PAIRS_SQL,
         "adjacency_matrix_agg": _ADJ_MATRIX_SQL,
         "moving_fn_agg": _MOVING_FN_SQL,
         "serial_diff_agg": _SERIAL_DIFF_SQL,

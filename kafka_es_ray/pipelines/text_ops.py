@@ -1069,3 +1069,99 @@ def bpe_token_counts(
         batch_size=4096,
         concurrency=stage_pool(),
     )
+
+
+def frequent_token_pairs(
+    docs_ds,
+    min_support: int = 10,
+    k: int = 20,
+    *,
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """ES frequent_item_sets aggregation, restricted to the size-2
+    itemsets (the documented subset — pairs are where the ES agg earns
+    its keep for co-occurrence mining): token pairs co-occurring in >=
+    ``min_support`` documents, top-``k`` by (support desc, pair asc).
+
+    Scale shape (Apriori prune): pass 1 computes global per-token doc
+    frequency (per-batch distinct partials -> bucketed sum) and keeps
+    only tokens with df >= min_support — anti-monotonicity says no other
+    token can appear in a frequent pair — broadcast via ray.put; pass 2
+    generates each doc's pairs over the SURVIVING tokens only (pandas
+    value_counts per batch = combiner) and one bucketed pair exchange
+    sums supports.  Pair blow-up is bounded by the per-doc count of
+    globally-frequent distinct tokens, the documented assumption.
+    Returns (rank, t1, t2, support)."""
+    import ray
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    an = get_analyzer("en")
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = an.tokenize_series(batch[text_col])
+        vc = pd.Series(
+            [t for ts in toks for t in set(ts)], dtype=object
+        ).value_counts()
+        return pd.DataFrame(
+            {"term": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)}
+        )
+
+    def df_sum(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("term", as_index=False)["n"].sum()
+        return g[g["n"] >= int(min_support)]
+
+    freq_df = bucketed_group_agg(
+        docs_ds.map_batches(df_partial, batch_format="pandas", batch_size=8192),
+        ["term"], df_sum, num_buckets,
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "rank": pd.Series([], dtype=np.int64),
+            "t1": pd.Series([], dtype=object),
+            "t2": pd.Series([], dtype=object),
+            "support": pd.Series([], dtype=np.int64),
+        }
+    )
+    if not len(freq_df):
+        return empty
+    freq_ref = ray.put(frozenset(freq_df["term"]))
+
+    def pair_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        freq = ray.get(freq_ref)
+        toks = an.tokenize_series(batch[text_col])
+        keys = []
+        for ts in toks:
+            kept = sorted(set(ts) & freq)
+            for i in range(len(kept)):
+                for j in range(i + 1, len(kept)):
+                    keys.append(kept[i] + "\x1f" + kept[j])
+        if not keys:
+            return pd.DataFrame(
+                {"pair": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        vc = pd.Series(keys, dtype=object).value_counts()
+        return pd.DataFrame(
+            {"pair": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)}
+        )
+
+    def pair_sum(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("pair", as_index=False)["n"].sum()
+        return g[g["n"] >= int(min_support)]
+
+    pairs = bucketed_group_agg(
+        docs_ds.map_batches(pair_partial, batch_format="pandas", batch_size=8192),
+        ["pair"], pair_sum, num_buckets,
+    ).to_pandas()
+    if not len(pairs):
+        return empty
+    split = pairs["pair"].str.split("\x1f", expand=True)
+    out = pd.DataFrame(
+        {"t1": split[0], "t2": split[1], "support": pairs["n"].astype(np.int64)}
+    ).sort_values(
+        ["support", "t1", "t2"], ascending=[False, True, True], kind="mergesort"
+    ).head(int(k)).reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out

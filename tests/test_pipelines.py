@@ -763,3 +763,43 @@ def test_cumulative_cardinality_exact(ray_session):
     assert len(empty) == 0 and list(empty.columns) == [
         "bucket_ts", "n_new", "cum_distinct",
     ]
+
+
+def test_frequent_token_pairs(ray_session):
+    """frequent_token_pairs == brute-force pair supports; the Apriori
+    df-prune never drops a frequent pair; partition-invariant; empty
+    when nothing reaches min_support."""
+    from itertools import combinations
+
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.text_ops import frequent_token_pairs
+
+    rng = np.random.default_rng(3)
+    words = ["ale", "bun", "cod", "dip", "elk", "fig"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "text": [
+                " ".join(rng.choice(words, size=rng.integers(2, 5)).tolist())
+                for _ in range(200)
+            ],
+        }
+    )
+    got = frequent_token_pairs(rd.from_pandas(docs), min_support=15, k=50)
+    support = {}
+    for t in docs["text"]:
+        for a, b in combinations(sorted(set(t.split())), 2):
+            support[(a, b)] = support.get((a, b), 0) + 1
+    want = sorted(
+        ((n, a, b) for (a, b), n in support.items() if n >= 15),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:50]
+    assert list(zip(got["support"], got["t1"], got["t2"])) == want
+    assert got["rank"].tolist() == list(range(1, len(want) + 1))
+    again = frequent_token_pairs(
+        rd.from_pandas(docs).repartition(7), min_support=15, k=50
+    )
+    pd.testing.assert_frame_equal(got, again)
+    none = frequent_token_pairs(rd.from_pandas(docs), min_support=10**6)
+    assert len(none) == 0 and list(none.columns) == ["rank", "t1", "t2", "support"]
