@@ -2895,6 +2895,48 @@ _SEARCH_TEMPLATE = """
 """
 
 
+def _q_msearch_template_topk(sf_dir: str):
+    """ES _msearch/template: a batch of independent (template, params)
+    pairs — two different template sources across the derived queries —
+    rendered and executed as ONE distributed run_queries batch.  Scores
+    equal the per-query plain/range-filtered searches, which is what the
+    shared oracle asserts."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher
+    from kafka_es_ray.query.templates import run_msearch_template
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_mstidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"].reset_index(drop=True)
+        plain = '{"query": {"match": {"text": "{{q}}"}}, "size": 10}'
+        entries = [
+            {"source": _SEARCH_TEMPLATE, "params": {"q": t, "lo": 150, "hi": 400}}
+            if i == 0
+            else {"source": plain, "params": {"q": t}}
+            for i, t in enumerate(queries["text"])
+        ]
+        out = run_msearch_template(entries, idx, cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_search_template_topk(sf_dir: str):
     """ES search template (_search/template): one stored mustache
     template (match + range filter + size, with {{^var}} default
@@ -7474,6 +7516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonyms_topk": _q_synonyms_topk,
         "terminate_after_count": _q_terminate_after_count,
         "search_template_topk": _q_search_template_topk,
+        "msearch_template_topk": _q_msearch_template_topk,
         "kw_filter_topk": _q_kw_filter_topk,
         "min_score_topk": _q_min_score_topk,
         "fetch_fields_topk": _q_fetch_fields_topk,
@@ -7725,6 +7768,9 @@ def oracle_sql() -> dict[str, str]:
         "script_filter_topk": _SCRIPT_FILTER_SQL,
         "synonyms_topk": _SYNONYMS_SQL,
         "search_template_topk": _SEARCH_TEMPLATE_SQL,
+        # q0 range-filtered, q1-3 plain == the same expected frame (the
+        # rendered open-range defaults are vacuous on this data)
+        "msearch_template_topk": _SEARCH_TEMPLATE_SQL,
         "kw_filter_topk": _KW_FILTER_SQL,
         "min_score_topk": _MIN_SCORE_SQL,
         "fetch_fields_topk": _FETCH_FIELDS_SQL,

@@ -151,3 +151,30 @@ def run_search_template(
     queries = pd.DataFrame(rows)
     kwargs = {} if cfg is None else {"cfg": cfg}
     return run_queries(queries, index_dir, concurrency=concurrency, **kwargs)
+
+
+def run_msearch_template(
+    entries,
+    index_dir,
+    cfg=None,
+    concurrency: int | None = None,
+):
+    """ES ``_msearch/template``: a batch of independent (template source,
+    params) request pairs — each rendered to a DSL body, all executed as
+    ONE distributed `run_queries` batch (one segment sweep; identical
+    rendered plans dedupe in the planner).  ``entries``: list of
+    {"source": str, "params": dict}; query_id = position.  Returns the
+    run_queries Dataset."""
+    from kafka_es_ray.query.engine import run_queries
+
+    rows = []
+    for qid, ent in enumerate(entries):
+        body = json.loads(
+            render_template(str(ent["source"]), dict(ent.get("params") or {}))
+        )
+        row = query_row_from_dsl(body)
+        row["query_id"] = np.int64(qid)
+        rows.append(row)
+    queries = pd.DataFrame(rows)
+    kwargs = {} if cfg is None else {"cfg": cfg}
+    return run_queries(queries, index_dir, concurrency=concurrency, **kwargs)

@@ -113,3 +113,45 @@ def test_template_batch_equals_plain_run_queries(ray_session, tmp_path):
         got[key].sort_values(key).reset_index(drop=True),
         want[key].sort_values(key).reset_index(drop=True),
     )
+
+
+def test_msearch_template_batch(ray_session, tmp_path):
+    """_msearch/template: heterogeneous (source, params) pairs in one
+    batch == the per-request run_search_template results."""
+    import ray.data as rd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.query.templates import run_msearch_template, run_search_template
+
+    CFG = EngineConfig(num_partitions=2, numeric_cols=("n",))
+    docs = pd.DataFrame(
+        {
+            "url": [f"d{i}" for i in range(30)],
+            "text": [f"alpha beta w{i % 4}" for i in range(30)],
+            "lang": ["en"] * 30,
+            "n": np.arange(30, dtype=np.int64) * 20,
+        }
+    )
+    idx = str(tmp_path / "mstidx")
+    build_index(rd.from_pandas(docs), idx, CFG, html_col=None, ts_col=None)
+    plain = '{"query": {"match": {"text": "{{q}}"}}, "size": 10}'
+    ranged = (
+        '{"query": {"bool": {"must": [{"match": {"text": "{{q}}"}}],'
+        ' "filter": [{"range": {"n": {"gte": {{lo}}, "lte": {{hi}}}}}]}},'
+        ' "size": 10}'
+    )
+    entries = [
+        {"source": plain, "params": {"q": "alpha"}},
+        {"source": ranged, "params": {"q": "alpha", "lo": 10, "hi": 400}},
+    ]
+    got = run_msearch_template(entries, idx, CFG).to_pandas()
+    a = run_search_template(plain, [{"q": "alpha"}], idx, CFG).to_pandas()
+    b = run_search_template(
+        ranged, [{"q": "alpha", "lo": 10, "hi": 400}], idx, CFG
+    ).to_pandas()
+    g0 = got[got["query_id"] == 0].sort_values("rank").reset_index(drop=True)
+    g1 = got[got["query_id"] == 1].sort_values("rank").reset_index(drop=True)
+    assert g0["doc_id"].tolist() == a.sort_values("rank")["doc_id"].tolist()
+    assert g1["doc_id"].tolist() == b.sort_values("rank")["doc_id"].tolist()
+    assert g1["score"].tolist() == b.sort_values("rank")["score"].tolist()
