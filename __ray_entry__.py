@@ -2895,6 +2895,43 @@ _SEARCH_TEMPLATE = """
 """
 
 
+def _q_track_total_hits(sf_dir: str):
+    """ES track_total_hits=true: top-10 hits per derived query plus the
+    EXACT total match count (scored sweep + count sweep, both
+    partial-only exchanges, joined driver-side)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    from kafka_es_ray.query.apis import run_search_with_totals
+    from kafka_es_ray.query.engine import IndexSearcher
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_tthidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        out = run_search_with_totals(queries, idx)
+        return (
+            out[["query_id", "rank", "doc_id", "score", "total_hits"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_TRACK_TOTALS_SQL = _BM25_SQL.replace(
+    "SELECT query_id, rank::BIGINT AS rank, doc_id, score\nFROM topk",
+    """SELECT t.query_id, t.rank::BIGINT AS rank, t.doc_id, t.score,
+       tot.total_hits
+FROM topk t JOIN (
+  SELECT query_id, count(*)::BIGINT AS total_hits FROM scores GROUP BY 1
+) tot USING (query_id)""",
+)
+assert "total_hits" in _TRACK_TOTALS_SQL  # replace anchor must exist
+
+
 def _q_msearch_template_topk(sf_dir: str):
     """ES _msearch/template: a batch of independent (template, params)
     pairs — two different template sources across the derived queries —
@@ -7517,6 +7554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terminate_after_count": _q_terminate_after_count,
         "search_template_topk": _q_search_template_topk,
         "msearch_template_topk": _q_msearch_template_topk,
+        "track_total_hits": _q_track_total_hits,
         "kw_filter_topk": _q_kw_filter_topk,
         "min_score_topk": _q_min_score_topk,
         "fetch_fields_topk": _q_fetch_fields_topk,
@@ -7771,6 +7809,7 @@ def oracle_sql() -> dict[str, str]:
         # q0 range-filtered, q1-3 plain == the same expected frame (the
         # rendered open-range defaults are vacuous on this data)
         "msearch_template_topk": _SEARCH_TEMPLATE_SQL,
+        "track_total_hits": _TRACK_TOTALS_SQL,
         "kw_filter_topk": _KW_FILTER_SQL,
         "min_score_topk": _MIN_SCORE_SQL,
         "fetch_fields_topk": _FETCH_FIELDS_SQL,

@@ -14,6 +14,7 @@ Both read only the manifest — no segment I/O.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from kafka_es_ray.index.segment import read_manifest
@@ -126,3 +127,33 @@ def run_msearch(
     return run_queries(
         pd.DataFrame(rows), index_dir, concurrency=concurrency, **kwargs
     )
+
+
+def run_search_with_totals(
+    queries_ds,
+    index_dir: str,
+    cfg=None,
+    concurrency: int | None = None,
+):
+    """ES ``track_total_hits: true``: the top-k hits PLUS the exact total
+    match count per query (ES's default only lower-bounds totals at
+    10,000; exact tracking makes ES score every match too).  Two
+    distributed sweeps — the scored top-k pass and the count pass — each
+    already exchange only per-(plan, segment) partials; joined
+    driver-side on query_id.  Returns a DataFrame: the run_queries
+    columns + ``total_hits`` (int64, repeated per hit row; queries with
+    zero matches contribute no rows, like _search)."""
+    from kafka_es_ray.config import DEFAULT
+    from kafka_es_ray.query.engine import run_counts, run_queries
+
+    cfg = cfg or DEFAULT
+    queries = (
+        queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    )
+    hits = run_queries(queries, index_dir, cfg, concurrency).to_pandas()
+    counts = run_counts(queries, index_dir, cfg, concurrency)
+    totals = dict(zip(counts["query_id"], counts["n_matching"]))
+    hits["total_hits"] = (
+        hits["query_id"].map(totals).fillna(0).astype(np.int64)
+    )
+    return hits
