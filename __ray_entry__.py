@@ -2895,6 +2895,41 @@ _SEARCH_TEMPLATE = """
 """
 
 
+def _q_highlight_topk(sf_dir: str):
+    """ES highlighter: top-10 hits per derived query with the <em>-
+    wrapped snippet around the first query-term occurrence (rows-only —
+    snippet strings are not SQL-expressible; the snippet contract is
+    pinned by pytest goldens and test_distributed_fetch_highlight).
+    Requires a store_text build."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_hlidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, store_text=True)
+        build_index(
+            documents_dataset(sf_dir), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        out = run_queries(queries, idx, cfg, highlight=True).to_pandas()
+        assert out["highlight"].str.contains("<em>").all()
+        return (
+            out[["query_id", "rank", "doc_id", "score", "highlight"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_track_total_hits(sf_dir: str):
     """ES track_total_hits=true: top-10 hits per derived query plus the
     EXACT total match count (scored sweep + count sweep, both
@@ -7555,6 +7590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_template_topk": _q_search_template_topk,
         "msearch_template_topk": _q_msearch_template_topk,
         "track_total_hits": _q_track_total_hits,
+        "highlight_topk": _q_highlight_topk,
         "kw_filter_topk": _q_kw_filter_topk,
         "min_score_topk": _q_min_score_topk,
         "fetch_fields_topk": _q_fetch_fields_topk,
