@@ -2895,6 +2895,58 @@ _SEARCH_TEMPLATE = """
 """
 
 
+def _q_render_template(sf_dir: str):
+    """ES _render/template: the stored search template rendered against
+    three params objects WITHOUT executing (the render-only endpoint) —
+    one row per request with the rendered JSON body.  The oracle pins
+    the exact strings (render is deterministic), full value-hash."""
+    import pandas as pd
+
+    from kafka_es_ray.query.templates import render_template
+
+    params = [
+        {"q": "alpha", "lo": 150, "hi": 400, "size": 5},
+        {"q": "beta"},
+        {"q": "a \"quoted\" term", "lo": 1},
+    ]
+    return pd.DataFrame(
+        {
+            "request_id": np.arange(len(params), dtype=np.int64),
+            "rendered": [render_template(_SEARCH_TEMPLATE, p) for p in params],
+        }
+    )
+
+
+_RENDER_TEMPLATE_SQL = """
+SELECT * FROM (VALUES
+  (0::BIGINT, '
+{"query": {"bool": {
+   "must": [{"match": {"text": "alpha"}}],
+   "filter": [{"range": {"n_chars": {
+       "gte": 150,
+       "lte": 400}}}]}},
+ "size": 5}
+'),
+  (1::BIGINT, '
+{"query": {"bool": {
+   "must": [{"match": {"text": "beta"}}],
+   "filter": [{"range": {"n_chars": {
+       "gte": 0,
+       "lte": 1000000}}}]}},
+ "size": 10}
+'),
+  (2::BIGINT, '
+{"query": {"bool": {
+   "must": [{"match": {"text": "a \\"quoted\\" term"}}],
+   "filter": [{"range": {"n_chars": {
+       "gte": 1,
+       "lte": 1000000}}}]}},
+ "size": 10}
+')
+) t(request_id, rendered) ORDER BY 1
+"""
+
+
 def _q_highlight_topk(sf_dir: str):
     """ES highlighter: top-10 hits per derived query with the <em>-
     wrapped snippet around the first query-term occurrence (rows-only —
@@ -7591,6 +7643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "msearch_template_topk": _q_msearch_template_topk,
         "track_total_hits": _q_track_total_hits,
         "highlight_topk": _q_highlight_topk,
+        "render_template": _q_render_template,
         "kw_filter_topk": _q_kw_filter_topk,
         "min_score_topk": _q_min_score_topk,
         "fetch_fields_topk": _q_fetch_fields_topk,
@@ -7846,6 +7899,7 @@ def oracle_sql() -> dict[str, str]:
         # rendered open-range defaults are vacuous on this data)
         "msearch_template_topk": _SEARCH_TEMPLATE_SQL,
         "track_total_hits": _TRACK_TOTALS_SQL,
+        "render_template": _RENDER_TEMPLATE_SQL,
         "kw_filter_topk": _KW_FILTER_SQL,
         "min_score_topk": _MIN_SCORE_SQL,
         "fetch_fields_topk": _FETCH_FIELDS_SQL,

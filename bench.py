@@ -223,6 +223,10 @@ def run_bench() -> dict:
         "rrf_hybrid_topk",
         "rescore_topk",
         "kw_filter_topk",
+        "bpe_token_counts",
+        "frequent_pairs_agg",
+        "cumulative_cardinality_agg",
+        "random_sampler_agg",
     )
     if op_names:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
