@@ -8527,6 +8527,45 @@ def _collect_fg_bg_counts(
     return cand, fg_totals, dict(zip(all_terms, bg_df)), plan, n_total
 
 
+def _significance_scores(
+    fgc: np.ndarray, bgc: np.ndarray, fg_n: int, n_total: int, heuristic: str
+) -> np.ndarray:
+    """round6'd significance scores over the background-is-superset 2x2
+    contingency — shared by significant_terms and significant_text
+    (formulas documented on run_significant_terms)."""
+    sp = fgc / float(fg_n)
+    pp = bgc / float(n_total)
+    if heuristic == "jlh":
+        raw = (sp - pp) * (sp / pp)
+    else:
+        a = fgc.astype(np.float64)
+        b_ = float(fg_n) - a
+        c = bgc.astype(np.float64) - a
+        d = float(n_total - fg_n) - c
+        nn = float(n_total)
+        if heuristic == "chi_square":
+            den = (a + b_) * (c + d) * (a + c) * (b_ + d)
+            raw = np.where(
+                den > 0,
+                nn * (a * d - b_ * c) ** 2 / np.where(den > 0, den, 1.0),
+                0.0,
+            )
+        elif heuristic == "mutual_information":
+            raw = np.zeros(a.size)
+            for pij, pi, pj in (
+                (a, a + b_, a + c), (b_, a + b_, b_ + d),
+                (c, c + d, a + c), (d, c + d, b_ + d),
+            ):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = (pij / nn) * np.log2(pij * nn / (pi * pj))
+                raw += np.where(pij > 0, t, 0.0)
+        elif heuristic == "percentage":
+            raw = a / bgc.astype(np.float64)
+        else:
+            raise ValueError(f"unknown significance heuristic {heuristic!r}")
+    return np.floor(raw * 1e6 + 0.5) / 1e6
+
+
 def run_significant_terms(
     queries_ds,
     index_dir: str,
@@ -8592,33 +8631,7 @@ def run_significant_terms(
         if not keep.any():
             continue
         vals, fgc, bgc = vals[keep], fgc[keep], bgc[keep]
-        sp = fgc / float(fg_n)
-        pp = bgc / float(n_total)
-        if heuristic == "jlh":
-            raw = (sp - pp) * (sp / pp)
-        else:
-            a = fgc.astype(np.float64)
-            b_ = float(fg_n) - a
-            c = bgc.astype(np.float64) - a
-            d = float(n_total - fg_n) - c
-            nn = float(n_total)
-            if heuristic == "chi_square":
-                den = (a + b_) * (c + d) * (a + c) * (b_ + d)
-                raw = np.where(den > 0, nn * (a * d - b_ * c) ** 2 / np.where(den > 0, den, 1.0), 0.0)
-            elif heuristic == "mutual_information":
-                raw = np.zeros(a.size)
-                for pij, pi, pj in (
-                    (a, a + b_, a + c), (b_, a + b_, b_ + d),
-                    (c, c + d, a + c), (d, c + d, b_ + d),
-                ):
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        t = (pij / nn) * np.log2(pij * nn / (pi * pj))
-                    raw += np.where(pij > 0, t, 0.0)
-            elif heuristic == "percentage":
-                raw = a / bgc.astype(np.float64)
-            else:
-                raise ValueError(f"unknown significance heuristic {heuristic!r}")
-        score = np.floor(raw * 1e6 + 0.5) / 1e6
+        score = _significance_scores(fgc, bgc, fg_n, n_total, heuristic)
         order = np.lexsort((vals, -score))[:k]
         top = pd.DataFrame(
             {
@@ -8715,6 +8728,7 @@ def run_significant_text(
     k: int = 10,
     min_doc_count: int = 3,
     sample_cap: int | None = None,
+    heuristic: str = "jlh",
     cfg: EngineConfig = DEFAULT,
     concurrency: int | None = None,
 ) -> pd.DataFrame:
@@ -8765,9 +8779,10 @@ def run_significant_text(
         if not keep.any():
             continue
         fg, bg, terms = fg[keep], bg[keep], terms[keep]
-        sp = fg / float(fg_n)
-        pp = bg / float(n_total)
-        score = np.floor((sp - pp) * (sp / pp) * 1e6 + 0.5) / 1e6
+        # ``heuristic``: the same significance_heuristic options as
+        # run_significant_terms (jlh default; chi_square /
+        # mutual_information / percentage over the superset contingency)
+        score = _significance_scores(fg, bg, fg_n, n_total, heuristic)
         order = np.lexsort((terms, -score))[:k]
         top = pd.DataFrame(
             {

@@ -1004,3 +1004,27 @@ def test_random_sampler_agg(api_index, ray_session):
         assert sc == np.floor(ns / 0.4 * 1e6 + 0.5) / 1e6
     with pytest.raises(ValueError, match="probability"):
         run_agg_random_sampler(q, d, "lang", probability=0.0, cfg=CFG)
+
+
+def test_significant_text_heuristics(api_index, ray_session):
+    """significant_text accepts the same heuristic options; chi_square
+    scores follow the shared 2x2 formula over the text fg/bg counts;
+    the jlh default is unchanged by the refactor."""
+    from kafka_es_ray.query.engine import run_significant_text
+
+    d, _ = api_index
+    q = pd.DataFrame({"query_id": [0], "text": ["alpha"]})
+    base = run_significant_text(q, d, k=5, min_doc_count=1, cfg=CFG)
+    chi = run_significant_text(
+        q, d, k=5, min_doc_count=1, heuristic="chi_square", cfg=CFG
+    )
+    # same candidate cut, different scores; both round6'd
+    assert set(chi["term"]) <= set(base["term"]) | set(chi["term"])
+    assert len(chi) and (chi["score"] > 0).all()
+    m = base.merge(chi, on="term", suffixes=("_jlh", "_chi"))
+    assert len(m)
+    for _, r in m.iterrows():
+        fg, bg = int(r["fg_count_jlh"]), int(r["bg_count_jlh"])
+        assert r["fg_count_chi"] == fg and r["bg_count_chi"] == bg
+    with pytest.raises(ValueError, match="heuristic"):
+        run_significant_text(q, d, heuristic="nope", cfg=CFG)
