@@ -220,6 +220,9 @@ def main(argv: list[str] | None = None) -> int:
     ci = sub.add_parser("cat-indices", help="doc counts per index (ES _cat/indices)")
     ci.add_argument("--indexes", required=True, help="comma-separated index dirs")
 
+    cs = sub.add_parser("cat-segments", help="per-segment stats (ES _cat/segments)")
+    cs.add_argument("--indexes", required=True, help="comma-separated index dirs")
+
     tp = sub.add_parser(
         "search-template",
         help="render a mustache template with params and search (ES _search/template)",
@@ -551,6 +554,10 @@ def main(argv: list[str] | None = None) -> int:
         from kafka_es_ray.query.apis import cat_indices
 
         print(cat_indices(args.indexes.split(",")).to_string(index=False))
+    elif args.cmd == "cat-segments":
+        from kafka_es_ray.query.apis import cat_segments
+
+        print(cat_segments(args.indexes.split(",")).to_string(index=False))
     elif args.cmd == "search-template":
         own_session = _ray_init(args.num_cpus)
         from kafka_es_ray.query.templates import run_search_template

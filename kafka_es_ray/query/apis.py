@@ -157,3 +157,54 @@ def run_search_with_totals(
         hits["query_id"].map(totals).fillna(0).astype(np.int64)
     )
     return hits
+
+
+def cat_segments(index_dirs, names: list[str] | None = None) -> pd.DataFrame:
+    """ES ``GET _cat/segments``: one row per (index, segment) with the
+    segment's routing partition, generation class (base vs delta), doc /
+    term / posting counts, per-segment deleted docs and on-disk bytes —
+    manifest + tombstone-file + stat() reads only, no segment decode.
+    Returns (index, segment, partition, kind, docs_count, docs_deleted,
+    terms, postings, size_bytes) sorted (index, segment)."""
+    import json
+    import os
+
+    dirs = [index_dirs] if isinstance(index_dirs, str) else list(index_dirs)
+    names = names or [d.rstrip("/").rsplit("/", 1)[-1] for d in dirs]
+    rows = []
+    for name, d in zip(names, dirs):
+        m = read_manifest(d)
+        n_parts = int(m["num_partitions"])
+        tomb = m.get("tombstones") or {}
+        for sid_s, pm in m.get("part_manifests", {}).items():
+            sid = int(sid_s)
+            dead = set()
+            for fname in tomb.get(str(sid), []):
+                with open(os.path.join(d, os.path.basename(fname))) as f:
+                    dead.update(json.load(f))
+            size = 0
+            for fname in pm.get("files", []):
+                fp = os.path.join(d, os.path.basename(fname))
+                if os.path.exists(fp):
+                    size += os.path.getsize(fp)
+            rows.append(
+                {
+                    "index": name,
+                    "segment": sid,
+                    # partition from the manifest record, NEVER id
+                    # arithmetic (CLAUDE.md rule 8a); gen-0 base
+                    # segments are numbered [0, num_partitions)
+                    "partition": pm.get("partition", sid),
+                    "kind": "base" if sid < n_parts else "delta",
+                    "docs_count": int(pm["n_docs"]) - len(dead),
+                    "docs_deleted": len(dead),
+                    "terms": int(pm.get("n_terms", 0)),
+                    "postings": int(pm.get("n_postings", 0)),
+                    "size_bytes": size,
+                }
+            )
+    return (
+        pd.DataFrame(rows)
+        .sort_values(["index", "segment"])
+        .reset_index(drop=True)
+    )

