@@ -4495,6 +4495,37 @@ def _q_rank_eval(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_mtermvectors(sf_dir: str):
+    """ES _mtermvectors: batch termvectors for the 5 smallest doc ids —
+    one routed _mget for the sources, one dictionary-only df pass over
+    the union of their terms."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import documents_dataset
+    from kafka_es_ray.query.engine import run_mtermvectors
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_mtvidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, store_text=True)
+        build_index(
+            documents_dataset(sf_dir), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        ids = sorted(
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+            .column("doc_id").to_pylist()
+        )[:5]
+        return run_mtermvectors([str(i) for i in ids], idx, cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_termvectors(sf_dir: str):
     """ES _termvectors for the 3 smallest doc_ids: per-term tf (from the
     stored _source, the ES realtime path), global df, first position."""
@@ -7727,6 +7758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_score_topk": _q_function_score_topk,
         "more_like_this": _q_more_like_this,
         "termvectors": _q_termvectors,
+        "mtermvectors": _q_mtermvectors,
         "rank_eval": _q_rank_eval,
         "match_cardinality": _q_match_cardinality,
         "rare_terms": _q_rare_terms,
@@ -8026,6 +8058,30 @@ def oracle_sql() -> dict[str, str]:
             ),
             df AS (SELECT term, count(*)::BIGINT AS df FROM alltf GROUP BY 1)
             SELECT tv.query_id, tv.term, tv.tf, df.df, tv.first_pos
+            FROM tv JOIN df USING (term) ORDER BY 1, 2
+        """,
+        "mtermvectors": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            srcs AS (
+              SELECT doc_id AS src_id, CAST(doc_id AS VARCHAR) AS key
+              FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+            ),
+            toks_pos AS (
+              SELECT s.key, unnest(t.toks) AS term,
+                     unnest(generate_series(1, len(t.toks))) AS pos
+              FROM srcs s JOIN t ON t.doc_id = s.src_id
+            ),
+            tv AS (
+              SELECT key, term, count(*)::BIGINT AS tf,
+                     (min(pos) - 1)::BIGINT AS first_pos
+              FROM toks_pos GROUP BY 1, 2
+            ),
+            alltf AS (
+              SELECT DISTINCT doc_id, term
+              FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+            ),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM alltf GROUP BY 1)
+            SELECT tv.key, tv.term, tv.tf, df.df, tv.first_pos
             FROM tv JOIN df USING (term) ORDER BY 1, 2
         """,
         "match_cardinality": _CARDINALITY_SQL,

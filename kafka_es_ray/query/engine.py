@@ -9886,6 +9886,67 @@ def run_more_like_this(
     )
 
 
+def run_mtermvectors(
+    keys: list[str],
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES _mtermvectors: batch termvectors — one routed
+    _mget fetches each key's stored _source (the ES realtime path), the
+    driver re-analyzes, and global dfs come from ONE dictionary-only
+    stats pass over the union of the docs' terms (no postings decoded).
+    Missing/deleted keys contribute no rows (the ES found=false entry).
+    Requires a store_text build.  Returns (key, term, tf, df, first_pos)
+    sorted (key, term)."""
+    empty = pd.DataFrame(
+        {
+            "key": pd.Series([], dtype=object),
+            "term": pd.Series([], dtype=object),
+            "tf": pd.Series([], dtype=np.int64),
+            "df": pd.Series([], dtype=np.int64),
+            "first_pos": pd.Series([], dtype=np.int64),
+        }
+    )
+    got = run_mget(list(keys), index_dir, cfg, concurrency, fetch=True)
+    got = got[got["found"]]
+    per_doc = []
+    all_terms: set[str] = set()
+    for key, text, lang_d in zip(got["key"], got["text"], got["lang"]):
+        toks = get_analyzer(lang_d).tokenize(text or "")
+        if not toks:
+            continue
+        arr = np.asarray(toks, dtype=object)
+        terms, first_idx, tf = np.unique(arr, return_index=True, return_counts=True)
+        per_doc.append((key, terms, first_idx, tf))
+        all_terms.update(terms)
+    if not per_doc:
+        return empty
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    terms_sorted = sorted(all_terms)
+    df_map = dict(
+        zip(terms_sorted, _collect_global_stats(index_dir, parts, terms_sorted))
+    )
+    rows = [
+        pd.DataFrame(
+            {
+                "key": key,
+                "term": terms,
+                "tf": tf.astype(np.int64),
+                "df": np.array([int(df_map[t]) for t in terms], dtype=np.int64),
+                "first_pos": first_idx.astype(np.int64),
+            }
+        )
+        for key, terms, first_idx, tf in per_doc
+    ]
+    return (
+        pd.concat(rows, ignore_index=True)
+        .sort_values(["key", "term"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def run_mget(
     keys: list[str],
     index_dir: str,

@@ -1048,3 +1048,23 @@ def test_cat_segments(api_index, ray_session):
     assert ci["docs_deleted"] == 20  # the fixture's deletes
     # the fixture applied deletes as a delta generation
     assert (seg["kind"] == "delta").sum() >= 0  # delete-only deltas may be empty
+
+
+def test_mtermvectors_matches_single(api_index, ray_session):
+    """_mtermvectors == per-key termvectors; deleted/missing keys
+    contribute no rows; sorted (key, term)."""
+    from kafka_es_ray.query.engine import IndexSearcher, run_mtermvectors
+
+    d, _ = api_index
+    s = IndexSearcher(d, CFG)
+    keys = ["https://a.x/0030", "https://a.x/0031",
+            "https://a.x/0003", "nope"]  # 0003 is deleted by the fixture
+    out = run_mtermvectors(keys, d, CFG, concurrency=2)
+    assert set(out["key"]) == {"https://a.x/0030", "https://a.x/0031"}
+    for k in sorted(set(out["key"])):
+        want = s.termvectors(k)
+        g = out[out["key"] == k].reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            g[["term", "tf", "df", "first_pos"]], want
+        )
+    assert out.equals(out.sort_values(["key", "term"], kind="mergesort").reset_index(drop=True))
