@@ -1646,7 +1646,9 @@ ranked AS (
 SELECT query_id, rank::BIGINT AS rank, value, fg_count, bg_count, score
 FROM ranked WHERE rank <= 10
 """
-assert "scored AS (" in _SIGTERMS_CHI2_SQL  # split anchor must exist
+# the split anchor must exist in the SOURCE sql (checking the
+# concatenated result would be vacuous — _SIG_CELLS contains it too)
+assert ",\nscored AS (" in _SIGTERMS_KW_SQL
 
 _SIGTERMS_MI_SQL = _SIGTERMS_KW_SQL.split(",\nscored AS (")[0] + ",\n" + _SIG_CELLS + """
 final AS (

@@ -44,6 +44,8 @@ def add_alias(registry_path: str, alias: str, index_dirs: list[str]) -> dict:
 
 
 def remove_alias(registry_path: str, alias: str) -> dict:
+    if alias.startswith("_"):  # "_templates" etc. are not aliases
+        raise ValueError(f"not an alias (reserved name): {alias!r}")
     reg = _load(registry_path)
     reg.pop(alias, None)
     atomic_write_json(reg, registry_path)

@@ -593,9 +593,12 @@ def build_index(
         "analyzer_version": ANALYZER_VERSION,
         "num_partitions": cfg.num_partitions,
         # index creation wall-clock (the ES creation_date setting) — the
-        # rollover max_age condition reads this; a resumed build keeps
-        # the original date (ES preserves creation_date)
-        "created_at": _existing_created_at(index_dir) or round(time.time(), 3),
+        # rollover max_age condition reads this; only a RESUMED build
+        # keeps the original date (ES preserves creation_date); a fresh
+        # rebuild into the same dir is a new index
+        "created_at": (
+            (resume and _existing_created_at(index_dir)) or round(time.time(), 3)
+        ),
         "parts": parts,
         "n_docs": n_docs,
         "sum_dl": sum_dl,

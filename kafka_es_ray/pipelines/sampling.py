@@ -20,17 +20,28 @@ import pandas as pd
 DENOM = 1_000_000  # rate resolution: 1e-6
 
 
-def _id_hash_mod(ids: pd.Series) -> np.ndarray:
-    """md5_number_lower(str(id)) % DENOM per row — vectorization note:
-    md5 of a short string is C-speed; the loop is digest-bound either way."""
+def seeded_hash_mod(ids, mod: int, prefix: str = "") -> np.ndarray:
+    """``md5_number_lower(prefix + str(id)) % mod`` per row — THE
+    engine-wide sampling hash contract (shared by stratified sampling,
+    random_score, random_sampler, BPE sample membership); DuckDB replay:
+    ``md5_number_lower(prefix || id) % mod``.  md5 of a short string is
+    C-speed; the loop is digest-bound either way."""
     return np.fromiter(
         (
-            int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:16], "little") % DENOM
+            int.from_bytes(
+                hashlib.md5((prefix + str(v)).encode()).digest()[8:16], "little"
+            ) % mod
             for v in ids
         ),
         dtype=np.int64,
         count=len(ids),
     )
+
+
+def _id_hash_mod(ids: pd.Series) -> np.ndarray:
+    """md5_number_lower(str(id)) % DENOM per row (seeded_hash_mod with
+    the rate resolution)."""
+    return seeded_hash_mod(ids, DENOM)
 
 
 def stratified_sample(

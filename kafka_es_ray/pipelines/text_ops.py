@@ -1000,12 +1000,12 @@ def bpe_train_sample(
     merge of <= |vocab| rows per block); the greedy merge loop itself is
     driver-side over that small dict, as in every published trainer."""
     from kafka_es_ray.functions.bpe import train_bpe
-    from kafka_es_ray.pipelines.sampling import _id_hash_mod
+    from kafka_es_ray.pipelines.sampling import seeded_hash_mod
 
     an = get_analyzer("en")
 
     def word_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        keep = _id_hash_mod(batch[id_col]) % sample_mod == 0
+        keep = seeded_hash_mod(batch[id_col], sample_mod) == 0
         sub = batch[keep]
         if not len(sub):
             return pd.DataFrame(

@@ -151,6 +151,19 @@ def run_search_with_totals(
         queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
     )
     hits = run_queries(queries, index_dir, cfg, concurrency).to_pandas()
+    if not len(hits):
+        # rule 8b: a 0-row Dataset.to_pandas() drops ALL columns —
+        # return the typed empty contract instead of KeyError'ing
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "key": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64),
+                "total_hits": pd.Series([], dtype=np.int64),
+            }
+        )
     counts = run_counts(queries, index_dir, cfg, concurrency)
     totals = dict(zip(counts["query_id"], counts["n_matching"]))
     hits["total_hits"] = (
@@ -164,7 +177,9 @@ def cat_segments(index_dirs, names: list[str] | None = None) -> pd.DataFrame:
     segment's routing partition, generation class (base vs delta), doc /
     term / posting counts, per-segment deleted docs and on-disk bytes —
     manifest + tombstone-file + stat() reads only, no segment decode.
-    Returns (index, segment, partition, kind, docs_count, docs_deleted,
+    ``partitions`` is a comma-joined string (merged segments cover
+    several routing partitions); ``kind`` is base / delta / merged.
+    Returns (index, segment, partitions, kind, docs_count, docs_deleted,
     terms, postings, size_bytes) sorted (index, segment)."""
     import json
     import os
@@ -187,15 +202,21 @@ def cat_segments(index_dirs, names: list[str] | None = None) -> pd.DataFrame:
                 fp = os.path.join(d, os.path.basename(fname))
                 if os.path.exists(fp):
                     size += os.path.getsize(fp)
+            # partition membership from the manifest records, NEVER id
+            # arithmetic (CLAUDE.md rule 8a); merged segments carry a
+            # "partitions" list, base/delta a scalar "partition"
+            if pm.get("partitions"):
+                parts_s = ",".join(str(int(x)) for x in pm["partitions"])
+                kind = "merged"
+            else:
+                parts_s = str(int(pm.get("partition", sid)))
+                kind = "base" if sid < n_parts else "delta"
             rows.append(
                 {
                     "index": name,
                     "segment": sid,
-                    # partition from the manifest record, NEVER id
-                    # arithmetic (CLAUDE.md rule 8a); gen-0 base
-                    # segments are numbered [0, num_partitions)
-                    "partition": pm.get("partition", sid),
-                    "kind": "base" if sid < n_parts else "delta",
+                    "partitions": parts_s,
+                    "kind": kind,
                     "docs_count": int(pm["n_docs"]) - len(dead),
                     "docs_deleted": len(dead),
                     "terms": int(pm.get("n_terms", 0)),

@@ -30,6 +30,9 @@ import pandas as pd
 import pyarrow as pa
 
 from kafka_es_ray.config import DEFAULT, EngineConfig
+# the engine-wide seeded sampling hash (rule 1: imported at module top,
+# MatchSetStage runs it on workers)
+from kafka_es_ray.pipelines.sampling import seeded_hash_mod
 from kafka_es_ray.functions.geo import (
     geohash_cells,
     geohash_render,
@@ -3519,19 +3522,7 @@ class ShardScorerStage(_SegmentCacheStage):
                         continue
                     seed_r = q["rseed"]
                     scores = np.array(
-                        [
-                            (
-                                int.from_bytes(
-                                    hashlib.md5(
-                                        f"{seed_r}:{d}".encode()
-                                    ).digest()[8:16],
-                                    "little",
-                                )
-                                % 1_000_000
-                            )
-                            / 1e6
-                            for d in ids
-                        ],
+                        seeded_hash_mod(ids, 1_000_000, prefix=f"{seed_r}:") / 1e6,
                         dtype=np.float64,
                     )
                 elif "idsq" in q:
@@ -3763,8 +3754,6 @@ class MatchSetStage(_SegmentCacheStage):
          self.terminate_after, self.sample) = pay
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
-
         out = []
         for pid in batch["part_id"].astype(int):
             seg = self._segment(pid)
@@ -3775,20 +3764,11 @@ class MatchSetStage(_SegmentCacheStage):
                 if self.sample is not None and ids.size:
                     # ES random_sampler: keep each matched doc iff
                     # md5_number_lower(f"{seed}:{doc_id}") % 1e6 < p*1e6
-                    # — the engine-wide sampling md5 contract (random
-                    # to the corpus, deterministic to reruns/resharding,
-                    # DuckDB-replayable)
+                    # — the engine-wide sampling md5 contract
+                    # (seeded_hash_mod: random to the corpus,
+                    # deterministic to reruns/resharding, DuckDB-replayable)
                     seed, keep_mod = self.sample
-                    h = np.fromiter(
-                        (
-                            int.from_bytes(
-                                hashlib.md5(f"{seed}:{v}".encode()).digest()[8:16],
-                                "little",
-                            ) % 1_000_000
-                            for v in ids
-                        ),
-                        dtype=np.int64, count=ids.size,
-                    )
+                    h = seeded_hash_mod(ids, 1_000_000, prefix=f"{seed}:")
                     ids = ids[h < keep_mod]
                     if ids.size == 0:
                         continue
@@ -4843,7 +4823,9 @@ def run_queries(
                 lhs, _, rhs = rule.partition("=")
                 keys = an.tokenize(lhs)
                 vals = [t for part in rhs.split("|") for t in an.tokenize(part)]
-                if not keys or not vals:
+                if len(keys) != 1 or not vals:
+                    # multi-token lhs would silently key on the first
+                    # token — refuse loudly like the other bad shapes
                     raise ValueError(f"synonyms: bad rule {rule!r}")
                 smap.setdefault(keys[0], []).extend(vals)
             toks = an.tokenize(str(queries.at[i, "text"]))

@@ -71,7 +71,9 @@ class ParentJoinStage(_SegmentCacheStage):
             *rest,
         ) = payload
         self.agg_field = rest[0] if rest else None
-        self.inner_n = int(rest[1]) if len(rest) > 1 and rest[1] else 3
+        self.inner_n = (
+            int(rest[1]) if len(rest) > 1 and rest[1] is not None else 3
+        )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []

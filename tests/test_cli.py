@@ -115,7 +115,7 @@ def test_cli_new_api_subcommands(ray_session, corpus_dir, tmp_path, capsys):
     assert main(["cat-segments", "--indexes", idx]) == 0
     out = capsys.readouterr().out
     lines = [l for l in out.strip().splitlines() if l.strip()]
-    assert "size_bytes" in lines[0] and "partition" in lines[0]
+    assert "size_bytes" in lines[0] and "partitions" in lines[0]
     assert len(lines) == 3  # header + one row per base segment
     assert all("base" in l for l in lines[1:])
 

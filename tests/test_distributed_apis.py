@@ -1039,6 +1039,8 @@ def test_cat_segments(api_index, ray_session):
     d, docs = api_index
     seg = cat_segments(d)
     assert (seg["kind"] == "base").sum() == CFG.num_partitions
+    base = seg[seg["kind"] == "base"]
+    assert base["partitions"].tolist() == [str(i) for i in base["segment"]]
     assert (seg["size_bytes"] > 0).all()
     assert seg["segment"].is_monotonic_increasing
     # per-segment live+deleted reconciles with _cat/indices totals
