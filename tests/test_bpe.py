@@ -82,3 +82,29 @@ def test_bpe_pipeline_distributed(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_bpe_properties_hypothesis():
+    """Property: for ANY trained merge table, encoding is lossless
+    (concatenation == word + END), deterministic, and never longer than
+    chars+1."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.text(alphabet="abcd", min_size=1, max_size=8)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        counts=st.dictionaries(words, st.integers(1, 9), min_size=1, max_size=12),
+        n_merges=st.integers(0, 30),
+        probe=words,
+    )
+    def check(counts, n_merges, probe):
+        merges = train_bpe(counts, n_merges)
+        enc = BpeEncoder(merges)
+        sym = enc.encode(probe)
+        assert "".join(sym) == probe + END
+        assert 1 <= len(sym) <= len(probe) + 1
+        assert enc.encode(probe) == encode_word(probe, enc.ranks)
+
+    check()

@@ -381,3 +381,30 @@ def test_fuzzy2_term_expansion_matches_levenshtein(built):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="only 1, 2"):
         _fuzzy_term_indices_k(Segment.load(idx, 0), "apple", 3)
+
+
+def test_fuzzy_banded_dp_hypothesis():
+    """Property: the vectorized banded Levenshtein matches a reference
+    edit-distance over arbitrary small dictionaries and probes, at both
+    supported distances."""
+    import types
+
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_es_ray.query.engine import _fuzzy_term_indices_k
+
+    word = st.text(alphabet="abz", min_size=1, max_size=7)
+
+    @settings(max_examples=150, deadline=None)
+    @given(vocab=st.lists(word, min_size=1, max_size=15, unique=True), probe=word)
+    def check(vocab, probe):
+        vocab = sorted(vocab)
+        seg = types.SimpleNamespace(terms_arr=pa.array(vocab))
+        for k in (1, 2):
+            got = _fuzzy_term_indices_k(seg, probe, k)
+            want = [i for i, t in enumerate(vocab) if _lev(probe, t) <= k]
+            assert got == want, (probe, k, vocab)
+
+    check()
