@@ -7180,6 +7180,20 @@ def _q_semdedup(sf_dir: str):
     )
 
 
+def _q_embedding_kmeans(sf_dir: str):
+    """Spherical k-means corpus clustering (rows-only — centroid
+    training is iterative, not SQL-expressible; assignment invariants
+    pinned by pytest): every embedding assigned to its argmax-cosine
+    centroid in one broadcast streaming pass."""
+    from kafka_es_ray.pipelines.ann import embedding_kmeans
+    from kafka_es_ray.sources.parquet import read_table
+
+    return embedding_kmeans(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        k=16,
+    )
+
+
 def _q_embedding_neardup_exact(sf_dir: str):
     # exact all-pairs oracle path (SQL-checkable), restricted to a fixed
     # id range so the quadratic oracle stays cheap at sf0.01
@@ -7856,6 +7870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dups": _q_minhash_dups,
         "embedding_neardup": _q_embedding_neardup,
         "semdedup": _q_semdedup,
+        "embedding_kmeans": _q_embedding_kmeans,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         "pages_pipeline": _q_pages_pipeline,
         "actions_incremental": _q_actions_incremental,

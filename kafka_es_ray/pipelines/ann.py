@@ -292,3 +292,41 @@ def lsh_cosine_topk(emb_ds, query_ids, query_matrix, k: int = 10, nbits: int = 8
     )
 
     return _merge_topk(partials, k)
+
+
+def embedding_kmeans(
+    emb_ds,
+    k: int = 32,
+    train_size: int = 10_000,
+    iters: int = 10,
+    seed: int = 29,
+):
+    """First-class spherical k-means over an embedding column (the
+    SemDeDup / IVF building block exposed as its own op — corpus
+    clustering for curriculum buckets, dedup pre-partitioning, topic
+    sampling).  Centroids train on the driver over a bounded prefix
+    sample (the published practice; deterministic seed), then ONE
+    streaming assignment pass maps every vector to its argmax-cosine
+    centroid — broadcast centroids, no shuffle, nothing but the
+    (vec_id, cluster, sim) rows leave the tasks.  Returns Dataset
+    (vec_id, cluster, sim) with sim = round6 cosine to the assigned
+    centroid."""
+    train = emb_ds.limit(int(train_size)).to_pandas()
+    centroids = _kmeans_spherical(
+        _normalize(np.stack(train["embedding"].to_numpy())), int(k),
+        iters=int(iters), seed=int(seed),
+    )
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(np.stack(batch["embedding"].to_numpy()))
+        sims = m @ centroids.T
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].astype(np.int64),
+                "cluster": best.astype(np.int64),
+                "sim": np.floor(sims[np.arange(len(m)), best] * 1e6 + 0.5) / 1e6,
+            }
+        )
+
+    return emb_ds.map_batches(assign, batch_format="pandas", batch_size=4096)

@@ -803,3 +803,45 @@ def test_frequent_token_pairs(ray_session):
     pd.testing.assert_frame_equal(got, again)
     none = frequent_token_pairs(rd.from_pandas(docs), min_support=10**6)
     assert len(none) == 0 and list(none.columns) == ["rank", "t1", "t2", "support"]
+
+
+def test_embedding_kmeans(ray_session):
+    """embedding_kmeans: assignment == argmax cosine against the trained
+    centroids (recomputed serially), partition-invariant, sim round6'd,
+    planted clusters recovered."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.ann import _kmeans_spherical, _normalize, embedding_kmeans
+
+    rng = np.random.default_rng(11)
+    # three planted directions + noise
+    base = _normalize(rng.normal(size=(3, 16)))
+    vecs = []
+    for i in range(240):
+        v = base[i % 3] + 0.05 * rng.normal(size=16)
+        vecs.append(v.astype(np.float64))
+    emb = pd.DataFrame({"vec_id": np.arange(240, dtype=np.int64), "embedding": vecs})
+    got = (
+        embedding_kmeans(rd.from_pandas(emb), k=3, train_size=240)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    # serial reference: same training prefix, same seed
+    cent = _kmeans_spherical(_normalize(np.stack(emb["embedding"])), 3)
+    m = _normalize(np.stack(emb["embedding"]))
+    sims = m @ cent.T
+    want = np.argmax(sims, axis=1)
+    assert got["cluster"].tolist() == want.tolist()
+    np.testing.assert_allclose(
+        got["sim"], np.floor(sims[np.arange(240), want] * 1e6 + 0.5) / 1e6
+    )
+    # planted structure: members of one planted direction share a cluster
+    for j in range(3):
+        members = got["cluster"][j::3]
+        assert members.nunique() == 1, j
+    again = (
+        embedding_kmeans(rd.from_pandas(emb).repartition(2), k=3, train_size=240)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    # NOTE: training reads limit(train_size) == the whole set here, so
+    # the centroids are partition-independent and assignments match
+    pd.testing.assert_frame_equal(got, again)
