@@ -776,6 +776,31 @@ SELECT query_id,
 FROM vals GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+# ES date_histogram min_doc_count=0 (the ES default): every calendar
+# month between each query's first and last non-empty bucket, gaps as 0
+_DATE_HIST_FILLED_SQL = _AGG_VALS_CTE + """
+, b AS (
+  SELECT query_id,
+         epoch(date_trunc('month', to_timestamp(ts)))::BIGINT AS bucket_ts,
+         count(*)::BIGINT AS n_docs
+  FROM vals GROUP BY 1, 2
+),
+spans AS (
+  SELECT query_id, to_timestamp(min(bucket_ts)) AS lo,
+         to_timestamp(max(bucket_ts)) AS hi
+  FROM b GROUP BY 1
+),
+grid AS (
+  SELECT query_id,
+         epoch(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)))::BIGINT
+           AS bucket_ts
+  FROM spans
+)
+SELECT g.query_id, g.bucket_ts, coalesce(b.n_docs, 0)::BIGINT AS n_docs
+FROM grid g LEFT JOIN b USING (query_id, bucket_ts)
+ORDER BY 1, 2
+"""
+
 _RANGE_AGG_SQL = _AGG_VALS_CTE + """
 SELECT query_id,
        CASE WHEN x >= 450 THEN 450.0 WHEN x >= 300 THEN 300.0
@@ -4942,6 +4967,26 @@ def _q_date_histogram(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_date_histogram_filled(sf_dir: str):
+    """ES date_histogram with min_doc_count=0 (the ES default): every
+    calendar month between each query's first and last non-empty bucket
+    is emitted, gaps as n_docs=0 — driver-side enumeration over the tiny
+    bucket frame (the ES reduce-phase behavior)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_date_histogram
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts",), derived=True
+    )
+    try:
+        return run_agg_date_histogram(
+            queries, idx, "ts", "month", cfg=cfg, min_doc_count=0
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_range_agg(sf_dir: str):
     """ES range aggregation with explicit edges over n_chars per derived
     query's match set (bucket key = the range's lower edge)."""
@@ -7714,6 +7759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_histogram": _q_match_histogram,
         "extended_stats_agg": _q_extended_stats,
         "date_histogram_agg": _q_date_histogram,
+        "date_histogram_filled_agg": _q_date_histogram_filled,
         "range_agg": _q_range_agg,
         "matrix_stats_agg": _q_matrix_stats,
         "composite_agg": _q_composite_agg,
@@ -7985,6 +8031,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_bounds_agg": _GEO_BOUNDS_SQL,
         "extended_stats_agg": _EXT_STATS_SQL,
         "date_histogram_agg": _DATE_HIST_SQL,
+        "date_histogram_filled_agg": _DATE_HIST_FILLED_SQL,
         "range_agg": _RANGE_AGG_SQL,
         "matrix_stats_agg": _MATRIX_STATS_SQL,
         "composite_agg": _COMPOSITE_SQL,

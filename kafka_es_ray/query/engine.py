@@ -6988,15 +6988,39 @@ def run_agg_extended_stats(
     )
 
 
+def _calendar_buckets_between(lo: int, hi: int, unit: str) -> np.ndarray:
+    """Every calendar bucket start in [lo, hi] (both already floored) —
+    the ES empty-bucket enumeration for min_doc_count=0 gap filling."""
+    if unit == "day":
+        return np.arange(lo, hi + 1, 86400, dtype=np.int64)
+    if unit == "week":
+        return np.arange(lo, hi + 1, 604800, dtype=np.int64)
+    if unit in ("month", "year"):
+        u = "M" if unit == "month" else "Y"
+        a = np.datetime64(int(lo), "s").astype(f"datetime64[{u}]")
+        b = np.datetime64(int(hi), "s").astype(f"datetime64[{u}]")
+        return (
+            np.arange(a, b + np.timedelta64(1, u))
+            .astype("datetime64[s]").astype(np.int64)
+        )
+    raise ValueError(f"unsupported calendar interval {unit!r}")
+
+
 def run_agg_date_histogram(
     queries_ds, index_dir: str, field: str, calendar_interval: str = "month",
     cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+    min_doc_count: int = 1,
 ) -> pd.DataFrame:
     """Distributed ES date_histogram aggregation (calendar_interval =
     day/week/month/year) over an epoch-seconds numeric field: bucket key
     = the bucket-start epoch seconds (ES returns epoch millis; seconds
     here since the field is seconds).  Weeks start Monday (ISO/ES).
-    Empty buckets omitted (min_doc_count=1)."""
+
+    ``min_doc_count``: 1 (default here) omits empty buckets; 0 emits
+    every calendar bucket between each query's first and last non-empty
+    bucket with n_docs=0 — the ES date_histogram default (gap filling;
+    the enumeration happens on the driver over the already-tiny bucket
+    frame, exactly where ES's reduce phase creates them)."""
     partials, plan = _run_numeric_agg(
         queries_ds, index_dir, field, str(calendar_interval), cfg, concurrency
     )
@@ -7009,13 +7033,23 @@ def run_agg_date_histogram(
             .reset_index()
         )
         for pid_, gg in g.groupby("plan_id", sort=True):
+            buckets = gg["bucket"].to_numpy(np.int64)
+            counts = gg["n"].to_numpy(np.int64)
+            if int(min_doc_count) == 0 and buckets.size:
+                full = _calendar_buckets_between(
+                    int(buckets.min()), int(buckets.max()),
+                    str(calendar_interval),
+                )
+                filled = np.zeros(full.size, dtype=np.int64)
+                filled[np.searchsorted(full, buckets)] = counts
+                buckets, counts = full, filled
             for qid in fanout.get(int(pid_), []):
                 rows.append(
                     pd.DataFrame(
                         {
                             "query_id": np.int64(qid),
-                            "bucket_ts": gg["bucket"].to_numpy(np.int64),
-                            "n_docs": gg["n"].to_numpy(np.int64),
+                            "bucket_ts": buckets,
+                            "n_docs": counts,
                         }
                     )
                 )

@@ -725,3 +725,52 @@ def test_synonyms_query_time_expansion(agg_index, ray_session):
         )
     with _pytest.raises(ValueError, match="bad rule"):
         run_queries(base.assign(synonyms="shared="), d, CFG, concurrency=2)
+
+
+def test_date_histogram_min_doc_count_zero(ray_session, tmp_path):
+    """min_doc_count=0 fills calendar gaps with 0-count buckets (the ES
+    default); the default min_doc_count=1 still omits them; month
+    enumeration walks real calendar months (leap Feb included)."""
+    import ray.data as rd
+
+    from kafka_es_ray.query.engine import (
+        _calendar_buckets_between,
+        run_agg_date_histogram,
+    )
+
+    cfg = EngineConfig(num_partitions=2, numeric_cols=("ts",))
+    # docs in 2020-01, 2020-02 and 2020-05 — March/April empty
+    months = ["2020-01-15", "2020-02-10", "2020-02-11", "2020-05-01"]
+    ts = pd.to_datetime(months).astype(np.int64) // 10**9
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(4)],
+            "text": ["shared term"] * 4,
+            "ts": ts.astype(np.float64),
+        }
+    )
+    d = str(tmp_path / "gapidx")
+    build_index(rd.from_pandas(docs), d, cfg, html_col=None, ts_col=None)
+    q = pd.DataFrame({"query_id": [0], "text": ["shared"]})
+    sparse = run_agg_date_histogram(q, d, "ts", "month", cfg=cfg)
+    assert len(sparse) == 3 and (sparse["n_docs"] > 0).all()
+    filled = run_agg_date_histogram(
+        q, d, "ts", "month", cfg=cfg, min_doc_count=0
+    )
+    assert len(filled) == 5  # Jan..May inclusive
+    assert filled["n_docs"].tolist() == [1, 2, 0, 0, 1]
+    months_got = (
+        filled["bucket_ts"].to_numpy().astype("datetime64[s]")
+        .astype("datetime64[M]").astype(str).tolist()
+    )
+    assert months_got == ["2020-01", "2020-02", "2020-03", "2020-04", "2020-05"]
+    # enumeration unit checks
+    feb = int(pd.Timestamp("2020-02-01").timestamp())
+    may = int(pd.Timestamp("2020-05-01").timestamp())
+    assert len(_calendar_buckets_between(feb, may, "month")) == 4
+    assert len(_calendar_buckets_between(0, 86400 * 6, "day")) == 7
+    y20 = int(pd.Timestamp("2020-01-01").timestamp())
+    y22 = int(pd.Timestamp("2022-01-01").timestamp())
+    assert len(_calendar_buckets_between(y20, y22, "year")) == 3
+    with pytest.raises(ValueError):
+        _calendar_buckets_between(0, 1, "fortnight")
