@@ -5035,6 +5035,33 @@ def _q_composite_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_composite_date_agg(sf_dir: str):
+    """ES composite aggregation with a date_histogram source: doc counts
+    per (lang, calendar month of ts) key tuple, key-ascending (the
+    "ts:month" source form; month column = bucket-start epoch int)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_composite
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts",), derived=True
+    )
+    try:
+        return run_agg_composite(
+            queries, idx, ("lang", "ts:month"), size=100, cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_COMPOSITE_DATE_SQL = _AGG_VALS_CTE + """
+SELECT query_id, lang,
+       epoch(date_trunc('month', to_timestamp(ts)))::BIGINT AS ts_month,
+       count(*)::BIGINT AS n_docs
+FROM vals GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 def _q_cumulative_sum(sf_dir: str):
     """ES cumulative_sum pipeline aggregation: running total of a sum
     sub-agg (n_chars) over month date_histogram buckets per derived
@@ -7763,6 +7790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_agg": _q_range_agg,
         "matrix_stats_agg": _q_matrix_stats,
         "composite_agg": _q_composite_agg,
+        "composite_date_agg": _q_composite_date_agg,
         "cumulative_sum_agg": _q_cumulative_sum,
         "derivative_agg": _q_derivative,
         "bucket_script_agg": _q_bucket_script,
@@ -8035,6 +8063,7 @@ def oracle_sql() -> dict[str, str]:
         "range_agg": _RANGE_AGG_SQL,
         "matrix_stats_agg": _MATRIX_STATS_SQL,
         "composite_agg": _COMPOSITE_SQL,
+        "composite_date_agg": _COMPOSITE_DATE_SQL,
         "cumulative_sum_agg": _CUMSUM_SQL,
         "derivative_agg": _DERIV_SQL,
         "bucket_script_agg": _BUCKET_SCRIPT_SQL,

@@ -3929,15 +3929,37 @@ class NumericAggStage(_SegmentCacheStage):
                 if self.group_field is not None:
                     # terms-bucket sub-agg: one stats partial per
                     # (plan, keyword value) — groups stream as rows
+                    valid = np.ones(ids.size, dtype=bool)
                     if isinstance(self.group_field, tuple):
-                        cols = [seg.field_for(f, ids) for f in self.group_field]
-                        gv = cols[0].astype(object)
+                        cols = []
+                        for f in self.group_field:
+                            if ":" in f:
+                                # composite date_histogram source
+                                # "field:unit": calendar-floored epoch,
+                                # zero-padded so packed-string order ==
+                                # numeric order; docs missing the value
+                                # drop out (ES composite skips them)
+                                fld, unit = f.split(":", 1)
+                                nums = seg.nums_for(fld, ids)
+                                ok_f = ~np.isnan(nums)
+                                fl = np.zeros(ids.size, dtype=np.int64)
+                                if ok_f.any():
+                                    fl[ok_f] = _calendar_floor(nums[ok_f], unit)
+                                cols.append(
+                                    np.array(
+                                        [f"{v:012d}" for v in fl], dtype=object
+                                    )
+                                )
+                                valid &= ok_f
+                            else:
+                                cols.append(seg.field_for(f, ids).astype(object))
+                        gv = cols[0]
                         for c in cols[1:]:
-                            gv = gv + "\x1f" + c.astype(object)
+                            gv = gv + "\x1f" + c
                         gv = gv.astype(str)
                     else:
                         gv = seg.field_for(self.group_field, ids)
-                    ok = ~np.isnan(all_vals)
+                    ok = valid & ~np.isnan(all_vals)
                     gv, vs = gv[ok], all_vals[ok]
                     for val in np.unique(gv):
                         sub = vs[gv == val]
@@ -7417,14 +7439,29 @@ def run_agg_composite(
     at a time with an exclusive ``after`` key tuple (the ES after_key
     cursor).  Partials are (plan, packed key) counts per segment — the
     packed \\x1f separator sorts below every printable char, so packed
-    string order == tuple order."""
+    string order == tuple order.
+
+    A source may also be a date_histogram: ``"field:unit"`` (unit =
+    day/week/month/year) buckets the numeric epoch-seconds field by
+    calendar floor; its output column is named ``field_unit`` (int64
+    bucket-start epochs), and its ``after`` component is the epoch
+    int."""
     fields = tuple(str(f) for f in fields)
+
+    def _fmt(f: str, v) -> str:
+        return f"{int(v):012d}" if ":" in f else str(v)
+
     partials, plan = _run_numeric_agg(
         queries_ds, index_dir, None, None, cfg, concurrency,
         group_field=fields,
     )
     fanout = {q["plan_id"]: q["query_ids"] for q in plan}
-    after_key = "\x1f".join(str(v) for v in after) if after is not None else None
+    after_key = (
+        "\x1f".join(_fmt(f, v) for f, v in zip(fields, after))
+        if after is not None
+        else None
+    )
+    out_names = [f.replace(":", "_") for f in fields]
     rows = []
     if len(partials):
         g = (
@@ -7440,19 +7477,27 @@ def run_agg_composite(
             parts_cols = list(zip(*(b.split("\x1f") for b in gg["bucket"])))
             for qid in fanout.get(int(pid_), []):
                 frame = {"query_id": np.full(len(gg), qid, dtype=np.int64)}
-                for i, f in enumerate(fields):
-                    frame[f] = list(parts_cols[i]) if parts_cols else []
+                for i, (f, name) in enumerate(zip(fields, out_names)):
+                    vals_i = list(parts_cols[i]) if parts_cols else []
+                    if ":" in f:  # date source: unpack padded epoch ints
+                        frame[name] = np.array(
+                            [int(v) for v in vals_i], dtype=np.int64
+                        )
+                    else:
+                        frame[name] = vals_i
                 frame["n_docs"] = gg["n"].to_numpy(np.int64)
                 rows.append(pd.DataFrame(frame))
     if not rows:
         empty = {"query_id": pd.Series([], dtype=np.int64)}
-        for f in fields:
-            empty[f] = pd.Series([], dtype=object)
+        for f, name in zip(fields, out_names):
+            empty[name] = pd.Series(
+                [], dtype=np.int64 if ":" in f else object
+            )
         empty["n_docs"] = pd.Series([], dtype=np.int64)
         return pd.DataFrame(empty)
     return (
         pd.concat(rows, ignore_index=True)
-        .sort_values(["query_id", *fields], kind="mergesort")
+        .sort_values(["query_id", *out_names], kind="mergesort")
         .reset_index(drop=True)
     )
 

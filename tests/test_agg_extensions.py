@@ -774,3 +774,38 @@ def test_date_histogram_min_doc_count_zero(ray_session, tmp_path):
     assert len(_calendar_buckets_between(y20, y22, "year")) == 3
     with pytest.raises(ValueError):
         _calendar_buckets_between(0, 1, "fortnight")
+
+
+def test_composite_date_source_paging(agg_index, ray_session):
+    """composite with a "ts:month" date source: buckets == the pandas
+    (lang, month) crosstab; after-key paging chains exactly; NaN-source
+    docs are skipped (ES composite rule)."""
+    from kafka_es_ray.query.engine import run_agg_composite
+
+    d, docs = agg_index
+    full = run_agg_composite(Q, d, ("lang", "ts:month"), size=1000, cfg=CFG)
+    months = (
+        docs["ts"].astype(np.int64).to_numpy().astype("datetime64[s]")
+        .astype("datetime64[M]").astype("datetime64[s]").astype(np.int64)
+    )
+    want = (
+        docs.assign(m=months).groupby(["lang", "m"]).size().reset_index(name="n")
+        .sort_values(["lang", "m"]).reset_index(drop=True)
+    )
+    assert full["lang"].tolist() == want["lang"].tolist()
+    assert full["ts_month"].tolist() == want["m"].tolist()
+    assert full["n_docs"].tolist() == want["n"].tolist()
+    # paging: size=4 pages concatenate to the full listing
+    pages, after = [], None
+    while True:
+        p = run_agg_composite(
+            Q, d, ("lang", "ts:month"), size=4, after=after, cfg=CFG
+        )
+        if not len(p):
+            break
+        pages.append(p)
+        after = (p["lang"].iloc[-1], int(p["ts_month"].iloc[-1]))
+        if len(p) < 4:
+            break
+    paged = pd.concat(pages, ignore_index=True)
+    pd.testing.assert_frame_equal(paged, full)
