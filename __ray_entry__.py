@@ -6565,6 +6565,33 @@ def _q_match_lang_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_terms_key_order_agg(sf_dir: str):
+    """ES terms aggregation with order {"_key": "asc"}: source buckets
+    per derived query's match set, size cut in KEY order (not count
+    order — the ES order param changing which buckets survive)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_terms
+
+    idx, cfg, queries = _agg_index_build(sf_dir, keyword=("source",))
+    try:
+        return run_agg_terms(
+            queries, idx, field="source", size=3, order="key", cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_TERMS_KEY_ORDER_SQL = _AGG_VALS_CTE + """
+, b AS (
+  SELECT query_id, source AS value, count(*)::BIGINT AS n_docs,
+         row_number() OVER (PARTITION BY query_id ORDER BY source ASC) AS rn
+  FROM vals GROUP BY 1, 2
+)
+SELECT query_id, value, n_docs FROM b WHERE rn <= 3 ORDER BY 1, 2
+"""
+
+
 def _q_match_source_agg(sf_dir: str):
     """Terms aggregation over an ARBITRARY keyword field (cfg.keyword_cols
     generalization of the lang bucket): source buckets per derived query's
@@ -7791,6 +7818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matrix_stats_agg": _q_matrix_stats,
         "composite_agg": _q_composite_agg,
         "composite_date_agg": _q_composite_date_agg,
+        "terms_key_order_agg": _q_terms_key_order_agg,
         "cumulative_sum_agg": _q_cumulative_sum,
         "derivative_agg": _q_derivative,
         "bucket_script_agg": _q_bucket_script,
@@ -8064,6 +8092,7 @@ def oracle_sql() -> dict[str, str]:
         "matrix_stats_agg": _MATRIX_STATS_SQL,
         "composite_agg": _COMPOSITE_SQL,
         "composite_date_agg": _COMPOSITE_DATE_SQL,
+        "terms_key_order_agg": _TERMS_KEY_ORDER_SQL,
         "cumulative_sum_agg": _CUMSUM_SQL,
         "derivative_agg": _DERIV_SQL,
         "bucket_script_agg": _BUCKET_SCRIPT_SQL,

@@ -6512,6 +6512,7 @@ def run_agg_terms(
     concurrency: int | None = None,
     size: int | None = None,
     shard_size: int | None = None,
+    order: str = "count",
 ) -> pd.DataFrame:
     """Distributed ES terms aggregation over each query's match set:
     (query_id, value, n_docs) in ES bucket order (n_docs desc, value
@@ -6521,7 +6522,12 @@ def run_agg_terms(
     SEGMENT's candidate list before the exchange — the ES approximation
     that bounds shuffle volume at any value cardinality — and adds the
     exact ES ``doc_count_error_upper_bound`` column (Σ over truncated
-    segments of their smallest kept count; 0 when nothing was cut)."""
+    segments of their smallest kept count; 0 when nothing was cut).
+    ``order``: the ES terms order param — "count" ({"_count": "desc"},
+    the default) or "key" ({"_key": "asc"}); the size cut happens in the
+    chosen order, like ES."""
+    if order not in ("count", "key"):
+        raise ValueError(f"terms order must be 'count' or 'key', got {order!r}")
     summed, plan = _run_match_set(
         queries_ds, index_dir, field, cfg, concurrency, shard_size=shard_size
     )
@@ -6532,7 +6538,12 @@ def run_agg_terms(
             is_bound = g["value"] == "\x00bound"
             bound = int(g[is_bound]["n"].sum())
             g = g[~is_bound]
-            g = g.sort_values(["n", "value"], ascending=[False, True], kind="mergesort")
+            if order == "key":
+                g = g.sort_values("value", kind="mergesort")
+            else:
+                g = g.sort_values(
+                    ["n", "value"], ascending=[False, True], kind="mergesort"
+                )
             if size is not None:
                 g = g.head(int(size))
             for qid in fanout.get(int(pid_), []):
