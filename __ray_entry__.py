@@ -3139,7 +3139,7 @@ _SEARCH_TEMPLATE_SQL = _BM25_SQL.replace(
 assert "BETWEEN b.lo" in _SEARCH_TEMPLATE_SQL  # replace anchor must exist
 
 
-def _q_knn_topk(sf_dir: str):
+def _q_knn_topk(sf_dir: str, min_similarity: float | None = None):
     """ES kNN search over a dense_vector mapped field: the documents
     index is built with the embeddings-table vector attached (broadcast
     join on doc_id = vec_id; docs without a vector are never hits), then
@@ -3190,7 +3190,9 @@ def _q_knn_topk(sf_dir: str):
                 "k": np.int32(10),
             }
         )
-        out = run_knn(queries, idx, "emb", cfg).to_pandas()
+        out = run_knn(
+            queries, idx, "emb", cfg, min_similarity=min_similarity
+        ).to_pandas()
         return (
             out[["query_id", "rank", "doc_id", "score"]]
             .sort_values(["query_id", "rank"])
@@ -3198,6 +3200,13 @@ def _q_knn_topk(sf_dir: str):
         )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_knn_similarity_topk(sf_dir: str):
+    """ES kNN with the `similarity` threshold: exact cosine top-10 but
+    hits under 0.3 similarity are dropped (queries may return fewer
+    than k — the ES radius-style cutoff)."""
+    return _q_knn_topk(sf_dir, min_similarity=0.3)
 
 
 def _q_knn_filtered_topk(sf_dir: str):
@@ -7819,6 +7828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_agg": _q_composite_agg,
         "composite_date_agg": _q_composite_date_agg,
         "terms_key_order_agg": _q_terms_key_order_agg,
+        "knn_similarity_topk": _q_knn_similarity_topk,
         "cumulative_sum_agg": _q_cumulative_sum,
         "derivative_agg": _q_derivative,
         "bucket_script_agg": _q_bucket_script,
@@ -8093,6 +8103,11 @@ def oracle_sql() -> dict[str, str]:
         "composite_agg": _COMPOSITE_SQL,
         "composite_date_agg": _COMPOSITE_DATE_SQL,
         "terms_key_order_agg": _TERMS_KEY_ORDER_SQL,
+        # the knn SQL with the similarity cutoff applied before ranking
+        "knn_similarity_topk": _KNN_SQL.replace(
+            "topk AS (",
+            "cut AS (SELECT * FROM sims WHERE score >= 0.3),\ntopk AS (",
+        ).replace("FROM sims\n)", "FROM cut\n)"),
         "cumulative_sum_agg": _CUMSUM_SQL,
         "derivative_agg": _DERIV_SQL,
         "bucket_script_agg": _BUCKET_SCRIPT_SQL,

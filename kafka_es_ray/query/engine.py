@@ -9429,6 +9429,7 @@ def run_knn(
     cfg: EngineConfig = DEFAULT,
     concurrency: int | None = None,
     similarity: str = "cosine",
+    min_similarity: float | None = None,
 ):
     """Distributed ES kNN search over a dense_vector mapped field
     (cfg.vector_cols): each query row carries ``query_id``, ``vec`` (a
@@ -9438,7 +9439,10 @@ def run_knn(
     ``similarity``: "cosine" (default, score = round6(cosine)),
     "dot_product" (raw inner product) or "l2_norm" (ES transform
     1/(1 + ||v-q||^2)) — the ES dense_vector similarity options; all
-    round6'd before the per-segment cut.  Returns
+    round6'd before the per-segment cut.  ``min_similarity``: the ES knn
+    ``similarity`` threshold — hits scoring below it are dropped at the
+    final merge (applied on the round6'd score; a query may return fewer
+    than k hits, like ES).  Returns
     Dataset(query_id, rank, doc_id, key, score) with score = round6(cosine)
     and ties broken doc_id asc.  Segments are the Dataset, the query
     matrix the broadcast side; shuffle volume = plans x segments x k."""
@@ -9522,6 +9526,10 @@ def run_knn(
         out = []
         for pid_, g in bucket.groupby("plan_id", sort=False):
             k = k_map.get(int(pid_), 10)
+            if min_similarity is not None:
+                g = g[g["score"] >= float(min_similarity)]
+                if not len(g):
+                    continue
             ids = g["doc_id"].to_numpy()
             sc = g["score"].to_numpy()
             if multi:

@@ -439,3 +439,23 @@ def test_knn_prefilter_kw(ray_session, tmp_path):
     ids = _id_map(d)
     s1_ids = {ids[f"d{i}"] for i in range(N) if i % 3 == 1}
     assert set(g["doc_id"]) <= s1_ids
+
+
+def test_knn_min_similarity_cutoff(knn_index, ray_session):
+    """min_similarity drops hits below the round6'd cosine threshold;
+    the kept prefix equals the unfiltered ranking's prefix; a cutoff
+    above every score returns nothing (typed empty)."""
+    from kafka_es_ray.query.engine import run_knn
+
+    q = pd.DataFrame({"query_id": [0], "vec": [VECS[0].tolist()], "k": 50})
+    full = run_knn(q, knn_index, "emb", CFG).to_pandas().sort_values("rank")
+    thr = float(full["score"].iloc[len(full) // 2])  # median score
+    cut = run_knn(
+        q, knn_index, "emb", CFG, min_similarity=thr
+    ).to_pandas().sort_values("rank")
+    want = full[full["score"] >= thr]
+    assert cut["doc_id"].tolist() == want["doc_id"].tolist()
+    assert cut["rank"].tolist() == list(range(1, len(want) + 1))
+    assert 0 < len(cut) < len(full)
+    nothing = run_knn(q, knn_index, "emb", CFG, min_similarity=2.0)
+    assert nothing.count() == 0
