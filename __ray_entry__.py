@@ -2264,6 +2264,65 @@ _MATCH_FUZZY2_SQL = _MATCH_FUZZY_SQL.replace(
 assert "<= 2" in _MATCH_FUZZY2_SQL  # replace anchor must exist
 
 
+def _q_match_fuzzy_dl_topk(sf_dir: str):
+    """ES match with fuzziness=2 and fuzzy_transpositions=true (the ES
+    DEFAULT metric — an adjacent swap costs one edit): the probe expands
+    against the global dictionary under the unrestricted
+    Damerau-Levenshtein distance (vectorized OSA band DP + the exact
+    Lowrance-Wagner rim), scored as the bool-OR of the expanded terms.
+    DuckDB's damerau_levenshtein replays the same unrestricted metric."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_mfdidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        w1 = derive_ranked_terms(IndexSearcher(idx), 1)[0]
+        # transposed-interior probe: swap the two middle chars so the
+        # transposition metric actually diverges from plain Levenshtein
+        m = max(1, len(w1) // 2)
+        probe = w1[: m - 1] + w1[m] + w1[m - 1] + w1[m + 1 :]
+        queries = pd.DataFrame(
+            {
+                "query_id": np.array([0], dtype=np.int64),
+                "text": [probe],
+                "fuzziness": np.array([2], dtype=np.int64),
+                "fuzzy_transpositions": [True],
+            }
+        )
+        out = run_queries(queries, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_MATCH_FUZZY_DL_SQL = _MATCH_FUZZY_SQL.replace(
+    """probe AS (
+  SELECT substr(term, 1, len(term) - 1) AS p FROM ranked_terms WHERE r = 1
+),""",
+    """probe AS (
+  SELECT substr(term, 1, GREATEST(len(term) // 2, 1) - 1)
+         || substr(term, GREATEST(len(term) // 2, 1) + 1, 1)
+         || substr(term, GREATEST(len(term) // 2, 1), 1)
+         || substr(term, GREATEST(len(term) // 2, 1) + 2) AS p
+  FROM ranked_terms WHERE r = 1
+),""",
+).replace(
+    "WHERE levenshtein(df.term, probe.p) <= 1",
+    "WHERE damerau_levenshtein(df.term, probe.p) <= 2",
+)
+assert "damerau_levenshtein" in _MATCH_FUZZY_DL_SQL
+
+
 def _q_weighted_terms_topk(sf_dir: str):
     """ES sparse_vector / rank_features weighted-term retrieval (the
     learned-sparse ELSER/SPLADE scoring shape): score = Σ w_t · tf(t,d)
@@ -7788,6 +7847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_lookup_topk": _q_terms_lookup_topk,
         "match_fuzzy_topk": _q_match_fuzzy_topk,
         "match_fuzzy2_topk": _q_match_fuzzy2_topk,
+        "match_fuzzy_dl_topk": _q_match_fuzzy_dl_topk,
         "weighted_terms_topk": _q_weighted_terms_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "range_filter_topk": _q_range_filter_topk,
@@ -8051,6 +8111,7 @@ def oracle_sql() -> dict[str, str]:
         "terms_lookup_topk": _TERMS_LOOKUP_SQL,
         "match_fuzzy_topk": _MATCH_FUZZY_SQL,
         "match_fuzzy2_topk": _MATCH_FUZZY2_SQL,
+        "match_fuzzy_dl_topk": _MATCH_FUZZY_DL_SQL,
         "weighted_terms_topk": _WEIGHTED_TERMS_SQL,
         "range_filter_topk": _RANGE_SQL,
         "script_filter_topk": _SCRIPT_FILTER_SQL,

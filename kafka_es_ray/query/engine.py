@@ -1942,16 +1942,109 @@ def _fuzzy_term_indices(s: Segment, term: str) -> list[int]:
     return sorted(out)
 
 
-def _fuzzy_term_indices_k(s: Segment, term: str, max_edits: int) -> list[int]:
+def _damerau_levenshtein(a: bytes, b: bytes) -> int:
+    """Unrestricted Damerau-Levenshtein distance (Lowrance-Wagner; a
+    transposed pair may have had an edit applied between its characters
+    — 'ca'→'abc' is 2, where the restricted/OSA metric says 3).  Matches
+    DuckDB's damerau_levenshtein, the oracle's replay function.  Used
+    only on the tiny OSA==3 rim the vectorized band DP cannot decide."""
+    la, lb = len(a), len(b)
+    inf = la + lb
+    # dist with 1-based string indexing and a 2-row sentinel border
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    d[1][1] = 0
+    for i in range(1, la + 1):
+        d[i + 1][1] = i
+    for j in range(1, lb + 1):
+        d[1][j + 1] = j
+    last_row: dict[int, int] = {}
+    for i in range(1, la + 1):
+        last_col = 0  # last j where a[i-1] == b[j-1] in this row
+        for j in range(1, lb + 1):
+            i1 = last_row.get(b[j - 1], 0)
+            j1 = last_col
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            if cost == 0:
+                last_col = j
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,  # substitute / match
+                d[i + 1][j] + 1,  # insert
+                d[i][j + 1] + 1,  # delete
+                # transpose a[i1-1]..a[i-1] with everything between
+                # deleted/inserted (the unrestricted move)
+                d[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),
+            )
+        last_row[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def _fuzzy_term_indices_tr1(s: Segment, term: str) -> list[int]:
+    """Dictionary term indices within Damerau-Levenshtein distance <= 1
+    of ``term`` (ES fuzziness=1 with fuzzy_transpositions=true, the ES
+    default): the plain distance-1 set plus same-length candidates that
+    differ by exactly one adjacent transposition.  The transposition
+    check is vectorized: with p = longest common prefix and sfx =
+    longest common suffix, candidate == transpose(term) iff the two
+    middle positions are crosswise equal and p + sfx >= L - 2."""
+    import pyarrow.compute as pc
+
+    out = set(_fuzzy_term_indices(s, term))
+    qb = np.frombuffer(term.encode("utf-8"), dtype=np.uint8)
+    lq = qb.size
+    if lq < 2:
+        return sorted(out)
+    arr = s.terms_arr.combine_chunks() if hasattr(s.terms_arr, "combine_chunks") else s.terms_arr
+    lens = pc.binary_length(arr).to_numpy(zero_copy_only=False)
+    band = np.flatnonzero(lens == lq)
+    if band.size == 0:
+        return sorted(out)
+    sub = arr.take(pa.array(band, type=pa.int64()))
+    if isinstance(sub, pa.ChunkedArray):
+        sub = sub.combine_chunks()
+    off_dt = np.int64 if pa.types.is_large_string(sub.type) else np.int32
+    off0 = int(np.frombuffer(sub.buffers()[1], dtype=off_dt)[sub.offset])
+    data = np.frombuffer(sub.buffers()[2], dtype=np.uint8)
+    mat = data[off0 : off0 + band.size * lq].reshape(band.size, lq)
+    neq = mat != qb
+    p = np.where(neq.any(axis=1), neq.argmax(axis=1), lq)
+    neqr = neq[:, ::-1]
+    sfx = np.where(neqr.any(axis=1), neqr.argmax(axis=1), lq)
+    # exactly one adjacent swap: mismatch region is the 2 chars at p
+    pc_idx = np.minimum(p, lq - 2)
+    swap = (
+        (p + sfx >= lq - 2)
+        & (p <= lq - 2)
+        & (np.take_along_axis(mat, pc_idx[:, None], 1)[:, 0] == qb[np.minimum(pc_idx + 1, lq - 1)])
+        & (np.take_along_axis(mat, np.minimum(pc_idx + 1, lq - 1)[:, None], 1)[:, 0] == qb[pc_idx])
+    )
+    out.update(band[swap].tolist())
+    return sorted(out)
+
+
+def _fuzzy_term_indices_k(
+    s: Segment, term: str, max_edits: int, transpositions: bool = False
+) -> list[int]:
     """Dictionary term indices within edit distance <= ``max_edits`` of
     ``term``.  max_edits=1 uses the vectorized lcp+lcs identity
     (_fuzzy_term_indices); max_edits=2 runs a vectorized Levenshtein DP
     over the 5 length bands |q|-2..+2 — columns iterate (term length,
     <= ~30 for analyzed tokens), rows are numpy vectors over the whole
     band, so cost is O(|q| x L) vector ops per band, never per-candidate
-    Python.  Byte-level == char-level for the ascii analyzer."""
+    Python.  Byte-level == char-level for the ascii analyzer.
+
+    ``transpositions=True`` switches the metric to the unrestricted
+    Damerau-Levenshtein (the ES/Lucene fuzzy_transpositions default;
+    DuckDB damerau_levenshtein replays it): the band DP gains the OSA
+    transposition row, and since DL <= 2 implies OSA <= 3 (the only
+    inflation is an edit landing between a transposed pair, +1), the
+    OSA==3 rim is decided exactly by a per-candidate Lowrance-Wagner
+    pass (_damerau_levenshtein) — a handful of strings, never the band."""
     if max_edits <= 1:
-        return _fuzzy_term_indices(s, term)
+        return (
+            _fuzzy_term_indices_tr1(s, term)
+            if transpositions
+            else _fuzzy_term_indices(s, term)
+        )
     if max_edits != 2:
         raise ValueError("fuzziness: only 1, 2 or 'auto' supported")
     import pyarrow.compute as pc
@@ -1977,6 +2070,7 @@ def _fuzzy_term_indices_k(s: Segment, term: str, max_edits: int) -> list[int]:
         prev = np.broadcast_to(
             np.arange(L + 1, dtype=np.int32), (band.size, L + 1)
         ).copy()
+        prev2 = None
         for i in range(1, lq + 1):
             cur = np.empty_like(prev)
             cur[:, 0] = i
@@ -1986,9 +2080,22 @@ def _fuzzy_term_indices_k(s: Segment, term: str, max_edits: int) -> list[int]:
                     np.minimum(cur[:, j - 1] + 1, prev[:, j] + 1),
                     prev[:, j - 1] + sub_cost[:, j - 1],
                 )
+                if transpositions and i >= 2 and j >= 2:
+                    tr = (mat[:, j - 1] == qb[i - 2]) & (mat[:, j - 2] == qb[i - 1])
+                    cur[:, j] = np.where(
+                        tr, np.minimum(cur[:, j], prev2[:, j - 2] + 1), cur[:, j]
+                    )
+            prev2 = prev
             prev = cur
-        ok = prev[:, L] <= 2
+        osa = prev[:, L]
+        ok = osa <= 2
         out.extend(band[ok].tolist())
+        if transpositions:
+            # DL <= 2 implies OSA <= 3; decide the OSA==3 rim exactly
+            for bi in band[osa == 3].tolist():
+                cand = arr[bi].as_py().encode("utf-8")
+                if _damerau_levenshtein(qb.tobytes(), cand) <= 2:
+                    out.append(bi)
     return sorted(out)
 
 
@@ -4616,7 +4723,8 @@ def _shard_terms_enum(
 
 
 def _shard_fuzzy_enum(
-    index_dir: str, pid: int, term: str, max_edits: int = 1
+    index_dir: str, pid: int, term: str, max_edits: int = 1,
+    transpositions: bool = False,
 ) -> list[str]:
     """One segment's edit-distance-<=``max_edits`` dictionary terms for
     ``term`` — dictionary-only (postings never read); distance 1 via the
@@ -4631,7 +4739,7 @@ def _shard_fuzzy_enum(
     t = pq.read_table(postings_path(index_dir, pid), columns=["term"])
     arr = t.column("term").combine_chunks()
     tids = _fuzzy_term_indices_k(
-        types.SimpleNamespace(terms_arr=arr), term, max_edits
+        types.SimpleNamespace(terms_arr=arr), term, max_edits, transpositions
     )
     return [v for v in (arr[i].as_py() for i in tids) if "\x1f" not in v]
 
@@ -4667,7 +4775,8 @@ def _global_prefix_expand(dirs: list, manifests: list, prefix: str) -> list[str]
 
 
 def _global_fuzzy_expand(
-    dirs: list, manifests: list, term: str, max_edits: int = 1
+    dirs: list, manifests: list, term: str, max_edits: int = 1,
+    transpositions: bool = False,
 ) -> list[str]:
     """GLOBAL fuzziness expansion of one analyzed term over every
     segment dictionary — deterministic across shard layouts (Lucene
@@ -4683,10 +4792,15 @@ def _global_fuzzy_expand(
         (d, int(p)) for d, m in zip(dirs, manifests) for p in m["parts"]
     ]
     if len(jobs) <= 4:
-        lists = [_shard_fuzzy_enum(d, p, term, max_edits) for d, p in jobs]
+        lists = [
+            _shard_fuzzy_enum(d, p, term, max_edits, transpositions)
+            for d, p in jobs
+        ]
     else:
         enum = ray.remote(num_cpus=1)(_shard_fuzzy_enum)
-        lists = ray.get([enum.remote(d, p, term, max_edits) for d, p in jobs])
+        lists = ray.get(
+            [enum.remote(d, p, term, max_edits, transpositions) for d, p in jobs]
+        )
     return sorted({t for lst in lists for t in lst})
 
 
@@ -5004,7 +5118,11 @@ def run_queries(
         # scores as the bool-OR of the expanded terms, each with its own
         # global df/idf (the ES fuzzy-rewrite-to-bool shape; frozen
         # convention).  "auto" = the ES AUTO:3,6 per-term rule
-        # (auto_fuzziness).
+        # (auto_fuzziness).  An optional boolean ``fuzzy_transpositions``
+        # column switches the row's metric to the unrestricted
+        # Damerau-Levenshtein (the ES default is true; this engine's
+        # frozen default stays plain Levenshtein for compatibility with
+        # the earlier fuzzy surface).
         queries = queries.copy()
         fz_cache: dict[tuple, list[str]] = {}
         for i in queries.index[queries["fuzziness"].notna()]:
@@ -5012,17 +5130,23 @@ def run_queries(
             is_auto = isinstance(raw_fz, str) and raw_fz.lower() == "auto"
             if not is_auto and int(raw_fz) not in (1, 2):
                 raise ValueError("match fuzziness: only 1, 2 or 'auto' supported")
+            trv = (
+                queries.at[i, "fuzzy_transpositions"]
+                if "fuzzy_transpositions" in queries.columns
+                else None
+            )
+            tr = bool(trv) and not pd.isna(trv)
             an_f = get_analyzer(
                 queries.at[i, "lang"] if "lang" in queries.columns else None
             )
             expanded: set[str] = set()
             for t in an_f.tokenize(str(queries.at[i, "text"])):
                 me = auto_fuzziness(t) if is_auto else int(raw_fz)
-                if (t, me) not in fz_cache:
-                    fz_cache[(t, me)] = _global_fuzzy_expand(
-                        dirs, manifests, t, me
+                if (t, me, tr) not in fz_cache:
+                    fz_cache[(t, me, tr)] = _global_fuzzy_expand(
+                        dirs, manifests, t, me, tr
                     )
-                expanded.update(fz_cache[(t, me)])
+                expanded.update(fz_cache[(t, me, tr)])
             queries.at[i, "text"] = " ".join(sorted(expanded))
 
     # span_multi rows (span_near whose clauses may be prefix wrappers,

@@ -408,3 +408,92 @@ def test_fuzzy_banded_dp_hypothesis():
             assert got == want, (probe, k, vocab)
 
     check()
+
+
+def test_fuzzy_transpositions_matches_damerau():
+    """Property: fuzzy_transpositions=true expansion == the unrestricted
+    Damerau-Levenshtein (an adjacent swap costs 1; an edit may land
+    BETWEEN a transposed pair — 'ca'→'abc' is 2, OSA says 3), at both
+    supported distances, via the reference Lowrance-Wagner metric."""
+    import types
+
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_es_ray.query.engine import (
+        _damerau_levenshtein,
+        _fuzzy_term_indices_k,
+    )
+
+    # reference sanity pins (unrestricted, not OSA)
+    dl = lambda a, b: _damerau_levenshtein(a.encode(), b.encode())
+    assert dl("ca", "abc") == 2
+    assert dl("abcd", "acbd") == 1
+    assert dl("fox", "ofx") == 1
+    assert dl("abcdef", "bacdfe") == 2
+
+    word = st.text(alphabet="abz", min_size=1, max_size=7)
+
+    @settings(max_examples=150, deadline=None)
+    @given(vocab=st.lists(word, min_size=1, max_size=15, unique=True), probe=word)
+    def check(vocab, probe):
+        vocab = sorted(vocab)
+        seg = types.SimpleNamespace(terms_arr=pa.array(vocab))
+        for k in (1, 2):
+            got = _fuzzy_term_indices_k(seg, probe, k, transpositions=True)
+            want = [i for i, t in enumerate(vocab) if dl(probe, t) <= k]
+            assert got == want, (probe, k, vocab)
+            # plain-Levenshtein set is always a subset
+            plain = _fuzzy_term_indices_k(seg, probe, k)
+            assert set(plain) <= set(got), (probe, k, vocab)
+
+    check()
+
+
+def test_match_fuzzy_transpositions_distributed(built):
+    """match fuzziness=1 with fuzzy_transpositions=true expands an
+    adjacent-swap probe back to the original term (the plain distance-1
+    Levenshtein cannot express a swap), and the distributed path scores
+    the expanded set."""
+    import pandas as pd
+
+    from kafka_es_ray.query.engine import (
+        _global_fuzzy_expand,
+        read_manifest,
+        run_queries,
+    )
+
+    idx, _ = built
+    s = Segment.load(idx, 0)
+    term = next(
+        t.as_py()
+        for t in s.terms_arr
+        if len(t.as_py()) >= 4 and t.as_py()[1] != t.as_py()[2]
+    )
+    probe = term[:1] + term[2] + term[1] + term[3:]  # swap chars 1,2
+    assert probe != term
+    man = read_manifest(idx)
+    with_tr = _global_fuzzy_expand([idx], [man], probe, 1, True)
+    plain = _global_fuzzy_expand([idx], [man], probe, 1, False)
+    assert term in with_tr and term not in plain
+    assert set(plain) <= set(with_tr)
+    # end-to-end: the rewritten row ranks docs of the expanded set
+    q = pd.DataFrame(
+        {
+            "query_id": np.array([0], dtype=np.int64),
+            "text": [probe],
+            "fuzziness": np.array([1], dtype=np.int64),
+            "fuzzy_transpositions": [True],
+        }
+    )
+    got = run_queries(q, idx).to_pandas()
+    assert len(got) > 0
+    hit_ids = set()
+    for pid in range(CFG.num_partitions):
+        seg = Segment.load(idx, pid)
+        for t in with_tr:
+            ti = seg.lookup(t)
+            if ti is not None and ti >= 0:
+                hit_ids.update(seg.postings_with_dl(ti)[0].tolist())
+    assert set(got["doc_id"].tolist()) <= hit_ids
