@@ -6015,6 +6015,94 @@ FROM hits WHERE inner_rank <= 3 ORDER BY 1, 3
 )
 
 
+def _q_nested_topk(sf_dir: str):
+    """ES `nested` query with inner_hits (the Lucene block-join layout:
+    nested objects = co-located child rows, routing = root key): BM25 of
+    "line r f" over the lineitem nested docs, score_mode=avg combines
+    each order's matching children, top-10 orders with up to 3 inner
+    hits each.  Global stats follow the engine convention (N/avgdl over
+    ALL docs — roots included; exact global df), replayed verbatim by
+    the SQL oracle."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.query.parent_join import run_nested
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_nstidx_")
+    try:
+        cfg = _parent_join_index(sf_dir, idx)
+        return run_nested(
+            idx, "line r f", score_mode="avg", k=10, inner_n=3, cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_NESTED_SQL = """
+WITH child_docs AS (
+  SELECT l_orderkey, l_returnflag, l_linestatus,
+         'L' || substr(md5(
+             CAST(l_orderkey AS VARCHAR) || '-' ||
+             CAST(l_linenumber AS VARCHAR) || '-' ||
+             l_returnflag || l_linestatus ||
+             CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+         ), 1, 12) AS key
+  FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_returnflag,
+               l_linestatus, l_quantity FROM lineitem)
+),
+docs AS (
+  SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS key,
+         'order ' || o_orderstatus AS text, NULL AS root
+  FROM orders
+  UNION ALL
+  SELECT key, 'line ' || l_returnflag || ' ' || l_linestatus AS text,
+         'O' || CAST(l_orderkey AS VARCHAR) AS root
+  FROM child_docs
+),
+dl AS (SELECT key, len({_TOK})::DOUBLE AS dl FROM docs),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+toks AS (SELECT key, unnest({_TOK}) AS term FROM docs),
+tf AS (SELECT key, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q AS (SELECT unnest(['line', 'r', 'f']) AS term),
+cs AS (
+  SELECT d2.root, tf.key AS child_key,
+         sum(
+           ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS raw
+  FROM q JOIN tf USING (term) JOIN df USING (term)
+  JOIN dl ON dl.key = tf.key
+  JOIN docs d2 ON d2.key = tf.key
+  CROSS JOIN stats s
+  WHERE d2.root IS NOT NULL
+  GROUP BY 1, 2
+),
+roots AS (
+  SELECT root AS key, round(avg(raw), 6) AS score,
+         count(*)::BIGINT AS n_matched
+  FROM cs GROUP BY 1
+),
+topk AS (
+  SELECT key, score, n_matched,
+         row_number() OVER (ORDER BY score DESC, key ASC) AS rank
+  FROM roots
+),
+ih AS (
+  SELECT root AS key, child_key, round(raw, 6) AS child_score,
+         row_number() OVER (
+           PARTITION BY root ORDER BY round(raw, 6) DESC, child_key ASC
+         ) AS inner_rank
+  FROM cs
+)
+SELECT t.rank::BIGINT AS rank, t.key, t.score, t.n_matched,
+       i.inner_rank::BIGINT AS inner_rank, i.child_key, i.child_score
+FROM topk t JOIN ih i USING (key)
+WHERE t.rank <= 10 AND i.inner_rank <= 3
+ORDER BY 1, 5
+""".replace("{_TOK}", _TOK)
+
+
 def _q_parent_terms_agg(sf_dir: str):
     """ES `parent` aggregation (terms sub-agg): o_orderpriority counts
     over orders having >= 1 lineitem matching (l_returnflag='R' AND
@@ -7937,6 +8025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_caps": _q_field_caps,
         "has_child_orders": _q_has_child,
         "has_parent_lineitems": _q_has_parent,
+        "nested_topk": _q_nested_topk,
         "children_terms_agg": _q_children_terms_agg,
         "parent_terms_agg": _q_parent_terms_agg,
         "has_child_inner_hits": _q_has_child_inner_hits,
@@ -8224,6 +8313,7 @@ def oracle_sql() -> dict[str, str]:
         "msearch_topk": _BM25_SQL,
         "has_child_orders": _HAS_CHILD_SQL,
         "has_parent_lineitems": _HAS_PARENT_SQL,
+        "nested_topk": _NESTED_SQL,
         "children_terms_agg": _CHILDREN_TERMS_SQL,
         "parent_terms_agg": _PARENT_TERMS_SQL,
         "has_child_inner_hits": _HAS_CHILD_INNER_SQL,

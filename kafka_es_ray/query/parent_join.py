@@ -24,8 +24,9 @@ import numpy as np
 import pandas as pd
 
 from kafka_es_ray.config import DEFAULT, EngineConfig
-from kafka_es_ray.index.segment import read_manifest
-from kafka_es_ray.query.engine import _SegmentCacheStage
+from kafka_es_ray.index.segment import postings_path, read_manifest
+from kafka_es_ray.query.bm25 import bm25_idf, round6
+from kafka_es_ray.query.engine import _SegmentCacheStage, score_segment
 from kafka_es_ray.runtime import query_pool
 
 
@@ -353,6 +354,273 @@ def run_parent_terms_agg(
         agg_field=parent_field, **kw,
     )
     return _terms_merge(ds)
+
+
+class NestedTopkStage(_SegmentCacheStage):
+    """ES `nested` query (Lucene block join): nested objects are indexed
+    as separate co-located docs (here: rows with routing = root key —
+    the physical analog of Lucene's parent-block adjacency), the inner
+    query BM25-scores the nested docs, and each root's score is
+    score_mode(matching children).  Because a root's nested docs all
+    live in ONE segment (the co-location contract), per-root combined
+    scores are FINAL shard-locally: each segment emits its own top-k
+    roots (+ their inner hits) and the driver merge sees only
+    segments x k rows — never the match set.  Reference semantics:
+    ES nested query / inner_hits (score_mode avg|sum|max|min|none)."""
+
+    def _init_payload(self, payload) -> None:
+        (
+            self.tomb_map,
+            self.terms,
+            self.idf,
+            self.avgdl,
+            self.k1,
+            self.b,
+            self.score_mode,
+            self.k,
+            self.filt,
+            self.inner_n,
+            self.join_field,
+            self.parent_key_field,
+            self.child_type,
+        ) = payload
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pid in batch["part_id"].astype(int):
+            seg = self._segment(int(pid))
+            ids, scores = score_segment(
+                seg, self.terms, self.idf, self.avgdl, self.k1, self.b,
+                theta=None,
+            )
+            if not ids.size:
+                continue
+            # the nested query matches nested docs only (roots carrying
+            # the same terms in their own fields are never inner hits)
+            jn = seg.field_for(self.join_field, ids)
+            keep = jn == self.child_type
+            ids, scores = ids[keep], scores[keep]
+            if self.filt and ids.size:
+                keep = np.ones(ids.size, dtype=bool)
+                for fld, val in self.filt.get("kw", ()):
+                    got = seg.field_for(fld, ids)
+                    keep &= (
+                        got == val
+                        if isinstance(val, str)
+                        else np.isin(got, list(val))
+                    )
+                for fld, lo, hi in self.filt.get("range", ()):
+                    v = seg.nums_for(fld, ids)
+                    keep &= ~np.isnan(v)
+                    if lo is not None:
+                        keep &= v >= lo
+                    if hi is not None:
+                        keep &= v <= hi
+                ids, scores = ids[keep], scores[keep]
+            if not ids.size:
+                continue
+            pk = seg.field_for(self.parent_key_field, ids)
+            ck = seg.keys_for(ids)
+            # combine per root in ascending (root, child doc_id) order —
+            # the deterministic accumulation contract
+            order = np.lexsort((ids, pk))
+            pk_s, ck_s, sc_s = pk[order], ck[order], scores[order]
+            first = np.ones(pk_s.size, dtype=bool)
+            first[1:] = pk_s[1:] != pk_s[:-1]
+            starts = np.flatnonzero(first)
+            counts = np.diff(np.append(starts, pk_s.size))
+            if self.score_mode == "sum":
+                comb = np.add.reduceat(sc_s, starts)
+            elif self.score_mode == "max":
+                comb = np.maximum.reduceat(sc_s, starts)
+            elif self.score_mode == "min":
+                comb = np.minimum.reduceat(sc_s, starts)
+            elif self.score_mode == "avg":
+                comb = np.add.reduceat(sc_s, starts) / counts
+            elif self.score_mode == "none":
+                comb = np.zeros(starts.size, dtype=np.float64)
+            else:
+                raise ValueError(f"nested score_mode: {self.score_mode!r}")
+            comb = round6(comb)
+            roots = pk_s[starts]
+            # segment-local top-k roots (score desc, key asc) — final
+            # per-root scores, so the global cut only merges partials
+            cut = np.lexsort((roots, -comb))[: self.k]
+            top_roots = roots[cut]
+            run_id = np.cumsum(first) - 1
+            root_rank = {r: i for i, r in enumerate(top_roots)}
+            member = np.isin(pk_s, top_roots)
+            # inner hits: per kept root, top inner_n children by
+            # (child score desc, child key asc), round6 before ranking
+            ch_sc = round6(sc_s[member])
+            ch_key = ck_s[member]
+            ch_root = pk_s[member]
+            o2 = np.lexsort((ch_key, -ch_sc, ch_root))
+            r_s, k_s, s_s = ch_root[o2], ch_key[o2], ch_sc[o2]
+            f2 = np.ones(r_s.size, dtype=bool)
+            f2[1:] = r_s[1:] != r_s[:-1]
+            st2 = np.flatnonzero(f2)
+            rid2 = np.cumsum(f2) - 1
+            pos2 = np.arange(r_s.size) - st2[rid2]
+            keep2 = pos2 < self.inner_n
+            comb_by_root = dict(zip(roots[cut], comb[cut]))
+            n_by_root = dict(zip(roots, counts))
+            out.append(
+                pd.DataFrame(
+                    {
+                        "key": r_s[keep2],
+                        "score": [comb_by_root[r] for r in r_s[keep2]],
+                        "n_matched": [
+                            int(n_by_root[r]) for r in r_s[keep2]
+                        ],
+                        "child_key": k_s[keep2],
+                        "child_score": s_s[keep2],
+                        "inner_rank": (pos2[keep2] + 1).astype(np.int64),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype=object),
+                    "score": pd.Series([], dtype=np.float64),
+                    "n_matched": pd.Series([], dtype=np.int64),
+                    "child_key": pd.Series([], dtype=object),
+                    "child_score": pd.Series([], dtype=np.float64),
+                    "inner_rank": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def _shard_term_df(index_dir: str, pid: int, terms: list[str]) -> np.ndarray:
+    """Dictionary-only global-df partial for one segment: binary search
+    each query term in the sorted term column (postings never read)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(postings_path(index_dir, pid), columns=["term", "df"])
+    tarr = t.column("term").to_pandas().to_numpy()
+    dfarr = t.column("df").to_numpy()
+    out = np.zeros(len(terms), dtype=np.int64)
+    for i, term in enumerate(terms):
+        j = int(np.searchsorted(tarr, term))
+        if j < tarr.size and tarr[j] == term:
+            out[i] = int(dfarr[j])
+    return out
+
+
+def run_nested(
+    index_dir: str,
+    text: str,
+    score_mode: str = "avg",
+    k: int = 10,
+    inner_n: int = 3,
+    child_filter: dict | None = None,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+    *,
+    join_field: str = "join_name",
+    parent_key_field: str = "parent_key",
+    child_type: str = "child",
+) -> pd.DataFrame:
+    """ES `nested` query with inner_hits: BM25-match the nested docs
+    (rows with ``join_field == child_type``, co-located with their root
+    by routing — the Lucene block-join layout), combine matching child
+    scores per root with ``score_mode`` (avg|sum|max|min|none), rank
+    roots (score desc, key asc) and return the global top-``k`` with up
+    to ``inner_n`` inner hits each.
+
+    Global stats follow the engine convention (N and avgdl over ALL live
+    docs of the index — roots included; exact global df via one
+    dictionary-only pass).  score_mode=none is ES filter-context nested:
+    every matching root scores 0 and ranks by key asc.
+
+    Returns DataFrame (rank, key, score, n_matched, inner_rank,
+    child_key, child_score) — one row per inner hit of a top-k root."""
+    import ray
+    import ray.data as rd
+
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    terms = sorted(set(get_analyzer(None).tokenize(text)))
+    if not terms:
+        return pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype=np.int64),
+                "key": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64),
+                "n_matched": pd.Series([], dtype=np.int64),
+                "inner_rank": pd.Series([], dtype=np.int64),
+                "child_key": pd.Series([], dtype=object),
+                "child_score": pd.Series([], dtype=np.float64),
+            }
+        )
+    # exact global df: one dictionary-only partial per segment
+    if len(parts) <= 4:
+        partials = [_shard_term_df(index_dir, p, terms) for p in parts]
+    else:
+        dfjob = ray.remote(num_cpus=1)(_shard_term_df)
+        partials = ray.get(
+            [dfjob.remote(index_dir, p, terms) for p in parts]
+        )
+    df = np.sum(partials, axis=0)
+    n_docs = int(manifest["n_docs"])
+    idf = np.asarray(bm25_idf(df, n_docs), dtype=np.float64)
+    avgdl = float(manifest["avgdl"]) or 1.0
+    payload = ray.put(
+        (
+            manifest.get("tombstones", {}),
+            terms,
+            idf,
+            avgdl,
+            float(manifest.get("k1", cfg.k1)),
+            float(manifest.get("b", cfg.b)),
+            score_mode,
+            int(k),
+            child_filter or {},
+            int(inner_n),
+            join_field,
+            parent_key_field,
+            child_type,
+        )
+    )
+    shards = rd.from_pandas(pd.DataFrame({"part_id": parts})).repartition(
+        max(1, min(len(parts), concurrency * 2))
+    )
+    got = shards.map_batches(
+        NestedTopkStage,
+        fn_constructor_args=(index_dir, payload, cfg),
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+    ).to_pandas()
+    if not len(got):
+        return pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype=np.int64),
+                "key": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64),
+                "n_matched": pd.Series([], dtype=np.int64),
+                "inner_rank": pd.Series([], dtype=np.int64),
+                "child_key": pd.Series([], dtype=object),
+                "child_score": pd.Series([], dtype=np.float64),
+            }
+        )
+    # global cut: segments x k partials, per-root rows are final
+    heads = got.drop_duplicates("key")[["key", "score"]]
+    heads = heads.sort_values(
+        ["score", "key"], ascending=[False, True], kind="mergesort"
+    ).head(int(k))
+    heads = heads.assign(rank=np.arange(1, len(heads) + 1, dtype=np.int64))
+    out = got.merge(heads[["key", "rank"]], on="key", how="inner")
+    out = out.sort_values(["rank", "inner_rank"], kind="mergesort")
+    return out[
+        ["rank", "key", "score", "n_matched", "inner_rank", "child_key",
+         "child_score"]
+    ].reset_index(drop=True)
 
 
 def _terms_merge(ds) -> pd.DataFrame:

@@ -150,3 +150,168 @@ def test_has_child_inner_hits(pj_index):
     assert empty.count() == 0 and set(empty.schema().names) == {
         "key", "child_key", "inner_rank",
     }
+
+
+# ---- ES nested query (block join) ----
+
+NESTED_CFG = EngineConfig(
+    num_partitions=3,
+    keyword_cols=("join_name", "parent_key", "grade"),
+    numeric_cols=("score",),
+)
+
+
+@pytest.fixture(scope="module")
+def nested_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    parents = pd.DataFrame(
+        {
+            "url": [f"P{i}" for i in range(4)],
+            "text": ["order open"] * 4,
+            "lang": "en",
+            "routing": [f"P{i}" for i in range(4)],
+            "join_name": "parent",
+            "parent_key": "",
+            "grade": ["g1", "g2", "g1", "g2"],
+            "score": np.nan,
+        }
+    )
+    kids = [
+        # (key, parent, text, grade, score)
+        ("C0", "P0", "red fox jumps", "a", 10.0),
+        ("C1", "P0", "red red dog", "a", 20.0),
+        ("C2", "P0", "blue cat", "b", 30.0),
+        ("C3", "P1", "red fox red fox", "a", 40.0),
+        ("C4", "P2", "blue dog sleeps here", "b", 50.0),
+        ("C5", "P2", "fox den", "b", 5.0),
+        ("C6", "P3", "green tree", "a", 7.0),
+    ]
+    children = pd.DataFrame(
+        {
+            "url": [k[0] for k in kids],
+            "text": [k[2] for k in kids],
+            "lang": "en",
+            "routing": [k[1] for k in kids],
+            "join_name": "child",
+            "parent_key": [k[1] for k in kids],
+            "grade": [k[3] for k in kids],
+            "score": [k[4] for k in kids],
+        }
+    )
+    d = str(tmp_path_factory.mktemp("nst") / "idx")
+    build_index(
+        rd.from_pandas(pd.concat([parents, children], ignore_index=True)),
+        d, NESTED_CFG, html_col=None, ts_col=None, routing_col="routing",
+    )
+    docs = {r.url: r.text for r in pd.concat(
+        [parents, children], ignore_index=True).itertuples()}
+    kid_parent = {k[0]: k[1] for k in kids}
+    return d, docs, kid_parent, {k[0]: (k[3], k[4]) for k in kids}
+
+
+def _nested_bruteforce(docs, kid_parent, query, score_mode, meta=None,
+                       grade=None, score_min=None):
+    """From-scratch ES nested semantics: BM25 per child over GLOBAL
+    stats (all docs), combine matching children per root."""
+    import math
+
+    toks = {k: v.lower().split() for k, v in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    qts = sorted(set(query.split()))
+    df = {t: sum(1 for v in toks.values() if t in v) for t in qts}
+    per_root = {}
+    child_scores = {}
+    for ck, parent in kid_parent.items():
+        if grade is not None and meta[ck][0] != grade:
+            continue
+        if score_min is not None and not meta[ck][1] >= score_min:
+            continue
+        tv = toks[ck]
+        s = 0.0
+        hit = False
+        for t in qts:
+            tf = tv.count(t)
+            if not tf or not df[t]:
+                continue
+            hit = True
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(tv) / avgdl))
+        if hit:
+            per_root.setdefault(parent, []).append((ck, s))
+            child_scores[ck] = s
+    out = {}
+    for root, pairs in per_root.items():
+        vals = [s for _, s in pairs]
+        comb = {
+            "sum": sum(vals), "max": max(vals), "min": min(vals),
+            "avg": sum(vals) / len(vals), "none": 0.0,
+        }[score_mode]
+        out[root] = (round(comb + 1e-12, 6) if comb >= 0 else round(comb, 6),
+                     len(vals))
+    return out, child_scores
+
+
+@pytest.mark.parametrize("mode", ["avg", "sum", "max", "min", "none"])
+def test_nested_score_modes_match_bruteforce(nested_index, mode):
+    from kafka_es_ray.query.parent_join import run_nested
+
+    d, docs, kid_parent, meta = nested_index
+    got = run_nested(d, "red fox", score_mode=mode, k=10, inner_n=5,
+                     cfg=NESTED_CFG)
+    want, child_scores = _nested_bruteforce(docs, kid_parent, "red fox", mode)
+    heads = got.drop_duplicates("key")
+    assert set(heads["key"]) == set(want)
+    for r in heads.itertuples():
+        assert abs(r.score - want[r.key][0]) < 2e-6, (mode, r.key)
+        assert r.n_matched == want[r.key][1]
+    # ranking: score desc, key asc
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    assert heads.sort_values("rank")["key"].tolist() == [k for k, _ in ranked]
+    # inner hits: every matching child present (inner_n=5 > any family),
+    # child_score desc / child_key asc within root, round6'd
+    for root, grp in got.groupby("key"):
+        fam = sorted(
+            ((ck, round(child_scores[ck] + 1e-12, 6))
+             for ck, p in kid_parent.items()
+             if p == root and ck in child_scores),
+            key=lambda t: (-t[1], t[0]),
+        )
+        grp = grp.sort_values("inner_rank")
+        assert grp["child_key"].tolist() == [ck for ck, _ in fam]
+        assert np.allclose(grp["child_score"], [s for _, s in fam], atol=2e-6)
+
+
+def test_nested_child_filter_and_edges(nested_index):
+    from kafka_es_ray.query.parent_join import run_nested
+
+    d, docs, kid_parent, meta = nested_index
+    got = run_nested(
+        d, "red fox", score_mode="sum", k=10, inner_n=5,
+        child_filter={"kw": [("grade", "a")], "range": [("score", 15.0, None)]},
+        cfg=NESTED_CFG,
+    )
+    want, _ = _nested_bruteforce(
+        docs, kid_parent, "red fox", "sum", meta=meta, grade="a",
+        score_min=15.0,
+    )
+    heads = got.drop_duplicates("key")
+    assert set(heads["key"]) == set(want)
+    for r in heads.itertuples():
+        assert abs(r.score - want[r.key][0]) < 2e-6
+    # no-match query and empty analysis both return the typed empty frame
+    for q in ["zzzz qqqq", "   ", ""]:
+        empty = run_nested(d, q, cfg=NESTED_CFG)
+        assert len(empty) == 0
+        assert list(empty.columns) == [
+            "rank", "key", "score", "n_matched", "inner_rank", "child_key",
+            "child_score",
+        ]
+    # k cuts the root list; inner_n caps per-root hits
+    one = run_nested(d, "red fox", score_mode="sum", k=1, inner_n=1,
+                     cfg=NESTED_CFG)
+    assert one["key"].nunique() == 1 and (one["inner_rank"] == 1).all()
+    # roots never match as inner hits even though they contain "order"
+    got2 = run_nested(d, "order", score_mode="sum", cfg=NESTED_CFG)
+    assert len(got2) == 0
