@@ -2189,6 +2189,110 @@ def _q_bm25_topk_and(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _analyzer_documents_index(sf_dir: str, idx: str, lang_value: str):
+    """documents index analyzed with a registered custom analyzer chain
+    (the lang value selects the analyzer, index- and query-side — the
+    ES per-field-analyzer contract)."""
+    import pyarrow as pa
+
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import DOCS_CFG, documents_dataset
+
+    ds = documents_dataset(sf_dir)
+
+    def set_lang(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("lang")
+        return batch.set_column(
+            i, "lang", pa.array([lang_value] * len(batch), type=pa.string())
+        )
+
+    build_index(
+        ds.map_batches(set_lang, batch_format="pyarrow"),
+        idx, DOCS_CFG, key_col="key", text_col="text", lang_col="lang",
+        html_col=None, ts_col=None, id_col="doc_id",
+    )
+
+
+def _q_analyzer_topk(sf_dir: str, lang_value: str, prefix: str):
+    """BM25 top-k under a custom analyzer chain: the whole pipeline
+    (ranked-term derivation, 4 derived queries, scoring) runs over the
+    FILTERED token stream; the SQL oracle replays the identical filter
+    inside its tokenizer expression."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix=prefix)
+    try:
+        _analyzer_documents_index(sf_dir, idx, lang_value)
+        top = derive_ranked_terms(IndexSearcher(idx), 8)
+        qtexts = [
+            " ".join(top[0:1]), " ".join(top[1:3]),
+            " ".join(top[3:6]), " ".join(top[6:8]),
+        ]
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(4, dtype=np.int64),
+                "text": qtexts,
+                "lang": lang_value,
+            }
+        )
+        out = run_queries(queries, idx).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_analyzer_stop_topk(sf_dir: str):
+    """ES `stop` token filter (the `_english_` stopword set) as a frozen
+    analyzer chain: stopwords never enter the index OR the query plan."""
+    return _q_analyzer_topk(sf_dir, "en_stop", "kafka_es_ray_stpidx_")
+
+
+def _q_analyzer_stem_topk(sf_dir: str):
+    """ES `stemmer: minimal_english` (Lucene EnglishMinimalStemmer,
+    plural-only) as a frozen analyzer chain, applied index- and
+    query-side."""
+    return _q_analyzer_topk(sf_dir, "en_min_stem", "kafka_es_ray_stmidx_")
+
+
+# `_english_` stop filter inside the tokenizer expression
+_STOP_LIST_SQL = (
+    "'" + "','".join(sorted(
+        "a an and are as at be but by for if in into is it no not of on or "
+        "such that the their then there these they this to was will "
+        "with".split()
+    )) + "'"
+)
+_TOK_STOP = f"list_filter({_TOK}, x -> x NOT IN ({_STOP_LIST_SQL}))"
+
+# Lucene EnglishMinimalStemmer as a CASE expression (kept in lockstep
+# with functions/tokenizer.english_minimal_stem)
+_STEM_CASE = """CASE
+  WHEN len(x) < 3 OR substr(x, len(x), 1) <> 's' THEN x
+  WHEN substr(x, len(x) - 1, 1) IN ('u', 's') THEN x
+  WHEN substr(x, len(x) - 1, 1) = 'e' AND len(x) > 3
+       AND substr(x, len(x) - 2, 1) = 'i'
+       AND substr(x, len(x) - 3, 1) NOT IN ('a', 'e')
+    THEN substr(x, 1, len(x) - 3) || 'y'
+  WHEN substr(x, len(x) - 1, 1) = 'e'
+       AND substr(x, len(x) - 2, 1) IN ('i', 'a', 'o', 'u') THEN x
+  ELSE substr(x, 1, len(x) - 1)
+END"""
+_TOK_STEM = f"list_transform({_TOK}, x -> {_STEM_CASE})"
+
+_ANALYZER_STOP_SQL = _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK_STOP).format(having="")
+_ANALYZER_STEM_SQL = _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK_STEM).format(having="")
+
+
 def _q_match_fuzzy_topk(sf_dir: str):
     """ES match with fuzziness=1: the probe (top ranked term minus its
     last char — a deterministic typo) expands to its edit-distance-1
@@ -7936,6 +8040,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_fuzzy_topk": _q_match_fuzzy_topk,
         "match_fuzzy2_topk": _q_match_fuzzy2_topk,
         "match_fuzzy_dl_topk": _q_match_fuzzy_dl_topk,
+        "analyzer_stop_topk": _q_analyzer_stop_topk,
+        "analyzer_stem_topk": _q_analyzer_stem_topk,
         "weighted_terms_topk": _q_weighted_terms_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "range_filter_topk": _q_range_filter_topk,
@@ -8201,6 +8307,8 @@ def oracle_sql() -> dict[str, str]:
         "match_fuzzy_topk": _MATCH_FUZZY_SQL,
         "match_fuzzy2_topk": _MATCH_FUZZY2_SQL,
         "match_fuzzy_dl_topk": _MATCH_FUZZY_DL_SQL,
+        "analyzer_stop_topk": _ANALYZER_STOP_SQL,
+        "analyzer_stem_topk": _ANALYZER_STEM_SQL,
         "weighted_terms_topk": _WEIGHTED_TERMS_SQL,
         "range_filter_topk": _RANGE_SQL,
         "script_filter_topk": _SCRIPT_FILTER_SQL,

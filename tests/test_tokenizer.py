@@ -75,3 +75,80 @@ def test_bytes_fast_path_token_parity():
         want = an.tokenize_series(texts.fillna("")).tolist()
         got = [[t.decode("utf-8") for t in ts] for ts in an.tokenize_series_bytes(texts)]
         assert got == want, lang
+
+
+def test_english_minimal_stem_goldens():
+    """Lucene EnglishMinimalStemmer reference behavior (plural-only)."""
+    from kafka_es_ray.functions.tokenizer import english_minimal_stem as stem
+
+    cases = {
+        # plain plural drop
+        "cats": "cat", "houses": "house", "dogs": "dog", "queries": "query",
+        # 'ss' / 'us' endings kept
+        "miss": "miss", "glass": "glass", "bus": "bus", "corpus": "corpus",
+        # ...ies -> ...y unless a/e precedes the i
+        "movies": "movy", "ties": "ty", "dies": "dy", "ies": "ies",
+        # [iaou]es kept (goes, dies-at-len-3 handled above)
+        "goes": "goes", "dues": "dues",
+        # too short / non-s
+        "as": "as", "is": "is", "s": "s", "run": "run", "": "",
+        # e before s but consonant at -3: drop s
+        "makes": "make", "races": "race",
+    }
+    for w, want in cases.items():
+        assert stem(w) == want, w
+
+
+def test_filtered_analyzer_paths_agree():
+    """en_stop / en_min_stem: the scalar, series and bytes paths emit
+    identical token streams; stopwords vanish; stems apply."""
+    import pandas as pd
+
+    texts = pd.Series(
+        [
+            "The cats and the dogs are in THE houses",
+            "it was a dark night; they will not stop",
+            "", None, "Movies and queries of glass buses",
+        ]
+    )
+    for lang in ("en_stop", "en_min_stem"):
+        an = get_analyzer(lang)
+        scalar = [an.tokenize(t or "") for t in texts]
+        series = an.tokenize_series(texts.fillna("")).tolist()
+        byts = [
+            [t.decode("utf-8") for t in ts]
+            for ts in an.tokenize_series_bytes(texts)
+        ]
+        assert scalar == series == byts, lang
+    stop_toks = get_analyzer("en_stop").tokenize(
+        "The cats and the dogs are in THE houses"
+    )
+    assert stop_toks == ["cats", "dogs", "houses"]
+    stem_toks = get_analyzer("en_min_stem").tokenize(
+        "the cats are in the houses with movies"
+    )
+    assert stem_toks == ["the", "cat", "are", "in", "the", "house", "with", "movy"]
+
+
+def test_stem_duckdb_case_parity():
+    """The SQL oracle's stemmer CASE expression replays
+    english_minimal_stem byte-for-byte over a word battery."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from kafka_es_ray.functions.tokenizer import english_minimal_stem
+
+    words = [
+        "cats", "houses", "movies", "ties", "dies", "goes", "dues", "miss",
+        "bus", "as", "s", "", "makes", "queries", "aies", "eies", "oies",
+        "xies", "abcs", "abcss", "abcus", "ies", "es", "ssss", "aes", "oes",
+        "ues", "yes", "res", "nes",
+    ]
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT list_transform($1::VARCHAR[], x -> "
+        + entrymod._STEM_CASE.replace("\n", " ")
+        + ")",
+        [words],
+    ).fetchone()[0]
+    assert got == [english_minimal_stem(w) for w in words]
