@@ -157,6 +157,65 @@ FROM final WHERE rank <= 10 ORDER BY 1, 2
 assert "bm_topk" in _RRF_SQL and _RRF_SQL.count("knn_topk") == 2
 
 
+# ES `linear` retriever (minmax normalizer): same retriever pair as RRF
+# to depth 20, fused as round6(2*minmax(bm25) + 1*minmax(cosine)); a
+# degenerate window (max == min) normalizes to 1.0 (engine convention)
+_LINEAR_SQL = _BM25_SQL.split("SELECT query_id, rank::BIGINT")[0].replace(
+    "topk AS (", "bm_topk AS ("
+) + """,
+knnq AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+knnv AS (
+  SELECT d.doc_id, CAST(e.embedding AS DOUBLE[]) AS ev
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+knn_topk AS (
+  SELECT query_id, doc_id,
+         round(list_cosine_similarity(qv, ev), 6) AS score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(list_cosine_similarity(qv, ev), 6) DESC, doc_id ASC
+         ) AS rank
+  FROM knnq CROSS JOIN knnv
+),
+contribs AS (
+  SELECT query_id, doc_id,
+         2.0 * CASE WHEN mx = mn THEN 1.0 ELSE (score - mn) / (mx - mn) END AS c
+  FROM (
+    SELECT query_id, doc_id, score,
+           min(score) OVER (PARTITION BY query_id) AS mn,
+           max(score) OVER (PARTITION BY query_id) AS mx
+    FROM bm_topk WHERE rank <= 20 AND query_id < 3
+  )
+  UNION ALL
+  SELECT query_id, doc_id,
+         1.0 * CASE WHEN mx = mn THEN 1.0 ELSE (score - mn) / (mx - mn) END AS c
+  FROM (
+    SELECT query_id, doc_id, score,
+           min(score) OVER (PARTITION BY query_id) AS mn,
+           max(score) OVER (PARTITION BY query_id) AS mx
+    FROM knn_topk WHERE rank <= 20
+  )
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS score
+  FROM contribs GROUP BY 1, 2
+),
+final AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM fused
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM final WHERE rank <= 10 ORDER BY 1, 2
+"""
+assert "contribs" in _LINEAR_SQL and _LINEAR_SQL.count("minmax") == 0
+
+
 # ES ids query: docs by external _id (documents keys are str(doc_id)),
 # constant score 1.0, ties doc_id asc; an absent id is simply not a hit
 _IDS_SQL = """
@@ -3525,6 +3584,70 @@ def _q_rrf_hybrid_topk(sf_dir: str):
             }
         )
         out = run_rrf(queries, idx, "emb", cfg, rank_window=20, rank_constant=60)
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_linear_hybrid_topk(sf_dir: str):
+    """ES hybrid search (`linear` retriever, minmax normalizer): the
+    same BM25 + kNN retriever pair as rrf_hybrid_topk to depth 20, fused
+    as round6(2·minmax(bm25) + 1·minmax(cosine)) per query — weighted
+    score-based fusion vs RRF's rank-based."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import ray
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_linear
+
+    emb = pd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    emb_ref = ray.put(
+        {int(i): np.asarray(v, dtype=np.float32) for i, v in
+         zip(emb["vec_id"], emb["embedding"])}
+    )
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(emb_ref)
+        batch["emb"] = [
+            m[d].tolist() if d in m else None for d in batch["doc_id"]
+        ]
+        return batch
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_linidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, vector_cols=("emb",))
+        ds = documents_dataset(sf_dir).map_batches(attach, batch_format="pandas")
+        build_index(
+            ds, idx, cfg, key_col="key", lang_col="lang", html_col=None,
+            ts_col=None, id_col="doc_id",
+        )
+        texts = derive_query_set(IndexSearcher(idx, cfg))
+        queries = pd.DataFrame(
+            {
+                "query_id": np.int64([0, 1, 2]),
+                "text": texts["text"].tolist()[:3],
+                "vec": [
+                    np.asarray(emb["embedding"][i], dtype=np.float32).tolist()
+                    for i in range(3)
+                ],
+                "k": np.int32(10),
+            }
+        )
+        out = run_linear(
+            queries, idx, "emb", cfg, rank_window=20, weights=(2.0, 1.0),
+            normalizer="minmax",
+        )
         return (
             out[["query_id", "rank", "doc_id", "score"]]
             .sort_values(["query_id", "rank"])
@@ -8042,6 +8165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_fuzzy_dl_topk": _q_match_fuzzy_dl_topk,
         "analyzer_stop_topk": _q_analyzer_stop_topk,
         "analyzer_stem_topk": _q_analyzer_stem_topk,
+        "linear_hybrid_topk": _q_linear_hybrid_topk,
         "weighted_terms_topk": _q_weighted_terms_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "range_filter_topk": _q_range_filter_topk,
@@ -8309,6 +8433,7 @@ def oracle_sql() -> dict[str, str]:
         "match_fuzzy_dl_topk": _MATCH_FUZZY_DL_SQL,
         "analyzer_stop_topk": _ANALYZER_STOP_SQL,
         "analyzer_stem_topk": _ANALYZER_STEM_SQL,
+        "linear_hybrid_topk": _LINEAR_SQL,
         "weighted_terms_topk": _WEIGHTED_TERMS_SQL,
         "range_filter_topk": _RANGE_SQL,
         "script_filter_topk": _SCRIPT_FILTER_SQL,

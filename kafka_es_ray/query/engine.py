@@ -9771,6 +9771,104 @@ def run_rrf(
     return pd.concat(out, ignore_index=True)
 
 
+def run_linear(
+    queries_ds,
+    index_dir: str,
+    field: str,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+    rank_window: int = 100,
+    weights: tuple = (1.0, 1.0),
+    normalizer: str = "minmax",
+):
+    """ES hybrid search via the ``linear`` retriever: each query row
+    carries ``text`` (BM25 retriever) and ``vec`` (kNN retriever over a
+    dense_vector field); both run distributed to depth ``rank_window``,
+    then fuse as score = round6(Σ weight_i · norm_i(score_i)) where
+    ``minmax`` normalizes each retriever's round6'd window scores per
+    query to [0, 1] ((s - min) / (max - min); a degenerate window where
+    max == min normalizes to 1.0 — every retrieved doc is a full-weight
+    hit — the frozen engine convention, replayed by the SQL oracle) and
+    ``none`` passes raw scores.  A doc absent from a retriever's window
+    contributes 0 for that retriever (the ES linear-retriever rule).
+    Fusion is driver-side BY DESIGN: input is 2 x rank_window rows per
+    unique query, never corpus-scale.  Returns (query_id, rank, doc_id,
+    score), ties doc_id asc (and index_id asc under multi-index)."""
+    if normalizer not in ("minmax", "none"):
+        raise ValueError(f"linear retriever normalizer: {normalizer!r}")
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    k_out = (
+        queries.set_index("query_id")["k"].astype(int).to_dict()
+        if "k" in queries.columns
+        else {}
+    )
+    text_q = queries[[c for c in ("query_id", "text", "lang") if c in queries.columns]]
+    text_q = text_q.assign(k=np.int32(rank_window))
+    bm = run_queries(text_q, index_dir, cfg, concurrency).to_pandas()
+    knn_q = queries[["query_id", "vec"]].assign(k=np.int32(rank_window))
+    kn = run_knn(knn_q, index_dir, field, cfg, concurrency).to_pandas()
+    with_iid = all("index_id" in df.columns for df in (bm, kn) if len(df))
+    parts = []
+    for df, w in ((bm, float(weights[0])), (kn, float(weights[1]))):
+        if not len(df):
+            continue
+        sc = df["score"].to_numpy(np.float64)
+        if normalizer == "minmax":
+            grp = df.groupby("query_id")["score"]
+            mn = grp.transform("min").to_numpy(np.float64)
+            mx = grp.transform("max").to_numpy(np.float64)
+            rng = mx - mn
+            norm = np.where(rng > 0, (sc - mn) / np.where(rng > 0, rng, 1.0), 1.0)
+        else:
+            norm = sc
+        cols = {
+            "query_id": df["query_id"].astype(np.int64),
+            "doc_id": df["doc_id"].astype(np.int64),
+            "contrib": w * norm,
+        }
+        if with_iid:
+            cols["index_id"] = df["index_id"].astype(np.int64)
+        parts.append(pd.DataFrame(cols))
+    if not parts:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64),
+            }
+        )
+    gkeys = ["query_id", "doc_id"] + (["index_id"] if with_iid else [])
+    fused = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(gkeys, as_index=False)["contrib"]
+        .sum()
+    )
+    fused["score"] = np.floor(fused["contrib"].to_numpy() * 1e6 + 0.5) / 1e6
+    out = []
+    for qid, g in fused.groupby("query_id", sort=True):
+        k = int(k_out.get(int(qid), 10))
+        if with_iid:
+            order = np.lexsort(
+                (g["index_id"].to_numpy(), g["doc_id"].to_numpy(),
+                 -g["score"].to_numpy())
+            )[:k]
+        else:
+            order = np.lexsort(
+                (g["doc_id"].to_numpy(), -g["score"].to_numpy())
+            )[:k]
+        cols = {
+            "query_id": np.int64(qid),
+            "rank": np.arange(1, 1 + order.size, dtype=np.int64),
+            "doc_id": g["doc_id"].to_numpy()[order],
+            "score": g["score"].to_numpy()[order],
+        }
+        if with_iid:
+            cols["index_id"] = g["index_id"].to_numpy()[order]
+        out.append(pd.DataFrame(cols))
+    return pd.concat(out, ignore_index=True)
+
+
 def run_sorted(
     queries_ds,
     index_dir: str,

@@ -459,3 +459,69 @@ def test_knn_min_similarity_cutoff(knn_index, ray_session):
     assert 0 < len(cut) < len(full)
     nothing = run_knn(q, knn_index, "emb", CFG, min_similarity=2.0)
     assert nothing.count() == 0
+
+
+def test_linear_hybrid_minmax_fusion(knn_index, ray_session):
+    """ES linear retriever: fused score = round6(w1*minmax(bm25) +
+    w2*minmax(cosine)) over each retriever's window, composed from the
+    two independently rank-verified retrievers; absent docs contribute
+    0 for that retriever; normalizer='none' passes raw scores."""
+    from kafka_es_ray.query.engine import run_knn, run_linear, run_queries
+
+    win, w1, w2 = 15, 2.0, 0.5
+    q = pd.DataFrame(
+        {
+            "query_id": np.int64([0]),
+            "text": ["alpha"],
+            "vec": [VECS[3].tolist()],
+            "k": np.int32(10),
+        }
+    )
+    bm = run_queries(
+        q[["query_id", "text"]].assign(k=np.int32(win)), knn_index, CFG,
+        concurrency=2,
+    ).to_pandas()
+    kn = run_knn(
+        q[["query_id", "vec"]].assign(k=np.int32(win)), knn_index, "emb", CFG,
+        concurrency=2,
+    ).to_pandas()
+
+    def norm(df):
+        s = df["score"].to_numpy(np.float64)
+        if s.size == 0:
+            return {}
+        mn, mx = s.min(), s.max()
+        n = np.ones_like(s) if mx == mn else (s - mn) / (mx - mn)
+        return dict(zip(df["doc_id"], n))
+
+    exp = {}
+    for df, w in ((bm, w1), (kn, w2)):
+        for d, nv in norm(df).items():
+            exp[d] = exp.get(d, 0.0) + w * nv
+    exp = {d: float(np.floor(s * 1e6 + 0.5) / 1e6) for d, s in exp.items()}
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    out = run_linear(
+        q, knn_index, "emb", CFG, concurrency=2, rank_window=win,
+        weights=(w1, w2),
+    )
+    assert list(zip(out["doc_id"], out["score"])) == want
+    # each retriever's window top scores exactly w_i after minmax: the
+    # fused max is <= w1 + w2 and > max(w1, w2) only when some doc tops
+    # both windows — sanity-bound the range
+    assert 0.0 < out["score"].iloc[0] <= w1 + w2 + 1e-9
+    # normalizer="none": fused = round6(w1*bm + w2*cos) raw
+    exp2 = {}
+    for df, w in ((bm, w1), (kn, w2)):
+        for d, s in zip(df["doc_id"], df["score"]):
+            exp2[d] = exp2.get(d, 0.0) + w * float(s)
+    exp2 = {d: float(np.floor(s * 1e6 + 0.5) / 1e6) for d, s in exp2.items()}
+    want2 = sorted(exp2.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    out2 = run_linear(
+        q, knn_index, "emb", CFG, concurrency=2, rank_window=win,
+        weights=(w1, w2), normalizer="none",
+    )
+    assert list(zip(out2["doc_id"], out2["score"])) == want2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="normalizer"):
+        run_linear(q, knn_index, "emb", CFG, normalizer="zscore")
