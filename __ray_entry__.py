@@ -748,6 +748,41 @@ matches AS (
 )
 """.replace("{_TOK}", _TOK)
 
+# ES terms agg include/exclude: anchored regex value filters applied
+# before bucket ordering (regexp_full_match == the engine's fullmatch)
+_TERMS_INCLUDE_SQL = _MATCHES_CTE + """
+SELECT m.query_id, d.source AS value, count(*)::BIGINT AS n_docs
+FROM matches m JOIN documents d USING (doc_id)
+WHERE regexp_full_match(d.source, 'src[0-4]')
+  AND NOT regexp_full_match(d.source, 'src3')
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# ES histogram offset=37 + min_doc_count=0: shifted bucket keys with
+# driver-side gap filling between each query's min and max keys
+_HISTOGRAM_OFFSET_SQL = _MATCHES_CTE + """
+, buckets AS (
+  SELECT m.query_id,
+         (floor((d.n_chars - 37.0) / 100.0) * 100.0 + 37.0)::DOUBLE AS bucket,
+         count(*)::BIGINT AS n
+  FROM matches m JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT query_id, min(bucket) AS lo, max(bucket) AS hi FROM buckets GROUP BY 1
+),
+grid AS (
+  SELECT query_id,
+         unnest(generate_series(CAST(lo AS BIGINT), CAST(hi AS BIGINT), 100))::DOUBLE
+           AS bucket
+  FROM bounds
+)
+SELECT g.query_id, g.bucket, coalesce(b.n, 0)::BIGINT AS n_docs
+FROM grid g LEFT JOIN buckets b USING (query_id, bucket)
+ORDER BY 1, 2
+"""
+
 # ES random_sampler aggregation: lang terms sub-agg over the p=0.3
 # deterministic doc sample of each match set (the sampling md5 contract,
 # seed 42), counts scaled by 1/p
@@ -4977,6 +5012,60 @@ def _q_significant_terms(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_significant_terms_bgfilter(sf_dir: str):
+    """ES significant_terms with background_filter: the background is
+    the OR-match set of the top-8 ranked terms (a superset of every
+    derived query's match set — the ES subset contract), so significance
+    is measured against the searchable slice instead of the whole
+    index."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import (
+        derive_query_set,
+        derive_ranked_terms,
+        documents_dataset,
+    )
+    from kafka_es_ray.query.engine import IndexSearcher, run_significant_terms
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_sgbidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, keyword_cols=("source",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("source",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        searcher = IndexSearcher(idx, cfg)
+        queries = derive_query_set(searcher)
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        bg_text = " ".join(derive_ranked_terms(searcher, 8))
+        return run_significant_terms(
+            queries, idx, "source", k=10, cfg=cfg,
+            background_filter={"text": bg_text},
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_SIGTERMS_BGF_SQL = _SIGTERMS_KW_SQL.replace(
+    """bg AS (SELECT source AS value, count(*)::BIGINT AS bg_count FROM documents GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),""",
+    """bgm AS (
+  SELECT DISTINCT tf.doc_id FROM tf JOIN ranked_terms rt ON rt.term = tf.term
+  WHERE rt.r <= 8
+),
+bg AS (
+  SELECT d.source AS value, count(*)::BIGINT AS bg_count
+  FROM bgm JOIN documents d USING (doc_id) GROUP BY 1
+),
+nn AS (SELECT sum(bg_count)::BIGINT AS n FROM bg),""",
+)
+assert "bgm" in _SIGTERMS_BGF_SQL
+
+
 def _sig_terms_with(sf_dir: str, heuristic: str):
     """significant_terms under an alternative ES significance heuristic
     (chi_square / mutual_information) — same fg/bg sweep, the driver
@@ -7012,6 +7101,75 @@ def _q_match_source_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_terms_include_agg(sf_dir: str):
+    """ES terms aggregation include/exclude value filters: source
+    buckets kept by the anchored include regex src[0-4] minus the
+    exclude regex src3, applied before ordering (ES semantics)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_terms
+    from kafka_es_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("key", batch.column("doc_id").cast(pa.string()))
+
+    cfg = EngineConfig(num_partitions=8, keyword_cols=("source",))
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_incagg_")
+    try:
+        build_index(
+            ds.map_batches(add_key, batch_format="pyarrow"), idx, cfg,
+            key_col="key", text_col="text", lang_col="lang",
+            html_col=None, ts_col=None, id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_agg_terms(
+            queries, idx, field="source", cfg=cfg,
+            include=r"src[0-4]", exclude=r"src3",
+        )[["query_id", "value", "n_docs"]]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_histogram_offset_agg(sf_dir: str):
+    """ES histogram with offset=37 and min_doc_count=0: bucket keys are
+    floor((n_chars-37)/100)*100+37 (shard-side, partials stay mergeable)
+    and the driver reduce emits the empty buckets between each query's
+    min and max observed keys (the ES gap-filling contract)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_histogram
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_hofidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_agg_histogram(
+            queries, idx, "n_chars", 100.0, cfg=cfg, offset=37.0,
+            min_doc_count=0,
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_mget_docs(sf_dir: str):
     """ES _mget analog (distributed MgetStage path): point lookups by
     external key with found/missing flags."""
@@ -8166,6 +8324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyzer_stop_topk": _q_analyzer_stop_topk,
         "analyzer_stem_topk": _q_analyzer_stem_topk,
         "linear_hybrid_topk": _q_linear_hybrid_topk,
+        "terms_include_agg": _q_terms_include_agg,
+        "histogram_offset_agg": _q_histogram_offset_agg,
+        "significant_terms_bgfilter": _q_significant_terms_bgfilter,
         "weighted_terms_topk": _q_weighted_terms_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "range_filter_topk": _q_range_filter_topk,
@@ -8434,6 +8595,9 @@ def oracle_sql() -> dict[str, str]:
         "analyzer_stop_topk": _ANALYZER_STOP_SQL,
         "analyzer_stem_topk": _ANALYZER_STEM_SQL,
         "linear_hybrid_topk": _LINEAR_SQL,
+        "terms_include_agg": _TERMS_INCLUDE_SQL,
+        "histogram_offset_agg": _HISTOGRAM_OFFSET_SQL,
+        "significant_terms_bgfilter": _SIGTERMS_BGF_SQL,
         "weighted_terms_topk": _WEIGHTED_TERMS_SQL,
         "range_filter_topk": _RANGE_SQL,
         "script_filter_topk": _SCRIPT_FILTER_SQL,

@@ -4123,8 +4123,13 @@ class NumericAggStage(_SegmentCacheStage):
                             float((vals * vals).sum()), 0.0, 0.0, 0.0,
                         )
                     )
-                else:  # histogram partials
-                    buckets = np.floor(vals / self.interval) * self.interval
+                else:  # histogram partials (dict payload = ES offset)
+                    if isinstance(self.interval, dict):
+                        _iv = float(self.interval["interval"])
+                        _off = float(self.interval.get("offset", 0.0))
+                        buckets = np.floor((vals - _off) / _iv) * _iv + _off
+                    else:
+                        buckets = np.floor(vals / self.interval) * self.interval
                     ub, inv = np.unique(buckets, return_inverse=True)
                     cnt = np.bincount(inv)
                     sums = (
@@ -6637,6 +6642,9 @@ def run_agg_terms(
     size: int | None = None,
     shard_size: int | None = None,
     order: str = "count",
+    include: str | None = None,
+    exclude: str | None = None,
+    missing: str | None = None,
 ) -> pd.DataFrame:
     """Distributed ES terms aggregation over each query's match set:
     (query_id, value, n_docs) in ES bucket order (n_docs desc, value
@@ -6649,9 +6657,21 @@ def run_agg_terms(
     segments of their smallest kept count; 0 when nothing was cut).
     ``order``: the ES terms order param — "count" ({"_count": "desc"},
     the default) or "key" ({"_key": "asc"}); the size cut happens in the
-    chosen order, like ES."""
+    chosen order, like ES.
+
+    ``include`` / ``exclude``: the ES value-filter options — anchored
+    RE2-compatible regexes keeping / dropping bucket VALUES, applied
+    before ordering and the ``size`` cut.  (Applied at the merge over
+    the already-bounded bucket frame; under ``shard_size`` the error
+    bound is computed pre-filter — conservative.)  ``missing``: docs
+    whose field is unmapped/empty (the engine's "" encoding) bucket
+    under this value instead of being dropped (the ES missing param)."""
+    import re as _re
+
     if order not in ("count", "key"):
         raise ValueError(f"terms order must be 'count' or 'key', got {order!r}")
+    inc_re = _re.compile(include) if include is not None else None
+    exc_re = _re.compile(exclude) if exclude is not None else None
     summed, plan = _run_match_set(
         queries_ds, index_dir, field, cfg, concurrency, shard_size=shard_size
     )
@@ -6662,6 +6682,15 @@ def run_agg_terms(
             is_bound = g["value"] == "\x00bound"
             bound = int(g[is_bound]["n"].sum())
             g = g[~is_bound]
+            if missing is not None:
+                g = g.copy()
+                g.loc[g["value"] == "", "value"] = missing
+                g = g.groupby("value", as_index=False, sort=False)["n"].sum()
+                g["plan_id"] = int(pid_)
+            if inc_re is not None:
+                g = g[[bool(inc_re.fullmatch(v)) for v in g["value"]]]
+            if exc_re is not None:
+                g = g[[not exc_re.fullmatch(v) for v in g["value"]]]
             if order == "key":
                 g = g.sort_values("value", kind="mergesort")
             else:
@@ -6866,13 +6895,26 @@ def run_agg_stats(
 def run_agg_histogram(
     queries_ds, index_dir: str, field: str, interval: float,
     cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+    offset: float = 0.0, min_doc_count: int = 1,
+    extended_bounds: tuple | None = None,
 ) -> pd.DataFrame:
     """Distributed ES histogram aggregation: fixed-interval bucket counts
-    (key = floor(val/interval)*interval) per query.  Returns (query_id,
-    bucket, n_docs) sorted bucket asc; empty buckets omitted
-    (min_doc_count=1)."""
+    (key = floor((val - offset)/interval)*interval + offset) per query.
+    Returns (query_id, bucket, n_docs) sorted bucket asc; empty buckets
+    omitted under the default min_doc_count=1.
+
+    ``offset`` shifts every bucket boundary (the ES histogram offset
+    option; applied in-shard so partials stay mergeable by key).
+    ``min_doc_count=0`` emits empty buckets between the min and max
+    observed keys — a pure driver reduce over the already-merged bucket
+    frame, like the date_histogram gap filling.  ``extended_bounds``
+    = (lo, hi) widens that fill range regardless of observed data (ES
+    semantics: only meaningful with min_doc_count=0; bounds snap to
+    bucket keys containing them)."""
+    iv = float(interval)
+    payload = {"interval": iv, "offset": float(offset)} if offset else iv
     partials, plan = _run_numeric_agg(
-        queries_ds, index_dir, field, float(interval), cfg, concurrency
+        queries_ds, index_dir, field, payload, cfg, concurrency
     )
     fanout = {q["plan_id"]: q["query_ids"] for q in plan}
     rows = []
@@ -6883,13 +6925,30 @@ def run_agg_histogram(
             .reset_index()
         )
         for pid_, gg in g.groupby("plan_id", sort=True):
+            keys = gg["bucket"].to_numpy(np.float64)
+            cnts = gg["n"].to_numpy(np.int64)
+            if int(min_doc_count) == 0 and keys.size:
+                lo, hi = keys.min(), keys.max()
+                if extended_bounds is not None:
+                    blo, bhi = extended_bounds
+                    snap = lambda v: np.floor((v - offset) / iv) * iv + offset
+                    lo = min(lo, snap(float(blo)))
+                    hi = max(hi, snap(float(bhi)))
+                full = lo + iv * np.arange(
+                    0, int(np.floor((hi - lo) / iv + 0.5)) + 1, dtype=np.float64
+                )
+                filled = np.zeros(full.size, dtype=np.int64)
+                pos = np.searchsorted(full, keys)
+                # snap fp drift: keys are exact multiples by construction
+                filled[np.minimum(pos, full.size - 1)] = cnts
+                keys, cnts = full, filled
             for qid in fanout.get(int(pid_), []):
                 rows.append(
                     pd.DataFrame(
                         {
                             "query_id": np.int64(qid),
-                            "bucket": gg["bucket"].to_numpy(np.float64),
-                            "n_docs": gg["n"].to_numpy(np.int64),
+                            "bucket": keys,
+                            "n_docs": cnts,
                         }
                     )
                 )
@@ -8772,6 +8831,7 @@ def run_significant_terms(
     heuristic: str = "jlh",
     cfg: EngineConfig = DEFAULT,
     concurrency: int | None = None,
+    background_filter: dict | None = None,
 ) -> pd.DataFrame:
     """Distributed ES significant_terms over a KEYWORD field (the
     structured sibling of significant_text): per query, the field values
@@ -8781,6 +8841,13 @@ def run_significant_terms(
     from one match-all pass over the same stage (`exists lang` matches
     every live doc).  Returns (query_id, rank, value, fg_count, bg_count,
     score).
+
+    ``background_filter`` (the ES option): a query-row spec (column ->
+    value, e.g. {"text": "..."} or {"kw_field": ..., "kw_value": ...})
+    restricting the BACKGROUND set to its match set instead of the whole
+    index — focus significance against a narrower baseline.  Like ES,
+    the foreground should be a subset of the filtered background for the
+    superset contingency to stay meaningful (caller's contract).
 
     ``heuristic`` — the ES significance_heuristic choices over the
     background-is-superset 2x2 contingency (a=fg term, b=fg other,
@@ -8807,8 +8874,13 @@ def run_significant_terms(
     fg, plan = _run_match_set(queries_ds, index_dir, field, cfg, concurrency)
     if not len(fg):
         return empty
+    bg_row = (
+        {k: [v] for k, v in background_filter.items()}
+        if background_filter
+        else {"exists": ["lang"]}
+    )
     bg_df, _ = _run_match_set(
-        pd.DataFrame({"query_id": [0], "exists": ["lang"]}),
+        pd.DataFrame({"query_id": [0], **bg_row}),
         index_dir, field, cfg, concurrency,
     )
     bg_map = dict(zip(bg_df["value"], bg_df["n"].astype(int)))

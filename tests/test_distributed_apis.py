@@ -1070,3 +1070,90 @@ def test_mtermvectors_matches_single(api_index, ray_session):
             g[["term", "tf", "df", "first_pos"]], want
         )
     assert out.equals(out.sort_values(["key", "term"], kind="mergesort").reset_index(drop=True))
+
+
+def test_terms_agg_include_exclude_missing(api_index):
+    """ES terms agg value filters: include/exclude anchored regexes drop
+    buckets before ordering; `missing` buckets ""-valued (unmapped) docs
+    under the given name instead of leaving them as the "" bucket."""
+    d, docs = api_index
+    q = pd.DataFrame({"query_id": [0], "text": ["common"]})
+    base = run_agg_terms(q, d, field="source", cfg=CFG)
+    assert set(base["value"]) == {"crawl0", "crawl1", "crawl2"}
+    inc = run_agg_terms(q, d, field="source", cfg=CFG, include=r"crawl[01]")
+    assert set(inc["value"]) == {"crawl0", "crawl1"}
+    exc = run_agg_terms(
+        q, d, field="source", cfg=CFG, include=r"crawl[01]", exclude=r"crawl1"
+    )
+    assert set(exc["value"]) == {"crawl0"}
+    # counts unchanged by filtering (removal-only)
+    m = base.set_index("value")["n_docs"]
+    assert exc.set_index("value")["n_docs"]["crawl0"] == m["crawl0"]
+    # missing: the lang field is mapped on every doc, so missing adds
+    # nothing; on source nothing is "" either -> identical frames
+    mi = run_agg_terms(q, d, field="source", cfg=CFG, missing="(none)")
+    assert mi[["value", "n_docs"]].equals(base[["value", "n_docs"]])
+
+
+def test_terms_agg_missing_buckets_empty_values(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    cfg = EngineConfig(num_partitions=2, keyword_cols=("grade",))
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(6)],
+            "text": ["common word"] * 6,
+            "lang": "en",
+            "grade": ["a", "a", "", "", "", "b"],
+        }
+    )
+    d = str(tmp_path_factory.mktemp("missing") / "idx")
+    build_index(rd.from_pandas(docs), d, cfg, html_col=None, ts_col=None)
+    q = pd.DataFrame({"query_id": [0], "text": ["common"]})
+    out = run_agg_terms(q, d, field="grade", cfg=cfg, missing="N/A")
+    got = dict(zip(out["value"], out["n_docs"]))
+    assert got == {"N/A": 3, "a": 2, "b": 1}
+    # ES bucket order: count desc, value asc
+    assert out["value"].tolist() == ["N/A", "a", "b"]
+    # missing value colliding with a real bucket merges counts
+    out2 = run_agg_terms(q, d, field="grade", cfg=cfg, missing="a")
+    got2 = dict(zip(out2["value"], out2["n_docs"]))
+    assert got2 == {"a": 5, "b": 1}
+
+
+def test_histogram_offset_and_gap_fill(api_index, ray_session, tmp_path_factory):
+    """ES histogram offset + min_doc_count=0 + extended_bounds on a
+    purpose-built numeric index with a gap in the value range."""
+    import ray.data as rd
+
+    cfg = EngineConfig(num_partitions=2, numeric_cols=("v",))
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(5)],
+            "text": ["common word"] * 5,
+            "lang": "en",
+            "v": [3.0, 12.0, 14.0, 47.0, np.nan],
+        }
+    )
+    d = str(tmp_path_factory.mktemp("hof") / "idx")
+    build_index(rd.from_pandas(docs), d, cfg, html_col=None, ts_col=None)
+    from kafka_es_ray.query.engine import run_agg_histogram
+
+    q = pd.DataFrame({"query_id": [0], "text": ["common"]})
+    # offset=2, interval=10: keys floor((v-2)/10)*10+2 -> 2 (3), 12 (12,14), 42 (47)
+    out = run_agg_histogram(q, d, "v", 10.0, cfg=cfg, offset=2.0)
+    assert list(zip(out["bucket"], out["n_docs"])) == [(2.0, 1), (12.0, 2), (42.0, 1)]
+    # min_doc_count=0 fills 22 and 32
+    filled = run_agg_histogram(
+        q, d, "v", 10.0, cfg=cfg, offset=2.0, min_doc_count=0
+    )
+    assert list(zip(filled["bucket"], filled["n_docs"])) == [
+        (2.0, 1), (12.0, 2), (22.0, 0), (32.0, 0), (42.0, 1),
+    ]
+    # extended_bounds widens the filled range (snapped to keys)
+    wide = run_agg_histogram(
+        q, d, "v", 10.0, cfg=cfg, offset=2.0, min_doc_count=0,
+        extended_bounds=(-5.0, 55.0),
+    )
+    assert wide["bucket"].tolist() == [-8.0 + 10 * i for i in range(7)]
+    assert wide["n_docs"].sum() == 4
