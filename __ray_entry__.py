@@ -7337,6 +7337,51 @@ def _q_pack_sequences(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_quality_classifier(sf_dir: str):
+    """Classifier-based document filter (frozen-weight sigmoid over four
+    vectorized text features — the fastText/DCLM filtering shape): one
+    streaming pass, keep = quality >= 0.5."""
+    from kafka_es_ray.pipelines.text_ops import quality_classifier
+    from kafka_es_ray.sources.parquet import read_table
+
+    out = quality_classifier(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    if len(out) == 0:  # rule 8b
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "n_tokens": pd.Series([], dtype="int64"),
+             "quality": pd.Series([], dtype="float64"),
+             "keep": pd.Series([], dtype=bool)}
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_lm_quality_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing: unigram-LM doc scores cut into
+    head/middle/tail by fixed configuration cutoffs."""
+    from kafka_es_ray.pipelines.text_ops import lm_quality_buckets
+    from kafka_es_ray.sources.parquet import read_table
+
+    out = lm_quality_buckets(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    if len(out) == 0:  # rule 8b
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "n_tokens": pd.Series([], dtype="int64"),
+             "lm_logprob": pd.Series([], dtype="float64"),
+             "bucket": pd.Series([], dtype=object)}
+        )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_lm_score(sf_dir: str):
     """Unigram-LM quality scoring: per-doc mean token log-likelihood
     under the corpus's own MLE unigram model — tf⋈count co-partitioned
@@ -8488,6 +8533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "lm_score": _q_lm_score,
+        "quality_classifier": _q_quality_classifier,
+        "lm_quality_buckets": _q_lm_quality_buckets,
         "pack_sequences": _q_pack_sequences,
         "mix_epochs": _q_mix_epochs,
         "doc_token_counts": _q_doc_token_counts,
@@ -9586,6 +9633,46 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(c.c / tot.n)), 6) AS lm_logprob
             FROM toks t JOIN cnt c USING (term) CROSS JOIN tot
             GROUP BY 1 ORDER BY 1
+        """,
+        "quality_classifier": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     avg(len(term)) AS mean_len,
+                     avg(CASE WHEN term IN ({_STOP_LIST_SQL})
+                         THEN 1.0 ELSE 0.0 END) AS stop_frac,
+                     avg(CASE WHEN regexp_full_match(term, '[0-9]+')
+                         THEN 1.0 ELSE 0.0 END) AS digit_frac
+              FROM toks GROUP BY 1
+            )
+            SELECT doc_id, n_tokens,
+                   round(1.0 / (1.0 + exp(-(-2.0 + 0.6 * ln(1.0 + n_tokens)
+                         + 0.1 * mean_len + 2.0 * stop_frac
+                         - 3.0 * digit_frac))), 6) AS quality,
+                   round(1.0 / (1.0 + exp(-(-2.0 + 0.6 * ln(1.0 + n_tokens)
+                         + 0.1 * mean_len + 2.0 * stop_frac
+                         - 3.0 * digit_frac))), 6) >= 0.5 AS keep
+            FROM feats ORDER BY 1
+        """,
+        "lm_quality_buckets": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            cnt AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY 1),
+            tot AS (SELECT count(*)::DOUBLE AS n FROM toks),
+            lp AS (
+              SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                     round(avg(ln(c.c / tot.n)), 6) AS lm_logprob
+              FROM toks t JOIN cnt c USING (term) CROSS JOIN tot
+              GROUP BY 1
+            )
+            SELECT doc_id, n_tokens, lm_logprob,
+                   CASE WHEN lm_logprob > -3.42 THEN 'head'
+                        WHEN lm_logprob > -3.55 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM lp ORDER BY 1
         """,
         "tfidf_top_terms": f"""
             WITH toks AS (

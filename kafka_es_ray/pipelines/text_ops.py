@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 
 from kafka_es_ray.functions.bpe import BpeEncoder
-from kafka_es_ray.functions.tokenizer import get_analyzer
+from kafka_es_ray.functions.tokenizer import ENGLISH_STOPWORDS, get_analyzer
 from kafka_es_ray.runtime import stage_pool
 
 # Small fixed stopword list (frozen with the analyzer version).
@@ -1165,3 +1165,107 @@ def frequent_token_pairs(
     ).head(int(k)).reset_index(drop=True)
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     return out
+
+
+class QualityClassifierStage:
+    """Deterministic quality-classifier filter (the fastText/DCLM-style
+    learned-filter SHAPE with frozen public weights — no model file in
+    this container, so the linear layer is a fixed, documented constant):
+    per doc, quality = round6(sigmoid(w·x + b)) over four vectorized text
+    features, keep = quality >= threshold.
+
+    Features (analyzed ascii_v1 tokens): f1 = ln(1 + n_tokens),
+    f2 = mean token length, f3 = stopword fraction (the `_english_`
+    list), f4 = all-digit-token fraction.  Weights FROZEN (b, w1..w4) =
+    (-2.0, 0.6, 0.1, 2.0, -3.0) — replayed verbatim by the SQL oracle.
+    One streaming pass, flat-array reduceat per batch, no shuffle."""
+
+    B, W1, W2, W3, W4 = -2.0, 0.6, 0.1, 2.0, -3.0
+
+    def __init__(self, threshold: float = 0.5, text_col: str = "text"):
+        self.threshold = float(threshold)
+        self.text_col = text_col
+        self.an = get_analyzer("en")
+        self.stop = sorted(ENGLISH_STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = self.an.tokenize_series(batch[self.text_col])
+        counts = toks.map(len).to_numpy(np.int64)
+        ids = batch["doc_id"].to_numpy(np.int64)
+        keep_rows = counts > 0
+        ids, counts = ids[keep_rows], counts[keep_rows]
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "quality": pd.Series([], dtype=np.float64),
+                "keep": pd.Series([], dtype=bool),
+            }
+        )
+        if not ids.size:
+            return empty
+        flat = pd.Series(
+            [t for ts, ok in zip(toks, keep_rows) if ok for t in ts],
+            dtype=object,
+        )
+        lens = flat.str.len().to_numpy(np.float64)
+        is_stop = flat.isin(self.stop).to_numpy()
+        is_digit = flat.str.fullmatch(r"[0-9]+").to_numpy(bool)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        mean_len = np.add.reduceat(lens, starts) / counts
+        stop_frac = np.add.reduceat(is_stop.astype(np.float64), starts) / counts
+        digit_frac = np.add.reduceat(is_digit.astype(np.float64), starts) / counts
+        z = (
+            self.B
+            + self.W1 * np.log1p(counts.astype(np.float64))
+            + self.W2 * mean_len
+            + self.W3 * stop_frac
+            + self.W4 * digit_frac
+        )
+        q = np.floor(1.0 / (1.0 + np.exp(-z)) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_tokens": counts,
+                "quality": q,
+                "keep": q >= self.threshold,
+            }
+        )
+
+
+def quality_classifier(docs_ds, threshold: float = 0.5):
+    """(doc_id, n_tokens, quality, keep) — the classifier-based document
+    filter of the modern curation pipelines (RefinedWeb/DCLM fastText
+    filtering shape) as one vectorized streaming pass; zero-token docs
+    omitted."""
+    return docs_ds.map_batches(
+        QualityClassifierStage,
+        fn_constructor_kwargs={"threshold": threshold},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=stage_pool(),
+    )
+
+
+def lm_quality_buckets(docs_ds, cutoffs: tuple = (-3.55, -3.42)):
+    """CCNet-style perplexity bucketing: per doc the unigram-LM mean
+    log-likelihood (lm_score) bucketed by FIXED cutoffs into
+    tail / middle / head (CCNet §4.3 uses fixed per-language perplexity
+    thresholds from a reference model — the cutoffs are configuration,
+    not data-derived, so the op stays one streaming pass after the
+    lm_score exchanges).  bucket: head = lp > cutoffs[1], middle =
+    lp > cutoffs[0], else tail; comparisons on the round6'd score (the
+    oracle contract).  Returns (doc_id, n_tokens, lm_logprob, bucket)."""
+    lo, hi = float(cutoffs[0]), float(cutoffs[1])
+    scored = lm_score(docs_ds)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        lp = b["lm_logprob"].to_numpy(np.float64)
+        b = b.copy()
+        b["bucket"] = np.where(lp > hi, "head", np.where(lp > lo, "middle", "tail"))
+        return b
+
+    if isinstance(scored, pd.DataFrame):  # degenerate empty corpus
+        scored["bucket"] = pd.Series([], dtype=object)
+        return scored
+    return scored.map_batches(add_bucket, batch_format="pandas")

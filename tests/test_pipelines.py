@@ -845,3 +845,93 @@ def test_embedding_kmeans(ray_session):
     # NOTE: training reads limit(train_size) == the whole set here, so
     # the centroids are partition-independent and assignments match
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_quality_classifier_handcrafted(ray_session):
+    """Frozen-weight classifier: score == sigmoid over the documented
+    features computed by hand; digit-heavy docs score low, stopword-rich
+    prose scores high; empty docs omitted; partition-invariant."""
+    import math
+
+    import ray.data as rd
+
+    from kafka_es_ray.functions.tokenizer import ENGLISH_STOPWORDS, get_analyzer
+    from kafka_es_ray.pipelines.text_ops import quality_classifier
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "the cat sat on the mat and it was a good day for all",
+                "42 7 999 12345 8 0 3 77",
+                "",
+                "mixed 12 words with the 9 numbers in it",
+            ],
+        }
+    )
+    an = get_analyzer("en")
+
+    def expect(text):
+        ts = an.tokenize(text)
+        if not ts:
+            return None
+        n = len(ts)
+        f1 = math.log1p(n)
+        f2 = sum(map(len, ts)) / n
+        f3 = sum(t in ENGLISH_STOPWORDS for t in ts) / n
+        f4 = sum(t.isdigit() for t in ts) / n
+        z = -2.0 + 0.6 * f1 + 0.1 * f2 + 2.0 * f3 - 3.0 * f4
+        return math.floor(1 / (1 + math.exp(-z)) * 1e6 + 0.5) / 1e6
+
+    got = (
+        quality_classifier(rd.from_pandas(docs).repartition(3))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [0, 1, 3]
+    for r in got.itertuples():
+        e = expect(docs["text"][r.doc_id])
+        assert abs(r.quality - e) < 1e-9, r.doc_id
+        assert r.keep == (r.quality >= 0.5)
+    # prose beats digit spam
+    q = dict(zip(got["doc_id"], got["quality"]))
+    assert q[0] > 0.5 > q[1]
+
+
+def test_lm_quality_buckets_cutoffs(ray_session):
+    """Bucketing is a pure function of the round6 lm score and the fixed
+    cutoffs; every lm_score row appears with its bucket."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.text_ops import lm_quality_buckets, lm_score
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "common common common common",
+                "common rare1",
+                "rare2 rare3 rare4",
+                "common common rare5",
+            ],
+        }
+    )
+    base = (
+        lm_score(rd.from_pandas(docs))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    lo, hi = float(base["lm_logprob"].min()), float(base["lm_logprob"].max())
+    mid1, mid2 = lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3
+    got = (
+        lm_quality_buckets(rd.from_pandas(docs).repartition(2), (mid1, mid2))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got[["doc_id", "n_tokens", "lm_logprob"]].equals(
+        base[["doc_id", "n_tokens", "lm_logprob"]]
+    )
+    for r in got.itertuples():
+        want = (
+            "head" if r.lm_logprob > mid2
+            else ("middle" if r.lm_logprob > mid1 else "tail")
+        )
+        assert r.bucket == want
+    assert set(got["bucket"]) == {"head", "middle", "tail"}
