@@ -4544,6 +4544,56 @@ def _q_top_hits(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_top_hits_sorted(sf_dir: str):
+    """ES top_hits with `sort`: every lang bucket's top-3 docs ranked by
+    the n_chars numeric field (desc, ties doc_id asc) instead of _score;
+    the score column carries the sort value (the ES hit sort array)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_top_hits
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_thsidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        out = run_top_hits(
+            queries, idx, "lang", n_hits=3, cfg=cfg, sort_field="n_chars",
+        ).to_pandas()
+        return (
+            out[["query_id", "value", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "value", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_TOP_HITS_SORTED_SQL = _MATCHES_CTE + """
+, hits AS (
+  SELECT m.query_id, d.lang AS value, m.doc_id,
+         d.n_chars::DOUBLE AS score,
+         row_number() OVER (
+           PARTITION BY m.query_id, d.lang
+           ORDER BY d.n_chars DESC, m.doc_id ASC
+         ) AS rank
+  FROM matches m JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+)
+SELECT query_id, value, rank::BIGINT AS rank, doc_id, score
+FROM hits WHERE rank <= 3 ORDER BY 1, 2, 3
+"""
+
+
 def _q_collapse_topk(sf_dir: str):
     """ES field collapsing: top-10 GROUPS (best doc per lang) per derived
     query — distributed CollapseTopkStage (per-segment best-per-value +
@@ -8482,6 +8532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_topk": _q_collapse_topk,
         "collapse_inner_hits": _q_collapse_inner_hits,
         "top_hits": _q_top_hits,
+        "top_hits_sorted": _q_top_hits_sorted,
         "percolate": _q_percolate,
         "terms_enum": _q_terms_enum,
         "prefix_count": _q_prefix_count,
@@ -8825,6 +8876,7 @@ def oracle_sql() -> dict[str, str]:
         "collapse_topk": _COLLAPSE_SQL,
         "collapse_inner_hits": _COLLAPSE_INNER_SQL,
         "top_hits": _TOP_HITS_SQL,
+        "top_hits_sorted": _TOP_HITS_SORTED_SQL,
         "percolate": _PERCOLATE_SQL,
         "bm25_topk_and": _BM25_AND_SQL,
         "multi_match_topk": _MULTI_MATCH_SQL,

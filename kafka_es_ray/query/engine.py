@@ -4306,7 +4306,12 @@ class TopHitsStage(_SegmentCacheStage):
     a doc in value v's global top-n is in its segment's per-v top-n."""
 
     def _init_payload(self, payload) -> None:
-        self.plan, self.avgdl, self.k1, self.b, self.tomb_map, self.field, self.n = payload
+        (
+            self.plan, self.avgdl, self.k1, self.b, self.tomb_map,
+            self.field, self.n, *rest,
+        ) = payload
+        self.sort_field = rest[0] if rest else None
+        self.ascending = bool(rest[1]) if len(rest) > 1 else False
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -4322,6 +4327,19 @@ class TopHitsStage(_SegmentCacheStage):
                 )
                 if ids.size == 0:
                     continue
+                emit = scores
+                if self.sort_field is not None:
+                    # ES top_hits sort: hits ranked by a numeric field
+                    # instead of _score; missing (NaN) excluded like the
+                    # sort-by-field query; the score column carries the
+                    # sort VALUE downstream (the ES hit `sort` array)
+                    metric = seg.nums_for(self.sort_field, ids)
+                    ok = ~np.isnan(metric)
+                    ids, metric = ids[ok], metric[ok]
+                    if ids.size == 0:
+                        continue
+                    emit = metric
+                    scores = -metric if self.ascending else metric
                 vals = seg.field_for(self.field, ids)
                 order = np.lexsort((ids, -scores, vals))
                 v_s = vals[order]
@@ -4339,7 +4357,7 @@ class TopHitsStage(_SegmentCacheStage):
                             "value": vals[sel],
                             "doc_id": ids[sel],
                             "key": seg.keys_for(ids[sel]),
-                            "score": scores[sel],
+                            "score": emit[sel],
                         }
                     )
                 )
@@ -4364,13 +4382,21 @@ def run_top_hits(
     n_hits: int = 3,
     cfg: EngineConfig = DEFAULT,
     concurrency: int | None = None,
+    sort_field: str | None = None,
+    ascending: bool = False,
 ):
     """Distributed ES terms-agg + top_hits sub-aggregation: for each
     query's match set, every ``field`` bucket's top-``n_hits`` docs by
     BM25 (score desc, doc_id asc).  Per-segment partials keep n per
     (plan, value), so shuffle volume is plans x segments x values x n —
     never the match set.  Returns Dataset(query_id, value, rank, doc_id,
-    key, score)."""
+    key, score).
+
+    ``sort_field`` (the ES top_hits ``sort`` option): rank each bucket's
+    hits by a numeric docstore field instead of _score (``ascending``
+    picks the direction; ties doc_id asc; missing values excluded) —
+    the ``score`` column then carries the sort value (the ES hit sort
+    array)."""
     import ray
     import ray.data as rd
 
@@ -4398,7 +4424,8 @@ def run_top_hits(
     if not plan:
         return rd.from_pandas(empty)
     plan_ref = ray.put(
-        (plan, avgdl, k1, b, manifest.get("tombstones", {}), field, n_hits)
+        (plan, avgdl, k1, b, manifest.get("tombstones", {}), field, n_hits,
+         sort_field, ascending)
     )
     partials = _shards_ds(parts, concurrency).map_batches(
         TopHitsStage,
@@ -4414,7 +4441,8 @@ def run_top_hits(
         for (pid_, val), g in bucket.groupby(["plan_id", "value"], sort=True):
             ids = g["doc_id"].to_numpy()
             scores = g["score"].to_numpy()
-            sel = np.lexsort((ids, -scores))[:n_hits]
+            rank_key = -scores if sort_field is not None and ascending else scores
+            sel = np.lexsort((ids, -rank_key))[:n_hits]
             top = pd.DataFrame(
                 {
                     "value": val,

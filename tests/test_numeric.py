@@ -622,3 +622,33 @@ def test_collapse_inner_hits_matches_bruteforce(built):
             g = got[(got["query_id"] == qid) & (got["collapse_val"] == val)]
             assert g["doc_id"].tolist() == want["doc_id"].tolist(), (qid, val)
             assert g["inner_rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_top_hits_sorted_by_field(built):
+    """ES top_hits `sort` option: per-bucket hits ranked by a numeric
+    field in either direction; score column carries the sort value;
+    NaN-valued docs excluded."""
+    from kafka_es_ray.query.engine import run_top_hits
+
+    idx, df = built
+    queries = pd.DataFrame({"query_id": [0], "text": ["alpha beta"]})
+    for ascending in (False, True):
+        got = (
+            run_top_hits(
+                queries, idx, "cat", n_hits=3, cfg=CFG,
+                sort_field="size", ascending=ascending,
+            )
+            .to_pandas()
+            .sort_values(["value", "rank"])
+            .reset_index(drop=True)
+        )
+        full = _brute_match(df, ["alpha", "beta"])
+        full = full[~full["size"].isna()]
+        for val, grp in full.groupby("cat"):
+            want = grp.sort_values(
+                ["size", "doc_id"], ascending=[ascending, True],
+                kind="mergesort",
+            ).head(3)
+            g = got[got["value"] == val]
+            assert g["doc_id"].tolist() == want["doc_id"].tolist(), (val, ascending)
+            assert g["score"].tolist() == want["size"].tolist(), (val, ascending)
