@@ -7482,6 +7482,40 @@ def _q_lww_events(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "event_type", "value"])
 
 
+def _q_simulate_pipeline(sf_dir: str):
+    """ES _ingest/pipeline/_simulate: the compiled processor chain over
+    three inline docs with per-doc error isolation — doc 2's convert
+    failure yields ok=false + NULL fields while docs 0-1 transform."""
+    from kafka_es_ray.stages.ingest import simulate_pipeline
+
+    procs = [
+        {"gsub": {"field": "v", "pattern": "[0-9]+", "replacement": "#"}},
+        {"set": {"field": "pipeline", "value": "v1"}},
+        {"convert": {"field": "n", "type": "integer"}},
+    ]
+    docs = [
+        {"v": "abc123", "n": "42"},
+        {"v": "x9", "n": "7"},
+        {"v": "zz", "n": "oops"},
+    ]
+    return simulate_pipeline(procs, docs)
+
+
+_SIMULATE_SQL = """
+WITH docs(slot, v, n) AS (
+  VALUES (0, 'abc123', '42'), (1, 'x9', '7'), (2, 'zz', 'oops')
+),
+flagged AS (
+  SELECT slot, v, n, regexp_full_match(n, '[0-9]+') AS ok FROM docs
+)
+SELECT slot::BIGINT AS slot, ok,
+       CASE WHEN ok THEN regexp_replace(v, '[0-9]+', '#', 'g') END AS v,
+       CASE WHEN ok THEN CAST(n AS DOUBLE) END AS n,
+       CASE WHEN ok THEN 'v1' END AS pipeline
+FROM flagged ORDER BY 1
+"""
+
+
 def _q_ingest_pipeline(sf_dir: str):
     """ES ingest pipeline (?pipeline= on bulk): a whitelisted processor
     chain — rename value->amount, set a constant, uppercase event_type,
@@ -8593,6 +8627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "lww_events": _q_lww_events,
         "ingest_pipeline": _q_ingest_pipeline,
+        "simulate_pipeline": _q_simulate_pipeline,
         "window_events": _q_window_events,
         "sessionize_events": _q_sessionize,
         "cumulative_cardinality_agg": _q_cumulative_cardinality,
@@ -9760,6 +9795,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "ingest_pipeline": _INGEST_SQL,
+        "simulate_pipeline": _SIMULATE_SQL,
         "lww_events": """
             SELECT user_id, event_id, event_type, value FROM (
               SELECT *, row_number() OVER (

@@ -163,3 +163,34 @@ def apply_ingest_pipeline(ds, processors: list[dict], batch_size: int = 8192):
     compiled closure ships in the task pickle)."""
     fn = compile_pipeline(processors)
     return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)
+
+
+def simulate_pipeline(processors: list[dict], docs: list[dict]) -> pd.DataFrame:
+    """ES ``POST _ingest/pipeline/_simulate``: run the compiled pipeline
+    over a handful of INLINE docs, isolating failures per doc (ES
+    returns a per-doc ``error`` object instead of failing the request).
+    Column ``slot`` is the doc position, ``ok`` the per-doc verdict;
+    failed docs keep NULL transformed fields.  Per-doc execution is
+    deliberate — simulate is a debugging endpoint over a handful of
+    docs, never a data path (apply_ingest_pipeline is the streaming
+    path)."""
+    fn = compile_pipeline(processors)  # compile errors still raise (ES)
+    results: list[tuple[int, bool, dict]] = []
+    cols: list[str] = []
+    for i, doc in enumerate(docs):
+        try:
+            out = fn(pd.DataFrame([dict(doc)]))
+            rec = out.iloc[0].to_dict()
+            results.append((i, True, rec))
+            for c in out.columns:
+                if c not in cols:
+                    cols.append(c)
+        except Exception:  # noqa: BLE001 - the ES per-doc error contract
+            results.append((i, False, {}))
+    frame: dict = {
+        "slot": pd.Series([r[0] for r in results], dtype=np.int64),
+        "ok": pd.Series([r[1] for r in results], dtype=bool),
+    }
+    for c in cols:
+        frame[c] = [r[2].get(c) for r in results]
+    return pd.DataFrame(frame)

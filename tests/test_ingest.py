@@ -88,3 +88,35 @@ def test_dataset_stage(ray_session):
         ds, [{"set": {"field": "t", "value": 1}}, {"trim": {"field": "a"}}]
     ).to_pandas()
     assert out["t"].tolist() == [1, 1] and out["a"].tolist() == ["X1y", "z2"]
+
+
+def test_simulate_pipeline_per_doc_error_isolation():
+    """_simulate: one doc's processor failure must not affect siblings;
+    compile-time errors still raise for the whole request (ES)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from kafka_es_ray.stages.ingest import simulate_pipeline
+
+    procs = [
+        {"rename": {"field": "a", "target_field": "b"}},
+        {"convert": {"field": "n", "type": "integer"}},
+    ]
+    out = simulate_pipeline(
+        procs,
+        [{"a": "x", "n": "1"}, {"a": "y", "n": "nope"}, {"a": "z", "n": "3"}],
+    )
+    assert out["slot"].tolist() == [0, 1, 2]
+    assert out["ok"].tolist() == [True, False, True]
+    assert out.loc[0, "b"] == "x" and out.loc[2, "b"] == "z"
+    assert out.loc[1, "b"] is None
+    assert np.isnan(out.loc[1, "n"])
+    # a doc missing the renamed field fails alone (no ignore_missing)
+    out2 = simulate_pipeline(procs, [{"n": "1"}, {"a": "q", "n": "2"}])
+    assert out2["ok"].tolist() == [False, True]
+    # compile-time validation still fails the whole request
+    with _pytest.raises(ValueError, match="unsupported ingest processor"):
+        simulate_pipeline([{"nope": {}}], [{"a": 1}])
+    # empty docs list -> typed empty frame
+    empty = simulate_pipeline(procs, [])
+    assert list(empty.columns) == ["slot", "ok"] and len(empty) == 0
