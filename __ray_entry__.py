@@ -2046,6 +2046,43 @@ _DIS_MAX_SQL = _MULTI_MATCH_SQL.replace(
 )
 assert "0.3" in _DIS_MAX_SQL  # replace anchor must exist
 
+# ES multi_match type=cross_fields over the same two-field index and
+# query derivation: TERM-centric — idf from the blended df (max over
+# the fields' dfs, the Lucene BlendedTermQuery convention), per doc per
+# term the best field's idf*tf_part, summed over terms, round6 once
+_XF_SQL = _MULTI_MATCH_SQL.split("fscores AS (")[0] + """bdf AS (
+  SELECT term, ln(1 + (s.n - max(df.df) + 0.5) / (max(df.df) + 0.5)) AS idf
+  FROM df CROSS JOIN stats s GROUP BY term, s.n
+),
+tscores AS (
+  SELECT q.query_id, tf.term, tf.doc_id,
+         max(round(
+           b.idf * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / fs.avgdl))
+         , 6)) AS m
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id AND dl.field = tf.field
+  JOIN fstats fs ON fs.field = tf.field
+  JOIN bdf b ON b.term = q.term
+  GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT query_id, doc_id, round(sum(m), 6) AS score
+  FROM tscores GROUP BY 1, 2
+),
+topk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS rank
+  FROM scores
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10
+"""
+assert "bdf" in _XF_SQL and _XF_SQL.count("tscores") == 2
+
 # ES combined_fields (BM25F) over the same two-field index and query
 # derivation as _MULTI_MATCH_SQL: tf and dl blended across fields with
 # title weight 2.0, idf from the cross-field UNION df, ONE BM25 per term
@@ -3976,6 +4013,47 @@ def _q_combined_fields(sf_dir: str):
                 "text": [b1, f"{b1} {t1}", t1, f"{b2} {b3}"],
                 "type": "combined_fields",
                 "fields": "title^2,body",
+                "k": np.int32(10),
+            }
+        )
+        out = run_queries(queries, idx, MF_CFG).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_cross_fields(sf_dir: str):
+    """ES multi_match type=cross_fields over the title/body index: the
+    multi_match query derivation scored term-centrically — blended idf
+    (max per-field df) x the best field's tf-part per doc per term."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.fulltext import (
+        MF_CFG,
+        _ranked_field_terms,
+        build_documents_mf_index,
+    )
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_xfidx_")
+    try:
+        build_documents_mf_index(sf_dir, idx)
+        searcher = IndexSearcher(idx, MF_CFG)
+        b1, b2, b3 = _ranked_field_terms(searcher, "body", 3)
+        (t1,) = _ranked_field_terms(searcher, "title", 1)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(4, dtype=np.int64),
+                "text": [b1, f"{b1} {t1}", t1, f"{b2} {b3}"],
+                "type": "cross_fields",
+                "fields": "title,body",
                 "k": np.int32(10),
             }
         )
@@ -8595,6 +8673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_score_topk": _q_prefix_score_topk,
         "random_score_topk": _q_random_score_topk,
         "combined_fields_topk": _q_combined_fields,
+        "cross_fields_topk": _q_cross_fields,
         "match_count": _q_match_count,
         "match_must_not": _q_match_must_not,
         "match_lang_agg": _q_match_lang_agg,
@@ -8928,6 +9007,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_score_topk": _PREFIX_SCORE_SQL,
         "random_score_topk": _RANDOM_SCORE_SQL,
         "combined_fields_topk": _CF_SQL,
+        "cross_fields_topk": _XF_SQL,
         "match_must_not": _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(
             having="""HAVING NOT EXISTS (
                SELECT 1 FROM tf t2

@@ -3603,6 +3603,45 @@ class ShardScorerStage(_SegmentCacheStage):
                         np.maximum.at(mx, inv, all_sc)
                         acc = mx + tb * (acc - mx)
                     scores = np.asarray(round6(acc))
+                elif "xf" in q:
+                    # ES multi_match cross_fields (term-centric): per doc
+                    # per TERM the best field's blended-idf BM25 x boost,
+                    # summed over terms; pruning off (no single-field UB
+                    # bounds the cross-field max)
+                    x = q["xf"]
+                    term_frames = []
+                    for ti, t in enumerate(x["terms"]):
+                        ids_t, sc_t = [], []
+                        for f, boost in zip(x["fields"], x["boosts"]):
+                            i2, s2 = score_segment(
+                                seg, [f"{f}\x1f{t}"],
+                                np.array([x["idf"][ti]], dtype=np.float64),
+                                x["avgdl"][f], self.k1, self.b, None,
+                                dl_field=f,
+                            )
+                            if i2.size:
+                                ids_t.append(i2)
+                                sc_t.append(s2 * boost)
+                        if not ids_t:
+                            continue
+                        u, inv_t = np.unique(
+                            np.concatenate(ids_t), return_inverse=True
+                        )
+                        mx_t = np.zeros(u.size, dtype=np.float64)
+                        np.maximum.at(mx_t, inv_t, np.concatenate(sc_t))
+                        term_frames.append((u, mx_t))
+                    if not term_frames:
+                        continue
+                    ids, inv = np.unique(
+                        np.concatenate([u for u, _ in term_frames]),
+                        return_inverse=True,
+                    )
+                    acc = np.zeros(ids.size, dtype=np.float64)
+                    np.add.at(
+                        acc, inv,
+                        np.concatenate([m for _, m in term_frames]),
+                    )
+                    scores = np.asarray(round6(acc))
                 elif "cf" in q:
                     # ES combined_fields (BM25F): blended tf/dl across
                     # weighted fields, idf from the broadcast union-df
@@ -5247,7 +5286,11 @@ def run_queries(
         toks = an.tokenize(row.text)
         flds_s = _row_str(row, "fields")
         fld = _row_str(row, "field")
-        if (getattr(row, "type", None) or "match") in ("multi_match", "dis_max") and flds_s:
+        if (
+            (getattr(row, "type", None) or "match")
+            in ("multi_match", "dis_max", "cross_fields")
+            and flds_s
+        ):
             for f in flds_s.split(","):
                 f = f.partition("^")[0]  # ES per-field boost syntax: title^2
                 terms_set.update(f"{f}\x1f{t}" for t in toks)
@@ -5944,6 +5987,56 @@ def run_queries(
         base_terms = sorted(set(get_analyzer(lang_q).tokenize(row.text)))
         offset = int(getattr(row, "offset", 0) or 0)  # ES from/size
         flds_s = _row_str(row, "fields")
+        if (getattr(row, "type", None) or "match") == "cross_fields" and flds_s:
+            # ES multi_match type=cross_fields: TERM-centric blending —
+            # each query term is one clause whose idf comes from the
+            # BLENDED df (max over the fields' dfs — the Lucene
+            # BlendedTermQuery convention, frozen) and whose per-doc
+            # contribution is the best field's idf·tf_part·boost; the
+            # doc score = round6(Σ over terms).  Contrast most_fields
+            # (field-centric sum) and combined_fields (blended tf/BM25F).
+            fields_x, boosts_x = [], []
+            for f in flds_s.split(","):
+                f, _, b_s = f.partition("^")
+                fields_x.append(f)
+                boosts_x.append(float(b_s) if b_s else 1.0)
+            terms_x, idf_x = [], []
+            for t in base_terms:
+                bdf = max(
+                    (df_map.get(f"{f}\x1f{t}", 0) for f in fields_x),
+                    default=0,
+                )
+                if bdf > 0:
+                    terms_x.append(t)
+                    idf_x.append(
+                        float(
+                            bm25_idf(np.array([bdf], dtype=np.int64), n_docs)[0]
+                        )
+                    )
+            if not terms_x:
+                continue
+            key = ("xf", tuple(terms_x), tuple(fields_x), tuple(boosts_x), k, offset)
+            entry = plan_by_key.get(key)
+            if entry is None:
+                entry = plan_by_key[key] = {
+                    "query_ids": [],
+                    "xf": {
+                        "fields": fields_x,
+                        "boosts": boosts_x,
+                        "terms": terms_x,
+                        "idf": idf_x,
+                        "avgdl": {
+                            f: float(avgdl_fields.get(f, 0)) or 1.0
+                            for f in fields_x
+                        },
+                    },
+                    "hl_terms": base_terms,
+                    "k": k + offset,
+                    "offset": offset,
+                    "size": k,
+                }
+            entry["query_ids"].append(int(row.query_id))
+            continue
         if (getattr(row, "type", None) or "match") in ("multi_match", "dis_max") and flds_s:
             # ES multi_match most_fields: per-field BM25 summed per doc
             # (see IndexSearcher.multi_match for the exactness argument).

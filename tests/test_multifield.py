@@ -427,3 +427,77 @@ def test_combined_fields_multi_index_equals_combined(ray_session, tmp_path_facto
     two = run_queries(qs, [d_e, d_o], CFG, concurrency=2).to_pandas().sort_values("rank")
     assert one["key"].tolist() == two["key"].tolist()
     assert one["score"].tolist() == two["score"].tolist()
+
+
+@pytest.mark.parametrize("query", ["alpha", "gamma alpha", "zebra body", "beta"])
+def test_cross_fields_term_centric_oracle(mf_index, ray_session, query):
+    """multi_match type=cross_fields: per term the BLENDED idf (max
+    per-field df — Lucene BlendedTermQuery) x the best field's round6'd
+    tf-part contribution; doc score = round6(sum over terms).  Distinct
+    from most_fields whenever a term lives in both fields with different
+    dfs."""
+    from kafka_es_ray.query.engine import run_queries
+
+    q = pd.DataFrame(
+        {
+            "query_id": np.int64([0]),
+            "text": [query],
+            "type": "cross_fields",
+            "fields": "title,body",
+            "k": np.int32(20),
+        }
+    )
+    got = run_queries(q, mf_index, CFG).to_pandas()
+    # from-scratch oracle
+    n = len(DOCS)
+    toks = {f: [_tok(t) for t in DOCS[f]] for f in ("title", "body")}
+    dls = {f: np.array([len(t) for t in toks[f]], dtype=float) for f in toks}
+    avg = {f: dls[f].mean() for f in toks}
+    want: dict[str, float] = {}
+    for i, key in enumerate(DOCS["url"]):
+        total = 0.0
+        for term in sorted(set(_tok(query))):
+            bdf = max(
+                sum(term in set(t) for t in toks[f]) for f in ("title", "body")
+            )
+            if bdf == 0:
+                continue
+            idf = math.log(1 + (n - bdf + 0.5) / (bdf + 0.5))
+            best = None
+            for f in ("title", "body"):
+                tf = toks[f][i].count(term)
+                if tf == 0:
+                    continue
+                c = float(round6(
+                    idf * tf * 2.2
+                    / (tf + 1.2 * (0.25 + 0.75 * dls[f][i] / avg[f]))
+                ))
+                best = c if best is None else max(best, c)
+            if best is not None:
+                total += best
+        if total > 0:
+            want[key] = float(round6(total))
+    assert dict(zip(got["key"], got["score"])) == dict(
+        sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    )
+
+
+def test_cross_fields_differs_from_most_fields(mf_index, ray_session):
+    """'alpha' lives in both fields with different dfs: most_fields SUMS
+    the two per-field scores while cross_fields takes the best — the
+    rankings must reflect that."""
+    from kafka_es_ray.query.engine import run_queries
+
+    base = {"query_id": np.int64([0]), "text": ["alpha"],
+            "fields": "title,body", "k": np.int32(20)}
+    xf = run_queries(
+        pd.DataFrame({**base, "type": "cross_fields"}), mf_index, CFG
+    ).to_pandas()
+    mm = run_queries(
+        pd.DataFrame({**base, "type": "multi_match"}), mf_index, CFG
+    ).to_pandas()
+    x = dict(zip(xf["key"], xf["score"]))
+    m = dict(zip(mm["key"], mm["score"]))
+    assert set(x) == set(m)  # same match set (alpha anywhere)
+    # doc u0 has alpha in BOTH fields: most_fields strictly higher there
+    assert m["u0"] > x["u0"]
