@@ -4026,6 +4026,86 @@ def _q_combined_fields(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_index_prefixes_count(sf_dir: str):
+    """ES index_prefixes (search_as_you_type): edge n-grams (2..5 chars)
+    of the analyzed tokens indexed as a mapped subfield `px`, so an
+    in-range prefix count is ONE exact dictionary lookup per segment —
+    counts for the top body term's 2/3/4-char prefixes."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import (
+        _ranked_field_terms,
+        add_index_prefixes,
+        documents_dataset,
+    )
+    from kafka_es_ray.query.engine import IndexSearcher, run_counts
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_pxidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, text_fields=("body", "px"))
+        ds = add_index_prefixes(
+            documents_dataset(sf_dir), text_col="text", out_col="px",
+            min_chars=2, max_chars=5,
+        )
+
+        def shape(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "key": batch.column("key"),
+                    "body": batch.column("text"),
+                    "px": batch.column("px"),
+                    "lang": batch.column("lang"),
+                }
+            )
+
+        build_index(
+            ds.map_batches(shape, batch_format="pyarrow"), idx, cfg,
+            key_col="key", text_col="body", lang_col="lang",
+            html_col=None, ts_col=None, id_col="doc_id",
+        )
+        (t1,) = _ranked_field_terms(IndexSearcher(idx, cfg), "body", 1)
+        queries = pd.DataFrame(
+            {
+                "query_id": np.arange(3, dtype=np.int64),
+                "text": [t1[:2], t1[:3], t1[:4]],
+                "field": "px",
+            }
+        )
+        out = run_counts(queries, idx, cfg)
+        return out.sort_values("query_id").reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_INDEX_PREFIXES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (SELECT DISTINCT doc_id, term FROM toks),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+ranked_terms AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+),
+t1 AS (SELECT term FROM ranked_terms WHERE r = 1),
+probes AS (
+  SELECT 0 AS query_id, substr(term, 1, 2) AS p FROM t1
+  UNION ALL SELECT 1, substr(term, 1, 3) FROM t1
+  UNION ALL SELECT 2, substr(term, 1, 4) FROM t1
+)
+SELECT p.query_id::BIGINT AS query_id,
+       count(DISTINCT tf.doc_id)::BIGINT AS n_matching
+FROM probes p LEFT JOIN tf ON tf.term LIKE p.p || '%'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _q_cross_fields(sf_dir: str):
     """ES multi_match type=cross_fields over the title/body index: the
     multi_match query derivation scored term-centrically — blended idf
@@ -8674,6 +8754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_score_topk": _q_random_score_topk,
         "combined_fields_topk": _q_combined_fields,
         "cross_fields_topk": _q_cross_fields,
+        "index_prefixes_count": _q_index_prefixes_count,
         "match_count": _q_match_count,
         "match_must_not": _q_match_must_not,
         "match_lang_agg": _q_match_lang_agg,
@@ -9008,6 +9089,7 @@ def oracle_sql() -> dict[str, str]:
         "random_score_topk": _RANDOM_SCORE_SQL,
         "combined_fields_topk": _CF_SQL,
         "cross_fields_topk": _XF_SQL,
+        "index_prefixes_count": _INDEX_PREFIXES_SQL,
         "match_must_not": _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(
             having="""HAVING NOT EXISTS (
                SELECT 1 FROM tf t2

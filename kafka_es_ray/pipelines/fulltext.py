@@ -447,3 +447,47 @@ def pages_pipeline(n_rows: int = 1000, num_partitions: int = 8, index_dir: str |
     finally:
         if own:
             shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def add_index_prefixes(
+    ds,
+    text_col: str = "text",
+    out_col: str = "px",
+    min_chars: int = 2,
+    max_chars: int = 5,
+):
+    """ES ``index_prefixes`` (the search_as_you_type building block):
+    derive a synthetic text field whose tokens are the edge n-grams
+    (prefixes of length ``min_chars``..``max_chars``) of the main
+    field's analyzed tokens.  Built as an ordinary mapped text field
+    (``cfg.text_fields`` including ``out_col``), so an in-range prefix
+    query becomes ONE exact dictionary lookup (O(log V) + a single
+    postings list) instead of a dictionary range scan + union — the ES
+    index-time/space-for-query-time trade.  Prefixes are deduplicated
+    per doc (df semantics are doc counts; prefix tf is meaningless and
+    the field is meant for filter/count contexts).  Prefix tokens are
+    themselves ascii alnum, so they round-trip the analyzer unchanged.
+    One streaming map_batches pass."""
+    an = get_analyzer("en")
+    lo, hi = int(min_chars), int(max_chars)
+    if not (1 <= lo <= hi):
+        raise ValueError("index_prefixes: need 1 <= min_chars <= max_chars")
+
+    def add(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = an.tokenize_series(batch[text_col])
+        batch = batch.copy()
+        batch[out_col] = [
+            " ".join(
+                sorted(
+                    {
+                        t[:n]
+                        for t in ts
+                        for n in range(lo, min(len(t), hi) + 1)
+                    }
+                )
+            )
+            for ts in toks
+        ]
+        return batch
+
+    return ds.map_batches(add, batch_format="pandas", batch_size=4096)

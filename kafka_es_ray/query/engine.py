@@ -6646,6 +6646,13 @@ def _match_set_plans(queries: pd.DataFrame) -> list[dict]:
             entry["query_ids"].append(int(row.query_id))
             continue
         terms = sorted(set(get_analyzer(lang_q).tokenize(row.text)))
+        fld_ms = getattr(row, "field", None)
+        if fld_ms is not None and not (
+            isinstance(fld_ms, float) and pd.isna(fld_ms)
+        ):
+            # field-scoped match over a mapped text field (field-prefixed
+            # dictionary terms — e.g. the index_prefixes subfield)
+            terms = [f"{fld_ms}\x1f{t}" for t in terms]
         require_all = (getattr(row, "operator", None) or "or") == "and"
         fkw = _row_filter_kw(row)
         key = (tuple(terms), require_all, filter_lang, fr, fkw)

@@ -497,3 +497,61 @@ def test_match_fuzzy_transpositions_distributed(built):
             if ti is not None and ti >= 0:
                 hit_ids.update(seg.postings_with_dl(ti)[0].tolist())
     assert set(got["doc_id"].tolist()) <= hit_ids
+
+
+def test_index_prefixes_equals_dictionary_scan(ray_session, tmp_path_factory):
+    """ES index_prefixes: counting via ONE exact term lookup on the px
+    subfield == the dictionary range-scan prefix count, for every
+    in-range prefix length; out-of-range lengths are absent from px."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.fulltext import add_index_prefixes
+    from kafka_es_ray.query.engine import run_counts
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "key": [str(i) for i in range(6)],
+            "text": [
+                "banana band bandit",
+                "banana split",
+                "bandage box",
+                "cat nap",
+                "ban hammer",
+                "bandana",
+            ],
+            "lang": "en",
+        }
+    )
+    cfg = EngineConfig(num_partitions=2, text_fields=("body", "px"))
+    ds = add_index_prefixes(
+        rd.from_pandas(docs), text_col="text", out_col="px",
+        min_chars=2, max_chars=5,
+    ).map_batches(
+        lambda b: b.rename(columns={"text": "body"}), batch_format="pandas"
+    )
+    d = str(tmp_path_factory.mktemp("px") / "idx")
+    build_index(
+        ds, d, cfg, key_col="key", text_col="body", lang_col="lang",
+        html_col=None, ts_col=None, id_col="doc_id",
+    )
+    probes = ["ba", "ban", "band", "banda", "ca", "zz"]
+    q = pd.DataFrame(
+        {
+            "query_id": np.arange(len(probes), dtype=np.int64),
+            "text": probes,
+            "field": "px",
+        }
+    )
+    got = run_counts(q, d, cfg).sort_values("query_id")
+
+    def brute(p):
+        return sum(
+            any(t.startswith(p) for t in txt.split()) for txt in docs["text"]
+        )
+
+    assert got["n_matching"].tolist() == [brute(p) for p in probes]
+    # a 6-char probe is beyond max_chars: px cannot answer it (0 hits
+    # even though a longer token exists) — the documented range contract
+    q6 = pd.DataFrame({"query_id": [0], "text": ["bandan"], "field": "px"})
+    assert run_counts(q6, d, cfg)["n_matching"].tolist() == [0]
