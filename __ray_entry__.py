@@ -668,6 +668,21 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM topk WHERE rank <= 10
 """.replace("{_TOK}", _TOK)
 
+# ES more_like_this with `unlike`: the 4th doc's terms form an
+# exclusion vocabulary removed from every source's candidate set
+_MLT_UNLIKE_SQL = _MLT_SQL.replace(
+    "  WHERE df.df >= 2\n),",
+    """  WHERE df.df >= 2
+    AND tf.term NOT IN (
+      SELECT DISTINCT t2.term FROM toks t2
+      WHERE t2.doc_id = (
+        SELECT doc_id FROM documents ORDER BY doc_id LIMIT 1 OFFSET 3
+      )
+    )
+),""",
+)
+assert "OFFSET 3" in _MLT_UNLIKE_SQL
+
 # ES terms-agg + top_hits: every lang bucket's top-3 docs by BM25
 _TOP_HITS_SQL = _BM25_SQL.split("topk AS (")[0] + """topk AS (
   SELECT s.query_id, d.lang AS value, s.doc_id, round(s.raw_score, 6) AS score,
@@ -5166,6 +5181,40 @@ def _q_more_like_this(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_more_like_this_unlike(sf_dir: str):
+    """ES more_like_this with `unlike`: same three sources, but the 4th
+    smallest doc is a negative example — its analyzed terms are removed
+    from every source's candidate set before selection."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import documents_dataset
+    from kafka_es_ray.query.engine import run_more_like_this
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_mluidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, store_text=True)
+        build_index(
+            documents_dataset(sf_dir), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        ordered = sorted(ids.column("doc_id").to_pylist())
+        out = run_more_like_this(
+            [str(i) for i in ordered[:3]], idx,
+            k=10, max_query_terms=10, min_term_freq=1, min_doc_freq=2,
+            cfg=cfg, unlike=[str(ordered[3])],
+        )
+        return out[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_match_subagg(sf_dir: str):
     """ES sub-aggregation (terms bucket on lang -> nested stats over
     n_chars) per derived query's match set — distributed NumericAggStage
@@ -8712,6 +8761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_subagg": _q_match_subagg,
         "function_score_topk": _q_function_score_topk,
         "more_like_this": _q_more_like_this,
+        "more_like_this_unlike": _q_more_like_this_unlike,
         "termvectors": _q_termvectors,
         "mtermvectors": _q_mtermvectors,
         "rank_eval": _q_rank_eval,
@@ -9012,6 +9062,7 @@ def oracle_sql() -> dict[str, str]:
         "match_subagg": _SUBAGG_SQL,
         "function_score_topk": _FVF_SQL,
         "more_like_this": _MLT_SQL,
+        "more_like_this_unlike": _MLT_UNLIKE_SQL,
         "rank_eval": _RANK_EVAL_SQL,
         "termvectors": f"""
             WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),

@@ -10309,6 +10309,7 @@ def run_more_like_this(
     min_doc_freq: int = 5,
     cfg: EngineConfig = DEFAULT,
     concurrency: int | None = None,
+    unlike: list | None = None,
 ) -> pd.DataFrame:
     """ES more_like_this (like=[ids]): fetch each source doc's stored
     _source (distributed mget), select its top tf-idf query terms
@@ -10320,8 +10321,20 @@ def run_more_like_this(
     query_id = position of the source key in ``keys``; sources that are
     missing or yield no eligible terms produce no rows.  Requires
     store_text=True at build time.  Returns
-    (query_id, rank, doc_id, key, score)."""
+    (query_id, rank, doc_id, key, score).
+
+    ``unlike`` (the ES negative-example option): keys whose docs define
+    an exclusion vocabulary — the union of their analyzed terms is
+    removed from every source's candidate set BEFORE the tf/df cuts
+    (frozen simplification of ES's negative interestingness model,
+    replayed by the SQL oracle)."""
     got = run_mget(list(keys), index_dir, cfg, concurrency, fetch=True)
+    unlike_terms: set[str] = set()
+    if unlike:
+        neg = run_mget(list(unlike), index_dir, cfg, concurrency, fetch=True)
+        for r in neg.itertuples(index=False):
+            if r.found and r.text:
+                unlike_terms.update(get_analyzer(r.lang).tokenize(r.text))
     manifest = read_manifest(index_dir)
     parts = [int(p) for p in manifest["parts"]]
     n_docs = int(manifest["n_docs"])
@@ -10346,6 +10359,10 @@ def run_more_like_this(
             continue
         terms, tf = np.unique(np.asarray(toks, dtype=object), return_counts=True)
         keep = tf >= min_term_freq
+        if unlike_terms:
+            keep &= np.array(
+                [t not in unlike_terms for t in terms], dtype=bool
+            )
         per_src.append((r.key, r.lang, terms[keep], tf[keep].astype(np.int64)))
         term_pool.update(terms[keep].tolist())
     all_terms = sorted(term_pool)
