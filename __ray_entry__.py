@@ -7427,6 +7427,50 @@ def _q_histogram_offset_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_terms_numeric_agg(sf_dir: str):
+    """ES terms aggregation over a NUMERIC field (n_chars): per-value
+    doc counts from the per-value partial sweep, ES bucket order, top-15
+    cut per query."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_terms_numeric
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_tnidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_agg_terms_numeric(queries, idx, "n_chars", size=15, cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_TERMS_NUMERIC_SQL = _MATCHES_CTE + """
+, buckets AS (
+  SELECT m.query_id, d.n_chars::DOUBLE AS value, count(*)::BIGINT AS n_docs
+  FROM matches m JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY n_docs DESC, value ASC) AS rn
+  FROM buckets
+)
+SELECT query_id, value, n_docs FROM ranked WHERE rn <= 15
+ORDER BY 1, n_docs DESC, value ASC
+"""
+
+
 def _q_mget_docs(sf_dir: str):
     """ES _mget analog (distributed MgetStage path): point lookups by
     external key with found/missing flags."""
@@ -7637,6 +7681,19 @@ def _q_lm_quality_buckets(sf_dir: str):
              "bucket": pd.Series([], dtype=object)}
         )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_top_quality_fraction(sf_dir: str):
+    """Corpus curation selection: keep the best 30% by the frozen-weight
+    quality classifier — exact distributed threshold from one bounded
+    per-round6-value count exchange, smallest-doc_id-first at the tied
+    cutoff value."""
+    from kafka_es_ray.pipelines.text_ops import top_quality_fraction
+    from kafka_es_ray.sources.parquet import read_table
+
+    return top_quality_fraction(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), frac=0.3
+    )
 
 
 def _q_lm_score(sf_dir: str):
@@ -8661,6 +8718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyzer_stem_topk": _q_analyzer_stem_topk,
         "linear_hybrid_topk": _q_linear_hybrid_topk,
         "terms_include_agg": _q_terms_include_agg,
+        "terms_numeric_agg": _q_terms_numeric_agg,
         "histogram_offset_agg": _q_histogram_offset_agg,
         "significant_terms_bgfilter": _q_significant_terms_bgfilter,
         "weighted_terms_topk": _q_weighted_terms_topk,
@@ -8830,6 +8888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": _q_lm_score,
         "quality_classifier": _q_quality_classifier,
         "lm_quality_buckets": _q_lm_quality_buckets,
+        "top_quality_fraction": _q_top_quality_fraction,
         "pack_sequences": _q_pack_sequences,
         "mix_epochs": _q_mix_epochs,
         "doc_token_counts": _q_doc_token_counts,
@@ -8939,6 +8998,7 @@ def oracle_sql() -> dict[str, str]:
         "analyzer_stem_topk": _ANALYZER_STEM_SQL,
         "linear_hybrid_topk": _LINEAR_SQL,
         "terms_include_agg": _TERMS_INCLUDE_SQL,
+        "terms_numeric_agg": _TERMS_NUMERIC_SQL,
         "histogram_offset_agg": _HISTOGRAM_OFFSET_SQL,
         "significant_terms_bgfilter": _SIGTERMS_BGF_SQL,
         "weighted_terms_topk": _WEIGHTED_TERMS_SQL,
@@ -9955,6 +10015,35 @@ def oracle_sql() -> dict[str, str]:
                          + 0.1 * mean_len + 2.0 * stop_frac
                          - 3.0 * digit_frac))), 6) >= 0.5 AS keep
             FROM feats ORDER BY 1
+        """,
+        "top_quality_fraction": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     avg(len(term)) AS mean_len,
+                     avg(CASE WHEN term IN ({_STOP_LIST_SQL})
+                         THEN 1.0 ELSE 0.0 END) AS stop_frac,
+                     avg(CASE WHEN regexp_full_match(term, '[0-9]+')
+                         THEN 1.0 ELSE 0.0 END) AS digit_frac
+              FROM toks GROUP BY 1
+            ),
+            scored AS (
+              SELECT doc_id, n_tokens,
+                     round(1.0 / (1.0 + exp(-(-2.0 + 0.6 * ln(1.0 + n_tokens)
+                           + 0.1 * mean_len + 2.0 * stop_frac
+                           - 3.0 * digit_frac))), 6) AS quality
+              FROM feats
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                ORDER BY quality DESC, doc_id ASC) AS rn,
+                count(*) OVER () AS n
+              FROM scored
+            )
+            SELECT doc_id, n_tokens, quality FROM ranked
+            WHERE rn <= ceil(0.3 * n) ORDER BY quality DESC, doc_id ASC
         """,
         "lm_quality_buckets": f"""
             WITH toks AS (

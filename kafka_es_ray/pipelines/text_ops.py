@@ -1269,3 +1269,66 @@ def lm_quality_buckets(docs_ds, cutoffs: tuple = (-3.55, -3.42)):
         scored["bucket"] = pd.Series([], dtype=object)
         return scored
     return scored.map_batches(add_bucket, batch_format="pandas")
+
+
+def top_quality_fraction(docs_ds, frac: float = 0.3):
+    """Curation selection: keep the top ``frac`` of the corpus by the
+    quality-classifier score — "train on the best 30%" (the
+    classifier-threshold selection of DCLM/RefinedWeb-style pipelines,
+    with the cutoff DERIVED from the corpus instead of fixed).
+
+    Exact and distributed: quality scores are round6'd, so the value
+    space is bounded (<= 1e6 distinct) — one per-value count exchange
+    gives the driver a tiny cumulative histogram to find the threshold
+    t and how many threshold-tied docs still fit; docs with quality > t
+    all pass, ties at t are admitted smallest-doc_id-first (the only
+    driver-side doc list is the ties at ONE 6-dp value — degenerate
+    corpora where that is large should lower frac or use a fixed
+    cutoff).  keep_n = ceil(frac * n_scored).  Returns a pandas
+    DataFrame (doc_id, n_tokens, quality) of the kept docs."""
+    if not (0.0 < frac <= 1.0):
+        raise ValueError("top_quality_fraction: frac must be in (0, 1]")
+    scored = quality_classifier(docs_ds).materialize()
+
+    def vc(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("quality", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = scored.map_batches(vc, batch_format="pandas").to_pandas()
+    if not len(hist):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "quality": pd.Series([], dtype=np.float64),
+            }
+        )
+    hist = hist.groupby("quality", as_index=False)["n"].sum().sort_values(
+        "quality", ascending=False
+    )
+    total = int(hist["n"].sum())
+    keep_n = int(np.ceil(frac * total))
+    cum = hist["n"].cumsum().to_numpy()
+    ti = int(np.searchsorted(cum, keep_n))
+    t = float(hist["quality"].to_numpy()[ti])
+    n_above = int(cum[ti - 1]) if ti > 0 else 0
+    n_at_t = keep_n - n_above
+    above = scored.map_batches(
+        lambda b: b[b["quality"] > t], batch_format="pandas"
+    ).to_pandas()
+    if not len(above):  # 0-row to_pandas drops columns (rule 8b)
+        above = pd.DataFrame(
+            {c: pd.Series([], dtype=d)
+             for c, d in (("doc_id", np.int64), ("n_tokens", np.int64),
+                          ("quality", np.float64), ("keep", bool))}
+        )
+    ties = scored.map_batches(
+        lambda b: b[b["quality"] == t], batch_format="pandas"
+    ).to_pandas().sort_values("doc_id", kind="mergesort").head(n_at_t)
+    out = pd.concat([above, ties], ignore_index=True)
+    return (
+        out[["doc_id", "n_tokens", "quality"]]
+        .sort_values(["quality", "doc_id"], ascending=[False, True],
+                     kind="mergesort")
+        .reset_index(drop=True)
+    )

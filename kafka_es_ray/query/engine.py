@@ -7141,6 +7141,60 @@ def run_agg_terms_stats(
     ).reset_index(drop=True).astype({"query_id": np.int64, "n_docs": np.int64})
 
 
+def run_agg_terms_numeric(
+    queries_ds, index_dir: str, field: str, size: int | None = None,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES terms aggregation over a NUMERIC field (ES terms
+    works on any mapped field; keyword fields go through run_agg_terms):
+    per-value doc counts from the per-value partial mode (shuffle =
+    plans x segments x distinct values — right for integer-ish doc
+    metadata), ES bucket order (n_docs desc, value asc), optional
+    ``size`` cut.  Missing (NaN) values never bucket.  Returns
+    (query_id, value, n_docs)."""
+    partials, plan = _run_numeric_agg(
+        queries_ds, index_dir, field, 0.0, cfg, concurrency
+    )
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    rows = []
+    if len(partials):
+        g = (
+            partials.groupby(["plan_id", "bucket"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        for pid_, gg in g.groupby("plan_id", sort=True):
+            gg = gg.sort_values(
+                ["n", "bucket"], ascending=[False, True], kind="mergesort"
+            )
+            if size is not None:
+                gg = gg.head(int(size))
+            for qid in fanout.get(int(pid_), []):
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(qid),
+                            "value": gg["bucket"].to_numpy(np.float64),
+                            "n_docs": gg["n"].to_numpy(np.int64),
+                        }
+                    )
+                )
+    if not rows:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "value": pd.Series([], dtype=np.float64),
+                "n_docs": pd.Series([], dtype=np.int64),
+            }
+        )
+    return (
+        pd.concat(rows, ignore_index=True)
+        .sort_values(["query_id", "n_docs", "value"],
+                     ascending=[True, False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def run_agg_percentiles(
     queries_ds, index_dir: str, field: str, percentiles=(25.0, 50.0, 75.0, 99.0),
     cfg: EngineConfig = DEFAULT, concurrency: int | None = None,

@@ -652,3 +652,21 @@ def test_top_hits_sorted_by_field(built):
             g = got[got["value"] == val]
             assert g["doc_id"].tolist() == want["doc_id"].tolist(), (val, ascending)
             assert g["score"].tolist() == want["size"].tolist(), (val, ascending)
+
+
+def test_terms_numeric_agg_matches_bruteforce(built):
+    """ES terms agg over a numeric field: per-value counts of the match
+    set, ES bucket order, size cut; NaN excluded."""
+    from kafka_es_ray.query.engine import run_agg_terms_numeric
+
+    idx, df = built
+    queries = pd.DataFrame({"query_id": [0], "text": ["alpha beta"]})
+    got = run_agg_terms_numeric(queries, idx, "size", size=5, cfg=CFG)
+    full = _brute_match(df, ["alpha", "beta"])
+    vc = (
+        full[~full["size"].isna()].groupby("size").size().reset_index(name="n")
+        .sort_values(["n", "size"], ascending=[False, True], kind="mergesort")
+        .head(5)
+    )
+    assert got["value"].tolist() == vc["size"].astype(float).tolist()
+    assert got["n_docs"].tolist() == vc["n"].tolist()

@@ -935,3 +935,40 @@ def test_lm_quality_buckets_cutoffs(ray_session):
         )
         assert r.bucket == want
     assert set(got["bucket"]) == {"head", "middle", "tail"}
+
+
+def test_top_quality_fraction_exact_selection(ray_session):
+    """keep_n = ceil(frac*n) by (quality desc, doc_id asc); ties at the
+    threshold admitted smallest-doc_id-first; frac=1 keeps everything."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.text_ops import (
+        quality_classifier,
+        top_quality_fraction,
+    )
+
+    texts = (
+        ["the cat sat on the mat and it was a good day"] * 3
+        + ["1 2 3 4 5 6 7"] * 2
+        + ["mixed words with some 42 numbers", "plain words only here"]
+    )
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    scored = (
+        quality_classifier(rd.from_pandas(docs))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = scored.sort_values(
+        ["quality", "doc_id"], ascending=[False, True], kind="mergesort"
+    )
+    for frac in (0.3, 0.5, 1.0):
+        got = top_quality_fraction(rd.from_pandas(docs).repartition(3), frac)
+        keep_n = int(np.ceil(frac * len(scored)))
+        expect = want.head(keep_n)
+        assert got["doc_id"].tolist() == expect["doc_id"].tolist(), frac
+        assert np.allclose(got["quality"], expect["quality"]), frac
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="frac"):
+        top_quality_fraction(rd.from_pandas(docs), 0.0)
