@@ -4497,6 +4497,27 @@ def _q_term_suggest(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_term_suggest_popular(sf_dir: str):
+    """ES term suggester suggest_mode=popular: only candidates whose
+    global df strictly exceeds the probe's own df survive (the ES
+    higher-frequency rule); probes = the same derived typos PLUS one
+    undamaged real term (whose suggestions must all beat its own df)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_ranked_terms
+    from kafka_es_ray.query.engine import IndexSearcher, run_term_suggest
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_sgpidx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        top = derive_ranked_terms(IndexSearcher(idx), 4)
+        probes = [t[:-1] for t in top if len(t) >= 2] + [top[3]]
+        return run_term_suggest(probes, idx, k=5, suggest_mode="popular")
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_phrase_suggest(sf_dir: str):
     """ES phrase suggester (whole-input did-you-mean): input = the top-2
     ranked terms each with the last char dropped; per-slot direct
@@ -7396,6 +7417,52 @@ def _q_terms_include_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_terms_partition_agg(sf_dir: str):
+    """ES terms-agg partitioning (include: {partition, num_partitions}):
+    page 1 of 3 over the source value space — values kept iff
+    md5_number_lower(value) % 3 == 1 (the engine-wide sampling hash
+    contract), counts unchanged."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_terms
+    from kafka_es_ray.sources.parquet import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("key", batch.column("doc_id").cast(pa.string()))
+
+    cfg = EngineConfig(num_partitions=8, keyword_cols=("source",))
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_tpaidx_")
+    try:
+        build_index(
+            ds.map_batches(add_key, batch_format="pyarrow"), idx, cfg,
+            key_col="key", text_col="text", lang_col="lang",
+            html_col=None, ts_col=None, id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_agg_terms(
+            queries, idx, field="source", cfg=cfg, partition=(1, 3),
+        )[["query_id", "value", "n_docs"]]
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+_TERMS_PARTITION_SQL = _MATCHES_CTE + """
+SELECT m.query_id, d.source AS value, count(*)::BIGINT AS n_docs
+FROM matches m JOIN documents d USING (doc_id)
+WHERE md5_number_lower(d.source) % 3 = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _q_histogram_offset_agg(sf_dir: str):
     """ES histogram with offset=37 and min_doc_count=0: bucket keys are
     floor((n_chars-37)/100)*100+37 (shard-side, partials stay mergeable)
@@ -8719,6 +8786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_hybrid_topk": _q_linear_hybrid_topk,
         "terms_include_agg": _q_terms_include_agg,
         "terms_numeric_agg": _q_terms_numeric_agg,
+        "terms_partition_agg": _q_terms_partition_agg,
         "histogram_offset_agg": _q_histogram_offset_agg,
         "significant_terms_bgfilter": _q_significant_terms_bgfilter,
         "weighted_terms_topk": _q_weighted_terms_topk,
@@ -8841,6 +8909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_count": _q_fuzzy_count,
         "exists_count": _q_exists_count,
         "term_suggest": _q_term_suggest,
+        "term_suggest_popular": _q_term_suggest_popular,
         "phrase_suggest": _q_phrase_suggest,
         "completion_suggest": _q_completion_suggest,
         "phrase_prefix_count": _q_phrase_prefix_count,
@@ -8999,6 +9068,7 @@ def oracle_sql() -> dict[str, str]:
         "linear_hybrid_topk": _LINEAR_SQL,
         "terms_include_agg": _TERMS_INCLUDE_SQL,
         "terms_numeric_agg": _TERMS_NUMERIC_SQL,
+        "terms_partition_agg": _TERMS_PARTITION_SQL,
         "histogram_offset_agg": _HISTOGRAM_OFFSET_SQL,
         "significant_terms_bgfilter": _SIGTERMS_BGF_SQL,
         "weighted_terms_topk": _WEIGHTED_TERMS_SQL,
@@ -9349,6 +9419,44 @@ def oracle_sql() -> dict[str, str]:
               SELECT p.query_id, df.term AS suggestion, df.df AS freq
               FROM probes p
               JOIN df ON levenshtein(df.term, p.p) <= 1 AND df.term <> p.p
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY freq DESC, suggestion ASC) AS rank
+              FROM cand
+            )
+            SELECT query_id, rank::BIGINT AS rank, suggestion, freq
+            FROM ranked WHERE rank <= 5
+        """,
+        "term_suggest_popular": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            tf AS (SELECT DISTINCT doc_id, term FROM toks),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            ranked_terms AS (
+              SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df
+            ),
+            probes AS (
+              SELECT (row_number() OVER (ORDER BY r) - 1)::BIGINT AS query_id,
+                     substr(term, 1, len(term) - 1) AS p
+              FROM ranked_terms WHERE r <= 4 AND len(term) >= 2
+              UNION ALL
+              SELECT (SELECT count(*) FROM ranked_terms
+                      WHERE r <= 4 AND len(term) >= 2)::BIGINT,
+                     term
+              FROM ranked_terms WHERE r = 4
+            ),
+            pdf AS (
+              SELECT p.query_id, coalesce(max(df.df), 0) AS pdf
+              FROM probes p LEFT JOIN df ON df.term = p.p GROUP BY 1
+            ),
+            cand AS (
+              SELECT p.query_id, df.term AS suggestion, df.df AS freq
+              FROM probes p
+              JOIN pdf ON pdf.query_id = p.query_id
+              JOIN df ON levenshtein(df.term, p.p) <= 1 AND df.term <> p.p
+              WHERE df.df > pdf.pdf
             ),
             ranked AS (
               SELECT *, row_number() OVER (

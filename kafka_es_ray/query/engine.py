@@ -6773,6 +6773,7 @@ def run_agg_terms(
     include: str | None = None,
     exclude: str | None = None,
     missing: str | None = None,
+    partition: tuple | None = None,
 ) -> pd.DataFrame:
     """Distributed ES terms aggregation over each query's match set:
     (query_id, value, n_docs) in ES bucket order (n_docs desc, value
@@ -6793,7 +6794,13 @@ def run_agg_terms(
     the already-bounded bucket frame; under ``shard_size`` the error
     bound is computed pre-filter — conservative.)  ``missing``: docs
     whose field is unmapped/empty (the engine's "" encoding) bucket
-    under this value instead of being dropped (the ES missing param)."""
+    under this value instead of being dropped (the ES missing param).
+
+    ``partition`` = (p, num_partitions): the ES terms-partitioning pager
+    (``include: {partition, num_partitions}``) — keep only values whose
+    hash lands in partition p, so huge value spaces page in bounded
+    slices.  Hash = the engine-wide md5 sampling contract
+    (seeded_hash_mod; DuckDB replay md5_number_lower(value) % n)."""
     import re as _re
 
     if order not in ("count", "key"):
@@ -6819,6 +6826,11 @@ def run_agg_terms(
                 g = g[[bool(inc_re.fullmatch(v)) for v in g["value"]]]
             if exc_re is not None:
                 g = g[[not exc_re.fullmatch(v) for v in g["value"]]]
+            if partition is not None and len(g):
+                p, np_ = int(partition[0]), int(partition[1])
+                g = g[
+                    seeded_hash_mod(g["value"].to_numpy(), np_) == p
+                ]
             if order == "key":
                 g = g.sort_values("value", kind="mergesort")
             else:
@@ -9305,14 +9317,25 @@ def run_term_suggest(
     k: int = 5,
     cfg: EngineConfig = DEFAULT,
     concurrency: int | None = None,
+    suggest_mode: str = "always",
 ) -> pd.DataFrame:
     """Distributed ES term suggester (did-you-mean): for each probe
     string, the top-k dictionary terms within edit distance 1 ranked by
     global document frequency (freq desc, term asc — ES
     suggest_mode=always sorted by frequency), the probe itself excluded.
     Returns (query_id, rank, suggestion, freq) with query_id = probe
-    position."""
-    return _run_suggest(probes, index_dir, "fuzzy", k, cfg, concurrency)
+    position.
+
+    ``suggest_mode`` (the ES option): "always" (default here);
+    "popular" keeps only candidates with global df strictly greater
+    than the probe's own df; "missing" suggests only when the probe is
+    absent from the index entirely (the ES default) — present probes
+    yield no rows."""
+    if suggest_mode not in ("always", "popular", "missing"):
+        raise ValueError(f"suggest_mode: {suggest_mode!r}")
+    return _run_suggest(
+        probes, index_dir, "fuzzy", k, cfg, concurrency, suggest_mode
+    )
 
 
 def run_completion_suggest(
@@ -9334,6 +9357,7 @@ def run_completion_suggest(
 def _run_suggest(
     probes, index_dir: str, mode: str, k: int,
     cfg: EngineConfig, concurrency: int | None,
+    suggest_mode: str = "always",
 ) -> pd.DataFrame:
     import ray
 
@@ -9376,7 +9400,14 @@ def _run_suggest(
     out = []
     for qi, g in summed.groupby("query_id", sort=True):
         if mode == "fuzzy":  # did-you-mean never suggests the probe itself
+            probe_freq = int(
+                g.loc[g["suggestion"] == probes[int(qi)], "freq"].sum()
+            )
             g = g[g["suggestion"] != probes[int(qi)]]
+            if suggest_mode == "missing" and probe_freq > 0:
+                continue  # ES: a known term gets no suggestions
+            if suggest_mode == "popular":
+                g = g[g["freq"] > probe_freq]
         if not len(g):
             continue
         sug = g["suggestion"].to_numpy(dtype=object)

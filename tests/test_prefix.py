@@ -555,3 +555,69 @@ def test_index_prefixes_equals_dictionary_scan(ray_session, tmp_path_factory):
     # even though a longer token exists) — the documented range contract
     q6 = pd.DataFrame({"query_id": [0], "text": ["bandan"], "field": "px"})
     assert run_counts(q6, d, cfg)["n_matching"].tolist() == [0]
+
+
+def test_term_suggest_modes(built):
+    """suggest_mode: popular keeps only candidates beating the probe's
+    own global df; missing yields nothing for a known term and behaves
+    like always for an absent probe."""
+    from kafka_es_ray.query.engine import run_term_suggest
+
+    idx, df = built
+    vocab: dict[str, int] = {}
+    for t in df["text"]:
+        for w in set(t.split()):
+            vocab[w] = vocab.get(w, 0) + 1
+    # "cat" is a real (frequent) term with distance-1 neighbors
+    probe = "cat"
+    always = run_term_suggest([probe], idx, k=10, cfg=CFG)
+    popular = run_term_suggest(
+        [probe], idx, k=10, cfg=CFG, suggest_mode="popular"
+    )
+    pf = vocab[probe]
+    want_pop = sorted(
+        [(w, c) for w, c in vocab.items()
+         if w != probe and _lev(w, probe) <= 1 and c > pf],
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert list(zip(popular["suggestion"], popular["freq"])) == want_pop
+    assert set(popular["suggestion"]) <= set(always["suggestion"])
+    # missing: known probe -> no rows; absent probe -> same as always
+    missing_known = run_term_suggest(
+        [probe], idx, k=10, cfg=CFG, suggest_mode="missing"
+    )
+    assert len(missing_known) == 0
+    absent = "aple"
+    assert vocab.get(absent) is None
+    m_abs = run_term_suggest([absent], idx, k=10, cfg=CFG, suggest_mode="missing")
+    a_abs = run_term_suggest([absent], idx, k=10, cfg=CFG)
+    assert m_abs.equals(a_abs) and len(m_abs) > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="suggest_mode"):
+        run_term_suggest([probe], idx, cfg=CFG, suggest_mode="nope")
+
+
+def test_terms_partition_pages_cover_disjointly(built):
+    """terms partitioning: the 3 pages are disjoint, their union is the
+    full bucket list, and membership follows the md5 contract."""
+    import hashlib
+
+    from kafka_es_ray.query.engine import run_agg_terms
+
+    idx, _ = built
+    q = pd.DataFrame({"query_id": [0], "text": ["banana band bandit cat"]})
+    full = run_agg_terms(q, idx, field="lang", cfg=CFG)
+    pages = [
+        run_agg_terms(q, idx, field="lang", cfg=CFG, partition=(p, 3))
+        for p in range(3)
+    ]
+    seen = pd.concat(pages, ignore_index=True)
+    assert sorted(seen["value"]) == sorted(full["value"])
+    assert seen["n_docs"].sum() == full["n_docs"].sum()
+    for p, pg in enumerate(pages):
+        for v in pg["value"]:
+            h = int.from_bytes(
+                hashlib.md5(str(v).encode()).digest()[8:16], "little"
+            )
+            assert h % 3 == p, (v, p)
