@@ -7750,6 +7750,33 @@ def _q_lm_quality_buckets(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_embedding_pca(sf_dir: str):
+    """Distributed PCA over the embeddings table: one moment-partial
+    pass + driver eigh (d x d, never rows); returns the top-4
+    components as (component, dim, loading) rows plus each component's
+    explained variance — rows-only (eigendecomposition is not
+    SQL-expressible; correctness pinned by the numpy-parity pytest)."""
+    import pandas as pd
+
+    from kafka_es_ray.pipelines.ann import embedding_pca
+    from kafka_es_ray.sources.parquet import read_table
+
+    comps, ev, _ = embedding_pca(
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]), 4
+    )
+    k, d = comps.shape
+    return pd.DataFrame(
+        {
+            "component": np.repeat(np.arange(k, dtype=np.int64), d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), k),
+            "loading": np.floor(comps.ravel() * 1e6 + 0.5) / 1e6,
+            "explained_variance": np.repeat(
+                np.floor(ev * 1e6 + 0.5) / 1e6, d
+            ),
+        }
+    )
+
+
 def _q_top_quality_fraction(sf_dir: str):
     """Corpus curation selection: keep the best 30% by the frozen-weight
     quality classifier — exact distributed threshold from one bounded
@@ -8958,6 +8985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _q_quality_classifier,
         "lm_quality_buckets": _q_lm_quality_buckets,
         "top_quality_fraction": _q_top_quality_fraction,
+        "embedding_pca": _q_embedding_pca,
         "pack_sequences": _q_pack_sequences,
         "mix_epochs": _q_mix_epochs,
         "doc_token_counts": _q_doc_token_counts,

@@ -330,3 +330,90 @@ def embedding_kmeans(
         )
 
     return emb_ds.map_batches(assign, batch_format="pandas", batch_size=4096)
+
+
+def embedding_pca(emb_ds, n_components: int = 8, col: str = "embedding"):
+    """Distributed PCA over an embedding column (the
+    whitening / dimensionality-reduction preprocessing of embedding
+    dedup and clustering pipelines): ONE streaming pass emits per-batch
+    moment partials (n, Σx, XᵀX — each d x d with d = embedding dim,
+    tiny), the driver assembles the covariance (population, /n) and
+    eigendecomposes it (d x d — never the data).  Component signs are
+    fixed deterministically (largest-|loading| element made positive),
+    eigenvalues descend.  float64 throughout.
+
+    Returns (components: (k, d) ndarray, explained_variance: (k,),
+    mean: (d,)).  Shuffle volume = O(batches x d²), never rows."""
+    import ray
+
+    k = int(n_components)
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in b[col]]
+        ) if len(b) else np.zeros((0, 1))
+        if not m.size:
+            return pd.DataFrame({"payload": []})
+        import pickle
+
+        return pd.DataFrame(
+            {
+                "payload": [
+                    pickle.dumps(
+                        (m.shape[0], m.sum(axis=0), m.T @ m),
+                        protocol=4,
+                    )
+                ]
+            }
+        )
+
+    import pickle
+
+    parts = emb_ds.map_batches(
+        moments, batch_format="pandas", batch_size=4096
+    ).to_pandas()
+    if not len(parts):
+        raise ValueError("embedding_pca: empty input")
+    n_tot, s_tot, xtx = 0, None, None
+    for raw in parts["payload"]:
+        n_, s_, x_ = pickle.loads(raw)
+        n_tot += n_
+        s_tot = s_ if s_tot is None else s_tot + s_
+        xtx = x_ if xtx is None else xtx + x_
+    mean = s_tot / n_tot
+    cov = xtx / n_tot - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    # deterministic sign: the largest-|loading| element of each
+    # component is positive (ties: first such index wins via argmax)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, evals[order], mean
+
+
+def embedding_pca_transform(emb_ds, components: np.ndarray, mean: np.ndarray,
+                            col: str = "embedding", id_col: str = "vec_id"):
+    """Project every embedding onto the given PCA components (broadcast
+    once via ray.put, one streaming matmul pass).  Returns
+    Dataset(id, proj list<float64>)."""
+    import ray
+
+    ref = ray.put((np.asarray(components, dtype=np.float64),
+                   np.asarray(mean, dtype=np.float64)))
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        comps, mu = ray.get(ref)
+        if not len(b):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "proj": pd.Series([], dtype=object)})
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in b[col]])
+        p = (m - mu) @ comps.T
+        return pd.DataFrame(
+            {id_col: b[id_col].astype(np.int64).to_numpy(),
+             "proj": list(p)}
+        )
+
+    return emb_ds.map_batches(project, batch_format="pandas", batch_size=4096)

@@ -972,3 +972,49 @@ def test_top_quality_fraction_exact_selection(ray_session):
 
     with _pytest.raises(ValueError, match="frac"):
         top_quality_fraction(rd.from_pandas(docs), 0.0)
+
+
+def test_embedding_pca_matches_numpy(ray_session):
+    """embedding_pca == direct numpy PCA of the full matrix (population
+    covariance eigh), signs fixed, variance descending; transform
+    projects exactly; partition-invariant within float tolerance."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.ann import embedding_pca, embedding_pca_transform
+
+    rng = np.random.default_rng(5)
+    d, n = 16, 400
+    base = rng.normal(size=(n, d)) @ np.diag(np.linspace(3, 0.1, d))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": [r.astype(np.float32).tolist() for r in base]}
+    )
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    mu = m.mean(axis=0)
+    cov = (m - mu).T @ (m - mu) / n
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    want_c = evecs[:, order].T
+    for i in range(4):
+        j = int(np.argmax(np.abs(want_c[i])))
+        if want_c[i, j] < 0:
+            want_c[i] = -want_c[i]
+    comps, ev, mean = embedding_pca(rd.from_pandas(df).repartition(5), 4)
+    assert comps.shape == (4, d) and ev.shape == (4,)
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(ev, evals[order], atol=1e-9)
+    assert np.allclose(comps, want_c, atol=1e-7)
+    assert (np.diff(ev) <= 1e-12).all()  # descending
+    # partition invariance (within float tolerance)
+    c2, ev2, mean2 = embedding_pca(rd.from_pandas(df).repartition(11), 4)
+    assert np.allclose(c2, comps, atol=1e-7) and np.allclose(ev2, ev, atol=1e-9)
+    # transform: exact projection
+    proj = (
+        embedding_pca_transform(rd.from_pandas(df), comps, mean)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    want_p = (m - mean) @ comps.T
+    got_p = np.stack([np.asarray(v) for v in proj["proj"]])
+    assert np.allclose(got_p, want_p, atol=1e-9)
+    # projected variance per component ~ eigenvalue
+    assert np.allclose(got_p.var(axis=0), ev, rtol=1e-6)
