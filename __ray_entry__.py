@@ -453,6 +453,27 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, score
 FROM topk WHERE rank <= 10
 """
 
+# ES function_score gauss decay (origin=200, scale=150, offset=25,
+# decay=0.5, boost_mode=multiply): boosted = round(round6(bm25) *
+# exp(ln(0.5) * dist^2 / scale^2), 6), dist = max(0, |n_chars-200|-25)
+_DECAY_SQL = _BM25_SQL.split("topk AS (")[0] + """topk AS (
+  SELECT s.query_id, s.doc_id,
+         round(round(s.raw_score, 6)
+               * exp(ln(0.5) * pow(greatest(abs(d.n_chars - 200.0) - 25.0, 0.0), 2)
+                     / (150.0 * 150.0)), 6) AS score,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY round(round(s.raw_score, 6)
+               * exp(ln(0.5) * pow(greatest(abs(d.n_chars - 200.0) - 25.0, 0.0), 2)
+                     / (150.0 * 150.0)), 6) DESC,
+                    s.doc_id ASC
+         ) AS rank
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM topk WHERE rank <= 10
+"""
+
 # ES rank_feature (saturation, pivot=250, boost=1.5): additive feature
 # boost over the round6'd BM25 base
 _RANK_FEATURE_SQL = _BM25_SQL.split("topk AS (")[0] + """topk AS (
@@ -4902,6 +4923,46 @@ def _q_function_score_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_decay_gauss_topk(sf_dir: str):
+    """ES function_score gauss decay (origin=200, scale=150, offset=25,
+    decay=0.5, boost_mode=multiply): BM25 top-10 re-scored by the
+    Gaussian proximity of n_chars to the origin — per-doc multiplier
+    applied inside each shard's scoring pass, pruning disabled (a BM25
+    theta can't bound a decayed score)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_queries
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_decayidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("n_chars",))
+        build_index(
+            documents_dataset(sf_dir, extra_cols=("n_chars",)), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"].copy()
+        queries["decay_field"] = "n_chars"
+        queries["decay_function"] = "gauss"
+        queries["decay_origin"] = 200.0
+        queries["decay_scale"] = 150.0
+        queries["decay_offset"] = 25.0
+        queries["decay_decay"] = 0.5
+        out = run_queries(queries, idx, cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_rank_feature_topk(sf_dir: str):
     """ES rank_feature query (bool should context, saturation function):
     BM25 top-10 with score = round6(bm25 + 1.5 * n_chars/(n_chars+250))
@@ -8913,6 +8974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "variable_width_histogram_agg": _q_variable_width_histogram,
         "match_subagg": _q_match_subagg,
         "function_score_topk": _q_function_score_topk,
+        "decay_gauss_topk": _q_decay_gauss_topk,
         "more_like_this": _q_more_like_this,
         "more_like_this_unlike": _q_more_like_this_unlike,
         "termvectors": _q_termvectors,
@@ -9219,6 +9281,7 @@ def oracle_sql() -> dict[str, str]:
         "match_percentiles": _PERCENTILES_SQL,
         "match_subagg": _SUBAGG_SQL,
         "function_score_topk": _FVF_SQL,
+        "decay_gauss_topk": _DECAY_SQL,
         "more_like_this": _MLT_SQL,
         "more_like_this_unlike": _MLT_UNLIKE_SQL,
         "rank_eval": _RANK_EVAL_SQL,

@@ -3385,6 +3385,32 @@ def _apply_distance_feature(
     return np.floor((scores + float(boost) * contrib) * 1e6 + 0.5) / 1e6
 
 
+def _apply_decay(
+    seg: Segment, ids: np.ndarray, scores: np.ndarray, dc: tuple
+) -> np.ndarray:
+    """ES function_score decay functions (gauss / exp / linear,
+    boost_mode=multiply): score := round6(bm25 * decay(v)) with
+    dist = max(0, |v - origin| - offset) and
+      gauss:  exp(ln(decay) * dist^2 / scale^2)
+      exp:    exp(ln(decay) * dist / scale)
+      linear: max(0, (s - dist) / s),  s = scale / (1 - decay)
+    so the multiplier is exactly ``decay`` at distance ``scale`` past the
+    offset (the ES contract).  Docs missing the field keep their score
+    (neutral multiplier 1.0)."""
+    fld, func, origin, scale, offset, decay = dc
+    v = seg.nums_for(fld, ids)
+    dist = np.maximum(np.abs(v - float(origin)) - float(offset), 0.0)
+    if func == "gauss":
+        mult = np.exp(np.log(float(decay)) * dist * dist / (float(scale) * float(scale)))
+    elif func == "exp":
+        mult = np.exp(np.log(float(decay)) * dist / float(scale))
+    else:  # linear
+        s = float(scale) / (1.0 - float(decay))
+        mult = np.maximum((s - dist) / s, 0.0)
+    mult = np.where(np.isnan(v), 1.0, mult)
+    return np.floor(scores * mult * 1e6 + 0.5) / 1e6
+
+
 class UnionDfStage(_SegmentCacheStage):
     """Cross-field UNION document frequency per query term — the global
     stats a combined_fields (BM25F) idf needs (per-field dfs overlap, so
@@ -3507,6 +3533,7 @@ class ShardScorerStage(_SegmentCacheStage):
                     or q.get("rescore")
                     or q.get("rank_feature") is not None
                     or q.get("distance_feature") is not None
+                    or q.get("decay") is not None
                     or q.get("script_score") is not None
                 ):
                     # function_score / rescore / rank_feature /
@@ -3760,6 +3787,8 @@ class ShardScorerStage(_SegmentCacheStage):
                         scores = _apply_distance_feature(
                             seg, ids, scores, q["distance_feature"]
                         )
+                    if q.get("decay") is not None and ids.size:
+                        scores = _apply_decay(seg, ids, scores, q["decay"])
                     if q.get("script_score") is not None and ids.size:
                         scores = _apply_script_score(
                             seg, ids, scores, q["script_score"]
@@ -6229,6 +6258,25 @@ def run_queries(
             )
         else:
             dfe = None
+        dcf = _row_str(row, "decay_field")
+        if dcf is not None:
+            # ES function_score decay columns: decay_field,
+            # decay_function (gauss default / exp / linear), decay_origin,
+            # decay_scale, decay_offset, decay_decay (the multiplier at
+            # distance=scale past the offset, default 0.5)
+            dfn = _row_str(row, "decay_function") or "gauss"
+            if dfn not in ("gauss", "exp", "linear"):
+                raise ValueError(
+                    f"unsupported decay_function {dfn!r} "
+                    "(supported: gauss, exp, linear)"
+                )
+            dc = (
+                dcf, dfn, _num_or("decay_origin", 0.0),
+                _num_or("decay_scale", 1.0), _num_or("decay_offset", 0.0),
+                _num_or("decay_decay", 0.5),
+            )
+        else:
+            dc = None
         scr = _row_str(row, "script")
         if scr is not None:
             _script_fields(scr)  # syntax/whitelist gate at plan time
@@ -6237,7 +6285,8 @@ def run_queries(
             _script_filter_sides(fscr)  # comparison-whitelist gate
         key = (
             tuple(terms), k, require_all, filter_lang, offset, mn_terms, fld,
-            fr, fkw, fg, fgp, ms, resc, sa, fvf, rf, dfe, scr, fscr, only_sids,
+            fr, fkw, fg, fgp, ms, resc, sa, fvf, rf, dfe, dc, scr, fscr,
+            only_sids,
         )
         entry = plan_by_key.get(key)
         if entry is None:
@@ -6265,6 +6314,7 @@ def run_queries(
                 "fvf": fvf,
                 "rank_feature": rf,
                 "distance_feature": dfe,
+                "decay": dc,
                 "script_score": scr,
                 "filter_script": fscr,
                 "only_sids": only_sids,

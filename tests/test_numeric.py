@@ -670,3 +670,57 @@ def test_terms_numeric_agg_matches_bruteforce(built):
     )
     assert got["value"].tolist() == vc["size"].astype(float).tolist()
     assert got["n_docs"].tolist() == vc["n"].tolist()
+
+
+def test_decay_functions_match_bruteforce(built):
+    """ES function_score decay (gauss / exp / linear, boost_mode=multiply):
+    run_queries with decay_* columns == re-ranking the full BM25 ranking by
+    round6(score * decay(dist)), dist = max(0, |v - origin| - offset);
+    NaN field values keep the base score (neutral 1.0)."""
+    idx, df = built
+    s = IndexSearcher(idx, CFG)
+    by_doc = df.set_index("doc_id")
+    for func in ("gauss", "exp", "linear"):
+        queries = pd.DataFrame(
+            {
+                "query_id": [0],
+                "text": ["alpha beta"],
+                "decay_field": ["size"],
+                "decay_function": [func],
+                "decay_origin": [1000.0],
+                "decay_scale": [800.0],
+                "decay_offset": [50.0],
+                "decay_decay": [0.5],
+            }
+        )
+        got = (
+            run_queries(queries, idx, CFG)
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        full = s.search("alpha beta", k=10_000)
+        v = by_doc.loc[full["doc_id"], "size"].to_numpy(np.float64)
+        dist = np.maximum(np.abs(v - 1000.0) - 50.0, 0.0)
+        if func == "gauss":
+            mult = np.exp(np.log(0.5) * dist * dist / (800.0 * 800.0))
+        elif func == "exp":
+            mult = np.exp(np.log(0.5) * dist / 800.0)
+        else:
+            sc = 800.0 / 0.5
+            mult = np.maximum((sc - dist) / sc, 0.0)
+        mult = np.where(np.isnan(v), 1.0, mult)
+        boosted = np.floor(full["score"].to_numpy() * mult * 1e6 + 0.5) / 1e6
+        order = np.lexsort((full["doc_id"].to_numpy(), -boosted))[:10]
+        assert got["doc_id"].tolist() == full["doc_id"].to_numpy()[order].tolist(), func
+        assert got["score"].tolist() == boosted[order].tolist(), func
+
+
+def test_decay_rejects_unknown_function(built):
+    idx, _ = built
+    q = pd.DataFrame(
+        {"query_id": [0], "text": ["alpha"], "decay_field": ["size"],
+         "decay_function": ["cosine"]}
+    )
+    with pytest.raises(ValueError, match="decay_function"):
+        run_queries(q, idx, CFG)
