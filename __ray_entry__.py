@@ -1742,6 +1742,32 @@ SELECT query_id, rank::BIGINT AS rank, term, fg_count, bg_count, score
 FROM ranked WHERE rank <= 10
 """
 
+# ES categorize_text aggregation: per match set, docs grouped by the
+# engine's frozen categorization key (first 5 digit-free analyzer tokens
+# joined by spaces — the deterministic analog of ES's drain-style log
+# grouping), top-10 by (doc_count desc, category asc)
+_CATEGORIZE_TEXT_SQL = _MATCHES_CTE + """
+, keys AS (
+  SELECT m.query_id,
+         array_to_string(list_slice(list_filter(
+           list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'),
+                       x -> x <> ''),
+           x -> NOT regexp_matches(x, '[0-9]')), 1, 5), ' ') AS category
+  FROM matches m JOIN documents d USING (doc_id)
+),
+counts AS (
+  SELECT query_id, category, count(*)::BIGINT AS doc_count
+  FROM keys WHERE category <> '' GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY doc_count DESC, category ASC) AS rank
+  FROM counts
+)
+SELECT query_id, rank::BIGINT AS rank, category, doc_count
+FROM ranked WHERE rank <= 10
+"""
+
 # ES significant_terms over the source keyword field: JLH vs the whole
 # corpus, min_doc_count=3, exact integer significance cut; ties value asc
 _SIGTERMS_KW_SQL = _MATCHES_CTE + """
@@ -5499,6 +5525,34 @@ def _q_match_cardinality(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_categorize_text(sf_dir: str):
+    """ES categorize_text aggregation per derived query's match set:
+    top-10 categories by the frozen digit-masked first-5-tokens key —
+    segment-parallel stored-_source re-analysis partials + one bucketed
+    (plan, category) exchange."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_categorize_text
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_catidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, store_text=True)
+        build_index(
+            documents_dataset(sf_dir), idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_categorize_text(queries, idx, size=10, max_tokens=5, cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_significant_text(sf_dir: str):
     """ES significant_text aggregation per derived query's match set:
     top-10 JLH-scored terms (fg vs whole-corpus bg), min_doc_count=3 —
@@ -8986,6 +9040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_terms_chi2": _q_significant_terms_chi2,
         "significant_terms_mi": _q_significant_terms_mi,
         "significant_text": _q_significant_text,
+        "categorize_text": _q_categorize_text,
         "collapse_topk": _q_collapse_topk,
         "collapse_inner_hits": _q_collapse_inner_hits,
         "top_hits": _q_top_hits,
@@ -9340,6 +9395,7 @@ def oracle_sql() -> dict[str, str]:
         "significant_terms_chi2": _SIGTERMS_CHI2_SQL,
         "significant_terms_mi": _SIGTERMS_MI_SQL,
         "significant_text": _SIGTEXT_SQL,
+        "categorize_text": _CATEGORIZE_TEXT_SQL,
         "collapse_topk": _COLLAPSE_SQL,
         "collapse_inner_hits": _COLLAPSE_INNER_SQL,
         "top_hits": _TOP_HITS_SQL,

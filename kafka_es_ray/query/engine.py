@@ -9319,6 +9319,164 @@ def run_significant_text(
     )
 
 
+class CategorizeTextStage(_SegmentCacheStage):
+    """Segment-parallel ES categorize_text collection: re-analyze the
+    stored ``_source`` of each plan's matching docs and emit per-(plan,
+    category) doc-count partials.  The engine's frozen categorization
+    contract (a deterministic analog of ES's drain-style log grouping,
+    reference API /_search categorize_text agg): a doc's category key is
+    its first ``max_tokens`` analyzer tokens that contain no digit,
+    joined by single spaces — digit-bearing tokens (ids, timestamps,
+    counters) are the variable parts ES's categorizer masks out.  Docs
+    with no digit-free tokens are uncategorizable and skipped.  Shuffle
+    volume is plans x segments x distinct categories — never doc rows."""
+
+    def _init_payload(self, payload) -> None:
+        self.plan, self.tomb_map, self.max_tokens = payload
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from itertools import chain
+
+        out = []
+        for pid in batch["part_id"].astype(int):
+            seg = self._segment(pid)
+            for q in self.plan:
+                ids = _segment_match_ids_for_plan(seg, q)
+                if ids.size == 0:
+                    continue
+                texts = seg.texts_for(ids)
+                langs = seg.langs_for(ids)
+                pieces = []
+                for lang in pd.unique(langs):
+                    toks = get_analyzer(lang).tokenize_series(
+                        pd.Series(texts[langs == lang])
+                    )
+                    n_per = toks.map(len).to_numpy(dtype=np.int64)
+                    total = int(n_per.sum())
+                    if total == 0:
+                        continue
+                    flat = pd.Series(
+                        np.fromiter(
+                            chain.from_iterable(toks), dtype=object, count=total
+                        )
+                    )
+                    d = np.repeat(np.arange(n_per.size, dtype=np.int64), n_per)
+                    keep = ~flat.str.contains(r"[0-9]", regex=True)
+                    kept = pd.DataFrame({"d": d[keep.to_numpy()], "t": flat[keep]})
+                    if not len(kept):
+                        continue
+                    kept = kept[kept.groupby("d").cumcount() < self.max_tokens]
+                    cats = kept.groupby("d", sort=False)["t"].agg(" ".join)
+                    pieces.append(cats.value_counts())
+                if pieces:
+                    cnt = (
+                        pd.concat(pieces).groupby(level=0).sum()
+                        if len(pieces) > 1
+                        else pieces[0]
+                    )
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "plan_id": np.int64(q["plan_id"]),
+                                "category": cnt.index.to_numpy(dtype=object),
+                                "n_partial": cnt.to_numpy(dtype=np.int64),
+                            }
+                        )
+                    )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "plan_id": pd.Series([], dtype=np.int64),
+                    "category": pd.Series([], dtype=object),
+                    "n_partial": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def run_categorize_text(
+    queries_ds,
+    index_dir: str,
+    *,
+    size: int = 10,
+    max_tokens: int = 5,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES categorize_text aggregation: group each query's
+    matching docs into text categories (CategorizeTextStage's frozen
+    digit-masked first-``max_tokens``-tokens key) and return the top
+    ``size`` categories per query by (doc_count desc, category asc).
+    Two stages: segment-parallel re-analysis partials, then one bucketed
+    (plan, category) exchange — the driver only ever sees category
+    counts.  Requires cfg.store_text=True at build time.
+    Returns (query_id, rank, category, doc_count)."""
+    import ray
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "category": pd.Series([], dtype=object),
+            "doc_count": pd.Series([], dtype=np.int64),
+        }
+    )
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    plan = _match_set_plans(queries)
+    if not plan:
+        return empty
+    plan_ref = ray.put((plan, manifest.get("tombstones", {}), int(max_tokens)))
+    partials = _shards_ds(parts, concurrency).map_batches(
+        CategorizeTextStage,
+        fn_constructor_args=(index_dir, plan_ref, cfg),
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+
+    def sum_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(["plan_id", "category"], as_index=False).agg(
+            n=("n_partial", "sum")
+        )
+        return g.astype({"plan_id": np.int64, "n": np.int64})
+
+    summed = bucketed_group_agg(
+        partials, ["plan_id", "category"], sum_bucket
+    ).to_pandas()
+    if not len(summed):
+        return empty
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    out = []
+    for pid_, g in summed.groupby("plan_id", sort=True):
+        cats = g["category"].to_numpy(dtype=object)
+        n = g["n"].to_numpy(np.int64)
+        order = np.lexsort((cats, -n))[:size]
+        top = pd.DataFrame(
+            {
+                "rank": np.arange(1, 1 + order.size, dtype=np.int64),
+                "category": cats[order],
+                "doc_count": n[order],
+            }
+        )
+        for qid in fanout.get(int(pid_), []):
+            out.append(top.assign(query_id=np.int64(qid)))
+    if not out:
+        return empty
+    return (
+        pd.concat(out, ignore_index=True)[
+            ["query_id", "rank", "category", "doc_count"]
+        ]
+        .sort_values(["query_id", "rank"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "rank": np.int64, "doc_count": np.int64})
+    )
+
+
 class TermSuggestStage(_SegmentCacheStage):
     """Segment-parallel ES term-suggester partials: per probe, the
     segment's edit-distance<=1 dictionary candidates with their segment

@@ -1157,3 +1157,63 @@ def test_histogram_offset_and_gap_fill(api_index, ray_session, tmp_path_factory)
     )
     assert wide["bucket"].tolist() == [-8.0 + 10 * i for i in range(7)]
     assert wide["n_docs"].sum() == 4
+
+
+def test_categorize_text_matches_bruteforce(api_index, ray_session):
+    """run_categorize_text == a from-scratch computation of the frozen
+    categorization contract on the raw corpus: category = first 5
+    digit-free analyzer tokens joined by spaces, counted over the LIVE
+    match set, top-size by (doc_count desc, category asc)."""
+    from kafka_es_ray.functions.tokenizer import get_analyzer
+    from kafka_es_ray.query.engine import run_categorize_text
+
+    d, docs = api_index
+    queries = pd.DataFrame({"query_id": [0, 1], "text": ["alpha beta", "zeta"]})
+    got = run_categorize_text(queries, d, size=5, max_tokens=5, cfg=CFG, concurrency=2)
+    toks = [get_analyzer(la).tokenize(t) for t, la in zip(docs["text"], docs["lang"])]
+    deleted = {f"https://a.x/{i:04d}" for i in range(0, 20)}
+    for qid, qtext in [(0, "alpha beta"), (1, "zeta")]:
+        qterms = set(qtext.split())
+        counts = {}
+        for i in range(len(docs)):
+            if docs["url"][i] in deleted or not (set(toks[i]) & qterms):
+                continue
+            key = " ".join([t for t in toks[i] if not any(c.isdigit() for c in t)][:5])
+            if key:
+                counts[key] = counts.get(key, 0) + 1
+        want = sorted(counts.items(), key=lambda r: (-r[1], r[0]))[:5]
+        g = got[got["query_id"] == qid]
+        assert list(zip(g["category"], g["doc_count"])) == want, qid
+        assert g["rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_categorize_text_masks_digit_tokens(ray_session, tmp_path):
+    """Digit-bearing tokens (ids, counters) never enter a category key,
+    so log lines differing only in their variable parts group together;
+    docs with no digit-free tokens are uncategorizable and skipped."""
+    import ray.data as rd
+
+    from kafka_es_ray.query.engine import run_categorize_text
+
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(5)],
+            "text": [
+                "error code 500 connecting upstream",
+                "error code 503 connecting upstream",
+                "error code 404 connecting upstream",
+                "warn slow request 123ms handler",
+                "12345 6789",
+            ],
+            "lang": ["en"] * 5,
+        }
+    )
+    d = str(tmp_path / "catidx")
+    cfg = EngineConfig(num_partitions=2, store_text=True)
+    build_index(rd.from_pandas(docs), d, cfg, html_col=None, ts_col=None)
+    q = pd.DataFrame({"query_id": [0], "text": ["error warn 12345"]})
+    got = run_categorize_text(q, d, size=10, cfg=cfg, concurrency=2)
+    assert list(zip(got["category"], got["doc_count"])) == [
+        ("error code connecting upstream", 3),
+        ("warn slow request handler", 1),
+    ]
