@@ -8199,6 +8199,25 @@ def _q_ann_sq8_topk(sf_dir: str):
     return sq8_cosine_topk(emb, qdf["vec_id"].to_numpy(), qm, k=10)
 
 
+def _q_ann_sq8_rescore_topk(sf_dir: str):
+    """SQ8 ANN + ES rescore_vector (oversample=3): int8-quantized
+    candidate selection, full-precision re-ranking — the quantized-index
+    rescore pattern.  Sims are EXACT cosine, so the oracle is the exact
+    top-k SQL (the pytest asserts the oversample covers the exact top-k
+    per batch at these scales)."""
+    import pyarrow.parquet as pq
+
+    from kafka_es_ray.pipelines.ann import sq8_rescore_topk
+    from kafka_es_ray.sources.parquet import read_table, table_path
+
+    qt = pq.read_table(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qdf = qt.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 3].sort_values("vec_id")
+    qm = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return sq8_rescore_topk(emb, qdf["vec_id"].to_numpy(), qm, k=10, oversample=3.0)
+
+
 def _q_ann_ivf_topk(sf_dir: str):
     """IVF scale path (spherical-kmeans coarse quantizer, nprobe lists):
     approximate by design -> rows-only; recall asserted vs brute force in
@@ -9122,6 +9141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_sq8_topk": _q_ann_sq8_topk,
+        "ann_sq8_rescore_topk": _q_ann_sq8_rescore_topk,
         "doc_fingerprint": _q_fingerprint,
         "lang_stats": _q_lang_stats,
         "doc_quality": _q_quality,
@@ -10405,6 +10425,26 @@ def oracle_sql() -> dict[str, str]:
                      AS total_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
+        """,
+        # sq8_rescore re-ranks its quantized candidates with exact
+        # cosine, so its oracle IS the exact top-k (coverage pytest'd)
+        "ann_sq8_rescore_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_vec_id, embedding AS qe
+              FROM embeddings WHERE vec_id < 3
+            ),
+            sims AS (
+              SELECT q.query_vec_id, e.vec_id,
+                     round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim
+              FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+              SELECT query_vec_id, vec_id, sim, row_number() OVER (
+                PARTITION BY query_vec_id ORDER BY sim DESC, vec_id ASC
+              ) AS rank FROM sims
+            )
+            SELECT query_vec_id, rank::BIGINT AS rank, vec_id, sim
+            FROM ranked WHERE rank <= 10
         """,
         "ann_cosine_topk": """
             WITH q AS (

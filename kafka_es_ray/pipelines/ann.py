@@ -175,6 +175,81 @@ def sq8_cosine_topk(emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray, k: 
     return _merge_topk(partials, k)
 
 
+class _SQ8RescoreStage:
+    """ES kNN ``rescore_vector`` (oversample) over SQ8 storage: candidate
+    selection uses the int8-quantized sims (what the index stores in
+    RAM), then each batch's quantized top-(k*oversample) per query is
+    re-scored with the full-precision vectors — the ES quantized-index
+    rescore pass (raw vectors stay on disk and are read only for the
+    oversampled candidates).  The final merge therefore ranks by EXACT
+    cosine: the result equals exact brute force whenever every batch's
+    quantized top-(k*oversample) covers its exact top-k (8-bit error is
+    ~1e-2, so oversample=3 covers at any tested scale — pytest-asserted,
+    and the driver oracle compares against the exact-SQL top-k)."""
+
+    def __init__(self, queries_ref, k: int, oversample: float):
+        import ray
+
+        q = ray.get(queries_ref)
+        self.qids = q[0]
+        self.qm = _normalize(q[1])
+        self.qm32 = self.qm.astype(np.float32)
+        self.k = k
+        self.m = max(int(k), int(np.ceil(k * float(oversample))))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        m = _normalize(np.stack(batch["embedding"].to_numpy()))
+        scale = np.maximum(np.abs(m).max(axis=1, keepdims=True), 1e-12) / 127.0
+        codes = np.clip(np.rint(m / scale), -127, 127).astype(np.int8)
+        deq = codes.astype(np.float32) * scale.astype(np.float32)
+        qsims = (self.qm32 @ deq.T).astype(np.float64)
+        mm = min(self.m, ids.size)
+        kth = -np.partition(-qsims, mm - 1, axis=1)[:, mm - 1]
+        sels = [
+            np.flatnonzero(qsims[qi] >= kth[qi] - 1e-6)
+            for qi in range(self.qids.size)
+        ]
+        # one full-precision GEMM over the union of candidate columns —
+        # the same accumulation shape as the exact CosineTopKStage
+        cols = np.unique(np.concatenate(sels)) if sels else np.array([], np.int64)
+        exact = self.qm @ m[cols].T  # (n_queries, |cols|)
+        pos = {int(c): i for i, c in enumerate(cols)}
+        rows = []
+        for qi, sel in enumerate(sels):
+            j = np.array([pos[int(c)] for c in sel], dtype=np.int64)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "query_vec_id": np.int64(self.qids[qi]),
+                        "vec_id": ids[sel],
+                        "sim": exact[qi, j],
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+
+def sq8_rescore_topk(
+    emb_ds, query_ids: np.ndarray, query_matrix: np.ndarray,
+    k: int = 10, oversample: float = 3.0,
+):
+    """SQ8 ANN with the ES rescore_vector oversample pass: quantized
+    candidate selection, full-precision re-ranking (see _SQ8RescoreStage).
+    Returns (query_vec_id, rank, vec_id, sim) with EXACT cosine sims."""
+    import ray
+
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), np.asarray(query_matrix)))
+    partials = emb_ds.map_batches(
+        _SQ8RescoreStage,
+        fn_constructor_args=(qref, k, oversample),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=stage_pool(),
+    )
+    return _merge_topk(partials, k)
+
+
 def _kmeans_spherical(train: np.ndarray, nlist: int, iters: int = 10, seed: int = 29) -> np.ndarray:
     """Deterministic spherical k-means (numpy Lloyd, fixed iterations):
     the IVF coarse quantizer.  Input rows must be L2-normalized."""

@@ -1018,3 +1018,31 @@ def test_embedding_pca_matches_numpy(ray_session):
     assert np.allclose(got_p, want_p, atol=1e-9)
     # projected variance per component ~ eigenvalue
     assert np.allclose(got_p.var(axis=0), ev, rtol=1e-6)
+
+
+def test_sq8_rescore_matches_exact(ray_session):
+    """SQ8 + full-precision rescore (ES rescore_vector oversample=3):
+    quantized candidate selection, exact re-ranking — result identical to
+    the exact brute force (ids, ranks AND sims) on data where raw SQ8
+    alone already perturbs sims."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.ann import cosine_topk, sq8_rescore_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((300, 32))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(300, dtype=np.int64), "embedding": list(vecs.astype(np.float32))}
+    )
+    qids = np.array([1, 100, 200])
+    qm = vecs[qids]
+    exact = (
+        to_pandas(cosine_topk(rd.from_pandas(df), qids, qm, k=10))
+        .sort_values(["query_vec_id", "rank"]).reset_index(drop=True)
+    )
+    resc = (
+        to_pandas(sq8_rescore_topk(rd.from_pandas(df), qids, qm, k=10, oversample=3.0))
+        .sort_values(["query_vec_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(exact, resc)
