@@ -8235,6 +8235,19 @@ def _q_ann_ivf_topk(sf_dir: str):
     return ivf_cosine_topk(emb, qdf["vec_id"].to_numpy(), qm, k=10, nlist=32, nprobe=8)
 
 
+def _q_cap_per_source(sf_dir: str):
+    """Per-source quota capping (the C4/RefinedWeb host-cap curation op):
+    keep the best 10 docs per source by (n_chars desc, doc_id asc) —
+    per-batch combiner cut + one bucketed group exchange."""
+    from kafka_es_ray.pipelines.sampling import cap_per_group
+    from kafka_es_ray.sources.parquet import read_table
+
+    return cap_per_group(
+        read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"]),
+        10,
+    )
+
+
 def _q_fingerprint(sf_dir: str):
     from kafka_es_ray.pipelines.text_ops import doc_fingerprint
     from kafka_es_ray.sources.parquet import read_table
@@ -9142,6 +9155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_sq8_topk": _q_ann_sq8_topk,
         "ann_sq8_rescore_topk": _q_ann_sq8_rescore_topk,
+        "cap_per_source": _q_cap_per_source,
         "doc_fingerprint": _q_fingerprint,
         "lang_stats": _q_lang_stats,
         "doc_quality": _q_quality,
@@ -10463,6 +10477,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_vec_id, rank::BIGINT AS rank, vec_id, sim
             FROM ranked WHERE rank <= 10
+        """,
+        "cap_per_source": """
+            WITH ranked AS (
+              SELECT doc_id, source, n_chars, row_number() OVER (
+                PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+              ) AS group_rank
+              FROM documents
+            )
+            SELECT doc_id, source, n_chars, group_rank::BIGINT AS group_rank
+            FROM ranked WHERE group_rank <= 10
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
         "distinct_users": "SELECT count(DISTINCT user_id)::BIGINT AS distinct_users FROM events",

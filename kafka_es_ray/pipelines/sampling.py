@@ -142,3 +142,47 @@ def mix_epochs(
         return pd.concat(parts, ignore_index=True)
 
     return docs_ds.map_batches(expand, batch_format="pandas", batch_size=8192)
+
+
+def cap_per_group(
+    docs_ds,
+    n: int,
+    *,
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+):
+    """Per-domain/source quota capping — the web-pipeline curation op
+    that stops a handful of giant hosts from dominating a training mix
+    (C4/RefinedWeb-style host caps): keep at most ``n`` docs per
+    ``group_col`` value, best-first by (``order_col`` desc, id asc) so
+    the kept set is deterministic at any parallelism.
+
+    Scale shape: a per-batch combiner cuts each batch to its local
+    top-n per group FIRST (a batch can never contribute more than n
+    rows per group to the exchange), then one bucketed group exchange
+    decides the global top-n — shuffle volume is O(n x groups-per-batch),
+    never the corpus, and high-cardinality domains hash across buckets
+    (no per-domain reducer).  Returns the kept rows plus ``group_rank``
+    (1 = best kept doc of its group)."""
+
+    def _cut(b: pd.DataFrame, with_rank: bool) -> pd.DataFrame:
+        b = b.sort_values(
+            [group_col, order_col, id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        keep = b.groupby(group_col, sort=False).cumcount() < n
+        b = b[keep]
+        if with_rank:
+            b = b.assign(
+                group_rank=(b.groupby(group_col, sort=False).cumcount() + 1).astype(np.int64)
+            )
+        return b
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    local = docs_ds.map_batches(
+        lambda b: _cut(b, False), batch_format="pandas", batch_size=8192
+    )
+    return bucketed_group_agg(local, [group_col], lambda b: _cut(b, True))

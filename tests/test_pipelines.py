@@ -1046,3 +1046,35 @@ def test_sq8_rescore_matches_exact(ray_session):
         .sort_values(["query_vec_id", "rank"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(exact, resc)
+
+
+def test_cap_per_group_matches_pandas_and_is_partition_invariant(ray_session):
+    """cap_per_group == a plain-pandas per-group top-n cut, and the kept
+    set is identical at 1 block and 8 blocks (the combiner + exchange
+    can't change the deterministic (order desc, id asc) cut)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.sampling import cap_per_group
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(400, dtype=np.int64),
+            "source": rng.choice([f"host{i}" for i in range(7)], size=400),
+            "n_chars": rng.integers(10, 500, size=400).astype(np.int64),
+        }
+    )
+    want = df.sort_values(
+        ["source", "n_chars", "doc_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    want = want[want.groupby("source").cumcount() < 5].copy()
+    want["group_rank"] = (want.groupby("source").cumcount() + 1).astype(np.int64)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    for nblocks in (1, 8):
+        got = (
+            to_pandas(cap_per_group(rd.from_pandas(df).repartition(nblocks), 5))
+            .sort_values("doc_id")
+            .reset_index(drop=True)[want.columns.tolist()]
+        )
+        pd.testing.assert_frame_equal(got, want), nblocks
