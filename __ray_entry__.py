@@ -8235,6 +8235,17 @@ def _q_ann_ivf_topk(sf_dir: str):
     return ivf_cosine_topk(emb, qdf["vec_id"].to_numpy(), qm, k=10, nlist=32, nprobe=8)
 
 
+def _q_global_shuffle(sf_dir: str):
+    """Deterministic global training shuffle: shuffle_pos = rank in
+    ascending (md5('shuf:' || doc_id) % 2^62, doc_id) order — prefix sum
+    over hash ranges, one bucketed exchange, driver sees only per-range
+    count scalars."""
+    from kafka_es_ray.pipelines.sampling import global_shuffle
+    from kafka_es_ray.sources.parquet import read_table
+
+    return global_shuffle(read_table(sf_dir, "documents", columns=["doc_id"]))
+
+
 def _q_cap_per_source(sf_dir: str):
     """Per-source quota capping (the C4/RefinedWeb host-cap curation op):
     keep the best 10 docs per source by (n_chars desc, doc_id asc) —
@@ -9156,6 +9167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_sq8_topk": _q_ann_sq8_topk,
         "ann_sq8_rescore_topk": _q_ann_sq8_rescore_topk,
         "cap_per_source": _q_cap_per_source,
+        "global_shuffle": _q_global_shuffle,
         "doc_fingerprint": _q_fingerprint,
         "lang_stats": _q_lang_stats,
         "doc_quality": _q_quality,
@@ -10477,6 +10489,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_vec_id, rank::BIGINT AS rank, vec_id, sim
             FROM ranked WHERE rank <= 10
+        """,
+        "global_shuffle": """
+            SELECT doc_id,
+                   (row_number() OVER (
+                      ORDER BY md5_number_lower('shuf:' || doc_id)
+                               % 4611686018427387904, doc_id
+                    ) - 1)::BIGINT AS shuffle_pos
+            FROM documents
         """,
         "cap_per_source": """
             WITH ranked AS (

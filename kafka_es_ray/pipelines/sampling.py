@@ -186,3 +186,79 @@ def cap_per_group(
         lambda b: _cut(b, False), batch_format="pandas", batch_size=8192
     )
     return bucketed_group_agg(local, [group_col], lambda b: _cut(b, True))
+
+
+def global_shuffle(docs_ds, *, id_col: str = "doc_id", seed: str = "shuf:"):
+    """Deterministic global shuffle for training-data serving: every doc
+    gets a stable pseudo-random global position — ``shuffle_pos`` = rank
+    in ascending (md5(seed || id) % 2^62, id) order, the engine-wide
+    sampling-hash contract (seeded_hash_mod), so the permutation is a
+    pure function of (corpus, seed): identical at any parallelism,
+    replayable after a resume, and a different ``seed`` gives an
+    independent epoch order (the pretraining reshuffle-per-epoch op).
+
+    Distributed ranking as a prefix sum over hash ranges: per-batch
+    hashing tags each row with range = h >> 48 (<= 16,384 uniform
+    ranges); ONE bucketed exchange on range computes per-range local
+    ranks; per-range counts (scalars) go to the driver for cumulative
+    offsets, broadcast back; position = offset[range] + local rank.  No
+    doc rows funnel through the driver.  Returns (id, shuffle_pos)."""
+    import ray
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    mod = 1 << 62
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        h = seeded_hash_mod(b[id_col].to_numpy(), mod, seed)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "h": h,
+                "range_id": h >> 48,
+            }
+        )
+
+    hashed = docs_ds.map_batches(add_hash, batch_format="pandas", batch_size=8192)
+
+    def range_combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values(["range_id", "h", id_col], kind="mergesort")
+        return pd.DataFrame(
+            {
+                id_col: bucket[id_col].to_numpy(np.int64),
+                "range_id": bucket["range_id"].to_numpy(np.int64),
+                "local_rank": bucket.groupby("range_id", sort=False)
+                .cumcount()
+                .to_numpy(np.int64),
+            }
+        )
+
+    local = bucketed_group_agg(hashed, ["range_id"], range_combine).materialize()
+    totals = local.map_batches(
+        lambda b: b.groupby("range_id", as_index=False).size(),
+        batch_format="pandas",
+    ).to_pandas()
+    if len(totals) == 0:
+        return pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype=np.int64),
+                "shuffle_pos": pd.Series([], dtype=np.int64),
+            }
+        )
+    totals = totals.groupby("range_id")["size"].sum().sort_index()
+    offsets = {
+        int(rid): int(off) for rid, off in zip(totals.index, totals.cumsum() - totals)
+    }
+    off_ref = ray.put(offsets)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        base = b["range_id"].map(offs).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "shuffle_pos": base + b["local_rank"].to_numpy(np.int64),
+            }
+        )
+
+    return local.map_batches(finalize, batch_format="pandas")

@@ -1078,3 +1078,34 @@ def test_cap_per_group_matches_pandas_and_is_partition_invariant(ray_session):
             .reset_index(drop=True)[want.columns.tolist()]
         )
         pd.testing.assert_frame_equal(got, want), nblocks
+
+
+def test_global_shuffle_is_a_permutation_and_partition_invariant(ray_session):
+    """global_shuffle == pandas rank over (md5(seed||id) % 2^62, id):
+    positions are exactly 0..n-1, match the serial oracle, are identical
+    at 1 and 8 blocks, and a different seed yields a different order."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.sampling import global_shuffle, seeded_hash_mod
+
+    ids = np.arange(1000, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    h = seeded_hash_mod(ids, 1 << 62, "shuf:")
+    order = np.lexsort((ids, h))
+    want = pd.DataFrame({"doc_id": ids[order], "shuffle_pos": np.arange(1000, dtype=np.int64)})
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    outs = []
+    for nblocks in (1, 8):
+        got = (
+            to_pandas(global_shuffle(rd.from_pandas(df).repartition(nblocks)))
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want), nblocks
+        outs.append(got)
+    other = to_pandas(global_shuffle(rd.from_pandas(df), seed="epoch1:"))
+    assert sorted(other["shuffle_pos"]) == list(range(1000))
+    assert not other.sort_values("doc_id")["shuffle_pos"].reset_index(drop=True).equals(
+        want["shuffle_pos"]
+    )
