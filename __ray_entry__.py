@@ -1222,6 +1222,18 @@ FROM (
 # ES max_bucket: per query the bucket key(s) attaining the max of the
 # per-month sum sub-agg (ES returns a keys ARRAY on ties → one row per
 # attaining bucket), compared raw, rounded on output
+# ES avg_bucket / sum_bucket sibling pipeline aggregations: one scalar
+# per query folding the per-month sum sub-agg values (gap_policy=skip)
+_AVG_BUCKET_SQL = _PIPE_BUCKETS_CTE + """
+SELECT query_id, round(avg(raw_value), 6) AS value
+FROM buckets GROUP BY 1 ORDER BY 1
+"""
+
+_SUM_BUCKET_SQL = _PIPE_BUCKETS_CTE + """
+SELECT query_id, round(sum(raw_value), 6) AS value
+FROM buckets GROUP BY 1 ORDER BY 1
+"""
+
 _MAX_BUCKET_SQL = _PIPE_BUCKETS_CTE + """
 SELECT query_id, bucket_ts, round(raw_value, 6) AS value
 FROM (SELECT *, max(raw_value) OVER (PARTITION BY query_id) AS m FROM buckets)
@@ -5964,6 +5976,38 @@ def _q_moving_percentiles(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_avg_bucket(sf_dir: str):
+    """ES avg_bucket sibling pipeline aggregation: mean of the per-month
+    sum(n_chars) sub-agg values per derived query (gap_policy=skip)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_fold_bucket
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars"), derived=True
+    )
+    try:
+        return run_agg_fold_bucket(queries, idx, "ts", "n_chars", "avg", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_sum_bucket(sf_dir: str):
+    """ES sum_bucket sibling pipeline aggregation: sum of the per-month
+    sum(n_chars) sub-agg values per derived query."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_fold_bucket
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars"), derived=True
+    )
+    try:
+        return run_agg_fold_bucket(queries, idx, "ts", "n_chars", "sum", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_max_bucket(sf_dir: str):
     """ES max_bucket sibling pipeline aggregation: the bucket key(s)
     attaining the max per-month sum(n_chars) sub-agg per derived query
@@ -9023,6 +9067,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles_bucket_agg": _q_percentiles_bucket,
         "moving_percentiles_agg": _q_moving_percentiles,
         "max_bucket_agg": _q_max_bucket,
+        "avg_bucket_agg": _q_avg_bucket,
+        "sum_bucket_agg": _q_sum_bucket,
         "min_bucket_agg": _q_min_bucket,
         "filters_agg": _q_filters_agg,
         "random_sampler_agg": _q_random_sampler_agg,
@@ -9327,6 +9373,8 @@ def oracle_sql() -> dict[str, str]:
         "percentiles_bucket_agg": _PCTL_BUCKET_SQL,
         "moving_percentiles_agg": _MOVING_PCTL_SQL,
         "max_bucket_agg": _MAX_BUCKET_SQL,
+        "avg_bucket_agg": _AVG_BUCKET_SQL,
+        "sum_bucket_agg": _SUM_BUCKET_SQL,
         "min_bucket_agg": _MIN_BUCKET_SQL,
         "filters_agg": _FILTERS_AGG_SQL,
         "random_sampler_agg": _RANDOM_SAMPLER_SQL,

@@ -8279,6 +8279,36 @@ def run_agg_extremum_bucket(
     return out[["query_id", "bucket_ts", "value"]]
 
 
+def run_agg_fold_bucket(
+    queries_ds, index_dir: str, field: str, metric_field: str,
+    stat: str = "avg", calendar_interval: str = "month",
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES avg_bucket / sum_bucket sibling pipeline aggregations: one
+    scalar per query folding the per-bucket sum sub-agg values of the
+    date_histogram — mean or sum over the NON-EMPTY buckets (the ES
+    gap_policy=skip default).  Accumulation in bucket_ts ascending order
+    (the frame is already so sorted), round6 on output.
+    Returns (query_id, value)."""
+    if stat not in ("avg", "sum"):
+        raise ValueError(f"stat must be 'avg' or 'sum', got {stat!r}")
+    f = _bucket_value_frame(
+        queries_ds, index_dir, field, metric_field, calendar_interval, cfg, concurrency
+    )
+    if not len(f):
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "value": pd.Series([], dtype=np.float64),
+            }
+        )
+    g = f.groupby("query_id", as_index=False)["value"].agg(
+        "mean" if stat == "avg" else "sum"
+    )
+    g["value"] = round6(g["value"].to_numpy(np.float64))
+    return g.astype({"query_id": np.int64}).sort_values("query_id").reset_index(drop=True)
+
+
 def run_agg_moving_fn(
     queries_ds, index_dir: str, field: str, metric_field: str,
     window: int = 3, calendar_interval: str = "month",

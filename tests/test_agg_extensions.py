@@ -809,3 +809,16 @@ def test_composite_date_source_paging(agg_index, ray_session):
             break
     paged = pd.concat(pages, ignore_index=True)
     pd.testing.assert_frame_equal(paged, full)
+
+
+def test_fold_bucket_avg_and_sum(agg_index, ray_session):
+    from kafka_es_ray.query.engine import run_agg_fold_bucket
+
+    d, docs = agg_index
+    sums = _month_sums(docs)["sum"].to_numpy(np.float64)
+    avg = run_agg_fold_bucket(Q, d, "ts", "val", "avg", cfg=CFG)
+    tot = run_agg_fold_bucket(Q, d, "ts", "val", "sum", cfg=CFG)
+    assert avg["value"].tolist() == [np.floor(sums.mean() * 1e6 + 0.5) / 1e6]
+    assert tot["value"].tolist() == [np.floor(sums.sum() * 1e6 + 0.5) / 1e6]
+    with pytest.raises(ValueError):
+        run_agg_fold_bucket(Q, d, "ts", "val", "median", cfg=CFG)
