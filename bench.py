@@ -227,6 +227,11 @@ def run_bench() -> dict:
         "frequent_pairs_agg",
         "cumulative_cardinality_agg",
         "random_sampler_agg",
+        "decay_gauss_topk",
+        "categorize_text",
+        "ann_sq8_rescore_topk",
+        "cap_per_source",
+        "global_shuffle",
     )
     if op_names:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -6824,6 +6824,7 @@ def run_agg_terms(
     exclude: str | None = None,
     missing: str | None = None,
     partition: tuple | None = None,
+    min_doc_count: int = 1,
 ) -> pd.DataFrame:
     """Distributed ES terms aggregation over each query's match set:
     (query_id, value, n_docs) in ES bucket order (n_docs desc, value
@@ -6850,7 +6851,9 @@ def run_agg_terms(
     (``include: {partition, num_partitions}``) — keep only values whose
     hash lands in partition p, so huge value spaces page in bounded
     slices.  Hash = the engine-wide md5 sampling contract
-    (seeded_hash_mod; DuckDB replay md5_number_lower(value) % n)."""
+    (seeded_hash_mod; DuckDB replay md5_number_lower(value) % n).
+    ``min_doc_count`` (ES default 1) drops buckets with fewer docs,
+    applied after the missing/include/exclude rewrites like ES."""
     import re as _re
 
     if order not in ("count", "key"):
@@ -6881,6 +6884,8 @@ def run_agg_terms(
                 g = g[
                     seeded_hash_mod(g["value"].to_numpy(), np_) == p
                 ]
+            if min_doc_count > 1:
+                g = g[g["n"] >= int(min_doc_count)]
             if order == "key":
                 g = g.sort_values("value", kind="mergesort")
             else:

@@ -1119,6 +1119,9 @@ def test_terms_agg_missing_buckets_empty_values(ray_session, tmp_path_factory):
     out2 = run_agg_terms(q, d, field="grade", cfg=cfg, missing="a")
     got2 = dict(zip(out2["value"], out2["n_docs"]))
     assert got2 == {"a": 5, "b": 1}
+    # min_doc_count prunes rare buckets AFTER the missing rewrite (ES)
+    out3 = run_agg_terms(q, d, field="grade", cfg=cfg, missing="N/A", min_doc_count=2)
+    assert dict(zip(out3["value"], out3["n_docs"])) == {"N/A": 3, "a": 2}
 
 
 def test_histogram_offset_and_gap_fill(api_index, ray_session, tmp_path_factory):
