@@ -945,6 +945,21 @@ FROM vals WHERE x >= 0 GROUP BY 1, 2 ORDER BY 1, 2
 # per-doc round6 arc distance to the fixed origin (10, 20) — written
 # term-for-term as the engine formula (functions/geo.py haversine_m) so
 # libm last-ulp noise is the only divergence and round(,6) absorbs it.
+# ES geo_line aggregation: the track of each query's first 20 matching
+# docs' derived geo points in doc_id order (the engine's sort key)
+_GEO_LINE_SQL = _MATCHES_CTE + """
+, pts AS (
+  SELECT m.query_id, m.doc_id,
+         ((m.doc_id * 37) % 18001) / 100.0 - 90.0 AS lat,
+         ((m.doc_id * 53) % 36001) / 100.0 - 180.0 AS lon,
+         row_number() OVER (PARTITION BY m.query_id ORDER BY m.doc_id) AS rn
+  FROM matches m
+)
+SELECT query_id, (rn - 1)::BIGINT AS seq, doc_id,
+       round(lat, 6) AS lat, round(lon, 6) AS lon
+FROM pts WHERE rn <= 20 ORDER BY 1, 2
+"""
+
 _GEO_CTES = """geo AS (
   SELECT doc_id, ((doc_id * 37) % 18001) / 100.0 - 90.0 AS lat,
          ((doc_id * 53) % 36001) / 100.0 - 180.0 AS lon
@@ -8870,6 +8885,26 @@ def _q_geo_bbox_filter_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_geo_line_agg(sf_dir: str):
+    """ES geo_line aggregation per derived query: first 20 located
+    matching docs' points in doc_id order — one GeoLineStage sweep plus
+    one bucketed per-plan merge; one row per line vertex."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import derive_query_set
+    from kafka_es_ray.query.engine import IndexSearcher, run_geo_line
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_glidx_")
+    try:
+        cfg = _build_geo_docs_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        return run_geo_line(queries, idx, "loc", size=20, cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_geo_distance_agg(sf_dir: str):
     """ES geo_distance aggregation: ring doc counts by round6 arc
     distance from (10, 20), edges (0, 2e6, 5e6, 1e7) m, over each derived
@@ -9044,6 +9079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygon_filter_topk": _q_geo_polygon_filter_topk,
         "geo_bbox_filter_topk": _q_geo_bbox_filter_topk,
         "geo_distance_agg": _q_geo_distance_agg,
+        "geo_line_agg": _q_geo_line_agg,
         "geotile_grid_agg": _q_geotile_grid_agg,
         "geohash_grid_agg": _q_geohash_grid_agg,
         "geo_centroid_agg": _q_geo_centroid_agg,
@@ -9347,6 +9383,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_polygon_filter_topk": _GEO_POLY_FILTER_SQL,
         "geo_bbox_filter_topk": _GEO_BBOX_FILTER_SQL,
         "geo_distance_agg": _GEO_RING_SQL,
+        "geo_line_agg": _GEO_LINE_SQL,
         "geotile_grid_agg": _GEO_TILE_SQL,
         "geohash_grid_agg": _GEOHASH_SQL,
         "geo_centroid_agg": _GEO_CENTROID_SQL,

@@ -7820,6 +7820,145 @@ def run_agg_geo_bounds(
     )
 
 
+class GeoLineStage(_SegmentCacheStage):
+    """Segment-parallel ES geo_line collection: each (plan, segment)
+    emits the ``size`` smallest matching doc ids with their (lat, lon)
+    docvalues — a doc outside its own segment's first ``size`` cannot be
+    in the global first ``size``, so the merge is exact.  Docs missing
+    either coordinate are skipped (the ES geo_point missing rule).
+    Shuffle volume is plans x segments x size rows, never match sets."""
+
+    def _init_payload(self, payload) -> None:
+        self.plan, self.tomb_map, self.lat_f, self.lon_f, self.size = payload
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pid in batch["part_id"].astype(int):
+            seg = self._segment(pid)
+            for q in self.plan:
+                ids = np.sort(_segment_match_ids_for_plan(seg, q))
+                if ids.size == 0:
+                    continue
+                lat = seg.nums_for(self.lat_f, ids)
+                lon = seg.nums_for(self.lon_f, ids)
+                ok = ~(np.isnan(lat) | np.isnan(lon))
+                ids, lat, lon = ids[ok][: self.size], lat[ok][: self.size], lon[ok][: self.size]
+                if ids.size == 0:
+                    continue
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "plan_id": np.int64(q["plan_id"]),
+                            "doc_id": ids.astype(np.int64),
+                            "lat": lat,
+                            "lon": lon,
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "plan_id": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "lat": pd.Series([], dtype=np.float64),
+                    "lon": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def run_geo_line(
+    queries_ds,
+    index_dir: str,
+    field: str,
+    *,
+    size: int = 20,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES geo_line aggregation: the track of each query's
+    first ``size`` matching docs' geo points, ordered by doc id (the
+    engine's sort key — ES orders by a sort field; doc ids are the
+    engine's stable ingestion order).  One GeoLineStage sweep + one
+    bucketed per-plan merge; coordinates round6.  Returns one row per
+    line vertex: (query_id, seq, doc_id, lat, lon)."""
+    import ray
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=np.int64),
+            "seq": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "lat": pd.Series([], dtype=np.float64),
+            "lon": pd.Series([], dtype=np.float64),
+        }
+    )
+    concurrency = concurrency or cfg.query_concurrency or query_pool()
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    manifest = read_manifest(index_dir)
+    parts = [int(p) for p in manifest["parts"]]
+    plan = _match_set_plans(queries)
+    if not plan:
+        return empty
+    plan_ref = ray.put(
+        (plan, manifest.get("tombstones", {}), f"{field}_lat", f"{field}_lon", int(size))
+    )
+    partials = _shards_ds(parts, concurrency).map_batches(
+        GeoLineStage,
+        fn_constructor_args=(index_dir, plan_ref, cfg),
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+    )
+
+    def merge_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for pid_, g in bucket.groupby("plan_id", sort=False):
+            g = g.sort_values("doc_id", kind="mergesort").head(size)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "plan_id": np.int64(pid_),
+                        "seq": np.arange(len(g), dtype=np.int64),
+                        "doc_id": g["doc_id"].to_numpy(np.int64),
+                        "lat": round6(g["lat"].to_numpy(np.float64)),
+                        "lon": round6(g["lon"].to_numpy(np.float64)),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "plan_id": pd.Series([], dtype=np.int64),
+                    "seq": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "lat": pd.Series([], dtype=np.float64),
+                    "lon": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    merged = bucketed_group_agg(partials, ["plan_id"], merge_bucket).to_pandas()
+    if not len(merged):
+        return empty
+    fanout = {q["plan_id"]: q["query_ids"] for q in plan}
+    out = []
+    for pid_, g in merged.groupby("plan_id", sort=True):
+        g = g.sort_values("seq", kind="mergesort")
+        for qid in fanout.get(int(pid_), []):
+            out.append(g.assign(query_id=np.int64(qid)))
+    if not out:
+        return empty
+    return (
+        pd.concat(out, ignore_index=True)[["query_id", "seq", "doc_id", "lat", "lon"]]
+        .sort_values(["query_id", "seq"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "seq": np.int64, "doc_id": np.int64})
+    )
+
+
 def run_agg_matrix_stats(
     queries_ds, index_dir: str, fields: tuple,
     cfg: EngineConfig = DEFAULT, concurrency: int | None = None,

@@ -349,3 +349,27 @@ def test_geo_polygon_filter_matches_bruteforce(built):
             ),
             idx, CFG,
         )
+
+
+def test_geo_line_matches_bruteforce(built, ray_session):
+    """run_geo_line == pandas: first `size` LOCATED matching docs in
+    doc_id order, round6 coords, seq = 0-based position on the line."""
+    from kafka_es_ray.query.engine import run_geo_line
+
+    idx, df = built
+    q = pd.DataFrame({"query_id": [0, 1], "text": ["alpha beta", "omega"]})
+    got = run_geo_line(q, idx, "loc", size=7, cfg=CFG, concurrency=2)
+    toks = df["text"].str.split()
+    for qid, terms in [(0, {"alpha", "beta"}), (1, {"omega"})]:
+        hit = toks.apply(lambda t: bool(set(t) & terms))
+        want = df[hit & df["loc_lat"].notna() & df["loc_lon"].notna()]
+        want = want.sort_values("doc_id").head(7)
+        g = got[got["query_id"] == qid]
+        assert g["doc_id"].tolist() == want["doc_id"].tolist(), qid
+        assert g["seq"].tolist() == list(range(len(want))), qid
+        assert g["lat"].tolist() == (
+            np.floor(want["loc_lat"].to_numpy() * 1e6 + 0.5) / 1e6
+        ).tolist(), qid
+        assert g["lon"].tolist() == (
+            np.floor(want["loc_lon"].to_numpy() * 1e6 + 0.5) / 1e6
+        ).tolist(), qid
