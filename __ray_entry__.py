@@ -945,6 +945,34 @@ FROM vals WHERE x >= 0 GROUP BY 1, 2 ORDER BY 1, 2
 # per-doc round6 arc distance to the fixed origin (10, 20) — written
 # term-for-term as the engine formula (functions/geo.py haversine_m) so
 # libm last-ulp noise is the only divergence and round(,6) absorbs it.
+# ES ip_range aggregation over the derived integer-ip column
+# ip = (doc_id * 2654435761) % 2^32 (exact integer arithmetic on both
+# engines): CIDR masks + from/to with [from, to); empty ranges kept at 0
+_IP_RANGE_SQL = _MATCHES_CTE + """
+, ips AS (
+  SELECT m.query_id, (m.doc_id * 2654435761) % 4294967296 AS ip
+  FROM matches m
+)
+SELECT query_id, range_key, n_docs FROM (
+  SELECT query_id, '0.0.0.0/2' AS range_key,
+         count(*) FILTER (WHERE ip < 1073741824)::BIGINT AS n_docs
+  FROM ips GROUP BY 1
+  UNION ALL
+  SELECT query_id, '64.0.0.0/2',
+         count(*) FILTER (WHERE ip >= 1073741824 AND ip < 2147483648)::BIGINT
+  FROM ips GROUP BY 1
+  UNION ALL
+  SELECT query_id, '128.0.0.0-192.0.0.0',
+         count(*) FILTER (WHERE ip >= 2147483648 AND ip < 3221225472)::BIGINT
+  FROM ips GROUP BY 1
+  UNION ALL
+  SELECT query_id, '192.0.0.0-*',
+         count(*) FILTER (WHERE ip >= 3221225472)::BIGINT
+  FROM ips GROUP BY 1
+)
+ORDER BY 1, 2
+"""
+
 # ES geo_line aggregation: the track of each query's first 20 matching
 # docs' derived geo points in doc_id order (the engine's sort key)
 _GEO_LINE_SQL = _MATCHES_CTE + """
@@ -8885,6 +8913,49 @@ def _q_geo_bbox_filter_topk(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_ip_range_agg(sf_dir: str):
+    """ES ip_range aggregation per derived query: CIDR + from/to bucket
+    counts over the deterministic integer-ip column
+    ip = (doc_id * 2654435761) % 2^32 — (query, range) count plans
+    through the shared MatchSet sweep."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import derive_query_set, documents_dataset
+    from kafka_es_ray.query.engine import IndexSearcher, run_agg_ip_range
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_ipidx_")
+    try:
+        cfg = EngineConfig(num_partitions=8, numeric_cols=("ip",))
+
+        def add_ip(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ip = ((ids * 2654435761) % (1 << 32)).astype(np.float64)
+            return batch.append_column("ip", pa.array(ip))
+
+        build_index(
+            documents_dataset(sf_dir).map_batches(add_ip, batch_format="pyarrow"),
+            idx, cfg,
+            key_col="key", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
+        queries = derive_query_set(IndexSearcher(idx, cfg))
+        queries = queries[queries["text"] != "zzzabsentterm"]
+        ranges = [
+            {"mask": "0.0.0.0/2"},
+            {"mask": "64.0.0.0/2"},
+            {"from": "128.0.0.0", "to": "192.0.0.0"},
+            {"from": "192.0.0.0"},
+        ]
+        return run_agg_ip_range(queries, idx, "ip", ranges, cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_geo_line_agg(sf_dir: str):
     """ES geo_line aggregation per derived query: first 20 located
     matching docs' points in doc_id order — one GeoLineStage sweep plus
@@ -9080,6 +9151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bbox_filter_topk": _q_geo_bbox_filter_topk,
         "geo_distance_agg": _q_geo_distance_agg,
         "geo_line_agg": _q_geo_line_agg,
+        "ip_range_agg": _q_ip_range_agg,
         "geotile_grid_agg": _q_geotile_grid_agg,
         "geohash_grid_agg": _q_geohash_grid_agg,
         "geo_centroid_agg": _q_geo_centroid_agg,
@@ -9384,6 +9456,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_bbox_filter_topk": _GEO_BBOX_FILTER_SQL,
         "geo_distance_agg": _GEO_RING_SQL,
         "geo_line_agg": _GEO_LINE_SQL,
+        "ip_range_agg": _IP_RANGE_SQL,
         "geotile_grid_agg": _GEO_TILE_SQL,
         "geohash_grid_agg": _GEOHASH_SQL,
         "geo_centroid_agg": _GEO_CENTROID_SQL,

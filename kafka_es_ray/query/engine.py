@@ -7578,6 +7578,94 @@ def run_agg_range(
     )
 
 
+def _ip_to_int(s: str) -> int:
+    """Dotted-quad IPv4 -> uint32 (validated)."""
+    parts = s.split(".")
+    if len(parts) != 4:
+        raise ValueError(f"bad IPv4 address {s!r}")
+    v = 0
+    for p in parts:
+        o = int(p)
+        if not 0 <= o <= 255:
+            raise ValueError(f"bad IPv4 octet in {s!r}")
+        v = (v << 8) | o
+    return v
+
+
+def _ip_range_bounds(r: dict) -> tuple[str, int, int]:
+    """One ES ip_range entry -> (bucket key, lo, hi) with [lo, hi)
+    semantics: either {"mask": "a.b.c.d/p"} (bounds = the masked network
+    span, key = the mask string — the ES CIDR form) or {"from": ...,
+    "to": ...} dotted quads (either side open, key = "from-to" with '*'
+    for an open side — the ES explicit form)."""
+    if "mask" in r:
+        net, p = r["mask"].split("/")
+        p = int(p)
+        if not 0 <= p <= 32:
+            raise ValueError(f"bad CIDR prefix in {r['mask']!r}")
+        span = 1 << (32 - p)
+        base = _ip_to_int(net) & ~(span - 1) & 0xFFFFFFFF
+        return r["mask"], base, base + span
+    lo = _ip_to_int(r["from"]) if r.get("from") else 0
+    hi = _ip_to_int(r["to"]) if r.get("to") else 1 << 32
+    key = f"{r.get('from') or '*'}-{r.get('to') or '*'}"
+    return key, lo, hi
+
+
+def run_agg_ip_range(
+    queries_ds, index_dir: str, field: str, ranges,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES ip_range aggregation: doc counts of each query's
+    match set inside explicit IP ranges — CIDR ``mask`` entries or
+    ``from``/``to`` dotted quads with the ES [from, to) contract.  The
+    engine's ip mapping is a numeric docstore column holding the integer
+    address, so [from, to) is the exact closed docvalues filter
+    [from, to-1] (addresses are integers).  Ranges may overlap (each is
+    counted independently, like ES): every (query, range) pair becomes
+    one count plan through the shared MatchSet sweep — identical plans
+    dedupe, shuffle volume is plans x segments scalars.  All ranges are
+    returned, including empty ones (doc_count 0, the ES behavior).
+    Returns (query_id, range_key, n_docs)."""
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    bounds = [_ip_range_bounds(r) for r in ranges]
+    nr = len(bounds)
+    if nr == 0:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "range_key": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype=np.int64),
+            }
+        )
+    rows = []
+    for row in queries.itertuples(index=False):
+        d = row._asdict()
+        for ri, (key, lo, hi) in enumerate(bounds):
+            e = dict(d)
+            e["query_id"] = int(d["query_id"]) * nr + ri
+            e["range_field"] = field
+            e["range_gte"] = float(lo)
+            e["range_lte"] = float(hi - 1)
+            rows.append(e)
+    expanded = pd.DataFrame(rows)
+    counts = run_counts(expanded, index_dir, cfg, concurrency)
+    out = pd.DataFrame(
+        {
+            "query_id": (counts["query_id"].to_numpy(np.int64) // nr),
+            "range_key": [
+                bounds[int(q) % nr][0] for q in counts["query_id"].to_numpy()
+            ],
+            "n_docs": counts["n_matching"].to_numpy(np.int64),
+        }
+    )
+    return (
+        out.sort_values(["query_id", "range_key"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "n_docs": np.int64})
+    )
+
+
 def run_agg_geo_distance(
     queries_ds, index_dir: str, field: str, origin_lat: float, origin_lon: float,
     edges_m, cfg: EngineConfig = DEFAULT, concurrency: int | None = None,

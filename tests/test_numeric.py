@@ -724,3 +724,55 @@ def test_decay_rejects_unknown_function(built):
     )
     with pytest.raises(ValueError, match="decay_function"):
         run_queries(q, idx, CFG)
+
+
+def test_ip_range_agg_matches_bruteforce(ray_session, tmp_path):
+    """run_agg_ip_range == pandas over a derived integer-ip column:
+    CIDR masks (masked base + span) and open/closed from-to ranges with
+    [from, to) semantics; overlapping ranges counted independently;
+    empty ranges kept at 0."""
+    import ray.data as rd
+
+    from kafka_es_ray.query.engine import _ip_to_int, run_agg_ip_range
+
+    n = 120
+    rng = np.random.default_rng(5)
+    texts = [" ".join(rng.choice(WORDS, size=4).tolist()) for _ in range(n)]
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    ip = (ids * 2654435761) % (1 << 32)
+    df = pd.DataFrame(
+        {
+            "url": [f"u{i:04d}" for i in range(n)],
+            "doc_id": ids,
+            "text": texts,
+            "lang": "en",
+            "ip": ip.astype(np.float64),
+        }
+    )
+    cfg = EngineConfig(num_partitions=4, numeric_cols=("ip",))
+    idx = str(tmp_path / "ipidx")
+    build_index(
+        rd.from_pandas(df), idx, cfg,
+        key_col="url", lang_col="lang", html_col=None, ts_col=None,
+        id_col="doc_id",
+    )
+    ranges = [
+        {"mask": "0.0.0.0/1"},
+        {"mask": "128.0.0.5/2"},  # non-aligned base must be masked down
+        {"from": "64.0.0.0", "to": "192.0.0.0"},
+        {"from": "255.255.255.255"},  # empty range stays at 0
+    ]
+    q = pd.DataFrame({"query_id": [0], "text": ["alpha beta"]})
+    got = run_agg_ip_range(q, idx, "ip", ranges, cfg=cfg, concurrency=2)
+    hit = df["text"].str.split().apply(lambda t: bool({"alpha", "beta"} & set(t)))
+    m_ip = ip[hit.to_numpy()]
+    want = {
+        "0.0.0.0/1": int((m_ip < (1 << 31)).sum()),
+        "128.0.0.5/2": int(((m_ip >= (1 << 31)) & (m_ip < 3 * (1 << 30))).sum()),
+        "64.0.0.0-192.0.0.0": int(
+            ((m_ip >= _ip_to_int("64.0.0.0")) & (m_ip < _ip_to_int("192.0.0.0"))).sum()
+        ),
+        "255.255.255.255-*": int((m_ip >= _ip_to_int("255.255.255.255")).sum()),
+    }
+    assert dict(zip(got["range_key"], got["n_docs"])) == want
+    assert (got["query_id"] == 0).all() and len(got) == 4
