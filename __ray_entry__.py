@@ -906,6 +906,14 @@ SELECT query_id,
 FROM vals GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+# ES date_histogram fixed_interval=7d: epoch-anchored fixed buckets
+_DATE_HIST_FIXED_SQL = _AGG_VALS_CTE + """
+SELECT query_id,
+       (ts // 604800 * 604800)::BIGINT AS bucket_ts,
+       count(*)::BIGINT AS n_docs
+FROM vals GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 # ES date_histogram min_doc_count=0 (the ES default): every calendar
 # month between each query's first and last non-empty bucket, gaps as 0
 _DATE_HIST_FILLED_SQL = _AGG_VALS_CTE + """
@@ -5799,6 +5807,22 @@ def _q_date_histogram(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_date_histogram_fixed(sf_dir: str):
+    """ES date_histogram fixed_interval=7d: epoch-anchored fixed-width
+    buckets (ts // 604800 * 604800) per derived query's match set."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_date_histogram
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts",), derived=True
+    )
+    try:
+        return run_agg_date_histogram(queries, idx, "ts", "7d", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_date_histogram_filled(sf_dir: str):
     """ES date_histogram with min_doc_count=0 (the ES default): every
     calendar month between each query's first and last non-empty bucket
@@ -9160,6 +9184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_histogram": _q_match_histogram,
         "extended_stats_agg": _q_extended_stats,
         "date_histogram_agg": _q_date_histogram,
+        "date_histogram_fixed_agg": _q_date_histogram_fixed,
         "date_histogram_filled_agg": _q_date_histogram_filled,
         "range_agg": _q_range_agg,
         "matrix_stats_agg": _q_matrix_stats,
@@ -9464,6 +9489,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_bounds_agg": _GEO_BOUNDS_SQL,
         "extended_stats_agg": _EXT_STATS_SQL,
         "date_histogram_agg": _DATE_HIST_SQL,
+        "date_histogram_fixed_agg": _DATE_HIST_FIXED_SQL,
         "date_histogram_filled_agg": _DATE_HIST_FILLED_SQL,
         "range_agg": _RANGE_AGG_SQL,
         "matrix_stats_agg": _MATRIX_STATS_SQL,

@@ -3980,11 +3980,27 @@ class MatchSetStage(_SegmentCacheStage):
         )
 
 
+def _fixed_interval_secs(unit: str) -> int | None:
+    """ES date_histogram fixed_interval grammar ("90s"/"15m"/"6h"/"7d")
+    -> seconds, or None when ``unit`` is not a fixed interval."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)(s|m|h|d)", unit)
+    if not m:
+        return None
+    return int(m.group(1)) * {"s": 1, "m": 60, "h": 3600, "d": 86400}[m.group(2)]
+
+
 def _calendar_floor(epoch_s: np.ndarray, unit: str) -> np.ndarray:
     """Calendar bucketing of epoch-second values (ES date_histogram
     calendar_interval): returns the bucket-start epoch seconds.  Weeks
-    start Monday (ES/ISO); numpy's epoch-anchored week unit does not."""
+    start Monday (ES/ISO); numpy's epoch-anchored week unit does not.
+    ``unit`` may also be an ES fixed_interval ("90s"/"15m"/"6h"/"7d"):
+    epoch-anchored fixed-width buckets (the ES fixed_interval anchor)."""
     secs = epoch_s.astype(np.int64)
+    fx = _fixed_interval_secs(unit)
+    if fx is not None:
+        return secs // fx * fx
     if unit == "day":
         return secs // 86400 * 86400
     if unit == "week":
@@ -7456,6 +7472,9 @@ def run_agg_extended_stats(
 def _calendar_buckets_between(lo: int, hi: int, unit: str) -> np.ndarray:
     """Every calendar bucket start in [lo, hi] (both already floored) —
     the ES empty-bucket enumeration for min_doc_count=0 gap filling."""
+    fx = _fixed_interval_secs(unit)
+    if fx is not None:
+        return np.arange(lo, hi + 1, fx, dtype=np.int64)
     if unit == "day":
         return np.arange(lo, hi + 1, 86400, dtype=np.int64)
     if unit == "week":

@@ -822,3 +822,22 @@ def test_fold_bucket_avg_and_sum(agg_index, ray_session):
     assert tot["value"].tolist() == [np.floor(sums.sum() * 1e6 + 0.5) / 1e6]
     with pytest.raises(ValueError):
         run_agg_fold_bucket(Q, d, "ts", "val", "median", cfg=CFG)
+
+
+def test_date_histogram_fixed_interval(agg_index, ray_session):
+    """fixed_interval ("7d" / "6h"): epoch-anchored fixed-width buckets
+    (ts // secs * secs), incl. min_doc_count=0 gap filling on the fixed
+    grid."""
+    d, docs = agg_index
+    ts = docs["ts"].astype(np.int64).to_numpy()
+    for unit, secs in (("7d", 604800), ("6h", 21600)):
+        got = run_agg_date_histogram(Q, d, "ts", unit, cfg=CFG)
+        want = pd.Series(ts // secs * secs).value_counts().sort_index()
+        assert got["bucket_ts"].tolist() == want.index.tolist(), unit
+        assert got["n_docs"].tolist() == want.tolist(), unit
+    filled = run_agg_date_histogram(Q, d, "ts", "7d", cfg=CFG, min_doc_count=0)
+    grid = np.arange(
+        (ts // 604800 * 604800).min(), (ts // 604800 * 604800).max() + 1, 604800
+    )
+    assert filled["bucket_ts"].tolist() == grid.tolist()
+    assert filled["n_docs"].sum() == len(docs)
