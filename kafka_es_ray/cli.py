@@ -184,6 +184,14 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--index", required=True)
     m.add_argument("--merge-factor", type=int, default=4)
 
+    am = sub.add_parser(
+        "auto-merge",
+        help="tiered merge policy: compact the smallest segments only "
+        "when the live count exceeds --max-segments",
+    )
+    am.add_argument("--index", required=True)
+    am.add_argument("--max-segments", type=int, default=8)
+
     a = sub.add_parser("apply", help="apply a doc/op delta batch incrementally")
     a.add_argument("--input", required=True)
     a.add_argument("--index", required=True)
@@ -491,6 +499,11 @@ def main(argv: list[str] | None = None) -> int:
 
         manifest = merge_index(args.index, merge_factor=args.merge_factor)
         print(json.dumps({"n_docs": manifest["n_docs"], "parts": len(manifest["parts"])}))
+    elif args.cmd == "auto-merge":
+        own_session = _ray_init(args.num_cpus)
+        from kafka_es_ray.index.merge import auto_merge
+
+        print(json.dumps(auto_merge(args.index, max_segments=args.max_segments)))
     elif args.cmd == "apply":
         own_session = _ray_init(args.num_cpus)
         import ray.data as rd

@@ -733,3 +733,106 @@ def merge_index(index_dir: str, merge_factor: int = 4, cfg: EngineConfig = DEFAU
         if os.path.exists(path):
             os.remove(path)
     return merged_manifest
+
+
+def auto_merge(index_dir: str, max_segments: int = 8, cfg: EngineConfig = DEFAULT) -> dict:
+    """ES tiered merge-policy analog (Lucene TieredMergePolicy /
+    segments_per_tier — the background compaction the reference's ES
+    cluster runs between bulk batches): a NO-OP while the index holds at
+    most ``max_segments`` live segments; above that, merge the SMALLEST
+    segments (by live doc count) into one so the live count drops back
+    to ``max_segments``.  Big segments are never rewritten — merge cost
+    is proportional to bytes rewritten, so compaction always picks the
+    small tail of delta segments incremental ingestion accumulates.
+
+    One merge group per call (call from an ingestion loop after each
+    apply — the ES scheduler shape); partial manifest rewrite: untouched
+    segments keep their records, the group's tombstoned docs are purged,
+    remaining tombstone stats are recomputed from the surviving files.
+    Returns {"merged": 0} or {"merged": k, "out_part_id": id}."""
+    manifest = read_manifest(index_dir)
+    parts = sorted(int(p) for p in manifest["parts"])
+    if len(parts) <= int(max_segments):
+        return {"merged": 0, "parts": len(parts)}
+    pms = manifest["part_manifests"]
+    by_size = sorted(parts, key=lambda p: (int(pms[str(p)]["n_docs"]), p))
+    group = sorted(by_size[: len(parts) - int(max_segments) + 1])
+    id_base = max(
+        [int(manifest.get("next_segment_id", 0)), 100000] + [p + 1 for p in parts]
+    )
+    out_id = id_base
+    new_m = merge_segment_group(index_dir, group, out_id, cfg)
+    grouped = set(group)
+    new_pms = {str(p): pms[str(p)] for p in parts if p not in grouped}
+    new_pms[str(out_id)] = new_m
+    new_parts = sorted(int(p) for p in new_pms)
+    n_docs = sum(int(m["n_docs"]) for m in new_pms.values())
+    sum_dl = sum(m["sum_dl"] for m in new_pms.values())
+    # rank-allocation counters preserved exactly as merge_index does
+    derived: dict[str, int] = {}
+    for sid_str, m in pms.items():
+        if "merged_from" not in m:
+            p = str(m.get("partition", sid_str))
+            derived[p] = derived.get(p, 0) + int(m["n_docs"])
+    alloc = {**derived, **manifest.get("alloc", {})}
+    # tombstones of merged segments were purged by the rewrite; survivors
+    # keep theirs, and the stat is recomputed from the surviving files
+    tombs = {
+        k: v
+        for k, v in manifest.get("tombstones", {}).items()
+        if int(k) not in grouped
+    }
+    n_tomb = 0
+    for files in tombs.values():
+        for f in files:
+            path = os.path.join(index_dir, os.path.basename(f))
+            if os.path.exists(path):
+                with open(path) as fh:
+                    n_tomb += len(json.load(fh))
+    merged_manifest = {
+        **manifest,
+        "parts": new_parts,
+        "part_manifests": new_pms,
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        **(
+            {
+                "avgdl_fields": {
+                    f: (
+                        sum(m.get("sum_dl_fields", {}).get(f, 0) for m in new_pms.values())
+                        / n_docs
+                        if n_docs
+                        else 0.0
+                    )
+                    for f in manifest["text_fields"]
+                }
+            }
+            if "text_fields" in manifest
+            else {}
+        ),
+        "alloc": alloc,
+        "next_segment_id": out_id + 1,
+        "tombstones": tombs,
+        "n_tombstoned": n_tomb,
+    }
+    write_manifest(index_dir, merged_manifest)
+    old_tomb_files = [
+        os.path.join(index_dir, os.path.basename(f))
+        for k, files in manifest.get("tombstones", {}).items()
+        if int(k) in grouped
+        for f in files
+    ]
+    for p in group:
+        for path in (
+            seg.postings_path(index_dir, p),
+            seg.docstore_path(index_dir, p),
+            seg.part_manifest_path(index_dir, p),
+            seg.tombstones_path(index_dir, p),
+        ):
+            if os.path.exists(path):
+                os.remove(path)
+    for path in old_tomb_files:
+        if os.path.exists(path):
+            os.remove(path)
+    return {"merged": len(group), "out_part_id": out_id, "parts": len(new_parts)}

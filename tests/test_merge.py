@@ -221,3 +221,63 @@ def test_fast_merge_declines_tombstones_and_deltas(ray_session, pages_small, tmp
     # but merge_segment_group still succeeds via the decode path
     m = merge_mod.merge_segment_group(idx, parts, 200013, CFG)
     assert m["n_docs"] == manifest["n_docs"]
+
+
+def test_auto_merge_tiered_policy(ray_session, pages_small, tmp_path):
+    """auto_merge (the ES tiered merge-policy analog): no-op under the
+    threshold; above it, only the SMALLEST segments merge into one (big
+    build partitions untouched), results are rank-identical, deletes
+    aimed at merged segments are purged, and the remaining tombstone
+    stat reflects the survivors."""
+    import ray.data as rd
+
+    from kafka_es_ray.index.incremental import apply_incremental
+    from kafka_es_ray.index.merge import auto_merge
+
+    idx = str(tmp_path / "am")
+    build_index(rd.from_arrow(pages_small), idx, CFG)  # 8 partitions
+    assert auto_merge(idx, max_segments=8, cfg=CFG) == {"merged": 0, "parts": 8}
+
+    # three tiny delta segments + one delete into a DELTA segment's doc
+    for i in range(3):
+        delta = pd.DataFrame(
+            {
+                "url": [f"https://x.example/am{i}"],
+                "text": [f"zanzibar{i} quokka"],
+                "lang": ["en"],
+            }
+        )
+        apply_incremental(idx, delta, CFG, key_col="url")
+    kill = pd.DataFrame(
+        {
+            "url": ["https://x.example/am1"],
+            "text": [None],
+            "lang": ["en"],
+            "op": ["delete"],
+        }
+    )
+    apply_incremental(idx, kill, CFG, key_col="url", op_col="op")
+
+    before = read_manifest(idx)
+    big_parts = {
+        int(p)
+        for p in before["parts"]
+        if int(before["part_manifests"][str(p)]["n_docs"]) > 10
+    }
+    s0 = IndexSearcher(idx, CFG)
+    base = s0.search("quokka")
+    r = auto_merge(idx, max_segments=9, cfg=CFG)
+    after = read_manifest(idx)
+    assert r["merged"] == 3 and r["parts"] == 9 == len(after["parts"])
+    # every big build partition survived untouched
+    assert big_parts <= {int(p) for p in after["parts"]}
+    s1 = IndexSearcher(idx, CFG)
+    got = s1.search("quokka")
+    # ranking identical; absolute scores legitimately shift because the
+    # purge changed n_docs/avgdl (ES: merges change global stats)
+    assert got["key"].tolist() == base["key"].tolist()
+    assert (np.diff(got["score"].to_numpy()) <= 0).all()
+    assert len(s1.search("zanzibar1")) == 0  # delete stayed purged
+    assert len(s1.search("zanzibar0")) == 1
+    # merged group's tombstones purged from both the map and the stat
+    assert after["n_tombstoned"] <= before.get("n_tombstoned", 0)
