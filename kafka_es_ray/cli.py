@@ -216,6 +216,10 @@ def main(argv: list[str] | None = None) -> int:
     fo.add_argument("--poll-s", type=float, default=1.0)
     fo.add_argument("--max-batches", type=int, default=None)
     fo.add_argument("--idle-stop-s", type=float, default=None)
+    fo.add_argument(
+        "--auto-merge-max-segments", type=int, default=None,
+        help="run the tiered merge policy after each applied file",
+    )
 
     st = sub.add_parser("stats", help="index stats (ES _stats analog)")
     st.add_argument("--index", required=True)
@@ -535,6 +539,7 @@ def main(argv: list[str] | None = None) -> int:
             poll_s=args.poll_s,
             max_batches=args.max_batches,
             idle_stop_s=args.idle_stop_s,
+            auto_merge_max_segments=args.auto_merge_max_segments,
         )
         print(json.dumps(out))
     elif args.cmd == "stats":

@@ -72,6 +72,7 @@ def follow_directory(
     metrics=None,
     watchdog_ttl_s: float | None = None,
     watchdog_max_restarts: int = 2,
+    auto_merge_max_segments: int | None = None,
     _apply_fn=None,
 ) -> dict:
     """Tail ``input_dir`` for new parquet files and apply each as an
@@ -88,6 +89,14 @@ def follow_directory(
     the Prometheus-exporter analog (reference Metrics.kt:24-83,
     MetricsUpdater.kt:3-15): files_applied, rows_total, last_gen,
     last_apply_seconds, pending_files, watchdog_restarts, quarantined.
+
+    ``auto_merge_max_segments``: when set, run the tiered merge policy
+    (index.merge.auto_merge) after each applied file — the ES background
+    merge scheduler shape: delta segments accumulate per micro-batch and
+    are compacted as soon as the live count exceeds the threshold, so a
+    long-running follow never degrades query fan-out.  Merges happen
+    between applies (applies are serialized per index), and a merge
+    crash loses nothing: the pre-merge manifest stays the commit point.
 
     ``watchdog_ttl_s``: straggler watchdog for the continuous path (the
     WatchDog analog, reference WatchDog.kt:13-126 — restart a task whose
@@ -114,6 +123,7 @@ def follow_directory(
     rows = 0
     last_gen = None
     restarts = 0
+    merges = 0
     quarantined: list[str] = []
     idle_since = time.monotonic()
 
@@ -189,6 +199,19 @@ def follow_directory(
             ledger["consumed"].append({"file": fn, "gen": last_gen})
             _commit_ledger(index_dir, ledger)
             idle_since = time.monotonic()
+            if auto_merge_max_segments is not None:
+                from kafka_es_ray.index.merge import auto_merge
+
+                am = auto_merge(index_dir, max_segments=auto_merge_max_segments, cfg=cfg)
+                if am.get("merged"):
+                    merges += 1
+                    log.info(
+                        "auto-merge: compacted %d segments -> %d live",
+                        am["merged"], am["parts"],
+                    )
+                    if metrics is not None:
+                        metrics.set("auto_merges", merges)
+                        metrics.set("live_segments", am["parts"])
             if metrics is not None:
                 metrics.set("files_applied", applied)
                 metrics.set("rows_total", rows)
@@ -205,4 +228,5 @@ def follow_directory(
         "last_gen": last_gen,
         "watchdog_restarts": restarts,
         "quarantined": quarantined,
+        "auto_merges": merges,
     }

@@ -234,3 +234,31 @@ def test_watchdog_quarantines_poison_file(base_index, tmp_path):
     assert IndexSearcher(base_index, CFG).count("psi") == 1
     # quarantined file never re-pends
     assert pending_files(str(inbox), base_index) == []
+
+
+def test_follow_auto_merge_compacts_deltas(base_index, tmp_path):
+    """follow with auto_merge_max_segments: delta segments accumulated by
+    micro-batches are compacted between applies (the ES background-merge
+    scheduler shape); results stay visible and the ledger is intact."""
+    from kafka_es_ray.index.segment import read_manifest
+    from kafka_es_ray.query.engine import IndexSearcher
+
+    inbox = tmp_path / "inbox2"
+    inbox.mkdir()
+    for i in range(4):
+        _drop(str(inbox), f"c-{i:04d}.parquet", [
+            {"id": f"m{i}", "text": f"mergeword{i} alpha", "lang": "en",
+             "seq": i + 1, "op": "index"},
+        ])
+    base_parts = len(read_manifest(base_index)["parts"])
+    out = follow_directory(
+        str(inbox), base_index, CFG, poll_s=0.05, idle_stop_s=0.2,
+        auto_merge_max_segments=base_parts + 1,
+    )
+    assert out["files_applied"] == 4
+    assert out["auto_merges"] >= 1
+    m = read_manifest(base_index)
+    assert len(m["parts"]) <= base_parts + 1
+    s = IndexSearcher(base_index, CFG)
+    for i in range(4):
+        assert len(s.search(f"mergeword{i}")) == 1, i
