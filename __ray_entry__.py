@@ -907,6 +907,32 @@ FROM vals GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 # ES date_histogram fixed_interval=7d: epoch-anchored fixed buckets
+# ES date_range aggregation over the derived epoch-seconds ts column:
+# ISO bounds resolved to epoch seconds (UTC) with [from, to); either
+# side open; overlapping ranges counted independently; empty kept at 0.
+# 2020-02-15T12:00:00 = 1581768000, 2020-03-01 = 1583020800,
+# 2020-05-01 = 1588291200 (UTC)
+_DATE_RANGE_KEYED_SQL = _AGG_VALS_CTE + """
+SELECT query_id, range_key, n_docs FROM (
+  SELECT query_id, '*-2020-03-01' AS range_key,
+         count(*) FILTER (WHERE ts < 1583020800)::BIGINT AS n_docs
+  FROM vals GROUP BY 1
+  UNION ALL
+  SELECT query_id, '2020-03-01-2020-05-01',
+         count(*) FILTER (WHERE ts >= 1583020800 AND ts < 1588291200)::BIGINT
+  FROM vals GROUP BY 1
+  UNION ALL
+  SELECT query_id, '2020-02-15T12:00:00-2020-03-01',
+         count(*) FILTER (WHERE ts >= 1581768000 AND ts < 1583020800)::BIGINT
+  FROM vals GROUP BY 1
+  UNION ALL
+  SELECT query_id, '2020-05-01-*',
+         count(*) FILTER (WHERE ts >= 1588291200)::BIGINT
+  FROM vals GROUP BY 1
+)
+ORDER BY 1, 2
+"""
+
 _DATE_HIST_FIXED_SQL = _AGG_VALS_CTE + """
 SELECT query_id,
        (ts // 604800 * 604800)::BIGINT AS bucket_ts,
@@ -5859,6 +5885,29 @@ def _q_range_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_date_range_keyed_agg(sf_dir: str):
+    """ES date_range aggregation (keyed from/to form) per derived query:
+    ISO-date from/to buckets with the [from, to) contract (either side
+    open, overlapping ranges independent, empty ranges kept at 0) over
+    the derived epoch-seconds ts column — (query, range) count plans
+    through the shared MatchSet sweep."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_date_range
+
+    idx, cfg, queries = _agg_index_build(sf_dir, numeric=("ts",), derived=True)
+    try:
+        ranges = [
+            {"to": "2020-03-01"},
+            {"from": "2020-03-01", "to": "2020-05-01"},
+            {"from": "2020-02-15T12:00:00", "to": "2020-03-01"},
+            {"from": "2020-05-01"},
+        ]
+        return run_agg_date_range(queries, idx, "ts", ranges, cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_matrix_stats(sf_dir: str):
     """ES matrix_stats over the (n_chars, n_tokens) field pair per
     derived query's match set: population means/variances, covariance and
@@ -9187,6 +9236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_histogram_fixed_agg": _q_date_histogram_fixed,
         "date_histogram_filled_agg": _q_date_histogram_filled,
         "range_agg": _q_range_agg,
+        "date_range_keyed_agg": _q_date_range_keyed_agg,
         "matrix_stats_agg": _q_matrix_stats,
         "composite_agg": _q_composite_agg,
         "composite_date_agg": _q_composite_date_agg,
@@ -9492,6 +9542,7 @@ def oracle_sql() -> dict[str, str]:
         "date_histogram_fixed_agg": _DATE_HIST_FIXED_SQL,
         "date_histogram_filled_agg": _DATE_HIST_FILLED_SQL,
         "range_agg": _RANGE_AGG_SQL,
+        "date_range_keyed_agg": _DATE_RANGE_KEYED_SQL,
         "matrix_stats_agg": _MATRIX_STATS_SQL,
         "composite_agg": _COMPOSITE_SQL,
         "composite_date_agg": _COMPOSITE_DATE_SQL,

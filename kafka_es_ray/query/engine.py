@@ -22,6 +22,7 @@ term-ordered vectorized form.
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import json
 
@@ -7648,6 +7649,94 @@ def run_agg_ip_range(
     Returns (query_id, range_key, n_docs)."""
     queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
     bounds = [_ip_range_bounds(r) for r in ranges]
+    nr = len(bounds)
+    if nr == 0:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "range_key": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype=np.int64),
+            }
+        )
+    rows = []
+    for row in queries.itertuples(index=False):
+        d = row._asdict()
+        for ri, (key, lo, hi) in enumerate(bounds):
+            e = dict(d)
+            e["query_id"] = int(d["query_id"]) * nr + ri
+            e["range_field"] = field
+            e["range_gte"] = float(lo)
+            e["range_lte"] = float(hi - 1)
+            rows.append(e)
+    expanded = pd.DataFrame(rows)
+    counts = run_counts(expanded, index_dir, cfg, concurrency)
+    out = pd.DataFrame(
+        {
+            "query_id": (counts["query_id"].to_numpy(np.int64) // nr),
+            "range_key": [
+                bounds[int(q) % nr][0] for q in counts["query_id"].to_numpy()
+            ],
+            "n_docs": counts["n_matching"].to_numpy(np.int64),
+        }
+    )
+    return (
+        out.sort_values(["query_id", "range_key"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"query_id": np.int64, "n_docs": np.int64})
+    )
+
+
+def _date_to_epoch(v) -> int:
+    """ES date expression -> epoch seconds (UTC).  Numbers pass through
+    as epoch seconds; strings parse as ISO ``YYYY-MM-DD`` or
+    ``YYYY-MM-DDTHH:MM:SS`` in UTC — the engine's date mapping is an
+    epoch-seconds numeric docstore column, so every date bound reduces
+    to an integer comparison (the ES date_range resolution model)."""
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return int(v)
+    s = str(v)
+    fmt = "%Y-%m-%dT%H:%M:%S" if "T" in s else "%Y-%m-%d"
+    dt = datetime.datetime.strptime(s, fmt).replace(tzinfo=datetime.timezone.utc)
+    return int(dt.timestamp())
+
+
+# open-side sentinels for date_range bounds: far outside any plausible
+# epoch-seconds value, exactly representable as float64
+_DATE_OPEN_LO = -(1 << 60)
+_DATE_OPEN_HI = 1 << 60
+
+
+def _date_range_bounds(r: dict) -> tuple[str, int, int]:
+    """One ES date_range entry -> (bucket key, lo, hi) with the ES
+    [from, to) contract: either side open; key = the given expressions
+    joined as "from-to" with '*' for an open side (or the entry's
+    explicit ``key``)."""
+    lo = _date_to_epoch(r["from"]) if r.get("from") is not None else _DATE_OPEN_LO
+    hi = _date_to_epoch(r["to"]) if r.get("to") is not None else _DATE_OPEN_HI
+    key = r.get("key") or (
+        f"{r.get('from') if r.get('from') is not None else '*'}-"
+        f"{r.get('to') if r.get('to') is not None else '*'}"
+    )
+    return str(key), lo, hi
+
+
+def run_agg_date_range(
+    queries_ds, index_dir: str, field: str, ranges,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """Distributed ES date_range aggregation: doc counts of each query's
+    match set inside explicit date ranges — ``from``/``to`` as ISO date
+    strings or epoch seconds, the ES [from, to) contract, either side
+    open (reference: the ES date_range agg; the engine's date mapping is
+    an epoch-seconds numeric docstore column like date_histogram's, so
+    [from, to) is the exact closed docvalues filter [from, to-1]).
+    Ranges may overlap (each counted independently); every range is
+    returned including empty ones (doc_count 0).  Every (query, range)
+    pair becomes one count plan through the shared MatchSet sweep —
+    identical plans dedupe, shuffle volume is plans x segments scalars.
+    Returns (query_id, range_key, n_docs)."""
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    bounds = [_date_range_bounds(r) for r in ranges]
     nr = len(bounds)
     if nr == 0:
         return pd.DataFrame(

@@ -776,3 +776,60 @@ def test_ip_range_agg_matches_bruteforce(ray_session, tmp_path):
     }
     assert dict(zip(got["range_key"], got["n_docs"])) == want
     assert (got["query_id"] == 0).all() and len(got) == 4
+
+
+def test_date_range_agg_matches_bruteforce(ray_session, tmp_path):
+    """run_agg_date_range == pandas over an epoch-seconds ts column:
+    ISO from/to bounds resolve to UTC epochs with [from, to) semantics,
+    either side open, overlap counted independently, empty ranges 0."""
+    import ray.data as rd
+
+    from kafka_es_ray.query.engine import _date_to_epoch, run_agg_date_range
+
+    assert _date_to_epoch("2020-03-01") == 1583020800
+    assert _date_to_epoch("2020-02-15T12:00:00") == 1581768000
+    assert _date_to_epoch(1234) == 1234
+
+    n = 120
+    rng = np.random.default_rng(7)
+    texts = [" ".join(rng.choice(WORDS, size=4).tolist()) for _ in range(n)]
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    ts = 1577836800 + (ids % 150) * 86400  # 2020-01-01 .. +149d
+    df = pd.DataFrame(
+        {
+            "url": [f"u{i:04d}" for i in range(n)],
+            "doc_id": ids,
+            "text": texts,
+            "lang": "en",
+            "ts": ts.astype(np.float64),
+        }
+    )
+    cfg = EngineConfig(num_partitions=4, numeric_cols=("ts",))
+    idx = str(tmp_path / "dridx")
+    build_index(
+        rd.from_pandas(df), idx, cfg,
+        key_col="url", lang_col="lang", html_col=None, ts_col=None,
+        id_col="doc_id",
+    )
+    ranges = [
+        {"to": "2020-02-01"},
+        {"from": "2020-02-01", "to": "2020-04-01"},
+        {"from": "2020-01-15T12:00:00", "to": "2020-02-01"},  # overlap
+        {"from": "2030-01-01"},  # empty range stays at 0
+        {"from": 1580515200, "key": "epoch-from-feb"},  # numeric bound + key
+    ]
+    q = pd.DataFrame({"query_id": [0], "text": ["alpha beta"]})
+    got = run_agg_date_range(q, idx, "ts", ranges, cfg=cfg, concurrency=2)
+    hit = df["text"].str.split().apply(lambda t: bool({"alpha", "beta"} & set(t)))
+    m = ts[hit.to_numpy()]
+    feb1, apr1 = _date_to_epoch("2020-02-01"), _date_to_epoch("2020-04-01")
+    jan15 = _date_to_epoch("2020-01-15T12:00:00")
+    want = {
+        "*-2020-02-01": int((m < feb1).sum()),
+        "2020-02-01-2020-04-01": int(((m >= feb1) & (m < apr1)).sum()),
+        "2020-01-15T12:00:00-2020-02-01": int(((m >= jan15) & (m < feb1)).sum()),
+        "2030-01-01-*": 0,
+        "epoch-from-feb": int((m >= 1580515200).sum()),
+    }
+    assert dict(zip(got["range_key"], got["n_docs"])) == want
+    assert (got["query_id"] == 0).all() and len(got) == 5
