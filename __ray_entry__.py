@@ -907,6 +907,55 @@ FROM vals GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 # ES date_histogram fixed_interval=7d: epoch-anchored fixed buckets
+# ES bucket_correlation (Pearson core): monthly bucket doc counts vs the
+# indicator (bucket_ts // 86400) % 7 — exact BIGINT moment sums, the
+# identical double formula on both engines, sign-aware 6dp round;
+# queries with <2 buckets or zero variance omitted (ES null)
+_BUCKET_CORR_SQL = _AGG_VALS_CTE + """
+, b AS (
+  SELECT query_id,
+         epoch(date_trunc('month', to_timestamp(ts)))::BIGINT AS bucket_ts,
+         count(*)::BIGINT AS n
+  FROM vals GROUP BY 1, 2
+),
+e AS (
+  SELECT query_id, n, ((bucket_ts // 86400) % 7)::BIGINT AS x FROM b
+)
+SELECT query_id,
+       round((count(*)*sum(x*n) - sum(x)*sum(n))
+             / sqrt((count(*)*sum(x*x) - sum(x)*sum(x))
+                    * (count(*)*sum(n*n) - sum(n)*sum(n))), 6) AS correlation
+FROM e GROUP BY 1
+HAVING count(*) >= 2
+   AND (count(*)*sum(x*x) - sum(x)*sum(x))
+       * (count(*)*sum(n*n) - sum(n)*sum(n)) > 0
+ORDER BY 1
+"""
+
+# ES bucket_count_ks_test (two-sided vs uniform fractions): KS distance
+# between the monthly bucket-count ECDF and i/n_buckets — each CDF point
+# one integer/integer double division on both engines
+_BUCKET_KS_SQL = _AGG_VALS_CTE + """
+, b AS (
+  SELECT query_id,
+         epoch(date_trunc('month', to_timestamp(ts)))::BIGINT AS bucket_ts,
+         count(*)::BIGINT AS n
+  FROM vals GROUP BY 1, 2
+),
+c AS (
+  SELECT query_id,
+         sum(n) OVER (PARTITION BY query_id ORDER BY bucket_ts) AS cn,
+         sum(n) OVER (PARTITION BY query_id) AS tot,
+         row_number() OVER (PARTITION BY query_id ORDER BY bucket_ts) AS i,
+         count(*) OVER (PARTITION BY query_id) AS nb
+  FROM b
+)
+SELECT query_id,
+       round(max(abs(cn::DOUBLE / tot::DOUBLE - i::DOUBLE / nb::DOUBLE)), 6)
+         AS ks_stat
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
 # ES date_range aggregation over the derived epoch-seconds ts column:
 # ISO bounds resolved to epoch seconds (UTC) with [from, to); either
 # side open; overlapping ranges counted independently; empty kept at 0.
@@ -6157,6 +6206,43 @@ def _q_min_bucket(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_bucket_correlation(sf_dir: str):
+    """ES bucket_correlation pipeline aggregation (Pearson core): per
+    derived query, the correlation between the monthly date_histogram
+    doc counts and the indicator (bucket_ts // 86400) % 7 — exact
+    integer moment sums feed one double formula on both engines."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_bucket_correlation
+
+    idx, cfg, queries = _agg_index_build(sf_dir, numeric=("ts",), derived=True)
+    try:
+        return run_agg_bucket_correlation(
+            queries, idx, "ts", lambda ts: (ts // 86400) % 7,
+            calendar_interval="month", cfg=cfg,
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_bucket_count_ks(sf_dir: str):
+    """ES bucket_count_ks_test pipeline aggregation (two-sided statistic
+    vs uniform fractions): per derived query, the KS distance between
+    the monthly bucket-count ECDF (bucket_ts order) and the uniform
+    CDF i/n_buckets."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_bucket_count_ks_test
+
+    idx, cfg, queries = _agg_index_build(sf_dir, numeric=("ts",), derived=True)
+    try:
+        return run_agg_bucket_count_ks_test(
+            queries, idx, "ts", calendar_interval="month", cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_moving_fn(sf_dir: str):
     """ES moving_fn pipeline aggregation (unweightedAvg): trailing
     3-bucket mean of the per-month sum(n_chars) sub-agg per derived
@@ -9257,6 +9343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_sampler_agg": _q_random_sampler_agg,
         "adjacency_matrix_agg": _q_adjacency_matrix,
         "moving_fn_agg": _q_moving_fn,
+        "bucket_correlation_agg": _q_bucket_correlation,
+        "bucket_count_ks_agg": _q_bucket_count_ks,
         "serial_diff_agg": _q_serial_diff,
         "bucket_sort_agg": _q_bucket_sort,
         "auto_date_histogram_agg": _q_auto_date_histogram,
@@ -9568,6 +9656,8 @@ def oracle_sql() -> dict[str, str]:
         "frequent_pairs_agg": _FREQ_PAIRS_SQL,
         "adjacency_matrix_agg": _ADJ_MATRIX_SQL,
         "moving_fn_agg": _MOVING_FN_SQL,
+        "bucket_correlation_agg": _BUCKET_CORR_SQL,
+        "bucket_count_ks_agg": _BUCKET_KS_SQL,
         "serial_diff_agg": _SERIAL_DIFF_SQL,
         "bucket_sort_agg": _BUCKET_SORT_SQL,
         "auto_date_histogram_agg": _AUTO_DH_SQL,

@@ -8649,6 +8649,97 @@ def run_agg_fold_bucket(
     return g.astype({"query_id": np.int64}).sort_values("query_id").reset_index(drop=True)
 
 
+def run_agg_bucket_correlation(
+    queries_ds, index_dir: str, field: str, indicator_fn,
+    calendar_interval: str = "month",
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES bucket_correlation pipeline aggregation (the aggregations-ML
+    sibling agg, simplified to its published Pearson core): correlation
+    between each query's per-bucket date_histogram doc counts and an
+    indicator value derived from the bucket key.  ``indicator_fn`` maps
+    the int64 bucket_ts array -> the indicator vector (the ES
+    ``indicator.expectations`` analog, keyed by bucket so alignment is
+    deterministic at any shard layout).  One distributed bucket-count
+    sweep; the correlation is a driver-side reduce over the tiny bucket
+    frame.  Exact integer moment sums (counts and indicators are ints)
+    feed one double formula — r = (n*Sxy - Sx*Sy) /
+    sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)) — so both engines agree
+    bit-for-bit before the 6dp round.  Queries with fewer than 2 buckets
+    or zero variance on either side are omitted (ES returns null).
+    Returns (query_id, correlation)."""
+    b = run_agg_date_histogram(
+        queries_ds, index_dir, field, calendar_interval, cfg, concurrency
+    )
+    rows = []
+    if len(b):
+        for qid, g in b.groupby("query_id", sort=True):
+            n = g["n_docs"].to_numpy(np.int64)
+            x = np.asarray(
+                indicator_fn(g["bucket_ts"].to_numpy(np.int64)), dtype=np.int64
+            )
+            k = len(n)
+            if k < 2:
+                continue
+            sx, sy = int(x.sum()), int(n.sum())
+            sxx = int((x * x).sum())
+            syy = int((n * n).sum())
+            sxy = int((x * n).sum())
+            den_sq = (k * sxx - sx * sx) * (k * syy - sy * sy)
+            if den_sq <= 0:
+                continue
+            r = float(k * sxy - sx * sy) / float(np.sqrt(float(den_sq)))
+            # sign-aware 6dp half-away round (round6 is positive-only;
+            # DuckDB ROUND is half away from zero for either sign)
+            r6 = float(np.sign(r) * round6(np.float64(abs(r))))
+            rows.append((int(qid), r6))
+    return pd.DataFrame(rows, columns=["query_id", "correlation"]).astype(
+        {"query_id": np.int64, "correlation": np.float64}
+    )
+
+
+def run_agg_bucket_count_ks_test(
+    queries_ds, index_dir: str, field: str, calendar_interval: str = "month",
+    fractions=None,
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES bucket_count_ks_test pipeline aggregation (two-sided statistic
+    only): the Kolmogorov-Smirnov distance between each query's
+    empirical bucket-count CDF over the date_histogram buckets (in
+    bucket_ts order) and a reference CDF — ``fractions`` (one weight per
+    bucket, normalized) or the ES default uniform fractions.  One
+    distributed bucket-count sweep + a driver reduce over the tiny
+    frame; each CDF point is a single integer/integer double division so
+    both engines agree bit-for-bit before the 6dp round.
+    Returns (query_id, ks_stat)."""
+    b = run_agg_date_histogram(
+        queries_ds, index_dir, field, calendar_interval, cfg, concurrency
+    )
+    rows = []
+    if len(b):
+        for qid, g in b.groupby("query_id", sort=True):
+            n = g["n_docs"].to_numpy(np.int64)
+            k = len(n)
+            tot = int(n.sum())
+            if k == 0 or tot == 0:
+                continue
+            ecdf = np.cumsum(n).astype(np.float64) / float(tot)
+            if fractions is None:
+                ref = np.arange(1, k + 1, dtype=np.float64) / float(k)
+            else:
+                f = np.asarray(fractions, dtype=np.float64)
+                if len(f) != k:
+                    raise ValueError(
+                        f"fractions length {len(f)} != bucket count {k}"
+                    )
+                ref = np.cumsum(f) / f.sum()
+            d = float(np.abs(ecdf - ref).max())
+            rows.append((int(qid), float(round6(np.float64(d)))))
+    return pd.DataFrame(rows, columns=["query_id", "ks_stat"]).astype(
+        {"query_id": np.int64, "ks_stat": np.float64}
+    )
+
+
 def run_agg_moving_fn(
     queries_ds, index_dir: str, field: str, metric_field: str,
     window: int = 3, calendar_interval: str = "month",

@@ -841,3 +841,54 @@ def test_date_histogram_fixed_interval(agg_index, ray_session):
     )
     assert filled["bucket_ts"].tolist() == grid.tolist()
     assert filled["n_docs"].sum() == len(docs)
+
+
+def test_bucket_correlation_matches_numpy(agg_index, ray_session):
+    """run_agg_bucket_correlation == np.corrcoef between monthly doc
+    counts and the derived indicator; sign-aware 6dp round."""
+    from kafka_es_ray.query.engine import (
+        run_agg_bucket_correlation,
+        run_agg_date_histogram,
+    )
+
+    d, docs = agg_index
+    ind = lambda ts: (ts // 86400) % 7  # noqa: E731
+    got = run_agg_bucket_correlation(Q, d, "ts", ind, cfg=CFG)
+    b = run_agg_date_histogram(Q, d, "ts", "month", cfg=CFG)
+    n = b["n_docs"].to_numpy(np.float64)
+    x = ind(b["bucket_ts"].to_numpy(np.int64)).astype(np.float64)
+    want = np.corrcoef(x, n)[0, 1]
+    assert len(got) == 1 and got["query_id"].iloc[0] == 0
+    np.testing.assert_allclose(got["correlation"].iloc[0], want, atol=1e-6)
+
+    # zero-variance indicator -> query omitted (the ES null)
+    flat = run_agg_bucket_correlation(Q, d, "ts", lambda ts: ts * 0, cfg=CFG)
+    assert len(flat) == 0
+
+
+def test_bucket_count_ks_matches_numpy(agg_index, ray_session):
+    """run_agg_bucket_count_ks_test == the max |ECDF - ref CDF| over the
+    monthly buckets; uniform default and explicit fractions."""
+    from kafka_es_ray.query.engine import (
+        run_agg_bucket_count_ks_test,
+        run_agg_date_histogram,
+    )
+
+    d, docs = agg_index
+    b = run_agg_date_histogram(Q, d, "ts", "month", cfg=CFG)
+    n = b["n_docs"].to_numpy(np.float64)
+    ecdf = np.cumsum(n) / n.sum()
+
+    got = run_agg_bucket_count_ks_test(Q, d, "ts", cfg=CFG)
+    want = np.abs(ecdf - np.arange(1, len(n) + 1) / len(n)).max()
+    assert len(got) == 1
+    np.testing.assert_allclose(got["ks_stat"].iloc[0], want, atol=1e-6)
+
+    # explicit fractions: all mass on the first bucket
+    f = np.zeros(len(n)); f[0] = 1.0
+    got2 = run_agg_bucket_count_ks_test(Q, d, "ts", fractions=f, cfg=CFG)
+    want2 = np.abs(ecdf - 1.0).max()
+    np.testing.assert_allclose(got2["ks_stat"].iloc[0], want2, atol=1e-6)
+
+    with pytest.raises(ValueError, match="fractions length"):
+        run_agg_bucket_count_ks_test(Q, d, "ts", fractions=[1.0], cfg=CFG)
