@@ -907,6 +907,20 @@ FROM vals GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 # ES date_histogram fixed_interval=7d: epoch-anchored fixed buckets
+# ES runtime-field sort: rank by the script value n_chars*3 - n_tokens*7
+# (exact integer-valued doubles on both engines), ties doc_id asc
+_RUNTIME_SORT_SQL = _AGG_VALS_CTE + """
+, rv AS (
+  SELECT query_id, doc_id, x * 3 - y * 7 AS sort_val,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY (x * 3 - y * 7) DESC, doc_id ASC
+         ) AS rank
+  FROM vals
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, sort_val
+FROM rv WHERE rank <= 10 ORDER BY 1, 2
+"""
+
 # ES bucket_correlation (Pearson core): monthly bucket doc counts vs the
 # indicator (bucket_ts // 86400) % 7 — exact BIGINT moment sums, the
 # identical double formula on both engines, sign-aware 6dp round;
@@ -4460,6 +4474,32 @@ def _q_sort_by_field(sf_dir: str):
         queries = derive_query_set(IndexSearcher(idx, cfg))
         queries = queries[queries["text"] != "zzzabsentterm"]
         out = run_sorted(queries, idx, "n_chars", k=10, cfg=cfg).to_pandas()
+        return (
+            out[["query_id", "rank", "doc_id", "sort_val"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_runtime_sort_topk(sf_dir: str):
+    """ES runtime-field sort (runtime_mappings): each derived query's
+    match set ranked by the script-derived value n_chars*3 - n_tokens*7
+    (whitelisted painless-expression subset evaluated vectorized
+    in-shard), ties doc_id asc — the distributed SortTopkStage path with
+    a {"script": ...} virtual field."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_sorted
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars", "n_tokens"), derived=True
+    )
+    try:
+        out = run_sorted(
+            queries, idx, "score=n_chars * 3 - n_tokens * 7", k=10, cfg=cfg
+        ).to_pandas()
         return (
             out[["query_id", "rank", "doc_id", "sort_val"]]
             .sort_values(["query_id", "rank"])
@@ -9303,6 +9343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_filtered_topk": _q_knn_filtered_topk,
         "rrf_hybrid_topk": _q_rrf_hybrid_topk,
         "sort_by_field": _q_sort_by_field,
+        "runtime_sort_topk": _q_runtime_sort_topk,
         "sort_search_after": _q_sort_search_after,
         "match_stats_agg": _q_match_stats_agg,
         "geo_distance_filter_topk": _q_geo_distance_filter_topk,
@@ -9612,6 +9653,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM topk WHERE rank BETWEEN 11 AND 20) t",
         ),
         "sort_by_field": _SORT_FIELD_SQL,
+        "runtime_sort_topk": _RUNTIME_SORT_SQL,
         "sort_search_after": _SORT_AFTER_SQL,
         "match_stats_agg": _STATS_AGG_SQL,
         "geo_distance_filter_topk": _GEO_DIST_FILTER_SQL,

@@ -871,7 +871,13 @@ class IndexSearcher:
         the ES ``sort: [{field: order}]`` analog.  Ties break doc_id asc;
         docs with a missing value (NaN) are excluded (documented delta
         from ES's missing:_last — a bounded top-k never reaches them).
-        Returns (rank, doc_id, key, sort_val)."""
+        ``sort_field`` may also be an ES runtime field ``"name=expr"``
+        (the whitelisted painless-expression subset over mapped numeric
+        docvalues; missing inputs read 0.0, so runtime values are never
+        NaN-dropped).  Returns (rank, doc_id, key, sort_val)."""
+        _, rt_expr = _split_fetch_field(sort_field)
+        if rt_expr is not None:
+            _script_fields(rt_expr)  # whitelist gate before any segment work
         terms = sorted(set(get_analyzer(lang).tokenize(text)))
         empty = pd.DataFrame(
             {
@@ -890,7 +896,11 @@ class IndexSearcher:
             )
             if ids.size == 0:
                 continue
-            vals = s.nums_for(sort_field, ids)
+            vals = (
+                _script_values(s, ids, rt_expr)
+                if rt_expr is not None
+                else s.nums_for(sort_field, ids)
+            )
             ok = ~np.isnan(vals)
             ids, vals = ids[ok], vals[ok]
             if ids.size == 0:
@@ -4675,11 +4685,19 @@ class SortTopkStage(_SegmentCacheStage):
                 if ids.size == 0:
                     continue
                 if isinstance(self.field, dict):
-                    # ES _geo_distance sort: virtual per-doc round6 arc
-                    # distance to the origin (same derived field as the
-                    # geo_distance aggregation)
-                    gfld, lat0, lon0 = self.field["geo_distance"]
-                    vals = _geo_distance_vals(seg, ids, gfld, lat0, lon0)
+                    if "script" in self.field:
+                        # ES runtime-field sort: the whitelisted
+                        # painless-expression subset evaluated vectorized
+                        # over the mapped docvalues (missing inputs read
+                        # 0.0 like every script context, so a runtime
+                        # value always exists — no NaN drop)
+                        vals = _script_values(seg, ids, self.field["script"])
+                    else:
+                        # ES _geo_distance sort: virtual per-doc round6
+                        # arc distance to the origin (same derived field
+                        # as the geo_distance aggregation)
+                        gfld, lat0, lon0 = self.field["geo_distance"]
+                        vals = _geo_distance_vals(seg, ids, gfld, lat0, lon0)
                 else:
                     vals = seg.nums_for(self.field, ids)
                 ok = ~np.isnan(vals)
@@ -10845,11 +10863,21 @@ def run_sorted(
     page's last hit; only docs strictly after it in (sort_val asc/desc,
     doc_id asc) order are returned and ranks restart at 1.  Stateless
     deep pagination: shards apply the cursor BEFORE their top-k cut, so
-    page depth never grows the shuffle."""
+    page depth never grows the shuffle.
+
+    ``field`` may also be an ES runtime field — ``"name=expr"`` or
+    ``{"script": expr}`` (the whitelisted painless-expression subset
+    over mapped numeric docvalues, evaluated vectorized in-shard;
+    missing inputs read 0.0) — the ES runtime_mappings sort."""
     import ray
     import ray.data as rd
 
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    if isinstance(field, str) and "=" in field:
+        _, _rt = _split_fetch_field(field)
+        _script_fields(_rt)  # whitelist gate on the driver
+        field = {"script": _rt}
 
     concurrency = concurrency or cfg.query_concurrency or query_pool()
     queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds

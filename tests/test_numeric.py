@@ -833,3 +833,57 @@ def test_date_range_agg_matches_bruteforce(ray_session, tmp_path):
     }
     assert dict(zip(got["range_key"], got["n_docs"])) == want
     assert (got["query_id"] == 0).all() and len(got) == 5
+
+
+def test_runtime_field_sort(ray_session, tmp_path):
+    """ES runtime-field sort: 'name=expr' on search_sorted and run_sorted
+    == brute-force ranking by the expression over docvalues (missing
+    inputs read 0.0); whitelist gate rejects non-arithmetic scripts."""
+    import ray.data as rd
+
+    from kafka_es_ray.query.engine import IndexSearcher, run_sorted
+
+    n = 80
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "url": [f"u{i:04d}" for i in range(n)],
+            "doc_id": np.arange(1, n + 1, dtype=np.int64),
+            "text": [" ".join(rng.choice(WORDS, size=4).tolist()) for _ in range(n)],
+            "lang": "en",
+            "a": rng.integers(0, 50, size=n).astype(np.float64),
+            "b": rng.integers(0, 9, size=n).astype(np.float64),
+        }
+    )
+    df.loc[5:9, "b"] = np.nan  # missing inputs read 0.0 in scripts
+    cfg = EngineConfig(num_partitions=4, numeric_cols=("a", "b"))
+    idx = str(tmp_path / "rtidx")
+    build_index(
+        rd.from_pandas(df), idx, cfg,
+        key_col="url", lang_col="lang", html_col=None, ts_col=None,
+        id_col="doc_id",
+    )
+    expr_vals = df["a"].to_numpy() * 2 - df["b"].fillna(0.0).to_numpy() * 5
+    hit = df["text"].str.split().apply(lambda t: bool({"alpha", "beta"} & set(t)))
+    order = sorted(
+        zip(expr_vals[hit.to_numpy()], -df["doc_id"][hit].to_numpy()),
+        reverse=True,
+    )
+    want = [(-d, v) for v, d in order[:10]]
+
+    s = IndexSearcher(idx, cfg)
+    got1 = s.search_sorted("alpha beta", "score=a * 2 - b * 5", k=10)
+    assert list(zip(got1["doc_id"], got1["sort_val"])) == want
+
+    q = pd.DataFrame({"query_id": [0], "text": ["alpha beta"]})
+    got2 = (
+        run_sorted(q, idx, "score=a * 2 - b * 5", k=10, cfg=cfg, concurrency=2)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert list(zip(got2["doc_id"], got2["sort_val"])) == want
+
+    with pytest.raises(ValueError):
+        s.search_sorted("alpha", "x=__import__('os')", k=3)
+    with pytest.raises(ValueError):
+        run_sorted(q, idx, "x=a if a else b", k=3, cfg=cfg)
