@@ -907,6 +907,18 @@ FROM vals GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 # ES date_histogram fixed_interval=7d: epoch-anchored fixed buckets
+# ES stats over a runtime field: integer-valued script expression so
+# float sums are exact in any accumulation order on both engines
+_RUNTIME_STATS_SQL = _AGG_VALS_CTE + """
+SELECT query_id,
+       count(*)::BIGINT AS n_docs,
+       min(x + 2 * y)::DOUBLE AS min_val,
+       max(x + 2 * y)::DOUBLE AS max_val,
+       sum(x + 2 * y)::DOUBLE AS sum_val,
+       round(sum(x + 2 * y)::DOUBLE / count(*), 6) AS avg_val
+FROM vals GROUP BY 1 ORDER BY 1
+"""
+
 # ES runtime-field sort: rank by the script value n_chars*3 - n_tokens*7
 # (exact integer-valued doubles on both engines), ties doc_id asc
 _RUNTIME_SORT_SQL = _AGG_VALS_CTE + """
@@ -6246,6 +6258,27 @@ def _q_min_bucket(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_runtime_stats_agg(sf_dir: str):
+    """ES stats aggregation over a runtime field (runtime_mappings):
+    n/min/max/sum/avg of the script value n_chars + 2*n_tokens per
+    derived query's match set — the NumericAggStage {"script": ...}
+    virtual-field partial mode (missing inputs read 0.0, so every
+    match-set doc has a value)."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_stats
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars", "n_tokens"), derived=True
+    )
+    try:
+        return run_agg_stats(
+            queries, idx, {"script": "n_chars + 2 * n_tokens"}, cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_bucket_correlation(sf_dir: str):
     """ES bucket_correlation pipeline aggregation (Pearson core): per
     derived query, the correlation between the monthly date_histogram
@@ -9344,6 +9377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_hybrid_topk": _q_rrf_hybrid_topk,
         "sort_by_field": _q_sort_by_field,
         "runtime_sort_topk": _q_runtime_sort_topk,
+        "runtime_stats_agg": _q_runtime_stats_agg,
         "sort_search_after": _q_sort_search_after,
         "match_stats_agg": _q_match_stats_agg,
         "geo_distance_filter_topk": _q_geo_distance_filter_topk,
@@ -9654,6 +9688,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sort_by_field": _SORT_FIELD_SQL,
         "runtime_sort_topk": _RUNTIME_SORT_SQL,
+        "runtime_stats_agg": _RUNTIME_STATS_SQL,
         "sort_search_after": _SORT_AFTER_SQL,
         "match_stats_agg": _STATS_AGG_SQL,
         "geo_distance_filter_topk": _GEO_DIST_FILTER_SQL,

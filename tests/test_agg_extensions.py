@@ -892,3 +892,18 @@ def test_bucket_count_ks_matches_numpy(agg_index, ray_session):
 
     with pytest.raises(ValueError, match="fractions length"):
         run_agg_bucket_count_ks_test(Q, d, "ts", fractions=[1.0], cfg=CFG)
+
+
+def test_runtime_field_stats(agg_index, ray_session):
+    """run_agg_stats over a {"script": expr} runtime field == numpy over
+    the expression with missing inputs read as 0.0."""
+    from kafka_es_ray.query.engine import run_agg_stats
+
+    d, docs = agg_index
+    got = run_agg_stats(Q, d, {"script": "val + 2 * val2"}, cfg=CFG)
+    v = docs["val"].to_numpy() + 2 * docs["val2"].fillna(0.0).to_numpy()
+    assert len(got) == 1 and got["n_docs"].iloc[0] == len(docs)
+    np.testing.assert_allclose(got["sum_val"].iloc[0], v.sum(), atol=1e-6)
+    np.testing.assert_allclose(got["min_val"].iloc[0], v.min(), atol=1e-6)
+    np.testing.assert_allclose(got["max_val"].iloc[0], v.max(), atol=1e-6)
+    np.testing.assert_allclose(got["avg_val"].iloc[0], v.mean(), atol=1e-6)
