@@ -907,6 +907,66 @@ FROM vals GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 # ES date_histogram fixed_interval=7d: epoch-anchored fixed buckets
+# Derived deterministic URLs (mirrors _url_docs: exact integer/string
+# construction on both engines) + the frozen canon_v1 regex replay —
+# RE2 on both sides (pandas passes RE2-compatible patterns to Python re;
+# DuckDB regexp_replace backslash refs in single-quoted literals)
+_URL_CTE = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://ExAmple' || (doc_id % 5)::VARCHAR || '.COM'
+         || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+         || '/Page/' || (doc_id % 100)::VARCHAR
+         || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '?utm_source=feed&ref=' || (doc_id % 3)::VARCHAR
+                 WHEN doc_id % 7 = 0 THEN '?gclid=x' ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+                 THEN '#s' || (doc_id % 3)::VARCHAR ELSE '' END AS url
+  FROM documents
+),
+canon0 AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^[^/?#]+//[^/?#]+'))
+           || regexp_replace(url, '^[^/?#]+//[^/?#]+', '') AS c0
+  FROM u
+),
+canon AS (
+  SELECT doc_id, url,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(c0, '#.*$', ''),
+                '^(https://[^/:?#]+):443([/?]|$)', '\1\2'),
+              '^(http://[^/:?#]+):80([/?]|$)', '\1\2'),
+            '&(utm_[a-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'),
+          '\?(utm_[a-z0-9_]*|fbclid|gclid)=[^&]*&', '?'),
+        '\?(utm_[a-z0-9_]*|fbclid|gclid)=[^&]*$', ''),
+      '/$', '') AS canon_url
+  FROM canon0
+)
+"""
+
+_CANON_URLS_SQL = _URL_CTE + """
+SELECT doc_id, canon_url FROM canon ORDER BY doc_id
+"""
+
+_URL_DEDUP_SQL = _URL_CTE + """
+SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
+FROM canon GROUP BY canon_url ORDER BY 1
+"""
+
+_DOMAIN_COUNTS_SQL = _URL_CTE + """
+SELECT host, count(*)::BIGINT AS n_docs FROM (
+  SELECT lower(regexp_extract(url, '^[^/?#]+//([^/?#:]+)', 1)) AS host FROM u
+)
+WHERE host NOT IN ('example1.com', 'example3.com')
+GROUP BY 1 ORDER BY 1
+"""
+
 # ES stats over a runtime field: integer-valued script expression so
 # float sums are exact in any accumulation order on both engines
 _RUNTIME_STATS_SQL = _AGG_VALS_CTE + """
@@ -8265,6 +8325,67 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _url_docs(sf_dir: str):
+    """doc_id + a deterministic derived URL exercising every canon_v1
+    rule (mixed-case host, default port, trailing slash, tracking
+    params, fragments) — exact string construction on both engines."""
+    import pandas as _pd
+
+    from kafka_es_ray.sources.parquet import read_table
+
+    def add_url(batch: _pd.DataFrame) -> _pd.DataFrame:
+        i = batch["doc_id"].astype(np.int64)
+        url = (
+            "https://ExAmple" + (i % 5).astype(str) + ".COM"
+            + np.where(i % 4 == 0, ":443", "")
+            + "/Page/" + (i % 100).astype(str)
+            + np.where(i % 3 == 0, "/", "")
+            + np.where(
+                i % 2 == 0,
+                "?utm_source=feed&ref=" + (i % 3).astype(str),
+                np.where(i % 7 == 0, "?gclid=x", ""),
+            )
+            + np.where(i % 6 == 0, "#s" + (i % 3).astype(str), "")
+        )
+        return _pd.DataFrame({"doc_id": i, "url": url})
+
+    return read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        add_url, batch_format="pandas"
+    )
+
+
+def _q_canonical_urls(sf_dir: str):
+    """URL canonicalization (frozen canon_v1): lowercase scheme+host,
+    strip fragment / default port / tracking params / trailing slash —
+    a stateless vectorized map, no shuffle."""
+    from kafka_es_ray.pipelines.webtext import canonicalize_urls
+
+    out = canonicalize_urls(_url_docs(sf_dir)).to_pandas()
+    return out[["doc_id", "canon_url"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_url_dedup(sf_dir: str):
+    """Canonical-URL exact dedup: one survivor (min doc_id) per distinct
+    canonical URL — the crawl-side key-normalized dedup; shuffle moves
+    only (hash, id) pairs."""
+    from kafka_es_ray.pipelines.webtext import canonical_url_dedup
+
+    out = canonical_url_dedup(_url_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_domain_blocklist_counts(sf_dir: str):
+    """Domain blocklist filter + per-host doc counts: blocked hosts
+    dropped via a broadcast set, per-batch combiner partials summed in
+    one bucketed exchange."""
+    from kafka_es_ray.pipelines.webtext import domain_counts
+
+    out = domain_counts(
+        _url_docs(sf_dir), blocked=("example1.com", "example3.com")
+    ).to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def _q_lww_events(sf_dir: str):
     from kafka_es_ray.pipelines.dedup_ops import last_write_wins
     from kafka_es_ray.sources.parquet import read_table
@@ -9543,6 +9664,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _q_doc_token_counts,
         "term_df": _q_term_df,
         "exact_dedup": _q_exact_dedup,
+        "canonical_urls": _q_canonical_urls,
+        "url_dedup": _q_url_dedup,
+        "domain_blocklist_counts": _q_domain_blocklist_counts,
         "lww_events": _q_lww_events,
         "ingest_pipeline": _q_ingest_pipeline,
         "simulate_pipeline": _q_simulate_pipeline,
@@ -10799,6 +10923,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
             FROM documents GROUP BY text
         """,
+        "canonical_urls": _CANON_URLS_SQL,
+        "url_dedup": _URL_DEDUP_SQL,
+        "domain_blocklist_counts": _DOMAIN_COUNTS_SQL,
         "ingest_pipeline": _INGEST_SQL,
         "simulate_pipeline": _SIMULATE_SQL,
         "lww_events": """

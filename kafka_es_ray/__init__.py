@@ -47,6 +47,7 @@ def _register_pickle_by_value() -> None:
         sampling,
         sketches,
         text_ops,
+        webtext,
     )
     from kafka_es_ray.query import apis, bm25, bruteforce, engine, parent_join, rank_eval, templates  # noqa: F401
     from kafka_es_ray.sources import corpus, parquet, stream  # noqa: F401

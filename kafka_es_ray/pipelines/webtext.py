@@ -1,0 +1,125 @@
+"""Webtext URL operators: canonicalization, canonical-URL dedup, and
+domain filtering/counting — the crawl-side curation steps a CC-style
+corpus needs before content dedup (the reference's pipelines key docs by
+url, SURVEY §2; these ops normalize that key the way crawl dedup does).
+
+The canonicalizer is a FROZEN regex pipeline (version canon_v1): every
+pattern is plain RE2-compatible syntax so a DuckDB ``regexp_replace``
+replay is byte-identical — the same frozen-transform contract the
+analyzers use (CLAUDE.md rule 6).  Scale shape: canonicalization is a
+stateless vectorized map (no shuffle); dedup moves only (hash, id)
+pairs through one bucketed exchange (the exact_dedup shape); domain
+counting ships per-batch combiner partials, never doc rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from kafka_es_ray.functions.hashing import stable_hash64
+from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+# frozen canon_v1 regex passes, applied in order AFTER the
+# scheme+host lowercase step.  RE2-compatible (no lookarounds, no
+# backrefs in patterns) so DuckDB regexp_replace(..., 'g') replays them.
+_TRACK = "(utm_[a-z0-9_]*|fbclid|gclid)"
+CANON_PASSES: tuple[tuple[str, str], ...] = (
+    (r"#.*$", ""),                            # 1. strip fragment
+    (r"^(https://[^/:?#]+):443([/?]|$)", r"\1\2"),   # 2. default ports
+    (r"^(http://[^/:?#]+):80([/?]|$)", r"\1\2"),
+    (rf"&{_TRACK}=[^&]*", ""),                # 3. tracking params (mid/late)
+    (rf"\?{_TRACK}=[^&]*&", "?"),             # 4. leading tracking param
+    (rf"\?{_TRACK}=[^&]*$", ""),              # 5. only tracking param
+    (r"/$", ""),                              # 6. trailing slash
+)
+
+
+def canonicalize_url_series(urls: pd.Series) -> pd.Series:
+    """Vectorized canon_v1: lowercase the scheme://host[:port] prefix
+    (paths stay case-sensitive — the URL standard), then the frozen
+    regex passes in order."""
+    prefix = urls.str.extract(r"^([^/?#]+//[^/?#]+)", expand=False).fillna("")
+    rest = urls.str.slice(start=0).str.replace(
+        r"^[^/?#]+//[^/?#]+", "", regex=True
+    )
+    out = prefix.str.lower() + rest
+    for pat, repl in CANON_PASSES:
+        out = out.str.replace(pat, repl, regex=True)
+    return out
+
+
+def canonicalize_urls(ds, url_col: str = "url", id_col: str = "doc_id"):
+    """Streaming map: (id, url, canon_url) per row — no shuffle."""
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].astype(np.int64),
+                url_col: batch[url_col].astype(str),
+                "canon_url": canonicalize_url_series(batch[url_col].astype(str)),
+            }
+        )
+
+    return ds.map_batches(canon, batch_format="pandas", batch_size=8192)
+
+
+def canonical_url_dedup(ds, url_col: str = "url", id_col: str = "doc_id"):
+    """One survivor per distinct canonical URL: (doc_id=min id,
+    n_copies) — canonicalize in the map, then the exact_dedup shape
+    (shuffle moves only (hash, id) pairs, one bucketed exchange,
+    group count bounded by buckets not distinct URLs)."""
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        canon = canonicalize_url_series(batch[url_col].astype(str))
+        return pd.DataFrame(
+            {
+                "h": stable_hash64(canon.to_numpy()).astype(np.uint64),
+                id_col: batch[id_col].astype(np.int64),
+            }
+        )
+
+    def first_per_key(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("h", as_index=False).agg(
+            doc_id=(id_col, "min"), n_copies=(id_col, "size")
+        )
+        return g[["doc_id", "n_copies"]].astype(np.int64)
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas", batch_size=8192)
+    return bucketed_group_agg(hashed, ["h"], first_per_key)
+
+
+def extract_host_series(urls: pd.Series) -> pd.Series:
+    """Lowercased host (port stripped) — the domain-filter key."""
+    return (
+        urls.str.extract(r"^[^/?#]+//([^/?#:]+)", expand=False)
+        .fillna("")
+        .str.lower()
+    )
+
+
+def domain_counts(ds, url_col: str = "url", blocked=()):
+    """Doc counts per host AFTER dropping blocked domains — the
+    crawl-curation blocklist step.  The blocklist is broadcast once via
+    the task closure (small by contract); per-batch value_counts
+    combiner partials are the only rows shuffled (≤ distinct hosts per
+    batch), summed in one bucketed exchange.  Returns (host, n_docs)."""
+    blocked_set = frozenset(str(b).lower() for b in blocked)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hosts = extract_host_series(batch[url_col].astype(str))
+        if blocked_set:
+            hosts = hosts[~hosts.isin(blocked_set)]
+        vc = hosts.value_counts()
+        return pd.DataFrame(
+            {"host": vc.index.to_numpy(dtype=object), "n": vc.to_numpy(np.int64)}
+        )
+
+    def reduce_host(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("host", as_index=False)["n"].sum()
+        return pd.DataFrame(
+            {"host": g["host"], "n_docs": g["n"].astype(np.int64)}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+    return bucketed_group_agg(partials, ["host"], reduce_host)

@@ -1,0 +1,102 @@
+"""Webtext URL operators: frozen canon_v1 canonicalization rules,
+canonical-URL dedup, domain blocklist counts."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kafka_es_ray.pipelines.webtext import (
+    canonical_url_dedup,
+    canonicalize_url_series,
+    canonicalize_urls,
+    domain_counts,
+    extract_host_series,
+)
+
+
+CASES = [
+    # lowercase scheme+host only; path keeps case
+    ("HTTPS://WWW.Ex.COM/Page/One", "https://www.ex.com/Page/One"),
+    # fragment stripped
+    ("https://ex.com/a#frag", "https://ex.com/a"),
+    # default ports stripped (https:443, http:80); other ports kept
+    ("https://ex.com:443/a", "https://ex.com/a"),
+    ("http://ex.com:80/a", "http://ex.com/a"),
+    ("https://ex.com:443", "https://ex.com"),
+    ("https://ex.com:8443/a", "https://ex.com:8443/a"),
+    ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+    # tracking params removed wherever they sit; others preserved in order
+    ("https://ex.com/a?utm_source=x", "https://ex.com/a"),
+    ("https://ex.com/a?utm_source=x&q=1", "https://ex.com/a?q=1"),
+    ("https://ex.com/a?q=1&utm_medium=y", "https://ex.com/a?q=1"),
+    ("https://ex.com/a?q=1&fbclid=z&r=2", "https://ex.com/a?q=1&r=2"),
+    ("https://ex.com/a?utm_a=1&utm_b=2", "https://ex.com/a"),
+    ("https://ex.com/a?gclid=g&utm_x=1&q=3", "https://ex.com/a?q=3"),
+    # trailing slash stripped (root too)
+    ("https://ex.com/a/", "https://ex.com/a"),
+    ("https://ex.com/", "https://ex.com"),
+    # combined
+    (
+        "HTTPS://Ex.COM:443/A/b/?utm_source=f&ref=2#top",
+        "https://ex.com/A/b/?ref=2",
+    ),
+]
+
+
+def test_canon_v1_rules():
+    urls = pd.Series([u for u, _ in CASES])
+    want = [w for _, w in CASES]
+    assert canonicalize_url_series(urls).tolist() == want
+
+
+def test_extract_host():
+    s = pd.Series(
+        ["https://Ex.COM:443/a", "http://sub.Ex.org/b?q=1", "https://h.io#f"]
+    )
+    assert extract_host_series(s).tolist() == ["ex.com", "sub.ex.org", "h.io"]
+
+
+@pytest.fixture()
+def url_ds(ray_session):
+    import ray.data as rd
+
+    n = 60
+    i = np.arange(n, dtype=np.int64)
+    urls = pd.Series(
+        ["https://ExAmple%d.COM" % (k % 3) for k in i]
+    ) + "/p/" + pd.Series((i % 10).astype(str)) + np.where(
+        i % 2 == 0, "?utm_source=x", ""
+    ) + np.where(i % 4 == 0, "#f", "")
+    df = pd.DataFrame({"doc_id": i, "url": urls})
+    return rd.from_pandas(df), df
+
+
+def test_canonicalize_urls_dataset(url_ds):
+    ds, df = url_ds
+    out = canonicalize_urls(ds).to_pandas().sort_values("doc_id")
+    want = canonicalize_url_series(df["url"]).tolist()
+    assert out["canon_url"].tolist() == want
+
+
+def test_canonical_url_dedup_matches_bruteforce(url_ds):
+    ds, df = url_ds
+    got = (
+        canonical_url_dedup(ds).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    canon = canonicalize_url_series(df["url"])
+    want = (
+        df.assign(c=canon).groupby("c", as_index=False)
+        .agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        [["doc_id", "n_copies"]].sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want.astype(np.int64))
+
+
+def test_domain_counts_blocklist(url_ds):
+    ds, df = url_ds
+    got = domain_counts(ds, blocked=("example1.com",)).to_pandas()
+    hosts = extract_host_series(df["url"])
+    want = hosts[hosts != "example1.com"].value_counts()
+    assert dict(zip(got["host"], got["n_docs"])) == want.to_dict()
+    assert "example1.com" not in set(got["host"])
