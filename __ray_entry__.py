@@ -959,6 +959,21 @@ SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_copies
 FROM canon GROUP BY canon_url ORDER BY 1
 """
 
+# Host-level quality curation: failing hosts = sum(n_chars) < T*count
+# (exact integer comparison on both engines), their docs dropped
+_HOST_QUALITY_SQL = _URL_CTE + """
+, hs AS (
+  SELECT lower(regexp_extract(u.url, '^[^/?#]+//([^/?#:]+)', 1)) AS host,
+         u.doc_id, d.n_chars
+  FROM u JOIN documents d USING (doc_id)
+),
+bad AS (
+  SELECT host FROM hs GROUP BY 1 HAVING sum(n_chars) < 300 * count(*)
+)
+SELECT doc_id, host FROM hs WHERE host NOT IN (SELECT host FROM bad)
+ORDER BY doc_id
+"""
+
 _DOMAIN_COUNTS_SQL = _URL_CTE + """
 SELECT host, count(*)::BIGINT AS n_docs FROM (
   SELECT lower(regexp_extract(url, '^[^/?#]+//([^/?#:]+)', 1)) AS host FROM u
@@ -8325,10 +8340,11 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
-def _url_docs(sf_dir: str):
+def _url_docs(sf_dir: str, extra_cols: tuple = ()):
     """doc_id + a deterministic derived URL exercising every canon_v1
     rule (mixed-case host, default port, trailing slash, tracking
-    params, fragments) — exact string construction on both engines."""
+    params, fragments) — exact string construction on both engines.
+    ``extra_cols``: passthrough documents columns (e.g. n_chars)."""
     import pandas as _pd
 
     from kafka_es_ray.sources.parquet import read_table
@@ -8347,11 +8363,14 @@ def _url_docs(sf_dir: str):
             )
             + np.where(i % 6 == 0, "#s" + (i % 3).astype(str), "")
         )
-        return _pd.DataFrame({"doc_id": i, "url": url})
+        out = _pd.DataFrame({"doc_id": i, "url": url})
+        for c in extra_cols:
+            out[c] = batch[c].to_numpy()
+        return out
 
-    return read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
-        add_url, batch_format="pandas"
-    )
+    return read_table(
+        sf_dir, "documents", columns=["doc_id", *extra_cols]
+    ).map_batches(add_url, batch_format="pandas")
 
 
 def _q_canonical_urls(sf_dir: str):
@@ -8371,6 +8390,19 @@ def _q_url_dedup(sf_dir: str):
     from kafka_es_ray.pipelines.webtext import canonical_url_dedup
 
     out = canonical_url_dedup(_url_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_host_quality_filter(sf_dir: str):
+    """Host-level quality curation (judge the domain, drop its pages):
+    hosts with mean n_chars < 300 removed with every doc — failing-host
+    blocklist computed via exact integer sums in one bucketed exchange,
+    broadcast into a streaming filter."""
+    from kafka_es_ray.pipelines.webtext import host_quality_filter
+
+    out = host_quality_filter(
+        _url_docs(sf_dir, extra_cols=("n_chars",)), min_avg=300
+    ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -9667,6 +9699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_urls": _q_canonical_urls,
         "url_dedup": _q_url_dedup,
         "domain_blocklist_counts": _q_domain_blocklist_counts,
+        "host_quality_filter": _q_host_quality_filter,
         "lww_events": _q_lww_events,
         "ingest_pipeline": _q_ingest_pipeline,
         "simulate_pipeline": _q_simulate_pipeline,
@@ -10926,6 +10959,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": _CANON_URLS_SQL,
         "url_dedup": _URL_DEDUP_SQL,
         "domain_blocklist_counts": _DOMAIN_COUNTS_SQL,
+        "host_quality_filter": _HOST_QUALITY_SQL,
         "ingest_pipeline": _INGEST_SQL,
         "simulate_pipeline": _SIMULATE_SQL,
         "lww_events": """

@@ -98,6 +98,62 @@ def extract_host_series(urls: pd.Series) -> pd.Series:
     )
 
 
+def host_quality_filter(
+    ds,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    metric_col: str = "n_chars",
+    min_avg: int = 100,
+):
+    """Host-level quality curation (the RefinedWeb/CCNet shape: judge the
+    DOMAIN, drop all its pages): hosts whose mean ``metric_col`` over
+    their docs is below ``min_avg`` are removed with every doc they
+    contributed.  Two streaming passes:
+
+    1. per-host (n, sum) combiner partials -> one bucketed exchange; the
+       reduce emits ONLY failing hosts (`sum < min_avg * n`, exact
+       integer comparison — no float averaging), so the driver collects
+       the blocklist side, which is the small side by construction;
+    2. the blocklist broadcasts into a filter map over the doc stream.
+
+    Scale note: the exchange carries one row per (batch, host) partial —
+    domains, never pages; the driver holds only failing hosts.
+    Returns the surviving (id, host) rows."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        hosts = extract_host_series(batch[url_col].astype(str))
+        g = (
+            pd.DataFrame(
+                {"host": hosts, "m": batch[metric_col].to_numpy(np.int64)}
+            )
+            .groupby("host", as_index=False)
+            .agg(n=("m", "size"), s=("m", "sum"))
+        )
+        return g.astype({"n": np.int64, "s": np.int64})
+
+    def failing(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("host", as_index=False)[["n", "s"]].sum()
+        bad = g[g["s"] < min_avg * g["n"]]
+        return bad[["host"]]
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+    bad_df = bucketed_group_agg(partials, ["host"], failing).to_pandas()
+    # rule 8b: a 0-row Dataset.to_pandas() drops every column
+    bad_hosts = frozenset() if len(bad_df) == 0 else frozenset(bad_df["host"])
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        hosts = extract_host_series(batch[url_col].astype(str))
+        ok = ~hosts.isin(bad_hosts)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(np.int64)[ok.to_numpy()],
+                "host": hosts[ok].to_numpy(dtype=object),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pandas", batch_size=8192)
+
+
 def domain_counts(ds, url_col: str = "url", blocked=()):
     """Doc counts per host AFTER dropping blocked domains — the
     crawl-curation blocklist step.  The blocklist is broadcast once via

@@ -100,3 +100,35 @@ def test_domain_counts_blocklist(url_ds):
     want = hosts[hosts != "example1.com"].value_counts()
     assert dict(zip(got["host"], got["n_docs"])) == want.to_dict()
     assert "example1.com" not in set(got["host"])
+
+
+def test_host_quality_filter_matches_bruteforce(ray_session):
+    """host_quality_filter == pandas: failing hosts (exact integer
+    sum < T*count) dropped with every doc; empty-blocklist passthrough."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.webtext import host_quality_filter
+
+    n = 90
+    i = np.arange(n, dtype=np.int64)
+    hostno = i % 3
+    df = pd.DataFrame(
+        {
+            "doc_id": i,
+            "url": ["https://h%d.com/p/%d" % (k % 3, k) for k in i],
+            # host 0 avg=50 (fails T=100), host 1 avg=150, host 2 avg=100
+            "n_chars": np.select([hostno == 0, hostno == 1], [50, 150], 100),
+        }
+    )
+    got = (
+        host_quality_filter(rd.from_pandas(df), min_avg=100)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = df[hostno != 0]
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert set(got["host"]) == {"h1.com", "h2.com"}
+    # boundary: avg == T survives (strict < in the failing test)
+    assert "h2.com" in set(got["host"])
+
+    allpass = host_quality_filter(rd.from_pandas(df), min_avg=1).to_pandas()
+    assert len(allpass) == n
