@@ -6354,6 +6354,22 @@ def _q_runtime_stats_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_change_point_agg(sf_dir: str):
+    """ES change_point pipeline aggregation (deterministic spike / dip /
+    step_change / stationary detectors over the monthly bucket counts).
+    Rows-only: the leave-one-out z and argmin-SSE split are not cleanly
+    SQL-expressible; correctness comes from the planted-shape pytest."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_change_point
+
+    idx, cfg, queries = _agg_index_build(sf_dir, numeric=("ts",), derived=True)
+    try:
+        return run_agg_change_point(queries, idx, "ts", "month", cfg=cfg)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_bucket_correlation(sf_dir: str):
     """ES bucket_correlation pipeline aggregation (Pearson core): per
     derived query, the correlation between the monthly date_histogram
@@ -9572,6 +9588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adjacency_matrix_agg": _q_adjacency_matrix,
         "moving_fn_agg": _q_moving_fn,
         "bucket_correlation_agg": _q_bucket_correlation,
+        "change_point_agg": _q_change_point_agg,
         "bucket_count_ks_agg": _q_bucket_count_ks,
         "serial_diff_agg": _q_serial_diff,
         "bucket_sort_agg": _q_bucket_sort,

@@ -8758,6 +8758,82 @@ def run_agg_bucket_count_ks_test(
     )
 
 
+def run_agg_change_point(
+    queries_ds, index_dir: str, field: str, calendar_interval: str = "month",
+    cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES change_point pipeline aggregation (the aggregations-ML sibling
+    agg), deterministic subset of its published detectors over each
+    query's date_histogram bucket counts (bucket_ts order):
+
+    - ``spike`` / ``dip``: the bucket whose count deviates most from the
+      out-of-bucket mean, when that deviation exceeds 3 out-of-bucket
+      standard deviations (the classic z-test shape);
+    - ``step_change``: the split minimizing SSE_left + SSE_right, when
+      it removes >= 50% of the total SSE (CUSUM-style single change
+      point) — reported bucket = the first bucket of the right side;
+    - ``stationary`` otherwise (bucket_ts = -1).
+
+    Spike/dip wins over step_change when both fire (a single outlier
+    also splits well).  All driver-side over the tiny bucket frame; one
+    distributed bucket-count sweep.  Queries need >= 4 buckets (ES
+    requires a minimum window; fewer -> stationary).
+    Returns (query_id, change_type, bucket_ts)."""
+    b = run_agg_date_histogram(
+        queries_ds, index_dir, field, calendar_interval, cfg, concurrency,
+        min_doc_count=0,
+    )
+    rows = []
+    if len(b):
+        for qid, g in b.groupby("query_id", sort=True):
+            n = g["n_docs"].to_numpy(np.float64)
+            ts = g["bucket_ts"].to_numpy(np.int64)
+            k = len(n)
+            if k < 4:
+                rows.append((int(qid), "stationary", -1))
+                continue
+            total = n.sum()
+            # spike/dip: leave-one-out z-score per bucket
+            best_z, best_i = 0.0, -1
+            for i in range(k):
+                rest = np.delete(n, i)
+                sd = rest.std()
+                if sd == 0.0:
+                    # zero out-of-bucket variance: any deviation is an
+                    # infinite z, signed by its direction
+                    diff = n[i] - rest.mean()
+                    z = 0.0 if diff == 0.0 else np.copysign(np.inf, diff)
+                else:
+                    z = (n[i] - rest.mean()) / sd
+                if abs(z) > abs(best_z):
+                    best_z, best_i = z, i
+            if abs(best_z) >= 3.0:
+                rows.append(
+                    (
+                        int(qid),
+                        "spike" if best_z > 0 else "dip",
+                        int(ts[best_i]),
+                    )
+                )
+                continue
+            # step_change: best single split by SSE reduction
+            sse_total = float(((n - n.mean()) ** 2).sum())
+            best_sse, best_s = np.inf, -1
+            for s in range(1, k):
+                l, r = n[:s], n[s:]
+                sse = float(((l - l.mean()) ** 2).sum()) + float(
+                    ((r - r.mean()) ** 2).sum()
+                )
+                if sse < best_sse:
+                    best_sse, best_s = sse, s
+            if sse_total > 0 and best_sse <= 0.5 * sse_total:
+                rows.append((int(qid), "step_change", int(ts[best_s])))
+            else:
+                rows.append((int(qid), "stationary", -1))
+    out = pd.DataFrame(rows, columns=["query_id", "change_type", "bucket_ts"])
+    return out.astype({"query_id": np.int64, "bucket_ts": np.int64})
+
+
 def run_agg_moving_fn(
     queries_ds, index_dir: str, field: str, metric_field: str,
     window: int = 3, calendar_interval: str = "month",

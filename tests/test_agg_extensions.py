@@ -907,3 +907,55 @@ def test_runtime_field_stats(agg_index, ray_session):
     np.testing.assert_allclose(got["min_val"].iloc[0], v.min(), atol=1e-6)
     np.testing.assert_allclose(got["max_val"].iloc[0], v.max(), atol=1e-6)
     np.testing.assert_allclose(got["avg_val"].iloc[0], v.mean(), atol=1e-6)
+
+
+def test_change_point_planted_shapes(ray_session, tmp_path):
+    """run_agg_change_point detects planted spike / dip / step_change and
+    reports stationary for flat series (documented deterministic rules:
+    leave-one-out z >= 3 for spike/dip, SSE halving for step)."""
+    import ray.data as rd
+
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.query.engine import run_agg_change_point
+
+    months = [  # 2020-01 .. 2020-08 bucket starts (UTC epoch)
+        1577836800, 1580515200, 1583020800, 1585699200,
+        1588291200, 1590969600, 1593561600, 1596240000,
+    ]
+    plans = {
+        "spiketerm": [5, 5, 5, 50, 5, 5, 5, 5],
+        "dipterm": [20, 20, 20, 2, 20, 20, 20, 20],
+        "stepterm": [5, 5, 5, 5, 25, 25, 25, 25],
+        "flatterm": [7] * 8,
+    }
+    rows = []
+    for term, counts in plans.items():
+        for mi, c in enumerate(counts):
+            for j in range(c):
+                rows.append(
+                    {
+                        "url": f"{term}-{mi}-{j}",
+                        "text": f"{term} filler",
+                        "lang": "en",
+                        "ts": float(months[mi] + j),
+                    }
+                )
+    df = pd.DataFrame(rows)
+    cfg = EngineConfig(num_partitions=4, numeric_cols=("ts",))
+    idx = str(tmp_path / "cpidx")
+    build_index(rd.from_pandas(df), idx, cfg, html_col=None, ts_col=None)
+
+    q = pd.DataFrame(
+        {"query_id": range(4), "text": list(plans)}
+    )
+    got = run_agg_change_point(q, idx, "ts", "month", cfg=cfg)
+    out = {int(r.query_id): (r.change_type, int(r.bucket_ts)) for r in got.itertuples()}
+    assert out[0] == ("spike", months[3])
+    assert out[1] == ("dip", months[3])
+    assert out[2] == ("step_change", months[4])
+    assert out[3] == ("stationary", -1)
+
+    # < 4 buckets -> stationary (minimum window)
+    q2 = pd.DataFrame({"query_id": [0], "text": ["flatterm"]})
+    few = run_agg_change_point(q2, idx, "ts", "year", cfg=cfg)
+    assert few["change_type"].tolist() == ["stationary"]
