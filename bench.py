@@ -232,6 +232,8 @@ def run_bench() -> dict:
         "ann_sq8_rescore_topk",
         "cap_per_source",
         "global_shuffle",
+        "url_dedup",
+        "host_quality_filter",
     )
     if op_names:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
