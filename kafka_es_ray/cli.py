@@ -120,6 +120,11 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--registry", required=True, help="alias registry JSON path")
     al.add_argument("--name", default=None)
     al.add_argument("--indexes", nargs="*", default=None)
+    al.add_argument(
+        "--filter-lang", default=None,
+        help="make it a FILTERED alias: searches through it apply this "
+        "lang term filter (ES aliases filter analog)",
+    )
 
     tp = sub.add_parser("template", help="manage index templates (ES _index_template)")
     tp.add_argument("action", choices=["put", "delete", "list"])
@@ -278,10 +283,19 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"n_docs": manifest["n_docs"], "parts": len(manifest["parts"]), "metrics": manifest["metrics"]}))
     elif args.cmd == "query":
-        from kafka_es_ray.index.aliases import resolve
+        from kafka_es_ray.index.aliases import resolve_full
         from kafka_es_ray.query.engine import IndexSearcher
 
-        targets = resolve(args.registry, args.index) if args.registry else [args.index]
+        targets, alias_filter = (
+            resolve_full(args.registry, args.index)
+            if args.registry
+            else ([args.index], None)
+        )
+        # a FILTERED alias's implicit lang filter; an explicit
+        # --filter-lang wins (the ES filtered-alias + query-filter AND
+        # collapses to the narrower one for the single-field case)
+        if alias_filter is not None and not args.filter_lang:
+            args.filter_lang = alias_filter
         if len(targets) > 1:
             # alias over several indexes -> the distributed multi-index path
             import pandas as pd
@@ -291,7 +305,7 @@ def main(argv: list[str] | None = None) -> int:
 
             qdf = pd.DataFrame(
                 {"query_id": [0], "text": [args.text], "operator": [args.operator],
-                 "k": [args.k]}
+                 "k": [args.k], "filter_lang": [args.filter_lang]}
             )
             print(run_queries(qdf, targets).to_pandas().to_string(index=False))
             if own_session:
@@ -399,7 +413,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.action == "add":
             if not args.name or not args.indexes:
                 p.error("alias add needs --name and --indexes")
-            print(json.dumps(add_alias(args.registry, args.name, args.indexes)))
+            print(json.dumps(add_alias(
+                args.registry, args.name, args.indexes,
+                filter_lang=args.filter_lang,
+            )))
         elif args.action == "remove":
             if not args.name:
                 p.error("alias remove needs --name")

@@ -28,17 +28,32 @@ def list_aliases(registry_path: str) -> dict:
     return {k: v for k, v in _load(registry_path).items() if k != "_templates"}
 
 
-def add_alias(registry_path: str, alias: str, index_dirs: list[str]) -> dict:
+def add_alias(
+    registry_path: str, alias: str, index_dirs: list[str],
+    filter_lang: str | None = None,
+) -> dict:
     """Point ``alias`` at ``index_dirs`` (replacing any previous target
     set — the ES actions=[{remove},{add}] swap collapses to one call).
-    Every target must be a committed index (manifest present)."""
+    Every target must be a committed index (manifest present).
+
+    ``filter_lang``: an ES FILTERED alias — every search through the
+    alias implicitly applies this lang term filter (the ES
+    ``aliases: {a: {filter: {term: ...}}}`` shape; lang is the engine's
+    built-in keyword field).  Stored as the dict registry form; plain
+    aliases keep the legacy list form so existing registries read
+    unchanged."""
     if alias.startswith("_"):
         raise ValueError(f"alias names may not start with '_': {alias!r}")
     for d in index_dirs:
         if not os.path.exists(os.path.join(d, "manifest.json")):
             raise ValueError(f"not a committed index (no manifest): {d}")
     reg = _load(registry_path)
-    reg[alias] = [os.path.abspath(d) for d in index_dirs]
+    dirs = [os.path.abspath(d) for d in index_dirs]
+    reg[alias] = (
+        {"targets": dirs, "filter_lang": str(filter_lang)}
+        if filter_lang is not None
+        else dirs
+    )
     atomic_write_json(reg, registry_path)
     return {k: v for k, v in reg.items() if k != "_templates"}
 
@@ -162,7 +177,7 @@ def rollover(
 
     if max_docs is None and max_age_s is None and max_size_bytes is None:
         raise ValueError("rollover: need max_docs, max_age_s and/or max_size_bytes")
-    targets = resolve(registry_path, alias)
+    targets, alias_filter = resolve_full(registry_path, alias)
     write = targets[-1]
     m = read_manifest(write)
     n = int(m["n_docs"])
@@ -204,7 +219,9 @@ def rollover(
         ),
         html_col=None, ts_col=None,
     )
-    add_alias(registry_path, alias, [*targets, new_index_dir])
+    add_alias(
+        registry_path, alias, [*targets, new_index_dir], filter_lang=alias_filter
+    )
     return {"rolled": True, **{**status, "write_index": new_index_dir}}
 
 
@@ -212,10 +229,21 @@ def resolve(registry_path: str | None, name: str) -> list[str]:
     """Resolve a name to index directories: a registered alias returns
     its target list; anything else must be an index directory itself and
     passes through (so every query entry point accepts both)."""
+    return resolve_full(registry_path, name)[0]
+
+
+def resolve_full(
+    registry_path: str | None, name: str
+) -> tuple[list[str], str | None]:
+    """(index_dirs, filter_lang) — filter_lang is the filtered alias's
+    implicit lang term filter (None for plain aliases / direct dirs)."""
     if registry_path:
         reg = _load(registry_path)
         if name in reg and name != "_templates":
-            return list(reg[name])
+            ent = reg[name]
+            if isinstance(ent, dict):
+                return list(ent["targets"]), ent.get("filter_lang")
+            return list(ent), None
     if os.path.exists(os.path.join(name, "manifest.json")):
-        return [name]
+        return [name], None
     raise ValueError(f"unknown alias / not an index directory: {name!r}")

@@ -3116,6 +3116,10 @@ class _SegmentCacheStage:
         # str = single index; list = ES multi-index search (/idx1,idx2/_search):
         # batch rows then carry an index_id column selecting the directory
         self.index_dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+        # the driver's multi test is list-ness, NOT target count: a
+        # 1-element list (alias over one index, fresh rollover) still
+        # merges on an index_id column — the stage must emit it
+        self.multi = not isinstance(index_dir, str)
         self.index_dir = self.index_dirs[0]
         self.cfg = cfg
         self._init_payload(ray.get(plan_ref))
@@ -3509,7 +3513,7 @@ class ShardScorerStage(_SegmentCacheStage):
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
-        multi = len(self.index_dirs) > 1
+        multi = self.multi
         iids = (
             batch["index_id"].astype(int).to_numpy()
             if "index_id" in batch.columns
@@ -10508,7 +10512,7 @@ class KnnStage(_SegmentCacheStage):
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
-        multi = len(self.index_dirs) > 1
+        multi = self.multi
         iids = (
             batch["index_id"].astype(int).to_numpy()
             if "index_id" in batch.columns

@@ -168,3 +168,51 @@ def test_index_templates(two_indexes, tmp_path, ray_session):
     assert m["mappings"]["keyword_cols"] == ["site"]
     # aliases listing keeps hiding the template section
     assert "_templates" not in list_aliases(reg)
+
+
+def test_filtered_alias(ray_session, tmp_path):
+    """ES filtered alias: searches through it implicitly apply the
+    stored lang term filter — resolve_full round-trip, CLI query path,
+    rollover preserves the filter, legacy list form coexists."""
+    import ray.data as rd
+
+    from kafka_es_ray.index.aliases import resolve_full, rollover
+    from kafka_es_ray.query.engine import IndexSearcher
+
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(40)],
+            "text": ["silver copper"] * 40,
+            "lang": ["en"] * 25 + ["de"] * 15,
+        }
+    )
+    d = str(tmp_path / "fidx")
+    build_index(rd.from_pandas(docs), d, CFG, html_col=None, ts_col=None)
+    reg = str(tmp_path / "aliases.json")
+    add_alias(reg, "plain", [d])
+    add_alias(reg, "german", [d], filter_lang="de")
+
+    assert resolve_full(reg, "plain") == ([d], None)
+    assert resolve_full(reg, "german") == ([d], "de")
+    assert resolve(reg, "german") == [d]  # legacy accessor still works
+    assert list_aliases(reg)["german"]["filter_lang"] == "de"
+
+    # search semantics: the filter is the alias's contract
+    s = IndexSearcher(d, CFG)
+    dirs, fl = resolve_full(reg, "german")
+    hits = s.search("silver", k=100, filter_lang=fl)
+    assert len(hits) == 15
+
+    # distributed path: filter_lang query column
+    q = pd.DataFrame(
+        {"query_id": [0], "text": ["silver"], "k": [100], "filter_lang": [fl]}
+    )
+    out = run_queries(q, dirs).to_pandas()
+    assert len(out) == 15
+
+    # rollover keeps the filter on the repointed alias
+    new_dir = str(tmp_path / "fidx-g2")
+    r = rollover(reg, "german", new_dir, max_docs=1, cfg=CFG)
+    assert r["rolled"]
+    dirs2, fl2 = resolve_full(reg, "german")
+    assert fl2 == "de" and dirs2 == [d, new_dir]
