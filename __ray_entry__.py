@@ -3905,7 +3905,7 @@ FROM topk WHERE rank <= 10 ORDER BY 1, 2
 """
 
 
-def _q_rrf_hybrid_topk(sf_dir: str):
+def _q_rrf_hybrid_topk(sf_dir: str, _tree: bool = False):
     """ES hybrid search (RRF retriever): BM25 over the derived queries
     0-2 + exact kNN over embeddings 0-2, both to depth 20, fused as
     round6(sum 1/(60 + rank)) — the documents index carries the
@@ -3956,7 +3956,22 @@ def _q_rrf_hybrid_topk(sf_dir: str):
                 "k": np.int32(10),
             }
         )
-        out = run_rrf(queries, idx, "emb", cfg, rank_window=20, rank_constant=60)
+        if _tree:
+            # same plan expressed as the nested retriever-tree spec —
+            # rank-identical to run_rrf (pytest equivalence), so it
+            # shares the rrf SQL oracle
+            from kafka_es_ray.query.engine import run_retriever
+
+            spec = {
+                "rrf": {
+                    "retrievers": [{"standard": {}}, {"knn": {"field": "emb"}}],
+                    "rank_window_size": 20,
+                    "rank_constant": 60,
+                }
+            }
+            out = run_retriever(queries, idx, spec, cfg)
+        else:
+            out = run_rrf(queries, idx, "emb", cfg, rank_window=20, rank_constant=60)
         return (
             out[["query_id", "rank", "doc_id", "score"]]
             .sort_values(["query_id", "rank"])
@@ -3964,6 +3979,13 @@ def _q_rrf_hybrid_topk(sf_dir: str):
         )
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def _q_retriever_tree_topk(sf_dir: str):
+    """ES retriever TREE (the modern nested ``retriever`` search body):
+    run_retriever evaluating rrf over [standard, knn] — the same plan as
+    rrf_hybrid_topk via the generic N-ary tree evaluator."""
+    return _q_rrf_hybrid_topk(sf_dir, _tree=True)
 
 
 def _q_linear_hybrid_topk(sf_dir: str):
@@ -9544,6 +9566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": _q_knn_topk,
         "knn_filtered_topk": _q_knn_filtered_topk,
         "rrf_hybrid_topk": _q_rrf_hybrid_topk,
+        "retriever_tree_topk": _q_retriever_tree_topk,
         "sort_by_field": _q_sort_by_field,
         "runtime_sort_topk": _q_runtime_sort_topk,
         "runtime_stats_agg": _q_runtime_stats_agg,
@@ -9846,6 +9869,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_topk": _KNN_SQL,
         "knn_filtered_topk": _KNN_FILTERED_SQL,
         "rrf_hybrid_topk": _RRF_SQL,
+        "retriever_tree_topk": _RRF_SQL,
         # multi-index over a parity split == the combined single index;
         # index_id (ES _index) falls out of the parity rule
         "indices_boost_topk": _INDICES_BOOST_SQL,

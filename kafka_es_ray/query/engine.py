@@ -10921,6 +10921,137 @@ def run_linear(
     return pd.concat(out, ignore_index=True)
 
 
+def _rank_cut(frame: pd.DataFrame, depth_of) -> pd.DataFrame:
+    """(query_id, doc_id, score) -> ranked top-depth per query with the
+    engine tie-break (score desc, doc_id asc); ``depth_of(qid)`` gives
+    each query's cut."""
+    out = []
+    for qid, g in frame.groupby("query_id", sort=True):
+        ids = g["doc_id"].to_numpy(np.int64)
+        sc = g["score"].to_numpy(np.float64)
+        order = np.lexsort((ids, -sc))[: int(depth_of(int(qid)))]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.int64(qid),
+                    "rank": np.arange(1, order.size + 1, dtype=np.int64),
+                    "doc_id": ids[order],
+                    "score": sc[order],
+                }
+            )
+        )
+    if not out:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64),
+            }
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def run_retriever(
+    queries_ds,
+    index_dir,
+    spec: dict,
+    cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """ES retriever TREE (the modern ``retriever`` search body): evaluate
+    an arbitrary nested spec of retrievers —
+
+    - ``{"standard": {}}`` — BM25 over each query row's ``text``;
+    - ``{"knn": {"field": f}}`` — exact kNN over each row's ``vec``;
+    - ``{"rrf": {"retrievers": [...], "rank_window_size": W,
+      "rank_constant": C}}`` — reciprocal rank fusion over ANY number of
+      child retrievers (generalizes run_rrf's fixed text+vec pair;
+      children may themselves be rrf/linear trees);
+    - ``{"linear": {"retrievers": [{"retriever": spec, "weight": w},
+      ...], "rank_window_size": W, "normalizer": "minmax"|"none"}}`` —
+      weighted normalized fusion with run_linear's frozen conventions
+      (per-query minmax over each child's round6'd window scores,
+      degenerate window -> 1.0, absent doc contributes 0).
+
+    Leaves run DISTRIBUTED (run_queries / run_knn); every fusion is
+    driver-side BY DESIGN — its input is (children x rank_window) rows
+    per unique query, never corpus-scale.  Rank/tie contract matches the
+    other retrievers: round6 score desc, doc_id asc.  Returns
+    (query_id, rank, doc_id, score) cut to each query row's ``k``
+    (default 10)."""
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    k_out = (
+        queries.set_index("query_id")["k"].astype(int).to_dict()
+        if "k" in queries.columns
+        else {}
+    )
+
+    def ev(node: dict, depth: int) -> pd.DataFrame:
+        if "standard" in node:
+            q = queries[
+                [c for c in ("query_id", "text", "lang") if c in queries.columns]
+            ].assign(k=np.int32(depth))
+            out = run_queries(q, index_dir, cfg, concurrency).to_pandas()
+            return out[["query_id", "rank", "doc_id", "score"]]
+        if "knn" in node:
+            q = queries[["query_id", "vec"]].assign(k=np.int32(depth))
+            out = run_knn(
+                q, index_dir, node["knn"]["field"], cfg, concurrency
+            ).to_pandas()
+            return out[["query_id", "rank", "doc_id", "score"]]
+        if "rrf" in node:
+            n = node["rrf"]
+            w = int(n.get("rank_window_size", 100))
+            c = int(n.get("rank_constant", 60))
+            kids = [ev(r, w) for r in n["retrievers"]]
+            contrib = pd.concat(
+                [k.assign(score=1.0 / (c + k["rank"].to_numpy(np.float64)))
+                 for k in kids],
+                ignore_index=True,
+            )
+            g = contrib.groupby(["query_id", "doc_id"], as_index=False)["score"].sum()
+            g["score"] = round6(g["score"].to_numpy(np.float64))
+            return _rank_cut(g, lambda q_: depth)
+        if "linear" in node:
+            n = node["linear"]
+            w = int(n.get("rank_window_size", 100))
+            norm = n.get("normalizer", "minmax")
+            if norm not in ("minmax", "none"):
+                raise ValueError(f"linear retriever normalizer: {norm!r}")
+            parts = []
+            for ent in n["retrievers"]:
+                kid = ev(ent["retriever"], w)
+                wt = float(ent.get("weight", 1.0))
+                if norm == "minmax" and len(kid):
+                    def mm(s: pd.Series) -> pd.Series:
+                        v = s.to_numpy(np.float64)
+                        lo, hi = v.min(), v.max()
+                        if hi == lo:
+                            # degenerate window -> every retrieved doc a
+                            # full-weight hit (run_linear's frozen rule)
+                            return pd.Series(np.ones_like(v), index=s.index)
+                        return pd.Series((v - lo) / (hi - lo), index=s.index)
+
+                    kid = kid.assign(
+                        score=kid.groupby("query_id")["score"].transform(mm)
+                    )
+                parts.append(kid.assign(score=kid["score"] * wt))
+            g = (
+                pd.concat(parts, ignore_index=True)
+                .groupby(["query_id", "doc_id"], as_index=False)["score"].sum()
+            )
+            g["score"] = round6(g["score"].to_numpy(np.float64))
+            return _rank_cut(g, lambda q_: depth)
+        raise ValueError(f"unknown retriever node: {sorted(node)!r}")
+
+    top = ev(spec, max([*k_out.values(), 10]))
+    return _rank_cut(
+        top.rename(columns={})[["query_id", "doc_id", "score"]],
+        lambda q_: k_out.get(q_, 10),
+    )
+
+
 def run_sorted(
     queries_ds,
     index_dir: str,

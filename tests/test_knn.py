@@ -525,3 +525,84 @@ def test_linear_hybrid_minmax_fusion(knn_index, ray_session):
 
     with _pytest.raises(ValueError, match="normalizer"):
         run_linear(q, knn_index, "emb", CFG, normalizer="zscore")
+
+
+def test_retriever_tree_equivalences(knn_index, ray_session):
+    """run_retriever: the rrf tree over [standard, knn] reproduces
+    run_rrf; the linear tree reproduces run_linear; an N-ary nested tree
+    evaluates (generalization beyond the fixed pairs); unknown nodes and
+    bad normalizers raise."""
+    from kafka_es_ray.query.engine import (
+        run_linear,
+        run_retriever,
+        run_rrf,
+    )
+
+    d = knn_index
+    q = pd.DataFrame(
+        {
+            "query_id": np.int64([0, 1]),
+            "text": ["alpha beta", "alpha"],
+            "vec": [VECS[3].tolist(), VECS[7].tolist()],
+            "k": np.int32(8),
+        }
+    )
+    spec_rrf = {
+        "rrf": {
+            "retrievers": [{"standard": {}}, {"knn": {"field": "emb"}}],
+            "rank_window_size": 15,
+            "rank_constant": 60,
+        }
+    }
+    got = run_retriever(q, d, spec_rrf, CFG, concurrency=2)
+    want = run_rrf(q, d, "emb", CFG, concurrency=2, rank_window=15)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True),
+    )
+
+    spec_lin = {
+        "linear": {
+            "retrievers": [
+                {"retriever": {"standard": {}}, "weight": 2.0},
+                {"retriever": {"knn": {"field": "emb"}}, "weight": 0.5},
+            ],
+            "rank_window_size": 15,
+            "normalizer": "minmax",
+        }
+    }
+    got_l = run_retriever(q, d, spec_lin, CFG, concurrency=2)
+    want_l = run_linear(
+        q, d, "emb", CFG, concurrency=2, rank_window=15, weights=(2.0, 0.5)
+    )
+    pd.testing.assert_frame_equal(
+        got_l.reset_index(drop=True),
+        want_l[["query_id", "rank", "doc_id", "score"]].reset_index(drop=True),
+    )
+
+    # nested N-ary tree: rrf over [standard, knn, rrf([standard, knn])]
+    nested = {
+        "rrf": {
+            "retrievers": [
+                {"standard": {}},
+                {"knn": {"field": "emb"}},
+                spec_rrf,
+            ],
+            "rank_window_size": 10,
+            "rank_constant": 10,
+        }
+    }
+    out = run_retriever(q, d, nested, CFG, concurrency=2)
+    assert set(out["query_id"]) == {0, 1}
+    assert (out.groupby("query_id")["rank"].max() <= 8).all()
+    assert (out["score"] > 0).all()
+
+    with pytest.raises(ValueError, match="unknown retriever"):
+        run_retriever(q, d, {"mystery": {}}, CFG)
+    with pytest.raises(ValueError, match="normalizer"):
+        run_retriever(
+            q, d,
+            {"linear": {"retrievers": [{"retriever": {"standard": {}}}],
+                        "normalizer": "zscore"}},
+            CFG,
+        )
