@@ -8728,6 +8728,44 @@ def _q_ann_sq8_rescore_topk(sf_dir: str):
     return sq8_rescore_topk(emb, qdf["vec_id"].to_numpy(), qm, k=10, oversample=3.0)
 
 
+def _q_ann_pq_rescore_topk(sf_dir: str):
+    """Product-quantization ANN + rescore_vector (oversample=8): ADC
+    candidate selection over PQ codes (4-16x smaller residency than
+    float32 — the memory-scale complement to IVF's candidate pruning),
+    full-precision re-ranking.  Sims are EXACT cosine, so the oracle is
+    the exact top-k SQL (coverage pytest'd at these scales)."""
+    import pyarrow.parquet as pq
+
+    from kafka_es_ray.pipelines.ann import pq_rescore_topk
+    from kafka_es_ray.sources.parquet import read_table, table_path
+
+    qt = pq.read_table(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qdf = qt.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 3].sort_values("vec_id")
+    qm = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pq_rescore_topk(
+        emb, qdf["vec_id"].to_numpy(), qm, k=10, oversample=8.0, m=16, ksub=256
+    )
+
+
+def _q_ann_pq_topk(sf_dir: str):
+    """PQ ADC scale path (codebooks trained on a bounded sample, ADC
+    lookup-table scoring over codes): approximate by design -> rows-only;
+    recall + determinism asserted vs brute force in tests."""
+    import pyarrow.parquet as pq
+
+    from kafka_es_ray.pipelines.ann import pq_cosine_topk
+    from kafka_es_ray.sources.parquet import read_table, table_path
+
+    qt = pq.read_table(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qdf = qt.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 3].sort_values("vec_id")
+    qm = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pq_cosine_topk(emb, qdf["vec_id"].to_numpy(), qm, k=10, m=8, ksub=256)
+
+
 def _q_ann_ivf_topk(sf_dir: str):
     """IVF scale path (spherical-kmeans coarse quantizer, nprobe lists):
     approximate by design -> rows-only; recall asserted vs brute force in
@@ -9755,6 +9793,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_sq8_topk": _q_ann_sq8_topk,
         "ann_sq8_rescore_topk": _q_ann_sq8_rescore_topk,
+        "ann_pq_rescore_topk": _q_ann_pq_rescore_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
         "cap_per_source": _q_cap_per_source,
         "global_shuffle": _q_global_shuffle,
         "doc_fingerprint": _q_fingerprint,
@@ -11059,6 +11099,25 @@ def oracle_sql() -> dict[str, str]:
         # sq8_rescore re-ranks its quantized candidates with exact
         # cosine, so its oracle IS the exact top-k (coverage pytest'd)
         "ann_sq8_rescore_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_vec_id, embedding AS qe
+              FROM embeddings WHERE vec_id < 3
+            ),
+            sims AS (
+              SELECT q.query_vec_id, e.vec_id,
+                     round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim
+              FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+              SELECT query_vec_id, vec_id, sim, row_number() OVER (
+                PARTITION BY query_vec_id ORDER BY sim DESC, vec_id ASC
+              ) AS rank FROM sims
+            )
+            SELECT query_vec_id, rank::BIGINT AS rank, vec_id, sim
+            FROM ranked WHERE rank <= 10
+        """,
+        # pq_rescore also re-ranks with exact cosine -> same exact oracle
+        "ann_pq_rescore_topk": """
             WITH q AS (
               SELECT vec_id AS query_vec_id, embedding AS qe
               FROM embeddings WHERE vec_id < 3

@@ -369,6 +369,209 @@ def lsh_cosine_topk(emb_ds, query_ids, query_matrix, k: int = 10, nbits: int = 8
     return _merge_topk(partials, k)
 
 
+def _pq_train(
+    train_norm: np.ndarray, m: int, ksub: int = 256, iters: int = 10, seed: int = 37
+) -> np.ndarray:
+    """Product-quantization codebooks (Jegou et al. 2011, TPAMI): split
+    the dim into ``m`` contiguous subspaces and run plain Euclidean
+    k-means (deterministic numpy Lloyd, fixed seed/iterations) per
+    subspace on the L2-normalized training sample.
+    Returns (m, ksub_eff, dim/m) codebooks."""
+    n, d = train_norm.shape
+    if d % m:
+        raise ValueError(f"pq: dim {d} not divisible by m={m}")
+    ds = d // m
+    ksub = min(ksub, n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, ds), dtype=np.float64)
+    for j in range(m):
+        sub = train_norm[:, j * ds : (j + 1) * ds]
+        cents = sub[rng.choice(n, ksub, replace=False)]
+        for _ in range(iters):
+            # squared-distance argmin == argmax(x·c - |c|^2/2)
+            assign = np.argmax(
+                sub @ cents.T - 0.5 * (cents * cents).sum(axis=1), axis=1
+            )
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def _pq_encode(vec_norm: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) normalized vectors -> (n, m) uint8/uint16 codes."""
+    m, ksub, ds = books.shape
+    codes = np.empty((vec_norm.shape[0], m), dtype=np.uint16)
+    for j in range(m):
+        sub = vec_norm[:, j * ds : (j + 1) * ds]
+        codes[:, j] = np.argmax(
+            sub @ books[j].T - 0.5 * (books[j] * books[j]).sum(axis=1), axis=1
+        )
+    return codes
+
+
+class _PQTopKStage:
+    """ADC (asymmetric distance computation) scoring: each actor holds
+    the per-query inner-product lookup tables (n_queries, m, ksub) built
+    ONCE in __init__ from the broadcast query matrix and codebooks; per
+    batch it encodes the vectors (in the storage design the codes are
+    what persists — 4-16x smaller than float32 — and this encode is the
+    write path) and scores sim~ = sum_j LUT[q, j, code_j]: one gather
+    per subspace, no float matmul against the corpus."""
+
+    def __init__(self, queries_ref, books_ref, k: int):
+        import ray
+
+        self.query_ids, qm = ray.get(queries_ref)
+        self.books = ray.get(books_ref)  # (m, ksub, ds)
+        self.k = k
+        qn = _normalize(np.asarray(qm))
+        m, ksub, ds = self.books.shape
+        self.lut = np.stack(
+            [qn[:, j * ds : (j + 1) * ds] @ self.books[j].T for j in range(m)],
+            axis=1,
+        )  # (n_queries, m, ksub)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(np.stack(batch["embedding"].to_numpy()))
+        codes = _pq_encode(vecs, self.books)  # (n, m)
+        vec_ids = batch["vec_id"].to_numpy().astype(np.int64)
+        out = []
+        m = codes.shape[1]
+        for qi, qid in enumerate(self.query_ids):
+            sims = self.lut[qi, np.arange(m), codes].sum(axis=1)
+            top = min(self.k, sims.size)
+            sel = np.argpartition(-sims, top - 1)[:top]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_vec_id": np.int64(qid),
+                        "vec_id": vec_ids[sel],
+                        "sim": sims[sel],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+
+def pq_cosine_topk(
+    emb_ds,
+    query_ids,
+    query_matrix,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 256,
+    train_size: int = 10_000,
+):
+    """Product-quantization ANN (the classic memory-scale path: 4-16x
+    smaller vector storage than float32; IVF's complement — PQ shrinks
+    residency, IVF shrinks candidates; real systems compose them):
+    codebooks trained once on a bounded driver-side sample, broadcast
+    with ``ray.put``; per-batch ADC scoring via per-query lookup tables.
+    Approximate — recall and sim-error measured vs brute force in tests.
+    Returns (query_vec_id, rank, vec_id, sim) with sim = round6(ADC)."""
+    import ray
+
+    train = emb_ds.limit(train_size).to_pandas()
+    books = _pq_train(
+        _normalize(np.stack(train["embedding"].to_numpy())), m=m, ksub=ksub
+    )
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), np.asarray(query_matrix)))
+    bref = ray.put(books)
+    partials = emb_ds.map_batches(
+        _PQTopKStage,
+        fn_constructor_args=(qref, bref, k),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=stage_pool(),
+    )
+    return _merge_topk(partials, k)
+
+
+class _PQRescoreStage:
+    """PQ ADC candidate selection + full-precision rescore (the same
+    rescore_vector shape as _SQ8RescoreStage, over PQ codes instead of
+    int8 grids): per batch, the ADC top-(k*oversample) per query is
+    re-scored with the exact float vectors, so the final merge ranks by
+    EXACT cosine whenever every batch's ADC window covers its exact
+    top-k (pytest-asserted at the tested scales)."""
+
+    def __init__(self, queries_ref, books_ref, k: int, oversample: float):
+        import ray
+
+        self.qids, qm = ray.get(queries_ref)
+        self.books = ray.get(books_ref)
+        self.qm = _normalize(np.asarray(qm))
+        self.k = k
+        self.m_cand = max(int(k), int(np.ceil(k * float(oversample))))
+        m, ksub, ds = self.books.shape
+        self.lut = np.stack(
+            [self.qm[:, j * ds : (j + 1) * ds] @ self.books[j].T for j in range(m)],
+            axis=1,
+        )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        vecs = _normalize(np.stack(batch["embedding"].to_numpy()))
+        codes = _pq_encode(vecs, self.books)
+        msub = codes.shape[1]
+        adc = np.stack(
+            [self.lut[qi, np.arange(msub), codes].sum(axis=1)
+             for qi in range(self.qids.size)]
+        )  # (n_queries, n_batch)
+        mm = min(self.m_cand, ids.size)
+        kth = -np.partition(-adc, mm - 1, axis=1)[:, mm - 1]
+        sels = [
+            np.flatnonzero(adc[qi] >= kth[qi] - 1e-9)
+            for qi in range(self.qids.size)
+        ]
+        cols = np.unique(np.concatenate(sels)) if sels else np.array([], np.int64)
+        exact = self.qm @ vecs[cols].T
+        pos = {int(c): i for i, c in enumerate(cols)}
+        rows = []
+        for qi, sel in enumerate(sels):
+            j = np.array([pos[int(c)] for c in sel], dtype=np.int64)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "query_vec_id": np.int64(self.qids[qi]),
+                        "vec_id": ids[sel],
+                        "sim": exact[qi, j],
+                    }
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+
+def pq_rescore_topk(
+    emb_ds, query_ids, query_matrix,
+    k: int = 10, oversample: float = 4.0,
+    m: int = 8, ksub: int = 256, train_size: int = 10_000,
+):
+    """PQ ANN with the rescore_vector oversample pass: ADC candidate
+    selection over codes (the RAM-resident representation), exact
+    re-ranking of the oversampled window.  Returns
+    (query_vec_id, rank, vec_id, sim) with EXACT cosine sims."""
+    import ray
+
+    train = emb_ds.limit(train_size).to_pandas()
+    books = _pq_train(
+        _normalize(np.stack(train["embedding"].to_numpy())), m=m, ksub=ksub
+    )
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), np.asarray(query_matrix)))
+    bref = ray.put(books)
+    partials = emb_ds.map_batches(
+        _PQRescoreStage,
+        fn_constructor_args=(qref, bref, k, oversample),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=stage_pool(),
+    )
+    return _merge_topk(partials, k)
+
+
 def embedding_kmeans(
     emb_ds,
     k: int = 32,

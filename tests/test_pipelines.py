@@ -1109,3 +1109,80 @@ def test_global_shuffle_is_a_permutation_and_partition_invariant(ray_session):
     assert not other.sort_values("doc_id")["shuffle_pos"].reset_index(drop=True).equals(
         want["shuffle_pos"]
     )
+
+
+def test_pq_ann_recall(ray_session):
+    """Product-quantization ADC top-k: good recall vs brute force on
+    clustered data; ADC sims stay close to exact; deterministic across
+    runs (fixed codebook seed)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.ann import cosine_topk, pq_cosine_topk
+
+    rng = np.random.default_rng(13)
+    centers = rng.standard_normal((5, 32))
+    # moderate spread: neighbor sims must separate beyond the PQ
+    # reconstruction error (near-duplicate clusters are indistinguishable
+    # to ANY quantizer; the rescore test below covers that regime)
+    vecs = np.concatenate([c + 0.3 * rng.standard_normal((60, 32)) for c in centers])
+    df = pd.DataFrame(
+        {"vec_id": np.arange(300, dtype=np.int64), "embedding": list(vecs.astype(np.float32))}
+    )
+    qids = np.array([0, 60, 120])
+    qm = vecs[qids]
+    exact = to_pandas(cosine_topk(rd.from_pandas(df), qids, qm, k=10))
+    approx = to_pandas(
+        pq_cosine_topk(rd.from_pandas(df), qids, qm, k=10, m=8, ksub=256, train_size=300)
+    )
+    recalls = []
+    for q in qids:
+        e = set(exact[exact["query_vec_id"] == q]["vec_id"])
+        a = set(approx[approx["query_vec_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.7, recalls
+    # reconstruction-error bound on the shared hits
+    j = exact.merge(approx, on=["query_vec_id", "vec_id"], suffixes=("_e", "_q"))
+    assert (np.abs(j["sim_e"] - j["sim_q"]) <= 0.1).all()
+    # deterministic: same input -> identical codes/scores
+    again = to_pandas(
+        pq_cosine_topk(rd.from_pandas(df), qids, qm, k=10, m=8, ksub=256, train_size=300)
+    )
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["query_vec_id", "rank"]).reset_index(drop=True),
+        again.sort_values(["query_vec_id", "rank"]).reset_index(drop=True),
+    )
+
+    from kafka_es_ray.pipelines.ann import _pq_train
+
+    with pytest.raises(ValueError, match="not divisible"):
+        _pq_train(np.ones((10, 30)), m=7)
+
+
+def test_pq_rescore_matches_exact(ray_session):
+    """PQ + rescore_vector oversample == exact brute-force top-k, even on
+    near-duplicate clusters where raw ADC ranking degrades."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.ann import cosine_topk, pq_rescore_topk
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((4, 32))
+    vecs = np.concatenate([c + 0.05 * rng.standard_normal((50, 32)) for c in centers])
+    df = pd.DataFrame(
+        {"vec_id": np.arange(200, dtype=np.int64), "embedding": list(vecs.astype(np.float32))}
+    )
+    qids = np.array([0, 50, 100])
+    qm = vecs[qids]
+    exact = to_pandas(cosine_topk(rd.from_pandas(df), qids, qm, k=10))
+    resc = to_pandas(
+        pq_rescore_topk(
+            rd.from_pandas(df), qids, qm, k=10, oversample=6.0,
+            m=8, ksub=128, train_size=200,
+        )
+    )
+    pd.testing.assert_frame_equal(
+        exact.sort_values(["query_vec_id", "rank"]).reset_index(drop=True),
+        resc.sort_values(["query_vec_id", "rank"]).reset_index(drop=True),
+    )
