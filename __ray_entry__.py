@@ -8766,6 +8766,26 @@ def _q_ann_pq_topk(sf_dir: str):
     return pq_cosine_topk(emb, qdf["vec_id"].to_numpy(), qm, k=10, m=8, ksub=256)
 
 
+
+def _q_ann_ivfpq_topk(sf_dir: str):
+    """IVF+PQ composed scale path (coarse-list pruning + ADC scoring
+    from codes): approximate on both axes -> rows-only; recall asserted
+    vs brute force in tests."""
+    import pyarrow.parquet as pq
+
+    from kafka_es_ray.pipelines.ann import ivfpq_cosine_topk
+    from kafka_es_ray.sources.parquet import read_table, table_path
+
+    qt = pq.read_table(table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qdf = qt.to_pandas()
+    qdf = qdf[qdf["vec_id"] < 3].sort_values("vec_id")
+    qm = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivfpq_cosine_topk(
+        emb, qdf["vec_id"].to_numpy(), qm, k=10, nlist=16, nprobe=6, m=16
+    )
+
+
 def _q_ann_ivf_topk(sf_dir: str):
     """IVF scale path (spherical-kmeans coarse quantizer, nprobe lists):
     approximate by design -> rows-only; recall asserted vs brute force in
@@ -9795,6 +9815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_sq8_rescore_topk": _q_ann_sq8_rescore_topk,
         "ann_pq_rescore_topk": _q_ann_pq_rescore_topk,
         "ann_pq_topk": _q_ann_pq_topk,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "cap_per_source": _q_cap_per_source,
         "global_shuffle": _q_global_shuffle,
         "doc_fingerprint": _q_fingerprint,

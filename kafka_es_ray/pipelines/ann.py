@@ -572,6 +572,54 @@ def pq_rescore_topk(
     return _merge_topk(partials, k)
 
 
+def ivfpq_cosine_topk(
+    emb_ds,
+    query_ids,
+    query_matrix,
+    k: int = 10,
+    nlist: int = 64,
+    nprobe: int = 8,
+    m: int = 8,
+    ksub: int = 256,
+    train_size: int = 10_000,
+):
+    """IVF + PQ composed (the canonical billion-scale layout, Jegou et
+    al.'s IVFADC without the residual encoding — codes quantize the raw
+    normalized vectors, documented simplification): the coarse quantizer
+    prunes to the probed inverted lists, PQ ADC scores only the
+    survivors from codes.  Both codebooks train once on one bounded
+    driver-side sample and broadcast.  Approximate on both axes — recall
+    measured vs brute force in tests.
+    Returns (query_vec_id, rank, vec_id, sim)."""
+    import ray
+
+    train = emb_ds.limit(train_size).to_pandas()
+    tn = _normalize(np.stack(train["embedding"].to_numpy()))
+    centroids = _kmeans_spherical(tn, nlist)
+    books = _pq_train(tn, m=m, ksub=ksub)
+    qm = _normalize(np.asarray(query_matrix))
+    probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probe)
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), np.asarray(query_matrix)))
+    bref = ray.put(books)
+
+    def assign_and_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        mm = _normalize(np.stack(batch["embedding"].to_numpy()))
+        lists = np.argmax(mm @ centroids.T, axis=1)
+        return batch[np.isin(lists, wanted)]
+
+    partials = emb_ds.map_batches(
+        assign_and_filter, batch_format="pandas", batch_size=4096
+    ).map_batches(
+        _PQTopKStage,
+        fn_constructor_args=(qref, bref, k),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=stage_pool(),
+    )
+    return _merge_topk(partials, k)
+
+
 def embedding_kmeans(
     emb_ds,
     k: int = 32,

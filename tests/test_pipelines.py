@@ -1186,3 +1186,34 @@ def test_pq_rescore_matches_exact(ray_session):
         exact.sort_values(["query_vec_id", "rank"]).reset_index(drop=True),
         resc.sort_values(["query_vec_id", "rank"]).reset_index(drop=True),
     )
+
+
+def test_ivfpq_ann_recall(ray_session):
+    """IVF+PQ composed: coarse-list pruning then ADC scoring still finds
+    most exact neighbors on separable data."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.ann import cosine_topk, ivfpq_cosine_topk
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((6, 32))
+    vecs = np.concatenate([c + 0.3 * rng.standard_normal((50, 32)) for c in centers])
+    df = pd.DataFrame(
+        {"vec_id": np.arange(300, dtype=np.int64), "embedding": list(vecs.astype(np.float32))}
+    )
+    qids = np.array([0, 50, 100])
+    qm = vecs[qids]
+    exact = to_pandas(cosine_topk(rd.from_pandas(df), qids, qm, k=10))
+    approx = to_pandas(
+        ivfpq_cosine_topk(
+            rd.from_pandas(df), qids, qm, k=10,
+            nlist=12, nprobe=4, m=8, ksub=256, train_size=300,
+        )
+    )
+    recalls = []
+    for q in qids:
+        e = set(exact[exact["query_vec_id"] == q]["vec_id"])
+        a = set(approx[approx["query_vec_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
