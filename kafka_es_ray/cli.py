@@ -149,6 +149,23 @@ def main(argv: list[str] | None = None) -> int:
     ro.add_argument("--max-age-s", type=float, default=None)
     ro.add_argument("--max-size-bytes", type=int, default=None)
 
+    il = sub.add_parser(
+        "ilm-tick",
+        help="one ILM policy tick: conditional rollover + warm-generation "
+        "auto-merge + retention delete (ES index-lifecycle-management analog)",
+    )
+    il.add_argument("--registry", required=True)
+    il.add_argument("--alias", required=True)
+    il.add_argument(
+        "--new-index-template", required=True,
+        help="format string for the next generation dir, e.g. /data/idx-gen{}",
+    )
+    il.add_argument("--max-docs", type=int, default=None)
+    il.add_argument("--max-age-s", type=float, default=None)
+    il.add_argument("--max-size-bytes", type=int, default=None)
+    il.add_argument("--merge-max-segments", type=int, default=None)
+    il.add_argument("--retention-generations", type=int, default=None)
+
     ub = sub.add_parser("update-by-query", help="set mapped fields on matching docs (ES _update_by_query)")
     ub.add_argument("--index", required=True)
     ub.add_argument("--text", required=True)
@@ -453,6 +470,18 @@ def main(argv: list[str] | None = None) -> int:
             args.registry, args.alias, args.new_index,
             max_docs=args.max_docs, max_age_s=args.max_age_s,
             max_size_bytes=args.max_size_bytes,
+        )))
+    elif args.cmd == "ilm-tick":
+        own_session = _ray_init(args.num_cpus)
+        from kafka_es_ray.index.aliases import ilm_tick
+
+        print(json.dumps(ilm_tick(
+            args.registry, args.alias,
+            lambda g: args.new_index_template.format(g),
+            max_docs=args.max_docs, max_age_s=args.max_age_s,
+            max_size_bytes=args.max_size_bytes,
+            merge_max_segments=args.merge_max_segments,
+            retention_generations=args.retention_generations,
         )))
     elif args.cmd == "update-by-query":
         own_session = _ray_init(args.num_cpus)

@@ -247,3 +247,67 @@ def resolve_full(
     if os.path.exists(os.path.join(name, "manifest.json")):
         return [name], None
     raise ValueError(f"unknown alias / not an index directory: {name!r}")
+
+
+def ilm_tick(
+    registry_path: str,
+    alias: str,
+    new_index_dir_fn,
+    *,
+    max_docs: int | None = None,
+    max_age_s: float | None = None,
+    max_size_bytes: int | None = None,
+    merge_max_segments: int | None = None,
+    retention_generations: int | None = None,
+    cfg=None,
+) -> dict:
+    """One ES ILM policy tick for a time-series alias (the hot -> warm ->
+    delete lifecycle the reference's ES cluster runs via index lifecycle
+    management), composed from the engine's primitives:
+
+    1. HOT: `rollover` the write index (last target) when any provided
+       condition holds — ``new_index_dir_fn(generation:int) -> path``
+       names the next generation;
+    2. WARM: `auto_merge` every NON-write generation down to
+       ``merge_max_segments`` live segments (read-optimize old
+       generations; the write index keeps ingesting untouched);
+    3. DELETE: drop generations beyond ``retention_generations`` (oldest
+       first) — the alias is atomically repointed BEFORE the directories
+       are removed, so a concurrent reader resolving the alias never
+       sees a missing target.
+
+    Call it from an ingestion loop (the ILM scheduler shape).  Returns
+    {"rolled": bool, "merged": {dir: n}, "deleted": [dirs]}."""
+    import shutil
+
+    from kafka_es_ray.config import DEFAULT
+    from kafka_es_ray.index.merge import auto_merge
+
+    cfg = cfg or DEFAULT
+    out: dict = {"rolled": False, "merged": {}, "deleted": []}
+    targets, alias_filter = resolve_full(registry_path, alias)
+
+    if max_docs is not None or max_age_s is not None or max_size_bytes is not None:
+        r = rollover(
+            registry_path, alias, str(new_index_dir_fn(len(targets))),
+            max_docs=max_docs, max_age_s=max_age_s,
+            max_size_bytes=max_size_bytes, cfg=cfg,
+        )
+        out["rolled"] = bool(r.get("rolled"))
+        targets, alias_filter = resolve_full(registry_path, alias)
+
+    if merge_max_segments is not None:
+        for d in targets[:-1]:  # never the write index
+            am = auto_merge(d, max_segments=int(merge_max_segments), cfg=cfg)
+            if am.get("merged"):
+                out["merged"][d] = int(am["merged"])
+
+    if retention_generations is not None and len(targets) > int(retention_generations):
+        drop = targets[: len(targets) - int(retention_generations)]
+        keep = targets[len(drop):]
+        add_alias(registry_path, alias, keep, filter_lang=alias_filter)
+        for d in drop:
+            shutil.rmtree(d, ignore_errors=True)
+        out["deleted"] = drop
+
+    return out

@@ -216,3 +216,61 @@ def test_filtered_alias(ray_session, tmp_path):
     assert r["rolled"]
     dirs2, fl2 = resolve_full(reg, "german")
     assert fl2 == "de" and dirs2 == [d, new_dir]
+
+
+def test_ilm_tick_lifecycle(ray_session, tmp_path):
+    """ilm_tick composes the lifecycle: rollover when the write index is
+    full, warm generations auto-merged, oldest generations dropped past
+    retention with the alias repointed BEFORE deletion."""
+    import os
+
+    import ray.data as rd
+
+    from kafka_es_ray.index.aliases import ilm_tick, resolve_full
+    from kafka_es_ray.index.segment import read_manifest
+
+    cfg = EngineConfig(num_partitions=4)
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(40)],
+            "text": ["cobalt nickel"] * 40,
+            "lang": "en",
+        }
+    )
+    d0 = str(tmp_path / "gen0")
+    build_index(rd.from_pandas(docs), d0, cfg, html_col=None, ts_col=None)
+    reg = str(tmp_path / "reg.json")
+    add_alias(reg, "stream", [d0], filter_lang="en")
+    gen_dir = lambda g: str(tmp_path / f"gen{g}")  # noqa: E731
+
+    # tick 1: write index over max_docs -> rollover to gen1
+    out = ilm_tick(reg, "stream", gen_dir, max_docs=10, cfg=cfg)
+    assert out["rolled"] and out["deleted"] == []
+    targets, fl = resolve_full(reg, "stream")
+    assert fl == "en" and len(targets) == 2
+
+    # tick 2: gen0 (now warm, 4 segments) merges to 1; nothing rolls
+    # (gen1 is empty) and nothing is deleted at retention 2
+    out2 = ilm_tick(
+        reg, "stream", gen_dir, max_docs=10,
+        merge_max_segments=1, retention_generations=2, cfg=cfg,
+    )
+    assert not out2["rolled"]
+    assert out2["merged"].get(targets[0]) == 4
+    assert len(read_manifest(targets[0])["parts"]) == 1
+    assert out2["deleted"] == []
+
+    # force two more generations, then retention 2 drops the oldest
+    for g in (2, 3):
+        build_index(
+            rd.from_pandas(docs.assign(url=docs["url"] + f"-g{g}")),
+            gen_dir(g), cfg, html_col=None, ts_col=None,
+        )
+    add_alias(reg, "stream", [*resolve_full(reg, "stream")[0], gen_dir(2), gen_dir(3)],
+              filter_lang="en")
+    out3 = ilm_tick(reg, "stream", gen_dir, retention_generations=2, cfg=cfg)
+    assert out3["deleted"] == [os.path.abspath(d0), os.path.abspath(gen_dir(1))]
+    targets3, fl3 = resolve_full(reg, "stream")
+    assert fl3 == "en"
+    assert targets3 == [os.path.abspath(gen_dir(2)), os.path.abspath(gen_dir(3))]
+    assert not os.path.exists(d0)
