@@ -40,6 +40,11 @@ def main(argv: list[str] | None = None) -> int:
 
     b = sub.add_parser("build", help="build an inverted index from parquet")
     b.add_argument("--input", required=True, help="parquet file/dir/glob")
+    b.add_argument(
+        "--format", default="parquet", choices=["parquet", "warc"],
+        help="input format: parquet (default) or raw crawl archives "
+        "(.warc/.warc.gz -> url/warc_ts/html rows)",
+    )
     b.add_argument("--index", required=True)
     b.add_argument("--num-partitions", type=int, default=16)
     b.add_argument("--key-col", default="url")
@@ -286,8 +291,17 @@ def main(argv: list[str] | None = None) -> int:
             keyword_cols=tuple(c for c in args.keyword_cols.split(",") if c),
             numeric_cols=tuple(c for c in args.numeric_cols.split(",") if c),
         )
+        if args.format == "warc":
+            from kafka_es_ray.sources.warc import read_warc
+
+            src_ds = read_warc(args.input)
+            args.html_col = args.html_col or "html"
+            args.ts_col = args.ts_col or "warc_ts"
+            args.lang_col = None  # raw crawls carry no lang column
+        else:
+            src_ds = rd.read_parquet(args.input)
         manifest = build_index(
-            rd.read_parquet(args.input),
+            src_ds,
             args.index,
             cfg,
             key_col=args.key_col,

@@ -29,6 +29,14 @@ def read_corpus(path: str, format: str = "parquet", columns: list[str] | None = 
 
     if format == "parquet":
         return rd.read_parquet(path, columns=columns)
+    if format == "warc":
+        # raw crawl archives (.warc/.warc.gz): (url, warc_ts, html, text)
+        from kafka_es_ray.sources.warc import read_warc
+
+        ds = read_warc(path)
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
     if format in ("json", "ndjson", "jsonl"):
         ds = rd.read_json(path)
     elif format == "csv":
