@@ -154,6 +154,55 @@ def host_quality_filter(
     return ds.map_batches(keep, batch_format="pandas", batch_size=8192)
 
 
+def robots_filter(
+    ds,
+    robots_by_host: dict,
+    url_col: str = "url",
+    agent: str = "*",
+    default_allow: bool = True,
+):
+    """Crawl-politeness filter: drop rows whose URL is disallowed by its
+    host's robots.txt (stdlib ``urllib.robotparser`` semantics —
+    FIRST-matching rule wins, so an Allow override must precede its
+    Disallow; the curation step a CC-style pipeline applies before
+    indexing).
+    ``robots_by_host`` maps lowercased host -> robots.txt text; hosts
+    absent from the map pass when ``default_allow`` (the crawl default).
+    The parsed rule objects build ONCE PER ACTOR in ``__init__`` (not
+    per batch) and the rules map is broadcast via the actor constructor
+    — small by contract (one entry per distinct host)."""
+    from kafka_es_ray.runtime import stage_pool
+
+    class RobotsStage:
+        def __init__(self, rules_text: dict, agent_: str, default_: bool):
+            from urllib.robotparser import RobotFileParser
+
+            self.agent = agent_
+            self.default = default_
+            self.parsers = {}
+            for host, txt in rules_text.items():
+                p = RobotFileParser()
+                p.parse(str(txt).splitlines())
+                self.parsers[str(host).lower()] = p
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            hosts = extract_host_series(batch[url_col].astype(str))
+            urls = batch[url_col].astype(str)
+            keep = np.empty(len(batch), dtype=bool)
+            for i, (h, u) in enumerate(zip(hosts, urls)):
+                p = self.parsers.get(h)
+                keep[i] = self.default if p is None else p.can_fetch(self.agent, u)
+            return batch[keep]
+
+    return ds.map_batches(
+        RobotsStage,
+        fn_constructor_args=(dict(robots_by_host), agent, bool(default_allow)),
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=stage_pool(),
+    )
+
+
 def domain_counts(ds, url_col: str = "url", blocked=()):
     """Doc counts per host AFTER dropping blocked domains — the
     crawl-curation blocklist step.  The blocklist is broadcast once via

@@ -132,3 +132,41 @@ def test_host_quality_filter_matches_bruteforce(ray_session):
 
     allpass = host_quality_filter(rd.from_pandas(df), min_avg=1).to_pandas()
     assert len(allpass) == n
+
+
+def test_robots_filter(ray_session):
+    """robots_filter: stdlib robotparser semantics per host — Disallow
+    prefixes, Allow overrides, per-agent sections, unknown-host default."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.webtext import robots_filter
+
+    robots = {
+        "a.com": "User-agent: *\nAllow: /private/ok\nDisallow: /private/\n",
+        "b.com": "User-agent: mybot\nDisallow: /\n\nUser-agent: *\nDisallow:\n",
+    }
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "url": [
+                "https://a.com/public/x",      # allowed
+                "https://a.com/private/x",     # disallowed
+                "https://a.com/private/ok",    # Allow override
+                "https://b.com/anything",      # * section allows
+                "https://c.com/no-robots",     # unknown host -> default
+                "https://b.com/else",
+            ],
+        }
+    )
+    got = robots_filter(rd.from_pandas(df), robots).to_pandas()
+    assert sorted(got["doc_id"]) == [0, 2, 3, 4, 5]
+
+    # agent-specific: mybot is banned from b.com entirely
+    bot = robots_filter(rd.from_pandas(df), robots, agent="mybot").to_pandas()
+    assert sorted(bot["doc_id"]) == [0, 2, 4]
+
+    # default_allow=False drops unknown hosts
+    strict = robots_filter(
+        rd.from_pandas(df), robots, default_allow=False
+    ).to_pandas()
+    assert 4 not in set(strict["doc_id"])
