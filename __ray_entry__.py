@@ -8814,6 +8814,18 @@ def _q_global_shuffle(sf_dir: str):
     return global_shuffle(read_table(sf_dir, "documents", columns=["doc_id"]))
 
 
+def _q_curriculum_order(sf_dir: str):
+    """Deterministic curriculum ordering: curriculum_pos = exact rank in
+    (n_chars desc, doc_id asc) order — sample-sort ranges, one bucketed
+    exchange, driver sees only per-range count scalars."""
+    from kafka_es_ray.pipelines.sampling import curriculum_order
+    from kafka_es_ray.sources.parquet import read_table
+
+    return curriculum_order(
+        read_table(sf_dir, "documents", columns=["doc_id", "n_chars"]), "n_chars"
+    )
+
+
 def _q_cap_per_source(sf_dir: str):
     """Per-source quota capping (the C4/RefinedWeb host-cap curation op):
     keep the best 10 docs per source by (n_chars desc, doc_id asc) —
@@ -9818,6 +9830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "cap_per_source": _q_cap_per_source,
         "global_shuffle": _q_global_shuffle,
+        "curriculum_order": _q_curriculum_order,
         "doc_fingerprint": _q_fingerprint,
         "lang_stats": _q_lang_stats,
         "doc_quality": _q_quality,
@@ -11180,6 +11193,13 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY md5_number_lower('shuf:' || doc_id)
                                % 4611686018427387904, doc_id
                     ) - 1)::BIGINT AS shuffle_pos
+            FROM documents
+        """,
+        "curriculum_order": """
+            SELECT doc_id,
+                   (row_number() OVER (
+                      ORDER BY n_chars DESC, doc_id ASC
+                    ) - 1)::BIGINT AS curriculum_pos
             FROM documents
         """,
         "cap_per_source": """

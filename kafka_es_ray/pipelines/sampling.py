@@ -262,3 +262,91 @@ def global_shuffle(docs_ds, *, id_col: str = "doc_id", seed: str = "shuf:"):
         )
 
     return local.map_batches(finalize, batch_format="pandas")
+
+
+def curriculum_order(
+    docs_ds,
+    score_col: str,
+    *,
+    id_col: str = "doc_id",
+    ascending: bool = False,
+    num_ranges: int = 4096,
+    sample_size: int = 65536,
+):
+    """Deterministic global curriculum ordering for training-data
+    serving: every doc gets its exact rank in (score desc|asc, id asc)
+    order — the easy-to-hard (or hard-to-easy) curriculum layout over a
+    quality/difficulty score.  The EXACT total order, not approximate.
+
+    Distributed sample-sort ranking (the global_shuffle prefix-sum shape
+    with data-dependent range bounds): a bounded driver-side sample
+    yields quantile cut points; per-batch searchsorted tags each row's
+    range; ONE bucketed exchange on range computes per-range local ranks
+    by (key, id); per-range counts (scalars) flow to the driver for
+    cumulative offsets, broadcast back.  Equal keys land in one range by
+    construction (searchsorted side='left'), so cross-range order is
+    exact.  No doc rows funnel through the driver.
+    Returns (id, curriculum_pos)."""
+    import ray
+
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    sample = docs_ds.limit(int(sample_size)).to_pandas()
+    if len(sample) == 0:
+        return pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype=np.int64),
+                "curriculum_pos": pd.Series([], dtype=np.int64),
+            }
+        )
+    sgn = 1.0 if ascending else -1.0
+    skey = sgn * sample[score_col].to_numpy(np.float64)
+    qs = np.linspace(0, 1, min(int(num_ranges), len(sample)) + 1)[1:-1]
+    cuts = np.unique(np.quantile(skey, qs)) if len(qs) else np.array([])
+
+    def add_range(b: pd.DataFrame) -> pd.DataFrame:
+        key = sgn * b[score_col].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "key": key,
+                "range_id": np.searchsorted(cuts, key, side="left").astype(np.int64),
+            }
+        )
+
+    tagged = docs_ds.map_batches(add_range, batch_format="pandas", batch_size=8192)
+
+    def range_combine(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values(["range_id", "key", id_col], kind="mergesort")
+        return pd.DataFrame(
+            {
+                id_col: bucket[id_col].to_numpy(np.int64),
+                "range_id": bucket["range_id"].to_numpy(np.int64),
+                "local_rank": bucket.groupby("range_id", sort=False)
+                .cumcount()
+                .to_numpy(np.int64),
+            }
+        )
+
+    local = bucketed_group_agg(tagged, ["range_id"], range_combine).materialize()
+    totals = local.map_batches(
+        lambda b: b.groupby("range_id", as_index=False).size(),
+        batch_format="pandas",
+    ).to_pandas()
+    totals = totals.groupby("range_id")["size"].sum().sort_index()
+    offsets = {
+        int(rid): int(off) for rid, off in zip(totals.index, totals.cumsum() - totals)
+    }
+    off_ref = ray.put(offsets)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        base = b["range_id"].map(offs).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "curriculum_pos": base + b["local_rank"].to_numpy(np.int64),
+            }
+        )
+
+    return local.map_batches(finalize, batch_format="pandas")

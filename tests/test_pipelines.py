@@ -1217,3 +1217,50 @@ def test_ivfpq_ann_recall(ray_session):
         a = set(approx[approx["query_vec_id"] == q]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_curriculum_order_exact_rank(ray_session):
+    """curriculum_order == pandas rank over (score desc|asc, id):
+    exact total order, ties broken by id, partition-invariant, empty ok."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.sampling import curriculum_order
+
+    rng = np.random.default_rng(19)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "quality": rng.integers(0, 40, size=n).astype(np.float64),  # many ties
+        }
+    )
+    want = df.sort_values(["quality", "doc_id"], ascending=[False, True])
+    want = want.assign(pos=np.arange(n, dtype=np.int64)).set_index("doc_id")["pos"]
+
+    got = (
+        curriculum_order(rd.from_pandas(df), "quality", num_ranges=16, sample_size=200)
+        .to_pandas().set_index("doc_id")["curriculum_pos"]
+    )
+    assert got.sort_index().tolist() == want.sort_index().tolist()
+
+    # partition invariance
+    got4 = (
+        curriculum_order(
+            rd.from_pandas(df).repartition(7), "quality",
+            num_ranges=16, sample_size=200,
+        )
+        .to_pandas().set_index("doc_id")["curriculum_pos"]
+    )
+    assert got4.sort_index().tolist() == want.sort_index().tolist()
+
+    # ascending (hard-first curriculum)
+    asc = (
+        curriculum_order(rd.from_pandas(df), "quality", ascending=True,
+                         num_ranges=16, sample_size=200)
+        .to_pandas().set_index("doc_id")["curriculum_pos"]
+    )
+    want_asc = df.sort_values(["quality", "doc_id"]).assign(
+        pos=np.arange(n, dtype=np.int64)
+    ).set_index("doc_id")["pos"]
+    assert asc.sort_index().tolist() == want_asc.sort_index().tolist()
