@@ -198,10 +198,18 @@ def main(argv: list[str] | None = None) -> int:
 
     sn = sub.add_parser("snapshot", help="copy the committed index state (ES _snapshot)")
     sn.add_argument("--index", required=True)
-    sn.add_argument("--dest", required=True)
+    sn.add_argument("--dest", default=None, help="plain full-copy snapshot dir")
+    sn.add_argument(
+        "--repo", default=None,
+        help="INCREMENTAL repository dir (content-addressed blobs shared "
+        "across named snapshots — unchanged segment files never re-copy)",
+    )
+    sn.add_argument("--name", default=None, help="snapshot name (repo mode)")
 
     rs = sub.add_parser("restore", help="materialize a snapshot as a fresh index")
-    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--snapshot", default=None, help="plain snapshot dir")
+    rs.add_argument("--repo", default=None, help="repository dir (with --name)")
+    rs.add_argument("--name", default=None)
     rs.add_argument("--dest", required=True)
 
     vf = sub.add_parser("verify", help="index integrity check (files, sort order, df)")
@@ -543,13 +551,31 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"n_docs": manifest["n_docs"], "parts": len(manifest["parts"])}))
     elif args.cmd == "snapshot":
-        from kafka_es_ray.index.snapshot import snapshot_index
+        if args.repo:
+            if not args.name:
+                p.error("snapshot --repo needs --name")
+            from kafka_es_ray.index.snapshot import snapshot_to_repo
 
-        print(json.dumps(snapshot_index(args.index, args.dest)))
+            print(json.dumps(snapshot_to_repo(args.index, args.repo, args.name)))
+        else:
+            if not args.dest:
+                p.error("snapshot needs --dest (or --repo/--name)")
+            from kafka_es_ray.index.snapshot import snapshot_index
+
+            print(json.dumps(snapshot_index(args.index, args.dest)))
     elif args.cmd == "restore":
-        from kafka_es_ray.index.snapshot import restore_index
+        if args.repo:
+            if not args.name:
+                p.error("restore --repo needs --name")
+            from kafka_es_ray.index.snapshot import restore_from_repo
 
-        print(json.dumps(restore_index(args.snapshot, args.dest)))
+            print(json.dumps(restore_from_repo(args.repo, args.name, args.dest)))
+        else:
+            if not args.snapshot:
+                p.error("restore needs --snapshot (or --repo/--name)")
+            from kafka_es_ray.index.snapshot import restore_index
+
+            print(json.dumps(restore_index(args.snapshot, args.dest)))
     elif args.cmd == "verify":
         from kafka_es_ray.index.snapshot import verify_index
 

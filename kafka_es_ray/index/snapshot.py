@@ -128,3 +128,113 @@ def verify_index(index_dir: str, sample_terms: int = 3) -> dict:
         "n_parts": len(manifest["parts"]),
         "problems": problems,
     }
+
+
+# --------------------------- incremental snapshot repository (ES analog)
+
+
+def _file_md5(path: str) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def snapshot_to_repo(index_dir: str, repo_dir: str, name: str) -> dict:
+    """Incremental snapshot into a repository (the ES snapshot model:
+    one repo holds many named snapshots; segment files unchanged since a
+    previous snapshot are NOT copied again).  Layout:
+    ``repo/files/<md5>`` content-addressed blobs shared across
+    snapshots, ``repo/snapshots/<name>.json`` = {manifest, file->hash
+    map} written LAST (the commit point — a torn snapshot is invisible).
+    Content addressing makes reuse exact (never name/mtime heuristics),
+    and identical files across DIFFERENT indexes dedupe too.
+    Returns {n_files, n_copied, bytes_copied, bytes_reused}."""
+    manifest = read_manifest(index_dir)
+    blob_dir = os.path.join(repo_dir, "files")
+    snap_meta_dir = os.path.join(repo_dir, "snapshots")
+    os.makedirs(blob_dir, exist_ok=True)
+    os.makedirs(snap_meta_dir, exist_ok=True)
+    files = _manifest_files(index_dir, manifest)
+    mapping: dict[str, str] = {}
+    copied = reused = b_copied = b_reused = 0
+    for f in files:
+        src = os.path.join(index_dir, f)
+        digest = _file_md5(src)
+        mapping[f] = digest
+        blob = os.path.join(blob_dir, digest)
+        size = os.path.getsize(src)
+        if os.path.exists(blob):
+            reused += 1
+            b_reused += size
+        else:
+            tmp = blob + ".tmp"
+            shutil.copy2(src, tmp)
+            os.replace(tmp, blob)  # atomic publish
+            copied += 1
+            b_copied += size
+    meta = {"manifest": manifest, "files": mapping}
+    tmp = os.path.join(snap_meta_dir, f"{name}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(snap_meta_dir, f"{name}.json"))
+    return {
+        "n_files": len(files), "n_copied": copied, "n_reused": reused,
+        "bytes_copied": b_copied, "bytes_reused": b_reused,
+    }
+
+
+def list_snapshots(repo_dir: str) -> list[dict]:
+    """Named snapshots in the repo with doc counts (ES GET _snapshot)."""
+    d = os.path.join(repo_dir, "snapshots")
+    out = []
+    for fn in sorted(os.listdir(d)) if os.path.isdir(d) else []:
+        if fn.endswith(".json"):
+            with open(os.path.join(d, fn)) as fh:
+                meta = json.load(fh)
+            out.append(
+                {
+                    "name": fn[:-5],
+                    "n_docs": int(meta["manifest"]["n_docs"]),
+                    "n_files": len(meta["files"]),
+                }
+            )
+    return out
+
+
+def restore_from_repo(repo_dir: str, name: str, dest_dir: str) -> dict:
+    """Materialize a named snapshot as a fresh index dir (data first,
+    manifest last)."""
+    with open(os.path.join(repo_dir, "snapshots", f"{name}.json")) as fh:
+        meta = json.load(fh)
+    os.makedirs(dest_dir, exist_ok=True)
+    for f, digest in meta["files"].items():
+        shutil.copy2(os.path.join(repo_dir, "files", digest), os.path.join(dest_dir, f))
+    with open(os.path.join(dest_dir, "manifest.json"), "w") as fh:
+        json.dump(meta["manifest"], fh)
+    return {"n_files": len(meta["files"]) + 1, "n_docs": int(meta["manifest"]["n_docs"])}
+
+
+def delete_snapshot(repo_dir: str, name: str) -> dict:
+    """Drop a named snapshot and garbage-collect blobs no OTHER snapshot
+    references (the ES delete-then-prune semantics).  Metadata is removed
+    FIRST so a crash between the two steps only leaks blobs (safe), never
+    breaks a surviving snapshot."""
+    meta_path = os.path.join(repo_dir, "snapshots", f"{name}.json")
+    with open(meta_path) as fh:
+        dropped = set(json.load(fh)["files"].values())
+    os.remove(meta_path)
+    still = set()
+    for s in list_snapshots(repo_dir):
+        with open(os.path.join(repo_dir, "snapshots", f"{s['name']}.json")) as fh:
+            still.update(json.load(fh)["files"].values())
+    pruned = 0
+    for digest in dropped - still:
+        p = os.path.join(repo_dir, "files", digest)
+        if os.path.exists(p):
+            os.remove(p)
+            pruned += 1
+    return {"deleted": name, "blobs_pruned": pruned}

@@ -100,3 +100,67 @@ def test_snapshot_cli(built, tmp_path):
     )
     assert r2.returncode == 0, r2.stderr
     assert json.loads(r2.stdout.strip().splitlines()[-1])["ok"]
+
+
+def test_incremental_snapshot_repo(ray_session, tmp_path):
+    """Repository snapshots: generation 2 reuses every unchanged segment
+    blob; both generations restore to their exact frozen states; delete
+    prunes only unreferenced blobs."""
+    import os
+
+    import ray.data as rd
+
+    from kafka_es_ray.index.incremental import apply_incremental
+    from kafka_es_ray.index.snapshot import (
+        delete_snapshot,
+        list_snapshots,
+        restore_from_repo,
+        snapshot_to_repo,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(40)],
+            "text": ["opal onyx"] * 40,
+            "lang": "en",
+        }
+    )
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_pandas(docs), idx, CFG, html_col=None, ts_col=None)
+    repo = str(tmp_path / "repo")
+
+    r1 = snapshot_to_repo(idx, repo, "gen1")
+    assert r1["n_copied"] == r1["n_files"] and r1["n_reused"] == 0
+
+    # delta batch -> only the new delta files should copy in gen2
+    actions = pd.DataFrame(
+        [{"id": "new1", "text": "jade onyx", "lang": "en", "seq": 1, "op": "index"}]
+    )
+    apply_incremental(idx, rd.from_pandas(actions), CFG, key_col="id")
+    r2 = snapshot_to_repo(idx, repo, "gen2")
+    assert r2["n_reused"] >= r1["n_files"]  # every gen1 segment blob reused
+    assert 0 < r2["n_copied"] < r2["n_files"]
+
+    names = [s["name"] for s in list_snapshots(repo)]
+    assert names == ["gen1", "gen2"]
+
+    d1 = str(tmp_path / "r1")
+    d2 = str(tmp_path / "r2")
+    restore_from_repo(repo, "gen1", d1)
+    restore_from_repo(repo, "gen2", d2)
+    assert len(IndexSearcher(d1, CFG).search("onyx", k=100)) == 40
+    assert len(IndexSearcher(d2, CFG).search("onyx", k=100)) == 41
+    assert len(IndexSearcher(d1, CFG).search("jade", k=100)) == 0
+    assert len(IndexSearcher(d2, CFG).search("jade", k=100)) == 1
+
+    # delete gen1: shared blobs survive (gen2 still restores), others pruned
+    out = delete_snapshot(repo, "gen1")
+    assert out["blobs_pruned"] == 0  # gen2 references every gen1 blob here
+    d3 = str(tmp_path / "r3")
+    restore_from_repo(repo, "gen2", d3)
+    assert len(IndexSearcher(d3, CFG).search("jade", k=100)) == 1
+    # delete gen2 -> repo empties
+    out2 = delete_snapshot(repo, "gen2")
+    assert out2["blobs_pruned"] == r2["n_files"] - 0
+    assert list_snapshots(repo) == []
+    assert os.listdir(os.path.join(repo, "files")) == []
