@@ -238,3 +238,17 @@ def delete_snapshot(repo_dir: str, name: str) -> dict:
             os.remove(p)
             pruned += 1
     return {"deleted": name, "blobs_pruned": pruned}
+
+
+def slm_tick(repo_dir: str, keep_last: int) -> dict:
+    """Snapshot-lifecycle retention (the ES SLM policy analog): keep the
+    ``keep_last`` newest snapshots by name order (names sort
+    chronologically under the ES date-math naming convention this repo's
+    callers use), delete the rest — each delete prunes only blobs no
+    surviving snapshot references."""
+    snaps = [s["name"] for s in list_snapshots(repo_dir)]
+    drop = snaps[: max(0, len(snaps) - int(keep_last))]
+    pruned = 0
+    for name in drop:
+        pruned += delete_snapshot(repo_dir, name)["blobs_pruned"]
+    return {"deleted": drop, "blobs_pruned": pruned}

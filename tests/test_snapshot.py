@@ -164,3 +164,28 @@ def test_incremental_snapshot_repo(ray_session, tmp_path):
     assert out2["blobs_pruned"] == r2["n_files"] - 0
     assert list_snapshots(repo) == []
     assert os.listdir(os.path.join(repo, "files")) == []
+
+
+def test_slm_retention(ray_session, tmp_path):
+    """slm_tick keeps the newest N snapshots; shared blobs survive while
+    any referencing snapshot remains."""
+    import ray.data as rd
+
+    from kafka_es_ray.index.snapshot import (
+        list_snapshots,
+        slm_tick,
+        snapshot_to_repo,
+    )
+
+    docs = pd.DataFrame(
+        {"url": [f"u{i}" for i in range(10)], "text": ["agate"] * 10, "lang": "en"}
+    )
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_pandas(docs), idx, CFG, html_col=None, ts_col=None)
+    repo = str(tmp_path / "repo")
+    for name in ("2020-01-01", "2020-01-02", "2020-01-03"):
+        snapshot_to_repo(idx, repo, name)
+    out = slm_tick(repo, keep_last=1)
+    assert out["deleted"] == ["2020-01-01", "2020-01-02"]
+    assert out["blobs_pruned"] == 0  # identical content still referenced
+    assert [s["name"] for s in list_snapshots(repo)] == ["2020-01-03"]
