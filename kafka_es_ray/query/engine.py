@@ -22,6 +22,7 @@ term-ordered vectorized form.
 
 from __future__ import annotations
 
+import collections
 import datetime
 import hashlib
 import json
@@ -5006,6 +5007,65 @@ def decode_pit(pit_id: str) -> dict:
     import zlib
 
     return json.loads(zlib.decompress(base64.urlsafe_b64decode(pit_id)))
+
+
+# ----------------------------------------------------------------- ES
+# shard request cache analog: run_queries results keyed by (index dirs,
+# manifest fingerprints, query batch, semantic kwargs).  Results are
+# deterministic per the engine contract (identical at any parallelism),
+# so caching is exact; a manifest write — build, incremental apply,
+# merge, delete — changes the fingerprint and invalidates naturally
+# (the ES refresh-invalidates-request-cache rule).
+_REQUEST_CACHE: "collections.OrderedDict[tuple, pd.DataFrame]" = (
+    collections.OrderedDict()
+)
+REQUEST_CACHE_CAP = 64
+REQUEST_CACHE_STATS = {"hits": 0, "misses": 0}
+
+
+def _manifest_fingerprints(index_dir) -> tuple:
+    import os
+
+    dirs = [index_dir] if isinstance(index_dir, str) else list(index_dir)
+    fps = []
+    for d in dirs:
+        with open(os.path.join(d, "manifest.json"), "rb") as fh:
+            fps.append(hashlib.md5(fh.read()).hexdigest())
+    return tuple(fps)
+
+
+def run_queries_cached(
+    queries_ds, index_dir, cfg: EngineConfig = DEFAULT,
+    concurrency: int | None = None, **kw,
+) -> pd.DataFrame:
+    """ES request-cache wrapper over ``run_queries``: returns the merged
+    pandas result, served from a driver-side LRU when the SAME query
+    batch hits the SAME committed index state.  ``concurrency`` is
+    excluded from the key (it cannot change results — the determinism
+    contract); every semantic kwarg participates.  Cache entries pin
+    only final top-k frames (k rows per query), never corpus data."""
+    queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    dirs = (index_dir,) if isinstance(index_dir, str) else tuple(index_dir)
+    qbytes = queries.to_csv(index=False).encode()
+    key = (
+        dirs,
+        _manifest_fingerprints(index_dir),
+        hashlib.md5(qbytes).hexdigest(),
+        repr(sorted(kw.items())),
+    )
+    hit = _REQUEST_CACHE.get(key)
+    if hit is not None:
+        _REQUEST_CACHE.move_to_end(key)
+        REQUEST_CACHE_STATS["hits"] += 1
+        return hit.copy()
+    REQUEST_CACHE_STATS["misses"] += 1
+    out = run_queries(queries, index_dir, cfg, concurrency, **kw).to_pandas()
+    # deep-copy both ways: the arrow-backed result is read-only, and a
+    # caller mutating its frame must never poison the cached entry
+    _REQUEST_CACHE[key] = out.copy(deep=True)
+    while len(_REQUEST_CACHE) > REQUEST_CACHE_CAP:
+        _REQUEST_CACHE.popitem(last=False)
+    return _REQUEST_CACHE[key].copy(deep=True)
 
 
 def run_queries(

@@ -1220,3 +1220,49 @@ def test_categorize_text_masks_digit_tokens(ray_session, tmp_path):
         ("error code connecting upstream", 3),
         ("warn slow request handler", 1),
     ]
+
+
+def test_request_cache_hit_and_invalidation(ray_session, tmp_path):
+    """run_queries_cached: identical (batch, committed state) serves from
+    the LRU; any manifest write (incremental apply) invalidates; results
+    stay exactly run_queries'."""
+    import ray.data as rd
+
+    from kafka_es_ray.config import EngineConfig
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.index.incremental import apply_incremental
+    from kafka_es_ray.query import engine as eng
+
+    cfg = EngineConfig(num_partitions=2)
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(20)],
+            "text": ["basalt pumice"] * 20,
+            "lang": "en",
+        }
+    )
+    idx = str(tmp_path / "rcidx")
+    build_index(rd.from_pandas(docs), idx, cfg, html_col=None, ts_col=None)
+    q = pd.DataFrame({"query_id": [0], "text": ["basalt"], "k": [50]})
+
+    h0, m0 = eng.REQUEST_CACHE_STATS["hits"], eng.REQUEST_CACHE_STATS["misses"]
+    a = eng.run_queries_cached(q, idx, cfg, concurrency=2)
+    b = eng.run_queries_cached(q, idx, cfg, concurrency=2)
+    assert eng.REQUEST_CACHE_STATS["misses"] == m0 + 1
+    assert eng.REQUEST_CACHE_STATS["hits"] == h0 + 1
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 20
+
+    # a manifest write invalidates: new doc becomes visible (miss)
+    actions = pd.DataFrame(
+        [{"id": "n1", "text": "basalt new", "lang": "en", "seq": 1, "op": "index"}]
+    )
+    apply_incremental(idx, rd.from_pandas(actions), cfg, key_col="id")
+    c = eng.run_queries_cached(q, idx, cfg, concurrency=2)
+    assert eng.REQUEST_CACHE_STATS["misses"] == m0 + 2
+    assert len(c) == 21
+
+    # mutating the returned frame must not poison the cache
+    c.loc[0, "score"] = -1.0
+    d = eng.run_queries_cached(q, idx, cfg, concurrency=2)
+    assert (d["score"] >= 0).all()
