@@ -73,6 +73,17 @@ class EngineConfig:
     # 2^53 — the practical range of doc metadata.
     numeric_cols: tuple[str, ...] = ()
 
+    # --- index sorting (the ES index.sort setting): ("field", "desc" |
+    # "asc") lays each partition's docs out in that numeric field's order
+    # (missing values last, ties by key) BEFORE rank assignment, so
+    # ascending doc_id == the sort order within every segment.  A
+    # sort-by-this-field query then early-terminates: the per-segment
+    # top-k is the FIRST k value-ordered matching docs — no full
+    # match-set docvalue gather.  Internal-id builds only (external
+    # id_col fixes doc ids and cannot re-map); opt-in because it changes
+    # rank order (a breaking layout version per the determinism rule).
+    index_sort: tuple[str, str] | None = None
+
     # --- dense-vector fields stored in the docstore (ES dense_vector
     # mapped fields): each becomes a vec_{name} list<float32> docstore
     # column usable by exact kNN search (run_knn) — the ES knn/

@@ -291,10 +291,32 @@ def build_segment_for_group(
 
     # 3. deterministic doc ids
     if id_col is not None:
+        if cfg.index_sort is not None:
+            raise ValueError(
+                "index_sort requires internal ids (external id_col fixes "
+                "doc ids and cannot re-map the layout)"
+            )
         g = g.sort_values(id_col, kind="mergesort")
         doc_ids = g[id_col].to_numpy(dtype=np.int64)
     else:
-        g = g.sort_values(key_col, kind="mergesort")
+        if cfg.index_sort is not None:
+            # ES index.sort: value-ordered layout (missing last, ties by
+            # key) BEFORE rank assignment -> ascending doc_id == sort
+            # order within the segment (the early-termination contract)
+            fld, order = cfg.index_sort
+            sv = pd.to_numeric(g[fld], errors="coerce")
+            g = (
+                g.assign(_isort=sv)
+                .sort_values(
+                    ["_isort", key_col],
+                    ascending=[order != "desc", True],
+                    kind="mergesort",
+                    na_position="last",
+                )
+                .drop(columns="_isort")
+            )
+        else:
+            g = g.sort_values(key_col, kind="mergesort")
         doc_ids = part_id * cfg.part_stride + rank_base + np.arange(len(g), dtype=np.int64)
     keys = g[key_col].to_numpy()
     texts = g[text_col].reset_index(drop=True)
@@ -621,6 +643,8 @@ def build_index(
             "text_fields": list(cfg.text_fields or ()),
             "index_positions": bool(cfg.index_positions),
             "store_text": bool(cfg.store_text),
+            # ES index.sort record: searchers detect the sorted layout
+            "index_sort": list(cfg.index_sort) if cfg.index_sort else None,
         },
         "metrics": metrics,
         "part_manifests": {str(p): part_manifests[p] for p in parts},

@@ -633,8 +633,16 @@ def apply_incremental(
     for part, n in alloc_updates.items():
         alloc[str(part)] = n
     prev_metrics = manifest.get("apply_metrics", {})
+    mappings_out = dict(manifest.get("mappings", {}))
+    if new_part_manifests and mappings_out.get("index_sort"):
+        # delta segments are id-ordered, not value-ordered: the sorted
+        # layout guarantee (and its early-termination fast path) ends at
+        # the first incremental apply — the ES index.sort + updates
+        # caveat; a force-merge rebuild can restore it
+        mappings_out["index_sort"] = None
     new_manifest = {
         **manifest,
+        "mappings": mappings_out,
         "parts": parts,
         "part_manifests": pm,
         "n_docs": n_docs,

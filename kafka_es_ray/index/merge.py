@@ -713,6 +713,13 @@ def merge_index(index_dir: str, merge_factor: int = 4, cfg: EngineConfig = DEFAU
         "tombstones": {},
         "n_tombstoned": 0,
     }
+    if len(groups) != len(parts) and merged_manifest.get("mappings", {}).get("index_sort"):
+        # a merged segment concatenates partitions in doc_id
+        # (partition-major) order, so its rows are no longer globally
+        # value-ordered: drop the sorted-layout guarantee
+        merged_manifest["mappings"] = {
+            **merged_manifest["mappings"], "index_sort": None
+        }
     write_manifest(index_dir, merged_manifest)
     # old segments removed only after the new manifest is the commit point
     old_tomb_files = [
@@ -816,6 +823,11 @@ def auto_merge(index_dir: str, max_segments: int = 8, cfg: EngineConfig = DEFAUL
         "tombstones": tombs,
         "n_tombstoned": n_tomb,
     }
+    if merged_manifest.get("mappings", {}).get("index_sort"):
+        # same partition-major caveat as merge_index (see above)
+        merged_manifest["mappings"] = {
+            **merged_manifest["mappings"], "index_sort": None
+        }
     write_manifest(index_dir, merged_manifest)
     old_tomb_files = [
         os.path.join(index_dir, os.path.basename(f))

@@ -879,6 +879,18 @@ class IndexSearcher:
         _, rt_expr = _split_fetch_field(sort_field)
         if rt_expr is not None:
             _script_fields(rt_expr)  # whitelist gate before any segment work
+        isort = self.manifest.get("mappings", {}).get("index_sort")
+        # ES index-sorting early termination: when the index layout IS
+        # this sort (field + direction), ascending doc_id == sort order
+        # inside every segment (missing values past every real one), so
+        # the per-segment top-k is simply the FIRST k matching docs — no
+        # full match-set docvalue gather
+        fast = (
+            rt_expr is None
+            and isort is not None
+            and isort[0] == sort_field
+            and (isort[1] == "desc") == (not ascending)
+        )
         terms = sorted(set(get_analyzer(lang).tokenize(text)))
         empty = pd.DataFrame(
             {
@@ -897,6 +909,8 @@ class IndexSearcher:
             )
             if ids.size == 0:
                 continue
+            if fast and ids.size > k:
+                ids = ids[:k]  # early termination (layout == sort order)
             vals = (
                 _script_values(s, ids, rt_expr)
                 if rt_expr is not None
@@ -4680,6 +4694,9 @@ class SortTopkStage(_SegmentCacheStage):
         # top_metrics: extra numeric docstore columns returned for the
         # per-segment winners only (met_0, met_1, …)
         self.metrics = rest[1] if len(rest) > 1 else None
+        # ES index-sorting early termination (driver-gated: layout ==
+        # requested sort, no cursor): first k matching docs per segment
+        self.presorted = rest[2] if len(rest) > 2 else False
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -4689,6 +4706,8 @@ class SortTopkStage(_SegmentCacheStage):
                 ids = _segment_match_ids_for_plan(seg, q)
                 if ids.size == 0:
                     continue
+                if self.presorted and ids.size > self.k:
+                    ids = ids[: self.k]  # layout == sort order (exact)
                 if isinstance(self.field, dict):
                     if "script" in self.field:
                         # ES runtime-field sort: the whitelisted
@@ -11167,7 +11186,20 @@ def run_sorted(
     if not plan:
         return rd.from_pandas(empty)
     plan_ref = ray.put(
-        (plan, manifest.get("tombstones", {}), field, ascending, k, search_after)
+        (
+            plan, manifest.get("tombstones", {}), field, ascending, k,
+            search_after, None,
+            # index-sorting early termination: layout == requested sort,
+            # plain field, no cursor (the cursor filter must precede the
+            # cut to stay exact)
+            bool(
+                isinstance(field, str)
+                and search_after is None
+                and (_is := manifest.get("mappings", {}).get("index_sort"))
+                and _is[0] == field
+                and (_is[1] == "desc") == (not ascending)
+            ),
+        )
     )
     partials = _shards_ds(parts, concurrency).map_batches(
         SortTopkStage,

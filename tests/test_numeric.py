@@ -887,3 +887,86 @@ def test_runtime_field_sort(ray_session, tmp_path):
         s.search_sorted("alpha", "x=__import__('os')", k=3)
     with pytest.raises(ValueError):
         run_sorted(q, idx, "x=a if a else b", k=3, cfg=cfg)
+
+
+def test_index_sorting_layout_and_early_termination(ray_session, tmp_path):
+    """ES index.sort: value-ordered segment layout (missing last, ties by
+    key), sorted queries early-terminate yet match the unsorted index's
+    results exactly; incremental apply and merge drop the layout flag;
+    external ids reject the setting."""
+    import ray.data as rd
+
+    from kafka_es_ray.index.incremental import apply_incremental
+    from kafka_es_ray.index.merge import merge_index
+    from kafka_es_ray.index.segment import read_manifest
+    from kafka_es_ray.query.engine import IndexSearcher, run_sorted
+
+    n = 150
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame(
+        {
+            "url": [f"u{i:04d}" for i in range(n)],
+            "text": [" ".join(rng.choice(WORDS, size=4).tolist()) for _ in range(n)],
+            "lang": "en",
+            "pop": rng.integers(0, 40, size=n).astype(np.float64),
+        }
+    )
+    df.loc[10:19, "pop"] = np.nan  # missing sorts last in the layout
+    sorted_cfg = EngineConfig(
+        num_partitions=4, numeric_cols=("pop",), index_sort=("pop", "desc")
+    )
+    plain_cfg = EngineConfig(num_partitions=4, numeric_cols=("pop",))
+    si = str(tmp_path / "sorted")
+    pi = str(tmp_path / "plain")
+    build_index(rd.from_pandas(df), si, sorted_cfg, html_col=None, ts_col=None)
+    build_index(rd.from_pandas(df), pi, plain_cfg, html_col=None, ts_col=None)
+    assert read_manifest(si)["mappings"]["index_sort"] == ["pop", "desc"]
+
+    # layout: within every segment ascending doc_id == pop desc, NaN last
+    s = IndexSearcher(si, sorted_cfg)
+    for seg in s.segments:
+        vals = seg.nums_for("pop", seg.doc_ids_store)
+        real = vals[~np.isnan(vals)]
+        assert (np.diff(real) <= 0).all()
+        assert not np.isnan(vals)[: real.size].any()  # NaN strictly last
+
+    # identical answers, sorted vs plain, single and distributed paths
+    a = s.search_sorted("alpha beta", "pop", k=7)
+    b = IndexSearcher(pi, plain_cfg).search_sorted("alpha beta", "pop", k=7)
+    assert list(zip(a["key"], a["sort_val"])) == list(zip(b["key"], b["sort_val"]))
+    q = pd.DataFrame({"query_id": [0], "text": ["alpha beta"]})
+    da = run_sorted(q, si, "pop", k=7, cfg=sorted_cfg).to_pandas()
+    dp = run_sorted(q, pi, "pop", k=7, cfg=plain_cfg).to_pandas()
+    assert da["key"].tolist() == dp["key"].tolist()
+    assert da["sort_val"].tolist() == dp["sort_val"].tolist()
+    # ascending request (layout mismatch direction -> general path) too
+    aa = s.search_sorted("alpha beta", "pop", ascending=True, k=7)
+    bb = IndexSearcher(pi, plain_cfg).search_sorted(
+        "alpha beta", "pop", ascending=True, k=7
+    )
+    assert aa["key"].tolist() == bb["key"].tolist()
+
+    # incremental apply drops the guarantee
+    acts = pd.DataFrame(
+        [{"id": "zz", "text": "alpha", "lang": "en", "seq": 1, "op": "index",
+          "pop": 99.0}]
+    )
+    apply_incremental(si, rd.from_pandas(acts), sorted_cfg, key_col="id")
+    assert read_manifest(si)["mappings"]["index_sort"] is None
+
+    # merge drops it on a fresh sorted index too
+    si2 = str(tmp_path / "sorted2")
+    build_index(rd.from_pandas(df), si2, sorted_cfg, html_col=None, ts_col=None)
+    merge_index(si2, merge_factor=4, cfg=sorted_cfg)
+    assert read_manifest(si2)["mappings"]["index_sort"] is None
+
+    # external ids cannot re-map the layout
+    with pytest.raises(Exception, match="index_sort"):
+        build_index(
+            rd.from_pandas(df.assign(doc_id=np.arange(n, dtype=np.int64))),
+            str(tmp_path / "bad"),
+            EngineConfig(num_partitions=2, numeric_cols=("pop",),
+                         index_sort=("pop", "desc")),
+            key_col="url", lang_col="lang", html_col=None, ts_col=None,
+            id_col="doc_id",
+        )
