@@ -974,6 +974,36 @@ SELECT doc_id, host FROM hs WHERE host NOT IN (SELECT host FROM bad)
 ORDER BY doc_id
 """
 
+# URL spam signals: the engine's exact integer arithmetic replayed —
+# depth counts, milli digit-fraction (integer // — no float ratio),
+# query length, rule-count score
+_URL_QUALITY_SQL = _URL_CTE + """
+, f AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^[^/?#]+//([^/?#:]+)', 1)) AS host,
+         regexp_replace(url, '^[^/?#]+//[^/?#]+', '') AS rest
+  FROM u
+),
+g AS (
+  SELECT doc_id,
+         (len(host) - len(replace(host, '.', '')))::BIGINT AS host_depth,
+         (length(regexp_replace(rest, '[?#].*$', ''))
+          - length(replace(regexp_replace(rest, '[?#].*$', ''), '/', '')))::BIGINT
+           AS path_depth,
+         CASE WHEN len(host) > 0
+              THEN ((len(host) - len(regexp_replace(host, '[0-9]', '', 'g')))
+                    * 1000) // len(host)
+              ELSE 0 END::BIGINT AS host_digit_milli,
+         len(coalesce(regexp_extract(rest, '\?([^#]*)', 1), ''))::BIGINT
+           AS query_len
+  FROM f
+)
+SELECT doc_id, host_depth, path_depth, host_digit_milli, query_len,
+       ((host_depth > 3)::BIGINT + (host_digit_milli > 200)::BIGINT
+        + (query_len > 50)::BIGINT + (path_depth > 6)::BIGINT) AS url_spam
+FROM g ORDER BY doc_id
+"""
+
 _DOMAIN_COUNTS_SQL = _URL_CTE + """
 SELECT host, count(*)::BIGINT AS n_docs FROM (
   SELECT lower(regexp_extract(url, '^[^/?#]+//([^/?#:]+)', 1)) AS host FROM u
@@ -8444,6 +8474,16 @@ def _q_host_quality_filter(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_url_quality(sf_dir: str):
+    """URL spam signals over the derived URLs: subdomain/path depth,
+    integer milli digit-fraction of the host, query length, rule-count
+    spam score — one vectorized pass, exact integer arithmetic."""
+    from kafka_es_ray.pipelines.webtext import url_quality
+
+    out = url_quality(_url_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_domain_blocklist_counts(sf_dir: str):
     """Domain blocklist filter + per-host doc counts: blocked hosts
     dropped via a broadcast set, per-batch combiner partials summed in
@@ -9810,6 +9850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "domain_blocklist_counts": _q_domain_blocklist_counts,
         "host_quality_filter": _q_host_quality_filter,
+        "url_quality": _q_url_quality,
         "lww_events": _q_lww_events,
         "ingest_pipeline": _q_ingest_pipeline,
         "simulate_pipeline": _q_simulate_pipeline,
@@ -11075,6 +11116,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _URL_DEDUP_SQL,
         "domain_blocklist_counts": _DOMAIN_COUNTS_SQL,
         "host_quality_filter": _HOST_QUALITY_SQL,
+        "url_quality": _URL_QUALITY_SQL,
         "ingest_pipeline": _INGEST_SQL,
         "simulate_pipeline": _SIMULATE_SQL,
         "lww_events": """

@@ -154,6 +154,53 @@ def host_quality_filter(
     return ds.map_batches(keep, batch_format="pandas", batch_size=8192)
 
 
+def url_quality(ds, url_col: str = "url", id_col: str = "doc_id"):
+    """URL spam signals (the crawl-curation heuristics keyed on the URL
+    alone — applied before any content fetch/decode at crawl scale):
+    per row — host subdomain depth (dots in host), path depth (segments),
+    digit fraction of the host, query-string length, and a rule score
+    ``url_spam`` counting fired signals (depth > 3, host digits > 0.2,
+    query > 50 chars, path > 6 deep).  One vectorized pandas pass, no
+    shuffle; every feature is exact integer/string arithmetic so a SQL
+    replay matches bit-for-bit.
+    Returns (id, host_depth, path_depth, host_digit_milli, query_len,
+    url_spam)."""
+
+    def feats(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch[url_col].astype(str)
+        host = extract_host_series(u)
+        host_depth = host.str.count(r"\.").to_numpy(np.int64)
+        rest = u.str.replace(r"^[^/?#]+//[^/?#]+", "", regex=True)
+        path = rest.str.replace(r"[?#].*$", "", regex=True)
+        path_depth = path.str.count("/").to_numpy(np.int64)
+        # integer milli-fraction: exact on both engines (no float ratio)
+        host_len = host.str.len().to_numpy(np.int64)
+        host_digits = host.str.count(r"[0-9]").to_numpy(np.int64)
+        digit_milli = np.where(
+            host_len > 0, host_digits * 1000 // np.maximum(host_len, 1), 0
+        ).astype(np.int64)
+        q = rest.str.extract(r"\?([^#]*)", expand=False).fillna("")
+        query_len = q.str.len().to_numpy(np.int64)
+        spam = (
+            (host_depth > 3).astype(np.int64)
+            + (digit_milli > 200).astype(np.int64)
+            + (query_len > 50).astype(np.int64)
+            + (path_depth > 6).astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(np.int64),
+                "host_depth": host_depth,
+                "path_depth": path_depth,
+                "host_digit_milli": digit_milli,
+                "query_len": query_len,
+                "url_spam": spam,
+            }
+        )
+
+    return ds.map_batches(feats, batch_format="pandas", batch_size=8192)
+
+
 def robots_filter(
     ds,
     robots_by_host: dict,

@@ -170,3 +170,34 @@ def test_robots_filter(ray_session):
         rd.from_pandas(df), robots, default_allow=False
     ).to_pandas()
     assert 4 not in set(strict["doc_id"])
+
+
+def test_url_quality_features(ray_session):
+    """url_quality == hand-computed features on crafted URLs; exact
+    integer arithmetic (milli-fractions, counts)."""
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.webtext import url_quality
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "url": [
+                "https://a.b.c.d.example.com/x/y?q=1",     # deep host
+                "https://ex.com/a/b/c/d/e/f/g/h",          # deep path
+                "https://123x0.com/p?" + "k=v&" * 20,      # digits + long query
+                "https://clean.org/page#frag",             # clean
+            ],
+        }
+    )
+    out = (
+        url_quality(rd.from_pandas(df)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["host_depth"].tolist() == [5, 1, 1, 1]
+    assert out["path_depth"].tolist() == [2, 8, 1, 1]
+    # "123x0.com": 4 digits / 9 chars -> 444 milli
+    assert out["host_digit_milli"].tolist()[2] == 4 * 1000 // 9
+    assert out["query_len"].tolist()[0] == 3
+    assert out["query_len"].tolist()[2] == len("k=v&" * 20)
+    assert out["url_spam"].tolist() == [1, 1, 2, 0]
