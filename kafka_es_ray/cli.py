@@ -255,6 +255,12 @@ def main(argv: list[str] | None = None) -> int:
         "--auto-merge-max-segments", type=int, default=None,
         help="run the tiered merge policy after each applied file",
     )
+    fo.add_argument(
+        "--alert-queries", default=None,
+        help="JSON file of percolate alert queries "
+        '[{"query_id": 0, "text": "...", "operator": "or"}, ...] — '
+        "matches append to <index>/alerts.jsonl (ES Watcher analog)",
+    )
 
     st = sub.add_parser("stats", help="index stats (ES _stats analog)")
     st.add_argument("--index", required=True)
@@ -614,6 +620,11 @@ def main(argv: list[str] | None = None) -> int:
         own_session = _ray_init(args.num_cpus)
         from kafka_es_ray.sources.stream import follow_directory
 
+        alert_df = None
+        if args.alert_queries:
+            import pandas as pd
+
+            alert_df = pd.read_json(args.alert_queries)
         out = follow_directory(
             args.input,
             args.index,
@@ -626,6 +637,7 @@ def main(argv: list[str] | None = None) -> int:
             max_batches=args.max_batches,
             idle_stop_s=args.idle_stop_s,
             auto_merge_max_segments=args.auto_merge_max_segments,
+            alert_queries=alert_df,
         )
         print(json.dumps(out))
     elif args.cmd == "stats":

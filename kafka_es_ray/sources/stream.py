@@ -73,6 +73,7 @@ def follow_directory(
     watchdog_ttl_s: float | None = None,
     watchdog_max_restarts: int = 2,
     auto_merge_max_segments: int | None = None,
+    alert_queries=None,
     _apply_fn=None,
 ) -> dict:
     """Tail ``input_dir`` for new parquet files and apply each as an
@@ -97,6 +98,15 @@ def follow_directory(
     long-running follow never degrades query fan-out.  Merges happen
     between applies (applies are serialized per index), and a merge
     crash loses nothing: the pre-merge manifest stays the commit point.
+
+    ``alert_queries``: a DataFrame (query_id, text[, operator]) of
+    REGISTERED percolate queries matched against every applied
+    micro-batch's docs — the ES Watcher/alerting shape composed from the
+    percolator (stored queries are the small side; only the incoming
+    docs stream).  Matches append to ``<index>/alerts.jsonl`` (one
+    {file, key, query_id} line each, after the ledger commit) and the
+    cumulative count lands in metrics as ``alerts_total``.  Delete ops
+    never alert (no text).
 
     ``watchdog_ttl_s``: straggler watchdog for the continuous path (the
     WatchDog analog, reference WatchDog.kt:13-126 — restart a task whose
@@ -124,8 +134,61 @@ def follow_directory(
     last_gen = None
     restarts = 0
     merges = 0
+    alerts_total = 0
     quarantined: list[str] = []
     idle_since = time.monotonic()
+
+    percolator = None
+    if alert_queries is not None and len(alert_queries):
+        # the ES Watcher shape: the stored queries are the broadcast
+        # small side, built ONCE for the whole follow session; each
+        # micro-batch's docs stream through driver-side (micro-batches
+        # are small by construction)
+        import ray
+
+        from kafka_es_ray.functions.tokenizer import get_analyzer
+        from kafka_es_ray.pipelines.fulltext import PercolateStage
+
+        plans = []
+        for r in alert_queries.itertuples(index=False):
+            terms = tuple(sorted(set(get_analyzer(None).tokenize(r.text))))
+            if terms:
+                plans.append(
+                    (
+                        int(r.query_id), terms,
+                        (getattr(r, "operator", None) or "or") == "and",
+                    )
+                )
+        percolator = PercolateStage(ray.put(plans))
+
+    def _alert(fn: str, df) -> int:
+        """Percolate one applied micro-batch; append alert lines."""
+        import pandas as _pd
+
+        live = df
+        if op_col in live.columns:
+            live = live[live[op_col] != "delete"]
+        if not len(live):
+            return 0
+        import numpy as np
+
+        probe = _pd.DataFrame(
+            {
+                "doc_id": np.arange(len(live), dtype=np.int64),
+                "text": live[text_col].fillna("").astype(str).to_numpy(),
+            }
+        )
+        hits = percolator(probe)
+        if not len(hits):
+            return 0
+        keys = live[key_col].astype(str).to_numpy()
+        with open(os.path.join(index_dir, "alerts.jsonl"), "a") as fh:
+            for r in hits.itertuples(index=False):
+                fh.write(json.dumps(
+                    {"file": fn, "key": keys[int(r.doc_id)],
+                     "query_id": int(r.query_id)}
+                ) + "\n")
+        return int(len(hits))
 
     def _run_once(fn: str) -> dict:
         return apply_fn(
@@ -198,6 +261,15 @@ def follow_directory(
             # ledger AFTER the apply's manifest commit = at-least-once
             ledger["consumed"].append({"file": fn, "gen": last_gen})
             _commit_ledger(index_dir, ledger)
+            if percolator is not None:
+                import pandas as _pd
+
+                n_al = _alert(fn, _pd.read_parquet(os.path.join(input_dir, fn)))
+                if n_al:
+                    alerts_total += n_al
+                    log.info("alerts: %d percolate matches in %s", n_al, fn)
+                if metrics is not None:
+                    metrics.set("alerts_total", alerts_total)
             idle_since = time.monotonic()
             if auto_merge_max_segments is not None:
                 from kafka_es_ray.index.merge import auto_merge
@@ -229,4 +301,5 @@ def follow_directory(
         "watchdog_restarts": restarts,
         "quarantined": quarantined,
         "auto_merges": merges,
+        "alerts_total": alerts_total,
     }

@@ -262,3 +262,39 @@ def test_follow_auto_merge_compacts_deltas(base_index, tmp_path):
     s = IndexSearcher(base_index, CFG)
     for i in range(4):
         assert len(s.search(f"mergeword{i}")) == 1, i
+
+
+def test_follow_percolate_alerts(base_index, tmp_path):
+    """follow with alert_queries: every applied doc percolates against
+    the registered queries (or/and semantics), matches append to
+    alerts.jsonl with (file, key, query_id); deletes never alert."""
+    inbox = tmp_path / "inbox3"
+    inbox.mkdir()
+    _drop(str(inbox), "a-0001.parquet", [
+        {"id": "w1", "text": "fraud alert signal", "lang": "en",
+         "seq": 1, "op": "index"},
+        {"id": "w2", "text": "calm ordinary text", "lang": "en",
+         "seq": 1, "op": "index"},
+    ])
+    _drop(str(inbox), "a-0002.parquet", [
+        {"id": "w3", "text": "fraud only", "lang": "en", "seq": 2, "op": "index"},
+        {"id": "w1", "text": "x", "lang": "en", "seq": 3, "op": "delete"},
+    ])
+    alerts = pd.DataFrame(
+        {
+            "query_id": [0, 1],
+            "text": ["fraud signal", "fraud signal"],
+            "operator": ["or", "and"],
+        }
+    )
+    out = follow_directory(
+        str(inbox), base_index, CFG, poll_s=0.05, idle_stop_s=0.2,
+        alert_queries=alerts,
+    )
+    # or-query hits w1 (both terms), w3 (fraud); and-query hits only w1
+    assert out["alerts_total"] == 3
+    lines = [json.loads(ln) for ln in
+             open(os.path.join(base_index, "alerts.jsonl"))]
+    got = {(e["key"], e["query_id"]) for e in lines}
+    assert got == {("w1", 0), ("w3", 0), ("w1", 1)}
+    assert all(e["file"].startswith("a-000") for e in lines)
