@@ -252,3 +252,29 @@ def slm_tick(repo_dir: str, keep_last: int) -> dict:
     for name in drop:
         pruned += delete_snapshot(repo_dir, name)["blobs_pruned"]
     return {"deleted": drop, "blobs_pruned": pruned}
+
+
+def verify_repo(repo_dir: str) -> dict:
+    """Repository integrity check (the ES verify-repository analog +
+    content audit): every blob referenced by any snapshot must exist and
+    its md5 must equal its content-address name (bit-rot / torn-write
+    detection the commit ordering cannot catch).  Returns
+    {ok, n_snapshots, n_blobs, problems}."""
+    problems: list[str] = []
+    referenced: set[str] = set()
+    snaps = list_snapshots(repo_dir)
+    for s in snaps:
+        with open(os.path.join(repo_dir, "snapshots", f"{s['name']}.json")) as fh:
+            referenced.update(json.load(fh)["files"].values())
+    for digest in sorted(referenced):
+        p = os.path.join(repo_dir, "files", digest)
+        if not os.path.exists(p):
+            problems.append(f"missing blob: {digest}")
+        elif _file_md5(p) != digest:
+            problems.append(f"corrupt blob: {digest}")
+    return {
+        "ok": not problems,
+        "n_snapshots": len(snaps),
+        "n_blobs": len(referenced),
+        "problems": problems,
+    }

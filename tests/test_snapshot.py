@@ -189,3 +189,33 @@ def test_slm_retention(ray_session, tmp_path):
     assert out["deleted"] == ["2020-01-01", "2020-01-02"]
     assert out["blobs_pruned"] == 0  # identical content still referenced
     assert [s["name"] for s in list_snapshots(repo)] == ["2020-01-03"]
+
+
+def test_verify_repo_detects_corruption(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from kafka_es_ray.index.snapshot import snapshot_to_repo, verify_repo
+
+    docs = pd.DataFrame(
+        {"url": [f"u{i}" for i in range(8)], "text": ["beryl"] * 8, "lang": "en"}
+    )
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_pandas(docs), idx, CFG, html_col=None, ts_col=None)
+    repo = str(tmp_path / "repo")
+    snapshot_to_repo(idx, repo, "s1")
+    rep = verify_repo(repo)
+    assert rep["ok"] and rep["n_snapshots"] == 1 and rep["n_blobs"] > 0
+
+    # flip a byte in one blob -> corrupt; remove another -> missing
+    blobs = sorted(os.listdir(os.path.join(repo, "files")))
+    p0 = os.path.join(repo, "files", blobs[0])
+    data = bytearray(open(p0, "rb").read())
+    data[0] ^= 0xFF
+    open(p0, "wb").write(bytes(data))
+    os.remove(os.path.join(repo, "files", blobs[1]))
+    rep2 = verify_repo(repo)
+    assert not rep2["ok"]
+    kinds = {pr.split(":")[0] for pr in rep2["problems"]}
+    assert kinds == {"corrupt blob", "missing blob"}
