@@ -8900,6 +8900,30 @@ def _q_quality(sf_dir: str):
     return doc_quality(read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+
+def _q_decontaminated_corpus(sf_dir: str):
+    """Decontamination: surviving training docs (zero distinct 4-gram
+    overlap with the benchmark slice doc_id % 50 == 0) — the actionable
+    removal step atop the contamination scan."""
+    from kafka_es_ray.pipelines.dedup_ops import decontaminate
+    from kafka_es_ray.sources.parquet import read_table
+
+    def _slice(keep_bench: bool):
+        import pyarrow as pa
+
+        def f(b):
+            m = b.column("doc_id").to_numpy() % 50 == 0
+            return b.filter(pa.array(m if keep_bench else ~m))
+
+        return f
+
+    docs = lambda: read_table(sf_dir, "documents", columns=["doc_id", "text"])  # noqa: E731
+    bench = docs().map_batches(_slice(True), batch_format="pyarrow")
+    corpus = docs().map_batches(_slice(False), batch_format="pyarrow")
+    out = decontaminate(corpus, bench, n=4).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_contamination(sf_dir: str):
     """Benchmark-contamination check: distinct 4-gram overlap of each
     training doc (doc_id % 50 != 0) against the benchmark slice
@@ -9879,6 +9903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_stats": _q_dup_ngram_stats,
         "cross_doc_ngram_dups": _q_cross_doc_ngram_dups,
         "contamination": _q_contamination,
+        "decontaminated_corpus": _q_decontaminated_corpus,
         "stratified_sample": _q_stratified_sample,
         "train_holdout": _q_train_holdout,
         "pii_scan": _q_pii_scan,
@@ -11290,6 +11315,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # 4-gram eval-leakage scan; n-gram strings are space-joined
         # tokens on both sides (list_reduce || ' ' == ' '.join)
+        "decontaminated_corpus": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest([list_reduce(toks[i:i+3], (a, b) -> a || ' ' || b)
+                             for i in generate_series(1, len(toks)-3)]) AS g
+              FROM t WHERE len(toks) >= 4
+            ),
+            dg AS (SELECT DISTINCT doc_id, g FROM grams),
+            bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT dg.doc_id, count(*)::BIGINT AS n_shared
+              FROM dg JOIN bench USING (g)
+              WHERE dg.doc_id % 50 <> 0 GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(h.n_shared, 0)::BIGINT AS n_shared
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 50 <> 0 AND coalesce(h.n_shared, 0) = 0
+            ORDER BY d.doc_id
+        """,
         "contamination": f"""
             WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
             grams AS (

@@ -1032,3 +1032,23 @@ def dedup_clusters(docs_ds, threshold: float = 0.2, shingle: int = 3):
 
     nodes = docs_ds.map_batches(ids_only, batch_format="pandas")
     return connected_components(pairs, nodes)
+
+
+def decontaminate(
+    docs_ds, bench_ds, n: int = 4, id_col: str = "doc_id",
+    text_col: str = "text", max_shared: int = 0,
+):
+    """The actionable decontamination step atop contamination_check (the
+    GPT-3 appendix-C eval-leakage removal): keep only docs sharing at
+    most ``max_shared`` distinct token n-grams with the benchmark corpus
+    (default 0 = any overlap drops the doc).  Same scale shape — the
+    benchmark n-gram set broadcasts once, the corpus streams through the
+    score + filter maps, nothing shuffles.  Returns the surviving
+    (id, n_shared) rows."""
+    scored = contamination_check(docs_ds, bench_ds, n, id_col, text_col)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b["n_shared"] <= int(max_shared)]
+        return out[[id_col, "n_shared"]]
+
+    return scored.map_batches(keep, batch_format="pandas")

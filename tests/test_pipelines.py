@@ -1264,3 +1264,33 @@ def test_curriculum_order_exact_rank(ray_session):
         pos=np.arange(n, dtype=np.int64)
     ).set_index("doc_id")["pos"]
     assert asc.sort_index().tolist() == want_asc.sort_index().tolist()
+
+
+def test_decontaminate_drops_overlapping(ray_session):
+    """decontaminate: docs sharing any benchmark 4-gram drop; max_shared
+    loosens the cut; disjoint corpus passes through whole."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.dedup_ops import decontaminate
+
+    bench = pd.DataFrame(
+        {"doc_id": [100], "text": ["the quick brown fox jumps over lazy dogs"]}
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [
+                "quick brown fox jumps around here",   # shares 4-grams? "quick brown fox jumps" yes
+                "totally different words entirely now",
+                "the quick brown fox jumps over lazy dogs again",  # many shared
+            ],
+        }
+    )
+    out = decontaminate(rd.from_pandas(docs), rd.from_pandas(bench)).to_pandas()
+    assert sorted(out["doc_id"]) == [1]
+    loose = decontaminate(
+        rd.from_pandas(docs), rd.from_pandas(bench), max_shared=1
+    ).to_pandas()
+    assert sorted(loose["doc_id"]) == [0, 1]
+    assert (loose["n_shared"] <= 1).all()
