@@ -213,7 +213,17 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("--dest", required=True)
 
     vf = sub.add_parser("verify", help="index integrity check (files, sort order, df)")
-    vf.add_argument("--index", required=True)
+    vf.add_argument("--index", default=None)
+    vf.add_argument(
+        "--repo", default=None,
+        help="verify a snapshot REPOSITORY instead: every referenced "
+        "blob present with a matching content-address md5",
+    )
+
+    csn = sub.add_parser(
+        "cat-snapshots", help="list a repository's snapshots (ES GET _snapshot)"
+    )
+    csn.add_argument("--repo", required=True)
 
     m = sub.add_parser("merge", help="force-merge segments (purges deletes)")
     m.add_argument("--index", required=True)
@@ -583,12 +593,23 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(restore_index(args.snapshot, args.dest)))
     elif args.cmd == "verify":
-        from kafka_es_ray.index.snapshot import verify_index
+        if args.repo:
+            from kafka_es_ray.index.snapshot import verify_repo
 
-        rep = verify_index(args.index)
+            rep = verify_repo(args.repo)
+        else:
+            if not args.index:
+                p.error("verify needs --index or --repo")
+            from kafka_es_ray.index.snapshot import verify_index
+
+            rep = verify_index(args.index)
         print(json.dumps(rep))
         if not rep["ok"]:
             raise SystemExit(1)
+    elif args.cmd == "cat-snapshots":
+        from kafka_es_ray.index.snapshot import list_snapshots
+
+        print(json.dumps(list_snapshots(args.repo)))
     elif args.cmd == "merge":
         own_session = _ray_init(args.num_cpus)
         from kafka_es_ray.index.merge import merge_index
