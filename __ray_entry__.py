@@ -1012,6 +1012,15 @@ WHERE host NOT IN ('example1.com', 'example3.com')
 GROUP BY 1 ORDER BY 1
 """
 
+# ES histogram over a runtime field: same integer-valued expression,
+# interval-50 floor buckets
+_RUNTIME_HIST_SQL = _AGG_VALS_CTE + """
+SELECT query_id,
+       (floor((x + 2 * y) / 50.0) * 50.0)::DOUBLE AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM vals GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 # ES stats over a runtime field: integer-valued script expression so
 # float sums are exact in any accumulation order on both engines
 _RUNTIME_STATS_SQL = _AGG_VALS_CTE + """
@@ -6422,6 +6431,26 @@ def _q_change_point_agg(sf_dir: str):
         shutil.rmtree(idx, ignore_errors=True)
 
 
+def _q_runtime_histogram_agg(sf_dir: str):
+    """ES histogram aggregation over a runtime field: interval-50
+    buckets of the script value n_chars + 2*n_tokens per derived query's
+    match set — the NumericAggStage {"script": ...} virtual-field
+    histogram mode."""
+    import shutil
+
+    from kafka_es_ray.query.engine import run_agg_histogram
+
+    idx, cfg, queries = _agg_index_build(
+        sf_dir, numeric=("ts", "n_chars", "n_tokens"), derived=True
+    )
+    try:
+        return run_agg_histogram(
+            queries, idx, {"script": "n_chars + 2 * n_tokens"}, 50.0, cfg=cfg
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_bucket_correlation(sf_dir: str):
     """ES bucket_correlation pipeline aggregation (Pearson core): per
     derived query, the correlation between the monthly date_histogram
@@ -9704,6 +9733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_field": _q_sort_by_field,
         "runtime_sort_topk": _q_runtime_sort_topk,
         "runtime_stats_agg": _q_runtime_stats_agg,
+        "runtime_histogram_agg": _q_runtime_histogram_agg,
         "sort_search_after": _q_sort_search_after,
         "match_stats_agg": _q_match_stats_agg,
         "geo_distance_filter_topk": _q_geo_distance_filter_topk,
@@ -10027,6 +10057,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_field": _SORT_FIELD_SQL,
         "runtime_sort_topk": _RUNTIME_SORT_SQL,
         "runtime_stats_agg": _RUNTIME_STATS_SQL,
+        "runtime_histogram_agg": _RUNTIME_HIST_SQL,
         "sort_search_after": _SORT_AFTER_SQL,
         "match_stats_agg": _STATS_AGG_SQL,
         "geo_distance_filter_topk": _GEO_DIST_FILTER_SQL,
