@@ -234,6 +234,9 @@ def run_bench() -> dict:
         "global_shuffle",
         "url_dedup",
         "host_quality_filter",
+        "curriculum_order",
+        "ann_pq_rescore_topk",
+        "retriever_tree_topk",
     )
     if op_names:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
