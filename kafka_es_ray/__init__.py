@@ -49,7 +49,7 @@ def _register_pickle_by_value() -> None:
         text_ops,
         webtext,
     )
-    from kafka_es_ray.query import apis, bm25, bruteforce, engine, parent_join, rank_eval, templates  # noqa: F401
+    from kafka_es_ray.query import apis, bm25, bruteforce, engine, parent_join, rank_eval, searcher, templates  # noqa: F401
     from kafka_es_ray.sources import corpus, parquet, stream, warc  # noqa: F401
     from kafka_es_ray.stages import actions, ingest, shuffle  # noqa: F401
 

@@ -464,26 +464,49 @@ def ngram_jaccard_pairs(docs_ds, threshold: float = 0.2, shingle: int = 3):
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
     class ShingleStage:
+        """Exploded DISTINCT shingle hashes per doc — vectorized (the
+        MinHashStage shape, round-4 verdict #2): flat shingle-byte
+        stream for the whole batch -> ONE stable_hash64 call ->
+        per-doc dedupe via lexsort + neighbor mask.  Hash-identical to
+        the old per-row ``_shingle_hashes`` loop (bytes tokens joined
+        with b" " hash equal to their str counterparts; np.unique per
+        doc == the neighbor mask on the doc-sorted stream)."""
+
         def __init__(self):
             self.an = get_analyzer("en")
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out_doc, out_sh, sizes_doc, sizes_n = [], [], [], []
-            toks = self.an.tokenize_series(batch["text"])
-            for doc_id, tok in zip(batch["doc_id"].astype(np.int64), toks):
-                sh = _shingle_hashes(tok, shingle)
-                out_doc.extend([int(doc_id)] * sh.size)
-                out_sh.extend(sh.tolist())
-                sizes_doc.append(int(doc_id))
-                sizes_n.append(int(sh.size))
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series(out_doc, dtype=np.int64),
-                    "sh": pd.Series(out_sh, dtype=np.uint64),
-                    # piggyback set sizes as rows with sh sentinel? no —
-                    # separate collection below keeps the schema clean
-                }
-            )
+            doc_ids = batch["doc_id"].to_numpy(np.int64)
+            toks = self.an.tokenize_series_bytes(batch["text"]).tolist()
+            w = shingle
+            shingles: list[bytes] = []
+            counts = np.zeros(len(toks), dtype=np.int64)
+            for di, lst in enumerate(toks):
+                n = len(lst)
+                if n == 0:
+                    continue
+                if n < w:
+                    shingles.append(b" ".join(lst))
+                    counts[di] = 1
+                else:
+                    shingles.extend(
+                        b" ".join(lst[i : i + w]) for i in range(n - w + 1)
+                    )
+                    counts[di] = n - w + 1
+            if not shingles:
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype=np.int64),
+                        "sh": pd.Series([], dtype=np.uint64),
+                    }
+                )
+            hashes = stable_hash64(np.asarray(shingles, dtype=object))
+            docs_rep = np.repeat(doc_ids, counts)
+            order = np.lexsort((hashes, docs_rep))
+            dr, hr = docs_rep[order], hashes[order]
+            keep = np.ones(hr.size, dtype=bool)
+            keep[1:] = (dr[1:] != dr[:-1]) | (hr[1:] != hr[:-1])
+            return pd.DataFrame({"doc_id": dr[keep], "sh": hr[keep]})
 
     # exploded shingle rows feed two consumers (sizes + co-occurrence):
     # materialize once instead of tokenizing the corpus twice

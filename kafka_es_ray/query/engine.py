@@ -3137,7 +3137,11 @@ class _SegmentCacheStage:
         self.multi = not isinstance(index_dir, str)
         self.index_dir = self.index_dirs[0]
         self.cfg = cfg
-        self._init_payload(ray.get(plan_ref))
+        if plan_ref is not None:
+            # None = resident-searcher construction (query/searcher.py):
+            # the plan arrives per score() call via _init_payload, while
+            # the segment LRU below persists across query batches
+            self._init_payload(ray.get(plan_ref))
         self.segments: OrderedDict[tuple, Segment] = OrderedDict()
         self.cache_cap = max(1, cfg.scorer_segment_cache)
 
@@ -5063,13 +5067,19 @@ def run_queries_cached(
     excluded from the key (it cannot change results — the determinism
     contract); every semantic kwarg participates.  Cache entries pin
     only final top-k frames (k rows per query), never corpus data."""
+    import dataclasses
+
     queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
     dirs = (index_dir,) if isinstance(index_dir, str) else tuple(index_dir)
     qbytes = queries.to_csv(index=False).encode()
+    session = kw.pop("session", None)  # an execution vehicle, not a key part
     key = (
         dirs,
         _manifest_fingerprints(index_dir),
         hashlib.md5(qbytes).hexdigest(),
+        # cfg carries scoring semantics (k1/b, analyzer version, mapped
+        # fields): two calls differing only in cfg MUST miss each other
+        repr(sorted(dataclasses.asdict(cfg).items())),
         repr(sorted(kw.items())),
     )
     hit = _REQUEST_CACHE.get(key)
@@ -5078,7 +5088,9 @@ def run_queries_cached(
         REQUEST_CACHE_STATS["hits"] += 1
         return hit.copy()
     REQUEST_CACHE_STATS["misses"] += 1
-    out = run_queries(queries, index_dir, cfg, concurrency, **kw).to_pandas()
+    out = run_queries(
+        queries, index_dir, cfg, concurrency, session=session, **kw
+    ).to_pandas()
     # deep-copy both ways: the arrow-backed result is read-only, and a
     # caller mutating its frame must never poison the cached entry
     _REQUEST_CACHE[key] = out.copy(deep=True)
@@ -5097,6 +5109,7 @@ def run_queries(
     fetch_fields: list[str] | None = None,
     pit: str | None = None,
     indices_boost: list[float] | None = None,
+    session=None,
 ):
     """Distributed query execution: segment-parallel scoring + per-query
     merge.  Queries are the small broadcast side; the segment set is the
@@ -5280,6 +5293,19 @@ def run_queries(
             queries.at[i, "type"] = "bool"
     multi = not isinstance(index_dir, str)
     dirs = list(index_dir) if multi else [index_dir]
+    if session is not None:
+        # resident SearcherSession (query/searcher.py): a long-lived
+        # scorer pool + cached global term stats replace the per-batch
+        # actor-pool spawn and dictionary pass — the reference's
+        # once-per-task transport (ElasticsearchSinkTask.kt:179-200).
+        if pit is not None:
+            session = None  # PIT manifests are frozen; caches track disk
+        elif list(session.dirs) != dirs:
+            raise ValueError(
+                "session was opened on a different index than this call"
+            )
+        else:
+            session.sync()
     if pit is not None:
         # search "as of" the PIT: the frozen manifest replaces the live
         # one — parts, tombstone file lists and global stats all come
@@ -5446,9 +5472,15 @@ def run_queries(
         else:
             terms_set.update(toks)
     all_terms = sorted(terms_set)
-    gdf = np.zeros(len(all_terms), dtype=np.int64)
-    for iid, (d, m) in enumerate(zip(dirs, manifests)):
-        gdf += _collect_global_stats(d, [int(p) for p in m["parts"]], all_terms)
+    if session is not None:
+        # resident path: dfs served from the session's per-epoch term
+        # cache; only first-seen terms pay a (resident-actor) dictionary
+        # pass — repeat batches skip the stats wave entirely
+        gdf = session.global_df(all_terms)
+    else:
+        gdf = np.zeros(len(all_terms), dtype=np.int64)
+        for iid, (d, m) in enumerate(zip(dirs, manifests)):
+            gdf += _collect_global_stats(d, [int(p) for p in m["parts"]], all_terms)
     df_map = dict(zip(all_terms, gdf))
 
     # combined_fields (BM25F) rows need cross-field UNION dfs — one
@@ -6485,12 +6517,10 @@ def run_queries(
             "indices_boost needs one multiplier per index "
             f"({len(indices_boost)} given, {len(dirs)} indexes)"
         )
-    plan_ref = ray.put(
-        (
-            plan, avgdl, k1, b, tomb, fetch or highlight,
-            tuple(fetch_fields or ()),
-            [float(x) for x in indices_boost] if indices_boost is not None else None,
-        )
+    payload = (
+        plan, avgdl, k1, b, tomb, fetch or highlight,
+        tuple(fetch_fields or ()),
+        [float(x) for x in indices_boost] if indices_boost is not None else None,
     )
     k_map = {q["plan_id"]: q["k"] for q in plan}
     window_map = {
@@ -6508,14 +6538,17 @@ def run_queries(
     shard_df = pd.DataFrame({"part_id": parts})
     if multi:
         shard_df["index_id"] = [iid for iid, _ in part_rows]
-    shards = rd.from_pandas(shard_df).repartition(min(n_blocks, len(parts)))
-    partials = shards.map_batches(
-        ShardScorerStage,
-        fn_constructor_args=(dirs if multi else index_dir, plan_ref, cfg),
-        batch_format="pandas",
-        batch_size=4,
-        concurrency=concurrency,
-    )
+    partials = None
+    if session is None:
+        plan_ref = ray.put(payload)
+        shards = rd.from_pandas(shard_df).repartition(min(n_blocks, len(parts)))
+        partials = shards.map_batches(
+            ShardScorerStage,
+            fn_constructor_args=(dirs if multi else index_dir, plan_ref, cfg),
+            batch_format="pandas",
+            batch_size=4,
+            concurrency=concurrency,
+        )
 
     out_cols = ["query_id", "rank", "doc_id", "key", "score"]
     if multi:
@@ -6577,6 +6610,16 @@ def run_queries(
             return pd.DataFrame(empty)
         return pd.concat(out, ignore_index=True)[out_cols]
 
+    if session is not None:
+        # resident path: per-shard partials come straight back from the
+        # held scorer pool and merge driver-side.  Merge volume is
+        # O(plans x shards x k) rank-window rows — the ES coordinating-
+        # node contract — never corpus-scale, so a driver merge is the
+        # scale-correct shape for a serving deployment.
+        merged = session.score_merge(shard_df, payload, merge_bucket)
+        return rd.from_arrow(
+            pa.Table.from_pandas(merged, preserve_index=False)
+        )
     return bucketed_group_agg(partials, ["plan_id"], merge_bucket)
 
 
