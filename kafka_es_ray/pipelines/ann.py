@@ -16,6 +16,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from kafka_es_ray.pipelines.sampling import seeded_sample_ds
+
 from kafka_es_ray.runtime import stage_pool
 
 
@@ -290,7 +292,7 @@ def ivf_cosine_topk(
     import ray
 
     qm = _normalize(np.asarray(query_matrix))
-    train = emb_ds.limit(train_size).to_pandas()
+    train = seeded_sample_ds(emb_ds, "vec_id", int(train_size), prefix="train:")
     centroids = _kmeans_spherical(
         _normalize(np.stack(train["embedding"].to_numpy())), nlist
     )
@@ -474,7 +476,7 @@ def pq_cosine_topk(
     Returns (query_vec_id, rank, vec_id, sim) with sim = round6(ADC)."""
     import ray
 
-    train = emb_ds.limit(train_size).to_pandas()
+    train = seeded_sample_ds(emb_ds, "vec_id", int(train_size), prefix="train:")
     books = _pq_train(
         _normalize(np.stack(train["embedding"].to_numpy())), m=m, ksub=ksub
     )
@@ -556,7 +558,7 @@ def pq_rescore_topk(
     (query_vec_id, rank, vec_id, sim) with EXACT cosine sims."""
     import ray
 
-    train = emb_ds.limit(train_size).to_pandas()
+    train = seeded_sample_ds(emb_ds, "vec_id", int(train_size), prefix="train:")
     books = _pq_train(
         _normalize(np.stack(train["embedding"].to_numpy())), m=m, ksub=ksub
     )
@@ -593,7 +595,7 @@ def ivfpq_cosine_topk(
     Returns (query_vec_id, rank, vec_id, sim)."""
     import ray
 
-    train = emb_ds.limit(train_size).to_pandas()
+    train = seeded_sample_ds(emb_ds, "vec_id", int(train_size), prefix="train:")
     tn = _normalize(np.stack(train["embedding"].to_numpy()))
     centroids = _kmeans_spherical(tn, nlist)
     books = _pq_train(tn, m=m, ksub=ksub)
@@ -637,7 +639,7 @@ def embedding_kmeans(
     (vec_id, cluster, sim) rows leave the tasks.  Returns Dataset
     (vec_id, cluster, sim) with sim = round6 cosine to the assigned
     centroid."""
-    train = emb_ds.limit(int(train_size)).to_pandas()
+    train = seeded_sample_ds(emb_ds, "vec_id", int(train_size), prefix="train:")
     centroids = _kmeans_spherical(
         _normalize(np.stack(train["embedding"].to_numpy())), int(k),
         iters=int(iters), seed=int(seed),

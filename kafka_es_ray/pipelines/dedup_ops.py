@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 
 from kafka_es_ray.functions.hashing import stable_hash64
+from kafka_es_ray.pipelines.sampling import seeded_sample_ds
 from kafka_es_ray.runtime import stage_pool
 from kafka_es_ray.functions.tokenizer import get_analyzer
 
@@ -823,7 +824,7 @@ def semdedup(
     from kafka_es_ray.pipelines.ann import _kmeans_spherical, _normalize
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
-    train = emb_ds.limit(train_size).to_pandas()
+    train = seeded_sample_ds(emb_ds, "vec_id", int(train_size), prefix="train:")
     centroids = _kmeans_spherical(
         _normalize(np.stack(train["embedding"].to_numpy())), nlist
     )

@@ -44,6 +44,28 @@ def _id_hash_mod(ids: pd.Series) -> np.ndarray:
     return seeded_hash_mod(ids, DENOM)
 
 
+def seeded_sample_ds(ds, id_col: str, target: int, prefix: str = "sample:"):
+    """Deterministic ~``target``-row driver-side sample of a Dataset via
+    the seeded_hash_mod contract (rule 1b) — REPRESENTATIVE regardless
+    of row order, where ``ds.limit(n)`` takes the first blocks and skews
+    quantile cuts / trained codebooks on sorted or clustered input
+    (round-4 verdict #4 / advice).  Membership is a pure function of the
+    id, so re-runs and any partitioning see the same sample.  One
+    streaming filter pass (plus a count); corpora at or under ``target``
+    return whole — small-scale behavior (and every exact oracle) is
+    unchanged.  Expected sample size = target (binomial noise ~sqrt)."""
+    n = ds.count()
+    if n <= target:
+        return ds.to_pandas()
+    denom = 1 << 20
+    thr = max(1, int(round(denom * (float(target) / n))))
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        return b[seeded_hash_mod(b[id_col], denom, prefix) < thr]
+
+    return ds.map_batches(keep, batch_format="pandas").to_pandas()
+
+
 def stratified_sample(
     docs_ds,
     rates: dict[str, float],
@@ -291,7 +313,7 @@ def curriculum_order(
 
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
 
-    sample = docs_ds.limit(int(sample_size)).to_pandas()
+    sample = seeded_sample_ds(docs_ds, id_col, int(sample_size), prefix="curr:")
     if len(sample) == 0:
         return pd.DataFrame(
             {

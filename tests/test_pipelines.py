@@ -1266,6 +1266,48 @@ def test_curriculum_order_exact_rank(ray_session):
     assert asc.sort_index().tolist() == want_asc.sort_index().tolist()
 
 
+def test_curriculum_sorted_input_balanced_ranges(ray_session):
+    """Round-4 verdict #4: the quantile sample must be seeded-hash, not
+    a block prefix — on PRESORTED input (a re-run over already-ordered
+    data) a prefix sample collapses nearly all rows into one hot range.
+    Exactness must hold AND the range cuts must stay balanced."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.sampling import curriculum_order, seeded_sample_ds
+
+    n = 20_000
+    # presorted by score: the adversarial layout for a prefix sample
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "quality": np.arange(n, dtype=np.float64)[::-1].copy(),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+
+    # the sample the op uses internally: spans the whole score range
+    sample = seeded_sample_ds(ds, "doc_id", 1024, prefix="curr:")
+    assert 300 < len(sample) < 4096  # ~target, never the whole corpus
+    q = np.quantile(sample["quality"].to_numpy(), [0.1, 0.5, 0.9])
+    assert q[0] < 0.25 * n and abs(q[1] - 0.5 * n) < 0.15 * n and q[2] > 0.75 * n
+
+    # balanced ranges end-to-end: replicate the op's cut construction
+    skey = -sample["quality"].to_numpy(np.float64)
+    qs = np.linspace(0, 1, 64 + 1)[1:-1]
+    cuts = np.unique(np.quantile(skey, qs))
+    rids = np.searchsorted(cuts, -df["quality"].to_numpy(np.float64), side="left")
+    share = np.bincount(rids).max() / n
+    assert share < 0.10, f"hot range holds {share:.0%} of rows"
+
+    # and the ordering stays exact on the sorted input
+    got = (
+        curriculum_order(ds, "quality", num_ranges=64, sample_size=1024)
+        .to_pandas().set_index("doc_id")["curriculum_pos"]
+    )
+    assert got.sort_index().tolist() == list(range(n))
+
+
 def test_decontaminate_drops_overlapping(ray_session):
     """decontaminate: docs sharing any benchmark 4-gram drop; max_shared
     loosens the cut; disjoint corpus passes through whole."""
