@@ -27,6 +27,9 @@ import numpy as np
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAGES_ROWS = int(os.environ.get("BENCH_PAGES_ROWS", "500000"))
+# dedup-bench corpus size: sf0.1 documents is 5k rows (fixed-overhead
+# territory); dedup-pipeline parallelism only shows at ~100k+ docs
+DEDUP_ROWS = int(os.environ.get("BENCH_DEDUP_ROWS", "100000"))
 CACHE_DIR = "/tmp/kafka_es_ray_bench"
 
 
@@ -44,6 +47,29 @@ def ensure_pages_corpus(n_rows: int) -> str:
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     t = make_pages(n_rows)
+    shard = max(1, n_rows // 64)
+    for i, start in enumerate(range(0, t.num_rows, shard)):
+        pq.write_table(t.slice(start, shard), os.path.join(out, f"part-{i:03d}.parquet"))
+    with open(marker, "w") as f:
+        f.write(str(n_rows))
+    return out
+
+
+def ensure_dedup_corpus(n_rows: int) -> str:
+    """Deterministic planted-duplicate documents corpus (multi-file
+    parquet, cached) — large enough that dedup-pipeline timings measure
+    parallelism, not pipeline fixed cost."""
+    out = os.path.join(CACHE_DIR, f"dedup_{n_rows}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    import pyarrow.parquet as pq
+
+    from kafka_es_ray.fixtures import make_dedup_docs
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    t = make_dedup_docs(n_rows)
     shard = max(1, n_rows // 64)
     for i, start in enumerate(range(0, t.num_rows, shard)):
         pq.write_table(t.slice(start, shard), os.path.join(out, f"part-{i:03d}.parquet"))
@@ -184,6 +210,40 @@ def run_bench() -> dict:
     extra["queries_per_sec"] = round(len(qdf) / t_query, 1)
     extra["topk_rows"] = n_out
 
+    # ---- headline: RESIDENT query throughput (SearcherSession) ----
+    # first batch pays pool spawn + stats (reported separately); the
+    # steady-state serving number is the warm batch — the metric that was
+    # flat 8->32 CPUs for four rounds under the per-batch fixed floor
+    from kafka_es_ray.query.searcher import SearcherSession
+
+    with SearcherSession(idx, cfg, pool=max(2, NUM_CPUS // 4)) as sess:
+        t0 = time.perf_counter()
+        sess.search(qdf).count()
+        timings["bm25_queries_resident_cold"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n_res = sess.search(qdf).count()
+        t_res = time.perf_counter() - t0
+        timings["bm25_queries_resident"] = round(t_res, 3)
+        extra["queries_per_sec_resident"] = round(len(qdf) / t_res, 1)
+        assert n_res == n_out, (n_res, n_out)  # determinism contract
+
+    # ---- dedup family at measurable scale (planted-dup corpus) ----
+    if os.environ.get("BENCH_DEDUP_SCALE") or not os.environ.get("BENCH_HEADLINE_ONLY"):
+        from kafka_es_ray.pipelines.dedup_ops import dedup_clusters, minhash_dedup
+
+        dedup_dir = ensure_dedup_corpus(DEDUP_ROWS)
+        rd.read_parquet(dedup_dir).count()  # warm page cache
+        t0 = time.perf_counter()
+        minhash_dedup(rd.read_parquet(dedup_dir), threshold=0.8).count()
+        timings[f"minhash_dups_{DEDUP_ROWS // 1000}k"] = round(
+            time.perf_counter() - t0, 3
+        )
+        t0 = time.perf_counter()
+        dedup_clusters(rd.read_parquet(dedup_dir), threshold=0.5).count()
+        t_dc = time.perf_counter() - t0
+        timings[f"dedup_clusters_{DEDUP_ROWS // 1000}k"] = round(t_dc, 3)
+        extra["dedup_docs_per_sec"] = round(DEDUP_ROWS / t_dc, 1)
+
     # ---- operator pipelines over the sf tables ----
     # (skipped in scaling mode: only the headline feeds the efficiency
     # ratio, and 4 subprocess runs of the full operator sweep would more
@@ -273,8 +333,15 @@ def run_scaling() -> dict:
     # it (cross-process persistence, measured round 3)
     _warm_host_pages()
     results = {}
+    dkey = f"dedup_clusters_{DEDUP_ROWS // 1000}k"
+    mkey = f"minhash_dups_{DEDUP_ROWS // 1000}k"
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_HEADLINE_ONLY="1",
+            BENCH_DEDUP_SCALE="1",
+        )
         runs = []
         for _ in range(2):  # repeated runs: the sandbox host is noisy
             out = subprocess.run(
@@ -291,6 +358,11 @@ def run_scaling() -> dict:
         best = dict(min(runs, key=lambda r: r["value"]))
         best["docs_per_sec"] = max(r["docs_per_sec"] for r in runs)
         best["queries_per_sec"] = max(r["queries_per_sec"] for r in runs)
+        best["queries_per_sec_resident"] = max(
+            r.get("queries_per_sec_resident", 0) for r in runs
+        )
+        best["dedup_sec"] = min(r["queries"].get(dkey, 1e9) for r in runs)
+        best["minhash_sec"] = min(r["queries"].get(mkey, 1e9) for r in runs)
         best["value"] = min(r["value"] for r in runs)
         results[ncpu] = best
     t8 = results[8]["value"]
@@ -308,6 +380,22 @@ def run_scaling() -> dict:
         "docs_per_sec_32cpu": results[32]["docs_per_sec"],
         "queries_per_sec_8cpu": results[8]["queries_per_sec"],
         "queries_per_sec_32cpu": results[32]["queries_per_sec"],
+        "queries_per_sec_resident_8cpu": results[8]["queries_per_sec_resident"],
+        "queries_per_sec_resident_32cpu": results[32]["queries_per_sec_resident"],
+        "resident_query_scaling": round(
+            (results[32]["queries_per_sec_resident"]
+             / max(results[8]["queries_per_sec_resident"], 1e-9)) / (32 / 8),
+            3,
+        ),
+        "dedup_clusters_sec_8cpu": results[8]["dedup_sec"],
+        "dedup_clusters_sec_32cpu": results[32]["dedup_sec"],
+        "dedup_clusters_scaling": round(
+            (results[8]["dedup_sec"] / max(results[32]["dedup_sec"], 1e-9)) / (32 / 8),
+            3,
+        ),
+        "minhash_sec_8cpu": results[8]["minhash_sec"],
+        "minhash_sec_32cpu": results[32]["minhash_sec"],
+        "dedup_rows": DEDUP_ROWS,
         "pages_rows": results[32]["pages_rows"],
         # best-run host-health canary per level (see _host_canary): the
         # efficiency RATIO is fair when both levels show similar values

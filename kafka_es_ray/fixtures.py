@@ -70,6 +70,41 @@ def full_page_text(body: str) -> str:
     return f"home | about {body} © 2025 example"
 
 
+def make_dedup_docs(n_rows: int, seed: int = SEED) -> pa.Table:
+    """Documents table (doc_id:int64, text:string) with PLANTED
+    duplicates for dedup-pipeline benchmarking at sizes where
+    parallelism is measurable (the sf0.1 documents table is 5k rows —
+    fixed-overhead territory; round-4 verdict #3):
+
+      * ~86% unique Zipfian docs (~60 tokens each);
+      * ~8% near-duplicates: a copy of an earlier doc with ~5% of its
+        tokens substituted (lands above typical Jaccard thresholds);
+      * ~6% exact duplicates of an earlier doc.
+
+    Deterministic (seed); doc_id = row index."""
+    rng = np.random.default_rng(seed)
+    vocab = _vocab()
+    n_base = max(1, int(n_rows * 0.86))
+    lens = np.maximum(10, rng.poisson(60, size=n_base))
+    texts = [_zipf_text(rng, vocab, int(L)) for L in lens]
+    n_near = int(n_rows * 0.08)
+    for _ in range(n_near):
+        src = texts[int(rng.integers(0, n_base))].split()
+        n_mut = max(1, int(len(src) * 0.05))
+        for pos in rng.integers(0, len(src), size=n_mut):
+            src[int(pos)] = vocab[int(rng.integers(0, vocab.size))]
+        texts.append(" ".join(src))
+    while len(texts) < n_rows:
+        texts.append(texts[int(rng.integers(0, n_base))])
+    order = rng.permutation(n_rows)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_rows, dtype=np.int64)),
+            "text": pa.array(np.asarray(texts, dtype=object)[order], type=pa.string()),
+        }
+    )
+
+
 def make_pages(n_rows: int, seed: int = SEED) -> pa.Table:
     rng = np.random.default_rng(seed)
     vocab = _vocab()
