@@ -74,6 +74,117 @@ FROM topk WHERE rank <= 10
 """
 
 _BM25_SQL = _BM25_SQL_TEMPLATE.replace("{_TOK}", _TOK).format(having="")
+
+# Everything through the ranked ``topk`` CTE — the shared head for
+# oracles that post-process the top-k rows (highlight).
+_BM25_TOPK_HEAD = _BM25_SQL[: _BM25_SQL.rindex("SELECT query_id,")].rstrip()
+
+# ES highlighter oracle: replays engine.make_snippet exactly.  The
+# documents text alphabet is [a-z ] (single-space token separation), so
+# the python pattern's (?<![a-z0-9])/(?![a-z0-9]) whole-token boundaries
+# reduce to space-or-edge — instr on the space-padded text gives the
+# first whole-token occurrence, and <em>-wrapping is a space-delimited
+# regexp_replace run TWICE (RE2 replacements consume the shared
+# delimiter of adjacent matches; the second pass catches the survivors
+# — python lookarounds don't consume, one pass suffices there).
+_HIGHLIGHT_SQL = _BM25_TOPK_HEAD + r""",
+qterms AS (
+  SELECT query_id, string_agg(term, '|' ORDER BY term) AS alts
+  FROM queries GROUP BY 1
+),
+pos AS (
+  SELECT t.query_id, t.doc_id, t.rank, t.score, d.text, q.term,
+         instr(' ' || d.text || ' ', ' ' || q.term || ' ') AS ip
+  FROM topk t JOIN documents d USING (doc_id) JOIN queries q USING (query_id)
+  WHERE t.rank <= 10
+),
+firstpos AS (
+  SELECT query_id, doc_id, rank, score, text,
+         min(CASE WHEN ip > 0 THEN ip END) AS p
+  FROM pos GROUP BY 1, 2, 3, 4, 5
+),
+firstterm AS (
+  SELECT fp.query_id, fp.doc_id, fp.rank, fp.score, fp.text, fp.p,
+         min(p2.term) AS term0
+  FROM firstpos fp JOIN pos p2
+    ON p2.query_id = fp.query_id AND p2.doc_id = fp.doc_id AND p2.ip = fp.p
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+snip AS (
+  SELECT query_id, doc_id, rank, score, text,
+         greatest(0, p - 1 - 60) AS lo,
+         least(len(text), p - 1 + len(term0) + 60) AS hi
+  FROM firstterm
+),
+wrapped AS (
+  SELECT s.query_id, s.doc_id, s.rank, s.score, s.lo, s.hi,
+         len(s.text) AS tl,
+         regexp_replace(
+           regexp_replace(
+             ' ' || substr(s.text, s.lo + 1, s.hi - s.lo) || ' ',
+             '( )(' || qt.alts || ')( )', '\1<em>\2</em>\3', 'g'),
+           '( )(' || qt.alts || ')( )', '\1<em>\2</em>\3', 'g') AS w
+  FROM snip s JOIN qterms qt USING (query_id)
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score,
+       (CASE WHEN lo > 0 THEN '...' ELSE '' END)
+       || substr(w, 2, len(w) - 2)
+       || (CASE WHEN hi < tl THEN '...' ELSE '' END) AS highlight
+FROM wrapped
+"""
+
+
+def _terminate_after_sql() -> str:
+    """_count with terminate_after=5, per-SEGMENT cap.  SQL can replay
+    the cap because the index is routing-partitioned on doc_id % 8 (see
+    _q_terminate_after_count) and the fixed routing-value -> partition
+    map (the engine's public route_partition contract over the eight
+    routing strings) is inlined as a VALUES table — partition membership
+    is then pure SQL arithmetic."""
+    from kafka_es_ray.functions.hashing import route_partition
+
+    pmap = route_partition(
+        np.array([str(i) for i in range(8)], dtype=object), 8
+    )
+    vals = ", ".join(f"({i}, {int(p)})" for i, p in enumerate(pmap))
+    return f"""
+WITH routing_map(grp, part) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+df0 AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks GROUP BY 1),
+ranked_terms AS (
+  SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS r FROM df0
+),
+queries AS (
+  SELECT 0 AS query_id, term FROM ranked_terms WHERE r = 1
+  UNION ALL SELECT 1, term FROM ranked_terms WHERE r IN (2, 3)
+  UNION ALL SELECT 2, term FROM ranked_terms WHERE r IN (4, 5, 6)
+  UNION ALL SELECT 3, term FROM ranked_terms WHERE r IN (7, 8)
+  UNION ALL SELECT 4, 'zzzabsentterm'
+),
+docs_part AS (
+  SELECT d.doc_id, rm.part FROM documents d
+  JOIN routing_map rm ON d.doc_id % 8 = rm.grp
+),
+matches AS (
+  SELECT DISTINCT q.query_id, t.doc_id
+  FROM queries q JOIN toks t ON t.term = q.term
+),
+per_part AS (
+  SELECT m.query_id, dp.part, count(*) AS c
+  FROM matches m JOIN docs_part dp USING (doc_id) GROUP BY 1, 2
+),
+agg AS (
+  SELECT query_id, sum(least(c, 5))::BIGINT AS n_matching,
+         bool_or(c >= 5) AS terminated_early
+  FROM per_part GROUP BY 1
+)
+SELECT q.query_id, coalesce(a.n_matching, 0)::BIGINT AS n_matching,
+       coalesce(a.terminated_early, FALSE) AS terminated_early
+FROM (SELECT DISTINCT query_id FROM queries) q LEFT JOIN agg a USING (query_id)
+ORDER BY query_id
+"""
 # numeric range filter: same scores, docs outside [150, 400] n_chars are
 # dropped BEFORE ranking (ES filter context: no score contribution)
 _RANGE_SQL = _BM25_SQL.replace(
@@ -3421,20 +3532,42 @@ def _q_range_filter_topk(sf_dir: str):
 
 
 def _q_terminate_after_count(sf_dir: str):
-    """ES _count with terminate_after (per-shard early-termination cap):
-    rows-only — the cap binds to the engine's hash partitioning, which
-    SQL can't replay; pytest (test_count_terminate_after) pins the
-    per-segment semantics.  Returns one row per derived query with the
-    capped count and the terminated_early flag (cap 5 per segment)."""
+    """ES _count with terminate_after (per-shard early-termination cap,
+    5 per segment): the index is ROUTING-partitioned on doc_id % 8 (ES
+    ?routing=), so partition membership — and therefore the capped
+    count — is SQL-replayable (the oracle inlines the fixed
+    routing-value -> partition map; round-4 verdict #5 turned this from
+    rows-only into a full oracle).  Returns one row per derived query
+    with the capped count and the terminated_early flag."""
     import shutil
     import tempfile
 
-    from kafka_es_ray.pipelines.fulltext import build_documents_index, derive_query_set
+    import pyarrow as pa
+
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.pipelines.fulltext import (
+        DOCS_CFG,
+        derive_query_set,
+        documents_dataset,
+    )
     from kafka_es_ray.query.engine import IndexSearcher, run_counts
 
     idx = tempfile.mkdtemp(prefix="kafka_es_ray_taidx_")
     try:
-        build_documents_index(sf_dir, idx)
+        ds = documents_dataset(sf_dir)
+
+        def add_routing(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "routing", pa.array((ids % 8).astype(str))
+            )
+
+        ds = ds.map_batches(add_routing, batch_format="pyarrow")
+        build_index(
+            ds, idx, DOCS_CFG, key_col="key", lang_col="lang",
+            html_col=None, ts_col=None, id_col="doc_id",
+            routing_col="routing",
+        )
         queries = derive_query_set(IndexSearcher(idx))
         return run_counts(queries, idx, terminate_after=5)
     finally:
@@ -10030,6 +10163,8 @@ def oracle_sql() -> dict[str, str]:
         # rendered open-range defaults are vacuous on this data)
         "msearch_template_topk": _SEARCH_TEMPLATE_SQL,
         "track_total_hits": _TRACK_TOTALS_SQL,
+        "highlight_topk": _HIGHLIGHT_SQL,
+        "terminate_after_count": _terminate_after_sql(),
         "render_template": _RENDER_TEMPLATE_SQL,
         "kw_filter_topk": _KW_FILTER_SQL,
         "min_score_topk": _MIN_SCORE_SQL,

@@ -346,10 +346,20 @@ def main(argv: list[str] | None = None) -> int:
             if args.registry
             else ([args.index], None)
         )
-        # a FILTERED alias's implicit lang filter; an explicit
-        # --filter-lang wins (the ES filtered-alias + query-filter AND
-        # collapses to the narrower one for the single-field case)
-        if alias_filter is not None and not args.filter_lang:
+        # a FILTERED alias's implicit lang filter.  ES ANDs the alias
+        # filter with query filters, so an explicit --filter-lang that
+        # DIFFERS from the alias's lang is the empty intersection — an
+        # almost-certain operator error; refuse loudly rather than let
+        # either side silently win (round-4 advice).  Equal values
+        # collapse to one filter.
+        if alias_filter is not None:
+            if args.filter_lang and args.filter_lang != alias_filter:
+                raise SystemExit(
+                    f"--filter-lang {args.filter_lang!r} contradicts alias "
+                    f"filter lang={alias_filter!r}: the ES AND of the two "
+                    "matches nothing (drop the flag or query the index "
+                    "directly)"
+                )
             args.filter_lang = alias_filter
         if len(targets) > 1:
             # alias over several indexes -> the distributed multi-index path

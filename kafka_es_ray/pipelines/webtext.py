@@ -65,28 +65,32 @@ def canonicalize_urls(ds, url_col: str = "url", id_col: str = "doc_id"):
 
 
 def canonical_url_dedup(ds, url_col: str = "url", id_col: str = "doc_id"):
-    """One survivor per distinct canonical URL: (doc_id=min id,
+    """One survivor per distinct canonical URL: (id_col=min id,
     n_copies) — canonicalize in the map, then the exact_dedup shape
-    (shuffle moves only (hash, id) pairs, one bucketed exchange,
-    group count bounded by buckets not distinct URLs)."""
+    (one bucketed exchange; group count bounded by buckets, not by
+    distinct URLs).  Survivors group on the canonical URL STRING itself,
+    not a 64-bit hash of it (round-4 advice: at multi-billion-URL scale
+    a hash collision would silently merge two distinct URLs and drop a
+    doc).  The exchange therefore moves (canon, id) rows — URLs are
+    short, and the string rides the same bucketed route the hash would
+    have.  The output id column is named from ``id_col``."""
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        canon = canonicalize_url_series(batch[url_col].astype(str))
+    def add_canon(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "h": stable_hash64(canon.to_numpy()).astype(np.uint64),
+                "canon": canonicalize_url_series(batch[url_col].astype(str)),
                 id_col: batch[id_col].astype(np.int64),
             }
         )
 
     def first_per_key(bucket: pd.DataFrame) -> pd.DataFrame:
-        g = bucket.groupby("h", as_index=False).agg(
-            doc_id=(id_col, "min"), n_copies=(id_col, "size")
+        g = bucket.groupby("canon", as_index=False).agg(
+            **{id_col: (id_col, "min"), "n_copies": (id_col, "size")}
         )
-        return g[["doc_id", "n_copies"]].astype(np.int64)
+        return g[[id_col, "n_copies"]].astype(np.int64)
 
-    hashed = ds.map_batches(add_hash, batch_format="pandas", batch_size=8192)
-    return bucketed_group_agg(hashed, ["h"], first_per_key)
+    canonical = ds.map_batches(add_canon, batch_format="pandas", batch_size=8192)
+    return bucketed_group_agg(canonical, ["canon"], first_per_key)
 
 
 def extract_host_series(urls: pd.Series) -> pd.Series:

@@ -3988,9 +3988,9 @@ class MatchSetStage(_SegmentCacheStage):
                         # at the cap; == cap means "maybe more existed"
                         ta = int(self.terminate_after)
                         if n_seg >= ta:
-                            out.append((q["plan_id"], "\x00ta", 1))
+                            out.append((q["plan_id"], 1, "", 1))
                             n_seg = ta
-                    out.append((q["plan_id"], "", n_seg))
+                    out.append((q["plan_id"], 0, "", n_seg))
                 else:  # terms agg: per-value partial counts
                     vals, n = np.unique(seg.field_for(self.field, ids), return_counts=True)
                     if self.shard_size is not None and vals.size > int(self.shard_size):
@@ -3998,16 +3998,24 @@ class MatchSetStage(_SegmentCacheStage):
                         # buckets (n desc, value asc); the smallest KEPT
                         # count is this shard's contribution to
                         # doc_count_error_upper_bound (the ES bound),
-                        # emitted as a "\x00bound" sentinel row
+                        # emitted as a kind=2 error-bound row
                         order = np.lexsort((vals, -n))[: int(self.shard_size)]
                         vals, n = vals[order], n[order]
-                        out.append((q["plan_id"], "\x00bound", int(n.min())))
-                    out.extend((q["plan_id"], str(v), int(c)) for v, c in zip(vals, n))
+                        out.append((q["plan_id"], 2, "", int(n.min())))
+                    out.extend((q["plan_id"], 0, str(v), int(c)) for v, c in zip(vals, n))
+        # ``kind`` keys the row type (0 = value/count partial, 1 =
+        # terminate_after flag, 2 = shard_size error bound).  Flags used
+        # to ride the value column as "\x00..."-prefixed sentinels —
+        # pandas groupby hashes strings as C strings, so "\x00ta"
+        # MERGED with "" whenever both landed in one exchange bucket
+        # (counts silently inflated, flags lost; round-5 find).  A NUL
+        # can never reach pandas group keys.
         return pd.DataFrame(
-            out, columns=["plan_id", "value", "n_partial"]
-        ).astype({"plan_id": np.int64, "n_partial": np.int64}) if out else pd.DataFrame(
+            out, columns=["plan_id", "kind", "value", "n_partial"]
+        ).astype({"plan_id": np.int64, "kind": np.int64, "n_partial": np.int64}) if out else pd.DataFrame(
             {
                 "plan_id": pd.Series([], dtype=np.int64),
+                "kind": pd.Series([], dtype=np.int64),
                 "value": pd.Series([], dtype=object),
                 "n_partial": pd.Series([], dtype=np.int64),
             }
@@ -6892,8 +6900,9 @@ def _run_match_set(
     """Shared distributed driver for _count (field=None) and terms agg:
     segments as the Dataset, plans broadcast, per-(plan[,value]) partial
     counts summed in a bucketed merge.  ``shard_size`` truncates each
-    segment's bucket list (ES terms shard_size; adds "\\x00bound"
-    sentinel rows).  Returns (summed partials, plan)."""
+    segment's bucket list (ES terms shard_size; adds kind=2 error-bound
+    rows; terminate_after flags are kind=1).  Returns (summed partials,
+    plan)."""
     import ray
 
     from kafka_es_ray.stages.shuffle import bucketed_group_agg
@@ -6904,7 +6913,7 @@ def _run_match_set(
     parts = [int(p) for p in manifest["parts"]]
     plan = _match_set_plans(queries)
     if not plan:
-        return pd.DataFrame({"plan_id": [], "value": [], "n": []}), plan
+        return pd.DataFrame({"plan_id": [], "kind": [], "value": [], "n": []}), plan
     plan_ref = ray.put(
         (plan, manifest.get("tombstones", {}), field, shard_size,
          terminate_after, sample)
@@ -6918,10 +6927,14 @@ def _run_match_set(
     )
 
     def sum_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        g = bucket.groupby(["plan_id", "value"], as_index=False).agg(n=("n_partial", "sum"))
-        return g.astype({"plan_id": np.int64, "n": np.int64})
+        g = bucket.groupby(["plan_id", "kind", "value"], as_index=False).agg(
+            n=("n_partial", "sum")
+        )
+        return g.astype({"plan_id": np.int64, "kind": np.int64, "n": np.int64})
 
-    summed = bucketed_group_agg(partials, ["plan_id", "value"], sum_bucket).to_pandas()
+    summed = bucketed_group_agg(
+        partials, ["plan_id", "kind", "value"], sum_bucket
+    ).to_pandas()
     return summed, plan
 
 
@@ -6948,9 +6961,9 @@ def run_counts(
     by_plan: dict[int, int] = {}
     term_by_plan: dict[int, bool] = {}
     if len(summed):
-        counts = summed[summed["value"] == ""]
+        counts = summed[summed["kind"] == 0]
         by_plan = counts.groupby("plan_id")["n"].sum().to_dict()
-        flags = summed[summed["value"] == "\x00ta"]
+        flags = summed[summed["kind"] == 1]
         term_by_plan = (flags.groupby("plan_id")["n"].sum() > 0).to_dict()
     rows = [
         {
@@ -7028,7 +7041,7 @@ def run_agg_terms(
     out = []
     if len(summed):
         for pid_, g in summed.groupby("plan_id", sort=True):
-            is_bound = g["value"] == "\x00bound"
+            is_bound = g["kind"] == 2
             bound = int(g[is_bound]["n"].sum())
             g = g[~is_bound]
             if missing is not None:

@@ -218,6 +218,41 @@ def test_filtered_alias(ray_session, tmp_path):
     assert fl2 == "de" and dirs2 == [d, new_dir]
 
 
+def test_filtered_alias_conflicting_cli_filter_refused(ray_session, tmp_path, capsys):
+    """Round-4 advice: ES ANDs the alias filter with query filters, so
+    an explicit --filter-lang that differs from the alias's lang is the
+    empty intersection — refused loudly instead of letting the flag
+    silently bypass the alias filter.  An equal value is accepted."""
+    import ray.data as rd
+
+    from kafka_es_ray.cli import main
+
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(20)],
+            "text": ["silver copper"] * 20,
+            "lang": ["en"] * 12 + ["de"] * 8,
+        }
+    )
+    d = str(tmp_path / "cidx")
+    build_index(rd.from_pandas(docs), d, CFG, html_col=None, ts_col=None)
+    reg = str(tmp_path / "aliases.json")
+    add_alias(reg, "german", [d], filter_lang="de")
+
+    with pytest.raises(SystemExit, match="contradicts alias filter"):
+        main(
+            ["query", "--index", "german", "--registry", reg,
+             "--text", "silver", "--filter-lang", "en"]
+        )
+    # equal value collapses to one filter and works
+    assert main(
+        ["query", "--index", "german", "--registry", reg,
+         "--text", "silver", "--filter-lang", "de", "-k", "100"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert out.count("u1") >= 1
+
+
 def test_ilm_tick_lifecycle(ray_session, tmp_path):
     """ilm_tick composes the lifecycle: rollover when the write index is
     full, warm generations auto-merged, oldest generations dropped past

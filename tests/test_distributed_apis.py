@@ -913,6 +913,45 @@ def test_count_terminate_after(api_index, ray_session):
     assert not bool(capped["terminated_early"][1])
 
 
+def test_count_terminate_after_exact_under_plan_collisions(ray_session, tmp_path):
+    """Round-5 regression: the terminate_after flag rode the exchange's
+    value column as a "\\x00ta" sentinel — pandas groupby hashes strings
+    as C strings, so whenever a (plan, "") count row and a (plan,
+    "\\x00ta") flag row collided in one exchange bucket they MERGED:
+    counts inflated by the flag units and the flag lost.  With enough
+    plans the collision is certain.  Every query below matches every doc,
+    every segment exceeds the cap, so the exact contract is
+    count == n_segments * cap with the flag set — for ALL plans."""
+    import ray.data as rd
+
+    from kafka_es_ray.index.build import build_index
+    from kafka_es_ray.index.segment import read_manifest
+
+    cfg = EngineConfig(num_partitions=4)
+    idx = str(tmp_path / "tacoll")
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i:04d}" for i in range(200)],
+            "text": [f"omni filler w{i % 7}" for i in range(200)],
+            "lang": "en",
+        }
+    )
+    build_index(
+        rd.from_pandas(docs), idx, cfg,
+        key_col="url", lang_col="lang", html_col=None, ts_col=None,
+    )
+    n_segs = len(read_manifest(idx)["parts"])
+    q = pd.DataFrame(
+        {
+            "query_id": np.arange(80, dtype=np.int64),
+            "text": [f"omni zzmiss{i}" for i in range(80)],  # 80 distinct plans
+        }
+    )
+    got = run_counts(q, idx, cfg, terminate_after=5)
+    assert got["n_matching"].tolist() == [n_segs * 5] * 80
+    assert got["terminated_early"].all()
+
+
 def test_significant_terms_heuristics(api_index, ray_session):
     """chi_square / mutual_information / percentage heuristics == the
     2x2-contingency formulas over the same fg/bg counts; unknown

@@ -93,6 +93,28 @@ def test_canonical_url_dedup_matches_bruteforce(url_ds):
     pd.testing.assert_frame_equal(got, want.astype(np.int64))
 
 
+def test_canonical_url_dedup_custom_id_col(url_ds):
+    """Round-4 advice: the survivor id column is named from id_col, and
+    grouping is on the canonical URL STRING (no 64-bit-hash collision
+    path can merge two distinct URLs)."""
+    ds, df = url_ds
+    renamed = ds.map_batches(
+        lambda b: b.rename(columns={"doc_id": "page_id"}),
+        batch_format="pandas",
+    )
+    got = (
+        canonical_url_dedup(renamed, id_col="page_id")
+        .to_pandas().sort_values("page_id").reset_index(drop=True)
+    )
+    assert list(got.columns) == ["page_id", "n_copies"]
+    base = (
+        canonical_url_dedup(ds).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["page_id"].tolist() == base["doc_id"].tolist()
+    assert got["n_copies"].tolist() == base["n_copies"].tolist()
+
+
 def test_domain_counts_blocklist(url_ds):
     ds, df = url_ds
     got = domain_counts(ds, blocked=("example1.com",)).to_pandas()
