@@ -2751,6 +2751,41 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk_documents(sf_dir)
 
 
+def _q_bm25_resident_topk(sf_dir: str):
+    """BM25 top-k through the RESIDENT searcher service
+    (query/searcher.py): a long-lived scorer pool with shard affinity,
+    cached global stats and manifest-fingerprint invalidation — the
+    serving path that removes the ~2s per-batch fixed floor.  The batch
+    runs TWICE through one session (cold then warm); the WARM result is
+    returned and must be row-identical to the per-batch path (same SQL
+    oracle as bm25_topk — the determinism contract)."""
+    import shutil
+    import tempfile
+
+    from kafka_es_ray.pipelines.fulltext import (
+        DOCS_CFG,
+        build_documents_index,
+        derive_query_set,
+    )
+    from kafka_es_ray.query.engine import IndexSearcher
+    from kafka_es_ray.query.searcher import SearcherSession
+
+    idx = tempfile.mkdtemp(prefix="kafka_es_ray_residx_")
+    try:
+        build_documents_index(sf_dir, idx)
+        queries = derive_query_set(IndexSearcher(idx))
+        with SearcherSession(idx, DOCS_CFG) as sess:
+            sess.search(queries).to_pandas()  # cold: spawn + stats
+            out = sess.search(queries).to_pandas()  # warm: the claim
+        return (
+            out[["query_id", "rank", "doc_id", "score"]]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _q_bm25_topk_and(sf_dir: str):
     """match operator=and: docs must contain every query term."""
     import shutil
@@ -9830,6 +9865,7 @@ def _q_geo_bounds_agg(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": _q_bm25_topk,
+        "bm25_resident_topk": _q_bm25_resident_topk,
         "wrapper_topk": _q_wrapper_topk,
         "terms_lookup_topk": _q_terms_lookup_topk,
         "match_fuzzy_topk": _q_match_fuzzy_topk,
@@ -10137,6 +10173,7 @@ def _lang_id_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
+        "bm25_resident_topk": _BM25_SQL,
         "wrapper_topk": (
             "SELECT 0::BIGINT AS query_id, rank, doc_id, score FROM ("
             + _BM25_SQL
