@@ -6600,9 +6600,24 @@ def run_queries(
             for ffld in fetch_fields or ():
                 name = _split_fetch_field(ffld)[0]
                 top[name] = g[name].to_numpy()[order]
-            # fan the merged plan result out to every query sharing it
-            for qid in fanout_map.get(int(pid_), []):
-                out.append(top.assign(query_id=np.int64(qid)))
+            # fan the merged plan result out to every query sharing it —
+            # one C-speed iloc take per plan (a per-qid .assign copy
+            # measured as half the resident warm-batch wall time)
+            qids = fanout_map.get(int(pid_), [])
+            if not qids:
+                continue
+            k_rows = len(top)
+            if len(qids) == 1:
+                top["query_id"] = np.int64(qids[0])
+                out.append(top)
+            else:
+                rep = top.iloc[
+                    np.tile(np.arange(k_rows), len(qids))
+                ].reset_index(drop=True)
+                rep["query_id"] = np.repeat(
+                    np.asarray(qids, dtype=np.int64), k_rows
+                )
+                out.append(rep)
         if not out:
             empty = {
                 "query_id": pd.Series([], dtype=np.int64),
