@@ -9051,6 +9051,21 @@ def _q_global_shuffle(sf_dir: str):
     return global_shuffle(read_table(sf_dir, "documents", columns=["doc_id"]))
 
 
+def _q_line_dedup(sf_dir: str):
+    """C4/RefinedWeb exact line dedup: every repeated line keeps only
+    its first (doc_id, pos) occurrence corpus-wide.  Lines = 12-token
+    analyzer groups (the documents table has no newlines; the grouping
+    is exact arithmetic both engines replay).  Two bucketed exchanges,
+    line STRINGS as keys (collision-safe)."""
+    from kafka_es_ray.pipelines.text_ops import line_dedup
+    from kafka_es_ray.sources.parquet import read_table
+
+    return line_dedup(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        line_tokens=12,
+    )
+
+
 def _q_curriculum_order(sf_dir: str):
     """Deterministic curriculum ordering: curriculum_pos = exact rank in
     (n_chars desc, doc_id asc) order — sample-sort ranges, one bucketed
@@ -10095,6 +10110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": _q_cap_per_source,
         "global_shuffle": _q_global_shuffle,
         "curriculum_order": _q_curriculum_order,
+        "line_dedup": _q_line_dedup,
         "doc_fingerprint": _q_fingerprint,
         "lang_stats": _q_lang_stats,
         "doc_quality": _q_quality,
@@ -11465,6 +11481,40 @@ def oracle_sql() -> dict[str, str]:
                     ) - 1)::BIGINT AS shuffle_pos
             FROM documents
         """,
+        "line_dedup": """
+            WITH tl AS (
+              SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS p FROM tl
+            ),
+            lines AS (
+              SELECT doc_id, ((p - 1) // 12)::BIGINT AS pos,
+                     string_agg(term, ' ' ORDER BY p) AS line
+              FROM pos GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT doc_id, pos, line,
+                     row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rnk
+              FROM lines
+            ),
+            kept_agg AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                     count(*)::BIGINT AS n_kept
+              FROM ranked WHERE rnk = 1 GROUP BY 1
+            ),
+            drop_agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_dropped
+              FROM ranked WHERE rnk > 1 GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(k.text, '') AS text,
+                   coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+                   coalesce(dr.n_dropped, 0)::BIGINT AS n_dropped
+            FROM documents d
+            LEFT JOIN kept_agg k USING (doc_id)
+            LEFT JOIN drop_agg dr USING (doc_id)
+        """.replace("{_TOK}", _TOK),
         "curriculum_order": """
             SELECT doc_id,
                    (row_number() OVER (

@@ -295,6 +295,7 @@ def run_bench() -> dict:
         "url_dedup",
         "host_quality_filter",
         "curriculum_order",
+        "line_dedup",
         "ann_pq_rescore_topk",
         "retriever_tree_topk",
     )

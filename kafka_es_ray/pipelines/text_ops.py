@@ -1332,3 +1332,152 @@ def top_quality_fraction(docs_ds, frac: float = 0.3):
                      kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------ exact line dedup (C4)
+
+
+class _LineExplodeStage:
+    """(doc_id, pos, line) rows.  Lines are ``sep``-separated spans of
+    ``text_col`` (the C4/RefinedWeb unit), or — when ``line_tokens`` is
+    set — fixed-size analyzer-token groups, the deterministic proxy for
+    corpora without newlines (SQL: ``(generate_subscripts - 1) //
+    line_tokens``).  Analyzer built once per actor."""
+
+    def __init__(self, text_col: str, line_tokens: int | None, sep: str):
+        self.an = get_analyzer("en")
+        self.text_col, self.line_tokens, self.sep = text_col, line_tokens, sep
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        if self.line_tokens is None:
+            per_doc = batch[self.text_col].fillna("").str.split(self.sep).tolist()
+        else:
+            w = int(self.line_tokens)
+            toks = self.an.tokenize_series(batch[self.text_col])
+            per_doc = [
+                [" ".join(t[i : i + w]) for i in range(0, len(t), w)]
+                for t in toks
+            ]
+        counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64, count=len(per_doc))
+        total = int(counts.sum())
+        flat = np.empty(total, dtype=object)
+        k = 0
+        for p in per_doc:
+            flat[k : k + len(p)] = p
+            k += len(p)
+        ends = np.cumsum(counts)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(ids, counts),
+                "pos": np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts),
+                "line": pd.Series(flat, dtype=object),
+            }
+        )
+
+
+def line_dedup(
+    docs_ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int | None = None,
+    sep: str = "\n",
+):
+    """C4/RefinedWeb-family EXACT line deduplication: any line whose
+    exact text occurs more than once in the corpus keeps only its FIRST
+    occurrence (smallest (doc_id, pos)); every other copy is dropped.
+    Returns Dataset (doc_id, text, n_kept, n_dropped) with ``text`` =
+    the kept lines re-joined by '\\n' in document order (empty string
+    when every line was dropped).  SQL-oracle-checkable in token-group
+    mode.
+
+    Scale shape: TWO bucketed exchanges over corpus text — exchange 1
+    keys the line STRING itself (collision-safe, the canonical-URL-dedup
+    precedent: a 64-bit hash would silently merge distinct lines at
+    multi-billion-line scale) and picks each line's global winner;
+    exchange 2 keys doc_id and reassembles survivors in position order.
+    No driver-side state; hot lines (boilerplate repeated millions of
+    times) cost one reducer group each — their row count, not their
+    content, is the skew, and only (doc_id, pos) pairs ride those
+    groups."""
+    from kafka_es_ray.stages.shuffle import bucketed_group_agg
+
+    if id_col != "doc_id":
+        docs_ds = docs_ds.map_batches(
+            lambda b, c=id_col: b.rename(columns={c: "doc_id"}),
+            batch_format="pandas",
+        )
+
+    exploded = docs_ds.map_batches(
+        _LineExplodeStage,
+        fn_constructor_args=(text_col, line_tokens, sep),
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=stage_pool(),
+    )
+
+    def winner_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        # per line: rank rows by (doc_id, pos); rank 0 survives, the
+        # rest are dropped — emitted as per-doc drop COUNT partials
+        # (kind column, never a value sentinel: the round-5 exchange
+        # lesson).  kind 0 = kept line row, 1 = dropped-count partial.
+        b = bucket.sort_values(["line", "doc_id", "pos"], kind="mergesort")
+        first = ~b["line"].duplicated()
+        kept = b[first]
+        dropped = b[~first]
+        out_k = pd.DataFrame(
+            {
+                "doc_id": kept["doc_id"].to_numpy(np.int64),
+                "kind": np.int64(0),
+                "pos": kept["pos"].to_numpy(np.int64),
+                "line": kept["line"].to_numpy(),
+                "n": np.int64(0),
+            }
+        )
+        dc = dropped.groupby("doc_id", as_index=False).size()
+        out_d = pd.DataFrame(
+            {
+                "doc_id": dc["doc_id"].to_numpy(np.int64),
+                "kind": np.int64(1),
+                "pos": np.int64(0),
+                "line": pd.Series([""] * len(dc), dtype=object),
+                "n": dc["size"].to_numpy(np.int64),
+            }
+        )
+        return pd.concat([out_k, out_d], ignore_index=True)
+
+    survivors = bucketed_group_agg(exploded, ["line"], winner_bucket)
+
+    # doc skeletons guarantee every input doc appears, even when all of
+    # its lines were dropped (or it had none in token mode)
+    def skeleton(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "kind": np.int64(2),
+                "pos": np.int64(0),
+                "line": pd.Series([""] * len(b), dtype=object),
+                "n": np.int64(0),
+            }
+        )
+
+    skel = docs_ds.map_batches(skeleton, batch_format="pandas")
+
+    def assemble(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, g in bucket.groupby("doc_id", sort=False):
+            keep = g[g["kind"] == 0].sort_values("pos", kind="mergesort")
+            rows.append(
+                (
+                    int(did),
+                    "\n".join(keep["line"].tolist()),
+                    int(len(keep)),
+                    int(g[g["kind"] == 1]["n"].sum()),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["doc_id", "text", "n_kept", "n_dropped"]
+        ).astype({"doc_id": np.int64, "n_kept": np.int64, "n_dropped": np.int64})
+
+    return bucketed_group_agg(survivors.union(skel), ["doc_id"], assemble)

@@ -45,6 +45,7 @@ SQL_SUBSET = [
     "train_holdout",
     "pii_scan",
     "chunk_documents",
+    "line_dedup",
 ]
 
 
@@ -1336,3 +1337,70 @@ def test_decontaminate_drops_overlapping(ray_session):
     ).to_pandas()
     assert sorted(loose["doc_id"]) == [0, 1]
     assert (loose["n_shared"] <= 1).all()
+
+
+def test_line_dedup_exact_first_occurrence(ray_session):
+    """C4-style exact line dedup: repeated lines keep only the global
+    first (doc_id, pos) occurrence; empty docs survive as skeletons;
+    token-group mode matches a pandas brute force on a random corpus."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kafka_es_ray.pipelines.text_ops import line_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                "dup line\nunique one\nshared tail",
+                "dup line\nanother thing",
+                "totally unique\nshared tail",
+                "",
+                "dup line",
+            ],
+        }
+    )
+    out = (
+        line_dedup(rd.from_pandas(df).repartition(3))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["text"].tolist() == [
+        "dup line\nunique one\nshared tail",
+        "another thing",
+        "totally unique",
+        "",  # the empty line's first occurrence IS doc 3's only line
+        "",
+    ]
+    assert out["n_kept"].tolist() == [3, 1, 1, 1, 0]
+    assert out["n_dropped"].tolist() == [0, 1, 1, 0, 1]
+
+    # brute-force parity, token-group mode, random corpus with planted dups
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(4, 40)).tolist())
+        for _ in range(120)
+    ]
+    big = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64), "text": texts})
+    W = 6
+    lines = []
+    for did, t in zip(big["doc_id"], big["text"]):
+        toks = t.split()
+        for pos, i in enumerate(range(0, len(toks), W)):
+            lines.append((int(did), pos, " ".join(toks[i : i + W])))
+    ldf = pd.DataFrame(lines, columns=["doc_id", "pos", "line"])
+    ldf["rnk"] = ldf.sort_values(["doc_id", "pos"]).groupby("line").cumcount()
+    want_kept = ldf[ldf["rnk"] == 0]
+    want = (
+        want_kept.sort_values(["doc_id", "pos"])
+        .groupby("doc_id")["line"].agg("\n".join)
+    )
+    got = (
+        line_dedup(rd.from_pandas(big).repartition(7), line_tokens=W)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    for did in big["doc_id"]:
+        assert got.loc[did, "text"] == want.get(did, "")
+    drops = ldf[ldf["rnk"] > 0].groupby("doc_id").size()
+    for did in big["doc_id"]:
+        assert got.loc[did, "n_dropped"] == int(drops.get(did, 0))
