@@ -6911,6 +6911,7 @@ def _run_match_set(
     queries_ds, index_dir: str, field: str | None, cfg: EngineConfig,
     concurrency: int | None, shard_size: int | None = None,
     terminate_after: int | None = None, sample: tuple | None = None,
+    session=None,
 ) -> tuple[pd.DataFrame, list[dict]]:
     """Shared distributed driver for _count (field=None) and terms agg:
     segments as the Dataset, plans broadcast, per-(plan[,value]) partial
@@ -6924,21 +6925,21 @@ def _run_match_set(
 
     concurrency = concurrency or cfg.query_concurrency or query_pool()
     queries = queries_ds.to_pandas() if hasattr(queries_ds, "to_pandas") else queries_ds
+    if session is not None:
+        # resident MatchSet path (query/searcher.py): single-index only
+        if list(session.dirs) != [index_dir]:
+            raise ValueError(
+                "session was opened on a different index than this call"
+            )
+        session.sync()
     manifest = read_manifest(index_dir)
     parts = [int(p) for p in manifest["parts"]]
     plan = _match_set_plans(queries)
     if not plan:
         return pd.DataFrame({"plan_id": [], "kind": [], "value": [], "n": []}), plan
-    plan_ref = ray.put(
-        (plan, manifest.get("tombstones", {}), field, shard_size,
-         terminate_after, sample)
-    )
-    partials = _shards_ds(parts, concurrency).map_batches(
-        MatchSetStage,
-        fn_constructor_args=(index_dir, plan_ref, cfg),
-        batch_format="pandas",
-        batch_size=4,
-        concurrency=concurrency,
+    payload = (
+        plan, manifest.get("tombstones", {}), field, shard_size,
+        terminate_after, sample,
     )
 
     def sum_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -6947,6 +6948,19 @@ def _run_match_set(
         )
         return g.astype({"plan_id": np.int64, "kind": np.int64, "n": np.int64})
 
+    if session is not None:
+        summed = session.match_merge(
+            pd.DataFrame({"part_id": parts}), payload, sum_bucket
+        )
+        return summed, plan
+    plan_ref = ray.put(payload)
+    partials = _shards_ds(parts, concurrency).map_batches(
+        MatchSetStage,
+        fn_constructor_args=(index_dir, plan_ref, cfg),
+        batch_format="pandas",
+        batch_size=4,
+        concurrency=concurrency,
+    )
     summed = bucketed_group_agg(
         partials, ["plan_id", "kind", "value"], sum_bucket
     ).to_pandas()
@@ -6956,6 +6970,7 @@ def _run_match_set(
 def run_counts(
     queries_ds, index_dir: str, cfg: EngineConfig = DEFAULT,
     concurrency: int | None = None, terminate_after: int | None = None,
+    session=None,
 ) -> pd.DataFrame:
     """Distributed ES _count: (query_id, n_matching) for every input
     query (0 when nothing matches).  The match-set evaluation runs
@@ -6971,7 +6986,7 @@ def run_counts(
     in-shard early exit; the full count is never exchanged."""
     summed, plan = _run_match_set(
         queries_ds, index_dir, None, cfg, concurrency,
-        terminate_after=terminate_after,
+        terminate_after=terminate_after, session=session,
     )
     by_plan: dict[int, int] = {}
     term_by_plan: dict[int, bool] = {}
@@ -7014,6 +7029,7 @@ def run_agg_terms(
     missing: str | None = None,
     partition: tuple | None = None,
     min_doc_count: int = 1,
+    session=None,
 ) -> pd.DataFrame:
     """Distributed ES terms aggregation over each query's match set:
     (query_id, value, n_docs) in ES bucket order (n_docs desc, value
@@ -7050,7 +7066,8 @@ def run_agg_terms(
     inc_re = _re.compile(include) if include is not None else None
     exc_re = _re.compile(exclude) if exclude is not None else None
     summed, plan = _run_match_set(
-        queries_ds, index_dir, field, cfg, concurrency, shard_size=shard_size
+        queries_ds, index_dir, field, cfg, concurrency, shard_size=shard_size,
+        session=session,
     )
     fanout = {q["plan_id"]: q["query_ids"] for q in plan}
     out = []
@@ -7113,6 +7130,7 @@ def run_agg_random_sampler(
     queries_ds, index_dir: str, field: str,
     probability: float = 0.3, seed: int = 42,
     cfg: EngineConfig = DEFAULT, concurrency: int | None = None,
+    session=None,
 ) -> pd.DataFrame:
     """ES random_sampler aggregation: the terms sub-agg runs over a
     random ``probability`` sample of each query's match set, counts
@@ -7128,7 +7146,7 @@ def run_agg_random_sampler(
     keep_mod = int(round(probability * 1_000_000))
     summed, plan = _run_match_set(
         queries_ds, index_dir, field, cfg, concurrency,
-        sample=(int(seed), keep_mod),
+        sample=(int(seed), keep_mod), session=session,
     )
     fanout = {q["plan_id"]: q["query_ids"] for q in plan}
     out = []

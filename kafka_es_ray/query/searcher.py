@@ -43,6 +43,7 @@ import pyarrow.parquet as pq
 from kafka_es_ray.config import DEFAULT, EngineConfig
 from kafka_es_ray.index.segment import postings_path, read_manifest
 from kafka_es_ray.query.engine import (
+    MatchSetStage,
     ShardScorerStage,
     _manifest_fingerprints,
     run_queries,
@@ -60,6 +61,12 @@ class _ResidentScorer:
             cfg, scorer_segment_cache=max(1, int(cache_cap))
         )
         self._stage = ShardScorerStage(index_dir, None, cfg2)
+        # the MatchSet family (_count, terms aggs, random_sampler)
+        # serves from the SAME pool: a second plan-less stage SHARING
+        # the scorer's segment LRU (one decoded copy serves both paths;
+        # single-index only, like run_counts itself)
+        self._ms = MatchSetStage(index_dir, None, cfg2)
+        self._ms.segments = self._stage.segments
         self._dicts: OrderedDict[tuple, tuple] = OrderedDict()
         self._dict_cap = max(4, int(cache_cap) * 2)
 
@@ -68,6 +75,10 @@ class _ResidentScorer:
         # while self._stage.segments — the expensive state — persists
         self._stage._init_payload(payload)
         return self._stage(rows)
+
+    def match_set(self, rows: pd.DataFrame, payload) -> pd.DataFrame:
+        self._ms._init_payload(payload)
+        return self._ms(rows)
 
     def df_lookup(self, rows: list, terms_arr: np.ndarray) -> np.ndarray:
         """Sum of dictionary dfs over this actor's (iid, pid) rows —
@@ -290,6 +301,25 @@ class SearcherSession:
         parts = ray.get(futs)
         return merge_fn(pd.concat(parts, ignore_index=True))
 
+    def match_merge(self, shard_df: pd.DataFrame, payload, sum_fn) -> pd.DataFrame:
+        """MatchSet-family partials from the resident pool (affinity
+        routing), summed driver-side — partial volume is plans x
+        segments (x values), never doc rows.  Single-index only."""
+        import ray
+
+        if self.multi:
+            raise ValueError("match_merge: resident MatchSet is single-index")
+        self.stats["batches"] += 1
+        pref = ray.put(payload)
+        rows = [(0, int(p)) for p in shard_df["part_id"]]
+        futs = [
+            self._actors[ai].match_set.remote(
+                pd.DataFrame({"part_id": [p for _, p in sub]}), pref
+            )
+            for ai, sub in self._assign(rows).items()
+        ]
+        return sum_fn(pd.concat(ray.get(futs), ignore_index=True))
+
     # -- convenience -------------------------------------------------
 
     def search(self, queries, **kw):
@@ -297,4 +327,18 @@ class SearcherSession:
         shape; second and later calls skip pool spawn + repeat stats)."""
         return run_queries(
             queries, self.index_dir, self.cfg, session=self, **kw
+        )
+
+    def count(self, queries, **kw) -> pd.DataFrame:
+        """Distributed _count through the resident pool."""
+        from kafka_es_ray.query.engine import run_counts
+
+        return run_counts(queries, self.index_dir, self.cfg, session=self, **kw)
+
+    def agg_terms(self, queries, field: str = "lang", **kw) -> pd.DataFrame:
+        """Distributed terms aggregation through the resident pool."""
+        from kafka_es_ray.query.engine import run_agg_terms
+
+        return run_agg_terms(
+            queries, self.index_dir, field, self.cfg, session=self, **kw
         )

@@ -194,3 +194,77 @@ def test_request_cache_keys_on_cfg(built):
     run_queries_cached(q, built, CFG)  # same cfg -> hit
     assert REQUEST_CACHE_STATS["misses"] == m0 + 2
     assert REQUEST_CACHE_STATS["hits"] == h0 + 1
+
+
+def test_resident_matchset_family_parity(built):
+    """_count / terms agg / random_sampler through the resident session
+    are row-identical to the per-batch path, warm batches included; the
+    MatchSet stage shares the scorer pool's segment LRU."""
+    from kafka_es_ray.query.engine import (
+        run_agg_random_sampler,
+        run_agg_terms,
+        run_counts,
+    )
+
+    q = pd.DataFrame(
+        {
+            "query_id": np.arange(3, dtype=np.int64),
+            "text": ["ruby", "opal jade", "zzznope"],
+        }
+    )
+    base_c = run_counts(q, built, CFG, terminate_after=7)
+    base_a = run_agg_terms(q, built, "lang", CFG)
+    base_s = run_agg_random_sampler(
+        q, built, "lang", probability=0.5, seed=9, cfg=CFG
+    )
+    with SearcherSession(built, CFG, pool=2) as sess:
+        for _ in range(2):  # second pass serves from warm actors
+            pd.testing.assert_frame_equal(
+                base_c.reset_index(drop=True),
+                sess.count(q, terminate_after=7).reset_index(drop=True),
+            )
+            pd.testing.assert_frame_equal(
+                base_a.reset_index(drop=True),
+                sess.agg_terms(q, "lang").reset_index(drop=True),
+            )
+            pd.testing.assert_frame_equal(
+                base_s.reset_index(drop=True),
+                run_agg_random_sampler(
+                    q, built, "lang", probability=0.5, seed=9, cfg=CFG,
+                    session=sess,
+                ).reset_index(drop=True),
+            )
+        # mixed use on one session: scoring + counting share segments
+        _frames_equal(
+            run_queries(_mixed_batch(), built, CFG),
+            sess.search(_mixed_batch()),
+        )
+
+
+def test_resident_count_sees_commits(ray_session, tmp_path):
+    import ray.data as rd
+
+    from kafka_es_ray.query.engine import run_counts
+
+    idx = str(tmp_path / "cinval")
+    build_index(
+        rd.from_pandas(_corpus(50)), idx, CFG,
+        key_col="url", lang_col="lang", html_col=None, ts_col=None,
+    )
+    q = pd.DataFrame({"query_id": [0], "text": ["zircon"]})
+    with SearcherSession(idx, CFG, pool=2) as sess:
+        assert sess.count(q)["n_matching"].tolist() == [0]
+        delta = pd.DataFrame(
+            {
+                "url": ["n1", "n2", "n3"],
+                "text": ["zircon a", "zircon b", "zircon c"],
+                "lang": "en",
+                "seq": np.arange(3, dtype=np.int64),
+            }
+        )
+        apply_incremental(idx, rd.from_pandas(delta), CFG, key_col="url")
+        assert sess.count(q)["n_matching"].tolist() == [3]
+        pd.testing.assert_frame_equal(
+            run_counts(q, idx, CFG).reset_index(drop=True),
+            sess.count(q).reset_index(drop=True),
+        )
